@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's t2 correctness gate.
+
+Usage: python3 scripts/selfcheck.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (Spark result), runs the matching
+oracle_sql.json entry in DuckDB against the parquet tables in <sfDir>, sorts
+columns by name, compares row-by-row. Reports per-query PASS/FAIL.
+"""
+import sys, json, glob, os
+import duckdb
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for p in glob.glob(os.path.join(sfdir, "*.parquet")):
+    name = os.path.basename(p).replace(".parquet", "")
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+results = {}
+for name in sorted(os.listdir(outdir)):
+    qdir = os.path.join(outdir, name)
+    if not os.path.isdir(qdir):
+        continue
+    try:
+        spark_df = con.sql(
+            f"SELECT * FROM read_parquet('{qdir}/*.parquet')").df()
+    except Exception as e:
+        results[name] = f"ERROR reading spark result: {e}"
+        continue
+    if name not in oracle:
+        results[name] = f"NO-ORACLE rows={len(spark_df)}" + \
+            (" EMPTY!" if len(spark_df) == 0 else "")
+        continue
+    try:
+        duck_df = con.sql(oracle[name]).df()
+    except Exception as e:
+        results[name] = f"ORACLE-SQL-ERROR: {e}"
+        continue
+    # driver semantics: sort columns by name, then compare values
+    s = spark_df[sorted(spark_df.columns)]
+    d = duck_df[sorted(duck_df.columns)]
+    if sorted(s.columns) != sorted(d.columns):
+        results[name] = f"SCHEMA-MISMATCH spark={sorted(s.columns)} duck={sorted(d.columns)}"
+        continue
+    if len(s) != len(d):
+        results[name] = f"ROWCOUNT-MISMATCH spark={len(s)} duck={len(d)}"
+        continue
+    # row order as produced (queries ORDER BY deterministically); also try
+    # sorted comparison as fallback diagnostic
+    mism = []
+    for col in s.columns:
+        sv, dv = s[col].tolist(), d[col].tolist()
+        svs = [str(x) for x in sv]
+        dvs = [str(x) for x in dv]
+        if svs != dvs:
+            for i, (a, b) in enumerate(zip(svs, dvs)):
+                if a != b:
+                    mism.append(f"{col}[{i}]: spark={a!r} duck={b!r}")
+                    break
+    if mism:
+        results[name] = "VALUE-MISMATCH " + "; ".join(mism[:5])
+    else:
+        results[name] = f"PASS rows={len(s)}"
+
+npass = sum(1 for v in results.values() if v.startswith("PASS"))
+nora = sum(1 for v in results.values() if v.startswith("NO-ORACLE"))
+for k, v in sorted(results.items()):
+    flag = "ok " if v.startswith(("PASS", "NO-ORACLE")) else "FAIL"
+    print(f"{flag} {k}: {v}")
+print(f"\n{npass} PASS, {nora} no-oracle, "
+      f"{len(results) - npass - nora} FAIL of {len(results)}")

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet star-schema loaders (driver fixtures, see TESTDATA.md).
+  *
+  * The reference engine's data model is "recordset = byte stream of rows"
+  * piped per-node (reference: ecl/HDFSConnector.ecl:82-99); here a table is a
+  * `DataFrame` backed by a splittable columnar source, so partition planning,
+  * column pruning and predicate pushdown are Catalyst's job.
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
+    * rejects; read nanos as long and floor-divide to micros (integer `div`,
+    * not `/` — ns-since-epoch exceeds double's 53-bit mantissa). DuckDB's
+    * reader does the identical ns→µs truncation, so oracles line up.
+    */
+  private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions._
+    t(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame  = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
+  def events(s: SparkSession, d: String): DataFrame    = eventsRaw(s, d)
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+}
+
+/** A named group of queries plus (where SQL-expressible) DuckDB oracles.
+  * Contract per the driver: `queries` keys ⊇ `oracles` keys; column names of
+  * the Spark result and the oracle SQL must match exactly.
+  */
+trait QueryPack {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+  def oracles: Map[String, String]
+}

@@ -1,0 +1,468 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryPack, Tables => T}
+
+/** Relational operator surface (SURVEY.md §2.2).
+  *
+  * The reference delegates all relational computation to its host engines
+  * (evidence: the connector's only verbs are stream-in/out/merge,
+  * reference hdfsconnector.hpp:33-41); this pack supplies that surface with
+  * Spark built-ins so the combined capability (ingest → query → egress) lives
+  * in one system.
+  *
+  * Oracle-parity rules used throughout (driver hashes values after sorting
+  * columns by name):
+  *  - money/quantity aggregates go through exact DECIMAL casts, never raw
+  *    double sums (FP summation order differs between engines);
+  *  - every query ends in a total ORDER BY (unique tie-break) so row order is
+  *    deterministic in both engines;
+  *  - ASC null ordering is pinned (Spark default NULLS FIRST vs DuckDB
+  *    default NULLS LAST).
+  */
+object Relational extends QueryPack {
+
+  private def qty(c: Column)   = c.cast("decimal(18,2)")
+  private def money(c: Column) = c.cast("decimal(18,2)")
+  private def pct(c: Column)   = c.cast("decimal(18,4)")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- aggregation ---------------------------------------------------------
+    "q01_pricing_summary" -> ((s, d) => {
+      import s.implicits._
+      T.lineitem(s, d)
+        .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum(qty($"l_quantity")).as("sum_qty"),
+          sum(money($"l_extendedprice")).as("sum_base_price"),
+          sum(money($"l_extendedprice") * (lit(BigDecimal(1)) - pct($"l_discount"))).as("sum_disc_price"),
+          sum(money($"l_extendedprice") * (lit(BigDecimal(1)) + pct($"l_tax"))).as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+    "q06_forecast_revenue" -> ((s, d) => {
+      import s.implicits._
+      T.lineitem(s, d)
+        .filter($"l_shipdate" >= lit("1995-01-01").cast("timestamp") &&
+                $"l_shipdate" <  lit("1996-01-01").cast("timestamp") &&
+                $"l_discount".between(0.03, 0.07) && $"l_quantity" < 24)
+        .agg(sum(money($"l_extendedprice") * pct($"l_discount")).as("revenue"),
+             count(lit(1)).as("n"))
+    }),
+    "q08_distinct_agg" -> ((s, d) => {
+      import s.implicits._
+      T.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(countDistinct($"l_partkey").as("n_parts"),
+             countDistinct($"l_suppkey").as("n_supps"),
+             countDistinct($"l_partkey", $"l_suppkey").as("n_part_supp"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // -- projection / filter (pushdown surface) ------------------------------
+    "q02_filter_project" -> ((s, d) => {
+      import s.implicits._
+      T.lineitem(s, d)
+        .filter($"l_shipdate" >= lit("1997-06-01").cast("timestamp") &&
+                $"l_quantity" < 5 && $"l_discount" > 0.08)
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    // -- joins ---------------------------------------------------------------
+    "q03_revenue_by_segment" -> ((s, d) => {
+      import s.implicits._
+      val li = T.lineitem(s, d); val o = T.orders(s, d); val c = T.customer(s, d)
+      li.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(sum(money($"l_extendedprice") * (lit(BigDecimal(1)) - pct($"l_discount"))).as("revenue"),
+             count(lit(1)).as("n_lines"))
+        .orderBy($"c_mktsegment")
+    }),
+    "q05_nation_revenue" -> ((s, d) => {
+      import s.implicits._
+      val li = T.lineitem(s, d); val o = T.orders(s, d); val c = T.customer(s, d)
+      val su = T.supplier(s, d); val n = T.nation(s, d); val r = T.region(s, d)
+      li.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(su, $"l_suppkey" === $"s_suppkey")
+        .join(c, $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(sum(money($"l_extendedprice") * (lit(BigDecimal(1)) - pct($"l_discount"))).as("revenue"))
+        .orderBy($"r_name", $"n_name")
+    }),
+    "q04_semi_join" -> ((s, d) => {
+      import s.implicits._
+      val o = T.orders(s, d)
+      val li = T.lineitem(s, d).filter($"l_returnflag" === "R")
+      o.join(li, $"o_orderkey" === $"l_orderkey", "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy($"o_orderpriority")
+    }),
+    "q07_anti_join" -> ((s, d) => {
+      import s.implicits._
+      val c = T.customer(s, d)
+      val o = T.orders(s, d).filter($"o_orderstatus" === "F")
+      c.join(o, $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy($"c_mktsegment")
+    }),
+    "q23_theta_join" -> ((s, d) => {
+      import s.implicits._
+      val n1 = T.nation(s, d).select($"n_nationkey".as("a_key"), $"n_name".as("a_name"),
+                                     $"n_regionkey".as("a_region"))
+      val n2 = T.nation(s, d).select($"n_nationkey".as("b_key"), $"n_name".as("b_name"),
+                                     $"n_regionkey".as("b_region"))
+      n1.join(n2, $"a_key" < $"b_key" && $"a_region" === $"b_region")
+        .select($"a_name", $"b_name")
+        .orderBy($"a_name", $"b_name")
+    }),
+
+    // -- rollup / cube / grouping sets ---------------------------------------
+    "q09_rollup" -> ((s, d) => {
+      import s.implicits._
+      T.lineitem(s, d)
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(sum(qty($"l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    }),
+    "q10_cube" -> ((s, d) => {
+      import s.implicits._
+      T.orders(s, d)
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(sum(money($"o_totalprice")).as("sum_price"), count(lit(1)).as("n"))
+        .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+    }),
+
+    // -- window functions ----------------------------------------------------
+    "q12_window_rank" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"l_returnflag")
+        .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+      T.lineitem(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 5)
+        .select($"l_returnflag", $"rn", $"l_orderkey", $"l_linenumber", $"l_extendedprice")
+        .orderBy($"l_returnflag", $"rn")
+    }),
+    "q13_window_running" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T.orders(s, d)
+        .filter($"o_custkey" < 100)
+        .withColumn("running_spend", sum(money($"o_totalprice")).over(w))
+        .select($"o_custkey", $"o_orderkey", $"running_spend")
+        .orderBy($"o_custkey", $"o_orderkey")
+    }),
+    "q14_lag_lead" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      T.events(s, d)
+        .filter($"user_id" < 50)
+        .withColumn("prev_value", lag($"value", 1).over(w))
+        .withColumn("next_type", lead($"event_type", 1).over(w))
+        .select($"user_id", $"event_id", $"value", $"prev_value", $"next_type")
+        .orderBy($"user_id", $"event_id")
+    }),
+
+    // -- sort / top-k --------------------------------------------------------
+    "q15_topk" -> ((s, d) => {
+      import s.implicits._
+      T.orders(s, d)
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .limit(10)
+    }),
+
+    // -- set operations ------------------------------------------------------
+    "q16_union" -> ((s, d) => {
+      import s.implicits._
+      val a = T.customer(s, d).filter($"c_mktsegment" === "BUILDING").select($"c_nationkey".as("k"))
+      val b = T.supplier(s, d).select($"s_nationkey".as("k"))
+      a.union(b).distinct().orderBy($"k")
+    }),
+    "q17_intersect" -> ((s, d) => {
+      import s.implicits._
+      val a = T.customer(s, d).select($"c_nationkey".as("k"))
+      val b = T.supplier(s, d).select($"s_nationkey".as("k"))
+      a.intersect(b).orderBy($"k")
+    }),
+    "q18_except" -> ((s, d) => {
+      import s.implicits._
+      val o = T.orders(s, d)
+      val a = o.filter($"o_orderstatus" === "F").select($"o_custkey".as("k"))
+      val b = o.filter($"o_orderstatus" === "O").select($"o_custkey".as("k"))
+      a.except(b).orderBy($"k")
+    }),
+
+    // -- scalar function families --------------------------------------------
+    "q19_string_funcs" -> ((s, d) => {
+      import s.implicits._
+      T.customer(s, d)
+        .filter($"c_custkey" <= 200)
+        .select(
+          $"c_custkey",
+          upper($"c_name").as("uname"),
+          lower($"c_mktsegment").as("lseg"),
+          substring($"c_name", 1, 8).as("prefix8"),
+          length($"c_name").as("name_len"),
+          concat($"c_mktsegment", lit(":"), $"c_name").as("tagged"),
+          regexp_replace($"c_name", "0+", "0").as("squeezed"),
+          lpad($"c_custkey".cast("string"), 8, "0").as("padded"))
+        .orderBy($"c_custkey")
+    }),
+    "q20_date_funcs" -> ((s, d) => {
+      import s.implicits._
+      T.orders(s, d)
+        .filter($"o_orderkey" <= 500)
+        .select(
+          $"o_orderkey",
+          year($"o_orderdate").as("y"),
+          month($"o_orderdate").as("m"),
+          dayofmonth($"o_orderdate").as("dom"),
+          quarter($"o_orderdate").as("q"),
+          date_trunc("month", $"o_orderdate").cast("date").as("month_start"),
+          $"o_orderdate".cast("date").as("odate"))
+        .orderBy($"o_orderkey")
+    }),
+    "q21_math_funcs" -> ((s, d) => {
+      import s.implicits._
+      T.part(s, d)
+        .filter($"p_partkey" <= 300)
+        .select(
+          $"p_partkey",
+          abs($"p_size" - 25).as("dist25"),
+          floor($"p_retailprice").as("fl"),
+          ceil($"p_retailprice").as("ce"),
+          round(money($"p_retailprice"), 1).as("rd1"),
+          pmod($"p_partkey", lit(7)).as("m7"),
+          pow($"p_size".cast("double"), 2).cast("long").as("sz2"))
+        .orderBy($"p_partkey")
+    }),
+    "q22_case_when" -> ((s, d) => {
+      import s.implicits._
+      T.orders(s, d)
+        .select($"o_orderkey",
+          when($"o_totalprice" < 50000, "small")
+            .when($"o_totalprice" < 150000, "medium")
+            .otherwise("large").as("bucket"))
+        .groupBy($"bucket").agg(count(lit(1)).as("n"))
+        .orderBy($"bucket")
+    }),
+
+    // -- subqueries ----------------------------------------------------------
+    "q25_scalar_subquery" -> ((s, d) => {
+      T.orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT o_orderkey, o_totalprice
+        FROM orders_v
+        WHERE o_totalprice > (SELECT max(o_totalprice) * 0.95 FROM orders_v)
+        ORDER BY o_orderkey""")
+    }),
+
+    // -- pivot ---------------------------------------------------------------
+    "q26_pivot" -> ((s, d) => {
+      import s.implicits._
+      val c = T.customer(s, d); val n = T.nation(s, d)
+      c.join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .pivot($"c_mktsegment",
+               Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy($"n_name")
+    }),
+
+    // -- array functions -----------------------------------------------------
+    "q27_explode_array" -> ((s, d) => {
+      import s.implicits._
+      T.embeddings(s, d)
+        .filter($"vec_id" < 5)
+        .select($"vec_id", posexplode($"embedding").as(Seq("pos", "val")))
+        .orderBy($"vec_id", $"pos")
+    }),
+
+    // -- windowed time aggregation (batch form of the streaming op) ----------
+    "q29_tumbling_window" -> ((s, d) => {
+      import s.implicits._
+      T.events(s, d)
+        .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"), sum(money($"value")).as("sum_value"))
+        .select($"w.start".as("bucket"), $"event_type", $"n", $"sum_value")
+        .orderBy($"bucket", $"event_type")
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q01_pricing_summary" -> """
+      SELECT l_returnflag, l_linestatus,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS sum_disc_price,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS sum_charge,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+    "q06_forecast_revenue" -> """
+      SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,4))) AS revenue,
+             count(*) AS n
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+        AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""",
+    "q08_distinct_agg" -> """
+      SELECT l_returnflag,
+             count(DISTINCT l_partkey) AS n_parts,
+             count(DISTINCT l_suppkey) AS n_supps,
+             count(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q02_filter_project" -> """
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-06-01' AND l_quantity < 5 AND l_discount > 0.08
+      ORDER BY l_orderkey, l_linenumber""",
+    "q03_revenue_by_segment" -> """
+      SELECT c_mktsegment,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS revenue,
+             count(*) AS n_lines
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q05_nation_revenue" -> """
+      SELECT r_name, n_name,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS revenue
+      FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q04_semi_join" -> """
+      SELECT o_orderpriority, count(*) AS n_orders
+      FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q07_anti_join" -> """
+      SELECT c_mktsegment, count(*) AS n_customers
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q23_theta_join" -> """
+      SELECT a.n_name AS a_name, b.n_name AS b_name
+      FROM nation a JOIN nation b
+        ON a.n_nationkey < b.n_nationkey AND a.n_regionkey = b.n_regionkey
+      ORDER BY a_name, b_name""",
+    "q09_rollup" -> """
+      SELECT l_returnflag, l_linestatus,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, count(*) AS n
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q10_cube" -> """
+      SELECT o_orderstatus, o_orderpriority,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price, count(*) AS n
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "q12_window_rank" -> """
+      SELECT l_returnflag, rn, l_orderkey, l_linenumber, l_extendedprice
+      FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+                   row_number() OVER (PARTITION BY l_returnflag
+                                      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+            FROM lineitem)
+      WHERE rn <= 5 ORDER BY l_returnflag, rn""",
+    "q13_window_running" -> """
+      SELECT o_custkey, o_orderkey,
+             sum(CAST(o_totalprice AS DECIMAL(18,2)))
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+      FROM orders WHERE o_custkey < 100
+      ORDER BY o_custkey, o_orderkey""",
+    "q14_lag_lead" -> """
+      SELECT user_id, event_id, value,
+             lag(value, 1)       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+             lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events WHERE user_id < 50
+      ORDER BY user_id, event_id""",
+    "q15_topk" -> """
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q16_union" -> """
+      SELECT DISTINCT k FROM (
+        SELECT c_nationkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION ALL SELECT s_nationkey AS k FROM supplier) ORDER BY k""",
+    "q17_intersect" -> """
+      SELECT c_nationkey AS k FROM customer
+      INTERSECT SELECT s_nationkey AS k FROM supplier ORDER BY k""",
+    "q18_except" -> """
+      SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+      ORDER BY k""",
+    "q19_string_funcs" -> """
+      SELECT c_custkey,
+             upper(c_name) AS uname,
+             lower(c_mktsegment) AS lseg,
+             substring(c_name, 1, 8) AS prefix8,
+             length(c_name) AS name_len,
+             c_mktsegment || ':' || c_name AS tagged,
+             regexp_replace(c_name, '0+', '0', 'g') AS squeezed,
+             lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded
+      FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey""",
+    "q20_date_funcs" -> """
+      SELECT o_orderkey,
+             year(o_orderdate) AS y, month(o_orderdate) AS m,
+             day(o_orderdate) AS dom, quarter(o_orderdate) AS q,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+             CAST(o_orderdate AS DATE) AS odate
+      FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""",
+    "q21_math_funcs" -> """
+      SELECT p_partkey,
+             abs(p_size - 25) AS dist25,
+             CAST(floor(p_retailprice) AS BIGINT) AS fl,
+             CAST(ceil(p_retailprice) AS BIGINT) AS ce,
+             round(CAST(p_retailprice AS DECIMAL(18,2)), 1) AS rd1,
+             p_partkey % 7 AS m7,
+             CAST(pow(CAST(p_size AS DOUBLE), 2) AS BIGINT) AS sz2
+      FROM part WHERE p_partkey <= 300 ORDER BY p_partkey""",
+    "q22_case_when" -> """
+      SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                  WHEN o_totalprice < 150000 THEN 'medium'
+                  ELSE 'large' END AS bucket,
+             count(*) AS n
+      FROM orders GROUP BY 1 ORDER BY bucket""",
+    "q25_scalar_subquery" -> """
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_totalprice > (SELECT max(o_totalprice) * 0.95 FROM orders)
+      ORDER BY o_orderkey""",
+    "q26_pivot" -> """
+      SELECT n_name,
+             count(*) FILTER (WHERE c_mktsegment = 'AUTOMOBILE') AS "AUTOMOBILE",
+             count(*) FILTER (WHERE c_mktsegment = 'BUILDING')   AS "BUILDING",
+             count(*) FILTER (WHERE c_mktsegment = 'FURNITURE')  AS "FURNITURE",
+             count(*) FILTER (WHERE c_mktsegment = 'HOUSEHOLD')  AS "HOUSEHOLD",
+             count(*) FILTER (WHERE c_mktsegment = 'MACHINERY')  AS "MACHINERY"
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name""",
+    "q27_explode_array" -> """
+      SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+             unnest(embedding) AS val
+      FROM embeddings WHERE vec_id < 5 ORDER BY vec_id, pos""",
+    "q29_tumbling_window" -> """
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
+             count(*) AS n,
+             sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+      FROM events GROUP BY bucket, event_type ORDER BY bucket, event_type"""
+  )
+}
