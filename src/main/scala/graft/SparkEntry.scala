@@ -13,7 +13,11 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
-    operators.Relational
+    operators.Relational,
+    operators.Dedup,
+    operators.Similarity,
+    operators.TextAnalysis,
+    operators.EventOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for the LLM-data-pipeline surface.
+  *
+  * Everything here is composed from `org.apache.spark.sql.functions._`
+  * (codegen'd / Catalyst-optimizable) — no Scala UDFs, so the expressions
+  * stay inside whole-stage codegen and distribute trivially at 100 TB.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (the reference's byte-oriented model never
+    * tokenizes — this is north-star surface, reference has no analogue).
+    */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def distinctTokens(c: Column): Column = array_distinct(tokens(c))
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Word n-gram shingles (contiguous, space-joined). Empty array when the
+    * document has fewer than n tokens.
+    */
+  def shingles(c: Column, n: Int): Column = {
+    val t = tokens(c)
+    when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  def distinctShingles(c: Column, n: Int): Column =
+    array_distinct(shingles(c, n))
+
+  /** Count of punctuation characters. */
+  def punctCount(c: Column): Column =
+    length(regexp_replace(c, "[^.!?,;:]", ""))
+
+  /** Count of tokens found in `words` (with repetition). */
+  def wordHits(c: Column, words: Seq[String]): Column = {
+    val arr = array(words.map(lit): _*)
+    size(filter(tokens(c), t => array_contains(arr, t)))
+  }
+
+  /** Canonical document fingerprint: md5 of the lower-cased,
+    * whitespace-normalized text. Stable across engines (DuckDB md5 matches),
+    * so exact-dedup on the fingerprint is oracle-verifiable.
+    */
+  def fingerprint(c: Column): Column =
+    md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+
+  /** 64-bit SimHash over a (deduplicated) feature-array column.
+    * Returns a struct of the 64 per-bit majority sums folded into one long.
+    *
+    * Implemented as a pure expression over the feature array (no UDF):
+    * for bit j, sum over features of ±1 by the j-th bit of xxhash64(feature);
+    * simhash bit j = (sum >= 0).
+    */
+  def simhash64(features: Column): Column = {
+    val bitCols = (0 until 64).map { j =>
+      val s = aggregate(
+        features,
+        lit(0),
+        (acc, f) => acc +
+          when(shiftright(xxhash64(f), j).bitwiseAND(lit(1L)) === 1L, lit(1))
+            .otherwise(lit(-1)))
+      when(s >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_.bitwiseOR(_))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

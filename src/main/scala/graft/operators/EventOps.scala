@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryPack, Tables => T}
+
+/** Event-stream operators in batch form: JSON extraction, sessionization
+  * (gap-based session windows), as-of join. The same transforms run under
+  * Structured Streaming (see graft.streaming); batch form is what the
+  * DuckDB oracle can verify.
+  *
+  * Timestamp arithmetic is done on integer epoch-micros so the session-gap
+  * comparison is exact in both engines.
+  */
+object EventOps extends QueryPack {
+
+  private val GAP_MIN = 30L // session gap, minutes
+  private val GAP_US = GAP_MIN * 60L * 1000000L
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_json_extract" -> ((s, d) => {
+      T.events(s, d)
+        .filter(col("event_id") < 1000)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Gap-based sessionization (the batch equivalent of
+    // session_window / flatMapGroupsWithState): new session when the gap to
+    // the previous event of the same user exceeds GAP.
+    "q30_sessionize" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val cum = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T.events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("new_sess",
+          when(col("us") - lag(col("us"), 1).over(byUser) > GAP_US, 1)
+            .otherwise(when(lag(col("us"), 1).over(byUser).isNull, 1).otherwise(0)))
+        .withColumn("sess_id", sum(col("new_sess")).over(cum))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(min(col("ts")).as("sess_start"),
+             max(col("ts")).as("sess_end"),
+             count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"), col("sess_id"))
+    }),
+
+    // As-of join: for every 'view' event, the value of the user's most
+    // recent strictly-earlier 'click'. Implemented shuffle-once: tag and
+    // union both sides, one window pass carries the last click forward
+    // (no per-row correlated lookup, no range join explosion).
+    "q31_asof_join" -> ((s, d) => {
+      val ev = T.events(s, d)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev.withColumn("click_val",
+          when(col("event_type") === "click", col("value")))
+        .withColumn("prev_click_value",
+          last(col("click_val"), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("prev_click_value"))
+        .orderBy(col("event_id"))
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q28_json_extract" -> """
+      SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+      FROM events WHERE event_id < 1000 ORDER BY event_id""",
+    "q30_sessionize" -> s"""
+      WITH e AS (
+        SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    > $GAP_US THEN 1
+                    WHEN lag(epoch_us(ts), 1)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    IS NULL THEN 1 ELSE 0 END AS new_sess
+        FROM events),
+      s AS (
+        SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS sess_id
+        FROM e)
+      SELECT user_id, sess_id, min(ts) AS sess_start, max(ts) AS sess_end,
+             count(*) AS n_events
+      FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id""",
+    "q31_asof_join" -> """
+      WITH e AS (
+        SELECT *, CASE WHEN event_type = 'click' THEN value END AS click_val
+        FROM events),
+      c AS (
+        SELECT event_id, user_id, event_type,
+               last_value(click_val IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prev_click_value
+        FROM e)
+      SELECT event_id, user_id, prev_click_value
+      FROM c WHERE event_type = 'view' ORDER BY event_id"""
+  )
+}

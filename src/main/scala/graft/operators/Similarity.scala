@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryPack, Tables => T}
+import graft.functions.VectorFunctions._
+
+/** Similarity search over the `embeddings` table (north-star surface).
+  *
+  * Scale design: vectors are L2-normalized ONCE (a narrow projection), so
+  * every pairwise step is a single dot product. The brute-force top-k is the
+  * correctness baseline; the IVF variant is the 100 TB path — partition the
+  * corpus by a coarse quantizer, rank centroids per query, and scan only
+  * `nprobe` partitions (here the given `label` column doubles as the coarse
+  * cell id, exactly how an IVF index file would be laid out at scale:
+  * one partition per cell, partition-pruned scans).
+  */
+object Similarity extends QueryPack {
+
+  private val K = 5
+  private val NQ = 10 // query vectors: vec_id < NQ
+  private val NPROBE = 3
+
+  /** (vec_id, v, nrm): unit work done once. */
+  private def normed(s: SparkSession, d: String): DataFrame =
+    T.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"),
+        col("label"))
+      .withColumn("nrm", l2norm(col("v")))
+
+  private def bruteTopK(s: SparkSession, d: String): DataFrame = {
+    val base = normed(s, d)
+    val q = base.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = base.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+      col("nrm").as("cn"))
+    val scored = q.join(broadcast(c), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos_r"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact brute-force cosine top-k — the ANN correctness baseline.
+    "s01_cosine_topk" -> ((s, d) =>
+      bruteTopK(s, d).orderBy(col("query_id"), col("rank"))),
+
+    // IVF top-k: rank coarse cells (centroid = per-dimension mean of the
+    // cell), probe the NPROBE closest cells only. Approximate by design →
+    // rows-only check; recall vs s01 is the quality metric.
+    "s02_ann_ivf_topk" -> ((s, d) => {
+      val base = normed(s, d)
+      // centroids via one explode + groupBy (map-side combinable)
+      val cent = base
+        .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m")).as("cv"))
+        .withColumn("cn", l2norm(col("cv")))
+      val q = base.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val cellRank = Window.partitionBy(col("query_id"))
+        .orderBy(col("ccos").desc, col("label"))
+      val probed = q.join(broadcast(cent), lit(true))
+        .withColumn("ccos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        .withColumn("crank", row_number().over(cellRank))
+        .filter(col("crank") <= NPROBE)
+        .select(col("query_id"), col("qv"), col("qn"), col("label"))
+      val cand = base.select(col("vec_id").as("neighbor_id"),
+        col("v").as("cv2"), col("nrm").as("cn2"), col("label"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      probed.join(cand, Seq("label"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", dot(col("qv"), col("cv2")) / (col("qn") * col("cn2")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Embedding near-dup pairs: all pairs with cosine ≥ 0.4 (threshold sits
+    // in a wide gap of the data's cosine distribution). Self-join strictly
+    // upper-triangular.
+    "s03_embedding_dup_pairs" -> ((s, d) => {
+      val base = normed(s, d)
+      val a = base.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+      val b = base.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .filter(col("cos") >= 0.4)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_r"))
+        .orderBy(col("id_a"), col("id_b"))
+    })
+  )
+
+  // DuckDB side: list_dot_product over an explicitly DOUBLE[]-cast list is
+  // empirically bit-exact with Spark's aggregate() fold (both are sequential
+  // double sums in element order; verified over all sf0.01 pairs).
+  private val cosSql = """
+      WITH v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings)"""
+
+  override def oracles: Map[String, String] = Map(
+    "s01_cosine_topk" -> (cosSql + s"""
+      , scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+        FROM v q JOIN v c ON q.vec_id < $NQ AND q.vec_id <> c.vec_id)
+      SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos_r
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+      WHERE rank <= $K ORDER BY query_id, rank"""),
+    "s03_embedding_dup_pairs" -> (cosSql + """
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_r
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+      ORDER BY id_a, id_b""")
+  )
+}

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryPack, Tables => T}
+import graft.functions.TextFunctions._
+
+/** Text analysis over `documents` (north-star surface): token statistics,
+  * quality scoring, language identification, content fingerprinting.
+  *
+  * All counts are integers and all hashes are md5, so every query is exactly
+  * reproducible in the DuckDB oracle — no FP ratios cross the engine
+  * boundary (ratios are derivable downstream from the integer counts).
+  */
+object TextAnalysis extends QueryPack {
+
+  /** Marker stopwords per language for the n-gram/stopword langid heuristic.
+    * Deterministic and SQL-expressible; scored by total marker-token hits.
+    */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "que", "des"),
+    "es" -> Seq("el", "los", "las", "y", "es", "una", "que", "de"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不")
+  )
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_token_stats" -> ((s, d) => {
+      T.documents(s, d)
+        .select(col("doc_id"),
+          tokenCount(col("text")).as("n_tokens"),
+          size(distinctTokens(col("text"))).as("n_distinct"),
+          length(col("text")).as("len_chars"))
+        .orderBy(col("doc_id"))
+    }),
+    "t02_quality_score" -> ((s, d) => {
+      val stop = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+      T.documents(s, d)
+        .select(col("doc_id"),
+          length(col("text")).as("len_chars"),
+          tokenCount(col("text")).as("n_tokens"),
+          punctCount(col("text")).as("n_punct"),
+          wordHits(col("text"), stop).as("n_stopwords"),
+          size(filter(tokens(col("text")), t => length(t) >= 8))
+            .as("n_long_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+    "t03_langid" -> ((s, d) => {
+      val scores: Seq[(String, Column)] = markers.map { case (lang, ws) =>
+        lang -> wordHits(col("text"), ws)
+      }
+      val scored = T.documents(s, d).select(
+        col("doc_id") +: scores.map { case (l, c) => c.as(s"s_$l") }: _*)
+      // argmax with fixed precedence order (en, de, fr, es, zh) on ties —
+      // mirrored exactly in the oracle's CASE chain.
+      val langs = markers.map(_._1)
+      val pred = langs.foldRight(lit("und")) { (l, els) =>
+        val ge = langs.filter(_ != l)
+          .map(o => col(s"s_$l") >= col(s"s_$o"))
+          .reduce(_ && _)
+        when(col(s"s_$l") > 0 && ge, lit(l)).otherwise(els)
+      }
+      scored.withColumn("pred_lang", pred)
+        .orderBy(col("doc_id"))
+    }),
+    "t04_fingerprint" -> ((s, d) => {
+      T.documents(s, d)
+        .select(col("doc_id"),
+          fingerprint(col("text")).as("fp"),
+          substring(fingerprint(col("text")), 1, 8).as("fp_prefix"))
+        .orderBy(col("doc_id"))
+    }),
+    // Multimodal plumbing: treat content as an opaque binary column with
+    // typed metadata — byte length + sha256, both engine-agnostic. The
+    // decode/feature-extract stage for real image/audio payloads lives in
+    // operators.Multimodal (stubbed decode, real Spark plumbing).
+    "m01_binary_meta" -> ((s, d) => {
+      val bin = encode(col("text"), "UTF-8")
+      T.documents(s, d)
+        .select(col("doc_id"),
+          octet_length(bin).as("n_bytes"),
+          sha2(bin, 256).as("sha"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  private def duckWordHits(ws: Seq[String]): String = {
+    val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter(regexp_split_to_array(trim(text), '\\s+'), " +
+      s"x -> list_contains($lst, x)))"
+  }
+
+  override def oracles: Map[String, String] = Map(
+    "t01_token_stats" -> """
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+             len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS n_distinct,
+             length(text) AS len_chars
+      FROM documents ORDER BY doc_id""",
+    "t02_quality_score" -> ("""
+      SELECT doc_id,
+             length(text) AS len_chars,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+             length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
+             """ + duckWordHits(Seq("the", "a", "and", "of", "to", "in", "is", "it")) + """ AS n_stopwords,
+             len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                 x -> length(x) >= 8)) AS n_long_tokens
+      FROM documents ORDER BY doc_id"""),
+    "t03_langid" -> {
+      val scoreCols = markers.map { case (l, ws) =>
+        s"${duckWordHits(ws)} AS s_$l"
+      }.mkString(",\n             ")
+      val langs = markers.map(_._1)
+      val caseChain = langs.map { l =>
+        val ge = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"WHEN s_$l > 0 AND $ge THEN '$l'"
+      }.mkString("\n               ")
+      s"""
+      SELECT doc_id, s_en, s_de, s_fr, s_es, s_zh,
+             CASE $caseChain
+               ELSE 'und' END AS pred_lang
+      FROM (SELECT doc_id,
+             $scoreCols
+            FROM documents) ORDER BY doc_id"""
+    },
+    "t04_fingerprint" -> """
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+             substring(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 8) AS fp_prefix
+      FROM documents ORDER BY doc_id""",
+    "m01_binary_meta" -> """
+      SELECT doc_id,
+             octet_length(encode(text)) AS n_bytes,
+             sha256(text) AS sha
+      FROM documents ORDER BY doc_id"""
+  )
+}
