@@ -17,7 +17,9 @@ object SparkEntry {
     operators.Dedup,
     operators.Similarity,
     operators.TextAnalysis,
-    operators.EventOps
+    operators.EventOps,
+    operators.Formats,
+    operators.Multimodal
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

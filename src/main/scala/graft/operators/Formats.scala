@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{QueryPack, Tables => T}
+import graft.sources.{EclLayout, HpccCsv, Merge}
+
+/** Format-parity queries: each writes driver fixture data through one of our
+  * sinks, reads it back through the matching source, and returns a result the
+  * DuckDB oracle can check against the ORIGINAL parquet — i.e. the oracle
+  * proves the write→read round trip is lossless (SURVEY.md §5.5, the
+  * reference's own certification style: PipeOut→PipeIn identity).
+  *
+  * f01/f04 exercise `hpcc-flat` (fixed-width binary, record-aligned splits),
+  * f02 the CSV shim (reference defaults: quote `'`, multi-char terminator),
+  * f03 the `hpcc-xml` rowtag reader over built-in-XML-written files.
+  */
+object Formats extends QueryPack {
+
+  private def ioDir(d: String, q: String): String =
+    s"/tmp/graft_io/${d.replaceAll("[^A-Za-z0-9]", "_")}/$q"
+
+  private val custLayout = EclLayout.parse(
+    "custkey:unsigned4,name:string25,nationkey:integer4,acctbal:real8,mktsegment:string10")
+
+  private def custFixed(s: SparkSession, d: String): DataFrame =
+    T.customer(s, d).select(
+      col("c_custkey").as("custkey"),
+      col("c_name").as("name"),
+      col("c_nationkey").as("nationkey"),
+      col("c_acctbal").as("acctbal"),
+      col("c_mktsegment").as("mktsegment"))
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // FLAT round trip: customer → fixed-width binary parts → read back.
+    "f01_flat_roundtrip" -> ((s, d) => {
+      val out = ioDir(d, "f01")
+      custFixed(s, d).write.format("hpcc-flat")
+        .option("layout", custLayout.spec).mode("overwrite").save(out)
+      s.read.format("hpcc-flat").option("layout", custLayout.spec).load(out)
+        .orderBy(col("custkey"))
+    }),
+
+    // CSV round trip with reference semantics: single-quote quoting and a
+    // multi-char terminator ("|\n" — beyond built-in csv's 1-char lineSep).
+    "f02_csv_roundtrip" -> ((s, d) => {
+      val out = ioDir(d, "f02")
+      val docs = T.documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      HpccCsv.write(docs, out, terminator = "|\n")
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType)))
+      HpccCsv.read(s, out, schema, terminator = "|\n").orderBy(col("doc_id"))
+    }),
+
+    // XML round trip: built-in xml sink (the reference delegates XML
+    // serialization to its host too) → our splittable rowtag reader.
+    "f03_xml_roundtrip" -> ((s, d) => {
+      val out = ioDir(d, "f03")
+      T.nation(s, d).coalesce(1).write.format("xml")
+        .option("rowTag", "Row").mode("overwrite").save(out)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      s.read.format("hpcc-xml").schema(schema).option("rowTag", "Row").load(out)
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // PipeOutAndMerge shape: parallel part write, single-writer ordered
+    // concat (Merge.mergeParts = mergeFile), then scan the ONE merged file.
+    "f04_flat_merged_agg" -> ((s, d) => {
+      val parts = ioDir(d, "f04-parts")
+      val merged = ioDir(d, "f04_merged.flat")
+      custFixed(s, d).repartition(4).write.format("hpcc-flat")
+        .option("layout", custLayout.spec).mode("overwrite").save(parts)
+      Merge.mergeParts(s, parts, merged, cleanMerge = false)
+      s.read.format("hpcc-flat").option("layout", custLayout.spec).load(merged)
+        .agg(count(lit(1)).as("n"),
+          sum(col("acctbal").cast("decimal(18,2)")).as("sum_bal"),
+          min(col("custkey")).as("min_k"), max(col("custkey")).as("max_k"))
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "f01_flat_roundtrip" -> """
+      SELECT c_custkey AS custkey, c_name AS name, c_nationkey AS nationkey,
+             c_acctbal AS acctbal, c_mktsegment AS mktsegment
+      FROM customer ORDER BY custkey""",
+    "f02_csv_roundtrip" -> """
+      SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id""",
+    "f03_xml_roundtrip" -> """
+      SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""",
+    "f04_flat_merged_agg" -> """
+      SELECT count(*) AS n, sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal,
+             min(c_custkey) AS min_k, max(c_custkey) AS max_k FROM customer"""
+  )
+}

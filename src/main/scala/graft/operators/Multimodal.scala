@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryPack, Tables => T}
+
+/** Multimodal-column plumbing (north-star surface): media content travels as
+  * an opaque `binary` column plus a typed metadata struct; decode /
+  * feature-extract / frame-sample are per-batch transforms over that column.
+  *
+  * The real codec libraries aren't in this container, so the DECODE step is a
+  * deterministic stub (clearly marked below); everything Spark-side — the
+  * binary column, the metadata schema, the typed `mapPartitions` batch shape,
+  * the frame-sampling explode — is real and oracle/spec-tested. Swapping the
+  * stub for a JNI/FFmpeg decoder changes no plan shape.
+  *
+  * Scale notes: `mapPartitions` keeps decode per-partition (no shuffle);
+  * frame sampling is a generator (`explode(sequence(...))`) so it's
+  * whole-stage-codegen'd and never materializes a frames-per-doc array on
+  * the driver.
+  */
+object Multimodal extends QueryPack {
+
+  /** Input batch row: media id + raw bytes. */
+  final case class MediaRow(doc_id: Long, content: Array[Byte])
+  /** Decoded output: typed metadata + a small feature vector. */
+  final case class MediaMeta(doc_id: Long, width: Int, height: Int,
+      n_frames: Int, feature: Array[Float])
+
+  /** ==== STUB DECODER ====
+    * Stands in for an image/video decode (e.g. libjpeg/FFmpeg via JNI).
+    * Deterministic over the bytes so specs can assert on it: "header" fields
+    * are derived from the first bytes, the "feature" is a 4-dim byte
+    * histogram sketch. Partition-local, allocation-light — the exact batch
+    * shape a real decoder plugs into.
+    */
+  def decodeStub(rows: Iterator[MediaRow]): Iterator[MediaMeta] = rows.map { r =>
+    val b = r.content
+    val w = 640 + (if (b.length > 0) (b(0) & 0xff) % 64 else 0)
+    val h = 360 + (if (b.length > 1) (b(1) & 0xff) % 36 else 0)
+    val nf = b.length % 240 + 1
+    val feat = new Array[Float](4)
+    var i = 0
+    while (i < b.length) { feat((b(i) & 0xff) % 4) += 1f; i += 1 }
+    MediaMeta(r.doc_id, w, h, nf, feat)
+  }
+
+  /** Typed decode stage over a DataFrame with (doc_id, content: binary). */
+  def decode(media: DataFrame): Dataset[MediaMeta] = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.as[MediaRow].mapPartitions(decodeStub _)
+  }
+
+  /** documents.text bytes as the stand-in media payload. */
+  private def media(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d).select(col("doc_id"),
+      encode(col("text"), "UTF-8").as("content"))
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Header-field extraction straight off the binary column — pure
+    // expressions (no UDF), mirrored exactly in the DuckDB oracle.
+    "m02_media_meta" -> ((s, d) => {
+      val bin = encode(col("text"), "UTF-8")
+      T.documents(s, d).select(
+        col("doc_id"),
+        octet_length(bin).as("n_bytes"),
+        (lit(640) + pmod(ascii(substring(col("text"), 1, 1)), lit(64))).as("width"),
+        (lit(360) + pmod(ascii(substring(col("text"), 2, 1)), lit(36))).as("height"),
+        (pmod(octet_length(bin), lit(240)) + 1).as("n_frames"))
+        .orderBy(col("doc_id"))
+    }),
+    // Frame sampling: every 10th frame index, as a codegen'd generator.
+    "m03_frame_sample" -> ((s, d) => {
+      val bin = encode(col("text"), "UTF-8")
+      T.documents(s, d)
+        .select(col("doc_id"),
+          (pmod(octet_length(bin), lit(240)) + 1).as("n_frames"))
+        .select(col("doc_id"),
+          explode(sequence(lit(0), col("n_frames") - 1, lit(10))).as("frame_no"))
+        .withColumn("byte_offset", col("frame_no").cast("long") * 1024L)
+        .orderBy(col("doc_id"), col("frame_no"))
+    }),
+    // Typed mapPartitions decode stage (stubbed codec, real batch shape).
+    // Engine-specific feature layout → rows-only driver check; the decode
+    // math itself is asserted in MultimodalSpec.
+    "m04_decode_features" -> ((s, d) => {
+      decode(media(s, d)).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+          col("feature")(0).as("f0"), col("feature")(3).as("f3"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "m02_media_meta" -> """
+      SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+             640 + ord(substr(text, 1, 1)) % 64 AS width,
+             360 + ord(substr(text, 2, 1)) % 36 AS height,
+             octet_length(encode(text)) % 240 + 1 AS n_frames
+      FROM documents ORDER BY doc_id""",
+    "m03_frame_sample" -> """
+      WITH nf AS (
+        SELECT doc_id, octet_length(encode(text)) % 240 + 1 AS n_frames
+        FROM documents)
+      SELECT doc_id, unnest(generate_series(0, n_frames - 1, 10)) AS frame_no,
+             unnest(generate_series(0, n_frames - 1, 10)) * 1024 AS byte_offset
+      FROM nf ORDER BY doc_id, frame_no"""
+  )
+}

@@ -1,0 +1,114 @@
+package graft.sources
+
+import org.apache.spark.sql.types._
+
+/** ECL-style fixed layout DSL — the schema system of the reference engine.
+  *
+  * The reference never sees a schema, only scalars derived from the user's
+  * ECL `RECORD` layout: `-reclen sizeof(Layout)` for FLAT and
+  * `-maxlen sizeof(Layout, MAX)` for CSV (reference: ecl/HDFSConnector.ecl:113,140).
+  * Here the layout is a first-class value: it yields both the Spark
+  * `StructType` (analysis/optimization side) and the byte-level
+  * encode/decode geometry (execution side).
+  *
+  * Type mapping (SURVEY.md §1.5): `STRING<n>` → StringType (space-padded,
+  * fixed n bytes), `UNSIGNED1/2` → widened signed types that hold the full
+  * unsigned range, `UNSIGNED4` → LongType, `UNSIGNED8` → DecimalType(20,0)
+  * (the only lossless unsigned-64 carrier), `INTEGER<n>`/`REAL<n>` as in ECL.
+  * HPCC serializes integers little-endian.
+  */
+sealed trait EclType {
+  def width: Int
+  def sparkType: DataType
+  def spec: String
+}
+final case class EclString(n: Int) extends EclType {
+  require(n > 0, s"STRING width must be positive, got $n")
+  def width: Int = n
+  def sparkType: DataType = StringType
+  def spec: String = s"string$n"
+}
+final case class EclUnsigned(bytes: Int) extends EclType {
+  require(Set(1, 2, 4, 8)(bytes), s"UNSIGNED$bytes unsupported")
+  def width: Int = bytes
+  def sparkType: DataType = bytes match {
+    case 1 => ShortType
+    case 2 => IntegerType
+    case 4 => LongType
+    case 8 => DecimalType(20, 0)
+  }
+  def spec: String = s"unsigned$bytes"
+}
+final case class EclInteger(bytes: Int) extends EclType {
+  require(Set(1, 2, 4, 8)(bytes), s"INTEGER$bytes unsupported")
+  def width: Int = bytes
+  def sparkType: DataType = bytes match {
+    case 1 => ByteType
+    case 2 => ShortType
+    case 4 => IntegerType
+    case 8 => LongType
+  }
+  def spec: String = s"integer$bytes"
+}
+final case class EclReal(bytes: Int) extends EclType {
+  require(bytes == 4 || bytes == 8, s"REAL$bytes unsupported")
+  def width: Int = bytes
+  def sparkType: DataType = if (bytes == 4) FloatType else DoubleType
+  def spec: String = s"real$bytes"
+}
+
+final case class EclField(name: String, typ: EclType) {
+  require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+    s"bad field name '$name'")
+}
+
+/** A fixed-width record layout: ordered fields, each at a static byte
+  * offset. `recLen` replaces the reference's `sizeof(Layout)`.
+  */
+final case class EclLayout(fields: Seq[EclField]) {
+  require(fields.nonEmpty, "layout needs at least one field")
+  require(fields.map(_.name).distinct.size == fields.size, "duplicate field names")
+
+  val recLen: Int = fields.map(_.typ.width).sum
+
+  /** Byte offset of each field within the record. */
+  val offsets: Seq[Int] = fields.scanLeft(0)(_ + _.typ.width).init
+
+  def schema: StructType =
+    StructType(fields.map(f => StructField(f.name, f.typ.sparkType, nullable = false)))
+
+  /** Serialized option form, e.g. `name:string10,age:unsigned1`. */
+  def spec: String = fields.map(f => s"${f.name}:${f.typ.spec}").mkString(",")
+}
+
+object EclLayout {
+  private val FieldRe = "([A-Za-z_][A-Za-z0-9_]*):([a-z]+)([0-9]+)".r
+
+  /** Parse the `layout` option string: `name:string10,age:unsigned1,...` */
+  def parse(spec: String): EclLayout = EclLayout(
+    spec.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map {
+      case FieldRe(name, kind, w) =>
+        val width = w.toInt
+        val t = kind match {
+          case "string"   => EclString(width)
+          case "unsigned" => EclUnsigned(width)
+          case "integer"  => EclInteger(width)
+          case "real"     => EclReal(width)
+          case other      => throw new IllegalArgumentException(
+            s"unknown ECL type '$other' in layout spec '$spec'")
+        }
+        EclField(name, t)
+      case bad => throw new IllegalArgumentException(
+        s"malformed layout field '$bad' (want name:type<width>)")
+    })
+
+  // ---- convenience constructors for the DSL ----
+  def string(n: Int): EclType = EclString(n)
+  def unsigned1: EclType = EclUnsigned(1)
+  def unsigned2: EclType = EclUnsigned(2)
+  def unsigned4: EclType = EclUnsigned(4)
+  def unsigned8: EclType = EclUnsigned(8)
+  def integer4: EclType = EclInteger(4)
+  def integer8: EclType = EclInteger(8)
+  def real8: EclType = EclReal(8)
+}

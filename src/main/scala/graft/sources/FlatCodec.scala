@@ -1,0 +1,92 @@
+package graft.sources
+
+import java.math.BigInteger
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.Decimal
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fixed-width binary record codec for the `hpcc-flat` format.
+  *
+  * The reference treats a FLAT file as `fileSize / recLen` contiguous
+  * fixed-width records and never decodes fields (that is Thor's job —
+  * reference: libhdfsconnector.cpp:663-680). Our engine IS the host, so the
+  * codec decodes straight to Spark `InternalRow` values (and encodes back),
+  * little-endian integers and space-padded strings per ECL serialization.
+  *
+  * Decoding is per-field so the reader can skip fields pruned by Catalyst
+  * (`SupportsPushDownRequiredColumns`) — the columnar-ish win the byte-pump
+  * reference cannot do (SURVEY.md §4.1).
+  */
+object FlatCodec {
+
+  private def u(b: Byte): Long = b.toLong & 0xffL
+
+  /** Little-endian load of `n` bytes at `off` as an unsigned long (n<=8). */
+  private def loadLE(buf: Array[Byte], off: Int, n: Int): Long = {
+    var v = 0L
+    var i = n - 1
+    while (i >= 0) { v = (v << 8) | u(buf(off + i)); i -= 1 }
+    v
+  }
+
+  private def storeLE(buf: Array[Byte], off: Int, n: Int, v: Long): Unit = {
+    var i = 0
+    while (i < n) { buf(off + i) = ((v >>> (8 * i)) & 0xffL).toByte; i += 1 }
+  }
+
+  /** Decode field `typ` at byte `off` of `record` to its Spark internal value. */
+  def decode(typ: EclType, record: Array[Byte], off: Int, trimStrings: Boolean): Any =
+    typ match {
+      case EclString(n) =>
+        var end = off + n
+        if (trimStrings) while (end > off && record(end - 1) == ' ') end -= 1
+        UTF8String.fromBytes(record, off, end - off)
+      case EclUnsigned(1) => (record(off).toInt & 0xff).toShort
+      case EclUnsigned(2) => loadLE(record, off, 2).toInt
+      case EclUnsigned(4) => loadLE(record, off, 4)
+      case EclUnsigned(8) =>
+        val raw = loadLE(record, off, 8)
+        if (raw >= 0) Decimal(raw, 20, 0)
+        else {
+          val be = new Array[Byte](8)
+          var i = 0
+          while (i < 8) { be(i) = record(off + 7 - i); i += 1 }
+          Decimal(new java.math.BigDecimal(new BigInteger(1, be)), 20, 0)
+        }
+      case EclInteger(1) => record(off)
+      case EclInteger(2) => loadLE(record, off, 2).toShort
+      case EclInteger(4) => loadLE(record, off, 4).toInt
+      case EclInteger(8) => loadLE(record, off, 8)
+      case EclReal(4) => java.lang.Float.intBitsToFloat(loadLE(record, off, 4).toInt)
+      case EclReal(8) => java.lang.Double.longBitsToDouble(loadLE(record, off, 8))
+      case t => throw new IllegalStateException(s"undecodable $t")
+    }
+
+  /** Encode ordinal `ord` of `row` (typed per `typ`) into `buf` at `off`.
+    * Strings are truncated / space-padded to the declared width (ECL
+    * fixed-STRING semantics).
+    */
+  def encode(typ: EclType, row: InternalRow, ord: Int, buf: Array[Byte], off: Int): Unit =
+    typ match {
+      case EclString(n) =>
+        val bytes = row.getUTF8String(ord).getBytes
+        val m = math.min(bytes.length, n)
+        System.arraycopy(bytes, 0, buf, off, m)
+        java.util.Arrays.fill(buf, off + m, off + n, ' '.toByte)
+      case EclUnsigned(1) => storeLE(buf, off, 1, row.getShort(ord).toLong)
+      case EclUnsigned(2) => storeLE(buf, off, 2, row.getInt(ord).toLong)
+      case EclUnsigned(4) => storeLE(buf, off, 4, row.getLong(ord))
+      case EclUnsigned(8) =>
+        val d = row.getDecimal(ord, 20, 0).toJavaBigDecimal.toBigInteger
+        storeLE(buf, off, 8, d.longValue())
+      case EclInteger(1) => buf(off) = row.getByte(ord)
+      case EclInteger(2) => storeLE(buf, off, 2, row.getShort(ord).toLong)
+      case EclInteger(4) => storeLE(buf, off, 4, row.getInt(ord).toLong)
+      case EclInteger(8) => storeLE(buf, off, 8, row.getLong(ord))
+      case EclReal(4) =>
+        storeLE(buf, off, 4, java.lang.Float.floatToIntBits(row.getFloat(ord)).toLong)
+      case EclReal(8) =>
+        storeLE(buf, off, 8, java.lang.Double.doubleToLongBits(row.getDouble(ord)))
+      case t => throw new IllegalStateException(s"unencodable $t")
+    }
+}

@@ -1,0 +1,267 @@
+package graft.sources
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** `hpcc-flat`: fixed-width binary record source/sink as a Spark DSv2 table.
+  *
+  * Read side reproduces the reference's FLAT partitioned scan: the file is a
+  * sequence of `recLen`-byte records; split planning divides it into
+  * record-aligned byte ranges (reference computes per-node ranges with
+  * remainder spread, libhdfsconnector.cpp:76-96,661-681 — here the driver
+  * plans `ceil(size / splitBytes)` ranges rounded to `recLen`, which at equal
+  * range count degenerates to the same arithmetic). A non-multiple file size
+  * is an error, matching the reference's strict check
+  * (libhdfsconnector.cpp:85-89); `option("strict","false")` relaxes it.
+  *
+  * Unlike the reference byte pump, the scan decodes ONLY the columns Catalyst
+  * asks for (`SupportsPushDownRequiredColumns`), and reports HDFS block
+  * locality via `preferredLocations` (the reference fetched hosts but never
+  * used them, libhdfsconnector.cpp:98-122).
+  *
+  * Write side emits one `part_<taskId>_<numPartitions>` file per task — the
+  * reference's part naming convention (hdfsconnector.hpp:65-72). Merge to a
+  * single file is `Merge.mergeParts` (node-order concat, = mergeFile,
+  * libhdfsconnector.cpp:709-831) or `coalesce(1)` before the write.
+  *
+  * Usage:
+  * {{{
+  *   spark.read.format("hpcc-flat").option("layout", layout.spec).load(dir)
+  *   df.write.format("hpcc-flat").option("layout", layout.spec)
+  *     .mode("overwrite").save(dir)
+  * }}}
+  */
+class FlatDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "hpcc-flat"
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def layout(options: CaseInsensitiveStringMap): EclLayout = {
+    val spec = options.get("layout")
+    require(spec != null, "hpcc-flat requires option(\"layout\", \"f:type<w>,...\")")
+    EclLayout.parse(spec)
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    layout(options).schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new FlatTable(layout(opts), opts)
+  }
+}
+
+class FlatTable(layout: EclLayout, options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead with SupportsWrite {
+
+  private val path: String = {
+    val p = Option(options.get("path")).orElse(Option(options.get("paths")))
+    require(p.isDefined, "hpcc-flat requires a path")
+    p.get
+  }
+
+  override def name(): String = s"hpcc-flat:$path"
+  override def schema(): StructType = layout.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new FlatScanBuilder(path, layout,
+      o.getBoolean("strict", true), o.getBoolean("trimstrings", true))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new FlatWriteBuilder(path, layout, info)
+}
+
+// ---------------------------------------------------------------- read path
+
+class FlatScanBuilder(path: String, layout: EclLayout, strict: Boolean,
+    trimStrings: Boolean)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = layout.schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new FlatScan(path, layout, required, strict, trimStrings)
+}
+
+/** One record-aligned byte range of one file. */
+case class FlatInputPartition(file: String, start: Long, length: Long,
+    locations: Array[String]) extends InputPartition {
+  override def preferredLocations(): Array[String] = locations
+}
+
+class FlatScan(path: String, layout: EclLayout, required: StructType,
+    strict: Boolean, trimStrings: Boolean) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"hpcc-flat recLen=${layout.recLen} cols=${required.fieldNames.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val files: Seq[FileStatus] =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).toSeq.filter(f => f.isFile && f.getLen > 0)
+          .sortBy(_.getPath.getName)
+      else Seq(fs.getFileStatus(root))
+
+    val recLen = layout.recLen.toLong
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    // round the target split down to a whole number of records (>= 1 record)
+    val splitBytes = math.max((maxSplit / recLen) * recLen, recLen)
+
+    files.flatMap { f =>
+      val size = f.getLen
+      if (size % recLen != 0) {
+        if (strict) throw new IllegalArgumentException(
+          s"hpcc-flat: ${f.getPath} size $size is not a multiple of recLen $recLen")
+      }
+      val usable = (size / recLen) * recLen
+      val blocks = fs.getFileBlockLocations(f, 0, size)
+      (0L until usable by splitBytes).map { start =>
+        val len = math.min(splitBytes, usable - start)
+        val hosts = blocks.filter(b =>
+          b.getOffset < start + len && start < b.getOffset + b.getLength)
+          .flatMap(_.getHosts).distinct
+        FlatInputPartition(f.getPath.toString, start, len, hosts)
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FlatReaderFactory(layout.spec, required.fieldNames, trimStrings)
+}
+
+class FlatReaderFactory(layoutSpec: String, requiredNames: Array[String],
+    trimStrings: Boolean) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new FlatPartitionReader(p.asInstanceOf[FlatInputPartition],
+      EclLayout.parse(layoutSpec), requiredNames, trimStrings)
+}
+
+class FlatPartitionReader(part: FlatInputPartition, layout: EclLayout,
+    requiredNames: Array[String], trimStrings: Boolean)
+    extends PartitionReader[InternalRow] {
+
+  private val recLen = layout.recLen
+  // (field, byte offset) for just the required columns, in output order
+  private val cols: Array[(EclType, Int)] = requiredNames.map { n =>
+    val i = layout.fields.indexWhere(_.name == n)
+    require(i >= 0, s"column $n not in layout")
+    (layout.fields(i).typ, layout.offsets(i))
+  }
+
+  private val in = {
+    val p = new Path(part.file)
+    val s = p.getFileSystem(new Configuration()).open(p)
+    s.seek(part.start)
+    s
+  }
+  private var remaining = part.length / recLen
+  private val record = new Array[Byte](recLen)
+  private val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(cols.length)
+
+  override def next(): Boolean = {
+    if (remaining <= 0) return false
+    in.readFully(record, 0, recLen)
+    var i = 0
+    while (i < cols.length) {
+      row.update(i, FlatCodec.decode(cols(i)._1, record, cols(i)._2, trimStrings))
+      i += 1
+    }
+    remaining -= 1
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = in.close()
+}
+
+// --------------------------------------------------------------- write path
+
+class FlatWriteBuilder(path: String, layout: EclLayout, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = {
+    val in = info.schema()
+    val want = layout.schema
+    require(in.fields.map(f => (f.name, f.dataType)).sameElements(
+      want.fields.map(f => (f.name, f.dataType))),
+      s"hpcc-flat write schema mismatch:\n  got  $in\n  want $want")
+    new FlatWrite(path, layout, doTruncate)
+  }
+}
+
+class FlatWrite(path: String, layout: EclLayout, truncate: Boolean)
+    extends Write with BatchWrite {
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+    if (truncate && fs.exists(dir)) fs.delete(dir, true)
+    fs.mkdirs(dir)
+    new FlatWriterFactory(path, layout.spec, info.numPartitions)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class FlatWriterFactory(path: String, layoutSpec: String, numPartitions: Int)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new FlatDataWriter(path, EclLayout.parse(layoutSpec), partitionId, numPartitions)
+}
+
+case object FlatCommit extends WriterCommitMessage
+
+/** Writes one reference-convention part file: `part_<i>_<n>`
+  * (hdfsconnector.hpp:65-72). `create(overwrite=true)` makes task retries
+  * idempotent.
+  */
+class FlatDataWriter(path: String, layout: EclLayout, partitionId: Int,
+    numPartitions: Int) extends DataWriter[InternalRow] {
+
+  private val file = new Path(path, f"part_${partitionId}_$numPartitions")
+  private val out = new java.io.BufferedOutputStream(
+    file.getFileSystem(new Configuration()).create(file, true), 1 << 16)
+  private val buf = new Array[Byte](layout.recLen)
+
+  override def write(r: InternalRow): Unit = {
+    var i = 0
+    while (i < layout.fields.length) {
+      FlatCodec.encode(layout.fields(i).typ, r, i, buf, layout.offsets(i))
+      i += 1
+    }
+    out.write(buf)
+  }
+
+  override def commit(): WriterCommitMessage = { out.close(); FlatCommit }
+  override def abort(): Unit = out.close()
+  override def close(): Unit = ()
+}

@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** CSV with the reference's option semantics, composed from Spark built-ins.
+  *
+  * Reference defaults (docs/.../HDFS_PipeIn.xml:53-55, hdfsconnector.hpp:226-228):
+  * `SEPARATOR=','`, `TERMINATOR='\n'`, `QUOTE='\''` (single quote — not the
+  * CSV-usual `"`), multi-char terminators allowed (matched with cross-buffer
+  * lookahead, libhdfsconnector.cpp:449-474).
+  *
+  * Mapping: a 1-char terminator goes straight to the built-in `csv` source
+  * (Hadoop `LineRecordReader` implements the identical skip-first /
+  * read-past-end split protocol as the reference's realignment,
+  * libhdfsconnector.cpp:476-488,545-558). A multi-char terminator exceeds the
+  * built-in CSV `lineSep` limit (1 char), so we read with the `text` source —
+  * whose delimited-line reader accepts arbitrary byte sequences and is still
+  * splittable — and parse each line with `from_csv` (same uniVocity parser,
+  * still codegen-friendly, still column-pruned after parse).
+  */
+object HpccCsv {
+
+  val DefaultSeparator = ","
+  val DefaultTerminator = "\n"
+  val DefaultQuote = "'"
+
+  def read(spark: SparkSession, path: String, schema: StructType,
+      separator: String = DefaultSeparator,
+      terminator: String = DefaultTerminator,
+      quote: String = DefaultQuote): DataFrame = {
+    require(separator.length == 1, s"separator must be 1 char: '$separator'")
+    require(quote.length == 1, s"quote must be 1 char: '$quote'")
+    if (terminator.length <= 1) {
+      spark.read.schema(schema)
+        .option("sep", separator).option("quote", quote)
+        .option("lineSep", terminator)
+        .csv(path)
+    } else {
+      val opts = Map("sep" -> separator, "quote" -> quote)
+      spark.read.option("lineSep", terminator).text(path)
+        .select(from_csv(col("value"), schema, opts).as("r"))
+        .select(col("r.*"))
+    }
+  }
+
+  /** Write with reference semantics. Multi-char terminator → `to_csv` rows
+    * joined by the text sink's `lineSep`.
+    */
+  def write(df: DataFrame, path: String,
+      separator: String = DefaultSeparator,
+      terminator: String = DefaultTerminator,
+      quote: String = DefaultQuote): Unit = {
+    require(separator.length == 1 && quote.length == 1)
+    if (terminator.length <= 1) {
+      df.write.option("sep", separator).option("quote", quote)
+        .option("lineSep", terminator)
+        .mode("overwrite").csv(path)
+    } else {
+      import scala.jdk.CollectionConverters._
+      df.select(to_csv(struct(df.columns.map(col).toSeq: _*),
+          Map("sep" -> separator, "quote" -> quote).asJava).as("value"))
+        .write.option("lineSep", terminator)
+        .mode("overwrite").text(path)
+    }
+  }
+}

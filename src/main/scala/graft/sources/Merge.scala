@@ -1,0 +1,64 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Part-file merge — the reference's `PipeOutAndMerge` second phase.
+  *
+  * The reference appends `part_0_n .. part_{n-1}_n` in node-id order to a
+  * single target file, flushing every 1 MB, optionally deleting the parts
+  * (mergeFile, libhdfsconnector.cpp:709-831; only node 0 does work, :711;
+  * missing part → error, :807-811). Here the same single-writer ordered
+  * concat runs driver-side over Hadoop streams.
+  *
+  * `writeMerged` is the one-shot Spark-first alternative: `coalesce(1)` makes
+  * the write itself a single ordered task (no shuffle — CoalesceExec), which
+  * is the same 2-phase shape collapsed to 1.
+  */
+object Merge {
+
+  private val CopyBuf = 1 << 20 // reference flush threshold, hdfsconnector.hpp:211
+
+  /** Concat `dir/part_i_n` (all i, in order) into `target`. */
+  def mergeParts(spark: SparkSession, dir: String, target: String,
+      cleanMerge: Boolean = false): Long = {
+    val d = new Path(dir)
+    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+    val PartName = "part_(\\d+)_(\\d+)".r
+    val parts = fs.listStatus(d).toSeq.flatMap { f =>
+      f.getPath.getName match {
+        case PartName(i, n) => Some((i.toInt, n.toInt, f.getPath))
+        case _ => None
+      }
+    }.sortBy(_._1)
+    require(parts.nonEmpty, s"no part files under $dir")
+    val n = parts.head._2
+    val missing = (0 until n).toSet -- parts.map(_._1).toSet
+    require(missing.isEmpty, s"missing parts $missing under $dir") // :807-811
+
+    val out = fs.create(new Path(target), true)
+    val buf = new Array[Byte](CopyBuf)
+    var total = 0L
+    try parts.foreach { case (_, _, p) =>
+      val in = fs.open(p)
+      try {
+        var read = in.read(buf)
+        while (read >= 0) {
+          if (read > 0) { out.write(buf, 0, read); total += read }
+          read = in.read(buf)
+        }
+      } finally in.close()
+    } finally out.close()
+
+    if (cleanMerge) fs.delete(d, true) // :798-806,818-828
+    total
+  }
+
+  /** Write `df` as a single flat file at `target` (ordered, shuffle-free). */
+  def writeMergedFlat(df: DataFrame, layout: EclLayout, target: String): Unit = {
+    val tmp = target + "-parts"
+    df.coalesce(1).write.format("hpcc-flat")
+      .option("layout", layout.spec).mode("overwrite").save(tmp)
+    mergeParts(df.sparkSession, tmp, target, cleanMerge = true)
+  }
+}

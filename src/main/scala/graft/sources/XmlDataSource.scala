@@ -1,0 +1,266 @@
+package graft.sources
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `hpcc-xml`: splittable row-tag XML reader as a DSv2 table.
+  *
+  * Reproduces the reference's XML partitioned scan semantics
+  * (libhdfsconnector.cpp:211-383): the file is split into even byte ranges;
+  * a range emits exactly the rows whose opening `<rowTag` starts inside it
+  * (realignment: scan forward from the range start for the first opening
+  * tag; read past the range end to finish the last row). The reference
+  * synthesizes enclosing xpath wrappers per slice so Thor sees well-formed
+  * XML (:183-209,256,377-380) — unnecessary here, rows parse directly to
+  * `InternalRow`. `rowTag` may be an xpath; its last element is used
+  * (getLastXPathElement, :159-170). Default rowTag `Row`
+  * (hdfsconnector.hpp:224).
+  *
+  * Non-nested row tags are assumed (as in the reference state machine, which
+  * tracks a single `withinRecord` flag, :318-321).
+  *
+  * Write side: Spark's built-in `xml` sink — the reference never serializes
+  * XML itself either (pipe-out passes the format through to Thor,
+  * SURVEY.md §1.4).
+  */
+class XmlDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "hpcc-xml"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    throw new IllegalArgumentException(
+      "hpcc-xml requires an explicit schema: spark.read.format(\"hpcc-xml\").schema(...)")
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new XmlTable(schema, new CaseInsensitiveStringMap(properties))
+}
+
+class XmlTable(userSchema: StructType, options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+
+  private val path: String = {
+    val p = Option(options.get("path"))
+    require(p.isDefined, "hpcc-xml requires a path")
+    p.get
+  }
+  private val rowTag: String =
+    options.getOrDefault("rowtag", "Row").split("/").last
+
+  override def name(): String = s"hpcc-xml:$path"
+  override def schema(): StructType = userSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new XmlScanBuilder(path, rowTag, userSchema)
+}
+
+class XmlScanBuilder(path: String, rowTag: String, full: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new XmlScan(path, rowTag, required)
+}
+
+case class XmlInputPartition(file: String, start: Long, end: Long,
+    fileEnd: Long, locations: Array[String]) extends InputPartition {
+  override def preferredLocations(): Array[String] = locations
+}
+
+class XmlScan(path: String, rowTag: String, required: StructType)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = s"hpcc-xml rowTag=$rowTag"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val files: Seq[FileStatus] =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).toSeq.filter(f => f.isFile && f.getLen > 0)
+          .sortBy(_.getPath.getName)
+      else Seq(fs.getFileStatus(root))
+    val splitBytes = math.max(spark.sessionState.conf.filesMaxPartitionBytes, 1L)
+
+    files.flatMap { f =>
+      val size = f.getLen
+      val blocks = fs.getFileBlockLocations(f, 0, size)
+      (0L until size by splitBytes).map { start =>
+        val end = math.min(start + splitBytes, size)
+        val hosts = blocks.filter(b =>
+          b.getOffset < end && start < b.getOffset + b.getLength)
+          .flatMap(_.getHosts).distinct
+        XmlInputPartition(f.getPath.toString, start, end, size, hosts)
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new XmlReaderFactory(rowTag, required)
+}
+
+class XmlReaderFactory(rowTag: String, required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new XmlPartitionReader(p.asInstanceOf[XmlInputPartition], rowTag, required)
+}
+
+/** Streams one byte range; the tag state machine mirrors the reference's
+  * (find opening tag at/after range start :305-310; read the full element
+  * even past range end :337-343; tags spanning buffer reads handled by the
+  * stream abstraction :285-303).
+  */
+class XmlPartitionReader(part: XmlInputPartition, rowTag: String,
+    required: StructType) extends PartitionReader[InternalRow] {
+
+  private val open = s"<$rowTag".getBytes("UTF-8")
+  private val closeTag = s"</$rowTag>".getBytes("UTF-8")
+
+  private val in = {
+    val p = new Path(part.file)
+    val s = p.getFileSystem(new Configuration()).open(p)
+    s.seek(part.start)
+    new java.io.BufferedInputStream(s, 1 << 16)
+  }
+  private var pos: Long = part.start
+  private var done = false
+  private val bb = new java.io.ByteArrayOutputStream(256)
+  private var current: InternalRow = _
+
+  private def read1(): Int = { val b = in.read(); if (b >= 0) pos += 1; b }
+
+  private def last(k: Int): Int = {
+    val a = bb.toByteArray; if (a.length < k) -1 else a(a.length - k) & 0xff
+  }
+
+  /** Advance until the start of the next `<rowTag` token (already consumed),
+    * returning its start offset, or -1 at EOF. A match requires the byte
+    * after the tag name to be '>', '/', or whitespace (so rowTag=Row does
+    * not match `<Rows>`).
+    */
+  private def findOpen(): Long = {
+    var matched = 0
+    while (true) {
+      val b = read1()
+      if (b < 0) return -1L
+      if (matched == open.length) {
+        // byte after "<rowTag": delimiter decides the match
+        if (b == '>' || b == '/' || b == ' ' || b == '\t' || b == '\n' || b == '\r') {
+          bb.write(open, 0, open.length); bb.write(b)
+          return pos - open.length - 1
+        }
+        matched = if (b == '<') 1 else 0
+      } else if (b == open(matched)) matched += 1
+      else matched = if (b == '<') 1 else 0
+    }
+    -1L
+  }
+
+  /** Consume through the matching `</rowTag>` (or self-closing `/>`),
+    * appending bytes to `bb` (UTF-8-decoded only once complete). Assumes
+    * non-nested row tags.
+    */
+  private def readElement(): Boolean = {
+    // `bb` holds "<rowTag" + one delimiter byte already
+    if (last(1) == '/') { // "<rowTag/" — need '>'
+      val b = read1(); if (b < 0) return false
+      bb.write(b)
+      return b == '>'
+    }
+    var inStartTag = last(1) != '>'
+    var matched = 0
+    while (true) {
+      val b = read1()
+      if (b < 0) return false
+      bb.write(b)
+      if (inStartTag) {
+        if (b == '>') {
+          if (last(2) == '/') return true // self-closing "<rowTag .../>"
+          inStartTag = false
+        }
+      } else {
+        if (b == closeTag(matched)) {
+          matched += 1
+          if (matched == closeTag.length) return true
+        } else matched = if (b == '<') 1 else 0
+      }
+    }
+    false
+  }
+
+  override def next(): Boolean = {
+    if (done) return false
+    bb.reset()
+    val tagStart = findOpen()
+    // a row belongs to the range containing its opening '<'  (:305-310)
+    if (tagStart < 0 || tagStart >= part.end) { done = true; return false }
+    if (readElement()) {
+      current = parseRow(new String(bb.toByteArray, "UTF-8"))
+      true
+    } else { done = true; false }
+  }
+
+  private def unescape(s: String): String =
+    if (s.indexOf('&') < 0) s
+    else s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+      .replace("&apos;", "'").replace("&amp;", "&")
+
+  private def fieldText(xml: String, name: String): Option[String] = {
+    val openIdx = xml.indexOf(s"<$name>")
+    if (openIdx >= 0) {
+      val from = openIdx + name.length + 2
+      val closeIdx = xml.indexOf(s"</$name>", from)
+      if (closeIdx >= 0) Some(unescape(xml.substring(from, closeIdx))) else None
+    } else if (xml.contains(s"<$name/>")) Some("")
+    else None
+  }
+
+  private def parseRow(xml: String): InternalRow = {
+    val row = new GenericInternalRow(required.length)
+    var i = 0
+    while (i < required.length) {
+      val f = required.fields(i)
+      val v: Any = fieldText(xml, f.name) match {
+        case None => null
+        case Some(t) => f.dataType match {
+          case StringType => UTF8String.fromString(t)
+          case IntegerType => t.trim.toInt
+          case LongType => t.trim.toLong
+          case ShortType => t.trim.toShort
+          case ByteType => t.trim.toByte
+          case DoubleType => t.trim.toDouble
+          case FloatType => t.trim.toFloat
+          case BooleanType => t.trim.toBoolean
+          case d: DecimalType => Decimal(BigDecimal(t.trim), d.precision, d.scale)
+          case other => throw new IllegalArgumentException(
+            s"hpcc-xml: unsupported field type $other for ${f.name}")
+        }
+      }
+      row.update(i, v)
+      i += 1
+    }
+    row
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
+}

@@ -1,0 +1,30 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.operators.Multimodal.{MediaRow, decodeStub}
+
+class MultimodalSpec extends SparkSpec {
+
+  test("stub decoder is deterministic and matches an independent computation") {
+    val bytes = "hello world".getBytes("UTF-8")
+    val out = decodeStub(Iterator(MediaRow(7L, bytes))).toSeq
+    assert(out.size == 1)
+    val m = out.head
+    assert(m.doc_id == 7L)
+    assert(m.width == 640 + (bytes(0) & 0xff) % 64)
+    assert(m.height == 360 + (bytes(1) & 0xff) % 36)
+    assert(m.n_frames == bytes.length % 240 + 1)
+    assert(m.feature.sum == bytes.length.toFloat)
+  }
+
+  test("decode stage distributes over partitions with a stable schema") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, s"payload-$i".getBytes("UTF-8")))
+      .toDF("doc_id", "content").repartition(4)
+    val decoded = Multimodal.decode(df)
+    assert(decoded.schema.fieldNames.toSeq ==
+      Seq("doc_id", "width", "height", "n_frames", "feature"))
+    assert(decoded.count() == 100)
+    assert(decoded.filter($"width" < 640 || $"width" >= 704).count() == 0)
+  }
+}

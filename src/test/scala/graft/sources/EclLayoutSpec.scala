@@ -1,0 +1,36 @@
+package graft.sources
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EclLayoutSpec extends AnyFunSuite {
+
+  // The documented example layout is 47 bytes/row
+  // (reference: docs/HDFSConnector/HDFS_Mods/HDFS_PipeIn.xml:89-100).
+  test("recLen matches the reference's documented 47-byte example layout") {
+    val l = EclLayout.parse(
+      "fname:string10,lname:string10,prange:unsigned1,street:string10," +
+        "zips:string1,age:unsigned1,birth_state:string2,birth_month:string3," +
+        "one:string1,id:unsigned8")
+    assert(l.recLen == 47)
+    assert(l.offsets == Seq(0, 10, 20, 21, 31, 32, 33, 35, 38, 39))
+  }
+
+  test("spec round-trips through parse") {
+    val l = EclLayout.parse("a:string5,b:unsigned2,c:integer8,d:real4")
+    assert(EclLayout.parse(l.spec) == l)
+  }
+
+  test("schema maps ECL types to lossless Spark types (SURVEY.md §1.5)") {
+    val l = EclLayout.parse("s:string3,u1:unsigned1,u2:unsigned2,u4:unsigned4,u8:unsigned8")
+    assert(l.schema.fields.map(_.dataType).toSeq == Seq(
+      StringType, ShortType, IntegerType, LongType, DecimalType(20, 0)))
+  }
+
+  test("rejects malformed specs") {
+    assertThrows[IllegalArgumentException](EclLayout.parse("x:varchar9"))
+    assertThrows[IllegalArgumentException](EclLayout.parse("no-width:string"))
+    assertThrows[IllegalArgumentException](EclLayout.parse("a:unsigned3"))
+    assertThrows[IllegalArgumentException](EclLayout.parse("a:string5,a:string5"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types.Decimal
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-style tests (seeded exhaustive/random sampling): ∀ values,
+  * encode→decode is identity (modulo declared fixed-width string semantics)
+  * — the §5.2 invariant class from SURVEY.md.
+  */
+class FlatCodecSpec extends AnyFunSuite {
+
+  private val rng = new scala.util.Random(42)
+
+  private def roundTrip(typ: EclType, v: Any): Any = {
+    val row = new GenericInternalRow(Array(v))
+    val buf = new Array[Byte](typ.width)
+    FlatCodec.encode(typ, row, 0, buf, 0)
+    FlatCodec.decode(typ, buf, 0, trimStrings = true)
+  }
+
+  test("unsigned1/2 round-trip exhaustively; unsigned4 across its range") {
+    (0 to 255).foreach(v => assert(roundTrip(EclUnsigned(1), v.toShort) == v.toShort))
+    (0 to 65535).foreach(v => assert(roundTrip(EclUnsigned(2), v) == v))
+    val u4 = Seq(0L, 1L, 4294967295L, 2147483648L) ++
+      Seq.fill(500)(rng.nextLong(4294967296L))
+    u4.foreach(v => assert(roundTrip(EclUnsigned(4), v) == v))
+  }
+
+  test("unsigned8 round-trips across the full 64-bit range incl. > Long.Max") {
+    val vals = Seq(BigInt(0), BigInt(1), BigInt(2).pow(64) - 1,
+      BigInt(2).pow(63), BigInt(Long.MaxValue)) ++
+      Seq.fill(500)(BigInt(64, rng))
+    vals.foreach { v =>
+      val d = Decimal(BigDecimal(v), 20, 0)
+      assert(roundTrip(EclUnsigned(8), d) == d, s"u8 $v")
+    }
+  }
+
+  test("signed integers and reals round-trip") {
+    (Seq(Byte.MinValue, Byte.MaxValue, 0.toByte) ++
+      Seq.fill(200)(rng.nextInt().toByte))
+      .foreach(v => assert(roundTrip(EclInteger(1), v) == v))
+    (Seq(Short.MinValue, Short.MaxValue, 0.toShort) ++
+      Seq.fill(200)(rng.nextInt().toShort))
+      .foreach(v => assert(roundTrip(EclInteger(2), v) == v))
+    (Seq(Int.MinValue, Int.MaxValue, 0) ++ Seq.fill(200)(rng.nextInt()))
+      .foreach(v => assert(roundTrip(EclInteger(4), v) == v))
+    (Seq(Long.MinValue, Long.MaxValue, 0L) ++ Seq.fill(200)(rng.nextLong()))
+      .foreach(v => assert(roundTrip(EclInteger(8), v) == v))
+    (Seq(0.0, -0.0, Double.MaxValue, Double.MinPositiveValue,
+      Double.NaN, Double.PositiveInfinity) ++ Seq.fill(200)(rng.nextDouble()))
+      .foreach { v =>
+        val got = roundTrip(EclReal(8), v).asInstanceOf[Double]
+        assert(java.lang.Double.compare(got, v) == 0, s"real8 $v")
+      }
+    (Seq(0f, Float.NaN, Float.MaxValue) ++ Seq.fill(200)(rng.nextFloat()))
+      .foreach { v =>
+        val got = roundTrip(EclReal(4), v).asInstanceOf[Float]
+        assert(java.lang.Float.compare(got, v) == 0, s"real4 $v")
+      }
+  }
+
+  test("strings: ascii round-trips up to width; longer truncates") {
+    val chars = (33 to 126).map(_.toChar)
+    (0 until 500).foreach { _ =>
+      val n = rng.nextInt(13)
+      val s = Seq.fill(n)(chars(rng.nextInt(chars.length))).mkString
+      val got = roundTrip(EclString(8), UTF8String.fromString(s)).toString
+      assert(got == s.take(8), s"string8 '$s'")
+    }
+  }
+}

@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+
+class HpccCsvSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("txt", StringType),
+    StructField("v", DoubleType)))
+
+  private def sample = {
+    import spark.implicits._
+    Seq(
+      (1L, "plain", 0.5),
+      (2L, "has,comma", 1.5),
+      (3L, "has'quote", 2.5),
+      (4L, "both,'here", 3.5),
+      (5L, "trailing|pipe", 4.5)
+    ).toDF("id", "txt", "v")
+  }
+
+  test("round trip with reference defaults (quote = single quote)") {
+    val dir = tmpDir("csv-def")
+    HpccCsv.write(sample, dir)
+    val got = HpccCsv.read(spark, dir, schema).orderBy("id")
+    assert(got.collect().toSeq == sample.orderBy("id").collect().toSeq)
+  }
+
+  test("round trip with a multi-char terminator") {
+    val dir = tmpDir("csv-mc")
+    HpccCsv.write(sample, dir, terminator = "|\n")
+    val got = HpccCsv.read(spark, dir, schema, terminator = "|\n").orderBy("id")
+    assert(got.collect().toSeq == sample.orderBy("id").collect().toSeq)
+  }
+
+  test("multi-char-terminator read stays splittable and loses nothing") {
+    val dir = tmpDir("csv-split")
+    import spark.implicits._
+    val df = (0 until 2000).map(i => (i.toLong, s"text,$i'q", i * 0.125))
+      .toDF("id", "txt", "v")
+    HpccCsv.write(df.coalesce(1), dir, terminator = "#\n")
+    val whole = HpccCsv.read(spark, dir, schema, terminator = "#\n")
+      .orderBy("id").collect().toSeq
+    assert(whole.size == 2000)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+    try {
+      val got = HpccCsv.read(spark, dir, schema, terminator = "#\n")
+      assert(got.rdd.getNumPartitions > 1)
+      assert(got.orderBy("id").collect().toSeq == whole)
+    } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+  }
+}

@@ -1,0 +1,92 @@
+package graft.sources
+
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+
+class XmlSourceSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", IntegerType), StructField("name", StringType),
+    StructField("score", DoubleType)))
+
+  private def writeXml(dir: String, rows: Seq[String],
+      header: String = "<Dataset>", footer: String = "</Dataset>"): Unit = {
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "data.xml"),
+      (header + "\n" + rows.mkString("\n") + "\n" + footer + "\n")
+        .getBytes("UTF-8"))
+  }
+
+  private def read(path: String, rowTag: String = "Row") =
+    spark.read.format("hpcc-xml").schema(schema).option("rowTag", rowTag)
+      .load(path)
+
+  test("parses rows, skips header/footer, handles entities and empties") {
+    val dir = tmpDir("xml-basic")
+    writeXml(dir, Seq(
+      "<Row><id>1</id><name>a &amp; b &lt;x&gt;</name><score>1.5</score></Row>",
+      "<Row><id>2</id><name></name><score>2.5</score></Row>",
+      "<Row><id>3</id><name/><score>3.5</score></Row>",
+      "<Row><id>4</id><score>4.5</score></Row>", // name absent → null
+      "<Row/>"))
+    import org.apache.spark.sql.functions.col
+    val got = read(dir).orderBy(col("id").asc_nulls_last).collect()
+    assert(got.length == 5)
+    assert(got(0).getString(1) == "a & b <x>")
+    assert(got(1).getString(1) == "")
+    assert(got(2).getString(1) == "")
+    assert(got(3).isNullAt(1))
+    assert(got(4).isNullAt(0) && got(4).isNullAt(1) && got(4).isNullAt(2))
+  }
+
+  test("rowTag does not match longer tag names (Row vs Rows)") {
+    val dir = tmpDir("xml-tagname")
+    writeXml(dir, Seq(
+      "<Rows><id>99</id><name>no</name><score>0.0</score></Rows>",
+      "<Row><id>1</id><name>yes</name><score>1.0</score></Row>"))
+    val got = read(dir).collect()
+    assert(got.length == 1 && got(0).getInt(0) == 1)
+  }
+
+  test("xpath rowTag uses its last element (getLastXPathElement)") {
+    val dir = tmpDir("xml-xpath")
+    writeXml(dir, Seq("<Row><id>7</id><name>x</name><score>0.5</score></Row>"))
+    assert(read(dir, rowTag = "Dataset/area/Row").count() == 1)
+  }
+
+  test("split invariance: every row read exactly once at any split size") {
+    val dir = tmpDir("xml-split")
+    val rows = (0 until 500).map(i =>
+      s"<Row><id>$i</id><name>nm&amp;$i</name><score>${i * 0.25}</score></Row>")
+    writeXml(dir, rows)
+    val whole = read(dir).orderBy("id").collect().toSeq
+    assert(whole.size == 500)
+    for (split <- Seq(64, 301, 1000, 7777)) {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", split.toString)
+      try {
+        val df = read(dir)
+        assert(df.rdd.getNumPartitions > 1, s"split=$split")
+        val got = df.orderBy("id").collect().toSeq
+        assert(got == whole, s"split=$split lost or duplicated rows")
+      } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    }
+  }
+
+  test("round trip against the built-in xml writer on multi-part output") {
+    val dir = tmpDir("xml-bi")
+    import spark.implicits._
+    val df = (0 until 300).map(i => (i, s"name $i <&>", i * 1.1))
+      .toDF("id", "name", "score")
+    df.repartition(3).write.format("xml").option("rowTag", "Row")
+      .mode("overwrite").save(dir)
+    val got = read(dir).orderBy("id")
+    assert(got.collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
+  test("utf-8 multibyte content survives") {
+    val dir = tmpDir("xml-utf8")
+    writeXml(dir, Seq(
+      "<Row><id>1</id><name>中文 текст émoji</name><score>1.0</score></Row>"))
+    assert(read(dir).collect()(0).getString(1) == "中文 текст émoji")
+  }
+}
