@@ -62,6 +62,33 @@ object Relational extends QueryPack {
         .orderBy($"l_returnflag")
     }),
 
+    // Explicit GROUPING SETS (beyond rollup/cube shorthands).
+    "q11_grouping_sets" -> ((s, d) => {
+      import s.implicits._
+      T.orders(s, d)
+        .groupingSets(
+          Seq(Seq($"o_orderstatus", $"o_orderpriority"),
+            Seq($"o_orderstatus"), Seq()),
+          $"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(money($"o_totalprice")).as("total"))
+        .orderBy($"o_orderstatus".asc_nulls_first,
+          $"o_orderpriority".asc_nulls_first)
+    }),
+    // HLL sketch distinct (approx_count_distinct). Sketches are
+    // engine-specific, so the cross-engine contract is the error bound:
+    // both engines' HLL must land within 5% of the exact count — the
+    // boolean verdicts and exact counts are what the oracle hashes.
+    "q24_approx_distinct" -> ((s, d) => {
+      import s.implicits._
+      T.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(countDistinct($"l_partkey").as("n_exact"),
+          approx_count_distinct($"l_partkey").as("n_approx"))
+        .select($"l_returnflag", $"n_exact",
+          (abs($"n_approx" - $"n_exact") <= $"n_exact" * 0.05).as("hll_ok"))
+        .orderBy($"l_returnflag")
+    }),
+
     // -- projection / filter (pushdown surface) ------------------------------
     "q02_filter_project" -> ((s, d) => {
       import s.implicits._
@@ -324,6 +351,18 @@ object Relational extends QueryPack {
              count(DISTINCT l_partkey) AS n_parts,
              count(DISTINCT l_suppkey) AS n_supps,
              count(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q11_grouping_sets" -> """
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                              (o_orderstatus), ())
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q24_approx_distinct" -> """
+      SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact,
+             abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+               <= count(DISTINCT l_partkey) * 0.05 AS hll_ok
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q02_filter_project" -> """
       SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice

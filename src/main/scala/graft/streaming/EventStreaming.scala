@@ -1,0 +1,110 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the `events` schema (SURVEY.md §2.2
+  * last row, §7 Phase 5). The reference is batch-only (each transfer is one
+  * finite workunit, reference ecl/HDFSConnector.ecl:55-56); this is
+  * north-star extension surface.
+  *
+  * Every transform here is INPUT-AGNOSTIC: it takes any DataFrame with the
+  * events schema (ts timestamp, user_id long, event_type string, value
+  * double, event_id long), whether from `readStream` (kafka/files/memory) or
+  * a batch table — so the batch queries in operators.EventOps double as the
+  * correctness oracles for these (same logic, DuckDB-checkable), and specs
+  * drive them through MemoryStream.
+  *
+  * Scale notes: all state is keyed by user_id (hash-partitioned state
+  * store); watermarks bound state size; session merge is Spark's built-in
+  * `session_window` (gap-merged in the state store, no per-user replays).
+  */
+object EventStreaming {
+
+  /** Tumbling 5-minute counts per event type, late data bounded by a
+    * 1-hour watermark.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding windows: 10-minute span every 5 minutes. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("user_id"), col("n"))
+
+  /** Gap-based sessions (30 min) per user — built-in session_window state
+    * merge; the batch equivalent is EventOps q30_sessionize.
+    */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Watermarked streaming dedup on event_id (exactly-once per id within the
+    * watermark horizon) — the streaming face of the dedup operator family.
+    */
+  def dedupEvents(events: DataFrame, horizon: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  // ---- custom stateful operator: running per-user counters -----------------
+
+  case class EventIn(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Running per-user totals via mapGroupsWithState — the pattern for state
+    * Spark's built-ins can't express (custom accumulators, decaying counters,
+    * ML feature state). In production wire GroupStateTimeout +
+    * state.setTimeoutDuration to evict abandoned keys; NoTimeout here keeps
+    * the state machine minimal.
+    */
+  def runningUserTotals(events: Dataset[EventIn]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[EventIn], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          var n = prev.n_events
+          var sv = prev.sum_value
+          batch.foreach { e => n += 1; sv += e.value }
+          val next = UserRunning(uid, n, sv)
+          state.update(next)
+          next
+      }
+  }
+
+  /** File-source entry point: stream the events fixture directory as if it
+    * were arriving (schema-locked, bounded per trigger).
+    */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("event_id long, ts timestamp, user_id long, event_type string, value double, props string")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+
+  /** Sink helper: append to parquet with a checkpoint. */
+  def writeParquetStream(df: DataFrame, outDir: String, checkpoint: String) =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .format("parquet")
+      .option("path", outDir)
+}

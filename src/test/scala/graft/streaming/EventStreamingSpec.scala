@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import EventStreaming._
+
+class EventStreamingSpec extends SparkSpec {
+
+  // offset from epoch: an event at exactly epoch 0 equals the initial
+  // watermark and is dropped as late by watermark-bounded operators
+  private val Base = 86400000L
+  private def ts(min: Int) = new Timestamp(Base + min * 60000L)
+  private def minOf(t: Timestamp): Long = (t.getTime - Base) / 60000L
+
+  private def runStream(events: Seq[EventIn],
+      f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      mode: String = "append") = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[EventIn]
+    src.addData(events: _*)
+    val q = f(src.toDF()).writeStream
+      .format("memory").queryName("out").outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("out")
+  }
+
+  private val fixture = Seq(
+    // user 1: two sessions (gap > 30 min between minute 10 and 60)
+    EventIn(1, ts(0), 1L, "click", 1.0),
+    EventIn(2, ts(10), 1L, "view", 2.0),
+    EventIn(3, ts(60), 1L, "click", 3.0),
+    // user 2: one session
+    EventIn(4, ts(5), 2L, "view", 4.0),
+    EventIn(5, ts(20), 2L, "view", 5.0))
+
+  test("tumbling window counts match the batch equivalent") {
+    val got = runStream(fixture, tumblingCounts, mode = "complete")
+      .orderBy("w_start", "event_type").collect()
+      .map(r => (minOf(r.getTimestamp(0)), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (0L, "click", 1L), (5L, "view", 1L), (10L, "view", 1L),
+      (20L, "view", 1L), (60L, "click", 1L)))
+  }
+
+  test("session_window merges events within the gap, splits across it") {
+    val got = runStream(fixture, df => sessionAgg(df), mode = "complete")
+      .orderBy("user_id", "sess_start").collect()
+      .map(r => (r.getLong(2), minOf(r.getTimestamp(0)), r.getLong(3)))
+    // user 1: [0,10] session (2 events) + [60] session; user 2: [5,20] (2)
+    assert(got.toSeq == Seq((1L, 0L, 2L), (1L, 60L, 1L), (2L, 5L, 2L)))
+  }
+
+  test("streaming dedup drops repeated event_ids within the watermark") {
+    val dup = fixture ++ Seq(EventIn(1, ts(0), 1L, "click", 1.0),
+      EventIn(4, ts(5), 2L, "view", 4.0))
+    val got = runStream(dup, df => dedupEvents(df, horizon = "2 hours"))
+    assert(got.count() == 5)
+    assert(got.select("event_id").distinct().count() == 5)
+  }
+
+  test("mapGroupsWithState accumulates running per-user totals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[EventIn]
+    val q = runningUserTotals(src.toDS()).writeStream
+      .format("memory").queryName("running").outputMode("update").start()
+    try {
+      src.addData(fixture.take(2): _*) // user1: 2 events
+      q.processAllAvailable()
+      src.addData(fixture(2))          // user1: +1 event
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("running")
+      .filter($"user_id" === 1L).orderBy($"n_events".desc).collect().head
+    assert(last.getLong(1) == 3L && last.getDouble(2) == 6.0)
+  }
+}
