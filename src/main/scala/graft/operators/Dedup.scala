@@ -28,43 +28,52 @@ object Dedup extends QueryPack {
   private val MINHASH_K = 64 // 16 bands × 4 rows
   private val BANDS = 16
 
-  /** (doc_id, shingle) inverted-index rows, deduplicated per document. */
-  private def shingleIndex(docs: DataFrame): DataFrame =
+  /** (doc_id, shingle-hash) inverted-index rows, deduplicated per document.
+    * Shingles live only as 64-bit hashes (TextFunctions.shingleHashes) — the
+    * explode, the shuffle, and every join key are 8-byte longs, never
+    * n-gram strings.
+    */
+  private def shingleIndex(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.select(col("doc_id"),
-      explode(distinctShingles(col("text"), NGRAM)).as("s"))
+      explode(distinctShingleHashes(col("text"), NGRAM)).as("h"))
+  }
 
   /** Exact-Jaccard near-dup pairs at threshold 0.5 over 3-gram shingles. */
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val idx = shingleIndex(T.documents(s, d))
-    val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val a = idx.select(col("doc_id").as("doc_a"), col("s"))
-    val b = idx.select(col("doc_id").as("doc_b"), col("s"))
-    val inter = a.join(b, Seq("s"))
+    val docs = T.documents(s, d)
+    val idx = shingleIndex(docs)
+    // per-doc set size is a narrow projection — no shuffle branch
+    val sizes = docs.select(col("doc_id"),
+      size(distinctShingleHashes(col("text"), NGRAM)).as("n_sh"))
+    val a = idx.select(col("doc_id").as("doc_a"), col("h"))
+    val b = idx.select(col("doc_id").as("doc_b"), col("h"))
+    val inter = a.join(b, Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na"))), Seq("doc_a"))
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"))), Seq("doc_b"))
       .withColumn("union_sz", col("na") + col("nb") - col("inter"))
       .filter(col("inter") * 2 >= col("union_sz"))
       .select(col("doc_a"), col("doc_b"), col("inter"), col("union_sz"))
   }
 
-  /** MinHash signature: one pass over the inverted index, k min-aggregates
-    * (map-side combinable — no k× row blowup).
+  /** MinHash signature: ONE pass over the inverted index via the custom
+    * TypedImperativeAggregate (k lanes derived from two base hashes per
+    * row; map-side combinable fixed-size buffer — no k× expression evals,
+    * no k× row blowup).
     */
-  private def minhashSignatures(idx: DataFrame): DataFrame = {
-    val mins = (0 until MINHASH_K).map(i =>
-      min(xxhash64(lit(i), col("s"))).as(s"h$i"))
-    idx.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-  }
+  private def minhashSignatures(idx: DataFrame): DataFrame =
+    idx.groupBy(col("doc_id"))
+      .agg(call_function("graft_minhash", col("h")).as("sig"))
 
   /** LSH candidate pairs: band the signature, bucket-join per band. */
   private def lshCandidates(sig: DataFrame): DataFrame = {
     val r = MINHASH_K / BANDS
     val bandHashes = (0 until BANDS).map { b =>
-      xxhash64((b * r until (b + 1) * r).map(i => col(s"h$i")): _*)
+      xxhash64((b * r until (b + 1) * r).map(i => col("sig").getItem(i)): _*)
     }
     val banded = sig.select(col("doc_id"),
         posexplode(array(bandHashes: _*)).as(Seq("band", "bh")))
@@ -109,7 +118,7 @@ object Dedup extends QueryPack {
       val idx = shingleIndex(docs)
       val cands = lshCandidates(minhashSignatures(idx))
       val arrs = docs.select(col("doc_id"),
-        distinctShingles(col("text"), NGRAM).as("sh"))
+        array_sort(distinctShingleHashes(col("text"), NGRAM)).as("sh"))
       cands
         .join(arrs.select(col("doc_id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
         .join(arrs.select(col("doc_id").as("doc_b"), col("sh").as("sb")), Seq("doc_b"))
@@ -123,17 +132,12 @@ object Dedup extends QueryPack {
     // bands (any pair at hamming ≤ 15 is guaranteed to share a band), exact
     // hamming ≤ 15 confirmation. Engine-specific hash → rows-only check.
     "d05_simhash_pairs" -> ((s, d) => {
+      // the index IS the hash stream — no extra hashing step
       val idx = shingleIndex(T.documents(s, d))
-        .withColumn("h", xxhash64(col("s")))
-      val bitSums = (0 until 64).map { j =>
-        sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
-          .otherwise(-1)).as(s"b$j")
-      }
-      val sig = idx.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-        .select(col("doc_id"),
-          (0 until 64).map(j =>
-            when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
-            .reduce((a, b) => a.bitwiseOR(b)).as("sim"))
+      // one-pass 64-bit majority vote via the custom aggregate (replaces 64
+      // sum(when(bit)) aggregate columns — same signature bit-for-bit)
+      val sig = idx.groupBy(col("doc_id"))
+        .agg(call_function("graft_simhash", col("h")).as("sim"))
       val banded = sig.select(col("doc_id"), col("sim"),
         posexplode(array((0 until 16).map(b =>
           shiftright(col("sim"), b * 4).bitwiseAND(lit(15L))): _*))

@@ -23,11 +23,13 @@ object Similarity extends QueryPack {
   private val NPROBE = 3
 
   /** (vec_id, v, nrm): unit work done once. */
-  private def normed(s: SparkSession, d: String): DataFrame =
+  private def normed(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     T.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"),
         col("label"))
       .withColumn("nrm", l2norm(col("v")))
+  }
 
   private def bruteTopK(s: SparkSession, d: String): DataFrame = {
     val base = normed(s, d)
@@ -78,7 +80,10 @@ object Similarity extends QueryPack {
         col("v").as("cv2"), col("nrm").as("cn2"), col("label"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("neighbor_id"))
-      probed.join(cand, Seq("label"))
+      // broadcast the tiny probed-query side: the corpus scan stays
+      // partition-local (no shuffle of `cand` on the 10-value label key,
+      // which would both skew and move the whole corpus)
+      cand.join(broadcast(probed), Seq("label"))
         .filter(col("query_id") =!= col("neighbor_id"))
         .withColumn("cos", dot(col("qv"), col("cv2")) / (col("qn") * col("cn2")))
         .withColumn("rank", row_number().over(w))

@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import VectorFunctions._
+
+class DotProductSpec extends SparkSpec {
+
+  test("native dot product is bit-identical to the HOF fold") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val df = (0 until 200).map { i =>
+      (i, Array.fill(64)(rng.nextDouble() * 2 - 1),
+        Array.fill(64)(rng.nextDouble() * 2 - 1))
+    }.toDF("id", "a", "b")
+    val got = df.select(
+      dot($"a", $"b").as("native"), dotHof($"a", $"b").as("hof")).collect()
+    got.foreach { r =>
+      assert(java.lang.Double.compare(r.getDouble(0), r.getDouble(1)) == 0)
+    }
+  }
+
+  test("null array yields null; mismatched lengths use the common prefix") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Some(Array(1.0, 2.0, 3.0)), Some(Array(4.0, 5.0))),
+      (None, Some(Array(1.0)))
+    ).toDF("a", "b")
+    val got = df.select(dot($"a", $"b")).collect()
+    assert(got(0).getDouble(0) == 1.0 * 4 + 2 * 5)
+    assert(got(1).isNullAt(0))
+  }
+
+  test("expression participates in whole-stage codegen") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+      .repartition(1) // defeat LocalTableScan constant-folding of literals
+      .select(dot($"a", $"b").as("d"))
+    assert(df.collect()(0).getDouble(0) == 11.0)
+    // AQE finalizes the plan only after execution; "*(n)" marks a
+    // WholeStageCodegen stage in the summary rendering
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [dotproduct"), plan)
+  }
+}

@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SketchAggregatesSpec extends SparkSpec {
+
+  test("simhash aggregate equals the 64-column sum(when(bit)) formulation") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val rng = new scala.util.Random(3)
+    val rows = for (doc <- 0 until 30; _ <- 0 until rng.nextInt(50) + 1)
+      yield (doc.toLong, s"tok-${rng.nextInt(200)}")
+    val idx = rows.toDF("doc_id", "s").withColumn("h", xxhash64($"s"))
+
+    val fast = idx.groupBy($"doc_id")
+      .agg(call_function("graft_simhash", $"h").as("sim"))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright($"h", j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$j")
+    }
+    val slow = idx.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select($"doc_id",
+        (0 until 64).map(j =>
+          when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("sim"))
+    assert(fast.orderBy("doc_id").collect().toSeq ==
+      slow.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("minhash signature is partitioning-invariant (merge correctness)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val rows = for (doc <- 0 until 20; t <- 0 until 80)
+      yield (doc.toLong, s"sh-$doc-${t % 37}")
+    def sig(parts: Int) = rows.toDF("doc_id", "s").repartition(parts)
+      .groupBy($"doc_id")
+      .agg(call_function("graft_minhash", $"s").as("sig"))
+      .orderBy("doc_id").collect().map(r => r.getSeq[Long](1)).toSeq
+    assert(sig(1) == sig(13))
+  }
+
+  test("shingleHashes matches the string-shingle formulation set-for-set") {
+    import spark.implicits._
+    import graft.functions.TextFunctions._
+    val rng = new scala.util.Random(11)
+    val words = (0 until 50).map(i => s"w$i")
+    val docs = (0 until 100).map { i =>
+      i.toLong -> Seq.fill(rng.nextInt(30))(words(rng.nextInt(words.size))).mkString(" ")
+    }.toDF("doc_id", "text")
+    for (n <- 2 to 4) {
+      val got = docs.select(
+        size(distinctShingleHashes($"text", n)).as("nh"),
+        size(distinctShingles($"text", n)).as("ns")).collect()
+      got.foreach { r =>
+        // size() returns -1 for the empty-shingle legacy path vs 0 — align
+        assert(math.max(r.getInt(0), 0) == math.max(r.getInt(1), 0), s"n=$n $r")
+      }
+    }
+  }
+
+  test("minhash estimates jaccard: identical sets agree, disjoint differ") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val a = (0 until 100).map(i => (1L, s"w$i"))
+    val b = (0 until 100).map(i => (2L, s"w$i"))  // same set as doc 1
+    val c = (0 until 100).map(i => (3L, s"z$i"))  // disjoint
+    val sigs = (a ++ b ++ c).toDF("doc_id", "s").groupBy($"doc_id")
+      .agg(call_function("graft_minhash", $"s").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    val matches = sigs(1L).zip(sigs(3L)).count { case (x, y) => x == y }
+    assert(matches < 8, s"disjoint sets should share almost no lanes: $matches")
+  }
+}
