@@ -103,8 +103,11 @@ object Relational extends QueryPack {
     "q03_revenue_by_segment" -> ((s, d) => {
       import s.implicits._
       val li = T.lineitem(s, d); val o = T.orders(s, d); val c = T.customer(s, d)
+      // no broadcast hint on orders/customer: they scale with the fact
+      // table, so the join strategy must stay stats/AQE-driven (explicit
+      // broadcast() is reserved for bounded dims like nation/region)
       li.join(o, $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .join(c, $"o_custkey" === $"c_custkey")
         .groupBy($"c_mktsegment")
         .agg(sum(money($"l_extendedprice") * (lit(BigDecimal(1)) - pct($"l_discount"))).as("revenue"),
              count(lit(1)).as("n_lines"))

@@ -71,6 +71,15 @@ object TextAnalysis extends QueryPack {
           substring(fingerprint(col("text")), 1, 8).as("fp_prefix"))
         .orderBy(col("doc_id"))
     }),
+    // BPE-ish subword pre-tokenization count (GPT-2 split pattern minus its
+    // RE2-incompatible lookahead, so the oracle runs the identical regex).
+    "t05_bpe_token_count" -> ((s, d) => {
+      T.documents(s, d)
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+            .as("n_bpe"))
+        .orderBy(col("doc_id"))
+    }),
     // Multimodal plumbing: treat content as an opaque binary column with
     // typed metadata — byte length + sha256, both engine-agnostic. The
     // decode/feature-extract stage for real image/audio payloads lives in
@@ -84,6 +93,13 @@ object TextAnalysis extends QueryPack {
         .orderBy(col("doc_id"))
     })
   )
+
+  /** GPT-2 pre-tokenizer split pattern, lookahead-free (portable across
+    * Java regex and RE2): contractions | optional-space letters | digits |
+    * punctuation runs | whitespace runs.
+    */
+  private val BpePattern =
+    "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
 
   private def duckWordHits(ws: Seq[String]): String = {
     val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -128,6 +144,11 @@ object TextAnalysis extends QueryPack {
       SELECT doc_id,
              md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
              substring(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 8) AS fp_prefix
+      FROM documents ORDER BY doc_id""",
+    "t05_bpe_token_count" -> s"""
+      SELECT doc_id,
+             len(regexp_extract_all(text,
+               '${BpePattern.replace("'", "''")}')) AS n_bpe
       FROM documents ORDER BY doc_id""",
     "m01_binary_meta" -> """
       SELECT doc_id,

@@ -80,7 +80,8 @@ class FlatTable(layout: EclLayout, options: CaseInsensitiveStringMap)
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new FlatScanBuilder(path, layout,
-      o.getBoolean("strict", true), o.getBoolean("trimstrings", true))
+      o.getBoolean("strict", true), o.getBoolean("trimstrings", true),
+      o.getBoolean("wholefile", false))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new FlatWriteBuilder(path, layout, info)
@@ -89,7 +90,7 @@ class FlatTable(layout: EclLayout, options: CaseInsensitiveStringMap)
 // ---------------------------------------------------------------- read path
 
 class FlatScanBuilder(path: String, layout: EclLayout, strict: Boolean,
-    trimStrings: Boolean)
+    trimStrings: Boolean, wholeFile: Boolean)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
 
   private var required: StructType = layout.schema
@@ -98,7 +99,7 @@ class FlatScanBuilder(path: String, layout: EclLayout, strict: Boolean,
     required = requiredSchema
 
   override def build(): Scan =
-    new FlatScan(path, layout, required, strict, trimStrings)
+    new FlatScan(path, layout, required, strict, trimStrings, wholeFile)
 }
 
 /** One record-aligned byte range of one file. */
@@ -108,7 +109,8 @@ case class FlatInputPartition(file: String, start: Long, length: Long,
 }
 
 class FlatScan(path: String, layout: EclLayout, required: StructType,
-    strict: Boolean, trimStrings: Boolean) extends Scan with Batch {
+    strict: Boolean, trimStrings: Boolean, wholeFile: Boolean = false)
+    extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -129,7 +131,7 @@ class FlatScan(path: String, layout: EclLayout, required: StructType,
     val recLen = layout.recLen.toLong
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
     // round the target split down to a whole number of records (>= 1 record)
-    val splitBytes = math.max((maxSplit / recLen) * recLen, recLen)
+    val targetSplit = math.max((maxSplit / recLen) * recLen, recLen)
 
     files.flatMap { f =>
       val size = f.getLen
@@ -138,6 +140,9 @@ class FlatScan(path: String, layout: EclLayout, required: StructType,
           s"hpcc-flat: ${f.getPath} size $size is not a multiple of recLen $recLen")
       }
       val usable = (size / recLen) * recLen
+      // wholeFile = the reference's unpartitioned streamInFile mode
+      // (libhdfsconnector.cpp:607-650): one partition spans the file
+      val splitBytes = if (wholeFile) math.max(usable, recLen) else targetSplit
       val blocks = fs.getFileBlockLocations(f, 0, size)
       (0L until usable by splitBytes).map { start =>
         val len = math.min(splitBytes, usable - start)

@@ -91,6 +91,16 @@ class FlatSourceSpec extends SparkSpec {
       (0 until 50).map(_ * 1.5).sum)
   }
 
+  test("wholeFile mode reads each file as one partition (streamInFile)") {
+    val dir = tmpDir("flat-whole")
+    sample(200).repartition(3).write.format("hpcc-flat")
+      .option("layout", layout.spec).mode("overwrite").save(dir)
+    val df = spark.read.format("hpcc-flat").option("layout", layout.spec)
+      .option("wholeFile", "true").load(dir)
+    assert(df.rdd.getNumPartitions == 3) // one per part file
+    assert(df.count() == 200)
+  }
+
   test("string fixed-width semantics: truncate long, pad+trim short") {
     val l = EclLayout.parse("id:unsigned4,s:string4")
     val dir = tmpDir("flat-str")
