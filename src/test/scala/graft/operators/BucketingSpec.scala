@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Scale evidence: pre-bucketing both join sides on the join key makes the
+  * join shuffle-free (co-located scan → SortMergeJoin with zero Exchange).
+  * At 100 TB this is the difference between re-shuffling the fact table per
+  * query and reading co-partitioned buckets in place.
+  */
+class BucketingSpec extends SparkSpec {
+
+  test("bucketed tables join without a shuffle") {
+    import spark.implicits._
+    val wh = tmpDir("bucket-wh")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val facts = (0L until 10000L).map(i => (i % 500, i, i * 0.5))
+        .toDF("k", "id", "v")
+      val dims = (0L until 500L).map(i => (i, s"dim-$i")).toDF("k", "name")
+      facts.write.bucketBy(8, "k").sortBy("k")
+        .option("path", s"$wh/facts").mode("overwrite").saveAsTable("facts_b")
+      dims.write.bucketBy(8, "k").sortBy("k")
+        .option("path", s"$wh/dims").mode("overwrite").saveAsTable("dims_b")
+
+      val joined = spark.table("facts_b").join(spark.table("dims_b"), "k")
+      val n = joined.count()
+      assert(n == 10000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must be shuffle-free:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS facts_b")
+      spark.sql("DROP TABLE IF EXISTS dims_b")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("salted two-phase aggregation matches the direct aggregation on skew") {
+    import spark.implicits._
+    // 90% of rows share one key — the classic skew shape
+    val rows = (0 until 20000).map { i =>
+      (if (i % 10 == 0) s"k${i % 7}" else "hot", i.toLong)
+    }.toDF("k", "v")
+    val direct = rows.groupBy($"k")
+      .agg(sum($"v").as("s"), count(lit(1)).as("n"))
+    // phase 1: aggregate on (k, salt); phase 2: merge partials per k
+    val salted = rows
+      .withColumn("salt", pmod(hash($"v"), lit(16)))
+      .groupBy($"k", $"salt")
+      .agg(sum($"v").as("ps"), count(lit(1)).as("pn"))
+      .groupBy($"k")
+      .agg(sum($"ps").as("s"), sum($"pn").as("n"))
+    assert(salted.orderBy("k").collect().toSeq ==
+      direct.orderBy("k").collect().toSeq)
+  }
+}
