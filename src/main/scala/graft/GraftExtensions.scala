@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{DotProduct, MinHashAgg, SimHashAgg}
+
+/** SparkSessionExtensions entry point: wires the engine's native functions
+  * into any session built with
+  * `spark.sql.extensions=graft.GraftExtensions` — the injection-based
+  * alternative to the runtime `GraftFunctions.register(spark)` call (both
+  * register the same expressions; the operator packs call the latter so
+  * they work on unconfigured sessions too).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name, usage,
+      "", "", "", "", "", "", "", "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - codegen'd dot product over two array<double>"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_minhash"),
+      info("graft_minhash", "graft_minhash(x) - 64-lane MinHash signature aggregate"),
+      (exprs: Seq[Expression]) => MinHashAgg(exprs.head, 64)))
+    ext.injectFunction((FunctionIdentifier("graft_simhash"),
+      info("graft_simhash", "graft_simhash(h) - 64-bit SimHash aggregate over long hashes"),
+      (exprs: Seq[Expression]) => SimHashAgg(exprs.head)))
+  }
+}

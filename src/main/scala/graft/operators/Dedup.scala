@@ -8,6 +8,13 @@ import graft.functions.TextFunctions._
 /** Deduplication operators over the `documents` table (north-star surface;
   * the reference moves bytes and has no dedup — SURVEY.md §2.2).
   *
+  * Algorithms: MinHash resemblance sketches (Broder, "On the resemblance
+  * and containment of documents", 1997) with banded LSH (Indyk–Motwani
+  * locality-sensitive hashing family; banding per Leskovec–Rajaraman–Ullman,
+  * Mining of Massive Datasets ch. 3); SimHash (Charikar, "Similarity
+  * estimation techniques from rounding algorithms", STOC 2002) as used for
+  * web-scale near-dup detection (Manku–Jain–Sarma, WWW 2007).
+  *
   * Scale design (100 TB): every method is expressed as
   * explode → shuffle-on-feature → pair aggregation, never a cross join.
   *  - exact: groupBy(key) with a deterministic keeper (min doc_id);

@@ -92,13 +92,19 @@ object EventStreaming {
   }
 
   /** File-source entry point: stream the events fixture directory as if it
-    * were arriving (schema-locked, bounded per trigger).
+    * were arriving (schema-locked, bounded per trigger). The fixture stores
+    * TIMESTAMP(NANOS), which Spark's parquet reader only accepts as long
+    * (`nanosAsLong`) — converted here exactly like the batch loader
+    * (graft.Tables.events), integer `div` so micros match DuckDB truncation.
     */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
-      .schema("event_id long, ts timestamp, user_id long, event_type string, value double, props string")
+      .schema("event_id long, ts long, user_id long, event_type string, value double, props string")
       .option("maxFilesPerTrigger", 1)
       .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 
   /** Sink helper: append to parquet with a checkpoint. */
   def writeParquetStream(df: DataFrame, outDir: String, checkpoint: String) =

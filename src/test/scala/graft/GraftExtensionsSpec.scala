@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{DotProduct, MinHashAgg, SimHashAgg}
+
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("extension applies cleanly to a fresh SparkSessionExtensions") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext) // throws on malformed injection
+  }
+
+  test("injected builders produce correctly-typed expressions") {
+    val arr = Literal.create(Seq(1.0, 2.0), ArrayType(DoubleType))
+    assert(DotProduct(arr, arr).dataType == DoubleType)
+    assert(MinHashAgg(Literal(1L), 64).dataType ==
+      ArrayType(LongType, containsNull = false))
+    assert(SimHashAgg(Literal(1L)).dataType == LongType)
+  }
+}

@@ -1,0 +1,34 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** End-to-end file-source streaming over the driver's events fixture:
+  * readStream (nanos→micros conversion) → windowed aggregation → memory
+  * sink, compared against the identical batch aggregation.
+  */
+class FileStreamSpec extends SparkSpec {
+
+  test("file stream over the events fixture matches the batch aggregate") {
+    // the file-stream source requires a directory; stage the fixture file
+    val dir = tmpDir("events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    val stream = EventStreaming.readEventStream(spark, dir)
+    val q = EventStreaming.tumblingCounts(stream).writeStream
+      .format("memory").queryName("filestream_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("filestream_out")
+      .orderBy("w_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+
+    val batch = EventStreaming.tumblingCounts(graft.Tables.events(spark, "/root/testdata/sf0.001"))
+      .orderBy("w_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+}
