@@ -16,9 +16,19 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // also surface the single part as a plain file `<name>.parquet` so
+        // either driver convention (file or directory) resolves
+        val dir = new java.io.File(s"$outDir/$name")
+        dir.listFiles().find(f =>
+          f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .foreach { part =>
+            Files.copy(part.toPath, Paths.get(s"$outDir/$name.parquet"),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -80,6 +80,29 @@ object TextAnalysis extends QueryPack {
             .as("n_bpe"))
         .orderBy(col("doc_id"))
     }),
+    // Winnowing document fingerprints (Schleimer–Wilkerson–Aiken, SIGMOD
+    // 2003): k-gram rolling hashes, min per sliding window of w — any
+    // shared run of ≥ w+k-1 tokens between two documents shares a
+    // fingerprint. Sliding min is a window frame over the exploded hash
+    // stream (one shuffle on doc_id); hashes are engine-specific →
+    // rows-only check, semantics asserted in WinnowingSpec.
+    "t06_winnowing_fingerprints" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val W = 4
+      val hs = T.documents(s, d).select(col("doc_id"),
+        posexplode(shingleHashes(col("text"), 3)).as(Seq("pos", "h")))
+      val frame = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(0, W - 1)
+      val cnt = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+      hs.withColumn("n_sh", count(lit(1)).over(cnt))
+        .withColumn("fp", min(col("h")).over(frame))
+        .filter(col("pos") <= col("n_sh") - W)
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("fp")).as("n_fp"), min(col("fp")).as("min_fp"))
+        .orderBy(col("doc_id"))
+    }),
     // Multimodal plumbing: treat content as an opaque binary column with
     // typed metadata — byte length + sha256, both engine-agnostic. The
     // decode/feature-extract stage for real image/audio payloads lives in

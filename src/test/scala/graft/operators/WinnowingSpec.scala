@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Winnowing guarantee (Schleimer et al.): two documents sharing a token
+  * run of length ≥ w + k - 1 share at least one fingerprint.
+  */
+class WinnowingSpec extends SparkSpec {
+
+  private def fingerprints(texts: Seq[(Long, String)]): Map[Long, Set[Long]] = {
+    import spark.implicits._
+    import graft.functions.TextFunctions._
+    val W = 4
+    val hs = texts.toDF("doc_id", "text").select($"doc_id",
+      posexplode(shingleHashes($"text", 3)).as(Seq("pos", "h")))
+    val frame = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos").rowsBetween(0, W - 1)
+    val cnt = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+    hs.withColumn("n_sh", count(lit(1)).over(cnt))
+      .withColumn("fp", min($"h").over(frame))
+      .filter($"pos" <= $"n_sh" - W)
+      .select($"doc_id", $"fp").collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+  }
+
+  test("shared run of >= w+k-1 tokens yields a shared fingerprint") {
+    val shared = (1 to 10).map(i => s"common$i").mkString(" ") // 10 >= 4+3-1
+    val fps = fingerprints(Seq(
+      1L -> s"alpha beta gamma delta $shared epsilon zeta",
+      2L -> s"one two three four five six $shared seven"))
+    assert(fps(1L).intersect(fps(2L)).nonEmpty)
+  }
+
+  test("unrelated documents share no fingerprints") {
+    val fps = fingerprints(Seq(
+      1L -> (1 to 40).map(i => s"left$i").mkString(" "),
+      2L -> (1 to 40).map(i => s"right$i").mkString(" ")))
+    assert(fps(1L).intersect(fps(2L)).isEmpty)
+  }
+
+  test("fingerprints are a small fraction of all k-gram hashes") {
+    val text = (1 to 200).map(i => s"tok${i % 90}").mkString(" ")
+    val fps = fingerprints(Seq(1L -> text))
+    assert(fps(1L).size < 198) // strictly compressed vs 198 shingles
+    assert(fps(1L).nonEmpty)
+  }
+}
