@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.sources.{EclLayout, Pipe, PipeFormat}
+
+/** Format-path throughput — the capability the reference actually ships
+  * (partitioned byte movement). Reports bytes and bytes/sec per
+  * format × direction, the same self-metrics the reference prints to
+  * stderr per run (reference: webhdfsconnector.cpp:230-234).
+  *
+  * Run: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.FormatBench"
+  */
+object FormatBench {
+
+  private def dirBytes(dir: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+    walk(new java.io.File(dir))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val layout = EclLayout.parse(
+      "orderkey:integer8,partkey:integer8,suppkey:integer8,quantity:real8," +
+        "extendedprice:real8,discount:real8,tax:real8," +
+        "returnflag:string1,linestatus:string1")
+    val li = Tables.lineitem(spark, sfDir).select(
+      col("l_orderkey").as("orderkey"), col("l_partkey").as("partkey"),
+      col("l_suppkey").as("suppkey"), col("l_quantity").as("quantity"),
+      col("l_extendedprice").as("extendedprice"),
+      col("l_discount").as("discount"), col("l_tax").as("tax"),
+      col("l_returnflag").as("returnflag"), col("l_linestatus").as("linestatus"))
+    li.count() // warm the parquet read
+
+    val base = java.nio.file.Files.createTempDirectory("graft-fbench").toString
+    val results = Seq[(String, PipeFormat)](
+      "flat" -> PipeFormat.Flat, "csv" -> PipeFormat.Csv(),
+      "xml" -> PipeFormat.Xml()).flatMap { case (name, fmt) =>
+      val dir = s"$base/$name"
+      val t0 = System.nanoTime()
+      Pipe.out(li, dir, layout, fmt)
+      val tw = (System.nanoTime() - t0) / 1e9
+      val bytes = dirBytes(dir)
+      // warm + timed read (count forces full decode of at least one column;
+      // sum over a late field forces full-record decode for flat)
+      val t1 = System.nanoTime()
+      val n = Pipe.in(spark, dir, layout, fmt).agg(sum(col("tax"))).count()
+      val tr = (System.nanoTime() - t1) / 1e9
+      require(n == 1)
+      Seq(
+        s""""${name}_write":{"bytes":$bytes,"sec":$tw,"bps":${(bytes / tw).toLong}}""",
+        s""""${name}_read":{"bytes":$bytes,"sec":$tr,"bps":${(bytes / tr).toLong}}""")
+    }
+    println(results.mkString("{\"metric\":\"format_throughput\",", ",", s""","sf":"$sfDir"}"""))
+    spark.stop()
+  }
+}

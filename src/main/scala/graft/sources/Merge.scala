@@ -19,22 +19,34 @@ object Merge {
 
   private val CopyBuf = 1 << 20 // reference flush threshold, hdfsconnector.hpp:211
 
-  /** Concat `dir/part_i_n` (all i, in order) into `target`. */
+  /** Concat the part files under `dir` into `target`, in partition order.
+    * Recognizes both the reference naming `part_<i>_<n>` (with the
+    * missing-part check, :807-811) and Spark's `part-NNNNN-…` (ordered by
+    * task number, which Spark zero-pads into the name).
+    */
   def mergeParts(spark: SparkSession, dir: String, target: String,
       cleanMerge: Boolean = false): Long = {
     val d = new Path(dir)
     val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
     val PartName = "part_(\\d+)_(\\d+)".r
-    val parts = fs.listStatus(d).toSeq.flatMap { f =>
+    val refParts = fs.listStatus(d).toSeq.flatMap { f =>
       f.getPath.getName match {
         case PartName(i, n) => Some((i.toInt, n.toInt, f.getPath))
         case _ => None
       }
     }.sortBy(_._1)
+    val parts: Seq[(Int, Int, Path)] =
+      if (refParts.nonEmpty) refParts
+      else fs.listStatus(d).toSeq
+        .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+        .sortBy(_.getPath.getName)
+        .zipWithIndex.map { case (f, i) => (i, 0, f.getPath) }
     require(parts.nonEmpty, s"no part files under $dir")
-    val n = parts.head._2
-    val missing = (0 until n).toSet -- parts.map(_._1).toSet
-    require(missing.isEmpty, s"missing parts $missing under $dir") // :807-811
+    if (refParts.nonEmpty) {
+      val n = parts.head._2
+      val missing = (0 until n).toSet -- parts.map(_._1).toSet
+      require(missing.isEmpty, s"missing parts $missing under $dir") // :807-811
+    }
 
     val out = fs.create(new Path(target), true)
     val buf = new Array[Byte](CopyBuf)

@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** API-parity spec: each reference verb (PipeIn / PipeOut / PipeOutAndMerge
+  * × FLAT/CSV/XML) round-trips through the façade.
+  */
+class PipeSpec extends SparkSpec {
+
+  private val layout = EclLayout.parse("id:unsigned4,name:string12,v:real8")
+
+  private def sample = {
+    import spark.implicits._
+    (0L until 300L).map(i => (i, s"name-$i", i * 0.25)).toDF("id", "name", "v")
+  }
+
+  test("PipeOut → PipeIn identity, FLAT") {
+    val dir = tmpDir("pipe-flat")
+    Pipe.out(sample, dir, layout, PipeFormat.Flat)
+    val back = Pipe.in(spark, dir, layout, PipeFormat.Flat)
+    assert(back.orderBy("id").collect().toSeq ==
+      sample.orderBy("id").collect().toSeq)
+  }
+
+  test("PipeOut → PipeIn identity, CSV with reference defaults") {
+    val dir = tmpDir("pipe-csv")
+    Pipe.out(sample, dir, layout, PipeFormat.Csv())
+    val back = Pipe.in(spark, dir, layout, PipeFormat.Csv())
+    assert(back.orderBy("id").collect().toSeq ==
+      sample.orderBy("id").collect().toSeq)
+  }
+
+  test("PipeOut → PipeIn identity, XML") {
+    val dir = tmpDir("pipe-xml")
+    Pipe.out(sample, dir, layout, PipeFormat.Xml())
+    val back = Pipe.in(spark, dir, layout, PipeFormat.Xml())
+    assert(back.orderBy("id").collect().toSeq ==
+      sample.orderBy("id").collect().toSeq)
+  }
+
+  test("PipeOutAndMerge produces ONE file per format, identity preserved") {
+    for (fmt <- Seq[PipeFormat](PipeFormat.Flat, PipeFormat.Csv(),
+        PipeFormat.Xml())) {
+      val dir = tmpDir(s"pipe-merge")
+      val target = s"$dir/merged.out"
+      Pipe.outAndMerge(sample.repartition(4), target, layout, fmt)
+      assert(new java.io.File(target).isFile, s"$fmt should merge to one file")
+      assert(!new java.io.File(target + "-parts").exists, s"$fmt cleanMerge")
+      val back = Pipe.in(spark, target, layout, fmt)
+      assert(back.count() == 300)
+      assert(back.agg(sum("id")).collect().head.getLong(0) == (0L until 300L).sum)
+    }
+  }
+}
