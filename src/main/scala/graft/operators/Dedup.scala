@@ -157,8 +157,8 @@ object Dedup extends QueryPack {
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"),
           bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+        .filter(col("hamming") <= 15) // before distinct: shrink the shuffle
         .distinct()
-        .filter(col("hamming") <= 15)
         .orderBy(col("doc_a"), col("doc_b"))
     })
   )
