@@ -73,19 +73,18 @@ case class DotProduct(left: Expression, right: Expression)
 
 /** Session-scoped registration so `call_function("graft_dot", ...)` resolves
   * without requiring `spark.sql.extensions` wiring in every entry point.
+  * `createOrReplaceTempFunction` is idempotent and cheap, so no
+  * per-session dedup cache is kept (an identity-hash cache can collide
+  * across GC'd sessions and silently skip registration).
   */
 object GraftFunctions {
-  private val registered = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
-
-  def register(spark: SparkSession): Unit =
-    if (registered.add(String.valueOf(System.identityHashCode(spark)))) {
-      val reg = spark.sessionState.functionRegistry
-      reg.createOrReplaceTempFunction(
-        "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
-      reg.createOrReplaceTempFunction(
-        "graft_minhash", exprs => MinHashAgg(exprs.head, 64), "built-in")
-      reg.createOrReplaceTempFunction(
-        "graft_simhash", exprs => SimHashAgg(exprs.head), "built-in")
-    }
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_minhash", exprs => MinHashAgg(exprs.head, 64), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_simhash", exprs => SimHashAgg(exprs.head), "built-in")
+  }
 }

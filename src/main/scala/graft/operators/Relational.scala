@@ -78,12 +78,14 @@ object Relational extends QueryPack {
     // engine-specific, so the cross-engine contract is the error bound:
     // both engines' HLL must land within 5% of the exact count — the
     // boolean verdicts and exact counts are what the oracle hashes.
+    // rsd=0.01 (not the 0.05 default) keeps the 5% bound at ~5σ so the
+    // verdict is stable across scale factors.
     "q24_approx_distinct" -> ((s, d) => {
       import s.implicits._
       T.lineitem(s, d)
         .groupBy($"l_returnflag")
         .agg(countDistinct($"l_partkey").as("n_exact"),
-          approx_count_distinct($"l_partkey").as("n_approx"))
+          approx_count_distinct($"l_partkey", 0.01).as("n_approx"))
         .select($"l_returnflag", $"n_exact",
           (abs($"n_approx" - $"n_exact") <= $"n_exact" * 0.05).as("hll_ok"))
         .orderBy($"l_returnflag")

@@ -98,7 +98,9 @@ object TextAnalysis extends QueryPack {
         .partitionBy(col("doc_id"))
       hs.withColumn("n_sh", count(lit(1)).over(cnt))
         .withColumn("fp", min(col("h")).over(frame))
-        .filter(col("pos") <= col("n_sh") - W)
+        // docs shorter than one window still fingerprint (min over all
+        // hashes = the pos-0 frame), per Schleimer et al.'s guarantee
+        .filter(col("pos") <= greatest(col("n_sh") - W, lit(0)))
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("fp")).as("n_fp"), min(col("fp")).as("min_fp"))
         .orderBy(col("doc_id"))

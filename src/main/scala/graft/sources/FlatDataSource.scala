@@ -124,8 +124,10 @@ class FlatScan(path: String, layout: EclLayout, required: StructType,
     val fs = root.getFileSystem(conf)
     val files: Seq[FileStatus] =
       if (fs.getFileStatus(root).isDirectory)
-        fs.listStatus(root).toSeq.filter(f => f.isFile && f.getLen > 0)
-          .sortBy(_.getPath.getName)
+        fs.listStatus(root).toSeq.filter { f =>
+          val n = f.getPath.getName
+          f.isFile && f.getLen > 0 && !n.startsWith(".") && !n.startsWith("_")
+        }.sortBy(_.getPath.getName)
       else Seq(fs.getFileStatus(root))
 
     val recLen = layout.recLen.toLong
@@ -155,18 +157,21 @@ class FlatScan(path: String, layout: EclLayout, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FlatReaderFactory(layout.spec, required.fieldNames, trimStrings)
+    new FlatReaderFactory(layout.spec, required.fieldNames, trimStrings,
+      new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()))
 }
 
 class FlatReaderFactory(layoutSpec: String, requiredNames: Array[String],
-    trimStrings: Boolean) extends PartitionReaderFactory {
+    trimStrings: Boolean, conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new FlatPartitionReader(p.asInstanceOf[FlatInputPartition],
-      EclLayout.parse(layoutSpec), requiredNames, trimStrings)
+      EclLayout.parse(layoutSpec), requiredNames, trimStrings, conf)
 }
 
 class FlatPartitionReader(part: FlatInputPartition, layout: EclLayout,
-    requiredNames: Array[String], trimStrings: Boolean)
+    requiredNames: Array[String], trimStrings: Boolean,
+    conf: SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
 
   private val recLen = layout.recLen
@@ -179,7 +184,7 @@ class FlatPartitionReader(part: FlatInputPartition, layout: EclLayout,
 
   private val in = {
     val p = new Path(part.file)
-    val s = p.getFileSystem(new Configuration()).open(p)
+    val s = p.getFileSystem(conf.value).open(p)
     s.seek(part.start)
     s
   }
@@ -226,35 +231,44 @@ class FlatWrite(path: String, layout: EclLayout, truncate: Boolean)
   override def toBatch: BatchWrite = this
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
     val dir = new Path(path)
-    val fs = dir.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+    val fs = dir.getFileSystem(conf)
     if (truncate && fs.exists(dir)) fs.delete(dir, true)
     fs.mkdirs(dir)
-    new FlatWriterFactory(path, layout.spec, info.numPartitions)
+    new FlatWriterFactory(path, layout.spec, info.numPartitions,
+      new SerializableHadoopConf(conf))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-class FlatWriterFactory(path: String, layoutSpec: String, numPartitions: Int)
-    extends DataWriterFactory {
+class FlatWriterFactory(path: String, layoutSpec: String, numPartitions: Int,
+    conf: SerializableHadoopConf) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new FlatDataWriter(path, EclLayout.parse(layoutSpec), partitionId, numPartitions)
+    new FlatDataWriter(path, EclLayout.parse(layoutSpec), partitionId,
+      numPartitions, taskId, conf)
 }
 
 case object FlatCommit extends WriterCommitMessage
 
 /** Writes one reference-convention part file: `part_<i>_<n>`
-  * (hdfsconnector.hpp:65-72). `create(overwrite=true)` makes task retries
-  * idempotent.
+  * (hdfsconnector.hpp:65-72), via a per-attempt temp file renamed into
+  * place on task commit — so failed/duplicate attempts (retries,
+  * speculation) never leave a partial or interleaved final part, and a
+  * half-written output is never mistakable for a complete one.
   */
 class FlatDataWriter(path: String, layout: EclLayout, partitionId: Int,
-    numPartitions: Int) extends DataWriter[InternalRow] {
+    numPartitions: Int, taskId: Long, conf: SerializableHadoopConf)
+    extends DataWriter[InternalRow] {
 
-  private val file = new Path(path, f"part_${partitionId}_$numPartitions")
+  private val finalFile = new Path(path, f"part_${partitionId}_$numPartitions")
+  private val tmpFile =
+    new Path(path, f".part_${partitionId}_$numPartitions.$taskId.tmp")
+  private val fs = finalFile.getFileSystem(conf.value)
   private val out = new java.io.BufferedOutputStream(
-    file.getFileSystem(new Configuration()).create(file, true), 1 << 16)
+    fs.create(tmpFile, true), 1 << 16)
   private val buf = new Array[Byte](layout.recLen)
 
   override def write(r: InternalRow): Unit = {
@@ -266,7 +280,16 @@ class FlatDataWriter(path: String, layout: EclLayout, partitionId: Int,
     out.write(buf)
   }
 
-  override def commit(): WriterCommitMessage = { out.close(); FlatCommit }
-  override def abort(): Unit = out.close()
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    if (fs.exists(finalFile)) fs.delete(finalFile, false) // lost earlier attempt
+    if (!fs.rename(tmpFile, finalFile))
+      throw new java.io.IOException(s"hpcc-flat: rename $tmpFile -> $finalFile failed")
+    FlatCommit
+  }
+  override def abort(): Unit = {
+    out.close()
+    fs.delete(tmpFile, false)
+  }
   override def close(): Unit = ()
 }

@@ -47,6 +47,13 @@ object HpccCsv {
 
   /** Write with reference semantics. Multi-char terminator → `to_csv` rows
     * joined by the text sink's `lineSep`.
+    *
+    * Divergence note (SURVEY.md §7 "hard parts"): the multi-char read path
+    * splits rows with the quote-UNAWARE text reader, so a quoted field
+    * containing the full terminator byte sequence would be split mid-field
+    * (the reference's own quote-parity scan is equally unsound when the
+    * quote state spans a partition boundary). Rather than corrupt silently,
+    * the writer REJECTS rows whose serialized form contains the terminator.
     */
   def write(df: DataFrame, path: String,
       separator: String = DefaultSeparator,
@@ -59,8 +66,13 @@ object HpccCsv {
         .mode("overwrite").csv(path)
     } else {
       import scala.jdk.CollectionConverters._
-      df.select(to_csv(struct(df.columns.map(col).toSeq: _*),
-          Map("sep" -> separator, "quote" -> quote).asJava).as("value"))
+      val row = to_csv(struct(df.columns.map(col).toSeq: _*),
+        Map("sep" -> separator, "quote" -> quote).asJava)
+      val guarded = when(row.contains(lit(terminator)),
+        raise_error(concat(lit("hpcc-csv: row contains the terminator "),
+          lit(terminator.replace("\n", "\\n")), lit(": "), row)))
+        .otherwise(row)
+      df.select(guarded.as("value"))
         .write.option("lineSep", terminator)
         .mode("overwrite").text(path)
     }

@@ -1,0 +1,24 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+import org.apache.hadoop.conf.Configuration
+
+/** Ships the driver's Hadoop configuration to executor-side readers/writers.
+  * Without this, task-side `new Configuration()` drops every
+  * `spark.hadoop.*` setting (S3 credentials, HDFS HA nameservices, …) that
+  * the driver-side planning honored.
+  */
+final class SerializableHadoopConf(@transient private val conf: Configuration)
+    extends Serializable {
+
+  private val props: Array[(String, String)] =
+    conf.iterator().asScala.map(e => e.getKey -> e.getValue).toArray
+
+  @transient private lazy val rebuilt: Configuration = {
+    val c = new Configuration(false)
+    props.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
+  def value: Configuration = if (conf != null) conf else rebuilt
+}

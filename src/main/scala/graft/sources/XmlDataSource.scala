@@ -96,8 +96,10 @@ class XmlScan(path: String, rowTag: String, required: StructType)
     val fs = root.getFileSystem(conf)
     val files: Seq[FileStatus] =
       if (fs.getFileStatus(root).isDirectory)
-        fs.listStatus(root).toSeq.filter(f => f.isFile && f.getLen > 0)
-          .sortBy(_.getPath.getName)
+        fs.listStatus(root).toSeq.filter { f =>
+          val n = f.getPath.getName
+          f.isFile && f.getLen > 0 && !n.startsWith(".") && !n.startsWith("_")
+        }.sortBy(_.getPath.getName)
       else Seq(fs.getFileStatus(root))
     val splitBytes = math.max(spark.sessionState.conf.filesMaxPartitionBytes, 1L)
 
@@ -115,13 +117,14 @@ class XmlScan(path: String, rowTag: String, required: StructType)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new XmlReaderFactory(rowTag, required)
+    new XmlReaderFactory(rowTag, required,
+      new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()))
 }
 
-class XmlReaderFactory(rowTag: String, required: StructType)
-    extends PartitionReaderFactory {
+class XmlReaderFactory(rowTag: String, required: StructType,
+    conf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new XmlPartitionReader(p.asInstanceOf[XmlInputPartition], rowTag, required)
+    new XmlPartitionReader(p.asInstanceOf[XmlInputPartition], rowTag, required, conf)
 }
 
 /** Streams one byte range; the tag state machine mirrors the reference's
@@ -130,14 +133,15 @@ class XmlReaderFactory(rowTag: String, required: StructType)
   * stream abstraction :285-303).
   */
 class XmlPartitionReader(part: XmlInputPartition, rowTag: String,
-    required: StructType) extends PartitionReader[InternalRow] {
+    required: StructType, conf: SerializableHadoopConf)
+    extends PartitionReader[InternalRow] {
 
   private val open = s"<$rowTag".getBytes("UTF-8")
   private val closeTag = s"</$rowTag>".getBytes("UTF-8")
 
   private val in = {
     val p = new Path(part.file)
-    val s = p.getFileSystem(new Configuration()).open(p)
+    val s = p.getFileSystem(conf.value).open(p)
     s.seek(part.start)
     new java.io.BufferedInputStream(s, 1 << 16)
   }
@@ -219,10 +223,21 @@ class XmlPartitionReader(part: XmlInputPartition, rowTag: String,
     } else { done = true; false }
   }
 
+  private val NumericRef = "&#(x?)([0-9A-Fa-f]+);".r
+
   private def unescape(s: String): String =
     if (s.indexOf('&') < 0) s
-    else s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
-      .replace("&apos;", "'").replace("&amp;", "&")
+    else {
+      // numeric character references first (&#13; / &#x1F600;), then the
+      // five named entities — &amp; strictly last so "&amp;lt;" → "&lt;"
+      val num = NumericRef.replaceAllIn(s, m => {
+        val cp = Integer.parseInt(m.group(2), if (m.group(1).isEmpty) 10 else 16)
+        scala.util.matching.Regex.quoteReplacement(
+          new String(Character.toChars(cp)))
+      })
+      num.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+        .replace("&apos;", "'").replace("&amp;", "&")
+    }
 
   private def fieldText(xml: String, name: String): Option[String] = {
     val openIdx = xml.indexOf(s"<$name>")

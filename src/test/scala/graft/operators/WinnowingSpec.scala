@@ -19,7 +19,7 @@ class WinnowingSpec extends SparkSpec {
     val cnt = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
     hs.withColumn("n_sh", count(lit(1)).over(cnt))
       .withColumn("fp", min($"h").over(frame))
-      .filter($"pos" <= $"n_sh" - W)
+      .filter($"pos" <= greatest($"n_sh" - W, lit(0)))
       .select($"doc_id", $"fp").collect()
       .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
   }
@@ -37,6 +37,14 @@ class WinnowingSpec extends SparkSpec {
       1L -> (1 to 40).map(i => s"left$i").mkString(" "),
       2L -> (1 to 40).map(i => s"right$i").mkString(" ")))
     assert(fps(1L).intersect(fps(2L)).isEmpty)
+  }
+
+  test("documents shorter than one window still emit a fingerprint") {
+    val fps = fingerprints(Seq(
+      1L -> "tiny doc here now",          // 2 shingles < W=4 windows
+      2L -> "tiny doc here now"))
+    assert(fps(1L).size == 1)
+    assert(fps(1L) == fps(2L)) // identical short docs still match
   }
 
   test("fingerprints are a small fraction of all k-gram hashes") {

@@ -29,6 +29,8 @@ class FlatSourceSpec extends SparkSpec {
     assert(back.schema == layout.schema)
     assert(back.orderBy("id").collect().toSeq ==
       df.orderBy("id").collect().toSeq)
+    // commit protocol leaves no temp files behind
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.endsWith(".tmp")))
   }
 
   test("split invariance: record-aligned partitions lose/duplicate nothing") {

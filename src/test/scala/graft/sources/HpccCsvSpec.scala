@@ -34,6 +34,20 @@ class HpccCsvSpec extends SparkSpec {
     assert(got.collect().toSeq == sample.orderBy("id").collect().toSeq)
   }
 
+  test("multi-char terminator write rejects a field containing the terminator") {
+    import spark.implicits._
+    val dir = tmpDir("csv-reject")
+    val bad = Seq((1L, "contains|\nterminator", 0.0)).toDF("id", "txt", "v")
+    val ex = intercept[Exception] {
+      HpccCsv.write(bad, dir, terminator = "|\n")
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.getMessage != null) &&
+      causes(ex).flatMap(c => Option(c.getMessage)).mkString
+        .contains("terminator"))
+  }
+
   test("multi-char-terminator read stays splittable and loses nothing") {
     val dir = tmpDir("csv-split")
     import spark.implicits._

@@ -39,6 +39,18 @@ class XmlSourceSpec extends SparkSpec {
     assert(got(4).isNullAt(0) && got(4).isNullAt(1) && got(4).isNullAt(2))
   }
 
+  test("numeric character references decode (&#13; / &#x41;)") {
+    val dir = tmpDir("xml-numref")
+    writeXml(dir, Seq(
+      "<Row><id>1</id><name>A&#13;B</name><score>1.0</score></Row>",
+      "<Row><id>2</id><name>&#x41;&#x42;</name><score>2.0</score></Row>",
+      "<Row><id>3</id><name>&amp;#13;</name><score>3.0</score></Row>"))
+    val got = read(dir).orderBy("id").collect()
+    assert(got(0).getString(1) == "A\rB")
+    assert(got(1).getString(1) == "AB")
+    assert(got(2).getString(1) == "&#13;") // escaped ampersand stays literal
+  }
+
   test("rowTag does not match longer tag names (Row vs Rows)") {
     val dir = tmpDir("xml-tagname")
     writeXml(dir, Seq(
