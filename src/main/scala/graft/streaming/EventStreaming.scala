@@ -91,6 +91,73 @@ object EventStreaming {
       }
   }
 
+  /** Stream-stream join: views enriched with the user's click stream
+    * within a ±10-minute event-time band. Both sides are watermarked so
+    * the join state is bounded (Spark buffers each side only until the
+    * other side's watermark passes the band).
+    */
+  def viewClickJoin(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "30 minutes")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+      .withWatermark("click_ts", "30 minutes")
+    views.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("view_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("click_ts") <= col("view_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("view_id"), col("user_id"), col("view_ts"),
+        col("click_ts"), col("click_value"))
+  }
+
+  case class SessionOut(user_id: Long, sess_start: Timestamp,
+      sess_end: Timestamp, n_events: Int)
+
+  /** Session-close emission via flatMapGroupsWithState: buffers per-user
+    * events in state, emits a SessionOut row only when the event-time
+    * timeout fires past the session gap — the custom-state formulation of
+    * sessionAgg for when built-in session_window can't express the logic
+    * (e.g. per-session early-exit rules, enrichment at close).
+    */
+  def sessionsOnClose(events: Dataset[EventIn],
+      gapMs: Long = 30L * 60 * 1000): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Int), SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[EventIn], state: GroupState[(Long, Long, Int)]) =>
+          if (state.hasTimedOut) {
+            val (start, end, n) = state.get
+            state.remove()
+            Iterator(SessionOut(uid, new Timestamp(start), new Timestamp(end), n))
+          } else {
+            val times = batch.map(_.ts.getTime).toSeq.sorted
+            val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
+            var cur = state.getOption
+            times.foreach { t =>
+              cur match {
+                case Some((s0, e0, n0)) if t - e0 <= gapMs =>
+                  cur = Some((s0, math.max(e0, t), n0 + 1))
+                case Some((s0, e0, n0)) =>
+                  closed += SessionOut(uid, new Timestamp(s0), new Timestamp(e0), n0)
+                  cur = Some((t, t, 1))
+                case None => cur = Some((t, t, 1))
+              }
+            }
+            cur.foreach { c =>
+              state.update(c)
+              state.setTimeoutTimestamp(c._2 + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** File-source entry point: stream the events fixture directory as if it
     * were arriving (schema-locked, bounded per trigger). The fixture stores
     * TIMESTAMP(NANOS), which Spark's parquet reader only accepts as long

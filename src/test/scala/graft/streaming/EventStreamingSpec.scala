@@ -62,6 +62,36 @@ class EventStreamingSpec extends SparkSpec {
     assert(got.select("event_id").distinct().count() == 5)
   }
 
+  test("stream-stream join pairs views with clicks in the time band") {
+    val got = runStream(fixture, viewClickJoin)
+    // view id=2 (t=10) pairs with click id=1 (t=0, within 10 min);
+    // view id=4 (t=5) and id=5 (t=20) have no click for user 2
+    val rows = got.collect().map(r => (r.getLong(0), r.getDouble(4)))
+    assert(rows.toSeq == Seq((2L, 1.0)))
+  }
+
+  test("flatMapGroupsWithState emits sessions on event-time close") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[EventIn]
+    val q = sessionsOnClose(src.toDS()).writeStream
+      .format("memory").queryName("sess_close").outputMode("append").start()
+    try {
+      src.addData(fixture: _*)
+      q.processAllAvailable()
+      // advance the watermark far past every session's gap
+      src.addData(EventIn(99, ts(600), 9L, "view", 0.0))
+      q.processAllAvailable()
+      src.addData(EventIn(100, ts(1200), 9L, "view", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sess_close")
+      .orderBy("user_id", "sess_start").collect()
+      .map(r => (r.getLong(0), minOf(r.getTimestamp(1)), r.getInt(3)))
+    // user 1: sessions [0,10] (2 events) then [60]; user 2: [5,20]
+    assert(got.toSeq.containsSlice(Seq((1L, 0L, 2), (1L, 60L, 1), (2L, 5L, 2))))
+  }
+
   test("mapGroupsWithState accumulates running per-user totals") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
