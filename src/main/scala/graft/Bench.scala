@@ -13,18 +13,24 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
+    // optional comma-separated subset, e.g. for scale stress runs where
+    // O(n^2) baselines (s01/s03 brute force) are intentionally excluded
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (warmup) SparkEntry.queries.foreach { case (_, fn) =>
+    val queries = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.contains(name)) }
+    if (warmup) queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => }
     }
     // a failed query records -1, never a time-to-failure masquerading as
     // a fast run
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val sec = try {
         fn(spark, sfDir).count()

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: replicate the sf0.1 fixtures N× with consistent key offsets to
+  * stress the operator suite at a larger scale than the driver fixtures
+  * provide. Keys are offset per replica so joins stay consistent;
+  * `documents.text` is perturbed per replica (vowel rotation) so the dedup
+  * family faces a mostly-unique corpus instead of a degenerate
+  * everything-is-a-duplicate one.
+  *
+  * Run: SPARK_GRAFT_REPL=16 sbt "runMain graft.ScaleGen /tmp/graft_scale"
+  */
+object ScaleGen {
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/tmp/graft_scale")
+    val repl = sys.env.getOrElse("SPARK_GRAFT_REPL", "16").toInt
+    val src = sys.env.getOrElse("SPARK_GRAFT_SRC", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", 16)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def reps(df: DataFrame): DataFrame =
+      df.crossJoin(spark.range(repl).select(col("id").as("rep")))
+
+    def offset(c: String, span: Long) =
+      (col(c) + col("rep") * span).as(c)
+
+    // spans: next power of ten above each key domain, so offsets never
+    // collide across replicas
+    val span = 100000000L
+
+    val vowelTargets = Seq("aeiou", "eioua", "iouae", "ouaei", "uaeio",
+      "aeiuo", "eioau", "iouea", "ouaie", "uaeoi", "aieou", "eoiua",
+      "ioaue", "oueai", "uoaei", "aoeiu")
+    val docs = reps(spark.read.parquet(s"$src/documents.parquet"))
+      .select(offset("doc_id", span),
+        // per-replica consonant-preserving perturbation: most shingles
+        // become replica-unique, mimicking a mostly-unique corpus
+        vowelTargets.zipWithIndex.foldLeft(col("text")) { case (acc, (t, i)) =>
+          when(col("rep") === i, translate(col("text"), "aeiou", t)).otherwise(acc)
+        }.as("text"),
+        col("lang"), col("source"), col("n_chars"))
+
+    val embeddings = reps(spark.read.parquet(s"$src/embeddings.parquet"))
+      .select(offset("vec_id", span), col("embedding"), col("label"))
+
+    // events stores TIMESTAMP(NANOS): read the nanos as long (the written
+    // replica keeps the long column; Tables.events converts identically)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = reps(spark.read.parquet(s"$src/events.parquet"))
+      .select(offset("event_id", span), col("ts"), offset("user_id", span),
+        col("event_type"), col("value"), col("props"))
+
+    val lineitem = reps(spark.read.parquet(s"$src/lineitem.parquet"))
+      .select(offset("l_orderkey", span), offset("l_partkey", span),
+        offset("l_suppkey", span), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"),
+        col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+    val orders = reps(spark.read.parquet(s"$src/orders.parquet"))
+      .select(offset("o_orderkey", span), offset("o_custkey", span),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val customer = reps(spark.read.parquet(s"$src/customer.parquet"))
+      .select(offset("c_custkey", span), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+    val supplier = reps(spark.read.parquet(s"$src/supplier.parquet"))
+      .select(offset("s_suppkey", span), col("s_name"), col("s_nationkey"),
+        col("s_acctbal"))
+    val part = reps(spark.read.parquet(s"$src/part.parquet"))
+      .select(offset("p_partkey", span) +: spark.read
+        .parquet(s"$src/part.parquet").columns.filter(_ != "p_partkey")
+        .map(col).toSeq: _*)
+
+    Seq("documents" -> docs, "embeddings" -> embeddings, "events" -> events,
+      "lineitem" -> lineitem, "orders" -> orders, "customer" -> customer,
+      "supplier" -> supplier, "part" -> part).foreach { case (n, df) =>
+      df.write.mode("overwrite").parquet(s"$out/$n.parquet")
+      println(s"[scalegen] $n x$repl written")
+    }
+    // bounded dims copied as-is
+    Seq("nation", "region").foreach { n =>
+      spark.read.parquet(s"$src/$n.parquet")
+        .write.mode("overwrite").parquet(s"$out/$n.parquet")
+    }
+    println(s"[scalegen] done -> $out")
+    spark.stop()
+  }
+}

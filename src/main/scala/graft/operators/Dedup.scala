@@ -139,9 +139,13 @@ object Dedup extends QueryPack {
         .select(col("doc_a"), col("doc_b"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
-    // SimHash near-dup candidates: 64-bit signatures over shingles, 16×4-bit
-    // bands (any pair at hamming ≤ 15 is guaranteed to share a band), exact
-    // hamming ≤ 15 confirmation. Engine-specific hash → rows-only check.
+    // SimHash near-dup candidates, the Manku–Jain–Sarma (WWW 2007) design:
+    // 64-bit signatures, 4 tables of 16 bits (pigeonhole: any pair at
+    // hamming ≤ 3 shares a table key), exact hamming ≤ 3 confirmation.
+    // 16-bit keys give 65536 buckets per table — measured essential at
+    // scale: a 4-bit-chunk variant (16 buckets/band) put ~n/16 docs in
+    // every bucket and went quadratic at 80k docs (235 s vs 3 s).
+    // Engine-specific hash → rows-only check.
     "d05_simhash_pairs" -> ((s, d) => {
       // the index IS the hash stream — no extra hashing step
       val idx = shingleIndex(T.documents(s, d))
@@ -150,8 +154,8 @@ object Dedup extends QueryPack {
       val sig = idx.groupBy(col("doc_id"))
         .agg(call_function("graft_simhash", col("h")).as("sim"))
       val banded = sig.select(col("doc_id"), col("sim"),
-        posexplode(array((0 until 16).map(b =>
-          shiftright(col("sim"), b * 4).bitwiseAND(lit(15L))): _*))
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("sim"), b * 16).bitwiseAND(lit(0xffffL))): _*))
           .as(Seq("band", "chunk")))
       val l = banded.select(col("band"), col("chunk"),
         col("doc_id").as("doc_a"), col("sim").as("sim_a"))
@@ -161,7 +165,7 @@ object Dedup extends QueryPack {
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"),
           bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
-        .filter(col("hamming") <= 15) // before distinct: shrink the shuffle
+        .filter(col("hamming") <= 3) // before distinct: shrink the shuffle
         .distinct()
         .orderBy(col("doc_a"), col("doc_b"))
     })
