@@ -47,8 +47,10 @@ object Dedup extends QueryPack {
   }
 
   /** Exact-Jaccard near-dup pairs at threshold 0.5 over 3-gram shingles. */
-  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val docs = T.documents(s, d)
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    jaccardPairsOf(T.documents(s, d))
+
+  private def jaccardPairsOf(docs: DataFrame): DataFrame = {
     val idx = shingleIndex(docs)
     // per-doc set size is a narrow projection — no shuffle branch
     val sizes = docs.select(col("doc_id"),
@@ -116,6 +118,21 @@ object Dedup extends QueryPack {
     // Exact n-gram Jaccard near-dup pairs (threshold 0.5, integer compare).
     "d03_ngram_jaccard_pairs" -> ((s, d) =>
       jaccardPairs(s, d).orderBy(col("doc_a"), col("doc_b"))),
+    // End-to-end dedup pipeline, production order (see SCALE.md): exact
+    // fingerprint dedup FIRST (collapses byte-identical clusters that make
+    // exhaustive pairing quadratic), THEN near-dup pairing among the
+    // surviving keepers only.
+    "d06_dedup_pipeline" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val keepers = docs
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val survivors = docs.join(keepers, Seq("doc_id"))
+      jaccardPairsOf(survivors)
+        .select(col("doc_a"), col("doc_b"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
     // MinHash-LSH: candidates from banded signatures, then exact-Jaccard
     // verification of ONLY the candidates — false positives cost only
     // verification work, so banding is tuned for recall AT the threshold:
@@ -200,6 +217,18 @@ object Dedup extends QueryPack {
       FROM documents GROUP BY 1 ORDER BY keeper_doc_id""",
     "d03_ngram_jaccard_pairs" ->
       (jaccardPairsSql + "\n      ORDER BY doc_a, doc_b"),
+    "d06_dedup_pipeline" -> ("""
+      WITH keepers AS (
+        SELECT min(doc_id) AS doc_id
+        FROM (SELECT doc_id,
+                md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+              FROM documents)
+        GROUP BY fp),
+      survivors AS (
+        SELECT d.* FROM documents d JOIN keepers USING (doc_id)),
+      pairs AS (""" +
+      jaccardPairsSql.replace("FROM documents", "FROM survivors") + """)
+      SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b"""),
     "d04_minhash_lsh_pairs" -> ("""
       SELECT doc_a, doc_b FROM (""" + jaccardPairsSql + """)
       ORDER BY doc_a, doc_b""")
