@@ -51,12 +51,15 @@ object FormatBench {
       Pipe.out(li, dir, layout, fmt)
       val tw = (System.nanoTime() - t0) / 1e9
       val bytes = dirBytes(dir)
-      // warm + timed read (count forces full decode of at least one column;
-      // sum over a late field forces full-record decode for flat)
+      // timed read: hash over EVERY column so column pruning can't skip
+      // decode work — this genuinely measures full-record decode
       val t1 = System.nanoTime()
-      val n = Pipe.in(spark, dir, layout, fmt).agg(sum(col("tax"))).count()
+      val h = Pipe.in(spark, dir, layout, fmt)
+        .select(xxhash64(layout.fields.map(f => col(f.name)): _*).as("h"))
+        .agg(expr("bit_xor(h)")) // xor: overflow-free under ANSI mode
+        .collect()(0)
       val tr = (System.nanoTime() - t1) / 1e9
-      require(n == 1)
+      require(!h.isNullAt(0), s"$name read returned no rows")
       Seq(
         s""""${name}_write":{"bytes":$bytes,"sec":$tw,"bps":${(bytes / tw).toLong}}""",
         s""""${name}_read":{"bytes":$bytes,"sec":$tr,"bps":${(bytes / tr).toLong}}""")

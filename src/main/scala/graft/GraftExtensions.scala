@@ -14,9 +14,11 @@ import graft.functions.{DotProduct, MinHashAgg, SimHashAgg}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  // 11-arg constructor order: className, db, name, usage, arguments,
+  // examples, note, group, since, deprecated, source
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[GraftExtensions].getName, name, usage,
-      "", "", "", "", "", "", "", "")
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("graft_dot"),

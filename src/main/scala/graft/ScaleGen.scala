@@ -40,8 +40,12 @@ object ScaleGen {
       .select(offset("doc_id", span),
         // per-replica consonant-preserving perturbation: most shingles
         // become replica-unique, mimicking a mostly-unique corpus
+        // keyed on rep % 16 so replication factors above 16 still perturb
+        // every replica (an unmatched fold branch would leave them
+        // byte-identical — the degenerate corpus this exists to avoid)
         vowelTargets.zipWithIndex.foldLeft(col("text")) { case (acc, (t, i)) =>
-          when(col("rep") === i, translate(col("text"), "aeiou", t)).otherwise(acc)
+          when(pmod(col("rep"), lit(16)) === i,
+            translate(col("text"), "aeiou", t)).otherwise(acc)
         }.as("text"),
         col("lang"), col("source"), col("n_chars"))
 

@@ -16,6 +16,14 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // remove BOTH prior outputs first: a failing query must not leave a
+      // stale previous result for the driver's compare to "pass" against
+      def rmAll(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmAll)
+        f.delete(); ()
+      }
+      rmAll(new java.io.File(s"$outDir/$name"))
+      rmAll(new java.io.File(s"$outDir/$name.parquet"))
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

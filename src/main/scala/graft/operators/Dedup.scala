@@ -21,13 +21,13 @@ import graft.functions.TextFunctions._
   *  - n-gram Jaccard: inverted index (shingle → doc) self-join, integer
   *    threshold arithmetic (`2*inter >= union`) so the oracle matches
   *    bit-for-bit with no FP division;
-  *  - MinHash-LSH: 64-hash signature computed in ONE pass over the inverted
-  *    index (64 min-aggregates, map-side combinable), banded 16×4 → bucket
-  *    join produces candidates, exact-Jaccard verification joins only the
-  *    candidate pairs;
-  *  - SimHash: 64-bit signature via per-bit majority sums (again one
-  *    groupBy), 16×4-bit band join for candidates (pigeonhole: any pair with
-  *    hamming ≤ 15 shares a band), exact hamming filter.
+  *  - MinHash-LSH: 64-lane signature computed in ONE pass over the inverted
+  *    index (custom TypedImperativeAggregate, map-side combinable), banded
+  *    32×2 (recall ≥ 0.9999 at the 0.5 threshold) → bucket join produces
+  *    candidates, exact-Jaccard verification joins only the candidates;
+  *  - SimHash: 64-bit signature via per-bit majority vote (one-pass custom
+  *    aggregate), Manku-style 4 tables × 16 bits (pigeonhole: any pair with
+  *    hamming ≤ 3 shares a table key), exact hamming filter.
   */
 object Dedup extends QueryPack {
 

@@ -121,10 +121,13 @@ object TextAnalysis extends QueryPack {
 
   /** GPT-2 pre-tokenizer split pattern, lookahead-free (portable across
     * Java regex and RE2): contractions | optional-space letters | digits |
-    * punctuation runs | whitespace runs.
+    * punctuation runs | whitespace runs. Whitespace is an EXPLICIT class,
+    * not `\s` — Java's `\s` includes U+000B but RE2's does not, so the
+    * shorthand would diverge on text containing a vertical tab.
     */
+  private val WsClass = " \\t\\n\\x0B\\f\\r"
   private val BpePattern =
-    "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    s"'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^$WsClass\\p{L}\\p{N}]+|[$WsClass]+"
 
   private def duckWordHits(ws: Seq[String]): String = {
     val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")

@@ -231,9 +231,13 @@ class XmlPartitionReader(part: XmlInputPartition, rowTag: String,
       // numeric character references first (&#13; / &#x1F600;), then the
       // five named entities — &amp; strictly last so "&amp;lt;" → "&lt;"
       val num = NumericRef.replaceAllIn(s, m => {
-        val cp = Integer.parseInt(m.group(2), if (m.group(1).isEmpty) 10 else 16)
+        // malformed refs (&#ff; decimal with hex letters, out-of-range
+        // codepoints, overflow) stay literal instead of killing the scan
         scala.util.matching.Regex.quoteReplacement(
-          new String(Character.toChars(cp)))
+          try {
+            val cp = Integer.parseInt(m.group(2), if (m.group(1).isEmpty) 10 else 16)
+            new String(Character.toChars(cp))
+          } catch { case _: RuntimeException => m.matched })
       })
       num.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
         .replace("&apos;", "'").replace("&amp;", "&")

@@ -141,11 +141,18 @@ object EventStreaming {
             var cur = state.getOption
             times.foreach { t =>
               cur match {
-                case Some((s0, e0, n0)) if t - e0 <= gapMs =>
-                  cur = Some((s0, math.max(e0, t), n0 + 1))
-                case Some((s0, e0, n0)) =>
+                case Some((s0, e0, n0)) if t > e0 + gapMs =>
+                  // beyond the gap after the session: close it, start anew
                   closed += SessionOut(uid, new Timestamp(s0), new Timestamp(e0), n0)
                   cur = Some((t, t, 1))
+                case Some((s0, _, _)) if t < s0 - gapMs =>
+                  // late event preceding the session by more than the gap:
+                  // its own (already-closed) session, not absorbed
+                  closed += SessionOut(uid, new Timestamp(t), new Timestamp(t), 1)
+                case Some((s0, e0, n0)) =>
+                  // within the gap of either end: extend (late events may
+                  // extend the start, not just the end)
+                  cur = Some((math.min(s0, t), math.max(e0, t), n0 + 1))
                 case None => cur = Some((t, t, 1))
               }
             }
@@ -163,6 +170,10 @@ object EventStreaming {
     * TIMESTAMP(NANOS), which Spark's parquet reader only accepts as long
     * (`nanosAsLong`) — converted here exactly like the batch loader
     * (graft.Tables.events), integer `div` so micros match DuckDB truncation.
+    *
+    * NOTE deliberate side effect: `nanosAsLong` is a session-level SQL conf
+    * (no reader-scoped equivalent exists), so after this call every
+    * TIMESTAMP(NANOS) parquet column in the session reads as LongType.
     */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

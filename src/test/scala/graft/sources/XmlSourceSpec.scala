@@ -44,11 +44,14 @@ class XmlSourceSpec extends SparkSpec {
     writeXml(dir, Seq(
       "<Row><id>1</id><name>A&#13;B</name><score>1.0</score></Row>",
       "<Row><id>2</id><name>&#x41;&#x42;</name><score>2.0</score></Row>",
-      "<Row><id>3</id><name>&amp;#13;</name><score>3.0</score></Row>"))
+      "<Row><id>3</id><name>&amp;#13;</name><score>3.0</score></Row>",
+      "<Row><id>4</id><name>&#ff;&#x110000;</name><score>4.0</score></Row>"))
     val got = read(dir).orderBy("id").collect()
     assert(got(0).getString(1) == "A\rB")
     assert(got(1).getString(1) == "AB")
     assert(got(2).getString(1) == "&#13;") // escaped ampersand stays literal
+    // malformed refs stay literal instead of failing the scan
+    assert(got(3).getString(1) == "&#ff;&#x110000;")
   }
 
   test("rowTag does not match longer tag names (Row vs Rows)") {
