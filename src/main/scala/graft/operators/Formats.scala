@@ -69,6 +69,32 @@ object Formats extends QueryPack {
         .orderBy(col("n_nationkey"))
     }),
 
+    // Columnar interchange beyond the reference's formats: ORC round trip
+    // (predicate pushdown + column pruning come free from the ORC reader).
+    "f05_orc_roundtrip" -> ((s, d) => {
+      val out = ioDir(d, "f05")
+      T.supplier(s, d).write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          col("s_acctbal"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // Hive-style partitioned write + partition-pruned read: the layout that
+    // makes selective scans cheap at 100 TB (only matching directories are
+    // listed/read — PartitionFilters in the scan, not data filters).
+    "f06_partition_pruned" -> ((s, d) => {
+      val out = ioDir(d, "f06")
+      T.orders(s, d).write.partitionBy("o_orderpriority")
+        .mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // PipeOutAndMerge shape: parallel part write, single-writer ordered
     // concat (Merge.mergeParts = mergeFile), then scan the ONE merged file.
     "f04_flat_merged_agg" -> ((s, d) => {
@@ -93,6 +119,14 @@ object Formats extends QueryPack {
       SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id""",
     "f03_xml_roundtrip" -> """
       SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""",
+    "f05_orc_roundtrip" -> """
+      SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+      FROM supplier ORDER BY s_suppkey""",
+    "f06_partition_pruned" -> """
+      SELECT o_orderstatus, count(*) AS n,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "f04_flat_merged_agg" -> """
       SELECT count(*) AS n, sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal,
              min(c_custkey) AS min_k, max(c_custkey) AS max_k FROM customer"""

@@ -91,6 +91,21 @@ object Relational extends QueryPack {
         .orderBy($"l_returnflag")
     }),
 
+    // The SQL entry point: the same Catalyst pipeline through spark.sql
+    // text over registered views (the engine's second query language).
+    "q32_sql_interface" -> ((s, d) => {
+      T.lineitem(s, d).createOrReplaceTempView("g_lineitem")
+      T.orders(s, d).createOrReplaceTempView("g_orders")
+      s.sql("""
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM g_orders
+        WHERE EXISTS (
+          SELECT 1 FROM g_lineitem
+          WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")
+    }),
+
     // -- projection / filter (pushdown surface) ------------------------------
     "q02_filter_project" -> ((s, d) => {
       import s.implicits._
@@ -369,6 +384,13 @@ object Relational extends QueryPack {
              abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
                <= count(DISTINCT l_partkey) * 0.05 AS hll_ok
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q32_sql_interface" -> """
+      SELECT o_orderpriority, count(*) AS n_orders
+      FROM orders
+      WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q02_filter_project" -> """
       SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
       FROM lineitem
