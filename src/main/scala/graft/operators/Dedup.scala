@@ -107,6 +107,19 @@ object Dedup extends QueryPack {
              count(lit(1)).as("n_rows"))
         .orderBy(col("lang"), col("source"))
     }),
+    // Skew-safe salted two-phase aggregation: identical results to a
+    // direct groupBy (the oracle is the direct formulation) but the first
+    // shuffle spreads each hot key over 16 salt buckets — the pattern for
+    // aggregation keys with pathological skew at corpus scale.
+    "d07_salted_agg" -> ((s, d) => {
+      T.documents(s, d)
+        .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(16)))
+        .groupBy(col("lang"), col("salt"))
+        .agg(count(lit(1)).as("pn"), sum(col("n_chars")).as("ps"))
+        .groupBy(col("lang"))
+        .agg(sum(col("pn")).as("n_docs"), sum(col("ps")).as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
     // Exact content dedup on the normalized md5 fingerprint.
     "d02_dedup_fingerprint" -> ((s, d) => {
       T.documents(s, d)
@@ -211,6 +224,10 @@ object Dedup extends QueryPack {
     "d01_dedup_exact" -> """
       SELECT lang, source, min(doc_id) AS keeper_doc_id, count(*) AS n_rows
       FROM documents GROUP BY lang, source ORDER BY lang, source""",
+    "d07_salted_agg" -> """
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY lang ORDER BY lang""",
     "d02_dedup_fingerprint" -> """
       SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
              min(doc_id) AS keeper_doc_id, count(*) AS n_rows

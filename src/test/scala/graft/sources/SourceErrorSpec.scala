@@ -1,0 +1,70 @@
+package graft.sources
+
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+
+/** Option-validation surface (the reference's parseInParams /
+  * validateParameters layer, hdfsconnector.hpp:205-429,173-191): bad
+  * configuration fails fast with an actionable message, never silently.
+  */
+class SourceErrorSpec extends SparkSpec {
+
+  test("hpcc-flat without a layout option fails with guidance") {
+    val ex = intercept[Exception] {
+      spark.read.format("hpcc-flat").load(tmpDir("e1")).collect()
+    }
+    assert(ex.getMessage.contains("layout"))
+  }
+
+  test("hpcc-flat with a malformed layout spec names the bad field") {
+    val ex = intercept[Exception] {
+      spark.read.format("hpcc-flat")
+        .option("layout", "a:string5,b:varchar9").load(tmpDir("e2")).collect()
+    }
+    assert(ex.getMessage.contains("varchar"))
+  }
+
+  test("hpcc-flat write rejects a mismatched dataframe schema") {
+    import spark.implicits._
+    val ex = intercept[Exception] {
+      Seq((1, "x")).toDF("wrong", "cols").write.format("hpcc-flat")
+        .option("layout", "id:unsigned4,name:string8")
+        .mode("overwrite").save(tmpDir("e3"))
+    }
+    // Spark's analyzer may reject first (INCOMPATIBLE_DATA_FOR_TABLE) or
+    // our builder's own check fires — either way it's a schema error
+    assert(ex.getMessage.contains("schema mismatch") ||
+      ex.getMessage.contains("INCOMPATIBLE_DATA_FOR_TABLE"))
+  }
+
+  test("hpcc-xml without a schema fails with guidance") {
+    val ex = intercept[Exception] {
+      spark.read.format("hpcc-xml").load(tmpDir("e4")).collect()
+    }
+    assert(ex.getMessage.contains("schema"))
+  }
+
+  test("hpcc-xml rejects unsupported field types in the schema") {
+    val dir = tmpDir("e5")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "d.xml"),
+      "<Row><m>x</m></Row>".getBytes("UTF-8"))
+    val ex = intercept[Exception] {
+      spark.read.format("hpcc-xml")
+        .schema(StructType(Seq(StructField("m", MapType(StringType, StringType)))))
+        .load(dir).collect()
+    }
+    assert(ex.getMessage.contains("unsupported field type"))
+  }
+
+  test("csv shim rejects multi-char separators and quotes") {
+    assertThrows[IllegalArgumentException] {
+      HpccCsv.read(spark, "/nonexistent",
+        StructType(Seq(StructField("a", StringType))), separator = "||")
+    }
+    assertThrows[IllegalArgumentException] {
+      HpccCsv.read(spark, "/nonexistent",
+        StructType(Seq(StructField("a", StringType))), quote = "''")
+    }
+  }
+}
