@@ -76,7 +76,7 @@ class FlatTable(layout: EclLayout, options: CaseInsensitiveStringMap)
   override def schema(): StructType = layout.schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new FlatScanBuilder(path, layout,
@@ -227,21 +227,39 @@ class FlatWriteBuilder(path: String, layout: EclLayout, info: LogicalWriteInfo)
 }
 
 class FlatWrite(path: String, layout: EclLayout, truncate: Boolean)
-    extends Write with BatchWrite {
+    extends Write with BatchWrite
+    with org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   override def toBatch: BatchWrite = this
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = this
+  // both parent traits declare this default; disambiguate explicitly
+  override def useCommitCoordinator(): Boolean = true
 
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+  private def prepare(): SerializableHadoopConf = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
     if (truncate && fs.exists(dir)) fs.delete(dir, true)
     fs.mkdirs(dir)
-    new FlatWriterFactory(path, layout.spec, info.numPartitions,
-      new SerializableHadoopConf(conf))
+    new SerializableHadoopConf(conf)
   }
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new FlatWriterFactory(path, layout.spec, info.numPartitions, prepare())
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+
+  // ---- streaming sink: one part-file set per epoch --------------------
+  // `part_<epoch>_<partition>_<n>` extends the reference naming with the
+  // micro-batch epoch so append-mode epochs never collide; commit is
+  // per-epoch (rename protocol in the writer makes replayed epochs
+  // idempotent at the file level).
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new FlatStreamingWriterFactory(path, layout.spec, info.numPartitions, prepare())
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 class FlatWriterFactory(path: String, layoutSpec: String, numPartitions: Int,
@@ -249,6 +267,15 @@ class FlatWriterFactory(path: String, layoutSpec: String, numPartitions: Int,
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new FlatDataWriter(path, EclLayout.parse(layoutSpec), partitionId,
       numPartitions, taskId, conf)
+}
+
+class FlatStreamingWriterFactory(path: String, layoutSpec: String,
+    numPartitions: Int, conf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new FlatDataWriter(path, EclLayout.parse(layoutSpec), partitionId,
+      numPartitions, taskId, conf, namePrefix = s"part_${epochId}_")
 }
 
 case object FlatCommit extends WriterCommitMessage
@@ -260,12 +287,13 @@ case object FlatCommit extends WriterCommitMessage
   * half-written output is never mistakable for a complete one.
   */
 class FlatDataWriter(path: String, layout: EclLayout, partitionId: Int,
-    numPartitions: Int, taskId: Long, conf: SerializableHadoopConf)
+    numPartitions: Int, taskId: Long, conf: SerializableHadoopConf,
+    namePrefix: String = "part_")
     extends DataWriter[InternalRow] {
 
-  private val finalFile = new Path(path, f"part_${partitionId}_$numPartitions")
+  private val finalFile = new Path(path, f"$namePrefix${partitionId}_$numPartitions")
   private val tmpFile =
-    new Path(path, f".part_${partitionId}_$numPartitions.$taskId.tmp")
+    new Path(path, f".$namePrefix${partitionId}_$numPartitions.$taskId.tmp")
   private val fs = finalFile.getFileSystem(conf.value)
   private val out = new java.io.BufferedOutputStream(
     fs.create(tmpFile, true), 1 << 16)

@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkSpec
+import graft.sources.EclLayout
+
+/** Streaming write INTO the reference's FLAT format: readStream →
+  * hpcc-flat sink (per-epoch part files) → batch read-back identity.
+  */
+class FlatStreamSinkSpec extends SparkSpec {
+
+  test("streamed micro-batches land as epoch-tagged flat parts, readable back") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val layout = EclLayout.parse("id:unsigned4,name:string10,v:real8")
+    val dir = tmpDir("flat-stream")
+    val ckpt = tmpDir("flat-stream-ckpt")
+
+    val src = MemoryStream[(Long, String, Double)]
+    val q = src.toDF().toDF("id", "name", "v")
+      .writeStream
+      .format("hpcc-flat")
+      .option("layout", layout.spec)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start(dir)
+    try {
+      src.addData((0L until 50L).map(i => (i, s"n$i", i * 0.5)): _*)
+      q.processAllAvailable()
+      src.addData((50L until 80L).map(i => (i, s"n$i", i * 0.5)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val back = spark.read.format("hpcc-flat").option("layout", layout.spec)
+      .load(dir)
+    assert(back.count() == 80)
+    assert(back.select(org.apache.spark.sql.functions.sum($"id"))
+      .collect().head.getLong(0) == (0L until 80L).sum)
+    // epoch-tagged naming: part_<epoch>_<partition>_<n>
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("part_"))
+    assert(names.nonEmpty)
+    assert(names.forall(_.matches("part_\\d+_\\d+_\\d+")))
+    assert(names.map(_.split("_")(1)).distinct.length >= 2, "two epochs")
+  }
+}
