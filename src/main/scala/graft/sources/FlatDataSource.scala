@@ -234,11 +234,18 @@ class FlatWrite(path: String, layout: EclLayout, truncate: Boolean)
   // both parent traits declare this default; disambiguate explicitly
   override def useCommitCoordinator(): Boolean = true
 
+  // createStreamingWriterFactory is invoked once per MICRO-BATCH (each
+  // epoch wraps this StreamingWrite in a fresh MicroBatchWrite), so the
+  // truncate delete must fire at most once per query — otherwise every
+  // epoch would destroy the previous epoch's output before writing.
+  @volatile private var truncated = false
+
   private def prepare(): SerializableHadoopConf = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
-    if (truncate && fs.exists(dir)) fs.delete(dir, true)
+    if (truncate && !truncated && fs.exists(dir)) fs.delete(dir, true)
+    truncated = true
     fs.mkdirs(dir)
     new SerializableHadoopConf(conf)
   }
@@ -249,17 +256,33 @@ class FlatWrite(path: String, layout: EclLayout, truncate: Boolean)
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 
-  // ---- streaming sink: one part-file set per epoch --------------------
+  // ---- streaming sink (append mode): one part-file set per epoch ------
   // `part_<epoch>_<partition>_<n>` extends the reference naming with the
-  // micro-batch epoch so append-mode epochs never collide; commit is
-  // per-epoch (rename protocol in the writer makes replayed epochs
-  // idempotent at the file level).
+  // micro-batch epoch so epochs never collide. Epoch commit reconciles the
+  // directory against the committed file set, so a replayed epoch (even
+  // re-planned with a different partition count) leaves no orphan parts
+  // from the failed attempt — the duplicate-row hazard of eager renames.
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     new FlatStreamingWriterFactory(path, layout.spec, info.numPartitions, prepare())
 
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  private def cleanEpoch(epochId: Long, keep: Set[String]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+    if (fs.exists(dir)) {
+      val prefix = s"part_${epochId}_"
+      fs.listStatus(dir).foreach { f =>
+        val n = f.getPath.getName
+        if (n.startsWith(prefix) && !keep.contains(n)) fs.delete(f.getPath, false)
+      }
+    }
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    cleanEpoch(epochId,
+      messages.collect { case FlatCommitMsg(f) => f }.toSet)
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    cleanEpoch(epochId, Set.empty)
 }
 
 class FlatWriterFactory(path: String, layoutSpec: String, numPartitions: Int,
@@ -279,6 +302,10 @@ class FlatStreamingWriterFactory(path: String, layoutSpec: String,
 }
 
 case object FlatCommit extends WriterCommitMessage
+/** Commit message carrying the written file name, so the per-epoch
+  * streaming commit can reconcile the directory against the committed set.
+  */
+case class FlatCommitMsg(fileName: String) extends WriterCommitMessage
 
 /** Writes one reference-convention part file: `part_<i>_<n>`
   * (hdfsconnector.hpp:65-72), via a per-attempt temp file renamed into
@@ -313,7 +340,7 @@ class FlatDataWriter(path: String, layout: EclLayout, partitionId: Int,
     if (fs.exists(finalFile)) fs.delete(finalFile, false) // lost earlier attempt
     if (!fs.rename(tmpFile, finalFile))
       throw new java.io.IOException(s"hpcc-flat: rename $tmpFile -> $finalFile failed")
-    FlatCommit
+    FlatCommitMsg(finalFile.getName)
   }
   override def abort(): Unit = {
     out.close()

@@ -20,38 +20,48 @@ object Merge {
   private val CopyBuf = 1 << 20 // reference flush threshold, hdfsconnector.hpp:211
 
   /** Concat the part files under `dir` into `target`, in partition order.
-    * Recognizes both the reference naming `part_<i>_<n>` (with the
-    * missing-part check, :807-811) and Spark's `part-NNNNN-…` (ordered by
-    * task number, which Spark zero-pads into the name).
+    * Recognizes the reference naming `part_<i>_<n>` (with the missing-part
+    * check, :807-811), the streaming sink's `part_<epoch>_<i>_<n>`
+    * (ordered by epoch then partition), and Spark's `part-NNNNN-…`
+    * (ordered by task number, zero-padded into the name). Mixed batch +
+    * streaming dirs merge batch parts first, then epochs in order — no
+    * naming family is silently dropped.
     */
   def mergeParts(spark: SparkSession, dir: String, target: String,
       cleanMerge: Boolean = false): Long = {
     val d = new Path(dir)
     val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
     val PartName = "part_(\\d+)_(\\d+)".r
-    val refParts = fs.listStatus(d).toSeq.flatMap { f =>
+    val EpochPart = "part_(\\d+)_(\\d+)_(\\d+)".r
+    val listing = fs.listStatus(d).toSeq.filter(_.isFile)
+    val refParts = listing.flatMap { f =>
       f.getPath.getName match {
         case PartName(i, n) => Some((i.toInt, n.toInt, f.getPath))
         case _ => None
       }
     }.sortBy(_._1)
-    val parts: Seq[(Int, Int, Path)] =
-      if (refParts.nonEmpty) refParts
-      else fs.listStatus(d).toSeq
-        .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
-        .sortBy(_.getPath.getName)
-        .zipWithIndex.map { case (f, i) => (i, 0, f.getPath) }
+    val epochParts = listing.flatMap { f =>
+      f.getPath.getName match {
+        case EpochPart(e, i, _) => Some((e.toLong, i.toInt, f.getPath))
+        case _ => None
+      }
+    }.sortBy(p => (p._1, p._2))
+    val sparkParts = listing
+      .filter(_.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName).map(_.getPath)
+    val parts: Seq[Path] =
+      refParts.map(_._3) ++ epochParts.map(_._3) ++ sparkParts
     require(parts.nonEmpty, s"no part files under $dir")
     if (refParts.nonEmpty) {
-      val n = parts.head._2
-      val missing = (0 until n).toSet -- parts.map(_._1).toSet
+      val n = refParts.head._2
+      val missing = (0 until n).toSet -- refParts.map(_._1).toSet
       require(missing.isEmpty, s"missing parts $missing under $dir") // :807-811
     }
 
     val out = fs.create(new Path(target), true)
     val buf = new Array[Byte](CopyBuf)
     var total = 0L
-    try parts.foreach { case (_, _, p) =>
+    try parts.foreach { p =>
       val in = fs.open(p)
       try {
         var read = in.read(buf)

@@ -42,5 +42,12 @@ class FlatStreamSinkSpec extends SparkSpec {
     assert(names.nonEmpty)
     assert(names.forall(_.matches("part_\\d+_\\d+_\\d+")))
     assert(names.map(_.split("_")(1)).distinct.length >= 2, "two epochs")
+
+    // PipeOutAndMerge works on streamed output too (epoch-ordered concat)
+    val merged = tmpDir("flat-stream-merged") + "/all.flat"
+    graft.sources.Merge.mergeParts(spark, dir, merged)
+    val one = spark.read.format("hpcc-flat").option("layout", layout.spec)
+      .load(merged)
+    assert(one.count() == 80)
   }
 }
