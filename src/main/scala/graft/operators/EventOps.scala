@@ -49,6 +49,22 @@ object EventOps extends QueryPack {
         .orderBy(col("user_id"), col("sess_id"))
     }),
 
+    // Interval (banded range) join: each event lands in the value band
+    // containing it. The band dim is tiny and broadcast, so the range
+    // predicate is evaluated map-side — no shuffle of the fact side, the
+    // standard shape for banded joins at scale.
+    "q33_interval_join" -> ((s, d) => {
+      import s.implicits._
+      val dim = bands.toDF("band", "lo", "hi")
+      T.events(s, d)
+        .join(broadcast(dim),
+          col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).as("sum_value"))
+        .orderBy(col("band"))
+    }),
+
     // As-of join: for every 'view' event, the value of the user's most
     // recent strictly-earlier 'click'. Implemented shuffle-once: tag and
     // union both sides, one window pass carries the last click forward
@@ -68,10 +84,27 @@ object EventOps extends QueryPack {
     })
   )
 
+  /** Static value bands for the interval join (a broadcastable dim). */
+  private val bands: Seq[(String, Double, Double)] = Seq(
+    ("low", 0.0, 10.0), ("mid", 10.0, 100.0), ("high", 100.0, 1000.0),
+    ("extreme", 1000.0, Double.MaxValue))
+
   override def oracles: Map[String, String] = Map(
     "q28_json_extract" -> """
       SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
       FROM events WHERE event_id < 1000 ORDER BY event_id""",
+    "q33_interval_join" -> {
+      val dimRows = bands.map { case (b, lo, hi) =>
+        val hiSql = if (hi == Double.MaxValue) "1e308" else hi.toString
+        s"('$b', $lo, $hiSql)"
+      }.mkString(", ")
+      s"""
+      WITH bands(band, lo, hi) AS (VALUES $dimRows)
+      SELECT band, count(*) AS n,
+             sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+      FROM events JOIN bands ON value >= lo AND value < hi
+      GROUP BY band ORDER BY band"""
+    },
     "q30_sessionize" -> s"""
       WITH e AS (
         SELECT user_id, event_id, ts, epoch_us(ts) AS us,
