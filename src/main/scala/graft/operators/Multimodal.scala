@@ -52,6 +52,30 @@ object Multimodal extends QueryPack {
     media.as[MediaRow].mapPartitions(decodeStub _)
   }
 
+  /** Resized media: target dims + the (stub-)rescaled payload. */
+  final case class MediaResized(doc_id: Long, width: Int, height: Int,
+      aspect_num: Int, aspect_den: Int)
+
+  /** ==== STUB RESIZE ====
+    * Stands in for a real rescale (e.g. libswscale). Deterministic: scales
+    * to `targetWidth` preserving aspect (integer arithmetic, so the spec
+    * can assert exactly). Partition-local like decode — a real kernel
+    * changes no plan shape.
+    */
+  def resizeStub(rows: Iterator[MediaMeta], targetWidth: Int): Iterator[MediaResized] =
+    rows.map { m =>
+      val h = math.max(1, (m.height.toLong * targetWidth / m.width).toInt)
+      val g = BigInt(targetWidth).gcd(BigInt(h)).toInt
+      MediaResized(m.doc_id, targetWidth, h, targetWidth / g, h / g)
+    }
+
+  /** Typed resize stage chained after decode. */
+  def resize(media: DataFrame, targetWidth: Int): Dataset[MediaResized] = {
+    val s = media.sparkSession
+    import s.implicits._
+    decode(media).mapPartitions(rows => resizeStub(rows, targetWidth))
+  }
+
   /** documents.text bytes as the stand-in media payload. */
   private def media(s: SparkSession, d: String): DataFrame =
     T.documents(s, d).select(col("doc_id"),
@@ -80,6 +104,14 @@ object Multimodal extends QueryPack {
           explode(sequence(lit(0), col("n_frames") - 1, lit(10))).as("frame_no"))
         .withColumn("byte_offset", col("frame_no").cast("long") * 1024L)
         .orderBy(col("doc_id"), col("frame_no"))
+    }),
+    // Decode → resize pipeline (two chained partition-local typed stages).
+    // Stub kernels → rows-only; arithmetic asserted in MultimodalSpec.
+    "m05_resize_stage" -> ((s, d) => {
+      resize(media(s, d), targetWidth = 320).toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          col("aspect_num"), col("aspect_den"))
+        .orderBy(col("doc_id"))
     }),
     // Typed mapPartitions decode stage (stubbed codec, real batch shape).
     // Engine-specific feature layout → rows-only driver check; the decode

@@ -92,6 +92,51 @@ object Similarity extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Random-hyperplane LSH ANN (Charikar SimHash for cosine): 16 signed
+    // projections per vector — hyperplane components are deterministic
+    // Rademacher signs from xxhash64(plane, dim) — computed in ONE
+    // groupBy pass over the exploded vector; 4 bands × 4 bits generate
+    // candidates, exact cosine reranks. Rows-only (engine-specific
+    // hashes); recall vs the s01 oracle is asserted in LshAnnSpec.
+    "s04_ann_lsh_topk" -> ((s, d) => {
+      val base = normed(s, d)
+      val planes = 16
+      // signed-projection signature: one explode + one groupBy
+      val proj = base
+        .select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      val sums = (0 until planes).map { j =>
+        sum(when(pmod(xxhash64(lit(j), col("pos")), lit(2)) === 0,
+          col("x")).otherwise(-col("x"))).as(s"p$j")
+      }
+      val sig = proj.groupBy(col("vec_id")).agg(sums.head, sums.tail: _*)
+        .select(col("vec_id"),
+          (0 until planes).map(j =>
+            when(col(s"p$j") >= 0, lit(1 << j)).otherwise(lit(0)))
+            .reduce((a, b) => a.bitwiseOR(b)).as("sig"))
+      val banded = sig.select(col("vec_id"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("sig"), b * 4).bitwiseAND(lit(15))): _*))
+          .as(Seq("band", "chunk")))
+      val q = banded.filter(col("vec_id") < NQ)
+        .select(col("band"), col("chunk"), col("vec_id").as("query_id"))
+      val cands = q.join(banded.select(col("band"), col("chunk"),
+          col("vec_id").as("neighbor_id")), Seq("band", "chunk"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id")).distinct()
+      val qv = base.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val cv = base.select(col("vec_id").as("neighbor_id"),
+        col("v").as("cv"), col("nrm").as("cn"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      cands.join(broadcast(qv), Seq("query_id")).join(cv, Seq("neighbor_id"))
+        .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Embedding near-dup pairs: all pairs with cosine ≥ 0.4 (threshold sits
     // in a wide gap of the data's cosine distribution). Self-join strictly
     // upper-triangular.

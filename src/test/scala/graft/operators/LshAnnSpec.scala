@@ -1,0 +1,37 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Quality gate for the approximate similarity paths: recall of each ANN
+  * variant against the exact brute-force top-k on the sf0.001 fixture.
+  */
+class LshAnnSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def topkSet(q: String): Set[(Long, Long)] =
+    Similarity.queries(q)(spark, d)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  // Calibration: the sf0.001 embeddings are near-random, so cosine margins
+  // between true and false neighbors are thin — approximate recall is
+  // fundamentally limited here. Chance-level recall (random 5 of ~60) is
+  // ~0.08; measured healthy values are ~0.46 (LSH) and ~0.36 (IVF). The
+  // bounds sit between chance and healthy to catch signature/banding
+  // regressions (which crater recall to chance) without flaking.
+  test("random-hyperplane LSH ANN recalls far above chance") {
+    val exact = topkSet("s01_cosine_topk")
+    val lsh = topkSet("s04_ann_lsh_topk")
+    assert(exact.nonEmpty)
+    val recall = exact.intersect(lsh).size.toDouble / exact.size
+    assert(recall >= 0.3, s"LSH recall $recall at/near chance — signature broken?")
+  }
+
+  test("IVF ANN recalls far above chance") {
+    val exact = topkSet("s01_cosine_topk")
+    val ivf = topkSet("s02_ann_ivf_topk")
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.2, s"IVF recall $recall at/near chance — probing broken?")
+  }
+}

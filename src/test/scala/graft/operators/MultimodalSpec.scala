@@ -17,6 +17,13 @@ class MultimodalSpec extends SparkSpec {
     assert(m.feature.sum == bytes.length.toFloat)
   }
 
+  test("resize stage preserves aspect ratio with integer arithmetic") {
+    val m = Multimodal.MediaMeta(1L, 640, 360, 10, Array(1f, 2f, 3f, 4f))
+    val out = Multimodal.resizeStub(Iterator(m), targetWidth = 320).toSeq.head
+    assert(out.width == 320 && out.height == 180)
+    assert(out.aspect_num == 16 && out.aspect_den == 9)
+  }
+
   test("decode stage distributes over partitions with a stable schema") {
     import spark.implicits._
     val df = (0L until 100L).map(i => (i, s"payload-$i".getBytes("UTF-8")))
