@@ -7,9 +7,13 @@ object Explain {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.01"
-    for (q <- Seq("q01_pricing_summary", "q02_filter_project",
-        "q03_revenue_by_segment", "q05_nation_revenue", "q31_asof_join",
-        "d03_ngram_jaccard_pairs", "s01_cosine_topk")) {
+    val all = args.contains("--all")
+    val headline = Seq("q01_pricing_summary", "q02_filter_project",
+      "q03_revenue_by_segment", "q05_nation_revenue", "q31_asof_join",
+      "q33_interval_join", "d03_ngram_jaccard_pairs", "d04_minhash_lsh_pairs",
+      "d05_simhash_pairs", "s01_cosine_topk", "s02_ann_ivf_topk",
+      "s04_ann_lsh_topk", "f06_partition_pruned", "t06_winnowing_fingerprints")
+    for (q <- if (all) SparkEntry.queries.keys.toSeq.sorted else headline) {
       println(s"########## $q")
       println(SparkEntry.queries(q)(spark, d).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
