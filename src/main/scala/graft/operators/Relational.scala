@@ -16,7 +16,14 @@ import graft.{QueryPack, Tables => T}
   * Oracle-parity rules used throughout (driver hashes values after sorting
   * columns by name):
   *  - money/quantity aggregates go through exact DECIMAL casts, never raw
-  *    double sums (FP summation order differs between engines);
+  *    double sums (FP summation order differs between engines) — but the
+  *    FINAL output column is cast to DOUBLE on both sides. Empirically (the
+  *    round-1 hash failures, reproduced 61/61 by scripts/selfcheck.py) the
+  *    driver stringifies the Spark result's decimals with their scale
+  *    ("138014.00") and the oracle's through float64 ("138014.0"), so a
+  *    decimal-typed output can never hash-match when a value has trailing
+  *    zeros. The exact decimal sum is computed first; the single final
+  *    cast is exact for all checked scale factors (|unscaled| < 2^53).
   *  - every query ends in a total ORDER BY (unique tie-break) so row order is
   *    deterministic in both engines;
   *  - ASC null ordering is pinned (Spark default NULLS FIRST vs DuckDB
@@ -27,6 +34,8 @@ object Relational extends QueryPack {
   private def qty(c: Column)   = c.cast("decimal(18,2)")
   private def money(c: Column) = c.cast("decimal(18,2)")
   private def pct(c: Column)   = c.cast("decimal(18,4)")
+  /** Final-output cast: exact decimal aggregate → double (see scaladoc). */
+  private def dbl(c: Column)   = c.cast("double")
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- aggregation ---------------------------------------------------------
@@ -36,10 +45,10 @@ object Relational extends QueryPack {
         .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
-          sum(qty($"l_quantity")).as("sum_qty"),
-          sum(money($"l_extendedprice")).as("sum_base_price"),
-          sum(money($"l_extendedprice") * (lit(BigDecimal(1)) - pct($"l_discount"))).as("sum_disc_price"),
-          sum(money($"l_extendedprice") * (lit(BigDecimal(1)) + pct($"l_tax"))).as("sum_charge"),
+          dbl(sum(qty($"l_quantity"))).as("sum_qty"),
+          dbl(sum(money($"l_extendedprice"))).as("sum_base_price"),
+          dbl(sum(money($"l_extendedprice") * (lit(BigDecimal(1)) - pct($"l_discount")))).as("sum_disc_price"),
+          dbl(sum(money($"l_extendedprice") * (lit(BigDecimal(1)) + pct($"l_tax")))).as("sum_charge"),
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")
     }),
@@ -49,7 +58,7 @@ object Relational extends QueryPack {
         .filter($"l_shipdate" >= lit("1995-01-01").cast("timestamp") &&
                 $"l_shipdate" <  lit("1996-01-01").cast("timestamp") &&
                 $"l_discount".between(0.03, 0.07) && $"l_quantity" < 24)
-        .agg(sum(money($"l_extendedprice") * pct($"l_discount")).as("revenue"),
+        .agg(dbl(sum(money($"l_extendedprice") * pct($"l_discount"))).as("revenue"),
              count(lit(1)).as("n"))
     }),
     "q08_distinct_agg" -> ((s, d) => {
@@ -70,7 +79,7 @@ object Relational extends QueryPack {
           Seq(Seq($"o_orderstatus", $"o_orderpriority"),
             Seq($"o_orderstatus"), Seq()),
           $"o_orderstatus", $"o_orderpriority")
-        .agg(count(lit(1)).as("n"), sum(money($"o_totalprice")).as("total"))
+        .agg(count(lit(1)).as("n"), dbl(sum(money($"o_totalprice"))).as("total"))
         .orderBy($"o_orderstatus".asc_nulls_first,
           $"o_orderpriority".asc_nulls_first)
     }),
@@ -126,7 +135,7 @@ object Relational extends QueryPack {
       li.join(o, $"l_orderkey" === $"o_orderkey")
         .join(c, $"o_custkey" === $"c_custkey")
         .groupBy($"c_mktsegment")
-        .agg(sum(money($"l_extendedprice") * (lit(BigDecimal(1)) - pct($"l_discount"))).as("revenue"),
+        .agg(dbl(sum(money($"l_extendedprice") * (lit(BigDecimal(1)) - pct($"l_discount")))).as("revenue"),
              count(lit(1)).as("n_lines"))
         .orderBy($"c_mktsegment")
     }),
@@ -140,7 +149,7 @@ object Relational extends QueryPack {
         .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
         .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
         .groupBy($"r_name", $"n_name")
-        .agg(sum(money($"l_extendedprice") * (lit(BigDecimal(1)) - pct($"l_discount"))).as("revenue"))
+        .agg(dbl(sum(money($"l_extendedprice") * (lit(BigDecimal(1)) - pct($"l_discount")))).as("revenue"))
         .orderBy($"r_name", $"n_name")
     }),
     "q04_semi_join" -> ((s, d) => {
@@ -177,14 +186,14 @@ object Relational extends QueryPack {
       import s.implicits._
       T.lineitem(s, d)
         .rollup($"l_returnflag", $"l_linestatus")
-        .agg(sum(qty($"l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .agg(dbl(sum(qty($"l_quantity"))).as("sum_qty"), count(lit(1)).as("n"))
         .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
     }),
     "q10_cube" -> ((s, d) => {
       import s.implicits._
       T.orders(s, d)
         .cube($"o_orderstatus", $"o_orderpriority")
-        .agg(sum(money($"o_totalprice")).as("sum_price"), count(lit(1)).as("n"))
+        .agg(dbl(sum(money($"o_totalprice"))).as("sum_price"), count(lit(1)).as("n"))
         .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
     }),
 
@@ -205,7 +214,7 @@ object Relational extends QueryPack {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       T.orders(s, d)
         .filter($"o_custkey" < 100)
-        .withColumn("running_spend", sum(money($"o_totalprice")).over(w))
+        .withColumn("running_spend", dbl(sum(money($"o_totalprice")).over(w)))
         .select($"o_custkey", $"o_orderkey", $"running_spend")
         .orderBy($"o_custkey", $"o_orderkey")
     }),
@@ -342,7 +351,7 @@ object Relational extends QueryPack {
       import s.implicits._
       T.events(s, d)
         .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
-        .agg(count(lit(1)).as("n"), sum(money($"value")).as("sum_value"))
+        .agg(count(lit(1)).as("n"), dbl(sum(money($"value"))).as("sum_value"))
         .select($"w.start".as("bucket"), $"event_type", $"n", $"sum_value")
         .orderBy($"bucket", $"event_type")
     })
@@ -351,17 +360,17 @@ object Relational extends QueryPack {
   override def oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
-             sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-             sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS sum_disc_price,
-             sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS sum_charge,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE) AS sum_charge,
              count(*) AS count_order
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1998-09-02'
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus""",
     "q06_forecast_revenue" -> """
-      SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,4))) AS revenue,
+      SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
              count(*) AS n
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
@@ -374,7 +383,7 @@ object Relational extends QueryPack {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q11_grouping_sets" -> """
       SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders
       GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                               (o_orderstatus), ())
@@ -398,14 +407,14 @@ object Relational extends QueryPack {
       ORDER BY l_orderkey, l_linenumber""",
     "q03_revenue_by_segment" -> """
       SELECT c_mktsegment,
-             sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS revenue,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
              count(*) AS n_lines
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                     JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q05_nation_revenue" -> """
       SELECT r_name, n_name,
-             sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS revenue
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
       FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
         JOIN supplier ON l_suppkey = s_suppkey
@@ -432,13 +441,13 @@ object Relational extends QueryPack {
       ORDER BY a_name, b_name""",
     "q09_rollup" -> """
       SELECT l_returnflag, l_linestatus,
-             sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, count(*) AS n
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS n
       FROM lineitem
       GROUP BY ROLLUP (l_returnflag, l_linestatus)
       ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
     "q10_cube" -> """
       SELECT o_orderstatus, o_orderpriority,
-             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price, count(*) AS n
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, count(*) AS n
       FROM orders
       GROUP BY CUBE (o_orderstatus, o_orderpriority)
       ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
@@ -451,9 +460,9 @@ object Relational extends QueryPack {
       WHERE rn <= 5 ORDER BY l_returnflag, rn""",
     "q13_window_running" -> """
       SELECT o_custkey, o_orderkey,
-             sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
       FROM orders WHERE o_custkey < 100
       ORDER BY o_custkey, o_orderkey""",
     "q14_lag_lead" -> """
@@ -528,7 +537,7 @@ object Relational extends QueryPack {
     "q29_tumbling_window" -> """
       SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
              count(*) AS n,
-             sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY bucket, event_type ORDER BY bucket, event_type"""
   )
 }
