@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** s03 exact near-dup pairs via the memory-bounded grid self-join: result
+  * must be identical to the naive all-pairs formulation, and the physical
+  * plan must contain no corpus broadcast (BroadcastNestedLoopJoin) and no
+  * CartesianProduct — the scalability properties the grid design buys.
+  */
+class GridSelfJoinSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("grid self-join matches naive all-pairs exactly") {
+    graft.functions.GraftFunctions.register(spark)
+    val grid = Similarity.queries("s03_embedding_dup_pairs")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val base = graft.Tables.embeddings(spark, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+    val a = base.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = base.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val naive = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= 0.4)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_r"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    assert(naive.nonEmpty, "fixture should contain qualifying pairs")
+    assert(grid === naive)
+  }
+
+  test("grid self-join plan has no corpus broadcast and no cartesian") {
+    val plan = Similarity.queries("s03_embedding_dup_pairs")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "corpus must not be broadcast-nested-loop joined")
+    assert(!plan.contains("CartesianProduct"))
+  }
+}
