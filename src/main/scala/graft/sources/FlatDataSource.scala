@@ -66,30 +66,40 @@ class FlatDataSource extends TableProvider with DataSourceRegister {
 class FlatTable(layout: EclLayout, options: CaseInsensitiveStringMap)
     extends Table with SupportsRead with SupportsWrite {
 
-  private val path: String = {
-    val p = Option(options.get("path")).orElse(Option(options.get("paths")))
-    require(p.isDefined, "hpcc-flat requires a path")
-    p.get
+  // `.load(p)` arrives as option "path"; `.load(p1, p2, ...)` arrives as
+  // option "paths" holding a JSON string array — parse it, don't treat the
+  // JSON text as a literal path.
+  private val paths: Seq[String] = {
+    val multi = Option(options.get("paths")).map { js =>
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readValue(js, classOf[Array[String]]).toSeq
+    }
+    val all = multi.getOrElse(Option(options.get("path")).toSeq)
+    require(all.nonEmpty, "hpcc-flat requires a path")
+    all
   }
 
-  override def name(): String = s"hpcc-flat:$path"
+  override def name(): String = s"hpcc-flat:${paths.mkString(",")}"
   override def schema(): StructType = layout.schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    new FlatScanBuilder(path, layout,
+    new FlatScanBuilder(paths, layout,
       o.getBoolean("strict", true), o.getBoolean("trimstrings", true),
       o.getBoolean("wholefile", false))
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new FlatWriteBuilder(path, layout, info)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(paths.size == 1,
+      s"hpcc-flat write takes exactly one output path, got ${paths.size}")
+    new FlatWriteBuilder(paths.head, layout, info)
+  }
 }
 
 // ---------------------------------------------------------------- read path
 
-class FlatScanBuilder(path: String, layout: EclLayout, strict: Boolean,
+class FlatScanBuilder(paths: Seq[String], layout: EclLayout, strict: Boolean,
     trimStrings: Boolean, wholeFile: Boolean)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
 
@@ -99,7 +109,7 @@ class FlatScanBuilder(path: String, layout: EclLayout, strict: Boolean,
     required = requiredSchema
 
   override def build(): Scan =
-    new FlatScan(path, layout, required, strict, trimStrings, wholeFile)
+    new FlatScan(paths, layout, required, strict, trimStrings, wholeFile)
 }
 
 /** One record-aligned byte range of one file. */
@@ -108,7 +118,7 @@ case class FlatInputPartition(file: String, start: Long, length: Long,
   override def preferredLocations(): Array[String] = locations
 }
 
-class FlatScan(path: String, layout: EclLayout, required: StructType,
+class FlatScan(paths: Seq[String], layout: EclLayout, required: StructType,
     strict: Boolean, trimStrings: Boolean, wholeFile: Boolean = false)
     extends Scan with Batch {
 
@@ -120,15 +130,16 @@ class FlatScan(path: String, layout: EclLayout, required: StructType,
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val conf = spark.sessionState.newHadoopConf()
-    val root = new Path(path)
-    val fs = root.getFileSystem(conf)
-    val files: Seq[FileStatus] =
+    val files: Seq[FileStatus] = paths.flatMap { p =>
+      val root = new Path(p)
+      val fs = root.getFileSystem(conf)
       if (fs.getFileStatus(root).isDirectory)
         fs.listStatus(root).toSeq.filter { f =>
           val n = f.getPath.getName
           f.isFile && f.getLen > 0 && !n.startsWith(".") && !n.startsWith("_")
         }.sortBy(_.getPath.getName)
       else Seq(fs.getFileStatus(root))
+    }
 
     val recLen = layout.recLen.toLong
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
@@ -145,7 +156,7 @@ class FlatScan(path: String, layout: EclLayout, required: StructType,
       // wholeFile = the reference's unpartitioned streamInFile mode
       // (libhdfsconnector.cpp:607-650): one partition spans the file
       val splitBytes = if (wholeFile) math.max(usable, recLen) else targetSplit
-      val blocks = fs.getFileBlockLocations(f, 0, size)
+      val blocks = f.getPath.getFileSystem(conf).getFileBlockLocations(f, 0, size)
       (0L until usable by splitBytes).map { start =>
         val len = math.min(splitBytes, usable - start)
         val hosts = blocks.filter(b =>
@@ -230,7 +241,15 @@ class FlatWrite(path: String, layout: EclLayout, truncate: Boolean)
     extends Write with BatchWrite
     with org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   override def toBatch: BatchWrite = this
-  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = this
+  // Complete mode reaches a streaming sink as truncate(): the once-per-query
+  // truncate below would let epochs 2..n append full recomputed results —
+  // silent duplication. Only Append is supported; reject loudly.
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    if (truncate) throw new UnsupportedOperationException(
+      "hpcc-flat streaming sink supports Append output mode only " +
+        "(Complete would re-append the full result every epoch)")
+    this
+  }
   // both parent traits declare this default; disambiguate explicitly
   override def useCommitCoordinator(): Boolean = true
 
@@ -270,10 +289,14 @@ class FlatWrite(path: String, layout: EclLayout, truncate: Boolean)
     val dir = new Path(path)
     val fs = dir.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
     if (fs.exists(dir)) {
-      val prefix = s"part_${epochId}_"
+      // Match the FULL streaming name part_<epoch>_<pid>_<n>. A bare prefix
+      // test would also catch batch parts (named part_<pid>_<n>): in a mixed
+      // batch+streaming directory epoch 3's commit would delete batch file
+      // part_3_8. Merge.scala explicitly supports mixed dirs, so be exact.
+      val epochPart = s"part_${epochId}_\\d+_\\d+".r
       fs.listStatus(dir).foreach { f =>
         val n = f.getPath.getName
-        if (n.startsWith(prefix) && !keep.contains(n)) fs.delete(f.getPath, false)
+        if (epochPart.matches(n) && !keep.contains(n)) fs.delete(f.getPath, false)
       }
     }
   }

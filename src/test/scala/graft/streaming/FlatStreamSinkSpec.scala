@@ -50,4 +50,82 @@ class FlatStreamSinkSpec extends SparkSpec {
       .load(merged)
     assert(one.count() == 80)
   }
+
+  test("epoch commit preserves batch parts in a mixed batch+streaming dir") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val layout = EclLayout.parse("id:unsigned4,name:string10,v:real8")
+    val dir = tmpDir("flat-mixed")
+    val ckpt = tmpDir("flat-mixed-ckpt")
+
+    // batch write first: parts named part_<pid>_<n> (e.g. part_0_4)
+    (0L until 20L).map(i => (i, s"b$i", i * 1.0)).toDF("id", "name", "v")
+      .repartition(4)
+      .write.format("hpcc-flat").option("layout", layout.spec)
+      .mode("append").save(dir)
+    val batchParts = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.matches("part_\\d+_\\d+")).toSet
+    assert(batchParts.nonEmpty)
+
+    // then stream several epochs into the same dir; epoch ids 0..k overlap
+    // batch partition ids, so a prefix-based epoch cleanup would delete them
+    val src = MemoryStream[(Long, String, Double)]
+    val q = src.toDF().toDF("id", "name", "v")
+      .writeStream.format("hpcc-flat").option("layout", layout.spec)
+      .option("checkpointLocation", ckpt).outputMode("append").start(dir)
+    try {
+      (0 until 4).foreach { e =>
+        src.addData((0L until 5L).map(i => (e * 10L + i, s"s$i", 0.0)): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val after = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(batchParts.subsetOf(after),
+      s"batch parts lost: ${batchParts -- after}")
+    val back = spark.read.format("hpcc-flat").option("layout", layout.spec)
+      .load(dir)
+    assert(back.count() == 40) // 20 batch + 4 epochs x 5
+  }
+
+  test("Complete output mode is rejected") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val layout = EclLayout.parse("id:unsigned4,cnt:unsigned8")
+    val src = MemoryStream[Long]
+    val ex = intercept[Exception] {
+      val q = src.toDS().toDF("id")
+        .groupBy($"id").count()
+        .select($"id", $"count".cast("decimal(20,0)").as("cnt"))
+        .writeStream.format("hpcc-flat").option("layout", layout.spec)
+        .option("checkpointLocation", tmpDir("flat-complete-ckpt"))
+        .outputMode("complete")
+        .start(tmpDir("flat-complete"))
+      try { src.addData(1L, 2L); q.processAllAvailable() } finally q.stop()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.getMessage != null) &&
+      causes(ex).exists(c => c.getMessage != null &&
+        c.getMessage.contains("Append output mode only")),
+      s"unexpected error: $ex")
+  }
+
+  test("multi-path batch load reads the union of both directories") {
+    import spark.implicits._
+    val layout = EclLayout.parse("id:unsigned4,name:string10,v:real8")
+    val d1 = tmpDir("flat-multi1")
+    val d2 = tmpDir("flat-multi2")
+    (0L until 10L).map(i => (i, s"a$i", 1.0)).toDF("id", "name", "v")
+      .write.format("hpcc-flat").option("layout", layout.spec)
+      .mode("overwrite").save(d1)
+    (10L until 25L).map(i => (i, s"b$i", 2.0)).toDF("id", "name", "v")
+      .write.format("hpcc-flat").option("layout", layout.spec)
+      .mode("overwrite").save(d2)
+    val both = spark.read.format("hpcc-flat").option("layout", layout.spec)
+      .load(d1, d2)
+    assert(both.count() == 25)
+    assert(both.select(org.apache.spark.sql.functions.countDistinct($"id"))
+      .collect().head.getLong(0) == 25)
+  }
 }
