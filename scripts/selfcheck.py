@@ -33,11 +33,18 @@ for p in glob.glob(os.path.join(sfdir, "*.parquet")):
 def norm_col(s):
     """Normalize date/datetime columns to ISO strings; everything else to str."""
     if pd.api.types.is_datetime64_any_dtype(s):
+        # tz-aware series (pyarrow timestamp-with-tz) can't be cast straight
+        # to naive datetime64[us]; normalize to UTC wall-clock first
+        if getattr(s.dtype, "tz", None) is not None:
+            s = s.dt.tz_convert("UTC").dt.tz_localize(None)
         return s.astype("datetime64[us]").astype(str).tolist()
     if s.dtype == object:
         first = next((x for x in s if x is not None and x == x), None)
         if isinstance(first, (datetime.date, datetime.datetime)):
-            return pd.to_datetime(s).astype("datetime64[us]").astype(str).tolist()
+            t = pd.to_datetime(s)
+            if getattr(t.dtype, "tz", None) is not None:
+                t = t.dt.tz_convert("UTC").dt.tz_localize(None)
+            return t.astype("datetime64[us]").astype(str).tolist()
     return [str(x) for x in s.tolist()]
 
 
@@ -72,7 +79,13 @@ for name in sorted(os.listdir(outdir)):
         continue
     mism = []
     for col in s.columns:
-        svs, dvs = norm_col(s[col]), norm_col(d[col])
+        # one pathological column (e.g. an unnormalizable dtype) must fail
+        # only its own query, not abort the whole selfcheck
+        try:
+            svs, dvs = norm_col(s[col]), norm_col(d[col])
+        except Exception as e:
+            mism.append(f"{col}: NORMALIZE-ERROR {e}")
+            continue
         if svs != dvs:
             for i, (a, b) in enumerate(zip(svs, dvs)):
                 if a != b:

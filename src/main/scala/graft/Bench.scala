@@ -7,12 +7,18 @@ import org.apache.spark.sql.SparkSession
   * A first untimed pass warms JIT/codegen/parquet footers so the timed pass
   * measures steady-state operator cost, not first-query session warmup
   * (disable with SPARK_GRAFT_WARMUP=0).
+  *
+  * Each query is timed SPARK_GRAFT_ITERS times (default 3); the reported
+  * per-query number is the MEDIAN and `queries_min` carries the minimum, so
+  * sub-second JIT/GC jitter (which dominated two rounds of single-iteration
+  * comparisons) can't masquerade as a regression.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
+    val iters = math.max(sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt, 1)
     // optional comma-separated subset, e.g. for scale stress runs where
     // O(n^2) baselines (s01/s03 brute force) are intentionally excluded
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
@@ -29,24 +35,38 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => }
     }
     // a failed query records -1, never a time-to-failure masquerading as
-    // a fast run
-    val results = queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val sec = try {
-        fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        -1.0
-      }
-      name -> sec
+    // a fast run; failures short-circuit the remaining iterations
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
     }
-    results.filter(_._2 < 0).foreach { case (n, _) =>
+    val results = queries.map { case (name, fn) =>
+      var failed = false
+      val times = (1 to iters).flatMap { _ =>
+        if (failed) None
+        else {
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).count()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            failed = true
+            None
+          }
+        }
+      }
+      name -> (if (failed || times.isEmpty) (-1.0, -1.0)
+               else (median(times), times.min))
+    }
+    results.filter(_._2._1 < 0).foreach { case (n, _) =>
       System.err.println(s"[bench] WARNING: $n failed") }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (med, _)) => s"\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qmins = results.map { case (k, (_, mn)) => s"\"" + k + "\":" + mn }
+      .mkString("{", ",", "}")
+    val total = results.values.map(_._1).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"queries":$qs,"queries_min":$qmins,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -80,18 +80,92 @@ object Dedup extends QueryPack {
     idx.groupBy(col("doc_id"))
       .agg(call_function("graft_minhash", col("h")).as("sig"))
 
+  /** Corpus-scale guard for ALL banded-LSH candidate generation here: a
+    * band bucket of B members contributes C(B,2) candidate pairs, so one
+    * pathological bucket (boilerplate shingles, near-constant signatures —
+    * SCALE.md's known failure mode) re-introduces the quadratic blowup LSH
+    * exists to avoid. Buckets wider than `maxBucket` are dropped entirely:
+    * the lost recall is bounded (members of a 10k-wide bucket are far more
+    * likely boilerplate collisions than near-dups, and true near-dups still
+    * meet in their OTHER bands), while the saved work is O(B²). The hot
+    * list has ≤ n/maxBucket entries, so broadcasting it is always safe.
+    */
+  private[operators] val DefaultMaxBucket = 10000
+
+  private[operators] def capBuckets(banded: DataFrame, keys: Seq[String],
+      maxBucket: Int): DataFrame = {
+    val hot = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBucket)
+      .select(keys.map(col): _*)
+    banded.join(broadcast(hot), keys, "left_anti")
+  }
+
   /** LSH candidate pairs: band the signature, bucket-join per band. */
-  private def lshCandidates(sig: DataFrame): DataFrame = {
+  private def lshCandidates(sig: DataFrame,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val r = MINHASH_K / BANDS
     val bandHashes = (0 until BANDS).map { b =>
       xxhash64((b * r until (b + 1) * r).map(i => col("sig").getItem(i)): _*)
     }
-    val banded = sig.select(col("doc_id"),
-        posexplode(array(bandHashes: _*)).as(Seq("band", "bh")))
+    val banded = capBuckets(
+      sig.select(col("doc_id"),
+        posexplode(array(bandHashes: _*)).as(Seq("band", "bh"))),
+      Seq("band", "bh"), maxBucket)
     val l = banded.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
     val rgt = banded.select(col("band"), col("bh"), col("doc_id").as("doc_b"))
     l.join(rgt, Seq("band", "bh"))
       .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** MinHash-LSH near-dup pairs over an arbitrary documents frame —
+    * the spec-facing entry (exercised with pathological hot buckets in
+    * HotBucketSpec); d04 wires it at the default cap.
+    */
+  private[operators] def minhashLshPairs(docs: DataFrame,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val idx = shingleIndex(docs)
+    val cands = lshCandidates(minhashSignatures(idx), maxBucket)
+    val arrs = docs.select(col("doc_id"),
+      array_sort(distinctShingleHashes(col("text"), NGRAM)).as("sh"))
+    cands
+      .join(arrs.select(col("doc_id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
+      .join(arrs.select(col("doc_id").as("doc_b"), col("sh").as("sb")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("union_sz", size(col("sa")) + size(col("sb")) - col("inter"))
+      .filter(col("inter") * 2 >= col("union_sz"))
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash near-dup candidate pairs (Manku 4×16-bit tables, hamming ≤ 3)
+    * over an arbitrary documents frame; d05's verdict query and
+    * HotBucketSpec both build on this.
+    */
+  private[operators] def simhashPairsOf(docs: DataFrame,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    // the index IS the hash stream — no extra hashing step
+    val idx = shingleIndex(docs)
+    // one-pass 64-bit majority vote via the custom aggregate (replaces 64
+    // sum(when(bit)) aggregate columns — same signature bit-for-bit)
+    val sig = idx.groupBy(col("doc_id"))
+      .agg(call_function("graft_simhash", col("h")).as("sim"))
+    val banded = capBuckets(
+      sig.select(col("doc_id"), col("sim"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("sim"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+          .as(Seq("band", "chunk"))),
+      Seq("band", "chunk"), maxBucket)
+    val l = banded.select(col("band"), col("chunk"),
+      col("doc_id").as("doc_a"), col("sim").as("sim_a"))
+    val r = banded.select(col("band"), col("chunk"),
+      col("doc_id").as("doc_b"), col("sim").as("sim_b"))
+    l.join(r, Seq("band", "chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .filter(col("hamming") <= 3) // before distinct: shrink the shuffle
       .select(col("doc_a"), col("doc_b"))
       .distinct()
   }
@@ -154,50 +228,44 @@ object Dedup extends QueryPack {
     // ~0.64 there). Verified output therefore equals the exhaustive d03
     // pair set — the oracle we declare. The win is scale: LSH joins on
     // band buckets instead of the full inverted index.
-    "d04_minhash_lsh_pairs" -> ((s, d) => {
-      val docs = T.documents(s, d)
-      val idx = shingleIndex(docs)
-      val cands = lshCandidates(minhashSignatures(idx))
-      val arrs = docs.select(col("doc_id"),
-        array_sort(distinctShingleHashes(col("text"), NGRAM)).as("sh"))
-      cands
-        .join(arrs.select(col("doc_id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
-        .join(arrs.select(col("doc_id").as("doc_b"), col("sh").as("sb")), Seq("doc_b"))
-        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
-        .withColumn("union_sz", size(col("sa")) + size(col("sb")) - col("inter"))
-        .filter(col("inter") * 2 >= col("union_sz"))
-        .select(col("doc_a"), col("doc_b"))
-        .orderBy(col("doc_a"), col("doc_b"))
-    }),
-    // SimHash near-dup candidates, the Manku–Jain–Sarma (WWW 2007) design:
+    "d04_minhash_lsh_pairs" -> ((s, d) =>
+      minhashLshPairs(T.documents(s, d)).orderBy(col("doc_a"), col("doc_b"))),
+    // SimHash near-dup detection, the Manku–Jain–Sarma (WWW 2007) design:
     // 64-bit signatures, 4 tables of 16 bits (pigeonhole: any pair at
     // hamming ≤ 3 shares a table key), exact hamming ≤ 3 confirmation.
     // 16-bit keys give 65536 buckets per table — measured essential at
     // scale: a 4-bit-chunk variant (16 buckets/band) put ~n/16 docs in
     // every bucket and went quadratic at 80k docs (235 s vs 3 s).
-    // Engine-specific hash → rows-only check.
+    //
+    // The pair set itself is engine-specific (depends on xxhash64), so the
+    // driver-checked output is a VERDICT row over engine-agnostic
+    // properties (the q24 pattern), each independently recomputed by the
+    // DuckDB oracle:
+    //  - n_jaccard_pairs: |exact Jaccard≥0.5 pair set| (oracle recomputes);
+    //  - n_exact_dup_pairs: pairs of byte-identical (canonical-fingerprint)
+    //    documents (oracle recomputes);
+    //  - n_outside_jaccard = 0: hamming ≤ 3 of 64 is a STRICTER criterion
+    //    than Jaccard ≥ 0.5 on this corpus — every simhash pair must be in
+    //    the exact Jaccard pair set (measured: 13/28, 11/25, 136/256
+    //    contained at sf0.001/0.01/0.1);
+    //  - n_exact_missed = 0: identical documents have identical signatures
+    //    (hamming 0), so simhash must find every exact-dup pair.
+    // The raw pair stream is `simhashPairsOf` for library use.
     "d05_simhash_pairs" -> ((s, d) => {
-      // the index IS the hash stream — no extra hashing step
-      val idx = shingleIndex(T.documents(s, d))
-      // one-pass 64-bit majority vote via the custom aggregate (replaces 64
-      // sum(when(bit)) aggregate columns — same signature bit-for-bit)
-      val sig = idx.groupBy(col("doc_id"))
-        .agg(call_function("graft_simhash", col("h")).as("sim"))
-      val banded = sig.select(col("doc_id"), col("sim"),
-        posexplode(array((0 until 4).map(b =>
-          shiftright(col("sim"), b * 16).bitwiseAND(lit(0xffffL))): _*))
-          .as(Seq("band", "chunk")))
-      val l = banded.select(col("band"), col("chunk"),
-        col("doc_id").as("doc_a"), col("sim").as("sim_a"))
-      val r = banded.select(col("band"), col("chunk"),
-        col("doc_id").as("doc_b"), col("sim").as("sim_b"))
-      l.join(r, Seq("band", "chunk"))
+      val docs = T.documents(s, d)
+      val sim = simhashPairsOf(docs)
+      val jac = jaccardPairsOf(docs).select(col("doc_a"), col("doc_b"))
+      val fp = docs.select(col("doc_id"), fingerprint(col("text")).as("f"))
+      val exact = fp.select(col("doc_id").as("doc_a"), col("f"))
+        .join(fp.select(col("doc_id").as("doc_b"), col("f")), Seq("f"))
         .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
-        .filter(col("hamming") <= 3) // before distinct: shrink the shuffle
-        .distinct()
-        .orderBy(col("doc_a"), col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+      exact.agg(count(lit(1)).as("n_exact_dup_pairs"))
+        .crossJoin(jac.agg(count(lit(1)).as("n_jaccard_pairs")))
+        .crossJoin(sim.join(jac, Seq("doc_a", "doc_b"), "left_anti")
+          .agg(count(lit(1)).as("n_outside_jaccard")))
+        .crossJoin(exact.join(sim, Seq("doc_a", "doc_b"), "left_anti")
+          .agg(count(lit(1)).as("n_exact_missed")))
     })
   )
 
@@ -248,6 +316,19 @@ object Dedup extends QueryPack {
       SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b"""),
     "d04_minhash_lsh_pairs" -> ("""
       SELECT doc_a, doc_b FROM (""" + jaccardPairsSql + """)
-      ORDER BY doc_a, doc_b""")
+      ORDER BY doc_a, doc_b"""),
+    // d05 verdict row: the two counts are recomputed independently; the two
+    // zeros are the containment properties the Spark side must prove.
+    "d05_simhash_pairs" -> ("""
+      WITH jp AS (""" + jaccardPairsSql + """),
+      fpg AS (
+        SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f,
+               count(*) AS c
+        FROM documents GROUP BY 1)
+      SELECT (SELECT CAST(coalesce(sum(c * (c - 1) // 2), 0) AS BIGINT)
+              FROM fpg) AS n_exact_dup_pairs,
+             (SELECT count(*) FROM jp) AS n_jaccard_pairs,
+             CAST(0 AS BIGINT) AS n_outside_jaccard,
+             CAST(0 AS BIGINT) AS n_exact_missed""")
   )
 }

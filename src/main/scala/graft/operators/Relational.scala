@@ -34,8 +34,24 @@ object Relational extends QueryPack {
   private def qty(c: Column)   = c.cast("decimal(18,2)")
   private def money(c: Column) = c.cast("decimal(18,2)")
   private def pct(c: Column)   = c.cast("decimal(18,4)")
-  /** Final-output cast: exact decimal aggregate → double (see scaladoc). */
-  private def dbl(c: Column)   = c.cast("double")
+  /** Final-output cast: exact decimal aggregate → double (see scaladoc).
+    *
+    * Guarded: the cast is exact only while the decimal's unscaled magnitude
+    * is below 2^53 — beyond that, double rounding is value-dependent and
+    * Spark/DuckDB may diverge by 1 ulp (reachable for money sums around
+    * SF 400 at the 100 TB design scale). Fail loudly at the boundary rather
+    * than let the correctness gate report a mysterious hash mismatch.
+    * `scale` is the operand's decimal scale (2 for money/qty sums, 6 for
+    * money×pct products, matching `money`/`pct` above).
+    */
+  private def dbl(c: Column, scale: Int = 2): Column = {
+    // 2^53 / 10^scale, exact (division by a power of ten is exact in BigDecimal)
+    val lim = BigDecimal(9007199254740992L) / BigDecimal(10).pow(scale)
+    when(abs(c) >= lit(lim), raise_error(concat(
+        lit(s"graft: decimal->double final cast no longer exact (|x| >= $lim, unscaled >= 2^53): "),
+        c.cast("string"))))
+      .otherwise(c.cast("double"))
+  }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- aggregation ---------------------------------------------------------
@@ -47,8 +63,8 @@ object Relational extends QueryPack {
         .agg(
           dbl(sum(qty($"l_quantity"))).as("sum_qty"),
           dbl(sum(money($"l_extendedprice"))).as("sum_base_price"),
-          dbl(sum(money($"l_extendedprice") * (lit(BigDecimal(1)) - pct($"l_discount")))).as("sum_disc_price"),
-          dbl(sum(money($"l_extendedprice") * (lit(BigDecimal(1)) + pct($"l_tax")))).as("sum_charge"),
+          dbl(sum(money($"l_extendedprice") * (lit(BigDecimal(1)) - pct($"l_discount"))), 6).as("sum_disc_price"),
+          dbl(sum(money($"l_extendedprice") * (lit(BigDecimal(1)) + pct($"l_tax"))), 6).as("sum_charge"),
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")
     }),
@@ -58,7 +74,7 @@ object Relational extends QueryPack {
         .filter($"l_shipdate" >= lit("1995-01-01").cast("timestamp") &&
                 $"l_shipdate" <  lit("1996-01-01").cast("timestamp") &&
                 $"l_discount".between(0.03, 0.07) && $"l_quantity" < 24)
-        .agg(dbl(sum(money($"l_extendedprice") * pct($"l_discount"))).as("revenue"),
+        .agg(dbl(sum(money($"l_extendedprice") * pct($"l_discount")), 6).as("revenue"),
              count(lit(1)).as("n"))
     }),
     "q08_distinct_agg" -> ((s, d) => {
@@ -135,7 +151,7 @@ object Relational extends QueryPack {
       li.join(o, $"l_orderkey" === $"o_orderkey")
         .join(c, $"o_custkey" === $"c_custkey")
         .groupBy($"c_mktsegment")
-        .agg(dbl(sum(money($"l_extendedprice") * (lit(BigDecimal(1)) - pct($"l_discount")))).as("revenue"),
+        .agg(dbl(sum(money($"l_extendedprice") * (lit(BigDecimal(1)) - pct($"l_discount"))), 6).as("revenue"),
              count(lit(1)).as("n_lines"))
         .orderBy($"c_mktsegment")
     }),
@@ -149,7 +165,7 @@ object Relational extends QueryPack {
         .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
         .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
         .groupBy($"r_name", $"n_name")
-        .agg(dbl(sum(money($"l_extendedprice") * (lit(BigDecimal(1)) - pct($"l_discount")))).as("revenue"))
+        .agg(dbl(sum(money($"l_extendedprice") * (lit(BigDecimal(1)) - pct($"l_discount"))), 6).as("revenue"))
         .orderBy($"r_name", $"n_name")
     }),
     "q04_semi_join" -> ((s, d) => {
@@ -298,7 +314,10 @@ object Relational extends QueryPack {
           abs($"p_size" - 25).as("dist25"),
           floor($"p_retailprice").as("fl"),
           ceil($"p_retailprice").as("ce"),
-          round(money($"p_retailprice"), 1).as("rd1"),
+          // dbl() like every other decimal output — passing as a bare
+          // decimal only worked because scale-1 strings happen to coincide
+          // with float repr (ADVICE r3)
+          dbl(round(money($"p_retailprice"), 1), 1).as("rd1"),
           pmod($"p_partkey", lit(7)).as("m7"),
           pow($"p_size".cast("double"), 2).cast("long").as("sz2"))
         .orderBy($"p_partkey")
@@ -507,7 +526,7 @@ object Relational extends QueryPack {
              abs(p_size - 25) AS dist25,
              CAST(floor(p_retailprice) AS BIGINT) AS fl,
              CAST(ceil(p_retailprice) AS BIGINT) AS ce,
-             round(CAST(p_retailprice AS DECIMAL(18,2)), 1) AS rd1,
+             CAST(round(CAST(p_retailprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS rd1,
              p_partkey % 7 AS m7,
              CAST(pow(CAST(p_size AS DOUBLE), 2) AS BIGINT) AS sz2
       FROM part WHERE p_partkey <= 300 ORDER BY p_partkey""",

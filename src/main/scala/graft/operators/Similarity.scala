@@ -15,12 +15,22 @@ import graft.functions.VectorFunctions._
   * `nprobe` partitions (here the given `label` column doubles as the coarse
   * cell id, exactly how an IVF index file would be laid out at scale:
   * one partition per cell, partition-pruned scans).
+  *
+  * Verification model: the approximate operators (IVF s02, LSH-ANN s04,
+  * LSH-dup s05) produce engine-specific result sets (they depend on
+  * xxhash64-derived hyperplanes), so their driver-checked queries emit
+  * VERDICT rows over engine-agnostic properties (the q24 pattern): exact
+  * counts the DuckDB oracle recomputes independently, plus recall gates
+  * against the exact baselines computed in the same plan. The raw top-k /
+  * pair DataFrames stay available as methods (`ivfTopK`, `lshTopK`,
+  * `approxDupPairs`) for library use and the LshAnnSpec quality gates.
   */
 object Similarity extends QueryPack {
 
   private val K = 5
   private val NQ = 10 // query vectors: vec_id < NQ
   private val NPROBE = 3
+  private val DUP_T = 0.4 // near-dup cosine threshold (s03/s05)
 
   /** (vec_id, v, nrm): unit work done once. */
   private def normed(s: SparkSession, d: String): DataFrame = {
@@ -48,93 +58,220 @@ object Similarity extends QueryPack {
         round(col("cos"), 4).as("cos_r"))
   }
 
+  /** IVF top-k: rank coarse cells (centroid = per-dimension mean of the
+    * cell), probe the NPROBE closest cells only.
+    */
+  private[operators] def ivfTopK(s: SparkSession, d: String): DataFrame = {
+    val base = normed(s, d)
+    // centroids via one explode + groupBy (map-side combinable)
+    val cent = base
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("m"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        e => e.getField("m")).as("cv"))
+      .withColumn("cn", l2norm(col("cv")))
+    val q = base.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val cellRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("label"))
+    val probed = q.join(broadcast(cent), lit(true))
+      .withColumn("ccos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("crank", row_number().over(cellRank))
+      .filter(col("crank") <= NPROBE)
+      .select(col("query_id"), col("qv"), col("qn"), col("label"))
+    val cand = base.select(col("vec_id").as("neighbor_id"),
+      col("v").as("cv2"), col("nrm").as("cn2"), col("label"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    // broadcast the tiny probed-query side: the corpus scan stays
+    // partition-local (no shuffle of `cand` on the 10-value label key,
+    // which would both skew and move the whole corpus)
+    cand.join(broadcast(probed), Seq("label"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("cv2")) / (col("qn") * col("cn2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
+  /** Signed-projection signatures (Charikar SimHash for cosine): `planes`
+    * deterministic Rademacher hyperplanes (signs from xxhash64(plane, dim)),
+    * all computed in ONE explode + groupBy pass; bit j of `sig` is the sign
+    * of projection j.
+    */
+  private def signatures(base: DataFrame, planes: Int): DataFrame = {
+    require(planes <= 63, s"signatures: planes must fit a long, got $planes")
+    val proj = base
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
+    val sums = (0 until planes).map { j =>
+      sum(when(pmod(xxhash64(lit(j), col("pos")), lit(2)) === 0,
+        col("x")).otherwise(-col("x"))).as(s"p$j")
+    }
+    proj.groupBy(col("vec_id")).agg(sums.head, sums.tail: _*)
+      .select(col("vec_id"),
+        (0 until planes).map(j =>
+          when(col(s"p$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("sig"))
+  }
+
+  /** Band the signature into `bands` chunks of `bits` bits each. */
+  private def bandedSig(sig: DataFrame, bands: Int, bits: Int): DataFrame =
+    sig.select(col("vec_id"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("sig"), b * bits).bitwiseAND(lit((1L << bits) - 1))): _*))
+        .as(Seq("band", "chunk")))
+
+  /** LSH-ANN candidate pairs: 16 planes, 4 bands × 4 bits, hot buckets
+    * capped (Dedup.capBuckets — same boilerplate-bucket guard as the
+    * MinHash path).
+    */
+  private[operators] def lshAnnCandidates(s: SparkSession, d: String): DataFrame = {
+    val banded = Dedup.capBuckets(
+      bandedSig(signatures(normed(s, d), 16), 4, 4),
+      Seq("band", "chunk"), Dedup.DefaultMaxBucket)
+    val q = banded.filter(col("vec_id") < NQ)
+      .select(col("band"), col("chunk"), col("vec_id").as("query_id"))
+    q.join(banded.select(col("band"), col("chunk"),
+        col("vec_id").as("neighbor_id")), Seq("band", "chunk"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+  }
+
+  /** Random-hyperplane LSH ANN: banded candidates, exact cosine rerank. */
+  private[operators] def lshTopK(s: SparkSession, d: String): DataFrame = {
+    val base = normed(s, d)
+    val cands = lshAnnCandidates(s, d)
+    val qv = base.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val cv = base.select(col("vec_id").as("neighbor_id"),
+      col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cands.join(broadcast(qv), Seq("query_id")).join(cv, Seq("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
+  /** Exact near-dup pairs via the memory-bounded grid (block) self-join —
+    * see the s03 query comment for why exact semantics at a gap-less
+    * threshold requires examining all pairs and why this is its scalable
+    * form.
+    */
+  private[operators] def gridDupPairs(s: SparkSession, d: String): DataFrame = {
+    val base = normed(s, d)
+    // B=8 at fixture scale; at 100 TB set B ≈ ceil(2·n·vecBytes/taskMem)
+    // (memory-bound rule; communication grows O(n·B), compute is O(n²/P)
+    // spread evenly over B(B+1)/2 keys by the uniform hash).
+    val nBlocks = 8
+    import s.implicits._
+    val blockPairs = broadcast(
+      (0 until nBlocks).flatMap(i => (i until nBlocks).map(j => (i, j)))
+        .toDF("bi", "bj"))
+    val blocked = base.select(col("vec_id"), col("v"), col("nrm"),
+      pmod(xxhash64(col("vec_id")), lit(nBlocks)).cast("int").as("blk"))
+    // row (block x) fans out to keys {(x, j≥x)} on the left and
+    // {(i≤x, x)} on the right: every unordered block pair meets exactly
+    // once; same-block keys carry both orientations, deduped by id order.
+    val left = blocked.join(blockPairs, col("blk") === col("bi"))
+      .select(col("vec_id").as("id_l"), col("v").as("vl"),
+        col("nrm").as("nl"), col("bi"), col("bj"))
+    val right = blocked.join(blockPairs, col("blk") === col("bj"))
+      .select(col("vec_id").as("id_r"), col("v").as("vr"),
+        col("nrm").as("nr"), col("bi"), col("bj"))
+    left.join(right, Seq("bi", "bj"))
+      .filter(col("bi") < col("bj") || col("id_l") < col("id_r"))
+      .withColumn("cos", dot(col("vl"), col("vr")) / (col("nl") * col("nr")))
+      .filter(col("cos") >= DUP_T)
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"),
+        round(col("cos"), 4).as("cos_r"))
+  }
+
+  /** s05 candidate pairs: 24 planes banded 6 × 4 bits, hot buckets capped.
+    *
+    * Banding math (Charikar collision prob p = 1 - θ/π): at the gap-less
+    * fixture threshold cos 0.4, p = 0.631, so per-band collision is
+    * p⁴ = 0.159 and 6 bands give recall 1-(1-0.159)⁶ ≈ 0.65 for pairs AT
+    * the threshold (higher above it), vs a random-pair collision fraction
+    * of 1-(1-2⁻⁴)⁶ ≈ 0.32 — i.e. LSH recovers ~2× more of the true pairs
+    * than the candidate fraction it examines, which is the most any hash
+    * can do on data with NO similarity margin (see the s03 comment). On a
+    * real corpus with a gap (dups at cos ≥ 0.9, background near-orthogonal)
+    * the same machinery with wider bands (e.g. 16 bands × 12 bits) gives
+    * recall > 0.93 while examining ~16/4096 of the pairs.
+    */
+  private[operators] def approxDupCandidates(s: SparkSession, d: String): DataFrame = {
+    val banded = Dedup.capBuckets(
+      bandedSig(signatures(normed(s, d), 24), 6, 4),
+      Seq("band", "chunk"), Dedup.DefaultMaxBucket)
+    banded.select(col("band"), col("chunk"), col("vec_id").as("id_a"))
+      .join(banded.select(col("band"), col("chunk"), col("vec_id").as("id_b")),
+        Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** Approximate near-dup pairs: LSH candidates + exact cosine rerank.
+    * Same output schema as the exact `gridDupPairs`; every emitted pair is
+    * exactly verified (cos recomputed on the full vectors), so
+    * approx ⊆ exact ALWAYS — only recall is probabilistic.
+    */
+  private[operators] def approxDupPairs(s: SparkSession, d: String): DataFrame = {
+    val base = normed(s, d)
+    approxDupCandidates(s, d)
+      .join(base.select(col("vec_id").as("id_a"), col("v").as("va"),
+        col("nrm").as("na")), Seq("id_a"))
+      .join(base.select(col("vec_id").as("id_b"), col("v").as("vb"),
+        col("nrm").as("nb")), Seq("id_b"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= DUP_T)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_r"))
+  }
+
+  /** Aggregate-recall verdict vs the exact brute-force top-k (q24 pattern).
+    * All output values are engine-agnostic when the operator is healthy:
+    * n_queries/n_topk are data-derived constants the oracle recomputes, and
+    * recall_ok must be TRUE. Per-query gates would flake — the fixture
+    * embeddings are near-random (thin cosine margins), so per-query recall
+    * ranges 0.0–1.0 while aggregate recall sits stably at ~0.36–0.46
+    * (measured at sf0.001/0.01/0.1; chance level is ~0.08).
+    */
+  private def annVerdict(s: SparkSession, d: String, approx: DataFrame,
+      minRecall: Double): DataFrame = {
+    val ex = bruteTopK(s, d).select(col("query_id"), col("neighbor_id"))
+    val ap = approx.select(col("query_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1))
+    ex.join(ap, Seq("query_id", "neighbor_id"), "left")
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_topk"),
+        (sum(coalesce(col("hit"), lit(0))) >= count(lit(1)) * minRecall)
+          .as("recall_ok"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact brute-force cosine top-k — the ANN correctness baseline.
     "s01_cosine_topk" -> ((s, d) =>
       bruteTopK(s, d).orderBy(col("query_id"), col("rank"))),
 
-    // IVF top-k: rank coarse cells (centroid = per-dimension mean of the
-    // cell), probe the NPROBE closest cells only. Approximate by design →
-    // rows-only check; recall vs s01 is the quality metric.
-    "s02_ann_ivf_topk" -> ((s, d) => {
-      val base = normed(s, d)
-      // centroids via one explode + groupBy (map-side combinable)
-      val cent = base
-        .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("m"))
-        .groupBy(col("label"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          e => e.getField("m")).as("cv"))
-        .withColumn("cn", l2norm(col("cv")))
-      val q = base.filter(col("vec_id") < NQ)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          col("nrm").as("qn"))
-      val cellRank = Window.partitionBy(col("query_id"))
-        .orderBy(col("ccos").desc, col("label"))
-      val probed = q.join(broadcast(cent), lit(true))
-        .withColumn("ccos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-        .withColumn("crank", row_number().over(cellRank))
-        .filter(col("crank") <= NPROBE)
-        .select(col("query_id"), col("qv"), col("qn"), col("label"))
-      val cand = base.select(col("vec_id").as("neighbor_id"),
-        col("v").as("cv2"), col("nrm").as("cn2"), col("label"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("neighbor_id"))
-      // broadcast the tiny probed-query side: the corpus scan stays
-      // partition-local (no shuffle of `cand` on the 10-value label key,
-      // which would both skew and move the whole corpus)
-      cand.join(broadcast(probed), Seq("label"))
-        .filter(col("query_id") =!= col("neighbor_id"))
-        .withColumn("cos", dot(col("qv"), col("cv2")) / (col("qn") * col("cn2")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= K)
-        .select(col("query_id"), col("rank"), col("neighbor_id"))
-        .orderBy(col("query_id"), col("rank"))
-    }),
+    // IVF ANN verdict: aggregate recall vs s01 ≥ 0.2 (measured 0.36–0.42;
+    // chance 0.08) plus the data-derived query/result counts.
+    "s02_ann_ivf_topk" -> ((s, d) =>
+      annVerdict(s, d, ivfTopK(s, d), 0.2)),
 
-    // Random-hyperplane LSH ANN (Charikar SimHash for cosine): 16 signed
-    // projections per vector — hyperplane components are deterministic
-    // Rademacher signs from xxhash64(plane, dim) — computed in ONE
-    // groupBy pass over the exploded vector; 4 bands × 4 bits generate
-    // candidates, exact cosine reranks. Rows-only (engine-specific
-    // hashes); recall vs the s01 oracle is asserted in LshAnnSpec.
+    // LSH ANN verdict: aggregate recall vs s01 ≥ 0.3 (measured 0.40–0.46)
+    // plus a candidate-volume bound — banding must actually prune (the
+    // distinct candidate set stays under half of all query-corpus pairs;
+    // measured ~0.23).
     "s04_ann_lsh_topk" -> ((s, d) => {
-      val base = normed(s, d)
-      val planes = 16
-      // signed-projection signature: one explode + one groupBy
-      val proj = base
-        .select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
-      val sums = (0 until planes).map { j =>
-        sum(when(pmod(xxhash64(lit(j), col("pos")), lit(2)) === 0,
-          col("x")).otherwise(-col("x"))).as(s"p$j")
-      }
-      val sig = proj.groupBy(col("vec_id")).agg(sums.head, sums.tail: _*)
-        .select(col("vec_id"),
-          (0 until planes).map(j =>
-            when(col(s"p$j") >= 0, lit(1 << j)).otherwise(lit(0)))
-            .reduce((a, b) => a.bitwiseOR(b)).as("sig"))
-      val banded = sig.select(col("vec_id"),
-        posexplode(array((0 until 4).map(b =>
-          shiftright(col("sig"), b * 4).bitwiseAND(lit(15))): _*))
-          .as(Seq("band", "chunk")))
-      val q = banded.filter(col("vec_id") < NQ)
-        .select(col("band"), col("chunk"), col("vec_id").as("query_id"))
-      val cands = q.join(banded.select(col("band"), col("chunk"),
-          col("vec_id").as("neighbor_id")), Seq("band", "chunk"))
-        .filter(col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id")).distinct()
-      val qv = base.filter(col("vec_id") < NQ)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-      val cv = base.select(col("vec_id").as("neighbor_id"),
-        col("v").as("cv"), col("nrm").as("cn"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("neighbor_id"))
-      cands.join(broadcast(qv), Seq("query_id")).join(cv, Seq("neighbor_id"))
-        .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= K)
-        .select(col("query_id"), col("rank"), col("neighbor_id"))
-        .orderBy(col("query_id"), col("rank"))
+      val cb = lshAnnCandidates(s, d).agg(count(lit(1)).as("nc"))
+        .crossJoin(normed(s, d).agg(count(lit(1)).as("nv")))
+        .select((col("nc") <= lit(0.5) * lit(NQ) * (col("nv") - 1))
+          .as("cand_bounded"))
+      annVerdict(s, d, lshTopK(s, d), 0.3).crossJoin(cb)
     }),
 
     // Embedding near-dup pairs: all pairs with cosine ≥ 0.4, EXACT.
@@ -151,38 +288,32 @@ object Similarity extends QueryPack {
     // and equi-join on the (bi, bj) key. Per-task memory is O(2n/B) — tune B
     // so a block pair fits an executor — communication is O(n·B), and the
     // physical join is a shuffled equi-join, never a corpus broadcast.
-    // The approximate scale path (when the data DOES have a similarity gap)
-    // is s05: identical output schema, LSH candidates, recall measured
-    // against this query.
-    "s03_embedding_dup_pairs" -> ((s, d) => {
-      val base = normed(s, d)
-      // B=8 at fixture scale; at 100 TB set B ≈ ceil(2·n·vecBytes/taskMem)
-      // (memory-bound rule; communication grows O(n·B), compute is O(n²/P)
-      // spread evenly over B(B+1)/2 keys by the uniform hash).
-      val nBlocks = 8
-      import s.implicits._
-      val blockPairs = broadcast(
-        (0 until nBlocks).flatMap(i => (i until nBlocks).map(j => (i, j)))
-          .toDF("bi", "bj"))
-      val blocked = base.select(col("vec_id"), col("v"), col("nrm"),
-        pmod(xxhash64(col("vec_id")), lit(nBlocks)).cast("int").as("blk"))
-      // row (block x) fans out to keys {(x, j≥x)} on the left and
-      // {(i≤x, x)} on the right: every unordered block pair meets exactly
-      // once; same-block keys carry both orientations, deduped by id order.
-      val left = blocked.join(blockPairs, col("blk") === col("bi"))
-        .select(col("vec_id").as("id_l"), col("v").as("vl"),
-          col("nrm").as("nl"), col("bi"), col("bj"))
-      val right = blocked.join(blockPairs, col("blk") === col("bj"))
-        .select(col("vec_id").as("id_r"), col("v").as("vr"),
-          col("nrm").as("nr"), col("bi"), col("bj"))
-      left.join(right, Seq("bi", "bj"))
-        .filter(col("bi") < col("bj") || col("id_l") < col("id_r"))
-        .withColumn("cos", dot(col("vl"), col("vr")) / (col("nl") * col("nr")))
-        .filter(col("cos") >= 0.4)
-        .select(least(col("id_l"), col("id_r")).as("id_a"),
-          greatest(col("id_l"), col("id_r")).as("id_b"),
-          round(col("cos"), 4).as("cos_r"))
-        .orderBy(col("id_a"), col("id_b"))
+    // The approximate companion for data that DOES have a similarity gap is
+    // s05 below: identical output schema, LSH candidates, recall measured
+    // against this query in its verdict row.
+    "s03_embedding_dup_pairs" -> ((s, d) =>
+      gridDupPairs(s, d).orderBy(col("id_a"), col("id_b"))),
+
+    // Approximate near-dup verdict: n_exact_pairs is recomputed by the
+    // oracle; n_false_pairs = 0 holds by construction (exact rerank);
+    // recall_ok gates aggregate recall vs s03 at 0.5 (expected ~0.65, see
+    // approxDupCandidates banding math; a broken signature degrades to the
+    // ~0.32 random-candidate fraction); cand_bounded proves pruning.
+    "s05_embedding_dup_approx" -> ((s, d) => {
+      val exact = gridDupPairs(s, d).select(col("id_a"), col("id_b"))
+      val approx = approxDupPairs(s, d).select(col("id_a"), col("id_b"))
+      val rec = exact
+        .join(approx.withColumn("hit", lit(1)), Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_exact_pairs"),
+          (sum(coalesce(col("hit"), lit(0))) >= count(lit(1)) * 0.5)
+            .as("recall_ok"))
+      val fp = approx.join(exact, Seq("id_a", "id_b"), "left_anti")
+        .agg(count(lit(1)).as("n_false_pairs"))
+      val cb = approxDupCandidates(s, d).agg(count(lit(1)).as("nc"))
+        .crossJoin(normed(s, d).agg(count(lit(1)).as("nv")))
+        .select((col("nc") <= col("nv") * (col("nv") - lit(1)) / lit(2) * 0.45)
+          .as("cand_bounded"))
+      rec.crossJoin(fp).crossJoin(cb)
     })
   )
 
@@ -206,11 +337,31 @@ object Similarity extends QueryPack {
       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                    ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
       WHERE rank <= $K ORDER BY query_id, rank"""),
-    "s03_embedding_dup_pairs" -> (cosSql + """
+    // verdict rows: counts recomputed independently; booleans must be TRUE
+    "s02_ann_ivf_topk" -> s"""
+      SELECT CAST(count(*) AS BIGINT) AS n_queries,
+             CAST($K * count(*) AS BIGINT) AS n_topk,
+             TRUE AS recall_ok
+      FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < $NQ)""",
+    "s04_ann_lsh_topk" -> s"""
+      SELECT CAST(count(*) AS BIGINT) AS n_queries,
+             CAST($K * count(*) AS BIGINT) AS n_topk,
+             TRUE AS recall_ok,
+             TRUE AS cand_bounded
+      FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < $NQ)""",
+    "s03_embedding_dup_pairs" -> (cosSql + s"""
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_r
       FROM v a JOIN v b ON a.vec_id < b.vec_id
-      WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
-      ORDER BY id_a, id_b""")
+      WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $DUP_T
+      ORDER BY id_a, id_b"""),
+    "s05_embedding_dup_approx" -> (cosSql + s"""
+      SELECT (SELECT count(*)
+              FROM v a JOIN v b ON a.vec_id < b.vec_id
+              WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $DUP_T)
+               AS n_exact_pairs,
+             TRUE AS recall_ok,
+             CAST(0 AS BIGINT) AS n_false_pairs,
+             TRUE AS cand_bounded""")
   )
 }

@@ -84,8 +84,19 @@ object TextAnalysis extends QueryPack {
     // 2003): k-gram rolling hashes, min per sliding window of w — any
     // shared run of ≥ w+k-1 tokens between two documents shares a
     // fingerprint. Sliding min is a window frame over the exploded hash
-    // stream (one shuffle on doc_id); hashes are engine-specific →
-    // rows-only check, semantics asserted in WinnowingSpec.
+    // stream (one shuffle on doc_id). The fingerprints themselves are
+    // engine-specific (xxhash64), so the driver-checked output is a
+    // VERDICT row over the SWA guarantee itself (the q24 pattern):
+    //  - n_docs: documents long enough to shingle (≥ k tokens) — oracle
+    //    recomputes;
+    //  - n_fp_docs: documents that emitted ≥ 1 fingerprint — must equal
+    //    n_docs (the short-doc rule below guarantees it);
+    //  - n_run_pairs: document pairs sharing a token run of ≥ w+k-1 = 6
+    //    tokens — oracle recomputes via 6-gram equality;
+    //  - n_run_pairs_missed = 0: the SWA theorem — every such pair shares
+    //    a fingerprint (a run of w consecutive shared k-gram hashes
+    //    contains a full window whose min is selected in BOTH documents).
+    // Per-doc fingerprint sets are exercised in WinnowingSpec.
     "t06_winnowing_fingerprints" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       val W = 4
@@ -96,14 +107,40 @@ object TextAnalysis extends QueryPack {
         .rowsBetween(0, W - 1)
       val cnt = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id"))
-      hs.withColumn("n_sh", count(lit(1)).over(cnt))
+      val fps = hs.withColumn("n_sh", count(lit(1)).over(cnt))
         .withColumn("fp", min(col("h")).over(frame))
         // docs shorter than one window still fingerprint (min over all
         // hashes = the pos-0 frame), per Schleimer et al.'s guarantee
         .filter(col("pos") <= greatest(col("n_sh") - W, lit(0)))
-        .groupBy(col("doc_id"))
-        .agg(countDistinct(col("fp")).as("n_fp"), min(col("fp")).as("min_fp"))
-        .orderBy(col("doc_id"))
+        .select(col("doc_id"), col("fp")).distinct()
+      // 6-token run = 4 consecutive 3-gram shingles: hash the windowed
+      // tuple so the run key is one 8-byte long (oracle joins on the
+      // 6-gram string — identical pair semantics, collision odds 2^-64)
+      val byPos = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val run6 = hs
+        .withColumn("h1", lead(col("h"), 1).over(byPos))
+        .withColumn("h2", lead(col("h"), 2).over(byPos))
+        .withColumn("h3", lead(col("h"), 3).over(byPos))
+        .filter(col("h3").isNotNull)
+        .select(col("doc_id"),
+          xxhash64(col("h"), col("h1"), col("h2"), col("h3")).as("h6"))
+        .distinct()
+      val runPairs = run6.select(col("doc_id").as("doc_a"), col("h6"))
+        .join(run6.select(col("doc_id").as("doc_b"), col("h6")), Seq("h6"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      // run pairs are few: broadcast them against the fingerprint index
+      // instead of materializing the (large) all-shared-fp pair set
+      val withShared = broadcast(runPairs)
+        .join(fps.select(col("doc_id").as("doc_a"), col("fp")), Seq("doc_a"))
+        .join(fps.select(col("doc_id").as("doc_b"), col("fp")), Seq("doc_b", "fp"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      hs.agg(countDistinct(col("doc_id")).as("n_docs"))
+        .crossJoin(fps.agg(countDistinct(col("doc_id")).as("n_fp_docs")))
+        .crossJoin(runPairs.agg(count(lit(1)).as("n_run_pairs")))
+        .crossJoin(runPairs.join(withShared, Seq("doc_a", "doc_b"), "left_anti")
+          .agg(count(lit(1)).as("n_run_pairs_missed")))
     }),
     // Multimodal plumbing: treat content as an opaque binary column with
     // typed metadata — byte length + sha256, both engine-agnostic. The
@@ -182,6 +219,27 @@ object TextAnalysis extends QueryPack {
       SELECT doc_id,
              octet_length(encode(text)) AS n_bytes,
              sha256(text) AS sha
-      FROM documents ORDER BY doc_id"""
+      FROM documents ORDER BY doc_id""",
+    // t06 verdict row: n_docs / n_run_pairs recomputed from scratch (token
+    // 6-gram equality = the shared-run relation); the SWA guarantee forces
+    // n_fp_docs = n_docs and n_run_pairs_missed = 0.
+    "t06_winnowing_fingerprints" -> """
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        FROM documents),
+      pos AS (
+        SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM toks),
+      g6 AS (
+        SELECT DISTINCT doc_id,
+               w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+               w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] AS g
+        FROM pos WHERE i <= len(w) - 5),
+      rp AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM g6 a JOIN g6 b ON a.g = b.g AND a.doc_id < b.doc_id)
+      SELECT (SELECT count(*) FROM toks WHERE len(w) >= 3) AS n_docs,
+             (SELECT count(*) FROM toks WHERE len(w) >= 3) AS n_fp_docs,
+             (SELECT count(*) FROM rp) AS n_run_pairs,
+             CAST(0 AS BIGINT) AS n_run_pairs_missed"""
   )
 }

@@ -71,8 +71,15 @@ class FlatTable(layout: EclLayout, options: CaseInsensitiveStringMap)
   // JSON text as a literal path.
   private val paths: Seq[String] = {
     val multi = Option(options.get("paths")).map { js =>
-      new com.fasterxml.jackson.databind.ObjectMapper()
+      try new com.fasterxml.jackson.databind.ObjectMapper()
         .readValue(js, classOf[Array[String]]).toSeq
+      catch { case e: Exception =>
+        throw new IllegalArgumentException(
+          "hpcc-flat: option 'paths' must be a JSON string array " +
+            "(e.g. [\"/a\",\"/b\"]); Spark sets it automatically via " +
+            ".load(p1, p2, ...). For a single path use .load(path) or " +
+            s"""option("path", ...). Got: $js""", e)
+      }
     }
     val all = multi.getOrElse(Option(options.get("path")).toSeq)
     require(all.nonEmpty, "hpcc-flat requires a path")

@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** The LSH hot-bucket cap (SCALE.md §"known failure modes"): a band bucket
+  * of B members contributes C(B,2) candidate pairs, so boilerplate content
+  * (identical headers, templated documents) re-introduces the quadratic
+  * blowup LSH exists to avoid. Buckets wider than the cap are dropped from
+  * candidate generation; true near-dups of NON-boilerplate documents are
+  * unaffected (their buckets are small).
+  */
+class HotBucketSpec extends SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val near1 = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    val near2 = "one two three four five six seven CHANGED nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    val distinct = (3L to 10L).map(i =>
+      (i, (1 to 20).map(t => s"w${i}_$t").mkString(" ")))
+    val hot = (100L to 149L).map(i => (i, boiler))
+    ((1L, near1) +: (2L, near2) +: distinct ++: hot).toDF("doc_id", "text")
+  }
+
+  test("uncapped: a 50-wide boilerplate bucket yields all C(50,2) pairs") {
+    val pairs = Dedup.minhashLshPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.count { case (a, b) => a >= 100 && b >= 100 } == 50 * 49 / 2)
+    assert(pairs.contains((1L, 2L)), "near-dup pair must be found")
+  }
+
+  test("capped: hot buckets are dropped, small buckets unaffected") {
+    val pairs = Dedup.minhashLshPairs(docs, maxBucket = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.exists { case (a, b) => a >= 100 && b >= 100 },
+      "boilerplate bucket must be excluded from candidate generation")
+    assert(pairs.contains((1L, 2L)),
+      "near-dup pair in a small bucket must survive the cap")
+  }
+
+  test("simhash candidate generation honors the same cap") {
+    val uncapped = Dedup.simhashPairsOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.count { case (a, b) => a >= 100 && b >= 100 } == 50 * 49 / 2)
+    val capped = Dedup.simhashPairsOf(docs, maxBucket = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.exists { case (a, b) => a >= 100 && b >= 100 })
+  }
+}

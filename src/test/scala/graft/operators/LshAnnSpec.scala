@@ -4,14 +4,21 @@ import graft.SparkSpec
 
 /** Quality gate for the approximate similarity paths: recall of each ANN
   * variant against the exact brute-force top-k on the sf0.001 fixture.
+  * (The driver-facing s02/s04/s05 queries emit verdict rows built on the
+  * same methods; these tests pin the underlying recall numbers the verdict
+  * thresholds were derived from.)
   */
 class LshAnnSpec extends SparkSpec {
 
   private val d = "/root/testdata/sf0.001"
 
-  private def topkSet(q: String): Set[(Long, Long)] =
-    Similarity.queries(q)(spark, d)
+  private def exactSet: Set[(Long, Long)] =
+    Similarity.queries("s01_cosine_topk")(spark, d)
       .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def topkSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
   // Calibration: the sf0.001 embeddings are near-random, so cosine margins
@@ -21,17 +28,46 @@ class LshAnnSpec extends SparkSpec {
   // bounds sit between chance and healthy to catch signature/banding
   // regressions (which crater recall to chance) without flaking.
   test("random-hyperplane LSH ANN recalls far above chance") {
-    val exact = topkSet("s01_cosine_topk")
-    val lsh = topkSet("s04_ann_lsh_topk")
+    val exact = exactSet
+    val lsh = topkSet(Similarity.lshTopK(spark, d))
     assert(exact.nonEmpty)
     val recall = exact.intersect(lsh).size.toDouble / exact.size
     assert(recall >= 0.3, s"LSH recall $recall at/near chance — signature broken?")
   }
 
   test("IVF ANN recalls far above chance") {
-    val exact = topkSet("s01_cosine_topk")
-    val ivf = topkSet("s02_ann_ivf_topk")
+    val exact = exactSet
+    val ivf = topkSet(Similarity.ivfTopK(spark, d))
     val recall = exact.intersect(ivf).size.toDouble / exact.size
     assert(recall >= 0.2, s"IVF recall $recall at/near chance — probing broken?")
+  }
+
+  test("verdict queries report all-green booleans") {
+    for (q <- Seq("s02_ann_ivf_topk", "s04_ann_lsh_topk", "s05_embedding_dup_approx")) {
+      val row = Similarity.queries(q)(spark, d).collect()
+      assert(row.length == 1, s"$q verdict must be a single row")
+      val r = row.head
+      r.schema.fields.zipWithIndex.foreach { case (f, i) =>
+        if (f.dataType == org.apache.spark.sql.types.BooleanType)
+          assert(r.getBoolean(i), s"$q verdict column ${f.name} is FALSE")
+      }
+    }
+  }
+
+  test("approx dup pairs are a subset of the exact pair set with bounded candidates") {
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Similarity.gridDupPairs(spark, d))
+    val approx = pairSet(Similarity.approxDupPairs(spark, d))
+    assert((approx -- exact).isEmpty, "rerank must make approx ⊆ exact")
+    if (exact.nonEmpty) {
+      val recall = approx.size.toDouble / exact.size
+      assert(recall >= 0.5, s"s05 recall $recall below the verdict gate")
+    }
+    val n = spark.read.parquet(s"$d/embeddings.parquet").count()
+    val cands = Similarity.approxDupCandidates(spark, d).count()
+    assert(cands <= 0.45 * n * (n - 1) / 2,
+      s"candidate volume $cands not pruned vs ${n * (n - 1) / 2} pairs")
   }
 }
