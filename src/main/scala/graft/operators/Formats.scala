@@ -96,6 +96,20 @@ object Formats extends QueryPack {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Selective filtered scan over the FLAT source: the predicate is pushed
+    // into the DSv2 scan (SupportsPushDownFilters — FlatPushdownSpec pins
+    // the plan shape and the decode-count drop), so non-matching records
+    // decode only their two key fields, never the full row.
+    "f07_flat_filter_pushdown" -> ((s, d) => {
+      val out = ioDir(d, "f07")
+      custFixed(s, d).write.format("hpcc-flat")
+        .option("layout", custLayout.spec).mode("overwrite").save(out)
+      s.read.format("hpcc-flat").option("layout", custLayout.spec).load(out)
+        .filter(col("mktsegment") === "BUILDING" && col("custkey") <= 800)
+        .select(col("custkey"), col("name"), col("acctbal"))
+        .orderBy(col("custkey"))
+    }),
+
     // PipeOutAndMerge shape: parallel part write, single-writer ordered
     // concat (Merge.mergeParts = mergeFile), then scan the ONE merged file.
     "f04_flat_merged_agg" -> ((s, d) => {
@@ -130,6 +144,11 @@ object Formats extends QueryPack {
       GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "f04_flat_merged_agg" -> """
       SELECT count(*) AS n, CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
-             min(c_custkey) AS min_k, max(c_custkey) AS max_k FROM customer"""
+             min(c_custkey) AS min_k, max(c_custkey) AS max_k FROM customer""",
+    "f07_flat_filter_pushdown" -> """
+      SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal
+      FROM customer
+      WHERE c_mktsegment = 'BUILDING' AND c_custkey <= 800
+      ORDER BY custkey"""
   )
 }

@@ -108,15 +108,29 @@ class FlatTable(layout: EclLayout, options: CaseInsensitiveStringMap)
 
 class FlatScanBuilder(paths: Seq[String], layout: EclLayout, strict: Boolean,
     trimStrings: Boolean, wholeFile: Boolean)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
 
   private var required: StructType = layout.schema
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  // Accepted filters are evaluated EXACTLY in the reader (FlatFilterEval),
+  // so they are NOT returned as residuals — Catalyst drops them from the
+  // post-scan Filter. Unsupported shapes (REAL fields, casts, UDFs) stay
+  // residual and run in codegen above the scan as before.
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    val (ok, residual) = filters.partition(FlatFilterEval.supports(layout, _))
+    pushed = ok
+    residual
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+
   override def build(): Scan =
-    new FlatScan(paths, layout, required, strict, trimStrings, wholeFile)
+    new FlatScan(paths, layout, required, strict, trimStrings, wholeFile, pushed)
 }
 
 /** One record-aligned byte range of one file. */
@@ -126,13 +140,15 @@ case class FlatInputPartition(file: String, start: Long, length: Long,
 }
 
 class FlatScan(paths: Seq[String], layout: EclLayout, required: StructType,
-    strict: Boolean, trimStrings: Boolean, wholeFile: Boolean = false)
+    strict: Boolean, trimStrings: Boolean, wholeFile: Boolean = false,
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"hpcc-flat recLen=${layout.recLen} cols=${required.fieldNames.mkString(",")}"
+    s"hpcc-flat recLen=${layout.recLen} cols=${required.fieldNames.mkString(",")}" +
+      s" PushedFilters: [${filters.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
@@ -176,20 +192,23 @@ class FlatScan(paths: Seq[String], layout: EclLayout, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new FlatReaderFactory(layout.spec, required.fieldNames, trimStrings,
-      new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()))
+      new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()),
+      filters)
 }
 
 class FlatReaderFactory(layoutSpec: String, requiredNames: Array[String],
-    trimStrings: Boolean, conf: SerializableHadoopConf)
+    trimStrings: Boolean, conf: SerializableHadoopConf,
+    filters: Array[org.apache.spark.sql.sources.Filter])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new FlatPartitionReader(p.asInstanceOf[FlatInputPartition],
-      EclLayout.parse(layoutSpec), requiredNames, trimStrings, conf)
+      EclLayout.parse(layoutSpec), requiredNames, trimStrings, conf, filters)
 }
 
 class FlatPartitionReader(part: FlatInputPartition, layout: EclLayout,
     requiredNames: Array[String], trimStrings: Boolean,
-    conf: SerializableHadoopConf)
+    conf: SerializableHadoopConf,
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends PartitionReader[InternalRow] {
 
   private val recLen = layout.recLen
@@ -199,6 +218,14 @@ class FlatPartitionReader(part: FlatInputPartition, layout: EclLayout,
     require(i >= 0, s"column $n not in layout")
     (layout.fields(i).typ, layout.offsets(i))
   }
+  // fields referenced by pushed filters (may include columns Catalyst
+  // pruned from the projection — they are decoded only for the predicate)
+  private val filterCols: Map[String, (EclType, Int)] =
+    filters.flatMap(_.references).distinct.map { n =>
+      val i = layout.fields.indexWhere(_.name == n)
+      require(i >= 0, s"filter column $n not in layout")
+      n -> (layout.fields(i).typ, layout.offsets(i))
+    }.toMap
 
   private val in = {
     val p = new Path(part.file)
@@ -209,21 +236,43 @@ class FlatPartitionReader(part: FlatInputPartition, layout: EclLayout,
   private var remaining = part.length / recLen
   private val record = new Array[Byte](recLen)
   private val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(cols.length)
+  private var nRead = 0L
+  private var nDecoded = 0L
+
+  /** Decode one filter field of the current record to a comparable value. */
+  private def fieldValue(name: String): Any = {
+    val (t, off) = filterCols(name)
+    FlatCodec.decode(t, record, off, trimStrings) match {
+      case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+      case other => other // UTF8String or a boxed numeric
+    }
+  }
 
   override def next(): Boolean = {
-    if (remaining <= 0) return false
-    in.readFully(record, 0, recLen)
-    var i = 0
-    while (i < cols.length) {
-      row.update(i, FlatCodec.decode(cols(i)._1, record, cols(i)._2, trimStrings))
-      i += 1
+    while (remaining > 0) {
+      in.readFully(record, 0, recLen)
+      remaining -= 1
+      nRead += 1
+      if (filters.isEmpty ||
+          filters.forall(FlatFilterEval.eval(_, fieldValue))) {
+        var i = 0
+        while (i < cols.length) {
+          row.update(i, FlatCodec.decode(cols(i)._1, record, cols(i)._2, trimStrings))
+          i += 1
+        }
+        nDecoded += 1
+        return true
+      }
     }
-    remaining -= 1
-    true
+    false
   }
 
   override def get(): InternalRow = row
-  override def close(): Unit = in.close()
+  override def close(): Unit = {
+    FlatScanMetrics.recordsRead.add(nRead)
+    FlatScanMetrics.rowsDecoded.add(nDecoded)
+    in.close()
+  }
 }
 
 // --------------------------------------------------------------- write path

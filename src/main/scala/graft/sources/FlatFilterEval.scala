@@ -1,0 +1,125 @@
+package graft.sources
+
+import java.util.concurrent.atomic.LongAdder
+
+import org.apache.spark.sql.sources._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Record-level evaluator for Catalyst filters pushed into the `hpcc-flat`
+  * scan (`SupportsPushDownFilters`).
+  *
+  * The reference's byte pump cannot filter at all — every byte of every
+  * record crosses the pipe (reference libhdfsconnector.cpp:663-680). Here
+  * decoding is the engine's job, so a selective predicate decodes ONLY its
+  * key fields per record and skips materializing the rest of non-matching
+  * records — at 100 TB the difference between an I/O-bound and a
+  * decode-bound scan (SURVEY.md §4.1).
+  *
+  * Supported: comparisons / In / StartsWith / EndsWith / Contains /
+  * null-tests on integer, unsigned, and string fields, composed with
+  * And/Or/Not. Two deliberate exclusions keep semantics EXACTLY Catalyst's:
+  *  - REAL fields are not pushable: Catalyst orders NaN above +Inf and
+  *    NaN == NaN (SQLOrderingUtil), which a naive primitive comparison
+  *    gets wrong — float predicates stay in the codegen'd post-scan Filter;
+  *  - string comparisons use UTF8String's BINARY ordering (identical to
+  *    Spark's), never java.lang.String.compareTo (UTF-16 code-unit order
+  *    diverges for supplementary characters).
+  */
+object FlatFilterEval {
+
+  def supports(layout: EclLayout, f: Filter): Boolean = f match {
+    case And(l, r) => supports(layout, l) && supports(layout, r)
+    case Or(l, r)  => supports(layout, l) && supports(layout, r)
+    case Not(c)    => supports(layout, c)
+    case EqualTo(a, v) => comparable(layout, a, v)
+    case EqualNullSafe(a, v) => v != null && comparable(layout, a, v)
+    case GreaterThan(a, v) => comparable(layout, a, v)
+    case GreaterThanOrEqual(a, v) => comparable(layout, a, v)
+    case LessThan(a, v) => comparable(layout, a, v)
+    case LessThanOrEqual(a, v) => comparable(layout, a, v)
+    case In(a, vs) => vs != null && vs.nonEmpty &&
+      vs.forall(v => comparable(layout, a, v))
+    case IsNull(a) => has(layout, a)
+    case IsNotNull(a) => has(layout, a)
+    case StringStartsWith(a, _) => isString(layout, a)
+    case StringEndsWith(a, _) => isString(layout, a)
+    case StringContains(a, _) => isString(layout, a)
+    case _ => false
+  }
+
+  private def fieldType(layout: EclLayout, name: String): Option[EclType] =
+    layout.fields.find(_.name == name).map(_.typ)
+
+  private def has(layout: EclLayout, name: String): Boolean =
+    fieldType(layout, name).isDefined
+
+  private def isString(layout: EclLayout, name: String): Boolean =
+    fieldType(layout, name).exists(_.isInstanceOf[EclString])
+
+  /** Pushable = non-REAL field with a filter value we can compare exactly.
+    * (A predicate whose column sits under a cast never reaches pushdown —
+    * Catalyst cannot translate it to a v1 Filter — so a value type always
+    * matches its field type family here.)
+    */
+  private def comparable(layout: EclLayout, name: String, v: Any): Boolean =
+    fieldType(layout, name).exists {
+      case _: EclReal => false
+      case _: EclString => v.isInstanceOf[String]
+      case _ => v match {
+        case _: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
+             _: java.lang.Long => true
+        case _: java.math.BigDecimal | _: scala.math.BigDecimal => true
+        case _ => false
+      }
+    }
+
+  /** Evaluate `f` against one record; `get` decodes a field to UTF8String
+    * (strings), a boxed integer type, or java BigDecimal (unsigned8).
+    */
+  def eval(f: Filter, get: String => Any): Boolean = f match {
+    case And(l, r) => eval(l, get) && eval(r, get)
+    case Or(l, r)  => eval(l, get) || eval(r, get)
+    case Not(c)    => !eval(c, get)
+    case EqualTo(a, v) => cmp(get(a), v) == 0
+    case EqualNullSafe(a, v) => cmp(get(a), v) == 0 // fields are never null
+    case GreaterThan(a, v) => cmp(get(a), v) > 0
+    case GreaterThanOrEqual(a, v) => cmp(get(a), v) >= 0
+    case LessThan(a, v) => cmp(get(a), v) < 0
+    case LessThanOrEqual(a, v) => cmp(get(a), v) <= 0
+    case In(a, vs) => { val x = get(a); vs.exists(v => cmp(x, v) == 0) }
+    case IsNull(_) => false // layout fields are non-nullable
+    case IsNotNull(_) => true
+    case StringStartsWith(a, p) =>
+      get(a).asInstanceOf[UTF8String].startsWith(UTF8String.fromString(p))
+    case StringEndsWith(a, p) =>
+      get(a).asInstanceOf[UTF8String].endsWith(UTF8String.fromString(p))
+    case StringContains(a, p) =>
+      get(a).asInstanceOf[UTF8String].contains(UTF8String.fromString(p))
+    case other =>
+      throw new IllegalStateException(s"unsupported pushed filter $other")
+  }
+
+  private def cmp(decoded: Any, v: Any): Int = (decoded, v) match {
+    case (a: UTF8String, b: String) => a.compareTo(UTF8String.fromString(b))
+    case _ => toBig(decoded).compareTo(toBig(v))
+  }
+
+  private def toBig(x: Any): java.math.BigDecimal = x match {
+    case b: java.math.BigDecimal => b
+    case b: scala.math.BigDecimal => b.bigDecimal
+    case n: java.lang.Number => java.math.BigDecimal.valueOf(n.longValue)
+    case other =>
+      throw new IllegalStateException(s"uncomparable filter value $other")
+  }
+}
+
+/** Per-JVM scan counters, flushed once per partition on reader close.
+  * Diagnostic only (in local mode they aggregate the whole scan; on a
+  * cluster they'd be per-executor) — FlatPushdownSpec uses them to prove
+  * that pushed filters actually cut row materialization.
+  */
+object FlatScanMetrics {
+  val recordsRead = new LongAdder
+  val rowsDecoded = new LongAdder
+  def reset(): Unit = { recordsRead.reset(); rowsDecoded.reset() }
+}

@@ -1,0 +1,102 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+import graft.SparkSpec
+
+/** Filter pushdown on the `hpcc-flat` scan: predicates reach the reader,
+  * non-matching records are never materialized, unsupported shapes stay
+  * residual, and results are identical either way.
+  */
+class FlatPushdownSpec extends SparkSpec {
+
+  private val layout = EclLayout.parse(
+    "id:unsigned4,name:string8,score:real8,grade:integer4")
+
+  private def writeSample(n: Int): String = {
+    val dir = tmpDir("flat-push")
+    val rows = (0 until n).map(i => (i.toLong, s"n$i", i * 1.5, -i))
+    spark.createDataFrame(rows).toDF("id", "name", "score", "grade")
+      .select(col("id"), col("name"), col("score"),
+        col("grade").cast("int").as("grade"))
+      .write.format("hpcc-flat").option("layout", layout.spec)
+      .mode("overwrite").save(dir)
+    dir
+  }
+
+  private def read(dir: String) =
+    spark.read.format("hpcc-flat").option("layout", layout.spec).load(dir)
+
+  private def scanDescription(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+
+  test("pushed predicates appear in the scan and filter exactly") {
+    val dir = writeSample(1000)
+    val df = read(dir).filter(col("id") >= 100 && col("id") < 200 &&
+      col("name") =!= "n150")
+    val desc = scanDescription(df)
+    assert(desc.contains("PushedFilters:") && desc.contains("GreaterThanOrEqual(id,100)"),
+      s"scan must carry the pushed filters, got:\n$desc")
+    val got = df.orderBy("id").collect()
+    assert(got.length == 99)
+    assert(got.map(_.getLong(0)).toSeq == ((100L until 200L).filterNot(_ == 150L)))
+  }
+
+  test("non-matching records are not materialized (decode-count drop)") {
+    val dir = writeSample(1000)
+    FlatScanMetrics.reset()
+    val n = read(dir).filter(col("id") < 10).count()
+    assert(n == 10)
+    val readCnt = FlatScanMetrics.recordsRead.sum()
+    val decoded = FlatScanMetrics.rowsDecoded.sum()
+    assert(readCnt >= 1000, s"all records must still be scanned, got $readCnt")
+    assert(decoded == 10, s"only matching records may decode, got $decoded")
+  }
+
+  test("REAL-field predicates stay residual and still filter correctly") {
+    val dir = writeSample(100)
+    val df = read(dir).filter(col("score") > 30.0)
+    val desc = scanDescription(df)
+    assert(!desc.contains("GreaterThan(score"),
+      s"float predicate must NOT be pushed (NaN ordering), got:\n$desc")
+    assert(df.count() == read(dir).collect().count(_.getDouble(2) > 30.0))
+  }
+
+  test("string family, In, and negative integers push and match") {
+    val dir = writeSample(300)
+    val pushes: Seq[(org.apache.spark.sql.Column, Long)] = Seq(
+      col("name").startsWith("n2") -> 111L,   // n2, n20..n29, n200..n299
+      col("name").isin("n5", "n42") -> 2L,
+      (col("grade") <= -295) -> 5L)           // grade = -i, i in 295..299
+    for ((pred, expected) <- pushes) {
+      val df = read(dir).filter(pred)
+      assert(scanDescription(df).matches("(?s).*PushedFilters: \\[.+\\].*"),
+        s"$pred should push")
+      assert(df.count() == expected, s"$pred")
+    }
+  }
+
+  test("pushdown composes with column pruning (filter column not projected)") {
+    val dir = writeSample(500)
+    val got = read(dir).filter(col("id").between(50, 59))
+      .select(col("name")).orderBy(col("name")).collect().map(_.getString(0))
+    assert(got.toSeq == (50 to 59).map(i => s"n$i").sorted)
+  }
+
+  test("unsigned8 decimal comparisons push exactly") {
+    val l8 = EclLayout.parse("k:unsigned8,v:string4")
+    val dir = tmpDir("flat-push-u8")
+    import org.apache.spark.sql.types._
+    val rows = (0 until 50).map(i => org.apache.spark.sql.Row(
+      new java.math.BigDecimal(i.toString + "0000000000"), s"v$i"))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2),
+      StructType(Seq(StructField("k", DecimalType(20, 0), nullable = false),
+        StructField("v", StringType, nullable = false))))
+      .write.format("hpcc-flat").option("layout", l8.spec)
+      .mode("overwrite").save(dir)
+    val df = spark.read.format("hpcc-flat").option("layout", l8.spec).load(dir)
+      .filter(col("k") >= new java.math.BigDecimal("400000000000"))
+    assert(df.count() == 10)
+  }
+}
