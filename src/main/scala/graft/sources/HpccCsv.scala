@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -10,6 +11,12 @@ import org.apache.spark.sql.types.StructType
   * `SEPARATOR=','`, `TERMINATOR='\n'`, `QUOTE='\''` (single quote — not the
   * CSV-usual `"`), multi-char terminators allowed (matched with cross-buffer
   * lookahead, libhdfsconnector.cpp:449-474).
+  *
+  * Option strings go through the reference's escape expansion
+  * (`expandEscapedChars`, hdfsconnector.hpp:74-129): `TERMINATOR('\r\n')`
+  * from an ECL job arrives here as the four characters `\r\n` and must mean
+  * CR+LF. The expansion set and its semantics (unknown escapes are DROPPED,
+  * not kept literal) mirror the reference exactly.
   *
   * Mapping: a 1-char terminator goes straight to the built-in `csv` source
   * (Hadoop `LineRecordReader` implements the identical skip-first /
@@ -26,20 +33,60 @@ object HpccCsv {
   val DefaultTerminator = "\n"
   val DefaultQuote = "'"
 
+  /** The reference's `expandEscapedChars` (hdfsconnector.hpp:74-129),
+    * byte-for-byte: `\n \r \t \b \v \f \\ \' \" \0 \a \e` expand to their
+    * control characters; an unrecognized escape drops BOTH the backslash
+    * and the escaped character (the reference's `default: break`); a
+    * trailing lone backslash is dropped.
+    */
+  def expandEscapes(source: String): String = {
+    val out = new StringBuilder(source.length)
+    var i = 0
+    while (i < source.length) {
+      if (source.charAt(i) == '\\' && i + 1 <= source.length - 1) {
+        source.charAt(i + 1) match {
+          case 'n'  => out.append('\n')
+          case 'r'  => out.append('\r')
+          case 't'  => out.append('\t')
+          case 'b'  => out.append('\b')
+          case 'v'  => out.append('\u000B')
+          case 'f'  => out.append('\f')
+          case '\\' => out.append('\\')
+          case '\'' => out.append('\'')
+          case '"'  => out.append('"')
+          case '0'  => out.append('\u0000')
+          case 'a'  => out.append('\u0007')
+          case 'e'  => out.append('\u001B')
+          case _    => // reference drops unknown escapes entirely
+        }
+        i += 2
+      } else if (source.charAt(i) == '\\') {
+        i += 1 // trailing backslash: consumed, nothing emitted
+      } else {
+        out.append(source.charAt(i))
+        i += 1
+      }
+    }
+    out.toString
+  }
+
   def read(spark: SparkSession, path: String, schema: StructType,
       separator: String = DefaultSeparator,
       terminator: String = DefaultTerminator,
       quote: String = DefaultQuote): DataFrame = {
-    require(separator.length == 1, s"separator must be 1 char: '$separator'")
-    require(quote.length == 1, s"quote must be 1 char: '$quote'")
-    if (terminator.length <= 1) {
+    val sep = expandEscapes(separator)
+    val term = expandEscapes(terminator)
+    val qt = expandEscapes(quote)
+    require(sep.length == 1, s"separator must be 1 char: '$separator'")
+    require(qt.length == 1, s"quote must be 1 char: '$quote'")
+    if (term.length <= 1) {
       spark.read.schema(schema)
-        .option("sep", separator).option("quote", quote)
-        .option("lineSep", terminator)
+        .option("sep", sep).option("quote", qt)
+        .option("lineSep", term)
         .csv(path)
     } else {
-      val opts = Map("sep" -> separator, "quote" -> quote)
-      spark.read.option("lineSep", terminator).text(path)
+      val opts = Map("sep" -> sep, "quote" -> qt)
+      spark.read.option("lineSep", term).text(path)
         .select(from_csv(col("value"), schema, opts).as("r"))
         .select(col("r.*"))
     }
@@ -47,6 +94,15 @@ object HpccCsv {
 
   /** Write with reference semantics. Multi-char terminator → `to_csv` rows
     * joined by the text sink's `lineSep`.
+    *
+    * `outputTerminator = false` is the reference's `-outputterminator 0`
+    * mode (libhdfsconnector.cpp:490-498): record terminators are suppressed
+    * entirely, producing the continuous byte stream the reference pipes to
+    * a fixed-length-record consumer (the flag travels with `recLen` in
+    * streamCSV's signature). Rows are serialized with `to_csv` and
+    * concatenated with NOTHING between them, one `part_<i>_<n>` file per
+    * partition (reference part naming, temp-file rename on commit like the
+    * flat sink).
     *
     * Divergence note (SURVEY.md §7 "hard parts"): the multi-char read path
     * splits rows with the quote-UNAWARE text reader, so a quoted field
@@ -58,23 +114,69 @@ object HpccCsv {
   def write(df: DataFrame, path: String,
       separator: String = DefaultSeparator,
       terminator: String = DefaultTerminator,
-      quote: String = DefaultQuote): Unit = {
-    require(separator.length == 1 && quote.length == 1)
-    if (terminator.length <= 1) {
-      df.write.option("sep", separator).option("quote", quote)
-        .option("lineSep", terminator)
+      quote: String = DefaultQuote,
+      outputTerminator: Boolean = true): Unit = {
+    val sep = expandEscapes(separator)
+    val term = expandEscapes(terminator)
+    val qt = expandEscapes(quote)
+    require(sep.length == 1 && qt.length == 1)
+    if (!outputTerminator) {
+      import scala.jdk.CollectionConverters._
+      val row = to_csv(struct(df.columns.map(col).toSeq: _*),
+        Map("sep" -> sep, "quote" -> qt).asJava)
+      writeUnterminated(df.select(row.as("value")), path)
+    } else if (term.length <= 1) {
+      df.write.option("sep", sep).option("quote", qt)
+        .option("lineSep", term)
         .mode("overwrite").csv(path)
     } else {
       import scala.jdk.CollectionConverters._
       val row = to_csv(struct(df.columns.map(col).toSeq: _*),
-        Map("sep" -> separator, "quote" -> quote).asJava)
-      val guarded = when(row.contains(lit(terminator)),
+        Map("sep" -> sep, "quote" -> qt).asJava)
+      val guarded = when(row.contains(lit(term)),
         raise_error(concat(lit("hpcc-csv: row contains the terminator "),
-          lit(terminator.replace("\n", "\\n")), lit(": "), row)))
+          lit(term.replace("\n", "\\n").replace("\r", "\\r")), lit(": "), row)))
         .otherwise(row)
       df.select(guarded.as("value"))
-        .write.option("lineSep", terminator)
+        .write.option("lineSep", term)
         .mode("overwrite").text(path)
+    }
+  }
+
+  /** Terminator-free partitioned write: each task concatenates its rows'
+    * UTF-8 bytes into one `part_<i>_<n>` file via a per-attempt temp file
+    * renamed on success (idempotent under retries/speculation, like
+    * FlatDataWriter). No built-in sink can do this — the text sink always
+    * terminates lines — so this is a small foreachPartition sink over the
+    * single `value` column.
+    */
+  private def writeUnterminated(rows: DataFrame, path: String): Unit = {
+    val spark = rows.sparkSession
+    val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf.value)
+    if (fs.exists(dir)) fs.delete(dir, true)
+    fs.mkdirs(dir)
+    val rdd = rows.queryExecution.toRdd
+    val n = rdd.getNumPartitions
+    rdd.foreachPartition { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val attempt = org.apache.spark.TaskContext.get().taskAttemptId()
+      val fsx = new Path(path).getFileSystem(conf.value)
+      val finalFile = new Path(path, s"part_${pid}_$n")
+      val tmp = new Path(path, s".part_${pid}_$n.$attempt.tmp")
+      val out = new java.io.BufferedOutputStream(fsx.create(tmp, true), 1 << 16)
+      try {
+        it.foreach(r => out.write(r.getUTF8String(0).getBytes))
+        out.close()
+        if (fsx.exists(finalFile)) fsx.delete(finalFile, false)
+        if (!fsx.rename(tmp, finalFile))
+          throw new java.io.IOException(s"hpcc-csv: rename $tmp -> $finalFile failed")
+      } catch {
+        case e: Throwable =>
+          try { out.close(); fsx.delete(tmp, false) } catch { case _: Throwable => }
+          throw e
+      }
     }
   }
 }

@@ -48,6 +48,46 @@ class HpccCsvSpec extends SparkSpec {
         .contains("terminator"))
   }
 
+  test("escape expansion matches the reference (hdfsconnector.hpp:74-129)") {
+    assert(HpccCsv.expandEscapes("\\r\\n") == "\r\n")
+    assert(HpccCsv.expandEscapes("\\t") == "\t")
+    assert(HpccCsv.expandEscapes("\\'") == "'")
+    assert(HpccCsv.expandEscapes("\\\"") == "\"")
+    assert(HpccCsv.expandEscapes("\\\\") == "\\")
+    assert(HpccCsv.expandEscapes("\\0") == "\u0000")
+    assert(HpccCsv.expandEscapes("\\a\\b\\v\\f\\e") == "\u0007\b\u000B\f\u001B")
+    // unknown escapes are DROPPED (reference default: break) incl. backslash
+    assert(HpccCsv.expandEscapes("a\\zb") == "ab")
+    assert(HpccCsv.expandEscapes("x\\") == "x")
+    assert(HpccCsv.expandEscapes("plain") == "plain")
+  }
+
+  test("escaped option strings round-trip (ECL TERMINATOR('\\r\\n') style)") {
+    val dir = tmpDir("csv-esc")
+    HpccCsv.write(sample, dir, separator = "\\t", terminator = "\\r\\n")
+    val got = HpccCsv.read(spark, dir, schema,
+      separator = "\\t", terminator = "\\r\\n").orderBy("id")
+    assert(got.collect().toSeq == sample.orderBy("id").collect().toSeq)
+  }
+
+  test("outputTerminator=false emits a continuous terminator-free stream") {
+    import spark.implicits._
+    val dir = tmpDir("csv-noterm")
+    // fixed-width serialized rows so the stream is fixed-length-consumable
+    val df = (0 until 100).map(i => f"$i%04d").toDF("k")
+    HpccCsv.write(df.repartition(3), dir, outputTerminator = false)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part_")).sortBy(_.getName)
+    assert(parts.length == 3)
+    val bytes = parts.flatMap(f => java.nio.file.Files.readAllBytes(f.toPath))
+    assert(!bytes.contains('\n'.toByte) && !bytes.contains('\r'.toByte),
+      "stream must contain no terminators")
+    assert(bytes.length == 100 * 4, "records concatenate with nothing between")
+    val back = new String(bytes, "UTF-8").grouped(4).toSeq.sorted
+    assert(back == (0 until 100).map(i => f"$i%04d").sorted)
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.endsWith(".tmp")))
+  }
+
   test("multi-char-terminator read stays splittable and loses nothing") {
     val dir = tmpDir("csv-split")
     import spark.implicits._
