@@ -156,10 +156,60 @@ class XmlPartitionReader(part: XmlInputPartition, rowTag: String,
     val a = bb.toByteArray; if (a.length < k) -1 else a(a.length - k) & 0xff
   }
 
+  /** Consume bytes until the byte sequence `p` has just been read (ring
+    * compare of the trailing window — robust to self-overlapping patterns
+    * like `-->` against `--->`). Optionally appends the consumed bytes to
+    * `bb`. Returns false at EOF.
+    */
+  private def consumeUntil(p: Array[Byte], append: Boolean): Boolean = {
+    val ring = new Array[Int](p.length)
+    var n = 0
+    while (true) {
+      val b = read1()
+      if (b < 0) return false
+      if (append) bb.write(b)
+      ring(n % p.length) = b
+      n += 1
+      if (n >= p.length) {
+        var i = 0
+        while (i < p.length &&
+          ring((n - p.length + i) % p.length) == (p(i) & 0xff)) i += 1
+        if (i == p.length) return true
+      }
+    }
+    false
+  }
+
+  private val CommentEnd = "-->".getBytes("UTF-8")
+  private val CdataEnd = "]]>".getBytes("UTF-8")
+
+  /** We just consumed `<!`. Skip the whole markup declaration — comment
+    * (`<!--...-->`), CDATA (`<![CDATA[...]]>`), or DOCTYPE-style (`<!...>`)
+    * — so a literal `<rowTag` INSIDE it never counts as a row start.
+    * (The reference's flat state machine has exactly this false-positive,
+    * :305-310 — a deliberate divergence, not a port.)
+    */
+  private def skipMarkupDecl(append: Boolean): Boolean = {
+    val b1 = read1()
+    if (b1 < 0) return false
+    if (append) bb.write(b1)
+    b1 match {
+      case '-' =>
+        val b2 = read1()
+        if (b2 < 0) return false
+        if (append) bb.write(b2)
+        if (b2 == '-') consumeUntil(CommentEnd, append)
+        else consumeUntil(Array('>'.toByte), append)
+      case '[' => consumeUntil(CdataEnd, append)
+      case '>' => true
+      case _ => consumeUntil(Array('>'.toByte), append)
+    }
+  }
+
   /** Advance until the start of the next `<rowTag` token (already consumed),
     * returning its start offset, or -1 at EOF. A match requires the byte
     * after the tag name to be '>', '/', or whitespace (so rowTag=Row does
-    * not match `<Rows>`).
+    * not match `<Rows>`). Comments and CDATA sections are skipped whole.
     */
   private def findOpen(): Long = {
     var matched = 0
@@ -173,6 +223,9 @@ class XmlPartitionReader(part: XmlInputPartition, rowTag: String,
           return pos - open.length - 1
         }
         matched = if (b == '<') 1 else 0
+      } else if (matched == 1 && b == '!') {
+        if (!skipMarkupDecl(append = false)) return -1L
+        matched = 0
       } else if (b == open(matched)) matched += 1
       else matched = if (b == '<') 1 else 0
     }
@@ -182,6 +235,13 @@ class XmlPartitionReader(part: XmlInputPartition, rowTag: String,
   /** Consume through the matching `</rowTag>` (or self-closing `/>`),
     * appending bytes to `bb` (UTF-8-decoded only once complete). Assumes
     * non-nested row tags.
+    *
+    * Hardened vs the reference state machine (:318-343):
+    *  - the start-tag scanner tracks QUOTE state, so a legal attribute
+    *    value containing '>' (or "/>") neither ends the tag early nor
+    *    fakes self-closing;
+    *  - comments / CDATA inside the element body are consumed whole, so a
+    *    literal `</rowTag>` inside them cannot terminate the row.
     */
   private def readElement(): Boolean = {
     // `bb` holds "<rowTag" + one delimiter byte already
@@ -191,21 +251,34 @@ class XmlPartitionReader(part: XmlInputPartition, rowTag: String,
       return b == '>'
     }
     var inStartTag = last(1) != '>'
-    var matched = 0
+    var quote = 0 // active attribute-value quote char, 0 = none
+    var matched = 0 // closeTag progress
+    var bang = 0 // "<!" detector progress in body
     while (true) {
       val b = read1()
       if (b < 0) return false
       bb.write(b)
       if (inStartTag) {
-        if (b == '>') {
+        if (quote != 0) {
+          if (b == quote) quote = 0
+        } else if (b == '"' || b == '\'') quote = b
+        else if (b == '>') {
           if (last(2) == '/') return true // self-closing "<rowTag .../>"
           inStartTag = false
         }
       } else {
-        if (b == closeTag(matched)) {
-          matched += 1
-          if (matched == closeTag.length) return true
-        } else matched = if (b == '<') 1 else 0
+        // detect "<!" -> comment/CDATA; consume it whole (appending)
+        if (bang == 0 && b == '<') bang = 1
+        else if (bang == 1 && b == '!') {
+          if (!skipMarkupDecl(append = true)) return false
+          bang = 0; matched = 0
+        } else bang = if (b == '<') 1 else 0
+        if (bang == 0) {
+          if (b == closeTag(matched)) {
+            matched += 1
+            if (matched == closeTag.length) return true
+          } else matched = if (b == '<') 1 else 0
+        } else matched = 1 // '<' is also closeTag(0)'s first byte... keep in sync
       }
     }
     false
@@ -243,22 +316,63 @@ class XmlPartitionReader(part: XmlInputPartition, rowTag: String,
         .replace("&apos;", "'").replace("&amp;", "&")
     }
 
-  private def fieldText(xml: String, name: String): Option[String] = {
+  private val CdataRe = "(?s)<!\\[CDATA\\[(.*?)\\]\\]>".r
+
+  /** Entity-unescape around CDATA sections: CDATA content is literal (no
+    * entity processing), everything else unescapes as usual.
+    */
+  private def decodeText(s: String): String =
+    if (!s.contains("<![CDATA[")) unescape(s)
+    else {
+      val sb = new StringBuilder
+      var lastEnd = 0
+      for (m <- CdataRe.findAllMatchIn(s)) {
+        sb.append(unescape(s.substring(lastEnd, m.start)))
+        sb.append(m.group(1))
+        lastEnd = m.end
+      }
+      sb.append(unescape(s.substring(lastEnd)))
+      sb.toString
+    }
+
+  // start tag (quote-aware) and attr="value" / attr='value' extraction
+  private val StartTagRe =
+    """(?s)^<[^\s/>]+((?:[^>"']|"[^"]*"|'[^']*')*?)/?>""".r
+  private val AttrRe =
+    """([A-Za-z_][A-Za-z0-9_.\-]*)\s*=\s*("[^"]*"|'[^']*')""".r
+
+  /** Attributes of the row's start tag, entity-unescaped. The reference
+    * parses attribute text but discards it (:318-329); here row-tag
+    * attributes are decoded into schema fields (a child element of the
+    * same name wins on conflict).
+    */
+  private def rowAttributes(xml: String): Map[String, String] =
+    StartTagRe.findPrefixMatchOf(xml) match {
+      case Some(m) =>
+        AttrRe.findAllMatchIn(m.group(1)).map { am =>
+          val raw = am.group(2)
+          am.group(1) -> unescape(raw.substring(1, raw.length - 1))
+        }.toMap
+      case None => Map.empty
+    }
+
+  private def fieldText(xml: String, name: String, attrs: Map[String, String]): Option[String] = {
     val openIdx = xml.indexOf(s"<$name>")
     if (openIdx >= 0) {
       val from = openIdx + name.length + 2
       val closeIdx = xml.indexOf(s"</$name>", from)
-      if (closeIdx >= 0) Some(unescape(xml.substring(from, closeIdx))) else None
+      if (closeIdx >= 0) Some(decodeText(xml.substring(from, closeIdx))) else None
     } else if (xml.contains(s"<$name/>")) Some("")
-    else None
+    else attrs.get(name)
   }
 
   private def parseRow(xml: String): InternalRow = {
     val row = new GenericInternalRow(required.length)
+    val attrs = rowAttributes(xml)
     var i = 0
     while (i < required.length) {
       val f = required.fields(i)
-      val v: Any = fieldText(xml, f.name) match {
+      val v: Any = fieldText(xml, f.name, attrs) match {
         case None => null
         case Some(t) => f.dataType match {
           case StringType => UTF8String.fromString(t)

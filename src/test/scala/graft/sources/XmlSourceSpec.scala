@@ -104,4 +104,52 @@ class XmlSourceSpec extends SparkSpec {
       "<Row><id>1</id><name>中文 текст émoji</name><score>1.0</score></Row>"))
     assert(read(dir).collect()(0).getString(1) == "中文 текст émoji")
   }
+
+  test("a <Row inside a comment or CDATA is not a row start (findOpen)") {
+    val dir = tmpDir("xml-comment-open")
+    writeXml(dir, Seq(
+      "<!-- commented out: <Row><id>99</id><name>ghost</name><score>0.0</score></Row> -->",
+      "<Row><id>1</id><name>real</name><score>1.0</score></Row>",
+      "<![CDATA[ <Row><id>98</id><name>cdata-ghost</name><score>0.0</score></Row> ]]>",
+      "<Row><id>2</id><name>also real</name><score>2.0</score></Row>"))
+    val got = read(dir).orderBy("id").collect()
+    assert(got.map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(got(0).getString(1) == "real")
+  }
+
+  test("quoted '>' in an attribute value does not truncate the row") {
+    val dir = tmpDir("xml-attr-gt")
+    writeXml(dir, Seq(
+      "<Row note=\"a > b\"><id>1</id><name>kept</name><score>1.5</score></Row>",
+      "<Row note='x/>y'><id>2</id><name>kept2</name><score>2.5</score></Row>"))
+    val got = read(dir).orderBy("id").collect()
+    assert(got.length == 2)
+    assert(got(0).getString(1) == "kept")
+    assert(got(1).getString(1) == "kept2")
+  }
+
+  test("a literal </Row> inside comment or CDATA does not end the element") {
+    val dir = tmpDir("xml-body-cdata")
+    writeXml(dir, Seq(
+      "<Row><id>1</id><!-- fake closer: </Row> --><name>survives</name><score>1.0</score></Row>",
+      "<Row><id>2</id><name><![CDATA[5 > 4 & maybe </Row> too]]></name><score>2.0</score></Row>"))
+    val got = read(dir).orderBy("id").collect()
+    assert(got.length == 2)
+    assert(got(0).getString(1) == "survives")
+    assert(got(1).getString(1) == "5 > 4 & maybe </Row> too")
+  }
+
+  test("row-tag attributes decode into schema fields (element wins on conflict)") {
+    val dir = tmpDir("xml-attrs")
+    writeXml(dir, Seq(
+      "<Row id=\"1\" name=\"from-attr\" score=\"1.5\"/>",
+      "<Row id=\"2\" name=\"attr &amp; entity\"><score>2.5</score></Row>",
+      "<Row id='3' name='shadowed'><name>element-wins</name><score>3.5</score></Row>"))
+    val got = read(dir).orderBy("id").collect()
+    assert(got.length == 3)
+    assert(got(0).getInt(0) == 1 && got(0).getString(1) == "from-attr"
+      && got(0).getDouble(2) == 1.5)
+    assert(got(1).getString(1) == "attr & entity" && got(1).getDouble(2) == 2.5)
+    assert(got(2).getString(1) == "element-wins")
+  }
 }
