@@ -139,10 +139,17 @@ object Similarity extends QueryPack {
       .select(col("query_id"), col("neighbor_id")).distinct()
   }
 
-  /** Random-hyperplane LSH ANN: banded candidates, exact cosine rerank. */
-  private[operators] def lshTopK(s: SparkSession, d: String): DataFrame = {
+  /** Random-hyperplane LSH ANN: banded candidates, exact cosine rerank.
+    * `cands` is taken as a value so a verdict plan that also counts the
+    * candidates shares ONE subtree (Spark's ReuseExchange only fires on
+    * identical subtrees — two separate builder calls get distinct
+    * expression IDs and compute twice).
+    */
+  private[operators] def lshTopK(s: SparkSession, d: String): DataFrame =
+    lshTopKFrom(s, d, lshAnnCandidates(s, d))
+
+  private def lshTopKFrom(s: SparkSession, d: String, cands: DataFrame): DataFrame = {
     val base = normed(s, d)
-    val cands = lshAnnCandidates(s, d)
     val qv = base.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val cv = base.select(col("vec_id").as("neighbor_id"),
@@ -220,9 +227,13 @@ object Similarity extends QueryPack {
     * exactly verified (cos recomputed on the full vectors), so
     * approx ⊆ exact ALWAYS — only recall is probabilistic.
     */
-  private[operators] def approxDupPairs(s: SparkSession, d: String): DataFrame = {
+  private[operators] def approxDupPairs(s: SparkSession, d: String): DataFrame =
+    approxDupPairsFrom(s, d, approxDupCandidates(s, d))
+
+  private def approxDupPairsFrom(s: SparkSession, d: String,
+      cands: DataFrame): DataFrame = {
     val base = normed(s, d)
-    approxDupCandidates(s, d)
+    cands
       .join(base.select(col("vec_id").as("id_a"), col("v").as("va"),
         col("nrm").as("na")), Seq("id_a"))
       .join(base.select(col("vec_id").as("id_b"), col("v").as("vb"),
@@ -267,11 +278,12 @@ object Similarity extends QueryPack {
     // distinct candidate set stays under half of all query-corpus pairs;
     // measured ~0.23).
     "s04_ann_lsh_topk" -> ((s, d) => {
-      val cb = lshAnnCandidates(s, d).agg(count(lit(1)).as("nc"))
+      val cands = lshAnnCandidates(s, d) // shared subtree: rerank + count
+      val cb = cands.agg(count(lit(1)).as("nc"))
         .crossJoin(normed(s, d).agg(count(lit(1)).as("nv")))
         .select((col("nc") <= lit(0.5) * lit(NQ) * (col("nv") - 1))
           .as("cand_bounded"))
-      annVerdict(s, d, lshTopK(s, d), 0.3).crossJoin(cb)
+      annVerdict(s, d, lshTopKFrom(s, d, cands), 0.3).crossJoin(cb)
     }),
 
     // Embedding near-dup pairs: all pairs with cosine ≥ 0.4, EXACT.
@@ -300,8 +312,9 @@ object Similarity extends QueryPack {
     // approxDupCandidates banding math; a broken signature degrades to the
     // ~0.32 random-candidate fraction); cand_bounded proves pruning.
     "s05_embedding_dup_approx" -> ((s, d) => {
+      val cands = approxDupCandidates(s, d) // shared subtree: rerank + count
       val exact = gridDupPairs(s, d).select(col("id_a"), col("id_b"))
-      val approx = approxDupPairs(s, d).select(col("id_a"), col("id_b"))
+      val approx = approxDupPairsFrom(s, d, cands).select(col("id_a"), col("id_b"))
       val rec = exact
         .join(approx.withColumn("hit", lit(1)), Seq("id_a", "id_b"), "left")
         .agg(count(lit(1)).as("n_exact_pairs"),
@@ -309,7 +322,7 @@ object Similarity extends QueryPack {
             .as("recall_ok"))
       val fp = approx.join(exact, Seq("id_a", "id_b"), "left_anti")
         .agg(count(lit(1)).as("n_false_pairs"))
-      val cb = approxDupCandidates(s, d).agg(count(lit(1)).as("nc"))
+      val cb = cands.agg(count(lit(1)).as("nc"))
         .crossJoin(normed(s, d).agg(count(lit(1)).as("nv")))
         .select((col("nc") <= col("nv") * (col("nv") - lit(1)) / lit(2) * 0.45)
           .as("cand_bounded"))
