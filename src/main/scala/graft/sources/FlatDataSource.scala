@@ -90,7 +90,8 @@ class FlatTable(layout: EclLayout, options: CaseInsensitiveStringMap)
   override def schema(): StructType = layout.schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE).asJava
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
+      TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new FlatScanBuilder(paths, layout,
@@ -194,6 +195,110 @@ class FlatScan(paths: Seq[String], layout: EclLayout, required: StructType,
     new FlatReaderFactory(layout.spec, required.fieldNames, trimStrings,
       new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()),
       filters)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new FlatMicroBatchStream(paths, layout, required, trimStrings, filters)
+}
+
+/** Streaming offset for the FLAT source: the set of visible part files and
+  * their sizes. Files become visible atomically (the sink renames temp
+  * files on task commit), so file granularity is exact-once: a file is
+  * either absent from an offset or fully contained in it.
+  */
+case class FlatOffset(files: Map[String, Long])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = {
+    val m = new util.TreeMap[String, Long]()
+    files.foreach { case (k, v) => m.put(k, v) }
+    new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(m)
+  }
+}
+
+object FlatOffset {
+  def fromJson(json: String): FlatOffset = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readValue(json, classOf[util.Map[String, Number]])
+    FlatOffset(m.asScala.map { case (k, v) => k -> v.longValue }.toMap)
+  }
+}
+
+/** Micro-batch FLAT source: tail a directory of fixed-width part files.
+  * The reference is batch-only (its connector runs once per Thor job);
+  * this closes the gap so a landing directory fed by `PipeOut` (or the
+  * streaming flat sink) can be consumed incrementally.
+  *
+  * Each micro-batch = the part files that appeared since the last offset,
+  * split record-aligned exactly like the batch scan (same reader, same
+  * column pruning and filter pushdown). Files are assumed immutable once
+  * visible — guaranteed for our own sink (temp-file rename) and the
+  * reference's parts (written then closed). A file that GROWS in place is
+  * not supported, matching the no-append conclusion of SURVEY §2.1 #11.
+  */
+class FlatMicroBatchStream(paths: Seq[String], layout: EclLayout,
+    required: StructType, trimStrings: Boolean,
+    filters: Array[org.apache.spark.sql.sources.Filter])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def conf = SparkSession.active.sessionState.newHadoopConf()
+
+  private def listFiles(): Map[String, Long] = {
+    val c = conf
+    paths.flatMap { p =>
+      val root = new Path(p)
+      val fs = root.getFileSystem(c)
+      if (!fs.exists(root)) Seq.empty
+      else if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).toSeq.filter { f =>
+          val n = f.getPath.getName
+          f.isFile && f.getLen > 0 && !n.startsWith(".") && !n.startsWith("_")
+        }.map(f => f.getPath.toString -> f.getLen)
+      else {
+        val st = fs.getFileStatus(root)
+        Seq(st.getPath.toString -> st.getLen)
+      }
+    }.toMap
+  }
+
+  override def initialOffset(): Offset = FlatOffset(Map.empty)
+  override def latestOffset(): Offset = FlatOffset(listFiles())
+  override def deserializeOffset(json: String): Offset = FlatOffset.fromJson(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[FlatOffset].files.keySet
+    val newFiles = end.asInstanceOf[FlatOffset].files.filterNot {
+      case (f, _) => seen.contains(f)
+    }
+    val recLen = layout.recLen.toLong
+    val spark = SparkSession.active
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val targetSplit = math.max((maxSplit / recLen) * recLen, recLen)
+    val c = conf
+    newFiles.toSeq.sortBy(_._1).flatMap { case (file, size) =>
+      // non-multiple files: read the whole records, ignore the tail (a
+      // strict failure would poison the query permanently — log-and-go
+      // is the only sane streaming behavior)
+      val usable = (size / recLen) * recLen
+      val path = new Path(file)
+      val fs = path.getFileSystem(c)
+      val blocks = fs.getFileBlockLocations(fs.getFileStatus(path), 0, size)
+      (0L until usable by targetSplit).map { startB =>
+        val len = math.min(targetSplit, usable - startB)
+        val hosts = blocks.filter(b =>
+          b.getOffset < startB + len && startB < b.getOffset + b.getLength)
+          .flatMap(_.getHosts).distinct
+        FlatInputPartition(file, startB, len, hosts)
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FlatReaderFactory(layout.spec, required.fieldNames, trimStrings,
+      new SerializableHadoopConf(conf), filters)
 }
 
 class FlatReaderFactory(layoutSpec: String, requiredNames: Array[String],

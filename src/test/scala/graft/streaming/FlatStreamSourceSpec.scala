@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.sources.EclLayout
+
+/** Streaming read FROM the FLAT format: a landing directory of fixed-width
+  * part files is tailed micro-batch by micro-batch (file granularity —
+  * files appear atomically via the sink's temp-file rename), each batch
+  * record-aligned-split through the same reader as the batch scan.
+  */
+class FlatStreamSourceSpec extends SparkSpec {
+
+  private val layout = EclLayout.parse("id:unsigned4,name:string10,v:real8")
+
+  private def writeBatch(dir: String, ids: Range, parts: Int): Unit = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, s"n$i", i * 0.5)).toDF("id", "name", "v")
+      .repartition(parts)
+      .write.format("hpcc-flat").option("layout", layout.spec)
+      .mode("append").save(dir)
+  }
+
+  test("tailing a flat directory delivers each part file exactly once") {
+    val dir = tmpDir("flat-src-stream")
+    val ckpt = tmpDir("flat-src-ckpt")
+    writeBatch(dir, 0 until 50, parts = 2)
+
+    val sdf = spark.readStream.format("hpcc-flat")
+      .option("layout", layout.spec).load(dir)
+    assert(sdf.isStreaming)
+    val q = sdf.writeStream.format("memory").queryName("flat_tail")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val first = spark.table("flat_tail")
+      assert(first.count() == 50)
+      // second wave of part files (distinct names: different partition count)
+      writeBatch(dir, 50 until 80, parts = 3)
+      q.processAllAvailable()
+      val all = spark.table("flat_tail")
+      assert(all.count() == 80, "no loss, no duplication across batches")
+      assert(all.agg(sum(col("id"))).collect().head.getLong(0) == (0L until 80L).sum)
+      assert(all.select(col("id")).distinct().count() == 80)
+    } finally q.stop()
+  }
+
+  test("column pruning and filters apply on the streaming path too") {
+    val dir = tmpDir("flat-src-filter")
+    val ckpt = tmpDir("flat-src-filter-ckpt")
+    writeBatch(dir, 0 until 100, parts = 1)
+    val sdf = spark.readStream.format("hpcc-flat")
+      .option("layout", layout.spec).load(dir)
+      .filter(col("id") < 10).select(col("id"), col("name"))
+    val q = sdf.writeStream.format("memory").queryName("flat_tail_f")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("flat_tail_f")
+      assert(got.columns.toSeq == Seq("id", "name"))
+      assert(got.count() == 10)
+    } finally q.stop()
+  }
+}
