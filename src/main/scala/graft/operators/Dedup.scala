@@ -124,7 +124,7 @@ object Dedup extends QueryPack {
     * the spec-facing entry (exercised with pathological hot buckets in
     * HotBucketSpec); d04 wires it at the default cap.
     */
-  private[operators] def minhashLshPairs(docs: DataFrame,
+  private[graft] def minhashLshPairs(docs: DataFrame,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val idx = shingleIndex(docs)
     val cands = lshCandidates(minhashSignatures(idx), maxBucket)
@@ -143,7 +143,7 @@ object Dedup extends QueryPack {
     * over an arbitrary documents frame; d05's verdict query and
     * HotBucketSpec both build on this.
     */
-  private[operators] def simhashPairsOf(docs: DataFrame,
+  private[graft] def simhashPairsOf(docs: DataFrame,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     // the index IS the hash stream — no extra hashing step
     val idx = shingleIndex(docs)

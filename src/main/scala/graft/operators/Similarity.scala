@@ -61,7 +61,7 @@ object Similarity extends QueryPack {
   /** IVF top-k: rank coarse cells (centroid = per-dimension mean of the
     * cell), probe the NPROBE closest cells only.
     */
-  private[operators] def ivfTopK(s: SparkSession, d: String): DataFrame = {
+  private[graft] def ivfTopK(s: SparkSession, d: String): DataFrame = {
     val base = normed(s, d)
     // centroids via one explode + groupBy (map-side combinable)
     val cent = base
@@ -127,7 +127,7 @@ object Similarity extends QueryPack {
     * capped (Dedup.capBuckets — same boilerplate-bucket guard as the
     * MinHash path).
     */
-  private[operators] def lshAnnCandidates(s: SparkSession, d: String): DataFrame = {
+  private[graft] def lshAnnCandidates(s: SparkSession, d: String): DataFrame = {
     val banded = Dedup.capBuckets(
       bandedSig(signatures(normed(s, d), 16), 4, 4),
       Seq("band", "chunk"), Dedup.DefaultMaxBucket)
@@ -145,7 +145,7 @@ object Similarity extends QueryPack {
     * identical subtrees — two separate builder calls get distinct
     * expression IDs and compute twice).
     */
-  private[operators] def lshTopK(s: SparkSession, d: String): DataFrame =
+  private[graft] def lshTopK(s: SparkSession, d: String): DataFrame =
     lshTopKFrom(s, d, lshAnnCandidates(s, d))
 
   private def lshTopKFrom(s: SparkSession, d: String, cands: DataFrame): DataFrame = {
@@ -168,7 +168,7 @@ object Similarity extends QueryPack {
     * threshold requires examining all pairs and why this is its scalable
     * form.
     */
-  private[operators] def gridDupPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def gridDupPairs(s: SparkSession, d: String): DataFrame = {
     val base = normed(s, d)
     // B=8 at fixture scale; at 100 TB set B ≈ ceil(2·n·vecBytes/taskMem)
     // (memory-bound rule; communication grows O(n·B), compute is O(n²/P)
@@ -211,7 +211,7 @@ object Similarity extends QueryPack {
     * the same machinery with wider bands (e.g. 16 bands × 12 bits) gives
     * recall > 0.93 while examining ~16/4096 of the pairs.
     */
-  private[operators] def approxDupCandidates(s: SparkSession, d: String): DataFrame = {
+  private[graft] def approxDupCandidates(s: SparkSession, d: String): DataFrame = {
     val banded = Dedup.capBuckets(
       bandedSig(signatures(normed(s, d), 24), 6, 4),
       Seq("band", "chunk"), Dedup.DefaultMaxBucket)
@@ -227,7 +227,7 @@ object Similarity extends QueryPack {
     * exactly verified (cos recomputed on the full vectors), so
     * approx ⊆ exact ALWAYS — only recall is probabilistic.
     */
-  private[operators] def approxDupPairs(s: SparkSession, d: String): DataFrame =
+  private[graft] def approxDupPairs(s: SparkSession, d: String): DataFrame =
     approxDupPairsFrom(s, d, approxDupCandidates(s, d))
 
   private def approxDupPairsFrom(s: SparkSession, d: String,
