@@ -106,7 +106,9 @@ object Multimodal extends QueryPack {
         .orderBy(col("doc_id"), col("frame_no"))
     }),
     // Decode → resize pipeline (two chained partition-local typed stages).
-    // Stub kernels → rows-only; arithmetic asserted in MultimodalSpec.
+    // The stub kernels are deterministic integer math over the text bytes,
+    // and the fixture text is pure ASCII (byte == code point), so the whole
+    // pipeline replays exactly in the DuckDB oracle — full hash gate.
     "m05_resize_stage" -> ((s, d) => {
       resize(media(s, d), targetWidth = 320).toDF()
         .select(col("doc_id"), col("width"), col("height"),
@@ -114,12 +116,15 @@ object Multimodal extends QueryPack {
         .orderBy(col("doc_id"))
     }),
     // Typed mapPartitions decode stage (stubbed codec, real batch shape).
-    // Engine-specific feature layout → rows-only driver check; the decode
-    // math itself is asserted in MultimodalSpec.
+    // Header fields and the byte-histogram feature lanes replay in SQL
+    // (ASCII fixture ⇒ per-char ord == per-byte value) — full hash gate.
+    // Histogram counts are exact small integers; cast to long so both
+    // engines stringify identically ("12", not "12.0").
     "m04_decode_features" -> ((s, d) => {
       decode(media(s, d)).toDF()
         .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
-          col("feature")(0).as("f0"), col("feature")(3).as("f3"))
+          col("feature")(0).cast("long").as("f0"),
+          col("feature")(3).cast("long").as("f3"))
         .orderBy(col("doc_id"))
     })
   )
@@ -137,6 +142,39 @@ object Multimodal extends QueryPack {
         FROM documents)
       SELECT doc_id, unnest(generate_series(0, n_frames - 1, 10)) AS frame_no,
              unnest(generate_series(0, n_frames - 1, 10)) * 1024 AS byte_offset
-      FROM nf ORDER BY doc_id, frame_no"""
+      FROM nf ORDER BY doc_id, frame_no""",
+    // Replays decodeStub in SQL: header fields off the first bytes, the
+    // 4-lane byte histogram via per-character unnest (ASCII fixture, so
+    // ord(char) IS the UTF-8 byte). LEFT JOIN + coalesce guards the
+    // (absent in fixtures) empty-text row whose histogram group vanishes.
+    "m04_decode_features" -> """
+      WITH h AS (
+        SELECT doc_id,
+               count(*) FILTER (WHERE ord(c) % 4 = 0) AS f0,
+               count(*) FILTER (WHERE ord(c) % 4 = 3) AS f3
+        FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+              FROM documents)
+        GROUP BY doc_id)
+      SELECT d.doc_id,
+             640 + ord(substr(d.text, 1, 1)) % 64 AS width,
+             360 + ord(substr(d.text, 2, 1)) % 36 AS height,
+             octet_length(encode(d.text)) % 240 + 1 AS n_frames,
+             coalesce(h.f0, 0) AS f0,
+             coalesce(h.f3, 0) AS f3
+      FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+      ORDER BY d.doc_id""",
+    // Replays decodeStub + resizeStub: aspect reduction via gcd, floor
+    // division is exact (all dims positive).
+    "m05_resize_stage" -> """
+      WITH dec AS (
+        SELECT doc_id,
+               640 + ord(substr(text, 1, 1)) % 64 AS dw,
+               360 + ord(substr(text, 2, 1)) % 36 AS dh
+        FROM documents),
+      r AS (SELECT doc_id, greatest(1, (dh * 320) // dw) AS h FROM dec)
+      SELECT doc_id, 320 AS width, h AS height,
+             320 // gcd(320, h) AS aspect_num,
+             h // gcd(320, h) AS aspect_den
+      FROM r ORDER BY doc_id"""
   )
 }
