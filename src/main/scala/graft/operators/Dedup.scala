@@ -50,22 +50,37 @@ object Dedup extends QueryPack {
   private def jaccardPairs(s: SparkSession, d: String): DataFrame =
     jaccardPairsOf(T.documents(s, d))
 
+  /** Exhaustive pairs via ONE tokenization pass and TWO shuffles: explode
+    * the inverted index carrying each doc's set size, group by shingle hash
+    * into a sorted member list, emit in-bucket pairs with a two-level
+    * Generate (posexplode × slice — per-row memory stays O(bucket), never
+    * the O(bucket²) a flattened pair array would hold), then count
+    * co-occurrences per pair. The carried sizes make the Jaccard filter a
+    * pure projection — no size-lookup joins, no re-tokenization branches.
+    * (The previous self-join formulation tokenized every document four
+    * times: two join branches + two size branches.)
+    *
+    * Scale note: a bucket of k docs costs O(k²) emitted pairs — inherent to
+    * the exact semantics (d03 IS the oracle; d04's capped LSH is the scale
+    * path). The collect_list buffer is O(hottest bucket) per shingle.
+    */
   private def jaccardPairsOf(docs: DataFrame): DataFrame = {
-    val idx = shingleIndex(docs)
-    // per-doc set size is a narrow projection — no shuffle branch
-    val sizes = docs.select(col("doc_id"),
-      size(distinctShingleHashes(col("text"), NGRAM)).as("n_sh"))
-    val a = idx.select(col("doc_id").as("doc_a"), col("h"))
-    val b = idx.select(col("doc_id").as("doc_b"), col("h"))
-    val inter = a.join(b, Seq("h"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
+    val arrs = docs.select(col("doc_id"),
+      distinctShingleHashes(col("text"), NGRAM).as("sh"))
+    val idx = arrs.select(col("doc_id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("h"))
+    val buckets = idx.groupBy(col("h"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh"))))
+        .as("ms"))
+      .filter(size(col("ms")) > 1)
+    buckets
+      .select(col("ms"), posexplode(col("ms")).as(Seq("i", "a")))
+      .select(col("a"),
+        explode(slice(col("ms"), col("i") + lit(2),
+          size(col("ms")) - col("i") - lit(1))).as("b"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
       .agg(count(lit(1)).as("inter"))
-    // no broadcast hint: `sizes` is one row per document and scales with
-    // the corpus — join strategy stays stats/AQE-driven
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
       .withColumn("union_sz", col("na") + col("nb") - col("inter"))
       .filter(col("inter") * 2 >= col("union_sz"))
       .select(col("doc_a"), col("doc_b"), col("inter"), col("union_sz"))
