@@ -19,7 +19,8 @@ object SparkEntry {
     operators.TextAnalysis,
     operators.EventOps,
     operators.Formats,
-    operators.Multimodal
+    operators.Multimodal,
+    operators.Pipeline
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

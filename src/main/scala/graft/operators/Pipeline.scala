@@ -1,0 +1,270 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryPack, Tables => T}
+import graft.functions.TextFunctions._
+
+/** Corpus-preparation operators a large-scale training-data pipeline needs
+  * beyond dedup/similarity/text-analysis (north-star surface; the reference
+  * engine moves bytes and has no analogue — SURVEY.md §2.2):
+  *
+  *  - benchmark decontamination (n-gram overlap against an eval set, the
+  *    GPT-3 appendix-C / PaLM procedure);
+  *  - repetition metrics (the Gopher/MassiveText quality-filter family:
+  *    top-token and top-2-gram mass, repeated-token mass — kept as raw
+  *    integer counts so the filter thresholds stay a downstream projection
+  *    and the oracle never compares floats);
+  *  - PII detection/redaction (regex surface, counts + redacted text);
+  *  - deterministic hash split + shuffle (train/val/test assignment and
+  *    training order must be reproducible across engines and re-runs, so
+  *    both derive from md5(doc_id), never from Spark's partition-dependent
+  *    `rand()`);
+  *  - sequence packing (greedy fixed-token-budget batching of documents
+  *    into training sequences, sharded for parallelism).
+  *
+  * Scale design (100 TB):
+  *  - decontam: the benchmark side is eval suites — MBs, not corpus-scale —
+  *    so its distinct-n-gram set broadcasts; the corpus side never
+  *    shuffles (filter-join on 8-byte hashed grams, map-side only).
+  *  - repetition: explode → two-phase count per (doc, feature); both
+  *    shuffles key on doc_id which is unique ⇒ perfectly uniform.
+  *  - split/shuffle: pure projection (md5 prefix → bucket) + a range
+  *    partition for the global order; no joins, no skew.
+  *  - packing: running totals are windowed WITHIN a shard (partitionBy), so
+  *    state is per-shard and the plan scales by adding shards — never a
+  *    global single-partition window.
+  */
+object Pipeline extends QueryPack {
+
+  private val BENCH_SRC = "src0" // stand-in eval suite: one source slice
+  private val NGRAM = 6 // decontamination n-gram length
+  private val PACK_BUDGET = 256 // tokens per packed training sequence
+  private val SHARDS = 8 // packing shards (indep. greedy streams)
+
+  /** 16-bit uniform hash lane from md5 — engine-agnostic (md5 is bit-exact
+    * everywhere, unlike xxhash64 which is Spark-internal), cheap to replay
+    * in any SQL dialect, and 65536 lanes are plenty for percent splits.
+    */
+  private def h4(idCol: String) =
+    conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10).cast("long")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Benchmark decontamination: a probe document is contaminated when it
+    // shares any 6-token gram with the benchmark set. Grams travel as
+    // 8-byte xxhash64 keys (collision odds 2^-64; the oracle joins the
+    // gram STRINGS — identical pair semantics). The benchmark gram set is
+    // broadcast: the corpus side is a map-side filter-join, no shuffle of
+    // corpus data at any scale.
+    "p01_decontam" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val g6 = docs.select(col("doc_id"), col("source"),
+        explode(distinctShingles(col("text"), NGRAM)).as("g"))
+        .select(col("doc_id"), col("source"), xxhash64(col("g")).as("h"))
+      val bench = g6.filter(col("source") === BENCH_SRC)
+        .select(col("h")).distinct()
+      val shared = g6.filter(col("source") =!= BENCH_SRC)
+        .join(broadcast(bench), Seq("h"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      docs.filter(col("source") =!= BENCH_SRC)
+        .select(col("doc_id"),
+          size(distinctShingles(col("text"), NGRAM)).as("n_grams"))
+        .join(shared, Seq("doc_id"), "left")
+        .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+        .withColumn("contaminated", (col("n_shared") > 0).cast("int"))
+        .orderBy(col("doc_id"))
+    }),
+    // Gopher-style repetition signals, raw integer counts: total/distinct
+    // tokens, the heaviest token's count, total mass of tokens occurring
+    // >= 2 times, and the same for 2-grams. Thresholding (e.g. "drop if
+    // top 2-gram > 20% of tokens") stays a downstream projection.
+    "p02_repetition" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val tokStats = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
+        .groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(
+          sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          max(col("c")).as("top_token_count"),
+          sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("n_rep_tokens"))
+      val biStats = docs
+        .select(col("doc_id"), explode(shingles(col("text"), 2)).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(
+          sum(col("c")).as("n_bigrams"),
+          max(col("c")).as("top_bigram_count"))
+      tokStats.join(biStats, Seq("doc_id"), "left")
+        .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+        .withColumn("top_bigram_count",
+          coalesce(col("top_bigram_count"), lit(0L)))
+        .orderBy(col("doc_id"))
+    }),
+    // PII surface: detect + redact emails and phone-shaped strings. The
+    // fixture corpus is synthetic word soup, so deterministic PII is
+    // APPENDED per doc (from doc_id) before scanning — the oracle replays
+    // the same construction, and the regex parity (Java regex vs RE2) is
+    // exactly what the hash check proves. Patterns avoid \s, \d, \b
+    // shorthands where the two engines' definitions could diverge.
+    "p03_pii_redact" -> ((s, d) => {
+      val synth = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or call 555-01"),
+        lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"),
+        lit(" now"))
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "555-01[0-9]{2}"
+      T.documents(s, d)
+        .withColumn("synth", synth)
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("synth"), lit(emailRe), lit(0)))
+            .as("n_emails"),
+          size(regexp_extract_all(col("synth"), lit(phoneRe), lit(0)))
+            .as("n_phones"),
+          md5(regexp_replace(
+            regexp_replace(col("synth"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>")).as("red_fp"))
+        .orderBy(col("doc_id"))
+    }),
+    // Deterministic split + shuffle: h4 = 16 bits of md5(doc_id) gives the
+    // percent bucket (80/10/10) AND the training shuffle order (the output
+    // ordering itself — a range-partitioned distributed sort, no global
+    // window). Re-runs, engines, and cluster layouts all agree.
+    "p04_split_shuffle" -> ((s, d) => {
+      T.documents(s, d)
+        .select(col("doc_id"), h4("doc_id").as("h4"))
+        .withColumn("split",
+          when(pmod(col("h4"), lit(100)) < 80, "train")
+            .when(pmod(col("h4"), lit(100)) < 90, "val")
+            .otherwise("test"))
+        .orderBy(col("h4"), col("doc_id"))
+    }),
+    // Sequence packing: shard by hash, order each shard by the shuffle key,
+    // then greedy-fill PACK_BUDGET-token sequences via a running windowed
+    // sum (exclusive prefix div). Each shard is an independent greedy
+    // stream — the window is partitioned, so packing 100 TB is
+    // embarrassingly parallel in the shard count.
+    "p05_seq_packing" -> ((s, d) => {
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("h4"), col("doc_id"))
+      T.documents(s, d)
+        .select(col("doc_id"), h4("doc_id").as("h4"),
+          tokenCount(col("text")).cast("long").as("n_tokens"))
+        .withColumn("shard", pmod(col("h4"), lit(SHARDS)))
+        .withColumn("seq_pos", row_number().over(w))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("pack_id",
+          col("shard") * lit(1000000L) +
+            expr(s"(cum - n_tokens) div $PACK_BUDGET"))
+        .select(col("doc_id"), col("shard"), col("seq_pos"),
+          col("n_tokens"), col("pack_id"))
+        .orderBy(col("shard"), col("seq_pos"))
+    })
+  )
+
+  private val duckH4 =
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)"
+
+  override def oracles: Map[String, String] = Map(
+    "p01_decontam" -> s"""
+      WITH toks AS (
+        SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents),
+      pos AS (
+        SELECT doc_id, source, w, generate_subscripts(w, 1) AS i FROM toks),
+      g6 AS (
+        SELECT DISTINCT doc_id, source,
+               w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+               w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] AS g
+        FROM pos WHERE i <= len(w) - ${NGRAM - 1}),
+      bench AS (SELECT DISTINCT g FROM g6 WHERE source = '$BENCH_SRC'),
+      probe AS (
+        SELECT doc_id, count(*) AS n_shared
+        FROM g6 JOIN bench USING (g)
+        WHERE source <> '$BENCH_SRC' GROUP BY 1),
+      gcnt AS (
+        SELECT doc_id, count(*) AS n_grams FROM g6
+        WHERE source <> '$BENCH_SRC' GROUP BY 1)
+      SELECT d.doc_id,
+             coalesce(g.n_grams, 0) AS n_grams,
+             coalesce(p.n_shared, 0) AS n_shared,
+             CAST(coalesce(p.n_shared, 0) > 0 AS INT) AS contaminated
+      FROM documents d
+      LEFT JOIN gcnt g USING (doc_id)
+      LEFT JOIN probe p USING (doc_id)
+      WHERE d.source <> '$BENCH_SRC'
+      ORDER BY doc_id""",
+    "p02_repetition" -> """
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        FROM documents),
+      tk AS (
+        SELECT doc_id, unnest(w) AS tk FROM toks),
+      tc AS (
+        SELECT doc_id, tk, count(*) AS c FROM tk GROUP BY 1, 2),
+      ts AS (
+        SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+               max(c) AS top_token_count,
+               sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS n_rep_tokens
+        FROM tc GROUP BY 1),
+      bg AS (
+        SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+        FROM (SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM toks)
+        WHERE i <= len(w) - 1),
+      bc AS (
+        SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+      bs AS (
+        SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram_count
+        FROM bc GROUP BY 1)
+      SELECT ts.doc_id, CAST(ts.n_tokens AS BIGINT) AS n_tokens,
+             ts.n_distinct, ts.top_token_count,
+             CAST(ts.n_rep_tokens AS BIGINT) AS n_rep_tokens,
+             CAST(coalesce(bs.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             coalesce(bs.top_bigram_count, 0) AS top_bigram_count
+      FROM ts LEFT JOIN bs USING (doc_id)
+      ORDER BY doc_id""",
+    "p03_pii_redact" -> """
+      WITH synth AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+               '@example.com or call 555-01' ||
+               lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' now' AS s
+        FROM documents)
+      SELECT doc_id,
+             len(regexp_extract_all(s,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+             len(regexp_extract_all(s, '555-01[0-9]{2}')) AS n_phones,
+             md5(regexp_replace(regexp_replace(s,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '555-01[0-9]{2}', '<PHONE>', 'g')) AS red_fp
+      FROM synth ORDER BY doc_id""",
+    "p04_split_shuffle" -> s"""
+      SELECT doc_id, $duckH4 AS h4,
+             CASE WHEN $duckH4 % 100 < 80 THEN 'train'
+                  WHEN $duckH4 % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents ORDER BY h4, doc_id""",
+    "p05_seq_packing" -> s"""
+      WITH base AS (
+        SELECT doc_id, $duckH4 AS h4,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                 AS n_tokens
+        FROM documents),
+      sharded AS (
+        SELECT doc_id, h4, n_tokens, h4 % $SHARDS AS shard FROM base),
+      packed AS (
+        SELECT doc_id, shard,
+               row_number() OVER
+                 (PARTITION BY shard ORDER BY h4, doc_id) AS seq_pos,
+               n_tokens,
+               sum(n_tokens) OVER
+                 (PARTITION BY shard ORDER BY h4, doc_id
+                  ROWS UNBOUNDED PRECEDING) AS cum
+        FROM sharded)
+      SELECT doc_id, shard, seq_pos, n_tokens,
+             shard * 1000000 + (CAST(cum AS BIGINT) - n_tokens)
+               // $PACK_BUDGET AS pack_id
+      FROM packed ORDER BY shard, seq_pos"""
+  )
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.SparkSpec
+import java.security.MessageDigest
+
+/** Corpus-preparation pack (decontamination, repetition metrics, PII
+  * redaction, deterministic split/shuffle, sequence packing). The DuckDB
+  * oracles pin cross-engine parity at sf0.01; these specs pin the operator
+  * SEMANTICS on hand-computable fixtures.
+  */
+class PipelineSpec extends SparkSpec {
+
+  /** Write a documents.parquet fixture and return its directory. */
+  private def fixtureDir(rows: Seq[(Long, String, String, String)]): String = {
+    import spark.implicits._
+    val dir = tmpDir("pipeline")
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def run(name: String, dir: String) =
+    graft.SparkEntry.queries(name)(spark, dir)
+
+  test("p01: a shared 6-token run with the benchmark set flags the doc") {
+    val dir = fixtureDir(Seq(
+      (1L, "a b c d e f g h", "en", "src0"), // benchmark
+      (2L, "x a b c d e f y", "en", "src1"), // shares "a b c d e f"
+      (3L, "p q r s t u v w", "en", "src1"), // clean
+      (4L, "p q", "en", "src2") // too short to shingle
+    ))
+    val rows = run("p01_decontam", dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getInt(3))))
+      .toMap
+    assert(rows(2L) == ((3, 1L, 1))) // 3 distinct 6-grams, 1 shared
+    assert(rows(3L) == ((3, 0L, 0)))
+    assert(rows(4L) == ((0, 0L, 0)))
+    assert(!rows.contains(1L), "benchmark docs are not probed")
+  }
+
+  test("p02: repetition counts on a hand-checked doc") {
+    val dir = fixtureDir(Seq(
+      (1L, "a a b", "en", "src1"),
+      (2L, "z", "en", "src1") // single token: no bigrams
+    ))
+    val byId = run("p02_repetition", dir).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    // n_tokens, n_distinct, top_token_count, n_rep_tokens, n_bigrams, top_bigram_count
+    assert(byId(1L) == Seq(3L, 2L, 2L, 2L, 2L, 1L))
+    assert(byId(2L) == Seq(1L, 1L, 1L, 0L, 0L, 0L))
+  }
+
+  test("p03: appended PII is counted and redacted (md5-pinned)") {
+    val dir = fixtureDir(Seq((7L, "hello world", "en", "src1")))
+    val r = run("p03_pii_redact", dir).collect().head
+    assert(r.getInt(1) == 1 && r.getInt(2) == 1)
+    val redacted = "hello world contact <EMAIL> or call <PHONE> now"
+    val md5 = MessageDigest.getInstance("MD5")
+      .digest(redacted.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    assert(r.getString(3) == md5)
+  }
+
+  test("p04: split is deterministic, md5-derived, and ordered by hash") {
+    val dir = fixtureDir((0L until 200L).map(i =>
+      (i, s"doc $i text", "en", "src1")))
+    val rows = run("p04_split_shuffle", dir).collect()
+    // h4 of doc 42: md5("42") = a1d0... -> 0xa1d0 = 41424
+    val d42 = rows.find(_.getLong(0) == 42L).get
+    assert(d42.getLong(1) == 0xa1d0L)
+    assert(d42.getString(2) == (if (0xa1d0L % 100 < 80) "train"
+                                else if (0xa1d0L % 100 < 90) "val" else "test"))
+    val h4s = rows.map(_.getLong(1)).toSeq
+    assert(h4s == h4s.sorted, "output IS the shuffle order")
+    val splits = rows.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(splits.keySet == Set("train", "val", "test"))
+    assert(splits("train") > splits("val") && splits("train") > splits("test"))
+    // re-run must be bit-identical (no rand(), no partition dependence)
+    assert(run("p04_split_shuffle", dir).collect().toSeq == rows.toSeq)
+  }
+
+  test("p05: packing is a per-shard greedy prefix fill") {
+    val dir = fixtureDir((0L until 300L).map(i =>
+      (i, (0 until (1 + (i % 37)).toInt).map(t => s"w$t").mkString(" "),
+        "en", "src1")))
+    val rows = run("p05_seq_packing", dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4)))
+    rows.groupBy(_._2).foreach { case (shard, rs) =>
+      val seq = rs.sortBy(_._3)
+      assert(seq.map(_._3).toSeq == (1 to seq.length).toSeq,
+        s"shard $shard: seq_pos must be contiguous")
+      var cum = 0L
+      seq.foreach { case (_, _, _, n, packId) =>
+        assert(packId == shard * 1000000L + cum / 256,
+          s"shard $shard: pack_id must be the exclusive-prefix div")
+        cum += n
+      }
+    }
+    // every shard is an independent stream: shard count bounds parallelism
+    assert(rows.map(_._2).distinct.length > 1)
+  }
+}
