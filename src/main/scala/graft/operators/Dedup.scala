@@ -266,21 +266,29 @@ object Dedup extends QueryPack {
     //  - n_exact_missed = 0: identical documents have identical signatures
     //    (hamming 0), so simhash must find every exact-dup pair.
     // The raw pair stream is `simhashPairsOf` for library use.
+    // One full-outer merge of the three pair sets, then a single aggregate
+    // over membership flags — each expensive subtree (simhash self-join,
+    // exhaustive Jaccard, fingerprint self-join) is evaluated ONCE, where
+    // the verdict-per-crossJoin-branch formulation re-evaluated jac and
+    // exact twice each.
     "d05_simhash_pairs" -> ((s, d) => {
       val docs = T.documents(s, d)
-      val sim = simhashPairsOf(docs)
-      val jac = jaccardPairsOf(docs).select(col("doc_a"), col("doc_b"))
+      val sim = simhashPairsOf(docs).withColumn("in_s", lit(1))
+      val jac = jaccardPairsOf(docs)
+        .select(col("doc_a"), col("doc_b")).withColumn("in_j", lit(1))
       val fp = docs.select(col("doc_id"), fingerprint(col("text")).as("f"))
       val exact = fp.select(col("doc_id").as("doc_a"), col("f"))
         .join(fp.select(col("doc_id").as("doc_b"), col("f")), Seq("f"))
         .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"))
-      exact.agg(count(lit(1)).as("n_exact_dup_pairs"))
-        .crossJoin(jac.agg(count(lit(1)).as("n_jaccard_pairs")))
-        .crossJoin(sim.join(jac, Seq("doc_a", "doc_b"), "left_anti")
-          .agg(count(lit(1)).as("n_outside_jaccard")))
-        .crossJoin(exact.join(sim, Seq("doc_a", "doc_b"), "left_anti")
-          .agg(count(lit(1)).as("n_exact_missed")))
+        .select(col("doc_a"), col("doc_b")).withColumn("in_e", lit(1))
+      jac.join(sim, Seq("doc_a", "doc_b"), "full_outer")
+        .join(exact, Seq("doc_a", "doc_b"), "full_outer")
+        .agg(count(col("in_e")).as("n_exact_dup_pairs"),
+          count(col("in_j")).as("n_jaccard_pairs"),
+          count(when(col("in_s").isNotNull && col("in_j").isNull, lit(1)))
+            .as("n_outside_jaccard"),
+          count(when(col("in_e").isNotNull && col("in_s").isNull, lit(1)))
+            .as("n_exact_missed"))
     })
   )
 

@@ -311,22 +311,27 @@ object Similarity extends QueryPack {
     // recall_ok gates aggregate recall vs s03 at 0.5 (expected ~0.65, see
     // approxDupCandidates banding math; a broken signature degrades to the
     // ~0.32 random-candidate fraction); cand_bounded proves pruning.
+    // One full-outer merge of exact and approx pair sets: the O(n²) grid
+    // join and the LSH rerank are each evaluated ONCE (the per-verdict-
+    // branch formulation ran the grid join twice: recall + false-pair
+    // anti-join).
     "s05_embedding_dup_approx" -> ((s, d) => {
       val cands = approxDupCandidates(s, d) // shared subtree: rerank + count
-      val exact = gridDupPairs(s, d).select(col("id_a"), col("id_b"))
-      val approx = approxDupPairsFrom(s, d, cands).select(col("id_a"), col("id_b"))
-      val rec = exact
-        .join(approx.withColumn("hit", lit(1)), Seq("id_a", "id_b"), "left")
-        .agg(count(lit(1)).as("n_exact_pairs"),
-          (sum(coalesce(col("hit"), lit(0))) >= count(lit(1)) * 0.5)
-            .as("recall_ok"))
-      val fp = approx.join(exact, Seq("id_a", "id_b"), "left_anti")
-        .agg(count(lit(1)).as("n_false_pairs"))
+      val exact = gridDupPairs(s, d)
+        .select(col("id_a"), col("id_b")).withColumn("in_e", lit(1))
+      val approx = approxDupPairsFrom(s, d, cands)
+        .select(col("id_a"), col("id_b")).withColumn("in_a", lit(1))
+      val core = exact.join(approx, Seq("id_a", "id_b"), "full_outer")
+        .agg(count(col("in_e")).as("n_exact_pairs"),
+          (sum(when(col("in_e").isNotNull && col("in_a").isNotNull, 1)
+            .otherwise(0)) >= count(col("in_e")) * 0.5).as("recall_ok"),
+          count(when(col("in_a").isNotNull && col("in_e").isNull, lit(1)))
+            .as("n_false_pairs"))
       val cb = cands.agg(count(lit(1)).as("nc"))
         .crossJoin(normed(s, d).agg(count(lit(1)).as("nv")))
         .select((col("nc") <= col("nv") * (col("nv") - lit(1)) / lit(2) * 0.45)
           .as("cand_bounded"))
-      rec.crossJoin(fp).crossJoin(cb)
+      core.crossJoin(cb)
     })
   )
 

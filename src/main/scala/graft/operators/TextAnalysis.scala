@@ -130,17 +130,21 @@ object TextAnalysis extends QueryPack {
         .join(run6.select(col("doc_id").as("doc_b"), col("h6")), Seq("h6"))
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b")).distinct()
-      // run pairs are few: broadcast them against the fingerprint index
-      // instead of materializing the (large) all-shared-fp pair set
-      val withShared = broadcast(runPairs)
-        .join(fps.select(col("doc_id").as("doc_a"), col("fp")), Seq("doc_a"))
-        .join(fps.select(col("doc_id").as("doc_b"), col("fp")), Seq("doc_b", "fp"))
-        .select(col("doc_a"), col("doc_b")).distinct()
+      // Tag each run pair with whether it shares a fingerprint (left joins
+      // through the fp index, then max(m) per pair), so the expensive
+      // window + self-join subtree behind runPairs is evaluated ONCE —
+      // n_run_pairs and n_run_pairs_missed come from the same aggregation.
+      val shared = runPairs
+        .join(fps.select(col("doc_id").as("doc_a"), col("fp")),
+          Seq("doc_a"), "left")
+        .join(fps.select(col("doc_id").as("doc_b"), col("fp"))
+          .withColumn("m", lit(1)), Seq("doc_b", "fp"), "left")
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(max(col("m")).as("sh"))
       hs.agg(countDistinct(col("doc_id")).as("n_docs"))
         .crossJoin(fps.agg(countDistinct(col("doc_id")).as("n_fp_docs")))
-        .crossJoin(runPairs.agg(count(lit(1)).as("n_run_pairs")))
-        .crossJoin(runPairs.join(withShared, Seq("doc_a", "doc_b"), "left_anti")
-          .agg(count(lit(1)).as("n_run_pairs_missed")))
+        .crossJoin(shared.agg(count(lit(1)).as("n_run_pairs"),
+          count(when(col("sh").isNull, lit(1))).as("n_run_pairs_missed")))
     }),
     // Multimodal plumbing: treat content as an opaque binary column with
     // typed metadata — byte length + sha256, both engine-agnostic. The
