@@ -50,29 +50,70 @@ object Pipeline extends QueryPack {
   private def h4(idCol: String) =
     conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10).cast("long")
 
+  /** Benchmark decontamination: per probe document, the count of distinct
+    * n-token grams shared with the benchmark set, plus a contaminated
+    * flag. Grams travel as 8-byte xxhash64 keys; the benchmark gram set is
+    * broadcast (eval suites are MBs while the corpus is TBs), so the
+    * corpus side is a map-side filter-join — no corpus shuffle except the
+    * per-doc count keyed on unique doc_id.
+    */
+  private[graft] def decontaminate(probe: DataFrame, bench: DataFrame,
+      n: Int): DataFrame = {
+    val pg = probe.select(col("doc_id"),
+      explode(distinctShingles(col("text"), n)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+    val bg = bench.select(explode(distinctShingles(col("text"), n)).as("g"))
+      .select(xxhash64(col("g")).as("h")).distinct()
+    val shared = pg.join(broadcast(bg), Seq("h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    probe.select(col("doc_id"),
+      size(distinctShingles(col("text"), n)).as("n_grams"))
+      .join(shared, Seq("doc_id"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("contaminated", (col("n_shared") > 0).cast("int"))
+  }
+
+  /** Deterministic percent split: md5-derived lane → named split. A pure
+    * projection — no rand(), no partition dependence, so re-runs, engines,
+    * and cluster layouts all assign identically.
+    */
+  private[graft] def hashSplit(df: DataFrame, idCol: String,
+      trainPct: Int, valPct: Int): DataFrame =
+    df.withColumn("h4", h4(idCol))
+      .withColumn("split",
+        when(pmod(col("h4"), lit(100)) < trainPct, "train")
+          .when(pmod(col("h4"), lit(100)) < trainPct + valPct, "val")
+          .otherwise("test"))
+
+  /** Greedy fixed-token-budget sequence packing, sharded: each shard is an
+    * independent greedy stream (windowed running sum partitioned by shard),
+    * so packing scales by raising the shard count — never a global
+    * single-partition window.
+    */
+  private[graft] def packSequences(docs: DataFrame, budget: Int,
+      shards: Int): DataFrame = {
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("h4"), col("doc_id"))
+    docs.select(col("doc_id"), h4("doc_id").as("h4"),
+      tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("shard", pmod(col("h4"), lit(shards)))
+      .withColumn("seq_pos", row_number().over(w))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id",
+        col("shard") * lit(1000000L) + expr(s"(cum - n_tokens) div $budget"))
+      .select(col("doc_id"), col("shard"), col("seq_pos"),
+        col("n_tokens"), col("pack_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Benchmark decontamination: a probe document is contaminated when it
-    // shares any 6-token gram with the benchmark set. Grams travel as
-    // 8-byte xxhash64 keys (collision odds 2^-64; the oracle joins the
-    // gram STRINGS — identical pair semantics). The benchmark gram set is
-    // broadcast: the corpus side is a map-side filter-join, no shuffle of
-    // corpus data at any scale.
+    // Decontamination wired to the fixture: benchmark = the BENCH_SRC
+    // source slice (stand-in eval suite), probe = everything else. The
+    // oracle joins the gram STRINGS — identical pair semantics to the
+    // hashed join at 2^-64 collision odds.
     "p01_decontam" -> ((s, d) => {
       val docs = T.documents(s, d)
-      val g6 = docs.select(col("doc_id"), col("source"),
-        explode(distinctShingles(col("text"), NGRAM)).as("g"))
-        .select(col("doc_id"), col("source"), xxhash64(col("g")).as("h"))
-      val bench = g6.filter(col("source") === BENCH_SRC)
-        .select(col("h")).distinct()
-      val shared = g6.filter(col("source") =!= BENCH_SRC)
-        .join(broadcast(bench), Seq("h"))
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
-      docs.filter(col("source") =!= BENCH_SRC)
-        .select(col("doc_id"),
-          size(distinctShingles(col("text"), NGRAM)).as("n_grams"))
-        .join(shared, Seq("doc_id"), "left")
-        .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
-        .withColumn("contaminated", (col("n_shared") > 0).cast("int"))
+      decontaminate(docs.filter(col("source") =!= BENCH_SRC),
+        docs.filter(col("source") === BENCH_SRC), NGRAM)
         .orderBy(col("doc_id"))
     }),
     // Gopher-style repetition signals, raw integer counts: total/distinct
@@ -127,40 +168,18 @@ object Pipeline extends QueryPack {
             phoneRe, "<PHONE>")).as("red_fp"))
         .orderBy(col("doc_id"))
     }),
-    // Deterministic split + shuffle: h4 = 16 bits of md5(doc_id) gives the
-    // percent bucket (80/10/10) AND the training shuffle order (the output
-    // ordering itself — a range-partitioned distributed sort, no global
-    // window). Re-runs, engines, and cluster layouts all agree.
+    // Deterministic split + shuffle: the 80/10/10 split AND the training
+    // shuffle order (the output ordering itself — a range-partitioned
+    // distributed sort, no global window) both derive from h4.
     "p04_split_shuffle" -> ((s, d) => {
-      T.documents(s, d)
-        .select(col("doc_id"), h4("doc_id").as("h4"))
-        .withColumn("split",
-          when(pmod(col("h4"), lit(100)) < 80, "train")
-            .when(pmod(col("h4"), lit(100)) < 90, "val")
-            .otherwise("test"))
+      hashSplit(T.documents(s, d).select(col("doc_id")), "doc_id", 80, 10)
         .orderBy(col("h4"), col("doc_id"))
     }),
-    // Sequence packing: shard by hash, order each shard by the shuffle key,
-    // then greedy-fill PACK_BUDGET-token sequences via a running windowed
-    // sum (exclusive prefix div). Each shard is an independent greedy
-    // stream — the window is partitioned, so packing 100 TB is
-    // embarrassingly parallel in the shard count.
-    "p05_seq_packing" -> ((s, d) => {
-      val w = Window.partitionBy(col("shard"))
-        .orderBy(col("h4"), col("doc_id"))
-      T.documents(s, d)
-        .select(col("doc_id"), h4("doc_id").as("h4"),
-          tokenCount(col("text")).cast("long").as("n_tokens"))
-        .withColumn("shard", pmod(col("h4"), lit(SHARDS)))
-        .withColumn("seq_pos", row_number().over(w))
-        .withColumn("cum", sum(col("n_tokens")).over(w))
-        .withColumn("pack_id",
-          col("shard") * lit(1000000L) +
-            expr(s"(cum - n_tokens) div $PACK_BUDGET"))
-        .select(col("doc_id"), col("shard"), col("seq_pos"),
-          col("n_tokens"), col("pack_id"))
-        .orderBy(col("shard"), col("seq_pos"))
-    })
+    // Sequence packing: greedy-fill PACK_BUDGET-token sequences via a
+    // running windowed sum (exclusive prefix div) per shard.
+    "p05_seq_packing" -> ((s, d) =>
+      packSequences(T.documents(s, d), PACK_BUDGET, SHARDS)
+        .orderBy(col("shard"), col("seq_pos")))
   )
 
   private val duckH4 =
