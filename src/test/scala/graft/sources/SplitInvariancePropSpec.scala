@@ -1,0 +1,129 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop, Test => ScTest}
+import org.scalacheck.rng.Seed
+import graft.SparkSpec
+
+/** SURVEY.md §5.2 property tests (ScalaCheck): ∀ file content × terminator
+  * × quote × split size, the union of per-partition reads equals the
+  * whole-file read — no duplication, no loss at partition boundaries (the
+  * invariant behind the reference's seek-to-terminator realignment,
+  * libhdfsconnector.cpp:476-488,545-558) — and FLAT counts/content are
+  * split-invariant (libhdfsconnector.cpp:76-96).
+  *
+  * Spark-backed properties run a reduced-but-seeded case count (each case
+  * is a full write+read job); pure-function properties run the default
+  * 100.
+  */
+class SplitInvariancePropSpec extends SparkSpec {
+
+  private def check(prop: Prop, cases: Int): Unit = {
+    val params = ScTest.Parameters.default
+      .withMinSuccessfulTests(cases)
+      .withInitialSeed(Seed(42L))
+    val res = ScTest.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  // printable, quote/terminator/separator-free field alphabet; embedded
+  // separators and the OTHER quote are exercised via explicit injection
+  private val word: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+
+  test("CSV: ∀ content × terminator × quote × split, partitioned == whole") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("txt", StringType),
+      StructField("v", DoubleType)))
+    val gen = for {
+      n <- Gen.choose(20, 120)
+      terminator <- Gen.oneOf("\n", "\r\n", "|\n", "~~")
+      quote <- Gen.oneOf("'", "\"")
+      split <- Gen.oneOf(128, 1024)
+      words <- Gen.listOfN(n, word)
+    } yield (n, terminator, quote, split, words)
+    val prop = Prop.forAll(gen) { case (n, terminator, quote, split, words) =>
+      import spark.implicits._
+      val otherQuote = if (quote == "'") "\"" else "'"
+      val rows = words.zipWithIndex.map { case (w, i) =>
+        // inject separators + the non-active quote into some fields
+        val txt = if (i % 3 == 0) s"$w,x" else if (i % 3 == 1) s"$w$otherQuote" else w
+        (i.toLong, txt, i * 0.5)
+      }
+      val df = rows.toDF("id", "txt", "v")
+      val dir = tmpDir("csv-prop")
+      HpccCsv.write(df, dir, terminator = terminator, quote = quote)
+      val expected = rows.sortBy(_._1)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", split.toString)
+      try {
+        val got = HpccCsv.read(spark, dir, schema,
+            terminator = terminator, quote = quote)
+          .orderBy("id").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+        got == expected
+      } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    }
+    check(prop, 8)
+  }
+
+  test("FLAT: ∀ record shape × split, counts and content are split-invariant") {
+    val gen = for {
+      w <- Gen.choose(4, 16)
+      n <- Gen.choose(30, 300)
+      split <- Gen.oneOf(25, 97, 1000)
+      words <- Gen.listOfN(n, word)
+    } yield (w, n, split, words)
+    val prop = Prop.forAll(gen) { case (w, n, split, words) =>
+      import spark.implicits._
+      val layout = EclLayout.parse(s"id:unsigned4,name:string$w,grade:integer4")
+      val rows = words.zipWithIndex.map { case (s, i) =>
+        (i.toLong, s.take(w), -i) }
+      val df = rows.toDF("id", "name", "grade")
+        .select(col("id"), col("name"), col("grade").cast("int").as("grade"))
+      val dir = tmpDir("flat-prop")
+      df.write.format("hpcc-flat").option("layout", layout.spec)
+        .mode("overwrite").save(dir)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", split.toString)
+      try {
+        val got = spark.read.format("hpcc-flat")
+          .option("layout", layout.spec).load(dir)
+        got.count() == n.toLong &&
+          got.orderBy("id").collect().toSeq ==
+            df.orderBy("id").collect().toSeq
+      } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    }
+    check(prop, 8)
+  }
+
+  test("expandEscapes: escape-free strings are fixed points; no stray backslashes") {
+    val escFree = Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(' ', ',',
+      '\'', '"', '~', '|'))).map(_.mkString)
+    check(Prop.forAll(escFree) { s => HpccCsv.expandEscapes(s) == s }, 100)
+    // every backslash in the OUTPUT must come from an explicit \\ pair
+    val withEsc = Gen.listOf(Gen.oneOf(Gen.alphaNumChar.map(_.toString),
+      Gen.oneOf("\\n", "\\t", "\\\\", "\\z", "\\x41"))).map(_.mkString)
+    check(Prop.forAll(withEsc) { s =>
+      val out = HpccCsv.expandEscapes(s)
+      out.count(_ == '\\') <= s.sliding(2).count(_ == "\\\\")
+    }, 100)
+  }
+
+  test("shingleHashes: ∀ token streams, |hashes| == max(0, tokens - n + 1)") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val docs = Gen.listOfN(200,
+      Gen.choose(0, 12).flatMap(k => Gen.listOfN(k, word).map(_.mkString(" "))))
+    val prop = Prop.forAll(docs) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val bad = df.select(col("doc_id"),
+          size(TextFunctions.shingleHashes(col("text"), 3)).as("got"),
+          greatest(size(TextFunctions.tokens(col("text"))) - 2, lit(0))
+            .as("want"))
+        .filter(col("got") =!= col("want"))
+      bad.count() == 0
+    }
+    check(prop, 5)
+  }
+}
