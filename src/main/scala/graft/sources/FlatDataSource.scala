@@ -101,7 +101,13 @@ class FlatTable(layout: EclLayout, options: CaseInsensitiveStringMap)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(paths.size == 1,
       s"hpcc-flat write takes exactly one output path, got ${paths.size}")
-    new FlatWriteBuilder(paths.head, layout, info)
+    // reference option -hdfsfilereplication (hdfsconnector.hpp:398-402) —
+    // which its webhdfs twin then ignores, hardcoding replication=1
+    // (webhdfsconnector.cpp:675-677). We honor it: 0 = filesystem default.
+    val replication = options.getInt("replication", 0)
+    require(replication >= 0 && replication <= Short.MaxValue,
+      s"hpcc-flat: replication must be in [0, 32767], got $replication")
+    new FlatWriteBuilder(paths.head, layout, info, replication.toShort)
   }
 }
 
@@ -382,7 +388,8 @@ class FlatPartitionReader(part: FlatInputPartition, layout: EclLayout,
 
 // --------------------------------------------------------------- write path
 
-class FlatWriteBuilder(path: String, layout: EclLayout, info: LogicalWriteInfo)
+class FlatWriteBuilder(path: String, layout: EclLayout, info: LogicalWriteInfo,
+    replication: Short = 0)
     extends WriteBuilder with SupportsTruncate {
 
   private var doTruncate = false
@@ -394,11 +401,12 @@ class FlatWriteBuilder(path: String, layout: EclLayout, info: LogicalWriteInfo)
     require(in.fields.map(f => (f.name, f.dataType)).sameElements(
       want.fields.map(f => (f.name, f.dataType))),
       s"hpcc-flat write schema mismatch:\n  got  $in\n  want $want")
-    new FlatWrite(path, layout, doTruncate)
+    new FlatWrite(path, layout, doTruncate, replication)
   }
 }
 
-class FlatWrite(path: String, layout: EclLayout, truncate: Boolean)
+class FlatWrite(path: String, layout: EclLayout, truncate: Boolean,
+    replication: Short = 0)
     extends Write with BatchWrite
     with org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   override def toBatch: BatchWrite = this
@@ -431,7 +439,8 @@ class FlatWrite(path: String, layout: EclLayout, truncate: Boolean)
   }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new FlatWriterFactory(path, layout.spec, info.numPartitions, prepare())
+    new FlatWriterFactory(path, layout.spec, info.numPartitions, prepare(),
+      replication)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -444,7 +453,8 @@ class FlatWrite(path: String, layout: EclLayout, truncate: Boolean)
   // from the failed attempt — the duplicate-row hazard of eager renames.
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    new FlatStreamingWriterFactory(path, layout.spec, info.numPartitions, prepare())
+    new FlatStreamingWriterFactory(path, layout.spec, info.numPartitions,
+      prepare(), replication)
 
   private def cleanEpoch(epochId: Long, keep: Set[String]): Unit = {
     val dir = new Path(path)
@@ -470,19 +480,21 @@ class FlatWrite(path: String, layout: EclLayout, truncate: Boolean)
 }
 
 class FlatWriterFactory(path: String, layoutSpec: String, numPartitions: Int,
-    conf: SerializableHadoopConf) extends DataWriterFactory {
+    conf: SerializableHadoopConf, replication: Short = 0)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new FlatDataWriter(path, EclLayout.parse(layoutSpec), partitionId,
-      numPartitions, taskId, conf)
+      numPartitions, taskId, conf, replication = replication)
 }
 
 class FlatStreamingWriterFactory(path: String, layoutSpec: String,
-    numPartitions: Int, conf: SerializableHadoopConf)
+    numPartitions: Int, conf: SerializableHadoopConf, replication: Short = 0)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new FlatDataWriter(path, EclLayout.parse(layoutSpec), partitionId,
-      numPartitions, taskId, conf, namePrefix = s"part_${epochId}_")
+      numPartitions, taskId, conf, namePrefix = s"part_${epochId}_",
+      replication = replication)
 }
 
 case object FlatCommit extends WriterCommitMessage
@@ -499,15 +511,20 @@ case class FlatCommitMsg(fileName: String) extends WriterCommitMessage
   */
 class FlatDataWriter(path: String, layout: EclLayout, partitionId: Int,
     numPartitions: Int, taskId: Long, conf: SerializableHadoopConf,
-    namePrefix: String = "part_")
+    namePrefix: String = "part_", replication: Short = 0)
     extends DataWriter[InternalRow] {
 
   private val finalFile = new Path(path, f"$namePrefix${partitionId}_$numPartitions")
   private val tmpFile =
     new Path(path, f".$namePrefix${partitionId}_$numPartitions.$taskId.tmp")
   private val fs = finalFile.getFileSystem(conf.value)
+  // replication 0 = filesystem default (vs the reference's webhdfs twin,
+  // which hardcodes 1 — webhdfsconnector.cpp:675-677)
   private val out = new java.io.BufferedOutputStream(
-    fs.create(tmpFile, true), 1 << 16)
+    if (replication > 0)
+      fs.create(tmpFile, true, 1 << 16, replication,
+        fs.getDefaultBlockSize(tmpFile))
+    else fs.create(tmpFile, true), 1 << 16)
   private val buf = new Array[Byte](layout.recLen)
 
   override def write(r: InternalRow): Unit = {

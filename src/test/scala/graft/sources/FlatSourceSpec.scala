@@ -33,6 +33,21 @@ class FlatSourceSpec extends SparkSpec {
     assert(!new java.io.File(dir).listFiles().exists(_.getName.endsWith(".tmp")))
   }
 
+  test("replication option is honored (reference -hdfsfilereplication)") {
+    val dir = tmpDir("flat-repl")
+    val df = sample(50)
+    df.write.format("hpcc-flat").option("layout", layout.spec)
+      .option("replication", "1").mode("overwrite").save(dir)
+    val back = spark.read.format("hpcc-flat").option("layout", layout.spec)
+      .load(dir)
+    assert(back.count() == 50)
+    val ex = intercept[Exception] {
+      df.write.format("hpcc-flat").option("layout", layout.spec)
+        .option("replication", "-2").mode("overwrite").save(tmpDir("flat-repl2"))
+    }
+    assert(ex.getMessage.contains("replication"))
+  }
+
   test("split invariance: record-aligned partitions lose/duplicate nothing") {
     val dir = tmpDir("flat-split")
     sample(997).coalesce(1).write.format("hpcc-flat")
