@@ -18,9 +18,10 @@ import graft.functions.TextFunctions._
   * Scale design (100 TB): every method is expressed as
   * explode → shuffle-on-feature → pair aggregation, never a cross join.
   *  - exact: groupBy(key) with a deterministic keeper (min doc_id);
-  *  - n-gram Jaccard: inverted index (shingle → doc) self-join, integer
-  *    threshold arithmetic (`2*inter >= union`) so the oracle matches
-  *    bit-for-bit with no FP division;
+  *  - n-gram Jaccard: single-pass bucketed inverted index (shingle-hash →
+  *    sorted member list → in-bucket pair generation), integer threshold
+  *    arithmetic (`2*inter >= union`) so the oracle matches bit-for-bit
+  *    with no FP division;
   *  - MinHash-LSH: 64-lane signature computed in ONE pass over the inverted
   *    index (custom TypedImperativeAggregate, map-side combinable), banded
   *    32×2 (recall ≥ 0.9999 at the 0.5 threshold) → bucket join produces

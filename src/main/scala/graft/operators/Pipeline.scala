@@ -10,12 +10,14 @@ import graft.functions.TextFunctions._
   * beyond dedup/similarity/text-analysis (north-star surface; the reference
   * engine moves bytes and has no analogue — SURVEY.md §2.2):
   *
-  *  - benchmark decontamination (n-gram overlap against an eval set, the
-  *    GPT-3 appendix-C / PaLM procedure);
-  *  - repetition metrics (the Gopher/MassiveText quality-filter family:
-  *    top-token and top-2-gram mass, repeated-token mass — kept as raw
-  *    integer counts so the filter thresholds stay a downstream projection
-  *    and the oracle never compares floats);
+  *  - benchmark decontamination (n-gram overlap against an eval set — the
+  *    procedure of Brown et al., "Language Models are Few-Shot Learners",
+  *    NeurIPS 2020, appendix C, and Chowdhery et al., PaLM, 2022 §6);
+  *  - repetition metrics (the quality-filter family of Rae et al.,
+  *    "Scaling Language Models: ... Gopher", 2021, appendix A1.1
+  *    MassiveText rules: top-token and top-2-gram mass, repeated-token
+  *    mass — kept as raw integer counts so the filter thresholds stay a
+  *    downstream projection and the oracle never compares floats);
   *  - PII detection/redaction (regex surface, counts + redacted text);
   *  - deterministic hash split + shuffle (train/val/test assignment and
   *    training order must be reproducible across engines and re-runs, so
