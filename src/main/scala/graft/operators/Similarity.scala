@@ -41,13 +41,20 @@ object Similarity extends QueryPack {
       .withColumn("nrm", l2norm(col("v")))
   }
 
+  /** Brute-force exact top-k. The QUERY side broadcasts (it is the small
+    * side by construction) and the corpus streams partition-local — the
+    * scale-correct orientation even for this declared O(n·q) baseline.
+    * The rank-filter window compiles to WindowGroupLimit: each partition
+    * keeps its local top-k per query before the 10-key shuffle, so the
+    * shuffle moves O(partitions · q · k) rows, not the scored corpus.
+    */
   private def bruteTopK(s: SparkSession, d: String): DataFrame = {
     val base = normed(s, d)
     val q = base.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val c = base.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
       col("nrm").as("cn"))
-    val scored = q.join(broadcast(c), col("query_id") =!= col("neighbor_id"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
