@@ -116,6 +116,29 @@ object Relational extends QueryPack {
         .orderBy($"l_returnflag")
     }),
 
+    // GK-sketch percentile (percentile_approx, Greenwald–Khanna SIGMOD'01).
+    // Like q24, the sketch output is engine-specific, so the cross-engine
+    // contract is the sketch's own guarantee: with accuracy a, the rank of
+    // the returned element must lie within n/a of the target rank. The
+    // verdict row carries the recomputed row count plus the rank-contract
+    // booleans (slack 2·n/a + 2 to absorb duplicate values at the cut).
+    "q34_approx_percentile" -> ((s, d) => {
+      import s.implicits._
+      val t = T.lineitem(s, d).select($"l_extendedprice".cast("double").as("x"))
+      val ap = t.agg(
+        percentile_approx($"x", lit(0.5), lit(1000)).as("a50"),
+        percentile_approx($"x", lit(0.9), lit(1000)).as("a90"))
+      t.crossJoin(broadcast(ap))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when($"x" <= $"a50", 1L).otherwise(0L)).as("r50"),
+          sum(when($"x" <= $"a90", 1L).otherwise(0L)).as("r90"))
+        .select($"n_rows",
+          (abs($"r50" - $"n_rows" * 0.5) <= $"n_rows" * 0.002 + 2)
+            .as("p50_rank_ok"),
+          (abs($"r90" - $"n_rows" * 0.9) <= $"n_rows" * 0.002 + 2)
+            .as("p90_rank_ok"))
+    }),
+
     // The SQL entry point: the same Catalyst pipeline through spark.sql
     // text over registered views (the engine's second query language).
     "q32_sql_interface" -> ((s, d) => {
@@ -412,6 +435,13 @@ object Relational extends QueryPack {
              abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
                <= count(DISTINCT l_partkey) * 0.05 AS hll_ok
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // q34 verdict row: n_rows recomputed; the rank-contract booleans must
+    // be TRUE (the GK guarantee the Spark side proves against its own
+    // sketch output — same shape as the s02/s04 recall verdicts).
+    "q34_approx_percentile" -> """
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
+      FROM lineitem""",
     "q32_sql_interface" -> """
       SELECT o_orderpriority, count(*) AS n_orders
       FROM orders
