@@ -110,6 +110,31 @@ object Formats extends QueryPack {
         .orderBy(col("custkey"))
     }),
 
+    // Bucketed co-located join: both sides pre-bucketed (+sorted) on the
+    // join key, so the join plan has ZERO exchanges — the "shuffle once,
+    // join many times" pattern that amortizes the fact-table shuffle
+    // across every downstream query at 100 TB. The oracle proves the
+    // co-located join's RESULT; BucketingSpec pins the shuffle-free plan.
+    "f08_bucketed_join" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val wh = ioDir(d, "f08")
+      val li = T.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"))
+      val ord = T.orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$wh/li").mode("overwrite")
+        .saveAsTable(s"f08_li_$tag")
+      ord.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$wh/ord").mode("overwrite")
+        .saveAsTable(s"f08_ord_$tag")
+      s.table(s"f08_li_$tag").join(s.table(s"f08_ord_$tag"), "l_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("bigint")).as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // PipeOutAndMerge shape: parallel part write, single-writer ordered
     // concat (Merge.mergeParts = mergeFile), then scan the ONE merged file.
     "f04_flat_merged_agg" -> ((s, d) => {
@@ -145,6 +170,11 @@ object Formats extends QueryPack {
     "f04_flat_merged_agg" -> """
       SELECT count(*) AS n, CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
              min(c_custkey) AS min_k, max(c_custkey) AS max_k FROM customer""",
+    "f08_bucketed_join" -> """
+      SELECT o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "f07_flat_filter_pushdown" -> """
       SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal
       FROM customer
