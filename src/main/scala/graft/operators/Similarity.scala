@@ -339,8 +339,42 @@ object Similarity extends QueryPack {
         .select((col("nc") <= col("nv") * (col("nv") - lit(1)) / lit(2) * 0.45)
           .as("cand_bounded"))
       core.crossJoin(cb)
+    }),
+
+    // Symmetric int8 quantization. The quantized vector itself is emitted
+    // as exactly-replayable integer summaries (array outputs stringify
+    // differently across the compare stack): component sum, min/max, and
+    // saturation count. round() is HALF_UP on both engines and the double
+    // arithmetic (x·127/scale) is IEEE-identical, so the hash is exact.
+    "s06_quantize_int8" -> ((s, d) => {
+      quantizeInt8(T.embeddings(s, d))
+        .select(col("vec_id"), col("scale"),
+          aggregate(col("q"), lit(0L), (a, b) => a + b).as("sum_q"),
+          array_min(col("q")).as("min_q"),
+          array_max(col("q")).as("max_q"),
+          size(filter(col("q"), x => abs(x) === 127)).as("n_sat"))
+        .orderBy(col("vec_id"))
     })
   )
+
+  /** Symmetric per-vector int8 quantization (the standard embedding
+    * compression stage before ANN serving / storage): scale = max |xᵢ|,
+    * qᵢ = round(127·xᵢ/scale). Pure narrow projection — codegen'd array
+    * transforms, no shuffle but the oracle-determinism sort.
+    */
+  private[graft] def quantizeInt8(emb: DataFrame): DataFrame = {
+    val scaled = emb
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("scale",
+        aggregate(transform(col("v"), x => abs(x)), lit(0.0),
+          (a, b) => greatest(a, b)))
+      .withColumn("q",
+        when(col("scale") === 0.0,
+          transform(col("v"), _ => lit(0)))
+          .otherwise(transform(col("v"),
+            x => round(x * lit(127) / col("scale")).cast("int"))))
+    scaled.select(col("vec_id"), col("scale"), col("q"))
+  }
 
   // DuckDB side: list_dot_product over an explicitly DOUBLE[]-cast list is
   // empirically bit-exact with Spark's aggregate() fold (both are sequential
@@ -387,6 +421,25 @@ object Similarity extends QueryPack {
                AS n_exact_pairs,
              TRUE AS recall_ok,
              CAST(0 AS BIGINT) AS n_false_pairs,
-             TRUE AS cand_bounded""")
+             TRUE AS cand_bounded"""),
+    "s06_quantize_int8" -> """
+      WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      sc AS (
+        SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) AS scale
+        FROM v),
+      q AS (
+        SELECT vec_id, scale,
+               CASE WHEN scale = 0
+                 THEN list_transform(v, x -> 0)
+                 ELSE list_transform(v, x -> CAST(round(x * 127 / scale) AS INT))
+               END AS q
+        FROM sc)
+      SELECT vec_id, scale,
+             CAST(list_aggregate(q, 'sum') AS BIGINT) AS sum_q,
+             list_min(q) AS min_q, list_max(q) AS max_q,
+             len(list_filter(q, x -> abs(x) = 127)) AS n_sat
+      FROM q ORDER BY vec_id"""
   )
 }
