@@ -181,7 +181,32 @@ object Pipeline extends QueryPack {
     // running windowed sum (exclusive prefix div) per shard.
     "p05_seq_packing" -> ((s, d) =>
       packSequences(T.documents(s, d), PACK_BUDGET, SHARDS)
-        .orderBy(col("shard"), col("seq_pos")))
+        .orderBy(col("shard"), col("seq_pos"))),
+    // The composed production pipeline, end to end: exact-fingerprint
+    // dedup → minimum-length quality gate → benchmark decontamination →
+    // deterministic split, reported as per-split doc/token totals. One
+    // oracle replays every stage, so the COMPOSITION is hash-checked,
+    // not just each operator in isolation.
+    "p06_prep_pipeline" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val corpus = docs.filter(col("source") =!= BENCH_SRC)
+      val bench = docs.filter(col("source") === BENCH_SRC)
+      val keepers = corpus
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val qual = corpus.join(keepers, Seq("doc_id"))
+        .filter(tokenCount(col("text")) >= 10)
+      val contaminated = decontaminate(qual, bench, NGRAM)
+        .filter(col("contaminated") === 1).select(col("doc_id"))
+      val clean = qual.join(contaminated, Seq("doc_id"), "left_anti")
+      hashSplit(clean.select(col("doc_id"),
+          tokenCount(col("text")).cast("long").as("n_tokens")),
+          "doc_id", 80, 10)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy(col("split"))
+    })
   )
 
   private val duckH4 =
@@ -266,6 +291,52 @@ object Pipeline extends QueryPack {
                   WHEN $duckH4 % 100 < 90 THEN 'val'
                   ELSE 'test' END AS split
       FROM documents ORDER BY h4, doc_id""",
+    "p06_prep_pipeline" -> s"""
+      WITH corpus AS (
+        SELECT * FROM documents WHERE source <> '$BENCH_SRC'),
+      keepers AS (
+        SELECT min(doc_id) AS doc_id FROM (
+          SELECT doc_id,
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+          FROM corpus)
+        GROUP BY fp),
+      qual AS (
+        SELECT c.* FROM corpus c JOIN keepers USING (doc_id)
+        WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 10),
+      qpos AS (
+        SELECT doc_id, w, generate_subscripts(w, 1) AS i
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+              FROM qual)),
+      qg6 AS (
+        SELECT DISTINCT doc_id,
+               w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+               w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] AS g
+        FROM qpos WHERE i <= len(w) - ${NGRAM - 1}),
+      bpos AS (
+        SELECT w, generate_subscripts(w, 1) AS i
+        FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS w
+              FROM documents WHERE source = '$BENCH_SRC')),
+      bg AS (
+        SELECT DISTINCT
+               w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+               w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] AS g
+        FROM bpos WHERE i <= len(w) - ${NGRAM - 1}),
+      contam AS (SELECT DISTINCT doc_id FROM qg6 JOIN bg USING (g)),
+      clean AS (
+        SELECT q.doc_id,
+               CAST(len(regexp_split_to_array(trim(q.text), '\\s+')) AS BIGINT)
+                 AS n_tokens
+        FROM qual q LEFT JOIN contam c USING (doc_id)
+        WHERE c.doc_id IS NULL),
+      split AS (
+        SELECT n_tokens,
+               CASE WHEN $duckH4 % 100 < 80 THEN 'train'
+                    WHEN $duckH4 % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM clean)
+      SELECT split, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+      FROM split GROUP BY split ORDER BY split""",
     "p05_seq_packing" -> s"""
       WITH base AS (
         SELECT doc_id, $duckH4 AS h4,
