@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** int8 symmetric quantization edge semantics (the library method behind
+  * s06): saturation at ±127, zero-vector guard (no NaN/Inf), and the
+  * round-trip error bound |x − q·scale/127| ≤ scale/254 + ulp.
+  */
+class QuantizeSpec extends SparkSpec {
+
+  private def emb(rows: Seq[(Long, Seq[Float])]) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("extrema quantize to ±127; zero vector stays all-zero, no NaN") {
+    val df = Similarity.quantizeInt8(emb(Seq(
+      (1L, Seq(2.0f, -2.0f, 1.0f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f))
+    )))
+    val byId = df.collect().map(r =>
+      r.getLong(0) -> ((r.getDouble(1), r.getSeq[Int](2)))).toMap
+    assert(byId(1L)._1 == 2.0)
+    assert(byId(1L)._2 == Seq(127, -127, 64, 0)) // 63.5 rounds HALF_UP
+    assert(byId(2L)._1 == 0.0)
+    assert(byId(2L)._2 == Seq(0, 0, 0, 0))
+  }
+
+  test("reconstruction error is bounded by half a quantization step") {
+    val vals = Seq(0.37f, -0.91f, 0.005f, 0.62f, -0.0041f, 0.333f)
+    val df = Similarity.quantizeInt8(emb(Seq((7L, vals))))
+    val r = df.collect().head
+    val scale = r.getDouble(1)
+    val q = r.getSeq[Int](2)
+    vals.map(_.toDouble).zip(q).foreach { case (x, qi) =>
+      assert(math.abs(x - qi * scale / 127.0) <= scale / 254.0 + 1e-12,
+        s"x=$x q=$qi scale=$scale")
+    }
+  }
+}
