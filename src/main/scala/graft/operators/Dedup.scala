@@ -186,6 +186,47 @@ object Dedup extends QueryPack {
       .distinct()
   }
 
+  /** Duplicate CLUSTERS from a near-dup pair stream: connected components
+    * by min-label propagation to fixpoint (each round: one equi-join on
+    * the edge list + a min aggregation — the simplified form of
+    * Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014). Rounds needed = component diameter; near-dup clusters
+    * are near-cliques (diameter 1–2), so convergence is a handful of
+    * shuffles even at corpus scale. The driver loop only reads the
+    * convergence COUNT per round (an aggregate — never row data), and
+    * each round's labels are persisted so lineage stays flat.
+    */
+  private[graft] def dupClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).persist()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("src"), col("comp").as("nc")),
+          Seq("src"))
+        .groupBy(col("dst")).agg(min(col("nc")).as("nbc"))
+        .select(col("dst").as("id"), col("nbc"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbc"), col("comp"))).as("comp"))
+        .persist()
+      val changes = next
+        .join(labels.select(col("id"), col("comp").as("old")), Seq("id"))
+        .filter(col("comp") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changes == 0
+      rounds += 1
+    }
+    edges.unpersist()
+    require(converged, s"dupClusters: no fixpoint after $rounds rounds")
+    labels
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup with deterministic keeper: one surviving doc_id per
     // (lang, source) group. `dropDuplicates` keeps an arbitrary row; min()
@@ -221,6 +262,20 @@ object Dedup extends QueryPack {
     // Exact n-gram Jaccard near-dup pairs (threshold 0.5, integer compare).
     "d03_ngram_jaccard_pairs" -> ((s, d) =>
       jaccardPairs(s, d).orderBy(col("doc_a"), col("doc_b"))),
+    // Near-dup pairs → duplicate CLUSTERS (connected components): one
+    // keeper (= min doc_id in the component) per cluster, with member
+    // count and max id — the step that turns pairwise dedup output into
+    // the keep/drop decision. Oracle: DuckDB recursive-CTE transitive
+    // closure over the same exact-Jaccard pair set.
+    "d08_dup_clusters" -> ((s, d) => {
+      val pairs = jaccardPairs(s, d).select(col("doc_a"), col("doc_b"))
+      dupClusters(pairs)
+        .groupBy(col("comp"))
+        .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_doc_id"))
+        .select(col("comp").as("keeper_doc_id"), col("n_members"),
+          col("max_doc_id"))
+        .orderBy(col("keeper_doc_id"))
+    }),
     // End-to-end dedup pipeline, production order (see SCALE.md): exact
     // fingerprint dedup FIRST (collapses byte-identical clusters that make
     // exhaustive pairing quadratic), THEN near-dup pairing among the
@@ -341,6 +396,24 @@ object Dedup extends QueryPack {
     "d04_minhash_lsh_pairs" -> ("""
       SELECT doc_a, doc_b FROM (""" + jaccardPairsSql + """)
       ORDER BY doc_a, doc_b"""),
+    // transitive closure of the pair graph via recursive CTE, then
+    // min-reachable-id per node = the component keeper
+    "d08_dup_clusters" -> ("""
+      WITH RECURSIVE jp AS (""" + jaccardPairsSql + """),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM jp
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM jp),
+      nodes AS (SELECT DISTINCT src AS id FROM edges),
+      reach AS (
+        SELECT id, id AS r FROM nodes
+        UNION
+        SELECT e.dst AS id, reach.r
+        FROM reach JOIN edges e ON e.src = reach.id),
+      comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+      SELECT comp AS keeper_doc_id, count(*) AS n_members,
+             max(id) AS max_doc_id
+      FROM comp GROUP BY comp ORDER BY keeper_doc_id"""),
     // d05 verdict row: the two counts are recomputed independently; the two
     // zeros are the containment properties the Spark side must prove.
     "d05_simhash_pairs" -> ("""

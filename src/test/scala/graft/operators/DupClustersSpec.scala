@@ -1,0 +1,23 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Connected-components label propagation (the pairs → clusters step):
+  * convergence must cross multi-hop chains, not just direct pairs — a
+  * 5-chain needs several propagation rounds.
+  */
+class DupClustersSpec extends SparkSpec {
+
+  test("a 5-chain and a separate pair collapse to two components") {
+    import spark.implicits._
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L), (5L, 4L), // chain 1-2-3-4-5, mixed order
+      (10L, 11L)
+    ).toDF("doc_a", "doc_b")
+    val comp = Dedup.dupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((1L to 5L).forall(comp(_) == 1L),
+      s"chain must collapse to min id: $comp")
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+  }
+}
