@@ -46,7 +46,7 @@ object TextFunctions {
     * ~2× slower end-to-end on the dedup suite.
     */
   def shingleHashes(c: Column, n: Int): Column = {
-    require(n >= 2 && n <= 4, s"shingleHashes supports n in 2..4, got $n")
+    require(n >= 2 && n <= 8, s"shingleHashes supports n in 2..8, got $n")
     val t = tokens(c)
     def shifted(k: Int) = slice(t, lit(k + 1), greatest(size(t) - k, lit(0)))
     var acc: Column = zip_with(t, shifted(1),

@@ -61,15 +61,18 @@ object Pipeline extends QueryPack {
     */
   private[graft] def decontaminate(probe: DataFrame, bench: DataFrame,
       n: Int): DataFrame = {
+    // grams never exist as strings: hashed straight off the token structs
+    // (shingleHashes) on BOTH sides, so the probe explode carries 8-byte
+    // longs only (the oracle joins the gram strings — same pair semantics
+    // at 2^-64 collision odds, the d03 precedent)
     val pg = probe.select(col("doc_id"),
-      explode(distinctShingles(col("text"), n)).as("g"))
-      .select(col("doc_id"), xxhash64(col("g")).as("h"))
-    val bg = bench.select(explode(distinctShingles(col("text"), n)).as("g"))
-      .select(xxhash64(col("g")).as("h")).distinct()
+      explode(distinctShingleHashes(col("text"), n)).as("h"))
+    val bg = bench.select(explode(distinctShingleHashes(col("text"), n)).as("h"))
+      .distinct()
     val shared = pg.join(broadcast(bg), Seq("h"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
     probe.select(col("doc_id"),
-      size(distinctShingles(col("text"), n)).as("n_grams"))
+      size(distinctShingleHashes(col("text"), n)).as("n_grams"))
       .join(shared, Seq("doc_id"), "left")
       .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
       .withColumn("contaminated", (col("n_shared") > 0).cast("int"))
