@@ -76,11 +76,13 @@ class SplitInvariancePropSpec extends SparkSpec {
     } yield (w, n, split, words)
     val prop = Prop.forAll(gen) { case (w, n, split, words) =>
       import spark.implicits._
-      val layout = EclLayout.parse(s"id:unsigned4,name:string$w,grade:integer4")
+      val layout = EclLayout.parse(
+        s"id:unsigned4,name:string$w,score:real8,grade:integer4")
       val rows = words.zipWithIndex.map { case (s, i) =>
-        (i.toLong, s.take(w), -i) }
-      val df = rows.toDF("id", "name", "grade")
-        .select(col("id"), col("name"), col("grade").cast("int").as("grade"))
+        (i.toLong, s.take(w), i * 0.5 - 7.25, -i) }
+      val df = rows.toDF("id", "name", "score", "grade")
+        .select(col("id"), col("name"), col("score"),
+          col("grade").cast("int").as("grade"))
       val dir = tmpDir("flat-prop")
       df.write.format("hpcc-flat").option("layout", layout.spec)
         .mode("overwrite").save(dir)
