@@ -282,11 +282,14 @@ object Dedup extends QueryPack {
     // surviving keepers only.
     "d06_dedup_pipeline" -> ((s, d) => {
       val docs = T.documents(s, d)
-      val keepers = docs
-        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
-        .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
-        .select(col("doc_id"))
-      val survivors = docs.join(keepers, Seq("doc_id"))
+      // keeper = min doc_id per fingerprint, selected with ONE shuffle of
+      // the document rows (window on fp) — the groupBy-then-join
+      // formulation moved every row twice (fp aggregation + doc_id join)
+      val byFp = org.apache.spark.sql.expressions.Window
+        .partitionBy(fingerprint(col("text"))).orderBy(col("doc_id"))
+      val survivors = docs
+        .withColumn("rn", row_number().over(byFp))
+        .filter(col("rn") === 1).drop("rn")
       jaccardPairsOf(survivors)
         .select(col("doc_a"), col("doc_b"))
         .orderBy(col("doc_a"), col("doc_b"))
