@@ -13,7 +13,9 @@ object Explain {
       "q33_interval_join", "d03_ngram_jaccard_pairs", "d04_minhash_lsh_pairs",
       "d05_simhash_pairs", "s01_cosine_topk", "s02_ann_ivf_topk",
       "s04_ann_lsh_topk", "f06_partition_pruned", "t06_winnowing_fingerprints")
-    for (q <- if (all) SparkEntry.queries.keys.toSeq.sorted else headline) {
+    val named = args.filter(SparkEntry.queries.contains).toSeq
+    for (q <- if (all) SparkEntry.queries.keys.toSeq.sorted
+              else if (named.nonEmpty) named else headline) {
       println(s"########## $q")
       println(SparkEntry.queries(q)(spark, d).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
