@@ -14,6 +14,9 @@ object Explain {
       "d05_simhash_pairs", "s01_cosine_topk", "s02_ann_ivf_topk",
       "s04_ann_lsh_topk", "f06_partition_pruned", "t06_winnowing_fingerprints")
     val named = args.filter(SparkEntry.queries.contains).toSeq
+    val unknown = args.filterNot(a => a == "--all" || SparkEntry.queries.contains(a))
+    if (unknown.nonEmpty)
+      System.err.println(s"Unknown queries (ignored): ${unknown.mkString(", ")}")
     for (q <- if (all) SparkEntry.queries.keys.toSeq.sorted
               else if (named.nonEmpty) named else headline) {
       println(s"########## $q")
