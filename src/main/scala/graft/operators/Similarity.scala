@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{QueryPack, Tables => T}
@@ -10,11 +10,11 @@ import graft.functions.VectorFunctions._
   *
   * Scale design: vectors are L2-normalized ONCE (a narrow projection), so
   * every pairwise step is a single dot product. The brute-force top-k is the
-  * correctness baseline; the IVF variant is the 100 TB path — partition the
-  * corpus by a coarse quantizer, rank centroids per query, and scan only
-  * `nprobe` partitions (here the given `label` column doubles as the coarse
-  * cell id, exactly how an IVF index file would be laid out at scale:
-  * one partition per cell, partition-pruned scans).
+  * correctness baseline; the IVF variant is the 100 TB path — TRAIN a
+  * k-means coarse quantizer ([[kmeansCentroids]], driver state O(k·d)
+  * only), partition the corpus by learned cell, rank centroids per query,
+  * and scan only `nprobe` cells (at scale: write `partitionBy(cell)` once
+  * after training, so probes become partition-pruned scans).
   *
   * Verification model: the approximate operators (IVF s02, LSH-ANN s04,
   * LSH-dup s05) produce engine-specific result sets (they depend on
@@ -29,6 +29,8 @@ object Similarity extends QueryPack {
 
   private val K = 5
   private val NQ = 10 // query vectors: vec_id < NQ
+  private val CELLS = 8 // IVF coarse cells (k-means k)
+  private val KM_ITERS = 4 // Lloyd's iterations (fixed, deterministic)
   private val NPROBE = 3
   private val DUP_T = 0.4 // near-dup cosine threshold (s03/s05)
 
@@ -65,38 +67,116 @@ object Similarity extends QueryPack {
         round(col("cos"), 4).as("cos_r"))
   }
 
-  /** IVF top-k: rank coarse cells (centroid = per-dimension mean of the
-    * cell), probe the NPROBE closest cells only.
+  // ---------------------------------------------------------------- k-means
+
+  private def l2normalize(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0.0) v else v.map(_ / n)
+  }
+
+  /** Argmax-cosine cell assignment as a PURE PROJECTION: the centroids are
+    * unit-vector literals baked into one codegen'd expression (`CELLS` dot
+    * products per row + a `least` over comparable structs), so assigning the
+    * whole corpus is map-only — no join, no shuffle, no broadcast exchange.
+    * This is the 100 TB shape: centroid state is O(k·d) and rides the
+    * closure; the corpus only ever streams. Ties break to the lowest cell id
+    * (struct ordering), deterministically.
+    *
+    * `v` need not be normalized: centroids are unit vectors, so
+    * argmax_j dot(v, c_j) = argmax_j cos(v, c_j).
+    */
+  private def cellExpr(cents: Array[Array[Double]], v: Column): Column =
+    least(cents.zipWithIndex.map { case (cv, j) =>
+      struct((-dot(v, typedLit(cv.toSeq))).as("nd"), lit(j).as("cell"))
+    }: _*).getField("cell")
+
+  /** Top-`nprobe` closest cells per vector, same literal-centroid projection:
+    * an array of (−cos, cell) structs, sorted, sliced — still map-only.
+    */
+  private def probeCellsExpr(cents: Array[Array[Double]], v: Column,
+      nprobe: Int): Column =
+    transform(
+      slice(array_sort(array(cents.zipWithIndex.map { case (cv, j) =>
+        struct((-dot(v, typedLit(cv.toSeq))).as("nd"), lit(j).as("cell"))
+      }: _*)), 1, nprobe),
+      e => e.getField("cell"))
+
+  /** Spherical k-means coarse quantizer (Lloyd's), DataFrame-native:
+    *
+    *  - seeded init: the k corpus vectors with the smallest
+    *    `xxhash64(vec_id)` (deterministic, uniform — no `rand()`);
+    *  - assign: the `cellExpr` map-only projection above;
+    *  - update: `posexplode` → `groupBy(cell, pos).avg` — a two-phase
+    *    (map-side combined) aggregation whose OUTPUT is k·d rows; only
+    *    those k·d cell means ever reach the driver (the Spark MLlib
+    *    pattern: per-iteration driver state is O(k·d), never O(n));
+    *  - empty cells keep their previous centroid (k never collapses);
+    *  - fixed iteration count: deterministic runtime, no convergence scan.
+    *
+    * Returns unit-norm centroids indexed by cell id.
+    */
+  private[graft] def kmeansCentroids(base: DataFrame, k: Int,
+      iters: Int): Array[Array[Double]] = {
+    var cents: Array[Array[Double]] = base
+      .select(col("vec_id"), col("v"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(k).collect()
+      .map(r => l2normalize(r.getSeq[Double](1).toArray))
+    require(cents.length == k, s"k-means: corpus smaller than k=$k")
+    for (_ <- 1 to iters) {
+      val means = base
+        .withColumn("cell", cellExpr(cents, col("v")))
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
+        .collect()
+      val byCell = means.groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        byCell.get(c) match {
+          case Some(rows) =>
+            val m = new Array[Double](old.length)
+            rows.foreach(r => m(r.getInt(1)) = r.getDouble(2))
+            if (m.forall(_ == 0.0)) old else l2normalize(m)
+          case None => old // empty cell: keep previous centroid
+        }
+      }
+    }
+    cents
+  }
+
+  /** IVF candidate set for the NQ fixture queries against trained centroids:
+    * query side fans out to its NPROBE cells (map-only), corpus side gets
+    * its argmax cell (map-only), and the two meet in a broadcast equi-join
+    * on `cell` — the corpus never shuffles, never broadcasts.
+    */
+  private def ivfCandidates(base: DataFrame,
+      cents: Array[Array[Double]]): DataFrame = {
+    val probed = base.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"),
+        explode(probeCellsExpr(cents, col("v"), NPROBE)).as("cell"))
+    val cand = base.select(col("vec_id").as("neighbor_id"),
+      col("v").as("cv2"), col("nrm").as("cn2"),
+      cellExpr(cents, col("v")).as("cell"))
+    cand.join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+  }
+
+  /** IVF top-k over a TRAINED coarse quantizer: k-means cells (not any
+    * fixture column), probe the NPROBE closest cells per query, exact
+    * rerank inside the probed cells. At 100 TB the corpus would be written
+    * `partitionBy(cell)` once after training so probes become
+    * partition-pruned scans; the query plan here is the same shape minus
+    * the storage pruning (the corpus side is one map-only pass).
     */
   private[graft] def ivfTopK(s: SparkSession, d: String): DataFrame = {
     val base = normed(s, d)
-    // centroids via one explode + groupBy (map-side combinable)
-    val cent = base
-      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("m"))
-      .groupBy(col("label"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-        e => e.getField("m")).as("cv"))
-      .withColumn("cn", l2norm(col("cv")))
-    val q = base.filter(col("vec_id") < NQ)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qn"))
-    val cellRank = Window.partitionBy(col("query_id"))
-      .orderBy(col("ccos").desc, col("label"))
-    val probed = q.join(broadcast(cent), lit(true))
-      .withColumn("ccos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-      .withColumn("crank", row_number().over(cellRank))
-      .filter(col("crank") <= NPROBE)
-      .select(col("query_id"), col("qv"), col("qn"), col("label"))
-    val cand = base.select(col("vec_id").as("neighbor_id"),
-      col("v").as("cv2"), col("nrm").as("cn2"), col("label"))
+    ivfTopKFrom(ivfCandidates(base, kmeansCentroids(base, CELLS, KM_ITERS)))
+  }
+
+  private def ivfTopKFrom(cands: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    // broadcast the tiny probed-query side: the corpus scan stays
-    // partition-local (no shuffle of `cand` on the 10-value label key,
-    // which would both skew and move the whole corpus)
-    cand.join(broadcast(probed), Seq("label"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+    cands
       .withColumn("cos", dot(col("qv"), col("cv2")) / (col("qn") * col("cn2")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
@@ -275,10 +355,21 @@ object Similarity extends QueryPack {
     "s01_cosine_topk" -> ((s, d) =>
       bruteTopK(s, d).orderBy(col("query_id"), col("rank"))),
 
-    // IVF ANN verdict: aggregate recall vs s01 ≥ 0.2 (measured 0.36–0.42;
-    // chance 0.08) plus the data-derived query/result counts.
-    "s02_ann_ivf_topk" -> ((s, d) =>
-      annVerdict(s, d, ivfTopK(s, d), 0.2)),
+    // IVF ANN verdict over the TRAINED k-means quantizer: aggregate recall
+    // vs s01 ≥ 0.2 (chance 0.08) plus a candidate-volume bound — probing
+    // NPROBE of CELLS cells must actually prune (candidates stay under
+    // 0.75·NQ·n even with k-means imbalance; balanced would be
+    // NPROBE/CELLS = 0.375). Training happens inside the query, so the
+    // bench number honestly includes index build.
+    "s02_ann_ivf_topk" -> ((s, d) => {
+      val base = normed(s, d)
+      val cands = ivfCandidates(base, kmeansCentroids(base, CELLS, KM_ITERS))
+      val cb = cands.agg(count(lit(1)).as("nc"))
+        .crossJoin(base.agg(count(lit(1)).as("nv")))
+        .select((col("nc") <= lit(0.75) * lit(NQ) * col("nv"))
+          .as("cand_bounded"))
+      annVerdict(s, d, ivfTopKFrom(cands), 0.2).crossJoin(cb)
+    }),
 
     // LSH ANN verdict: aggregate recall vs s01 ≥ 0.3 (measured 0.40–0.46)
     // plus a candidate-volume bound — banding must actually prune (the
@@ -400,7 +491,8 @@ object Similarity extends QueryPack {
     "s02_ann_ivf_topk" -> s"""
       SELECT CAST(count(*) AS BIGINT) AS n_queries,
              CAST($K * count(*) AS BIGINT) AS n_topk,
-             TRUE AS recall_ok
+             TRUE AS recall_ok,
+             TRUE AS cand_bounded
       FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < $NQ)""",
     "s04_ann_lsh_topk" -> s"""
       SELECT CAST(count(*) AS BIGINT) AS n_queries,

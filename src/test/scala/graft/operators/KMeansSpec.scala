@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the spherical k-means coarse quantizer (Similarity.kmeansCentroids):
+  * determinism, unit-norm centroids, Lloyd's objective improvement over the
+  * seeded init, separable-data exactness, and the IVF candidate-volume
+  * pruning bound the s02 verdict gates on.
+  */
+class KMeansSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def normedFixture = {
+    graft.functions.GraftFunctions.register(spark)
+    spark.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm",
+        sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), _ + _)))
+  }
+
+  private def cosine(a: Array[Double], b: Array[Double]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x * y }.sum
+    val na = math.sqrt(a.map(x => x * x).sum)
+    val nb = math.sqrt(b.map(x => x * x).sum)
+    dot / (na * nb)
+  }
+
+  test("centroids are unit vectors and training is deterministic") {
+    val base = normedFixture
+    val c1 = Similarity.kmeansCentroids(base, 8, 3)
+    val c2 = Similarity.kmeansCentroids(base, 8, 3)
+    assert(c1.length == 8)
+    c1.foreach { cv =>
+      val n = math.sqrt(cv.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9, s"centroid norm $n != 1")
+    }
+    assert(c1.zip(c2).forall { case (a, b) => a.sameElements(b) },
+      "two trainings on the same data diverged")
+  }
+
+  test("iterations improve the spherical k-means objective over the seeds") {
+    val base = normedFixture.cache()
+    def objective(cents: Array[Array[Double]]): Double = {
+      val rows = base.select(col("v")).collect()
+        .map(_.getSeq[Double](0).toArray)
+      rows.map(v => cents.map(c => cosine(v, c)).max).sum / rows.length
+    }
+    val seeds = Similarity.kmeansCentroids(base, 8, 0)
+    val trained = Similarity.kmeansCentroids(base, 8, 4)
+    val o0 = objective(seeds)
+    val o4 = objective(trained)
+    assert(o4 >= o0 - 1e-9,
+      s"training worsened mean best-cosine: seeds $o0 -> trained $o4")
+    assert(o4 > o0 + 1e-4,
+      s"training did not move the objective at all ($o0 -> $o4)")
+  }
+
+  test("separable data recovers the true clusters exactly") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    // 3 well-separated directions in R^4, 5 points each with tiny jitter
+    val dirs = Seq(
+      Array(1.0, 0.0, 0.0, 0.0),
+      Array(0.0, 1.0, 0.0, 0.0),
+      Array(0.0, 0.0, 1.0, 0.0))
+    val pts = for {
+      (dir, g) <- dirs.zipWithIndex
+      i <- 0 until 5
+    } yield {
+      val eps = 0.01 * (i + 1)
+      val v = dir.zipWithIndex.map { case (x, j) =>
+        x + (if (j == 3) eps else 0.0) }
+      (g.toLong * 5 + i, v.toSeq, g)
+    }
+    val base = pts.toDF("vec_id", "v", "true_g")
+      .withColumn("v", col("v").cast("array<double>"))
+      .withColumn("nrm", lit(1.0))
+    val cents = Similarity.kmeansCentroids(base, 3, 5)
+    // every true cluster maps to exactly one learned cell
+    val assign = pts.map { case (_, v, g) =>
+      val best = cents.zipWithIndex.maxBy { case (c, _) =>
+        cosine(v.toArray, c) }._2
+      (g, best)
+    }
+    val byTrue = assign.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byTrue.values.forall(_.size == 1), s"cluster split: $byTrue")
+    assert(byTrue.values.flatten.toSet.size == 3, s"clusters merged: $byTrue")
+  }
+
+  test("IVF candidates are pruned within the s02 verdict bound") {
+    val n = normedFixture.count()
+    val verdict = Similarity.queries("s02_ann_ivf_topk")(spark, d).collect().head
+    assert(verdict.getBoolean(verdict.fieldIndex("cand_bounded")),
+      s"candidate volume exceeded 0.75*NQ*n (n=$n)")
+    assert(verdict.getBoolean(verdict.fieldIndex("recall_ok")))
+  }
+}

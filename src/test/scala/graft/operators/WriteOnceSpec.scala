@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+
+/** Pins the bench-only write elision (Formats.writeOnce): opt-in gating,
+  * within-session reuse, cross-session (stale-token) rewrite, and the
+  * `alsoRequire` guard that ties reuse to a required artifact (the f04
+  * merged file / f08 catalog tables).
+  */
+class WriteOnceSpec extends SparkSpec {
+
+  private def withReuse[A](on: Boolean)(body: => A): A = {
+    if (on) spark.conf.set("graft.io.reuse", "true")
+    try body finally spark.conf.unset("graft.io.reuse")
+  }
+
+  private def fs =
+    new Path("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("without the opt-in flag every call writes") {
+    val out = tmpDir("wo-off")
+    var writes = 0
+    withReuse(on = false) {
+      Formats.writeOnce(spark, out) { writes += 1 }
+      Formats.writeOnce(spark, out) { writes += 1 }
+    }
+    assert(writes == 2)
+    assert(!fs.exists(new Path(out, "_GRAFT_REUSE")),
+      "no marker may be written when elision is off")
+  }
+
+  test("with the flag the write runs once per session and the marker holds the appId") {
+    val out = tmpDir("wo-on")
+    var writes = 0
+    withReuse(on = true) {
+      Formats.writeOnce(spark, out) { writes += 1 }
+      Formats.writeOnce(spark, out) { writes += 1 }
+      Formats.writeOnce(spark, out) { writes += 1 }
+    }
+    assert(writes == 1, s"expected exactly one write, got $writes")
+    val marker = new Path(out, "_GRAFT_REUSE")
+    assert(fs.exists(marker))
+    val in = fs.open(marker)
+    val tok = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    assert(tok == spark.sparkContext.applicationId)
+  }
+
+  test("a marker from another process (stale token) forces a rewrite") {
+    val out = tmpDir("wo-stale")
+    var writes = 0
+    withReuse(on = true) {
+      Formats.writeOnce(spark, out) { writes += 1 }
+      // simulate a marker left by a previous bench JVM
+      val marker = new Path(out, "_GRAFT_REUSE")
+      val o = fs.create(marker, true)
+      try o.write("app-from-a-previous-process".getBytes("UTF-8"))
+      finally o.close()
+      Formats.writeOnce(spark, out) { writes += 1 }
+      // and the rewrite re-marks with OUR token, so a third call reuses
+      Formats.writeOnce(spark, out) { writes += 1 }
+    }
+    assert(writes == 2, s"stale token must rewrite exactly once, got $writes")
+  }
+
+  test("alsoRequire=false blocks reuse even with a fresh marker") {
+    val out = tmpDir("wo-req")
+    var writes = 0
+    var artifactExists = false
+    withReuse(on = true) {
+      Formats.writeOnce(spark, out, artifactExists) {
+        writes += 1; artifactExists = true
+      }
+      // marker fresh AND artifact present -> reuse
+      Formats.writeOnce(spark, out, artifactExists) { writes += 1 }
+      // artifact externally cleaned up -> must rewrite despite the marker
+      artifactExists = false
+      Formats.writeOnce(spark, out, artifactExists) {
+        writes += 1; artifactExists = true
+      }
+    }
+    assert(writes == 2,
+      s"missing required artifact must force a rewrite, got $writes")
+  }
+}

@@ -1,0 +1,19 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc dev probe: run one SparkEntry query at a given sf dir and show it.
+  * Test-scoped; never ships. Usage: Test/runMain graft.tools.ProbeMain <q> <dir>
+  */
+object ProbeMain {
+  def main(args: Array[String]): Unit = {
+    val q = args(0); val d = args(1)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val t0 = System.nanoTime
+    graft.SparkEntry.queries(q)(spark, d).show(50, false)
+    println(f"elapsed ${(System.nanoTime - t0) / 1e9}%.2f s")
+    spark.stop()
+  }
+}
