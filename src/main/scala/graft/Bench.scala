@@ -40,6 +40,20 @@ object Bench {
     if (warmup) queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => }
     }
+    // Load sentinel: one fixed query timed right after warmup and again
+    // after the full run. Cross-round per-query deltas are only meaningful
+    // relative to the sentinel — a uniform shift in it is machine load,
+    // not code (round-6 verdict: a global -22% swing was exactly that).
+    val sentinelName = "q01_pricing_summary"
+    def timeSentinel(): Double = SparkEntry.queries.get(sentinelName).map { fn =>
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      ts.sorted.apply(1) // median of 3
+    }.getOrElse(-1.0)
+    val sentinelStart = timeSentinel()
     // a failed query records -1, never a time-to-failure masquerading as
     // a fast run; failures short-circuit the remaining iterations
     def median(xs: Seq[Double]): Double = {
@@ -72,7 +86,8 @@ object Bench {
     val qmins = results.map { case (k, (_, mn)) => s"\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
     val total = results.values.map(_._1).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"queries":$qs,"queries_min":$qmins,"sf":"$sfDir"}""")
+    val sentinelEnd = timeSentinel()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"sentinel":"$sentinelName","sentinel_start":$sentinelStart,"sentinel_end":$sentinelEnd,"queries":$qs,"queries_min":$qmins,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
