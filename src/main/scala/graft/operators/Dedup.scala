@@ -65,7 +65,7 @@ object Dedup extends QueryPack {
     * the exact semantics (d03 IS the oracle; d04's capped LSH is the scale
     * path). The collect_list buffer is O(hottest bucket) per shingle.
     */
-  private def jaccardPairsOf(docs: DataFrame): DataFrame = {
+  private[graft] def jaccardPairsOf(docs: DataFrame): DataFrame = {
     val arrs = docs.select(col("doc_id"),
       distinctShingleHashes(col("text"), NGRAM).as("sh"))
     val idx = arrs.select(col("doc_id"), size(col("sh")).as("n_sh"),
