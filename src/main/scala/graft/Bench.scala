@@ -45,13 +45,20 @@ object Bench {
     // relative to the sentinel — a uniform shift in it is machine load,
     // not code (round-6 verdict: a global -22% swing was exactly that).
     val sentinelName = "q01_pricing_summary"
+    // sentinel failures degrade to -1 like any other query failure — a
+    // broken sentinel must not take the whole bench line down with it
     def timeSentinel(): Double = SparkEntry.queries.get(sentinelName).map { fn =>
-      val ts = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+      try {
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        ts.sorted.apply(1) // median of 3
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] sentinel FAILED: ${e.getMessage}")
+        -1.0
       }
-      ts.sorted.apply(1) // median of 3
     }.getOrElse(-1.0)
     val sentinelStart = timeSentinel()
     // a failed query records -1, never a time-to-failure masquerading as
@@ -81,13 +88,25 @@ object Bench {
     }
     results.filter(_._2._1 < 0).foreach { case (n, _) =>
       System.err.println(s"[bench] WARNING: $n failed") }
-    val qs = results.map { case (k, (med, _)) => s"\"" + k + "\":" + med }
+    // ms-rounded so the stdout line stays short enough for the driver's
+    // captured tail (round-6/7 lines overflowed it → "parsed": null)
+    def ms(x: Double): String = if (x < 0) "-1" else f"$x%.3f"
+    val qs = results.map { case (k, (med, _)) => s"\"" + k + "\":" + ms(med) }
       .mkString("{", ",", "}")
-    val qmins = results.map { case (k, (_, mn)) => s"\"" + k + "\":" + mn }
+    val qmins = results.map { case (k, (_, mn)) => s"\"" + k + "\":" + ms(mn) }
       .mkString("{", ",", "}")
     val total = results.values.map(_._1).filter(_ >= 0).sum
     val sentinelEnd = timeSentinel()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"sentinel":"$sentinelName","sentinel_start":$sentinelStart,"sentinel_end":$sentinelEnd,"queries":$qs,"queries_min":$qmins,"sf":"$sfDir"}""")
+    val core = s""""metric":"total","value":${ms(total)},"unit":"sec","iters":$iters,"sentinel":"$sentinelName","sentinel_start":${ms(sentinelStart)},"sentinel_end":${ms(sentinelEnd)},"queries":$qs"""
+    // stdout: compact line (no queries_min) the driver's tail can hold
+    println(s"""{$core,"sf":"$sfDir"}""")
+    // file: full line incl. minima, for cross-round adjudication
+    try {
+      val p = java.nio.file.Paths.get("/tmp/graft_bench.json")
+      java.nio.file.Files.write(p,
+        s"""{$core,"queries_min":$qmins,"sf":"$sfDir"}\n""".getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] bench file write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -41,13 +41,13 @@ object KeeperAB {
     }
 
     def time(name: String, mk: => DataFrame): Unit = {
-      mk.count() // warm
+      val rows = mk.count() // warm; row count reused below (no 5th eval)
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime(); mk.count()
         (System.nanoTime() - t0) / 1e9
       }
       println(f"[keeperAB] $name: median ${ts.sorted.apply(1)}%.2f s " +
-        f"(min ${ts.min}%.2f) rows=${mk.count()}")
+        f"(min ${ts.min}%.2f) rows=$rows")
     }
 
     time("window ", windowForm(docs))
