@@ -1,0 +1,185 @@
+package graft.functions
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-level BPE tokenizer (Sennrich et al., "Neural Machine Translation of
+  * Rare Words with Subword Units", ACL 2016; byte-level formulation per
+  * Radford et al., "Language Models are Unsupervised Multitask Learners",
+  * 2019). The reference engine never tokenizes (its data model is opaque
+  * byte streams — ecl/HDFSConnector.ecl:82-99); this is north-star surface
+  * for the training-data pipeline, where MERGED token counts (not
+  * pre-tokenizer piece counts) drive packing budgets and cost estimates.
+  *
+  * Pipeline per document:
+  *   1. pre-tokenize with [[Bpe.PreTokenPattern]] (the GPT-2 split pattern,
+  *      lookahead-free so the DuckDB oracle can run the identical regex);
+  *   2. map each piece's UTF-8 bytes through the byte→unicode table (the
+  *      GPT-2 convention: every byte gets a printable codepoint, space ⇒
+  *      'Ġ', so merge-table entries are space-separable text);
+  *   3. greedily apply the lowest-rank adjacent merge until none applies.
+  *
+  * The merges table ships as a classpath resource in the GPT-2 `merges.txt`
+  * format (rank = line order). Zero-egress environment, so the table is
+  * TRAINED on the sf0.001 documents fixture by the checked-in tool
+  * `src/test/scala/graft/tools/BpeTrainMain.scala` (deterministic:
+  * lexicographic tie-breaks) — the realistic posture anyway, since
+  * production pipelines train tokenizers on their own corpus sample.
+  *
+  * Scale: the merge loop is per-row, partition-local state; the ranks map
+  * (O(|merges|)) loads once per JVM from the classpath (executors get it
+  * from the application jar), and a bounded per-JVM piece→count cache
+  * exploits natural-language piece reuse (Zipf: a few thousand distinct
+  *  pieces dominate any shard).
+  */
+object Bpe {
+
+  /** GPT-2 pre-tokenizer split pattern, lookahead-free (portable across
+    * Java regex and RE2): contractions | optional-space letters | digits |
+    * punctuation runs | whitespace runs. Whitespace is an EXPLICIT class,
+    * not `\s` — Java's `\s` includes U+000B but RE2's does not, so the
+    * shorthand would diverge on text containing a vertical tab.
+    */
+  val WsClass = " \\t\\n\\x0B\\f\\r"
+  val PreTokenPattern: String =
+    s"'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^$WsClass\\p{L}\\p{N}]+|[$WsClass]+"
+
+  private val preTokenRe = PreTokenPattern.r
+
+  /** GPT-2 byte→unicode table: the 188 printable/undisturbed bytes map to
+    * themselves; the rest map to 256+n in first-seen order. Bijective, so
+    * merge-table symbols round-trip exactly.
+    */
+  private[graft] val byteToUnicode: Array[Char] = {
+    val keep = (('!' to '~') ++ ('¡' to '¬') ++ ('®' to 'ÿ'))
+      .map(_.toInt).toSet
+    val out = new Array[Char](256)
+    var n = 0
+    for (b <- 0 until 256) {
+      if (keep(b)) out(b) = b.toChar
+      else { out(b) = (256 + n).toChar; n += 1 }
+    }
+    out
+  }
+
+  /** A piece's initial symbol sequence: one mapped char per UTF-8 byte. */
+  private[graft] def toSymbols(piece: String): Array[String] =
+    piece.getBytes("UTF-8").map(b => String.valueOf(byteToUnicode(b & 0xff)))
+
+  /** Greedy BPE merge loop: repeatedly merge ALL occurrences of the
+    * lowest-rank adjacent pair (left to right) until no pair is in `ranks`.
+    */
+  private[graft] def applyMerges(word: Array[String],
+      ranks: Map[(String, String), Int]): Array[String] = {
+    var w = word
+    var done = w.length < 2
+    while (!done) {
+      var best = Int.MaxValue
+      var bestAt = -1
+      var i = 0
+      while (i < w.length - 1) {
+        val r = ranks.getOrElse((w(i), w(i + 1)), Int.MaxValue)
+        if (r < best) { best = r; bestAt = i }
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val pair = (w(bestAt), w(bestAt + 1))
+        val out = Array.newBuilder[String]
+        var j = 0
+        while (j < w.length) {
+          if (j < w.length - 1 && w(j) == pair._1 && w(j + 1) == pair._2) {
+            out += (w(j) + w(j + 1)); j += 2
+          } else { out += w(j); j += 1 }
+        }
+        w = out.result()
+        if (w.length < 2) done = true
+      }
+    }
+    w
+  }
+
+  /** Parse a GPT-2-format merges file: optional `#version` header, then one
+    * `left right` pair per line; rank = position.
+    */
+  def parseMerges(lines: Iterator[String]): Map[(String, String), Int] =
+    lines.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .zipWithIndex
+      .map { case (l, i) =>
+        val sp = l.indexOf(' ')
+        require(sp > 0 && sp < l.length - 1, s"bad merges line: '$l'")
+        ((l.substring(0, sp), l.substring(sp + 1)), i)
+      }
+      .toMap
+
+  val MergesResource = "/graft/bpe/merges.txt"
+
+  /** The shipped merges table, loaded once per JVM. */
+  lazy val ranks: Map[(String, String), Int] = {
+    val in = getClass.getResourceAsStream(MergesResource)
+    require(in != null, s"missing classpath resource $MergesResource")
+    try parseMerges(scala.io.Source.fromInputStream(in, "UTF-8").getLines())
+    finally in.close()
+  }
+
+  /** Merged tokens of one pre-tokenizer piece (spec surface). */
+  def encodePiece(piece: String,
+      r: Map[(String, String), Int] = ranks): Seq[String] =
+    applyMerges(toSymbols(piece), r).toSeq
+
+  /** Bounded piece→count cache: pieces follow Zipf, so a small map absorbs
+    * nearly all lookups; inserts stop at capacity (never evicts — the hot
+    * pieces arrive first) and misses just recompute.
+    */
+  private val cacheCap = 1 << 16
+  private val countCache = new ConcurrentHashMap[String, Integer](4096)
+
+  private def pieceCount(piece: String): Int = {
+    val hit = countCache.get(piece)
+    if (hit != null) return hit.intValue()
+    val n = applyMerges(toSymbols(piece), ranks).length
+    if (countCache.size() < cacheCap) countCache.put(piece, n)
+    n
+  }
+
+  /** Merged BPE token count of a whole document. */
+  def tokenCount(text: String): Int = {
+    var n = 0
+    val it = preTokenRe.findAllIn(text)
+    while (it.hasNext) n += pieceCount(it.next())
+    n
+  }
+
+  /** Full token sequence of a document (spec/debug surface). */
+  def encode(text: String): Seq[String] =
+    preTokenRe.findAllIn(text).flatMap(encodePiece(_)).toSeq
+}
+
+/** `graft_bpe_count(text)`: merged-BPE token count as a native Catalyst
+  * expression (preference order per the build contract: Expression > Scala
+  * UDF). The merge loop is data-dependent iteration — not worth inlining
+  * into generated Java — so this is an acknowledged `CodegenFallback`; the
+  * surrounding projection stays codegen'd and the loop itself is tight
+  * array code with a per-JVM piece cache.
+  */
+case class BpeCount(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_bpe_count expects string, got ${child.dataType.simpleString}")
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(input: Any): Any =
+    Bpe.tokenCount(input.asInstanceOf[UTF8String].toString)
+
+  override protected def withNewChildInternal(newChild: Expression): BpeCount =
+    copy(child = newChild)
+}

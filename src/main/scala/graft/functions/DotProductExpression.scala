@@ -86,5 +86,7 @@ object GraftFunctions {
       "graft_minhash", exprs => MinHashAgg(exprs.head, 64), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_simhash", exprs => SimHashAgg(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_bpe_count", exprs => BpeCount(exprs.head), "built-in")
   }
 }

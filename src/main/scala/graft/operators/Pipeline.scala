@@ -93,21 +93,25 @@ object Pipeline extends QueryPack {
   /** Greedy fixed-token-budget sequence packing, sharded: each shard is an
     * independent greedy stream (windowed running sum partitioned by shard),
     * so packing scales by raising the shard count — never a global
-    * single-partition window.
+    * single-partition window. `tok` is the per-document token-count column
+    * (whitespace tokens for the oracle-replayable p05; merged-BPE counts
+    * for p07 — the count a training run actually budgets by). `cum` (the
+    * inclusive running token total within the shard) stays in the output
+    * for invariant checking.
     */
   private[graft] def packSequences(docs: DataFrame, budget: Int,
-      shards: Int): DataFrame = {
+      shards: Int, tok: org.apache.spark.sql.Column): DataFrame = {
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("h4"), col("doc_id"))
     docs.select(col("doc_id"), h4("doc_id").as("h4"),
-      tokenCount(col("text")).cast("long").as("n_tokens"))
+      tok.cast("long").as("n_tokens"))
       .withColumn("shard", pmod(col("h4"), lit(shards)))
       .withColumn("seq_pos", row_number().over(w))
       .withColumn("cum", sum(col("n_tokens")).over(w))
       .withColumn("pack_id",
         col("shard") * lit(1000000L) + expr(s"(cum - n_tokens) div $budget"))
       .select(col("doc_id"), col("shard"), col("seq_pos"),
-        col("n_tokens"), col("pack_id"))
+        col("n_tokens"), col("pack_id"), col("cum"))
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -183,8 +187,48 @@ object Pipeline extends QueryPack {
     // Sequence packing: greedy-fill PACK_BUDGET-token sequences via a
     // running windowed sum (exclusive prefix div) per shard.
     "p05_seq_packing" -> ((s, d) =>
-      packSequences(T.documents(s, d), PACK_BUDGET, SHARDS)
+      packSequences(T.documents(s, d), PACK_BUDGET, SHARDS,
+        tokenCount(col("text"))).drop("cum")
         .orderBy(col("shard"), col("seq_pos"))),
+    // Packing by MERGED-BPE token count — the count a training run actually
+    // budgets by (the t05-vs-t07 gap is exactly the 1.3–1.5× piece-vs-token
+    // error that mis-sizes packs). BPE counts are engine-specific, so the
+    // driver-checked output is a VERDICT row over packing invariants that
+    // hold for ANY token counts (hand-checked packings live in
+    // PipelineSpec):
+    //  - n_seq_gaps = 0: seq_pos is contiguous 1..count within each shard;
+    //  - n_pack_nonmono = 0: pack_id never decreases along a shard;
+    //  - n_underfull_nonfinal = 0: every non-final pack of a shard closes
+    //    at or past its budget boundary (its last doc's running total
+    //    reaches (local_pack+1)·budget — packs only close because they
+    //    filled, never early).
+    "p07_pack_bpe" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      def packed = packSequences(T.documents(s, d), PACK_BUDGET, SHARDS,
+        call_function("graft_bpe_count", col("text")))
+      // contiguity + monotonicity in ONE pass: the lag window and the
+      // per-shard aggregate share the `shard` shuffle key
+      val seqW = Window.partitionBy(col("shard")).orderBy(col("seq_pos"))
+      val core = packed
+        .withColumn("prev", lag(col("pack_id"), 1).over(seqW))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("cnt"), max(col("seq_pos")).as("mx"),
+          sum(when(col("prev") > col("pack_id"), 1L).otherwise(0L)).as("nm"))
+        .agg(sum(col("cnt")).as("n_docs"), count(lit(1)).as("n_shards"),
+          sum(when(col("mx") =!= col("cnt"), 1L).otherwise(0L))
+            .as("n_seq_gaps"),
+          sum(col("nm")).as("n_pack_nonmono"))
+      val under = packed
+        .groupBy(col("shard"), col("pack_id")).agg(max(col("cum")).as("pcum"))
+        .withColumn("mxp",
+          max(col("pack_id")).over(Window.partitionBy(col("shard"))))
+        .filter(col("pack_id") =!= col("mxp"))
+        .agg(coalesce(sum(when(
+          col("pcum") < (col("pack_id") - col("shard") * lit(1000000L)
+            + 1) * PACK_BUDGET, 1L).otherwise(0L)), lit(0L))
+          .as("n_underfull_nonfinal"))
+      core.crossJoin(under)
+    }),
     // The composed production pipeline, end to end: exact-fingerprint
     // dedup → minimum-length quality gate → benchmark decontamination →
     // deterministic split, reported as per-split doc/token totals. One
@@ -340,6 +384,16 @@ object Pipeline extends QueryPack {
       SELECT split, count(*) AS n_docs,
              CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
       FROM split GROUP BY split ORDER BY split""",
+    // p07 verdict row: n_docs/n_shards recomputed (8 shards are all
+    // occupied at any verify scale — 500+ docs over uniform md5 lanes);
+    // the packing invariants (scaladoc on the query) are pinned zeros.
+    "p07_pack_bpe" -> s"""
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST($SHARDS AS BIGINT) AS n_shards,
+             CAST(0 AS BIGINT) AS n_seq_gaps,
+             CAST(0 AS BIGINT) AS n_pack_nonmono,
+             CAST(0 AS BIGINT) AS n_underfull_nonfinal
+      FROM documents""",
     "p05_seq_packing" -> s"""
       WITH base AS (
         SELECT doc_id, $duckH4 AS h4,

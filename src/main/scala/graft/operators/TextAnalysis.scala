@@ -146,6 +146,39 @@ object TextAnalysis extends QueryPack {
         .crossJoin(shared.agg(count(lit(1)).as("n_run_pairs"),
           count(when(col("sh").isNull, lit(1))).as("n_run_pairs_missed")))
     }),
+    // Merged-BPE token count (real BPE, not just the pre-tokenizer): the
+    // merge table is a checked-in resource (functions.Bpe scaladoc) and the
+    // merge loop is engine-specific, so the driver-checked output is a
+    // VERDICT row (the d05/t06 pattern):
+    //  - n_docs: oracle recomputes;
+    //  - n_bound_violations = 0: every document satisfies
+    //    n_pieces <= n_bpe <= n_bytes — merging starts from one symbol per
+    //    UTF-8 byte, only ever merges within a piece, and every non-empty
+    //    piece yields >= 1 token;
+    //  - compressed = 1: the trained merges actually fire (total merged
+    //    tokens strictly under total bytes);
+    //  - n_pinned_mismatch = 0: the pinned strings below encode to exactly
+    //    the expected counts (regression-pinned; the merge ALGORITHM is
+    //    hand-verified on toy tables in BpeSpec).
+    "t07_bpe_merged_count" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import s.implicits._
+      val docs = T.documents(s, d).select(
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+          .as("n_pieces"),
+        octet_length(col("text")).as("n_bytes"),
+        call_function("graft_bpe_count", col("text")).as("n_bpe"))
+      val agg = docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_bpe") < col("n_pieces")
+          || col("n_bpe") > col("n_bytes"), 1L).otherwise(0L))
+          .as("n_bound_violations"),
+        (sum(col("n_bpe")) < sum(col("n_bytes"))).cast("int").as("compressed"))
+      val pins = pinnedBpe.toDF("ptext", "expected")
+      agg.crossJoin(pins.select(
+        sum(when(call_function("graft_bpe_count", col("ptext"))
+          =!= col("expected"), 1L).otherwise(0L)).as("n_pinned_mismatch")))
+    }),
     // Multimodal plumbing: treat content as an opaque binary column with
     // typed metadata — byte length + sha256, both engine-agnostic. The
     // decode/feature-extract stage for real image/audio payloads lives in
@@ -160,15 +193,28 @@ object TextAnalysis extends QueryPack {
     })
   )
 
-  /** GPT-2 pre-tokenizer split pattern, lookahead-free (portable across
-    * Java regex and RE2): contractions | optional-space letters | digits |
-    * punctuation runs | whitespace runs. Whitespace is an EXPLICIT class,
-    * not `\s` — Java's `\s` includes U+000B but RE2's does not, so the
-    * shorthand would diverge on text containing a vertical tab.
+  /** GPT-2 pre-tokenizer split pattern — shared with the merged-BPE
+    * tokenizer so t05 (piece counts) and t07 (merged counts) agree on the
+    * piece boundaries. See [[graft.functions.Bpe.PreTokenPattern]] for the
+    * lookahead-free/whitespace-class portability notes.
     */
-  private val WsClass = " \\t\\n\\x0B\\f\\r"
-  private val BpePattern =
-    s"'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^$WsClass\\p{L}\\p{N}]+|[$WsClass]+"
+  private val BpePattern = graft.functions.Bpe.PreTokenPattern
+
+  /** Pinned merged-BPE counts for t07 (computed once against the checked-in
+    * merges table, then frozen — any tokenizer regression flips
+    * n_pinned_mismatch). Covers: in-vocabulary text, unseen words,
+    * whitespace runs, a contraction, digits+punctuation, non-ASCII
+    * multi-byte input, and the empty string.
+    */
+  private val pinnedBpe: Seq[(String, Int)] = Seq(
+    ("the customer table scan", 5), // t|he|Ġcustomer|Ġtable|Ġscan
+    ("spark query plan", 6), // spark|Ġquery|Ġ|p|l|an — "plan" unseen
+    ("zzzq xyzzy", 10), // fully unseen: one token per byte
+    ("  double  spaced  words", 22), // whitespace-run pieces
+    ("don't stop", 9), // contraction piece 't via the pre-tokenizer
+    ("42 items, cost: 7.99!", 19), // digit + punctuation pieces
+    ("naïve café", 11), // non-ASCII: 2 byte-tokens per accented char
+    ("", 0))
 
   private def duckWordHits(ws: Seq[String]): String = {
     val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -219,6 +265,12 @@ object TextAnalysis extends QueryPack {
              len(regexp_extract_all(text,
                '${BpePattern.replace("'", "''")}')) AS n_bpe
       FROM documents ORDER BY doc_id""",
+    // t07 verdict row: n_docs recomputed; the bound/compression/pinned
+    // guarantees (scaladoc on the query) are pinned constants.
+    "t07_bpe_merged_count" -> """
+      SELECT count(*) AS n_docs, CAST(0 AS BIGINT) AS n_bound_violations,
+             1 AS compressed, CAST(0 AS BIGINT) AS n_pinned_mismatch
+      FROM documents""",
     "m01_binary_meta" -> """
       SELECT doc_id,
              octet_length(encode(text)) AS n_bytes,

@@ -1,0 +1,154 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => ScTest}
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+import graft.tools.BpeTrainMain
+
+/** Merged-BPE tokenizer: the merge ALGORITHM is hand-verified on toy merge
+  * tables (independent of the shipped resource), the shipped table's
+  * behavior is property-bounded, and the trainer is deterministic.
+  */
+class BpeSpec extends SparkSpec {
+
+  private def check(prop: Prop): Unit = {
+    val params = ScTest.Parameters.default.withInitialSeed(Seed(42L))
+    val res = ScTest.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def toy(pairs: (String, String)*): Map[(String, String), Int] =
+    pairs.zipWithIndex.toMap
+
+  // ---------------------------------------------------------- merge loop
+
+  test("applyMerges: hand-traced greedy merge, rank order respected") {
+    // "abcab": rank0 (a,b) fires at both sites first, then rank1 (ab,c)
+    val r = toy(("a", "b"), ("ab", "c"))
+    assert(Bpe.applyMerges(Array("a", "b", "c", "a", "b"), r).toSeq ==
+      Seq("abc", "ab"))
+  }
+
+  test("applyMerges: lowest rank wins over leftmost position") {
+    // (b,c) has rank 0, so it merges FIRST even though (a,b) is leftmost —
+    // after which (a,bc) is not a known pair
+    val r = toy(("b", "c"), ("a", "b"))
+    assert(Bpe.applyMerges(Array("a", "b", "c"), r).toSeq == Seq("a", "bc"))
+    // flipping the ranks flips the outcome: ab|c, then no (ab,c) rule
+    val r2 = toy(("a", "b"), ("b", "c"))
+    assert(Bpe.applyMerges(Array("a", "b", "c"), r2).toSeq == Seq("ab", "c"))
+  }
+
+  test("applyMerges: overlapping occurrences merge left to right") {
+    // "aaa" with (a,a): left pair merges, leaving aa|a (not a|aa)
+    val r = toy(("a", "a"))
+    assert(Bpe.applyMerges(Array("a", "a", "a"), r).toSeq == Seq("aa", "a"))
+  }
+
+  test("applyMerges: no applicable merge is identity") {
+    val r = toy(("x", "y"))
+    assert(Bpe.applyMerges(Array("a", "b"), r).toSeq == Seq("a", "b"))
+    assert(Bpe.applyMerges(Array("a"), r).toSeq == Seq("a"))
+    assert(Bpe.applyMerges(Array.empty[String], r).toSeq == Seq.empty)
+  }
+
+  // ------------------------------------------------------- byte/unicode
+
+  test("byteToUnicode is a bijection over 256 bytes; space maps to Ġ") {
+    assert(Bpe.byteToUnicode.distinct.length == 256)
+    assert(Bpe.byteToUnicode(' '.toInt) == 'Ġ')
+    assert(Bpe.byteToUnicode('a'.toInt) == 'a') // printable: identity
+  }
+
+  test("toSymbols: one symbol per UTF-8 byte") {
+    assert(Bpe.toSymbols(" a").toSeq == Seq("Ġ", "a"))
+    assert(Bpe.toSymbols("ï").length == 2) // U+00EF is 2 UTF-8 bytes
+  }
+
+  // ------------------------------------------------- shipped merge table
+
+  test("shipped merges resource loads and is non-trivial") {
+    assert(Bpe.ranks.size >= 50)
+  }
+
+  test("parseMerges skips header and blank lines, ranks by position") {
+    val r = Bpe.parseMerges(Iterator("#version: x", "", "a b", "ab c"))
+    assert(r == Map(("a", "b") -> 0, ("ab", "c") -> 1))
+  }
+
+  test("tokenCount bounds: pieces <= merged <= bytes; empty is 0") {
+    val word = Gen.oneOf("scan", "table", "query", "zzzq", "naïve", "a")
+    val textGen = for {
+      n <- Gen.choose(0, 12)
+      ws <- Gen.listOfN(n, word)
+    } yield ws.mkString(" ")
+    check(Prop.forAll(textGen) { t =>
+      val pieces = Bpe.PreTokenPattern.r.findAllIn(t).length
+      val merged = Bpe.tokenCount(t)
+      val bytes = t.getBytes("UTF-8").length
+      merged >= pieces && merged <= bytes
+    })
+    assert(Bpe.tokenCount("") == 0)
+  }
+
+  test("tokenCount == encode length, and encode round-trips piece text") {
+    val t = "the customer table scan ordered 42 items, don't stop"
+    assert(Bpe.tokenCount(t) == Bpe.encode(t).length)
+    // concatenated tokens reproduce the byte-mapped text exactly
+    val mapped = t.getBytes("UTF-8")
+      .map(b => Bpe.byteToUnicode(b & 0xff)).mkString
+    assert(Bpe.encode(t).mkString == mapped)
+  }
+
+  test("in-vocabulary corpus words merge; unseen words stay byte-level") {
+    // trained on the documents fixture: ' customer' is a frequent piece
+    assert(Bpe.encodePiece(" customer").length < " customer".length)
+    assert(Bpe.encodePiece("zzzq").length == 4) // no rule ever fires
+  }
+
+  // ------------------------------------------------------------ trainer
+
+  test("trainer is deterministic and its merges compress the corpus") {
+    val freq = Map("Ġscan" -> 50L, "Ġtable" -> 40L, "scan" -> 5L)
+    val m1 = BpeTrainMain.train(freq, 16)
+    val m2 = BpeTrainMain.train(freq, 16)
+    assert(m1 == m2)
+    val ranks = m1.zipWithIndex.toMap
+    val merged = Bpe.applyMerges(Bpe.toSymbols(" scan"), ranks)
+    assert(merged.length < 5)
+  }
+
+  test("trainer tie-break is lexicographic") {
+    // both pairs occur exactly twice; (a,b) < (c,d) lexicographically
+    val freq = Map("ab" -> 2L, "cd" -> 2L)
+    val m = BpeTrainMain.train(freq, 1)
+    assert(m == Seq(("a", "b")))
+  }
+
+  // ------------------------------------------------------ sql expression
+
+  test("graft_bpe_count matches the Scala tokenizer through SQL") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val texts = Seq("the customer table scan", "zzzq", "", "don't stop 42!")
+    val got = texts.toDF("t")
+      .select(call_function("graft_bpe_count", col("t")).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == texts.map(Bpe.tokenCount))
+  }
+
+  test("graft_bpe_count is null-safe and rejects non-string input") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val r = Seq(Some("scan"), None).toDF("t")
+      .select(call_function("graft_bpe_count", col("t")).as("n"))
+      .collect()
+    assert(r(0).getInt(0) == Bpe.tokenCount("scan") && r(1).isNullAt(0))
+    intercept[Exception] {
+      Seq(1).toDF("t").select(call_function("graft_bpe_count", col("t")))
+        .collect()
+    }
+  }
+}

@@ -102,4 +102,30 @@ class PipelineSpec extends SparkSpec {
     // every shard is an independent stream: shard count bounds parallelism
     assert(rows.map(_._2).distinct.length > 1)
   }
+
+  test("p07: BPE-budget packing invariants hold and verdict row is clean") {
+    val dir = fixtureDir((0L until 300L).map(i =>
+      (i, (0 until (1 + (i % 37)).toInt).map(t => s"w$t").mkString(" "),
+        "en", "src1")))
+    val r = run("p07_pack_bpe", dir).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getLong(row.fieldIndex("n_docs")) == 300L)
+    assert(row.getLong(row.fieldIndex("n_seq_gaps")) == 0L)
+    assert(row.getLong(row.fieldIndex("n_pack_nonmono")) == 0L)
+    assert(row.getLong(row.fieldIndex("n_underfull_nonfinal")) == 0L)
+  }
+
+  test("p07 invariant detector: a huge doc skips pack ids but stays clean") {
+    // one 2000-token doc (far over the 256 budget) forces a pack-id jump;
+    // the invariants must still hold — jumps are legal, regressions aren't
+    val dir = fixtureDir(Seq(
+      (1L, (0 until 2000).map(t => s"w$t").mkString(" "), "en", "src1"),
+      (2L, "a b c", "en", "src1"),
+      (3L, "d e f", "en", "src1")))
+    val row = run("p07_pack_bpe", dir).collect()(0)
+    assert(row.getLong(row.fieldIndex("n_docs")) == 3L)
+    assert(row.getLong(row.fieldIndex("n_pack_nonmono")) == 0L)
+    assert(row.getLong(row.fieldIndex("n_underfull_nonfinal")) == 0L)
+  }
 }
