@@ -114,6 +114,92 @@ object Pipeline extends QueryPack {
         col("n_tokens"), col("pack_id"), col("cum"))
   }
 
+  /** Gopher/MassiveText stop list (Rae et al. 2021, appendix A1.1: "contains
+    * at least 2 of the following English words"; we count total hits, with
+    * repetition, and require >= 2).
+    */
+  private val GopherStop =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Whitespace character class shared with the Spark side of the signal
+    * computation — explicit, not `\s`, for Java-vs-RE2 parity (see
+    * functions.Bpe.PreTokenPattern).
+    */
+  private val WsRe = "[ \\t\\n\\x0B\\f\\r]"
+
+  /** Integerized Gopher quality-filter signals (Rae et al., "Scaling
+    * Language Models: ... Gopher", 2021, appendix A1.1), one row per doc:
+    *
+    *  - n_tokens, n_word_chars (whitespace-stripped length) — word count
+    *    and mean-word-length rules;
+    *  - n_alpha — tokens containing at least one alphabetic character;
+    *  - n_stop — Gopher stop-word hits;
+    *  - n_sym — '#' chars, '…' chars and '...' runs (the hash/ellipsis
+    *    symbol rule);
+    *  - top{2,3,4}_mass — characters covered by the most frequent word
+    *    {2,3,4}-gram (count × gram characters);
+    *  - dup5_mass — characters covered by word 5-grams occurring >= 2
+    *    times (the duplicate-n-gram rule family, n=5 representative).
+    *
+    * All signals are INTEGER counts (the p02 posture): the published
+    * fractional thresholds become cross-multiplied integer comparisons in
+    * [[gopherKeep]], so the DuckDB oracle replays the gate bit-exactly —
+    * no float ever crosses the engine boundary.
+    *
+    * Scale: one pass for the token-level signals (pure projection), one
+    * explode over all four gram lengths TOGETHER (a single corpus scan →
+    * two-phase counts keyed on unique doc_id, the p02 shuffle shape).
+    */
+  private[graft] def gopherSignals(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"),
+      tokenCount(col("text")).cast("long").as("n_tokens"),
+      length(regexp_replace(col("text"), WsRe, "")).cast("long")
+        .as("n_word_chars"),
+      size(filter(tokens(col("text")), t => t.rlike("[A-Za-z]")))
+        .cast("long").as("n_alpha"),
+      wordHits(col("text"), GopherStop).cast("long").as("n_stop"),
+      ((length(col("text")) - length(replace(col("text"), lit("#"))))
+        + (length(col("text")) - length(replace(col("text"), lit("…"))))
+        + size(regexp_extract_all(col("text"), lit("\\.\\.\\."), lit(0))))
+        .cast("long").as("n_sym"))
+    val grams = docs.select(col("doc_id"),
+      explode(flatten(array((2 to 5).map(n =>
+        transform(shingles(col("text"), n),
+          g => struct(lit(n).as("n"), g.as("g")))): _*))).as("e"))
+      .select(col("doc_id"), col("e.n").as("n"), col("e.g").as("g"))
+      .groupBy(col("doc_id"), col("n"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("mass", col("c") * (length(col("g")) - col("n") + 1))
+      .groupBy(col("doc_id")).agg(
+        max(when(col("n") === 2, col("mass"))).as("top2_mass"),
+        max(when(col("n") === 3, col("mass"))).as("top3_mass"),
+        max(when(col("n") === 4, col("mass"))).as("top4_mass"),
+        sum(when(col("n") === 5 && col("c") >= 2, col("mass"))
+          .otherwise(0L)).as("dup5_mass"))
+    base.join(grams, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("top2_mass", "top3_mass", "top4_mass", "dup5_mass"))
+  }
+
+  /** The published Gopher keep conditions over [[gopherSignals]] columns,
+    * integerized (threshold fractions as exact rationals): word count in
+    * [50, 100000]; mean word length in [3, 10]; symbol-to-word ratio
+    * <= 0.1; >= 80% of words alphabetic; >= 2 stop-word hits; top 2/3/4-gram
+    * character fraction <= 0.20/0.18/0.16; duplicate-5-gram character
+    * fraction <= 0.15. Rules over absent grams (short docs) pass trivially,
+    * matching the paper's "where defined" reading.
+    */
+  private[graft] def gopherKeep: org.apache.spark.sql.Column =
+    col("n_tokens") >= 50 && col("n_tokens") <= 100000 &&
+      col("n_word_chars") >= col("n_tokens") * 3 &&
+      col("n_word_chars") <= col("n_tokens") * 10 &&
+      col("n_sym") * 10 <= col("n_tokens") &&
+      col("n_alpha") * 5 >= col("n_tokens") * 4 &&
+      col("n_stop") >= 2 &&
+      col("top2_mass") * 5 <= col("n_word_chars") &&
+      col("top3_mass") * 50 <= col("n_word_chars") * 9 &&
+      col("top4_mass") * 25 <= col("n_word_chars") * 4 &&
+      col("dup5_mass") * 20 <= col("n_word_chars") * 3
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Decontamination wired to the fixture: benchmark = the BENCH_SRC
     // source slice (stand-in eval suite), probe = everything else. The
@@ -229,11 +315,20 @@ object Pipeline extends QueryPack {
           .as("n_underfull_nonfinal"))
       core.crossJoin(under)
     }),
+    // Document-level Gopher keep/drop gate: the published thresholds
+    // (gopherKeep scaladoc) applied to the integer signals, one row per
+    // document with every signal exposed plus the boolean verdict — the
+    // operator a user composes ahead of tokenization to drop boilerplate
+    // and word salad.
+    "p08_gopher_gate" -> ((s, d) =>
+      gopherSignals(T.documents(s, d)).drop("text")
+        .withColumn("keep", gopherKeep.cast("int"))
+        .orderBy(col("doc_id"))),
     // The composed production pipeline, end to end: exact-fingerprint
-    // dedup → minimum-length quality gate → benchmark decontamination →
-    // deterministic split, reported as per-split doc/token totals. One
-    // oracle replays every stage, so the COMPOSITION is hash-checked,
-    // not just each operator in isolation.
+    // dedup → Gopher quality gate (p08's keep/drop rules) → benchmark
+    // decontamination → deterministic split, reported as per-split
+    // doc/token totals. One oracle replays every stage, so the COMPOSITION
+    // is hash-checked, not just each operator in isolation.
     "p06_prep_pipeline" -> ((s, d) => {
       val docs = T.documents(s, d)
       val corpus = docs.filter(col("source") =!= BENCH_SRC)
@@ -242,8 +337,9 @@ object Pipeline extends QueryPack {
         .select(col("doc_id"), fingerprint(col("text")).as("fp"))
         .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
-      val qual = corpus.join(keepers, Seq("doc_id"))
-        .filter(tokenCount(col("text")) >= 10)
+      val qual = gopherSignals(corpus.join(keepers, Seq("doc_id")))
+        .filter(gopherKeep)
+        .select(col("doc_id"), col("text"))
       val contaminated = decontaminate(qual, bench, NGRAM)
         .filter(col("contaminated") === 1).select(col("doc_id"))
       val clean = qual.join(contaminated, Seq("doc_id"), "left_anti")
@@ -258,6 +354,71 @@ object Pipeline extends QueryPack {
 
   private val duckH4 =
     "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)"
+
+  /** DuckDB replay of [[gopherSignals]]: CTE chain over a relation `gsrc`
+    * (doc_id, text), ending in `gsig` with the exact signal column set.
+    * Shared by the p08 oracle and the p06 composition oracle.
+    */
+  private val duckGopherCtes: String = {
+    val stopLst = GopherStop.map(w => s"'$w'").mkString("[", ", ", "]")
+    val gramSelects = (2 to 5).map { n =>
+      val g = (0 until n).map(k => s"w[i+$k]").mkString(" || ' ' || ")
+      s"""SELECT doc_id, $n AS n, $g AS g FROM gpos WHERE i <= len(w) - ${n - 1}"""
+    }.mkString("\n        UNION ALL ")
+    s"""
+      gtoks AS (
+        SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM gsrc),
+      gbase AS (
+        SELECT doc_id, text,
+               CAST(len(w) AS BIGINT) AS n_tokens,
+               CAST(length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]', '', 'g'))
+                 AS BIGINT) AS n_word_chars,
+               CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                 AS BIGINT) AS n_alpha,
+               CAST(len(list_filter(w, x -> list_contains($stopLst, x)))
+                 AS BIGINT) AS n_stop,
+               CAST((length(text) - length(replace(text, '#', '')))
+                 + (length(text) - length(replace(text, '…', '')))
+                 + len(regexp_extract_all(text, '\\.\\.\\.'))
+                 AS BIGINT) AS n_sym
+        FROM gtoks),
+      gpos AS (
+        SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM gtoks),
+      gcnt AS (
+        SELECT doc_id, n, g, count(*) AS c,
+               count(*) * (length(g) - n + 1) AS mass
+        FROM ($gramSelects)
+        GROUP BY 1, 2, 3),
+      gmass AS (
+        SELECT doc_id,
+               max(CASE WHEN n = 2 THEN mass END) AS top2_mass,
+               max(CASE WHEN n = 3 THEN mass END) AS top3_mass,
+               max(CASE WHEN n = 4 THEN mass END) AS top4_mass,
+               sum(CASE WHEN n = 5 AND c >= 2 THEN mass ELSE 0 END)
+                 AS dup5_mass
+        FROM gcnt GROUP BY 1),
+      gsig AS (
+        SELECT b.doc_id, b.text, b.n_tokens, b.n_word_chars, b.n_alpha,
+               b.n_stop, b.n_sym,
+               CAST(coalesce(m.top2_mass, 0) AS BIGINT) AS top2_mass,
+               CAST(coalesce(m.top3_mass, 0) AS BIGINT) AS top3_mass,
+               CAST(coalesce(m.top4_mass, 0) AS BIGINT) AS top4_mass,
+               CAST(coalesce(m.dup5_mass, 0) AS BIGINT) AS dup5_mass
+        FROM gbase b LEFT JOIN gmass m USING (doc_id))"""
+  }
+
+  /** DuckDB replay of [[gopherKeep]] over `gsig` columns. */
+  private val duckGopherKeep: String = """
+      (n_tokens BETWEEN 50 AND 100000
+       AND n_word_chars >= n_tokens * 3 AND n_word_chars <= n_tokens * 10
+       AND n_sym * 10 <= n_tokens
+       AND n_alpha * 5 >= n_tokens * 4
+       AND n_stop >= 2
+       AND top2_mass * 5 <= n_word_chars
+       AND top3_mass * 50 <= n_word_chars * 9
+       AND top4_mass * 25 <= n_word_chars * 4
+       AND dup5_mass * 20 <= n_word_chars * 3)"""
 
   override def oracles: Map[String, String] = Map(
     "p01_decontam" -> s"""
@@ -347,9 +508,11 @@ object Pipeline extends QueryPack {
                  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
           FROM corpus)
         GROUP BY fp),
+      gsrc AS (
+        SELECT c.doc_id, c.text FROM corpus c JOIN keepers USING (doc_id)),
+      $duckGopherCtes,
       qual AS (
-        SELECT c.* FROM corpus c JOIN keepers USING (doc_id)
-        WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 10),
+        SELECT doc_id, text FROM gsig WHERE $duckGopherKeep),
       qpos AS (
         SELECT doc_id, w, generate_subscripts(w, 1) AS i
         FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
@@ -384,6 +547,13 @@ object Pipeline extends QueryPack {
       SELECT split, count(*) AS n_docs,
              CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
       FROM split GROUP BY split ORDER BY split""",
+    "p08_gopher_gate" -> s"""
+      WITH gsrc AS (SELECT doc_id, text FROM documents),
+      $duckGopherCtes
+      SELECT doc_id, n_tokens, n_word_chars, n_alpha, n_stop, n_sym,
+             top2_mass, top3_mass, top4_mass, dup5_mass,
+             CAST($duckGopherKeep AS INT) AS keep
+      FROM gsig ORDER BY doc_id""",
     // p07 verdict row: n_docs/n_shards recomputed (8 shards are all
     // occupied at any verify scale — 500+ docs over uniform md5 lanes);
     // the packing invariants (scaladoc on the query) are pinned zeros.

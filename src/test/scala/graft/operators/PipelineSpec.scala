@@ -103,6 +103,33 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_._2).distinct.length > 1)
   }
 
+  test("p08: Gopher gate keeps clean prose, drops each violation class") {
+    // 58 distinct 6-char words + "the and the and": passes every rule
+    val good = ((0 until 58).map(i =>
+      f"word${('a' + i / 26).toChar}${('a' + i % 26).toChar}") ++
+      Seq("the", "and", "the", "and")).mkString(" ")
+    val spam = Seq.fill(40)("spam ham").mkString(" ") // repetitive, no stops
+    val short = "the and only a few words here" // under 50 tokens
+    val tiny = (Seq.fill(30)("aa bb") ++ Seq("the", "and")).mkString(" ")
+    val symbols = (good.split(" ").take(40) ++ Seq.fill(22)("#")
+      ).mkString(" ") // symbol-to-word ratio over 0.1
+    val dir = fixtureDir(Seq(
+      (1L, good, "en", "src1"), (2L, spam, "en", "src1"),
+      (3L, short, "en", "src1"), (4L, tiny, "en", "src1"),
+      (5L, symbols, "en", "src1")))
+    val rows = run("p08_gopher_gate", dir).collect()
+      .map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        r.getInt(r.fieldIndex("keep"))).toMap
+    assert(rows == Map(1L -> 1, 2L -> 0, 3L -> 0, 4L -> 0, 5L -> 0))
+    // signal values on the repetitive doc: "spam ham" dominates the
+    // 2-grams — 40 occurrences x 7 gram chars
+    val spamRow = run("p08_gopher_gate", dir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 2L)
+      .collect()(0)
+    assert(spamRow.getLong(spamRow.fieldIndex("top2_mass")) == 40L * 7)
+    assert(spamRow.getLong(spamRow.fieldIndex("n_stop")) == 0L)
+  }
+
   test("p07: BPE-budget packing invariants hold and verdict row is clean") {
     val dir = fixtureDir((0L until 300L).map(i =>
       (i, (0 until (1 + (i % 37)).toInt).map(t => s"w$t").mkString(" "),
