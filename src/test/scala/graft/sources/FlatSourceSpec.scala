@@ -33,6 +33,51 @@ class FlatSourceSpec extends SparkSpec {
     assert(!new java.io.File(dir).listFiles().exists(_.getName.endsWith(".tmp")))
   }
 
+  test("unsigned8 full range survives the write→read path incl. > Long.Max") {
+    // reference layout semantics: UNSIGNED8 is a full 64-bit unsigned
+    // little-endian field (docs/HDFSConnector/HDFS_Mods/HDFS_PipeIn.xml:
+    // 89-100); DecimalType(20,0) is the only lossless Spark carrier, and a
+    // top-bit id (e.g. an HPCC hash key) must survive the DSv2 round trip,
+    // not just the codec unit (FlatCodecSpec covers that layer)
+    val u8 = EclLayout.parse("id:unsigned4,big:unsigned8")
+    val rng = new scala.util.Random(7)
+    val vals = Seq(BigInt(0), BigInt(Long.MaxValue),
+      BigInt(Long.MaxValue) + 1, BigInt(2).pow(64) - 1,
+      BigInt("12345678901234567890")) ++
+      Seq.fill(200)(BigInt(64, rng))
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      Row(i.toLong, new java.math.BigDecimal(v.bigInteger))
+    }
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("big", DecimalType(20, 0))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val dir = tmpDir("flat-u8")
+    df.write.format("hpcc-flat").option("layout", u8.spec)
+      .mode("overwrite").save(dir)
+    val back = spark.read.format("hpcc-flat").option("layout", u8.spec)
+      .load(dir).orderBy("id").collect()
+    val expected = vals.map(_.toString)
+    assert(back.length == expected.length)
+    back.zip(expected).foreach { case (r, e) =>
+      assert(r.getDecimal(1).toBigInteger.toString == e,
+        s"u8 value ${r.getLong(0)}")
+    }
+    // byte layout is pinned little-endian: 2^64-1 is eight 0xFF bytes
+    val one = Seq(Row(0L,
+      new java.math.BigDecimal(BigInt(2).pow(64).bigInteger
+        .subtract(java.math.BigInteger.ONE))))
+    val d2 = tmpDir("flat-u8-bytes")
+    spark.createDataFrame(spark.sparkContext.parallelize(one, 1), schema)
+      .write.format("hpcc-flat").option("layout", u8.spec)
+      .mode("overwrite").save(d2)
+    val part = new java.io.File(d2).listFiles()
+      .filter(_.getName.startsWith("part")).head
+    val bytes = java.nio.file.Files.readAllBytes(part.toPath)
+    assert(bytes.length == 12) // unsigned4 + unsigned8
+    assert(bytes.drop(4).forall(_ == 0xff.toByte))
+  }
+
   test("replication option is honored (reference -hdfsfilereplication)") {
     val dir = tmpDir("flat-repl")
     val df = sample(50)
