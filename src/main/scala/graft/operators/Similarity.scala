@@ -93,7 +93,7 @@ object Similarity extends QueryPack {
   /** Top-`nprobe` closest cells per vector, same literal-centroid projection:
     * an array of (−cos, cell) structs, sorted, sliced — still map-only.
     */
-  private def probeCellsExpr(cents: Array[Array[Double]], v: Column,
+  private[graft] def probeCellsExpr(cents: Array[Array[Double]], v: Column,
       nprobe: Int): Column =
     transform(
       slice(array_sort(array(cents.zipWithIndex.map { case (cv, j) =>
@@ -106,10 +106,19 @@ object Similarity extends QueryPack {
     *  - seeded init: the k corpus vectors with the smallest
     *    `xxhash64(vec_id)` (deterministic, uniform — no `rand()`);
     *  - assign: the `cellExpr` map-only projection above;
-    *  - update: `posexplode` → `groupBy(cell, pos).avg` — a two-phase
-    *    (map-side combined) aggregation whose OUTPUT is k·d rows; only
-    *    those k·d cell means ever reach the driver (the Spark MLlib
-    *    pattern: per-iteration driver state is O(k·d), never O(n));
+    *  - update: `posexplode` → `groupBy(cell, pos, partition)` partial
+    *    sums — a two-phase (map-side combined) aggregation whose OUTPUT is
+    *    k·d·P rows; only those per-partition sums ever reach the driver
+    *    (the Spark MLlib pattern: per-iteration driver state is
+    *    O(k·d·P), never O(n)). Keying the sums by `spark_partition_id`
+    *    makes the update BIT-DETERMINISTIC: each input partition owns its
+    *    (cell, pos, pid) group outright, so no double addition ever
+    *    happens in shuffle-arrival order (a plain `avg` merges partials in
+    *    whatever order they land — non-associative FP addition can then
+    *    differ run to run); the driver combines the partials in sorted
+    *    pid order. Determinism matters beyond the spec: the at-rest IVF
+    *    layout (s07) reuses cells across bench executions, so the same
+    *    session must always train the same centroids;
     *  - empty cells keep their previous centroid (k never collapses);
     *  - fixed iteration count: deterministic runtime, no convergence scan.
     *
@@ -124,17 +133,29 @@ object Similarity extends QueryPack {
       .map(r => l2normalize(r.getSeq[Double](1).toArray))
     require(cents.length == k, s"k-means: corpus smaller than k=$k")
     for (_ <- 1 to iters) {
-      val means = base
+      val partials = base
         .withColumn("cell", cellExpr(cents, col("v")))
-        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
+        .withColumn("pid", spark_partition_id())
+        .select(col("cell"), col("pid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"), col("pid"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("c"))
         .collect()
-      val byCell = means.groupBy(_.getInt(0))
+      val byCell = partials.groupBy(_.getInt(0))
       cents = cents.zipWithIndex.map { case (old, c) =>
         byCell.get(c) match {
           case Some(rows) =>
             val m = new Array[Double](old.length)
-            rows.foreach(r => m(r.getInt(1)) = r.getDouble(2))
+            val n = new Array[Long](old.length)
+            // combine per-partition sums in sorted pid order: stable
+            rows.sortBy(r => (r.getInt(1), r.getInt(2))).foreach { r =>
+              m(r.getInt(1)) += r.getDouble(3)
+              n(r.getInt(1)) += r.getLong(4)
+            }
+            var i = 0
+            while (i < m.length) {
+              if (n(i) > 0) m(i) /= n(i)
+              i += 1
+            }
             if (m.forall(_ == 0.0)) old else l2normalize(m)
           case None => old // empty cell: keep previous centroid
         }
@@ -182,6 +203,40 @@ object Similarity extends QueryPack {
       .filter(col("rank") <= K)
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
+
+  /** At-rest IVF layout (the "write once, probe many" read path): train the
+    * coarse quantizer, then persist the corpus `partitionBy(cell)` in hive
+    * layout — after which a probe is a PARTITION-PRUNED scan of `nprobe`
+    * directories, never a full-corpus pass. `Formats.writeOnce` semantics:
+    * a bench session (`graft.io.reuse=true`) writes the index once and
+    * probes it repeatedly — the train-once/probe-many split the in-flight
+    * s02 cannot express; Verify always rewrites. Safe to reuse across
+    * executions because `kmeansCentroids` is bit-deterministic (its
+    * scaladoc) — re-trained centroids always reproduce the stored cells.
+    */
+  private[graft] def ivfIndexAtRest(s: SparkSession,
+      d: String): (String, Array[Array[Double]]) = {
+    val base = normed(s, d)
+    val cents = kmeansCentroids(base, CELLS, KM_ITERS)
+    val out = s"/tmp/graft_io/${d.replaceAll("[^A-Za-z0-9]", "_")}/s07_ivf"
+    Formats.writeOnce(s, out) {
+      base.withColumn("cell", cellExpr(cents, col("v")))
+        .write.partitionBy("cell").mode("overwrite").parquet(out)
+    }
+    (out, cents)
+  }
+
+  /** Probe-cell selection for ONE query vector, driver-side: pure O(k·d)
+    * arithmetic over the trained centroids (the ANN serving shape — the
+    * query vector is client-side by definition, so this is not a
+    * driver-side DATA collect). Must rank exactly like [[probeCellsExpr]]:
+    * descending cosine, ties to the lower cell id.
+    */
+  private[graft] def probeCellsOf(cents: Array[Array[Double]],
+      q: Array[Double], nprobe: Int): Seq[Int] =
+    cents.zipWithIndex
+      .map { case (c, j) => (-c.zip(q).map { case (a, b) => a * b }.sum, j) }
+      .sorted.take(nprobe).map(_._2).toSeq
 
   /** Signed-projection signatures (Charikar SimHash for cosine): `planes`
     * deterministic Rademacher hyperplanes (signs from xxhash64(plane, dim)),
@@ -371,6 +426,47 @@ object Similarity extends QueryPack {
       annVerdict(s, d, ivfTopKFrom(cands), 0.2).crossJoin(cb)
     }),
 
+    // The at-rest IVF probe: corpus persisted partitionBy(cell) once
+    // (ivfIndexAtRest), then ONE query (vec 0, the serving shape) probes
+    // its NPROBE closest cells as a PARTITION-PRUNED scan — the storage
+    // side of s02's candidate pruning (IvfAtRestSpec pins the
+    // PartitionFilters plan + file-level pruning). Verdict columns:
+    //  - n_topk = K, n_mismatch = 0: the pruned at-rest probe reproduces
+    //    the in-flight s02 path EXACTLY for the same query (full-outer
+    //    merge of the two top-k sets — same centroids, same tiebreaks,
+    //    bit-identical scores, so storage adds nothing and loses nothing);
+    //  - cells_bounded: the scan touched at most NPROBE distinct cells;
+    //  - scan_bounded: rows read stay under 0.75·n (the s02 bound for one
+    //    query — pruning must actually skip most of the corpus).
+    "s07_ivf_pruned_probe" -> ((s, d) => {
+      val (out, cents) = ivfIndexAtRest(s, d)
+      val base = normed(s, d)
+      val q0 = base.filter(col("vec_id") === 0)
+        .select(col("v"), col("nrm")).head()
+      val qv = q0.getSeq[Double](0).toArray
+      val qn = q0.getDouble(1)
+      val pruned = s.read.parquet(out)
+        .filter(col("cell").isin(probeCellsOf(cents, qv, NPROBE): _*))
+      val atRest = pruned.filter(col("vec_id") =!= 0)
+        .withColumn("cos",
+          dot(col("v"), typedLit(qv.toSeq)) / (col("nrm") * lit(qn)))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(K).select(col("vec_id").as("neighbor_id"))
+      val inFlight = ivfTopKFrom(ivfCandidates(base, cents))
+        .filter(col("query_id") === 0).select(col("neighbor_id"))
+      val merged = atRest.withColumn("a", lit(1))
+        .join(inFlight.withColumn("b", lit(1)), Seq("neighbor_id"),
+          "full_outer")
+        .agg(count(lit(1)).as("n_topk"),
+          sum(when(col("a").isNull || col("b").isNull, 1L).otherwise(0L))
+            .as("n_mismatch"))
+      val scan = pruned.agg(countDistinct(col("cell")).as("ncells"),
+        count(lit(1)).as("nscan"))
+      merged.crossJoin(scan.crossJoin(base.agg(count(lit(1)).as("nv")))
+        .select((col("ncells") <= NPROBE).as("cells_bounded"),
+          (col("nscan") <= col("nv") * 0.75).as("scan_bounded")))
+    }),
+
     // LSH ANN verdict: aggregate recall vs s01 ≥ 0.3 (measured 0.40–0.46)
     // plus a candidate-volume bound — banding must actually prune (the
     // distinct candidate set stays under half of all query-corpus pairs;
@@ -494,6 +590,13 @@ object Similarity extends QueryPack {
              TRUE AS recall_ok,
              TRUE AS cand_bounded
       FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < $NQ)""",
+    // s07 verdict row: every column is a pinned guarantee (scaladoc on the
+    // query) — the at-rest probe must equal the in-flight path exactly
+    "s07_ivf_pruned_probe" -> s"""
+      SELECT CAST($K AS BIGINT) AS n_topk,
+             CAST(0 AS BIGINT) AS n_mismatch,
+             TRUE AS cells_bounded,
+             TRUE AS scan_bounded""",
     "s04_ann_lsh_topk" -> s"""
       SELECT CAST(count(*) AS BIGINT) AS n_queries,
              CAST($K * count(*) AS BIGINT) AS n_topk,

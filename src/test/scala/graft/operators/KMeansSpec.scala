@@ -36,6 +36,9 @@ class KMeansSpec extends SparkSpec {
       val n = math.sqrt(cv.map(x => x * x).sum)
       assert(math.abs(n - 1.0) < 1e-9, s"centroid norm $n != 1")
     }
+    // bit-exact is intentional and implementable: the centroid update keys
+    // partial sums by spark_partition_id, so no FP addition ever happens
+    // in shuffle-arrival order (kmeansCentroids scaladoc)
     assert(c1.zip(c2).forall { case (a, b) => a.sameElements(b) },
       "two trainings on the same data diverged")
   }
@@ -53,8 +56,13 @@ class KMeansSpec extends SparkSpec {
     val o4 = objective(trained)
     assert(o4 >= o0 - 1e-9,
       s"training worsened mean best-cosine: seeds $o0 -> trained $o4")
+    // strict improvement is a property of THIS fixture (measured gap
+    // ~0.03 at sf0.001), not of Lloyd's in general — hash-picked seeds
+    // already at a fixed point would legally show zero movement. If the
+    // fixture embeddings are ever regenerated and this fires with a ~0
+    // delta, relax to the non-worsening assertion above.
     assert(o4 > o0 + 1e-4,
-      s"training did not move the objective at all ($o0 -> $o4)")
+      s"training did not move the objective on the pinned fixture ($o0 -> $o4)")
   }
 
   test("separable data recovers the true clusters exactly") {
