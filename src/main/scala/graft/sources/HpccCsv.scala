@@ -92,6 +92,37 @@ object HpccCsv {
     }
   }
 
+  /** Streaming read with the same reference semantics as [[read]]: tail a
+    * landing directory of CSV drops micro-batch by micro-batch (parity
+    * with the FLAT/XML streaming sources; the reference is batch-only —
+    * ecl/HDFSConnector.ecl:55-56). Both branches ride Spark's built-in
+    * file-stream sources, so offsets/exactly-once come from the standard
+    * checkpoint machinery; the multi-char-terminator branch is the same
+    * quote-UNAWARE text split as the batch path (same divergence note as
+    * [[write]]).
+    */
+  def readStream(spark: SparkSession, path: String, schema: StructType,
+      separator: String = DefaultSeparator,
+      terminator: String = DefaultTerminator,
+      quote: String = DefaultQuote): DataFrame = {
+    val sep = expandEscapes(separator)
+    val term = expandEscapes(terminator)
+    val qt = expandEscapes(quote)
+    require(sep.length == 1, s"separator must be 1 char: '$separator'")
+    require(qt.length == 1, s"quote must be 1 char: '$quote'")
+    if (term.length <= 1) {
+      spark.readStream.schema(schema)
+        .option("sep", sep).option("quote", qt)
+        .option("lineSep", term)
+        .csv(path)
+    } else {
+      val opts = Map("sep" -> sep, "quote" -> qt)
+      spark.readStream.option("lineSep", term).text(path)
+        .select(from_csv(col("value"), schema, opts).as("r"))
+        .select(col("r.*"))
+    }
+  }
+
   /** Write with reference semantics. Multi-char terminator → `to_csv` rows
     * joined by the text sink's `lineSep`.
     *

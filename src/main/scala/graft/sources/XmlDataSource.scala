@@ -63,7 +63,8 @@ class XmlTable(userSchema: StructType, options: CaseInsensitiveStringMap)
   override def name(): String = s"hpcc-xml:$path"
   override def schema(): StructType = userSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new XmlScanBuilder(path, rowTag, userSchema)
@@ -119,6 +120,74 @@ class XmlScan(path: String, rowTag: String, required: StructType)
   override def createReaderFactory(): PartitionReaderFactory =
     new XmlReaderFactory(rowTag, required,
       new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()))
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new XmlMicroBatchStream(path, rowTag, required)
+}
+
+/** Micro-batch XML source: tail a directory of row-tag XML files — parity
+  * with the FLAT streaming source (the reference is batch-only,
+  * ecl/HDFSConnector.ecl:55-56; this closes the landing-directory gap for
+  * XML drops too). Same offset model as FlatMicroBatchStream: an offset is
+  * the set of visible files (+sizes), each micro-batch is the files that
+  * appeared since the last offset, split into tag-realigned byte ranges by
+  * the SAME partition math and read by the SAME reader as the batch scan.
+  * Files must be immutable once visible (write-then-rename drops).
+  */
+class XmlMicroBatchStream(path: String, rowTag: String, required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def conf = SparkSession.active.sessionState.newHadoopConf()
+
+  private def listFiles(): Map[String, Long] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) Map.empty
+    else if (fs.getFileStatus(root).isDirectory)
+      fs.listStatus(root).toSeq.filter { f =>
+        val n = f.getPath.getName
+        f.isFile && f.getLen > 0 && !n.startsWith(".") && !n.startsWith("_")
+      }.map(f => f.getPath.toString -> f.getLen).toMap
+    else {
+      val st = fs.getFileStatus(root)
+      Map(st.getPath.toString -> st.getLen)
+    }
+  }
+
+  override def initialOffset(): Offset = FlatOffset(Map.empty)
+  override def latestOffset(): Offset = FlatOffset(listFiles())
+  override def deserializeOffset(json: String): Offset = FlatOffset.fromJson(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[FlatOffset].files.keySet
+    val newFiles = end.asInstanceOf[FlatOffset].files.filterNot {
+      case (f, _) => seen.contains(f)
+    }
+    val spark = SparkSession.active
+    val splitBytes = math.max(spark.sessionState.conf.filesMaxPartitionBytes, 1L)
+    val c = conf
+    newFiles.toSeq.sortBy(_._1).flatMap { case (file, size) =>
+      val p = new Path(file)
+      val fs = p.getFileSystem(c)
+      val blocks = fs.getFileBlockLocations(fs.getFileStatus(p), 0, size)
+      (0L until size by splitBytes).map { s =>
+        val e = math.min(s + splitBytes, size)
+        val hosts = blocks.filter(b =>
+          b.getOffset < e && s < b.getOffset + b.getLength)
+          .flatMap(_.getHosts).distinct
+        XmlInputPartition(file, s, e, size, hosts)
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new XmlReaderFactory(rowTag, required,
+      new SerializableHadoopConf(conf))
 }
 
 class XmlReaderFactory(rowTag: String, required: StructType,
