@@ -33,6 +33,7 @@ import graft.functions.TextFunctions._
 object Dedup extends QueryPack {
 
   private val NGRAM = 3
+  private val ChunkW = 8 // d09 chunk-dedup window (tokens per chunk)
   private val MINHASH_K = 64 // 32 bands × 2 rows
   private val BANDS = 32
 
@@ -348,6 +349,32 @@ object Dedup extends QueryPack {
             .as("n_outside_jaccard"),
           count(when(col("in_e").isNotNull && col("in_s").isNull, lit(1)))
             .as("n_exact_missed"))
+    }),
+    // Chunk-level exact dedup — the CCNet/RefinedWeb "paragraph dedup"
+    // stage (Wenzek et al., CCNet, LREC 2020) adapted to the fixture's
+    // unstructured text: the dedup unit is a non-overlapping window of
+    // CHUNK_W tokens instead of a newline-delimited paragraph. Each chunk
+    // travels ONLY as its md5 (engine-agnostic, 16 bytes — the chunk
+    // string dies inside the per-row projection); the first occurrence in
+    // (doc_id, idx) order is the keeper, selected with ONE shuffle of
+    // (doc_id, idx, h) triples (window on h). Per-document retention
+    // counts are the signal a pipeline consumes: duplicated boilerplate
+    // chunks are dropped without discarding the whole document.
+    "d09_chunk_dedup" -> ((s, d) => {
+      val t = tokens(col("text"))
+      val nch = ceil(size(t) / lit(ChunkW.toDouble)).cast("int")
+      val chunks = T.documents(s, d).select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nch - 1),
+          i => md5(concat_ws(" ", slice(t, i * ChunkW + 1, lit(ChunkW))))))
+          .as(Seq("idx", "h")))
+      val byH = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("h")).orderBy(col("doc_id"), col("idx"))
+      chunks.withColumn("rn", row_number().over(byH))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dropped"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -429,6 +456,29 @@ object Dedup extends QueryPack {
               FROM fpg) AS n_exact_dup_pairs,
              (SELECT count(*) FROM jp) AS n_jaccard_pairs,
              CAST(0 AS BIGINT) AS n_outside_jaccard,
-             CAST(0 AS BIGINT) AS n_exact_missed""")
+             CAST(0 AS BIGINT) AS n_exact_missed"""),
+    "d09_chunk_dedup" -> s"""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents),
+      cl AS (
+        SELECT doc_id,
+               list_transform(range(CAST(ceil(len(w) / $ChunkW.0) AS INT)),
+                 i -> md5(array_to_string(
+                        w[(i * $ChunkW + 1):(i * $ChunkW + $ChunkW)], ' ')))
+                 AS hs
+        FROM toks),
+      ch AS (SELECT doc_id, generate_subscripts(hs, 1) AS idx, hs FROM cl),
+      k AS (
+        SELECT doc_id, idx,
+               row_number() OVER (PARTITION BY hs[idx]
+                 ORDER BY doc_id, idx) AS rn
+        FROM ch)
+      SELECT doc_id, count(*) AS n_chunks,
+             CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped
+      FROM k GROUP BY doc_id ORDER BY doc_id"""
   )
 }

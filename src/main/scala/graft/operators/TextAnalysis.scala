@@ -179,6 +179,56 @@ object TextAnalysis extends QueryPack {
         sum(when(call_function("graft_bpe_count", col("ptext"))
           =!= col("expected"), 1L).otherwise(0L)).as("n_pinned_mismatch")))
     }),
+    // TF-IDF keyword extraction: per-document top-3 terms. Term and
+    // document frequencies are corpus-level statistics — tf is one
+    // map-side-combined aggregation on (doc_id, word), df aggregates the
+    // tf table on word (the vocabulary, which is bounded — words, not
+    // documents) and BROADCASTS back, so the corpus shuffles once for tf
+    // and once for the per-doc rank window. Ranking is fully integer
+    // (tf desc, df asc — rarer term wins the tie — then term asc): the
+    // classic tf·log(N/df) ordering crosses the FP boundary between
+    // engines, while this lexicographic form is bit-reproducible and
+    // agrees with tf-idf whenever tf dominates.
+    "t08_tfidf" -> ((s, d) => {
+      val occ = T.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      val tf = occ.groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("df").asc, col("word").asc)
+      tf.join(broadcast(df), Seq("word"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("word"), col("tf"), col("df"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+    // Zipf-rank quality score (the CCNet LM-perplexity filter's
+    // integer-deterministic cousin): rank the vocabulary by global
+    // frequency (dense_rank over count desc — rank 1 = most common), then
+    // score each document by the sum/mean of its words' ranks. Common-word
+    // documents score low, rare/garbage-heavy documents score high — the
+    // same keep/drop signal a perplexity filter thresholds, with no FP
+    // crossing the engine boundary (mean is fixed-point via integer div).
+    // The global rank window runs over the VOCABULARY (bounded, single
+    // partition — the standard dictionary-build shape), never the corpus;
+    // ranks broadcast back to the occurrence stream.
+    "t09_zipf_quality" -> ((s, d) => {
+      val occ = T.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      val cnt = occ.groupBy(col("word")).agg(count(lit(1)).as("c"))
+      val rk = cnt.withColumn("zrank",
+        dense_rank().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("word").asc)))
+      occ.join(broadcast(rk.select(col("word"), col("zrank"))), Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("zrank")).as("sum_rank"))
+        .withColumn("mean_rank_milli",
+          expr("1000 * sum_rank div n_words"))
+        .orderBy(col("doc_id"))
+    }),
     // Multimodal plumbing: treat content as an opaque binary column with
     // typed metadata — byte length + sha256, both engine-agnostic. The
     // decode/feature-extract stage for real image/audio payloads lives in
@@ -271,6 +321,38 @@ object TextAnalysis extends QueryPack {
       SELECT count(*) AS n_docs, CAST(0 AS BIGINT) AS n_bound_violations,
              1 AS compressed, CAST(0 AS BIGINT) AS n_pinned_mismatch
       FROM documents""",
+    "t08_tfidf" -> """
+      WITH occ AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        FROM documents),
+      tf AS (
+        SELECT doc_id, word, count(*) AS tf FROM occ GROUP BY doc_id, word),
+      df AS (
+        SELECT word, count(*) AS df FROM tf GROUP BY word),
+      j AS (
+        SELECT t.doc_id, t.word, t.tf, d.df,
+               row_number() OVER (PARTITION BY t.doc_id
+                 ORDER BY t.tf DESC, d.df ASC, t.word ASC) AS rank
+        FROM tf t JOIN df d USING (word))
+      SELECT doc_id, rank, word, tf, df FROM j WHERE rank <= 3
+      ORDER BY doc_id, rank""",
+    "t09_zipf_quality" -> """
+      WITH occ AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        FROM documents),
+      cnt AS (
+        SELECT word, count(*) AS c FROM occ GROUP BY word),
+      rk AS (
+        SELECT word, dense_rank() OVER (ORDER BY c DESC, word ASC) AS zrank
+        FROM cnt)
+      SELECT o.doc_id, count(*) AS n_words,
+             CAST(sum(r.zrank) AS BIGINT) AS sum_rank,
+             CAST((1000 * sum(r.zrank)) // count(*) AS BIGINT)
+               AS mean_rank_milli
+      FROM occ o JOIN rk r USING (word)
+      GROUP BY o.doc_id ORDER BY o.doc_id""",
     "m01_binary_meta" -> """
       SELECT doc_id,
              octet_length(encode(text)) AS n_bytes,
