@@ -349,8 +349,50 @@ object Pipeline extends QueryPack {
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
         .orderBy(col("split"))
+    }),
+    // Stratified sampling for mixture rebalancing: per-language keep
+    // rates (downsample the dominant language, keep the low-resource
+    // tail) decided by the same md5 h4 lane as the split — a pure
+    // projection + filter, no shuffle, reproducible on any engine or
+    // cluster layout. Unlisted strata keep everything (rate 100).
+    "p09_stratified_sample" -> ((s, d) => {
+      val rate = SampleRates.foldRight(lit(100): org.apache.spark.sql.Column) {
+        case ((lg, r), els) => when(col("lang") === lg, lit(r)).otherwise(els)
+      }
+      T.documents(s, d).select(col("doc_id"), col("lang"), col("source"))
+        .withColumn("h4", h4("doc_id"))
+        .filter(pmod(col("h4"), lit(100)) < rate)
+        .orderBy(col("doc_id"))
+    }),
+    // Mixture upsampling, the other half of rebalancing: integer
+    // per-language repeat weights (epoch counts), each copy tagged so a
+    // downstream shuffle (p04) spreads the copies. explode(sequence) is a
+    // generator inside the projection — rows fan out inline, nothing
+    // shuffles; weight-0 strata (here: none) are dropped pre-explode so
+    // Spark's descending-sequence edge case never fires.
+    "p10_mixture_upsample" -> ((s, d) => {
+      val w = MixWeights.foldRight(lit(1L): org.apache.spark.sql.Column) {
+        case ((lg, n), els) => when(col("lang") === lg, lit(n)).otherwise(els)
+      }
+      T.documents(s, d).select(col("doc_id"), col("lang"))
+        .withColumn("w", w).filter(col("w") >= 1L)
+        .select(col("doc_id"), col("lang"),
+          explode(sequence(lit(1L), col("w"))).as("copy"))
+        .orderBy(col("doc_id"), col("copy"))
     })
   )
+
+  /** Per-language keep rates (percent) for p09 — downsample English, keep
+    * everything else; unlisted languages default to 100.
+    */
+  private val SampleRates: Seq[(String, Int)] =
+    Seq("en" -> 50, "de" -> 80, "fr" -> 80, "es" -> 80)
+
+  /** Per-language repeat weights (epochs) for p10 — upsample the
+    * low-resource tail; unlisted languages stay at 1.
+    */
+  private val MixWeights: Seq[(String, Long)] =
+    Seq("es" -> 2L, "fr" -> 2L, "zh" -> 3L)
 
   private val duckH4 =
     "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)"
@@ -554,6 +596,25 @@ object Pipeline extends QueryPack {
              top2_mass, top3_mass, top4_mass, dup5_mass,
              CAST($duckGopherKeep AS INT) AS keep
       FROM gsig ORDER BY doc_id""",
+    "p09_stratified_sample" -> {
+      val cases = SampleRates.map { case (lg, r) =>
+        s"WHEN '$lg' THEN $r" }.mkString(" ")
+      s"""
+      SELECT doc_id, lang, source, $duckH4 AS h4
+      FROM documents
+      WHERE $duckH4 % 100 < CASE lang $cases ELSE 100 END
+      ORDER BY doc_id"""
+    },
+    "p10_mixture_upsample" -> {
+      val cases = MixWeights.map { case (lg, n) =>
+        s"WHEN '$lg' THEN $n" }.mkString(" ")
+      s"""
+      SELECT doc_id, lang, unnest(range(1, w + 1)) AS copy
+      FROM (SELECT doc_id, lang,
+              CASE lang $cases ELSE 1 END AS w
+            FROM documents)
+      WHERE w >= 1 ORDER BY doc_id, copy"""
+    },
     // p07 verdict row: n_docs/n_shards recomputed (8 shards are all
     // occupied at any verify scale — 500+ docs over uniform md5 lanes);
     // the packing invariants (scaladoc on the query) are pinned zeros.

@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the product quantizer (Similarity.pqCodebook / s08): codebook
+  * determinism, quantization-error reduction over the seeds, exact
+  * recovery on subspace-separable data, and the s08 verdict gates.
+  */
+class PqSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def normedFixture = {
+    graft.functions.GraftFunctions.register(spark)
+    spark.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm",
+        sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), _ + _)))
+  }
+
+  private def sqDist(a: Array[Double], b: Array[Double]): Double =
+    a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+
+  test("subspace codebook training is deterministic") {
+    val base = normedFixture
+    val sub = slice(col("v"), 1, 16)
+    val c1 = Similarity.pqCodebook(base, sub, 8, 3)
+    val c2 = Similarity.pqCodebook(base, sub, 8, 3)
+    assert(c1.length == 8 && c1.head.length == 16)
+    assert(c1.zip(c2).forall { case (a, b) => a.sameElements(b) },
+      "two trainings on the same data diverged")
+  }
+
+  test("iterations reduce subspace quantization error over the seeds") {
+    val base = normedFixture.cache()
+    val sub = slice(col("v"), 1, 16)
+    val rows = base.select(sub.as("s")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    def mse(cents: Array[Array[Double]]): Double =
+      rows.map(v => cents.map(c => sqDist(v, c)).min).sum / rows.length
+    val seeds = Similarity.pqCodebook(base, sub, 8, 0)
+    val trained = Similarity.pqCodebook(base, sub, 8, 4)
+    val e0 = mse(seeds)
+    val e4 = mse(trained)
+    assert(e4 <= e0 + 1e-9,
+      s"training worsened subspace MSE: seeds $e0 -> trained $e4")
+    // strict improvement is a property of THIS fixture (seeds are corpus
+    // points, so Lloyd's first mean step moves them); if the fixture is
+    // regenerated and this fires with a ~0 delta, relax to non-worsening.
+    assert(e4 < e0 - 1e-6,
+      s"training did not move the MSE on the pinned fixture ($e0 -> $e4)")
+  }
+
+  test("subspace-separable data is coded exactly") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    // 2 subspaces of 2 dims; 3 well-separated codewords per subspace,
+    // every combination present => PQ must recover all 9 combinations
+    val words = Seq(Array(1.0, 0.0), Array(0.0, 1.0), Array(-1.0, 0.0))
+    val pts = for {
+      a <- 0 until 3
+      b <- 0 until 3
+      i <- 0 until 2
+    } yield {
+      val eps = 0.01 * i
+      ((a * 3 + b) * 2L + i,
+        (words(a).map(_ + eps) ++ words(b).map(_ - eps)).toSeq,
+        a, b)
+    }
+    val base = pts.toDF("vec_id", "v", "ta", "tb")
+      .withColumn("v", col("v").cast("array<double>"))
+      .withColumn("nrm", lit(1.0))
+    val cbA = Similarity.pqCodebook(base, slice(col("v"), 1, 2), 3, 5)
+    val cbB = Similarity.pqCodebook(base, slice(col("v"), 3, 2), 3, 5)
+    def code(cb: Array[Array[Double]], v: Array[Double]): Int =
+      cb.zipWithIndex.minBy { case (c, j) => (sqDist(v, c), j) }._2
+    val byTrueA = pts.groupBy(_._3).view
+      .mapValues(_.map(p => code(cbA, p._2.slice(0, 2).toArray)).toSet).toMap
+    val byTrueB = pts.groupBy(_._4).view
+      .mapValues(_.map(p => code(cbB, p._2.slice(2, 4).toArray)).toSet).toMap
+    assert(byTrueA.values.forall(_.size == 1) &&
+      byTrueA.values.flatten.toSet.size == 3, s"subspace A: $byTrueA")
+    assert(byTrueB.values.forall(_.size == 1) &&
+      byTrueB.values.flatten.toSet.size == 3, s"subspace B: $byTrueB")
+  }
+
+  test("s08 verdict holds: recall, code range, rerank volume") {
+    val verdict = Similarity.queries("s08_pq_adc_topk")(spark, d)
+      .collect().head
+    assert(verdict.getLong(verdict.fieldIndex("n_bad_codes")) == 0L)
+    assert(verdict.getBoolean(verdict.fieldIndex("rerank_bounded")))
+    assert(verdict.getBoolean(verdict.fieldIndex("recall_ok")))
+  }
+}
