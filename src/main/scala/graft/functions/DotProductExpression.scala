@@ -88,5 +88,15 @@ object GraftFunctions {
       "graft_simhash", exprs => SimHashAgg(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_bpe_count", exprs => BpeCount(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_gopher_masses", exprs => GopherMasses(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_shingle_hashes", exprs => TokenShingleHashes(exprs.head,
+        exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_shingle_hashes: n must be a literal, got $other")
+        }), "built-in")
   }
 }

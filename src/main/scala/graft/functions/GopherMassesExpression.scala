@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** All four Gopher gram-mass signals (Rae et al. 2021, A1.1 rule family)
+  * over a token array, in ONE per-row JVM pass:
+  *
+  *  - top{2,3,4}_mass — characters covered by the most frequent word
+  *    {2,3,4}-gram (count × Σ token chars);
+  *  - dup5_mass — characters covered by word 5-grams occurring ≥ 2 times.
+  *
+  * Why an Expression and not higher-order functions: the HOF formulation
+  * (four zip_with shingle chains → explode → two aggregations) evaluates
+  * interpreted lambdas PER GRAM ELEMENT — measured 3.2 s just to produce
+  * the ~1M gram structs of the 4 750-doc sf0.1 slice, i.e. ~0.6 ms per
+  * document of pure interpretation overhead, and it shuffles every gram.
+  * This expression walks the token array once per row (rolling 64-bit
+  * gram hashes + a per-n count map, prefix-summed char lengths), emits
+  * four longs, and keeps the whole Gopher signal computation MAP-ONLY —
+  * no explode, no shuffle, nothing leaves the row. Gram identity is the
+  * 64-bit hash of the token sequence (within-document counting only, so a
+  * collision would need two distinct grams of one document to collide at
+  * 2^-64 — the d03/p01 posture).
+  *
+  * Documents with fewer than n tokens contribute mass 0 for that n
+  * (matching the "rules over absent grams pass trivially" reading the
+  * gate documents). Null input → null.
+  */
+case class GopherMasses(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_gopher_masses expects array<string>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("top2_mass", LongType, nullable = false),
+    StructField("top3_mass", LongType, nullable = false),
+    StructField("top4_mass", LongType, nullable = false),
+    StructField("dup5_mass", LongType, nullable = false)))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val hs = new Array[Long](n)
+    val cum = new Array[Long](n + 1) // prefix char lengths
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) {
+        hs(i) = 0L
+        cum(i + 1) = cum(i)
+      } else {
+        val s = arr.getUTF8String(i)
+        hs(i) = fnv64(s)
+        cum(i + 1) = cum(i) + s.numChars()
+      }
+      i += 1
+    }
+    val out = new Array[Long](4)
+    var g = 2
+    while (g <= 5) {
+      val m = new java.util.HashMap[java.lang.Long, Array[Long]]()
+      var j = 0
+      while (j <= n - g) {
+        var h = g.toLong * 0x9E3779B97F4A7C15L
+        var k = 0
+        while (k < g) {
+          h = (h ^ hs(j + k)) * 0x100000001B3L
+          k += 1
+        }
+        val len = cum(j + g) - cum(j)
+        val e = m.get(h)
+        if (e == null) m.put(h, Array(1L, len)) else e(0) += 1L
+        j += 1
+      }
+      var acc = 0L
+      val it = m.values().iterator()
+      if (g == 5) {
+        while (it.hasNext) {
+          val e = it.next()
+          if (e(0) >= 2L) acc += e(0) * e(1)
+        }
+        out(3) = acc
+      } else {
+        while (it.hasNext) {
+          val e = it.next()
+          val mass = e(0) * e(1)
+          if (mass > acc) acc = mass
+        }
+        out(g - 2) = acc
+      }
+      g += 1
+    }
+    InternalRow(out(0), out(1), out(2), out(3))
+  }
+
+  /** FNV-1a 64 over the token's UTF-8 bytes. */
+  private def fnv64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xCBF29CE484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h ^ (bytes(i) & 0xFFL)) * 0x100000001B3L
+      i += 1
+    }
+    h
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GopherMasses =
+    copy(child = newChild)
+}

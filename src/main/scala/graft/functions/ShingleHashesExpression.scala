@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** All contiguous n-token shingle hashes of a token array in ONE per-row
+  * JVM pass, emitted as `array<long>`.
+  *
+  * Bit-identical to the zip_with-chain formulation it replaced
+  * (`transform(structs, xxhash64(f0..f{n-1}))`): each shingle hash chains
+  * Spark's XxHash64 over the n tokens from the default seed 42, via the
+  * same [[XxHash64Function]] the built-in expression evaluates with — so
+  * every signature, band bucket and join key derived from these hashes
+  * (MinHash d04, decontamination p01, Jaccard d03, winnowing t06) is
+  * unchanged. ShingleHashesSpec pins the equivalence against the retained
+  * HOF formulation.
+  *
+  * Why an Expression: the chain of n−1 `zip_with`s evaluates interpreted
+  * lambdas and allocates a struct PER SHINGLE PER CHAIN STAGE — the same
+  * per-element overhead class measured at ~0.6 ms/doc on the Gopher gram
+  * signals ([[GopherMasses]] scaladoc). Here the token hashes are computed
+  * once and each shingle is a rolling reuse of them — O(tokens·n) cheap
+  * long arithmetic, no intermediate structs.
+  *
+  * Tokens hash in sequence with null tokens skipped (seed passes through
+  * unchanged), matching the built-in `xxhash64(...)` null semantics.
+  * Fewer than n tokens → empty array. Null input → null.
+  */
+case class TokenShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, s"graft_shingle_hashes: n must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_hashes expects array<string>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    val k = len - n + 1
+    if (k <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      var h = 42L // XxHash64 default seed, matches xxhash64(...)
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(j + i))
+          h = XxHash64Function.hash(arr.getUTF8String(j + i), StringType, h)
+        i += 1
+      }
+      out(j) = h
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): TokenShingleHashes = copy(child = newChild)
+}

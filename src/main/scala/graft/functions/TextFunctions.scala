@@ -20,16 +20,34 @@ object TextFunctions {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** Chain of n-token structs (f0..f{n-1}) over the token array, built by
+    * zipping the array with its own shifted slices — `zip_with` arguments
+    * are evaluated ONCE per row, so the regex tokenization never re-runs
+    * per shingle (indexing `tokens(c)` from inside a `transform` lambda
+    * re-evaluates the split per element: O(tokens²) per document — the
+    * failure mode that made the Gopher gram signals 25× slower before
+    * round 8 rebuilt [[shingles]] on this chain). Incomplete tail structs
+    * (null-padded by `zip_with`) are filtered out.
+    */
+  private def shingleStructs(c: Column, n: Int): Column = {
+    require(n >= 2 && n <= 8, s"shingles support n in 2..8, got $n")
+    val t = tokens(c)
+    def shifted(k: Int) = slice(t, lit(k + 1), greatest(size(t) - k, lit(0)))
+    var acc: Column = zip_with(t, shifted(1),
+      (a, b) => struct(a.as("f0"), b.as("f1")))
+    for (k <- 2 until n)
+      acc = zip_with(acc, shifted(k), (s, x) =>
+        struct((0 until k).map(i => s.getField(s"f$i").as(s"f$i")) :+
+          x.as(s"f$k"): _*))
+    filter(acc, s => s.getField(s"f${n - 1}").isNotNull)
+  }
+
   /** Word n-gram shingles (contiguous, space-joined). Empty array when the
     * document has fewer than n tokens.
     */
-  def shingles(c: Column, n: Int): Column = {
-    val t = tokens(c)
-    when(size(t) >= n,
-      transform(sequence(lit(0), size(t) - n),
-        i => concat_ws(" ", slice(t, i + lit(1), lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shingles(c: Column, n: Int): Column =
+    transform(shingleStructs(c, n),
+      s => concat_ws(" ", (0 until n).map(i => s.getField(s"f$i")): _*))
 
   def distinctShingles(c: Column, n: Int): Column =
     array_distinct(shingles(c, n))
@@ -39,26 +57,38 @@ object TextFunctions {
     * elements). The dedup pipeline joins/aggregates on these 8-byte keys;
     * collision odds at 64 bits are negligible for any realistic corpus.
     *
-    * Implementation note: the token array is zipped with its own shifted
-    * slices (`zip_with` arguments are evaluated once per row), NOT indexed
-    * from inside a lambda — `element_at(tokens(c), i)` in a lambda body
-    * re-evaluates the regex split per shingle per reference, which measured
-    * ~2× slower end-to-end on the dedup suite.
+    * Since round 8 this is the native [[TokenShingleHashes]] expression
+    * (one rolling-hash pass per row); the zip_with-chain HOF formulation
+    * it replaced — bit-identical output, measured per-element lambda
+    * overhead — is retained below as [[shingleHashesHof]] for the
+    * equivalence spec.
     */
   def shingleHashes(c: Column, n: Int): Column = {
     require(n >= 2 && n <= 8, s"shingleHashes supports n in 2..8, got $n")
-    val t = tokens(c)
-    def shifted(k: Int) = slice(t, lit(k + 1), greatest(size(t) - k, lit(0)))
-    var acc: Column = zip_with(t, shifted(1),
-      (a, b) => struct(a.as("f0"), b.as("f1")))
-    for (k <- 2 until n)
-      acc = zip_with(acc, shifted(k), (s, x) =>
-        struct((0 until k).map(i => s.getField(s"f$i").as(s"f$i")) :+
-          x.as(s"f$k"): _*))
-    // shorter slices are null-padded by zip_with: drop incomplete tails
-    val full = filter(acc, s => s.getField(s"f${n - 1}").isNotNull)
-    transform(full, s => xxhash64((0 until n).map(i => s.getField(s"f$i")): _*))
+    // registry route (the graft_dot precedent): every operator-pack
+    // builder that reaches this calls GraftFunctions.register first
+    call_function("graft_shingle_hashes", tokens(c), lit(n))
   }
+
+  /** The composable HOF fallback formulation — kept for cross-checking the
+    * native expression in specs (the `dotHof` precedent).
+    */
+  private[graft] def shingleHashesHof(c: Column, n: Int): Column =
+    transform(shingleStructs(c, n),
+      s => xxhash64((0 until n).map(i => s.getField(s"f$i")): _*))
+
+  /** (hash, total-token-chars) struct per n-gram — for mass/coverage
+    * computations (Gopher top-gram and duplicate-gram rules) that need the
+    * gram's character weight but never its text: the shuffle key becomes a
+    * fixed-width (8+8)-byte struct instead of the gram string. `len` is
+    * Σ length(tokenᵢ), i.e. the characters the gram covers net of its
+    * n−1 separators.
+    */
+  def shingleHashLens(c: Column, n: Int): Column =
+    transform(shingleStructs(c, n), s => struct(
+      xxhash64((0 until n).map(i => s.getField(s"f$i")): _*).as("h"),
+      (0 until n).map(i => length(s.getField(s"f$i"))).reduce(_ + _)
+        .as("len")))
 
   def distinctShingleHashes(c: Column, n: Int): Column =
     array_distinct(shingleHashes(c, n))

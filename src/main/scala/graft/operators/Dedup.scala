@@ -67,6 +67,7 @@ object Dedup extends QueryPack {
     * path). The collect_list buffer is O(hottest bucket) per shingle.
     */
   private[graft] def jaccardPairsOf(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val arrs = docs.select(col("doc_id"),
       distinctShingleHashes(col("text"), NGRAM).as("sh"))
     val idx = arrs.select(col("doc_id"), size(col("sh")).as("n_sh"),

@@ -61,6 +61,7 @@ object Pipeline extends QueryPack {
     */
   private[graft] def decontaminate(probe: DataFrame, bench: DataFrame,
       n: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(probe.sparkSession)
     // grams never exist as strings: hashed straight off the token structs
     // (shingleHashes) on BOTH sides, so the probe explode carries 8-byte
     // longs only (the oracle joins the gram strings — same pair semantics
@@ -146,12 +147,16 @@ object Pipeline extends QueryPack {
     * [[gopherKeep]], so the DuckDB oracle replays the gate bit-exactly —
     * no float ever crosses the engine boundary.
     *
-    * Scale: one pass for the token-level signals (pure projection), one
-    * explode over all four gram lengths TOGETHER (a single corpus scan →
-    * two-phase counts keyed on unique doc_id, the p02 shuffle shape).
+    * Scale: ONE map-only projection — the token-level signals are narrow
+    * expressions and the four gram-mass signals come from the
+    * [[graft.functions.GopherMasses]] native expression (one JVM pass per
+    * row over the token array; its scaladoc has the measured case against
+    * the explode→aggregate HOF formulation this replaced). Nothing
+    * shuffles; the gate composes into any pipeline at zero exchange cost.
     */
   private[graft] def gopherSignals(docs: DataFrame): DataFrame = {
-    val base = docs.select(col("doc_id"), col("text"),
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"), col("text"),
       tokenCount(col("text")).cast("long").as("n_tokens"),
       length(regexp_replace(col("text"), WsRe, "")).cast("long")
         .as("n_word_chars"),
@@ -161,23 +166,14 @@ object Pipeline extends QueryPack {
       ((length(col("text")) - length(replace(col("text"), lit("#"))))
         + (length(col("text")) - length(replace(col("text"), lit("…"))))
         + size(regexp_extract_all(col("text"), lit("\\.\\.\\."), lit(0))))
-        .cast("long").as("n_sym"))
-    val grams = docs.select(col("doc_id"),
-      explode(flatten(array((2 to 5).map(n =>
-        transform(shingles(col("text"), n),
-          g => struct(lit(n).as("n"), g.as("g")))): _*))).as("e"))
-      .select(col("doc_id"), col("e.n").as("n"), col("e.g").as("g"))
-      .groupBy(col("doc_id"), col("n"), col("g"))
-      .agg(count(lit(1)).as("c"))
-      .withColumn("mass", col("c") * (length(col("g")) - col("n") + 1))
-      .groupBy(col("doc_id")).agg(
-        max(when(col("n") === 2, col("mass"))).as("top2_mass"),
-        max(when(col("n") === 3, col("mass"))).as("top3_mass"),
-        max(when(col("n") === 4, col("mass"))).as("top4_mass"),
-        sum(when(col("n") === 5 && col("c") >= 2, col("mass"))
-          .otherwise(0L)).as("dup5_mass"))
-    base.join(grams, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("top2_mass", "top3_mass", "top4_mass", "dup5_mass"))
+        .cast("long").as("n_sym"),
+      call_function("graft_gopher_masses", tokens(col("text"))).as("gm"))
+      .select(col("doc_id"), col("text"), col("n_tokens"),
+        col("n_word_chars"), col("n_alpha"), col("n_stop"), col("n_sym"),
+        col("gm.top2_mass").as("top2_mass"),
+        col("gm.top3_mass").as("top3_mass"),
+        col("gm.top4_mass").as("top4_mass"),
+        col("gm.dup5_mass").as("dup5_mass"))
   }
 
   /** The published Gopher keep conditions over [[gopherSignals]] columns,
@@ -216,6 +212,7 @@ object Pipeline extends QueryPack {
     // >= 2 times, and the same for 2-grams. Thresholding (e.g. "drop if
     // top 2-gram > 20% of tokens") stays a downstream projection.
     "p02_repetition" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
       val docs = T.documents(s, d)
       val tokStats = docs
         .select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
@@ -225,8 +222,10 @@ object Pipeline extends QueryPack {
           count(lit(1)).as("n_distinct"),
           max(col("c")).as("top_token_count"),
           sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("n_rep_tokens"))
+      // bigrams travel as 8-byte hashes (the output needs counts, never
+      // the gram text — d03/p01 posture)
       val biStats = docs
-        .select(col("doc_id"), explode(shingles(col("text"), 2)).as("g"))
+        .select(col("doc_id"), explode(shingleHashes(col("text"), 2)).as("g"))
         .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id")).agg(
           sum(col("c")).as("n_bigrams"),
@@ -329,23 +328,49 @@ object Pipeline extends QueryPack {
     // decontamination → deterministic split, reported as per-split
     // doc/token totals. One oracle replays every stage, so the COMPOSITION
     // is hash-checked, not just each operator in isolation.
+    //
+    // Plan shape (rewritten round 8): every stage's verdict is
+    // PER-DOCUMENT-INDEPENDENT — the dedup keeper depends only on the
+    // full-corpus fingerprint map, the Gopher gate and the contamination
+    // flag only on the document itself — so staged filtering is exactly
+    // equivalent to computing each flag over the whole corpus ONCE and
+    // conjoining on doc_id. The naive nested form (gate the survivors,
+    // decontaminate the gated, split the clean) re-evaluated the
+    // survivors+signals subtree at every downstream reference: 26 corpus
+    // scans / 50 exchanges in the physical plan, 12.7 s at sf0.1 vs
+    // ~0.5 s for the sum of its stages. This form scans the corpus once
+    // per signal family (4 scans + the bench slice), joins compact
+    // doc_id sets, and the result set — and therefore the oracle — is
+    // bit-identical.
     "p06_prep_pipeline" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
       val docs = T.documents(s, d)
       val corpus = docs.filter(col("source") =!= BENCH_SRC)
       val bench = docs.filter(col("source") === BENCH_SRC)
-      val keepers = corpus
-        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
-        .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
-        .select(col("doc_id"))
-      val qual = gopherSignals(corpus.join(keepers, Seq("doc_id")))
-        .filter(gopherKeep)
-        .select(col("doc_id"), col("text"))
-      val contaminated = decontaminate(qual, bench, NGRAM)
-        .filter(col("contaminated") === 1).select(col("doc_id"))
-      val clean = qual.join(contaminated, Seq("doc_id"), "left_anti")
-      hashSplit(clean.select(col("doc_id"),
-          tokenCount(col("text")).cast("long").as("n_tokens")),
-          "doc_id", 80, 10)
+      // dedup survivors: one window shuffle on the fingerprint (d06 form)
+      val byFp = Window.partitionBy(fingerprint(col("text")))
+        .orderBy(col("doc_id"))
+      val keepIds = corpus.select(col("doc_id"), col("text"))
+        .withColumn("rn", row_number().over(byFp))
+        .filter(col("rn") === 1).select(col("doc_id"))
+      // quality gate: p08's signals + thresholds, full corpus
+      val gateIds = gopherSignals(corpus)
+        .filter(gopherKeep).select(col("doc_id"))
+      // contamination: gram-hash overlap vs the broadcast bench set
+      val contamIds = corpus
+        .select(col("doc_id"),
+          explode(distinctShingleHashes(col("text"), NGRAM)).as("h"))
+        .join(broadcast(bench
+          .select(explode(distinctShingleHashes(col("text"), NGRAM)).as("h"))
+          .distinct()), Seq("h"))
+        .select(col("doc_id")).distinct()
+      val clean = corpus
+        .select(col("doc_id"),
+          tokenCount(col("text")).cast("long").as("n_tokens"))
+        .join(keepIds, Seq("doc_id"))
+        .join(gateIds, Seq("doc_id"))
+        .join(contamIds, Seq("doc_id"), "left_anti")
+      hashSplit(clean, "doc_id", 80, 10)
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
         .orderBy(col("split"))

@@ -1,0 +1,65 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Pins the native TokenShingleHashes expression against the zip_with HOF
+  * formulation it replaced: bit-identical hashes on the fixture corpus
+  * (every signature, band bucket and join key in the dedup family derives
+  * from these), plus the short-document and null edges, and the
+  * GopherMasses within-row mass semantics on hand-computable inputs.
+  */
+class ShingleHashesSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("native shingle hashes are bit-identical to the HOF formulation") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    for (n <- Seq(2, 3, 6)) {
+      val diff = docs.select(
+        shingleHashes(col("text"), n).as("a"),
+        shingleHashesHof(col("text"), n).as("b"))
+        .filter(not(col("a") <=> col("b")))
+        .count()
+      assert(diff == 0L, s"n=$n: $diff documents diverged")
+    }
+  }
+
+  test("short documents yield empty arrays; counts match token arithmetic") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq("one", "one two", "one two three", " ", "a b c d")
+      .toDF("text")
+      .select(col("text"), size(shingleHashes(col("text"), 3)).as("k"),
+        size(tokens(col("text"))).as("t"))
+    df.collect().foreach { r =>
+      val expect = math.max(0, r.getInt(2) - 2)
+      assert(r.getInt(1) == expect,
+        s"'${r.getString(0)}': ${r.getInt(1)} shingles, expected $expect")
+    }
+  }
+
+  test("gopher masses match hand-computed values") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // "ab cd ab cd ef": 2-grams = [ab cd]x2, [cd ab], [cd ef] — top2 = 2*4=8
+    // 3-grams all distinct (len 6) → top3 = 6; 4-grams distinct (len 8) → 8
+    // 5-gram unique → dup5 = 0
+    val r = Seq("ab cd ab cd ef").toDF("text")
+      .select(call_function("graft_gopher_masses",
+        split(trim(col("text")), "\\s+")).as("gm"))
+      .select("gm.top2_mass", "gm.top3_mass", "gm.top4_mass", "gm.dup5_mass")
+      .head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((8L, 6L, 8L, 0L)))
+    // periodic "a b c d e" x3 (15 tokens, len-1 each): 11 5-gram windows,
+    // (a b c d e) x3 (mass 15) + 4 rotations x2 (mass 10 each) → dup5 = 55
+    val r2 = Seq("a b c d e a b c d e a b c d e").toDF("text")
+      .select(call_function("graft_gopher_masses",
+        split(trim(col("text")), "\\s+")).as("gm"))
+      .select("gm.dup5_mass").head()
+    assert(r2.getLong(0) == 55L, s"dup5 = ${r2.getLong(0)}")
+  }
+}

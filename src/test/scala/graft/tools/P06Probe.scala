@@ -1,0 +1,84 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.TextFunctions._
+
+/** Dev tool (never ships): times each stage of the p06 composition in
+  * isolation to locate the dominant cost at a given sf dir.
+  * Run: Test/runMain graft.tools.P06Probe /root/testdata/sf0.1
+  */
+object P06Probe {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = graft.Tables.documents(spark, d)
+    val corpus = docs.filter(col("source") =!= "src0")
+    val bench = docs.filter(col("source") === "src0")
+
+    def time(name: String)(df: => DataFrame): Unit = {
+      df.count() // warm
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); val n = df.count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      println(f"P06PROBE $name%-12s median=${ts.map(_._1).sorted.apply(1)}%.3f rows=${ts.head._2}")
+    }
+
+    val byFp = Window.partitionBy(fingerprint(col("text")))
+      .orderBy(col("doc_id"))
+    def keepIds = corpus.select(col("doc_id"), col("text"))
+      .withColumn("rn", row_number().over(byFp))
+      .filter(col("rn") === 1).select(col("doc_id"))
+    def gateIds = graft.operators.Pipeline.gopherSignals(corpus)
+      .filter(graft.operators.Pipeline.gopherKeep).select(col("doc_id"))
+    def contamIds = corpus
+      .select(col("doc_id"),
+        explode(distinctShingleHashes(col("text"), 6)).as("h"))
+      .join(broadcast(bench
+        .select(explode(distinctShingleHashes(col("text"), 6)).as("h"))
+        .distinct()), Seq("h"))
+      .select(col("doc_id")).distinct()
+    def toks = corpus.select(col("doc_id"),
+      tokenCount(col("text")).cast("long").as("n_tokens"))
+
+    // base vs gram halves of gopherSignals (filters force evaluation)
+    def base = corpus.select(col("doc_id"),
+      tokenCount(col("text")).cast("long").as("n_tokens"),
+      length(regexp_replace(col("text"), "[ \\t\\n\\x0B\\f\\r]", ""))
+        .cast("long").as("n_word_chars"),
+      size(filter(tokens(col("text")), t => t.rlike("[A-Za-z]")))
+        .cast("long").as("n_alpha"))
+      .filter(col("n_tokens") + col("n_word_chars") + col("n_alpha") > 0)
+    def gramsOnly = corpus.select(col("doc_id"),
+      explode(flatten(array((2 to 5).map(n =>
+        graft.functions.TextFunctions.shingleHashLens(col("text"), n)): _*)))
+        .as("e"))
+      .groupBy(col("doc_id"), col("e.h"), col("e.len"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("m"))
+    def explodeOnly = corpus.select(col("doc_id"),
+      explode(flatten(array((2 to 5).map(n =>
+        graft.functions.TextFunctions.shingleHashLens(col("text"), n)): _*)))
+        .as("e"))
+    time("base")(base)
+    time("explodeOnly")(explodeOnly)
+    time("gramsOnly")(gramsOnly)
+    time("keepIds")(keepIds)
+    time("gateIds")(gateIds)
+    time("contamIds")(contamIds)
+    time("toks")(toks)
+    time("join2")(toks.join(keepIds, Seq("doc_id")))
+    time("join3")(toks.join(keepIds, Seq("doc_id"))
+      .join(gateIds, Seq("doc_id")))
+    time("join4")(toks.join(keepIds, Seq("doc_id"))
+      .join(gateIds, Seq("doc_id"))
+      .join(contamIds, Seq("doc_id"), "left_anti"))
+    time("full")(graft.SparkEntry.queries("p06_prep_pipeline")(spark, d))
+    spark.stop()
+  }
+}
