@@ -239,14 +239,67 @@ object Similarity extends QueryPack {
   private def normalized(v: Column, nrm: Column): Column =
     when(nrm === 0.0, v).otherwise(transform(v, x => x / nrm))
 
-  /** Train the M per-subspace codebooks over the normalized corpus. */
+  /** Train ALL M per-subspace codebooks over the normalized corpus in ONE
+    * corpus pass per Lloyd iteration (plus one seed collect): the M
+    * assignment projections run side by side in the same map stage, the
+    * `posexplode` keys each element by (subspace, cell, within-pos,
+    * partition), and the two-phase partial-sum aggregation returns
+    * O(M·ks·dsub·P) rows to the driver. Per-subspace sequential training
+    * ([[pqCodebook]]) runs M·(iters+1) corpus passes for the same math —
+    * this is bit-identical to it (same hash-picked seed rows, same
+    * assignment expressions, same partition-local accumulation order,
+    * same sorted-pid combine; PqSpec pins the equivalence).
+    */
   private[graft] def pqCodebooks(base: DataFrame): Array[Array[Array[Double]]] = {
+    val sub = DIM / PQ_M
     val nb = base.select(col("vec_id"),
       normalized(col("v"), col("nrm")).as("vn"))
-    Array.tabulate(PQ_M) { m =>
-      pqCodebook(nb, slice(col("vn"), m * (DIM / PQ_M) + 1, DIM / PQ_M),
-        PQ_KS, KM_ITERS)
+    val seedRows = nb
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(PQ_KS).collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(seedRows.length == PQ_KS,
+      s"PQ: corpus smaller than ks=$PQ_KS")
+    var books: Array[Array[Array[Double]]] = Array.tabulate(PQ_M)(m =>
+      seedRows.map(v => v.slice(m * sub, m * sub + sub)))
+    for (_ <- 1 to KM_ITERS) {
+      val cellCols = (0 until PQ_M).map(m =>
+        pqCodeExpr(books(m), slice(col("vn"), m * sub + 1, sub)))
+      val partials = nb
+        .withColumn("cells", array(cellCols: _*))
+        .withColumn("pid", spark_partition_id())
+        .select(col("cells"), col("pid"),
+          posexplode(col("vn")).as(Seq("pos", "x")))
+        .withColumn("m", (col("pos") / sub).cast("int"))
+        .withColumn("cell", element_at(col("cells"), col("m") + 1))
+        .withColumn("p", pmod(col("pos"), lit(sub)))
+        .groupBy(col("m"), col("cell"), col("p"), col("pid"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("c"))
+        .collect()
+      val byKey = partials.groupBy(r => (r.getInt(0), r.getInt(1)))
+      books = Array.tabulate(PQ_M) { m =>
+        books(m).zipWithIndex.map { case (old, c) =>
+          byKey.get((m, c)) match {
+            case Some(rows) =>
+              val mean = new Array[Double](sub)
+              val cnt = new Array[Long](sub)
+              // combine per-partition sums in sorted pid order: stable
+              rows.sortBy(r => (r.getInt(2), r.getInt(3))).foreach { r =>
+                mean(r.getInt(2)) += r.getDouble(4)
+                cnt(r.getInt(2)) += r.getLong(5)
+              }
+              var i = 0
+              while (i < mean.length) {
+                if (cnt(i) > 0) mean(i) /= cnt(i)
+                i += 1
+              }
+              mean
+            case None => old // empty cell: keep previous centroid
+          }
+        }
+      }
     }
+    books
   }
 
   private val DIM = 64 // fixture embedding dimensionality

@@ -85,6 +85,19 @@ class PqSpec extends SparkSpec {
       byTrueB.values.flatten.toSet.size == 3, s"subspace B: $byTrueB")
   }
 
+  test("batched multi-subspace training equals per-subspace training") {
+    val base = normedFixture
+    val nb = base.select(col("vec_id"),
+      transform(col("v"), x => x / col("nrm")).as("vn"))
+    val batched = Similarity.pqCodebooks(base) // 4 subspaces, ks=16, 4 iters
+    for (m <- 0 until 4) {
+      val seq = Similarity.pqCodebook(nb, slice(col("vn"), m * 16 + 1, 16),
+        16, 4)
+      assert(batched(m).zip(seq).forall { case (a, b) => a.sameElements(b) },
+        s"subspace $m diverged between batched and sequential training")
+    }
+  }
+
   test("s08 verdict holds: recall, code range, rerank volume") {
     val verdict = Similarity.queries("s08_pq_adc_topk")(spark, d)
       .collect().head
