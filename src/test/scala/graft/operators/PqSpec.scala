@@ -105,4 +105,11 @@ class PqSpec extends SparkSpec {
     assert(verdict.getBoolean(verdict.fieldIndex("rerank_bounded")))
     assert(verdict.getBoolean(verdict.fieldIndex("recall_ok")))
   }
+
+  test("s09 random-projection verdict holds: recall, rerank volume") {
+    val verdict = Similarity.queries("s09_random_projection_topk")(spark, d)
+      .collect().head
+    assert(verdict.getBoolean(verdict.fieldIndex("rerank_bounded")))
+    assert(verdict.getBoolean(verdict.fieldIndex("recall_ok")))
+  }
 }
