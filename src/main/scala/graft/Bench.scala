@@ -91,20 +91,28 @@ object Bench {
     // ms-rounded so the stdout line stays short enough for the driver's
     // captured tail (round-6/7 lines overflowed it → "parsed": null)
     def ms(x: Double): String = if (x < 0) "-1" else f"$x%.3f"
-    val qs = results.map { case (k, (med, _)) => s"\"" + k + "\":" + ms(med) }
-      .mkString("{", ",", "}")
+    // stdout keys are the unambiguous letter+number prefixes ("q01",
+    // "d03", …): the driver's tail holds 2000 chars and 84 full names at
+    // ~28 chars/entry no longer fit (the round-6/7 overflow, back at a
+    // bigger query count). Full names stay in the file line below.
+    def short(k: String): String = k.takeWhile(_ != '_')
+    val qs = results.map { case (k, (med, _)) =>
+      s"\"" + short(k) + "\":" + ms(med) }.mkString("{", ",", "}")
+    val qsFull = results.map { case (k, (med, _)) =>
+      s"\"" + k + "\":" + ms(med) }.mkString("{", ",", "}")
     val qmins = results.map { case (k, (_, mn)) => s"\"" + k + "\":" + ms(mn) }
       .mkString("{", ",", "}")
     val total = results.values.map(_._1).filter(_ >= 0).sum
     val sentinelEnd = timeSentinel()
-    val core = s""""metric":"total","value":${ms(total)},"unit":"sec","iters":$iters,"sentinel":"$sentinelName","sentinel_start":${ms(sentinelStart)},"sentinel_end":${ms(sentinelEnd)},"queries":$qs"""
-    // stdout: compact line (no queries_min) the driver's tail can hold
-    println(s"""{$core,"sf":"$sfDir"}""")
-    // file: full line incl. minima, for cross-round adjudication
+    def core(queries: String) = s""""metric":"total","value":${ms(total)},"unit":"sec","iters":$iters,"sentinel":"$sentinelName","sentinel_start":${ms(sentinelStart)},"sentinel_end":${ms(sentinelEnd)},"queries":$queries"""
+    // stdout: compact line (short keys, no queries_min) the tail can hold
+    println(s"""{${core(qs)},"sf":"$sfDir"}""")
+    // file: full line incl. full names + minima, for cross-round work
     try {
       val p = java.nio.file.Paths.get("/tmp/graft_bench.json")
       java.nio.file.Files.write(p,
-        s"""{$core,"queries_min":$qmins,"sf":"$sfDir"}\n""".getBytes("UTF-8"))
+        s"""{${core(qsFull)},"queries_min":$qmins,"sf":"$sfDir"}\n"""
+          .getBytes("UTF-8"))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] bench file write failed: ${e.getMessage}") }
     spark.stop()
