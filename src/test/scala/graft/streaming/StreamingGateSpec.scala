@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The Gopher quality gate composes into Structured Streaming unchanged:
+  * gopherSignals is one stateless map-only projection since round 8
+  * (GopherMasses expression — no aggregation, no watermark needed), so a
+  * micro-batch corpus stream can be gated document-by-document with the
+  * EXACT batch semantics. The spec pins stream-vs-batch equality of both
+  * the signals and the keep verdict on a corpus slice.
+  */
+case class GateDoc(doc_id: Long, text: String)
+
+class StreamingGateSpec extends SparkSpec {
+
+  test("streaming Gopher gate equals the batch gate row-for-row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).as[GateDoc].collect().toSeq
+
+    val batch = graft.operators.Pipeline
+      .gopherSignals(docs.toDF())
+      .withColumn("keep", graft.operators.Pipeline.gopherKeep.cast("int"))
+      .drop("text")
+
+    val src = MemoryStream[GateDoc]
+    src.addData(docs: _*)
+    val q = graft.operators.Pipeline.gopherSignals(src.toDF())
+      .withColumn("keep", graft.operators.Pipeline.gopherKeep.cast("int"))
+      .drop("text")
+      .writeStream.format("memory").queryName("gate_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("gate_out")
+
+    assert(streamed.count() == docs.length.toLong)
+    val diff = batch.exceptAll(streamed).count() +
+      streamed.exceptAll(batch).count()
+    assert(diff == 0L, s"stream/batch gate diverged on $diff rows")
+    // the gate actually separates: both classes present on this fixture
+    val kept = streamed.filter(col("keep") === 1).count()
+    assert(kept > 0 && kept < docs.length,
+      s"gate degenerate: kept $kept of ${docs.length}")
+  }
+}
