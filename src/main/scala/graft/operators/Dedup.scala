@@ -34,6 +34,7 @@ object Dedup extends QueryPack {
 
   private val NGRAM = 3
   private val ChunkW = 8 // d09 chunk-dedup window (tokens per chunk)
+  private val RunW = 6 // d10 substring-run length (tokens; Lee et al. use 50 at web scale — 6 matches the fixture's shared-run scale, cf. t06)
   private val MINHASH_K = 64 // 32 bands × 2 rows
   private val BANDS = 32
 
@@ -351,6 +352,45 @@ object Dedup extends QueryPack {
           count(when(col("in_e").isNotNull && col("in_s").isNull, lit(1)))
             .as("n_exact_missed"))
     }),
+    // Exact substring-run coverage — the per-document statistic behind
+    // ExactSubstr dedup (Lee et al., "Deduplicating Training Data Makes
+    // Language Models Better", ACL 2022): how many of a document's tokens
+    // are covered by a token run of length ≥ RUN_W that occurs at least
+    // twice in the corpus (any position, any document — including this
+    // one). Windows travel as 8-byte shingle hashes (stride-1, native
+    // TokenShingleHashes); repeated hashes are found by ONE count
+    // aggregation on the hash; coverage is the union of the surviving
+    // [pos, pos+W) intervals per doc, computed with a single lead()
+    // window — interval union over SORTED starts needs only the next
+    // start (min(W, next-pos) covered per window). Downstream, spans with
+    // high coverage are cut (Lee et al.) or docs above a coverage ratio
+    // dropped; both are projections over this output.
+    "d10_substr_coverage" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = T.documents(s, d)
+      val hs = docs.select(col("doc_id"),
+        posexplode(shingleHashes(col("text"), RunW)).as(Seq("pos", "h")))
+      // hashes occurring ≥ 2 times corpus-wide: hash-partitioned count,
+      // NOT a broadcast (at 100 TB the repeated-gram set is corpus-scale)
+      val dup = hs.groupBy(col("h")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select(col("h"))
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val cov = hs.join(dup, Seq("h"))
+        .withColumn("nxt", lead(col("pos"), 1).over(byDoc))
+        .withColumn("covered",
+          when(col("nxt").isNull, lit(RunW.toLong))
+            .otherwise(least(lit(RunW.toLong), (col("nxt") - col("pos"))
+              .cast("long"))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_dup_windows"),
+          sum(col("covered")).as("n_dup_tokens"))
+      docs.select(col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+        .join(cov, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_dup_windows", "n_dup_tokens"))
+        .orderBy(col("doc_id"))
+    }),
     // Chunk-level exact dedup — the CCNet/RefinedWeb "paragraph dedup"
     // stage (Wenzek et al., CCNet, LREC 2020) adapted to the fixture's
     // unstructured text: the dedup unit is a non-overlapping window of
@@ -458,6 +498,37 @@ object Dedup extends QueryPack {
              (SELECT count(*) FROM jp) AS n_jaccard_pairs,
              CAST(0 AS BIGINT) AS n_outside_jaccard,
              CAST(0 AS BIGINT) AS n_exact_missed"""),
+    "d10_substr_coverage" -> {
+      val gram = (0 until RunW).map(k => s"w[i+$k]").mkString("||' '||")
+      s"""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents),
+      pos AS (
+        SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM toks),
+      g AS (
+        SELECT doc_id, i, $gram AS s
+        FROM pos WHERE i <= len(w) - ${RunW - 1}),
+      dup AS (SELECT s FROM g GROUP BY s HAVING count(*) >= 2),
+      dp AS (SELECT doc_id, i FROM g JOIN dup USING (s)),
+      cv AS (
+        SELECT doc_id, i,
+               lead(i) OVER (PARTITION BY doc_id ORDER BY i) AS nx
+        FROM dp),
+      agg AS (
+        SELECT doc_id, count(*) AS n_dup_windows,
+               CAST(sum(CASE WHEN nx IS NULL THEN $RunW
+                             ELSE least($RunW, nx - i) END) AS BIGINT)
+                 AS n_dup_tokens
+        FROM cv GROUP BY doc_id)
+      SELECT t.doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens,
+             coalesce(n_dup_windows, 0) AS n_dup_windows,
+             coalesce(n_dup_tokens, 0) AS n_dup_tokens
+      FROM documents t LEFT JOIN agg USING (doc_id)
+      ORDER BY doc_id"""
+    },
     "d09_chunk_dedup" -> s"""
       WITH toks AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
