@@ -11,8 +11,11 @@ object Explain {
     val headline = Seq("q01_pricing_summary", "q02_filter_project",
       "q03_revenue_by_segment", "q05_nation_revenue", "q31_asof_join",
       "q33_interval_join", "d03_ngram_jaccard_pairs", "d04_minhash_lsh_pairs",
-      "d05_simhash_pairs", "s01_cosine_topk", "s02_ann_ivf_topk",
-      "s04_ann_lsh_topk", "f06_partition_pruned", "t06_winnowing_fingerprints")
+      "d05_simhash_pairs", "d09_chunk_dedup", "d10_substr_coverage",
+      "s01_cosine_topk", "s02_ann_ivf_topk", "s04_ann_lsh_topk",
+      "s08_pq_adc_topk", "s09_random_projection_topk", "t08_tfidf",
+      "p06_prep_pipeline", "p08_gopher_gate",
+      "f06_partition_pruned", "t06_winnowing_fingerprints")
     val named = args.filter(SparkEntry.queries.contains).toSeq
     val unknown = args.filterNot(a => a == "--all" || SparkEntry.queries.contains(a))
     if (unknown.nonEmpty)
