@@ -432,9 +432,14 @@ object Dedup extends QueryPack {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_dup_windows"),
           sum(col("covered")).as("n_dup_tokens"))
+      // full_outer, not left: cov's doc_ids are a subset of docs' by
+      // construction, so the result is identical — but a left join with a
+      // unique right side is ELIMINATED under a count() action (the bench
+      // driver's), which would silently skip the whole coverage subtree
+      // and report the scan floor as this operator's cost
       docs.select(col("doc_id"),
         tokenCount(col("text")).cast("long").as("n_tokens"))
-        .join(cov, Seq("doc_id"), "left")
+        .join(cov, Seq("doc_id"), "full_outer")
         .na.fill(0L, Seq("n_dup_windows", "n_dup_tokens"))
         .orderBy(col("doc_id"))
     }),
