@@ -12,6 +12,20 @@ import org.apache.spark.sql.SparkSession
   * per-query number is the MEDIAN and `queries_min` carries the minimum, so
   * sub-second JIT/GC jitter (which dominated two rounds of single-iteration
   * comparisons) can't masquerade as a regression.
+  *
+  * The timed action materializes the query's ACTUAL output rows
+  * (`queryExecution.toRdd.count()`), not `df.count()`: Catalyst rewrites a
+  * count() into Aggregate(count(1)) and then legally prunes every unused
+  * projection, eliminates left joins against unique aggregates, and
+  * answers parquet-only counts from footer metadata — so under count()
+  * a projection query benches at the scan floor and an operator whose
+  * totals hang off a left join benches WITHOUT its core work (found in
+  * round 8: the Gopher gate inside p08 and d10's whole coverage subtree
+  * measured as floors). toRdd materializes every output column of the
+  * optimized plan, so the number is the cost a real consumer pays.
+  * (Round-8 measurement-semantics change: per-query comparisons against
+  * round ≤ 7 values are only valid for queries that were not
+  * count-prunable — aggregates, joins-into-aggregates, sinks.)
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -37,8 +51,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.contains(name)) }
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      fn(spark, sfDir).queryExecution.toRdd.count(); ()
+    }
     if (warmup) queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => }
+      try run(fn) catch { case _: Throwable => }
     }
     // Load sentinel: one fixed query timed right after warmup and again
     // after the full run. Cross-round per-query deltas are only meaningful
@@ -51,7 +68,7 @@ object Bench {
       try {
         val ts = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
+          run(fn)
           (System.nanoTime() - t0) / 1e9
         }
         ts.sorted.apply(1) // median of 3
@@ -74,7 +91,7 @@ object Bench {
         else {
           val t0 = System.nanoTime()
           try {
-            fn(spark, sfDir).count()
+            run(fn)
             Some((System.nanoTime() - t0) / 1e9)
           } catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
