@@ -1,0 +1,32 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+object P08Probe {
+  def main(args: Array[String]): Unit = {
+    val d = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.Tables.documents(spark, d)
+    def time(name: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+      mk.queryExecution.toRdd.count()
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); mk.queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9 }
+      println(f"P08PROBE $name%-10s ${ts.sorted.apply(1)}%.3f")
+    }
+    // struct kept: ONE reference to the expression
+    time("structOnly")(docs.select(col("doc_id"),
+      call_function("graft_gopher_masses", tokens(col("text"))).as("gm")))
+    // expanded: four field references (post-collapse inlining risk)
+    time("expanded")(docs.select(col("doc_id"),
+      call_function("graft_gopher_masses", tokens(col("text"))).as("gm"))
+      .select(col("doc_id"), col("gm.top2_mass"), col("gm.top3_mass"),
+        col("gm.top4_mass"), col("gm.dup5_mass")))
+    time("p08_full")(graft.SparkEntry.queries("p08_gopher_gate")(spark, d))
+    spark.stop()
+  }
+}

@@ -1,0 +1,29 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+object Q24Probe {
+  def main(args: Array[String]): Unit = {
+    val d = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val li = graft.Tables.lineitem(spark, d)
+    def time(name: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+      mk.queryExecution.toRdd.count()
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); mk.queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9 }
+      println(f"Q24PROBE $name%-14s ${ts.sorted.apply(1)}%.3f")
+    }
+    time("exact_only")(li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n")))
+    time("hll_001")(li.groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("n")))
+    time("hll_002")(li.groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("n")))
+    time("hll_005")(li.groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.05).as("n")))
+    spark.stop()
+  }
+}
