@@ -112,4 +112,11 @@ class PqSpec extends SparkSpec {
     assert(verdict.getBoolean(verdict.fieldIndex("rerank_bounded")))
     assert(verdict.getBoolean(verdict.fieldIndex("recall_ok")))
   }
+
+  test("s10 IVF-PQ verdict holds: recall, rerank volume") {
+    val verdict = Similarity.queries("s10_ivfpq_topk")(spark, d)
+      .collect().head
+    assert(verdict.getBoolean(verdict.fieldIndex("rerank_bounded")))
+    assert(verdict.getBoolean(verdict.fieldIndex("recall_ok")))
+  }
 }

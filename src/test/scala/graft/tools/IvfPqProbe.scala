@@ -1,0 +1,25 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+/** Dev tool (never ships): raw s10 IVF-PQ recall vs the exact s01 top-k
+  * at a given sf dir. Run: Test/runMain graft.tools.IvfPqProbe <dir>
+  */
+object IvfPqProbe {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val ex = graft.SparkEntry.queries("s01_cosine_topk")(spark, d)
+      .select(col("query_id"), col("neighbor_id"))
+    val ap = graft.operators.Similarity.ivfPqTopK(spark, d)
+      .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
+    val row = ex.join(ap, Seq("query_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n"), sum(coalesce(col("hit"), lit(0))).as("h"))
+      .head()
+    println(s"IVFPQPROBE dir=$d topk=${row.getLong(0)} hits=${row.getLong(1)} " +
+      f"recall=${row.getLong(1).toDouble / row.getLong(0)}%.3f")
+    spark.stop()
+  }
+}
