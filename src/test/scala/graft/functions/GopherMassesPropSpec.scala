@@ -1,0 +1,78 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.prop.TableDrivenPropertyChecks
+
+/** Property-pins the GopherMasses expression against an independent plain-
+  * Scala reference (string-keyed maps — no hashing, no prefix sums) over
+  * deterministic pseudo-random token arrays, plus the structural edges:
+  * empty array, single token, all-identical tokens, empty-string tokens,
+  * multi-byte tokens, and arrays shorter than each gram length.
+  */
+class GopherMassesPropSpec extends SparkSpec
+    with TableDrivenPropertyChecks {
+
+  /** Reference: literal gram strings as map keys. */
+  private def reference(toks: Seq[String]): (Long, Long, Long, Long) = {
+    def masses(n: Int): Map[Seq[String], (Long, Long)] =
+      toks.sliding(n).filter(_.length == n).toSeq
+        .groupBy(identity)
+        .map { case (g, occ) =>
+          g -> (occ.length.toLong, g.map(_.length.toLong).sum)
+        }
+    def top(n: Int): Long =
+      masses(n).values.map { case (c, l) => c * l }.maxOption.getOrElse(0L)
+    val dup5 = masses(5).values.collect {
+      case (c, l) if c >= 2 => c * l
+    }.sum
+    (top(2), top(3), top(4), dup5)
+  }
+
+  private def viaExpression(cases: Seq[Seq[String]]): Seq[(Long, Long, Long, Long)] = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    cases.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+      .toDF("id", "toks")
+      .select(col("id"),
+        call_function("graft_gopher_masses", col("toks")).as("gm"))
+      .orderBy(col("id"))
+      .select(col("gm.top2_mass"), col("gm.top3_mass"), col("gm.top4_mass"),
+        col("gm.dup5_mass"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+  }
+
+  test("random token arrays match the string-keyed reference") {
+    // deterministic LCG so the fixture never shifts between runs
+    var seed = 0x2545F4914F6CDD1DL
+    def next(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound) + bound).toInt % bound
+    }
+    val vocab = Seq("a", "bb", "ccc", "dddd", "é", "naïve", "", "x y")
+    val cases = (1 to 60).map { _ =>
+      val len = next(40)
+      (0 until len).map(_ => vocab(next(vocab.length)))
+    }
+    val got = viaExpression(cases)
+    cases.zip(got).zipWithIndex.foreach { case ((c, g), i) =>
+      assert(g == reference(c), s"case $i diverged: tokens=$c")
+    }
+  }
+
+  test("structural edges match the reference") {
+    val edges: Seq[Seq[String]] = Seq(
+      Seq.empty,
+      Seq("solo"),
+      Seq("t", "t", "t", "t", "t", "t", "t", "t"),
+      Seq("", "", "", "", "", ""),
+      Seq("日本語", "テスト", "日本語", "テスト", "日本語", "テスト"),
+      Seq("a", "b"), Seq("a", "b", "c"), Seq("a", "b", "c", "d"))
+    val got = viaExpression(edges)
+    edges.zip(got).foreach { case (c, g) =>
+      assert(g == reference(c), s"edge diverged: tokens=$c")
+    }
+  }
+}
