@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Let the forked `run` JVM inherit stdout directly: with the default
+// LoggedOutput strategy sbt prefixes every line with "[info] ", which
+// breaks line-oriented JSON consumers of Bench's output (the driver's
+// bench parser failed on the prefix in every round to date).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

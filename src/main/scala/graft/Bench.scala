@@ -113,6 +113,12 @@ object Bench {
     // ~28 chars/entry no longer fit (the round-6/7 overflow, back at a
     // bigger query count). Full names stay in the file line below.
     def short(k: String): String = k.takeWhile(_ != '_')
+    // two queries sharing a letter+number prefix would silently collapse
+    // into one duplicate JSON key in the compact line — fail loudly instead
+    require(results.keys.map(short).toSet.size == results.size,
+      "bench short-key collision: " + results.keys.groupBy(short)
+        .collect { case (p, ks) if ks.size > 1 => ks.mkString("/") }
+        .mkString(", "))
     val qs = results.map { case (k, (med, _)) =>
       s"\"" + short(k) + "\":" + ms(med) }.mkString("{", ",", "}")
     val qsFull = results.map { case (k, (med, _)) =>

@@ -37,12 +37,18 @@ object Dedup extends QueryPack {
   private val RunW = 6 // d10 substring-run length (tokens; Lee et al. use 50 at web scale — 6 matches the fixture's shared-run scale, cf. t06)
   private val IncrSplit = 10 // d11: sources below = at-rest corpus, rest = new batch
 
-  /** md5 per non-overlapping ChunkW-token chunk (the d09/d11 dedup unit). */
+  /** md5 per non-overlapping ChunkW-token chunk (the d09/d11 dedup unit).
+    * The nch > 0 guard matters: sequence(0, -1) generates the DESCENDING
+    * sequence [0, -1] in Spark, which would emit two spurious md5("")
+    * chunks for an empty token array rather than none.
+    */
   private def chunkHashes: org.apache.spark.sql.Column = {
     val t = tokens(col("text"))
     val nch = ceil(size(t) / lit(ChunkW.toDouble)).cast("int")
-    transform(sequence(lit(0), nch - 1),
-      i => md5(concat_ws(" ", slice(t, i * ChunkW + 1, lit(ChunkW)))))
+    when(nch > 0,
+      transform(sequence(lit(0), nch - 1),
+        i => md5(concat_ws(" ", slice(t, i * ChunkW + 1, lit(ChunkW))))))
+      .otherwise(array().cast("array<string>"))
   }
   private val MINHASH_K = 64 // 32 bands × 2 rows
   private val BANDS = 32
@@ -412,6 +418,12 @@ object Dedup extends QueryPack {
     // start (min(W, next-pos) covered per window). Downstream, spans with
     // high coverage are cut (Lee et al.) or docs above a coverage ratio
     // dropped; both are projections over this output.
+    // Collision posture: windows are compared by 64-bit xxhash64, so at
+    // ~10^12 corpus-wide windows (100 TB) birthday collisions mark a few
+    // unique windows as repeated — a one-sided, tiny coverage
+    // OVERestimate (conservative for a drop/cut gate). Unlike the
+    // within-document sketches this is a corpus-wide key space; widen to
+    // a 128-bit key (two independent seeds) if exactness matters at scale.
     "d10_substr_coverage" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       val docs = T.documents(s, d)

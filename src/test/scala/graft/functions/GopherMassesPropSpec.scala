@@ -15,11 +15,17 @@ class GopherMassesPropSpec extends SparkSpec
 
   /** Reference: literal gram strings as map keys. */
   private def reference(toks: Seq[String]): (Long, Long, Long, Long) = {
+    // gram length in CODE POINTS (codePointCount), not UTF-16 code units
+    // (String.length): the expression uses UTF8String.numChars, which
+    // counts code points, so a supplementary-plane token (e.g. an emoji)
+    // must measure 1 here too for the reference to be equivalent by
+    // construction.
+    def cpLen(s: String): Long = s.codePointCount(0, s.length).toLong
     def masses(n: Int): Map[Seq[String], (Long, Long)] =
       toks.sliding(n).filter(_.length == n).toSeq
         .groupBy(identity)
         .map { case (g, occ) =>
-          g -> (occ.length.toLong, g.map(_.length.toLong).sum)
+          g -> (occ.length.toLong, g.map(cpLen).sum)
         }
     def top(n: Int): Long =
       masses(n).values.map { case (c, l) => c * l }.maxOption.getOrElse(0L)
@@ -51,7 +57,10 @@ class GopherMassesPropSpec extends SparkSpec
       seed = seed * 6364136223846793005L + 1442695040888963407L
       (((seed >>> 33) % bound) + bound).toInt % bound
     }
-    val vocab = Seq("a", "bb", "ccc", "dddd", "é", "naïve", "", "x y")
+    // "🦀" is a supplementary-plane token (String.length == 2,
+    // codePointCount == 1): it keeps the UTF-16-vs-code-point distinction
+    // exercised, not just documented
+    val vocab = Seq("a", "bb", "ccc", "dddd", "é", "naïve", "", "x y", "🦀")
     val cases = (1 to 60).map { _ =>
       val len = next(40)
       (0 until len).map(_ => vocab(next(vocab.length)))
