@@ -404,8 +404,76 @@ object Pipeline extends QueryPack {
         .select(col("doc_id"), col("lang"),
           explode(sequence(lit(1L), col("w"))).as("copy"))
         .orderBy(col("doc_id"), col("copy"))
+    }),
+    // DSIR data selection (Xie et al., "Data Selection for Language Models
+    // via Importance Resampling", NeurIPS 2023): score every raw document
+    // by how target-like its hashed-unigram distribution is, then sample
+    // by importance weight with Gumbel-top-k (Kool et al., ICML 2019) so
+    // the draw is a true weighted sample yet fully deterministic — the
+    // Gumbel noise derives from md5(doc_id), the same engine-independent
+    // lane as p04/p09, never from rand().
+    //   - features: unigrams hashed into B=4096 buckets (md5-h4 lane so
+    //     the oracle replays the hash exactly);
+    //   - target distribution: the lang='en' slice; raw: whole corpus;
+    //   - per-bucket log-likelihood ratio with add-one smoothing,
+    //     quantized to integer MICRO-nats (floor) so the per-doc sum is
+    //     order-independent integer arithmetic;
+    //   - per-doc weight = sum of its token instances' bucket ratios
+    //     (the doc's log importance weight under the bag-of-buckets LM).
+    // Scale: both bucket tables are B-bounded (KBs) and broadcast; the
+    // corpus shuffles ONCE, on unique doc_id, for the per-doc sum; the
+    // final top-N is TakeOrderedAndProject (per-partition heads + driver
+    // merge of N rows), never a single-partition window over the corpus.
+    "p11_dsir_sample" -> ((s, d) => {
+      val occ = T.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(tokens(col("text"))).as("word"))
+        .withColumn("b",
+          pmod(conv(substring(md5(col("word")), 1, 4), 16, 10).cast("long"),
+            lit(DsirB.toLong)))
+      val raw = occ.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+      val tgt = occ.filter(col("lang") === "en")
+        .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+      val tot = occ.agg(count(lit(1)).as("nr"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"))
+      val lr = raw.join(tgt, Seq("b"), "left")
+        .na.fill(0L, Seq("ct"))
+        .crossJoin(broadcast(tot))
+        .withColumn("lr_micro",
+          floor(lit(1e6) * log(
+            ((col("ct") + lit(1.0)) * (col("nr") + lit(DsirB))) /
+              ((col("cr") + lit(1.0)) * (col("nt") + lit(DsirB)))))
+            .cast("long"))
+        .select(col("b"), col("lr_micro"))
+      val weights = occ.join(broadcast(lr), Seq("b"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("lr_micro")).as("w_micro"))
+      val keyed = weights
+        .withColumn("u", (h4("doc_id") + lit(0.5)) / lit(65536.0))
+        .withColumn("key_micro",
+          col("w_micro") +
+            floor(lit(1e6) * -log(-log(col("u")))).cast("long"))
+        .select(col("doc_id"), col("lang"), col("w_micro"), col("key_micro"))
+      val top = keyed.orderBy(col("key_micro").desc, col("doc_id"))
+        .limit(DsirN)
+      // rank assignment runs over the already-reduced N rows only
+      top.withColumn("rank", row_number().over(
+          Window.orderBy(col("key_micro").desc, col("doc_id"))))
+        .select(col("rank"), col("doc_id"), col("lang"),
+          col("w_micro"), col("key_micro"))
+        .orderBy(col("rank"))
     })
   )
+
+  /** DSIR hashed-feature bucket count (p11). 2^12 keeps the bucket tables
+    * broadcast-size at any corpus scale while leaving unigram collisions
+    * rare at fixture vocabulary sizes.
+    */
+  private val DsirB: Int = 4096
+
+  /** DSIR sample size (p11). */
+  private val DsirN: Int = 100
 
   /** Per-language keep rates (percent) for p09 — downsample English, keep
     * everything else; unlisted languages default to 100.
@@ -640,6 +708,40 @@ object Pipeline extends QueryPack {
             FROM documents)
       WHERE w >= 1 ORDER BY doc_id, copy"""
     },
+    "p11_dsir_sample" -> s"""
+      WITH occ AS (
+        SELECT doc_id, lang,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+        FROM documents),
+      bk AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5(word), 1, 4)) AS BIGINT) % $DsirB
+                 AS b
+        FROM occ),
+      raw AS (SELECT b, count(*) AS cr FROM bk GROUP BY b),
+      tgt AS (SELECT b, count(*) AS ct FROM bk WHERE lang = 'en' GROUP BY b),
+      tot AS (SELECT count(*) AS nr,
+                     count(*) FILTER (lang = 'en') AS nt FROM bk),
+      lr AS (
+        SELECT raw.b,
+               CAST(floor(1000000 * ln(
+                 ((COALESCE(ct, 0) + 1.0) * (nr + $DsirB)) /
+                 ((cr + 1.0) * (nt + $DsirB)))) AS BIGINT) AS lr_micro
+        FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot),
+      w AS (
+        SELECT doc_id, lang, CAST(sum(lr_micro) AS BIGINT) AS w_micro
+        FROM bk JOIN lr USING (b) GROUP BY doc_id, lang),
+      k AS (
+        SELECT doc_id, lang, w_micro,
+               w_micro + CAST(floor(1000000 *
+                 -ln(-ln(($duckH4 + 0.5) / 65536.0))) AS BIGINT)
+                 AS key_micro
+        FROM w)
+      SELECT * FROM (
+        SELECT row_number() OVER (ORDER BY key_micro DESC, doc_id) AS rank,
+               doc_id, lang, w_micro, key_micro
+        FROM k)
+      WHERE rank <= $DsirN ORDER BY rank""",
     // p07 verdict row: n_docs/n_shards recomputed (8 shards are all
     // occupied at any verify scale — 500+ docs over uniform md5 lanes);
     // the packing invariants (scaladoc on the query) are pinned zeros.

@@ -229,6 +229,49 @@ object TextAnalysis extends QueryPack {
           expr("1000 * sum_rank div n_words"))
         .orderBy(col("doc_id"))
     }),
+    // Bigram-LM cross-entropy quality score — the context-SENSITIVE tier
+    // above t09's unigram Zipf rank (CCNet, Wenzek et al. LREC 2020,
+    // filters on KenLM perplexity; this is the self-trained bigram
+    // equivalent with add-one smoothing, Chen & Goodman 1999). Per-bigram
+    // NLL = -ln((c(w1,w2)+1)/(c(w1·)+V)) is quantized to integer
+    // MILLI-NATS per bigram (floor), so the per-doc aggregation is pure
+    // integer arithmetic — summation order can't shift the result between
+    // engines; only the scalar ln of a rational crosses the FP boundary
+    // (never exactly on a floor edge: 1000·ln(rational) is irrational
+    // except at ratio 1, where both engines floor 0 exactly).
+    // Scale: the bigram-count table is Heaps-bounded (sublinear in corpus
+    // size) but NOT vocabulary-bounded, so it hash-joins back on the
+    // (w1,w2) key — the aggregation that built it already partitioned the
+    // stream by that key, and the exchange is reused; only the context
+    // totals (vocabulary-bounded) and the 1-row vocab size broadcast.
+    "t10_bigram_cross_entropy" -> ((s, d) => {
+      val toks = T.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("w"))
+      // size >= 2 guard: sequence(1, 0) would generate the DESCENDING
+      // [1, 0] for a 1-token doc instead of no bigrams
+      val big = toks.filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w)-1)," +
+            " i -> struct(w[i-1] AS w1, w[i] AS w2))")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c2 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      val c1 = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val v = toks.select(explode(col("w")).as("t"))
+        .agg(count_distinct(col("t")).as("v"))
+      big
+        .join(c2, Seq("w1", "w2"))
+        .join(broadcast(c1), Seq("w1"))
+        .crossJoin(broadcast(v))
+        .withColumn("nll_milli",
+          floor(lit(-1000.0) *
+            log((col("c2") + lit(1.0)) / (col("c1") + col("v"))))
+            .cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("nll_milli")).as("sum_nll_milli"))
+        .withColumn("mean_nll_milli", expr("sum_nll_milli div n_bigrams"))
+        .orderBy(col("doc_id"))
+    }),
     // Multimodal plumbing: treat content as an opaque binary column with
     // typed metadata — byte length + sha256, both engine-agnostic. The
     // decode/feature-extract stage for real image/audio payloads lives in
@@ -353,6 +396,28 @@ object TextAnalysis extends QueryPack {
                AS mean_rank_milli
       FROM occ o JOIN rk r USING (word)
       GROUP BY o.doc_id ORDER BY o.doc_id""",
+    "t10_bigram_cross_entropy" -> """
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        FROM documents),
+      pos AS (
+        SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM toks),
+      big AS (
+        SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        FROM pos WHERE i <= len(w) - 1),
+      c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
+      c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+      v AS (SELECT count(DISTINCT t) AS v
+            FROM (SELECT unnest(w) AS t FROM toks)),
+      sc AS (
+        SELECT doc_id,
+               CAST(floor(-1000 * ln((c2.c2 + 1.0) / (c1.c1 + v.v)))
+                 AS BIGINT) AS nll
+        FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+      SELECT doc_id, count(*) AS n_bigrams,
+             CAST(sum(nll) AS BIGINT) AS sum_nll_milli,
+             CAST(sum(nll) // count(*) AS BIGINT) AS mean_nll_milli
+      FROM sc GROUP BY doc_id ORDER BY doc_id""",
     "m01_binary_meta" -> """
       SELECT doc_id,
              octet_length(encode(text)) AS n_bytes,
