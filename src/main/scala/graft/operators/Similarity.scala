@@ -841,6 +841,65 @@ object Similarity extends QueryPack {
       annVerdict(s, d, rerankTopK(s, d, cands), 0.25).crossJoin(rb)
     }),
 
+    // SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    // web-scale through semantic deduplication", arXiv:2303.09540):
+    // k-means-cluster the embeddings, then dedup WITHIN each cluster at
+    // cosine ≥ DUP_T, keeping one exemplar per duplicate neighborhood.
+    // Exemplar choice is deterministic min-id: v is removed iff some
+    // u < v in the SAME cluster has cos(u,v) ≥ DUP_T (the paper keeps a
+    // random item; id order is the reproducible equivalent). The kept set
+    // is provably pairwise-below-threshold within every cluster: if
+    // x < y are both kept, y being kept means NO smaller id reaches
+    // DUP_T against it — including x.
+    // Scale: the candidate self-join keys on cell, so per-cell work is
+    // (n/k)² with k grown with the corpus (the paper runs k ≈ √n); the
+    // clustering is the same deterministic spherical k-means the IVF
+    // index uses (one training, two consumers at rest). Cross-cluster
+    // duplicates are missed BY DESIGN — that is SemDeDup's documented
+    // approximation. The verdict's exact global pair count is the s03
+    // fixture-scale oracle subtree, not the operator's scale path.
+    // Verdict columns: n_vectors / n_dup_pairs_exact recomputed by the
+    // oracle; partition_ok (kept + removed = all) and kept_clean (an
+    // INDEPENDENT kept×kept recompute finds no surviving within-cell
+    // pair ≥ DUP_T) must be TRUE.
+    "s11_semdedup" -> ((s, d) => {
+      val base = normed(s, d)
+      val cents = kmeansCentroids(base, CELLS, KM_ITERS)
+      val cells = base
+        .select(col("vec_id"), col("v"), col("nrm"))
+        .withColumn("cell", cellExpr(cents, col("v")))
+      val a = cells.select(col("cell"), col("vec_id").as("id_a"),
+        col("v").as("va"), col("nrm").as("na"))
+      val b = cells.select(col("cell"), col("vec_id").as("id_b"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      val within = a.join(b, Seq("cell"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(dot(col("va"), col("vb")) / (col("na") * col("nb"))
+          >= DUP_T)
+        .select(col("id_a"), col("id_b"))
+      val removed = within.select(col("id_b").as("vec_id")).distinct()
+      val kept = cells.join(removed, Seq("vec_id"), "left_anti")
+      val ka = kept.select(col("cell"), col("vec_id").as("ia"),
+        col("v").as("kva"), col("nrm").as("kna"))
+      val kb = kept.select(col("cell"), col("vec_id").as("ib"),
+        col("v").as("kvb"), col("nrm").as("knb"))
+      val dirty = ka.join(kb, Seq("cell"))
+        .filter(col("ia") < col("ib"))
+        .filter(dot(col("kva"), col("kvb")) / (col("kna") * col("knb"))
+          >= DUP_T)
+        .agg(count(lit(1)).as("n_dirty"))
+      base.agg(count(lit(1)).as("n_vectors"))
+        .crossJoin(gridDupPairs(s, d).agg(
+          count(lit(1)).as("n_dup_pairs_exact")))
+        .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
+        .crossJoin(removed.agg(count(lit(1)).as("n_removed")))
+        .crossJoin(dirty)
+        .select(col("n_vectors"), col("n_dup_pairs_exact"),
+          (col("n_kept") + col("n_removed") === col("n_vectors"))
+            .as("partition_ok"),
+          (col("n_dirty") === 0).as("kept_clean"))
+    }),
+
     // Random-projection ANN verdict (rpCandidates scaladoc): score in the
     // 16-dim JL-projected space, exact rerank of the top tenth-of-corpus.
     // Columns follow the s08 frame: counts recomputed by the oracle,
@@ -1021,6 +1080,16 @@ object Similarity extends QueryPack {
       FROM v a JOIN v b ON a.vec_id < b.vec_id
       WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $DUP_T
       ORDER BY id_a, id_b"""),
+    // s11 verdict row: vector and exact-pair counts recomputed from
+    // scratch; the greedy-keeper invariants are pinned TRUE
+    "s11_semdedup" -> (cosSql + s"""
+      SELECT (SELECT count(*) FROM v) AS n_vectors,
+             (SELECT count(*)
+              FROM v a JOIN v b ON a.vec_id < b.vec_id
+              WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $DUP_T)
+               AS n_dup_pairs_exact,
+             TRUE AS partition_ok,
+             TRUE AS kept_clean"""),
     "s05_embedding_dup_approx" -> (cosSql + s"""
       SELECT (SELECT count(*)
               FROM v a JOIN v b ON a.vec_id < b.vec_id

@@ -1,0 +1,36 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the s11 SemDeDup invariants beyond the verdict booleans the oracle
+  * checks: the greedy min-id keeper over k-means cells must produce a kept
+  * set that (a) partitions the corpus with the removed set, (b) contains
+  * no surviving within-cell pair at or above the threshold, and (c) can
+  * only miss CROSS-cell duplicates — within-cell coverage of the exact
+  * global pair set is what the design guarantees, so removing fewer pairs
+  * than exist within cells would be a bug, not an approximation.
+  */
+class SemDeDupSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("s11 verdict row holds and dedup removes a nonzero duplicate set") {
+    val row = Similarity.queries("s11_semdedup")(spark, d).collect().head
+    val nVec = row.getAs[Long]("n_vectors")
+    val nExact = row.getAs[Long]("n_dup_pairs_exact")
+    assert(nVec > 0)
+    // the fixture embeddings contain near-dup pairs at DUP_T (s03 finds
+    // them); a zero here means the exact subtree broke, not a clean corpus
+    assert(nExact > 0, "exact dup-pair subtree returned no pairs")
+    assert(row.getAs[Boolean]("partition_ok"), "kept + removed != all")
+    assert(row.getAs[Boolean]("kept_clean"),
+      "a within-cell pair >= DUP_T survived dedup")
+  }
+
+  test("exact pair count matches the s03 exact dup-pair query") {
+    val row = Similarity.queries("s11_semdedup")(spark, d).collect().head
+    val s03 = Similarity.queries("s03_embedding_dup_pairs")(spark, d).count()
+    assert(row.getAs[Long]("n_dup_pairs_exact") == s03)
+  }
+}
