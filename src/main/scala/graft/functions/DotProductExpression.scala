@@ -75,11 +75,20 @@ case class DotProduct(left: Expression, right: Expression)
   * without requiring `spark.sql.extensions` wiring in every entry point.
   * `createOrReplaceTempFunction` is idempotent and cheap, so no
   * per-session dedup cache is kept (an identity-hash cache can collide
-  * across GC'd sessions and silently skip registration).
+  * across GC'd sessions and silently skip registration); instead the
+  * session's OWN registry is consulted, so a re-register on the same
+  * session is skipped — Spark logs a replaced-function WARN per function
+  * per call otherwise, hundreds of lines across a Verify/Bench run, which
+  * can push the one JSON line a log-tail consumer needs out of view.
   */
 object GraftFunctions {
+  private val names = Seq("graft_dot", "graft_minhash", "graft_simhash",
+    "graft_bpe_count", "graft_gopher_masses", "graft_shingle_hashes")
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    if (names.forall(n => reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(n)))) return
     reg.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
