@@ -479,7 +479,9 @@ object Dedup extends QueryPack {
     })
   )
 
-  private val jaccardPairsSql = """
+  // private[operators]: p12's oracle replays the same pair set before
+  // the transitive closure that assigns leakage-safe split lanes
+  private[operators] val jaccardPairsSql = """
       WITH toks AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
         FROM documents),

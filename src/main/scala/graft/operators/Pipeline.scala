@@ -463,6 +463,31 @@ object Pipeline extends QueryPack {
         .select(col("rank"), col("doc_id"), col("lang"),
           col("w_micro"), col("key_micro"))
         .orderBy(col("rank"))
+    }),
+    // Leakage-safe split: near-duplicate documents MUST land in the same
+    // train/val/test lane, or held-out evaluation silently sees training
+    // data through its near-copies (the leakage Lee et al., "Deduplicating
+    // Training Data Makes Language Models Better", ACL 2022, measure:
+    // single-split assignment by doc_id leaks every cross-split dup pair).
+    // The lane therefore derives from the md5 of the document's near-dup
+    // CLUSTER representative (d08's connected components; singletons
+    // represent themselves), not of the document itself — same 80/10/10
+    // thresholds as p04, so the only difference from a naive split IS the
+    // leakage fix. Scale posture: the pair set is the dedup family's
+    // (LSH-capped at scale, exact here = the oracle), label propagation is
+    // O(diameter) rounds, and the split itself stays a pure projection.
+    "p12_leakage_safe_split" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val pairs = Dedup.jaccardPairsOf(docs)
+        .select(col("doc_a"), col("doc_b"))
+      val comp = Dedup.dupClusters(pairs)
+        .select(col("id").as("doc_id"), col("comp"))
+      val rep = docs.select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .withColumn("rep_id", coalesce(col("comp"), col("doc_id")))
+      hashSplit(rep, "rep_id", 80, 10)
+        .select(col("doc_id"), col("rep_id"), col("split"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -742,6 +767,32 @@ object Pipeline extends QueryPack {
                doc_id, lang, w_micro, key_micro
         FROM k)
       WHERE rank <= $DsirN ORDER BY rank""",
+    "p12_leakage_safe_split" -> ("""
+      WITH RECURSIVE jp AS (""" + Dedup.jaccardPairsSql + """),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM jp
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM jp),
+      nodes AS (SELECT DISTINCT src AS id FROM edges),
+      reach AS (
+        SELECT id, id AS r FROM nodes
+        UNION
+        SELECT e.dst AS id, reach.r
+        FROM reach JOIN edges e ON e.src = reach.id),
+      comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+      rep AS (
+        SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS rep_id
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+      lane AS (
+        SELECT doc_id, rep_id,
+               CAST(('0x' || substr(md5(CAST(rep_id AS VARCHAR)), 1, 4))
+                 AS BIGINT) AS h4
+        FROM rep)
+      SELECT doc_id, rep_id,
+             CASE WHEN h4 % 100 < 80 THEN 'train'
+                  WHEN h4 % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM lane ORDER BY doc_id"""),
     // p07 verdict row: n_docs/n_shards recomputed (8 shards are all
     // occupied at any verify scale — 500+ docs over uniform md5 lanes);
     // the packing invariants (scaladoc on the query) are pinned zeros.

@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables => T}
+import org.apache.spark.sql.functions._
+
+/** Pins the property p12 exists for: a near-duplicate PAIR must never
+  * straddle train/val/test, because a held-out document with an in-train
+  * near-copy leaks training data into evaluation. A doc_id-keyed split
+  * (p04) does not have this property; the cluster-representative-keyed
+  * split must.
+  */
+class LeakageSplitSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("no near-dup pair straddles splits; members share a representative") {
+    val out = Pipeline.queries("p12_leakage_safe_split")(spark, d)
+      .select(col("doc_id"), col("rep_id"), col("split"))
+    val pairs = Dedup.jaccardPairsOf(T.documents(spark, d))
+      .select(col("doc_a"), col("doc_b"))
+    assert(pairs.count() > 0, "fixture lost its near-dup pairs")
+    val straddle = pairs
+      .join(out.select(col("doc_id").as("doc_a"), col("split").as("sa"),
+        col("rep_id").as("ra")), Seq("doc_a"))
+      .join(out.select(col("doc_id").as("doc_b"), col("split").as("sb"),
+        col("rep_id").as("rb")), Seq("doc_b"))
+    assert(straddle.filter(col("sa") =!= col("sb")).count() == 0,
+      "a near-dup pair was split across lanes")
+    assert(straddle.filter(col("ra") =!= col("rb")).count() == 0,
+      "a near-dup pair has two representatives")
+  }
+
+  test("every document gets exactly one lane and singletons self-represent") {
+    val out = Pipeline.queries("p12_leakage_safe_split")(spark, d)
+    val nDocs = T.documents(spark, d).count()
+    assert(out.count() == nDocs)
+    val paired = Dedup.jaccardPairsOf(T.documents(spark, d))
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val singles = out.join(paired, Seq("doc_id"), "left_anti")
+    assert(singles.filter(col("rep_id") =!= col("doc_id")).count() == 0,
+      "a singleton document does not represent itself")
+  }
+}
