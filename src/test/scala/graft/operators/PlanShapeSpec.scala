@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Pins the physical-plan shapes the round-9 operators' scale posture
+  * depends on, so a refactor that silently degrades them (a corpus-wide
+  * single-partition window, a forced broadcast of the non-bounded bigram
+  * table) fails here rather than at 100× the data.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    graft.SparkEntry.queries(q)(spark, d).queryExecution
+      .executedPlan.toString
+
+  test("p11 top-N is TakeOrderedAndProject, not a global window") {
+    val p = plan("p11_dsir_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      "DSIR top-N lost its distributed top-k")
+    // the only Window is the rank assignment AFTER the N-row reduction:
+    // it must sit above TakeOrderedAndProject in the tree (i.e. the text
+    // order is Window ... TakeOrderedAndProject)
+    val w = p.indexOf("Window")
+    val t = p.indexOf("TakeOrderedAndProject")
+    assert(w >= 0 && t >= 0 && w < t,
+      "rank window is not above the top-N reduction")
+  }
+
+  test("t10 never forces a broadcast of the bigram-count table") {
+    // the bigram table is Heaps-sublinear but NOT vocabulary-bounded, so
+    // the CODE must leave its join strategy to the planner (AQE may still
+    // elect broadcast at fixture scale — that is the planner's call). The
+    // vocabulary-bounded context table (w1-only key) IS forced broadcast.
+    val lines = graft.SparkEntry.queries("t10_bigram_cross_entropy")(spark, d)
+      .queryExecution.optimizedPlan.toString.linesIterator.toSeq
+    val bigramJoins = lines.filter(l =>
+      l.contains("Join Inner") && l.contains("w1#") && l.contains("w2#"))
+    assert(bigramJoins.nonEmpty, "bigram-count join not found in the plan")
+    assert(bigramJoins.forall(l => !l.toLowerCase.contains("hint")),
+      s"the bigram-count join carries a forced strategy: $bigramJoins")
+    val contextJoins = lines.filter(l =>
+      l.contains("Join Inner") && l.contains("w1#") && !l.contains("w2#"))
+    assert(contextJoins.exists(_.contains("strategy=broadcast")),
+      "the vocabulary-bounded context join lost its broadcast hint")
+  }
+}
