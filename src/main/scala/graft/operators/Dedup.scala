@@ -41,8 +41,9 @@ object Dedup extends QueryPack {
     * The nch > 0 guard matters: sequence(0, -1) generates the DESCENDING
     * sequence [0, -1] in Spark, which would emit two spurious md5("")
     * chunks for an empty token array rather than none.
+    * (private[graft]: the streaming chunk-dedup twin chunks identically.)
     */
-  private def chunkHashes: org.apache.spark.sql.Column = {
+  private[graft] def chunkHashes: org.apache.spark.sql.Column = {
     val t = tokens(col("text"))
     val nch = ceil(size(t) / lit(ChunkW.toDouble)).cast("int")
     when(nch > 0,

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One chunk occurrence flowing through the streaming dedup. */
+case class ChunkOcc(h: String, doc_id: Long, idx: Int)
+
+/** Keep/drop verdict for one chunk occurrence. */
+case class ChunkVerdict(h: String, doc_id: Long, idx: Int, kept: Boolean)
+
+/** Streaming twins of the corpus-preparation operators that need STATE
+  * (the stateless ones — the Gopher gate, PII redaction, hash split —
+  * compose into a stream unchanged as projections; StreamingGateSpec pins
+  * that). Chunk-level dedup is the stateful one: whether an occurrence is
+  * kept depends on every chunk seen so far.
+  *
+  * Semantics match batch d09 exactly when documents arrive in doc_id
+  * order (the ingest contract d11 also assumes): the keeper of a chunk
+  * hash is its first occurrence by (doc_id, idx) — across micro-batches
+  * via the boolean seen-state, within a micro-batch by an explicit sort
+  * of the group's occurrences (micro-batch iterator order is not
+  * guaranteed). State per distinct chunk hash is ONE boolean — the
+  * at-rest analogue is d11's persisted chunk index, and a production
+  * deployment would bound it with a TTL (GroupStateTimeout) or a
+  * compaction into that index; kept unbounded here because d09 parity is
+  * the contract being demonstrated.
+  */
+object CorpusStreaming {
+
+  /** Per-occurrence keep/drop verdicts for a (possibly streaming)
+    * documents frame with `doc_id` and `text` columns.
+    */
+  def chunkDedupVerdicts(docs: DataFrame): Dataset[ChunkVerdict] = {
+    import docs.sparkSession.implicits._
+    val occ = docs
+      .select(col("doc_id"),
+        posexplode(graft.operators.Dedup.chunkHashes).as(Seq("idx", "h")))
+      .select(col("h"), col("doc_id"), col("idx").cast("int").as("idx"))
+      .as[ChunkOcc]
+    occ.groupByKey(_.h)
+      .flatMapGroupsWithState[Boolean, ChunkVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (h: String, it: Iterator[ChunkOcc], state: GroupState[Boolean]) =>
+          val batch = it.toVector.sortBy(o => (o.doc_id, o.idx))
+          val seenBefore = state.exists
+          if (!seenBefore) state.update(true)
+          batch.iterator.zipWithIndex.map { case (o, i) =>
+            ChunkVerdict(h, o.doc_id, o.idx, kept = !seenBefore && i == 0)
+          }
+      }
+  }
+}

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+case class StreamDoc(doc_id: Long, text: String)
+
+/** Streaming chunk dedup must agree with batch d09 when documents arrive
+  * in doc_id order — across TWO micro-batches, so the cross-batch
+  * seen-state (not just the within-batch sort) is what earns the parity.
+  */
+class StreamingChunkDedupSpec extends SparkSpec {
+
+  test("two-micro-batch streaming dedup equals batch d09 per-doc counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).as[StreamDoc]
+      .collect().sortBy(_.doc_id).toSeq
+    val (first, second) = docs.splitAt(docs.length / 2)
+
+    val src = MemoryStream[StreamDoc]
+    val q = CorpusStreaming.chunkDedupVerdicts(src.toDF())
+      .writeStream.format("memory").queryName("chunk_verdicts")
+      .outputMode("append").start()
+    try {
+      src.addData(first: _*)
+      q.processAllAvailable()
+      src.addData(second: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("chunk_verdicts")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dropped"))
+
+    val batch = graft.operators.Dedup
+      .queries("d09_chunk_dedup")(spark, "/root/testdata/sf0.001")
+
+    val diff = batch.exceptAll(streamed).count() +
+      streamed.exceptAll(batch).count()
+    assert(diff == 0L, s"stream/batch chunk dedup diverged on $diff rows")
+    // the state actually crossed batches: some second-half occurrence of
+    // a first-half chunk must have been dropped
+    val secondHalfDropped = spark.table("chunk_verdicts")
+      .filter(col("doc_id") >= second.head.doc_id && !col("kept")).count()
+    assert(secondHalfDropped > 0, "no cross-batch duplicate was exercised")
+  }
+}
