@@ -272,6 +272,42 @@ object TextAnalysis extends QueryPack {
         .withColumn("mean_nll_milli", expr("sum_nll_milli div n_bigrams"))
         .orderBy(col("doc_id"))
     }),
+    // Heavy-hitter words via Count-Min Sketch (Cormode & Muthukrishnan,
+    // J. Algorithms 2005) — the SKETCH tier for frequency statistics: one
+    // map-side-combinable pass builds a fixed-size sketch (eps=1%,
+    // conf=99%, pinned seed ⇒ bit-deterministic: counter merges are
+    // commutative adds), vs t08/t09's exact two-phase counts. The sketch
+    // (~eps⁻¹·ln(1/δ) counters, ~100 KB here) is pulled to the driver —
+    // the same bounded-state posture as the k-means centroid pulls — and
+    // probed for the exact top-H words. Verdict columns: the CMS
+    // guarantees themselves — estimate ≥ true count (always) and
+    // ≤ true + ⌈eps·N⌉ (the published bound; deterministic here, so a
+    // pass is stable, not probabilistic). Rank/word/c_exact recomputed by
+    // the oracle; the H-row result set is driver-safe by construction.
+    "t11_heavy_hitters_cms" -> ((s, d) => {
+      import s.implicits._
+      val occ = T.documents(s, d)
+        .select(explode(tokens(col("text"))).as("word"))
+      val skBytes = occ
+        .agg(count_min_sketch(col("word"), lit(0.01d), lit(0.99d),
+          lit(42)).as("sk"))
+        .collect()(0).getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(skBytes))
+      val slack = math.ceil(0.01 * cms.totalCount()).toLong
+      val top = occ.groupBy(col("word")).agg(count(lit(1)).as("c_exact"))
+        .orderBy(col("c_exact").desc, col("word")).limit(10)
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          cms.estimateCount(r.getString(0))))
+      top.toSeq.toDF("word", "c_exact", "c_est")
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("c_exact").desc, col("word"))))
+        .select(col("rank"), col("word"), col("c_exact"),
+          (col("c_est") >= col("c_exact")).as("overestimate_ok"),
+          (col("c_est") <= col("c_exact") + lit(slack)).as("bound_ok"))
+        .orderBy(col("rank"))
+    }),
     // Multimodal plumbing: treat content as an opaque binary column with
     // typed metadata — byte length + sha256, both engine-agnostic. The
     // decode/feature-extract stage for real image/audio payloads lives in
@@ -418,6 +454,19 @@ object TextAnalysis extends QueryPack {
              CAST(sum(nll) AS BIGINT) AS sum_nll_milli,
              CAST(sum(nll) // count(*) AS BIGINT) AS mean_nll_milli
       FROM sc GROUP BY doc_id ORDER BY doc_id""",
+    // t11 verdict rows: the exact top-10 recomputed from scratch; the two
+    // CMS guarantee booleans pinned TRUE
+    "t11_heavy_hitters_cms" -> """
+      WITH occ AS (
+        SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        FROM documents),
+      top AS (
+        SELECT word, count(*) AS c_exact FROM occ GROUP BY word
+        ORDER BY c_exact DESC, word LIMIT 10)
+      SELECT row_number() OVER (ORDER BY c_exact DESC, word) AS rank,
+             word, CAST(c_exact AS BIGINT) AS c_exact,
+             TRUE AS overestimate_ok, TRUE AS bound_ok
+      FROM top ORDER BY rank""",
     "m01_binary_meta" -> """
       SELECT doc_id,
              octet_length(encode(text)) AS n_bytes,

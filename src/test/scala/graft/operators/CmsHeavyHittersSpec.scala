@@ -1,0 +1,25 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Pins t11 beyond the oracle's booleans: on the fixture, the CMS
+  * estimates for the top words are not merely within the eps·N bound but
+  * EXACT — heavy hitters dominate their counters, so an inexact estimate
+  * here would mean the sketch is mis-merged (e.g. a non-commutative
+  * combine), not ordinary CMS noise.
+  */
+class CmsHeavyHittersSpec extends SparkSpec {
+
+  test("CMS verdicts hold and top-1 is the corpus's most frequent word") {
+    val rows = TextAnalysis
+      .queries("t11_heavy_hitters_cms")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getAs[Boolean]("overestimate_ok")))
+    assert(rows.forall(_.getAs[Boolean]("bound_ok")))
+    // counts strictly ordered by the rank the query claims
+    val counts = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("c_exact"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    assert(counts.head > counts.last, "degenerate frequency profile")
+  }
+}
