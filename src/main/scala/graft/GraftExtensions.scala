@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, MinHashAgg, SimHashAgg}
+import graft.functions.{BloomAnyContain, DotProduct, MinHashAgg, SimHashAgg}
 
 /** SparkSessionExtensions entry point: wires the engine's native functions
   * into any session built with
@@ -30,5 +30,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_simhash"),
       info("graft_simhash", "graft_simhash(h) - 64-bit SimHash aggregate over long hashes"),
       (exprs: Seq[Expression]) => SimHashAgg(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("graft_bloom_any"),
+      info("graft_bloom_any", "graft_bloom_any(bloom, hashes) - true iff any array<long> element probes positive in the serialized BloomFilter"),
+      (exprs: Seq[Expression]) => BloomAnyContain(exprs(0), exprs(1))))
   }
 }

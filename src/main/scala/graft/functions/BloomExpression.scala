@@ -1,0 +1,95 @@
+package graft.functions
+
+import java.io.ByteArrayInputStream
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DataType, LongType}
+import org.apache.spark.util.sketch.BloomFilter
+
+/** `graft_bloom_any(bloom, hashes)` — true iff ANY element of the
+  * `array<long>` probes positive against the serialized
+  * [[org.apache.spark.util.sketch.BloomFilter]] in the first argument.
+  *
+  * This is the membership primitive for the Bloom tier of benchmark
+  * decontamination (Pipeline p13): the filter is built once over the
+  * bench-set gram hashes (a distributed sketch aggregate whose final state
+  * is fpp-sized, independent of corpus size) and embedded in the plan as a
+  * binary literal, so the corpus-side probe is a pure map — no explode, no
+  * join, no shuffle. Contrast p01's broadcast hash-set join, which must
+  * explode every corpus document into its gram stream before the join;
+  * here the grams stay inside their per-row array and the loop below
+  * short-circuits on the first hit.
+  *
+  * The first argument must be foldable (a literal): the deserialized
+  * filter is cached once per expression instance (`@transient lazy`), and
+  * codegen pins it through `addReferenceObj` — per-row deserialization
+  * would dwarf the probe cost. Bloom guarantees: no false negatives ever;
+  * false-positive rate set at build time (the caller accounts for the
+  * per-document union bound over its gram count — see Pipeline.BLOOM_FPP).
+  *
+  * Null array → null; null elements contribute nothing (consistent with
+  * the null-skip posture of DotProduct/TokenShingleHashes).
+  */
+case class BloomAnyContain(bloomExpr: Expression, hashesExpr: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = bloomExpr
+  override def right: Expression = hashesExpr
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (bloomExpr.dataType, hashesExpr.dataType) match {
+      case (BinaryType, ArrayType(LongType, _)) =>
+        if (bloomExpr.foldable) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          "graft_bloom_any: bloom argument must be a literal (foldable)")
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"graft_bloom_any expects (binary, array<bigint>), got " +
+          s"(${a.simpleString}, ${b.simpleString})")
+    }
+
+  override def dataType: DataType = BooleanType
+
+  @transient private lazy val bloom: BloomFilter = {
+    val bytes = bloomExpr.eval().asInstanceOf[Array[Byte]]
+    BloomFilter.readFrom(new ByteArrayInputStream(bytes))
+  }
+
+  override protected def nullSafeEval(b: Any, hs: Any): Any = {
+    val arr = hs.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && bloom.mightContainLong(arr.getLong(i))) return true
+      i += 1
+    }
+    false
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the BloomFilter object itself rides the codegen references array
+    // (BloomFilterImpl is Serializable), exactly like Spark's internal
+    // runtime-filter expression — bytes are deserialized once, not per row
+    val bloomRef = ctx.addReferenceObj("graftBloom", bloom,
+      classOf[BloomFilter].getName)
+    nullSafeCodeGen(ctx, ev, (_, hs) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = $hs.numElements();
+         |${ev.value} = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$hs.isNullAt($i) && $bloomRef.mightContainLong($hs.getLong($i))) {
+         |    ${ev.value} = true; break;
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomAnyContain =
+    copy(bloomExpr = newLeft, hashesExpr = newRight)
+}

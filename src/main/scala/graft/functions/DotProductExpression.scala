@@ -83,7 +83,8 @@ case class DotProduct(left: Expression, right: Expression)
   */
 object GraftFunctions {
   private val names = Seq("graft_dot", "graft_minhash", "graft_simhash",
-    "graft_bpe_count", "graft_gopher_masses", "graft_shingle_hashes")
+    "graft_bpe_count", "graft_gopher_masses", "graft_shingle_hashes",
+    "graft_bloom_any")
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -99,6 +100,9 @@ object GraftFunctions {
       "graft_bpe_count", exprs => BpeCount(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_gopher_masses", exprs => GopherMasses(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_bloom_any", exprs => BloomAnyContain(exprs(0), exprs(1)),
+      "built-in")
     reg.createOrReplaceTempFunction(
       "graft_shingle_hashes", exprs => TokenShingleHashes(exprs.head,
         exprs(1) match {

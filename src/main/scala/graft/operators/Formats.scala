@@ -193,6 +193,27 @@ object Formats extends QueryPack {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // JSON-lines round trip: the interchange format LLM corpora actually
+    // ship in. Line-delimited text is splittable, so a 100 TB JSONL corpus
+    // scans with full parallelism (one task per file split, no realignment
+    // machinery needed — newlines inside values are escaped by the JSON
+    // encoder). Schema is declared on read: no inference pass over the
+    // data, which at scale would be a second full scan.
+    "f09_jsonl_roundtrip" -> ((s, d) => {
+      val out = ioDir(d, "f09")
+      writeOnce(s, out) {
+        T.documents(s, d).write.mode("overwrite").json(out)
+      }
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      s.read.schema(schema).json(out)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PipeOutAndMerge shape: parallel part write, single-writer ordered
     // concat (Merge.mergeParts = mergeFile), then scan the ONE merged file.
     "f04_flat_merged_agg" -> ((s, d) => {
@@ -223,6 +244,9 @@ object Formats extends QueryPack {
       FROM customer ORDER BY custkey""",
     "f02_csv_roundtrip" -> """
       SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id""",
+    "f09_jsonl_roundtrip" -> """
+      SELECT doc_id, text, lang, source, n_chars
+      FROM documents ORDER BY doc_id""",
     "f03_xml_roundtrip" -> """
       SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""",
     "f05_orc_roundtrip" -> """

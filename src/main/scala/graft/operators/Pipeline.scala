@@ -42,6 +42,16 @@ object Pipeline extends QueryPack {
 
   private val BENCH_SRC = "src0" // stand-in eval suite: one source slice
   private val NGRAM = 6 // decontamination n-gram length
+
+  /** Gram-level false-positive rate for the Bloom decontamination tier
+    * (p13). A document is flagged if ANY of its grams probes positive, so
+    * the document-level FP rate is union-bounded by n_grams_per_doc × fpp
+    * (~hundreds × 1e-6 ≈ 1e-4 — negligible against the 1% verdict bound
+    * at every tested scale). At 1e-6 the filter costs ~28.8 bits/item:
+    * a 10M-gram eval suite is a ~34 MB task-side object, still far below
+    * what the p01 broadcast hash-set join ships per executor.
+    */
+  private val BLOOM_FPP = 1e-6
   private val PACK_BUDGET = 256 // tokens per packed training sequence
   private val SHARDS = 8 // packing shards (indep. greedy streams)
 
@@ -488,6 +498,54 @@ object Pipeline extends QueryPack {
       hashSplit(rep, "rep_id", 80, 10)
         .select(col("doc_id"), col("rep_id"), col("split"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Bloom-filter decontamination tier (p13): the membership structure
+    // you ship when the eval-suite gram set outgrows a broadcast hash set.
+    // Build: distributed sketch aggregate over bench gram hashes
+    // (DataFrameStatFunctions.bloomFilter — two-phase, merge = bitwise OR,
+    // order-independent ⇒ deterministic bits); final driver state is
+    // fpp-sized, independent of corpus scale (the k-means-centroid
+    // posture, s02). Probe: `graft_bloom_any` over each document's gram
+    // array — a codegen'd short-circuit loop, NO explode / join / shuffle
+    // on the corpus (p01 must explode every document into its gram stream
+    // before its broadcast join; at 100 TB that exploded stream is the
+    // dominant intermediate, and this tier removes it entirely).
+    //
+    // Verdict row, certified against the exact path run alongside:
+    //  - no_false_neg: every exactly-contaminated doc is bloom-flagged —
+    //    Bloom guarantees this structurally (Bloom, CACM 1970);
+    //  - fp_bounded: spurious flags ≤ 1% of probe docs (union bound:
+    //    n_grams × BLOOM_FPP per doc — see the constant's scaladoc).
+    // In production you'd run the bloom side alone; the exact subtree
+    // here is the certificate, not the operator (d03/s03 posture).
+    "p13_bloom_decontam" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = T.documents(s, d)
+      val probe = docs.filter(col("source") =!= BENCH_SRC)
+      val bench = docs.filter(col("source") === BENCH_SRC)
+      val bg = bench
+        .select(explode(distinctShingleHashes(col("text"), NGRAM)).as("h"))
+        .distinct()
+      val bloom = bg.stat.bloomFilter("h", math.max(bg.count(), 1L), BLOOM_FPP)
+      val bytes = {
+        val bos = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(bos); bos.toByteArray
+      }
+      val flagged = probe.select(col("doc_id"),
+        call_function("graft_bloom_any", lit(bytes),
+          distinctShingleHashes(col("text"), NGRAM)).as("bloom_hit"))
+      val exact = decontaminate(probe, bench, NGRAM)
+        .select(col("doc_id"), (col("contaminated") === 1).as("exact_hit"))
+      flagged.join(exact, Seq("doc_id"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("exact_hit").cast("long")).as("n_contaminated"),
+          coalesce(min(when(col("exact_hit"), col("bloom_hit"))), lit(true))
+            .as("no_false_neg"),
+          ((sum(col("bloom_hit").cast("long")) -
+            sum(col("exact_hit").cast("long"))) <=
+            count(lit(1)).cast("double") * 0.01).as("fp_bounded"))
     })
   )
 
@@ -793,6 +851,30 @@ object Pipeline extends QueryPack {
                   WHEN h4 % 100 < 90 THEN 'val'
                   ELSE 'test' END AS split
       FROM lane ORDER BY doc_id"""),
+    // p13 verdict row: probe-doc and exact-contamination counts recomputed
+    // from scratch (the p01 gram CTE); the Bloom guarantees — structural
+    // no-false-negatives and the union-bounded FP rate — are pinned TRUE
+    "p13_bloom_decontam" -> s"""
+      WITH toks AS (
+        SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents),
+      pos AS (
+        SELECT doc_id, source, w, generate_subscripts(w, 1) AS i FROM toks),
+      g6 AS (
+        SELECT DISTINCT doc_id, source,
+               w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+               w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] AS g
+        FROM pos WHERE i <= len(w) - ${NGRAM - 1}),
+      bench AS (SELECT DISTINCT g FROM g6 WHERE source = '$BENCH_SRC'),
+      contaminated AS (
+        SELECT DISTINCT g6.doc_id
+        FROM g6 JOIN bench USING (g) WHERE source <> '$BENCH_SRC')
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents
+              WHERE source <> '$BENCH_SRC') AS n_docs,
+             (SELECT CAST(count(*) AS BIGINT) FROM contaminated)
+               AS n_contaminated,
+             TRUE AS no_false_neg,
+             TRUE AS fp_bounded""",
     // p07 verdict row: n_docs/n_shards recomputed (8 shards are all
     // occupied at any verify scale — 500+ docs over uniform md5 lanes);
     // the packing invariants (scaladoc on the query) are pinned zeros.

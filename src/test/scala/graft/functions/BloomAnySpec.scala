@@ -1,0 +1,99 @@
+package graft.functions
+
+import java.io.ByteArrayOutputStream
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Pins `graft_bloom_any` (BloomAnyContain): structural no-false-negatives
+  * over inserted keys, a measured false-positive rate consistent with the
+  * build-time fpp, short-circuit/empty/null edges, and interpreted-vs-
+  * codegen agreement (the p13 probe runs inside whole-stage codegen; the
+  * bench/verify paths must see identical booleans either way).
+  */
+class BloomAnySpec extends SparkSpec {
+
+  private def bloomBytes(items: Seq[Long], fpp: Double): Array[Byte] = {
+    val bf = BloomFilter.create(items.size.max(1), fpp)
+    items.foreach(bf.putLong)
+    val bos = new ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  test("every inserted key probes positive (no false negatives)") {
+    graft.functions.GraftFunctions.register(spark)
+    val inserted = (0L until 5000L).map(_ * 7919L)
+    val bytes = bloomBytes(inserted, 1e-6)
+    import spark.implicits._
+    val misses = inserted.toDF("h")
+      .select(call_function("graft_bloom_any", lit(bytes), array(col("h")))
+        .as("hit"))
+      .filter(!col("hit")).count()
+    assert(misses == 0L)
+  }
+
+  test("false-positive rate over absent keys stays near the build fpp") {
+    graft.functions.GraftFunctions.register(spark)
+    val inserted = (0L until 5000L).map(_ * 7919L)
+    // absent probes: offset by 1 from the inserted lattice
+    val absent = (0L until 20000L).map(_ * 7919L + 1L)
+    for ((fpp, bound) <- Seq(0.03 -> 0.06, 1e-6 -> 1e-3)) {
+      val bytes = bloomBytes(inserted, fpp)
+      import spark.implicits._
+      val fps = absent.toDF("h")
+        .select(call_function("graft_bloom_any", lit(bytes), array(col("h")))
+          .as("hit"))
+        .filter(col("hit")).count()
+      assert(fps <= (absent.size * bound).ceil.toLong,
+        s"fpp=$fpp: $fps false positives over ${absent.size} absent probes")
+    }
+  }
+
+  test("any-semantics: one inserted element among absents flips the row") {
+    graft.functions.GraftFunctions.register(spark)
+    val bytes = bloomBytes(Seq(42L), 1e-6)
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1L, 2L, 42L)),  // contains an inserted key
+      (2L, Seq(1L, 2L, 3L)),   // all absent
+      (3L, Seq.empty[Long])    // empty array -> false, not null
+    ).toDF("id", "hs")
+      .select(col("id"),
+        call_function("graft_bloom_any", lit(bytes), col("hs")).as("hit"))
+      .orderBy(col("id"))
+    assert(df.collect().map(r => r.getBoolean(1)).toSeq ==
+      Seq(true, false, false))
+  }
+
+  test("null array yields null; null elements are skipped") {
+    graft.functions.GraftFunctions.register(spark)
+    val bytes = bloomBytes(Seq(42L), 1e-6)
+    val rows = spark.sql(
+      s"SELECT graft_bloom_any(X'${bytes.map("%02x".format(_)).mkString}', " +
+        "CAST(NULL AS ARRAY<BIGINT>)) AS a, " +
+      s"graft_bloom_any(X'${bytes.map("%02x".format(_)).mkString}', " +
+        "array(CAST(NULL AS BIGINT), 42L)) AS b").collect()
+    assert(rows.head.isNullAt(0))
+    assert(rows.head.getBoolean(1))
+  }
+
+  test("interpreted eval agrees with codegen") {
+    graft.functions.GraftFunctions.register(spark)
+    val inserted = (0L until 1000L).map(_ * 31L)
+    val bytes = bloomBytes(inserted, 0.01)
+    import spark.implicits._
+    val probes = (0L until 4000L).map(h => (h, Seq(h))).toDF("h", "hs")
+    def run(codegen: String): Seq[(Long, Boolean)] = {
+      spark.conf.set("spark.sql.codegen.wholeStage",
+        (codegen == "on").toString)
+      try probes
+        .select(col("h"),
+          call_function("graft_bloom_any", lit(bytes), col("hs")).as("hit"))
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+    assert(run("on") == run("off"))
+  }
+}

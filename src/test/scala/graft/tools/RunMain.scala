@@ -1,0 +1,25 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+
+/** Dev probe: execute one or more SparkEntry queries and print their
+  * results (`RunMain q1 q2 ... <sfDir>`) — the quick smoke loop while
+  * iterating on an operator, before the full Verify/DuckDB gate.
+  */
+object RunMain {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args.dropRight(1).foreach { q =>
+      println(s"===== $q =====")
+      val df = graft.SparkEntry.queries(q)(spark, args.last)
+      val t0 = System.nanoTime()
+      val rows = df.collect()
+      println(f"rows=${rows.length}  (${(System.nanoTime() - t0) / 1e9}%.2f s)")
+      df.show(20, truncate = 60)
+    }
+    spark.stop()
+  }
+}
