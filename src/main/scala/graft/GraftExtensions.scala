@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BloomAnyContain, DotProduct, MinHashAgg, SimHashAgg}
+import graft.functions.{BloomAnyContain, DotProduct, GraftNfc, MinHashAgg, SimHashAgg}
 
 /** SparkSessionExtensions entry point: wires the engine's native functions
   * into any session built with
@@ -33,5 +33,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_bloom_any"),
       info("graft_bloom_any", "graft_bloom_any(bloom, hashes) - true iff any array<long> element probes positive in the serialized BloomFilter"),
       (exprs: Seq[Expression]) => BloomAnyContain(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_nfc"),
+      info("graft_nfc", "graft_nfc(s) - Unicode NFC canonical composition (identity fast path for ASCII/already-normalized input)"),
+      (exprs: Seq[Expression]) => GraftNfc(exprs.head)))
   }
 }

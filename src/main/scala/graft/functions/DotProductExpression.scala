@@ -84,7 +84,7 @@ case class DotProduct(left: Expression, right: Expression)
 object GraftFunctions {
   private val names = Seq("graft_dot", "graft_minhash", "graft_simhash",
     "graft_bpe_count", "graft_gopher_masses", "graft_shingle_hashes",
-    "graft_bloom_any")
+    "graft_bloom_any", "graft_nfc")
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -103,6 +103,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "graft_bloom_any", exprs => BloomAnyContain(exprs(0), exprs(1)),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_nfc", exprs => GraftNfc(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_shingle_hashes", exprs => TokenShingleHashes(exprs.head,
         exprs(1) match {

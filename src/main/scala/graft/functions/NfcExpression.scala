@@ -1,0 +1,62 @@
+package graft.functions
+
+import java.text.Normalizer
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `graft_nfc(s)` — Unicode canonical composition (NFC, UAX #15) as a
+  * native codegen expression.
+  *
+  * Text canonicalization is the FIRST stage of any corpus pipeline whose
+  * later stages hash text: the same visible string can arrive as composed
+  * (U+00E9) or decomposed (U+0065 U+0301) codepoints depending on the
+  * upstream producer, and every downstream operator that fingerprints,
+  * dedups or joins on text (d01/d02, t04, the gram hashes everywhere)
+  * would silently treat those as distinct documents. Normalizing to NFC
+  * before hashing makes byte-equality coincide with canonical equality.
+  *
+  * ASCII fast path: NFC is the identity on pure-ASCII strings (all ASCII
+  * codepoints are composition-inert), so the common case returns the
+  * input UTF8String as-is after a byte scan (`isFullAscii`) — zero
+  * allocation, no String materialization. Non-ASCII rows take a second
+  * cheap gate (`Normalizer.isNormalized`) before paying the compose cost.
+  * This matters at 100 TB: the expression sits inside whole-stage codegen
+  * in a full-corpus map, and web-scale corpora are overwhelmingly
+  * already-NFC.
+  */
+case class GraftNfc(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_nfc expects string, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(s: Any): Any =
+    GraftNfc.nfc(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GraftNfc$$.MODULE$$.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): GraftNfc =
+    copy(child = newChild)
+}
+
+object GraftNfc {
+  /** NFC-normalize one UTF8String; returns the input object unchanged when
+    * already normalized (pure-ASCII strings never materialize a String).
+    */
+  def nfc(s: UTF8String): UTF8String = {
+    if (s.isFullAscii) return s
+    val str = s.toString
+    if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
+    else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))
+  }
+}

@@ -308,6 +308,29 @@ object TextAnalysis extends QueryPack {
           (col("c_est") <= col("c_exact") + lit(slack)).as("bound_ok"))
         .orderBy(col("rank"))
     }),
+    // Unicode canonicalization (t12): NFC-normalize before hashing, the
+    // first stage of any pipeline whose dedup/fingerprint operators hash
+    // text (GraftNfc scaladoc). The fixture corpus is pure ASCII — the
+    // identity fast path — so each document is decorated with a DECOMPOSED
+    // suffix (" cafe" + U+0301 combining acute) that both engines must
+    // canonically compose to "café": the oracle exercises real NFC
+    // composition cross-engine on every row, not just the identity. The
+    // md5 of the normalized text proves byte-level agreement (the property
+    // the downstream hash-keyed operators rely on); the codepoint-length
+    // drop (n_raw = n_norm + 1) proves composition actually happened.
+    "t12_nfc_normalize" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      // the suffix literal is DECOMPOSED in source: 'e' followed by the
+      // combining acute U+0301 (bytes 0xCC 0x81), so NFC has work to do
+      val dec = concat(col("text"), lit(" café"))
+      val norm = call_function("graft_nfc", dec)
+      T.documents(s, d)
+        .select(col("doc_id"),
+          length(dec).cast("long").as("n_raw"),
+          length(norm).cast("long").as("n_norm"),
+          md5(norm.cast("binary")).as("h_norm"))
+        .orderBy(col("doc_id"))
+    }),
     // Multimodal plumbing: treat content as an opaque binary column with
     // typed metadata — byte length + sha256, both engine-agnostic. The
     // decode/feature-extract stage for real image/audio payloads lives in
@@ -467,6 +490,13 @@ object TextAnalysis extends QueryPack {
              word, CAST(c_exact AS BIGINT) AS c_exact,
              TRUE AS overestimate_ok, TRUE AS bound_ok
       FROM top ORDER BY rank""",
+    "t12_nfc_normalize" -> """
+      SELECT doc_id,
+             CAST(length(text || ' cafe' || chr(769)) AS BIGINT) AS n_raw,
+             CAST(length(nfc_normalize(text || ' cafe' || chr(769)))
+               AS BIGINT) AS n_norm,
+             md5(nfc_normalize(text || ' cafe' || chr(769))) AS h_norm
+      FROM documents ORDER BY doc_id""",
     "m01_binary_meta" -> """
       SELECT doc_id,
              octet_length(encode(text)) AS n_bytes,

@@ -1,0 +1,58 @@
+package graft.functions
+
+import java.text.Normalizer
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Pins `graft_nfc` (GraftNfc): canonical composition on the classic
+  * decomposed pairs, identity (same object, not just equal bytes) on
+  * ASCII and already-NFC input, null propagation, and interpreted-vs-
+  * codegen agreement.
+  */
+class NfcSpec extends SparkSpec {
+
+  test("composes decomposed sequences to their canonical forms") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val cases = Seq(
+      "café" -> "café",           // e + combining acute -> é
+      "ÅB" -> "ÅB",               // A + ring -> Å
+      "ñ" -> "ñ",                 // n + tilde -> ñ
+      "ṩ" -> "ṩ",                  // already composed: unchanged
+      "ascii only" -> "ascii only")
+    val got = cases.map(_._1).toDF("s")
+      .select(call_function("graft_nfc", col("s"))).as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+  }
+
+  test("ASCII fast path returns the input object unchanged") {
+    val s = UTF8String.fromString("pure ascii, no work to do")
+    assert(GraftNfc.nfc(s) eq s)
+    val nfc = UTF8String.fromString("café") // non-ASCII but already NFC
+    assert(GraftNfc.nfc(nfc) eq nfc)
+  }
+
+  test("agrees with java.text.Normalizer on supplementary-plane input") {
+    // astral-plane char + decomposed accent: numChars/codePoint handling
+    val raw = "😀 café 𝐀́"
+    val expect = Normalizer.normalize(raw, Normalizer.Form.NFC)
+    assert(GraftNfc.nfc(UTF8String.fromString(raw)).toString == expect)
+  }
+
+  test("null propagates; interpreted eval agrees with codegen") {
+    graft.functions.GraftFunctions.register(spark)
+    assert(spark.sql("SELECT graft_nfc(CAST(NULL AS STRING))")
+      .collect().head.isNullAt(0))
+    import spark.implicits._
+    val df = Seq("café", "plain", "Å").toDF("s")
+    def run(on: Boolean): Seq[String] = {
+      spark.conf.set("spark.sql.codegen.wholeStage", on.toString)
+      try df.select(call_function("graft_nfc", col("s")))
+        .as[String].collect().toSeq
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+    assert(run(on = true) == run(on = false))
+  }
+}
