@@ -45,4 +45,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(contextJoins.exists(_.contains("strategy=broadcast")),
       "the vocabulary-bounded context join lost its broadcast hint")
   }
+
+  test("p13 bloom probe is a pure map: no exchange, join, or explode") {
+    // the production shape of the Bloom decontamination tier (the p13
+    // query itself also runs the exact certification subtree, which
+    // legitimately shuffles — this pins the probe subtree alone)
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions._
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 1e-6)
+    bf.putLong(42L)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val probe = spark.read.parquet(s"$d/documents.parquet")
+      .filter(col("source") =!= "src0")
+      .select(col("doc_id"),
+        call_function("graft_bloom_any", lit(bos.toByteArray),
+          distinctShingleHashes(col("text"), 6)).as("bloom_hit"))
+    val p = probe.queryExecution.executedPlan.toString
+    // map-only is the load-bearing property; the projection itself sits
+    // outside whole-stage codegen because TokenShingleHashes is a
+    // deliberate CodegenFallback (its scaladoc has the measurement)
+    for (bad <- Seq("Exchange", "Join", "Generate"))
+      assert(!p.contains(bad), s"bloom probe plan contains $bad:\n$p")
+  }
 }
