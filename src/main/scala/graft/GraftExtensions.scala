@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BloomAnyContain, DotProduct, GraftNfc, MinHashAgg, SimHashAgg}
+import graft.functions.{BloomAnyContain, DotInt8, DotProduct, GraftNfc, MinHashAgg, PackInt8, SimHashAgg}
 
 /** SparkSessionExtensions entry point: wires the engine's native functions
   * into any session built with
@@ -36,5 +36,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_nfc"),
       info("graft_nfc", "graft_nfc(s) - Unicode NFC canonical composition (identity fast path for ASCII/already-normalized input)"),
       (exprs: Seq[Expression]) => GraftNfc(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("graft_i8_pack"),
+      info("graft_i8_pack", "graft_i8_pack(a) - pack array<int> into signed int8 bytes (clamped to [-128,127])"),
+      (exprs: Seq[Expression]) => PackInt8(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("graft_dot_i8"),
+      info("graft_dot_i8", "graft_dot_i8(a, b) - exact signed-byte integer dot product over packed int8 codes"),
+      (exprs: Seq[Expression]) => DotInt8(exprs(0), exprs(1))))
   }
 }

@@ -84,7 +84,7 @@ case class DotProduct(left: Expression, right: Expression)
 object GraftFunctions {
   private val names = Seq("graft_dot", "graft_minhash", "graft_simhash",
     "graft_bpe_count", "graft_gopher_masses", "graft_shingle_hashes",
-    "graft_bloom_any", "graft_nfc")
+    "graft_bloom_any", "graft_nfc", "graft_i8_pack", "graft_dot_i8")
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -105,6 +105,10 @@ object GraftFunctions {
       "built-in")
     reg.createOrReplaceTempFunction(
       "graft_nfc", exprs => GraftNfc(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_i8_pack", exprs => PackInt8(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_dot_i8", exprs => DotInt8(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_shingle_hashes", exprs => TokenShingleHashes(exprs.head,
         exprs(1) match {

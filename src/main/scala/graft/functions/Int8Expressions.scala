@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, IntegerType, LongType}
+
+/** Scalar-quantization (SQ8) kernels for the int8 similarity tier (s12):
+  *
+  *  - `graft_i8_pack(array<int>) -> binary` — pack quantized components
+  *    into signed bytes, one byte per dimension. This is what makes SQ8
+  *    real: a 64-dim float32 vector is 256 bytes; packed int8 is 64 — the
+  *    4× compression FAISS's SQ8 storage realizes, at rest AND in flight
+  *    (shuffle/broadcast payloads shrink by the same factor). Components
+  *    are clamped to [-128, 127]; null elements pack as 0.
+  *  - `graft_dot_i8(binary, binary) -> long` — signed-byte dot product
+  *    over the packed codes, exact integer arithmetic in a tight codegen
+  *    loop (the scan kernel; mirrors DotProduct's posture: native
+  *    Expression > HOF lambda > UDF). Shorter input decides the loop
+  *    bound, matching DotProduct's common-prefix rule.
+  *
+  * Exactness is the point: with a corpus-global quantization scale the
+  * ranking key is the raw integer dot (≤ 127²·d, far under 2^53), so the
+  * s12 top-k is bit-reproducible on any engine — it carries a FULL hash
+  * oracle, unlike the float-scored ANN tiers whose oracles are verdicts.
+  */
+case class PackInt8(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_i8_pack expects array<int>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = BinaryType
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val x = arr.getInt(i)
+        out(i) = math.max(-128, math.min(127, x)).toByte
+      }
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |byte[] $out = new byte[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    int $x = $a.getInt($i);
+         |    $out[$i] = (byte) java.lang.Math.max(-128, java.lang.Math.min(127, $x));
+         |  }
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PackInt8 =
+    copy(child = newChild)
+}
+
+case class DotInt8(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"graft_dot_i8 expects (binary, binary), got " +
+          s"(${a.simpleString}, ${b.simpleString})")
+    }
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    val n = math.min(x.length, y.length)
+    var sum = 0L
+    var i = 0
+    while (i < n) { sum += x(i).toLong * y(i).toLong; i += 1 }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val sum = ctx.freshName("sum")
+      s"""
+         |int $n = java.lang.Math.min($a.length, $b.length);
+         |long $sum = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $sum += (long) $a[$i] * (long) $b[$i];
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotInt8 =
+    copy(left = newLeft, right = newRight)
+}

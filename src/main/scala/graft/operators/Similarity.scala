@@ -989,6 +989,50 @@ object Similarity extends QueryPack {
           array_max(col("q")).as("max_q"),
           size(filter(col("q"), x => abs(x) === 127)).as("n_sat"))
         .orderBy(col("vec_id"))
+    }),
+
+    // SQ8 scalar-quantized top-k (s12): the FAISS SQ8 serving tier — the
+    // 4× compression point between float32 brute force (s01) and PQ's
+    // 128× (s08). Corpus-GLOBAL symmetric scale (per-tensor, the standard
+    // serving variant when vectors share dynamic range; s06 holds the
+    // per-vector form), components packed to signed bytes
+    // (`graft_i8_pack`), scan = exact integer dot over the packed codes
+    // (`graft_dot_i8`, codegen loop). Because ONE scale divides out of
+    // every score, the per-query ranking key is the raw integer dot —
+    // bit-reproducible on any engine — so unlike the float-scored ANN
+    // tiers this query carries a FULL hash oracle. Scale posture: the
+    // global max rides the plan as a 1-row broadcast (no driver collect);
+    // the corpus never shuffles (broadcast NQ query codes, map-side
+    // scoring); the only exchange feeds the per-query K-row window, and
+    // shuffle/broadcast payloads carry 64-byte codes, not 256-byte
+    // float arrays. Int8Spec pins recall vs the float baseline.
+    "s12_int8_topk" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val v = T.embeddings(s, d)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val g = v.agg(max(aggregate(transform(col("v"), x => abs(x)),
+        lit(0.0), (a, b) => greatest(a, b))).as("gs"))
+      val q8 = v.crossJoin(broadcast(g))
+        .withColumn("q",
+          when(col("gs") === 0.0, transform(col("v"), _ => lit(0)))
+            .otherwise(transform(col("v"),
+              x => round(x * lit(127) / col("gs")).cast("int"))))
+        .select(col("vec_id"),
+          call_function("graft_i8_pack", col("q")).as("code"))
+      val qs = q8.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("query_id"), col("code").as("qcode"))
+      val scored = q8
+        .select(col("vec_id").as("neighbor_id"), col("code"))
+        .join(broadcast(qs), col("query_id") =!= col("neighbor_id"))
+        .withColumn("dot_q",
+          call_function("graft_dot_i8", col("qcode"), col("code")))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("dot_q").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("dot_q"))
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -1116,6 +1160,30 @@ object Similarity extends QueryPack {
              CAST(list_aggregate(q, 'sum') AS BIGINT) AS sum_q,
              list_min(q) AS min_q, list_max(q) AS max_q,
              len(list_filter(q, x -> abs(x) = 127)) AS n_sat
-      FROM q ORDER BY vec_id"""
+      FROM q ORDER BY vec_id""",
+    // s12 FULL hash oracle: global-scale quantization + integer dot are
+    // exact cross-engine (round HALF_UP both sides, products < 2^53)
+    "s12_int8_topk" -> s"""
+      WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      g AS (SELECT max(list_max(list_transform(v, x -> abs(x)))) AS gs
+            FROM v),
+      q8 AS (
+        SELECT vec_id,
+               CASE WHEN gs = 0 THEN list_transform(v, x -> 0)
+                    ELSE list_transform(v,
+                           x -> CAST(round(x * 127 / gs) AS INT))
+               END AS q
+        FROM v, g),
+      scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CAST(list_dot_product(CAST(a.q AS DOUBLE[]),
+                                     CAST(b.q AS DOUBLE[])) AS BIGINT)
+                 AS dot_q
+        FROM q8 a JOIN q8 b ON a.vec_id < $NQ AND a.vec_id <> b.vec_id)
+      SELECT query_id, rank, neighbor_id, dot_q
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY dot_q DESC, neighbor_id) AS rank FROM scored)
+      WHERE rank <= $K ORDER BY query_id, rank"""
   )
 }

@@ -1,0 +1,76 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the SQ8 kernels (PackInt8 / DotInt8) and the fidelity of the s12
+  * int8 tier: clamp/null/length edges, interpreted-vs-codegen agreement,
+  * and recall of the quantized top-k against the exact float ranking on
+  * the fixture corpus (the compression-vs-fidelity contract).
+  */
+class Int8Spec extends SparkSpec {
+
+  test("pack clamps to [-128,127], nulls pack as 0, dot is exact") {
+    graft.functions.GraftFunctions.register(spark)
+    val rows = spark.sql(
+      """SELECT graft_dot_i8(graft_i8_pack(array(1, -2, 300, -300)),
+        |                    graft_i8_pack(array(2, 2, 1, 1))) AS d,
+        |       graft_i8_pack(array(CAST(NULL AS INT), 5)) AS p""".stripMargin)
+      .collect().head
+    // 1*2 + (-2)*2 + clamp(300)=127 *1 + clamp(-300)=-128 *1 = 2-4+127-128
+    assert(rows.getLong(0) == -3L)
+    assert(rows.getAs[Array[Byte]](1).toSeq == Seq[Byte](0, 5))
+  }
+
+  test("dot over length-mismatched codes uses the common prefix") {
+    graft.functions.GraftFunctions.register(spark)
+    val d = spark.sql(
+      "SELECT graft_dot_i8(graft_i8_pack(array(3, 4, 5)), " +
+        "graft_i8_pack(array(2, 2))) AS d").collect().head.getLong(0)
+    assert(d == 14L) // 3*2 + 4*2
+  }
+
+  test("interpreted eval agrees with codegen") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = (0 until 200).map { i =>
+      (Seq(i, -i, i * 3 % 130, 127, -128), Seq(1, 2, 3, 4, 5))
+    }.toDF("a", "b")
+      .select(call_function("graft_dot_i8",
+        call_function("graft_i8_pack", col("a")),
+        call_function("graft_i8_pack", col("b"))).as("d"))
+    def run(on: Boolean): Seq[Long] = {
+      spark.conf.set("spark.sql.codegen.wholeStage", on.toString)
+      try df.as[Long].collect().toSeq
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+    assert(run(on = true) == run(on = false))
+  }
+
+  test("s12 quantized top-k recalls the exact float top-k") {
+    val k = 5
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    val queries = emb.filter(_._1 < 10)
+    def topk(score: (Array[Double], Array[Double]) => Double) =
+      queries.map { case (qid, qv) =>
+        qid -> emb.filter(_._1 != qid)
+          .map { case (cid, cv) => (cid, score(qv, cv)) }
+          .sortBy { case (cid, s) => (-s, cid) }.take(k).map(_._1).toSet
+      }.toMap
+    val floatTop = topk((a, b) => a.zip(b).map { case (x, y) => x * y }.sum)
+    val gs = emb.map(_._2.map(math.abs).max).max
+    def q8(v: Array[Double]): Array[Long] =
+      v.map(x => math.round(x * 127 / gs))
+    val intTop = topk((a, b) =>
+      q8(a).zip(q8(b)).map { case (x, y) => (x * y).toDouble }.sum)
+    val recall = queries.map { case (qid, _) =>
+      (floatTop(qid) & intTop(qid)).size.toDouble / k
+    }.sum / queries.length
+    assert(recall >= 0.6, f"SQ8 recall@$k = $recall%.2f below 0.6")
+  }
+}

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+import graft.SparkSpec
+import graft.functions.TextFunctions._
+
+/** The Bloom decontamination probe (p13's production shape) composes into
+  * Structured Streaming unchanged: `graft_bloom_any` over the per-document
+  * gram array is a stateless map-only projection (PlanShapeSpec pins the
+  * batch plan), so an ingest stream can be screened document-by-document
+  * against a pre-built eval-suite filter with EXACT batch semantics — the
+  * ingest-time twin of the at-rest sweep. The spec pins stream-vs-batch
+  * equality of the flag column and that the filter actually separates on
+  * the fixture (bench-overlapping docs flagged, others overwhelmingly not).
+  */
+case class BloomDoc(doc_id: Long, text: String)
+
+class StreamingBloomSpec extends SparkSpec {
+
+  test("streaming bloom probe equals the batch probe row-for-row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val all = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val benchGrams = all.filter(col("source") === "src0")
+      .select(explode(distinctShingleHashes(col("text"), 6)).as("h"))
+      .distinct()
+    val bf = benchGrams.stat.bloomFilter("h",
+      math.max(benchGrams.count(), 1L), 1e-6)
+    val bytes = {
+      val bos = new ByteArrayOutputStream(); bf.writeTo(bos); bos.toByteArray
+    }
+    def probe(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        call_function("graft_bloom_any", lit(bytes),
+          distinctShingleHashes(col("text"), 6)).as("bloom_hit"))
+
+    val docs = all.filter(col("source") =!= "src0")
+      .select(col("doc_id"), col("text")).as[BloomDoc].collect().toSeq
+    val batch = probe(docs.toDF())
+
+    val src = MemoryStream[BloomDoc]
+    src.addData(docs: _*)
+    val q = probe(src.toDF())
+      .writeStream.format("memory").queryName("bloom_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("bloom_out")
+
+    assert(streamed.count() == docs.length.toLong)
+    val diff = batch.exceptAll(streamed).count() +
+      streamed.exceptAll(batch).count()
+    assert(diff == 0L, s"stream/batch bloom probe diverged on $diff rows")
+    // separation: some docs flagged (the fixture's seeded contamination),
+    // and the overwhelming majority clean (fpp makes mass-flagging a bug)
+    val hits = streamed.filter(col("bloom_hit")).count()
+    assert(hits > 0 && hits < docs.length / 10,
+      s"bloom probe degenerate: $hits of ${docs.length} flagged")
+  }
+}
