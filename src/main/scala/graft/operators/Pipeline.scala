@@ -52,6 +52,12 @@ object Pipeline extends QueryPack {
     * what the p01 broadcast hash-set join ships per executor.
     */
   private val BLOOM_FPP = 1e-6
+
+  /** Share cap for p14 adaptive balancing: no group above this percent of
+    * the corpus after the filter (in expectation; the md5 lane makes the
+    * realized count binomial around it).
+    */
+  private val CAP_PCT = 20
   private val PACK_BUDGET = 256 // tokens per packed training sequence
   private val SHARDS = 8 // packing shards (indep. greedy streams)
 
@@ -546,6 +552,36 @@ object Pipeline extends QueryPack {
           ((sum(col("bloom_hit").cast("long")) -
             sum(col("exact_hit").cast("long"))) <=
             count(lit(1)).cast("double") * 0.01).as("fp_bounded"))
+    }),
+
+    // Adaptive share-cap balancing (p14): no group may exceed CAP_PCT of
+    // the corpus. Unlike p09 (fixed per-language rates known a priori),
+    // the keep rate here is DATA-DERIVED — cap_docs/n_lang, computed from
+    // the observed mixture — which is how you balance a crawl whose
+    // composition you don't control. The decision stays a deterministic
+    // md5-lane threshold, integerized by cross-multiplication
+    // (h4·n_lang < cap_docs·65536 — p09's posture, no float rates), so
+    // re-runs, engines and partition layouts agree bit-for-bit.
+    // Scale: group counts are a lang-bounded broadcast, the total a 1-row
+    // broadcast; the corpus itself never shuffles — the keep flag is a
+    // projection (the oracle-determinism sort is the only exchange). On
+    // the fixture: en (43.6%) is capped to 20%, every other language
+    // passes untouched.
+    "p14_share_cap" -> ((s, d) => {
+      val docs = T.documents(s, d)
+        .select(col("doc_id"), col("lang"))
+        .withColumn("h4", h4("doc_id"))
+      val counts = docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_lang"))
+      val total = docs.agg(count(lit(1)).as("n_total"))
+      docs.join(broadcast(counts), Seq("lang"))
+        .crossJoin(broadcast(total))
+        .withColumn("cap_docs", expr(s"n_total * $CAP_PCT div 100"))
+        .withColumn("keep",
+          (col("h4") * col("n_lang") < col("cap_docs") * lit(65536L))
+            .cast("int"))
+        .select(col("doc_id"), col("lang"), col("n_lang"), col("keep"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -875,6 +911,16 @@ object Pipeline extends QueryPack {
                AS n_contaminated,
              TRUE AS no_false_neg,
              TRUE AS fp_bounded""",
+    "p14_share_cap" -> s"""
+      WITH base AS (
+        SELECT doc_id, lang, $duckH4 AS h4 FROM documents),
+      counts AS (SELECT lang, count(*) AS n_lang FROM base GROUP BY 1),
+      tot AS (SELECT count(*) AS n_total FROM base)
+      SELECT doc_id, lang, CAST(n_lang AS BIGINT) AS n_lang,
+             CAST(h4 * n_lang < (n_total * $CAP_PCT // 100) * 65536 AS INT)
+               AS keep
+      FROM base JOIN counts USING (lang), tot
+      ORDER BY doc_id""",
     // p07 verdict row: n_docs/n_shards recomputed (8 shards are all
     // occupied at any verify scale — 500+ docs over uniform md5 lanes);
     // the packing invariants (scaladoc on the query) are pinned zeros.

@@ -130,6 +130,31 @@ class PipelineSpec extends SparkSpec {
     assert(spamRow.getLong(spamRow.fieldIndex("n_stop")) == 0L)
   }
 
+  test("p14: over-cap groups are thinned toward the cap, others untouched") {
+    val rows = run("p14_share_cap", "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getInt(3)))
+    val total = rows.length
+    val cap = total * 20 / 100
+    val byLang = rows.groupBy(_._1)
+    byLang.foreach { case (lang, rs) =>
+      val nLang = rs.head._2
+      val kept = rs.count(_._3 == 1)
+      assert(nLang == rs.length.toLong, s"$lang n_lang mismatch")
+      if (nLang <= cap)
+        assert(kept == rs.length, s"$lang under cap but thinned")
+      else {
+        // md5-lane threshold: realized count is binomial around cap —
+        // allow 35% relative slack at this fixture size (n≈100)
+        assert(kept <= cap * 1.35 && kept >= cap * 0.65,
+          s"$lang capped to $kept, expected ≈$cap of $nLang")
+        assert(kept < rs.length, s"$lang over cap but nothing dropped")
+      }
+    }
+    // the fixture exercises BOTH branches
+    assert(byLang.exists(_._2.head._2 > cap), "no over-cap group in fixture")
+    assert(byLang.exists(_._2.head._2 <= cap), "no under-cap group in fixture")
+  }
+
   test("p07: BPE-budget packing invariants hold and verdict row is clean") {
     val dir = fixtureDir((0L until 300L).map(i =>
       (i, (0 until (1 + (i % 37)).toInt).map(t => s"w$t").mkString(" "),
