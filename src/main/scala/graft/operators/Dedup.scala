@@ -83,7 +83,17 @@ object Dedup extends QueryPack {
     * the exact semantics (d03 IS the oracle; d04's capped LSH is the scale
     * path). The collect_list buffer is O(hottest bucket) per shingle.
     */
-  private[graft] def jaccardPairsOf(docs: DataFrame): DataFrame = {
+  private[graft] def jaccardPairsOf(docs: DataFrame): DataFrame =
+    coOccurrencePairs(docs)
+      .withColumn("union_sz", col("na") + col("nb") - col("inter"))
+      .filter(col("inter") * 2 >= col("union_sz"))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("union_sz"))
+
+  /** The bucketed pair machinery itself, shared by d03's symmetric Jaccard
+    * and d12's asymmetric containment — each applies its own threshold as
+    * a pure projection over (doc_a, doc_b, inter, na, nb).
+    */
+  private[graft] def coOccurrencePairs(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val arrs = docs.select(col("doc_id"),
       distinctShingleHashes(col("text"), NGRAM).as("sh"))
@@ -101,9 +111,6 @@ object Dedup extends QueryPack {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
       .agg(count(lit(1)).as("inter"))
-      .withColumn("union_sz", col("na") + col("nb") - col("inter"))
-      .filter(col("inter") * 2 >= col("union_sz"))
-      .select(col("doc_a"), col("doc_b"), col("inter"), col("union_sz"))
   }
 
   /** MinHash signature: ONE pass over the inverted index via the custom
@@ -477,8 +484,41 @@ object Dedup extends QueryPack {
           sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
           sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dropped"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Asymmetric containment dedup (d12): overlap coefficient
+    // inter/min(|A|,|B|) ≥ 0.8 catches EXCERPT relations — a short doc
+    // whose shingles live almost entirely inside a longer one — which
+    // symmetric Jaccard (d03) provably misses once the length ratio
+    // passes ~2× (J = |A|/|B| < 0.5 for a perfect subset). Broder's
+    // containment measure ('97, §2) is the quote/boilerplate-excerpt
+    // detector in dedup pipelines. The fixture corpus has no natural
+    // excerpts (its near-dup pairs are all whole-document), so the query
+    // SYNTHESIZES them deterministically: each document's first
+    // EXCERPT_TOK tokens become a pseudo-doc (id offset past max(doc_id),
+    // a 1-row broadcast — replayed exactly by the oracle), and the
+    // emitted pairs are those passing containment 0.8 but FAILING Jaccard
+    // 0.5 — exactly the relation d03 cannot see. Same single-pass
+    // bucketed machinery (coOccurrencePairs); both thresholds are integer
+    // cross-multiplications.
+    "d12_containment_pairs" -> ((s, d) => {
+      val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+      val mx = docs.agg(max(col("doc_id")).as("mx"))
+      val w = split(trim(col("text")), "\\s+")
+      val excerpts = docs.crossJoin(broadcast(mx))
+        .select((col("doc_id") + col("mx") + lit(1L)).as("doc_id"),
+          concat_ws(" ", slice(w, 1, EXCERPT_TOK)).as("text"))
+      coOccurrencePairs(docs.unionByName(excerpts))
+        .withColumn("small_sz", least(col("na"), col("nb")))
+        .filter(col("inter") * 10 >= col("small_sz") * 8 &&
+          col("inter") * 2 < col("na") + col("nb") - col("inter"))
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("small_sz"))
+        .orderBy(col("doc_a"), col("doc_b"))
     })
   )
+
+  /** Excerpt length (tokens) for d12's synthesized containment fixtures. */
+  private val EXCERPT_TOK = 12
 
   // private[operators]: p12's oracle replays the same pair set before
   // the transitive closure that assigns leakage-safe split lanes
@@ -561,6 +601,34 @@ object Dedup extends QueryPack {
              (SELECT count(*) FROM jp) AS n_jaccard_pairs,
              CAST(0 AS BIGINT) AS n_outside_jaccard,
              CAST(0 AS BIGINT) AS n_exact_missed"""),
+    // d12: excerpt synthesis + both thresholds replayed literally on gram
+    // strings (the d03 hash-vs-string equivalence posture)
+    "d12_containment_pairs" -> s"""
+      WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+      toks0 AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents),
+      docs2 AS (
+        SELECT doc_id, w FROM toks0
+        UNION ALL
+        SELECT t.doc_id + mx.mx + 1, w[1:$EXCERPT_TOK] FROM toks0 t, mx),
+      pos AS (
+        SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM docs2),
+      sh AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        FROM pos WHERE i <= len(w) - 2),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)
+      SELECT doc_a, doc_b, inter,
+             least(na.n_sh, nb.n_sh) AS small_sz
+      FROM inter JOIN sz na ON doc_a = na.doc_id
+                 JOIN sz nb ON doc_b = nb.doc_id
+      WHERE inter * 10 >= least(na.n_sh, nb.n_sh) * 8
+        AND inter * 2 < na.n_sh + nb.n_sh - inter
+      ORDER BY doc_a, doc_b""",
     "d11_incremental_chunks" -> s"""
       WITH toks AS (
         SELECT doc_id, CAST(substr(source, 4) AS INT) AS sn,

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins d12's asymmetric-containment semantics on a hand-built corpus:
+  * an excerpt embedded in a much longer document passes containment but
+  * fails symmetric Jaccard — the relation the operator exists to catch —
+  * and unrelated documents pair with neither.
+  */
+class ContainmentSpec extends SparkSpec {
+
+  private def fixtureDir(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = tmpDir("containment")
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("srcX"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("an embedded quote is containment-caught and Jaccard-missed") {
+    // doc 1: 40 distinct tokens; tokens 10..21 are the quote doc 2 carries
+    val big = (0 until 40).map(i => s"w$i").mkString(" ")
+    val quote = (10 until 22).map(i => s"w$i").mkString(" ")
+    val dir = fixtureDir(Seq(
+      (1L, big),
+      (2L, quote + " tail1 tail2"), // quote + a little novel material
+      (3L, (100 until 120).map(i => s"u$i").mkString(" ")) // unrelated
+    ))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val co = Dedup.coOccurrencePairs(docs.select(col("doc_id"), col("text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(4), r.getInt(2), r.getInt(3)))).toMap
+    // pair (1,2): quote contributes 10 shared 3-gram shingles of doc 2's
+    // 12 (the two tail tokens add 2 novel shingles + break 2)
+    val (inter, na, nb) = co((1L, 2L))
+    val small = math.min(na, nb)
+    assert(inter * 10 >= small * 8, s"containment missed: $inter/$small")
+    assert(inter * 2 < na + nb - inter, s"Jaccard should fail: $inter $na $nb")
+    assert(!co.contains((1L, 3L)) && !co.contains((2L, 3L)),
+      "unrelated docs must not co-occur")
+    // and the full d12 query over this corpus emits the excerpt relation
+    val d12 = graft.SparkEntry.queries("d12_containment_pairs")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(d12.contains((1L, 2L)), "d12 lost the embedded-quote pair")
+  }
+}
