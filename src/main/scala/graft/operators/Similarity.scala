@@ -1033,6 +1033,74 @@ object Similarity extends QueryPack {
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           col("dot_q"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Incremental IVF maintenance (s13): new vectors join the at-rest
+    // index WITHOUT retraining — d11's ingest pattern applied to ANN.
+    // The at-rest corpus (a deterministic 80% slice, vec_id % 5 ≠ 4)
+    // trains the quantizer and persists partitionBy(cell) once
+    // (writeOnce, s07's layout); the arriving 20% batch is assigned by
+    // the SAME frozen literal-centroid projection (map-only — the
+    // historical corpus is never rescanned, the codebook never moves)
+    // and persists as a delta directory in the same layout. A probe then
+    // reads BOTH directories partition-pruned (nprobe cells each) and
+    // must rank exactly like the in-flight path over the full corpus
+    // under the frozen centroids. Verdict row:
+    //  - n_topk (= K, oracle recomputes) and n_mismatch = 0: at-rest ∪
+    //    delta probe ≡ in-flight top-k, structurally (same centroids,
+    //    same vectors, same tie-break);
+    //  - cells_bounded / scan_bounded: ≤ NPROBE cells per directory and
+    //    the pruned scan stays under 0.75 of the corpus;
+    //  - n_delta: delta rows actually indexed (oracle recomputes the
+    //    20% slice count — the maintenance did not drop the batch).
+    // Periodic retraining (centroid drift) is an offline policy decision
+    // layered on top; the invariant here is that between retrains,
+    // ingest is append-only and probe-consistent.
+    "s13_ivf_incremental" -> ((s, d) => {
+      val base = normed(s, d)
+      val rest = base.filter(pmod(col("vec_id"), lit(5)) =!= 4)
+      val delta = base.filter(pmod(col("vec_id"), lit(5)) === 4)
+      val cents = kmeansCentroids(rest, CELLS, KM_ITERS)
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val outBase = s"/tmp/graft_io/$tag/s13_base"
+      val outDelta = s"/tmp/graft_io/$tag/s13_delta"
+      Formats.writeOnce(s, outBase) {
+        rest.withColumn("cell", cellExpr(cents, col("v")))
+          .write.partitionBy("cell").mode("overwrite").parquet(outBase)
+      }
+      Formats.writeOnce(s, outDelta) {
+        delta.withColumn("cell", cellExpr(cents, col("v")))
+          .write.partitionBy("cell").mode("overwrite").parquet(outDelta)
+      }
+      val q0 = base.filter(col("vec_id") === 0)
+        .select(col("v"), col("nrm")).head()
+      val qv = q0.getSeq[Double](0).toArray
+      val qn = q0.getDouble(1)
+      val cells = probeCellsOf(cents, qv, NPROBE)
+      val pruned = s.read.parquet(outBase)
+        .unionByName(s.read.parquet(outDelta))
+        .filter(col("cell").isin(cells: _*))
+      val atRest = pruned.filter(col("vec_id") =!= 0)
+        .withColumn("cos",
+          dot(col("v"), typedLit(qv.toSeq)) / (col("nrm") * lit(qn)))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(K).select(col("vec_id").as("neighbor_id"))
+      val inFlight = ivfTopKFrom(ivfCandidates(base, cents))
+        .filter(col("query_id") === 0).select(col("neighbor_id"))
+      val merged = atRest.withColumn("a", lit(1))
+        .join(inFlight.withColumn("b", lit(1)), Seq("neighbor_id"),
+          "full_outer")
+        .agg(count(lit(1)).as("n_topk"),
+          sum(when(col("a").isNull || col("b").isNull, 1L).otherwise(0L))
+            .as("n_mismatch"))
+      val scan = pruned.agg(countDistinct(col("cell")).as("ncells"),
+        count(lit(1)).as("nscan"))
+      merged
+        .crossJoin(scan.crossJoin(base.agg(count(lit(1)).as("nv")))
+          .select((col("ncells") <= NPROBE).as("cells_bounded"),
+            (col("nscan") <= col("nv") * 0.75).as("scan_bounded")))
+        .crossJoin(s.read.parquet(outDelta)
+          .agg(count(lit(1)).as("n_delta")))
     })
   )
 
@@ -1184,6 +1252,16 @@ object Similarity extends QueryPack {
       SELECT query_id, rank, neighbor_id, dot_q
       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                    ORDER BY dot_q DESC, neighbor_id) AS rank FROM scored)
-      WHERE rank <= $K ORDER BY query_id, rank"""
+      WHERE rank <= $K ORDER BY query_id, rank""",
+    // s13 verdict row: probe/in-flight equivalence and scan bounds pinned
+    // (guaranteed structurally — scaladoc on the query); the delta-batch
+    // size recomputed from the deterministic 20% slice
+    "s13_ivf_incremental" -> s"""
+      SELECT CAST($K AS BIGINT) AS n_topk,
+             CAST(0 AS BIGINT) AS n_mismatch,
+             TRUE AS cells_bounded,
+             TRUE AS scan_bounded,
+             (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+              WHERE vec_id % 5 = 4) AS n_delta"""
   )
 }

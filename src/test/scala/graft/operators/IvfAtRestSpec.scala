@@ -47,6 +47,24 @@ class IvfAtRestSpec extends SparkSpec {
       s"no pruning: read $readFiles of $allFiles files")
   }
 
+  test("s13 delta batch lands in the same cell layout, probe prunes it") {
+    // run the query once so both directories exist (Verify semantics:
+    // no reuse flag on the test session, so writes always execute)
+    val row = graft.SparkEntry.queries("s13_ivf_incremental")(spark, d)
+      .collect().head
+    assert(row.getLong(1) == 0L, "at-rest+delta probe diverged from in-flight")
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val deltaDir = new java.io.File(s"/tmp/graft_io/$tag/s13_delta")
+    val cellDirs = deltaDir.listFiles().filter(_.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty && cellDirs.length <= 8,
+      s"delta layout has ${cellDirs.length} cell dirs")
+    // the delta probe is partition-pruned exactly like the base index
+    val probe = spark.read.parquet(deltaDir.getAbsolutePath)
+      .filter(col("cell").isin(0, 1))
+    assert(scanOf(probe).metadata("PartitionFilters").contains("cell"),
+      "delta probe lost partition pruning")
+  }
+
   test("driver-side probe-cell ranking matches the in-plan expression") {
     graft.functions.GraftFunctions.register(spark)
     val base = spark.read.parquet(s"$d/embeddings.parquet")
