@@ -214,6 +214,45 @@ object Formats extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Certified write (f10): the reference connector verifies its PipeOut
+    // by record count in its stderr self-metrics; at 100 TB a count alone
+    // misses silent corruption, so this manifest adds an order-independent
+    // CONTENT checksum — per row, the first 8 md5 hex digits of the
+    // canonical field concatenation, summed (sum is commutative, so the
+    // checksum is partition- and order-agnostic and two-phase
+    // aggregateable). The verdict row carries the recomputed count and
+    // checksum (the oracle recomputes BOTH from the source table — a
+    // write that dropped, duplicated, or altered any row changes one of
+    // them) plus the roundtrip and per-part consistency booleans.
+    "f10_write_manifest" -> ((s, d) => {
+      val out = ioDir(d, "f10")
+      writeOnce(s, out) {
+        T.documents(s, d).repartition(4)
+          .write.mode("overwrite").parquet(out)
+      }
+      def canon(df: DataFrame): DataFrame = df.select(
+        conv(substring(md5(concat_ws("\u0001",
+          col("doc_id").cast("string"), col("text"), col("lang"),
+          col("source"), col("n_chars").cast("string"))), 1, 8), 16, 10)
+          .cast("long").as("rh"))
+      def sums(df: DataFrame): DataFrame =
+        canon(df).agg(count(lit(1)).as("n"), sum(col("rh")).as("h"))
+      val src = sums(T.documents(s, d))
+        .select(col("n").as("n_src"), col("h").as("h_src"))
+      val back = s.read.parquet(out)
+      val rt = sums(back).select(col("n").as("n_back"), col("h").as("h_back"))
+      val parts = back.groupBy(input_file_name().as("part"))
+        .agg(count(lit(1)).as("pn"))
+        .agg(sum(col("pn")).as("n_parts_sum"),
+          count(lit(1)).as("n_parts"))
+      src.crossJoin(rt).crossJoin(parts)
+        .select(col("n_src").as("n_rows"), col("h_src").as("content_sum"),
+          (col("n_src") === col("n_back") && col("h_src") === col("h_back"))
+            .as("roundtrip_ok"),
+          (col("n_parts_sum") === col("n_src") && col("n_parts") >= 1)
+            .as("parts_consistent"))
+    }),
+
     // PipeOutAndMerge shape: parallel part write, single-writer ordered
     // concat (Merge.mergeParts = mergeFile), then scan the ONE merged file.
     "f04_flat_merged_agg" -> ((s, d) => {
@@ -247,6 +286,18 @@ object Formats extends QueryPack {
     "f09_jsonl_roundtrip" -> """
       SELECT doc_id, text, lang, source, n_chars
       FROM documents ORDER BY doc_id""",
+    // f10: count AND content checksum recomputed from the source table;
+    // the write-integrity booleans are pinned (guaranteed by the writer)
+    "f10_write_manifest" -> """
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(('0x' || substr(md5(
+               CAST(doc_id AS VARCHAR) || chr(1) || text || chr(1) ||
+               lang || chr(1) || source || chr(1) ||
+               CAST(n_chars AS VARCHAR)), 1, 8)) AS BIGINT)) AS BIGINT)
+               AS content_sum,
+             TRUE AS roundtrip_ok,
+             TRUE AS parts_consistent
+      FROM documents""",
     "f03_xml_roundtrip" -> """
       SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""",
     "f05_orc_roundtrip" -> """
