@@ -85,7 +85,7 @@ object Similarity extends QueryPack {
     * `v` need not be normalized: centroids are unit vectors, so
     * argmax_j dot(v, c_j) = argmax_j cos(v, c_j).
     */
-  private def cellExpr(cents: Array[Array[Double]], v: Column): Column =
+  private[graft] def cellExpr(cents: Array[Array[Double]], v: Column): Column =
     least(cents.zipWithIndex.map { case (cv, j) =>
       struct((-dot(v, typedLit(cv.toSeq))).as("nd"), lit(j).as("cell"))
     }: _*).getField("cell")

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** s13's ingest side as a stream: the frozen-centroid cell assignment is a
+  * stateless map-only projection (literal centroids ride the plan), so an
+  * arriving vector stream can be routed to index cells micro-batch by
+  * micro-batch with EXACT batch semantics — the streaming twin of the
+  * incremental-IVF delta write, closing the ANN ingest story the same way
+  * StreamingBloomSpec closes decontamination and StreamingGateSpec the
+  * quality gate. The spec pins stream-vs-batch assignment equality and
+  * that a foreachBatch append lands the same per-cell counts the batch
+  * writer would.
+  */
+case class IngestVec(vec_id: Long, v: Seq[Double])
+
+class StreamingIvfIngestSpec extends SparkSpec {
+
+  test("streaming cell assignment equals batch; appended counts match") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val base = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    // train on the 80% slice, stream the 20% delta batch — s13's split
+    val rest = base.filter(pmod(col("vec_id"), lit(5)) =!= 4)
+    val cents = graft.operators.Similarity.kmeansCentroids(rest, 8, 4)
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"),
+        graft.operators.Similarity.cellExpr(cents, col("v")).as("cell"))
+
+    val delta = base.filter(pmod(col("vec_id"), lit(5)) === 4)
+      .as[IngestVec].collect().toSeq
+    val batch = assign(delta.toDF())
+
+    val src = MemoryStream[IngestVec]
+    val out = tmpDir("ivf-ingest")
+    val q = assign(src.toDF())
+      .writeStream.foreachBatch {
+        (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").partitionBy("cell")
+            .parquet(s"$out/delta")
+      }.start()
+    // three micro-batches, arbitrary split
+    try {
+      delta.grouped(delta.size / 3 + 1).foreach { g =>
+        src.addData(g: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(s"$out/delta")
+      .select(col("vec_id"), col("cell").cast("int").as("cell"))
+    assert(streamed.count() == delta.size.toLong)
+    val diff = batch.exceptAll(streamed).count() +
+      streamed.exceptAll(batch).count()
+    assert(diff == 0L, s"stream/batch assignment diverged on $diff vectors")
+    // layout parity: the partition dirs are exactly the batch cell set
+    val dirs = new java.io.File(s"$out/delta").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).toSet
+    val cells = batch.select(col("cell")).distinct()
+      .collect().map(r => s"cell=${r.getInt(0)}").toSet
+    assert(dirs == cells, s"partition dirs $dirs != batch cells $cells")
+  }
+}
