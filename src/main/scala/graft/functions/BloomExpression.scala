@@ -42,9 +42,14 @@ case class BloomAnyContain(bloomExpr: Expression, hashesExpr: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     (bloomExpr.dataType, hashesExpr.dataType) match {
       case (BinaryType, ArrayType(LongType, _)) =>
-        if (bloomExpr.foldable) TypeCheckResult.TypeCheckSuccess
-        else TypeCheckResult.TypeCheckFailure(
+        if (!bloomExpr.foldable) TypeCheckResult.TypeCheckFailure(
           "graft_bloom_any: bloom argument must be a literal (foldable)")
+        // reject a null filter at analysis time: the lazy deserialization
+        // below would otherwise NPE during codegen, failing the query with
+        // an unrelated-looking planner error
+        else if (bloomExpr.eval() == null) TypeCheckResult.TypeCheckFailure(
+          "graft_bloom_any: bloom argument must be a non-null literal")
+        else TypeCheckResult.TypeCheckSuccess
       case (a, b) => TypeCheckResult.TypeCheckFailure(
         s"graft_bloom_any expects (binary, array<bigint>), got " +
           s"(${a.simpleString}, ${b.simpleString})")

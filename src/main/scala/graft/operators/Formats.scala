@@ -18,7 +18,7 @@ import graft.sources.{EclLayout, HpccCsv, Merge}
   */
 object Formats extends QueryPack {
 
-  private def ioDir(d: String, q: String): String =
+  private[graft] def ioDir(d: String, q: String): String =
     s"/tmp/graft_io/${d.replaceAll("[^A-Za-z0-9]", "_")}/$q"
 
   /** Benchmark-only write elision. The f-queries certify a write→read round
@@ -230,10 +230,16 @@ object Formats extends QueryPack {
         T.documents(s, d).repartition(4)
           .write.mode("overwrite").parquet(out)
       }
+      // concat (not concat_ws): NULL in any field nulls the row hash, so
+      // the sum skips that row on BOTH engines (the oracle's || does the
+      // same) — concat_ws would silently drop a NULL field AND its
+      // separator, making rows that differ only in which field is NULL
+      // hash identically — a blind spot in a corruption check
       def canon(df: DataFrame): DataFrame = df.select(
-        conv(substring(md5(concat_ws("\u0001",
-          col("doc_id").cast("string"), col("text"), col("lang"),
-          col("source"), col("n_chars").cast("string"))), 1, 8), 16, 10)
+        conv(substring(md5(concat(
+          col("doc_id").cast("string"), lit("\u0001"), col("text"),
+          lit("\u0001"), col("lang"), lit("\u0001"), col("source"),
+          lit("\u0001"), col("n_chars").cast("string"))), 1, 8), 16, 10)
           .cast("long").as("rh"))
       def sums(df: DataFrame): DataFrame =
         canon(df).agg(count(lit(1)).as("n"), sum(col("rh")).as("h"))

@@ -76,16 +76,19 @@ object Pipeline extends QueryPack {
     * per-doc count keyed on unique doc_id.
     */
   private[graft] def decontaminate(probe: DataFrame, bench: DataFrame,
-      n: Int): DataFrame = {
+      n: Int, benchGrams: Option[DataFrame] = None): DataFrame = {
     graft.functions.GraftFunctions.register(probe.sparkSession)
     // grams never exist as strings: hashed straight off the token structs
     // (shingleHashes) on BOTH sides, so the probe explode carries 8-byte
     // longs only (the oracle joins the gram strings — same pair semantics
-    // at 2^-64 collision odds, the d03 precedent)
+    // at 2^-64 collision odds, the d03 precedent). Callers that already
+    // hold the distinct bench gram set (p13 builds it for the Bloom
+    // filter) pass it in rather than paying the tokenize+distinct again.
     val pg = probe.select(col("doc_id"),
       explode(distinctShingleHashes(col("text"), n)).as("h"))
-    val bg = bench.select(explode(distinctShingleHashes(col("text"), n)).as("h"))
-      .distinct()
+    val bg = benchGrams.getOrElse(
+      bench.select(explode(distinctShingleHashes(col("text"), n)).as("h"))
+        .distinct())
     val shared = pg.join(broadcast(bg), Seq("h"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
     probe.select(col("doc_id"),
@@ -530,9 +533,12 @@ object Pipeline extends QueryPack {
       val docs = T.documents(s, d)
       val probe = docs.filter(col("source") =!= BENCH_SRC)
       val bench = docs.filter(col("source") === BENCH_SRC)
+      // cache the distinct bench gram set: it feeds the sizing count, the
+      // bloom sketch build, AND the exact certification subtree below —
+      // without the cache each would re-tokenize the bench slice
       val bg = bench
         .select(explode(distinctShingleHashes(col("text"), NGRAM)).as("h"))
-        .distinct()
+        .distinct().cache()
       val bloom = bg.stat.bloomFilter("h", math.max(bg.count(), 1L), BLOOM_FPP)
       val bytes = {
         val bos = new java.io.ByteArrayOutputStream()
@@ -541,7 +547,7 @@ object Pipeline extends QueryPack {
       val flagged = probe.select(col("doc_id"),
         call_function("graft_bloom_any", lit(bytes),
           distinctShingleHashes(col("text"), NGRAM)).as("bloom_hit"))
-      val exact = decontaminate(probe, bench, NGRAM)
+      val exact = decontaminate(probe, bench, NGRAM, benchGrams = Some(bg))
         .select(col("doc_id"), (col("contaminated") === 1).as("exact_hit"))
       flagged.join(exact, Seq("doc_id"))
         .agg(

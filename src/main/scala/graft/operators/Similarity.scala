@@ -537,7 +537,7 @@ object Similarity extends QueryPack {
       d: String): (String, Array[Array[Double]]) = {
     val base = normed(s, d)
     val cents = kmeansCentroids(base, CELLS, KM_ITERS)
-    val out = s"/tmp/graft_io/${d.replaceAll("[^A-Za-z0-9]", "_")}/s07_ivf"
+    val out = Formats.ioDir(d, "s07_ivf")
     Formats.writeOnce(s, out) {
       base.withColumn("cell", cellExpr(cents, col("v")))
         .write.partitionBy("cell").mode("overwrite").parquet(out)
@@ -1061,9 +1061,8 @@ object Similarity extends QueryPack {
       val rest = base.filter(pmod(col("vec_id"), lit(5)) =!= 4)
       val delta = base.filter(pmod(col("vec_id"), lit(5)) === 4)
       val cents = kmeansCentroids(rest, CELLS, KM_ITERS)
-      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
-      val outBase = s"/tmp/graft_io/$tag/s13_base"
-      val outDelta = s"/tmp/graft_io/$tag/s13_delta"
+      val outBase = Formats.ioDir(d, "s13_base")
+      val outDelta = Formats.ioDir(d, "s13_delta")
       Formats.writeOnce(s, outBase) {
         rest.withColumn("cell", cellExpr(cents, col("v")))
           .write.partitionBy("cell").mode("overwrite").parquet(outBase)

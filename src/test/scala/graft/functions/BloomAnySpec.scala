@@ -79,6 +79,15 @@ class BloomAnySpec extends SparkSpec {
     assert(rows.head.getBoolean(1))
   }
 
+  test("a null bloom literal is rejected at analysis, not codegen NPE") {
+    graft.functions.GraftFunctions.register(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_bloom_any(CAST(NULL AS BINARY), array(1L))")
+        .collect()
+    }
+    assert(e.getMessage.contains("non-null literal"), e.getMessage)
+  }
+
   test("interpreted eval agrees with codegen") {
     graft.functions.GraftFunctions.register(spark)
     val inserted = (0L until 1000L).map(_ * 31L)

@@ -18,7 +18,13 @@ object RunMain {
       val t0 = System.nanoTime()
       val rows = df.collect()
       println(f"rows=${rows.length}  (${(System.nanoTime() - t0) / 1e9}%.2f s)")
-      df.show(20, truncate = 60)
+      // print from the collected rows — df.show() would re-execute the
+      // whole plan (and re-run any writes the query performs)
+      println(df.columns.mkString(" | "))
+      rows.take(20).foreach(r => println(r.toSeq.map {
+        case s: String if s.length > 60 => s.take(57) + "..."
+        case x => String.valueOf(x)
+      }.mkString(" | ")))
     }
     spark.stop()
   }
