@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DoubleType, IntegerType, LongType, StringType}
 import org.scalatest.funsuite.AnyFunSuite
-import graft.functions.{DotProduct, MinHashAgg, SimHashAgg}
+import graft.functions.{BloomAnyContain, DotInt8, DotProduct, GraftNfc, MinHashAgg, PackInt8, SimHashAgg}
 
 class GraftExtensionsSpec extends AnyFunSuite {
 
@@ -19,5 +19,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(MinHashAgg(Literal(1L), 64).dataType ==
       ArrayType(LongType, containsNull = false))
     assert(SimHashAgg(Literal(1L)).dataType == LongType)
+    val hashes = Literal.create(Seq(1L), ArrayType(LongType))
+    val bloom = Literal.create(Array[Byte](1, 2), BinaryType)
+    assert(BloomAnyContain(bloom, hashes).dataType == BooleanType)
+    assert(GraftNfc(Literal.create("x", StringType)).dataType == StringType)
+    val ints = Literal.create(Seq(1), ArrayType(IntegerType))
+    assert(PackInt8(ints).dataType == BinaryType)
+    assert(DotInt8(bloom, bloom).dataType == LongType)
   }
 }
