@@ -588,8 +588,39 @@ object Pipeline extends QueryPack {
             .cast("int"))
         .select(col("doc_id"), col("lang"), col("n_lang"), col("keep"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Overlapping-window chunking (p15): the retrieval-ingestion shape —
+    // W-token windows at stride S (50% overlap), so a passage near a
+    // boundary is whole in at least one chunk. d09's non-overlapping
+    // chunks serve dedup; these serve RAG indexing (chunk text is hashed
+    // here — md5 is what a downstream embedding/index stage would key
+    // on). Window count is PURE integer math (no float ceil to disagree
+    // on): n ≤ W → 1 window, else (n−W+S−1) div S + 1, numerator
+    // non-negative by the branch. A pure projection + generator — no
+    // shuffle but the oracle-determinism sort; composes anywhere.
+    "p15_overlap_chunks" -> ((s, d) => {
+      val t = split(trim(col("text")), "\\s+")
+      val n = size(t)
+      val nW = when(n <= CHUNK_W_OVL, lit(1)).otherwise(
+        floor((n - lit(CHUNK_W_OVL) + lit(CHUNK_S_OVL) - 1)
+          / lit(CHUNK_S_OVL)).cast("int") + 1)
+      T.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), nW - 1), i => struct(
+            size(slice(t, i * CHUNK_S_OVL + 1, lit(CHUNK_W_OVL)))
+              .cast("long").as("n_tok"),
+            md5(concat_ws(" ", slice(t, i * CHUNK_S_OVL + 1, lit(CHUNK_W_OVL))))
+              .as("h")))).as(Seq("chunk_idx", "c")))
+        .select(col("doc_id"), col("chunk_idx"),
+          col("c.n_tok").as("n_tok"), col("c.h").as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
     })
   )
+
+  /** p15 overlapping-chunk geometry: 24-token windows, 12-token stride. */
+  private val CHUNK_W_OVL = 24
+  private val CHUNK_S_OVL = 12
 
   /** DSIR hashed-feature bucket count (p11). 2^12 keeps the bucket tables
     * broadcast-size at any corpus scale while leaving unigram collisions
@@ -927,6 +958,27 @@ object Pipeline extends QueryPack {
                AS keep
       FROM base JOIN counts USING (lang), tot
       ORDER BY doc_id""",
+    "p15_overlap_chunks" -> s"""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents),
+      geo AS (
+        SELECT doc_id, w,
+               CASE WHEN len(w) <= $CHUNK_W_OVL THEN 1
+                    ELSE (len(w) - $CHUNK_W_OVL + $CHUNK_S_OVL - 1)
+                         // $CHUNK_S_OVL + 1 END AS n_w
+        FROM toks),
+      idx AS (
+        SELECT doc_id, w, unnest(range(n_w)) AS chunk_idx FROM geo),
+      ch AS (
+        SELECT doc_id, chunk_idx,
+               w[(chunk_idx * $CHUNK_S_OVL + 1):
+                 (chunk_idx * $CHUNK_S_OVL + $CHUNK_W_OVL)] AS cw
+        FROM idx)
+      SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+             CAST(len(cw) AS BIGINT) AS n_tok,
+             md5(array_to_string(cw, ' ')) AS chunk_md5
+      FROM ch ORDER BY doc_id, chunk_idx""",
     // p07 verdict row: n_docs/n_shards recomputed (8 shards are all
     // occupied at any verify scale — 500+ docs over uniform md5 lanes);
     // the packing invariants (scaladoc on the query) are pinned zeros.

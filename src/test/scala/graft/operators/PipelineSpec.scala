@@ -155,6 +155,27 @@ class PipelineSpec extends SparkSpec {
     assert(byLang.exists(_._2.head._2 <= cap), "no under-cap group in fixture")
   }
 
+  test("p15: windows tile at stride 12 with 12-token overlap, tail kept") {
+    val words = (0 until 50).map(i => s"w$i")
+    val dir = fixtureDir(Seq((1L, words.mkString(" "), "en", "srcX")))
+    val rows = run("p15_overlap_chunks", dir).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getString(3)))
+    // n=50, W=24, S=12: ceil((50-24)/12)+1 = 4 windows; last covers
+    // [36, 50) = 14 tokens
+    assert(rows.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    assert(rows.map(_._2).toSeq == Seq(24L, 24L, 24L, 14L))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    rows.foreach { case (i, _, h) =>
+      val expect = words.slice(i * 12, math.min(i * 12 + 24, 50))
+      assert(h == md5hex(expect.mkString(" ")), s"chunk $i hash mismatch")
+    }
+    // a short doc yields exactly one whole-document window
+    val short = fixtureDir(Seq((2L, "a b c", "en", "srcX")))
+    val one = run("p15_overlap_chunks", short).collect()
+    assert(one.length == 1 && one.head.getLong(2) == 3L)
+  }
+
   test("p07: BPE-budget packing invariants hold and verdict row is clean") {
     val dir = fixtureDir((0L until 300L).map(i =>
       (i, (0 until (1 + (i % 37)).toInt).map(t => s"w$t").mkString(" "),
