@@ -51,6 +51,14 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.contains(name)) }
+    // fail the short-key collision check BEFORE the multi-minute timed
+    // loop — the condition is knowable from the key set alone
+    require(queries.keys.map(_.takeWhile(_ != '_')).toSet.size ==
+      queries.size,
+      "bench short-key collision: " + queries.keys
+        .groupBy(_.takeWhile(_ != '_'))
+        .collect { case (_, ks) if ks.size > 1 => ks.mkString("/") }
+        .mkString(", "))
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
       fn(spark, sfDir).queryExecution.toRdd.count(); ()
     }
@@ -113,12 +121,7 @@ object Bench {
     // ~28 chars/entry no longer fit (the round-6/7 overflow, back at a
     // bigger query count). Full names stay in the file line below.
     def short(k: String): String = k.takeWhile(_ != '_')
-    // two queries sharing a letter+number prefix would silently collapse
-    // into one duplicate JSON key in the compact line — fail loudly instead
-    require(results.keys.map(short).toSet.size == results.size,
-      "bench short-key collision: " + results.keys.groupBy(short)
-        .collect { case (p, ks) if ks.size > 1 => ks.mkString("/") }
-        .mkString(", "))
+    // (collision across short keys is rejected before the timed loop)
     val qs = results.map { case (k, (med, _)) =>
       s"\"" + short(k) + "\":" + ms(med) }.mkString("{", ",", "}")
     val qsFull = results.map { case (k, (med, _)) =>

@@ -447,9 +447,7 @@ object Pipeline extends QueryPack {
       val occ = T.documents(s, d)
         .select(col("doc_id"), col("lang"),
           explode(tokens(col("text"))).as("word"))
-        .withColumn("b",
-          pmod(conv(substring(md5(col("word")), 1, 4), 16, 10).cast("long"),
-            lit(DsirB.toLong)))
+        .withColumn("b", pmod(h4("word"), lit(DsirB.toLong)))
       val raw = occ.groupBy(col("b")).agg(count(lit(1)).as("cr"))
       val tgt = occ.filter(col("lang") === "en")
         .groupBy(col("b")).agg(count(lit(1)).as("ct"))
@@ -468,8 +466,16 @@ object Pipeline extends QueryPack {
         .groupBy(col("doc_id"), col("lang"))
         .agg(count(lit(1)).as("n_tokens"),
           sum(col("lr_micro")).as("w_micro"))
+      // noise lane is 32-bit (8 md5 hex chars), NOT the 16-bit h4: with
+      // only 65536 noise values, equal-weight docs sharing a lane tie on
+      // key_micro and fall back to ascending doc_id — a systematic
+      // low-id bias once the corpus is much larger than the lane space.
+      // 2^32 strata keep ties negligible to ~10^9 docs; widen again past
+      // that.
       val keyed = weights
-        .withColumn("u", (h4("doc_id") + lit(0.5)) / lit(65536.0))
+        .withColumn("u",
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") + lit(0.5)) / lit(4294967296.0))
         .withColumn("key_micro",
           col("w_micro") +
             floor(lit(1e6) * -log(-log(col("u")))).cast("long"))
@@ -890,7 +896,9 @@ object Pipeline extends QueryPack {
       k AS (
         SELECT doc_id, lang, w_micro,
                w_micro + CAST(floor(1000000 *
-                 -ln(-ln(($duckH4 + 0.5) / 65536.0))) AS BIGINT)
+                 -ln(-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                1, 8)) AS BIGINT) + 0.5)
+                         / 4294967296.0))) AS BIGINT)
                  AS key_micro
         FROM w)
       SELECT * FROM (

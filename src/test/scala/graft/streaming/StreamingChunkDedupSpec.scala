@@ -44,10 +44,20 @@ class StreamingChunkDedupSpec extends SparkSpec {
     val diff = batch.exceptAll(streamed).count() +
       streamed.exceptAll(batch).count()
     assert(diff == 0L, s"stream/batch chunk dedup diverged on $diff rows")
-    // the state actually crossed batches: some second-half occurrence of
-    // a first-half chunk must have been dropped
-    val secondHalfDropped = spark.table("chunk_verdicts")
-      .filter(col("doc_id") >= second.head.doc_id && !col("kept")).count()
-    assert(secondHalfDropped > 0, "no cross-batch duplicate was exercised")
+    // the state actually crossed batches: a second-half occurrence must
+    // have been dropped because its hash's KEEPER sits in the first half
+    // (a duplicate entirely inside batch 2 would be dropped by the
+    // within-batch sort alone and proves nothing about state carry-over)
+    val v = spark.table("chunk_verdicts")
+    val boundary = second.head.doc_id
+    val firstHalfKeepers = v.filter(col("kept") && col("doc_id") < boundary)
+      .select(col("h")).distinct().as[String].collect().toSet
+    val crossBatchDropped = v
+      .filter(!col("kept") && col("doc_id") >= boundary)
+      .select(col("h")).as[String].collect()
+      .count(firstHalfKeepers.contains)
+    assert(crossBatchDropped > 0,
+      "no second-half drop traces to a first-half keeper — the seen-state" +
+        " never crossed the batch boundary")
   }
 }
