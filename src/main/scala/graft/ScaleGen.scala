@@ -36,6 +36,11 @@ object ScaleGen {
     val vowelTargets = Seq("aeiou", "eioua", "iouae", "ouaei", "uaeio",
       "aeiuo", "eioau", "iouea", "ouaie", "uaeoi", "aieou", "eoiua",
       "ioaue", "oueai", "uoaei", "aoeiu")
+    // second perturbation stage keyed on rep/16: replication factors up to
+    // 64 stay pairwise-distinct (16 vowel classes × 4 consonant classes).
+    // Class 0 is the identity so a 16× corpus is byte-identical to the one
+    // the recorded 16× measurements used.
+    val consTargets = Seq("bcdfgh", "cdfghb", "dfghbc", "fghbcd")
     val docs = reps(spark.read.parquet(s"$src/documents.parquet"))
       .select(offset("doc_id", span),
         // per-replica consonant-preserving perturbation: most shingles
@@ -43,9 +48,13 @@ object ScaleGen {
         // keyed on rep % 16 so replication factors above 16 still perturb
         // every replica (an unmatched fold branch would leave them
         // byte-identical — the degenerate corpus this exists to avoid)
-        vowelTargets.zipWithIndex.foldLeft(col("text")) { case (acc, (t, i)) =>
-          when(pmod(col("rep"), lit(16)) === i,
-            translate(col("text"), "aeiou", t)).otherwise(acc)
+        consTargets.zipWithIndex.foldLeft(
+          vowelTargets.zipWithIndex.foldLeft(col("text")) { case (acc, (t, i)) =>
+            when(pmod(col("rep"), lit(16)) === i,
+              translate(col("text"), "aeiou", t)).otherwise(acc)
+          }) { case (acc, (t, i)) =>
+          when(pmod(floor(col("rep") / 16).cast("int"), lit(4)) === i,
+            translate(acc, "bcdfgh", t)).otherwise(acc)
         }.as("text"),
         col("lang"), col("source"), col("n_chars"))
 

@@ -1,0 +1,114 @@
+package graft.streaming
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.TextFunctions._
+
+/** The COMPOSED ingest pipeline runs as ONE Structured Streaming query:
+  * NFC normalization (stateless native expression) → Gopher quality gate
+  * (stateless projection) → Bloom decontamination probe (stateless probe
+  * against a broadcast-able serialized filter) → stateful chunk-level
+  * dedup over the survivors (flatMapGroupsWithState seen-state). The
+  * individual twins are pinned by StreamingGateSpec / StreamingBloomSpec /
+  * StreamingChunkDedupSpec; this spec pins that the COMPOSITION — the
+  * shape a production ingest job would actually deploy — still equals the
+  * identical batch composition row-for-row across TWO micro-batches, so
+  * the stateless stages commute with micro-batching and the dedup state
+  * carries across the batch boundary inside the composed query.
+  *
+  * (flatMapGroupsWithState executes in batch mode as a plain
+  * groupByKey.flatMapGroups with empty initial state, which is exactly
+  * d09's first-occurrence-keeper semantics — so ONE code path serves both
+  * sides, and the assertion compares Spark-batch against Spark-stream
+  * rather than two hand-maintained implementations.)
+  */
+case class IngestDoc(doc_id: Long, text: String)
+
+class StreamingIngestPipelineSpec extends SparkSpec {
+
+  test("composed ingest stream (nfc→gate→bloom→dedup) equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val all = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+
+    // eval-suite filter built once, at rest (p13's build side)
+    val benchGrams = all.filter(col("source") === "src0")
+      .select(explode(distinctShingleHashes(col("text"), 6)).as("h"))
+      .distinct()
+    val bf = benchGrams.stat.bloomFilter("h",
+      math.max(benchGrams.count(), 1L), 1e-6)
+    val bfBytes = {
+      val bos = new ByteArrayOutputStream(); bf.writeTo(bos); bos.toByteArray
+    }
+
+    // the composed pipeline: every stage identical for batch and stream
+    def pipeline(docs: DataFrame) = {
+      val normalized = docs.select(col("doc_id"),
+        call_function("graft_nfc", col("text")).as("text"))
+      val gated = graft.operators.Pipeline.gopherSignals(normalized)
+        .filter(graft.operators.Pipeline.gopherKeep)
+        .select(col("doc_id"), col("text"))
+      val clean = gated.filter(!call_function("graft_bloom_any",
+        lit(bfBytes), distinctShingleHashes(col("text"), 6)))
+      // per-doc rollup as a STREAMING AGGREGATION (mapGroups is not
+      // supported on streams; an aggregation after flatMapGroupsWithState
+      // in Append mode is — with Update output, no watermark needed)
+      CorpusStreaming.chunkDedupVerdicts(clean)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+    }
+
+    val docs = all.filter(col("source") =!= "src0")
+      .select(col("doc_id"), col("text")).as[IngestDoc]
+      .collect().sortBy(_.doc_id).toSeq
+    val (first, second) = docs.splitAt(docs.length / 2)
+
+    val batch = pipeline(docs.toDF())
+
+    val src = MemoryStream[IngestDoc]
+    val q = pipeline(src.toDF())
+      .writeStream.format("memory").queryName("ingest_out")
+      .outputMode("update").start()
+    try {
+      src.addData(first: _*)
+      q.processAllAvailable()
+      src.addData(second: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // update mode re-emits a doc's row when a later micro-batch changes
+    // its counts; the final state per doc is the LAST emit — but chunk
+    // verdicts for one doc are all emitted in the micro-batch that carries
+    // the doc (the stream is append-ordered by doc_id), so dedup by doc_id
+    // keeping the max-information row is a plain groupBy max here.
+    val streamed = spark.table("ingest_out")
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_chunks")).as("n_chunks"),
+        max(col("n_kept")).as("n_kept"))
+
+    assert(streamed.count() > 0, "composed stream emitted nothing")
+    val diff = batch.exceptAll(streamed).count() +
+      streamed.exceptAll(batch).count()
+    assert(diff == 0L, s"composed stream/batch diverged on $diff rows")
+
+    // every stage actually did work on this fixture: the gate dropped
+    // docs, the bloom probe dropped docs, and the dedup dropped chunks
+    val gateSurvivors = graft.operators.Pipeline
+      .gopherSignals(docs.toDF().select(col("doc_id"),
+        call_function("graft_nfc", col("text")).as("text")))
+      .filter(graft.operators.Pipeline.gopherKeep).count()
+    assert(gateSurvivors < docs.length,
+      "gate dropped nothing — composition untested")
+    assert(streamed.count() < gateSurvivors,
+      "bloom probe dropped nothing — composition untested")
+    val dropped = streamed.agg(sum(col("n_chunks") - col("n_kept")))
+      .as[Long].head()
+    assert(dropped > 0, "dedup dropped nothing — composition untested")
+  }
+}
