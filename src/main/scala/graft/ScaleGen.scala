@@ -88,11 +88,20 @@ object ScaleGen {
         .parquet(s"$src/part.parquet").columns.filter(_ != "p_partkey")
         .map(col).toSeq: _*)
 
+    // Fact tables are written as SPARK_GRAFT_PARTS files (default 32 = the
+    // stress-bench core count): a single crossJoin output file carries ONE
+    // parquet row group, which serializes the scan stage onto one task no
+    // matter what maxPartitionBytes says (found in round 9 — the 16×
+    // corpus's 9.6M-row lineitem was one row group, so scan-bound queries
+    // measured single-core). Production 100 TB tables are thousands of
+    // files; a stress fixture must be parallel-readable to measure the
+    // plans rather than the fixture's own layout.
+    val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS", "32").toInt
     Seq("documents" -> docs, "embeddings" -> embeddings, "events" -> events,
       "lineitem" -> lineitem, "orders" -> orders, "customer" -> customer,
       "supplier" -> supplier, "part" -> part).foreach { case (n, df) =>
-      df.write.mode("overwrite").parquet(s"$out/$n.parquet")
-      println(s"[scalegen] $n x$repl written")
+      df.repartition(parts).write.mode("overwrite").parquet(s"$out/$n.parquet")
+      println(s"[scalegen] $n x$repl written ($parts files)")
     }
     // bounded dims copied as-is
     Seq("nation", "region").foreach { n =>

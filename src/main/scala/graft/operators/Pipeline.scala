@@ -173,9 +173,21 @@ object Pipeline extends QueryPack {
     * the explode→aggregate HOF formulation this replaced). Nothing
     * shuffles; the gate composes into any pipeline at zero exchange cost.
     */
-  private[graft] def gopherSignals(docs: DataFrame): DataFrame = {
+  private[graft] def gopherSignals(docs: DataFrame): DataFrame =
+    gopherSignals(docs, Nil)
+
+  /** As [[gopherSignals]], additionally passing `extra` input columns
+    * through to the output unchanged — so a caller that needs the signals
+    * NEXT TO other document attributes (p16 groups them by source/lang)
+    * stays one map-only projection instead of re-joining two scans of the
+    * corpus on doc_id. The no-extra overload keeps the original column
+    * set, which p06/p08's oracles replay positionally.
+    */
+  private[graft] def gopherSignals(docs: DataFrame,
+      extra: Seq[String]): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    docs.select(col("doc_id"), col("text"),
+    val ex = extra.map(col)
+    docs.select(Seq(col("doc_id"), col("text")) ++ ex ++ Seq(
       tokenCount(col("text")).cast("long").as("n_tokens"),
       length(regexp_replace(col("text"), WsRe, "")).cast("long")
         .as("n_word_chars"),
@@ -186,13 +198,13 @@ object Pipeline extends QueryPack {
         + (length(col("text")) - length(replace(col("text"), lit("…"))))
         + size(regexp_extract_all(col("text"), lit("\\.\\.\\."), lit(0))))
         .cast("long").as("n_sym"),
-      call_function("graft_gopher_masses", tokens(col("text"))).as("gm"))
-      .select(col("doc_id"), col("text"), col("n_tokens"),
+      call_function("graft_gopher_masses", tokens(col("text"))).as("gm")): _*)
+      .select(Seq(col("doc_id"), col("text")) ++ ex ++ Seq(col("n_tokens"),
         col("n_word_chars"), col("n_alpha"), col("n_stop"), col("n_sym"),
         col("gm.top2_mass").as("top2_mass"),
         col("gm.top3_mass").as("top3_mass"),
         col("gm.top4_mass").as("top4_mass"),
-        col("gm.dup5_mass").as("dup5_mass"))
+        col("gm.dup5_mass").as("dup5_mass")): _*)
   }
 
   /** The published Gopher keep conditions over [[gopherSignals]] columns,
@@ -621,7 +633,32 @@ object Pipeline extends QueryPack {
         .select(col("doc_id"), col("chunk_idx"),
           col("c.n_tok").as("n_tok"), col("c.h").as("chunk_md5"))
         .orderBy(col("doc_id"), col("chunk_idx"))
-    })
+    }),
+    // Data card: the per-(source, lang) release report every corpus ships
+    // with — document counts, exact-duplicate rate (distinct md5
+    // fingerprints, d02's canonical form), token/char totals, char-length
+    // range, and the Gopher quality-gate pass count. Every statistic is an
+    // exact integer (no float crosses the engine boundary), so the oracle
+    // hash-matches rather than approximating.
+    //
+    // Plan shape: ONE map-only projection over the corpus (gopherSignals
+    // with source/lang/n_chars passed through — no self-join on doc_id)
+    // into ONE two-phase aggregate on (source, lang); the only shuffle
+    // carries partial aggregates for |sources|×|langs| groups. At 100 TB
+    // the report costs one corpus scan, same as any global statistic.
+    "p16_data_card" -> ((s, d) =>
+      gopherSignals(T.documents(s, d), Seq("lang", "source", "n_chars"))
+        .withColumn("fp", md5(col("text")))
+        .withColumn("keep", gopherKeep.cast("long"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_unique"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          sum(col("keep")).as("n_gate_keep"))
+        .orderBy(col("source"), col("lang")))
   )
 
   /** p15 overlapping-chunk geometry: 24-token windows, 12-token stride. */
@@ -987,6 +1024,23 @@ object Pipeline extends QueryPack {
              CAST(len(cw) AS BIGINT) AS n_tok,
              md5(array_to_string(cw, ' ')) AS chunk_md5
       FROM ch ORDER BY doc_id, chunk_idx""",
+    "p16_data_card" -> s"""
+      WITH gsrc AS (SELECT doc_id, text FROM documents),
+      $duckGopherCtes,
+      meta AS (SELECT doc_id, source, lang, n_chars, md5(text) AS fp
+               FROM documents)
+      SELECT m.source, m.lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT m.fp) AS BIGINT) AS n_unique,
+             CAST(sum(g.n_tokens) AS BIGINT) AS total_tokens,
+             CAST(sum(m.n_chars) AS BIGINT) AS total_chars,
+             CAST(min(m.n_chars) AS BIGINT) AS min_chars,
+             CAST(max(m.n_chars) AS BIGINT) AS max_chars,
+             CAST(sum(CASE WHEN $duckGopherKeep THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_gate_keep
+      FROM meta m JOIN gsig g USING (doc_id)
+      GROUP BY m.source, m.lang
+      ORDER BY m.source, m.lang""",
     // p07 verdict row: n_docs/n_shards recomputed (8 shards are all
     // occupied at any verify scale — 500+ docs over uniform md5 lanes);
     // the packing invariants (scaladoc on the query) are pinned zeros.
