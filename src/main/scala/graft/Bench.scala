@@ -116,6 +116,11 @@ object Bench {
     // ms-rounded so the stdout line stays short enough for the driver's
     // captured tail (round-6/7 lines overflowed it → "parsed": null)
     def ms(x: Double): String = if (x < 0) "-1" else f"$x%.3f"
+    // stdout gets centisecond precision: at 102 queries the tail budget is
+    // 2000 chars minus sbt's trailing "[success]" line, and r08's 3-decimal
+    // line measured ~1980 under load (6-char values) — one WARN line away
+    // from truncation. The file line below keeps full precision.
+    def cs(x: Double): String = if (x < 0) "-1" else f"$x%.2f"
     // stdout keys are the unambiguous letter+number prefixes ("q01",
     // "d03", …): the driver's tail holds 2000 chars and 84 full names at
     // ~28 chars/entry no longer fit (the round-6/7 overflow, back at a
@@ -123,21 +128,21 @@ object Bench {
     def short(k: String): String = k.takeWhile(_ != '_')
     // (collision across short keys is rejected before the timed loop)
     val qs = results.map { case (k, (med, _)) =>
-      s"\"" + short(k) + "\":" + ms(med) }.mkString("{", ",", "}")
+      s"\"" + short(k) + "\":" + cs(med) }.mkString("{", ",", "}")
     val qsFull = results.map { case (k, (med, _)) =>
       s"\"" + k + "\":" + ms(med) }.mkString("{", ",", "}")
     val qmins = results.map { case (k, (_, mn)) => s"\"" + k + "\":" + ms(mn) }
       .mkString("{", ",", "}")
     val total = results.values.map(_._1).filter(_ >= 0).sum
     val sentinelEnd = timeSentinel()
-    def core(queries: String) = s""""metric":"total","value":${ms(total)},"unit":"sec","iters":$iters,"sentinel":"$sentinelName","sentinel_start":${ms(sentinelStart)},"sentinel_end":${ms(sentinelEnd)},"queries":$queries"""
-    // stdout: compact line (short keys, no queries_min) the tail can hold
-    println(s"""{${core(qs)},"sf":"$sfDir"}""")
+    // stdout: compact line (short keys, cs precision, no iters/sentinel
+    // name/queries_min) the tail can hold with margin
+    println(s"""{"metric":"total","value":${cs(total)},"unit":"sec","sentinel_start":${cs(sentinelStart)},"sentinel_end":${cs(sentinelEnd)},"queries":$qs,"sf":"$sfDir"}""")
     // file: full line incl. full names + minima, for cross-round work
     try {
       val p = java.nio.file.Paths.get("/tmp/graft_bench.json")
       java.nio.file.Files.write(p,
-        s"""{${core(qsFull)},"queries_min":$qmins,"sf":"$sfDir"}\n"""
+        s"""{"metric":"total","value":${ms(total)},"unit":"sec","iters":$iters,"sentinel":"$sentinelName","sentinel_start":${ms(sentinelStart)},"sentinel_end":${ms(sentinelEnd)},"queries":$qsFull,"queries_min":$qmins,"sf":"$sfDir"}\n"""
           .getBytes("UTF-8"))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] bench file write failed: ${e.getMessage}") }
