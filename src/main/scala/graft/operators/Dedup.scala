@@ -51,6 +51,21 @@ object Dedup extends QueryPack {
         i => md5(concat_ws(" ", slice(t, i * ChunkW + 1, lit(ChunkW))))))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** The chunk TEXTS behind [[chunkHashes]] (same tokenization, same
+    * geometry, same order — `chunkHashes(i) == md5(chunkTexts(i))` by
+    * construction). d13 carries these to reassemble the cleaned document
+    * after keeper selection; the hot keeper shuffle itself still moves
+    * only the 16-byte hashes.
+    */
+  private[graft] def chunkTexts: org.apache.spark.sql.Column = {
+    val t = tokens(col("text"))
+    val nch = ceil(size(t) / lit(ChunkW.toDouble)).cast("int")
+    when(nch > 0,
+      transform(sequence(lit(0), nch - 1),
+        i => concat_ws(" ", slice(t, i * ChunkW + 1, lit(ChunkW)))))
+      .otherwise(array().cast("array<string>"))
+  }
   private val MINHASH_K = 64 // 32 bands × 2 rows
   private val BANDS = 32
 
@@ -486,6 +501,41 @@ object Dedup extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Chunk dedup with TEXT RECONSTRUCTION (d13): d09 counts what chunk
+    // dedup would remove; this emits the cleaned corpus itself — each
+    // document rewritten with its corpus-wide-duplicated chunks removed
+    // (first occurrence by (doc_id, idx) survives, the CCNet/C4
+    // paragraph-dedup output shape). A document whose every chunk was
+    // seen earlier disappears, exactly as it would from a shipped corpus.
+    //
+    // Plan shape: keeper selection is d09's ONE window shuffle over the
+    // 16-byte chunk md5 — chunk TEXT never rides that exchange. Survivor
+    // (doc_id, idx) pairs then join back to a second chunk-text scan on
+    // the unique composite key, and reassembly is one groupBy(doc_id)
+    // with an in-group sort by idx (array_sort over (idx, text) structs
+    // — per-document state, no global sort). Output carries md5(clean
+    // text) rather than the text so the row stays narrow at any scale;
+    // a production rewrite would emit the text column itself from the
+    // same plan.
+    "d13_chunk_dedup_rewrite" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val chunks = docs.select(col("doc_id"),
+        posexplode(chunkTexts).as(Seq("idx", "ctext")))
+      val byH = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("h")).orderBy(col("doc_id"), col("idx"))
+      val keep = docs.select(col("doc_id"),
+          posexplode(chunkHashes).as(Seq("idx", "h")))
+        .withColumn("rn", row_number().over(byH))
+        .filter(col("rn") === 1).select(col("doc_id"), col("idx"))
+      chunks.join(keep, Seq("doc_id", "idx"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("idx"), col("ctext")))),
+            c => c.getField("ctext")), " ")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Asymmetric containment dedup (d12): overlap coefficient
     // inter/min(|A|,|B|) ≥ 0.8 catches EXCERPT relations — a short doc
     // whose shingles live almost entirely inside a longer one — which
@@ -712,6 +762,28 @@ object Dedup extends QueryPack {
                AS n_kept,
              CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_dropped
-      FROM k GROUP BY doc_id ORDER BY doc_id"""
+      FROM k GROUP BY doc_id ORDER BY doc_id""",
+
+    "d13_chunk_dedup_rewrite" -> s"""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents),
+      cl AS (
+        SELECT doc_id,
+               list_transform(range(CAST(ceil(len(w) / $ChunkW.0) AS INT)),
+                 i -> array_to_string(
+                        w[(i * $ChunkW + 1):(i * $ChunkW + $ChunkW)], ' '))
+                 AS cs
+        FROM toks),
+      ch AS (SELECT doc_id, generate_subscripts(cs, 1) AS idx, cs FROM cl),
+      k AS (
+        SELECT doc_id, idx, cs[idx] AS ctext,
+               row_number() OVER (PARTITION BY md5(cs[idx])
+                 ORDER BY doc_id, idx) AS rn
+        FROM ch)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             md5(string_agg(ctext, ' ' ORDER BY idx)) AS clean_md5
+      FROM k WHERE rn = 1
+      GROUP BY doc_id ORDER BY doc_id"""
   )
 }

@@ -25,6 +25,16 @@ object TextAnalysis extends QueryPack {
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不")
   )
 
+  /** BM25 query set (t13): fixed literal (query_id, term) pairs over the
+    * fixture vocabulary — a retrieval query is USER INPUT, not corpus
+    * data, so literals are the honest shape; the oracle replays the same
+    * pairs from a VALUES clause.
+    */
+  private val Bm25Queries: Seq[(Int, String)] = Seq(
+    0 -> "spark", 0 -> "join", 0 -> "merge",
+    1 -> "window", 1 -> "agg", 1 -> "scan",
+    2 -> "customer", 2 -> "order", 2 -> "group")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> ((s, d) => {
       T.documents(s, d)
@@ -203,6 +213,59 @@ object TextAnalysis extends QueryPack {
         .filter(col("rank") <= 3)
         .select(col("doc_id"), col("rank"), col("word"), col("tf"), col("df"))
         .orderBy(col("doc_id"), col("rank"))
+    }),
+    // BM25 top-k retrieval (t13): Okapi BM25 (Robertson–Walker '94 /
+    // Robertson–Zaragoza '09, k1=1.2 b=0.75) ranking the corpus against a
+    // fixed literal query set — the retrieval primitive behind hard-negative
+    // mining, retrieval-based decontamination, and eval-set construction.
+    // Cross-engine exactness: the per-(doc, term) contribution is
+    // integerized BEFORE summation (idf as floor(1e6·ln), the p11
+    // micro-nat pattern; then one floor of the tf-normalized product), so
+    // the per-query score is an order-independent integer sum; avgdl
+    // travels as an exact integer micro-average, never an engine-averaged
+    // double. Ties break on doc_id.
+    //
+    // Plan shape: the corpus stream is filtered to QUERY terms before any
+    // shuffle (a handful of literals — isin pushes into the scan), so tf/df
+    // and everything downstream are bounded by documents containing query
+    // terms, not corpus size; df and the query table broadcast; the global
+    // (N, avgdl) stats are a 1-row broadcast cross join; per-query top-10
+    // plans WindowGroupLimit. At 100 TB with a standing query workload the
+    // same plan reads a term-partitioned postings table at rest (f06
+    // layout) instead of re-deriving it per query.
+    "t13_bm25_topk" -> ((s, d) => {
+      val q = s.createDataFrame(Bm25Queries).toDF("query_id", "term")
+      val qterms = Bm25Queries.map(_._2).distinct
+      val toks = T.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("w"))
+      val stats = toks.agg(count(lit(1)).as("n"),
+        expr("(1000000 * sum(size(w))) div count(1)").as("avgdl_micro"))
+      val tf = toks.select(col("doc_id"),
+          size(col("w")).cast("long").as("dl"), explode(col("w")).as("term"))
+        .filter(col("term").isin(qterms: _*))
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val scored = tf.join(broadcast(df), Seq("term"))
+        .crossJoin(broadcast(stats))
+        .withColumn("idf_micro", floor(lit(1e6) *
+          log(lit(1.0) + (col("n") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5)))).cast("long"))
+        .withColumn("s_micro", floor(
+          col("idf_micro") * (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) +
+              lit(0.75) * ((col("dl") * lit(1000000.0)) /
+                col("avgdl_micro"))))).cast("long"))
+      val byQ = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+      scored.join(broadcast(q), Seq("term"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("s_micro")).as("score"))
+        .withColumn("rank", row_number().over(byQ))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+        .orderBy(col("query_id"), col("rank"))
     }),
     // Zipf-rank quality score (the CCNet LM-perplexity filter's
     // integer-deterministic cousin): rank the vocabulary by global
@@ -439,6 +502,46 @@ object TextAnalysis extends QueryPack {
         FROM tf t JOIN df d USING (word))
       SELECT doc_id, rank, word, tf, df FROM j WHERE rank <= 3
       ORDER BY doc_id, rank""",
+    "t13_bm25_topk" -> """
+      WITH q(query_id, term) AS (VALUES
+        (0,'spark'),(0,'join'),(0,'merge'),
+        (1,'window'),(1,'agg'),(1,'scan'),
+        (2,'customer'),(2,'order'),(2,'group')),
+      toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        FROM documents),
+      stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               (1000000 * sum(len(w))) // count(*) AS avgdl_micro
+        FROM toks),
+      occ AS (
+        SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term
+        FROM toks),
+      tf AS (
+        SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        FROM occ WHERE term IN (SELECT term FROM q)
+        GROUP BY doc_id, dl, term),
+      df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+             FROM tf GROUP BY term),
+      sc AS (
+        SELECT tf.doc_id, tf.term,
+               CAST(floor(
+                 CAST(floor(1000000.0 *
+                   ln(1.0 + (n - df + 0.5) / (df + 0.5))) AS BIGINT)
+                 * (tf * 2.2) /
+                 (tf + 1.2 * (0.25 + 0.75 * ((dl * 1000000.0)
+                    / avgdl_micro)))) AS BIGINT) AS s_micro
+        FROM tf JOIN df USING (term), stats),
+      agg AS (
+        SELECT query_id, doc_id, CAST(sum(s_micro) AS BIGINT) AS score
+        FROM sc JOIN q USING (term) GROUP BY query_id, doc_id),
+      r AS (
+        SELECT query_id, doc_id, score,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, doc_id ASC) AS rank
+        FROM agg)
+      SELECT query_id, rank, doc_id, score FROM r WHERE rank <= 10
+      ORDER BY query_id, rank""",
     "t09_zipf_quality" -> """
       WITH occ AS (
         SELECT doc_id,

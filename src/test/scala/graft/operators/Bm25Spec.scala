@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins t13's BM25 ranking behavior on a controlled corpus: term frequency
+  * raises the score, document length normalizes it down (the b-component),
+  * ties break on doc_id, only query-term-bearing documents appear, and the
+  * per-query result is capped at 10.
+  */
+class Bm25Spec extends SparkSpec {
+
+  private def fixtureDir(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = tmpDir("bm25")
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("srcX"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def run(dir: String): Seq[(Int, Int, Long, Long)] =
+    TextAnalysis.queries("t13_bm25_topk")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSeq
+
+  private def pad(n: Int, p: String): String =
+    (0 until n).map(i => s"$p$i").mkString(" ")
+
+  test("tf raises and length normalization lowers the BM25 score") {
+    val dir = fixtureDir(Seq(
+      (1L, "spark spark " + pad(6, "a")), // tf=2, dl=8
+      (2L, "spark " + pad(7, "b")), // tf=1, dl=8
+      (3L, "spark " + pad(79, "c")), // tf=1, dl=80 -> length-penalized
+      (4L, pad(8, "d")) // no query term -> absent
+    ))
+    val q0 = run(dir).filter(_._1 == 0)
+    assert(q0.map(_._3) == Seq(1L, 2L, 3L),
+      s"rank order wrong: $q0")
+    val scores = q0.map(_._4)
+    assert(scores == scores.sorted.reverse && scores.distinct == scores,
+      s"scores must strictly decrease: $scores")
+  }
+
+  test("ties break on doc_id and the result caps at 10 per query") {
+    // 12 identical single-term docs: identical scores, doc_id tiebreak
+    val dir = fixtureDir((1L to 12L).map(i => (i, "window " + pad(7, "x"))))
+    val q1 = run(dir).filter(_._1 == 1)
+    assert(q1.size == 10, s"top-k cap: ${q1.size}")
+    assert(q1.map(_._3) == (1L to 10L), s"tiebreak order: ${q1.map(_._3)}")
+    assert(q1.map(_._4).distinct.size == 1, "identical docs, equal scores")
+    assert(q1.map(_._2) == (1 to 10), "ranks are dense 1..10")
+  }
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins d13's chunk-dedup-with-reconstruction semantics on a hand-built
+  * corpus: corpus-wide duplicated chunks are dropped (first occurrence by
+  * (doc_id, idx) survives), surviving chunks reassemble in original order,
+  * a fully-duplicated document vanishes, and a duplicate-free document
+  * round-trips to its whitespace-normalized self.
+  */
+class RewriteDedupSpec extends SparkSpec {
+
+  private val W = 8 // must match Dedup.ChunkW
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def fixtureDir(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = tmpDir("rewritededup")
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("srcX"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def chunk(prefix: String): String =
+    (0 until W).map(i => s"$prefix$i").mkString(" ")
+
+  private def run(dir: String): Map[Long, (Long, String)] =
+    Dedup.queries("d13_chunk_dedup_rewrite")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+
+  test("duplicated chunks drop, first occurrence survives, order holds") {
+    val (x, y, z) = (chunk("x"), chunk("y"), chunk("z"))
+    val dir = fixtureDir(Seq(
+      (1L, s"$x $y"), // owns first occurrence of X and Y
+      (2L, s"$x $z"), // X already seen in doc 1 -> cleaned text is Z alone
+      (3L, x) // every chunk duplicated -> vanishes from the output
+    ))
+    val out = run(dir)
+    assert(out(1L) == ((2L, md5Hex(s"$x $y"))), s"doc 1: ${out(1L)}")
+    assert(out(2L) == ((1L, md5Hex(z))), s"doc 2: ${out(2L)}")
+    assert(!out.contains(3L), "fully-duplicated doc must vanish")
+  }
+
+  test("a duplicate-free doc with a partial tail chunk round-trips") {
+    // 10 tokens = one full chunk + a 2-token tail chunk; no duplicates
+    val text = (0 until (W + 2)).map(i => s"u$i").mkString(" ")
+    val dir = fixtureDir(Seq((7L, text)))
+    val out = run(dir)
+    assert(out(7L) == ((2L, md5Hex(text))), s"doc 7: ${out(7L)}")
+  }
+
+  test("within-document repeats also dedup (second copy drops)") {
+    val x = chunk("x")
+    val dir = fixtureDir(Seq((1L, s"$x $x")))
+    val out = run(dir)
+    assert(out(1L) == ((1L, md5Hex(x))), s"doc 1: ${out(1L)}")
+  }
+}
