@@ -158,17 +158,24 @@ object Dedup extends QueryPack {
     banded.join(broadcast(hot), keys, "left_anti")
   }
 
-  /** LSH candidate pairs: band the signature, bucket-join per band. */
-  private def lshCandidates(sig: DataFrame,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+  /** Banded signature rows (doc_id, band, bh) — the LSH bucket keys.
+    * Shared by d04's self-join candidate path and d14's at-rest index
+    * (history docs banded ONCE at index-build time, batches banded on
+    * arrival; both sides meet on the same (band, bh) key).
+    */
+  private def bandRows(sig: DataFrame): DataFrame = {
     val r = MINHASH_K / BANDS
     val bandHashes = (0 until BANDS).map { b =>
       xxhash64((b * r until (b + 1) * r).map(i => col("sig").getItem(i)): _*)
     }
-    val banded = capBuckets(
-      sig.select(col("doc_id"),
-        posexplode(array(bandHashes: _*)).as(Seq("band", "bh"))),
-      Seq("band", "bh"), maxBucket)
+    sig.select(col("doc_id"),
+      posexplode(array(bandHashes: _*)).as(Seq("band", "bh")))
+  }
+
+  /** LSH candidate pairs: band the signature, bucket-join per band. */
+  private def lshCandidates(sig: DataFrame,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val banded = capBuckets(bandRows(sig), Seq("band", "bh"), maxBucket)
     val l = banded.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
     val rgt = banded.select(col("band"), col("bh"), col("doc_id").as("doc_b"))
     l.join(rgt, Seq("band", "bh"))
@@ -427,6 +434,69 @@ object Dedup extends QueryPack {
           sum(when(col("in_idx").isNull && col("rn") === 1, 1L)
             .otherwise(0L)).as("n_kept"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Incremental NEAR-dup ingest (d14): d11's ingest shape applied to
+    // MinHash-LSH. The at-rest corpus persists two artifacts once
+    // (writeOnce): its banded signature rows — the LSH bucket keys — and
+    // its sorted shingle-hash sets (verification sides; 8-byte hashes,
+    // never text). An arriving batch computes its OWN signatures, meets
+    // history only through (band, bh) equi-joins against the index, and
+    // every candidate — batch×history and batch×batch alike — is
+    // exact-verified by true Jaccard before being reported, so the output
+    // is exact pairs (the d04 posture; banding recall at the 0.5
+    // threshold is 1-(1-s²)^32). History is never re-banded, never
+    // re-paired against itself, and its shingle sets are touched only for
+    // candidate doc_ids: per-batch work is proportional to the batch and
+    // its bounded candidate set, not the corpus. At 100 TB both at-rest
+    // tables are bucketed by their join key (bands by (band, bh),
+    // shingles by doc_id — the f08 layout), making the index side of
+    // every join zero-exchange. Both candidate paths run through the
+    // hot-bucket cap (boilerplate-band guard, same bound as d04).
+    "d14_incremental_minhash" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = T.documents(s, d)
+      val srcNum = substring(col("source"), 4, 10).cast("int")
+      val base = s"/tmp/graft_io/${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      def shinglesOf(df: DataFrame): DataFrame = df.select(col("doc_id"),
+        array_sort(distinctShingleHashes(col("text"), NGRAM)).as("sh"))
+      val bandsPath = s"$base/d14_minhash_bands"
+      Formats.writeOnce(s, bandsPath) {
+        bandRows(minhashSignatures(shingleIndex(docs.filter(srcNum < IncrSplit))))
+          .write.mode("overwrite").parquet(bandsPath)
+      }
+      val shPath = s"$base/d14_minhash_shingles"
+      Formats.writeOnce(s, shPath) {
+        shinglesOf(docs.filter(srcNum < IncrSplit))
+          .write.mode("overwrite").parquet(shPath)
+      }
+      val batch = docs.filter(srcNum >= IncrSplit)
+      val bSig = minhashSignatures(shingleIndex(batch))
+      val bBands = capBuckets(bandRows(bSig), Seq("band", "bh"),
+        DefaultMaxBucket)
+      val hBands = capBuckets(s.read.parquet(bandsPath),
+        Seq("band", "bh"), DefaultMaxBucket)
+      val histCands = bBands
+        .join(hBands.select(col("band"), col("bh"),
+          col("doc_id").as("doc_b")), Seq("band", "bh"))
+        .select(col("doc_id").as("doc_a"), col("doc_b")).distinct()
+      val batchCands = lshCandidates(bSig)
+      val bSh = shinglesOf(batch)
+      val hSh = s.read.parquet(shPath)
+      def verified(cands: DataFrame, right: DataFrame): DataFrame = cands
+        .join(bSh.select(col("doc_id").as("doc_a"), col("sh").as("sa")),
+          Seq("doc_a"))
+        .join(right.select(col("doc_id").as("doc_b"), col("sh").as("sb")),
+          Seq("doc_b"))
+        .withColumn("inter",
+          size(array_intersect(col("sa"), col("sb"))).cast("long"))
+        .withColumn("union_sz",
+          (size(col("sa")) + size(col("sb"))).cast("long") - col("inter"))
+        .filter(col("inter") * 2 >= col("union_sz"))
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("union_sz"))
+      verified(histCands, hSh).withColumn("vs", lit("history"))
+        .unionByName(verified(batchCands, bSh).withColumn("vs", lit("batch")))
+        .orderBy(col("doc_a"), col("doc_b"))
     }),
     // Exact substring-run coverage — the per-document statistic behind
     // ExactSubstr dedup (Lee et al., "Deduplicating Training Data Makes
@@ -709,6 +779,41 @@ object Dedup extends QueryPack {
                AS BIGINT) AS n_kept
       FROM newc n LEFT JOIN idx i USING (h)
       GROUP BY n.doc_id ORDER BY n.doc_id""",
+    // d14: exact near-dup pairs touching the batch, replayed on literal
+    // gram strings (the d03/d04 hash-vs-string equivalence posture) with
+    // the same history/batch split as d11's oracle. The Spark side's
+    // banded-index candidates + exact verification must reproduce this
+    // set exactly.
+    "d14_incremental_minhash" -> s"""
+      WITH toks AS (
+        SELECT doc_id, CAST(substr(source, 4) AS INT) AS sn,
+               regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents),
+      pos AS (
+        SELECT doc_id, sn, w, generate_subscripts(w, 1) AS i FROM toks),
+      sh AS (
+        SELECT DISTINCT doc_id, sn, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        FROM pos WHERE i <= len(w) - 2),
+      bsh AS (SELECT doc_id, s FROM sh WHERE sn >= $IncrSplit),
+      hsh AS (SELECT doc_id, s FROM sh WHERE sn < $IncrSplit),
+      sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      hist AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM bsh a JOIN hsh b ON a.s = b.s GROUP BY 1, 2),
+      bb AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM bsh a JOIN bsh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      u AS (
+        SELECT doc_a, doc_b, inter, 'history' AS vs FROM hist
+        UNION ALL
+        SELECT doc_a, doc_b, inter, 'batch' AS vs FROM bb)
+      SELECT doc_a, doc_b, inter,
+             (na.n_sh + nb.n_sh - inter) AS union_sz, vs
+      FROM u JOIN sz na ON doc_a = na.doc_id
+             JOIN sz nb ON doc_b = nb.doc_id
+      WHERE 2 * inter >= na.n_sh + nb.n_sh - inter
+      ORDER BY doc_a, doc_b""",
     "d10_substr_coverage" -> {
       val gram = (0 until RunW).map(k => s"w[i+$k]").mkString("||' '||")
       s"""

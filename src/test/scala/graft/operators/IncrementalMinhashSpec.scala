@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins d14's incremental near-dup semantics on a controlled corpus:
+  * batch documents pair with their history near-dups (via the at-rest
+  * band index) and with each other, history is NEVER re-paired against
+  * itself, unrelated batch documents are absent, and the reported
+  * inter/union sizes are the exact shingle-set statistics.
+  */
+class IncrementalMinhashSpec extends SparkSpec {
+
+  // 20 distinct tokens -> 18 distinct 3-gram shingles; variants differ in
+  // the LAST token only, which lives in exactly one shingle (the final
+  // trigram), so two variants share 17 of their 18 shingles (union 19,
+  // Jaccard 17/19 > 0.5) — near-dups by construction.
+  private def text(prefix: String, tail: String): String =
+    ((0 until 19).map(i => s"$prefix$i") :+ tail).mkString(" ")
+
+  private def fixtureDir(rows: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val dir = tmpDir("incrminhash")
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("batch pairs with history and itself; history never re-pairs") {
+    val dir = fixtureDir(Seq(
+      (1L, text("a", "h1"), "src1"), // history
+      (2L, text("a", "h2"), "src2"), // history near-dup of 1: must NOT pair
+      (10L, text("a", "b0"), "src11"), // batch near-dup of 1 and 2
+      (11L, text("x", "b1"), "src12"), // batch
+      (12L, text("x", "b2"), "src13"), // batch near-dup of 11
+      (13L, text("z", "b3"), "src14"))) // batch, unrelated
+    val out = Dedup.queries("d14_incremental_minhash")(spark, dir)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out.keySet == Set((10L, 1L), (10L, 2L), (11L, 12L)),
+      s"pair set: ${out.keySet}")
+    assert(out((10L, 1L))._3 == "history" && out((10L, 2L))._3 == "history")
+    assert(out((11L, 12L))._3 == "batch")
+    // exact statistics: 17 shared of 18+18 -> union 19
+    assert(out.values.forall(v => v._1 == 17L && v._2 == 19L),
+      s"exact inter/union: ${out.values}")
+  }
+
+  test("a batch identical to a history doc reports Jaccard 1") {
+    val t = text("m", "same")
+    val dir = fixtureDir(Seq(
+      (1L, t, "src0"), (20L, t, "src15")))
+    val out = Dedup.queries("d14_incremental_minhash")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSeq
+    assert(out == Seq((20L, 1L, 18L, 18L, "history")), s"got: $out")
+  }
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins q35's recursive-CTE chain walk on a controlled orders fixture:
+  * the walk follows date order (not key order), carries an exact running
+  * cents total, stops at the 8-step depth guard, and handles one-order
+  * chains and the floor-based cents integerization.
+  */
+class RecursiveChainSpec extends SparkSpec {
+
+  private def fixtureDir(
+      rows: Seq[(Long, Long, String, Double, String)]): String = {
+    import spark.implicits._
+    val dir = tmpDir("recchain")
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_date_s")
+      .withColumn("o_orderdate", col("o_date_s").cast("timestamp"))
+      .withColumn("o_orderpriority", lit("1-URGENT"))
+      .drop("o_date_s")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    dir
+  }
+
+  private def run(dir: String): Seq[(Long, Long, Long, Long)] =
+    Relational.queries("q35_recursive_chain")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+
+  test("walk follows date order, accumulates exact cents, caps at 8 steps") {
+    // customer 1: ten orders, keys DESCENDING while dates ascend — the walk
+    // must follow dates; price i+0.10 so cents floor to 100*i+10
+    val c1 = (1 to 10).map(i =>
+      ((100 - i).toLong, 1L, "O", i + 0.10, f"1997-01-$i%02d 00:00:00"))
+    // customer 2: a single order
+    val c2 = Seq((200L, 2L, "F", 7.77, "1997-06-01 00:00:00"))
+    val out = run(fixtureDir(c1 ++ c2))
+
+    val q1 = out.filter(_._1 == 1L)
+    assert(q1.size == 8, s"depth guard: ${q1.size} steps")
+    assert(q1.map(_._2) == (1L to 8L), "steps are dense 1..8")
+    assert(q1.map(_._3) == (99L to 92L by -1), "date order, not key order")
+    // expected cents via the SAME double math the query pins on both
+    // engines: floor((i + 0.10) * 100) is 409 for i=4, not 410 — the
+    // floor is the cross-engine determinism contract, not decimal exact
+    val expectedCum = (1 to 8).scanLeft(0L)((acc, i) =>
+      acc + math.floor((i + 0.10) * 100).toLong).tail
+    assert(q1.map(_._4) == expectedCum, s"cents accumulate: ${q1.map(_._4)}")
+
+    val c2cents = math.floor(7.77 * 100).toLong
+    assert(out.filter(_._1 == 2L) == Seq((2L, 1L, 200L, c2cents)),
+      "single-order chain emits exactly its anchor row")
+  }
+
+  test("ties on date break on order key") {
+    val dir = fixtureDir(Seq(
+      (5L, 3L, "O", 1.00, "1998-01-01 00:00:00"),
+      (4L, 3L, "O", 2.00, "1998-01-01 00:00:00")))
+    val q3 = run(dir).filter(_._1 == 3L)
+    assert(q3.map(_._3) == Seq(4L, 5L), s"key tiebreak: ${q3.map(_._3)}")
+    assert(q3.map(_._4) == Seq(200L, 300L), "cum follows tiebreak order")
+  }
+}
