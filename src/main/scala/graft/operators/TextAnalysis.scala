@@ -30,6 +30,9 @@ object TextAnalysis extends QueryPack {
     * data, so literals are the honest shape; the oracle replays the same
     * pairs from a VALUES clause.
     */
+  /** t14: number of BPE merge rules learned. */
+  private val BpeLearnK = 4
+
   private val Bm25Queries: Seq[(Int, String)] = Seq(
     0 -> "spark", 0 -> "join", 0 -> "merge",
     1 -> "window", 1 -> "agg", 1 -> "scan",
@@ -267,6 +270,56 @@ object TextAnalysis extends QueryPack {
         .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // BPE merge LEARNING (t14): train the first K=4 merge rules from the
+    // corpus — the tokenizer-training side of t05/t07's tokenizer-APPLYING
+    // queries (Sennrich et al. ACL'16). Classic shape: aggregate the corpus
+    // ONCE into a (word, count) dictionary — Heaps-bounded, so iterations
+    // never touch corpus rows again — then K rounds of: count adjacent
+    // symbol pairs weighted by word count, pick the argmax (ties break
+    // lexicographically on the pair), merge the winner greedily
+    // left-to-right in every word's segmentation. The merge is a left fold
+    // (aggregate HOF): append, or fuse with the accumulator tail when it
+    // equals the winning pair — provably the greedy semantics, because a
+    // just-fused symbol (l||r) can never equal l again (r nonempty), so
+    // overlapping runs fuse at alternating positions. The oracle replays
+    // the SAME K rounds relationally: candidate positions → consecutive
+    // runs → keep alternating offsets (run-parity), the set-based statement
+    // of the same greedy walk. Driver state is K pulls of one (l, r) pair
+    // — the k-means-centroid pattern; everything else is DataFrame ops.
+    // At 100 TB only the dictionary aggregation scans the corpus; the
+    // per-round pair counts are over the dictionary (millions of rows at
+    // web scale, one small two-phase agg each).
+    "t14_bpe_learn" -> ((s, d) => {
+      val dict = T.documents(s, d).filter(col("lang") === "en")
+        .select(explode(tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      // initial symbols = single chars; substring(word, i, 1) has
+      // code-point semantics in both engines
+      var seg = dict.withColumn("syms",
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+      for (k <- 1 to BpeLearnK) {
+        val pairs = seg.select(col("cnt"),
+            explode(arrays_zip(
+              slice(col("syms"), lit(1), size(col("syms")) - 1),
+              slice(col("syms"), lit(2), size(col("syms")) - 1))).as("p"))
+          .select(col("p.0").as("l"), col("p.1").as("r"), col("cnt"))
+          .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("c"))
+        val best = pairs.orderBy(col("c").desc, col("l"), col("r")).limit(1)
+          .collect()(0)
+        val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
+        merges += ((k, l, r, c))
+        seg = seg.withColumn("syms",
+          aggregate(col("syms"), array().cast("array<string>"),
+            (acc, x) => when(size(acc) > 0 &&
+                element_at(acc, -1) === lit(l) && x === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+              .otherwise(concat(acc, array(x)))))
+      }
+      import s.implicits._
+      merges.toSeq.toDF("rank", "lhs", "rhs", "pair_count")
+        .orderBy(col("rank"))
+    }),
     // Zipf-rank quality score (the CCNet LM-perplexity filter's
     // integer-deterministic cousin): rank the vocabulary by global
     // frequency (dense_rank over count desc — rank 1 = most common), then
@@ -437,7 +490,65 @@ object TextAnalysis extends QueryPack {
       s"x -> list_contains($lst, x)))"
   }
 
+  /** One BPE training round, replayed relationally (t14 oracle): pair
+    * counts + lexicographic argmax, then the greedy merge as candidate
+    * positions → consecutive runs → alternating offsets (run-parity) —
+    * the set-based statement of the Spark side's left fold.
+    */
+  private def bpeIterSql(k: Int): String = s"""
+      pairs$k AS (
+        SELECT syms[p] AS l, syms[p+1] AS r, CAST(sum(cnt) AS BIGINT) AS c
+        FROM (SELECT cnt, syms, generate_subscripts(syms, 1) AS p
+              FROM seg${k - 1})
+        WHERE p < len(syms)
+        GROUP BY 1, 2),
+      best$k AS (SELECT l, r, c FROM pairs$k ORDER BY c DESC, l, r LIMIT 1),
+      pos$k AS (
+        SELECT word, cnt, syms, generate_subscripts(syms, 1) AS p
+        FROM seg${k - 1}),
+      cand$k AS (
+        SELECT s.word, s.p FROM pos$k s, best$k b
+        WHERE s.p < len(s.syms) AND s.syms[s.p] = b.l
+          AND s.syms[s.p + 1] = b.r),
+      runs$k AS (
+        SELECT word, p,
+               p - row_number() OVER (PARTITION BY word ORDER BY p) AS g
+        FROM cand$k),
+      keep$k AS (
+        SELECT word, p FROM (
+          SELECT word, p, min(p) OVER (PARTITION BY word, g) AS g0
+          FROM runs$k)
+        WHERE (p - g0) % 2 = 0),
+      seg$k AS (
+        SELECT s.word, min(s.cnt) AS cnt,
+               list(CASE WHEN k1.p IS NOT NULL
+                    THEN s.syms[s.p] || s.syms[s.p + 1]
+                    ELSE s.syms[s.p] END ORDER BY s.p) AS syms
+        FROM pos$k s
+        LEFT JOIN keep$k k1 ON s.word = k1.word AND s.p = k1.p
+        LEFT JOIN keep$k k2 ON s.word = k2.word AND s.p = k2.p + 1
+        WHERE k2.p IS NULL
+        GROUP BY s.word)"""
+
   override def oracles: Map[String, String] = Map(
+    "t14_bpe_learn" -> (s"""
+      WITH words AS (
+        SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+              FROM documents WHERE lang = 'en')
+        GROUP BY 1),
+      seg0 AS (
+        SELECT word, cnt,
+               list_transform(range(1, len(word) + 1), i -> word[i:i])
+                 AS syms
+        FROM words),""" +
+      (1 to BpeLearnK).map(bpeIterSql).mkString(",") + """
+      SELECT * FROM (
+        """ +
+      (1 to BpeLearnK).map(k =>
+        s"SELECT $k AS rank, l AS lhs, r AS rhs, c AS pair_count FROM best$k")
+        .mkString("\n        UNION ALL ") + """)
+      ORDER BY rank"""),
     "t01_token_stats" -> """
       SELECT doc_id,
              len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,

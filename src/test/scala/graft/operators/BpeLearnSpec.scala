@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins t14's BPE merge-learning semantics on hand-built dictionaries:
+  * greedy left-to-right fusing of overlapping runs (alternating
+  * positions), lexicographic tie-breaks on equal counts, merged symbols
+  * participating in later rounds, and the en-only corpus filter.
+  */
+class BpeLearnSpec extends SparkSpec {
+
+  private def fixtureDir(rows: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val dir = tmpDir("bpelearn")
+    rows.toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("srcX"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def run(dir: String): Seq[(Int, String, String, Long)] =
+    TextAnalysis.queries("t14_bpe_learn")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+
+  test("overlapping runs fuse at alternating positions; fr docs excluded") {
+    val dir = fixtureDir(Seq(
+      (1L, "aaaa aaaa aaaa", "en"), // (a,a) x3 per word, weight 3 -> 9
+      (2L, "pq pq", "en"),
+      (3L, "rs", "en"),
+      // would dominate every round if the lang filter leaked:
+      (4L, "zzzz zzzz zzzz zzzz zzzz", "fr")))
+    // round 1: (a,a)=9 -> aaaa fuses to [aa, aa] (NOT [aa, a a]);
+    // round 2: (aa,aa)=3 proves the alternating-fuse left both halves;
+    // rounds 3-4 drain the remaining two-char words by count order.
+    assert(run(dir) == Seq(
+      (1, "a", "a", 9L), (2, "aa", "aa", 3L),
+      (3, "p", "q", 2L), (4, "r", "s", 1L)))
+  }
+
+  test("ties break lexicographically; merged symbols join later rounds") {
+    val dir = fixtureDir(Seq(
+      (1L, "ba ba dc dc", "en"), // (b,a)=2 ties (d,c)=2 -> (b,a) first
+      (2L, "wxyz", "en")))
+    // round 4: the round-3 merge product wx pairs with y — (wx,y) beats
+    // (y,z) lexicographically
+    assert(run(dir) == Seq(
+      (1, "b", "a", 2L), (2, "d", "c", 2L),
+      (3, "w", "x", 1L), (4, "wx", "y", 1L)))
+  }
+}
