@@ -69,4 +69,54 @@ class PlanShapeSpec extends SparkSpec {
     for (bad <- Seq("Exchange", "Join", "Generate"))
       assert(!p.contains(bad), s"bloom probe plan contains $bad:\n$p")
   }
+
+  test("t13 plans WindowGroupLimit and keeps dims broadcast") {
+    val p = plan("t13_bm25_topk")
+    assert(p.contains("WindowGroupLimit"),
+      "per-query top-10 lost its group-limit pushdown")
+    // AQE hides BroadcastExchange until execution; the hints live in the
+    // optimized plan (the t10 pattern)
+    val o = graft.SparkEntry.queries("t13_bm25_topk")(spark, d)
+      .queryExecution.optimizedPlan.toString
+    assert(o.linesIterator.count(l =>
+        l.contains("Join") && l.contains("strategy=broadcast")) >= 2,
+      "df/query/stats sides lost their broadcast hints")
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row stats join must stay a broadcast nested loop, " +
+        "never a cartesian shuffle")
+  }
+
+  test("d13 keeper shuffles move chunk hashes, never chunk text") {
+    val p = plan("d13_chunk_dedup_rewrite")
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, "expected hash exchanges in d13")
+    assert(exchanges.forall(l => !l.contains("ctext")),
+      s"chunk text rides a shuffle key:\n${exchanges.mkString("\n")}")
+  }
+
+  test("d14 candidate generation is equi-joins only — no cross/NL join " +
+      "and no corpus-side broadcast of history") {
+    val p = plan("d14_incremental_minhash")
+    assert(!p.contains("CartesianProduct"),
+      "d14 plan degraded to a cartesian product")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "d14 plan degraded to a nested-loop join")
+  }
+
+  test("q35 iterates over the cached chain, not a per-level re-derivation") {
+    val p = plan("q35_recursive_chain")
+    // real recursion (UnionLoop/Ref), with BOTH the anchor and the step
+    // reading the cached chain — the plan PRINTER repeats the
+    // InMemoryRelation definition at each reference, but every repeat
+    // carries the same plan_id (one shared subtree, one execution)
+    assert(p.contains("UnionLoopRef"), "recursive step node missing")
+    assert(p.contains("InMemoryRelation"),
+      "the iteration-invariant ranked chain is no longer cached")
+    val ids = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning(o_custkey"))
+      .flatMap("plan_id=(\\d+)".r.findFirstMatchIn(_)).map(_.group(1)).toSet
+    assert(ids.size <= 1,
+      s"chain derivation duplicated across levels (plan_ids $ids)")
+  }
 }
