@@ -184,6 +184,57 @@ object Dedup extends QueryPack {
       .distinct()
   }
 
+  /** Banded signature rows for a documents frame — what d14 persists as
+    * the at-rest side of the near-dup ingest index.
+    */
+  private[graft] def bandIndexOf(docs: DataFrame): DataFrame =
+    bandRows(minhashSignatures(shingleIndex(docs)))
+
+  /** Sorted distinct shingle-hash sets per document — the exact-Jaccard
+    * verification side (8-byte hashes, never n-gram text).
+    */
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      array_sort(distinctShingleHashes(col("text"), NGRAM)).as("sh"))
+
+  /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
+    * their shingle sets; emits only true near-dups at the 0.5 threshold
+    * with their exact inter/union statistics.
+    */
+  private def exactVerify(cands: DataFrame, aSh: DataFrame,
+      bSh: DataFrame): DataFrame = cands
+    .join(aSh.select(col("doc_id").as("doc_a"), col("sh").as("sa")),
+      Seq("doc_a"))
+    .join(bSh.select(col("doc_id").as("doc_b"), col("sh").as("sb")),
+      Seq("doc_b"))
+    .withColumn("inter",
+      size(array_intersect(col("sa"), col("sb"))).cast("long"))
+    .withColumn("union_sz",
+      (size(col("sa")) + size(col("sb"))).cast("long") - col("inter"))
+    .filter(col("inter") * 2 >= col("union_sz"))
+    .select(col("doc_a"), col("doc_b"), col("inter"), col("union_sz"))
+
+  /** d14's history probe over ONE arriving batch of documents (doc_id,
+    * text) against the at-rest index (banded signature rows + shingle
+    * sets): candidates come only from (band, bh) equi-joins, every
+    * candidate is exact-verified. Stateless per batch — signatures
+    * aggregate within the batch, history is only read — which is what
+    * makes it double as the STREAMING ingest kernel (foreachBatch over
+    * an arriving stream, StreamingNearDupSpec): each micro-batch probes
+    * the same static index with exact batch semantics.
+    */
+  private[graft] def indexProbePairs(batch: DataFrame, hBands: DataFrame,
+      hSh: DataFrame): DataFrame = {
+    val bBands = capBuckets(bandRows(minhashSignatures(shingleIndex(batch))),
+      Seq("band", "bh"), DefaultMaxBucket)
+    val cands = bBands
+      .join(capBuckets(hBands, Seq("band", "bh"), DefaultMaxBucket)
+        .select(col("band"), col("bh"), col("doc_id").as("doc_b")),
+        Seq("band", "bh"))
+      .select(col("doc_id").as("doc_a"), col("doc_b")).distinct()
+    exactVerify(cands, shinglesOf(batch), hSh)
+  }
+
   /** MinHash-LSH near-dup pairs over an arbitrary documents frame —
     * the spec-facing entry (exercised with pathological hot buckets in
     * HotBucketSpec); d04 wires it at the default cap.
@@ -458,11 +509,9 @@ object Dedup extends QueryPack {
       val docs = T.documents(s, d)
       val srcNum = substring(col("source"), 4, 10).cast("int")
       val base = s"/tmp/graft_io/${d.replaceAll("[^A-Za-z0-9]", "_")}"
-      def shinglesOf(df: DataFrame): DataFrame = df.select(col("doc_id"),
-        array_sort(distinctShingleHashes(col("text"), NGRAM)).as("sh"))
       val bandsPath = s"$base/d14_minhash_bands"
       Formats.writeOnce(s, bandsPath) {
-        bandRows(minhashSignatures(shingleIndex(docs.filter(srcNum < IncrSplit))))
+        bandIndexOf(docs.filter(srcNum < IncrSplit))
           .write.mode("overwrite").parquet(bandsPath)
       }
       val shPath = s"$base/d14_minhash_shingles"
@@ -472,30 +521,12 @@ object Dedup extends QueryPack {
       }
       val batch = docs.filter(srcNum >= IncrSplit)
       val bSig = minhashSignatures(shingleIndex(batch))
-      val bBands = capBuckets(bandRows(bSig), Seq("band", "bh"),
-        DefaultMaxBucket)
-      val hBands = capBuckets(s.read.parquet(bandsPath),
-        Seq("band", "bh"), DefaultMaxBucket)
-      val histCands = bBands
-        .join(hBands.select(col("band"), col("bh"),
-          col("doc_id").as("doc_b")), Seq("band", "bh"))
-        .select(col("doc_id").as("doc_a"), col("doc_b")).distinct()
-      val batchCands = lshCandidates(bSig)
       val bSh = shinglesOf(batch)
-      val hSh = s.read.parquet(shPath)
-      def verified(cands: DataFrame, right: DataFrame): DataFrame = cands
-        .join(bSh.select(col("doc_id").as("doc_a"), col("sh").as("sa")),
-          Seq("doc_a"))
-        .join(right.select(col("doc_id").as("doc_b"), col("sh").as("sb")),
-          Seq("doc_b"))
-        .withColumn("inter",
-          size(array_intersect(col("sa"), col("sb"))).cast("long"))
-        .withColumn("union_sz",
-          (size(col("sa")) + size(col("sb"))).cast("long") - col("inter"))
-        .filter(col("inter") * 2 >= col("union_sz"))
-        .select(col("doc_a"), col("doc_b"), col("inter"), col("union_sz"))
-      verified(histCands, hSh).withColumn("vs", lit("history"))
-        .unionByName(verified(batchCands, bSh).withColumn("vs", lit("batch")))
+      val hist = indexProbePairs(batch,
+        s.read.parquet(bandsPath), s.read.parquet(shPath))
+      val bb = exactVerify(lshCandidates(bSig), bSh, bSh)
+      hist.withColumn("vs", lit("history"))
+        .unionByName(bb.withColumn("vs", lit("batch")))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
     // Exact substring-run coverage — the per-document statistic behind

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** d14's ingest side as a stream: an arriving document stream is screened
+  * for near-duplicates of the AT-REST corpus by probing the same persisted
+  * band index micro-batch by micro-batch (`Dedup.indexProbePairs` in
+  * foreachBatch — signatures aggregate within each batch, history is only
+  * read, so the kernel is stateless per batch and the union over
+  * micro-batches is EXACTLY the batch probe of their union: each arriving
+  * doc lives in one micro-batch and pairs only with static history).
+  * Closes the near-dup ingest story the way StreamingChunkDedupSpec
+  * closes exact chunk dedup; intra-stream near-dups are the batch
+  * compaction path's job (d14's batch arm), not the screen's.
+  */
+case class ArrivingDoc(doc_id: Long, text: String)
+
+class StreamingNearDupSpec extends SparkSpec {
+
+  test("streamed index probe equals the batch probe of the same docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val srcNum = substring(col("source"), 4, 10).cast("int")
+    val hist = docs.filter(srcNum < 10)
+    val arriving = docs.filter(srcNum >= 10)
+      .select(col("doc_id"), col("text")).as[ArrivingDoc].collect().toSeq
+    assert(arriving.size > 10, "fixture must provide a non-trivial stream")
+
+    // the at-rest index, persisted once (what d14 writeOnce-materializes)
+    val out = tmpDir("neardup-ingest")
+    graft.operators.Dedup
+      .bandIndexOf(hist).write.parquet(s"$out/bands")
+    graft.operators.Dedup
+      .shinglesOf(hist).write.parquet(s"$out/shingles")
+    val hBands = spark.read.parquet(s"$out/bands")
+    val hSh = spark.read.parquet(s"$out/shingles")
+
+    val batchPairs = graft.operators.Dedup
+      .indexProbePairs(arriving.toDF(), hBands, hSh)
+
+    val src = MemoryStream[ArrivingDoc]
+    val q = src.toDF().writeStream.foreachBatch {
+      (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.operators.Dedup.indexProbePairs(b, hBands, hSh)
+          .write.mode("append").parquet(s"$out/pairs")
+    }.start()
+    try {
+      arriving.grouped(arriving.size / 3 + 1).foreach { g =>
+        src.addData(g: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(s"$out/pairs")
+    assert(streamed.count() > 0, "stream must surface near-dups " +
+      "(the fixture has cross-source duplicates)")
+    val diff = batchPairs.exceptAll(streamed).count() +
+      streamed.exceptAll(batchPairs).count()
+    assert(diff == 0L, s"stream/batch near-dup probes diverged on $diff pairs")
+  }
+}
