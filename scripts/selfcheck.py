@@ -50,6 +50,18 @@ def norm_col(s):
 
 oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
 results = {}
+# Presence gate: every DECLARED query must have produced a result. Verify
+# writes nothing when a query throws, so absence-from-outdir is exactly how
+# round 9's six broken events queries shipped unnoticed — a missing result
+# is a FAIL, not a smaller denominator. declared_queries.json is written by
+# Verify; fall back to the oracle keys for older dumps.
+decl_path = os.path.join(outdir, "declared_queries.json")
+declared = json.load(open(decl_path)) if os.path.exists(decl_path) \
+    else sorted(oracle.keys())
+for name in declared:
+    if not os.path.isdir(os.path.join(outdir, name)):
+        results[name] = "MISSING — declared but no result produced " \
+            "(query threw in Verify?)"
 for name in sorted(os.listdir(outdir)):
     qdir = os.path.join(outdir, name)
     if not os.path.isdir(qdir):

@@ -13,16 +13,33 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects; read nanos as long and floor-divide to micros (integer `div`,
-    * not `/` — ns-since-epoch exceeds double's 53-bit mantissa). DuckDB's
-    * reader does the identical ns→µs truncation, so oracles line up.
+  /** Schema-adaptive events loader. The fixture's `ts` column has shipped in
+    * two vintages: TIMESTAMP(NANOS) (which Spark's parquet reader only admits
+    * as a long via `nanosAsLong`, then floor-divided to micros — integer
+    * `div`, not `/`, since ns-since-epoch exceeds double's 53-bit mantissa)
+    * and plain `timestamp[us]`. Branch on the observed dtype so the loader
+    * survives either vintage; both paths normalize to TimestampType so
+    * `window()` / `unix_micros` downstream behave identically.
     */
+  /** Normalize an events-shaped frame's `ts` to TimestampType, whatever
+    * vintage it was read as. Shared by the batch loader and the streaming
+    * source (`EventStreaming.readEventStream`) so both branch identically.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df // already TimestampType — pass through
+    }
+  }
+
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.functions._
-    t(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    Tables.normalizeEventTs(t(spark, dir, "events"))
   }
 
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")

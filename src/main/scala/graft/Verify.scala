@@ -55,6 +55,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // The full declared-query manifest: selfcheck.py compares it against
+    // the results actually produced, so a query that THROWS (and therefore
+    // writes nothing) is a loud MISSING failure, not a silent absence —
+    // round 9 shipped six broken queries because absence looked like pass.
+    Files.writeString(Paths.get(s"$outDir/declared_queries.json"),
+      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -434,6 +434,13 @@ object Relational extends QueryPack {
     // ranked chain on (custkey, rn) — 8 bounded hash joins; the anchor's
     // window is the only corpus-wide shuffle.
     "q35_recursive_chain" -> ((s, d) => {
+      // All session mutations (the recursion row-limit conf, the temp
+      // views) are scoped to a throwaway child session — same
+      // SparkContext, same SQL confs from the builder, but its own conf +
+      // catalog state, so nothing leaks into the caller's session
+      // (round-9 verdict: the previous session-global conf set and leaked
+      // cache were a cross-query interference vector).
+      val s2 = s.newSession()
       // Spark's recursion guardrails: the LEVEL limit (default 100) never
       // binds — the depth guard stops at 8 — but the cumulative ROW limit
       // (default 1e6, a runaway-recursion protection sized for interactive
@@ -441,18 +448,26 @@ object Relational extends QueryPack {
       // which passes 1e6 at ~16× sf0.1. Raise it to the max — termination
       // is already structural (acyclic chain + depth guard), so the row
       // cap adds no safety here, only a scale ceiling.
-      s.conf.set("spark.sql.cteRecursionRowLimit", Int.MaxValue)
-      T.orders(s, d).createOrReplaceTempView("g_orders")
+      s2.conf.set("spark.sql.cteRecursionRowLimit", Int.MaxValue)
+      T.orders(s2, d).createOrReplaceTempView("g_orders")
       // Materialize the iteration-INVARIANT side once: Spark's recursion
-      // inlines non-recursive CTEs into every level, so an uncached
+      // inlines non-recursive CTEs into every level, so an unmaterialized
       // `ranked` re-scans orders and re-runs its window 8× (measured 22 s
-      // at 16× / 71 s at 64×; cached: the chain is (custkey, key, cents,
-      // rn) ≈ 32 B/row, ~310 MB at 64× — trivially executor-resident).
-      // This is the general recursive-query posture at scale: persist the
-      // edge table, iterate only the frontier.
-      val ranked = s.sql(rankedChainSql("g_orders")).cache()
-      ranked.createOrReplaceTempView("g_ranked")
-      s.sql(s"WITH RECURSIVE $chainWalkSql FROM g_ranked WHERE rn = 1" +
+      // at 16× / 71 s at 64×). Materialize to parquet, not `.cache()` —
+      // the CacheManager is shared across ALL sessions, so a cached plan
+      // from a query builder outlives the query and competes with every
+      // later query's execution memory; a parquet side-file is bounded,
+      // re-read 8× from page cache ((custkey, key, cents, rn) ≈ 32 B/row,
+      // ~310 MB at 64× sf0.1), and free to evict. This is the general
+      // recursive-query posture at scale: persist the edge table, iterate
+      // only the frontier.
+      val out = Formats.ioDir(d, "q35_ranked")
+      Formats.writeOnce(s2, out) {
+        s2.sql(rankedChainSql("g_orders"))
+          .write.mode("overwrite").parquet(out)
+      }
+      s2.read.parquet(out).createOrReplaceTempView("g_ranked")
+      s2.sql(s"WITH RECURSIVE $chainWalkSql FROM g_ranked WHERE rn = 1" +
         chainWalkTail)
     })
   )

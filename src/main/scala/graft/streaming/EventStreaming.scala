@@ -177,11 +177,16 @@ object EventStreaming {
     */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema("event_id long, ts long, user_id long, event_type string, value double, props string")
-      .option("maxFilesPerTrigger", 1)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // The file-stream source requires an explicit schema; take it from a
+    // batch footer peek of the same directory so the stream decodes
+    // whichever fixture vintage is present (ts as nanos-long vs
+    // timestamp[us]) — then normalize exactly like the batch loader.
+    val static = spark.read.parquet(dir)
+    graft.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir))
   }
 
   /** Sink helper: append to parquet with a checkpoint. */
