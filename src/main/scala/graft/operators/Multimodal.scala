@@ -1,85 +1,157 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.ByteArrayInputStream
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryPack, Tables => T}
 
 /** Multimodal-column plumbing (north-star surface): media content travels as
   * an opaque `binary` column plus a typed metadata struct; decode /
-  * feature-extract / frame-sample are per-batch transforms over that column.
+  * feature-extract / resize are per-batch transforms over that column.
   *
-  * The real codec libraries aren't in this container, so the DECODE step is a
-  * deterministic stub (clearly marked below); everything Spark-side — the
-  * binary column, the metadata schema, the typed `mapPartitions` batch shape,
-  * the frame-sampling explode — is real and oracle/spec-tested. Swapping the
-  * stub for a JNI/FFmpeg decoder changes no plan shape.
+  * The decode step is a REAL codec: media is a well-formed 24-bit BMP (the
+  * fixture has no stored media, so a minimal deterministic encoder
+  * synthesizes one per document from its text bytes), and decode runs
+  * `javax.imageio.ImageIO`'s BMP plugin — a genuine third-party parser of
+  * the byte stream (row padding, bottom-up row order, BGR channel order),
+  * not a replay of our own writer. Feature extraction and resize are real
+  * raster kernels over the decoded pixels. Because the synthesis is
+  * deterministic integer math over the text bytes (pure-ASCII fixture, so
+  * byte == code point), the full encode→decode→kernel pipeline replays
+  * exactly in the DuckDB oracle — full hash gate, no stub anywhere.
   *
-  * Scale notes: `mapPartitions` keeps decode per-partition (no shuffle);
-  * frame sampling is a generator (`explode(sequence(...))`) so it's
-  * whole-stage-codegen'd and never materializes a frames-per-doc array on
-  * the driver.
+  * Scale notes: `mapPartitions` keeps encode/decode per-partition (no
+  * shuffle); images stay executor-local and bounded (≤15×7 px here; a real
+  * corpus bounds by media size not count); frame sampling is a generator
+  * (`explode(sequence(...))`) so it's whole-stage-codegen'd and never
+  * materializes a frames-per-doc array on the driver.
   */
 object Multimodal extends QueryPack {
 
-  /** Input batch row: media id + raw bytes. */
+  /** Input batch row: media id + raw bytes (a complete BMP file). */
   final case class MediaRow(doc_id: Long, content: Array[Byte])
   /** Decoded output: typed metadata + a small feature vector. */
   final case class MediaMeta(doc_id: Long, width: Int, height: Int,
-      n_frames: Int, feature: Array[Float])
+      n_pixels: Int, feature: Array[Float])
 
-  /** ==== STUB DECODER ====
-    * Stands in for an image/video decode (e.g. libjpeg/FFmpeg via JNI).
-    * Deterministic over the bytes so specs can assert on it: "header" fields
-    * are derived from the first bytes, the "feature" is a 4-dim byte
-    * histogram sketch. Partition-local, allocation-light — the exact batch
-    * shape a real decoder plugs into.
+  /** Minimal 24-bit BMP encoder: BITMAPFILEHEADER + BITMAPINFOHEADER +
+    * bottom-up BGR rows padded to 4 bytes. `gray(i)` is pixel i in TOP-DOWN
+    * raster order (i = y*w + x); the encoder flips to BMP's bottom-up
+    * layout, so a correct decoder must un-flip — that asymmetry is what
+    * makes the decode a real parse instead of a byte copy.
     */
-  def decodeStub(rows: Iterator[MediaRow]): Iterator[MediaMeta] = rows.map { r =>
-    val b = r.content
-    val w = 640 + (if (b.length > 0) (b(0) & 0xff) % 64 else 0)
-    val h = 360 + (if (b.length > 1) (b(1) & 0xff) % 36 else 0)
-    val nf = b.length % 240 + 1
+  def encodeBmp(w: Int, h: Int, gray: Array[Byte]): Array[Byte] = {
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val size = 54 + rowBytes * h
+    val out = new Array[Byte](size)
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte
+      out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    le32(2, size); le32(10, 54)            // file size, pixel-data offset
+    le32(14, 40); le32(18, w); le32(22, h) // BITMAPINFOHEADER, +h = bottom-up
+    out(26) = 1; out(28) = 24              // 1 plane, 24 bpp
+    le32(34, rowBytes * h)                 // image size
+    var y = 0
+    while (y < h) {
+      val rowOff = 54 + (h - 1 - y) * rowBytes // bottom-up row placement
+      var x = 0
+      while (x < w) {
+        val g = gray(y * w + x)
+        val p = rowOff + x * 3
+        out(p) = g; out(p + 1) = g; out(p + 2) = g // B, G, R
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Synthesis stage: document text bytes → a real BMP. Dimensions come
+    * from the first two bytes (w ∈ [8,16), h ∈ [4,8)); pixel i's gray value
+    * cycles through the text bytes. Deterministic, so the oracle can
+    * recompute every decoded pixel from SQL.
+    */
+  def synthBmp(rows: Iterator[(Long, Array[Byte])]): Iterator[MediaRow] =
+    rows.map { case (id, b) =>
+      val w = 8 + (b(0) & 0xff) % 8
+      val h = 4 + (b(1) & 0xff) % 4
+      val px = Array.tabulate(w * h)(i => b(i % b.length))
+      MediaRow(id, encodeBmp(w, h, px))
+    }
+
+  /** ==== REAL DECODER ====
+    * Parses the BMP via `ImageIO` (headless-safe, in every JDK) and
+    * extracts metadata + a 4-lane gray-sum feature sketch from the decoded
+    * raster. Partition-local, allocation-light — the batch shape any
+    * heavier codec (JPEG via ImageIO, video via FFmpeg JNI) plugs into.
+    */
+  def decodeBmp(rows: Iterator[MediaRow]): Iterator[MediaMeta] = rows.map { r =>
+    val img = ImageIO.read(new ByteArrayInputStream(r.content))
+    val w = img.getWidth; val h = img.getHeight
     val feat = new Array[Float](4)
     var i = 0
-    while (i < b.length) { feat((b(i) & 0xff) % 4) += 1f; i += 1 }
-    MediaMeta(r.doc_id, w, h, nf, feat)
+    while (i < w * h) {
+      feat(i % 4) += (img.getRGB(i % w, i / w) & 0xff).toFloat
+      i += 1
+    }
+    MediaMeta(r.doc_id, w, h, w * h, feat)
   }
 
   /** Typed decode stage over a DataFrame with (doc_id, content: binary). */
   def decode(media: DataFrame): Dataset[MediaMeta] = {
     val s = media.sparkSession
     import s.implicits._
-    media.as[MediaRow].mapPartitions(decodeStub _)
+    media.as[MediaRow].mapPartitions(decodeBmp _)
   }
 
-  /** Resized media: target dims + the (stub-)rescaled payload. */
-  final case class MediaResized(doc_id: Long, width: Int, height: Int,
-      aspect_num: Int, aspect_den: Int)
-
-  /** ==== STUB RESIZE ====
-    * Stands in for a real rescale (e.g. libswscale). Deterministic: scales
-    * to `targetWidth` preserving aspect (integer arithmetic, so the spec
-    * can assert exactly). Partition-local like decode — a real kernel
-    * changes no plan shape.
+  /** Resized media: fixed output dims + checksums of the resampled raster
+    * (sum and position-weighted sum — position-sensitive, so a kernel that
+    * samples the wrong source pixel fails the hash).
     */
-  def resizeStub(rows: Iterator[MediaMeta], targetWidth: Int): Iterator[MediaResized] =
-    rows.map { m =>
-      val h = math.max(1, (m.height.toLong * targetWidth / m.width).toInt)
-      val g = BigInt(targetWidth).gcd(BigInt(h)).toInt
-      MediaResized(m.doc_id, targetWidth, h, targetWidth / g, h / g)
-    }
+  final case class MediaResized(doc_id: Long, width: Int, height: Int,
+      out_sum: Long, out_wsum: Long)
 
-  /** Typed resize stage chained after decode. */
-  def resize(media: DataFrame, targetWidth: Int): Dataset[MediaResized] = {
+  /** ==== REAL RESIZE KERNEL ====
+    * Nearest-neighbor resample of the DECODED raster to `dw`×`dh`: output
+    * pixel (x,y) reads source pixel (x·srcW/dw, y·srcH/dh), integer floor —
+    * the standard NN formula, exact over integers so it replays in SQL.
+    */
+  def resizeKernel(img: BufferedImage, dw: Int, dh: Int): Array[Int] = {
+    val sw = img.getWidth; val sh = img.getHeight
+    Array.tabulate(dw * dh) { i =>
+      img.getRGB((i % dw) * sw / dw, (i / dw) * sh / dh) & 0xff
+    }
+  }
+
+  /** Typed decode→resize stage: parse the BMP, resample, checksum. */
+  def resize(media: DataFrame, dw: Int, dh: Int): Dataset[MediaResized] = {
     val s = media.sparkSession
     import s.implicits._
-    decode(media).mapPartitions(rows => resizeStub(rows, targetWidth))
+    media.as[MediaRow].mapPartitions(_.map { r =>
+      val img = ImageIO.read(new ByteArrayInputStream(r.content))
+      val px = resizeKernel(img, dw, dh)
+      var sum = 0L; var wsum = 0L; var i = 0
+      while (i < px.length) { sum += px(i); wsum += px(i).toLong * (i + 1); i += 1 }
+      MediaResized(r.doc_id, dw, dh, sum, wsum)
+    })
   }
 
-  /** documents.text bytes as the stand-in media payload. */
-  private def media(s: SparkSession, d: String): DataFrame =
-    T.documents(s, d).select(col("doc_id"),
-      encode(col("text"), "UTF-8").as("content"))
+  /** documents.text as the media seed: synthesize one BMP per document. */
+  private def mediaBmp(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    T.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(synthBmp _)
+      .toDF()
+  }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Header-field extraction straight off the binary column — pure
@@ -105,24 +177,22 @@ object Multimodal extends QueryPack {
         .withColumn("byte_offset", col("frame_no").cast("long") * 1024L)
         .orderBy(col("doc_id"), col("frame_no"))
     }),
-    // Decode → resize pipeline (two chained partition-local typed stages).
-    // The stub kernels are deterministic integer math over the text bytes,
-    // and the fixture text is pure ASCII (byte == code point), so the whole
-    // pipeline replays exactly in the DuckDB oracle — full hash gate.
+    // Encode→ImageIO-decode→NN-resample pipeline: two chained
+    // partition-local typed stages over real image bytes. The checksums are
+    // position-weighted so a wrong source-pixel mapping fails the hash.
     "m05_resize_stage" -> ((s, d) => {
-      resize(media(s, d), targetWidth = 320).toDF()
+      resize(mediaBmp(s, d), dw = 8, dh = 4).toDF()
         .select(col("doc_id"), col("width"), col("height"),
-          col("aspect_num"), col("aspect_den"))
+          col("out_sum"), col("out_wsum"))
         .orderBy(col("doc_id"))
     }),
-    // Typed mapPartitions decode stage (stubbed codec, real batch shape).
-    // Header fields and the byte-histogram feature lanes replay in SQL
-    // (ASCII fixture ⇒ per-char ord == per-byte value) — full hash gate.
-    // Histogram counts are exact small integers; cast to long so both
-    // engines stringify identically ("12", not "12.0").
+    // Real-codec decode + feature extraction: ImageIO parses the BMP, the
+    // 4-lane feature sums come off the decoded raster. Lane sums are exact
+    // small integers (≤ 105 px × 255); cast to long so both engines
+    // stringify identically ("12", not "12.0").
     "m04_decode_features" -> ((s, d) => {
-      decode(media(s, d)).toDF()
-        .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+      decode(mediaBmp(s, d)).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("n_pixels"),
           col("feature")(0).cast("long").as("f0"),
           col("feature")(3).cast("long").as("f3"))
         .orderBy(col("doc_id"))
@@ -143,38 +213,51 @@ object Multimodal extends QueryPack {
       SELECT doc_id, unnest(generate_series(0, n_frames - 1, 10)) AS frame_no,
              unnest(generate_series(0, n_frames - 1, 10)) * 1024 AS byte_offset
       FROM nf ORDER BY doc_id, frame_no""",
-    // Replays decodeStub in SQL: header fields off the first bytes, the
-    // 4-lane byte histogram via per-character unnest (ASCII fixture, so
-    // ord(char) IS the UTF-8 byte). LEFT JOIN + coalesce guards the
-    // (absent in fixtures) empty-text row whose histogram group vanishes.
+    // Replays synthBmp→ImageIO→feature: pixel i's gray value is the text
+    // byte at i mod len (ASCII fixture, so ord(char) IS the UTF-8 byte);
+    // lanes partition pixel indices mod 4.
     "m04_decode_features" -> """
-      WITH h AS (
-        SELECT doc_id,
-               count(*) FILTER (WHERE ord(c) % 4 = 0) AS f0,
-               count(*) FILTER (WHERE ord(c) % 4 = 3) AS f3
-        FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
-              FROM documents)
-        GROUP BY doc_id)
-      SELECT d.doc_id,
-             640 + ord(substr(d.text, 1, 1)) % 64 AS width,
-             360 + ord(substr(d.text, 2, 1)) % 36 AS height,
-             octet_length(encode(d.text)) % 240 + 1 AS n_frames,
-             coalesce(h.f0, 0) AS f0,
-             coalesce(h.f3, 0) AS f3
-      FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
-      ORDER BY d.doc_id""",
-    // Replays decodeStub + resizeStub: aspect reduction via gcd, floor
-    // division is exact (all dims positive).
-    "m05_resize_stage" -> """
-      WITH dec AS (
-        SELECT doc_id,
-               640 + ord(substr(text, 1, 1)) % 64 AS dw,
-               360 + ord(substr(text, 2, 1)) % 36 AS dh
+      WITH dims AS (
+        SELECT doc_id, text,
+               8 + ord(substr(text, 1, 1)) % 8 AS w,
+               4 + ord(substr(text, 2, 1)) % 4 AS h,
+               octet_length(encode(text)) AS n
         FROM documents),
-      r AS (SELECT doc_id, greatest(1, (dh * 320) // dw) AS h FROM dec)
-      SELECT doc_id, 320 AS width, h AS height,
-             320 // gcd(320, h) AS aspect_num,
-             h // gcd(320, h) AS aspect_den
-      FROM r ORDER BY doc_id"""
+      px AS (
+        SELECT doc_id, w, h, i,
+               ord(substr(text, (i % n) + 1, 1)) AS g
+        FROM (SELECT doc_id, text, w, h, n,
+                     unnest(generate_series(0, w * h - 1)) AS i
+              FROM dims)),
+      f AS (
+        SELECT doc_id,
+               CAST(sum(g) FILTER (WHERE i % 4 = 0) AS BIGINT) AS f0,
+               CAST(sum(g) FILTER (WHERE i % 4 = 3) AS BIGINT) AS f3
+        FROM px GROUP BY doc_id)
+      SELECT d.doc_id, d.w AS width, d.h AS height, d.w * d.h AS n_pixels,
+             f.f0, f.f3
+      FROM dims d JOIN f USING (doc_id) ORDER BY doc_id""",
+    // Replays synthBmp→ImageIO→NN resample to 8×4: output pixel i=(x,y)
+    // samples source (x*w/8, y*h/4) (integer floor), whose gray value is
+    // the text byte at (sy*w + sx) mod len.
+    "m05_resize_stage" -> """
+      WITH dims AS (
+        SELECT doc_id, text,
+               8 + ord(substr(text, 1, 1)) % 8 AS w,
+               4 + ord(substr(text, 2, 1)) % 4 AS h,
+               octet_length(encode(text)) AS n
+        FROM documents),
+      o AS (
+        SELECT doc_id, i,
+               ord(substr(text,
+                 (((((i // 8) * h) // 4) * w + (((i % 8) * w) // 8)) % n) + 1,
+                 1)) AS g
+        FROM (SELECT doc_id, text, w, h, n,
+                     unnest(generate_series(0, 31)) AS i
+              FROM dims))
+      SELECT doc_id, 8 AS width, 4 AS height,
+             CAST(sum(g) AS BIGINT) AS out_sum,
+             CAST(sum(g * (i + 1)) AS BIGINT) AS out_wsum
+      FROM o GROUP BY doc_id ORDER BY doc_id"""
   )
 }

@@ -165,6 +165,83 @@ object EventStreaming {
       }
   }
 
+  // ---- streaming as-of join (ordered state, watermark-final) ---------------
+
+  case class AsofOut(event_id: Long, user_id: Long,
+      prev_click_value: Option[Double])
+
+  /** Per-user ordered state for the streaming as-of join: views not yet
+    * finalized + the click history still able to answer a future view.
+    * Tuples are (epoch-micros, event_id, value); ordering is (ts, event_id)
+    * — the exact total order the batch form (EventOps q31) windows over.
+    */
+  case class AsofState(pendingViews: List[(Long, Long)],
+      clicks: List[(Long, Long, Double)])
+
+  /** Streaming as-of join: for every 'view' event, the value of the user's
+    * most recent strictly-earlier 'click' — the streaming twin of the batch
+    * q31 (EventOps.scala), which is its DuckDB-checkable oracle.
+    *
+    * Correctness under out-of-order arrival hinges on the watermark: a view
+    * is emitted only once `watermark ≥ view.ts`, at which point any
+    * still-unseen click with `click.ts < view.ts` would be below the
+    * watermark and already dropped by Spark — so the answer is final
+    * (same event-time-finality argument as Spark's own append-mode
+    * aggregations). State is bounded: views leave when finalized, and
+    * click history keeps only clicks at or after the newest click that is
+    * itself ≤ watermark (older clicks are dominated — every future view has
+    * ts > watermark ≥ that click's ts). So per-user state is O(events
+    * within the watermark horizon), the same bound as Spark's built-in
+    * stream-stream join buffers.
+    */
+  def asofViewClick(events: Dataset[EventIn],
+      horizon: String = "1 hour"): Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", horizon)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, AsofOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[EventIn], state: GroupState[AsofState]) =>
+          val prev = state.getOption.getOrElse(AsofState(Nil, Nil))
+          var views = prev.pendingViews
+          var clicks = prev.clicks
+          batch.foreach { e =>
+            val us = e.ts.getTime * 1000L
+            if (e.event_type == "view") views ::= ((us, e.event_id))
+            else if (e.event_type == "click") clicks ::= ((us, e.event_id, e.value))
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // finalize views at or below the watermark, in (ts, id) order
+          val (ripe, still) = views.partition(_._1 <= wmUs)
+          val ordered = clicks.sortBy(c => (c._1, c._2))
+          val out = ripe.sortBy(identity).map { case (vUs, vId) =>
+            // strictly earlier in the (ts, event_id) total order — a click
+            // at the SAME ts with a smaller id counts, matching the batch
+            // window's `rowsBetween(unboundedPreceding, -1)`
+            val hit = ordered.takeWhile(c =>
+              c._1 < vUs || (c._1 == vUs && c._2 < vId)).lastOption
+            AsofOut(vId, uid, hit.map(_._3))
+          }
+          // prune dominated clicks: keep from the newest click ≤ watermark on
+          val cutoff = ordered.filter(_._1 <= wmUs).lastOption
+          val kept = cutoff match {
+            case Some(c0) => ordered.dropWhile(c => (c._1, c._2) != ((c0._1, c0._2)))
+            case None     => ordered
+          }
+          if (still.isEmpty && kept.isEmpty) state.remove()
+          else {
+            state.update(AsofState(still, kept))
+            // wake when the watermark passes the oldest unfinalized view
+            // (+1 ms: the register must be strictly above the watermark,
+            // and a view can share the watermark's millisecond)
+            still.map(_._1).minOption.foreach(vUs =>
+              state.setTimeoutTimestamp(vUs / 1000L + 1L))
+          }
+          out.iterator
+      }
+  }
+
   /** File-source entry point: stream the events fixture directory as if it
     * were arriving (schema-locked, bounded per trigger). The fixture stores
     * TIMESTAMP(NANOS), which Spark's parquet reader only accepts as long

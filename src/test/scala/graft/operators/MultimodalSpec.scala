@@ -1,37 +1,64 @@
 package graft.operators
 
+import java.io.ByteArrayInputStream
+import javax.imageio.ImageIO
+
 import graft.SparkSpec
-import graft.operators.Multimodal.{MediaRow, decodeStub}
+import graft.operators.Multimodal.{MediaRow, decodeBmp, encodeBmp, synthBmp}
 
 class MultimodalSpec extends SparkSpec {
 
-  test("stub decoder is deterministic and matches an independent computation") {
+  test("encodeBmp emits a spec-conformant BMP that ImageIO decodes pixel-exact") {
+    // 5×3 so the 15-byte rows force BMP's 4-byte row padding (15 → 16)
+    val px = Array.tabulate(15)(i => (i * 17 % 256).toByte)
+    val bmp = encodeBmp(5, 3, px)
+    assert(bmp(0) == 'B' && bmp(1) == 'M')
+    assert(bmp.length == 54 + 16 * 3, "54-byte header + padded rows")
+    val img = ImageIO.read(new ByteArrayInputStream(bmp))
+    assert(img.getWidth == 5 && img.getHeight == 3)
+    for (y <- 0 until 3; x <- 0 until 5)
+      assert((img.getRGB(x, y) & 0xff) == (px(y * 5 + x) & 0xff),
+        s"pixel ($x,$y): bottom-up rows must un-flip on decode")
+  }
+
+  test("synth → real ImageIO decode matches an independent computation") {
     val bytes = "hello world".getBytes("UTF-8")
-    val out = decodeStub(Iterator(MediaRow(7L, bytes))).toSeq
+    val out = decodeBmp(synthBmp(Iterator((7L, bytes)))).toSeq
     assert(out.size == 1)
     val m = out.head
     assert(m.doc_id == 7L)
-    assert(m.width == 640 + (bytes(0) & 0xff) % 64)
-    assert(m.height == 360 + (bytes(1) & 0xff) % 36)
-    assert(m.n_frames == bytes.length % 240 + 1)
-    assert(m.feature.sum == bytes.length.toFloat)
+    val w = 8 + (bytes(0) & 0xff) % 8
+    val h = 4 + (bytes(1) & 0xff) % 4
+    assert(m.width == w && m.height == h && m.n_pixels == w * h)
+    // lane sums: pixel i's gray value is bytes(i % len), lanes are i % 4
+    val expected = Array.tabulate(4)(lane =>
+      (0 until w * h).filter(_ % 4 == lane)
+        .map(i => (bytes(i % bytes.length) & 0xff)).sum.toFloat)
+    assert(m.feature.toSeq == expected.toSeq)
   }
 
-  test("resize stage preserves aspect ratio with integer arithmetic") {
-    val m = Multimodal.MediaMeta(1L, 640, 360, 10, Array(1f, 2f, 3f, 4f))
-    val out = Multimodal.resizeStub(Iterator(m), targetWidth = 320).toSeq.head
-    assert(out.width == 320 && out.height == 180)
-    assert(out.aspect_num == 16 && out.aspect_den == 9)
+  test("NN resize kernel samples the floor-mapped source pixel") {
+    val w = 10; val h = 6
+    val px = Array.tabulate(w * h)(i => (i % 251).toByte)
+    val img = ImageIO.read(new ByteArrayInputStream(encodeBmp(w, h, px)))
+    val out = Multimodal.resizeKernel(img, 8, 4)
+    for (y <- 0 until 4; x <- 0 until 8) {
+      val expected = px((y * h / 4) * w + (x * w / 8)) & 0xff
+      assert(out(y * 8 + x) == expected, s"out($x,$y)")
+    }
   }
 
   test("decode stage distributes over partitions with a stable schema") {
     import spark.implicits._
-    val df = (0L until 100L).map(i => (i, s"payload-$i".getBytes("UTF-8")))
-      .toDF("doc_id", "content").repartition(4)
+    val df = (0L until 100L)
+      .map(i => (i, s"payload-$i".getBytes("UTF-8")))
+      .toDF("doc_id", "bytes").as[(Long, Array[Byte])]
+      .mapPartitions(synthBmp _).toDF()
+      .repartition(4)
     val decoded = Multimodal.decode(df)
     assert(decoded.schema.fieldNames.toSeq ==
-      Seq("doc_id", "width", "height", "n_frames", "feature"))
+      Seq("doc_id", "width", "height", "n_pixels", "feature"))
     assert(decoded.count() == 100)
-    assert(decoded.filter($"width" < 640 || $"width" >= 704).count() == 0)
+    assert(decoded.filter($"width" < 8 || $"width" >= 16).count() == 0)
   }
 }

@@ -1,0 +1,128 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import EventStreaming._
+
+/** Pins the streaming as-of join (ordered flatMapGroupsWithState state)
+  * against its batch twin — EventOps q31, the DuckDB-oracled form — on a
+  * controlled out-of-order stream AND on the real events fixture streamed
+  * through the file source.
+  */
+class StreamingAsofSpec extends SparkSpec {
+
+  private val Base = 86400000L
+  private def ts(min: Int) = new Timestamp(Base + min * 60000L)
+
+  private def collectAsof(events: Seq[Seq[EventIn]],
+      horizon: String): Seq[(Long, Long, Option[Double])] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[EventIn]
+    val q = asofViewClick(src.toDS(), horizon).writeStream
+      .format("memory").queryName("asof_out").outputMode("append").start()
+    try {
+      events.foreach { batch => src.addData(batch: _*); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table("asof_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+  }
+
+  test("as-of answers match batch semantics under out-of-order arrival") {
+    // user 1: clicks at 0 (v=1) and 30 (v=3); views at 10, 30, 40.
+    // The click AT minute 30 shares its ts with view 30 but has a smaller
+    // event_id, so it counts as "earlier" in the (ts, id) total order —
+    // the exact tie rule of the batch window.
+    val batch1 = Seq(
+      EventIn(1, ts(0), 1L, "click", 1.0),
+      EventIn(4, ts(30), 1L, "click", 3.0),
+      EventIn(5, ts(30), 1L, "view", 0.0),
+      EventIn(6, ts(40), 1L, "view", 0.0))
+    // view at minute 10 arrives LATE (after the minute-40 events) but
+    // still above the watermark — must see only the minute-0 click
+    val batch2 = Seq(EventIn(2, ts(10), 1L, "view", 0.0))
+    // user 2: a view with no click history → None
+    val batch3 = Seq(EventIn(7, ts(45), 2L, "view", 0.0))
+    // sentinel far in the future pushes the watermark past every view
+    val flush = Seq(EventIn(99, ts(600), 9L, "click", 0.0))
+
+    val got = collectAsof(Seq(batch1, batch2, batch3, flush), "1 hour")
+      .filter(_._2 != 9L).sortBy(_._1)
+    assert(got == Seq(
+      (2L, 1L, Some(1.0)),   // late view: last click strictly before min 10
+      (5L, 1L, Some(3.0)),   // ts tie broken by event_id
+      (6L, 1L, Some(3.0)),
+      (7L, 2L, None)))       // no click history
+  }
+
+  test("a view is held until the watermark finalizes it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[EventIn]
+    val q = asofViewClick(src.toDS(), "1 hour").writeStream
+      .format("memory").queryName("asof_hold").outputMode("append").start()
+    try {
+      src.addData(EventIn(1, ts(0), 1L, "click", 1.0),
+        EventIn(2, ts(10), 1L, "view", 0.0))
+      q.processAllAvailable()
+      // watermark = min10 - 1h < min10: nothing may be emitted yet
+      assert(spark.table("asof_hold").count() == 0)
+      src.addData(EventIn(3, ts(200), 1L, "click", 9.9))
+      q.processAllAvailable()
+      // watermark = min200 - 1h = min140 ≥ min10: the view is final now
+      val got = spark.table("asof_hold").collect()
+        .map(r => (r.getLong(0), r.getDouble(2)))
+      assert(got.toSeq == Seq((2L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("file-streamed events fixture matches the batch q31 oracle form") {
+    import spark.implicits._
+    val dir = tmpDir("asof-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(dir, "events.parquet"))
+
+    val batchEvents = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val maxTs = batchEvents.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+
+    val stream = EventStreaming.readEventStream(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).as[EventIn]
+    val q = asofViewClick(stream, "1 hour").writeStream
+      .format("memory").queryName("asof_file").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // flush: a sentinel file 10h past the fixture horizon finalizes all
+      // (written as a PLAIN file — the file stream source lists only
+      // direct children, not subdirectories)
+      val ftmp = tmpDir("asof-flush")
+      Seq(EventIn(-1L, new Timestamp(maxTs.getTime + 36000000L), -1L,
+          "click", 0.0))
+        .toDS().coalesce(1).write.mode("overwrite").parquet(ftmp)
+      val part = new java.io.File(ftmp).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(dir, "flush.parquet"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("asof_file").filter(col("user_id") =!= -1L)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+
+    val batch = graft.operators.EventOps
+      .queries("q31_asof_join")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+
+    assert(streamed.size == batch.size,
+      s"row counts: stream=${streamed.size} batch=${batch.size}")
+    assert(streamed == batch)
+  }
+}
