@@ -143,6 +143,36 @@ object Multimodal extends QueryPack {
     })
   }
 
+  /** Perceptual hash row: average-hash over the decoded+resampled raster. */
+  final case class MediaHash(doc_id: Long, phash: Long)
+
+  /** ==== REAL PERCEPTUAL HASH (aHash) ====
+    * The standard average-hash: resample the decoded raster to a fixed
+    * 8×4 thumbnail, threshold each pixel against the thumbnail's mean
+    * (integer floor), pack the 32 bits into a long. Near-duplicate images
+    * collide exactly (equal phash) or nearly (small Hamming distance) —
+    * the image-side analogue of the text dedup family's fingerprints, and
+    * all-integer so it replays cross-engine.
+    */
+  def aHash(img: BufferedImage): Long = {
+    val px = resizeKernel(img, 8, 4)
+    var sum = 0L; var i = 0
+    while (i < px.length) { sum += px(i); i += 1 }
+    val mean = sum / px.length
+    var bits = 0L; i = 0
+    while (i < px.length) { if (px(i) > mean) bits |= 1L << i; i += 1 }
+    bits
+  }
+
+  /** Typed decode→phash stage. */
+  def phash(media: DataFrame): Dataset[MediaHash] = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.as[MediaRow].mapPartitions(_.map { r =>
+      MediaHash(r.doc_id, aHash(ImageIO.read(new ByteArrayInputStream(r.content))))
+    })
+  }
+
   /** documents.text as the media seed: synthesize one BMP per document. */
   private def mediaBmp(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -184,6 +214,18 @@ object Multimodal extends QueryPack {
       resize(mediaBmp(s, d), dw = 8, dh = 4).toDF()
         .select(col("doc_id"), col("width"), col("height"),
           col("out_sum"), col("out_wsum"))
+        .orderBy(col("doc_id"))
+    }),
+    // Perceptual-hash dedup over decoded images: aHash per document plus
+    // the same-hash group size (the image near-dup signal). One map-only
+    // decode stage + one window keyed on the 8-byte hash — d09's keeper
+    // shape with a picture inside.
+    "m06_image_phash" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      phash(mediaBmp(s, d)).toDF()
+        .withColumn("n_same",
+          count(lit(1)).over(Window.partitionBy(col("phash"))))
+        .select(col("doc_id"), col("phash"), col("n_same"))
         .orderBy(col("doc_id"))
     }),
     // Real-codec decode + feature extraction: ImageIO parses the BMP, the
@@ -237,6 +279,34 @@ object Multimodal extends QueryPack {
       SELECT d.doc_id, d.w AS width, d.h AS height, d.w * d.h AS n_pixels,
              f.f0, f.f3
       FROM dims d JOIN f USING (doc_id) ORDER BY doc_id""",
+    // Replays synthBmp→ImageIO→NN-resample→aHash: thumbnail pixel values
+    // as in m05, mean by integer floor, bit i set when pixel i exceeds it.
+    "m06_image_phash" -> """
+      WITH dims AS (
+        SELECT doc_id, text,
+               8 + ord(substr(text, 1, 1)) % 8 AS w,
+               4 + ord(substr(text, 2, 1)) % 4 AS h,
+               octet_length(encode(text)) AS n
+        FROM documents),
+      o AS (
+        SELECT doc_id, i,
+               ord(substr(text,
+                 (((((i // 8) * h) // 4) * w + (((i % 8) * w) // 8)) % n) + 1,
+                 1)) AS g
+        FROM (SELECT doc_id, text, w, h, n,
+                     unnest(generate_series(0, 31)) AS i
+              FROM dims)),
+      m AS (SELECT doc_id, CAST(sum(g) // 32 AS BIGINT) AS mean
+            FROM o GROUP BY doc_id),
+      hsh AS (
+        SELECT o.doc_id,
+               CAST(sum(CASE WHEN o.g > m.mean
+                             THEN (CAST(1 AS BIGINT) << o.i) ELSE 0 END)
+                    AS BIGINT) AS phash
+        FROM o JOIN m USING (doc_id) GROUP BY o.doc_id)
+      SELECT doc_id, phash,
+             count(*) OVER (PARTITION BY phash) AS n_same
+      FROM hsh ORDER BY doc_id""",
     // Replays synthBmp→ImageIO→NN resample to 8×4: output pixel i=(x,y)
     // samples source (x*w/8, y*h/4) (integer floor), whose gray value is
     // the text byte at (sy*w + sx) mod len.

@@ -48,6 +48,24 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("aHash packs the above-mean bits of the 8x4 thumbnail") {
+    val w = 8; val h = 4 // already thumbnail-sized: resample is identity
+    val px = Array.tabulate(32)(i => (i * 8).toByte) // 0,8,...,248
+    val img = ImageIO.read(new ByteArrayInputStream(encodeBmp(w, h, px)))
+    val got = Multimodal.aHash(img)
+    val mean = (0 until 32).map(_ * 8).sum / 32 // 124
+    val expected = (0 until 32).filter(_ * 8 > mean)
+      .map(1L << _).sum
+    assert(got == expected)
+    // identical images collide (decode+hash is deterministic)...
+    val img2 = ImageIO.read(new ByteArrayInputStream(encodeBmp(w, h, px)))
+    assert(Multimodal.aHash(img2) == expected)
+    // ...and a structurally different image (reversed gradient) does not
+    val img3 = ImageIO.read(new ByteArrayInputStream(
+      encodeBmp(w, h, px.reverse)))
+    assert(Multimodal.aHash(img3) != expected)
+  }
+
   test("decode stage distributes over partitions with a stable schema") {
     import spark.implicits._
     val df = (0L until 100L)
