@@ -86,22 +86,42 @@ object Multimodal extends QueryPack {
       MediaRow(id, encodeBmp(w, h, px))
     }
 
-  /** ==== REAL DECODER ====
-    * Parses the BMP via `ImageIO` (headless-safe, in every JDK) and
-    * extracts metadata + a 4-lane gray-sum feature sketch from the decoded
-    * raster. Partition-local, allocation-light — the batch shape any
-    * heavier codec (JPEG via ImageIO, video via FFmpeg JNI) plugs into.
+  /** Decode one in-memory BMP with a REUSED ImageReader. `ImageIO.read`
+    * re-runs SPI reader discovery and allocates a fresh reader per call —
+    * measurable at one call per document; a decode stage instead obtains
+    * one reader per PARTITION (`bmpReader()`) and feeds it images through
+    * this helper. Same decoded raster either way (spec-pinned).
     */
-  def decodeBmp(rows: Iterator[MediaRow]): Iterator[MediaMeta] = rows.map { r =>
-    val img = ImageIO.read(new ByteArrayInputStream(r.content))
-    val w = img.getWidth; val h = img.getHeight
-    val feat = new Array[Float](4)
-    var i = 0
-    while (i < w * h) {
-      feat(i % 4) += (img.getRGB(i % w, i / w) & 0xff).toFloat
-      i += 1
+  def readBmp(reader: javax.imageio.ImageReader,
+      bytes: Array[Byte]): BufferedImage = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try { reader.setInput(iis); reader.read(0) } finally iis.close()
+  }
+
+  /** One BMP reader per partition — reused across the partition's rows. */
+  def bmpReader(): javax.imageio.ImageReader =
+    ImageIO.getImageReadersByFormatName("bmp").next()
+
+  /** ==== REAL DECODER ====
+    * Parses the BMP via `ImageIO`'s BMP plugin (headless-safe, in every
+    * JDK) and extracts metadata + a 4-lane gray-sum feature sketch from
+    * the decoded raster. Partition-local, allocation-light — the batch
+    * shape any heavier codec (JPEG via ImageIO, video via FFmpeg JNI)
+    * plugs into.
+    */
+  def decodeBmp(rows: Iterator[MediaRow]): Iterator[MediaMeta] = {
+    val reader = bmpReader()
+    rows.map { r =>
+      val img = readBmp(reader, r.content)
+      val w = img.getWidth; val h = img.getHeight
+      val feat = new Array[Float](4)
+      var i = 0
+      while (i < w * h) {
+        feat(i % 4) += (img.getRGB(i % w, i / w) & 0xff).toFloat
+        i += 1
+      }
+      MediaMeta(r.doc_id, w, h, w * h, feat)
     }
-    MediaMeta(r.doc_id, w, h, w * h, feat)
   }
 
   /** Typed decode stage over a DataFrame with (doc_id, content: binary). */
@@ -134,13 +154,15 @@ object Multimodal extends QueryPack {
   def resize(media: DataFrame, dw: Int, dh: Int): Dataset[MediaResized] = {
     val s = media.sparkSession
     import s.implicits._
-    media.as[MediaRow].mapPartitions(_.map { r =>
-      val img = ImageIO.read(new ByteArrayInputStream(r.content))
-      val px = resizeKernel(img, dw, dh)
-      var sum = 0L; var wsum = 0L; var i = 0
-      while (i < px.length) { sum += px(i); wsum += px(i).toLong * (i + 1); i += 1 }
-      MediaResized(r.doc_id, dw, dh, sum, wsum)
-    })
+    media.as[MediaRow].mapPartitions { rows =>
+      val reader = bmpReader()
+      rows.map { r =>
+        val px = resizeKernel(readBmp(reader, r.content), dw, dh)
+        var sum = 0L; var wsum = 0L; var i = 0
+        while (i < px.length) { sum += px(i); wsum += px(i).toLong * (i + 1); i += 1 }
+        MediaResized(r.doc_id, dw, dh, sum, wsum)
+      }
+    }
   }
 
   /** Perceptual hash row: average-hash over the decoded+resampled raster. */
@@ -168,9 +190,10 @@ object Multimodal extends QueryPack {
   def phash(media: DataFrame): Dataset[MediaHash] = {
     val s = media.sparkSession
     import s.implicits._
-    media.as[MediaRow].mapPartitions(_.map { r =>
-      MediaHash(r.doc_id, aHash(ImageIO.read(new ByteArrayInputStream(r.content))))
-    })
+    media.as[MediaRow].mapPartitions { rows =>
+      val reader = bmpReader()
+      rows.map(r => MediaHash(r.doc_id, aHash(readBmp(reader, r.content))))
+    }
   }
 
   /** documents.text as the media seed: synthesize one BMP per document. */

@@ -21,6 +21,20 @@ class MultimodalSpec extends SparkSpec {
         s"pixel ($x,$y): bottom-up rows must un-flip on decode")
   }
 
+  test("reused-reader decode equals ImageIO.read, across multiple images") {
+    val reader = Multimodal.bmpReader()
+    for (seed <- 1 to 5) {
+      val w = 5 + seed; val h = 3 + seed % 3
+      val px = Array.tabulate(w * h)(i => ((i * seed * 13) % 256).toByte)
+      val bmp = encodeBmp(w, h, px)
+      val a = ImageIO.read(new ByteArrayInputStream(bmp))
+      val b = Multimodal.readBmp(reader, bmp)
+      assert(b.getWidth == a.getWidth && b.getHeight == a.getHeight)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(a.getRGB(x, y) == b.getRGB(x, y), s"seed=$seed ($x,$y)")
+    }
+  }
+
   test("synth → real ImageIO decode matches an independent computation") {
     val bytes = "hello world".getBytes("UTF-8")
     val out = decodeBmp(synthBmp(Iterator((7L, bytes)))).toSeq
