@@ -165,6 +165,19 @@ object EventStreaming {
       }
   }
 
+  /** Streaming interval (banded range) join — the streaming twin of batch
+    * q33 (EventOps): each arriving event lands in the static value band
+    * containing it. Stream-static join with the tiny dim broadcast, so the
+    * range predicate evaluates map-side inside the micro-batch — stateless,
+    * no watermark needed, identical rows to the batch form on the same
+    * input (spec-pinned).
+    */
+  def bandEnrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim),
+      col("value") >= col("lo") && col("value") < col("hi"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        col("value"), col("band"))
+
   // ---- streaming as-of join (ordered state, watermark-final) ---------------
 
   case class AsofOut(event_id: Long, user_id: Long,

@@ -70,6 +70,22 @@ class EventStreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq((2L, 1.0)))
   }
 
+  test("streaming interval join lands each event in its batch-identical band") {
+    import spark.implicits._
+    val dim = Seq(("low", 0.0, 3.0), ("high", 3.0, 1000.0))
+      .toDF("band", "lo", "hi")
+    val got = runStream(fixture, df => bandEnrich(df, dim))
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getString(5)))
+    // identical to the batch join of the same rows against the same dim
+    val batch = bandEnrich(fixture.toDF(), dim)
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getString(5)))
+    assert(got.toSeq == Seq((1L, "low"), (2L, "low"), (3L, "high"),
+      (4L, "high"), (5L, "high")))
+    assert(got.toSeq == batch.toSeq)
+  }
+
   test("flatMapGroupsWithState emits sessions on event-time close") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
