@@ -80,6 +80,21 @@ object Formats extends QueryPack {
         .orderBy(col("custkey"))
     }),
 
+    // Metadata-only COUNT(*): the fixed-record format answers a bare count
+    // from Σ fileSize/recLen — complete aggregate pushdown, zero data
+    // bytes read (FlatPushdownSpec proves zero records decoded). At 100 TB
+    // this is the difference between a free catalog lookup and a full
+    // scan; it is the flat-format equivalent of parquet's footer count.
+    "f11_flat_count_pushdown" -> ((s, d) => {
+      val out = ioDir(d, "f01") // reuse f01's flat copy of customer
+      writeOnce(s, out) {
+        custFixed(s, d).write.format("hpcc-flat")
+          .option("layout", custLayout.spec).mode("overwrite").save(out)
+      }
+      s.read.format("hpcc-flat").option("layout", custLayout.spec).load(out)
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // CSV round trip with reference semantics: single-quote quoting and a
     // multi-char terminator ("|\n" — beyond built-in csv's 1-char lineSep).
     "f02_csv_roundtrip" -> ((s, d) => {
@@ -289,6 +304,8 @@ object Formats extends QueryPack {
       FROM customer ORDER BY custkey""",
     "f02_csv_roundtrip" -> """
       SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id""",
+    "f11_flat_count_pushdown" -> """
+      SELECT count(*) AS n FROM customer""",
     "f09_jsonl_roundtrip" -> """
       SELECT doc_id, text, lang, source, n_chars
       FROM documents ORDER BY doc_id""",

@@ -116,10 +116,11 @@ class FlatTable(layout: EclLayout, options: CaseInsensitiveStringMap)
 class FlatScanBuilder(paths: Seq[String], layout: EclLayout, strict: Boolean,
     trimStrings: Boolean, wholeFile: Boolean)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
 
   private var required: StructType = layout.schema
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var countStar = false
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -136,8 +137,87 @@ class FlatScanBuilder(paths: Seq[String], layout: EclLayout, strict: Boolean,
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
 
+  // COUNT(*) over a fixed-record file is pure METADATA — Σ fileSize/recLen,
+  // no bytes read. Accepted only when nothing narrows the row set: no
+  // grouping, no filters pushed into the reader (a filtered count must
+  // actually evaluate rows) and a bare CountStar. Complete pushdown: the
+  // scan answers with the one final row, so a 100 TB count costs one
+  // driver-side file listing (the parquet-footer-count equivalent the
+  // reference's byte pump could never do).
+  private def answersFromMetadata(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    pushed.isEmpty && agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = answersFromMetadata(agg)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    if (answersFromMetadata(agg)) { countStar = true; true } else false
+  }
+
   override def build(): Scan =
-    new FlatScan(paths, layout, required, strict, trimStrings, wholeFile, pushed)
+    if (countStar) new FlatCountScan(paths, layout, strict)
+    else new FlatScan(paths, layout, required, strict, trimStrings, wholeFile,
+      pushed)
+}
+
+/** Metadata-only COUNT(*) scan: one partition, one row, zero data bytes. */
+class FlatCountScan(paths: Seq[String], layout: EclLayout, strict: Boolean)
+    extends Scan with Batch {
+  import org.apache.spark.sql.types.{LongType, StructField}
+
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"hpcc-flat recLen=${layout.recLen} PushedAggregates: [COUNT(*)]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val recLen = layout.recLen.toLong
+    var rows = 0L
+    paths.foreach { p =>
+      val root = new Path(p)
+      val fs = root.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(root).isDirectory)
+          fs.listStatus(root).toSeq.filter { f =>
+            val n = f.getPath.getName
+            f.isFile && f.getLen > 0 && !n.startsWith(".") && !n.startsWith("_")
+          }
+        else Seq(fs.getFileStatus(root))
+      files.foreach { f =>
+        if (strict && f.getLen % recLen != 0)
+          throw new IllegalArgumentException(
+            s"hpcc-flat: ${f.getPath} size ${f.getLen} is not a multiple of recLen $recLen")
+        rows += f.getLen / recLen
+      }
+    }
+    Array(FlatCountPartition(rows))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    FlatCountReaderFactory
+}
+
+case class FlatCountPartition(rows: Long) extends InputPartition
+
+object FlatCountReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = !emitted && { emitted = true; true }
+      override def get(): InternalRow =
+        InternalRow(p.asInstanceOf[FlatCountPartition].rows)
+      override def close(): Unit = ()
+    }
 }
 
 /** One record-aligned byte range of one file. */

@@ -83,6 +83,33 @@ class FlatPushdownSpec extends SparkSpec {
     assert(got.toSeq == (50 to 59).map(i => s"n$i").sorted)
   }
 
+  test("bare COUNT(*) is answered from file metadata, zero records decoded") {
+    val dir = writeSample(1000)
+    val df = read(dir).agg(count(lit(1)).as("n"))
+    val desc = scanDescription(df)
+    assert(desc.contains("PushedAggregates: [COUNT(*)]"),
+      s"count must push to the metadata scan, got:\n$desc")
+    FlatScanMetrics.reset()
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(1000L))
+    assert(FlatScanMetrics.recordsRead.sum() == 0L,
+      "metadata count must not decode any record")
+  }
+
+  test("filtered COUNT(*) does NOT push the aggregate — rows are evaluated") {
+    val dir = writeSample(500)
+    val df = read(dir).filter(col("id") < 100).agg(count(lit(1)).as("n"))
+    assert(!scanDescription(df).contains("PushedAggregates"),
+      "a filtered count cannot be answered from metadata")
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(100L))
+  }
+
+  test("grouped counts do NOT push the aggregate") {
+    val dir = writeSample(100)
+    val df = read(dir).groupBy(col("grade") % 2).agg(count(lit(1)))
+    assert(!scanDescription(df).contains("PushedAggregates"))
+    assert(df.collect().map(_.getLong(1)).sum == 100L)
+  }
+
   test("unsigned8 decimal comparisons push exactly") {
     val l8 = EclLayout.parse("k:unsigned8,v:string4")
     val dir = tmpDir("flat-push-u8")
