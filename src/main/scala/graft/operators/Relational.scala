@@ -286,6 +286,29 @@ object Relational extends QueryPack {
         .orderBy($"user_id", $"event_id")
     }),
 
+    // Distribution-rank window family + a RANGE-interval frame. The rank
+    // fractions integerize (floor ×1e6) and the rolling sum runs over
+    // integer cents on an epoch-micros RANGE frame, so every output column
+    // is engine-order-independent and hash-matchable. The range frame is
+    // the event-time rolling aggregate shape (per-key state bounded by the
+    // hour window at any scale — the batch twin of a sliding stream agg).
+    "q36_window_dist" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val wRange = Window.partitionBy($"user_id").orderBy($"us")
+        .rangeBetween(-3600000000L, 0L) // 1 hour in micros
+      T.events(s, d)
+        .filter($"user_id" < 100)
+        .withColumn("us", unix_micros($"ts"))
+        .withColumn("cents", floor($"value" * 100).cast("long"))
+        .select($"user_id", $"event_id",
+          ntile(4).over(w).as("quartile"),
+          floor(percent_rank().over(w) * 1000000).cast("long").as("pr_micro"),
+          floor(cume_dist().over(w) * 1000000).cast("long").as("cd_micro"),
+          sum($"cents").over(wRange).as("hour_cents"))
+        .orderBy($"user_id", $"event_id")
+    }),
+
     // -- sort / top-k --------------------------------------------------------
     "q15_topk" -> ((s, d) => {
       import s.implicits._
@@ -627,6 +650,21 @@ object Relational extends QueryPack {
              lag(value, 1)       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
              lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
       FROM events WHERE user_id < 50
+      ORDER BY user_id, event_id""",
+    "q36_window_dist" -> """
+      WITH e AS (
+        SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events WHERE user_id < 100)
+      SELECT user_id, event_id,
+             ntile(4)  OVER w AS quartile,
+             CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT) AS pr_micro,
+             CAST(floor(cume_dist()    OVER w * 1000000) AS BIGINT) AS cd_micro,
+             CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY us
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS hour_cents
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       ORDER BY user_id, event_id""",
     "q15_topk" -> """
       SELECT o_orderkey, o_custkey, o_totalprice

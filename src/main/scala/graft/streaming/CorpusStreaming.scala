@@ -10,6 +10,9 @@ case class ChunkOcc(h: String, doc_id: Long, idx: Int)
 /** Keep/drop verdict for one chunk occurrence. */
 case class ChunkVerdict(h: String, doc_id: Long, idx: Int, kept: Boolean)
 
+/** Keep/drop verdict for one arriving image (by perceptual hash). */
+case class PhashVerdict(phash: Long, doc_id: Long, kept: Boolean)
+
 /** Streaming twins of the corpus-preparation operators that need STATE
   * (the stateless ones — the Gopher gate, PII redaction, hash split —
   * compose into a stream unchanged as projections; StreamingGateSpec pins
@@ -32,6 +35,37 @@ object CorpusStreaming {
   /** Per-occurrence keep/drop verdicts for a (possibly streaming)
     * documents frame with `doc_id` and `text` columns.
     */
+  /** Streaming IMAGE near-dup screen: each arriving document's media (the
+    * synthesized BMP — a real stored-media column plugs in unchanged) is
+    * decoded by the real codec, perceptually hashed (aHash), and kept only
+    * if its phash is unseen — the multimodal face of the chunk-dedup state
+    * machine below. Decode/hash are stateless per-partition stages inside
+    * the stream; only the one-boolean-per-phash keeper state is stateful.
+    * First-keeper semantics match the batch m06 grouping (min doc_id per
+    * phash) when documents arrive in doc_id order, the d11/d14 ingest
+    * contract; StreamingImageDedupSpec pins the parity.
+    */
+  def imageDedupVerdicts(docs: DataFrame): Dataset[PhashVerdict] = {
+    import docs.sparkSession.implicits._
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.MediaHash
+    val hashed = Multimodal.phash(
+      docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(Multimodal.synthBmp _).toDF())
+    hashed.groupByKey(_.phash)
+      .flatMapGroupsWithState[Boolean, PhashVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (ph: Long, it: Iterator[MediaHash], state: GroupState[Boolean]) =>
+          val batch = it.toVector.sortBy(_.doc_id)
+          val seenBefore = state.exists
+          if (!seenBefore) state.update(true)
+          batch.iterator.zipWithIndex.map { case (m, i) =>
+            PhashVerdict(ph, m.doc_id, kept = !seenBefore && i == 0)
+          }
+      }
+  }
+
   def chunkDedupVerdicts(docs: DataFrame): Dataset[ChunkVerdict] = {
     import docs.sparkSession.implicits._
     val occ = docs

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The streaming image near-dup screen (real codec decode + aHash +
+  * first-keeper state) must agree with the batch m06 grouping when
+  * documents arrive in doc_id order — across TWO micro-batches, with
+  * byte-identical media deliberately recurring in the second batch so the
+  * cross-batch phash state is what earns the parity.
+  */
+class StreamingImageDedupSpec extends SparkSpec {
+
+  test("two-micro-batch image dedup keeps exactly the first doc per phash") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).as[StreamDoc]
+      .collect().sortBy(_.doc_id).toSeq.take(60)
+    // second batch: fresh docs PLUS byte-identical re-sends of three
+    // first-batch texts under new ids (same bytes → same BMP → same phash)
+    val (first, fresh) = base.splitAt(40)
+    val resent = first.take(3).zipWithIndex.map { case (d, i) =>
+      StreamDoc(100000L + i, d.text)
+    }
+    val second = fresh ++ resent
+
+    val src = MemoryStream[StreamDoc]
+    val q = CorpusStreaming.imageDedupVerdicts(src.toDF())
+      .writeStream.format("memory").queryName("img_verdicts")
+      .outputMode("append").start()
+    try {
+      src.addData(first: _*)
+      q.processAllAvailable()
+      src.addData(second: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("img_verdicts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+
+    // batch twin: phash every doc (originals + re-sends), keeper = min id
+    val all = (first ++ second).toDF("doc_id", "text")
+    val batchHashes = graft.operators.Multimodal.phash(
+        all.select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions(graft.operators.Multimodal.synthBmp _).toDF())
+      .collect().map(m => (m.doc_id, m.phash))
+    val keeper = batchHashes.groupBy(_._2).map { case (ph, g) =>
+      ph -> g.map(_._1).min }
+
+    assert(streamed.length == first.length + second.length,
+      "one verdict per arriving document")
+    streamed.foreach { case (ph, id, kept) =>
+      assert(kept == (keeper(ph) == id), s"doc $id phash $ph")
+    }
+    // the re-sent media must all be DROPPED (their phash was seen in
+    // micro-batch 1), proving cross-batch state
+    resent.foreach { d =>
+      assert(streamed.find(_._2 == d.doc_id).exists(!_._3),
+        s"re-sent doc ${d.doc_id} must be dropped")
+    }
+  }
+}
