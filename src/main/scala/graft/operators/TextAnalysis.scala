@@ -290,35 +290,27 @@ object TextAnalysis extends QueryPack {
     // per-round pair counts are over the dictionary (millions of rows at
     // web scale, one small two-phase agg each).
     "t14_bpe_learn" -> ((s, d) => {
-      val dict = T.documents(s, d).filter(col("lang") === "en")
-        .select(explode(tokens(col("text"))).as("word"))
-        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      // initial symbols = single chars; substring(word, i, 1) has
-      // code-point semantics in both engines
-      var seg = dict.withColumn("syms",
-        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
-      val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
-      for (k <- 1 to BpeLearnK) {
-        val pairs = seg.select(col("cnt"),
-            explode(arrays_zip(
-              slice(col("syms"), lit(1), size(col("syms")) - 1),
-              slice(col("syms"), lit(2), size(col("syms")) - 1))).as("p"))
-          .select(col("p.0").as("l"), col("p.1").as("r"), col("cnt"))
-          .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("c"))
-        val best = pairs.orderBy(col("c").desc, col("l"), col("r")).limit(1)
-          .collect()(0)
-        val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
-        merges += ((k, l, r, c))
-        seg = seg.withColumn("syms",
-          aggregate(col("syms"), array().cast("array<string>"),
-            (acc, x) => when(size(acc) > 0 &&
-                element_at(acc, -1) === lit(l) && x === lit(r),
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-              .otherwise(concat(acc, array(x)))))
-      }
       import s.implicits._
-      merges.toSeq.toDF("rank", "lhs", "rhs", "pair_count")
-        .orderBy(col("rank"))
+      val (merges, _) = bpeLearn(s, d)
+      merges.toDF("rank", "lhs", "rhs", "pair_count").orderBy(col("rank"))
+    }),
+    // Tokenizer TRAIN → APPLY composition (the IVF family's s02→s07/s13
+    // lifecycle, for text): learn the K merge rules (t14's loop), then
+    // tokenize the corpus WITH them — per-doc piece counts under the
+    // learned vocabulary. The application is a broadcast join of the
+    // occurrence stream against the final segmented dictionary
+    // (Heaps-bounded — words, not documents), one doc_id aggregation; the
+    // corpus is scanned once for the dictionary and once for the apply.
+    "t15_bpe_apply" -> ((s, d) => {
+      val (_, seg) = bpeLearn(s, d)
+      val pieces = seg.select(col("word"), size(col("syms")).as("wp"))
+      T.documents(s, d).filter(col("lang") === "en")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+        .join(broadcast(pieces), Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("wp")).cast("long").as("n_pieces"))
+        .orderBy(col("doc_id"))
     }),
     // Zipf-rank quality score (the CCNet LM-perplexity filter's
     // integer-deterministic cousin): rank the vocabulary by global
@@ -530,7 +522,64 @@ object TextAnalysis extends QueryPack {
         WHERE k2.p IS NULL
         GROUP BY s.word)"""
 
+  /** t14's distributed BPE merge learning: K greedy rounds over the
+    * Heaps-bounded (word, count) dictionary. Returns the K learned merges
+    * (rank, lhs, rhs, pair_count — K single-row driver pulls, the
+    * k-means-centroid pattern) and the final segmented dictionary (word,
+    * cnt, syms) for downstream APPLICATION (t15).
+    */
+  private def bpeLearn(s: SparkSession, d: String)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    val dict = T.documents(s, d).filter(col("lang") === "en")
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    // initial symbols = single chars; substring(word, i, 1) has
+    // code-point semantics in both engines
+    var seg = dict.withColumn("syms",
+      expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    for (k <- 1 to BpeLearnK) {
+      val pairs = seg.select(col("cnt"),
+          explode(arrays_zip(
+            slice(col("syms"), lit(1), size(col("syms")) - 1),
+            slice(col("syms"), lit(2), size(col("syms")) - 1))).as("p"))
+        .select(col("p.0").as("l"), col("p.1").as("r"), col("cnt"))
+        .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("c"))
+      val best = pairs.orderBy(col("c").desc, col("l"), col("r")).limit(1)
+        .collect()(0)
+      val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((k, l, r, c))
+      seg = seg.withColumn("syms",
+        aggregate(col("syms"), array().cast("array<string>"),
+          (acc, x) => when(size(acc) > 0 &&
+              element_at(acc, -1) === lit(l) && x === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+            .otherwise(concat(acc, array(x)))))
+    }
+    (merges.toSeq, seg)
+  }
+
   override def oracles: Map[String, String] = Map(
+    "t15_bpe_apply" -> (s"""
+      WITH words AS (
+        SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+              FROM documents WHERE lang = 'en')
+        GROUP BY 1),
+      seg0 AS (
+        SELECT word, cnt,
+               list_transform(range(1, len(word) + 1), i -> word[i:i])
+                 AS syms
+        FROM words),""" +
+      (1 to BpeLearnK).map(bpeIterSql).mkString(",") + s"""
+      SELECT o.doc_id,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(len(g.syms)) AS BIGINT) AS n_pieces
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+            FROM documents WHERE lang = 'en') o
+      JOIN seg$BpeLearnK g ON o.word = g.word
+      GROUP BY o.doc_id ORDER BY o.doc_id"""),
     "t14_bpe_learn" -> (s"""
       WITH words AS (
         SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
