@@ -339,6 +339,40 @@ object Relational extends QueryPack {
       a.except(b).orderBy($"k")
     }),
 
+    // MULTISET set ops (exceptAll / intersectAll — bag semantics, the SQL
+    // ALL variants): multiplicity-preserving, so the result is summarized
+    // by per-key counts for a deterministic hashable output. Both plan as
+    // aggregate+join under the hood — no sort, shuffle on the key.
+    "q37_set_all" -> ((s, d) => {
+      import s.implicits._
+      val a = T.customer(s, d).select($"c_nationkey".as("k"))
+      val b = T.supplier(s, d).select($"s_nationkey".as("k"))
+      val ex = a.exceptAll(b).groupBy($"k").agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("except_all"))
+      val in = a.intersectAll(b).groupBy($"k").agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("intersect_all"))
+      ex.unionByName(in).orderBy($"op", $"k")
+    }),
+
+    // MERGEABLE HLL sketches (Apache DataSketches, Spark 3.5+): per-group
+    // sketches built in one pass, then UNIONED into a global estimate —
+    // the at-rest pattern a 100 TB deployment uses (persist per-partition
+    // sketch columns, merge at query time instead of rescanning; the
+    // q24 approx_count_distinct form rebuilds its sketch per query).
+    // Verdict oracle (q24 pattern): exact count recomputed by DuckDB, the
+    // estimate gated at ±5% engine-side.
+    "q38_hll_merge" -> ((s, d) => {
+      val sk = T.customer(s, d).groupBy(col("c_nationkey"))
+        .agg(hll_sketch_agg(col("c_custkey")).as("sk"))
+      val est = sk.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = T.customer(s, d)
+        .agg(count_distinct(col("c_custkey")).as("n_exact"))
+      est.crossJoin(exact).select(col("n_exact"),
+        (abs(col("est") - col("n_exact")) <= col("n_exact") * 0.05)
+          .cast("int").as("within_tol"))
+    }),
+
     // -- scalar function families --------------------------------------------
     "q19_string_funcs" -> ((s, d) => {
       import s.implicits._
@@ -676,6 +710,18 @@ object Relational extends QueryPack {
     "q17_intersect" -> """
       SELECT c_nationkey AS k FROM customer
       INTERSECT SELECT s_nationkey AS k FROM supplier ORDER BY k""",
+    "q37_set_all" -> """
+      WITH a AS (SELECT c_nationkey AS k FROM customer),
+           b AS (SELECT s_nationkey AS k FROM supplier),
+           e AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b),
+           i AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+      SELECT 'except_all' AS op, k, count(*) AS n FROM e GROUP BY k
+      UNION ALL
+      SELECT 'intersect_all' AS op, k, count(*) AS n FROM i GROUP BY k
+      ORDER BY op, k""",
+    "q38_hll_merge" -> """
+      SELECT count(DISTINCT c_custkey) AS n_exact, 1 AS within_tol
+      FROM customer""",
     "q18_except" -> """
       SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
       EXCEPT SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
