@@ -131,6 +131,40 @@ object Multimodal extends QueryPack {
     media.as[MediaRow].mapPartitions(decodeBmp _)
   }
 
+  /** Corrupt-tolerant parse: None when the codec cannot decode the bytes
+    * (ImageIO returns null or throws on malformed/truncated input).
+    */
+  def readBmpSafe(reader: javax.imageio.ImageReader,
+      bytes: Array[Byte]): Option[BufferedImage] =
+    try Option(readBmp(reader, bytes))
+    catch { case _: Exception => None }
+
+  /** PERMISSIVE decode: a real 100 TB media corpus always contains
+    * truncated/corrupt files, and one bad record must not kill a
+    * 1000-executor stage. Undecodable rows are dropped (flatMap), the
+    * survivors carry the same schema as `decode` — the DataFrameReader
+    * `mode=PERMISSIVE/DROPMALFORMED` contract, applied to media.
+    */
+  def decodeLenient(media: DataFrame): Dataset[MediaMeta] = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      val reader = bmpReader()
+      rows.flatMap { r =>
+        readBmpSafe(reader, r.content).map { img =>
+          val w = img.getWidth; val h = img.getHeight
+          val feat = new Array[Float](4)
+          var i = 0
+          while (i < w * h) {
+            feat(i % 4) += (img.getRGB(i % w, i / w) & 0xff).toFloat
+            i += 1
+          }
+          MediaMeta(r.doc_id, w, h, w * h, feat)
+        }
+      }
+    }
+  }
+
   /** Resized media: fixed output dims + checksums of the resampled raster
     * (sum and position-weighted sum — position-sensitive, so a kernel that
     * samples the wrong source pixel fails the hash).

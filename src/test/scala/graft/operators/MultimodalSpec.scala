@@ -80,6 +80,28 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.aHash(img3) != expected)
   }
 
+  test("lenient decode drops corrupt media without failing the stage") {
+    import spark.implicits._
+    val valid = (0L until 10L).map { i =>
+      val px = Array.tabulate(32)(j => ((i * 7 + j) % 256).toByte)
+      (i, encodeBmp(8, 4, px))
+    }
+    val corrupt = Seq(
+      (100L, Array[Byte](1, 2, 3)),                 // not a BMP at all
+      (101L, "BMgarbage".getBytes("UTF-8")),        // magic but junk header
+      (102L, encodeBmp(8, 4, new Array[Byte](32)).take(30)), // truncated
+      (103L, Array.empty[Byte]))                    // empty payload
+    val df = (valid ++ corrupt).toDF("doc_id", "content").repartition(3)
+    val out = Multimodal.decodeLenient(df).collect()
+    assert(out.map(_.doc_id).sorted.toSeq == (0L until 10L),
+      "exactly the valid rows survive")
+    // strict decode on the same frame must fail — the contrast that makes
+    // the lenient mode a real contract, not a no-op
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decode(df).collect()
+    }
+  }
+
   test("decode stage distributes over partitions with a stable schema") {
     import spark.implicits._
     val df = (0L until 100L)
