@@ -15,7 +15,11 @@ object Explain {
       "s01_cosine_topk", "s02_ann_ivf_topk", "s04_ann_lsh_topk",
       "s08_pq_adc_topk", "s09_random_projection_topk", "t08_tfidf",
       "p06_prep_pipeline", "p08_gopher_gate",
-      "f06_partition_pruned", "t06_winnowing_fingerprints")
+      "f06_partition_pruned", "t06_winnowing_fingerprints",
+      // round-10 additions worth auditing: the metadata-count scan, the
+      // side-file recursion, the real-codec stages, train→apply BPE
+      "f11_flat_count_pushdown", "q35_recursive_chain",
+      "m04_decode_features", "m06_image_phash", "t15_bpe_apply")
     val named = args.filter(SparkEntry.queries.contains).toSeq
     val unknown = args.filterNot(a => a == "--all" || SparkEntry.queries.contains(a))
     if (unknown.nonEmpty)
