@@ -354,6 +354,39 @@ object Relational extends QueryPack {
       ex.unionByName(in).orderBy($"op", $"k")
     }),
 
+    // NULL aggregation semantics: a sparse LEFT JOIN so the output
+    // exercises count(*) vs count(col) (null-skipping), null-counting,
+    // and a nullable MIN — the null contract every SQL engine must agree
+    // on, hash-pinned cross-engine.
+    "q39_null_agg" -> ((s, d) => {
+      import s.implicits._
+      val big = T.orders(s, d).filter($"o_totalprice" > 400000.0)
+      T.customer(s, d)
+        .join(big, $"c_custkey" === $"o_custkey", "left")
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("n_rows"),
+          count($"o_orderkey").as("n_orders"),
+          sum(when($"o_orderkey".isNull, 1L).otherwise(0L)).as("n_without"),
+          dbl(min(money($"o_totalprice"))).as("min_big"))
+        .orderBy($"c_nationkey")
+    }),
+
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    // MATCH each other, unlike plain equality — the semantics grouped
+    // data with a null bucket needs to join on.
+    "q40_null_safe_join" -> ((s, d) => {
+      import s.implicits._
+      val o = T.orders(s, d)
+      val a = o.select(nullif($"o_orderstatus", lit("O")).as("k"))
+        .groupBy($"k").agg(count(lit(1)).as("na"))
+      val b = o.filter($"o_totalprice" > 150000.0)
+        .select(nullif($"o_orderstatus", lit("O")).as("k"))
+        .groupBy($"k").agg(count(lit(1)).as("nb"))
+      a.join(b.withColumnRenamed("k", "kb"), $"k" <=> $"kb", "left")
+        .select($"k", $"na", $"nb")
+        .orderBy($"k".asc_nulls_first)
+    }),
+
     // MERGEABLE HLL sketches (Apache DataSketches, Spark 3.5+): per-group
     // sketches built in one pass, then UNIONED into a global estimate —
     // the at-rest pattern a 100 TB deployment uses (persist per-partition
@@ -722,6 +755,25 @@ object Relational extends QueryPack {
     "q38_hll_merge" -> """
       SELECT count(DISTINCT c_custkey) AS n_exact, 1 AS within_tol
       FROM customer""",
+    "q39_null_agg" -> """
+      WITH big AS (SELECT * FROM orders WHERE o_totalprice > 400000),
+      j AS (SELECT c.c_nationkey, b.o_orderkey, b.o_totalprice
+            FROM customer c LEFT JOIN big b ON c.c_custkey = b.o_custkey)
+      SELECT c_nationkey, count(*) AS n_rows,
+             count(o_orderkey) AS n_orders,
+             CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_without,
+             CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS min_big
+      FROM j GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "q40_null_safe_join" -> """
+      WITH a AS (SELECT nullif(o_orderstatus, 'O') AS k, count(*) AS na
+                 FROM orders GROUP BY 1),
+           b AS (SELECT nullif(o_orderstatus, 'O') AS k, count(*) AS nb
+                 FROM orders WHERE o_totalprice > 150000 GROUP BY 1)
+      SELECT a.k, a.na, b.nb
+      FROM a LEFT JOIN b ON a.k IS NOT DISTINCT FROM b.k
+      ORDER BY a.k NULLS FIRST""",
     "q18_except" -> """
       SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
       EXCEPT SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'

@@ -425,6 +425,28 @@ object Similarity extends QueryPack {
       .select(col("query_id"), col("neighbor_id"))
   }
 
+  /** Matryoshka-prefix candidates: the rpCandidates shape with the JL
+    * projection replaced by a slice of the normalized vector's leading
+    * MRL_DIM coordinates — information-ordered prefixes make truncation
+    * the projection (Kusupati et al., NeurIPS 2022).
+    */
+  private def mrlCandidates(base: DataFrame, rerank: Int): DataFrame = {
+    val proj = base.select(col("vec_id"),
+      slice(normalized(col("v"), col("nrm")), 1, MRL_DIM).as("y"))
+    val q = proj.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"), col("y").as("qy"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    proj.select(col("vec_id").as("neighbor_id"), col("y"))
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", dot(col("qy"), col("y")))
+      .withColumn("rrank", row_number().over(w))
+      .filter(col("rrank") <= rerank)
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
+  private val MRL_DIM = 16 // truncated-prefix dimensionality
+
   /** IVF-PQ candidates (the FAISS-style composed index, Jégou et al.
     * TPAMI 2011 §V): the coarse quantizer prunes to NPROBE of CELLS cells
     * (the s02 machinery — corpus side map-only, candidates meet in a
@@ -915,6 +937,26 @@ object Similarity extends QueryPack {
       annVerdict(s, d, rerankTopK(s, d, cands), 0.3).crossJoin(rb)
     }),
 
+    // Matryoshka truncated-dimension ANN (Kusupati et al., NeurIPS 2022):
+    // rank candidates by the dot over only the FIRST 16 of 64 dimensions,
+    // exact-rerank the per-query top slice. With MRL-trained embeddings
+    // the information-ordered prefix makes this the cheapest prefilter of
+    // the family (a SLICE — no projection matrix, no codebook, and at
+    // rest you simply read fewer bytes per vector: the leading-prefix
+    // column layout); on the fixture's untrained random embeddings the
+    // prefix carries 16/64 of the energy, statistically the s09 JL
+    // projection, so the same recall gate applies. Same verdict frame as
+    // s09 (counts recomputed by the oracle, recall vs exact s01 ≥ 0.3,
+    // rerank volume bounded).
+    "s14_matryoshka_topk" -> ((s, d) => {
+      val base = normed(s, d)
+      val rerank = pqRerank(base.count())
+      val cands = mrlCandidates(base, rerank)
+      val rb = cands.agg((count(lit(1)) <= lit(NQ.toLong) * rerank)
+        .as("rerank_bounded"))
+      annVerdict(s, d, rerankTopK(s, d, cands), 0.3).crossJoin(rb)
+    }),
+
     // LSH ANN verdict: aggregate recall vs s01 ≥ 0.3 (measured 0.40–0.46)
     // plus a candidate-volume bound — banding must actually prune (the
     // distinct candidate set stays under half of all query-corpus pairs;
@@ -1171,6 +1213,13 @@ object Similarity extends QueryPack {
       FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < $NQ)""",
     // s09 verdict row: counts recomputed; recall/rerank gates pinned TRUE
     "s09_random_projection_topk" -> s"""
+      SELECT CAST(count(*) AS BIGINT) AS n_queries,
+             CAST($K * count(*) AS BIGINT) AS n_topk,
+             TRUE AS recall_ok,
+             TRUE AS rerank_bounded
+      FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < $NQ)""",
+    // s14 verdict row: same frame as s09 (truncation replaces projection)
+    "s14_matryoshka_topk" -> s"""
       SELECT CAST(count(*) AS BIGINT) AS n_queries,
              CAST($K * count(*) AS BIGINT) AS n_topk,
              TRUE AS recall_ok,
