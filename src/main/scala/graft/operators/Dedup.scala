@@ -294,8 +294,20 @@ object Dedup extends QueryPack {
     * shuffles even at corpus scale. The driver loop only reads the
     * convergence COUNT per round (an aggregate — never row data), and
     * each round's labels are persisted so lineage stays flat.
+    *
+    * Cache lifetime: every persist made here is unpersisted before
+    * return. The final labels are materialized to `out` (a plain
+    * parquet side-file — written on EVERY invocation, deliberately NOT
+    * `writeOnce`-elided, because the fixpoint loop is the operator
+    * under test and must run in each bench rep) and the returned frame
+    * reads from that file, so nothing this function computed survives
+    * in the shared CacheManager (the round-9/10 anomaly mechanism,
+    * SCALE.md). Labels are one (id, comp) pair per doc that appears in
+    * a near-dup pair — a small fraction of the corpus even at 100 TB,
+    * and the write is a narrow two-column dump.
     */
-  private[graft] def dupClusters(pairs: DataFrame): DataFrame = {
+  private[graft] def dupClusters(s: SparkSession, pairs: DataFrame,
+      out: String): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
@@ -323,7 +335,9 @@ object Dedup extends QueryPack {
     }
     edges.unpersist()
     require(converged, s"dupClusters: no fixpoint after $rounds rounds")
-    labels
+    labels.write.mode("overwrite").parquet(out)
+    labels.unpersist()
+    s.read.parquet(out)
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -368,7 +382,7 @@ object Dedup extends QueryPack {
     // closure over the same exact-Jaccard pair set.
     "d08_dup_clusters" -> ((s, d) => {
       val pairs = jaccardPairs(s, d).select(col("doc_a"), col("doc_b"))
-      dupClusters(pairs)
+      dupClusters(s, pairs, Formats.ioDir(d, "d08_labels"))
         .groupBy(col("comp"))
         .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_doc_id"))
         .select(col("comp").as("keeper_doc_id"), col("n_members"),

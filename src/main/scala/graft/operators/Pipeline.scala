@@ -517,7 +517,7 @@ object Pipeline extends QueryPack {
       val docs = T.documents(s, d)
       val pairs = Dedup.jaccardPairsOf(docs)
         .select(col("doc_a"), col("doc_b"))
-      val comp = Dedup.dupClusters(pairs)
+      val comp = Dedup.dupClusters(s, pairs, Formats.ioDir(d, "p12_labels"))
         .select(col("id").as("doc_id"), col("comp"))
       val rep = docs.select(col("doc_id"))
         .join(comp, Seq("doc_id"), "left")
@@ -567,7 +567,13 @@ object Pipeline extends QueryPack {
           distinctShingleHashes(col("text"), NGRAM)).as("bloom_hit"))
       val exact = decontaminate(probe, bench, NGRAM, benchGrams = Some(bg))
         .select(col("doc_id"), (col("contaminated") === 1).as("exact_hit"))
-      flagged.join(exact, Seq("doc_id"))
+      // Eager 1-row materialization (localCheckpoint, not CacheManager)
+      // so bg's cache can be dropped before returning — a lazily
+      // returned frame would need the cache alive at caller-collect
+      // time, and an un-unpersisted cache outlives the query in the
+      // shared CacheManager (the round-9/10 bench-anomaly mechanism,
+      // SCALE.md). The checkpoint holds exactly one verdict row.
+      val verdict = flagged.join(exact, Seq("doc_id"))
         .agg(
           count(lit(1)).as("n_docs"),
           sum(col("exact_hit").cast("long")).as("n_contaminated"),
@@ -576,6 +582,9 @@ object Pipeline extends QueryPack {
           ((sum(col("bloom_hit").cast("long")) -
             sum(col("exact_hit").cast("long"))) <=
             count(lit(1)).cast("double") * 0.01).as("fp_bounded"))
+        .localCheckpoint(true)
+      bg.unpersist()
+      verdict
     }),
 
     // Adaptive share-cap balancing (p14): no group may exceed CAP_PCT of

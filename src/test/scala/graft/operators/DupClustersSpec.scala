@@ -14,10 +14,22 @@ class DupClustersSpec extends SparkSpec {
       (2L, 1L), (2L, 3L), (3L, 4L), (5L, 4L), // chain 1-2-3-4-5, mixed order
       (10L, 11L)
     ).toDF("doc_a", "doc_b")
-    val comp = Dedup.dupClusters(pairs).collect()
+    val out = java.nio.file.Files.createTempDirectory("dup_clusters")
+      .resolve("labels").toString
+    val comp = Dedup.dupClusters(spark, pairs, out).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert((1L to 5L).forall(comp(_) == 1L),
       s"chain must collapse to min id: $comp")
     assert(comp(10L) == 10L && comp(11L) == 10L)
+  }
+
+  test("dupClusters leaves nothing in the shared CacheManager") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val out = java.nio.file.Files.createTempDirectory("dup_clusters")
+      .resolve("labels2").toString
+    Dedup.dupClusters(spark, pairs, out).count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "dupClusters must unpersist every frame it persisted")
   }
 }
