@@ -92,6 +92,31 @@ object Bench {
       val s = xs.sorted; val n = s.length
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
     }
+    // Mid-run attribution telemetry (round-10 verdict #2): three rounds
+    // produced sentinel-steady MID-loop anomaly clusters that the
+    // start/end sentinels cannot see and that cost a judge round-trip
+    // each to diagnose. After every query we snapshot the JVM-wide state
+    // a leaked lifetime would perturb — persisted-RDD storage bytes
+    // (getRDDStorageInfo covers both CacheManager plans and local
+    // checkpoints) and whether the shared CacheManager still holds any
+    // plan — and every PROBE_EVERY queries we time ONE extra sentinel
+    // run, giving an in-run load curve positioned between queries. The
+    // full series goes to the telemetry file; stdout carries only the
+    // compact probe map + storage peak (tail budget, see below).
+    case class Telemetry(pos: Int, med: Double, min: Double, max: Double,
+      storageMb: Double, nRdds: Int, cacheNonEmpty: Boolean, probe: Double)
+    val ProbeEvery = 10
+    def storageSnapshot(): (Double, Int) = {
+      val infos = spark.sparkContext.getRDDStorageInfo
+      (infos.map(i => i.memSize + i.diskSize).sum / 1e6, infos.length)
+    }
+    def probeOnce(): Double = SparkEntry.queries.get(sentinelName).map { fn =>
+      try {
+        val t0 = System.nanoTime(); run(fn); (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
+    }.getOrElse(-1.0)
+    var pos = 0
+    val telemetry = scala.collection.mutable.LinkedHashMap[String, Telemetry]()
     val results = queries.map { case (name, fn) =>
       var failed = false
       val times = (1 to iters).flatMap { _ =>
@@ -108,8 +133,16 @@ object Bench {
           }
         }
       }
-      name -> (if (failed || times.isEmpty) (-1.0, -1.0)
-               else (median(times), times.min))
+      pos += 1
+      val (stMb, nRdds) = try storageSnapshot() catch { case _: Throwable => (-1.0, -1) }
+      val cacheUp = try !spark.sharedState.cacheManager.isEmpty
+        catch { case _: Throwable => false }
+      val probe = if (pos % ProbeEvery == 0) probeOnce() else -1.0
+      val (med, mn, mx) =
+        if (failed || times.isEmpty) (-1.0, -1.0, -1.0)
+        else (median(times), times.min, times.max)
+      telemetry(name) = Telemetry(pos, med, mn, mx, stMb, nRdds, cacheUp, probe)
+      name -> (med, mn)
     }
     results.filter(_._2._1 < 0).foreach { case (n, _) =>
       System.err.println(s"[bench] WARNING: $n failed") }
@@ -135,17 +168,45 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.map(_._1).filter(_ >= 0).sum
     val sentinelEnd = timeSentinel()
+    // compact anomaly signal for the stdout line (~150 chars): in-run
+    // probe curve, storage peak + where it happened, and how many
+    // queries finished with a non-empty shared CacheManager (must be 0
+    // after the round-11 leak fixes)
+    val probes = telemetry.values.filter(_.probe >= 0)
+      .map(t => s"\"${t.pos}\":" + cs(t.probe)).mkString("{", ",", "}")
+    val peak = telemetry.values.filter(_.storageMb >= 0)
+      .maxByOption(_.storageMb)
+    val peakMb = peak.map(t => f"${t.storageMb}%.0f").getOrElse("-1")
+    val peakAt = peak.map(t => short(telemetry.find(_._2 eq t).get._1))
+      .getOrElse("")
+    val nCacheUp = telemetry.values.count(_.cacheNonEmpty)
     // stdout: compact line (short keys, cs precision, no iters/sentinel
     // name/queries_min) the tail can hold with margin
-    println(s"""{"metric":"total","value":${cs(total)},"unit":"sec","sentinel_start":${cs(sentinelStart)},"sentinel_end":${cs(sentinelEnd)},"queries":$qs,"sf":"$sfDir"}""")
-    // file: full line incl. full names + minima, for cross-round work
-    try {
-      val p = java.nio.file.Paths.get("/tmp/graft_bench.json")
-      java.nio.file.Files.write(p,
-        s"""{"metric":"total","value":${ms(total)},"unit":"sec","iters":$iters,"sentinel":"$sentinelName","sentinel_start":${ms(sentinelStart)},"sentinel_end":${ms(sentinelEnd)},"queries":$qsFull,"queries_min":$qmins,"sf":"$sfDir"}\n"""
-          .getBytes("UTF-8"))
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] bench file write failed: ${e.getMessage}") }
+    println(s"""{"metric":"total","value":${cs(total)},"unit":"sec","sentinel_start":${cs(sentinelStart)},"sentinel_end":${cs(sentinelEnd)},"probes":$probes,"storage_peak_mb":$peakMb,"peak_at":"$peakAt","cache_up_after":$nCacheUp,"queries":$qs,"sf":"$sfDir"}""")
+    // run-identity stamp (round-10 verdict #8): artifacts must be
+    // self-identifying — HEAD commit, wall-clock, query count
+    val head = try {
+      val repo = new java.io.File(".git")
+      val headTxt = new String(java.nio.file.Files.readAllBytes(
+        repo.toPath.resolve("HEAD")), "UTF-8").trim
+      if (headTxt.startsWith("ref: ")) {
+        val ref = repo.toPath.resolve(headTxt.stripPrefix("ref: "))
+        new String(java.nio.file.Files.readAllBytes(ref), "UTF-8").trim
+      } else headTxt
+    } catch { case _: Throwable => "unknown" }
+    val stamp = s""""head":"$head","wallclock_ms":${System.currentTimeMillis()},"n_queries":${results.size}"""
+    // file: full line incl. full names + minima + per-query telemetry
+    // series, for cross-round work and in-round anomaly attribution
+    val tele = telemetry.map { case (k, t) =>
+      s""""$k":{"pos":${t.pos},"med":${ms(t.med)},"min":${ms(t.min)},"max":${ms(t.max)},"storage_mb":${f"${t.storageMb}%.1f"},"n_rdds":${t.nRdds},"cache_up":${t.cacheNonEmpty},"probe":${ms(t.probe)}}"""
+    }.mkString("{", ",", "}")
+    val fileLine = s"""{"metric":"total","value":${ms(total)},"unit":"sec",$stamp,"iters":$iters,"sentinel":"$sentinelName","sentinel_start":${ms(sentinelStart)},"sentinel_end":${ms(sentinelEnd)},"probes":$probes,"storage_peak_mb":$peakMb,"peak_at":"$peakAt","cache_up_after":$nCacheUp,"queries":$qsFull,"queries_min":$qmins,"telemetry":$tele,"sf":"$sfDir"}\n"""
+    for (path <- Seq("/tmp/graft_bench.json", "BENCH_TELEMETRY.json")) {
+      try java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        fileLine.getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $path write failed: ${e.getMessage}") }
+    }
     spark.stop()
   }
 }
