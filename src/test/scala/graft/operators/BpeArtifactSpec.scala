@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the BPE train-once-at-rest lifecycle (the s02→s07/s13 posture for
+  * text): under a reuse session t15 must consume the persisted artifacts
+  * without retraining, and the artifact-applied result must equal a live
+  * train→apply computation.
+  */
+class BpeArtifactSpec extends SparkSpec {
+
+  private def fixtureDir(name: String): String = {
+    import spark.implicits._
+    val dir = tmpDir(name)
+    Seq(
+      (1L, "aaaa aaaa aaaa", "en"),
+      (2L, "pq pq aaaa", "en"),
+      (3L, "rs pq", "en"),
+      (4L, "zzzz zzzz", "fr"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("srcX"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def segListing(base: String): Seq[(String, Long)] = {
+    val d = new java.io.File(s"$base/seg")
+    d.listFiles().toSeq.map(f => (f.getName, f.lastModified())).sorted
+  }
+
+  test("reuse session: t15 trains once, second apply reuses the artifact") {
+    val dir = fixtureDir("bpeartifact")
+    spark.conf.set("graft.io.reuse", "true")
+    try {
+      val r1 = TextAnalysis.queries("t15_bpe_apply")(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      val base = graft.operators.Formats.ioDir(dir, "bpe_artifacts")
+      val files1 = segListing(base)
+      assert(files1.nonEmpty, "seg artifact must exist after first apply")
+      val r2 = TextAnalysis.queries("t15_bpe_apply")(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      assert(segListing(base) == files1,
+        "second apply in the same reuse session must not rewrite the artifact")
+      assert(r1 == r2)
+    } finally spark.conf.unset("graft.io.reuse")
+  }
+
+  test("artifact-applied result equals a live train→apply computation") {
+    val dir = fixtureDir("bpeartifact2")
+    val viaArtifact = TextAnalysis.queries("t15_bpe_apply")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val (_, seg) = TextAnalysis.bpeLearn(spark, dir)
+    val pieces = seg.select(col("word"), size(col("syms")).as("wp"))
+    val live = graft.Tables.documents(spark, dir).filter(col("lang") === "en")
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+      .join(broadcast(pieces), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("wp")).cast("long").as("n_pieces"))
+      .orderBy(col("doc_id"))
+      .collect().map(_.toSeq).toSeq
+    assert(viaArtifact == live)
+  }
+}
