@@ -77,9 +77,16 @@ object Multimodal extends QueryPack {
     * from the first two bytes (w ∈ [8,16), h ∈ [4,8)); pixel i's gray value
     * cycles through the text bytes. Deterministic, so the oracle can
     * recompute every decoded pixel from SQL.
+    *
+    * Documents shorter than 2 bytes carry no dimension header and are
+    * SKIPPED (not crashed on): a malformed payload must degrade like the
+    * decode path's `decodeLenient`, never kill the stage. The oracles
+    * mirror the rule (`WHERE octet_length(encode(text)) >= 2`); the
+    * fixture's minimum text length is 47, so fixture behavior is
+    * unchanged.
     */
   def synthBmp(rows: Iterator[(Long, Array[Byte])]): Iterator[MediaRow] =
-    rows.map { case (id, b) =>
+    rows.collect { case (id, b) if b.length >= 2 =>
       val w = 8 + (b(0) & 0xff) % 8
       val h = 4 + (b(1) & 0xff) % 4
       val px = Array.tabulate(w * h)(i => b(i % b.length))
@@ -321,7 +328,7 @@ object Multimodal extends QueryPack {
                8 + ord(substr(text, 1, 1)) % 8 AS w,
                4 + ord(substr(text, 2, 1)) % 4 AS h,
                octet_length(encode(text)) AS n
-        FROM documents),
+        FROM documents WHERE octet_length(encode(text)) >= 2),
       px AS (
         SELECT doc_id, w, h, i,
                ord(substr(text, (i % n) + 1, 1)) AS g
@@ -344,7 +351,7 @@ object Multimodal extends QueryPack {
                8 + ord(substr(text, 1, 1)) % 8 AS w,
                4 + ord(substr(text, 2, 1)) % 4 AS h,
                octet_length(encode(text)) AS n
-        FROM documents),
+        FROM documents WHERE octet_length(encode(text)) >= 2),
       o AS (
         SELECT doc_id, i,
                ord(substr(text,
@@ -373,7 +380,7 @@ object Multimodal extends QueryPack {
                8 + ord(substr(text, 1, 1)) % 8 AS w,
                4 + ord(substr(text, 2, 1)) % 4 AS h,
                octet_length(encode(text)) AS n
-        FROM documents),
+        FROM documents WHERE octet_length(encode(text)) >= 2),
       o AS (
         SELECT doc_id, i,
                ord(substr(text,

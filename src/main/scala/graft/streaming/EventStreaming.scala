@@ -206,10 +206,43 @@ object EventStreaming {
     * ts > watermark ≥ that click's ts). So per-user state is O(events
     * within the watermark horizon), the same bound as Spark's built-in
     * stream-stream join buffers.
+    *
+    * Idle expiry: when only click history remains (no pending views), an
+    * event-time register at watermark + horizon drops the state after a
+    * full horizon of inactivity. A view arriving later than that sees no
+    * history — the deliberate bounded-state divergence from the batch
+    * twin's unbounded lookback, the same trade Spark's stream-stream
+    * join state TTL makes (spec-pinned in StreamingAsofSpec).
     */
+  /** Horizon string ("1 hour", "30 minutes", "90 seconds") → milliseconds,
+    * for the idle-state expiry register below.
+    */
+  private[streaming] def horizonMs(horizon: String): Long = {
+    val Array(n, unit) = horizon.trim.split("\\s+")
+    val perUnit = unit.toLowerCase.stripSuffix("s") match {
+      case "millisecond" => 1L
+      case "second"      => 1000L
+      case "minute"      => 60L * 1000L
+      case "hour"        => 3600L * 1000L
+      case "day"         => 24L * 3600L * 1000L
+      case u => throw new IllegalArgumentException(s"horizon unit: $u")
+    }
+    n.toLong * perUnit
+  }
+
+  /** Lossless epoch-micros from a Timestamp: getTime carries only the
+    * millisecond part (sub-ms micros live in getNanos), so `getTime*1000`
+    * silently truncates — and the batch twin q31 orders by FULL-microsecond
+    * ts, where a same-user click/view pair inside one millisecond needs the
+    * sub-ms digits for the strictly-earlier/tie-break decision.
+    */
+  private[streaming] def epochMicros(ts: Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
   def asofViewClick(events: Dataset[EventIn],
       horizon: String = "1 hour"): Dataset[AsofOut] = {
     import events.sparkSession.implicits._
+    val idleMs = horizonMs(horizon)
     events
       .withWatermark("ts", horizon)
       .groupByKey(_.user_id)
@@ -220,7 +253,7 @@ object EventStreaming {
           var views = prev.pendingViews
           var clicks = prev.clicks
           batch.foreach { e =>
-            val us = e.ts.getTime * 1000L
+            val us = epochMicros(e.ts)
             if (e.event_type == "view") views ::= ((us, e.event_id))
             else if (e.event_type == "click") clicks ::= ((us, e.event_id, e.value))
           }
@@ -243,13 +276,31 @@ object EventStreaming {
             case None     => ordered
           }
           if (still.isEmpty && kept.isEmpty) state.remove()
-          else {
+          else if (state.hasTimedOut && prev.pendingViews.isEmpty) {
+            // A timeout fire on a state with no pending views can only be
+            // the IDLE register (the view-wakeup register exists only
+            // while a view is pending, and timeout invocations carry an
+            // empty batch): the click history has been idle a full
+            // horizon — drop it, keeping per-user state O(horizon) as
+            // documented. A view-wakeup fire (prev had views) falls
+            // through and re-arms the idle register below once its views
+            // finalize.
+            state.remove()
+          } else {
             state.update(AsofState(still, kept))
-            // wake when the watermark passes the oldest unfinalized view
-            // (+1 ms: the register must be strictly above the watermark,
-            // and a view can share the watermark's millisecond)
-            still.map(_._1).minOption.foreach(vUs =>
-              state.setTimeoutTimestamp(vUs / 1000L + 1L))
+            still.map(_._1).minOption match {
+              // wake when the watermark passes the oldest unfinalized view
+              // (+1 ms: the register must be strictly above the watermark,
+              // and a view can share the watermark's millisecond)
+              case Some(vUs) => state.setTimeoutTimestamp(vUs / 1000L + 1L)
+              // only click history remains: schedule idle expiry at
+              // watermark + horizon so an inactive user's pruned clicks
+              // don't persist forever (a view that could still use them
+              // arrives within the horizon by definition — later views
+              // re-enter through the Some branch above)
+              case None =>
+                state.setTimeoutTimestamp(wmUs / 1000L + idleMs)
+            }
           }
           out.iterator
       }
@@ -265,16 +316,42 @@ object EventStreaming {
     * (no reader-scoped equivalent exists), so after this call every
     * TIMESTAMP(NANOS) parquet column in the session reads as LongType.
     */
+  /** Canonical events schema — the fallback when the source directory has
+    * no parquet footers to peek yet (an EMPTY directory is a normal state
+    * for a file-stream source before the first file lands). Matches the
+    * current fixture vintage (`ts` as timestamp[us]); a directory that
+    * later receives the nanos-long vintage still resolves via the footer
+    * peek, which wins whenever a file exists.
+    */
+  private[streaming] val eventSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props",
+        org.apache.spark.sql.types.StringType)))
+
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The file-stream source requires an explicit schema; take it from a
     // batch footer peek of the same directory so the stream decodes
     // whichever fixture vintage is present (ts as nanos-long vs
     // timestamp[us]) — then normalize exactly like the batch loader.
-    val static = spark.read.parquet(dir)
+    // An empty/absent directory cannot be peeked ('Unable to infer
+    // schema') — fall back to the canonical schema instead of failing.
+    val schema =
+      try spark.read.parquet(dir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => eventSchema }
     graft.Tables.normalizeEventTs(
       spark.readStream
-        .schema(static.schema)
+        .schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(dir))
   }

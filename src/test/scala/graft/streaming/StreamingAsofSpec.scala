@@ -59,6 +59,53 @@ class StreamingAsofSpec extends SparkSpec {
       (7L, 2L, None)))       // no click history
   }
 
+  test("sub-millisecond event times keep full-microsecond order") {
+    // Timestamp.getTime is milliseconds; the sub-ms digits live in
+    // getNanos. All three events share millisecond 0 of ts(0) — only a
+    // lossless micros conversion orders them like the batch window.
+    def tsUs(us: Int): Timestamp = {
+      val t = new Timestamp(Base)
+      t.setNanos(us * 1000)
+      t
+    }
+    val batch1 = Seq(
+      EventIn(1, tsUs(456), 1L, "click", 5.0),
+      EventIn(2, tsUs(123), 1L, "view", 0.0), // BEFORE the click by 333 us
+      EventIn(3, tsUs(789), 1L, "view", 0.0)) // after the click
+    val flush = Seq(EventIn(99, ts(600), 9L, "click", 0.0))
+    val got = collectAsof(Seq(batch1, flush), "1 hour")
+      .filter(_._2 != 9L).sortBy(_._1)
+    // ms-truncated conversion would tie all three at ms 0 and hand view 2
+    // the click via the id tie-break — the wrong answer
+    assert(got == Seq(
+      (2L, 1L, None),
+      (3L, 1L, Some(5.0))))
+  }
+
+  test("idle click history expires one horizon after the watermark") {
+    // click for user 1, then watermark advances far past click + horizon
+    // with no user-1 activity: the idle register must drop the state, so
+    // a much-later view sees None — the documented bounded-state
+    // divergence from the batch twin's unbounded lookback.
+    val got = collectAsof(Seq(
+      Seq(EventIn(1, ts(0), 1L, "click", 7.0)),
+      Seq(EventIn(50, ts(300), 9L, "click", 0.0)), // wm → min 240; idle fires
+      Seq(EventIn(2, ts(241), 1L, "view", 0.0)),
+      Seq(EventIn(51, ts(600), 9L, "click", 0.0))  // finalize the view
+    ), "1 hour").filter(_._2 != 9L)
+    assert(got == Seq((2L, 1L, None)))
+  }
+
+  test("readEventStream on an empty directory falls back to the canonical schema") {
+    val dir = tmpDir("asof-empty")
+    val df = EventStreaming.readEventStream(spark, dir)
+    assert(df.isStreaming)
+    assert(df.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+  }
+
   test("a view is held until the watermark finalizes it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
