@@ -1,0 +1,189 @@
+package graft.functions
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+
+/** Broadcast-backed centroid/codebook expressions (round-10 verdict #5).
+  *
+  * The literal formulation (`least(struct(-dot(v, typedLit(c_j)), j))`
+  * unrolled over all k centroids) bakes the codebook into the expression
+  * TREE: every task deserializes k literal arrays and codegen unrolls k
+  * dot products — fine at the fixture's k=8/ks=16 (the ~1 MB task
+  * binaries in the round-10 bench tail were the early symptom), quadratic
+  * trouble at a production k=4096. These expressions instead hold a
+  * `Broadcast` HANDLE (bytes on the wire: a block id, not the data); the
+  * codebook ships to each executor once via the broadcast mechanism, and
+  * the scoring loop lives in compiled Scala invoked from generated code
+  * via `addReferenceObj` — plan size and codegen size are O(1) in k.
+  * CentroidPlanSizeSpec pins the bound at k=4096.
+  *
+  * Semantics are bit-identical to the literal forms (CentroidExprSpec):
+  * ascending-j scan with `Double.compare` keeps the literal struct
+  * ordering's tie rule (lowest index wins; NaN sorts above every score,
+  * matching Spark's NaN-greatest ordering), and every dot product skips
+  * null elements over the common prefix exactly like `graft_dot`.
+  */
+object CentroidExpressions {
+
+  private def dotPrefix(v: ArrayData, c: Array[Double]): Double = {
+    val n = math.min(v.numElements(), c.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (!v.isNullAt(i)) s += v.getDouble(i) * c(i)
+      i += 1
+    }
+    s
+  }
+
+  private def checkVec(t: DataType, who: String): TypeCheckResult = t match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$who expects array<double>, got ${other.simpleString}")
+  }
+
+  /** Index of the best centroid for the input vector: argmax dot
+    * (spherical k-means assignment) or argmin squared-Euclidean via the
+    * ‖c‖² − 2·v·c expansion (PQ code assignment) when `euclid` is set.
+    */
+  case class NearestCentroid(bc: Broadcast[Array[Array[Double]]],
+      euclid: Boolean, child: Expression) extends UnaryExpression {
+
+    @transient private lazy val cents: Array[Array[Double]] = bc.value
+    @transient private lazy val normSq: Array[Double] =
+      if (euclid) cents.map(c => c.map(x => x * x).sum) else null
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkVec(child.dataType, "nearest_centroid")
+    override def dataType: DataType = IntegerType
+
+    def nearest(v: ArrayData): Int = {
+      var best = -1
+      var bestScore = 0.0
+      var j = 0
+      while (j < cents.length) {
+        val d = dotPrefix(v, cents(j))
+        val score = if (euclid) normSq(j) - 2.0 * d else -d
+        if (best < 0 || java.lang.Double.compare(score, bestScore) < 0) {
+          best = j; bestScore = score
+        }
+        j += 1
+      }
+      best
+    }
+
+    override protected def nullSafeEval(v: Any): Any =
+      nearest(v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("nearestCentroid", this,
+        classOf[NearestCentroid].getName)
+      nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.nearest($v);")
+    }
+
+    override protected def withNewChildInternal(
+        newChild: Expression): NearestCentroid = copy(child = newChild)
+  }
+
+  /** The `nprobe` closest cells by descending dot (ties to the lower cell
+    * id), as an array<int> in that order — the broadcast twin of the
+    * literal `array_sort(array(struct(-dot, j)...))` probe projection.
+    */
+  case class ProbeCells(bc: Broadcast[Array[Array[Double]]], nprobe: Int,
+      child: Expression) extends UnaryExpression {
+
+    @transient private lazy val cents: Array[Array[Double]] = bc.value
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkVec(child.dataType, "probe_cells")
+    override def dataType: DataType = ArrayType(IntegerType, false)
+
+    def probe(v: ArrayData): ArrayData = {
+      val scored = Array.tabulate(cents.length)(j =>
+        (-dotPrefix(v, cents(j)), j))
+      // (score asc, j asc) — java.lang.Double.compare orders NaN greatest,
+      // like the literal struct sort
+      val top = scored.sortWith { case ((s1, j1), (s2, j2)) =>
+        val c = java.lang.Double.compare(s1, s2)
+        c < 0 || (c == 0 && j1 < j2)
+      }.take(math.min(nprobe, cents.length))
+      new GenericArrayData(top.map(_._2))
+    }
+
+    override protected def nullSafeEval(v: Any): Any =
+      probe(v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("probeCells", this,
+        classOf[ProbeCells].getName)
+      nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.probe($v);")
+    }
+
+    override protected def withNewChildInternal(
+        newChild: Expression): ProbeCells = copy(child = newChild)
+  }
+
+  /** The PQ asymmetric-distance score for one (query, code row):
+    * Σ_m dot(q[m·sub .. m·sub+sub), books(m)(codes(m))) — the broadcast
+    * twin of the per-subspace `dot(slice(q), element_at(typedLit(books(m)),
+    * code+1))` sum, accumulated in the same m-ascending, i-ascending order
+    * so the FP result is bit-identical.
+    */
+  case class AdcScore(bc: Broadcast[Array[Array[Array[Double]]]],
+      left: Expression, right: Expression) extends BinaryExpression {
+
+    @transient private lazy val books: Array[Array[Array[Double]]] = bc.value
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(DoubleType, _), ArrayType(IntegerType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"adc_score expects (array<double>, array<int>), got " +
+            s"(${l.simpleString}, ${r.simpleString})")
+      }
+    override def dataType: DataType = DoubleType
+
+    def score(q: ArrayData, codes: ArrayData): Double = {
+      val m = books.length
+      val sub = books(0)(0).length
+      var total = 0.0
+      var mi = 0
+      while (mi < m) {
+        val c = books(mi)(codes.getInt(mi))
+        val off = mi * sub
+        var s = 0.0
+        var i = 0
+        val n = math.min(sub, math.max(q.numElements() - off, 0))
+        while (i < n) {
+          if (!q.isNullAt(off + i)) s += q.getDouble(off + i) * c(i)
+          i += 1
+        }
+        total += s
+        mi += 1
+      }
+      total
+    }
+
+    override protected def nullSafeEval(q: Any, codes: Any): Any =
+      score(q.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("adcScore", this,
+        classOf[AdcScore].getName)
+      nullSafeCodeGen(ctx, ev,
+        (q, c) => s"${ev.value} = $ref.score($q, $c);")
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): AdcScore =
+      copy(left = newLeft, right = newRight)
+  }
+}

@@ -3,8 +3,10 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.graftshim.{GraftColumns => U}
 import graft.{QueryPack, Tables => T}
 import graft.functions.VectorFunctions._
+import graft.functions.{CentroidExpressions => CE}
 
 /** Similarity search over the `embeddings` table (north-star surface).
   *
@@ -74,32 +76,35 @@ object Similarity extends QueryPack {
     if (n == 0.0) v else v.map(_ / n)
   }
 
-  /** Argmax-cosine cell assignment as a PURE PROJECTION: the centroids are
-    * unit-vector literals baked into one codegen'd expression (`CELLS` dot
-    * products per row + a `least` over comparable structs), so assigning the
-    * whole corpus is map-only — no join, no shuffle, no broadcast exchange.
-    * This is the 100 TB shape: centroid state is O(k·d) and rides the
-    * closure; the corpus only ever streams. Ties break to the lowest cell id
-    * (struct ordering), deterministically.
+  /** Argmax-cosine cell assignment as a PURE PROJECTION — map-only, no
+    * join, no shuffle, no broadcast EXCHANGE. Centroid state travels as a
+    * broadcast VARIABLE consumed by one codegen'd expression
+    * (`CentroidExpressions.NearestCentroid`): the plan carries a block-id
+    * handle, each executor fetches the O(k·d) codebook once, and codegen
+    * size is O(1) in k — at a production k=4096 the former
+    * literal-unrolled form (k typedLit dot products per row) bloated
+    * every task binary and codegen unit with the full codebook
+    * (CentroidPlanSizeSpec pins the bound; round-10 verdict #5). Ties
+    * break to the lowest cell id, exactly like the literal struct
+    * ordering (CentroidExprSpec pins parity).
     *
     * `v` need not be normalized: centroids are unit vectors, so
     * argmax_j dot(v, c_j) = argmax_j cos(v, c_j).
     */
   private[graft] def cellExpr(cents: Array[Array[Double]], v: Column): Column =
-    least(cents.zipWithIndex.map { case (cv, j) =>
-      struct((-dot(v, typedLit(cv.toSeq))).as("nd"), lit(j).as("cell"))
-    }: _*).getField("cell")
+    U.column(CE.NearestCentroid(
+      SparkSession.active.sparkContext.broadcast(cents), euclid = false,
+      U.expression(v)))
 
-  /** Top-`nprobe` closest cells per vector, same literal-centroid projection:
-    * an array of (−cos, cell) structs, sorted, sliced — still map-only.
+  /** Top-`nprobe` closest cells per vector, same broadcast-centroid
+    * projection: descending dot, ties to the lower cell id — still
+    * map-only.
     */
   private[graft] def probeCellsExpr(cents: Array[Array[Double]], v: Column,
       nprobe: Int): Column =
-    transform(
-      slice(array_sort(array(cents.zipWithIndex.map { case (cv, j) =>
-        struct((-dot(v, typedLit(cv.toSeq))).as("nd"), lit(j).as("cell"))
-      }: _*)), 1, nprobe),
-      e => e.getField("cell"))
+    U.column(CE.ProbeCells(
+      SparkSession.active.sparkContext.broadcast(cents), nprobe,
+      U.expression(v)))
 
   /** One Lloyd mean-update over `vCol` grouped by `cellCol`: `posexplode` →
     * `groupBy(cell, pos, partition)` partial sums — a two-phase (map-side
@@ -201,16 +206,26 @@ object Similarity extends QueryPack {
     math.max(PQ_RERANK_MIN.toLong, nv / PQ_RERANK_DIV).toInt
 
   /** Argmin-Euclidean code assignment for one PQ subspace, as the same
-    * literal-centroid map-only projection as [[cellExpr]]: for unit-free
+    * broadcast-centroid map-only projection as [[cellExpr]]: for unit-free
     * subvectors argmin_j ‖v−c_j‖² = argmin_j (‖c_j‖² − 2·v·c_j) — the ‖v‖²
     * term is constant across j and drops out. Ties break to the lowest
-    * code (struct ordering), deterministically.
+    * code, deterministically.
     */
   private def pqCodeExpr(cents: Array[Array[Double]], sub: Column): Column =
-    least(cents.zipWithIndex.map { case (cv, j) =>
-      struct((lit(cv.map(x => x * x).sum) -
-        lit(2.0) * dot(sub, typedLit(cv.toSeq))).as("d"), lit(j).as("code"))
-    }: _*).getField("code")
+    U.column(CE.NearestCentroid(
+      SparkSession.active.sparkContext.broadcast(cents), euclid = true,
+      U.expression(sub)))
+
+  /** ADC score Σ_m q[m·sub ..) · books(m)(code_m) with the full codebook
+    * set as ONE broadcast (formerly M per-subspace `element_at(typedLit)`
+    * lookups — the codebooks rode the plan as literals; round-10 verdict
+    * #5). Accumulation order matches the literal form bit-for-bit.
+    */
+  private def adcScoreExpr(books: Array[Array[Array[Double]]], q: Column,
+      codeCols: Seq[Column]): Column =
+    U.column(CE.AdcScore(
+      SparkSession.active.sparkContext.broadcast(books),
+      U.expression(q), U.expression(array(codeCols: _*))))
 
   /** Plain Euclidean Lloyd's for ONE PQ subspace over `sub` (a slice of the
     * normalized vector): [[seedVectors]] init, [[pqCodeExpr]] assignment,
@@ -340,10 +355,8 @@ object Similarity extends QueryPack {
     val q = base.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("query_id"),
         normalized(col("v"), col("nrm")).as("qn"))
-    val adc = (0 until PQ_M).map { m =>
-      dot(slice(col("qn"), m * sub + 1, sub),
-        element_at(typedLit(books(m).map(_.toSeq).toSeq), col(s"c$m") + 1))
-    }.reduce(_ + _)
+    val adc = adcScoreExpr(books, col("qn"),
+      (0 until PQ_M).map(m => col(s"c$m")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("neighbor_id"))
     codes.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
@@ -473,10 +486,8 @@ object Similarity extends QueryPack {
       .select(col("vec_id").as("query_id"),
         normalized(col("v"), col("nrm")).as("qn"),
         explode(probeCellsExpr(cents, col("v"), NPROBE)).as("cell"))
-    val adc = (0 until PQ_M).map { m =>
-      dot(slice(col("qn"), m * sub + 1, sub),
-        element_at(typedLit(books(m).map(_.toSeq).toSeq), col(s"c$m") + 1))
-    }.reduce(_ + _)
+    val adc = adcScoreExpr(books, col("qn"),
+      (0 until PQ_M).map(m => col(s"c$m")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("neighbor_id"))
     codes.join(broadcast(q), Seq("cell"))

@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge. Spark 4 removed the public
+  * `Column(Expression)` constructor (Columns wrap ColumnNodes); the
+  * sanctioned conversion lives in `classic.ExpressionUtils`, which is
+  * `private[sql]` — hence this shim package, the established pattern for
+  * Spark-extension libraries that construct Catalyst expressions
+  * directly (needed here for expressions carrying Broadcast handles,
+  * which cannot be built through the function-registry string path).
+  */
+object GraftColumns {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

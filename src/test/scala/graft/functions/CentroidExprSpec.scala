@@ -1,0 +1,109 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.GraftColumns
+import graft.functions.VectorFunctions.dot
+
+/** Pins the broadcast-backed centroid expressions bit-identical to the
+  * literal forms they replaced (`least(struct(-dot(v, typedLit(c)), j))`
+  * and friends): same argmin/argmax, same lowest-index tie rule, same
+  * FP accumulation order for the ADC sum.
+  */
+class CentroidExprSpec extends SparkSpec {
+
+  private def lcg(seed: Long): Iterator[Double] =
+    Iterator.iterate(seed)(s => s * 6364136223846793005L + 1442695040888963407L)
+      .map(s => ((s >>> 11).toDouble / (1L << 53).toDouble) - 0.5)
+
+  private def mat(k: Int, d: Int, seed: Long): Array[Array[Double]] = {
+    val it = lcg(seed)
+    Array.fill(k)(Array.fill(d)(it.next()))
+  }
+
+  private def litNearest(cents: Array[Array[Double]], v: Column,
+      euclid: Boolean): Column =
+    least(cents.zipWithIndex.map { case (cv, j) =>
+      if (euclid)
+        struct((lit(cv.map(x => x * x).sum) -
+          lit(2.0) * dot(v, typedLit(cv.toSeq))).as("d"), lit(j).as("code"))
+      else
+        struct((-dot(v, typedLit(cv.toSeq))).as("nd"), lit(j).as("cell"))
+    }: _*).getField(if (euclid) "code" else "cell")
+
+  private def litProbe(cents: Array[Array[Double]], v: Column,
+      nprobe: Int): Column =
+    transform(
+      slice(array_sort(array(cents.zipWithIndex.map { case (cv, j) =>
+        struct((-dot(v, typedLit(cv.toSeq))).as("nd"), lit(j).as("cell"))
+      }: _*)), 1, nprobe),
+      e => e.getField("cell"))
+
+  private def vecs(n: Int, d: Int) = {
+    import spark.implicits._
+    val it = lcg(0x5eedL)
+    (0 until n).map(i => (i.toLong, Array.fill(d)(it.next()).toSeq))
+      .toDF("id", "v")
+  }
+
+  test("NearestCentroid matches the literal argmax/argmin incl. ties") {
+    graft.functions.GraftFunctions.register(spark)
+    val cents = mat(7, 6, 0xc0ffeeL)
+    // duplicate centroid 2 at index 5 to force an exact tie
+    cents(5) = cents(2).clone()
+    val bc = spark.sparkContext.broadcast(cents)
+    val df = vecs(200, 6)
+    for (euclid <- Seq(false, true)) {
+      val got = df.select(
+        GraftColumns.column(CentroidExpressions.NearestCentroid(
+          bc, euclid, GraftColumns.expression(col("v")))).as("b"),
+        litNearest(cents, col("v"), euclid).as("l"))
+        .filter(col("b") =!= col("l")).count()
+      assert(got == 0L, s"euclid=$euclid: broadcast != literal")
+      val tied = df.select(GraftColumns.column(
+        CentroidExpressions.NearestCentroid(
+          bc, euclid, GraftColumns.expression(col("v")))).as("b"))
+        .filter(col("b") === 5).count()
+      assert(tied == 0L, s"euclid=$euclid: tie must break to the lower index")
+    }
+  }
+
+  test("ProbeCells matches the literal sort-slice projection") {
+    graft.functions.GraftFunctions.register(spark)
+    val cents = mat(9, 6, 0xbeefL)
+    val bc = spark.sparkContext.broadcast(cents)
+    val df = vecs(200, 6)
+    val bad = df.select(
+      GraftColumns.column(CentroidExpressions.ProbeCells(
+        bc, 3, GraftColumns.expression(col("v")))).as("b"),
+      litProbe(cents, col("v"), 3).as("l"))
+      .filter(not(col("b") === col("l"))).count()
+    assert(bad == 0L)
+  }
+
+  test("AdcScore matches the literal per-subspace element_at sum bitwise") {
+    graft.functions.GraftFunctions.register(spark)
+    val m = 4; val sub = 4; val ks = 5
+    val books = Array.fill(m)(mat(ks, sub, 0xfeedL))
+    val bc = spark.sparkContext.broadcast(books)
+    import spark.implicits._
+    val it = lcg(0xabcL)
+    val df = (0 until 100).map { i =>
+      (i.toLong, Array.fill(m * sub)(it.next()).toSeq,
+        Array.fill(m)(math.abs(it.next() * 1e9).toInt % ks))
+    }.toDF("id", "q", "codes")
+    val lit0 = (0 until m).map { mi =>
+      dot(slice(col("q"), mi * sub + 1, sub),
+        element_at(typedLit(books(mi).map(_.toSeq).toSeq),
+          element_at(col("codes"), mi + 1) + 1))
+    }.reduce(_ + _)
+    val bad = df.select(
+      GraftColumns.column(CentroidExpressions.AdcScore(
+        bc, GraftColumns.expression(col("q")),
+        GraftColumns.expression(col("codes")))).as("b"),
+      lit0.as("l"))
+      .filter(col("b") =!= col("l")).count() // exact ==: same FP order
+    assert(bad == 0L)
+  }
+}
