@@ -25,6 +25,10 @@ class DupClustersSpec extends SparkSpec {
 
   test("dupClusters leaves nothing in the shared CacheManager") {
     import spark.implicits._
+    // the CacheManager is per-SparkContext, shared by every suite in the
+    // JVM — start from a clean slate so the assertion sees only what
+    // dupClusters itself leaves behind
+    spark.sharedState.cacheManager.clearCache()
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
     val out = java.nio.file.Files.createTempDirectory("dup_clusters")
       .resolve("labels2").toString
