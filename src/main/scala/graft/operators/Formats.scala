@@ -276,6 +276,40 @@ object Formats extends QueryPack {
 
     // PipeOutAndMerge shape: parallel part write, single-writer ordered
     // concat (Merge.mergeParts = mergeFile), then scan the ONE merged file.
+    // Quote-parity splittable CSV (SURVEY §7 hard-part #2): every record
+    // carries the terminator INSIDE a quoted field, and the read still
+    // splits into parallel byte ranges (built-in csv would need
+    // multiLine=true = one task per file). Records are fixed-width by
+    // construction (lpad'd key + sanitized fixed payload = 53 bytes), so
+    // `splitbytes` = a record multiple provably lands every range
+    // boundary outside quoted regions — the caller-side soundness
+    // contract the divergence note requires (HpccCsvSpec pins the
+    // misaligned-boundary behavior).
+    "f12_csv_quoted_split" -> ((s, d) => {
+      val out = ioDir(d, "f12")
+      // payload halves: printable-ASCII minus the quote char, so every
+      // char is exactly ONE byte and the 53-byte record arithmetic holds
+      def half(from: Int) = rpad(substring(
+        regexp_replace(col("text"), "[^\\x20-\\x26\\x28-\\x7E]", ""),
+        from, 20), 20, "x")
+      writeOnce(s, out) {
+        T.documents(s, d)
+          .select(lpad(col("doc_id").cast("string"), 8, "0").as("id8"),
+            concat(half(1), lit("\n"), half(21)).as("payload"))
+          .write.option("sep", ",").option("quote", "'").option("escape", "'")
+          // the csv WRITER trims whitespace by default — that would eat
+          // payload edge spaces and break the 53-byte record arithmetic
+          .option("ignoreLeadingWhiteSpace", "false")
+          .option("ignoreTrailingWhiteSpace", "false")
+          .option("lineSep", "\n").mode("overwrite").csv(out)
+      }
+      val schema = StructType(Seq(
+        StructField("id8", StringType), StructField("payload", StringType)))
+      // 53-byte records (8 id + ',' + quote + 20 + '\n' + 20 + quote + '\n')
+      HpccCsv.readQuoteParity(s, out, schema, splitBytes = 53L * 40)
+        .orderBy(col("id8"))
+    }),
+
     "f04_flat_merged_agg" -> ((s, d) => {
       val parts = ioDir(d, "f04-parts")
       val merged = ioDir(d, "f04_merged.flat")
@@ -339,6 +373,13 @@ object Formats extends QueryPack {
              CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "f12_csv_quoted_split" -> """
+      SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS id8,
+             rpad(substr(regexp_replace(text, '[^\x20-\x26\x28-\x7E]', '', 'g'), 1, 20), 20, 'x')
+               || chr(10) ||
+             rpad(substr(regexp_replace(text, '[^\x20-\x26\x28-\x7E]', '', 'g'), 21, 20), 20, 'x')
+               AS payload
+      FROM documents ORDER BY id8""",
     "f07_flat_filter_pushdown" -> """
       SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal
       FROM customer

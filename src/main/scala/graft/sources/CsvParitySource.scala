@@ -1,0 +1,233 @@
+package graft.sources
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `hpcc-csv-parity`: splittable QUOTE-AWARE record splitter as a DSv2 table.
+  *
+  * Emits one `value: string` row per logical CSV record, where a record may
+  * contain the terminator sequence inside a quoted field — the case Spark's
+  * built-in csv source only handles with `multiLine=true`, which makes the
+  * file non-splittable (one task per file). This reader keeps even byte-range
+  * splits AND tracks quote parity, reproducing the reference's realignment
+  * protocol exactly (libhdfsconnector.cpp:400-488):
+  *
+  *  - a range that does not start at byte 0 backs up `len(terminator)` bytes
+  *    (":400-402, in case the seekpos happens to be the first char after an
+  *    EOL") and scans forward for the first terminator, toggling an
+  *    assumed-outside quote flag on every quote byte (":409,437-443");
+  *    records begin after that terminator;
+  *  - records are consumed past the range end until the terminator that
+  *    closes the last record whose first byte lies inside the range
+  *    (":545-558 stopAtNextEOL");
+  *  - a terminator inside quotes does not split (":444 `&& !withinQuote`").
+  *
+  * Documented divergence (SURVEY.md §7 hard-part #2, pinned in
+  * HpccCsvSpec): the quote state at a range start is UNKNOWABLE without
+  * scanning from byte 0, and the reference simply assumes "outside"
+  * (`bool withinQuote = false;` at the seek, :409). When a split boundary
+  * lands inside a quoted field, both the reference and this reader misalign
+  * in the same way — the quoted terminator looks like a record boundary to
+  * the realignment scan. Split sizes are chosen per-query via the
+  * `splitbytes` option (default `spark.sql.files.maxPartitionBytes`), so a
+  * caller that writes with a known record-size floor can guarantee sound
+  * boundaries; boundaries inside quoted regions are caller error, exactly as
+  * with the reference.
+  *
+  * Every quote byte toggles parity — the reference has no notion of escaped
+  * or doubled quotes in its scan (:437-443), and neither does this splitter.
+  * Field-level parsing (separators, quote stripping) happens downstream in
+  * `from_csv` ([[HpccCsv.readQuoteParity]]).
+  */
+class CsvParitySource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "hpcc-csv-parity"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    CsvParitySource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new CsvParityTable(new CaseInsensitiveStringMap(properties))
+}
+
+object CsvParitySource {
+  val schema: StructType =
+    StructType(Seq(StructField("value", StringType, nullable = false)))
+}
+
+class CsvParityTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+
+  private val path: String = {
+    val p = Option(options.get("path"))
+    require(p.isDefined, "hpcc-csv-parity requires a path")
+    p.get
+  }
+  private val terminator: String =
+    HpccCsv.expandEscapes(options.getOrDefault("terminator", "\n"))
+  private val quote: String =
+    HpccCsv.expandEscapes(options.getOrDefault("quote", "'"))
+  private val splitBytes: Long = options.getLong("splitbytes", 0L)
+
+  require(terminator.nonEmpty, "hpcc-csv-parity: terminator must be non-empty")
+  require(quote.length == 1, "hpcc-csv-parity: quote must be 1 char")
+  require(!terminator.contains(quote),
+    "hpcc-csv-parity: terminator must not contain the quote char")
+
+  override def name(): String = s"hpcc-csv-parity:$path"
+  override def schema(): StructType = CsvParitySource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    () => new CsvParityScan(path, terminator, quote, splitBytes)
+}
+
+case class CsvParityPartition(file: String, start: Long, end: Long,
+    locations: Array[String]) extends InputPartition {
+  override def preferredLocations(): Array[String] = locations
+}
+
+class CsvParityScan(path: String, terminator: String, quote: String,
+    splitOpt: Long) extends Scan with Batch {
+
+  override def readSchema(): StructType = CsvParitySource.schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"hpcc-csv-parity term=${terminator.replace("\n", "\\n").replace("\r", "\\r")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val files: Seq[FileStatus] =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).toSeq.filter { f =>
+          val n = f.getPath.getName
+          f.isFile && f.getLen > 0 && !n.startsWith(".") && !n.startsWith("_")
+        }.sortBy(_.getPath.getName)
+      else Seq(fs.getFileStatus(root))
+    val splitBytes = math.max(
+      if (splitOpt > 0) splitOpt
+      else spark.sessionState.conf.filesMaxPartitionBytes, 1L)
+
+    files.flatMap { f =>
+      val size = f.getLen
+      val blocks = fs.getFileBlockLocations(f, 0, size)
+      (0L until size by splitBytes).map { start =>
+        val end = math.min(start + splitBytes, size)
+        val hosts = blocks.filter(b =>
+          b.getOffset < end && start < b.getOffset + b.getLength)
+          .flatMap(_.getHosts).distinct
+        CsvParityPartition(f.getPath.toString, start, end, hosts)
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val term = terminator.getBytes("UTF-8")
+    val q = quote.getBytes("UTF-8")(0)
+    val conf = new SerializableHadoopConf(
+      SparkSession.active.sessionState.newHadoopConf())
+    (p: InputPartition) =>
+      new CsvParityReader(p.asInstanceOf[CsvParityPartition], term, q, conf)
+  }
+}
+
+/** Streams one byte range of one file with the quote-parity protocol.
+  * Ownership: a record belongs to the range containing its FIRST byte; the
+  * last owned record is read past the range end to its terminator (or EOF).
+  */
+class CsvParityReader(part: CsvParityPartition, term: Array[Byte],
+    quote: Byte, conf: SerializableHadoopConf)
+    extends PartitionReader[InternalRow] {
+
+  private val scanFrom = math.max(part.start - term.length, 0L)
+  private val in = {
+    val p = new Path(part.file)
+    val s = p.getFileSystem(conf.value).open(p)
+    s.seek(scanFrom)
+    new java.io.BufferedInputStream(s, 1 << 16)
+  }
+  private var pos: Long = scanFrom
+  private var withinQuote = false
+  private var done = false
+  private val bb = new java.io.ByteArrayOutputStream(256)
+  private var current: InternalRow = _
+
+  private def read1(): Int = { val b = in.read(); if (b >= 0) pos += 1; b }
+
+  /** Do the last `term.length` bytes of `bb` equal the terminator? */
+  private def tailIsTerm(): Boolean = {
+    val a = bb.toByteArray
+    if (a.length < term.length) return false
+    var i = 0
+    while (i < term.length) {
+      if (a(a.length - term.length + i) != term(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  // Realignment (ranges not starting at 0): consume through the first
+  // unquoted terminator at/after `scanFrom`, quote state assumed OUTSIDE
+  // (the reference's unsound-but-pinned assumption, cpp:409). If EOF is
+  // hit first, the whole range is the interior of an earlier record.
+  if (part.start > 0) {
+    bb.reset()
+    var found = false
+    var eof = false
+    while (!found && !eof) {
+      val b = read1()
+      if (b < 0) eof = true
+      else {
+        bb.write(b)
+        if (b == (quote & 0xff)) withinQuote = !withinQuote
+        if (!withinQuote && tailIsTerm()) found = true
+      }
+    }
+    if (!found) done = true
+  }
+
+  override def next(): Boolean = {
+    if (done) return false
+    val recordStart = pos
+    // a record belongs to the range containing its first byte
+    if (recordStart >= part.end) { done = true; return false }
+    bb.reset()
+    var terminated = false
+    var eof = false
+    while (!terminated && !eof) {
+      val b = read1()
+      if (b < 0) eof = true
+      else {
+        bb.write(b)
+        if (b == (quote & 0xff)) withinQuote = !withinQuote
+        if (!withinQuote && tailIsTerm()) terminated = true
+      }
+    }
+    if (eof && bb.size() == 0) { done = true; return false } // clean EOF
+    val a = bb.toByteArray
+    val len = if (terminated) a.length - term.length else a.length
+    current = InternalRow(
+      UTF8String.fromBytes(a, 0, len))
+    if (eof) done = true // emit the unterminated trailing record, then stop
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
+}

@@ -92,6 +92,42 @@ object HpccCsv {
     }
   }
 
+  /** Quote-parity splittable read (SURVEY §7 hard-part #2): records may
+    * contain the terminator inside quoted fields, and the file is STILL
+    * read with even byte-range splits — the reference's realignment
+    * protocol (quote-toggling scan, libhdfsconnector.cpp:437-443)
+    * reproduced by [[CsvParitySource]], then field-parsed with `from_csv`.
+    * Spark's built-in csv can only do this with `multiLine=true`, which
+    * collapses to one task per file; here every range stays parallel.
+    *
+    * Carries the reference's documented unsoundness: a split boundary
+    * landing INSIDE a quoted region misaligns (quote state at a range
+    * start is assumed outside, cpp:409) — pinned in HpccCsvSpec.
+    * `splitBytes = 0` uses `spark.sql.files.maxPartitionBytes`.
+    */
+  def readQuoteParity(spark: SparkSession, path: String, schema: StructType,
+      separator: String = DefaultSeparator,
+      terminator: String = DefaultTerminator,
+      quote: String = DefaultQuote,
+      splitBytes: Long = 0L): DataFrame = {
+    val sep = expandEscapes(separator)
+    val qt = expandEscapes(quote)
+    require(sep.length == 1, s"separator must be 1 char: '$separator'")
+    require(qt.length == 1, s"quote must be 1 char: '$quote'")
+    val opts = Map("sep" -> sep, "quote" -> qt, "multiLine" -> "true",
+      // uniVocity's default escape is '\': a backslash before the quote
+      // char would merge fields. The parity scan has no escape notion
+      // (every quote toggles, cpp:437-443) — make the parser match by
+      // using quote-doubling as the only escape.
+      "escape" -> qt)
+    spark.read.format("hpcc-csv-parity")
+      .option("terminator", terminator).option("quote", quote)
+      .option("splitbytes", splitBytes)
+      .load(path)
+      .select(from_csv(col("value"), schema, opts).as("r"))
+      .select(col("r.*"))
+  }
+
   /** Streaming read with the same reference semantics as [[read]]: tail a
     * landing directory of CSV drops micro-batch by micro-batch (parity
     * with the FLAT/XML streaming sources; the reference is batch-only —

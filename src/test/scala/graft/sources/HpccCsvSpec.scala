@@ -88,6 +88,88 @@ class HpccCsvSpec extends SparkSpec {
     assert(!new java.io.File(dir).listFiles().exists(_.getName.endsWith(".tmp")))
   }
 
+  // ---- quote-parity splittable read (SURVEY §7 hard-part #2) --------------
+
+  /** 29-byte fixed-length records, terminator embedded in the quoted field:
+    * `0001,'aaaaaaaaaa\nbbbbbbbbbb'\n`. Record layout (offsets mod 29):
+    * 0-3 id, 4 ',', 5 open quote, 6-15 payload, 16 embedded '\n',
+    * 17-26 payload, 27 close quote, 28 terminator.
+    */
+  private def qpFixture(dir: String, n: Int): Array[Byte] = {
+    val sb = new StringBuilder
+    for (i <- 0 until n)
+      sb.append(f"$i%04d,'aaaaaaaaaa\nbbbbbbbbbb'\n")
+    val bytes = sb.toString.getBytes("UTF-8")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "data.csv"), bytes)
+    bytes
+  }
+
+  test("quote-parity read: quoted terminators survive every sound split size") {
+    val dir = tmpDir("csv-qp")
+    val bytes = qpFixture(dir, 500)
+    // ground truth quote parity BEFORE each offset, computed from byte 0
+    val inQuote = new Array[Boolean](bytes.length + 1)
+    var q = false
+    for (i <- bytes.indices) {
+      inQuote(i) = q; if (bytes(i) == '\''.toByte) q = !q
+    }
+    val schema2 = StructType(Seq(
+      StructField("id", StringType), StructField("payload", StringType)))
+    val expect = (0 until 500).map(i =>
+      (f"$i%04d", "aaaaaaaaaa\nbbbbbbbbbb"))
+    // candidate split sizes; keep those whose boundaries all land outside
+    // quoted regions (the caller-side soundness contract)
+    val sound = (31L to 4001L by 97L) ++ Seq(29L * 7, 29L * 40, 28L, 291L)
+    val usable = sound.filter { sb =>
+      (sb until bytes.length by sb).forall(b => !inQuote(b.toInt))
+    }
+    assert(usable.exists(_ < bytes.length / 2),
+      s"fixture must admit multi-split sound sizes, got $usable")
+    for (sb <- usable) {
+      val got = HpccCsv.readQuoteParity(spark, dir, schema2, splitBytes = sb)
+        .orderBy("id").collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+      assert(got == expect, s"splitBytes=$sb must be lossless")
+    }
+  }
+
+  test("quote-parity read parses types and runs multiple partitions") {
+    val dir = tmpDir("csv-qp2")
+    qpFixture(dir, 200) // 5800 bytes
+    val schema2 = StructType(Seq(
+      StructField("id", IntegerType), StructField("payload", StringType)))
+    val df = HpccCsv.readQuoteParity(spark, dir, schema2, splitBytes = 29L * 50)
+    assert(df.rdd.getNumPartitions == 4)
+    val got = df.orderBy("id").collect()
+    assert(got.length == 200)
+    assert(got(7).getInt(0) == 7 &&
+      got(7).getString(1) == "aaaaaaaaaa\nbbbbbbbbbb")
+  }
+
+  /** The documented divergence (COVERAGE.md; libhdfsconnector.cpp:409,
+    * 437-443): quote state at a range start is unknowable, the reference
+    * assumes "outside". A boundary INSIDE a quoted region misaligns — the
+    * realignment scan takes the quoted terminator for a record boundary
+    * and emits a phantom fragment. This pins the exact reference-protocol
+    * behavior, byte for byte, so any change to the realignment is loud.
+    */
+  test("quote-parity divergence pin: boundary inside a quoted region misaligns") {
+    val dir = tmpDir("csv-qp3")
+    val bytes = "1,'a\nb'\n2,x\n".getBytes("UTF-8") // 12 bytes
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "data.csv"), bytes)
+    def raw(sb: Long): Seq[String] =
+      spark.read.format("hpcc-csv-parity").option("splitbytes", sb)
+        .load(dir).collect().map(_.getString(0)).toSeq
+    // sound boundary (offset 8 = a record start): clean split
+    assert(raw(8L) == Seq("1,'a\nb'", "2,x"))
+    // unsound boundary (offset 4 = inside the quoted field): range 2's
+    // assumed-outside scan treats the QUOTED '\n' at offset 4 as a record
+    // boundary and emits the tail fragment; range 3 re-emits "2,x" the
+    // fragment already swallowed — the reference's own misalignment shape
+    assert(raw(4L) == Seq("1,'a\nb'", "b'\n2,x\n", "2,x"))
+  }
+
   test("multi-char-terminator read stays splittable and loses nothing") {
     val dir = tmpDir("csv-split")
     import spark.implicits._

@@ -1,0 +1,50 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Dev probe: Verify for a SUBSET of queries — dump the named queries'
+  * results + their oracle SQL so `scripts/selfcheck.py` can gate just
+  * them without a full 116-query run.
+  * Usage: `VerifySome q1 q2 ... <sfDir> <outDir>`
+  */
+object VerifySome {
+  def main(args: Array[String]): Unit = {
+    val outDir = args.last
+    val sfDir = args(args.length - 2)
+    val names = args.dropRight(2).toSeq
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    new java.io.File(outDir).mkdirs()
+    names.foreach { name =>
+      def rmAll(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmAll)
+        f.delete(); ()
+      }
+      rmAll(new java.io.File(s"$outDir/$name"))
+      try {
+        graft.SparkEntry.queries(name)(spark, sfDir).coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
+        System.err.println(s"[verifysome] $name failed: $e")
+      }
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = graft.SparkEntry.oracleSql.view.filterKeys(names.contains)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/declared_queries.json"),
+      names.sorted.map(q).mkString("[", ",", "]"))
+    spark.stop()
+  }
+}
