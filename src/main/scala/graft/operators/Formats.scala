@@ -310,6 +310,66 @@ object Formats extends QueryPack {
         .orderBy(col("id8"))
     }),
 
+    // PERMISSIVE tolerance for the FLAT source (the text-format analogue
+    // of Multimodal.decodeLenient): a part file with a truncated trailing
+    // record is read to the end — whole records decode normally, the tail
+    // surfaces as ONE all-null row with its raw bytes hex-dumped into the
+    // corrupt-record column. The aggregate pins good/bad counts, the
+    // corrupt payload, and the key checksum against the source table.
+    "f13_flat_permissive" -> ((s, d) => {
+      val out = ioDir(d, "f13")
+      writeOnce(s, out) {
+        custFixed(s, d).coalesce(1).write.format("hpcc-flat")
+          .option("layout", custLayout.spec).mode("overwrite").save(out)
+        // corrupt the landing file the way a torn upload would: partial
+        // trailing record appended; drop the now-stale checksum sidecar
+        val part = new java.io.File(out).listFiles()
+          .filter(_.getName.startsWith("part_")).minBy(_.getName)
+        java.nio.file.Files.write(part.toPath, "XTAIL".getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.APPEND)
+        new java.io.File(part.getParentFile, s".${part.getName}.crc").delete()
+        ()
+      }
+      s.read.format("hpcc-flat").option("layout", custLayout.spec)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "bad")
+        .load(out)
+        .agg(count(col("custkey")).as("n_good"), count(col("bad")).as("n_bad"),
+          max(col("bad")).as("bad_hex"),
+          sum(col("custkey")).cast("long").as("sum_key"))
+    }),
+
+    // PERMISSIVE tolerance for the XML source: a malformed row (string in
+    // an integer field) dropped into the landing directory becomes an
+    // all-null row carrying the raw element text — the scan survives, the
+    // good rows are untouched, and DROPMALFORMED/FAILFAST stay available
+    // (SourceErrorSpec pins all three modes).
+    "f14_xml_permissive" -> ((s, d) => {
+      val out = ioDir(d, "f14")
+      val badRow = "<Row><n_nationkey>not_a_number</n_nationkey>" +
+        "<n_name>ZZ</n_name><n_regionkey>9</n_regionkey></Row>"
+      writeOnce(s, out) {
+        T.nation(s, d).coalesce(1).write.format("xml")
+          .option("rowTag", "Row").mode("overwrite").save(out)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(out, "zz_extra.xml"),
+          s"<Dataset>$badRow</Dataset>".getBytes("UTF-8"))
+        ()
+      }
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      s.read.format("hpcc-xml").schema(schema).option("rowTag", "Row")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "bad")
+        .load(out)
+        .agg(count(col("n_nationkey")).as("n_good"),
+          count(col("bad")).as("n_bad"),
+          max(col("bad")).as("bad_xml"),
+          sum(col("n_nationkey")).cast("long").as("sum_key"))
+    }),
+
     "f04_flat_merged_agg" -> ((s, d) => {
       val parts = ioDir(d, "f04-parts")
       val merged = ioDir(d, "f04_merged.flat")
@@ -380,6 +440,16 @@ object Formats extends QueryPack {
              rpad(substr(regexp_replace(text, '[^\x20-\x26\x28-\x7E]', '', 'g'), 21, 20), 20, 'x')
                AS payload
       FROM documents ORDER BY id8""",
+    "f13_flat_permissive" -> """
+      SELECT count(*) AS n_good, CAST(1 AS BIGINT) AS n_bad,
+             '585441494C' AS bad_hex,
+             CAST(sum(c_custkey) AS BIGINT) AS sum_key
+      FROM customer""",
+    "f14_xml_permissive" -> """
+      SELECT count(*) AS n_good, CAST(1 AS BIGINT) AS n_bad,
+             '<Row><n_nationkey>not_a_number</n_nationkey><n_name>ZZ</n_name><n_regionkey>9</n_regionkey></Row>' AS bad_xml,
+             CAST(sum(n_nationkey) AS BIGINT) AS sum_key
+      FROM nation""",
     "f07_flat_filter_pushdown" -> """
       SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal
       FROM customer

@@ -86,17 +86,45 @@ class FlatTable(layout: EclLayout, options: CaseInsensitiveStringMap)
     all
   }
 
+  // Parse mode (the Spark built-in sources' contract): FAILFAST (default,
+  // = the reference's strict `size % recLen` check), DROPMALFORMED (read
+  // the whole records, ignore a truncated tail — the old `strict=false`),
+  // PERMISSIVE (truncated tail → one all-null row, with the raw tail
+  // bytes hex-dumped into `columnNameOfCorruptRecord` when that option
+  // names a column). `strict` is kept as a back-compat alias.
+  private val mode: String = {
+    val m = Option(options.get("mode")).map(_.toUpperCase)
+      .getOrElse(if (options.getBoolean("strict", true)) "FAILFAST"
+                 else "DROPMALFORMED")
+    require(Set("FAILFAST", "PERMISSIVE", "DROPMALFORMED")(m),
+      s"hpcc-flat: mode must be FAILFAST|PERMISSIVE|DROPMALFORMED, got $m")
+    m
+  }
+  private val corruptCol: Option[String] =
+    Option(options.get("columnNameOfCorruptRecord"))
+
   override def name(): String = s"hpcc-flat:${paths.mkString(",")}"
-  override def schema(): StructType = layout.schema
+  override def schema(): StructType =
+    if (mode == "PERMISSIVE") {
+      // the synthesized tail row is all-null, so every field must be
+      // declared nullable (fixed-width fields are otherwise non-null)
+      val relaxed = layout.schema.fields.map(_.copy(nullable = true))
+      StructType(corruptCol match {
+        case Some(c) => relaxed :+ org.apache.spark.sql.types.StructField(
+          c, org.apache.spark.sql.types.StringType, nullable = true)
+        case None => relaxed
+      })
+    } else layout.schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
       TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    new FlatScanBuilder(paths, layout,
-      o.getBoolean("strict", true), o.getBoolean("trimstrings", true),
-      o.getBoolean("wholefile", false))
+    new FlatScanBuilder(paths, layout, mode,
+      if (mode == "PERMISSIVE") corruptCol else None,
+      o.getBoolean("trimstrings", true),
+      o.getBoolean("wholefile", false), schema())
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(paths.size == 1,
@@ -113,12 +141,13 @@ class FlatTable(layout: EclLayout, options: CaseInsensitiveStringMap)
 
 // ---------------------------------------------------------------- read path
 
-class FlatScanBuilder(paths: Seq[String], layout: EclLayout, strict: Boolean,
-    trimStrings: Boolean, wholeFile: Boolean)
+class FlatScanBuilder(paths: Seq[String], layout: EclLayout, mode: String,
+    corruptCol: Option[String], trimStrings: Boolean, wholeFile: Boolean,
+    fullSchema: StructType)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates {
 
-  private var required: StructType = layout.schema
+  private var required: StructType = fullSchema
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   private var countStar = false
 
@@ -129,8 +158,14 @@ class FlatScanBuilder(paths: Seq[String], layout: EclLayout, strict: Boolean,
   // so they are NOT returned as residuals — Catalyst drops them from the
   // post-scan Filter. Unsupported shapes (REAL fields, casts, UDFs) stay
   // residual and run in codegen above the scan as before.
+  // PERMISSIVE accepts nothing: the synthesized all-null corrupt row
+  // needs Catalyst's three-valued null semantics (FlatFilterEval's exact
+  // evaluator assumes non-null fixed-width fields), so every predicate
+  // stays residual and runs post-scan — the same posture as the built-in
+  // csv source with a corrupt-record column.
   override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
       : Array[org.apache.spark.sql.sources.Filter] = {
+    if (mode == "PERMISSIVE") return filters
     val (ok, residual) = filters.partition(FlatFilterEval.supports(layout, _))
     pushed = ok
     residual
@@ -163,13 +198,16 @@ class FlatScanBuilder(paths: Seq[String], layout: EclLayout, strict: Boolean,
   }
 
   override def build(): Scan =
-    if (countStar) new FlatCountScan(paths, layout, strict)
-    else new FlatScan(paths, layout, required, strict, trimStrings, wholeFile,
-      pushed)
+    if (countStar) new FlatCountScan(paths, layout, mode)
+    else new FlatScan(paths, layout, required, mode, corruptCol, trimStrings,
+      wholeFile, pushed)
 }
 
-/** Metadata-only COUNT(*) scan: one partition, one row, zero data bytes. */
-class FlatCountScan(paths: Seq[String], layout: EclLayout, strict: Boolean)
+/** Metadata-only COUNT(*) scan: one partition, one row, zero data bytes.
+  * PERMISSIVE counts a truncated tail as its one synthesized row, so the
+  * pushed-down count equals the row-by-row count exactly.
+  */
+class FlatCountScan(paths: Seq[String], layout: EclLayout, mode: String)
     extends Scan with Batch {
   import org.apache.spark.sql.types.{LongType, StructField}
 
@@ -194,10 +232,11 @@ class FlatCountScan(paths: Seq[String], layout: EclLayout, strict: Boolean)
           }
         else Seq(fs.getFileStatus(root))
       files.foreach { f =>
-        if (strict && f.getLen % recLen != 0)
+        if (mode == "FAILFAST" && f.getLen % recLen != 0)
           throw new IllegalArgumentException(
             s"hpcc-flat: ${f.getPath} size ${f.getLen} is not a multiple of recLen $recLen")
         rows += f.getLen / recLen
+        if (mode == "PERMISSIVE" && f.getLen % recLen != 0) rows += 1
       }
     }
     Array(FlatCountPartition(rows))
@@ -220,14 +259,19 @@ object FlatCountReaderFactory extends PartitionReaderFactory {
     }
 }
 
-/** One record-aligned byte range of one file. */
+/** One record-aligned byte range of one file. `tailLen > 0` marks the
+  * partition that owns the file's truncated trailing record (PERMISSIVE
+  * mode only): after its whole records, the reader emits one all-null row
+  * carrying the hex of those tail bytes in the corrupt-record column.
+  */
 case class FlatInputPartition(file: String, start: Long, length: Long,
-    locations: Array[String]) extends InputPartition {
+    locations: Array[String], tailLen: Long = 0L) extends InputPartition {
   override def preferredLocations(): Array[String] = locations
 }
 
 class FlatScan(paths: Seq[String], layout: EclLayout, required: StructType,
-    strict: Boolean, trimStrings: Boolean, wholeFile: Boolean = false,
+    mode: String, corruptCol: Option[String] = None,
+    trimStrings: Boolean = true, wholeFile: Boolean = false,
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends Scan with Batch {
 
@@ -259,28 +303,38 @@ class FlatScan(paths: Seq[String], layout: EclLayout, required: StructType,
     files.flatMap { f =>
       val size = f.getLen
       if (size % recLen != 0) {
-        if (strict) throw new IllegalArgumentException(
+        if (mode == "FAILFAST") throw new IllegalArgumentException(
           s"hpcc-flat: ${f.getPath} size $size is not a multiple of recLen $recLen")
       }
       val usable = (size / recLen) * recLen
+      val tail = if (mode == "PERMISSIVE") size - usable else 0L
       // wholeFile = the reference's unpartitioned streamInFile mode
       // (libhdfsconnector.cpp:607-650): one partition spans the file
       val splitBytes = if (wholeFile) math.max(usable, recLen) else targetSplit
       val blocks = f.getPath.getFileSystem(conf).getFileBlockLocations(f, 0, size)
-      (0L until usable by splitBytes).map { start =>
+      val parts = (0L until usable by splitBytes).map { start =>
         val len = math.min(splitBytes, usable - start)
         val hosts = blocks.filter(b =>
           b.getOffset < start + len && start < b.getOffset + b.getLength)
           .flatMap(_.getHosts).distinct
         FlatInputPartition(f.getPath.toString, start, len, hosts)
       }
+      if (tail > 0) {
+        // the LAST partition owns the truncated tail (or a tail-only
+        // partition when the file is shorter than one record)
+        if (parts.nonEmpty)
+          parts.init :+ parts.last.copy(tailLen = tail)
+        else
+          Seq(FlatInputPartition(f.getPath.toString, 0L, 0L,
+            Array.empty, tailLen = tail))
+      } else parts
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new FlatReaderFactory(layout.spec, required.fieldNames, trimStrings,
       new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()),
-      filters)
+      filters, corruptCol)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -389,25 +443,32 @@ class FlatMicroBatchStream(paths: Seq[String], layout: EclLayout,
 
 class FlatReaderFactory(layoutSpec: String, requiredNames: Array[String],
     trimStrings: Boolean, conf: SerializableHadoopConf,
-    filters: Array[org.apache.spark.sql.sources.Filter])
+    filters: Array[org.apache.spark.sql.sources.Filter],
+    corruptCol: Option[String] = None)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new FlatPartitionReader(p.asInstanceOf[FlatInputPartition],
-      EclLayout.parse(layoutSpec), requiredNames, trimStrings, conf, filters)
+      EclLayout.parse(layoutSpec), requiredNames, trimStrings, conf, filters,
+      corruptCol)
 }
 
 class FlatPartitionReader(part: FlatInputPartition, layout: EclLayout,
     requiredNames: Array[String], trimStrings: Boolean,
     conf: SerializableHadoopConf,
-    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    corruptCol: Option[String] = None)
     extends PartitionReader[InternalRow] {
 
   private val recLen = layout.recLen
-  // (field, byte offset) for just the required columns, in output order
+  // (field, byte offset) for just the required columns, in output order;
+  // null marks the corrupt-record column (not a layout field)
   private val cols: Array[(EclType, Int)] = requiredNames.map { n =>
-    val i = layout.fields.indexWhere(_.name == n)
-    require(i >= 0, s"column $n not in layout")
-    (layout.fields(i).typ, layout.offsets(i))
+    if (corruptCol.contains(n)) null
+    else {
+      val i = layout.fields.indexWhere(_.name == n)
+      require(i >= 0, s"column $n not in layout")
+      (layout.fields(i).typ, layout.offsets(i))
+    }
   }
   // fields referenced by pushed filters (may include columns Catalyst
   // pruned from the projection — they are decoded only for the predicate)
@@ -439,6 +500,8 @@ class FlatPartitionReader(part: FlatInputPartition, layout: EclLayout,
     }
   }
 
+  private var tailEmitted = false
+
   override def next(): Boolean = {
     while (remaining > 0) {
       in.readFully(record, 0, recLen)
@@ -448,12 +511,31 @@ class FlatPartitionReader(part: FlatInputPartition, layout: EclLayout,
           filters.forall(FlatFilterEval.eval(_, fieldValue))) {
         var i = 0
         while (i < cols.length) {
-          row.update(i, FlatCodec.decode(cols(i)._1, record, cols(i)._2, trimStrings))
+          row.update(i,
+            if (cols(i) == null) null // corrupt-record col: null on good rows
+            else FlatCodec.decode(cols(i)._1, record, cols(i)._2, trimStrings))
           i += 1
         }
         nDecoded += 1
         return true
       }
+    }
+    // PERMISSIVE truncated tail: one all-null row, raw bytes hex-dumped
+    // into the corrupt-record column if the projection kept it
+    if (part.tailLen > 0 && !tailEmitted) {
+      tailEmitted = true
+      val tail = new Array[Byte](part.tailLen.toInt)
+      in.readFully(tail, 0, tail.length)
+      var i = 0
+      while (i < cols.length) {
+        row.update(i,
+          if (cols(i) == null)
+            org.apache.spark.unsafe.types.UTF8String.fromString(
+              tail.map(b => f"${b & 0xff}%02X").mkString)
+          else null)
+        i += 1
+      }
+      return true
     }
     false
   }

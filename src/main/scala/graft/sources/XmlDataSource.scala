@@ -60,22 +60,43 @@ class XmlTable(userSchema: StructType, options: CaseInsensitiveStringMap)
   private val rowTag: String =
     options.getOrDefault("rowtag", "Row").split("/").last
 
+  // Parse mode, matching the built-in xml/csv sources' contract:
+  // FAILFAST (default — a field that fails to decode throws and kills the
+  // task), PERMISSIVE (malformed row → all-null row, raw element text in
+  // `columnNameOfCorruptRecord` when that option names a column),
+  // DROPMALFORMED (malformed row silently skipped).
+  private val mode: String = {
+    val m = options.getOrDefault("mode", "FAILFAST").toUpperCase
+    require(Set("FAILFAST", "PERMISSIVE", "DROPMALFORMED")(m),
+      s"hpcc-xml: mode must be FAILFAST|PERMISSIVE|DROPMALFORMED, got $m")
+    m
+  }
+  private val corruptCol: Option[String] =
+    if (mode == "PERMISSIVE") Option(options.get("columnNameOfCorruptRecord"))
+    else None
+
   override def name(): String = s"hpcc-xml:$path"
-  override def schema(): StructType = userSchema
+  override def schema(): StructType =
+    if (corruptCol.isDefined)
+      StructType(userSchema.fields :+
+        StructField(corruptCol.get, StringType, nullable = true))
+    else userSchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    new XmlScanBuilder(path, rowTag, userSchema)
+    new XmlScanBuilder(path, rowTag, schema(), mode, corruptCol)
 }
 
-class XmlScanBuilder(path: String, rowTag: String, full: StructType)
+class XmlScanBuilder(path: String, rowTag: String, full: StructType,
+    mode: String = "FAILFAST", corruptCol: Option[String] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = full
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new XmlScan(path, rowTag, required)
+  override def build(): Scan =
+    new XmlScan(path, rowTag, required, mode, corruptCol)
 }
 
 case class XmlInputPartition(file: String, start: Long, end: Long,
@@ -83,7 +104,8 @@ case class XmlInputPartition(file: String, start: Long, end: Long,
   override def preferredLocations(): Array[String] = locations
 }
 
-class XmlScan(path: String, rowTag: String, required: StructType)
+class XmlScan(path: String, rowTag: String, required: StructType,
+    mode: String = "FAILFAST", corruptCol: Option[String] = None)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -119,7 +141,8 @@ class XmlScan(path: String, rowTag: String, required: StructType)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new XmlReaderFactory(rowTag, required,
-      new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()))
+      new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()),
+      mode, corruptCol)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -191,9 +214,11 @@ class XmlMicroBatchStream(path: String, rowTag: String, required: StructType)
 }
 
 class XmlReaderFactory(rowTag: String, required: StructType,
-    conf: SerializableHadoopConf) extends PartitionReaderFactory {
+    conf: SerializableHadoopConf, mode: String = "FAILFAST",
+    corruptCol: Option[String] = None) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new XmlPartitionReader(p.asInstanceOf[XmlInputPartition], rowTag, required, conf)
+    new XmlPartitionReader(p.asInstanceOf[XmlInputPartition], rowTag, required,
+      conf, mode, corruptCol)
 }
 
 /** Streams one byte range; the tag state machine mirrors the reference's
@@ -202,7 +227,8 @@ class XmlReaderFactory(rowTag: String, required: StructType,
   * stream abstraction :285-303).
   */
 class XmlPartitionReader(part: XmlInputPartition, rowTag: String,
-    required: StructType, conf: SerializableHadoopConf)
+    required: StructType, conf: SerializableHadoopConf,
+    mode: String = "FAILFAST", corruptCol: Option[String] = None)
     extends PartitionReader[InternalRow] {
 
   private val open = s"<$rowTag".getBytes("UTF-8")
@@ -354,15 +380,50 @@ class XmlPartitionReader(part: XmlInputPartition, rowTag: String,
   }
 
   override def next(): Boolean = {
-    if (done) return false
-    bb.reset()
-    val tagStart = findOpen()
-    // a row belongs to the range containing its opening '<'  (:305-310)
-    if (tagStart < 0 || tagStart >= part.end) { done = true; return false }
-    if (readElement()) {
-      current = parseRow(new String(bb.toByteArray, "UTF-8"))
-      true
-    } else { done = true; false }
+    while (true) {
+      if (done) return false
+      bb.reset()
+      val tagStart = findOpen()
+      // a row belongs to the range containing its opening '<'  (:305-310)
+      if (tagStart < 0 || tagStart >= part.end) { done = true; return false }
+      if (readElement()) {
+        val xml = new String(bb.toByteArray, "UTF-8")
+        try {
+          current = parseRow(xml)
+          return true
+        } catch {
+          case e: Exception if mode != "FAILFAST" =>
+            if (mode == "PERMISSIVE") { current = corruptRow(xml); return true }
+            // DROPMALFORMED: skip this element, scan on
+        }
+      } else {
+        // unterminated element at EOF: PERMISSIVE surfaces the fragment,
+        // the other modes keep the historical silent-stop
+        done = true
+        if (mode == "PERMISSIVE" && bb.size() > 0) {
+          current = corruptRow(new String(bb.toByteArray, "UTF-8"))
+          return true
+        }
+        return false
+      }
+    }
+    false
+  }
+
+  /** All-null row with the raw element text in the corrupt-record column
+    * (when the projection kept it).
+    */
+  private def corruptRow(xml: String): InternalRow = {
+    val row = new GenericInternalRow(required.length)
+    var i = 0
+    while (i < required.length) {
+      row.update(i,
+        if (corruptCol.contains(required.fields(i).name))
+          UTF8String.fromString(xml)
+        else null)
+      i += 1
+    }
+    row
   }
 
   private val NumericRef = "&#(x?)([0-9A-Fa-f]+);".r
