@@ -274,6 +274,30 @@ object Formats extends QueryPack {
             .as("parts_consistent"))
     }),
 
+    // Range-clustered layout → data skipping: the corpus is written
+    // repartitionByRange + sortWithinPartitions on the filter key, so each
+    // parquet file covers a disjoint key range and every row group's
+    // min/max statistics are tight. A selective key predicate then decodes
+    // only the row groups that can match — at 100 TB the difference
+    // between scanning one file and scanning them all (LayoutSkippingSpec
+    // proves the byte asymmetry vs an unclustered copy of the same rows;
+    // SCALE.md records the measured ratio). The oracle checks the
+    // filtered aggregate against the source table.
+    "f15_range_layout_skipping" -> ((s, d) => {
+      val out = ioDir(d, "f15")
+      writeOnce(s, out) {
+        T.orders(s, d)
+          .repartitionByRange(8, col("o_orderkey"))
+          .sortWithinPartitions(col("o_orderkey"))
+          .write.mode("overwrite").parquet(out)
+      }
+      s.read.parquet(out)
+        .where(col("o_orderkey") >= 1000 && col("o_orderkey") < 2000)
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("sum_key"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+    }),
+
     // PipeOutAndMerge shape: parallel part write, single-writer ordered
     // concat (Merge.mergeParts = mergeFile), then scan the ONE merged file.
     // Quote-parity splittable CSV (SURVEY §7 hard-part #2): every record
@@ -440,6 +464,10 @@ object Formats extends QueryPack {
              rpad(substr(regexp_replace(text, '[^\x20-\x26\x28-\x7E]', '', 'g'), 21, 20), 20, 'x')
                AS payload
       FROM documents ORDER BY id8""",
+    "f15_range_layout_skipping" -> """
+      SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             count(DISTINCT o_custkey) AS n_cust
+      FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000""",
     "f13_flat_permissive" -> """
       SELECT count(*) AS n_good, CAST(1 AS BIGINT) AS n_bad,
              '585441494C' AS bad_hex,

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** f15's scale claim, measured: a range-clustered parquet layout
+  * (repartitionByRange + sortWithinPartitions on the filter key) gives
+  * every row group tight min/max statistics, so a selective key predicate
+  * decodes only the row groups that can match. The same rows in a
+  * key-shuffled layout have row groups spanning the whole key domain —
+  * nothing skips. The scan's own numOutputRows metric (rows surfaced from
+  * parquet AFTER row-group pruning) is the evidence.
+  */
+class LayoutSkippingSpec extends SparkSpec {
+
+  private def scanRows(df: DataFrame): Long = {
+    df.collect()
+    // AQE wraps stages in QueryStageExec leaf-likes — unwrap to reach the
+    // real FileSourceScanExec leaves
+    def scans(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    scans(df.queryExecution.executedPlan)
+      .flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
+  }
+
+  test("range-clustered layout prunes row groups; shuffled layout cannot") {
+    import spark.implicits._
+    val n = 200000
+    val rows = spark.range(n.toLong).select(
+      col("id").as("k"),
+      (col("id") * 37 % 1000).as("v"))
+    val clustered = tmpDir("skip-clustered")
+    val shuffled = tmpDir("skip-shuffled")
+    // small row groups so one file holds MANY groups — the pruning unit
+    rows.repartitionByRange(4, col("k")).sortWithinPartitions("k")
+      .write.option("parquet.block.size", 64 * 1024)
+      .mode("overwrite").parquet(clustered)
+    // key-uncorrelated layout: scramble row ORDER too — a bare
+    // repartition keeps piecewise-ascending runs from the range source,
+    // and parquet's page-level column index still prunes those
+    rows.withColumn("r", hash(col("k")))
+      .repartition(4, col("r")).sortWithinPartitions("r").drop("r")
+      .write.option("parquet.block.size", 64 * 1024)
+      .mode("overwrite").parquet(shuffled)
+
+    def q(dir: String): DataFrame =
+      spark.read.parquet(dir).where(col("k") >= 5000 && col("k") < 6000)
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
+
+    // same answer from both layouts
+    val a = q(clustered).collect().head
+    val b = q(shuffled).collect().head
+    assert(a == b)
+
+    val pruned = scanRows(q(clustered))
+    val full = scanRows(q(shuffled))
+    assert(full >= n / 2,
+      s"shuffled layout must decode nearly everything, got $full of $n")
+    assert(pruned * 10 <= full,
+      s"clustered layout must decode >=10x fewer rows: $pruned vs $full")
+  }
+}
