@@ -118,6 +118,9 @@ object Bench {
     var pos = 0
     val telemetry = scala.collection.mutable.LinkedHashMap[String, Telemetry]()
     val results = queries.map { case (name, fn) =>
+      // stderr breadcrumb so any log WARN (task-binary size, CacheManager,
+      // skew) maps to the query that emitted it by timestamp alone
+      System.err.println(s"[bench] >> $name @ ${java.time.Instant.now()}")
       var failed = false
       val times = (1 to iters).flatMap { _ =>
         if (failed) None
