@@ -237,6 +237,104 @@ object Multimodal extends QueryPack {
     }
   }
 
+  // ======================= AUDIO TIER (m07) ============================
+
+  /** Input batch row: media id + raw bytes (a complete RIFF/WAV file). */
+  final case class AudioRow(doc_id: Long, content: Array[Byte])
+  /** Decoded audio features: all-integer DSP summary of the PCM stream. */
+  final case class AudioFeat(doc_id: Long, sample_rate: Int, n_samples: Int,
+      sum_abs: Long, zcr: Int, peak: Int)
+
+  /** Minimal canonical WAV encoder: 44-byte RIFF + fmt + data header,
+    * 16-bit little-endian signed PCM, mono. Same posture as `encodeBmp`:
+    * the container layout (chunk sizes, byte rate, block align) is real,
+    * so a correct decoder must actually parse it.
+    */
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    def ascii(off: Int, s: String): Unit = {
+      var i = 0; while (i < s.length) { out(off + i) = s.charAt(i).toByte; i += 1 }
+    }
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte; out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    ascii(0, "RIFF"); le32(4, 36 + dataLen); ascii(8, "WAVE")
+    ascii(12, "fmt "); le32(16, 16); le16(20, 1) // PCM
+    le16(22, 1); le32(24, sampleRate)            // mono
+    le32(28, sampleRate * 2); le16(32, 2); le16(34, 16) // byte rate, align, bits
+    ascii(36, "data"); le32(40, dataLen)
+    var i = 0
+    while (i < samples.length) {
+      out(44 + i * 2) = (samples(i) & 0xff).toByte
+      out(44 + i * 2 + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  val AudioRate = 8000
+  val AudioMaxSamples = 300
+
+  /** Synthesis stage (the stubbed "decode" of a real corpus, same rule as
+    * `synthBmp`): document text bytes → a real WAV. Sample i's amplitude is
+    * `(byte(i mod len) - 96) * 250` — ASCII fixture bytes land on both
+    * sides of zero (space → -16000, letters → positive), so zero-crossing
+    * analysis is non-degenerate; `min(len, 300)` samples bound the clip.
+    * Deterministic, so the oracle recomputes every decoded sample in SQL.
+    * Empty documents carry no samples and are skipped (degrade, not crash).
+    */
+  def synthWav(rows: Iterator[(Long, Array[Byte])]): Iterator[AudioRow] =
+    rows.collect { case (id, b) if b.length >= 1 =>
+      val n = math.min(b.length, AudioMaxSamples)
+      val samples = Array.tabulate(n)(i =>
+        (((b(i % b.length) & 0xff) - 96) * 250).toShort)
+      AudioRow(id, encodeWav(AudioRate, samples))
+    }
+
+  /** ==== REAL AUDIO DECODER ====
+    * `javax.sound.sampled.AudioSystem` parses the RIFF container (chunk
+    * walk, fmt validation, little-endian 16-bit PCM framing) — a genuine
+    * third-party parse, not a replay of our writer — then the integer DSP
+    * pass computes Σ|s|, zero crossings, and peak off the DECODED frames.
+    * Partition-local; the batch shape an FFmpeg/JNI codec would plug into.
+    */
+  def decodeWav(rows: Iterator[AudioRow]): Iterator[AudioFeat] =
+    rows.map { r =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(r.content))
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+        !fmt.isBigEndian, s"unexpected decoded format $fmt")
+      val data = ais.readAllBytes(); ais.close()
+      val n = data.length / 2
+      var sumAbs = 0L; var zcr = 0; var peak = 0; var prev = 0
+      var i = 0
+      while (i < n) {
+        val s = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort.toInt
+        val a = math.abs(s)
+        sumAbs += a
+        if (a > peak) peak = a
+        if (i > 0 && (s.toLong * prev) < 0) zcr += 1
+        prev = s
+        i += 1
+      }
+      AudioFeat(r.doc_id, fmt.getSampleRate.toInt, n, sumAbs, zcr, peak)
+    }
+
+  /** Corrupt-tolerant audio parse (`decodeLenient`'s audio twin): rows the
+    * container parser rejects are dropped, the stage survives.
+    */
+  def decodeWavLenient(rows: Iterator[AudioRow]): Iterator[AudioFeat] =
+    rows.flatMap { r =>
+      try decodeWav(Iterator(r)).toSeq
+      catch { case _: Exception => Seq.empty }
+    }
+
   /** documents.text as the media seed: synthesize one BMP per document. */
   private def mediaBmp(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -292,6 +390,23 @@ object Multimodal extends QueryPack {
         .select(col("doc_id"), col("phash"), col("n_same"))
         .orderBy(col("doc_id"))
     }),
+    // Audio tier: synthesize a real RIFF/WAV per document, parse it with
+    // javax.sound.sampled (genuine container walk + PCM framing), compute
+    // integer DSP features (Σ|s|, zero crossings, peak) off the DECODED
+    // frames. Two chained partition-local typed stages — the same batch
+    // shape as the image tier, over a different real codec.
+    "m07_audio_features" -> ((s, d) => {
+      import s.implicits._
+      T.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(synthWav _)
+        .mapPartitions(decodeWav _)
+        .toDF()
+        .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+          col("sum_abs"), col("zcr"), col("peak"))
+        .orderBy(col("doc_id"))
+    }),
     // Real-codec decode + feature extraction: ImageIO parses the BMP, the
     // 4-lane feature sums come off the decoded raster. Lane sums are exact
     // small integers (≤ 105 px × 255); cast to long so both engines
@@ -319,6 +434,30 @@ object Multimodal extends QueryPack {
       SELECT doc_id, unnest(generate_series(0, n_frames - 1, 10)) AS frame_no,
              unnest(generate_series(0, n_frames - 1, 10)) * 1024 AS byte_offset
       FROM nf ORDER BY doc_id, frame_no""",
+    // Replays synthWav→AudioSystem→DSP: sample i = (byte(i mod len)-96)*250
+    // (ASCII fixture: ord(char) IS the UTF-8 byte); zero crossings via a
+    // lag window over the regenerated sample stream.
+    "m07_audio_features" -> """
+      WITH base AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS len,
+               least(octet_length(encode(text)), 300) AS n
+        FROM documents WHERE octet_length(encode(text)) >= 1),
+      s AS (
+        SELECT doc_id, i,
+               (ord(substr(text, (i % len) + 1, 1)) - 96) * 250 AS v
+        FROM (SELECT doc_id, text, len,
+                     unnest(generate_series(0, n - 1)) AS i
+              FROM base)),
+      w AS (
+        SELECT doc_id, i, v,
+               lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+        FROM s)
+      SELECT doc_id, 8000 AS sample_rate,
+             CAST(count(*) AS INTEGER) AS n_samples,
+             CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+             CAST(sum(CASE WHEN v * pv < 0 THEN 1 ELSE 0 END) AS INTEGER) AS zcr,
+             CAST(max(abs(v)) AS INTEGER) AS peak
+      FROM w GROUP BY doc_id ORDER BY doc_id""",
     // Replays synthBmp→ImageIO→feature: pixel i's gray value is the text
     // byte at i mod len (ASCII fixture, so ord(char) IS the UTF-8 byte);
     // lanes partition pixel indices mod 4.

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+import Multimodal._
+
+/** Audio tier: WAV container round trip through the REAL
+  * javax.sound.sampled parser, hand-checked DSP features, and the
+  * corrupt-tolerance contract.
+  */
+class AudioSpec extends SparkSpec {
+
+  test("encodeWav → AudioSystem parse: format fields and exact features") {
+    // s = [1000, -2000, 3000, -100, 50]: |s| sum 6150, peak 3000,
+    // crossings at (1000,-2000),(-2000,3000),(3000,-100),(-100,50) = 4
+    val samples = Array[Short](1000, -2000, 3000, -100, 50)
+    val wav = encodeWav(8000, samples)
+    assert(wav.length == 44 + 10)
+    val feat = decodeWav(Iterator(AudioRow(7L, wav))).toSeq.head
+    assert(feat == AudioFeat(7L, 8000, 5, 6150L, 4, 3000))
+  }
+
+  test("sample_rate comes from the parsed header, not an assumption") {
+    val wav = encodeWav(44100, Array[Short](1, -1))
+    val feat = decodeWav(Iterator(AudioRow(1L, wav))).toSeq.head
+    assert(feat.sample_rate == 44100 && feat.zcr == 1)
+  }
+
+  test("decodeWav throws on garbage; decodeWavLenient drops it") {
+    val good = AudioRow(1L, encodeWav(8000, Array[Short](5, -5)))
+    val bad = AudioRow(2L, Array[Byte](1, 2, 3, 4, 5))
+    assertThrows[Exception] { decodeWav(Iterator(bad)).toSeq }
+    val out = decodeWavLenient(Iterator(good, bad)).toSeq
+    assert(out.map(_.doc_id) == Seq(1L))
+  }
+
+  test("synthWav skips empty payloads and bounds the clip length") {
+    val rows = Seq(
+      (1L, Array.emptyByteArray),
+      (2L, "ab".getBytes("UTF-8")),
+      (3L, ("x" * 1000).getBytes("UTF-8")))
+    val out = synthWav(rows.iterator).toSeq
+    assert(out.map(_.doc_id) == Seq(2L, 3L))
+    val feats = decodeWav(out.iterator).toSeq
+    assert(feats(0).n_samples == 2)
+    assert(feats(1).n_samples == AudioMaxSamples)
+    // 'a' = 97 -> (97-96)*250 = 250; 'b' = 98 -> 500
+    assert(feats(0).sum_abs == 750L && feats(0).peak == 500)
+  }
+}
