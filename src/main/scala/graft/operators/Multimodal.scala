@@ -335,6 +335,81 @@ object Multimodal extends QueryPack {
       catch { case _: Exception => Seq.empty }
     }
 
+  // ======================= VIDEO TIER (m08) ============================
+
+  /** Input batch row: media id + raw container bytes. */
+  final case class VideoRow(doc_id: Long, content: Array[Byte])
+  /** Per-video summary off the decoded sampled frames. */
+  final case class VideoFeat(doc_id: Long, n_frames: Int, n_sampled: Int,
+      scene_changes: Int, h_first: Long)
+
+  /** Trivial frame container: "GVID" + u8 frameCount, then each frame as
+    * le32 length + a complete BMP. The CONTAINER is the stubbed part (the
+    * JDK ships no video demuxer; an FFmpeg JNI demuxer plugs in here) —
+    * the FRAMES are real BMPs and frame decode is the real ImageIO parse,
+    * per the stub-the-codec / keep-the-plumbing-real rule.
+    */
+  def encodeVideo(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(
+      5 + frames.map(_.length + 4).sum)
+    out.write('G'); out.write('V'); out.write('I'); out.write('D')
+    out.write(frames.length)
+    frames.foreach { f =>
+      out.write(f.length & 0xff); out.write((f.length >> 8) & 0xff)
+      out.write((f.length >> 16) & 0xff); out.write((f.length >> 24) & 0xff)
+      out.write(f, 0, f.length)
+    }
+    out.toByteArray
+  }
+
+  /** Synthesis: document text bytes → a short clip. Frame dims follow
+    * `synthBmp` (w ∈ [8,16), h ∈ [4,8) from the first two bytes); frame
+    * count F ∈ [4,9) from the third; frame f's pixel i is the text byte at
+    * `(i + 7f) mod len` — each frame is the previous one cyclically
+    * shifted, so consecutive-frame comparisons are non-degenerate.
+    * Documents shorter than 3 bytes are skipped (degrade, not crash).
+    */
+  def synthVideo(rows: Iterator[(Long, Array[Byte])]): Iterator[VideoRow] =
+    rows.collect { case (id, b) if b.length >= 3 =>
+      val w = 8 + (b(0) & 0xff) % 8
+      val h = 4 + (b(1) & 0xff) % 4
+      val nf = 4 + (b(2) & 0xff) % 5
+      val frames = (0 until nf).map { f =>
+        encodeBmp(w, h, Array.tabulate(w * h)(i => b((i + 7 * f) % b.length)))
+      }
+      VideoRow(id, encodeVideo(frames))
+    }
+
+  /** Demux (stub container walk) → sample every 2nd frame → REAL ImageIO
+    * decode of each sampled frame → aHash per frame → scene-change count
+    * (consecutive sampled hashes that differ). One partition-local stage;
+    * frames never leave the executor, only the per-video summary shuffles.
+    */
+  def decodeVideo(rows: Iterator[VideoRow]): Iterator[VideoFeat] = {
+    val reader = bmpReader()
+    rows.map { r =>
+      val b = r.content
+      require(b.length >= 5 && b(0) == 'G' && b(1) == 'V' && b(2) == 'I' &&
+        b(3) == 'D', s"not a GVID container (doc ${r.doc_id})")
+      val nf = b(4) & 0xff
+      var off = 5
+      val frames = (0 until nf).map { _ =>
+        val len = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+          ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+        val fr = java.util.Arrays.copyOfRange(b, off + 4, off + 4 + len)
+        off += 4 + len
+        fr
+      }
+      val sampled = frames.indices.by(2).map(frames)
+      val hashes = sampled.map(fb => aHash(readBmp(reader, fb)))
+      val changes = hashes.sliding(2).count {
+        case Seq(a2, b2) => a2 != b2
+        case _ => false
+      }
+      VideoFeat(r.doc_id, nf, sampled.length, changes, hashes.head)
+    }
+  }
+
   /** documents.text as the media seed: synthesize one BMP per document. */
   private def mediaBmp(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -390,6 +465,23 @@ object Multimodal extends QueryPack {
         .select(col("doc_id"), col("phash"), col("n_same"))
         .orderBy(col("doc_id"))
     }),
+    // Video tier: demux the frame container (stub walk — the JDK has no
+    // video demuxer), sample every 2nd frame, REAL-ImageIO-decode each
+    // sampled frame, perceptual-hash it, and count scene changes
+    // (consecutive sampled hashes that differ). Frames never leave the
+    // executor — only the per-video summary row shuffles.
+    "m08_video_scenes" -> ((s, d) => {
+      import s.implicits._
+      T.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(synthVideo _)
+        .mapPartitions(decodeVideo _)
+        .toDF()
+        .select(col("doc_id"), col("n_frames"), col("n_sampled"),
+          col("scene_changes"), col("h_first"))
+        .orderBy(col("doc_id"))
+    }),
     // Audio tier: synthesize a real RIFF/WAV per document, parse it with
     // javax.sound.sampled (genuine container walk + PCM framing), compute
     // integer DSP features (Σ|s|, zero crossings, peak) off the DECODED
@@ -434,6 +526,48 @@ object Multimodal extends QueryPack {
       SELECT doc_id, unnest(generate_series(0, n_frames - 1, 10)) AS frame_no,
              unnest(generate_series(0, n_frames - 1, 10)) * 1024 AS byte_offset
       FROM nf ORDER BY doc_id, frame_no""",
+    // Replays synthVideo→ImageIO→aHash per sampled frame: frame f's raster
+    // is the text bytes cyclically shifted by 7f, so the m06 thumbnail
+    // formula gains a +7f term; scene changes via a lag window over f.
+    "m08_video_scenes" -> """
+      WITH dims AS (
+        SELECT doc_id, text,
+               8 + ord(substr(text, 1, 1)) % 8 AS w,
+               4 + ord(substr(text, 2, 1)) % 4 AS h,
+               4 + ord(substr(text, 3, 1)) % 5 AS nf,
+               octet_length(encode(text)) AS n
+        FROM documents WHERE octet_length(encode(text)) >= 3),
+      fr AS (
+        SELECT doc_id, text, w, h, n, nf,
+               unnest(generate_series(0, nf - 1, 2)) AS f
+        FROM dims),
+      px AS (
+        SELECT doc_id, f, nf, i,
+               ord(substr(text,
+                 (((((i // 8) * h) // 4) * w + (((i % 8) * w) // 8)) + 7 * f)
+                   % n + 1, 1)) AS g
+        FROM (SELECT doc_id, text, w, h, n, nf, f,
+                     unnest(generate_series(0, 31)) AS i
+              FROM fr)),
+      m AS (SELECT doc_id, f, CAST(sum(g) // 32 AS BIGINT) AS mean
+            FROM px GROUP BY doc_id, f),
+      hsh AS (
+        SELECT px.doc_id, px.f, max(px.nf) AS nf,
+               CAST(sum(CASE WHEN px.g > m.mean
+                             THEN (CAST(1 AS BIGINT) << px.i) ELSE 0 END)
+                    AS BIGINT) AS hv
+        FROM px JOIN m ON px.doc_id = m.doc_id AND px.f = m.f
+        GROUP BY px.doc_id, px.f),
+      w2 AS (
+        SELECT doc_id, f, nf, hv,
+               lag(hv) OVER (PARTITION BY doc_id ORDER BY f) AS pv
+        FROM hsh)
+      SELECT doc_id, CAST(max(nf) AS INTEGER) AS n_frames,
+             CAST(count(*) AS INTEGER) AS n_sampled,
+             CAST(sum(CASE WHEN pv IS NOT NULL AND hv != pv THEN 1 ELSE 0 END)
+                  AS INTEGER) AS scene_changes,
+             CAST(max(CASE WHEN f = 0 THEN hv END) AS BIGINT) AS h_first
+      FROM w2 GROUP BY doc_id ORDER BY doc_id""",
     // Replays synthWav→AudioSystem→DSP: sample i = (byte(i mod len)-96)*250
     // (ASCII fixture: ord(char) IS the UTF-8 byte); zero crossings via a
     // lag window over the regenerated sample stream.

@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+import Multimodal._
+
+/** Video tier: container round trip, frame sampling, scene-change
+  * semantics over real ImageIO-decoded frames.
+  */
+class VideoSpec extends SparkSpec {
+
+  private def gray(v: Int, w: Int, h: Int): Array[Byte] =
+    Array.fill(w * h)(v.toByte)
+
+  test("demux walks the container and samples every 2nd frame") {
+    // 5 frames -> sampled f = 0,2,4
+    val frames = Seq(10, 10, 200, 200, 10).map(v => encodeBmp(8, 4, gray(v, 8, 4)))
+    val feat = decodeVideo(Iterator(VideoRow(1L, encodeVideo(frames)))).toSeq.head
+    assert(feat.n_frames == 5 && feat.n_sampled == 3)
+    // sampled grays 10, 200, 10: flat frames hash to 0 bits -> equal
+    // hashes -> 0 scene changes (aHash of a constant frame is 0)
+    assert(feat.scene_changes == 0 && feat.h_first == 0L)
+  }
+
+  test("scene changes count consecutive sampled-hash differences") {
+    // frame A: left-half bright; frame B: constant -> different aHash
+    val a = encodeBmp(8, 4, Array.tabulate(32)(i => if (i % 8 < 4) 200.toByte else 0.toByte))
+    val b = encodeBmp(8, 4, gray(0, 8, 4))
+    // sampled: a (f0), a (f2), b (f4) -> one change
+    val feat = decodeVideo(Iterator(
+      VideoRow(2L, encodeVideo(Seq(a, b, a, b, b))))).toSeq.head
+    assert(feat.n_sampled == 3 && feat.scene_changes == 1)
+    assert(feat.h_first != 0L)
+  }
+
+  test("synthVideo skips <3-byte payloads; decode rejects non-GVID bytes") {
+    assert(synthVideo(Iterator((1L, "ab".getBytes))).isEmpty)
+    val out = synthVideo(Iterator((2L, "abcdefgh".getBytes))).toSeq
+    assert(out.size == 1)
+    assertThrows[IllegalArgumentException] {
+      decodeVideo(Iterator(VideoRow(3L, Array[Byte](1, 2, 3, 4, 5, 6)))).toSeq
+    }
+  }
+}
