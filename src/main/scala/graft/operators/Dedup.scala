@@ -340,6 +340,50 @@ object Dedup extends QueryPack {
     s.read.parquet(out)
   }
 
+  /** Incremental maintenance of the duplicate-cluster labels (the d11/d14/
+    * s13 at-rest ingest posture, applied to connected components): the
+    * historical labels live in a parquet side-file; a new batch of
+    * near-dup PAIRS updates them WITHOUT rescanning or re-pairing the
+    * historical graph.
+    *
+    * Mechanics: (1) delta-touched nodes pull their old label (left join
+    * against the at-rest table — an equi-join, not a graph walk);
+    * (2) every labeled node gets a virtual STAR edge to its old component
+    * rep, so two delta nodes of the same old component are connected
+    * through the rep without materializing any historical edge;
+    * (3) min-label propagation runs over the SMALL augmented delta graph
+    * only (O(delta-diameter) rounds); (4) the at-rest table is updated by
+    * one rep-level equi-join (`comp -> new comp`) — a component merged by
+    * a delta bridge relabels ALL its members, including ones no delta
+    * edge touched, because old reps are nodes of the augmented graph.
+    * Labels stay canonical (comp = min id of the merged component: old
+    * reps are their components' minima, and propagation takes the min
+    * over reps ∪ new nodes). Result ≡ full recompute over history ∪
+    * delta — which is exactly what the oracle replays.
+    */
+  private[graft] def incrementalClusters(s: SparkSession, hist: DataFrame,
+      delta: DataFrame, out: String): DataFrame = {
+    Formats.writeOnce(s, out) { dupClusters(s, hist, out).count(); () }
+    val labels = s.read.parquet(out) // (id, comp) at rest
+    val nodes = delta.select(col("doc_a").as("id"))
+      .union(delta.select(col("doc_b").as("id"))).distinct()
+    val init = nodes.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+    val starEdges = init.filter(col("comp") =!= col("id"))
+      .select(col("id").as("doc_a"), col("comp").as("doc_b"))
+    val aug = delta.select(col("doc_a"), col("doc_b")).union(starEdges)
+    val newLabels = dupClusters(s, aug, out + "_delta")
+    // rep-level relabel map applied to the at-rest table: rows keyed by an
+    // old rep that moved pick up its new label; everything else keeps its
+    // label. Newcomers (nodes absent from the at-rest table) append.
+    val repMap = newLabels.select(col("id").as("comp"), col("comp").as("newc"))
+    val updated = labels.join(repMap, Seq("comp"), "left")
+      .select(col("id"), coalesce(col("newc"), col("comp")).as("comp"))
+    val newcomers = newLabels.join(labels, Seq("id"), "left_anti")
+      .select(col("id"), col("comp"))
+    updated.union(newcomers)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup with deterministic keeper: one surviving doc_id per
     // (lang, source) group. `dropDuplicates` keeps an arbitrary row; min()
@@ -375,6 +419,23 @@ object Dedup extends QueryPack {
     // Exact n-gram Jaccard near-dup pairs (threshold 0.5, integer compare).
     "d03_ngram_jaccard_pairs" -> ((s, d) =>
       jaccardPairs(s, d).orderBy(col("doc_a"), col("doc_b"))),
+    // Incremental cluster maintenance: historical labels at rest, a delta
+    // pair batch (deterministic split of the exact pair set) folded in via
+    // star-edge propagation + one rep-level relabel join — history is
+    // never re-paired or re-walked. Oracle: full recursive-CTE closure
+    // over ALL pairs; equality proves the incremental path converges to
+    // the same canonical labels the batch recompute would produce.
+    "d15_incremental_clusters" -> ((s, d) => {
+      val jp = jaccardPairs(s, d).select(col("doc_a"), col("doc_b"))
+      val hist = jp.filter(pmod(col("doc_a"), lit(3)) =!= 0)
+      val delta = jp.filter(pmod(col("doc_a"), lit(3)) === 0)
+      incrementalClusters(s, hist, delta, Formats.ioDir(d, "d15_labels"))
+        .groupBy(col("comp"))
+        .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_doc_id"))
+        .select(col("comp").as("keeper_doc_id"), col("n_members"),
+          col("max_doc_id"))
+        .orderBy(col("keeper_doc_id"))
+    }),
     // Near-dup pairs → duplicate CLUSTERS (connected components): one
     // keeper (= min doc_id in the component) per cluster, with member
     // count and max id — the step that turns pairwise dedup output into
@@ -738,6 +799,25 @@ object Dedup extends QueryPack {
     // transitive closure of the pair graph via recursive CTE, then
     // min-reachable-id per node = the component keeper
     "d08_dup_clusters" -> ("""
+      WITH RECURSIVE jp AS (""" + jaccardPairsSql + """),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM jp
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM jp),
+      nodes AS (SELECT DISTINCT src AS id FROM edges),
+      reach AS (
+        SELECT id, id AS r FROM nodes
+        UNION
+        SELECT e.dst AS id, reach.r
+        FROM reach JOIN edges e ON e.src = reach.id),
+      comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+      SELECT comp AS keeper_doc_id, count(*) AS n_members,
+             max(id) AS max_doc_id
+      FROM comp GROUP BY comp ORDER BY keeper_doc_id"""),
+    // d15 ≡ full closure over history ∪ delta = the d08 closure (the pair
+    // set is the same, only the delivery is split) — incremental must be
+    // indistinguishable from batch
+    "d15_incremental_clusters" -> ("""
       WITH RECURSIVE jp AS (""" + jaccardPairsSql + """),
       edges AS (
         SELECT doc_a AS src, doc_b AS dst FROM jp

@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** d15's mechanics on hand fixtures: a delta edge that bridges two
+  * historical components must relabel EVERY member of both (including
+  * members no delta edge touches) through the rep-level join, newcomers
+  * append, and intra-component delta edges are no-ops.
+  */
+class IncrementalClustersSpec extends SparkSpec {
+
+  private def run(hist: Seq[(Long, Long)], delta: Seq[(Long, Long)],
+      tag: String): Map[Long, Long] = {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory(s"inc_$tag")
+      .resolve("labels").toString
+    Dedup.incrementalClusters(spark,
+      hist.toDF("doc_a", "doc_b"), delta.toDF("doc_a", "doc_b"), out)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+  }
+
+  test("a delta bridge merges two historical components entirely") {
+    // hist: {1,2,3} and {5,6,7}; delta (3,7) bridges them.
+    // 2 and 6 are untouched by any delta edge — the rep-level relabel
+    // must still move them to comp 1.
+    val comp = run(Seq((1L, 2L), (2L, 3L), (5L, 6L), (6L, 7L)),
+      Seq((3L, 7L)), "bridge")
+    assert(Seq(1L, 2L, 3L, 5L, 6L, 7L).forall(comp(_) == 1L), s"got $comp")
+  }
+
+  test("newcomer pairs form their own component without touching history") {
+    val comp = run(Seq((1L, 2L)), Seq((10L, 11L)), "newcomer")
+    assert(comp(1L) == 1L && comp(2L) == 1L)
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+  }
+
+  test("an intra-component delta edge is a no-op") {
+    val comp = run(Seq((1L, 2L), (2L, 3L)), Seq((1L, 3L)), "noop")
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("a delta node joining an existing component adopts its canonical rep") {
+    // hist comp {4,5} (rep 4); delta attaches 9 AND 2 — 2 < 4 becomes the
+    // new canonical min, so 5 (untouched) must relabel to 2 as well
+    val comp = run(Seq((4L, 5L)), Seq((4L, 9L), (2L, 4L)), "adopt")
+    assert(Seq(2L, 4L, 5L, 9L).forall(comp(_) == 2L), s"got $comp")
+  }
+
+  test("incrementalClusters leaves nothing in the shared CacheManager") {
+    spark.sharedState.cacheManager.clearCache()
+    run(Seq((1L, 2L)), Seq((2L, 3L)), "cache")
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+}
