@@ -329,8 +329,13 @@ object Formats extends QueryPack {
       }
       val schema = StructType(Seq(
         StructField("id8", StringType), StructField("payload", StringType)))
-      // 53-byte records (8 id + ',' + quote + 20 + '\n' + 20 + quote + '\n')
-      HpccCsv.readQuoteParity(s, out, schema, splitBytes = 53L * 40)
+      // 53-byte records (8 id + ',' + quote + 20 + '\n' + 20 + quote + '\n').
+      // The split size is a record multiple (boundary soundness) sized so
+      // split-count scales with data, not with a constant: 212 KB ranges
+      // keep sf0.01 at one split per file and a 16x corpus at ~20 — a
+      // 2 KB constant produced ~2 000 ranges there, all scheduling floor
+      // (the HpccCsvSpec property covers many-range splitting).
+      HpccCsv.readQuoteParity(s, out, schema, splitBytes = 53L * 4000)
         .orderBy(col("id8"))
     }),
 
