@@ -364,7 +364,18 @@ object Dedup extends QueryPack {
   private[graft] def incrementalClusters(s: SparkSession, hist: DataFrame,
       delta: DataFrame, out: String): DataFrame = {
     Formats.writeOnce(s, out) { dupClusters(s, hist, out).count(); () }
-    val labels = s.read.parquet(out) // (id, comp) at rest
+    foldDelta(s, s.read.parquet(out), delta, out + "_delta")
+  }
+
+  /** One incremental fold: existing `labels` (id, comp) + a `delta` pair
+    * batch → updated labels (see [[incrementalClusters]] for the
+    * mechanics). Factored out so a STREAMING maintainer can apply it per
+    * micro-batch in `foreachBatch` (StreamingClustersSpec) — the same
+    * fold, the same rep-level join, state living wherever the caller
+    * keeps the label table.
+    */
+  private[graft] def foldDelta(s: SparkSession, labels: DataFrame,
+      delta: DataFrame, scratch: String): DataFrame = {
     val nodes = delta.select(col("doc_a").as("id"))
       .union(delta.select(col("doc_b").as("id"))).distinct()
     val init = nodes.join(labels, Seq("id"), "left")
@@ -372,7 +383,7 @@ object Dedup extends QueryPack {
     val starEdges = init.filter(col("comp") =!= col("id"))
       .select(col("id").as("doc_a"), col("comp").as("doc_b"))
     val aug = delta.select(col("doc_a"), col("doc_b")).union(starEdges)
-    val newLabels = dupClusters(s, aug, out + "_delta")
+    val newLabels = dupClusters(s, aug, scratch)
     // rep-level relabel map applied to the at-rest table: rows keyed by an
     // old rep that moved pick up its new label; everything else keeps its
     // label. Newcomers (nodes absent from the at-rest table) append.

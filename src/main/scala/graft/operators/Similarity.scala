@@ -874,6 +874,71 @@ object Similarity extends QueryPack {
       annVerdict(s, d, rerankTopK(s, d, cands), 0.25).crossJoin(rb)
     }),
 
+    // PQ index AT REST (closing the train-once lifecycle for the PQ
+    // family the way s07/s13 close it for IVF): codebooks + 4-byte codes
+    // persisted once (writeOnce); a probe LOADS the codebook artifact
+    // (O(M·ks·dsub) driver-side index METADATA — 1 024 doubles, not
+    // data), ADC-scans the CODES table only (the full vectors never
+    // enter the scan), and must rank exactly like the in-flight s08 path
+    // — guaranteed because pqCodebooks is bit-deterministic, and VERIFIED
+    // set-exactly by the verdict. Columns:
+    //  - n_codes: rows in the at-rest code table (oracle: corpus count);
+    //  - n_books_rows: M·ks·dsub = 1024 persisted weights (oracle pins);
+    //  - atrest_eq_inflight: at-rest ADC candidates ≡ in-flight
+    //    pqAdcCandidates under the same rerank budget, set-exactly;
+    //  - rerank_bounded: ≤ NQ·rerank candidates left the ADC stage.
+    "s15_pq_atrest" -> ((s, d) => {
+      import s.implicits._
+      val base = normed(s, d)
+      val sub = DIM / PQ_M
+      val out = Formats.ioDir(d, "s15_pq")
+      Formats.writeOnce(s, out) {
+        val books = pqCodebooks(base)
+        val rows = for { m <- books.indices; c <- books(m).indices
+                         p <- books(m)(c).indices }
+          yield (m, c, p, books(m)(c)(p))
+        rows.toDF("m", "code", "pos", "w").coalesce(1)
+          .write.mode("overwrite").parquet(out + "/books")
+        base.select((col("vec_id").as("neighbor_id") +:
+          (0 until PQ_M).map { m =>
+            pqCodeExpr(books(m),
+              slice(normalized(col("v"), col("nrm")), m * sub + 1, sub))
+              .as(s"c$m")
+          }): _*)
+          .write.mode("overwrite").parquet(out + "/codes")
+      }
+      val books2: Array[Array[Array[Double]]] =
+        Array.fill(PQ_M, PQ_KS)(new Array[Double](sub))
+      s.read.parquet(out + "/books").collect().foreach { r =>
+        books2(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3) }
+      val rerank = pqRerank(base.count())
+      val codes = s.read.parquet(out + "/codes")
+      val q = base.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("query_id"),
+          normalized(col("v"), col("nrm")).as("qn"))
+      val adc = adcScoreExpr(books2, col("qn"),
+        (0 until PQ_M).map(m => col(s"c$m")))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc").desc, col("neighbor_id"))
+      val atRest = codes
+        .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .withColumn("adc", adc)
+        .withColumn("arank", row_number().over(w))
+        .filter(col("arank") <= rerank)
+        .select(col("query_id"), col("neighbor_id"))
+      val inFlight = pqAdcCandidates(base, pqCodebooks(base), rerank)
+      val merged = atRest.withColumn("a", lit(1))
+        .join(inFlight.withColumn("b", lit(1)),
+          Seq("query_id", "neighbor_id"), "full_outer")
+        .agg((sum(when(col("a").isNull || col("b").isNull, 1L)
+            .otherwise(0L)) === 0L).as("atrest_eq_inflight"),
+          (count(lit(1)) <= lit(NQ.toLong) * rerank).as("rerank_bounded"))
+      codes.agg(count(lit(1)).as("n_codes"))
+        .crossJoin(s.read.parquet(out + "/books")
+          .agg(count(lit(1)).as("n_books_rows")))
+        .crossJoin(merged)
+    }),
+
     // SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
     // web-scale through semantic deduplication", arXiv:2303.09540):
     // k-means-cluster the embeddings, then dedup WITHIN each cluster at
@@ -1321,6 +1386,16 @@ object Similarity extends QueryPack {
              TRUE AS cells_bounded,
              TRUE AS scan_bounded,
              (SELECT CAST(count(*) AS BIGINT) FROM embeddings
-              WHERE vec_id % 5 = 4) AS n_delta"""
+              WHERE vec_id % 5 = 4) AS n_delta""",
+    // s15: code-table count recomputed; the artifact size is a structural
+    // constant (M·ks·dsub); the equivalence + bound booleans are the
+    // at-rest contract the Spark side proves against its own in-flight
+    // twin (bit-deterministic training makes them provable TRUE)
+    "s15_pq_atrest" -> """
+      SELECT count(*) AS n_codes,
+             CAST(1024 AS BIGINT) AS n_books_rows,
+             TRUE AS atrest_eq_inflight,
+             TRUE AS rerank_bounded
+      FROM embeddings"""
   )
 }

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** d15's maintenance loop as a stream: near-dup PAIR batches arrive and
+  * fold into the at-rest label table micro-batch by micro-batch
+  * (`Dedup.foldDelta` in foreachBatch, the label table versioned
+  * write-then-swap per epoch). After all batches, the labels must equal
+  * the full batch closure over every pair ever seen — including merges
+  * whose two sides arrived in DIFFERENT micro-batches, the case a
+  * per-batch-only clustering gets wrong.
+  */
+case class PairRow(doc_a: Long, doc_b: Long)
+
+class StreamingClustersSpec extends SparkSpec {
+
+  test("streamed pair folds converge to the batch closure") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("stream-clusters")
+
+    // chain 1-2-3-4 split across batches, a separate pair, and a bridge
+    // that merges two components formed in EARLIER batches
+    val batches = Seq(
+      Seq(PairRow(1L, 2L), PairRow(10L, 11L)),
+      Seq(PairRow(3L, 4L), PairRow(20L, 21L)),
+      Seq(PairRow(2L, 3L)), // merges {1,2} and {3,4} across batches
+      Seq(PairRow(11L, 20L)) // merges {10,11} and {20,21}
+    )
+
+    // at-rest state: versioned label dirs, one fold per micro-batch
+    var version = 0
+    spark.emptyDataset[(Long, Long)].toDF("id", "comp")
+      .write.parquet(s"$root/labels_0")
+
+    val src = MemoryStream[PairRow]
+    val q = src.toDF().writeStream.foreachBatch {
+      (b: org.apache.spark.sql.DataFrame, epoch: Long) =>
+        val labels = spark.read.parquet(s"$root/labels_$version")
+        val updated = graft.operators.Dedup.foldDelta(
+          spark, labels, b, s"$root/scratch_$epoch")
+        updated.write.mode("overwrite").parquet(s"$root/labels_${version + 1}")
+        version += 1
+    }.start()
+    try {
+      batches.foreach { g => src.addData(g: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    val got = spark.read.parquet(s"$root/labels_$version")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // batch closure over all pairs via the library's own batch operator
+    val all = batches.flatten.toDF("doc_a", "doc_b")
+    val expect = graft.operators.Dedup
+      .dupClusters(spark, all, s"$root/batch_labels")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expect, s"streamed $got != batch $expect")
+    // and the cross-batch merges actually happened
+    assert(got(4L) == 1L && got(21L) == 10L)
+  }
+}
