@@ -33,7 +33,7 @@ import graft.functions.TextFunctions._
 object Dedup extends QueryPack {
 
   private val NGRAM = 3
-  private val ChunkW = 8 // d09/d11 chunk window (tokens per chunk)
+  private[graft] val ChunkW = 8 // d09/d11 chunk window (tokens per chunk)
   private val RunW = 6 // d10 substring-run length (tokens; Lee et al. use 50 at web scale — 6 matches the fixture's shared-run scale, cf. t06)
   private val IncrSplit = 10 // d11: sources below = at-rest corpus, rest = new batch
 

@@ -643,6 +643,91 @@ object Pipeline extends QueryPack {
           col("c.n_tok").as("n_tok"), col("c.h").as("chunk_md5"))
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
+    // Deletion propagation (right-to-be-forgotten across DERIVED
+    // artifacts): a training-data platform must delete a document not just
+    // from the corpus but from every index derived from it. Three at-rest
+    // artifacts persist once (writeOnce): a REFCOUNTED chunk-hash index
+    // (h, cnt) — distinct-only indexes like d11's cannot be decremented,
+    // refcounts are what makes deletion possible without a rebuild —, the
+    // d14 banded signature index, and the d15 cluster labels. A tombstone
+    // batch (doc_id % 37 = 0) then propagates:
+    //  - chunk index: decrement by the DELETED docs' chunk multiset, drop
+    //    zeros — history itself is never rescanned;
+    //  - band index: one anti-join on doc_id;
+    //  - labels: recluster ONLY the affected components (those containing
+    //    a tombstone) from pairs among their REMAINING members — sound
+    //    because near-dup pairs never cross component boundaries, so
+    //    unaffected components cannot change.
+    // Verdict: n_deleted + the post-deletion distinct-chunk count are
+    // oracle-recomputed; bands_complete checks every remaining doc is
+    // still indexed and no tombstone survives; labels_eq_recompute proves
+    // the locally-reclustered labels equal a FULL recompute over the
+    // remaining corpus, set-exactly (the certification arm — production
+    // runs only the incremental path).
+    "p17_delete_propagation" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = T.documents(s, d)
+      val base = Formats.ioDir(d, "p17")
+      Formats.writeOnce(s, base) {
+        docs.select(explode(Dedup.chunkHashes).as("h"))
+          .groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+          .write.mode("overwrite").parquet(base + "/chunks")
+        Dedup.bandIndexOf(docs)
+          .write.mode("overwrite").parquet(base + "/bands")
+        Dedup.dupClusters(s,
+          Dedup.jaccardPairsOf(docs).select(col("doc_a"), col("doc_b")),
+          base + "/labels0").count()
+        ()
+      }
+      val tomb = docs.filter(pmod(col("doc_id"), lit(37)) === 0)
+        .select(col("doc_id"))
+      val remaining = docs.join(tomb, Seq("doc_id"), "left_anti")
+      // chunk index: refcount decrement from the deleted docs only
+      val dec = docs.join(tomb, Seq("doc_id"))
+        .select(explode(Dedup.chunkHashes).as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("dcnt"))
+      val chunks2 = s.read.parquet(base + "/chunks")
+        .join(dec, Seq("h"), "left")
+        .select(col("h"),
+          (col("cnt") - coalesce(col("dcnt"), lit(0L))).as("cnt"))
+        .filter(col("cnt") > 0)
+      // band index: anti-join
+      val bands2 = s.read.parquet(base + "/bands")
+        .join(tomb, Seq("doc_id"), "left_anti")
+      // labels: affected-component-local recluster
+      val labels0 = s.read.parquet(base + "/labels0")
+      val affected = labels0
+        .join(tomb.select(col("doc_id").as("id")), Seq("id"))
+        .select(col("comp")).distinct()
+      val keepLabels = labels0.join(affected, Seq("comp"), "left_anti")
+        .select(col("id"), col("comp"))
+      val affDocs = remaining.join(
+        labels0.join(affected, Seq("comp")).select(col("id").as("doc_id")),
+        Seq("doc_id"))
+      val local = Dedup.dupClusters(s,
+        Dedup.jaccardPairsOf(affDocs).select(col("doc_a"), col("doc_b")),
+        base + "/labels_local")
+      val labels2 = keepLabels.union(local)
+      // certification arm: full recompute over the remaining corpus
+      val full = Dedup.dupClusters(s,
+        Dedup.jaccardPairsOf(remaining).select(col("doc_a"), col("doc_b")),
+        base + "/labels_full")
+      val eq = labels2.withColumn("a", lit(1))
+        .join(full.withColumn("b", lit(1)), Seq("id", "comp"), "full_outer")
+        .agg((sum(when(col("a").isNull || col("b").isNull, 1L)
+          .otherwise(0L)) === 0L).as("labels_eq_recompute"))
+      val bandsOk = bands2
+        .agg(countDistinct(col("doc_id")).as("nd"),
+          sum(when(pmod(col("doc_id"), lit(37)) === 0, 1L).otherwise(0L))
+            .as("ntomb"))
+        .crossJoin(remaining.agg(count(lit(1)).as("nr")))
+        .select((col("nd") === col("nr") && col("ntomb") === 0)
+          .as("bands_complete"))
+      tomb.agg(count(lit(1)).as("n_deleted"))
+        .crossJoin(chunks2.agg(count(lit(1)).as("n_idx_chunks")))
+        .crossJoin(bandsOk)
+        .crossJoin(eq)
+    }),
     // Data card: the per-(source, lang) release report every corpus ships
     // with — document counts, exact-duplicate rate (distinct md5
     // fingerprints, d02's canonical form), token/char totals, char-length
@@ -1033,6 +1118,27 @@ object Pipeline extends QueryPack {
              CAST(len(cw) AS BIGINT) AS n_tok,
              md5(array_to_string(cw, ' ')) AS chunk_md5
       FROM ch ORDER BY doc_id, chunk_idx""",
+    // p17: deleted-count + post-deletion distinct-chunk count recomputed
+    // from the remaining corpus (same chunk machinery as the d11 oracle);
+    // the completeness/equivalence booleans are the propagation contract
+    // the Spark side proves against its own full recompute
+    "p17_delete_propagation" -> s"""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents WHERE doc_id % 37 != 0),
+      cl AS (
+        SELECT doc_id,
+               list_transform(range(CAST(ceil(len(w) / ${Dedup.ChunkW}.0) AS INT)),
+                 i -> md5(array_to_string(
+                        w[(i * ${Dedup.ChunkW} + 1):(i * ${Dedup.ChunkW} + ${Dedup.ChunkW})], ' ')))
+                 AS hs
+        FROM toks),
+      ch AS (SELECT unnest(hs) AS h FROM cl)
+      SELECT (SELECT count(*) FROM documents WHERE doc_id % 37 = 0)
+               AS n_deleted,
+             (SELECT count(DISTINCT h) FROM ch) AS n_idx_chunks,
+             TRUE AS bands_complete,
+             TRUE AS labels_eq_recompute""",
     "p16_data_card" -> s"""
       WITH gsrc AS (SELECT doc_id, text FROM documents),
       $duckGopherCtes,
