@@ -84,6 +84,37 @@ object EventOps extends QueryPack {
         .filter(col("event_type") === "view")
         .select(col("event_id"), col("user_id"), col("prev_click_value"))
         .orderBy(col("event_id"))
+    }),
+
+    // NEAREST as-of (closing the direction family: q31 is backward-only):
+    // for every view, the click closest in time in EITHER direction —
+    // microsecond distances, ties to the earlier (backward) click. Still
+    // one shuffle: the same tag-and-union window pass as q31 run in both
+    // frame directions; no range join, no per-row lookup.
+    "q41_asof_nearest" -> ((s, d) => {
+      val ev = T.events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("click_val",
+          when(col("event_type") === "click", col("value")))
+        .withColumn("click_us",
+          when(col("event_type") === "click", col("us")))
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wprev = ord.rowsBetween(Window.unboundedPreceding, -1)
+      val wnext = ord.rowsBetween(1, Window.unboundedFollowing)
+      val takePrev = col("pt").isNotNull &&
+        (col("nt").isNull || (col("us") - col("pt")) <= (col("nt") - col("us")))
+      ev.withColumn("pv", last(col("click_val"), ignoreNulls = true).over(wprev))
+        .withColumn("pt", last(col("click_us"), ignoreNulls = true).over(wprev))
+        .withColumn("nv", first(col("click_val"), ignoreNulls = true).over(wnext))
+        .withColumn("nt", first(col("click_us"), ignoreNulls = true).over(wnext))
+        .filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"),
+          when(takePrev, col("pv")).when(col("nt").isNotNull, col("nv"))
+            .as("nearest_click_value"),
+          when(takePrev, lit("prev")).when(col("nt").isNotNull, lit("next"))
+            .as("direction"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -139,6 +170,31 @@ object EventOps extends QueryPack {
                  AS prev_click_value
         FROM e)
       SELECT event_id, user_id, prev_click_value
+      FROM c WHERE event_type = 'view' ORDER BY event_id""",
+    "q41_asof_nearest" -> """
+      WITH e AS (
+        SELECT *, epoch_us(ts) AS us,
+               CASE WHEN event_type = 'click' THEN value END AS click_val,
+               CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS click_us
+        FROM events),
+      c AS (
+        SELECT event_id, user_id, event_type, us,
+               last_value(click_val IGNORE NULLS) OVER wprev AS pv,
+               last_value(click_us IGNORE NULLS) OVER wprev AS pt,
+               first_value(click_val IGNORE NULLS) OVER wnext AS nv,
+               first_value(click_us IGNORE NULLS) OVER wnext AS nt
+        FROM e
+        WINDOW wprev AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               wnext AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+      SELECT event_id, user_id,
+             CASE WHEN pt IS NOT NULL AND (nt IS NULL OR (us - pt) <= (nt - us))
+                    THEN pv
+                  WHEN nt IS NOT NULL THEN nv END AS nearest_click_value,
+             CASE WHEN pt IS NOT NULL AND (nt IS NULL OR (us - pt) <= (nt - us))
+                    THEN 'prev'
+                  WHEN nt IS NOT NULL THEN 'next' END AS direction
       FROM c WHERE event_type = 'view' ORDER BY event_id"""
   )
 }

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Catalyst's runtime bloom-filter injection (InjectRuntimeFilter): a
+  * selective predicate on the small side of a shuffle join grows a bloom
+  * semi-join filter on the FACT side, so non-matching fact rows drop
+  * before the shuffle instead of after the join. At 100 TB this is the
+  * optimizer-native complement to p13's explicit decontamination bloom:
+  * no code change, driven entirely by the dim predicate. Pins that the
+  * machinery engages on our join shape and preserves the answer.
+  */
+class RuntimeFilterSpec extends SparkSpec {
+
+  test("a selective dim predicate injects might_contain on the fact side") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    // fixture-sized thresholds (defaults are tuned for 10 MB / 10 GB sides)
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    // force a shuffle join — under a broadcast join the filter is moot
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+
+    val factDir = tmpDir("rf-fact")
+    val dimDir = tmpDir("rf-dim")
+    s.range(200000L).select(col("id").as("k"), (col("id") % 997).as("v"))
+      .write.mode("overwrite").parquet(factDir)
+    s.range(1000L).select(col("id").as("k"), (col("id") % 7).as("w"))
+      .write.mode("overwrite").parquet(dimDir)
+
+    val fact = s.read.parquet(factDir)
+    val dim = s.read.parquet(dimDir).filter(col("w") === 3)
+    val q = fact.join(dim, "k").agg(sum(col("v")).as("sv"),
+      count(lit(1)).as("c"))
+
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("might_contain"),
+      s"runtime bloom filter must inject; optimized plan:\n${optimized.take(3000)}")
+
+    val row = q.collect().head
+    // answer parity with the un-filtered session
+    val expect = spark.read.parquet(factDir)
+      .join(spark.read.parquet(dimDir).filter(col("w") === 3), "k")
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("c")).collect().head
+    assert(row.getLong(0) == expect.getLong(0) &&
+      row.getLong(1) == expect.getLong(1))
+  }
+}
