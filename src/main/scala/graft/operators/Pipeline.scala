@@ -701,17 +701,25 @@ object Pipeline extends QueryPack {
         .select(col("comp")).distinct()
       val keepLabels = labels0.join(affected, Seq("comp"), "left_anti")
         .select(col("id"), col("comp"))
-      val affDocs = remaining.join(
-        labels0.join(affected, Seq("comp")).select(col("id").as("doc_id")),
-        Seq("doc_id"))
-      val local = Dedup.dupClusters(s,
-        Dedup.jaccardPairsOf(affDocs).select(col("doc_a"), col("doc_b")),
-        base + "/labels_local")
+      // ONE pair generation over the remaining corpus, materialized to a
+      // side-file (q35's posture): the production arm filters it to the
+      // affected members, the certification arm clusters all of it — both
+      // dupClusters fixpoints read the FILE, so the exact-Jaccard pair
+      // machinery runs once per invocation, not three times. (Production
+      // alone would pair only the affected members — a fraction of this.)
+      val pairsPath = base + "/pairs_remaining"
+      Dedup.jaccardPairsOf(remaining).select(col("doc_a"), col("doc_b"))
+        .write.mode("overwrite").parquet(pairsPath)
+      val pairsRem = s.read.parquet(pairsPath)
+      val affIds = labels0.join(affected, Seq("comp")).select(col("id"))
+      val localPairs = pairsRem
+        .join(affIds.select(col("id").as("doc_a")), Seq("doc_a"))
+        .join(affIds.select(col("id").as("doc_b")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+      val local = Dedup.dupClusters(s, localPairs, base + "/labels_local")
       val labels2 = keepLabels.union(local)
       // certification arm: full recompute over the remaining corpus
-      val full = Dedup.dupClusters(s,
-        Dedup.jaccardPairsOf(remaining).select(col("doc_a"), col("doc_b")),
-        base + "/labels_full")
+      val full = Dedup.dupClusters(s, pairsRem, base + "/labels_full")
       val eq = labels2.withColumn("a", lit(1))
         .join(full.withColumn("b", lit(1)), Seq("id", "comp"), "full_outer")
         .agg((sum(when(col("a").isNull || col("b").isNull, 1L)
