@@ -643,6 +643,31 @@ object Pipeline extends QueryPack {
           col("c.n_tok").as("n_tok"), col("c.h").as("chunk_md5"))
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
+    // Curriculum ordering: the training-order schedule quality-first
+    // (easy→hard curricula train on clean text before noisy text). Tier 0
+    // = Gopher-keep AND substantial (n_chars ≥ 600), tier 1 = Gopher-keep,
+    // tier 2 = rejected-but-retained; within a tier the order is the
+    // deterministic md5 lane (p04's shuffle). Scale shape: NO global
+    // row_number — documents shard by hash lane and each shard orders
+    // independently (a per-shard window, bounded state), the same
+    // independent-stream geometry as p05's packing; a trainer reads
+    // shards round-robin, so the global schedule interleaves tiers
+    // identically on any cluster layout.
+    "p18_curriculum" -> ((s, d) => {
+      val sig = gopherSignals(T.documents(s, d), Seq("n_chars"))
+      val tiered = sig
+        .withColumn("tier",
+          when(gopherKeep && col("n_chars") >= 600, 0)
+            .when(gopherKeep, 1).otherwise(2))
+        .withColumn("h4", h4("doc_id"))
+        .withColumn("shard", pmod(col("h4"), lit(SHARDS.toLong)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard"))
+        .orderBy(col("tier"), col("h4"), col("doc_id"))
+      tiered.select(col("doc_id"), col("tier"), col("shard"),
+          row_number().over(w).as("pos_in_shard"))
+        .orderBy(col("shard"), col("pos_in_shard"))
+    }),
     // Deletion propagation (right-to-be-forgotten across DERIVED
     // artifacts): a training-data platform must delete a document not just
     // from the corpus but from every index derived from it. Three at-rest
@@ -1126,6 +1151,20 @@ object Pipeline extends QueryPack {
              CAST(len(cw) AS BIGINT) AS n_tok,
              md5(array_to_string(cw, ' ')) AS chunk_md5
       FROM ch ORDER BY doc_id, chunk_idx""",
+    "p18_curriculum" -> s"""
+      WITH gsrc AS (SELECT doc_id, text FROM documents),
+      $duckGopherCtes,
+      t AS (
+        SELECT doc_id,
+               CASE WHEN $duckGopherKeep AND n_chars >= 600 THEN 0
+                    WHEN $duckGopherKeep THEN 1 ELSE 2 END AS tier,
+               $duckH4 AS h4
+        FROM (SELECT g.*, d.n_chars
+              FROM gsig g JOIN documents d ON g.doc_id = d.doc_id))
+      SELECT doc_id, tier, h4 % $SHARDS AS shard,
+             CAST(row_number() OVER (PARTITION BY h4 % $SHARDS
+               ORDER BY tier, h4, doc_id) AS INT) AS pos_in_shard
+      FROM t ORDER BY shard, pos_in_shard""",
     // p17: deleted-count + post-deletion distinct-chunk count recomputed
     // from the remaining corpus (same chunk machinery as the d11 oracle);
     // the completeness/equivalence booleans are the propagation contract

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.operators.Multimodal
+
+/** m07's audio tier as a streaming ingest stage: an arriving document
+  * stream synthesizes + REAL-parses its WAVs micro-batch by micro-batch
+  * (stateless mapPartitions stages — the per-partition SPI-provider reuse
+  * composes unchanged), and the union over micro-batches equals the batch
+  * m07 features exactly.
+  */
+case class AudioDoc(doc_id: Long, text: String)
+
+class StreamingAudioSpec extends SparkSpec {
+
+  test("streamed audio decode equals the batch features") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).as[AudioDoc].collect().toSeq
+    assert(docs.size > 20)
+
+    def feats(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(Multimodal.synthWav _)
+        .mapPartitions(Multimodal.decodeWav _)
+        .toDF()
+
+    val out = tmpDir("stream-audio")
+    val src = MemoryStream[AudioDoc]
+    val q = src.toDF().writeStream.foreachBatch {
+      (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        feats(b).write.mode("append").parquet(s"$out/feats")
+    }.start()
+    try {
+      docs.grouped(docs.size / 3 + 1).foreach { g =>
+        src.addData(g: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(s"$out/feats")
+      .collect().map(_.toSeq).toSet
+    val batch = feats(docs.toDF()).collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.size == docs.size)
+  }
+}
