@@ -298,6 +298,30 @@ object Formats extends QueryPack {
           countDistinct(col("o_custkey")).as("n_cust"))
     }),
 
+    // Schema evolution across file vintages: a corpus written over months
+    // gains columns; mergeSchema reconciles old and new part sets into
+    // one union schema with nulls for the missing columns — no rewrite of
+    // the historical files (at 100 TB a backfill is the thing you never
+    // want to need). The aggregate pins total count, how many rows carry
+    // the late-added column, and a value checksum across both vintages.
+    "f16_schema_evolution" -> ((s, d) => {
+      val out = ioDir(d, "f16")
+      writeOnce(s, out) {
+        T.orders(s, d).filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(out + "/v1")
+        T.orders(s, d).filter(col("o_orderkey") % 2 =!= 0)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority"))
+          .write.mode("overwrite").parquet(out + "/v2")
+      }
+      s.read.option("mergeSchema", "true").parquet(out + "/v1", out + "/v2")
+        .agg(count(lit(1)).as("n"),
+          count(col("o_orderpriority")).as("n_with_priority"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total"))
+    }),
+
     // PipeOutAndMerge shape: parallel part write, single-writer ordered
     // concat (Merge.mergeParts = mergeFile), then scan the ONE merged file.
     // Quote-parity splittable CSV (SURVEY §7 hard-part #2): every record
@@ -473,6 +497,12 @@ object Formats extends QueryPack {
       SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
              count(DISTINCT o_custkey) AS n_cust
       FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000""",
+    "f16_schema_evolution" -> """
+      SELECT count(*) AS n,
+             CAST(sum(CASE WHEN o_orderkey % 2 != 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_with_priority,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders""",
     "f13_flat_permissive" -> """
       SELECT count(*) AS n_good, CAST(1 AS BIGINT) AS n_bad,
              '585441494C' AS bad_hex,
