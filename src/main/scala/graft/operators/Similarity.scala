@@ -35,6 +35,9 @@ object Similarity extends QueryPack {
   private val KM_ITERS = 4 // Lloyd's iterations (fixed, deterministic)
   private val NPROBE = 3
   private val DUP_T = 0.4 // near-dup cosine threshold (s03/s05)
+  private val FUSE_NQ = 3 // s16: hybrid queries 0..2 (= Bm25Queries ids)
+  private val FUSE_L = 20 // s16: per-arm fusion depth
+  private val RRF_K0 = 60 // s16: RRF dampening constant (Cormack '09)
 
   /** (vec_id, v, nrm): unit work done once. */
   private def normed(s: SparkSession, d: String): DataFrame = {
@@ -1033,6 +1036,63 @@ object Similarity extends QueryPack {
       annVerdict(s, d, rerankTopK(s, d, cands), 0.3).crossJoin(rb)
     }),
 
+    // Hybrid retrieval via Reciprocal Rank Fusion (s16): the serving
+    // primitive of a RAG stack — a SPARSE arm (t13's integer BM25 over the
+    // literal query terms) and a DENSE arm (s01's exact cosine ranking,
+    // query vector = the query's own embedding, vec_id aligned with
+    // query_id) fused by RRF (Cormack, Clarke & Buettcher SIGIR'09):
+    // score(doc) = Σ_arms 1/(K0 + rank_arm(doc)), K0 = 60. Rank-based
+    // fusion needs no score calibration between the arms — exactly why
+    // production hybrid search (lexical + vector) ships it.
+    //
+    // Cross-engine exactness: each arm contributes the INTEGER
+    // 1000000 div (K0 + rank); the fused score is an order-independent
+    // integer sum over ≤ 2 rows per (query, doc). Arm ranks themselves are
+    // deterministic (BM25 scores are integers; cosine rank order is
+    // bit-identical across engines — the s01 contract — with doc_id
+    // tie-breaks). The query's own document is excluded from BOTH arms
+    // before ranking.
+    //
+    // Plan shape at scale: the sparse arm is t13's bounded postings shape
+    // (corpus filtered to query terms before any shuffle); the dense arm
+    // broadcasts 3 query vectors and keeps per-partition top-L via
+    // WindowGroupLimit; the fusion itself touches ≤ 2·L rows per query —
+    // a toy-sized groupBy. At 100 TB the dense arm swaps in any of the
+    // at-rest ANN probes (s07/s10/s15) without changing the fuser.
+    "s16_rrf_fusion" -> ((s, d) => {
+      val lw = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+      val lexR = TextAnalysis.bm25Scores(s, d)
+        .filter(col("doc_id") =!= col("query_id"))
+        .withColumn("r", row_number().over(lw))
+        .filter(col("r") <= FUSE_L)
+        .select(col("query_id"), col("doc_id"), col("r"))
+      val base = normed(s, d)
+      val q = base.filter(col("vec_id") < FUSE_NQ)
+        .select(col("vec_id").cast("int").as("query_id"),
+          col("v").as("qv"), col("nrm").as("qn"))
+      val dw = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("doc_id").asc)
+      val denseR = base
+        .select(col("vec_id").as("doc_id"), col("v").as("cv"),
+          col("nrm").as("cn"))
+        .join(broadcast(q), col("query_id") =!= col("doc_id"))
+        .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        .withColumn("r", row_number().over(dw))
+        .filter(col("r") <= FUSE_L)
+        .select(col("query_id"), col("doc_id"), col("r"))
+      val byQ = Window.partitionBy(col("query_id"))
+        .orderBy(col("rrf_micro").desc, col("doc_id").asc)
+      lexR.unionByName(denseR)
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(expr(s"1000000 div ($RRF_K0 + r)")).as("rrf_micro"))
+        .withColumn("rank", row_number().over(byQ))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          col("rrf_micro"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // LSH ANN verdict: aggregate recall vs s01 ≥ 0.3 (measured 0.40–0.46)
     // plus a candidate-volume bound — banding must actually prune (the
     // distinct candidate set stays under half of all query-corpus pairs;
@@ -1294,6 +1354,76 @@ object Similarity extends QueryPack {
              TRUE AS recall_ok,
              TRUE AS rerank_bounded
       FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < $NQ)""",
+    // s16: FULL hash oracle — both arms and the fusion are replayed
+    // relationally (the sparse arm is t13's oracle; the dense arm is the
+    // s01 cosine ranking restricted to queries 0..2; fusion is an integer
+    // sum of 1000000 // (K0 + rank) over the unioned per-arm top-L sets)
+    "s16_rrf_fusion" -> s"""
+      WITH q(query_id, term) AS (VALUES
+        (0,'spark'),(0,'join'),(0,'merge'),
+        (1,'window'),(1,'agg'),(1,'scan'),
+        (2,'customer'),(2,'order'),(2,'group')),
+      toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents),
+      stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               (1000000 * sum(len(w))) // count(*) AS avgdl_micro
+        FROM toks),
+      occ AS (
+        SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term
+        FROM toks),
+      tf AS (
+        SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        FROM occ WHERE term IN (SELECT term FROM q)
+        GROUP BY doc_id, dl, term),
+      df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+             FROM tf GROUP BY term),
+      sc AS (
+        SELECT tf.doc_id, tf.term,
+               CAST(floor(
+                 CAST(floor(1000000.0 *
+                   ln(1.0 + (n - df + 0.5) / (df + 0.5))) AS BIGINT)
+                 * (tf * 2.2) /
+                 (tf + 1.2 * (0.25 + 0.75 * ((dl * 1000000.0)
+                    / avgdl_micro)))) AS BIGINT) AS s_micro
+        FROM tf JOIN df USING (term), stats),
+      agg AS (
+        SELECT query_id, doc_id, CAST(sum(s_micro) AS BIGINT) AS score
+        FROM sc JOIN q USING (term) GROUP BY query_id, doc_id),
+      lexr AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, doc_id ASC) AS r
+        FROM agg WHERE doc_id <> query_id),
+      vv AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings),
+      dsc AS (
+        SELECT CAST(qv.vec_id AS INTEGER) AS query_id,
+               c.vec_id AS doc_id,
+               list_dot_product(qv.v, c.v) / (qv.nrm * c.nrm) AS cos
+        FROM vv qv JOIN vv c
+          ON qv.vec_id < $FUSE_NQ AND qv.vec_id <> c.vec_id),
+      denser AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, doc_id ASC) AS r
+        FROM dsc),
+      un AS (
+        SELECT query_id, doc_id, r FROM lexr WHERE r <= $FUSE_L
+        UNION ALL
+        SELECT query_id, doc_id, r FROM denser WHERE r <= $FUSE_L),
+      f AS (
+        SELECT query_id, doc_id,
+               CAST(sum(1000000 // ($RRF_K0 + r)) AS BIGINT) AS rrf_micro
+        FROM un GROUP BY query_id, doc_id)
+      SELECT query_id, rank, doc_id, rrf_micro
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY rrf_micro DESC, doc_id ASC) AS rank FROM f)
+      WHERE rank <= 10 ORDER BY query_id, rank""",
     // s14 verdict row: same frame as s09 (truncation replaces projection)
     "s14_matryoshka_topk" -> s"""
       SELECT CAST(count(*) AS BIGINT) AS n_queries,

@@ -33,10 +33,43 @@ object TextAnalysis extends QueryPack {
   /** t14: number of BPE merge rules learned. */
   private val BpeLearnK = 4
 
-  private val Bm25Queries: Seq[(Int, String)] = Seq(
+  private[operators] val Bm25Queries: Seq[(Int, String)] = Seq(
     0 -> "spark", 0 -> "join", 0 -> "merge",
     1 -> "window", 1 -> "agg", 1 -> "scan",
     2 -> "customer", 2 -> "order", 2 -> "group")
+
+  /** t13's scoring stage, shared with the s16 hybrid fuser: integer BM25
+    * scores `(query_id, doc_id, score)` of every document containing at
+    * least one query term, for the literal [[Bm25Queries]] workload. See
+    * the t13 scaladoc for the integerization + plan-shape contract.
+    */
+  private[operators] def bm25Scores(s: SparkSession, d: String): DataFrame = {
+    val q = s.createDataFrame(Bm25Queries).toDF("query_id", "term")
+    val qterms = Bm25Queries.map(_._2).distinct
+    val toks = T.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+    val stats = toks.agg(count(lit(1)).as("n"),
+      expr("(1000000 * sum(size(w))) div count(1)").as("avgdl_micro"))
+    val tf = toks.select(col("doc_id"),
+        size(col("w")).cast("long").as("dl"), explode(col("w")).as("term"))
+      .filter(col("term").isin(qterms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_micro", floor(lit(1e6) *
+        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)))).cast("long"))
+      .withColumn("s_micro", floor(
+        col("idf_micro") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) +
+            lit(0.75) * ((col("dl") * lit(1000000.0)) /
+              col("avgdl_micro"))))).cast("long"))
+      .join(broadcast(q), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("s_micro")).as("score"))
+  }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> ((s, d) => {
@@ -237,34 +270,10 @@ object TextAnalysis extends QueryPack {
     // same plan reads a term-partitioned postings table at rest (f06
     // layout) instead of re-deriving it per query.
     "t13_bm25_topk" -> ((s, d) => {
-      val q = s.createDataFrame(Bm25Queries).toDF("query_id", "term")
-      val qterms = Bm25Queries.map(_._2).distinct
-      val toks = T.documents(s, d)
-        .select(col("doc_id"), tokens(col("text")).as("w"))
-      val stats = toks.agg(count(lit(1)).as("n"),
-        expr("(1000000 * sum(size(w))) div count(1)").as("avgdl_micro"))
-      val tf = toks.select(col("doc_id"),
-          size(col("w")).cast("long").as("dl"), explode(col("w")).as("term"))
-        .filter(col("term").isin(qterms: _*))
-        .groupBy(col("doc_id"), col("dl"), col("term"))
-        .agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val scored = tf.join(broadcast(df), Seq("term"))
-        .crossJoin(broadcast(stats))
-        .withColumn("idf_micro", floor(lit(1e6) *
-          log(lit(1.0) + (col("n") - col("df") + lit(0.5)) /
-            (col("df") + lit(0.5)))).cast("long"))
-        .withColumn("s_micro", floor(
-          col("idf_micro") * (col("tf") * lit(2.2)) /
-            (col("tf") + lit(1.2) * (lit(0.25) +
-              lit(0.75) * ((col("dl") * lit(1000000.0)) /
-                col("avgdl_micro"))))).cast("long"))
       val byQ = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id"))
         .orderBy(col("score").desc, col("doc_id").asc)
-      scored.join(broadcast(q), Seq("term"))
-        .groupBy(col("query_id"), col("doc_id"))
-        .agg(sum(col("s_micro")).as("score"))
+      bm25Scores(s, d)
         .withColumn("rank", row_number().over(byQ))
         .filter(col("rank") <= 10)
         .select(col("query_id"), col("rank"), col("doc_id"), col("score"))

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins s16's Reciprocal Rank Fusion semantics on a controlled corpus:
+  * each arm contributes the integer 1000000 div (60 + rank), a document
+  * ranked by both arms sums both contributions, the query's own document
+  * is excluded from BOTH arms, and dense-only queries (no lexical hits)
+  * still rank. Expected RRF scores are hand-computed.
+  */
+class RrfFusionSpec extends SparkSpec {
+
+  /** docs + aligned embeddings (vec_id = doc_id); dim 4. */
+  private def fixtureDir(rows: Seq[(Long, String, Seq[Float])]): String = {
+    import spark.implicits._
+    val dir = tmpDir("rrf")
+    rows.map { case (id, text, _) => (id, text) }.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("srcX"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    rows.map { case (id, _, v) => (id, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  private def run(dir: String): Seq[(Int, Int, Long, Long)] =
+    Similarity.queries("s16_rrf_fusion")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSeq
+
+  // query 0 = terms {spark, join, merge} AND the embedding of vec 0.
+  //  doc 0: carries query terms + the exact query vector -> must be
+  //         excluded from q0 by self-exclusion in BOTH arms
+  //  doc 1: strongest lexical (tf=3), orthogonal embedding
+  //  doc 2: no query terms, closest embedding -> dense-only
+  //  doc 3: weak lexical + second-closest embedding -> BOTH arms
+  private val fixture = Seq(
+    (0L, "spark join merge", Seq(1f, 0f, 0f, 0f)),
+    (1L, "spark spark spark x0 x1 x2 x3 x4", Seq(0f, 1f, 0f, 0f)),
+    (2L, "y0 y1 y2 y3 y4 y5 y6 y7", Seq(0.9f, 0.1f, 0f, 0f)),
+    (3L, "spark z0 z1 z2 z3 z4 z5 z6", Seq(0.8f, 0.2f, 0f, 0f)))
+
+  test("both-arm docs sum contributions; self is excluded; exact scores") {
+    val q0 = run(fixtureDir(fixture)).filter(_._1 == 0)
+    assert(!q0.exists(_._3 == 0L), s"query's own doc must be excluded: $q0")
+    // lexical ranks (doc0 excluded): doc1 tf=3 -> r1, doc3 tf=1 -> r2
+    // dense ranks  (doc0 excluded): doc2 cos~.994 -> r1, doc3 cos~.970
+    //   -> r2, doc1 cos~.110 -> r3 (doc1/doc2 share nrm sqrt(.82))
+    // rrf: doc1 = 1000000/61 + 1000000/63 = 16393 + 15873 = 32266
+    //      doc3 = 2 * (1000000/62)        = 2 * 16129   = 32258
+    //      doc2 = 1000000/61              = 16393
+    assert(q0.map(t => (t._2, t._3, t._4)) == Seq(
+      (1, 1L, 32266L), (2, 3L, 32258L), (3, 2L, 16393L)),
+      s"fused ranking wrong: $q0")
+  }
+
+  test("dense-only queries rank without any lexical hits") {
+    val res = run(fixtureDir(fixture))
+    val q1 = res.filter(_._1 == 1) // no doc carries window/agg/scan
+    assert(q1.nonEmpty, "query 1 must still rank via the dense arm")
+    assert(!q1.exists(_._3 == 1L), "self-exclusion in the dense arm")
+    // with one arm, fused rank = dense rank, so every score is exactly
+    // the single reciprocal 1000000 div (60 + fused rank)
+    assert(q1.forall(t => t._4 == 1000000L / (60L + t._2)),
+      s"dense-only scores must be single-arm reciprocals: $q1")
+  }
+}
