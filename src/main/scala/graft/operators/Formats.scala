@@ -322,6 +322,70 @@ object Formats extends QueryPack {
             .as("total"))
     }),
 
+    // Incremental small-file compaction (f17): src0–src2 are ingested
+    // fragmented (a 10-task write, the micro-batch-accretion shape), the
+    // remaining sources healthy (one file each); Compaction.
+    // compactPartitioned(maxFiles=1) then rewrites ONLY the fragmented
+    // partitions (bin-packed to the byte target) and provably leaves the
+    // healthy ones untouched — file names compared before/after. The
+    // verdict row carries the f10-style order-independent content checksum
+    // (the oracle recomputes it from the source table: compaction must be
+    // a pure layout change) plus the layout guarantees as pinned booleans.
+    "f17_compaction" -> ((s, d) => {
+      val out = ioDir(d, "f17")
+      val metaDir = ioDir(d, "f17_meta")
+      def healthyNames: Set[String] = {
+        val root = new org.apache.hadoop.fs.Path(out)
+        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.listStatus(root).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+          .filterNot(st => Seq("source=src0", "source=src1", "source=src2")
+            .contains(st.getPath.getName))
+          .flatMap(p => fs.listStatus(p.getPath).toSeq
+            .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
+              && !st.getPath.getName.startsWith("."))
+            .map(st => p.getPath.getName + "/" + st.getPath.getName))
+          .toSet
+      }
+      writeOnce(s, out) {
+        val docs = T.documents(s, d)
+        val hot = col("source").isin("src0", "src1", "src2")
+        docs.filter(hot).repartition(10)
+          .write.partitionBy("source").mode("overwrite").parquet(out)
+        docs.filter(!hot).coalesce(1)
+          .write.partitionBy("source").mode("append").parquet(out)
+        val namesBefore = healthyNames
+        val (nb, na, nr) = graft.sources.Compaction
+          .compactPartitioned(s, out, maxFiles = 1, targetBytes = 1L << 30)
+        val allSingle = graft.sources.Compaction
+          .partFileCounts(s, out).values.forall(_ <= 1)
+        import s.implicits._
+        Seq((nb, na, nr, namesBefore == healthyNames, allSingle))
+          .toDF("files_before", "files_after", "rewritten",
+            "untouched", "all_single")
+          .coalesce(1).write.mode("overwrite").parquet(metaDir)
+      }
+      def canon(df: DataFrame): DataFrame = df.select(
+        conv(substring(md5(concat(
+          col("doc_id").cast("string"), lit("\u0001"), col("text"),
+          lit("\u0001"), col("lang"), lit("\u0001"), col("source"),
+          lit("\u0001"), col("n_chars").cast("string"))), 1, 8), 16, 10)
+          .cast("long").as("rh"))
+      def sums(df: DataFrame): DataFrame =
+        canon(df).agg(count(lit(1)).as("n"), sum(col("rh")).as("h"))
+      val src = sums(T.documents(s, d))
+        .select(col("n").as("n_src"), col("h").as("h_src"))
+      val back = sums(s.read.parquet(out))
+        .select(col("n").as("n_back"), col("h").as("h_back"))
+      src.crossJoin(back).crossJoin(s.read.parquet(metaDir))
+        .select(col("n_src").as("n_rows"), col("h_src").as("content_sum"),
+          (col("n_src") === col("n_back") && col("h_src") === col("h_back"))
+            .as("content_ok"),
+          (col("files_before") > col("files_after")).as("files_reduced"),
+          col("all_single").as("offenders_compacted"),
+          col("untouched").as("untouched_preserved"))
+    }),
+
     // PipeOutAndMerge shape: parallel part write, single-writer ordered
     // concat (Merge.mergeParts = mergeFile), then scan the ONE merged file.
     // Quote-parity splittable CSV (SURVEY §7 hard-part #2): every record
@@ -467,6 +531,20 @@ object Formats extends QueryPack {
                AS content_sum,
              TRUE AS roundtrip_ok,
              TRUE AS parts_consistent
+      FROM documents""",
+    // f17: content checksum recomputed from the source table (compaction
+    // must be a pure layout change); the four layout guarantees are pinned
+    "f17_compaction" -> """
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(('0x' || substr(md5(
+               CAST(doc_id AS VARCHAR) || chr(1) || text || chr(1) ||
+               lang || chr(1) || source || chr(1) ||
+               CAST(n_chars AS VARCHAR)), 1, 8)) AS BIGINT)) AS BIGINT)
+               AS content_sum,
+             TRUE AS content_ok,
+             TRUE AS files_reduced,
+             TRUE AS offenders_compacted,
+             TRUE AS untouched_preserved
       FROM documents""",
     "f03_xml_roundtrip" -> """
       SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""",

@@ -1,0 +1,87 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Incremental small-file compaction of a hive-partitioned parquet layout —
+  * the `OPTIMIZE` maintenance operator every long-lived 100 TB table needs:
+  * streaming/micro-batch ingest (and per-task sinks generally) accretes
+  * many small files per partition, and small files destroy scan throughput
+  * (per-file open/footer cost, tiny row groups, no skipping).
+  *
+  * Scale posture:
+  *   - INCREMENTAL: only partitions whose data-file count exceeds
+  *     `maxFiles` are rewritten; healthy partitions are not read, not
+  *     rewritten, and their files (names and contents) are untouched —
+  *     on a 100 TB table the nightly run touches the day's hot partitions,
+  *     never the historical bulk.
+  *   - Bin-packed: each offender is rewritten to
+  *     ceil(bytes / targetBytes) files, so output file size tracks the
+  *     target regardless of how fragmented the input was.
+  *   - The rewrite itself is a distributed read → coalesce → write of ONE
+  *     partition's data; the driver does only file-listing metadata work,
+  *     O(files), never row data.
+  *   - Swap is last-step: the compacted files are written to a temp dir
+  *     and moved in only after the rewrite commits, then the old files are
+  *     removed (single-maintainer assumption, the reference's own model —
+  *     its merge step concats parts the same way, libhdfsconnector.cpp
+  *     709-831; under concurrent writers this step belongs inside a table
+  *     format's commit protocol).
+  *
+  * The reference has no compaction primitive (it re-sprays); this is
+  * north-star surface in the f-series certification style (f17).
+  */
+object Compaction {
+
+  /** @return (filesBefore, filesAfter, partitionsRewritten) */
+  def compactPartitioned(s: SparkSession, dir: String, maxFiles: Int,
+      targetBytes: Long = 128L * 1024 * 1024): (Long, Long, Long) = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def dataFiles(p: Path) = fs.listStatus(p).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
+        && !st.getPath.getName.startsWith("."))
+    val parts = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .map(_.getPath)
+    var before = 0L; var after = 0L; var rewritten = 0L
+    parts.foreach { p =>
+      val files = dataFiles(p)
+      before += files.size
+      if (files.size <= maxFiles) { after += files.size }
+      else {
+        val bytes = files.map(_.getLen).sum
+        val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+        val tmp = new Path(root, s"_graft_compact_tmp/${p.getName}")
+        fs.delete(tmp, true)
+        s.read.parquet(p.toString).coalesce(nOut)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val newFiles = dataFiles(tmp)
+        // swap: move compacted files in (unique names), then drop the old
+        newFiles.zipWithIndex.foreach { case (st, i) =>
+          fs.rename(st.getPath,
+            new Path(p, s"compact-$i-${st.getPath.getName}")); ()
+        }
+        files.foreach(st => fs.delete(st.getPath, false))
+        fs.delete(tmp, true)
+        after += newFiles.size
+        rewritten += 1
+      }
+    }
+    fs.delete(new Path(root, "_graft_compact_tmp"), true)
+    (before, after, rewritten)
+  }
+
+  /** Data-file count per partition directory (spec support). */
+  def partFileCounts(s: SparkSession, dir: String): Map[String, Int] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .map { p =>
+        p.getPath.getName -> fs.listStatus(p.getPath).count(st =>
+          st.isFile && !st.getPath.getName.startsWith("_")
+            && !st.getPath.getName.startsWith("."))
+      }.toMap
+  }
+}

@@ -1,0 +1,73 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins Compaction.compactPartitioned's incremental contract: only
+  * partitions over the file threshold are rewritten, healthy partitions
+  * keep their exact files (names untouched), content survives bit-exactly,
+  * bin-packing honors the byte target, and a second run is a no-op.
+  */
+class CompactionSpec extends SparkSpec {
+
+  private def layout(): String = {
+    import spark.implicits._
+    val dir = tmpDir("compact")
+    // g=a fragmented (6-task write), g=b healthy (single file)
+    (1L to 60L).map(i => (i, "a", s"row$i")).toDF("id", "g", "payload")
+      .repartition(6)
+      .write.partitionBy("g").mode("overwrite").parquet(dir)
+    (61L to 90L).map(i => (i, "b", s"row$i")).toDF("id", "g", "payload")
+      .coalesce(1)
+      .write.partitionBy("g").mode("append").parquet(dir)
+    dir
+  }
+
+  private def fileNames(dir: String, part: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir, part)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).filter(st => st.isFile
+      && !st.getPath.getName.startsWith("_")
+      && !st.getPath.getName.startsWith(".")).map(_.getPath.getName).toSet
+  }
+
+  test("only offenders are rewritten; healthy files stay byte-identical") {
+    val dir = layout()
+    val before = Compaction.partFileCounts(spark, dir)
+    assert(before("g=a") > 2 && before("g=b") == 1, s"fixture shape: $before")
+    val healthyBefore = fileNames(dir, "g=b")
+    val sumBefore = spark.read.parquet(dir)
+      .agg(sum(col("id")), count(lit(1))).collect()(0)
+
+    val (nb, na, nr) =
+      Compaction.compactPartitioned(spark, dir, maxFiles = 2)
+    assert(nb == before.values.sum.toLong, "filesBefore miscounted")
+    assert(nr == 1L, s"exactly one offender partition: $nr")
+    val afterCounts = Compaction.partFileCounts(spark, dir)
+    assert(afterCounts("g=a") == 1, s"offender bin-packed to 1: $afterCounts")
+    assert(fileNames(dir, "g=b") == healthyBefore,
+      "healthy partition files must be untouched")
+    assert(na == afterCounts.values.sum.toLong, "filesAfter miscounted")
+
+    val sumAfter = spark.read.parquet(dir)
+      .agg(sum(col("id")), count(lit(1))).collect()(0)
+    assert(sumAfter == sumBefore, "content must survive compaction")
+    // partition column still decodes from the directory layout
+    assert(spark.read.parquet(dir).filter(col("g") === "a").count() == 60)
+  }
+
+  test("a second run is a no-op and the byte target splits output files") {
+    val dir = layout()
+    Compaction.compactPartitioned(spark, dir, maxFiles = 2)
+    val (nb2, na2, nr2) =
+      Compaction.compactPartitioned(spark, dir, maxFiles = 2)
+    assert(nr2 == 0L && nb2 == na2, s"idempotent: $nb2/$na2/$nr2")
+
+    // tiny byte target: the offender bin-packs into >1 output file
+    val dir2 = layout()
+    Compaction.compactPartitioned(spark, dir2, maxFiles = 2,
+      targetBytes = 1024L)
+    assert(Compaction.partFileCounts(spark, dir2)("g=a") > 1,
+      "byte target must split the compacted output")
+  }
+}
