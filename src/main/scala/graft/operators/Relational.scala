@@ -487,6 +487,26 @@ object Relational extends QueryPack {
         .orderBy($"n_name")
     }),
 
+    // UNPIVOT / melt (q42): the inverse of q26 — the same pivoted wide
+    // table folded back to (n_name, segment, n) long form, zeros included
+    // (the dense melt a feature matrix needs). Physically an Expand
+    // generator: each wide row emits 5 narrow rows map-side, no shuffle
+    // beyond the pivot's own aggregation — the cheap direction at any
+    // scale. The oracle replays it as a dense (nation × segment) frame.
+    "q42_unpivot" -> ((s, d) => {
+      import s.implicits._
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+        "HOUSEHOLD", "MACHINERY")
+      val c = T.customer(s, d); val n = T.nation(s, d)
+      val wide = c.join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .pivot($"c_mktsegment", segs)
+        .agg(count(lit(1)))
+        .na.fill(0L)
+      wide.unpivot(Array($"n_name"), segs.map(col).toArray, "segment", "n")
+        .orderBy($"n_name", $"segment")
+    }),
+
     // -- array functions -----------------------------------------------------
     "q27_explode_array" -> ((s, d) => {
       import s.implicits._
@@ -823,6 +843,21 @@ object Relational extends QueryPack {
              count(*) FILTER (WHERE c_mktsegment = 'MACHINERY')  AS "MACHINERY"
       FROM customer JOIN nation ON c_nationkey = n_nationkey
       GROUP BY n_name ORDER BY n_name""",
+    // q42: the melt replayed as a dense (nation x segment) frame — every
+    // nation present in the join emits all five segments, zeros included
+    "q42_unpivot" -> """
+      WITH cnt AS (
+        SELECT n_name, c_mktsegment AS segment, count(*) AS n
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, c_mktsegment),
+      nn AS (SELECT DISTINCT n_name FROM cnt),
+      seg(segment) AS (VALUES ('AUTOMOBILE'), ('BUILDING'),
+        ('FURNITURE'), ('HOUSEHOLD'), ('MACHINERY'))
+      SELECT nn.n_name, seg.segment,
+             CAST(coalesce(cnt.n, 0) AS BIGINT) AS n
+      FROM nn CROSS JOIN seg
+      LEFT JOIN cnt ON cnt.n_name = nn.n_name AND cnt.segment = seg.segment
+      ORDER BY nn.n_name, seg.segment""",
     "q27_explode_array" -> """
       SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
              unnest(embedding) AS val
