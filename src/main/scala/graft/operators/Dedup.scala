@@ -751,6 +751,52 @@ object Dedup extends QueryPack {
           col("inter") * 2 < col("na") + col("nb") - col("inter"))
         .select(col("doc_a"), col("doc_b"), col("inter"), col("small_sz"))
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Intra-document repeated-span removal (d16): WITHIN each document,
+    // every later occurrence of a RunW-token span that already appeared
+    // earlier in the same document is removed (all tokens its window
+    // covers), and the cleaned text is rebuilt — the within-doc
+    // counterpart of d10's corpus-wide coverage metric and the "remove
+    // repeated spans" step of RefinedWeb-style pipelines (Lee et al.
+    // ACL'22 §4 measure intra-document duplication separately for exactly
+    // this reason: templated pages repeat their own boilerplate).
+    // Semantics are position-set based (a token survives iff no
+    // non-first occurrence of any repeated span covers it), so there is
+    // no greedy-order ambiguity and both engines replay it exactly;
+    // token 0 is provably always kept.
+    //
+    // Scale shape: the span pass is ONE within-doc window (doc_id, h) —
+    // the shuffle is keyed by document, never corpus-wide; the removal
+    // explode is bounded by RunW × intra-doc duplication mass (tiny
+    // relative to the corpus); reconstruction is d13's array_sort
+    // rebuild. No cross-document state at all, so the operator scales
+    // embarrassingly — the 100 TB version is the same plan.
+    "d16_intradoc_dedup" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = T.documents(s, d)
+      val toks = docs.select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
+      val occ = docs.select(col("doc_id"),
+        posexplode(shingleHashes(col("text"), RunW)).as(Seq("pos", "h")))
+      val byDocH = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"), col("h"))
+      val removed = occ.withColumn("fp", min(col("pos")).over(byDocH))
+        .filter(col("pos") > col("fp"))
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + lit(RunW - 1)))
+            .as("pos"))
+        .distinct()
+      val agg = toks.join(removed, Seq("doc_id", "pos"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            c => c.getField("tok")), " ")).as("clean_md5"))
+      docs.select(col("doc_id"),
+          tokenCount(col("text")).cast("long").as("n_tokens"))
+        .join(agg, Seq("doc_id"), "full_outer")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -885,6 +931,41 @@ object Dedup extends QueryPack {
       WHERE inter * 10 >= least(na.n_sh, nb.n_sh) * 8
         AND inter * 2 < na.n_sh + nb.n_sh - inter
       ORDER BY doc_a, doc_b""",
+    // d16: full replay on gram STRINGS (the d10 oracle convention — the
+    // xxhash is an engine detail; equality on the underlying grams is the
+    // semantic statement). 1-based positions throughout the SQL.
+    "d16_intradoc_dedup" -> {
+      val gram = (0 until RunW).map(k => s"w[i+$k]").mkString("||' '||")
+      s"""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents),
+      pos AS (
+        SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM toks),
+      g AS (
+        SELECT doc_id, i, $gram AS s
+        FROM pos WHERE i <= len(w) - ${RunW - 1}),
+      fp AS (SELECT doc_id, s, min(i) AS fp FROM g GROUP BY doc_id, s),
+      dup AS (SELECT g.doc_id, g.i FROM g JOIN fp USING (doc_id, s)
+              WHERE g.i > fp.fp),
+      rm AS (SELECT DISTINCT doc_id, i + k AS ri
+             FROM dup CROSS JOIN
+               (SELECT unnest(generate_series(0, ${RunW - 1})) AS k) ks),
+      tok AS (SELECT doc_id, generate_subscripts(w, 1) AS i,
+                     unnest(w) AS tok FROM toks),
+      keep AS (SELECT t.doc_id, t.i, t.tok FROM tok t
+               LEFT JOIN rm ON t.doc_id = rm.doc_id AND t.i = rm.ri
+               WHERE rm.ri IS NULL),
+      agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                     md5(string_agg(tok, ' ' ORDER BY i)) AS clean_md5
+              FROM keep GROUP BY doc_id)
+      SELECT d.doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens,
+             n_kept, clean_md5
+      FROM documents d LEFT JOIN agg USING (doc_id)
+      ORDER BY doc_id"""
+    },
     "d11_incremental_chunks" -> s"""
       WITH toks AS (
         SELECT doc_id, CAST(substr(source, 4) AS INT) AS sn,

@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins d16's intra-document repeated-span removal on hand-computed
+  * cases: a later occurrence of a repeated 6-token span loses all its
+  * covered tokens, self-overlapping runs collapse to their first token
+  * window, unrepeated text is untouched, and token 0 always survives.
+  */
+class IntradocDedupSpec extends SparkSpec {
+
+  private def fixtureDir(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = tmpDir("intradoc")
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("srcX"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def run(dir: String): Map[Long, (Long, Long, String)] =
+    Dedup.queries("d16_intradoc_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("a repeated span's later occurrence is removed; clean text rebuilt") {
+    // span (a b c d e f) at pos 0 and 6; removal covers tokens 6..11
+    val dir = fixtureDir(Seq(
+      (1L, "a b c d e f a b c d e f g"),
+      (2L, "p q r s t u v w"))) // no repeats: untouched
+    val res = run(dir)
+    assert(res(1L) == (13L, 7L, md5hex("a b c d e f g")), s"doc1: ${res(1L)}")
+    assert(res(2L) == (8L, 8L, md5hex("p q r s t u v w")), s"doc2: ${res(2L)}")
+  }
+
+  test("self-overlapping runs collapse; token 0 always survives") {
+    // shingles of (x*8): positions 0,1,2 share one hash; dups at 1,2
+    // cover tokens 1..7 -> only token 0 remains
+    val dir = fixtureDir(Seq((1L, "x x x x x x x x")))
+    assert(run(dir)(1L) == (8L, 1L, md5hex("x")))
+  }
+}
