@@ -767,16 +767,19 @@ object Dedup extends QueryPack {
     // token 0 is provably always kept.
     //
     // Scale shape: the span pass is ONE within-doc window (doc_id, h) —
-    // the shuffle is keyed by document, never corpus-wide; the removal
-    // explode is bounded by RunW × intra-doc duplication mass (tiny
-    // relative to the corpus); reconstruction is d13's array_sort
-    // rebuild. No cross-document state at all, so the operator scales
-    // embarrassingly — the 100 TB version is the same plan.
+    // the shuffle is keyed by document, never corpus-wide — and its
+    // output folds to ONE small per-doc removal-position set (bounded by
+    // intra-doc duplication mass). The corpus TOKENS never shuffle at
+    // all: the doc-level removal sets join back on doc_id and the
+    // surviving tokens are selected in-row by an indexed filter HOF, so
+    // reconstruction is a map-side projection. (The first formulation
+    // anti-joined an exploded token stream on (doc_id, pos) — a full
+    // corpus-token shuffle that measured 4.9× on 4× data at the 64×
+    // stress point; this doc-level form removes it.) No cross-document
+    // state at all — the 100 TB version is the same plan.
     "d16_intradoc_dedup" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       val docs = T.documents(s, d)
-      val toks = docs.select(col("doc_id"),
-        posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
       val occ = docs.select(col("doc_id"),
         posexplode(shingleHashes(col("text"), RunW)).as(Seq("pos", "h")))
       val byDocH = org.apache.spark.sql.expressions.Window
@@ -785,17 +788,17 @@ object Dedup extends QueryPack {
         .filter(col("pos") > col("fp"))
         .select(col("doc_id"),
           explode(sequence(col("pos"), col("pos") + lit(RunW - 1)))
-            .as("pos"))
-        .distinct()
-      val agg = toks.join(removed, Seq("doc_id", "pos"), "left_anti")
+            .as("rp"))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_kept"),
-          md5(array_join(transform(
-            array_sort(collect_list(struct(col("pos"), col("tok")))),
-            c => c.getField("tok")), " ")).as("clean_md5"))
-      docs.select(col("doc_id"),
-          tokenCount(col("text")).cast("long").as("n_tokens"))
-        .join(agg, Seq("doc_id"), "full_outer")
+        .agg(collect_set(col("rp")).as("rm"))
+      docs.select(col("doc_id"), tokens(col("text")).as("w"))
+        .join(removed, Seq("doc_id"), "left")
+        .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+          filter(col("w"), (_, i) =>
+            !coalesce(array_contains(col("rm"), i), lit(false))).as("kw"))
+        .select(col("doc_id"), col("n_tokens"),
+          size(col("kw")).cast("long").as("n_kept"),
+          md5(array_join(col("kw"), " ")).as("clean_md5"))
         .orderBy(col("doc_id"))
     })
   )
