@@ -386,6 +386,40 @@ object Formats extends QueryPack {
           col("untouched").as("untouched_preserved"))
     }),
 
+    // Morton/z-order clustered layout (f18): orders written sorted by the
+    // bit-interleave of 8-bit range buckets of (o_custkey, o_orderkey) —
+    // f15's range clustering generalized to TWO dimensions, the layout
+    // behind lakehouse `OPTIMIZE ZORDER BY`. A box predicate selective in
+    // BOTH keys then decodes only the row groups whose (custkey, orderkey)
+    // box intersects it, where a single-key layout skips on the leading
+    // key alone (ZorderSpec measures the decode asymmetry; at 100 TB the
+    // difference is reading the box, not the stripe). The oracle checks
+    // the boxed aggregate against the source table — the z-layout must be
+    // a pure reordering.
+    "f18_zorder_layout" -> ((s, d) => {
+      val out = ioDir(d, "f18")
+      writeOnce(s, out) {
+        import graft.sources.Layouts
+        val o = T.orders(s, d)
+        val mx = o.agg(max(col("o_custkey")).as("mc"),
+          max(col("o_orderkey")).as("mo"))
+        o.crossJoin(broadcast(mx))
+          .withColumn("z", Layouts.zvalue8(
+            Layouts.bucket8(col("o_custkey"), col("mc")),
+            Layouts.bucket8(col("o_orderkey"), col("mo"))))
+          .drop("mc", "mo")
+          .repartitionByRange(8, col("z")).sortWithinPartitions(col("z"))
+          .drop("z")
+          .write.mode("overwrite").parquet(out)
+      }
+      s.read.parquet(out)
+        .where(col("o_custkey") >= 40 && col("o_custkey") < 120 &&
+          col("o_orderkey") >= 400 && col("o_orderkey") < 1200)
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("sum_key"),
+          sum(col("o_custkey")).as("sum_cust"))
+    }),
+
     // PipeOutAndMerge shape: parallel part write, single-writer ordered
     // concat (Merge.mergeParts = mergeFile), then scan the ONE merged file.
     // Quote-parity splittable CSV (SURVEY §7 hard-part #2): every record
@@ -575,6 +609,13 @@ object Formats extends QueryPack {
       SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
              count(DISTINCT o_custkey) AS n_cust
       FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000""",
+    // f18: the boxed aggregate from the SOURCE table — the z-order write
+    // must be a pure reordering of the same rows
+    "f18_zorder_layout" -> """
+      SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+      FROM orders WHERE o_custkey >= 40 AND o_custkey < 120
+        AND o_orderkey >= 400 AND o_orderkey < 1200""",
     "f16_schema_evolution" -> """
       SELECT count(*) AS n,
              CAST(sum(CASE WHEN o_orderkey % 2 != 0 THEN 1 ELSE 0 END)

@@ -1,0 +1,36 @@
+package graft.sources
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional clustering layouts. f15 demonstrates single-key range
+  * clustering (tight per-row-group min/max on ONE column); a predicate
+  * over TWO columns can only skip on the leading one there. The Morton
+  * (z-order) curve interleaves the bit patterns of both dimensions, so
+  * sorting by the z-value gives row groups that are tight boxes in BOTH —
+  * the layout behind `OPTIMIZE ... ZORDER BY` in lakehouse table formats
+  * (Morton 1966; the curve preserves locality in every dimension at the
+  * cost of being perfect in none).
+  *
+  * Scale posture: the z-value is a pure integer projection (codegen'd bit
+  * arithmetic, no UDF); the cluster write is one repartitionByRange +
+  * in-partition sort — the same machinery as f15, just on the derived
+  * key. Columns are first normalized to 8-bit range buckets off a 1-row
+  * broadcast of the observed maxima, so the interleave is meaningful for
+  * any key domain (raw bit interleave would wrap at the bit width).
+  */
+object Layouts {
+
+  /** Interleave the low 8 bits of two bucket columns into a 16-bit
+    * Morton z-value (a in even positions, b in odd). */
+  def zvalue8(a: Column, b: Column): Column =
+    (0 until 8).map { i =>
+      shiftleft(shiftright(a.cast("int").bitwiseAND(lit(1 << i)), i), 2 * i) +
+        shiftleft(shiftright(b.cast("int").bitwiseAND(lit(1 << i)), i),
+          2 * i + 1)
+    }.reduce(_ + _)
+
+  /** `v` scaled into 0..255 given an inclusive maximum column. */
+  def bucket8(v: Column, mx: Column): Column =
+    (v * lit(256L)).divide(mx + lit(1L)).cast("int")
+}

@@ -1,0 +1,90 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** f18's scale claim, measured (the LayoutSkippingSpec method): under a
+  * box predicate selective in BOTH dimensions, a z-ordered layout decodes
+  * markedly fewer rows than a single-key range layout of the same data —
+  * the single-key layout skips on its leading key only and must decode
+  * every row group of the matching stripe. Also pins the z-value
+  * arithmetic itself on hand-computed interleaves.
+  */
+class ZorderSpec extends SparkSpec {
+
+  private def scanRows(df: DataFrame): Long = {
+    df.collect()
+    def scans(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    scans(df.queryExecution.executedPlan)
+      .flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
+  }
+
+  test("zvalue8 interleaves bits; bucket8 scales to 0..255") {
+    import spark.implicits._
+    val r = Seq((0, 0), (255, 0), (0, 255), (3, 5), (255, 255))
+      .toDF("a", "b")
+      .select(Layouts.zvalue8(col("a"), col("b")).as("z"))
+      .collect().map(_.getInt(0)).toSeq
+    // (3,5): a bits 011 -> even positions 1+4; b bits 101 -> odd
+    // positions 2+32 => 39
+    assert(r == Seq(0, 0x5555, 0xAAAA, 39, 0xFFFF), s"z-values: $r")
+    val b = Seq((0L, 999L), (999L, 999L), (500L, 999L)).toDF("v", "mx")
+      .select(Layouts.bucket8(col("v"), col("mx")).as("k"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(b == Seq(0, 255, 128), s"buckets: $b")
+  }
+
+  test("z-order decodes the box; single-key layout decodes the stripe") {
+    import spark.implicits._
+    val n = 250000
+    // two dims with coprime cycles (1000 vs 997), so (x, y) covers the
+    // plane instead of tracing a short lattice
+    val rows = spark.range(n.toLong).select(
+      (col("id") % 1000).as("x"),
+      (col("id") * 7919L % 997).as("y"),
+      col("id").as("v"))
+    val mx = rows.agg(max(col("x")).as("mc"), max(col("y")).as("mo"))
+    val zdir = tmpDir("zorder")
+    val kdir = tmpDir("keyorder")
+    rows.crossJoin(broadcast(mx))
+      .withColumn("z", Layouts.zvalue8(
+        Layouts.bucket8(col("x"), col("mc")),
+        Layouts.bucket8(col("y"), col("mo"))))
+      .drop("mc", "mo")
+      .repartitionByRange(4, col("z")).sortWithinPartitions(col("z"))
+      .drop("z")
+      .write.option("parquet.block.size", 16 * 1024)
+      .mode("overwrite").parquet(zdir)
+    rows.repartitionByRange(4, col("x")).sortWithinPartitions(col("x"))
+      .write.option("parquet.block.size", 16 * 1024)
+      .mode("overwrite").parquet(kdir)
+
+    // ~10% x ~10% box
+    def q(dir: String): DataFrame =
+      spark.read.parquet(dir)
+        .where(col("x") >= 200 && col("x") < 300 &&
+          col("y") >= 500 && col("y") < 600)
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
+
+    val a = q(zdir).collect().head
+    val b = q(kdir).collect().head
+    assert(a == b, "layouts must agree on the answer")
+
+    val boxRows = scanRows(q(zdir))
+    val stripeRows = scanRows(q(kdir))
+    // the stripe layout decodes ~10% of n; the z layout a tight box
+    assert(stripeRows >= n / 20,
+      s"single-key layout should decode the x-stripe, got $stripeRows")
+    assert(boxRows * 3 <= stripeRows,
+      s"z-order must decode >=3x fewer rows: $boxRows vs $stripeRows")
+  }
+}
