@@ -57,6 +57,18 @@ object Formats extends QueryPack {
     }
   }
 
+  /** Order-independent (count, checksum) over the canonical document
+    * fields — the f10 manifest canon, shared by f17/f19. concat (not
+    * concat_ws): a NULL field nulls the row hash on BOTH engines (see
+    * the f10 scaladoc for why concat_ws would blind the check). */
+  private def docSums(df: DataFrame): DataFrame = df.select(
+      conv(substring(md5(concat(
+        col("doc_id").cast("string"), lit("\u0001"), col("text"),
+        lit("\u0001"), col("lang"), lit("\u0001"), col("source"),
+        lit("\u0001"), col("n_chars").cast("string"))), 1, 8), 16, 10)
+        .cast("long").as("rh"))
+    .agg(count(lit(1)).as("n"), sum(col("rh")).as("h"))
+
   private val custLayout = EclLayout.parse(
     "custkey:unsigned4,name:string25,nationkey:integer4,acctbal:real8,mktsegment:string10")
 
@@ -365,17 +377,9 @@ object Formats extends QueryPack {
             "untouched", "all_single")
           .coalesce(1).write.mode("overwrite").parquet(metaDir)
       }
-      def canon(df: DataFrame): DataFrame = df.select(
-        conv(substring(md5(concat(
-          col("doc_id").cast("string"), lit("\u0001"), col("text"),
-          lit("\u0001"), col("lang"), lit("\u0001"), col("source"),
-          lit("\u0001"), col("n_chars").cast("string"))), 1, 8), 16, 10)
-          .cast("long").as("rh"))
-      def sums(df: DataFrame): DataFrame =
-        canon(df).agg(count(lit(1)).as("n"), sum(col("rh")).as("h"))
-      val src = sums(T.documents(s, d))
+      val src = docSums(T.documents(s, d))
         .select(col("n").as("n_src"), col("h").as("h_src"))
-      val back = sums(s.read.parquet(out))
+      val back = docSums(s.read.parquet(out))
         .select(col("n").as("n_back"), col("h").as("h_back"))
       src.crossJoin(back).crossJoin(s.read.parquet(metaDir))
         .select(col("n_src").as("n_rows"), col("h_src").as("content_sum"),
@@ -418,6 +422,52 @@ object Formats extends QueryPack {
         .agg(count(lit(1)).as("n"),
           sum(col("o_orderkey")).as("sum_key"),
           sum(col("o_custkey")).as("sum_cust"))
+    }),
+
+    // Snapshot / time-travel reads (f19): documents committed as two
+    // manifest versions (v1 = the hot sources, v2 = append of the rest)
+    // through graft.sources.Snapshots — the minimal lakehouse commit
+    // protocol (complete file set per version, manifest written last and
+    // renamed in). Reading v1 AFTER v2 exists must return exactly the v1
+    // rows (immutable history, metadata-only resolution); v2 must equal
+    // the full table. The verdict row carries both counts and the v2
+    // content checksum, all recomputed by the oracle from the source
+    // table, plus the version-parity booleans.
+    "f19_snapshot_read" -> ((s, d) => {
+      val out = ioDir(d, "f19")
+      writeOnce(s, out, alsoRequire =
+          graft.sources.Snapshots.latestVersion(s, out) == 2) {
+        // versions accumulate: a fresh run must start from an empty table
+        val root = new org.apache.hadoop.fs.Path(out)
+        val fsys = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fsys.delete(root, true)
+        val docs = T.documents(s, d)
+        val hot = col("source").isin("src0", "src1", "src2")
+        graft.sources.Snapshots.commit(s, out, docs.filter(hot),
+          append = false)
+        graft.sources.Snapshots.commit(s, out, docs.filter(!hot),
+          append = true)
+        ()
+      }
+      val docs = T.documents(s, d)
+      val hot = col("source").isin("src0", "src1", "src2")
+      val s1 = docSums(graft.sources.Snapshots.read(s, out, 1))
+        .select(col("n").as("n1"), col("h").as("h1"))
+      val s2 = docSums(graft.sources.Snapshots.read(s, out, 2))
+        .select(col("n").as("n2"), col("h").as("h2"))
+      val e1 = docSums(docs.filter(hot))
+        .select(col("n").as("en1"), col("h").as("eh1"))
+      val e2 = docSums(docs)
+        .select(col("n").as("en2"), col("h").as("eh2"))
+      s1.crossJoin(s2).crossJoin(e1).crossJoin(e2)
+        .select(col("en1").as("n_v1"), col("en2").as("n_v2"),
+          col("eh2").as("content_sum"),
+          (col("n1") === col("en1") && col("h1") === col("eh1"))
+            .as("v1_ok"),
+          (col("n2") === col("en2") && col("h2") === col("eh2"))
+            .as("v2_ok"),
+          lit(graft.sources.Snapshots.latestVersion(s, out) == 2)
+            .as("two_versions"))
     }),
 
     // PipeOutAndMerge shape: parallel part write, single-writer ordered
@@ -609,6 +659,21 @@ object Formats extends QueryPack {
       SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
              count(DISTINCT o_custkey) AS n_cust
       FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000""",
+    // f19: both version counts + the v2 checksum recomputed from the
+    // source table; time-travel/commit guarantees pinned TRUE
+    "f19_snapshot_read" -> """
+      SELECT CAST(count(*) FILTER (WHERE source IN ('src0','src1','src2'))
+               AS BIGINT) AS n_v1,
+             CAST(count(*) AS BIGINT) AS n_v2,
+             CAST(sum(CAST(('0x' || substr(md5(
+               CAST(doc_id AS VARCHAR) || chr(1) || text || chr(1) ||
+               lang || chr(1) || source || chr(1) ||
+               CAST(n_chars AS VARCHAR)), 1, 8)) AS BIGINT)) AS BIGINT)
+               AS content_sum,
+             TRUE AS v1_ok,
+             TRUE AS v2_ok,
+             TRUE AS two_versions
+      FROM documents""",
     // f18: the boxed aggregate from the SOURCE table — the z-order write
     // must be a pure reordering of the same rows
     "f18_zorder_layout" -> """

@@ -1,0 +1,44 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the Snapshots commit protocol: append commits carry the prior
+  * file set forward, rewrite commits publish a fresh set WITHOUT touching
+  * history (every prior version stays bit-identical), version resolution
+  * is manifest-only, and no staging debris survives a commit.
+  */
+class SnapshotsSpec extends SparkSpec {
+
+  private def df(ids: Range) = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, s"row$i")).toDF("id", "payload")
+  }
+
+  private def idsOf(dir: String, v: Int): Seq[Long] =
+    Snapshots.read(spark, dir, v).select(col("id"))
+      .collect().map(_.getLong(0)).toSeq.sorted
+
+  test("append and rewrite commits; history is immutable") {
+    val dir = tmpDir("snap")
+    assert(Snapshots.latestVersion(spark, dir) == 0)
+    assert(Snapshots.commit(spark, dir, df(1 to 10), append = false) == 1)
+    assert(Snapshots.commit(spark, dir, df(11 to 15), append = true) == 2)
+    assert(idsOf(dir, 1) == (1L to 10L) && idsOf(dir, 2) == (1L to 15L))
+
+    // rewrite: same logical content, fresh file set (the compaction shape)
+    val v3 = Snapshots.commit(spark, dir,
+      Snapshots.read(spark, dir, 2).coalesce(1), append = false)
+    assert(v3 == 3 && Snapshots.latestVersion(spark, dir) == 3)
+    assert(idsOf(dir, 3) == (1L to 15L))
+    // time travel after the rewrite: v1/v2 unchanged
+    assert(idsOf(dir, 1) == (1L to 10L) && idsOf(dir, 2) == (1L to 15L))
+
+    // no staging debris
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(p).map(_.getPath.getName).toSeq
+    assert(!names.exists(n => n.startsWith("_stage") || n.endsWith(".tmp")),
+      s"staging debris left: $names")
+  }
+}
