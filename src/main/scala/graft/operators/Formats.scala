@@ -69,6 +69,28 @@ object Formats extends QueryPack {
         .cast("long").as("rh"))
     .agg(count(lit(1)).as("n"), sum(col("rh")).as("h"))
 
+  /** f19/f20's shared two-version snapshot table of `documents` (v1 = the
+    * hot sources, v2 = append of the rest), built once per writeOnce
+    * semantics; a fresh build starts from an empty table because
+    * versions accumulate. */
+  private def snapshotTable(s: SparkSession, d: String): String = {
+    val out = ioDir(d, "f19")
+    writeOnce(s, out, alsoRequire =
+        graft.sources.Snapshots.latestVersion(s, out) == 2) {
+      val root = new org.apache.hadoop.fs.Path(out)
+      val fsys = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fsys.delete(root, true)
+      val docs = T.documents(s, d)
+      val hot = col("source").isin("src0", "src1", "src2")
+      graft.sources.Snapshots.commit(s, out, docs.filter(hot),
+        append = false)
+      graft.sources.Snapshots.commit(s, out, docs.filter(!hot),
+        append = true)
+      ()
+    }
+    out
+  }
+
   private val custLayout = EclLayout.parse(
     "custkey:unsigned4,name:string25,nationkey:integer4,acctbal:real8,mktsegment:string10")
 
@@ -434,21 +456,7 @@ object Formats extends QueryPack {
     // content checksum, all recomputed by the oracle from the source
     // table, plus the version-parity booleans.
     "f19_snapshot_read" -> ((s, d) => {
-      val out = ioDir(d, "f19")
-      writeOnce(s, out, alsoRequire =
-          graft.sources.Snapshots.latestVersion(s, out) == 2) {
-        // versions accumulate: a fresh run must start from an empty table
-        val root = new org.apache.hadoop.fs.Path(out)
-        val fsys = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-        fsys.delete(root, true)
-        val docs = T.documents(s, d)
-        val hot = col("source").isin("src0", "src1", "src2")
-        graft.sources.Snapshots.commit(s, out, docs.filter(hot),
-          append = false)
-        graft.sources.Snapshots.commit(s, out, docs.filter(!hot),
-          append = true)
-        ()
-      }
+      val out = snapshotTable(s, d)
       val docs = T.documents(s, d)
       val hot = col("source").isin("src0", "src1", "src2")
       val s1 = docSums(graft.sources.Snapshots.read(s, out, 1))
@@ -468,6 +476,19 @@ object Formats extends QueryPack {
             .as("v2_ok"),
           lit(graft.sources.Snapshots.latestVersion(s, out) == 2)
             .as("two_versions"))
+    }),
+
+    // Snapshot CDC (f20): the key-level diff between f19's two committed
+    // versions — the incremental-consumer contract of the snapshot table
+    // (read what changed, never the history). v1 -> v2 is a pure append
+    // here, so the diff is exactly the non-hot documents as inserts with
+    // zero deletes; the oracle recomputes the full change set from the
+    // source table. Depends on f19's table; builds it if absent (Verify
+    // runs queries in arbitrary order).
+    "f20_snapshot_diff" -> ((s, d) => {
+      val out = snapshotTable(s, d)
+      graft.sources.Snapshots.diff(s, out, 1, 2, Seq("doc_id"))
+        .orderBy(col("change"), col("doc_id"))
     }),
 
     // PipeOutAndMerge shape: parallel part write, single-writer ordered
@@ -674,6 +695,12 @@ object Formats extends QueryPack {
              TRUE AS v2_ok,
              TRUE AS two_versions
       FROM documents""",
+    // f20: the v1->v2 change set recomputed from the source table — the
+    // append's rows as inserts, no deletes
+    "f20_snapshot_diff" -> """
+      SELECT 'insert' AS change, doc_id
+      FROM documents WHERE source NOT IN ('src0', 'src1', 'src2')
+      ORDER BY change, doc_id""",
     // f18: the boxed aggregate from the SOURCE table — the z-order write
     // must be a pure reordering of the same rows
     "f18_zorder_layout" -> """

@@ -87,4 +87,22 @@ object Snapshots {
     val paths = files(s, dir, v).map(p => new Path(dir, p).toString)
     s.read.parquet(paths: _*)
   }
+
+  /** Key-level change-data-capture between two versions: rows whose key
+    * appears only in `to` are `insert`s, only in `from` are `delete`s.
+    * Two key-hashed anti-joins — the scan side is two manifest-resolved
+    * version reads, so at 100 TB an incremental consumer pays for the two
+    * versions' files, never the table's history. A REWRITE commit of
+    * identical content diffs empty (SnapshotsSpec pins this): CDC sees
+    * logical rows, not files. */
+  def diff(s: SparkSession, dir: String, from: Int, to: Int,
+      keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val a = read(s, dir, from).select(keyCols.map(col): _*)
+    val b = read(s, dir, to).select(keyCols.map(col): _*)
+    b.join(a, keyCols, "left_anti").select(lit("insert").as("change") +:
+        keyCols.map(col): _*)
+      .unionByName(a.join(b, keyCols, "left_anti")
+        .select(lit("delete").as("change") +: keyCols.map(col): _*))
+  }
 }

@@ -41,4 +41,24 @@ class SnapshotsSpec extends SparkSpec {
     assert(!names.exists(n => n.startsWith("_stage") || n.endsWith(".tmp")),
       s"staging debris left: $names")
   }
+
+  test("diff sees logical rows: appends as inserts, rewrites as empty") {
+    val dir = tmpDir("snapdiff")
+    Snapshots.commit(spark, dir, df(1 to 10), append = false)
+    Snapshots.commit(spark, dir, df(11 to 15), append = true)
+    Snapshots.commit(spark, dir,
+      Snapshots.read(spark, dir, 2).coalesce(1), append = false)
+    Snapshots.commit(spark, dir, df(4 to 15), append = false)
+
+    def changes(from: Int, to: Int): Seq[(String, Long)] =
+      Snapshots.diff(spark, dir, from, to, Seq("id"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+
+    assert(changes(1, 2) == (11L to 15L).map(("insert", _)),
+      "append diffs as pure inserts")
+    assert(changes(2, 3).isEmpty,
+      "a rewrite of identical content must diff empty")
+    assert(changes(3, 4) == (1L to 3L).map(("delete", _)),
+      "a shrinking rewrite diffs as deletes")
+  }
 }
