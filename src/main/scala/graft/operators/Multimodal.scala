@@ -500,6 +500,37 @@ object Multimodal extends QueryPack {
         .select(col("doc_id"), col("phash"), col("n_same"))
         .orderBy(col("doc_id"))
     }),
+
+    // NEAR-duplicate image pairs (m09): all pairs within hamming distance
+    // 3 on the 32-bit perceptual hash — m06 finds byte-identical hashes;
+    // this is the re-encoded/slightly-altered-image tier. Candidates come
+    // from Manku et al.'s (WWW'07 §3) band trick on the HASH, not a
+    // pairwise scan: 4 bands of 8 bits — by pigeonhole, ≤ 3 differing
+    // bits leave at least one band IDENTICAL, so the (band, bits)
+    // equi-join provably catches every qualifying pair and the exact
+    // bit_count verify discards the rest. Completeness is therefore a
+    // THEOREM, which is why this approximate-looking operator carries a
+    // full pair-set hash oracle (the DuckDB side scans all pairs; the
+    // Spark side never does). At web scale the same geometry runs on a
+    // 64-bit hash with 16-bit bands (d05's layout) — 8-bit bands would
+    // saturate their 256 buckets.
+    "m09_image_neardup_pairs" -> ((s, d) => {
+      val h = phash(mediaBmp(s, d)).toDF()
+      val banded = h.select(col("doc_id"), col("phash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftrightunsigned(col("phash"), 8 * b)
+            .bitwiseAND(lit(255L))): _*)).as(Seq("band", "bv")))
+      val a = banded.select(col("band"), col("bv"),
+        col("doc_id").as("id_a"), col("phash").as("ha"))
+      val b = banded.select(col("band"), col("bv"),
+        col("doc_id").as("id_b"), col("phash").as("hb"))
+      a.join(b, Seq("band", "bv")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+        .filter(col("hamming") <= 3)
+        .distinct()
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     // Video tier: demux the frame container (stub walk — the JDK has no
     // video demuxer), sample every 2nd frame, REAL-ImageIO-decode each
     // sampled frame, perceptual-hash it, and count scene changes
@@ -653,6 +684,37 @@ object Multimodal extends QueryPack {
       FROM dims d JOIN f USING (doc_id) ORDER BY doc_id""",
     // Replays synthBmp→ImageIO→NN-resample→aHash: thumbnail pixel values
     // as in m05, mean by integer floor, bit i set when pixel i exceeds it.
+    // m09: the FULL hamming<=3 pair set recomputed by an all-pairs scan
+    // over the SQL-replayed hashes (the banding's completeness is a
+    // pigeonhole theorem, so band-join output = exact output)
+    "m09_image_neardup_pairs" -> """
+      WITH dims AS (
+        SELECT doc_id, text,
+               8 + ord(substr(text, 1, 1)) % 8 AS w,
+               4 + ord(substr(text, 2, 1)) % 4 AS h,
+               octet_length(encode(text)) AS n
+        FROM documents WHERE octet_length(encode(text)) >= 2),
+      o AS (
+        SELECT doc_id, i,
+               ord(substr(text,
+                 (((((i // 8) * h) // 4) * w + (((i % 8) * w) // 8)) % n) + 1,
+                 1)) AS g
+        FROM (SELECT doc_id, text, w, h, n,
+                     unnest(generate_series(0, 31)) AS i
+              FROM dims)),
+      m AS (SELECT doc_id, CAST(sum(g) // 32 AS BIGINT) AS mean
+            FROM o GROUP BY doc_id),
+      hsh AS (
+        SELECT o.doc_id,
+               CAST(sum(CASE WHEN o.g > m.mean
+                             THEN (CAST(1 AS BIGINT) << o.i) ELSE 0 END)
+                    AS BIGINT) AS phash
+        FROM o JOIN m USING (doc_id) GROUP BY o.doc_id)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+      FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.phash, b.phash)) <= 3
+      ORDER BY id_a, id_b""",
     "m06_image_phash" -> """
       WITH dims AS (
         SELECT doc_id, text,

@@ -115,4 +115,20 @@ class MultimodalSpec extends SparkSpec {
     assert(decoded.count() == 100)
     assert(decoded.filter($"width" < 8 || $"width" >= 16).count() == 0)
   }
+
+  test("m09 banding finds exactly the brute-force hamming<=3 pair set") {
+    val dir = "/root/testdata/sf0.001"
+    val hashes = Multimodal.queries("m06_image_phash")(spark, dir)
+      .select("doc_id", "phash")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val brute = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d)).toSet
+    assert(brute.nonEmpty, "fixture must contain near-dup hashes")
+    val banded = Multimodal.queries("m09_image_neardup_pairs")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute,
+      s"pigeonhole completeness: ${brute.size} brute vs ${banded.size}")
+  }
 }
