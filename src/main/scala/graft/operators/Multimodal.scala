@@ -504,27 +504,35 @@ object Multimodal extends QueryPack {
     // NEAR-duplicate image pairs (m09): all pairs within hamming distance
     // 3 on the 32-bit perceptual hash — m06 finds byte-identical hashes;
     // this is the re-encoded/slightly-altered-image tier. Candidates come
-    // from Manku et al.'s (WWW'07 §3) band trick on the HASH, not a
-    // pairwise scan: 4 bands of 8 bits — by pigeonhole, ≤ 3 differing
-    // bits leave at least one band IDENTICAL, so the (band, bits)
-    // equi-join provably catches every qualifying pair and the exact
-    // bit_count verify discards the rest. Completeness is therefore a
-    // THEOREM, which is why this approximate-looking operator carries a
+    // from Manku et al.'s (WWW'07 §3) COMBINATION tables, not a pairwise
+    // scan: the hash splits into 6 blocks and each document enters
+    // C(6,3) = 20 tables keyed by a 3-block concatenation — 3 differing
+    // bits dirty at most 3 blocks, so at least one 3-subset stays
+    // entirely clean and its equi-join provably catches the pair; the
+    // exact bit_count verify discards the rest. Completeness is therefore
+    // a THEOREM, which is why this approximate-looking operator carries a
     // full pair-set hash oracle (the DuckDB side scans all pairs; the
-    // Spark side never does). At web scale the same geometry runs on a
-    // 64-bit hash with 16-bit bands (d05's layout) — 8-bit bands would
-    // saturate their 256 buckets.
+    // Spark side never does). Table keys span ~2^16-2^17 buckets, so
+    // bucket occupancy — and with it candidate volume — stays near-linear
+    // in the corpus (the naive 4×8-bit banding saturated its 256 buckets
+    // at the 64× stress point: 82 s, quadratic; this geometry is the fix
+    // Manku's §3 block-permutation design prescribes).
     "m09_image_neardup_pairs" -> ((s, d) => {
+      // block offsets/widths: 6+6+5+5+5+5 = 32 bits, each block < 64
+      val blocks = Seq((0, 6), (6, 6), (12, 5), (17, 5), (22, 5), (27, 5))
+      def blk(i: Int) =
+        shiftrightunsigned(col("phash"), blocks(i)._1)
+          .bitwiseAND(lit((1L << blocks(i)._2) - 1))
+      val keys = (0 until 6).combinations(3).toSeq.map(ss =>
+        ss.map(blk).reduce((a, b) => a * lit(64L) + b))
       val h = phash(mediaBmp(s, d)).toDF()
       val banded = h.select(col("doc_id"), col("phash"),
-        posexplode(array((0 until 4).map(b =>
-          shiftrightunsigned(col("phash"), 8 * b)
-            .bitwiseAND(lit(255L))): _*)).as(Seq("band", "bv")))
-      val a = banded.select(col("band"), col("bv"),
+        posexplode(array(keys: _*)).as(Seq("tbl", "bv")))
+      val a = banded.select(col("tbl"), col("bv"),
         col("doc_id").as("id_a"), col("phash").as("ha"))
-      val b = banded.select(col("band"), col("bv"),
+      val b = banded.select(col("tbl"), col("bv"),
         col("doc_id").as("id_b"), col("phash").as("hb"))
-      a.join(b, Seq("band", "bv")).filter(col("id_a") < col("id_b"))
+      a.join(b, Seq("tbl", "bv")).filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
           bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
         .filter(col("hamming") <= 3)
