@@ -122,4 +122,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("parquet"),
       "anchor/step do not read the materialized chain")
   }
+
+  test("s16 dense arm keeps per-partition top-L; query side broadcasts") {
+    val p = plan("s16_rrf_fusion")
+    assert(p.contains("WindowGroupLimit"),
+      "dense-arm top-L lost its per-partition group limit")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "3-row query side must broadcast (inequality join)")
+    assert(!p.contains("CartesianProduct"),
+      "fusion degraded to a cartesian product")
+  }
+
+  test("d16 never shuffles the token stream (doc-level re-plan)") {
+    val p = plan("d16_intradoc_dedup")
+    // v1 anti-joined exploded tokens on (doc_id, pos): an Exchange keyed
+    // on a position column — 4.9x on 4x data at the 64x stress point.
+    // The doc-level form's only exchanges are keyed on doc/hash columns.
+    val posExchanges = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("pos#"))
+    assert(posExchanges.isEmpty,
+      s"token-position shuffle reappeared: ${posExchanges.toSeq}")
+  }
+
+  test("q42 unpivot compiles to a map-side Expand") {
+    val p = plan("q42_unpivot")
+    assert(p.contains("Expand"), "unpivot lost its Expand generator")
+  }
+
+  test("m09 candidates come from an equi-join, never a pairwise scan") {
+    val p = plan("m09_image_neardup_pairs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "m09 degraded to an all-pairs join")
+  }
 }
