@@ -172,6 +172,26 @@ object Relational extends QueryPack {
         ORDER BY o_orderpriority""")
     }),
 
+    // LATERAL correlated table subquery (q43): per-nation top-2 customers
+    // by balance via `, LATERAL (... ORDER BY ... LIMIT 2)` — the
+    // SQL-standard form of a dependent row-generating join (Spark ≥ 3.2's
+    // DecorrelateInnerQuery rewrites it to the q12 window form — same
+    // WindowGroupLimit physical shape, checked in the plan — so the
+    // declared lateral costs nothing over the hand-written window).
+    // DuckDB runs the identical statement. Stored doubles compare
+    // exactly: no arithmetic touches c_acctbal.
+    "q43_lateral_topn" -> ((s, d) => {
+      T.customer(s, d).createOrReplaceTempView("g_customer")
+      T.nation(s, d).createOrReplaceTempView("g_nation")
+      s.sql("""
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM g_nation n,
+        LATERAL (SELECT c_name, c_acctbal FROM g_customer
+                 WHERE c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""")
+    }),
+
     // -- projection / filter (pushdown surface) ------------------------------
     "q02_filter_project" -> ((s, d) => {
       import s.implicits._
@@ -843,6 +863,15 @@ object Relational extends QueryPack {
              count(*) FILTER (WHERE c_mktsegment = 'MACHINERY')  AS "MACHINERY"
       FROM customer JOIN nation ON c_nationkey = n_nationkey
       GROUP BY n_name ORDER BY n_name""",
+    // q43: the identical LATERAL statement (DuckDB supports the same
+    // SQL-standard form)
+    "q43_lateral_topn" -> """
+      SELECT n.n_name, t.c_name, t.c_acctbal
+      FROM nation n,
+      LATERAL (SELECT c_name, c_acctbal FROM customer
+               WHERE c_nationkey = n.n_nationkey
+               ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+      ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""",
     // q42: the melt replayed as a dense (nation x segment) frame — every
     // nation present in the join emits all five segments, zeros included
     "q42_unpivot" -> """

@@ -38,6 +38,7 @@ object Similarity extends QueryPack {
   private val FUSE_NQ = 3 // s16: hybrid queries 0..2 (= Bm25Queries ids)
   private val FUSE_L = 20 // s16: per-arm fusion depth
   private val RRF_K0 = 60 // s16: RRF dampening constant (Cormack '09)
+  private val FILTER_LABEL = 3 // s17: attribute predicate (43+ members at every sf)
 
   /** (vec_id, v, nrm): unit work done once. */
   private def normed(s: SparkSession, d: String): DataFrame = {
@@ -1093,6 +1094,68 @@ object Similarity extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Metadata-FILTERED ANN (s17): top-k restricted to an attribute
+    // predicate (label = 3) — the filtered-vector-search serving mode
+    // every production vector store exposes (FAISS IDSelector, the
+    // filter clause of the hosted stores). Filter placement is the whole
+    // design: the predicate lands on the CORPUS side BEFORE candidate
+    // generation (filter-then-probe), so candidates are label-correct by
+    // construction and the probe cost scales with the filtered corpus,
+    // not the full one — post-filtering an unfiltered top-k instead can
+    // return < k or even 0 rows when the label is selective. At rest
+    // this composes with s07's layout as cell-partition pruning × a
+    // row-group label predicate. Verdict: counts the oracle recomputes,
+    // aggregate recall vs the EXACT FILTERED baseline ≥ 0.2 (the s02
+    // gate; chance is ~NPROBE/CELLS·K/|filtered|), zero label
+    // violations, candidate volume bounded by the filtered corpus.
+    "s17_filtered_ann_topk" -> ((s, d) => {
+      val base = normed(s, d)
+      val cents = kmeansCentroids(base, CELLS, KM_ITERS)
+      val q = base.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val fcorpus = base.filter(col("label") === FILTER_LABEL)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      val exact = fcorpus
+        .select(col("vec_id").as("neighbor_id"), col("v").as("cv2"),
+          col("nrm").as("cn2"))
+        .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos",
+          dot(col("qv"), col("cv2")) / (col("qn") * col("cn2")))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= K)
+        .select(col("query_id"), col("neighbor_id"))
+        .withColumn("in_e", lit(1))
+      val probed = q.withColumn("cell",
+        explode(probeCellsExpr(cents, col("qv"), NPROBE)))
+      val cands = fcorpus
+        .select(col("vec_id").as("neighbor_id"), col("v").as("cv2"),
+          col("nrm").as("cn2"), cellExpr(cents, col("v")).as("cell"))
+        .join(broadcast(probed), Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+      val approx = ivfTopKFrom(cands)
+        .select(col("query_id"), col("neighbor_id"))
+        .withColumn("hit", lit(1))
+      val core = exact
+        .join(approx, Seq("query_id", "neighbor_id"), "full_outer")
+        .agg(
+          countDistinct(when(col("in_e").isNotNull, col("query_id")))
+            .as("n_queries"),
+          count(col("in_e")).as("n_topk"),
+          (sum(when(col("in_e").isNotNull && col("hit").isNotNull, 1)
+            .otherwise(0)) >= count(col("in_e")) * 0.2).as("recall_ok"))
+      val fv = approx
+        .join(base.select(col("vec_id").as("neighbor_id"), col("label")),
+          Seq("neighbor_id"))
+        .agg((sum(when(col("label") =!= FILTER_LABEL, 1).otherwise(0))
+          === 0).as("filter_ok"))
+      val cb = cands.agg(count(lit(1)).as("nc"))
+        .crossJoin(fcorpus.agg(count(lit(1)).as("nf")))
+        .select((col("nc") <= lit(0.75) * lit(NQ) * col("nf"))
+          .as("cand_bounded"))
+      core.crossJoin(fv).crossJoin(cb)
+    }),
+
     // LSH ANN verdict: aggregate recall vs s01 ≥ 0.3 (measured 0.40–0.46)
     // plus a candidate-volume bound — banding must actually prune (the
     // distinct candidate set stays under half of all query-corpus pairs;
@@ -1353,6 +1416,15 @@ object Similarity extends QueryPack {
              CAST($K * count(*) AS BIGINT) AS n_topk,
              TRUE AS recall_ok,
              TRUE AS rerank_bounded
+      FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < $NQ)""",
+    // s17 verdict row: counts recomputed; recall/filter/candidate gates
+    // pinned TRUE (filtered-corpus sizes checked >= K+1 at every sf)
+    "s17_filtered_ann_topk" -> s"""
+      SELECT CAST(count(*) AS BIGINT) AS n_queries,
+             CAST($K * count(*) AS BIGINT) AS n_topk,
+             TRUE AS recall_ok,
+             TRUE AS filter_ok,
+             TRUE AS cand_bounded
       FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < $NQ)""",
     // s16: FULL hash oracle — both arms and the fusion are replayed
     // relationally (the sparse arm is t13's oracle; the dense arm is the

@@ -155,4 +155,24 @@ class PlanShapeSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"),
       "m09 degraded to an all-pairs join")
   }
+
+  test("q43's declared LATERAL decorrelates to the q12 window shape") {
+    val p = plan("q43_lateral_topn")
+    assert(p.contains("WindowGroupLimit"),
+      "lateral LIMIT lost its per-partition group limit")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "lateral executed as a dependent nested-loop instead of decorrelating")
+  }
+
+  test("s17 filters BEFORE candidate generation, never a pairwise scan " +
+      "of the unfiltered corpus") {
+    val p = plan("s17_filtered_ann_topk")
+    assert(!p.contains("CartesianProduct"), "s17 degraded to a cross join")
+    // the label predicate must sit in the scan stage (pushed filter),
+    // not above the candidate join
+    assert(p.contains("PushedFilters: [IsNotNull(label), EqualTo(label,3)]")
+      || p.contains("EqualTo(label,3)"),
+      "label predicate not pushed to the corpus scan")
+  }
 }
