@@ -88,6 +88,30 @@ object Snapshots {
     s.read.parquet(paths: _*)
   }
 
+  /** Retention: delete data files referenced ONLY by versions older than
+    * the newest `keep` versions, then drop those versions' manifests.
+    * Reference-counted at the file level, so a file carried forward by an
+    * append chain is never deleted while any retained version lists it —
+    * the invariant that makes vacuum safe to run concurrently with
+    * readers of retained versions. Metadata-only scan (manifests), then
+    * O(deleted) file removals; returns (filesDeleted, versionsDropped). */
+  def vacuum(s: SparkSession, dir: String, keep: Int): (Int, Int) = {
+    require(keep >= 1, "must keep at least the latest version")
+    val f = fs(s, dir)
+    val latest = latestVersion(s, dir)
+    val cutoff = math.max(1, latest - keep + 1)
+    if (cutoff <= 1) return (0, 0)
+    // versions below the cutoff may already be vacuumed — only live
+    // manifests participate
+    val oldVs = (1 until cutoff).filter(v => f.exists(manifest(dir, v)))
+    val retained = (cutoff to latest).flatMap(files(s, dir, _)).toSet
+    val old = oldVs.flatMap(files(s, dir, _)).toSet
+    val dead = (old -- retained).toSeq.sorted
+    dead.foreach(p => f.delete(new Path(dir, p), false))
+    oldVs.foreach(v => f.delete(manifest(dir, v), false))
+    (dead.size, oldVs.size)
+  }
+
   /** Key-level change-data-capture between two versions: rows whose key
     * appears only in `to` are `insert`s, only in `from` are `delete`s.
     * Two key-hashed anti-joins — the scan side is two manifest-resolved

@@ -61,4 +61,25 @@ class SnapshotsSpec extends SparkSpec {
     assert(changes(3, 4) == (1L to 3L).map(("delete", _)),
       "a shrinking rewrite diffs as deletes")
   }
+
+  test("vacuum deletes only files no retained version references") {
+    val dir = tmpDir("snapvac")
+    Snapshots.commit(spark, dir, df(1 to 10), append = false) // v1
+    Snapshots.commit(spark, dir, df(11 to 15), append = true) // v2 carries v1
+    Snapshots.commit(spark, dir,
+      Snapshots.read(spark, dir, 2).coalesce(1), append = false) // v3 fresh
+    Snapshots.commit(spark, dir, df(16 to 20), append = true) // v4 carries v3
+
+    val (deleted, dropped) = Snapshots.vacuum(spark, dir, keep = 2)
+    assert(dropped == 2, s"v1/v2 dropped: $dropped")
+    // v1/v2's files are dead (v3 rewrote), so something was reclaimed
+    assert(deleted > 0, "rewrite-superseded files must be reclaimed")
+    // retained versions read bit-identically after vacuum — including
+    // v3's files carried INTO v4 by the append (refcount must save them)
+    assert(idsOf(dir, 3) == (1L to 15L) && idsOf(dir, 4) == (1L to 20L))
+    // dropped versions are gone, not half-readable
+    intercept[Exception] { Snapshots.read(spark, dir, 1).collect() }
+    // idempotent
+    assert(Snapshots.vacuum(spark, dir, keep = 2) == ((0, 0)))
+  }
 }
