@@ -42,6 +42,7 @@ object Pipeline extends QueryPack {
 
   private val BENCH_SRC = "src0" // stand-in eval suite: one source slice
   private val NGRAM = 6 // decontamination n-gram length
+  private val EvalK = 10 // p19: exact per-stratum eval-sample size
 
   /** Gram-level false-positive rate for the Bloom decontamination tier
     * (p13). A document is flagged if ANY of its grams probes positive, so
@@ -426,6 +427,29 @@ object Pipeline extends QueryPack {
     // generator inside the projection — rows fan out inline, nothing
     // shuffles; weight-0 strata (here: none) are dropped pre-explode so
     // Spark's descending-sequence edge case never fires.
+    // Exact-k per-stratum eval sampling (p19): EXACTLY EvalK documents
+    // from every source stratum, deterministically — eval-set
+    // construction needs exact sizes (a rate-based sample like p09
+    // fluctuates; an eval set of "about 10" is not a benchmark). Order
+    // within a stratum is the md5 lane (doc_id tie-break), so the draw
+    // is reproducible on any engine and independent of storage layout.
+    // Scale shape: the rank window filters at k, so it compiles to
+    // WindowGroupLimit — each partition keeps its local k-head before
+    // the per-stratum shuffle moves O(partitions · k) rows, never the
+    // stratum (the q15 top-k geometry, per group).
+    "p19_eval_sample" -> ((s, d) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("lane"), col("doc_id"))
+      T.documents(s, d).select(col("doc_id"), col("source"))
+        .withColumn("lane", conv(substring(md5(concat(
+          col("doc_id").cast("string"), lit(":eval"))), 1, 8), 16, 10)
+          .cast("long"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= EvalK)
+        .select(col("source"), col("rk"), col("doc_id"), col("lane"))
+        .orderBy(col("source"), col("rk"))
+    }),
+
     "p10_mixture_upsample" -> ((s, d) => {
       val w = MixWeights.foldRight(lit(1L): org.apache.spark.sql.Column) {
         case ((lg, n), els) => when(col("lang") === lg, lit(n)).otherwise(els)
@@ -882,6 +906,22 @@ object Pipeline extends QueryPack {
        AND dup5_mass * 20 <= n_word_chars * 3)"""
 
   override def oracles: Map[String, String] = Map(
+    // p19: full replay — the md5 lane is the same engine-agnostic hex
+    // prefix the p04/p09/p11 oracles use
+    "p19_eval_sample" -> s"""
+      WITH l AS (
+        SELECT source, doc_id,
+               CAST(('0x' || substr(md5(
+                 CAST(doc_id AS VARCHAR) || ':eval'), 1, 8)) AS BIGINT)
+                 AS lane
+        FROM documents),
+      r AS (
+        SELECT source, doc_id, lane,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY lane, doc_id) AS rk
+        FROM l)
+      SELECT source, rk, doc_id, lane FROM r WHERE rk <= $EvalK
+      ORDER BY source, rk""",
     "p01_decontam" -> s"""
       WITH toks AS (
         SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS w

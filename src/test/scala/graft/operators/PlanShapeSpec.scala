@@ -156,6 +156,13 @@ class PlanShapeSpec extends SparkSpec {
       "m09 degraded to an all-pairs join")
   }
 
+  test("p19's exact-k sample keeps per-partition heads (WindowGroupLimit)") {
+    val p = plan("p19_eval_sample")
+    assert(p.contains("WindowGroupLimit"),
+      "per-stratum exact-k lost its group limit — the shuffle would move " +
+        "whole strata instead of partition k-heads")
+  }
+
   test("q43's declared LATERAL decorrelates to the q12 window shape") {
     val p = plan("q43_lateral_topn")
     assert(p.contains("WindowGroupLimit"),
