@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => ScTest}
+import org.scalacheck.rng.Seed
+import graft.SparkSpec
+
+/** d16 property test (ScalaCheck): ∀ random high-repetition corpora, the
+  * operator's (n_tokens, n_kept, clean text) equals an independent
+  * straight-line Scala reference of the position-set semantics — a later
+  * occurrence of any repeated 6-token span loses every covered token.
+  * Tiny 3-letter vocabularies make repeats (including self-overlapping
+  * runs) the common case rather than the edge.
+  */
+class IntradocDedupPropSpec extends SparkSpec {
+
+  private val RunW = 6
+
+  private def reference(text: String): (Long, Long, String) = {
+    val toks = text.trim.split("\\s+").toSeq
+    val removed = scala.collection.mutable.Set[Int]()
+    val firstPos = scala.collection.mutable.Map[Seq[String], Int]()
+    toks.sliding(RunW).zipWithIndex
+      .filter(_._1.length == RunW)
+      .foreach { case (g, i) =>
+        if (firstPos.contains(g)) (i until i + RunW).foreach(removed += _)
+        else firstPos(g) = i
+      }
+    val kept = toks.zipWithIndex.collect {
+      case (t, i) if !removed(i) => t }
+    (toks.length.toLong, kept.length.toLong, kept.mkString(" "))
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("d16 equals the straight-line reference on random corpora") {
+    import spark.implicits._
+    val word = Gen.oneOf("a", "b", "c")
+    val doc = Gen.chooseNum(1, 30).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val corpus = Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, doc))
+
+    val prop = Prop.forAll(corpus) { texts =>
+      val dir = tmpDir("d16prop")
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("srcX"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = Dedup.queries("d16_intradoc_dedup")(spark, dir)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+      texts.zipWithIndex.forall { case (t, i) =>
+        val (n, k, clean) = reference(t)
+        got(i.toLong) == ((n, k, md5hex(clean)))
+      }
+    }
+    val params = ScTest.Parameters.default
+      .withMinSuccessfulTests(25) // each case is a full write+read job
+      .withInitialSeed(Seed(42L))
+    val res = ScTest.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+}
