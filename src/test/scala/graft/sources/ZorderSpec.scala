@@ -43,6 +43,22 @@ class ZorderSpec extends SparkSpec {
     assert(b == Seq(0, 255, 128), s"buckets: $b")
   }
 
+  test("zvalue8 is the exact Morton interleave (injective on 0..255 x 0..255)") {
+    import spark.implicits._
+    def ref(a: Int, b: Int): Int =
+      (0 until 8).map(i => (((a >> i) & 1) << (2 * i)) |
+        (((b >> i) & 1) << (2 * i + 1))).sum
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(1000)((rnd.nextInt(256), rnd.nextInt(256))).distinct
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), Layouts.zvalue8(col("a"), col("b")).as("z"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getInt(2))).toMap
+    pairs.foreach { case (a, b) =>
+      assert(got((a, b)) == ref(a, b), s"interleave wrong at ($a,$b)") }
+    assert(got.values.toSeq.distinct.size == pairs.size,
+      "z-values must be unique per distinct input pair (injectivity)")
+  }
+
   test("z-order decodes the box; single-key layout decodes the stripe") {
     import spark.implicits._
     val n = 250000
