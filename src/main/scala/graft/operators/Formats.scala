@@ -361,14 +361,15 @@ object Formats extends QueryPack {
     // remaining sources healthy (one file each); Compaction.
     // compactPartitioned(maxFiles=1) then rewrites ONLY the fragmented
     // partitions (bin-packed to the byte target) and provably leaves the
-    // healthy ones untouched — file names compared before/after. The
+    // healthy ones untouched — (name, length, mtime) compared before/after,
+    // so an in-place rewrite to identical names would still be caught. The
     // verdict row carries the f10-style order-independent content checksum
     // (the oracle recomputes it from the source table: compaction must be
     // a pure layout change) plus the layout guarantees as pinned booleans.
     "f17_compaction" -> ((s, d) => {
       val out = ioDir(d, "f17")
       val metaDir = ioDir(d, "f17_meta")
-      def healthyNames: Set[String] = {
+      def healthyNames: Set[(String, Long, Long)] = {
         val root = new org.apache.hadoop.fs.Path(out)
         val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.listStatus(root).toSeq
@@ -378,7 +379,8 @@ object Formats extends QueryPack {
           .flatMap(p => fs.listStatus(p.getPath).toSeq
             .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
               && !st.getPath.getName.startsWith("."))
-            .map(st => p.getPath.getName + "/" + st.getPath.getName))
+            .map(st => (p.getPath.getName + "/" + st.getPath.getName,
+              st.getLen, st.getModificationTime)))
           .toSet
       }
       writeOnce(s, out) {

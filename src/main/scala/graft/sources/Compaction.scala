@@ -26,7 +26,19 @@ import org.apache.spark.sql.SparkSession
   *     removed (single-maintainer assumption, the reference's own model —
   *     its merge step concats parts the same way, libhdfsconnector.cpp
   *     709-831; under concurrent writers this step belongs inside a table
-  *     format's commit protocol).
+  *     format's commit protocol). Every rename is checked: HDFS rename
+  *     reports failure by returning false, not throwing, so an unchecked
+  *     rename could strand the compacted file in tmp and then delete both
+  *     it and the originals. Old files are deleted only after ALL renames
+  *     for the partition succeeded.
+  *   - Crash window: between the first rename-in and the last old-file
+  *     delete, a crash leaves BOTH file sets live in the partition, so the
+  *     next read double-counts and a re-run compacts the duplicates in.
+  *     For a table that needs crash-atomic maintenance, run the rewrite as
+  *     a Snapshots rewrite commit (`Snapshots.commit(append = false)`)
+  *     instead — the swap is then manifest-atomic and prior versions stay
+  *     readable; this directory-level variant trades that for operating on
+  *     plain hive layouts with no manifest.
   *
   * The reference has no compaction primitive (it re-sprays); this is
   * north-star surface in the f-series certification style (f17).
@@ -57,10 +69,16 @@ object Compaction {
         s.read.parquet(p.toString).coalesce(nOut)
           .write.mode("overwrite").parquet(tmp.toString)
         val newFiles = dataFiles(tmp)
-        // swap: move compacted files in (unique names), then drop the old
+        // swap: move compacted files in (unique names), then drop the old.
+        // rename signals failure by returning false (HDFS semantics) — an
+        // unchecked failure here would delete the partition's data, so every
+        // rename is verified and old files go only after all renames landed.
         newFiles.zipWithIndex.foreach { case (st, i) =>
-          fs.rename(st.getPath,
-            new Path(p, s"compact-$i-${st.getPath.getName}")); ()
+          val dst = new Path(p, s"compact-$i-${st.getPath.getName}")
+          if (!fs.rename(st.getPath, dst))
+            throw new java.io.IOException(
+              s"compaction swap failed: rename ${st.getPath} -> $dst " +
+                "returned false; aborting before deleting originals")
         }
         files.foreach(st => fs.delete(st.getPath, false))
         fs.delete(tmp, true)

@@ -28,13 +28,14 @@ object Snapshots {
 
   private def manifest(dir: String, v: Int) = new Path(dir, s"v$v.json")
 
+  private val ManifestName = """^v(\d+)\.json$""".r
+
   def latestVersion(s: SparkSession, dir: String): Int = {
     val f = fs(s, dir)
     val root = new Path(dir)
     if (!f.exists(root)) 0
     else f.listStatus(root).toSeq.map(_.getPath.getName)
-      .filter(n => n.startsWith("v") && n.endsWith(".json"))
-      .map(_.stripPrefix("v").stripSuffix(".json").toInt)
+      .collect { case ManifestName(n) => n.toInt }
       .sorted.lastOption.getOrElse(0)
   }
 
@@ -64,22 +65,46 @@ object Snapshots {
     df.write.parquet(stage.toString)
     val dataDir = new Path(dir, "data")
     f.mkdirs(dataDir)
-    val moved = f.listStatus(stage).toSeq
+    // every rename is checked (HDFS rename returns false on failure rather
+    // than throwing): a silently failed move would publish a manifest whose
+    // file set does not exist. On any failure the commit aborts BEFORE the
+    // manifest is written, so the previous version stays latest and the
+    // partially-moved files are cleaned back out of data/.
+    val staged = f.listStatus(stage).toSeq
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-      .zipWithIndex.map { case (st, i) =>
+    val moved = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
+      staged.zipWithIndex.foreach { case (st, i) =>
         val name = s"v$v-$i-${st.getPath.getName}"
-        f.rename(st.getPath, new Path(dataDir, name))
-        s"data/$name"
+        if (!f.rename(st.getPath, new Path(dataDir, name)))
+          throw new java.io.IOException(
+            s"snapshot commit aborted: rename ${st.getPath} -> " +
+              s"$dataDir/$name returned false")
+        moved += s"data/$name"
       }
+    } catch {
+      case e: Throwable =>
+        moved.foreach(p => f.delete(new Path(dir, p), false))
+        f.delete(stage, true)
+        throw e
+    }
     f.delete(stage, true)
     val carried = if (append && prev > 0) files(s, dir, prev) else Seq.empty
-    val body = (carried ++ moved)
+    writeManifest(f, dir, v, carried ++ moved)
+    v
+  }
+
+  /** Write manifest vN atomically (temp name + checked rename). */
+  private def writeManifest(f: FileSystem, dir: String, v: Int,
+      fileSet: Seq[String]): Unit = {
+    val body = fileSet
       .map(p => "  \"" + p + "\"").mkString("[\n", ",\n", "\n]")
     val tmp = new Path(dir, s"_v$v.json.tmp")
     val o = f.create(tmp, true)
     try o.write(body.getBytes("UTF-8")) finally o.close()
-    f.rename(tmp, manifest(dir, v))
-    v
+    if (!f.rename(tmp, manifest(dir, v)))
+      throw new java.io.IOException(
+        s"snapshot commit aborted: manifest rename for v$v returned false")
   }
 
   /** Scan exactly version `v`'s file set. */

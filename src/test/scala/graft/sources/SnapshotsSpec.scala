@@ -42,6 +42,21 @@ class SnapshotsSpec extends SparkSpec {
       s"staging debris left: $names")
   }
 
+  test("stray non-manifest names in the table dir are ignored") {
+    val dir = tmpDir("snapstray")
+    Snapshots.commit(spark, dir, df(1 to 5), append = false)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // files a regex-free v*.json parse would choke on (NumberFormatException)
+    Seq("v.json", "vbackup.json", "v1.json.orig").foreach { n =>
+      val o = fs.create(new org.apache.hadoop.fs.Path(p, n), true)
+      o.write("junk".getBytes("UTF-8")); o.close()
+    }
+    assert(Snapshots.latestVersion(spark, dir) == 1)
+    assert(Snapshots.commit(spark, dir, df(6 to 8), append = true) == 2)
+    assert(idsOf(dir, 2) == (1L to 8L))
+  }
+
   test("diff sees logical rows: appends as inserts, rewrites as empty") {
     val dir = tmpDir("snapdiff")
     Snapshots.commit(spark, dir, df(1 to 10), append = false)
