@@ -103,8 +103,33 @@ object Bench {
     // run, giving an in-run load curve positioned between queries. The
     // full series goes to the telemetry file; stdout carries only the
     // compact probe map + storage peak (tail budget, see below).
+    // Per-REP attribution (round-11 verdict #1): the med/min/max triple
+    // can show a 3× intra-query spread without saying WHICH rep was slow
+    // or what it was doing. Each rep records its wall time plus the
+    // jobs/stages/tasks Spark ran during it (listener counters; the bus
+    // is async so a count can lag a rep boundary by a few events — the
+    // numbers attribute work, they are not an exact ledger). A slow rep
+    // with MORE stages than its siblings recomputed lineage; a slow rep
+    // with the SAME counts hit ambient load.
+    case class Rep(sec: Double, jobs: Int, stages: Int, tasks: Long)
     case class Telemetry(pos: Int, med: Double, min: Double, max: Double,
-      storageMb: Double, nRdds: Int, cacheNonEmpty: Boolean, probe: Double)
+      storageMb: Double, nRdds: Int, cacheNonEmpty: Boolean, probe: Double,
+      reps: Seq[Rep])
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger
+    val stageCount = new java.util.concurrent.atomic.AtomicInteger
+    val taskCount = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobCount.incrementAndGet()
+          stageCount.addAndGet(j.stageInfos.size); ()
+        }
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          taskCount.incrementAndGet(); ()
+        }
+      })
     val ProbeEvery = 10
     def storageSnapshot(): (Double, Int) = {
       val infos = spark.sparkContext.getRDDStorageInfo
@@ -122,13 +147,15 @@ object Bench {
       // skew) maps to the query that emitted it by timestamp alone
       System.err.println(s"[bench] >> $name @ ${java.time.Instant.now()}")
       var failed = false
-      val times = (1 to iters).flatMap { _ =>
+      val reps = (1 to iters).flatMap { _ =>
         if (failed) None
         else {
+          val (j0, s0, tk0) = (jobCount.get, stageCount.get, taskCount.get)
           val t0 = System.nanoTime()
           try {
             run(fn)
-            Some((System.nanoTime() - t0) / 1e9)
+            Some(Rep((System.nanoTime() - t0) / 1e9,
+              jobCount.get - j0, stageCount.get - s0, taskCount.get - tk0))
           } catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             failed = true
@@ -136,6 +163,7 @@ object Bench {
           }
         }
       }
+      val times = reps.map(_.sec)
       pos += 1
       val (stMb, nRdds) = try storageSnapshot() catch { case _: Throwable => (-1.0, -1) }
       val cacheUp = try !spark.sharedState.cacheManager.isEmpty
@@ -144,7 +172,8 @@ object Bench {
       val (med, mn, mx) =
         if (failed || times.isEmpty) (-1.0, -1.0, -1.0)
         else (median(times), times.min, times.max)
-      telemetry(name) = Telemetry(pos, med, mn, mx, stMb, nRdds, cacheUp, probe)
+      telemetry(name) = Telemetry(pos, med, mn, mx, stMb, nRdds, cacheUp,
+        probe, reps)
       name -> (med, mn)
     }
     results.filter(_._2._1 < 0).foreach { case (n, _) =>
@@ -201,7 +230,10 @@ object Bench {
     // file: full line incl. full names + minima + per-query telemetry
     // series, for cross-round work and in-round anomaly attribution
     val tele = telemetry.map { case (k, t) =>
-      s""""$k":{"pos":${t.pos},"med":${ms(t.med)},"min":${ms(t.min)},"max":${ms(t.max)},"storage_mb":${f"${t.storageMb}%.1f"},"n_rdds":${t.nRdds},"cache_up":${t.cacheNonEmpty},"probe":${ms(t.probe)}}"""
+      val reps = t.reps.map(r =>
+        s"""{"sec":${ms(r.sec)},"jobs":${r.jobs},"stages":${r.stages},"tasks":${r.tasks}}""")
+        .mkString("[", ",", "]")
+      s""""$k":{"pos":${t.pos},"med":${ms(t.med)},"min":${ms(t.min)},"max":${ms(t.max)},"storage_mb":${f"${t.storageMb}%.1f"},"n_rdds":${t.nRdds},"cache_up":${t.cacheNonEmpty},"probe":${ms(t.probe)},"reps":$reps}"""
     }.mkString("{", ",", "}")
     val fileLine = s"""{"metric":"total","value":${ms(total)},"unit":"sec",$stamp,"iters":$iters,"sentinel":"$sentinelName","sentinel_start":${ms(sentinelStart)},"sentinel_end":${ms(sentinelEnd)},"probes":$probes,"storage_peak_mb":$peakMb,"peak_at":"$peakAt","cache_up_after":$nCacheUp,"queries":$qsFull,"queries_min":$qmins,"telemetry":$tele,"sf":"$sfDir"}\n"""
     for (path <- Seq("/tmp/graft_bench.json", "BENCH_TELEMETRY.json")) {
