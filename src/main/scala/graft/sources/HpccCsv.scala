@@ -70,10 +70,20 @@ object HpccCsv {
     out.toString
   }
 
+  /** `quoteParity = true` routes to [[readQuoteParity]] — the sound,
+    * still-splittable path for data whose quoted fields may CONTAIN the
+    * terminator. The default path splits on raw terminator bytes (the
+    * reference's fast path); flip this option rather than falling back to
+    * built-in csv `multiLine`, which collapses to one task per file.
+    */
   def read(spark: SparkSession, path: String, schema: StructType,
       separator: String = DefaultSeparator,
       terminator: String = DefaultTerminator,
-      quote: String = DefaultQuote): DataFrame = {
+      quote: String = DefaultQuote,
+      quoteParity: Boolean = false): DataFrame = {
+    if (quoteParity)
+      return readQuoteParity(spark, path, schema, separator, terminator,
+        quote)
     val sep = expandEscapes(separator)
     val term = expandEscapes(terminator)
     val qt = expandEscapes(quote)

@@ -133,6 +133,18 @@ class HpccCsvSpec extends SparkSpec {
     }
   }
 
+  test("read(quoteParity = true) routes to the parity splitter") {
+    val dir = tmpDir("csv-qp-opt")
+    qpFixture(dir, 120)
+    val schema2 = StructType(Seq(
+      StructField("id", StringType), StructField("payload", StringType)))
+    // the default path splits records on raw terminator bytes and would
+    // shear every quoted payload in half; the option must survive it
+    val got = HpccCsv.read(spark, dir, schema2, quoteParity = true)
+      .orderBy("id").collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+    assert(got == (0 until 120).map(i => (f"$i%04d", "aaaaaaaaaa\nbbbbbbbbbb")))
+  }
+
   test("quote-parity read parses types and runs multiple partitions") {
     val dir = tmpDir("csv-qp2")
     qpFixture(dir, 200) // 5800 bytes
