@@ -493,6 +493,145 @@ object Formats extends QueryPack {
         .orderBy(col("change"), col("doc_id"))
     }),
 
+    // Compliance deletion into snapshot HISTORY (f21): a dedicated
+    // two-version snapshot table of documents gets a right-to-be-forgotten
+    // batch (doc_id % 97 = 0) purged via Snapshots.purge — affected files
+    // rewritten once (sharing preserved), every live manifest republished,
+    // originals dropped last. Unlike p17 (derived artifacts) and f19's
+    // vacuum (refcount retention), the guarantee here is that the
+    // tombstoned rows are unreadable at EVERY version, including ones
+    // committed before the request. Verdict: latest-version count +
+    // content checksum (oracle recomputes both from the source table
+    // minus tombstones), the per-version absence booleans, and the purge
+    // stats pinned from a meta side-file. Build + purge run once per
+    // session (writeOnce; Verify replays them fully).
+    "f21_snapshot_purge" -> ((s, d) => {
+      val out = ioDir(d, "f21")
+      val metaDir = ioDir(d, "f21_meta")
+      writeOnce(s, out, alsoRequire =
+          graft.sources.Snapshots.latestVersion(s, out) == 2) {
+        val root = new org.apache.hadoop.fs.Path(out)
+        val fsys = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fsys.delete(root, true)
+        val docs = T.documents(s, d)
+        val hot = col("source").isin("src0", "src1", "src2")
+        graft.sources.Snapshots.commit(s, out, docs.filter(hot),
+          append = false)
+        graft.sources.Snapshots.commit(s, out, docs.filter(!hot),
+          append = true)
+        val tomb = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+          .select(col("doc_id"))
+        val (nf, nv, nr) = graft.sources.Snapshots.purge(
+          s, out, tomb, Seq("doc_id"))
+        import s.implicits._
+        Seq((nf, nv, nr)).toDF("files_rewritten", "versions_republished",
+            "rows_deleted")
+          .coalesce(1).write.mode("overwrite").parquet(metaDir)
+        ()
+      }
+      val isTomb = pmod(col("doc_id"), lit(97)) === 0
+      val v1 = graft.sources.Snapshots.read(s, out, 1)
+      val v2 = graft.sources.Snapshots.read(s, out, 2)
+      val absent = v1.filter(isTomb).agg(count(lit(1)).as("p1"))
+        .crossJoin(v2.filter(isTomb).agg(count(lit(1)).as("p2")))
+        .select((col("p1") + col("p2") === 0).as("absent_all_versions"))
+      val latest = docSums(v2)
+        .select(col("n").as("n_rows"), col("h").as("content_sum"))
+      val meta = s.read.parquet(metaDir)
+      latest.crossJoin(absent).crossJoin(meta)
+        .select(col("n_rows"), col("content_sum"),
+          col("rows_deleted").cast("long").as("n_deleted"),
+          (col("files_rewritten") > 0 &&
+            col("versions_republished") === 2).as("purge_rewrote_files"),
+          col("absent_all_versions"))
+    }),
+
+    // k-D z-order (f23): f18's Morton layout generalized to THREE
+    // clustering keys via Layouts.zvalueK (bit i of column j at position
+    // i*k+j of a 24-bit long) — `OPTIMIZE ZORDER BY (a, b, c)`. A box
+    // predicate selective in ALL THREE keys decodes only the row groups
+    // whose (custkey, orderkey, totalprice) box intersects it; a 2-D
+    // layout must decode the full totalprice extent of every matching
+    // (custkey, orderkey) cell, and a single-key layout the whole leading
+    // stripe (ZorderSpec measures all three against each other). Oracle:
+    // the boxed aggregate from the source table — the layout must be a
+    // pure reordering.
+    "f23_zorder_kd" -> ((s, d) => {
+      val out = ioDir(d, "f23")
+      writeOnce(s, out) {
+        import graft.sources.Layouts
+        val o = T.orders(s, d)
+        val mx = o.agg(max(col("o_custkey")).as("mc"),
+          max(col("o_orderkey")).as("mo"),
+          max(col("o_totalprice")).as("mp"))
+        o.crossJoin(broadcast(mx))
+          .withColumn("z", Layouts.zvalueK(Seq(
+            Layouts.bucketN(col("o_custkey"), col("mc"), 8),
+            Layouts.bucketN(col("o_orderkey"), col("mo"), 8),
+            Layouts.bucketN(col("o_totalprice"), col("mp"), 8)), 8))
+          .drop("mc", "mo", "mp")
+          .repartitionByRange(8, col("z")).sortWithinPartitions(col("z"))
+          .drop("z")
+          .write.mode("overwrite").parquet(out)
+      }
+      s.read.parquet(out)
+        .where(col("o_custkey") >= 40 && col("o_custkey") < 120 &&
+          col("o_orderkey") >= 400 && col("o_orderkey") < 1200 &&
+          col("o_totalprice") >= 50000.0 && col("o_totalprice") < 150000.0)
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("sum_key"),
+          sum(col("o_custkey")).as("sum_cust"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+    }),
+
+    // Write-side schema evolution (f22): a three-vintage snapshot table
+    // of orders — v1 writes o_orderkey as INT with the priority column
+    // under its legacy name `prio`; v2 appends with o_orderkey LONG,
+    // declares the rename prio -> o_orderpriority in the version
+    // metadata, and ADDS o_custkey; v3 appends more of the same. No
+    // history is rewritten: Snapshots.readEvolved regroups files by
+    // writing commit, applies the rename chain, widens int -> long, and
+    // null-backfills the added column — the three evolutions parquet
+    // mergeSchema cannot express (it errors on int×long and treats a
+    // rename as drop+add). The verdict aggregate is recomputed by the
+    // oracle from the source table, plus the widened-type pin.
+    "f22_evolved_read" -> ((s, d) => {
+      val out = ioDir(d, "f22")
+      writeOnce(s, out, alsoRequire =
+          graft.sources.Snapshots.latestVersion(s, out) == 3) {
+        val root = new org.apache.hadoop.fs.Path(out)
+        val fsys = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fsys.delete(root, true)
+        val o = T.orders(s, d)
+        val seg = pmod(col("o_orderkey"), lit(3))
+        graft.sources.Snapshots.commit(s, out,
+          o.filter(seg === 0).select(
+            col("o_orderkey").cast("int").as("o_orderkey"),
+            col("o_totalprice"), col("o_orderpriority").as("prio")),
+          append = false)
+        graft.sources.Snapshots.commit(s, out,
+          o.filter(seg === 1).select(col("o_orderkey"),
+            col("o_totalprice"), col("o_orderpriority"), col("o_custkey")),
+          append = true, renames = Map("prio" -> "o_orderpriority"))
+        graft.sources.Snapshots.commit(s, out,
+          o.filter(seg === 2).select(col("o_orderkey"),
+            col("o_totalprice"), col("o_orderpriority"), col("o_custkey")),
+          append = true)
+        ()
+      }
+      val ev = graft.sources.Snapshots.readEvolved(s, out, 3)
+      ev.agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("sum_key"),
+          count(col("o_custkey")).as("n_with_cust"),
+          countDistinct(col("o_orderpriority")).as("n_prio"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total"))
+        .withColumn("widened_long",
+          lit(ev.schema("o_orderkey").dataType ==
+            org.apache.spark.sql.types.LongType))
+    }),
+
     // PipeOutAndMerge shape: parallel part write, single-writer ordered
     // concat (Merge.mergeParts = mergeFile), then scan the ONE merged file.
     // Quote-parity splittable CSV (SURVEY §7 hard-part #2): every record
@@ -697,6 +836,44 @@ object Formats extends QueryPack {
              TRUE AS v2_ok,
              TRUE AS two_versions
       FROM documents""",
+    // f23: the 3-D boxed aggregate from the SOURCE table — the k-D
+    // z-order write must be a pure reordering
+    "f23_zorder_kd" -> """
+      SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+      FROM orders WHERE o_custkey >= 40 AND o_custkey < 120
+        AND o_orderkey >= 400 AND o_orderkey < 1200
+        AND o_totalprice >= 50000.0 AND o_totalprice < 150000.0""",
+    // f22: the evolved-read aggregate recomputed from the source table —
+    // the three vintages partition orders on o_orderkey % 3, v1 predates
+    // o_custkey, and the rename/widening must be lossless
+    "f22_evolved_read" -> """
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             CAST(count(CASE WHEN o_orderkey % 3 <> 0 THEN o_custkey END)
+               AS BIGINT) AS n_with_cust,
+             CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prio,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total,
+             TRUE AS widened_long
+      FROM orders""",
+    // f21: latest-version count + content checksum recomputed from the
+    // source table MINUS the tombstone batch; deleted-row count from the
+    // batch itself; the purge guarantees pinned TRUE
+    "f21_snapshot_purge" -> """
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(('0x' || substr(md5(
+               CAST(doc_id AS VARCHAR) || chr(1) || text || chr(1) ||
+               lang || chr(1) || source || chr(1) ||
+               CAST(n_chars AS VARCHAR)), 1, 8)) AS BIGINT)) AS BIGINT)
+               AS content_sum,
+             CAST((SELECT count(*) FROM documents WHERE doc_id % 97 = 0)
+               AS BIGINT) AS n_deleted,
+             TRUE AS purge_rewrote_files,
+             TRUE AS absent_all_versions
+      FROM documents WHERE doc_id % 97 <> 0""",
     // f20: the v1->v2 change set recomputed from the source table — the
     // append's rows as inserts, no deletes
     "f20_snapshot_diff" -> """

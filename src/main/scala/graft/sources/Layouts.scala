@@ -33,4 +33,30 @@ object Layouts {
   /** `v` scaled into 0..255 given an inclusive maximum column. */
   def bucket8(v: Column, mx: Column): Column =
     (v * lit(256L)).divide(mx + lit(1L)).cast("int")
+
+  /** General k-D Morton interleave: the low `bits` bits of each of the k
+    * bucket columns, bit i of column j landing at position `i*k + j` of a
+    * LongType z-value (the 2-D×8-bit [[zvalue8]] is the k=2, bits=8
+    * case). k·bits ≤ 63 keeps the value in a signed long; a third
+    * clustering column at 8 bits costs nothing but a wider integer — the
+    * projection is still pure codegen'd bit arithmetic, and the cluster
+    * write is the same repartitionByRange + in-partition sort. More
+    * dimensions dilute per-dimension locality (each column owns
+    * `bits` of a k·bits-bit key), which is inherent to space-filling
+    * curves, not to this encoding. */
+  def zvalueK(cols: Seq[Column], bits: Int = 8): Column = {
+    val k = cols.size
+    require(k >= 1 && bits >= 1 && k * bits <= 63,
+      s"zvalueK: need 1 <= k ($k) and 1 <= bits ($bits) with k*bits <= 63")
+    val terms = for {
+      (c, j) <- cols.zipWithIndex
+      i <- 0 until bits
+    } yield shiftleft(
+      shiftright(c.cast("long").bitwiseAND(lit(1L << i)), i), i * k + j)
+    terms.reduce(_ + _)
+  }
+
+  /** `v` scaled into 0 .. 2^bits-1 given an inclusive maximum column. */
+  def bucketN(v: Column, mx: Column, bits: Int): Column =
+    (v * lit(1L << bits)).divide(mx + lit(1L)).cast("long")
 }

@@ -54,9 +54,16 @@ object Snapshots {
   /** Commit `df` as the next version. `append = true` carries the previous
     * version's file set forward; `append = false` publishes ONLY the new
     * files (a rewrite — prior versions stay readable). Returns the new
-    * version number. */
+    * version number.
+    *
+    * `renames` declares SCHEMA EVOLUTION metadata alongside the commit:
+    * `old -> new` means files written by EARLIER commits store the column
+    * as `old`, and from this version on its canonical name is `new`. The
+    * mapping rides in a tiny `vN.renames` side-file next to the manifest
+    * (the table-metadata home); no data file is rewritten — history is
+    * remapped at read time by [[readEvolved]]. */
   def commit(s: SparkSession, dir: String, df: DataFrame,
-      append: Boolean): Int = {
+      append: Boolean, renames: Map[String, String] = Map.empty): Int = {
     val f = fs(s, dir)
     val prev = latestVersion(s, dir)
     val v = prev + 1
@@ -91,7 +98,91 @@ object Snapshots {
     f.delete(stage, true)
     val carried = if (append && prev > 0) files(s, dir, prev) else Seq.empty
     writeManifest(f, dir, v, carried ++ moved)
+    if (renames.nonEmpty) {
+      val body = renames.toSeq.sorted
+        .map { case (o, n) => o + "\u0001" + n }.mkString("\n")
+      val o = f.create(new Path(dir, s"v$v.renames"), true)
+      try o.write(body.getBytes("UTF-8")) finally o.close()
+    }
     v
+  }
+
+  /** Renames declared AT commit `v` (empty if none). */
+  private def renamesOf(s: SparkSession, dir: String, v: Int)
+      : Seq[(String, String)] = {
+    val p = new Path(dir, s"v$v.renames")
+    val f = fs(s, dir)
+    if (!f.exists(p)) Seq.empty
+    else {
+      val in = f.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      txt.split('\n').filter(_.contains('\u0001')).toSeq.map { l =>
+        val Array(o, n) = l.split('\u0001'); (o, n)
+      }
+    }
+  }
+
+  /** Widest common type across vintages — the write-side evolution rules
+    * a multi-year table accretes: integral widening (byte→short→int→long)
+    * and float→double; any integral × fractional mix reads as double.
+    * Anything else is a real schema CONFLICT and throws (silently
+    * coercing string×int would corrupt data). */
+  private def widen(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    if (a == b) a
+    else {
+      val rank: Map[DataType, Int] = Map(ByteType -> 1, ShortType -> 2,
+        IntegerType -> 3, LongType -> 4, FloatType -> 5, DoubleType -> 6)
+      (rank.get(a), rank.get(b)) match {
+        case (Some(x), Some(y)) =>
+          val m = math.max(x, y)
+          if (m <= 4 || (x >= 5 && y >= 5))
+            Seq(ByteType, ShortType, IntegerType, LongType, FloatType,
+              DoubleType)(m - 1)
+          else DoubleType // integral × fractional
+        case _ => throw new IllegalArgumentException(
+          s"schema conflict: cannot widen $a vs $b")
+      }
+    }
+  }
+
+  private val FileCommit = """^(?:data/)?(?:purged-)*v(\d+)-.*$""".r
+
+  /** Read version `v` under the table's EVOLVED schema: files are grouped
+    * by the commit that wrote them (recoverable from the `vC-i-…` name,
+    * including through purge rewrites), each vintage gets the rename
+    * chain of every LATER commit ≤ v applied, column types are widened to
+    * the vintages' common type, and columns a vintage predates backfill
+    * as null (unionByName). History is never rewritten: evolution costs
+    * one projection per vintage at read time, nothing at commit time —
+    * the posture a 100 TB multi-year table requires (f16 proves the
+    * read-side union; this adds type WIDENING int→long and RENAME
+    * mapping, neither of which parquet mergeSchema can express — it
+    * errors on int×long and sees a renamed column as drop+add). */
+  def readEvolved(s: SparkSession, dir: String, v: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val fset = files(s, dir, v)
+    val byCommit: Map[Int, Seq[String]] = fset.groupBy {
+      case FileCommit(c) => c.toInt
+      case other => throw new IllegalStateException(
+        s"readEvolved: cannot attribute $other to a commit")
+    }
+    val chain = (1 to v).map(c => c -> renamesOf(s, dir, c)).toMap
+    val frames = byCommit.toSeq.sortBy(_._1).map { case (c, paths) =>
+      var df = s.read.parquet(paths.map(p => new Path(dir, p).toString): _*)
+      for (later <- (c + 1) to v; (o, n) <- chain(later))
+        if (df.columns.contains(o)) df = df.withColumnRenamed(o, n)
+      df
+    }
+    val target = frames.flatMap(_.schema.fields)
+      .groupBy(_.name).map { case (n, fs) =>
+        n -> fs.map(_.dataType).reduce(widen) }
+    val casted = frames.map { f =>
+      f.select(f.columns.toSeq.map(c => col(c).cast(target(c)).as(c)): _*) }
+    casted.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Write manifest vN atomically (temp name + checked rename). */
@@ -135,6 +226,143 @@ object Snapshots {
     dead.foreach(p => f.delete(new Path(dir, p), false))
     oldVs.foreach(v => f.delete(manifest(dir, v), false))
     (dead.size, oldVs.size)
+  }
+
+  /** Compliance deletion (right-to-be-forgotten) INTO history: every
+    * retained version stops resolving rows whose key is tombstoned —
+    * unlike [[vacuum]] (refcount retention) and unlike a delete commit
+    * (which only changes the FUTURE), purge REWRITES the past, because
+    * that is what a deletion request against a lakehouse table legally
+    * requires.
+    *
+    * Mechanics, sized for a 100 TB table with a small tombstone batch:
+    *   1. Candidate files — the only files read — are found with a
+    *      column-pruned scan of the live file set carrying
+    *      `input_file_name()`, inner-joined (broadcast) against the
+    *      tombstone keys; for a single key column the `isin` predicate is
+    *      additionally pushed into the parquet scan so row-group/file
+    *      footer stats prune untouched files before any row decodes.
+    *      Files without tombstoned keys are never read again, never
+    *      rewritten, never renamed.
+    *   2. Each affected FILE is rewritten exactly once (anti-join against
+    *      the broadcast tombstones) no matter how many versions share it
+    *      through append chains — the replacement keeps the sharing
+    *      structure, so refcounts and later vacuums stay consistent. A
+    *      file left empty by the purge is dropped from every manifest
+    *      rather than written.
+    *   3. Every live manifest is republished with affected paths mapped
+    *      to their replacements (old manifest deleted, then the new one
+    *      renamed in — the one non-atomic window; a crash there is
+    *      repaired by re-running the purge, which is idempotent).
+    *   4. The original affected files are deleted LAST, after every
+    *      manifest has stopped referencing them.
+    *
+    * The tombstone batch is collected to the driver (it bounds the
+    * broadcast and the `isin` pushdown) — deletion requests are small by
+    * nature; `maxTombstones` guards the assumption.
+    *
+    * @return (filesRewritten, versionsRepublished, rowsDeleted) */
+  def purge(s: SparkSession, dir: String, tombstones: DataFrame,
+      keyCols: Seq[String], maxTombstones: Int = 100000): (Int, Int, Long) = {
+    import org.apache.spark.sql.functions._
+    require(keyCols.nonEmpty, "purge needs at least one key column")
+    val f = fs(s, dir)
+    val latest = latestVersion(s, dir)
+    require(latest >= 1, s"purge: no versions at $dir")
+    val liveVs = (1 to latest).filter(v => f.exists(manifest(dir, v)))
+    val perVersion = liveVs.map(v => v -> files(s, dir, v)).toMap
+    val allFiles = perVersion.values.flatten.toSeq.distinct
+    val tombKeys = tombstones.select(keyCols.map(col): _*).distinct()
+    val tombRows = tombKeys.collect()
+    require(tombRows.length <= maxTombstones,
+      s"purge: ${tombRows.length} tombstones exceeds maxTombstones=" +
+        s"$maxTombstones — batch the request")
+    if (tombRows.isEmpty) return (0, liveVs.size, 0L)
+    val tombDf = s.createDataFrame(
+      s.sparkContext.parallelize(tombRows.toSeq, 1), tombKeys.schema)
+    // The live set may span schema vintages (f22): candidate detection
+    // and rewrite both run per WRITING-COMMIT group, with the rename
+    // chain applied before the key join — a single mergeSchema scan would
+    // fail outright on an int×long widening and miss a renamed key.
+    val chain = (1 to latest).map(c => c -> renamesOf(s, dir, c)).toMap
+    def commitOf(rel: String): Int = rel match {
+      case FileCommit(c) => c.toInt
+      case other => throw new IllegalStateException(
+        s"purge: cannot attribute $other to a commit")
+    }
+    def applyChain(df0: DataFrame, c: Int): (DataFrame, Seq[(String, String)]) = {
+      var df = df0
+      val applied = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      for (later <- (c + 1) to latest; (o, n) <- chain(later))
+        if (df.columns.contains(o)) {
+          df = df.withColumnRenamed(o, n); applied += ((o, n))
+        }
+      (df, applied.toSeq)
+    }
+    // 1. candidate detection: key columns only + file-stats pruning
+    val affected: Seq[String] = allFiles.groupBy(commitOf).toSeq
+      .flatMap { case (c, rels) =>
+        val paths = rels.map(p => new Path(dir, p).toString)
+        val (named, _) = applyChain(s.read.parquet(paths: _*), c)
+        if (!keyCols.forall(named.columns.contains)) Seq.empty
+        else {
+          val pruned = if (keyCols.size == 1)
+            named.filter(col(keyCols.head)
+              .isin(tombRows.map(_.get(0)).toSeq: _*))
+          else named
+          val hits = pruned
+            .select(keyCols.map(col) :+ input_file_name().as("_f"): _*)
+            .join(broadcast(tombDf), keyCols)
+            .select(col("_f")).distinct().collect().map(_.getString(0))
+          hits.map(abs => rels.find(rel => abs.endsWith("/" + rel))
+            .getOrElse(throw new IllegalStateException(
+              s"purge: unrecognized file $abs"))).toSeq
+        }
+      }.distinct
+    // 2. rewrite each affected file once
+    val stage = new Path(dir, "_purge_stage")
+    f.delete(stage, true)
+    var rowsDeleted = 0L
+    val replacement: Map[String, Option[String]] = affected.map { rel =>
+      val src = new Path(dir, rel).toString
+      val before = s.read.parquet(src)
+      val (named, applied) = applyChain(before, commitOf(rel))
+      val kept0 = named.join(broadcast(tombDf), keyCols, "left_anti")
+      // restore the vintage's own column names — purge must not evolve
+      // the file's schema as a side effect
+      val kept = applied.reverse.foldLeft(kept0) { case (df, (o, n)) =>
+        df.withColumnRenamed(n, o) }
+      val fileStage = new Path(stage, new Path(rel).getName)
+      kept.coalesce(1).write.mode("overwrite").parquet(fileStage.toString)
+      val part = f.listStatus(fileStage).toSeq.find(st =>
+        st.isFile && st.getPath.getName.startsWith("part-"))
+      val keptRows = s.read.parquet(fileStage.toString).count()
+      rowsDeleted += s.read.parquet(src).count() - keptRows
+      if (keptRows == 0L) rel -> None
+      else {
+        val name = s"purged-${new Path(rel).getName}"
+        val dst = new Path(dir, s"data/$name")
+        f.delete(dst, false)
+        if (!f.rename(part.get.getPath, dst))
+          throw new java.io.IOException(
+            s"purge aborted: rename ${part.get.getPath} -> $dst failed")
+        rel -> Some(s"data/$name")
+      }
+    }.toMap
+    // 3. republish every live manifest with affected paths remapped
+    liveVs.foreach { v =>
+      val mapped = perVersion(v).flatMap(p =>
+        replacement.get(p) match {
+          case None => Some(p)        // untouched file
+          case Some(opt) => opt       // rewritten (Some) or emptied (None)
+        })
+      f.delete(manifest(dir, v), false)
+      writeManifest(f, dir, v, mapped)
+    }
+    // 4. drop originals last
+    affected.foreach(p => f.delete(new Path(dir, p), false))
+    f.delete(stage, true)
+    (affected.size, liveVs.size, rowsDeleted)
   }
 
   /** Key-level change-data-capture between two versions: rows whose key

@@ -57,6 +57,110 @@ class SnapshotsSpec extends SparkSpec {
     assert(idsOf(dir, 2) == (1L to 8L))
   }
 
+  test("purge removes tombstoned keys from EVERY version's read path") {
+    val dir = tmpDir("snappurge")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import spark.implicits._
+    Snapshots.commit(spark, dir, df(1 to 10).repartition(2), append = false)
+    Snapshots.commit(spark, dir, df(11 to 20).repartition(2), append = true)
+
+    def fileSet(v: Int) = {
+      val m = scala.io.Source.fromFile(s"$dir/v$v.json").mkString
+      m.split('\n').map(_.trim.stripSuffix(",").stripPrefix("\"")
+        .stripSuffix("\"")).filter(_.startsWith("data/")).toSet
+    }
+    val sharedBefore = fileSet(1).intersect(fileSet(2))
+    assert(sharedBefore.nonEmpty, "append chain must share v1's files")
+    // record the untouched candidates' (name, length) to prove purge
+    // never rewrites a file without a tombstone in it
+    def lens() = fs.listStatus(new org.apache.hadoop.fs.Path(dir, "data"))
+      .map(st => st.getPath.getName -> st.getLen).toMap
+
+    val tomb = Seq(3L, 17L).toDF("id")
+    val (nf, nv, nd) = Snapshots.purge(spark, dir, tomb, Seq("id"))
+    assert(nv == 2 && nd == 2, s"stats: files=$nf versions=$nv rows=$nd")
+
+    // old manifests no longer resolve the purged rows
+    assert(idsOf(dir, 1) == (1L to 10L).filterNot(_ == 3L))
+    assert(idsOf(dir, 2) == (1L to 20L).filterNot(Set(3L, 17L)))
+    // sharing preserved: a v1 file carried into v2 maps to ONE purged
+    // replacement referenced by both manifests
+    val sharedAfter = fileSet(1).intersect(fileSet(2))
+    assert(sharedAfter.size == sharedBefore.size)
+    // re-purging the same keys is a no-op (idempotent repair path)
+    val (nf2, _, nd2) = Snapshots.purge(spark, dir, tomb, Seq("id"))
+    assert(nf2 == 0 && nd2 == 0, "purge must be idempotent")
+    // vacuum still safe after purge
+    val (deleted, dropped) = Snapshots.vacuum(spark, dir, keep = 1)
+    assert(dropped == 1)
+    assert(idsOf(dir, 2) == (1L to 20L).filterNot(Set(3L, 17L)))
+    // no stage debris
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_purge_stage")))
+    lens() // touch to avoid unused warning paths
+  }
+
+  test("purge leaves tombstone-free files byte-identical") {
+    val dir = tmpDir("snappurge2")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import spark.implicits._
+    // two single-file commits with disjoint key ranges: tombstone hits
+    // only the second, so the first file must not be rewritten
+    Snapshots.commit(spark, dir, df(1 to 10).coalesce(1), append = false)
+    Snapshots.commit(spark, dir, df(11 to 20).coalesce(1), append = true)
+    def lens() = fs.listStatus(new org.apache.hadoop.fs.Path(dir, "data"))
+      .map(st => st.getPath.getName ->
+        (st.getLen, st.getModificationTime)).toMap
+    val before = lens()
+    val (nf, _, nd) = Snapshots.purge(spark, dir,
+      Seq(15L).toDF("id"), Seq("id"))
+    assert(nf == 1 && nd == 1)
+    val after = lens()
+    val untouched = before.keySet.intersect(after.keySet)
+    assert(untouched.nonEmpty, "the v1 file must survive untouched")
+    untouched.foreach(k => assert(before(k) == after(k),
+      s"untouched file $k changed"))
+    assert(idsOf(dir, 1) == (1L to 10L))
+    assert(idsOf(dir, 2) == (1L to 20L).filterNot(_ == 15L))
+  }
+
+  test("readEvolved: rename chain + int->long widening + null backfill") {
+    val dir = tmpDir("snapevo")
+    import spark.implicits._
+    // v1: legacy schema — id int, value under old name "val"
+    val v1 = Seq((1, "a"), (2, "b")).toDF("id", "val")
+      .select(col("id").cast("int").as("id"), col("val"))
+    Snapshots.commit(spark, dir, v1, append = false)
+    // v2: id widened to long, "val" renamed to "value", "extra" added
+    val v2 = Seq((3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("id", "value", "extra")
+    Snapshots.commit(spark, dir, v2, append = true,
+      renames = Map("val" -> "value"))
+
+    val ev = Snapshots.readEvolved(spark, dir, 2)
+    assert(ev.schema("id").dataType ==
+      org.apache.spark.sql.types.LongType, "int must widen to long")
+    val rows = ev.select("id", "value", "extra")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq.sortBy(_._1)
+    assert(rows == Seq((1L, "a", None), (2L, "b", None),
+      (3L, "c", Some(30.0)), (4L, "d", Some(40.0))))
+
+    // as-of v1 the legacy schema is what existed: old name, int type
+    val asOf1 = Snapshots.readEvolved(spark, dir, 1)
+    assert(asOf1.columns.toSet == Set("id", "val"))
+    assert(asOf1.schema("id").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+
+    // composition with purge: commit attribution survives the
+    // purged- rename, and the evolved read still resolves
+    Snapshots.purge(spark, dir, Seq(2L).toDF("id"), Seq("id"))
+    val after = Snapshots.readEvolved(spark, dir, 2)
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(after == Seq(1L, 3L, 4L))
+  }
+
   test("diff sees logical rows: appends as inserts, rewrites as empty") {
     val dir = tmpDir("snapdiff")
     Snapshots.commit(spark, dir, df(1 to 10), append = false)

@@ -59,6 +59,90 @@ class ZorderSpec extends SparkSpec {
       "z-values must be unique per distinct input pair (injectivity)")
   }
 
+  test("zvalueK matches a straight-line k-D Morton reference (injective)") {
+    import spark.implicits._
+    def ref(vals: Seq[Int], bits: Int): Long = {
+      val k = vals.size
+      (for (j <- 0 until k; i <- 0 until bits)
+        yield ((vals(j).toLong >> i) & 1L) << (i * k + j)).sum
+    }
+    val rnd = new scala.util.Random(7)
+    for ((k, bits) <- Seq((2, 8), (3, 6), (3, 8), (4, 4))) {
+      val tuples = Seq.fill(600)(Seq.fill(k)(rnd.nextInt(1 << bits))).distinct
+      val df = tuples.map(t => (t.head, t(1), if (k > 2) t(2) else 0,
+        if (k > 3) t(3) else 0)).toDF("a", "b", "c", "d")
+      val cols = Seq(col("a"), col("b"), col("c"), col("d")).take(k)
+      val got = df.select((Seq(col("a"), col("b"), col("c"), col("d")) :+
+          Layouts.zvalueK(cols, bits).as("z")): _*)
+        .collect().map(r => (Seq(r.getInt(0), r.getInt(1), r.getInt(2),
+          r.getInt(3)).take(k), r.getLong(4))).toMap
+      tuples.foreach { t =>
+        assert(got(t) == ref(t, bits), s"k=$k bits=$bits wrong at $t") }
+      assert(got.values.toSeq.distinct.size == tuples.size,
+        s"k=$k bits=$bits: z-values must be injective")
+    }
+    // zvalue8 is the k=2, bits=8 case of the same encoding
+    val pairs = Seq.fill(200)((rnd.nextInt(256), rnd.nextInt(256))).distinct
+    val both = pairs.toDF("a", "b").select(
+        Layouts.zvalue8(col("a"), col("b")).cast("long").as("z2"),
+        Layouts.zvalueK(Seq(col("a"), col("b")), 8).as("zk"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      "zvalueK(k=2,bits=8) must equal zvalue8"))
+  }
+
+  test("3-D z-order beats 2-D and single-key under a 3-D box probe") {
+    import spark.implicits._
+    // row-group granularity bounds what ANY layout can skip: at ~1000
+    // rows/group a 3-D group only resolves ~5 bits/dim and the third
+    // dimension barely registers. The distinct-md5 payload defeats
+    // columnar compression so the 8 KB block target lands at ~80
+    // rows/group (~6000 groups over 500k) — enough resolution for the
+    // third key to separate from the 2-D layout.
+    val n = 500000
+    val rows = spark.range(n.toLong).select(
+      (col("id") % 1000).as("x"),
+      (col("id") * 7919L % 997).as("y"),
+      (col("id") * 6271L % 991).as("w"),
+      col("id").as("v"),
+      repeat(md5(col("id").cast("string")), 4).as("pad"))
+    val mx = rows.agg(max(col("x")).as("mx"), max(col("y")).as("my"),
+      max(col("w")).as("mw"))
+    def writeClustered(dir: String, zc: DataFrame => org.apache.spark.sql.Column): Unit =
+      rows.crossJoin(broadcast(mx)).withColumn("z", zc(rows))
+        .drop("mx", "my", "mw")
+        .repartitionByRange(4, col("z")).sortWithinPartitions(col("z"))
+        .drop("z")
+        .write.option("parquet.block.size", 8 * 1024)
+        .option("parquet.page.size", 4 * 1024)
+        .mode("overwrite").parquet(dir)
+    val d3 = tmpDir("z3d"); val d2 = tmpDir("z2d"); val d1 = tmpDir("z1d")
+    writeClustered(d3, _ => Layouts.zvalueK(Seq(
+      Layouts.bucketN(col("x"), col("mx"), 8),
+      Layouts.bucketN(col("y"), col("my"), 8),
+      Layouts.bucketN(col("w"), col("mw"), 8)), 8))
+    writeClustered(d2, _ => Layouts.zvalueK(Seq(
+      Layouts.bucketN(col("x"), col("mx"), 8),
+      Layouts.bucketN(col("y"), col("my"), 8)), 8))
+    writeClustered(d1, _ => col("x"))
+
+    // ~5% per dimension box — selective in ALL THREE keys, the workload
+    // a third clustering column exists for
+    def q(dir: String): DataFrame =
+      spark.read.parquet(dir)
+        .where(col("x") >= 200 && col("x") < 250 &&
+          col("y") >= 500 && col("y") < 550 &&
+          col("w") >= 100 && col("w") < 150)
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
+    val answers = Seq(d3, d2, d1).map(dir => q(dir).collect().head)
+    assert(answers.distinct.size == 1, "layouts must agree on the answer")
+    val r3 = scanRows(q(d3)); val r2 = scanRows(q(d2)); val r1 = scanRows(q(d1))
+    assert(r2 * 2 <= r1,
+      s"2-D layout must beat the single-key stripe: $r2 vs $r1")
+    assert(r3 * 2 <= r2,
+      s"3-D layout must beat 2-D under a 3-D box: $r3 vs $r2")
+  }
+
   test("z-order decodes the box; single-key layout decodes the stripe") {
     import spark.implicits._
     val n = 250000
