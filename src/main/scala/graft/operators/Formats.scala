@@ -546,6 +546,44 @@ object Formats extends QueryPack {
           col("absent_all_versions"))
     }),
 
+    // File-stats pruned snapshot read (f24): orders committed as three
+    // snapshot versions in disjoint o_orderkey thirds with commit-time
+    // per-file min/max stats (Snapshots.commit statsCols — the add-file
+    // stats of a lakehouse format, O(files) metadata). A range probe then
+    // resolves the version and drops every file whose recorded key range
+    // misses the probe BEFORE any footer is opened — at 100 TB the probe
+    // costs the intersecting files, not the table. The verdict pins that
+    // pruning actually happened (files_pruned) and the oracle recomputes
+    // the probed aggregate from the source table.
+    "f24_stats_pruned_read" -> ((s, d) => {
+      val out = ioDir(d, "f24")
+      writeOnce(s, out, alsoRequire =
+          graft.sources.Snapshots.latestVersion(s, out) == 3) {
+        val root = new org.apache.hadoop.fs.Path(out)
+        val fsys = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fsys.delete(root, true)
+        val o = T.orders(s, d)
+        val mx = o.agg(max(col("o_orderkey"))).head.getLong(0)
+        val cut1 = mx / 3; val cut2 = 2 * mx / 3
+        graft.sources.Snapshots.commit(s, out,
+          o.filter(col("o_orderkey") <= cut1),
+          append = false, statsCols = Seq("o_orderkey"))
+        graft.sources.Snapshots.commit(s, out,
+          o.filter(col("o_orderkey") > cut1 && col("o_orderkey") <= cut2),
+          append = true, statsCols = Seq("o_orderkey"))
+        graft.sources.Snapshots.commit(s, out,
+          o.filter(col("o_orderkey") > cut2),
+          append = true, statsCols = Seq("o_orderkey"))
+        ()
+      }
+      val (probe, (nRead, nTotal)) = graft.sources.Snapshots.readPruned(
+        s, out, 3, "o_orderkey", 1000L, 2000L)
+      probe.agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("sum_key"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .withColumn("files_pruned", lit(nRead < nTotal))
+    }),
+
     // k-D z-order (f23): f18's Morton layout generalized to THREE
     // clustering keys via Layouts.zvalueK (bit i of column j at position
     // i*k+j of a 24-bit long) — `OPTIMIZE ZORDER BY (a, b, c)`. A box
@@ -836,6 +874,14 @@ object Formats extends QueryPack {
              TRUE AS v2_ok,
              TRUE AS two_versions
       FROM documents""",
+    // f24: the probed aggregate recomputed from the source table (the
+    // pruned read must lose no rows); pruning itself pinned TRUE
+    "f24_stats_pruned_read" -> """
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+             TRUE AS files_pruned
+      FROM orders WHERE o_orderkey BETWEEN 1000 AND 2000""",
     // f23: the 3-D boxed aggregate from the SOURCE table — the k-D
     // z-order write must be a pure reordering
     "f23_zorder_kd" -> """

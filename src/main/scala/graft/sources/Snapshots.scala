@@ -61,9 +61,17 @@ object Snapshots {
     * as `old`, and from this version on its canonical name is `new`. The
     * mapping rides in a tiny `vN.renames` side-file next to the manifest
     * (the table-metadata home); no data file is rewritten — history is
-    * remapped at read time by [[readEvolved]]. */
+    * remapped at read time by [[readEvolved]].
+    *
+    * `statsCols` records per-FILE min/max of the named columns in a
+    * `vN.stats` side-file (one extra aggregate over the staged files —
+    * O(files) metadata, never carried row data). File stats are what turn
+    * metadata into pruning at 100 TB: [[readPruned]] and [[purge]] drop
+    * whole files from the plan before any footer is opened, the same
+    * mechanism as a lakehouse format's add-file stats. */
   def commit(s: SparkSession, dir: String, df: DataFrame,
-      append: Boolean, renames: Map[String, String] = Map.empty): Int = {
+      append: Boolean, renames: Map[String, String] = Map.empty,
+      statsCols: Seq[String] = Seq.empty): Int = {
     val f = fs(s, dir)
     val prev = latestVersion(s, dir)
     val v = prev + 1
@@ -79,6 +87,32 @@ object Snapshots {
     // partially-moved files are cleaned back out of data/.
     val staged = f.listStatus(stage).toSeq
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+    // per-staged-file min/max BEFORE the moves (one metadata-size
+    // aggregate job; the group key is the file name, the shuffle carries
+    // |files| × |statsCols| rows)
+    val stagedStats: Map[String, Seq[(String, String, String, String)]] =
+      if (statsCols.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.functions.{col, min, max, input_file_name}
+        val aggs = statsCols.flatMap(c => Seq(
+          min(col(c)).cast("string").as(s"mn_$c"),
+          max(col(c)).cast("string").as(s"mx_$c")))
+        val types = df.schema.fields.map(fd => fd.name -> fd.dataType
+          .typeName).toMap
+        // explicit FILE paths: the stage dir's own name starts with "_",
+        // which the DataSource hidden-path filter warns about when the
+        // directory itself is the input
+        s.read.parquet(staged.map(_.getPath.toString): _*)
+          .groupBy(input_file_name().as("_f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect().map { r =>
+            val fname = new Path(r.getString(0)).getName
+            fname -> statsCols.zipWithIndex.map { case (c, i) =>
+              (c, types(c), r.getString(1 + 2 * i), r.getString(2 + 2 * i))
+            }
+          }.toMap
+      }
+    val statLines = scala.collection.mutable.ArrayBuffer.empty[String]
     val moved = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
       staged.zipWithIndex.foreach { case (st, i) =>
@@ -88,6 +122,14 @@ object Snapshots {
             s"snapshot commit aborted: rename ${st.getPath} -> " +
               s"$dataDir/$name returned false")
         moved += s"data/$name"
+        stagedStats.get(st.getPath.getName).foreach(_.foreach {
+          // an all-null column gets NO stats line: absent = unknown =
+          // never pruned, the conservative direction
+          case (c, tn, mn, mx) if mn != null && mx != null =>
+            statLines += Seq(s"data/$name", c, tn, mn, mx)
+              .mkString("\u0001")
+          case _ =>
+        })
       }
     } catch {
       case e: Throwable =>
@@ -104,7 +146,73 @@ object Snapshots {
       val o = f.create(new Path(dir, s"v$v.renames"), true)
       try o.write(body.getBytes("UTF-8")) finally o.close()
     }
+    if (statLines.nonEmpty) {
+      val o = f.create(new Path(dir, s"v$v.stats"), true)
+      try o.write(statLines.mkString("\n").getBytes("UTF-8"))
+      finally o.close()
+    }
     v
+  }
+
+  /** Per-file (col, typeName, min, max) stats recorded by commits 1..v,
+    * keyed by manifest-relative path. Files without stats are simply
+    * absent (conservative: never pruned). */
+  private def statsUpTo(s: SparkSession, dir: String, v: Int)
+      : Map[String, Seq[(String, String, String, String)]] = {
+    val f = fs(s, dir)
+    (1 to v).flatMap { c =>
+      val p = new Path(dir, s"v$c.stats")
+      if (!f.exists(p)) Seq.empty[(String, (String, String, String, String))]
+      else {
+        val in = f.open(p)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        txt.split('\n').toSeq.filter(_.contains('\u0001')).map { l =>
+          val Array(path, cName, tn, mn, mx) = l.split('\u0001')
+          (path, (cName, tn, mn, mx))
+        }
+      }
+    }.groupBy(_._1).map { case (pth, xs) => pth -> xs.map(_._2) }
+  }
+
+  /** True iff [lo, hi] intersects the stringified [mn, mx] bounds of a
+    * column of `typeName` — the per-type comparison behind file-level
+    * stats pruning. Unknown types compare conservatively (always true). */
+  private def inBounds(typeName: String, mn: String, mx: String,
+      lo: String, hi: String): Boolean = typeName match {
+    case "byte" | "short" | "integer" | "long" =>
+      try { hi.toLong >= mn.toLong && lo.toLong <= mx.toLong }
+      catch { case _: NumberFormatException => true }
+    case "float" | "double" =>
+      try { hi.toDouble >= mn.toDouble && lo.toDouble <= mx.toDouble }
+      catch { case _: NumberFormatException => true }
+    case "string" | "date" | "timestamp" => hi >= mn && lo <= mx
+    case _ => true
+  }
+
+  /** Version `v` restricted to files whose recorded `keyCol` stats
+    * intersect [lo, hi] — file-level pruning from METADATA alone: the
+    * dropped files are never opened, not even for a footer. Files with no
+    * recorded stats are always read (conservative). Returns the pruned
+    * frame plus (filesRead, filesTotal) for auditability. */
+  def readPruned(s: SparkSession, dir: String, v: Int, keyCol: String,
+      lo: Any, hi: Any): (DataFrame, (Int, Int)) = {
+    val fset = files(s, dir, v)
+    val stats = statsUpTo(s, dir, v)
+    val keep = fset.filter { rel =>
+      stats.get(rel).flatMap(_.find(_._1 == keyCol)) match {
+        case Some((_, tn, mn, mx)) =>
+          inBounds(tn, mn, mx, lo.toString, hi.toString)
+        case None => true
+      }
+    }
+    val df0 =
+      if (keep.isEmpty)
+        s.read.parquet(new Path(dir, fset.head).toString).limit(0)
+      else s.read.parquet(keep.map(p => new Path(dir, p).toString): _*)
+    import org.apache.spark.sql.functions.col
+    val df = df0.filter(col(keyCol) >= lo && col(keyCol) <= hi)
+    (df, (keep.size, fset.size))
   }
 
   /** Renames declared AT commit `v` (empty if none). */
@@ -299,9 +407,34 @@ object Snapshots {
         }
       (df, applied.toSeq)
     }
+    // file-level stats pruning from METADATA alone: a file whose recorded
+    // key min/max excludes every tombstone value is dropped before any
+    // scan — with commit-time statsCols on the key, a small deletion
+    // request against a 100 TB table opens only the files that can
+    // contain it. Stats are recorded under the writing vintage's own
+    // column name, so the canonical key maps back through the rename
+    // chain first. Absent stats = always scan (conservative).
+    val fileStats = statsUpTo(s, dir, latest)
+    def localKeyName(c: Int, canonical: String): String = {
+      var cur = canonical
+      for (later <- latest until c by -1; (o, n) <- chain(later))
+        if (n == cur) cur = o
+      cur
+    }
+    def statsMayContain(rel: String, c: Int): Boolean =
+      keyCols.size != 1 ||
+        (fileStats.get(rel)
+          .flatMap(_.find(_._1 == localKeyName(c, keyCols.head))) match {
+          case Some((_, tn, mn, mx)) => tombRows.exists { r =>
+            val v = r.get(0).toString; inBounds(tn, mn, mx, v, v) }
+          case None => true
+        })
     // 1. candidate detection: key columns only + file-stats pruning
     val affected: Seq[String] = allFiles.groupBy(commitOf).toSeq
-      .flatMap { case (c, rels) =>
+      .flatMap { case (c, rels0) =>
+        val rels = rels0.filter(statsMayContain(_, c))
+        if (rels.isEmpty) Seq.empty[String]
+        else {
         val paths = rels.map(p => new Path(dir, p).toString)
         val (named, _) = applyChain(s.read.parquet(paths: _*), c)
         if (!keyCols.forall(named.columns.contains)) Seq.empty
@@ -317,6 +450,7 @@ object Snapshots {
           hits.map(abs => rels.find(rel => abs.endsWith("/" + rel))
             .getOrElse(throw new IllegalStateException(
               s"purge: unrecognized file $abs"))).toSeq
+        }
         }
       }.distinct
     // 2. rewrite each affected file once

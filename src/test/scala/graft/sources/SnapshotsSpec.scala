@@ -161,6 +161,35 @@ class SnapshotsSpec extends SparkSpec {
     assert(after == Seq(1L, 3L, 4L))
   }
 
+  test("commit-time file stats prune whole files from reads") {
+    val dir = tmpDir("snapstats")
+    import spark.implicits._
+    Snapshots.commit(spark, dir, df(1 to 10).coalesce(1),
+      append = false, statsCols = Seq("id"))
+    Snapshots.commit(spark, dir, df(11 to 20).coalesce(1),
+      append = true, statsCols = Seq("id"))
+    Snapshots.commit(spark, dir, df(21 to 30).coalesce(1),
+      append = true, statsCols = Seq("id"))
+    val (pruned, (read, total)) =
+      Snapshots.readPruned(spark, dir, 3, "id", 12L, 18L)
+    assert(total == 3 && read == 1,
+      s"one of three files intersects [12,18], got $read/$total")
+    assert(pruned.select("id").collect().map(_.getLong(0)).toSeq.sorted ==
+      (12L to 18L))
+    // a range crossing two files reads exactly two
+    val (p2, (r2, _)) = Snapshots.readPruned(spark, dir, 3, "id", 9L, 13L)
+    assert(r2 == 2 && p2.count() == 5)
+    // stats survive purge correctness: tombstone in the third file only
+    val (nf, _, nd) = Snapshots.purge(spark, dir,
+      Seq(25L).toDF("id"), Seq("id"))
+    assert(nf == 1 && nd == 1)
+    assert(idsOf(dir, 3) == (1L to 30L).filterNot(_ == 25L))
+    // the replacement file has no stats -> conservatively read
+    val (_, (r3, t3)) = Snapshots.readPruned(spark, dir, 3, "id", 2L, 3L)
+    assert(t3 == 3 && r3 == 2,
+      s"v1 file by stats + statless purged replacement, got $r3/$t3")
+  }
+
   test("diff sees logical rows: appends as inserts, rewrites as empty") {
     val dir = tmpDir("snapdiff")
     Snapshots.commit(spark, dir, df(1 to 10), append = false)
