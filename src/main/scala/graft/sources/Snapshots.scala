@@ -68,13 +68,97 @@ object Snapshots {
     * O(files) metadata, never carried row data). File stats are what turn
     * metadata into pruning at 100 TB: [[readPruned]] and [[purge]] drop
     * whole files from the plan before any footer is opened, the same
-    * mechanism as a lakehouse format's add-file stats. */
+    * mechanism as a lakehouse format's add-file stats.
+    *
+    * CONCURRENT WRITERS serialize through an optimistic claim on the
+    * version counter: a writer atomically creates `vN.claim`
+    * (`create(overwrite = false)` — server-side atomic on HDFS; the
+    * local-FS check-then-create window is sub-microsecond and spec-
+    * exercised under real thread contention), waits for version N-1's
+    * manifest to be published, then stages/publishes N and drops the
+    * claim. A loser recomputes the next free version and retries — the
+    * Delta/Iceberg optimistic-commit shape without conflict revalidation
+    * (append and rewrite commits never conflict logically here: the file
+    * set is carried from the JUST-published predecessor, not from a
+    * snapshot taken before the race). A claimant that dies leaves a stale
+    * `vN.claim`; followers time out with an error naming it so an
+    * operator can remove it. */
   def commit(s: SparkSession, dir: String, df: DataFrame,
       append: Boolean, renames: Map[String, String] = Map.empty,
       statsCols: Seq[String] = Seq.empty): Int = {
     val f = fs(s, dir)
-    val prev = latestVersion(s, dir)
-    val v = prev + 1
+    f.mkdirs(new Path(dir))
+    val v = claimVersion(f, dir)
+    try commitClaimed(s, f, dir, df, append, renames, statsCols, v)
+    finally { f.delete(new Path(dir, s"v$v.claim"), false); () }
+  }
+
+  /** [[commit]] with a custom claim timeout (spec support for the
+    * stale-claim path; production uses the default). */
+  private[sources] def commitWithTimeout(s: SparkSession, dir: String,
+      df: DataFrame, append: Boolean, timeoutMs: Long): Int = {
+    val f = fs(s, dir)
+    f.mkdirs(new Path(dir))
+    val v = claimVersion(f, dir, timeoutMs)
+    try commitClaimed(s, f, dir, df, append, Map.empty, Seq.empty, v)
+    finally { f.delete(new Path(dir, s"v$v.claim"), false); () }
+  }
+
+  private val ClaimName = """^v(\d+)\.claim$""".r
+
+  /** Atomically claim the next version number; on return, version v-1's
+    * manifest exists (so an append can carry its file set) and `vN.claim`
+    * marks this writer's ownership of N. */
+  private def claimVersion(f: FileSystem, dir: String,
+      timeoutMs: Long = 120000L): Int = {
+    val start = System.currentTimeMillis()
+    while (true) {
+      val names = f.listStatus(new Path(dir)).map(_.getPath.getName)
+      val latest = names.collect { case ManifestName(n) => n.toInt }
+        .maxOption.getOrElse(0)
+      val claimed = names.collect { case ClaimName(n) => n.toInt }
+        .maxOption.getOrElse(0)
+      val v = math.max(latest, claimed) + 1
+      val claim = new Path(dir, s"v$v.claim")
+      // HDFS create(overwrite=false) is a server-side atomic claim; the
+      // local FileSystem's is check-then-create, so local paths go
+      // through File.createNewFile (open with O_CREAT|O_EXCL — POSIX
+      // atomic), which the contention spec exercises with real threads
+      val won = f match {
+        case _: org.apache.hadoop.fs.LocalFileSystem |
+             _: org.apache.hadoop.fs.RawLocalFileSystem =>
+          try new java.io.File(claim.toUri.getPath).createNewFile()
+          catch { case _: java.io.IOException => false }
+        case _ =>
+          try { f.create(claim, false).close(); true }
+          catch { case _: java.io.IOException => false }
+      }
+      if (won) {
+        // wait for the predecessor's manifest before staging anything
+        while (v > 1 && !f.exists(manifest(dir, v - 1))) {
+          if (System.currentTimeMillis() - start > timeoutMs) {
+            f.delete(claim, false)
+            throw new java.io.IOException(
+              s"commit timed out waiting for v${v - 1}'s manifest — a " +
+                s"writer holding v${v - 1}.claim likely died; remove the " +
+                "stale claim to unwedge the table")
+          }
+          Thread.sleep(50)
+        }
+        return v
+      }
+      if (System.currentTimeMillis() - start > timeoutMs)
+        throw new java.io.IOException(
+          s"commit timed out racing for a version claim at $dir")
+      Thread.sleep(20)
+    }
+    -1 // unreachable
+  }
+
+  private def commitClaimed(s: SparkSession, f: FileSystem, dir: String,
+      df: DataFrame, append: Boolean, renames: Map[String, String],
+      statsCols: Seq[String], v: Int): Int = {
+    val prev = v - 1
     val stage = new Path(dir, s"_stage_v$v")
     f.delete(stage, true)
     df.write.parquet(stage.toString)

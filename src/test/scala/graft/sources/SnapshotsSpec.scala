@@ -190,6 +190,61 @@ class SnapshotsSpec extends SparkSpec {
       s"v1 file by stats + statless purged replacement, got $r3/$t3")
   }
 
+  test("concurrent appends serialize through the version-claim protocol") {
+    val dir = tmpDir("snapcas")
+    import spark.implicits._
+    Snapshots.commit(spark, dir, df(1 to 10).coalesce(1), append = false)
+    // six writers race to append disjoint batches; the claim protocol
+    // must serialize them into versions 2..7 with no lost update
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 6).map { i =>
+      new Thread(() => {
+        try Snapshots.commit(spark, dir,
+          df(i * 100 + 1 to i * 100 + 10).coalesce(1), append = true)
+        catch { case t: Throwable => errors.add(t); () }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(180000))
+    assert(errors.isEmpty, s"concurrent commit failed: ${errors.peek()}")
+    assert(Snapshots.latestVersion(spark, dir) == 7)
+    // the final version holds every batch exactly once
+    val got = idsOf(dir, 7)
+    val want = ((1 to 10) ++ (1 to 6).flatMap(i =>
+      i * 100 + 1 to i * 100 + 10)).map(_.toLong).sorted
+    assert(got == want, "no append may be lost or duplicated")
+    // every intermediate version's file set extends its predecessor's
+    def fileSet(v: Int) = Snapshots.read(spark, dir, v).inputFiles.toSet
+    (2 to 7).foreach(v => assert(fileSet(v - 1).subsetOf(fileSet(v)),
+      s"v${v - 1} must be a subset of v$v in an append chain"))
+    // no claims or stage debris survive
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(p).map(_.getPath.getName).toSeq
+    assert(!names.exists(n => n.endsWith(".claim") || n.startsWith("_stage")),
+      s"debris left: $names")
+  }
+
+  test("a stale claim times out with an actionable error") {
+    val dir = tmpDir("snapstale")
+    import spark.implicits._
+    Snapshots.commit(spark, dir, df(1 to 5).coalesce(1), append = false)
+    val p = new org.apache.hadoop.fs.Path(dir, "v2.claim")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(p, false).close() // a dead writer's claim on v2
+    val e = intercept[java.io.IOException] {
+      // package-private timeout override keeps the spec fast
+      Snapshots.commitWithTimeout(spark, dir, df(6 to 8).coalesce(1),
+        append = true, timeoutMs = 1500L)
+    }
+    assert(e.getMessage.contains("v2.claim"),
+      s"error must name the stale claim, got: ${e.getMessage}")
+    fs.delete(p, false)
+    // after the operator removes the stale claim, commits flow again
+    assert(Snapshots.commit(spark, dir, df(6 to 8).coalesce(1),
+      append = true) == 2)
+    assert(idsOf(dir, 2) == (1L to 8L))
+  }
+
   test("diff sees logical rows: appends as inserts, rewrites as empty") {
     val dir = tmpDir("snapdiff")
     Snapshots.commit(spark, dir, df(1 to 10), append = false)
