@@ -18,8 +18,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     table costs one small JSON read, never a data copy.
   * Compaction (f17) composes as a `rewrite` commit: the compacted files
   * become the new version while every prior version stays readable.
-  * Concurrent writers need a CAS on the version counter (a table format's
-  * commit protocol); single-maintainer here, the reference's own model.
+  * Concurrent writers serialize through an atomic claim on the version
+  * counter (see [[commit]]); schema evolution rides in `vN.renames`
+  * metadata ([[readEvolved]]), per-file key stats in `vN.stats`
+  * ([[readPruned]]), and compliance deletion rewrites history in place
+  * ([[purge]]).
   */
 object Snapshots {
 
