@@ -624,18 +624,20 @@ object Formats extends QueryPack {
     }),
 
     // Write-side schema evolution (f22): a three-vintage snapshot table
-    // of orders — v1 writes o_orderkey as INT with the priority column
-    // under its legacy name `prio`; v2 appends with o_orderkey LONG,
-    // declares the rename prio -> o_orderpriority in the version
-    // metadata, and ADDS o_custkey; v3 appends more of the same. No
-    // history is rewritten: Snapshots.readEvolved regroups files by
-    // writing commit, applies the rename chain, widens int -> long, and
-    // null-backfills the added column — the three evolutions parquet
+    // of orders — v1 writes the bucket key `key_lo` (o_orderkey mod 1e5,
+    // bounded so the legacy INT type is valid at ANY corpus scale) as INT
+    // with the priority column under its legacy name `prio`; v2 appends
+    // with key_lo LONG, declares the rename prio -> o_orderpriority in
+    // the version metadata, and ADDS o_custkey; v3 appends more of the
+    // same. No history is rewritten: Snapshots.readEvolved regroups files
+    // by writing commit, applies the rename chain, widens int -> long,
+    // and null-backfills the added column — the three evolutions parquet
     // mergeSchema cannot express (it errors on int×long and treats a
     // rename as drop+add). The verdict aggregate is recomputed by the
     // oracle from the source table, plus the widened-type pin.
     "f22_evolved_read" -> ((s, d) => {
       val out = ioDir(d, "f22")
+      val keyLo = pmod(col("o_orderkey"), lit(100000L))
       writeOnce(s, out, alsoRequire =
           graft.sources.Snapshots.latestVersion(s, out) == 3) {
         val root = new org.apache.hadoop.fs.Path(out)
@@ -644,16 +646,18 @@ object Formats extends QueryPack {
         val o = T.orders(s, d)
         val seg = pmod(col("o_orderkey"), lit(3))
         graft.sources.Snapshots.commit(s, out,
-          o.filter(seg === 0).select(
-            col("o_orderkey").cast("int").as("o_orderkey"),
+          o.filter(seg === 0).select(col("o_orderkey"),
+            keyLo.cast("int").as("key_lo"),
             col("o_totalprice"), col("o_orderpriority").as("prio")),
           append = false)
         graft.sources.Snapshots.commit(s, out,
           o.filter(seg === 1).select(col("o_orderkey"),
+            keyLo.as("key_lo"),
             col("o_totalprice"), col("o_orderpriority"), col("o_custkey")),
           append = true, renames = Map("prio" -> "o_orderpriority"))
         graft.sources.Snapshots.commit(s, out,
           o.filter(seg === 2).select(col("o_orderkey"),
+            keyLo.as("key_lo"),
             col("o_totalprice"), col("o_orderpriority"), col("o_custkey")),
           append = true)
         ()
@@ -661,12 +665,13 @@ object Formats extends QueryPack {
       val ev = graft.sources.Snapshots.readEvolved(s, out, 3)
       ev.agg(count(lit(1)).as("n"),
           sum(col("o_orderkey")).as("sum_key"),
+          sum(col("key_lo")).as("sum_lo"),
           count(col("o_custkey")).as("n_with_cust"),
           countDistinct(col("o_orderpriority")).as("n_prio"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
             .as("total"))
         .withColumn("widened_long",
-          lit(ev.schema("o_orderkey").dataType ==
+          lit(ev.schema("key_lo").dataType ==
             org.apache.spark.sql.types.LongType))
     }),
 
@@ -898,6 +903,7 @@ object Formats extends QueryPack {
     "f22_evolved_read" -> """
       SELECT CAST(count(*) AS BIGINT) AS n,
              CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             CAST(sum(o_orderkey % 100000) AS BIGINT) AS sum_lo,
              CAST(count(CASE WHEN o_orderkey % 3 <> 0 THEN o_custkey END)
                AS BIGINT) AS n_with_cust,
              CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prio,
