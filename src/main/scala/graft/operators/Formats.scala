@@ -546,6 +546,50 @@ object Formats extends QueryPack {
           col("absent_all_versions"))
     }),
 
+    // OPTIMIZE ZORDER as a snapshot rewrite commit (f25): orders land as
+    // two unclustered appends, then Snapshots.optimize reorders the
+    // latest version along the 2-D Morton curve of (o_custkey,
+    // o_orderkey) and publishes the clustered files as v3 WITH per-file
+    // stats on both keys — f17's maintenance posture made manifest-atomic
+    // (no crash window: prior versions stay readable, the swap is one
+    // manifest rename). The verdict pins that a box probe after optimize
+    // prunes files from metadata (files_pruned), that v1 is still
+    // readable bit-for-bit (history_ok), and the oracle recomputes the
+    // full and probed aggregates from the source table.
+    "f25_optimize_zorder" -> ((s, d) => {
+      val out = ioDir(d, "f25")
+      writeOnce(s, out, alsoRequire =
+          graft.sources.Snapshots.latestVersion(s, out) == 3) {
+        val root = new org.apache.hadoop.fs.Path(out)
+        val fsys = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fsys.delete(root, true)
+        val o = T.orders(s, d)
+        graft.sources.Snapshots.commit(s, out,
+          o.filter(pmod(col("o_orderkey"), lit(2)) === 0), append = false)
+        graft.sources.Snapshots.commit(s, out,
+          o.filter(pmod(col("o_orderkey"), lit(2)) === 1), append = true)
+        graft.sources.Snapshots.optimize(s, out,
+          Seq("o_custkey", "o_orderkey"))
+        ()
+      }
+      val v3 = graft.sources.Snapshots.read(s, out, 3)
+      val (probe, (nRead, nTotal)) = graft.sources.Snapshots.readPruned(
+        s, out, 3, "o_custkey", 40L, 120L)
+      val latestAgg = v3.agg(count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("sum_key"),
+        sum(when(pmod(col("o_orderkey"), lit(2)) === 0, 1L).otherwise(0L))
+          .as("nh"))
+      val probeAgg = probe.agg(count(lit(1)).as("n_probe"),
+        sum(col("o_custkey")).as("sum_cust_probe"))
+      val v1Agg = graft.sources.Snapshots.read(s, out, 1)
+        .agg(count(lit(1)).as("n1"))
+      latestAgg.crossJoin(probeAgg).crossJoin(v1Agg)
+        .select(col("n_rows"), col("sum_key"), col("n_probe"),
+          col("sum_cust_probe"),
+          lit(nRead < nTotal).as("files_pruned"),
+          (col("n1") === col("nh")).as("history_ok"))
+    }),
+
     // File-stats pruned snapshot read (f24): orders committed as three
     // snapshot versions in disjoint o_orderkey thirds with commit-time
     // per-file min/max stats (Snapshots.commit statsCols — the add-file
@@ -879,6 +923,20 @@ object Formats extends QueryPack {
              TRUE AS v2_ok,
              TRUE AS two_versions
       FROM documents""",
+    // f25: full + probed aggregates recomputed from the source table
+    // (optimize must be a pure reordering); the layout/history
+    // guarantees pinned TRUE
+    "f25_optimize_zorder" -> """
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             CAST((SELECT count(*) FROM orders
+               WHERE o_custkey BETWEEN 40 AND 120) AS BIGINT) AS n_probe,
+             CAST((SELECT sum(o_custkey) FROM orders
+               WHERE o_custkey BETWEEN 40 AND 120) AS BIGINT)
+               AS sum_cust_probe,
+             TRUE AS files_pruned,
+             TRUE AS history_ok
+      FROM orders""",
     // f24: the probed aggregate recomputed from the source table (the
     // pruned read must lose no rows); pruning itself pinned TRUE
     "f24_stats_pruned_read" -> """

@@ -586,6 +586,41 @@ object Snapshots {
     (affected.size, liveVs.size, rowsDeleted)
   }
 
+  /** `OPTIMIZE ZORDER BY (cols...)` as a snapshot REWRITE commit — the
+    * composition that makes the table-format layer self-maintaining:
+    * read the latest version (under the evolved schema), order it along
+    * the k-D Morton curve of the named columns ([[Layouts.zvalueK]] over
+    * [[Layouts.bucketN]] range buckets off a 1-row broadcast of observed
+    * maxima), and publish the clustered files as the next version with
+    * per-file min/max stats on the clustering columns. History stays
+    * readable (rewrite commit), and the stats turn the curve's locality
+    * into FILE-level pruning: after optimize, a box probe via
+    * [[readPruned]] opens only the files whose key range intersects it.
+    * The swap is manifest-atomic — the crash window the directory-level
+    * f17 compaction documents does not exist here.
+    *
+    * @return the new version number */
+  def optimize(s: SparkSession, dir: String, zorderCols: Seq[String],
+      bits: Int = 8, numFiles: Int = 8): Int = {
+    import org.apache.spark.sql.functions._
+    require(zorderCols.nonEmpty, "optimize needs at least one column")
+    val latest = latestVersion(s, dir)
+    require(latest >= 1, s"optimize: no versions at $dir")
+    val df = readEvolved(s, dir, latest)
+    val mx = df.agg(
+      max(col(zorderCols.head)).as(s"mx_${zorderCols.head}"),
+      zorderCols.tail.map(c => max(col(c)).as(s"mx_$c")): _*)
+    val clustered = df.crossJoin(broadcast(mx))
+      .withColumn("_z", Layouts.zvalueK(
+        zorderCols.map(c => Layouts.bucketN(col(c), col(s"mx_$c"), bits)),
+        bits))
+      .drop(zorderCols.map(c => s"mx_$c"): _*)
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+    commit(s, dir, clustered, append = false, statsCols = zorderCols)
+  }
+
   /** Key-level change-data-capture between two versions: rows whose key
     * appears only in `to` are `insert`s, only in `from` are `delete`s.
     * Two key-hashed anti-joins — the scan side is two manifest-resolved

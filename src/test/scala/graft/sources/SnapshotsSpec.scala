@@ -245,6 +245,38 @@ class SnapshotsSpec extends SparkSpec {
     assert(idsOf(dir, 2) == (1L to 8L))
   }
 
+  test("optimize: z-order rewrite commit with stats; history readable") {
+    val dir = tmpDir("snapopt")
+    import spark.implicits._
+    // two unclustered appends over a 2-D grid
+    val grid = spark.range(4000).select(
+      (col("id") % 64).as("x"), (col("id") / 64).as("y"), col("id").as("v"))
+    Snapshots.commit(spark, dir, grid.filter(col("v") % 2 === 0)
+      .repartition(4), append = false)
+    Snapshots.commit(spark, dir, grid.filter(col("v") % 2 === 1)
+      .repartition(4), append = true)
+    // before optimize: no stats -> a probe reads every file
+    val (_, (rb, tb)) = Snapshots.readPruned(spark, dir, 2, "x", 0L, 7L)
+    assert(rb == tb, "no stats yet, nothing can prune")
+    val v3 = Snapshots.optimize(spark, dir, Seq("x", "y"), numFiles = 8)
+    assert(v3 == 3)
+    // content is a pure reordering
+    val before = Snapshots.read(spark, dir, 2).select("v")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val after = Snapshots.read(spark, dir, 3).select("v")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(after == before, "optimize must not change content")
+    // after optimize: the same probe prunes files from metadata
+    val (pr, (ra, ta)) = Snapshots.readPruned(spark, dir, 3, "x", 0L, 7L)
+    assert(ra < ta, s"stats must prune the clustered layout: $ra/$ta")
+    assert(pr.select("v").collect().map(_.getLong(0)).toSeq.sorted ==
+      grid.filter(col("x") <= 7).select("v")
+        .collect().map(_.getLong(0)).toSeq.sorted)
+    // history: v1/v2 still resolve
+    assert(Snapshots.read(spark, dir, 1).count() == 2000)
+    assert(Snapshots.read(spark, dir, 2).count() == 4000)
+  }
+
   test("diff sees logical rows: appends as inserts, rewrites as empty") {
     val dir = tmpDir("snapdiff")
     Snapshots.commit(spark, dir, df(1 to 10), append = false)
