@@ -247,9 +247,8 @@ object Snapshots {
   private def statsUpTo(s: SparkSession, dir: String, v: Int)
       : Map[String, Seq[(String, String, String, String)]] = {
     val f = fs(s, dir)
-    (1 to v).flatMap { c =>
-      val p = new Path(dir, s"v$c.stats")
-      if (!f.exists(p)) Seq.empty[(String, (String, String, String, String))]
+    def linesOf(p: Path): Seq[(String, (String, String, String, String))] =
+      if (!f.exists(p)) Seq.empty
       else {
         val in = f.open(p)
         val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -259,7 +258,10 @@ object Snapshots {
           (path, (cName, tn, mn, mx))
         }
       }
-    }.groupBy(_._1).map { case (pth, xs) => pth -> xs.map(_._2) }
+    ((1 to v).flatMap(c => linesOf(new Path(dir, s"v$c.stats"))) ++
+      // purge-maintained stats for replacement files (see purge step 2b)
+      linesOf(new Path(dir, "purged.stats")))
+      .groupBy(_._1).map { case (pth, xs) => pth -> xs.map(_._2) }
   }
 
   /** True iff [lo, hi] intersects the stringified [mn, mx] bounds of a
@@ -540,10 +542,14 @@ object Snapshots {
         }
         }
       }.distinct
-    // 2. rewrite each affected file once
+    // 2. rewrite each affected file once. 2b: a replacement file
+    // re-records the stats its original carried (recomputed over the
+    // kept rows — bounds can only tighten), appended to the table-level
+    // purged.stats side-file so pruning stays effective after deletions.
     val stage = new Path(dir, "_purge_stage")
     f.delete(stage, true)
     var rowsDeleted = 0L
+    val newStatLines = scala.collection.mutable.ArrayBuffer.empty[String]
     val replacement: Map[String, Option[String]] = affected.map { rel =>
       val src = new Path(dir, rel).toString
       val before = s.read.parquet(src)
@@ -567,18 +573,53 @@ object Snapshots {
         if (!f.rename(part.get.getPath, dst))
           throw new java.io.IOException(
             s"purge aborted: rename ${part.get.getPath} -> $dst failed")
+        fileStats.get(rel).foreach { cols =>
+          val statCols = cols.filter(c => c._2 != "" &&
+            kept.columns.contains(c._1))
+          if (statCols.nonEmpty) {
+            val aggs = statCols.flatMap { case (c, _, _, _) => Seq(
+              min(col(c)).cast("string").as(s"mn_$c"),
+              max(col(c)).cast("string").as(s"mx_$c")) }
+            val r = s.read.parquet(dst.toString)
+              .agg(aggs.head, aggs.tail: _*).head()
+            statCols.zipWithIndex.foreach { case ((c, tn, _, _), i) =>
+              val mn = r.getString(2 * i); val mx = r.getString(2 * i + 1)
+              if (mn != null && mx != null)
+                newStatLines += Seq(s"data/$name", c, tn, mn, mx)
+                  .mkString("\u0001")
+            }
+          }
+        }
         rel -> Some(s"data/$name")
       }
     }.toMap
     // 3. republish every live manifest with affected paths remapped
+    val liveAfter = scala.collection.mutable.Set.empty[String]
     liveVs.foreach { v =>
       val mapped = perVersion(v).flatMap(p =>
         replacement.get(p) match {
           case None => Some(p)        // untouched file
           case Some(opt) => opt       // rewritten (Some) or emptied (None)
         })
+      liveAfter ++= mapped
       f.delete(manifest(dir, v), false)
       writeManifest(f, dir, v, mapped)
+    }
+    // 3b. merge replacement stats into purged.stats, dropping lines for
+    // paths no live manifest references anymore (bounds the file)
+    if (newStatLines.nonEmpty || f.exists(new Path(dir, "purged.stats"))) {
+      val pp = new Path(dir, "purged.stats")
+      val existing = if (!f.exists(pp)) Seq.empty[String] else {
+        val in = f.open(pp)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        txt.split('\n').toSeq.filter(_.contains('\u0001'))
+      }
+      val merged = (existing.filter(l =>
+        liveAfter.contains(l.split('\u0001').head)) ++ newStatLines)
+      val o = f.create(pp, true)
+      try o.write(merged.mkString("\n").getBytes("UTF-8"))
+      finally o.close()
     }
     // 4. drop originals last
     affected.foreach(p => f.delete(new Path(dir, p), false))

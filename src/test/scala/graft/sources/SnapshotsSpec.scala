@@ -184,10 +184,15 @@ class SnapshotsSpec extends SparkSpec {
       Seq(25L).toDF("id"), Seq("id"))
     assert(nf == 1 && nd == 1)
     assert(idsOf(dir, 3) == (1L to 30L).filterNot(_ == 25L))
-    // the replacement file has no stats -> conservatively read
+    // the replacement re-records its original's stats over the kept rows,
+    // so pruning stays effective after the purge: [2,3] hits only v1's file
     val (_, (r3, t3)) = Snapshots.readPruned(spark, dir, 3, "id", 2L, 3L)
-    assert(t3 == 3 && r3 == 2,
-      s"v1 file by stats + statless purged replacement, got $r3/$t3")
+    assert(t3 == 3 && r3 == 1,
+      s"purged replacement must carry recomputed stats, got $r3/$t3")
+    // and a probe into the purged file's range still resolves it
+    val (p4, (r4, _)) = Snapshots.readPruned(spark, dir, 3, "id", 24L, 26L)
+    assert(r4 == 1 && p4.select("id").collect().map(_.getLong(0)).toSeq
+      .sorted == Seq(24L, 26L))
   }
 
   test("concurrent appends serialize through the version-claim protocol") {

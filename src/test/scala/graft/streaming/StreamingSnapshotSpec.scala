@@ -49,4 +49,32 @@ class StreamingSnapshotSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
     assert(cdc == (9L to 12L).map(("insert", _)), s"cdc: $cdc")
   }
+
+  test("streaming commits with statsCols prune like batch commits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("stream-snap-stats")
+    // key-ranged micro-batches (the landing pattern of a time- or
+    // id-ordered feed): each batch's file records its own id bounds
+    val batches = Seq((1L to 100L), (101L to 200L), (201L to 300L))
+      .map(_.map(i => DocRow(i, s"r$i")))
+    val src = MemoryStream[DocRow]
+    val q = src.toDF().writeStream.foreachBatch {
+      (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        Snapshots.commit(spark, dir, b.coalesce(1),
+          append = Snapshots.latestVersion(spark, dir) > 0,
+          statsCols = Seq("id"))
+        ()
+    }.start()
+    try {
+      batches.foreach { g => src.addData(g: _*); q.processAllAvailable() }
+    } finally q.stop()
+    // a point-ish probe opens only the one file whose range contains it
+    val (probe, (nRead, nTotal)) =
+      Snapshots.readPruned(spark, dir, 3, "id", 150L, 160L)
+    assert(nTotal == 3 && nRead == 1,
+      s"streamed stats must prune to the matching batch file: $nRead/$nTotal")
+    assert(probe.select("id").collect().map(_.getLong(0)).toSeq.sorted ==
+      (150L to 160L))
+  }
 }
