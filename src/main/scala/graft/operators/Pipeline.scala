@@ -539,8 +539,7 @@ object Pipeline extends QueryPack {
     // O(diameter) rounds, and the split itself stays a pure projection.
     "p12_leakage_safe_split" -> ((s, d) => {
       val docs = T.documents(s, d)
-      val pairs = Dedup.jaccardPairsOf(docs)
-        .select(col("doc_a"), col("doc_b"))
+      val pairs = Dedup.pairsSideFile(s, d)
       val comp = Dedup.dupClusters(s, pairs, Formats.ioDir(d, "p12_labels"))
         .select(col("id").as("doc_id"), col("comp"))
       val rep = docs.select(col("doc_id"))
