@@ -546,6 +546,55 @@ object Formats extends QueryPack {
           col("absent_all_versions"))
     }),
 
+    // Merge-on-read deletion vectors (f26): documents land as two
+    // snapshot commits; deleteWhere(doc_id % 13 = 0) then publishes v3 as
+    // the SAME data files plus a (file, row_index) deletion vector — the
+    // cheap-delete path: one filtered scan and a positions write, no
+    // rewrite, reads anti-join the vector. optimize afterwards
+    // MATERIALIZES the vector into a DV-free clustered v4 (the
+    // delete-compaction step). Verdict: the v3 count + content checksum
+    // are oracle-recomputed from source minus the deleted keys,
+    // n_deleted from the delete's own stats, history_intact pins that
+    // pre-delete v2 still resolves every row, and materialized_equal
+    // pins v4 ≡ v3 content.
+    "f26_deletion_vectors" -> ((s, d) => {
+      val out = ioDir(d, "f26")
+      val metaDir = ioDir(d, "f26_meta")
+      writeOnce(s, out, alsoRequire =
+          graft.sources.Snapshots.latestVersion(s, out) == 4) {
+        val root = new org.apache.hadoop.fs.Path(out)
+        val fsys = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fsys.delete(root, true)
+        val docs = T.documents(s, d)
+        val hot = col("source").isin("src0", "src1", "src2")
+        graft.sources.Snapshots.commit(s, out, docs.filter(hot),
+          append = false)
+        graft.sources.Snapshots.commit(s, out, docs.filter(!hot),
+          append = true)
+        val (_, nDel) = graft.sources.Snapshots.deleteWhere(s, out,
+          pmod(col("doc_id"), lit(13)) === 0)
+        graft.sources.Snapshots.optimize(s, out, Seq("doc_id"))
+        import s.implicits._
+        Seq(nDel).toDF("rows_deleted")
+          .coalesce(1).write.mode("overwrite").parquet(metaDir)
+        ()
+      }
+      val v3 = docSums(graft.sources.Snapshots.read(s, out, 3))
+        .select(col("n").as("n_rows"), col("h").as("content_sum"))
+      val v4 = docSums(graft.sources.Snapshots.read(s, out, 4))
+        .select(col("n").as("n4"), col("h").as("h4"))
+      val v2n = graft.sources.Snapshots.read(s, out, 2)
+        .agg(count(lit(1)).as("n2"))
+      val total = T.documents(s, d).agg(count(lit(1)).as("nt"))
+      v3.crossJoin(v4).crossJoin(v2n).crossJoin(total)
+        .crossJoin(s.read.parquet(metaDir))
+        .select(col("n_rows"), col("content_sum"),
+          col("rows_deleted").cast("long").as("n_deleted"),
+          (col("n2") === col("nt")).as("history_intact"),
+          (col("n4") === col("n_rows") && col("h4") === col("content_sum"))
+            .as("materialized_equal"))
+    }),
+
     // OPTIMIZE ZORDER as a snapshot rewrite commit (f25): orders land as
     // two unclustered appends, then Snapshots.optimize reorders the
     // latest version along the 2-D Morton curve of (o_custkey,
@@ -923,6 +972,21 @@ object Formats extends QueryPack {
              TRUE AS v2_ok,
              TRUE AS two_versions
       FROM documents""",
+    // f26: the post-delete count + checksum recomputed from the source
+    // table minus the deleted keys; MoR/materialization guarantees
+    // pinned TRUE
+    "f26_deletion_vectors" -> """
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(('0x' || substr(md5(
+               CAST(doc_id AS VARCHAR) || chr(1) || text || chr(1) ||
+               lang || chr(1) || source || chr(1) ||
+               CAST(n_chars AS VARCHAR)), 1, 8)) AS BIGINT)) AS BIGINT)
+               AS content_sum,
+             CAST((SELECT count(*) FROM documents WHERE doc_id % 13 = 0)
+               AS BIGINT) AS n_deleted,
+             TRUE AS history_intact,
+             TRUE AS materialized_equal
+      FROM documents WHERE doc_id % 13 <> 0""",
     // f25: full + probed aggregates recomputed from the source table
     // (optimize must be a pure reordering); the layout/history
     // guarantees pinned TRUE

@@ -298,7 +298,10 @@ object Snapshots {
     val df0 =
       if (keep.isEmpty)
         s.read.parquet(new Path(dir, fset.head).toString).limit(0)
-      else s.read.parquet(keep.map(p => new Path(dir, p).toString): _*)
+      else {
+        val base = s.read.parquet(keep.map(p => new Path(dir, p).toString): _*)
+        if (hasDv(s, dir, v)) applyDv(s, dir, v, withMeta(base)) else base
+      }
     import org.apache.spark.sql.functions.col
     val df = df0.filter(col(keyCol) >= lo && col(keyCol) <= hi)
     (df, (keep.size, fset.size))
@@ -362,6 +365,7 @@ object Snapshots {
   def readEvolved(s: SparkSession, dir: String, v: Int): DataFrame = {
     import org.apache.spark.sql.functions.col
     val fset = files(s, dir, v)
+    val dv = hasDv(s, dir, v)
     val byCommit: Map[Int, Seq[String]] = fset.groupBy {
       case FileCommit(c) => c.toInt
       case other => throw new IllegalStateException(
@@ -369,7 +373,10 @@ object Snapshots {
     }
     val chain = (1 to v).map(c => c -> renamesOf(s, dir, c)).toMap
     val frames = byCommit.toSeq.sortBy(_._1).map { case (c, paths) =>
-      var df = s.read.parquet(paths.map(p => new Path(dir, p).toString): _*)
+      val base = s.read.parquet(paths.map(p => new Path(dir, p).toString): _*)
+      // position metadata rides each vintage scan so a deletion vector
+      // can be applied after the union (renames never touch _fp/_ri)
+      var df = if (dv) withMeta(base) else base
       for (later <- (c + 1) to v; (o, n) <- chain(later))
         if (df.columns.contains(o)) df = df.withColumnRenamed(o, n)
       df
@@ -379,7 +386,8 @@ object Snapshots {
         n -> fs.map(_.dataType).reduce(widen) }
     val casted = frames.map { f =>
       f.select(f.columns.toSeq.map(c => col(c).cast(target(c)).as(c)): _*) }
-    casted.reduce(_.unionByName(_, allowMissingColumns = true))
+    val union = casted.reduce(_.unionByName(_, allowMissingColumns = true))
+    if (dv) applyDv(s, dir, v, union) else union
   }
 
   /** Write manifest vN atomically (temp name + checked rename). */
@@ -395,10 +403,86 @@ object Snapshots {
         s"snapshot commit aborted: manifest rename for v$v returned false")
   }
 
-  /** Scan exactly version `v`'s file set. */
+  // ---- deletion vectors (merge-on-read deletes) ---------------------------
+
+  private def dvDir(dir: String, v: Int) = new Path(dir, s"dv/v$v")
+
+  /** The (file_path, row_index) positions deleted as of version `v`, or
+    * None if the version carries no deletion vector. */
+  private def dvFrame(s: SparkSession, dir: String, v: Int)
+      : Option[DataFrame] = {
+    val p = dvDir(dir, v)
+    if (fs(s, dir).exists(p)) Some(s.read.parquet(p.toString)) else None
+  }
+
+  private[sources] def hasDv(s: SparkSession, dir: String, v: Int): Boolean =
+    fs(s, dir).exists(dvDir(dir, v))
+
+  /** Anti-join `df` (which must expose `_fp`/`_ri` hidden-metadata
+    * columns) against version `v`'s deletion vector, if any. */
+  private def applyDv(s: SparkSession, dir: String, v: Int,
+      df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    dvFrame(s, dir, v) match {
+      case None => df.drop("_fp", "_ri")
+      case Some(dv) =>
+        df.join(dv.select(col("file_path").as("_fp"),
+            col("row_index").as("_ri")), Seq("_fp", "_ri"), "left_anti")
+          .drop("_fp", "_ri")
+    }
+  }
+
+  private def withMeta(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn("_fp", col("_metadata.file_path"))
+      .withColumn("_ri", col("_metadata.row_index"))
+  }
+
+  /** MERGE-ON-READ delete: rows matching `cond` in the latest version are
+    * recorded as (file, row_index) positions in a deletion vector and a
+    * new version is published referencing the SAME data files plus the
+    * vector — no data file is rewritten, so a delete over a 100 TB table
+    * costs one filtered scan and a positions write, not a rewrite. Reads
+    * of the new version anti-join the vector (AQE broadcasts it while it
+    * is small); prior versions are untouched and still resolve the rows.
+    * [[optimize]] MATERIALIZES the vector (its rewrite reads through the
+    * DV), publishing a DV-free clustered version — the delete-compaction
+    * step; [[purge]] is the physical compliance path and requires a
+    * DV-free live set (materialize first), because a rewritten file's row
+    * indexes would invalidate vector positions and resurrect rows.
+    *
+    * @return (newVersion, rowsDeleted) */
+  def deleteWhere(s: SparkSession, dir: String,
+      cond: org.apache.spark.sql.Column): (Int, Long) = {
+    import org.apache.spark.sql.functions.col
+    val f = fs(s, dir)
+    val latest = latestVersion(s, dir)
+    require(latest >= 1, s"deleteWhere: no versions at $dir")
+    val fset = files(s, dir, latest)
+    val scan = withMeta(
+      s.read.parquet(fset.map(p => new Path(dir, p).toString): _*))
+    val hits0 = scan.filter(cond)
+      .select(col("_fp").as("file_path"), col("_ri").as("row_index"))
+    // already-deleted rows must not re-count
+    val prev = dvFrame(s, dir, latest)
+    val hits = prev.map(p => hits0.join(p, Seq("file_path", "row_index"),
+      "left_anti")).getOrElse(hits0)
+    val v = claimVersion(f, dir)
+    try {
+      val union = prev.map(_.unionByName(hits)).getOrElse(hits)
+      union.write.mode("overwrite").parquet(dvDir(dir, v).toString)
+      val n = s.read.parquet(dvDir(dir, v).toString).count() -
+        prev.map(_.count()).getOrElse(0L)
+      writeManifest(f, dir, v, fset)
+      (v, n)
+    } finally { f.delete(new Path(dir, s"v$v.claim"), false); () }
+  }
+
+  /** Scan exactly version `v`'s file set, minus any deletion vector. */
   def read(s: SparkSession, dir: String, v: Int): DataFrame = {
     val paths = files(s, dir, v).map(p => new Path(dir, p).toString)
-    s.read.parquet(paths: _*)
+    val base = s.read.parquet(paths: _*)
+    if (hasDv(s, dir, v)) applyDv(s, dir, v, withMeta(base)) else base
   }
 
   /** Retention: delete data files referenced ONLY by versions older than
@@ -421,7 +505,10 @@ object Snapshots {
     val old = oldVs.flatMap(files(s, dir, _)).toSet
     val dead = (old -- retained).toSeq.sorted
     dead.foreach(p => f.delete(new Path(dir, p), false))
-    oldVs.foreach(v => f.delete(manifest(dir, v), false))
+    oldVs.foreach { v =>
+      f.delete(manifest(dir, v), false)
+      f.delete(dvDir(dir, v), true) // a dropped version's deletion vector
+    }
     (dead.size, oldVs.size)
   }
 
@@ -467,6 +554,16 @@ object Snapshots {
     val latest = latestVersion(s, dir)
     require(latest >= 1, s"purge: no versions at $dir")
     val liveVs = (1 to latest).filter(v => f.exists(manifest(dir, v)))
+    // a rewritten file's row indexes would invalidate deletion-vector
+    // positions and RESURRECT logically-deleted rows — materialize DVs
+    // (optimize) and vacuum DV-carrying history before a physical purge
+    liveVs.filter(hasDv(s, dir, _)) match {
+      case Seq() =>
+      case vs => throw new IllegalStateException(
+        s"purge requires a DV-free live set; versions ${vs.mkString(",")} " +
+          "carry deletion vectors — run optimize to materialize them and " +
+          "vacuum the DV-carrying versions first")
+    }
     val perVersion = liveVs.map(v => v -> files(s, dir, v)).toMap
     val allFiles = perVersion.values.flatten.toSeq.distinct
     val tombKeys = tombstones.select(keyCols.map(col): _*).distinct()

@@ -282,6 +282,56 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, dir, 2).count() == 4000)
   }
 
+  test("deletion vectors: merge-on-read delete, materialize, purge gate") {
+    val dir = tmpDir("snapdv")
+    import spark.implicits._
+    Snapshots.commit(spark, dir, df(1 to 10).repartition(2), append = false)
+    Snapshots.commit(spark, dir, df(11 to 20).repartition(2), append = true)
+    def dataFiles(): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(dir, "data")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listStatus(p).map(_.getPath.getName).toSet
+    }
+    val filesBefore = dataFiles()
+
+    // MoR delete: no data file touched, new version hides the rows
+    val (v3, n3) = Snapshots.deleteWhere(spark, dir, col("id") % 5 === 0)
+    assert(v3 == 3 && n3 == 4, s"v=$v3 n=$n3")
+    assert(dataFiles() == filesBefore, "MoR delete must rewrite nothing")
+    assert(idsOf(dir, 3) == (1L to 20L).filterNot(_ % 5 == 0))
+    // prior version untouched
+    assert(idsOf(dir, 2) == (1L to 20L))
+    // readEvolved and readPruned see through the vector too
+    assert(Snapshots.readEvolved(spark, dir, 3).count() == 16)
+
+    // cumulative second delete; re-deleting counts nothing
+    val (v4, n4) = Snapshots.deleteWhere(spark, dir,
+      col("id") % 5 === 0 || col("id") === 1)
+    assert(v4 == 4 && n4 == 1, s"re-deletes must not recount: n=$n4")
+    assert(idsOf(dir, 4) ==
+      (2L to 20L).filterNot(_ % 5 == 0))
+
+    // purge refuses while DVs are live
+    val e = intercept[IllegalStateException] {
+      Snapshots.purge(spark, dir, Seq(7L).toDF("id"), Seq("id"))
+    }
+    assert(e.getMessage.contains("deletion vectors"))
+
+    // optimize materializes: DV-free version, same logical content
+    val v5 = Snapshots.optimize(spark, dir, Seq("id"))
+    assert(!Snapshots.hasDv(spark, dir, v5))
+    assert(idsOf(dir, 5) == (2L to 20L).filterNot(_ % 5 == 0))
+
+    // vacuum drops DV-carrying history (and their vectors), then purge
+    // works physically
+    Snapshots.vacuum(spark, dir, keep = 1)
+    val (nf, _, nd) = Snapshots.purge(spark, dir, Seq(7L).toDF("id"),
+      Seq("id"))
+    assert(nd == 1)
+    assert(idsOf(dir, 5) ==
+      (2L to 20L).filterNot(i => i % 5 == 0 || i == 7L))
+  }
+
   test("diff sees logical rows: appends as inserts, rewrites as empty") {
     val dir = tmpDir("snapdiff")
     Snapshots.commit(spark, dir, df(1 to 10), append = false)
