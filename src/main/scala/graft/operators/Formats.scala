@@ -546,6 +546,55 @@ object Formats extends QueryPack {
           col("absent_all_versions"))
     }),
 
+    // MERGE INTO / upsert (f27): a change batch against the two-commit
+    // documents snapshot table — every doc_id % 11 = 0 row updated
+    // (n_chars + 1000) and every doc_id % 17 = 0 row cloned in under an
+    // offset key — lands in ONE published version via Snapshots.upsert:
+    // matched positions join the deletion vector, the batch appends as
+    // fresh files, no matched file is rewritten. Verdict: the merged
+    // count + content checksum oracle-recomputed by replaying the merge
+    // in SQL over the source table, the replaced count from the upsert's
+    // stats, pre-merge history intact, and the whole merge = exactly one
+    // version.
+    "f27_upsert" -> ((s, d) => {
+      val out = ioDir(d, "f27")
+      val metaDir = ioDir(d, "f27_meta")
+      writeOnce(s, out, alsoRequire =
+          graft.sources.Snapshots.latestVersion(s, out) == 3) {
+        val root = new org.apache.hadoop.fs.Path(out)
+        val fsys = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fsys.delete(root, true)
+        val docs = T.documents(s, d)
+        val hot = col("source").isin("src0", "src1", "src2")
+        graft.sources.Snapshots.commit(s, out, docs.filter(hot),
+          append = false)
+        graft.sources.Snapshots.commit(s, out, docs.filter(!hot),
+          append = true)
+        val updates = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+          .withColumn("n_chars", col("n_chars") + lit(1000L))
+        val inserts = docs.filter(pmod(col("doc_id"), lit(17)) === 0)
+          .withColumn("doc_id", col("doc_id") + lit(100000000L))
+        val (_, nRep) = graft.sources.Snapshots.upsert(s, out,
+          updates.unionByName(inserts), Seq("doc_id"))
+        import s.implicits._
+        Seq(nRep).toDF("rows_replaced")
+          .coalesce(1).write.mode("overwrite").parquet(metaDir)
+        ()
+      }
+      val latest = docSums(graft.sources.Snapshots.read(s, out, 3))
+        .select(col("n").as("n_rows"), col("h").as("content_sum"))
+      val v2n = graft.sources.Snapshots.read(s, out, 2)
+        .agg(count(lit(1)).as("n2"))
+      val total = T.documents(s, d).agg(count(lit(1)).as("nt"))
+      latest.crossJoin(v2n).crossJoin(total)
+        .crossJoin(s.read.parquet(metaDir))
+        .select(col("n_rows"), col("content_sum"),
+          col("rows_replaced").cast("long").as("n_replaced"),
+          (col("n2") === col("nt")).as("history_intact"),
+          lit(graft.sources.Snapshots.latestVersion(s, out) == 3)
+            .as("one_version"))
+    }),
+
     // Merge-on-read deletion vectors (f26): documents land as two
     // snapshot commits; deleteWhere(doc_id % 13 = 0) then publishes v3 as
     // the SAME data files plus a (file, row_index) deletion vector — the
@@ -972,6 +1021,28 @@ object Formats extends QueryPack {
              TRUE AS v2_ok,
              TRUE AS two_versions
       FROM documents""",
+    // f27: the merge replayed in SQL over the source table — updated
+    // rows with their new n_chars, offset-keyed clones as inserts
+    "f27_upsert" -> """
+      WITH merged AS (
+        SELECT doc_id, text, lang, source,
+               CASE WHEN doc_id % 11 = 0 THEN n_chars + 1000
+                    ELSE n_chars END AS n_chars
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 100000000 AS doc_id, text, lang, source, n_chars
+        FROM documents WHERE doc_id % 17 = 0)
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(('0x' || substr(md5(
+               CAST(doc_id AS VARCHAR) || chr(1) || text || chr(1) ||
+               lang || chr(1) || source || chr(1) ||
+               CAST(n_chars AS VARCHAR)), 1, 8)) AS BIGINT)) AS BIGINT)
+               AS content_sum,
+             CAST((SELECT count(*) FROM documents WHERE doc_id % 11 = 0)
+               AS BIGINT) AS n_replaced,
+             TRUE AS history_intact,
+             TRUE AS one_version
+      FROM merged""",
     // f26: the post-delete count + checksum recomputed from the source
     // table minus the deleted keys; MoR/materialization guarantees
     // pinned TRUE

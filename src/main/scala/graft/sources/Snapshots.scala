@@ -158,10 +158,13 @@ object Snapshots {
     -1 // unreachable
   }
 
-  private def commitClaimed(s: SparkSession, f: FileSystem, dir: String,
-      df: DataFrame, append: Boolean, renames: Map[String, String],
-      statsCols: Seq[String], v: Int): Int = {
-    val prev = v - 1
+  /** Stage `df` as parquet, move the part files into data/ under
+    * `vN-i-` names (every rename checked; partial moves cleaned up on
+    * failure), and compute per-file stats lines for `statsCols`.
+    * Shared by [[commit]] and [[upsert]]. Returns (movedPaths, statLines). */
+  private def stageAndMove(s: SparkSession, f: FileSystem, dir: String,
+      df: DataFrame, statsCols: Seq[String], v: Int)
+      : (Seq[String], Seq[String]) = {
     val stage = new Path(dir, s"_stage_v$v")
     f.delete(stage, true)
     df.write.parquet(stage.toString)
@@ -169,9 +172,9 @@ object Snapshots {
     f.mkdirs(dataDir)
     // every rename is checked (HDFS rename returns false on failure rather
     // than throwing): a silently failed move would publish a manifest whose
-    // file set does not exist. On any failure the commit aborts BEFORE the
-    // manifest is written, so the previous version stays latest and the
-    // partially-moved files are cleaned back out of data/.
+    // file set does not exist. On any failure the caller's commit aborts
+    // BEFORE the manifest is written, so the previous version stays latest
+    // and the partially-moved files are cleaned back out of data/.
     val staged = f.listStatus(stage).toSeq
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
     // per-staged-file min/max BEFORE the moves (one metadata-size
@@ -225,6 +228,22 @@ object Snapshots {
         throw e
     }
     f.delete(stage, true)
+    (moved.toSeq, statLines.toSeq)
+  }
+
+  private def writeStatLines(f: FileSystem, dir: String, v: Int,
+      statLines: Seq[String]): Unit =
+    if (statLines.nonEmpty) {
+      val o = f.create(new Path(dir, s"v$v.stats"), true)
+      try o.write(statLines.mkString("\n").getBytes("UTF-8"))
+      finally o.close()
+    }
+
+  private def commitClaimed(s: SparkSession, f: FileSystem, dir: String,
+      df: DataFrame, append: Boolean, renames: Map[String, String],
+      statsCols: Seq[String], v: Int): Int = {
+    val prev = v - 1
+    val (moved, statLines) = stageAndMove(s, f, dir, df, statsCols, v)
     val carried = if (append && prev > 0) files(s, dir, prev) else Seq.empty
     writeManifest(f, dir, v, carried ++ moved)
     if (renames.nonEmpty) {
@@ -233,11 +252,7 @@ object Snapshots {
       val o = f.create(new Path(dir, s"v$v.renames"), true)
       try o.write(body.getBytes("UTF-8")) finally o.close()
     }
-    if (statLines.nonEmpty) {
-      val o = f.create(new Path(dir, s"v$v.stats"), true)
-      try o.write(statLines.mkString("\n").getBytes("UTF-8"))
-      finally o.close()
-    }
+    writeStatLines(f, dir, v, statLines)
     v
   }
 
@@ -475,6 +490,52 @@ object Snapshots {
         prev.map(_.count()).getOrElse(0L)
       writeManifest(f, dir, v, fset)
       (v, n)
+    } finally { f.delete(new Path(dir, s"v$v.claim"), false); () }
+  }
+
+  /** MERGE INTO (upsert) in ONE published version: rows of `src` whose
+    * key matches a live row REPLACE it (the old position joins the
+    * deletion vector), and every `src` row lands in fresh files appended
+    * to the carried file set — so an upsert over a 100 TB table costs a
+    * key-join scan, a positions write, and the size of `src`, never a
+    * rewrite of matched files. `src` must have the table's schema and
+    * unique keys (the standard MERGE source constraint — duplicate
+    * source keys would make the result order-dependent).
+    * [[optimize]] later materializes the vector as usual.
+    *
+    * @return (newVersion, rowsReplaced) */
+  def upsert(s: SparkSession, dir: String, src: DataFrame,
+      keyCols: Seq[String], statsCols: Seq[String] = Seq.empty)
+      : (Int, Long) = {
+    import org.apache.spark.sql.functions.col
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    val f = fs(s, dir)
+    val latest = latestVersion(s, dir)
+    require(latest >= 1, s"upsert: no versions at $dir")
+    val srcKeys = src.select(keyCols.map(col): _*)
+    require(srcKeys.distinct().count() == src.count(),
+      "upsert source must have unique keys")
+    val fset = files(s, dir, latest)
+    val raw = withMeta(
+      s.read.parquet(fset.map(p => new Path(dir, p).toString): _*))
+    val prev = dvFrame(s, dir, latest)
+    // only LIVE rows can match — an already-deleted position must not
+    // re-enter the vector (it would distort the replaced count)
+    val live = prev.map(p => raw.join(
+        p.select(col("file_path").as("_fp"), col("row_index").as("_ri")),
+        Seq("_fp", "_ri"), "left_anti")).getOrElse(raw)
+    val matched = live.join(srcKeys.distinct(), keyCols, "left_semi")
+      .select(col("_fp").as("file_path"), col("_ri").as("row_index"))
+    val v = claimVersion(f, dir)
+    try {
+      val union = prev.map(_.unionByName(matched)).getOrElse(matched)
+      union.write.mode("overwrite").parquet(dvDir(dir, v).toString)
+      val nReplaced = s.read.parquet(dvDir(dir, v).toString).count() -
+        prev.map(_.count()).getOrElse(0L)
+      val (moved, statLines) = stageAndMove(s, f, dir, src, statsCols, v)
+      writeManifest(f, dir, v, fset ++ moved)
+      writeStatLines(f, dir, v, statLines)
+      (v, nReplaced)
     } finally { f.delete(new Path(dir, s"v$v.claim"), false); () }
   }
 

@@ -332,6 +332,48 @@ class SnapshotsSpec extends SparkSpec {
       (2L to 20L).filterNot(i => i % 5 == 0 || i == 7L))
   }
 
+  test("upsert: one version replaces matched keys and appends the rest") {
+    val dir = tmpDir("snapup")
+    import spark.implicits._
+    Snapshots.commit(spark, dir, df(1 to 10).repartition(2), append = false)
+    def rows(v: Int): Seq[(Long, String)] =
+      Snapshots.read(spark, dir, v).select("id", "payload")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+
+    // 3 updates + 2 inserts, one MERGE
+    val src = Seq((3L, "NEW3"), (7L, "NEW7"), (9L, "NEW9"),
+      (21L, "row21"), (22L, "row22")).toDF("id", "payload")
+    val (v2, replaced) = Snapshots.upsert(spark, dir, src, Seq("id"))
+    assert(v2 == 2 && replaced == 3, s"v=$v2 replaced=$replaced")
+    val want = ((1 to 10).filterNot(Set(3, 7, 9))
+      .map(i => (i.toLong, s"row$i")) ++
+      Seq((3L, "NEW3"), (7L, "NEW7"), (9L, "NEW9"),
+        (21L, "row21"), (22L, "row22"))).sortBy(_._1)
+    assert(rows(2) == want)
+    // pre-merge version unchanged
+    assert(rows(1) == (1 to 10).map(i => (i.toLong, s"row$i")))
+
+    // a second upsert updates a row the FIRST upsert inserted (its
+    // position lives in a v2 file) and re-updates an old key
+    val (v3, r3) = Snapshots.upsert(spark, dir,
+      Seq((21L, "NEWER21"), (3L, "NEWER3")).toDF("id", "payload"),
+      Seq("id"))
+    assert(v3 == 3 && r3 == 2)
+    assert(rows(3).toMap.get(21L).contains("NEWER21"))
+    assert(rows(3).toMap.get(3L).contains("NEWER3"))
+    assert(rows(3).size == 12)
+
+    // duplicate source keys are rejected
+    intercept[IllegalArgumentException] {
+      Snapshots.upsert(spark, dir,
+        Seq((1L, "a"), (1L, "b")).toDF("id", "payload"), Seq("id"))
+    }
+    // materialize: optimize produces the same logical content, DV-free
+    val v4 = Snapshots.optimize(spark, dir, Seq("id"))
+    assert(!Snapshots.hasDv(spark, dir, v4))
+    assert(rows(v4) == rows(3))
+  }
+
   test("diff sees logical rows: appends as inserts, rewrites as empty") {
     val dir = tmpDir("snapdiff")
     Snapshots.commit(spark, dir, df(1 to 10), append = false)
