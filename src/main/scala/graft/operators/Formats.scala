@@ -548,8 +548,8 @@ object Formats extends QueryPack {
 
     // MERGE INTO / upsert (f27): a change batch against the two-commit
     // documents snapshot table — every doc_id % 11 = 0 row updated
-    // (n_chars + 1000) and every doc_id % 17 = 0 row cloned in under an
-    // offset key — lands in ONE published version via Snapshots.upsert:
+    // (n_chars + 1000) and every doc_id % 17 = 0 row cloned in under a
+    // collision-free offset key (1e12 clears any stress-replica id space) — lands in ONE published version via Snapshots.upsert:
     // matched positions join the deletion vector, the batch appends as
     // fresh files, no matched file is rewritten. Verdict: the merged
     // count + content checksum oracle-recomputed by replaying the merge
@@ -573,7 +573,7 @@ object Formats extends QueryPack {
         val updates = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
           .withColumn("n_chars", col("n_chars") + lit(1000L))
         val inserts = docs.filter(pmod(col("doc_id"), lit(17)) === 0)
-          .withColumn("doc_id", col("doc_id") + lit(100000000L))
+          .withColumn("doc_id", col("doc_id") + lit(1000000000000L))
         val (_, nRep) = graft.sources.Snapshots.upsert(s, out,
           updates.unionByName(inserts), Seq("doc_id"))
         import s.implicits._
@@ -1030,7 +1030,7 @@ object Formats extends QueryPack {
                     ELSE n_chars END AS n_chars
         FROM documents
         UNION ALL
-        SELECT doc_id + 100000000 AS doc_id, text, lang, source, n_chars
+        SELECT doc_id + 1000000000000 AS doc_id, text, lang, source, n_chars
         FROM documents WHERE doc_id % 17 = 0)
       SELECT CAST(count(*) AS BIGINT) AS n_rows,
              CAST(sum(CAST(('0x' || substr(md5(
