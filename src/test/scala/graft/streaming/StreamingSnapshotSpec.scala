@@ -50,6 +50,38 @@ class StreamingSnapshotSpec extends SparkSpec {
     assert(cdc == (9L to 12L).map(("insert", _)), s"cdc: $cdc")
   }
 
+  test("streaming CDC apply: per-micro-batch upsert, last writer wins") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("stream-snap-upsert")
+    Snapshots.commit(spark, dir,
+      (1L to 10L).map(i => DocRow(i, s"base$i")).toDF("id", "payload"),
+      append = false)
+    // a change feed: each micro-batch updates some keys and inserts others
+    val batches = Seq(
+      Seq(DocRow(3, "u3a"), DocRow(11, "i11")),
+      Seq(DocRow(3, "u3b"), DocRow(7, "u7"), DocRow(12, "i12")))
+    val src = MemoryStream[DocRow]
+    val q = src.toDF().writeStream.foreachBatch {
+      (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        Snapshots.upsert(spark, dir, b, Seq("id")); ()
+    }.start()
+    try {
+      batches.foreach { g => src.addData(g: _*); q.processAllAvailable() }
+    } finally q.stop()
+    assert(Snapshots.latestVersion(spark, dir) == 3)
+    val got = Snapshots.read(spark, dir, 3).select("id", "payload")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+    val want = ((1L to 10L).filterNot(Set(3L, 7L))
+      .map(i => (i, s"base$i")) ++
+      Seq((3L, "u3b"), (7L, "u7"), (11L, "i11"), (12L, "i12"))).sortBy(_._1)
+    assert(got == want, "the LAST batch's value must win per key")
+    // mid-feed time travel still exact
+    assert(Snapshots.read(spark, dir, 2).select("id", "payload")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      .get(3L).contains("u3a"))
+  }
+
   test("streaming commits with statsCols prune like batch commits") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
