@@ -539,6 +539,31 @@ object Snapshots {
     } finally { f.delete(new Path(dir, s"v$v.claim"), false); () }
   }
 
+  /** `TIMESTAMP AS OF`: the largest version whose manifest was published
+    * at or before `tsMillis` (manifest modification time — the manifest
+    * rename IS the commit instant). Metadata-only: one directory
+    * listing, no data touched. Returns 0 if nothing was committed yet at
+    * that time (or the versions before it were vacuumed). */
+  def versionAsOf(s: SparkSession, dir: String, tsMillis: Long): Int = {
+    val f = fs(s, dir)
+    val root = new Path(dir)
+    if (!f.exists(root)) 0
+    else f.listStatus(root).toSeq
+      .flatMap(st => st.getPath.getName match {
+        case ManifestName(n) if st.getModificationTime <= tsMillis =>
+          Some(n.toInt)
+        case _ => None
+      }).maxOption.getOrElse(0)
+  }
+
+  /** [[read]] at the version live at `tsMillis` (see [[versionAsOf]]). */
+  def readAsOf(s: SparkSession, dir: String, tsMillis: Long): DataFrame = {
+    val v = versionAsOf(s, dir, tsMillis)
+    require(v >= 1,
+      s"readAsOf: no version existed at $tsMillis (or it was vacuumed)")
+    read(s, dir, v)
+  }
+
   /** Scan exactly version `v`'s file set, minus any deletion vector. */
   def read(s: SparkSession, dir: String, v: Int): DataFrame = {
     val paths = files(s, dir, v).map(p => new Path(dir, p).toString)

@@ -374,6 +374,56 @@ class SnapshotsSpec extends SparkSpec {
     assert(rows(v4) == rows(3))
   }
 
+  test("timestamp time travel resolves the version live at that instant") {
+    val dir = tmpDir("snapts")
+    Snapshots.commit(spark, dir, df(1 to 5).coalesce(1), append = false)
+    val afterV1 = System.currentTimeMillis()
+    Thread.sleep(1100) // local-FS mtime granularity can be one second
+    Snapshots.commit(spark, dir, df(6 to 9).coalesce(1), append = true)
+    val afterV2 = System.currentTimeMillis()
+    assert(Snapshots.versionAsOf(spark, dir, afterV1) == 1)
+    assert(Snapshots.versionAsOf(spark, dir, afterV2) == 2)
+    assert(Snapshots.versionAsOf(spark, dir, 0L) == 0)
+    assert(Snapshots.readAsOf(spark, dir, afterV1)
+      .count() == 5)
+    intercept[IllegalArgumentException] {
+      Snapshots.readAsOf(spark, dir, 0L)
+    }
+  }
+
+  test("widen is a commutative, associative, idempotent lattice join") {
+    import org.apache.spark.sql.types._
+    // exercised through readEvolved: every ordered pair of vintage types
+    // must land on the same evolved type regardless of commit order
+    val types: Seq[(DataType, Any)] = Seq(
+      (IntegerType, 1), (LongType, 2L), (FloatType, 3.0f),
+      (DoubleType, 4.0))
+    import spark.implicits._
+    for ((ta, va) <- types; (tb, vb) <- types) {
+      val dir = tmpDir(s"widen-${ta.simpleString}-${tb.simpleString}")
+      val a = Seq(1L).toDF("id").select(col("id"),
+        lit(va).cast(ta).as("x"))
+      val b = Seq(2L).toDF("id").select(col("id"),
+        lit(vb).cast(tb).as("x"))
+      Snapshots.commit(spark, dir, a, append = false)
+      Snapshots.commit(spark, dir, b, append = true)
+      val ev = Snapshots.readEvolved(spark, dir, 2)
+      val expect = (ta, tb) match {
+        case (x, y) if x == y => x
+        case (IntegerType, LongType) | (LongType, IntegerType) => LongType
+        case (FloatType, DoubleType) | (DoubleType, FloatType) => DoubleType
+        case _ => DoubleType // any integral × fractional mix
+      }
+      assert(ev.schema("x").dataType == expect,
+        s"widen($ta, $tb) must be $expect, got ${ev.schema("x").dataType}")
+      // values survive the widening cast
+      val xs = ev.select(col("x").cast("double")).collect()
+        .map(_.getDouble(0)).toSeq.sorted
+      assert(xs == Seq(va, vb).map(_.toString.replace("f", "").toDouble)
+        .sorted, s"values corrupted for ($ta,$tb): $xs")
+    }
+  }
+
   test("diff sees logical rows: appends as inserts, rewrites as empty") {
     val dir = tmpDir("snapdiff")
     Snapshots.commit(spark, dir, df(1 to 10), append = false)
