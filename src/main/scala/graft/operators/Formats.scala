@@ -546,6 +546,73 @@ object Formats extends QueryPack {
           col("absent_all_versions"))
     }),
 
+    // Incremental materialized view (f28): a per-lang (count, sum_chars)
+    // aggregate maintained through the snapshot table's row-level CDC —
+    // cold-built at v1, then REFRESHED (never recomputed) through an
+    // append and through f27's merge batch. Each refresh applies only the
+    // multiset row delta between versions (exceptAll both ways: an update
+    // is old-row-out + new-row-in; count/sum are subtractable), so the
+    // cost is the changed rows + the view, never a table rescan — the
+    // incremental-view contract of a warehouse layer. The verdict is the
+    // view itself; the oracle replays the final table state in SQL and
+    // aggregates it directly, plus the pinned proof that the incremental
+    // refreshes processed only deltas.
+    "f28_incremental_view" -> ((s, d) => {
+      val out = ioDir(d, "f28")
+      val viewDir = ioDir(d, "f28_view")
+      val metaDir = ioDir(d, "f28_meta")
+      writeOnce(s, out, alsoRequire =
+          graft.sources.Snapshots.latestVersion(s, out) == 3) {
+        val fsys = new org.apache.hadoop.fs.Path(out)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fsys.delete(new org.apache.hadoop.fs.Path(out), true)
+        fsys.delete(new org.apache.hadoop.fs.Path(viewDir), true)
+        val docs = T.documents(s, d)
+        val hot = col("source").isin("src0", "src1", "src2")
+        def refresh() = graft.sources.Snapshots.refreshView(s, out,
+          viewDir, groupCols = Seq("lang"), sumCols = Seq("n_chars"))
+        graft.sources.Snapshots.commit(s, out, docs.filter(hot),
+          append = false)
+        val (_, n1) = refresh()
+        graft.sources.Snapshots.commit(s, out, docs.filter(!hot),
+          append = true)
+        val (_, n2) = refresh()
+        val updates = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+          .withColumn("n_chars", col("n_chars") + lit(1000L))
+        val inserts = docs.filter(pmod(col("doc_id"), lit(17)) === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000000000L))
+        graft.sources.Snapshots.upsert(s, out,
+          updates.unionByName(inserts), Seq("doc_id"))
+        val (_, n3) = refresh()
+        import s.implicits._
+        // incremental proof: the append refresh touched only the appended
+        // rows, the merge refresh only old+new versions of changed rows
+        Seq((n1, n2, n3)).toDF("n1", "n2", "n3")
+          .coalesce(1).write.mode("overwrite").parquet(metaDir)
+        ()
+      }
+      val meta = s.read.parquet(metaDir)
+      // exact incremental certification: cold build + append refresh
+      // together touch each table row once (n1 + n2 = |docs|), and the
+      // merge refresh touches exactly old+new versions of the updated
+      // rows plus the inserts (n3 = 2·|%11 set| + |%17 set|)
+      val expect = T.documents(s, d).agg(
+        count(lit(1)).as("nt"),
+        sum(when(pmod(col("doc_id"), lit(11)) === 0, 1L).otherwise(0L))
+          .as("n11"),
+        sum(when(pmod(col("doc_id"), lit(17)) === 0, 1L).otherwise(0L))
+          .as("n17"))
+      graft.sources.Snapshots.readView(s, viewDir)
+        .select(col("lang"), col("n_rows").as("n_docs"),
+          col("sum_n_chars").as("sum_chars"))
+        .crossJoin(meta).crossJoin(expect)
+        .select(col("lang"), col("n_docs"), col("sum_chars"),
+          (col("n1") + col("n2") === col("nt") &&
+            col("n3") === lit(2L) * col("n11") + col("n17"))
+            .as("refreshes_were_incremental"))
+        .orderBy(col("lang"))
+    }),
+
     // MERGE INTO / upsert (f27): a change batch against the two-commit
     // documents snapshot table — every doc_id % 11 = 0 row updated
     // (n_chars + 1000) and every doc_id % 17 = 0 row cloned in under a
@@ -1021,6 +1088,22 @@ object Formats extends QueryPack {
              TRUE AS v2_ok,
              TRUE AS two_versions
       FROM documents""",
+    // f28: the maintained view recomputed directly over the replayed
+    // final table state
+    "f28_incremental_view" -> """
+      WITH merged AS (
+        SELECT doc_id, text, lang, source,
+               CASE WHEN doc_id % 11 = 0 THEN n_chars + 1000
+                    ELSE n_chars END AS n_chars
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000000000 AS doc_id, text, lang, source,
+               n_chars
+        FROM documents WHERE doc_id % 17 = 0)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             TRUE AS refreshes_were_incremental
+      FROM merged GROUP BY lang ORDER BY lang""",
     // f27: the merge replayed in SQL over the source table — updated
     // rows with their new n_chars, offset-keyed clones as inserts
     "f27_upsert" -> """

@@ -845,6 +845,97 @@ object Snapshots {
     commit(s, dir, clustered, append = false, statsCols = zorderCols)
   }
 
+  /** Row-level CDC between two versions as a MULTISET difference:
+    * (rowsOnlyInTo, rowsOnlyInFrom). An UPDATE surfaces as the old row in
+    * the second frame and the new row in the first — exactly the
+    * subtract/add pair incremental aggregate maintenance needs, which a
+    * key-level diff cannot see (the key exists in both versions).
+    * exceptAll keeps duplicate multiplicity honest, and deletion vectors
+    * / purges are visible because [[read]] applies them. */
+  def diffRows(s: SparkSession, dir: String, from: Int, to: Int)
+      : (DataFrame, DataFrame) = {
+    val a = read(s, dir, from)
+    val b = read(s, dir, to)
+    (b.exceptAll(a), a.exceptAll(b))
+  }
+
+  /** Incrementally-maintained materialized aggregate view over a snapshot
+    * table: `groupCols` → (n_rows, sum_<c> for each of `sumCols`). State
+    * is a parquet at `viewDir` plus a marker holding the last refreshed
+    * version; each refresh applies only the ROW-LEVEL DELTA between that
+    * version and the current latest — count and sum are subtractable, so
+    * inserts add and deletes subtract, and a group whose count reaches
+    * zero drops out. At 100 TB the refresh cost is the changed rows plus
+    * the view size, never a table rescan — the incremental-materialized-
+    * view contract a warehouse layer needs on top of the table format.
+    * Works through appends, merge-on-read deletes, upserts (delete +
+    * insert of the same key), and purges, because the delta is computed
+    * over [[read]] which applies them all.
+    *
+    * @return (version refreshed to, rowsApplied) */
+  def refreshView(s: SparkSession, dir: String, viewDir: String,
+      groupCols: Seq[String], sumCols: Seq[String]): (Int, Long) = {
+    import org.apache.spark.sql.functions._
+    val f = fs(s, dir)
+    val cur = latestVersion(s, dir)
+    require(cur >= 1, s"refreshView: no versions at $dir")
+    // the marker lives INSIDE the state dir (parquet ignores _-prefixed
+    // files), so the single state-swap rename replaces data and marker
+    // together — no window where a new state pairs with an old marker
+    // (which would double-apply the delta on a crashed refresh's re-run)
+    val statePath = new Path(viewDir, "state")
+    val marker = new Path(statePath, "_LAST_VERSION")
+    def aggOf(df: DataFrame, sign: Int): DataFrame =
+      df.groupBy(groupCols.map(col): _*)
+        .agg(count(lit(1)).as("n_rows"),
+          sumCols.map(c => sum(col(c)).as(s"sum_$c")): _*)
+        .select((groupCols.map(col) :+
+          (col("n_rows") * sign).as("n_rows")) ++
+          sumCols.map(c => (col(s"sum_$c") * sign).as(s"sum_$c")): _*)
+    val last: Option[Int] =
+      if (!f.exists(marker)) None
+      else {
+        val in = f.open(marker)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        Some(txt.trim.toInt)
+      }
+    val (next, applied) = last match {
+      case Some(v) if v == cur => return (cur, 0L) // already current
+      case None =>
+        (aggOf(read(s, dir, cur), 1), read(s, dir, cur).count())
+      case Some(v) =>
+        val (ins, del) = diffRows(s, dir, v, cur)
+        val delta = aggOf(ins, 1).unionByName(aggOf(del, -1))
+        val state = s.read.parquet(statePath.toString)
+        val merged = state.unionByName(delta)
+          .groupBy(groupCols.map(col): _*)
+          .agg(sum(col("n_rows")).as("n_rows"),
+            sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")): _*)
+          .filter(col("n_rows") > 0)
+        (merged, ins.count() + del.count())
+    }
+    // swap: stage fresh state + its marker, then ONE rename. A crash
+    // before the rename leaves the old state+marker (refresh simply
+    // re-runs); a crash between delete and rename leaves no state, which
+    // the next refresh treats as a cold start (full recompute — correct,
+    // never double-applied)
+    val tmp = new Path(viewDir, "_state_tmp")
+    f.delete(tmp, true)
+    next.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val o = f.create(new Path(tmp, "_LAST_VERSION"), true)
+    try o.write(cur.toString.getBytes("UTF-8")) finally o.close()
+    f.delete(statePath, true)
+    if (!f.rename(tmp, statePath))
+      throw new java.io.IOException(
+        s"refreshView: state swap rename failed at $viewDir")
+    (cur, applied)
+  }
+
+  /** The materialized view's current contents. */
+  def readView(s: SparkSession, viewDir: String): DataFrame =
+    s.read.parquet(new Path(viewDir, "state").toString)
+
   /** Key-level change-data-capture between two versions: rows whose key
     * appears only in `to` are `insert`s, only in `from` are `delete`s.
     * Two key-hashed anti-joins — the scan side is two manifest-resolved

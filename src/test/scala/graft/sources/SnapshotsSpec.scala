@@ -424,6 +424,46 @@ class SnapshotsSpec extends SparkSpec {
     }
   }
 
+  test("incremental view maintenance tracks appends, upserts, deletes") {
+    val dir = tmpDir("snapview")
+    val viewDir = tmpDir("snapview-mv")
+    import spark.implicits._
+    def docs(ids: Range, g: String) =
+      ids.map(i => (i.toLong, g, i * 10L)).toDF("id", "grp", "chars")
+    def view(): Map[String, (Long, Long)] =
+      Snapshots.readView(spark, viewDir).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def refresh(): (Int, Long) = Snapshots.refreshView(spark, dir, viewDir,
+      groupCols = Seq("grp"), sumCols = Seq("chars"))
+
+    Snapshots.commit(spark, dir, docs(1 to 10, "a"), append = false)
+    val (v1, n1) = refresh()
+    assert(v1 == 1 && n1 == 10)
+    assert(view() == Map("a" -> (10L, 550L)))
+    // already-current refresh is a no-op
+    assert(refresh() == (1, 0L))
+
+    // append a second group: only the 5 new rows are applied
+    Snapshots.commit(spark, dir, docs(11 to 15, "b"), append = true)
+    val (v2, n2) = refresh()
+    assert(v2 == 2 && n2 == 5, s"append refresh applied $n2 rows")
+    assert(view() == Map("a" -> (10L, 550L), "b" -> (5L, 650L)))
+
+    // upsert: move id=3 from group a to group b (delete + insert = 2)
+    val (_, _) = Snapshots.upsert(spark, dir,
+      Seq((3L, "b", 30L)).toDF("id", "grp", "chars"), Seq("id"))
+    val (v3, n3) = refresh()
+    assert(v3 == 3 && n3 == 2, s"upsert refresh applied $n3 rows")
+    assert(view() == Map("a" -> (9L, 520L), "b" -> (6L, 680L)))
+
+    // MoR delete of ALL of group b: the group drops out of the view
+    val (_, nd) = Snapshots.deleteWhere(spark, dir, col("grp") === "b")
+    assert(nd == 6)
+    val (v4, n4) = refresh()
+    assert(v4 == 4 && n4 == 6)
+    assert(view() == Map("a" -> (9L, 520L)))
+  }
+
   test("diff sees logical rows: appends as inserts, rewrites as empty") {
     val dir = tmpDir("snapdiff")
     Snapshots.commit(spark, dir, df(1 to 10), append = false)
