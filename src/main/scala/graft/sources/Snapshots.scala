@@ -137,18 +137,26 @@ object Snapshots {
           catch { case _: java.io.IOException => false }
       }
       if (won) {
-        // wait for the predecessor's manifest before staging anything
-        while (v > 1 && !f.exists(manifest(dir, v - 1))) {
-          if (System.currentTimeMillis() - start > timeoutMs) {
+        // wait for the predecessor's manifest before staging anything.
+        // If the predecessor's claim disappears WITHOUT a manifest, that
+        // writer aborted (failed commit, or a maintenance op releasing
+        // its write lock) — release this claim and re-hunt, so an abort
+        // never strands followers behind a version that will never
+        // publish.
+        var aborted = false
+        while (!aborted && v > 1 && !f.exists(manifest(dir, v - 1))) {
+          if (!f.exists(new Path(dir, s"v${v - 1}.claim"))) {
+            f.delete(claim, false)
+            aborted = true
+          } else if (System.currentTimeMillis() - start > timeoutMs) {
             f.delete(claim, false)
             throw new java.io.IOException(
               s"commit timed out waiting for v${v - 1}'s manifest — a " +
                 s"writer holding v${v - 1}.claim likely died; remove the " +
                 "stale claim to unwedge the table")
-          }
-          Thread.sleep(50)
+          } else Thread.sleep(50)
         }
-        return v
+        if (!aborted) return v
       }
       if (System.currentTimeMillis() - start > timeoutMs)
         throw new java.io.IOException(
@@ -471,19 +479,22 @@ object Snapshots {
       cond: org.apache.spark.sql.Column): (Int, Long) = {
     import org.apache.spark.sql.functions.col
     val f = fs(s, dir)
-    val latest = latestVersion(s, dir)
-    require(latest >= 1, s"deleteWhere: no versions at $dir")
-    val fset = files(s, dir, latest)
-    val scan = withMeta(
-      s.read.parquet(fset.map(p => new Path(dir, p).toString): _*))
-    val hits0 = scan.filter(cond)
-      .select(col("_fp").as("file_path"), col("_ri").as("row_index"))
-    // already-deleted rows must not re-count
-    val prev = dvFrame(s, dir, latest)
-    val hits = prev.map(p => hits0.join(p, Seq("file_path", "row_index"),
-      "left_anti")).getOrElse(hits0)
+    require(latestVersion(s, dir) >= 1, s"deleteWhere: no versions at $dir")
+    // claim FIRST, then compute against v-1: computing positions against
+    // a pre-claim latest would silently drop a commit that interleaved
+    // between the read and the claim (the lost-update window)
     val v = claimVersion(f, dir)
     try {
+      val latest = v - 1
+      val fset = files(s, dir, latest)
+      val scan = withMeta(
+        s.read.parquet(fset.map(p => new Path(dir, p).toString): _*))
+      val hits0 = scan.filter(cond)
+        .select(col("_fp").as("file_path"), col("_ri").as("row_index"))
+      // already-deleted rows must not re-count
+      val prev = dvFrame(s, dir, latest)
+      val hits = prev.map(p => hits0.join(p, Seq("file_path", "row_index"),
+        "left_anti")).getOrElse(hits0)
       val union = prev.map(_.unionByName(hits)).getOrElse(hits)
       union.write.mode("overwrite").parquet(dvDir(dir, v).toString)
       val n = s.read.parquet(dvDir(dir, v).toString).count() -
@@ -510,24 +521,27 @@ object Snapshots {
     import org.apache.spark.sql.functions.col
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     val f = fs(s, dir)
-    val latest = latestVersion(s, dir)
-    require(latest >= 1, s"upsert: no versions at $dir")
+    require(latestVersion(s, dir) >= 1, s"upsert: no versions at $dir")
     val srcKeys = src.select(keyCols.map(col): _*)
     require(srcKeys.distinct().count() == src.count(),
       "upsert source must have unique keys")
-    val fset = files(s, dir, latest)
-    val raw = withMeta(
-      s.read.parquet(fset.map(p => new Path(dir, p).toString): _*))
-    val prev = dvFrame(s, dir, latest)
-    // only LIVE rows can match — an already-deleted position must not
-    // re-enter the vector (it would distort the replaced count)
-    val live = prev.map(p => raw.join(
-        p.select(col("file_path").as("_fp"), col("row_index").as("_ri")),
-        Seq("_fp", "_ri"), "left_anti")).getOrElse(raw)
-    val matched = live.join(srcKeys.distinct(), keyCols, "left_semi")
-      .select(col("_fp").as("file_path"), col("_ri").as("row_index"))
+    // claim FIRST, then match against v-1 (same lost-update reasoning as
+    // deleteWhere: a commit interleaving between a pre-claim read and the
+    // claim would vanish from the published file set)
     val v = claimVersion(f, dir)
     try {
+      val latest = v - 1
+      val fset = files(s, dir, latest)
+      val raw = withMeta(
+        s.read.parquet(fset.map(p => new Path(dir, p).toString): _*))
+      val prev = dvFrame(s, dir, latest)
+      // only LIVE rows can match — an already-deleted position must not
+      // re-enter the vector (it would distort the replaced count)
+      val live = prev.map(p => raw.join(
+          p.select(col("file_path").as("_fp"), col("row_index").as("_ri")),
+          Seq("_fp", "_ri"), "left_anti")).getOrElse(raw)
+      val matched = live.join(srcKeys.distinct(), keyCols, "left_semi")
+        .select(col("_fp").as("file_path"), col("_ri").as("row_index"))
       val union = prev.map(_.unionByName(matched)).getOrElse(matched)
       union.write.mode("overwrite").parquet(dvDir(dir, v).toString)
       val nReplaced = s.read.parquet(dvDir(dir, v).toString).count() -
@@ -639,6 +653,15 @@ object Snapshots {
     val f = fs(s, dir)
     val latest = latestVersion(s, dir)
     require(latest >= 1, s"purge: no versions at $dir")
+    // purge mutates manifests IN PLACE: hold the next version's claim as
+    // a write lock for the duration so no commit interleaves with the
+    // republish. The claim is released without publishing — followers
+    // detect the abandoned slot (see claimVersion) and re-hunt.
+    val lockV = claimVersion(f, dir)
+    try {
+    // re-derive latest UNDER the lock: a commit could have landed between
+    // the pre-lock read and the claim, and its version must be purged too
+    val latest = lockV - 1
     val liveVs = (1 to latest).filter(v => f.exists(manifest(dir, v)))
     // a rewritten file's row indexes would invalidate deletion-vector
     // positions and RESURRECT logically-deleted rows — materialize DVs
@@ -808,6 +831,7 @@ object Snapshots {
     affected.foreach(p => f.delete(new Path(dir, p), false))
     f.delete(stage, true)
     (affected.size, liveVs.size, rowsDeleted)
+    } finally { f.delete(new Path(dir, s"v$lockV.claim"), false); () }
   }
 
   /** `OPTIMIZE ZORDER BY (cols...)` as a snapshot REWRITE commit — the
@@ -828,21 +852,27 @@ object Snapshots {
       bits: Int = 8, numFiles: Int = 8): Int = {
     import org.apache.spark.sql.functions._
     require(zorderCols.nonEmpty, "optimize needs at least one column")
-    val latest = latestVersion(s, dir)
-    require(latest >= 1, s"optimize: no versions at $dir")
-    val df = readEvolved(s, dir, latest)
-    val mx = df.agg(
-      max(col(zorderCols.head)).as(s"mx_${zorderCols.head}"),
-      zorderCols.tail.map(c => max(col(c)).as(s"mx_$c")): _*)
-    val clustered = df.crossJoin(broadcast(mx))
-      .withColumn("_z", Layouts.zvalueK(
-        zorderCols.map(c => Layouts.bucketN(col(c), col(s"mx_$c"), bits)),
-        bits))
-      .drop(zorderCols.map(c => s"mx_$c"): _*)
-      .repartitionByRange(numFiles, col("_z"))
-      .sortWithinPartitions(col("_z"))
-      .drop("_z")
-    commit(s, dir, clustered, append = false, statsCols = zorderCols)
+    val f = fs(s, dir)
+    require(latestVersion(s, dir) >= 1, s"optimize: no versions at $dir")
+    // claim FIRST and rewrite exactly v-1: rewriting a pre-claim latest
+    // would silently drop a commit that interleaved before the claim
+    val v = claimVersion(f, dir)
+    try {
+      val df = readEvolved(s, dir, v - 1)
+      val mx = df.agg(
+        max(col(zorderCols.head)).as(s"mx_${zorderCols.head}"),
+        zorderCols.tail.map(c => max(col(c)).as(s"mx_$c")): _*)
+      val clustered = df.crossJoin(broadcast(mx))
+        .withColumn("_z", Layouts.zvalueK(
+          zorderCols.map(c => Layouts.bucketN(col(c), col(s"mx_$c"), bits)),
+          bits))
+        .drop(zorderCols.map(c => s"mx_$c"): _*)
+        .repartitionByRange(numFiles, col("_z"))
+        .sortWithinPartitions(col("_z"))
+        .drop("_z")
+      commitClaimed(s, f, dir, clustered, append = false,
+        renames = Map.empty, statsCols = zorderCols, v = v)
+    } finally { f.delete(new Path(dir, s"v$v.claim"), false); () }
   }
 
   /** Row-level CDC between two versions as a MULTISET difference:

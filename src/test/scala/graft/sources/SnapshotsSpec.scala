@@ -229,6 +229,24 @@ class SnapshotsSpec extends SparkSpec {
       s"debris left: $names")
   }
 
+  test("an aborted claimant does not strand followers") {
+    val dir = tmpDir("snapabort")
+    Snapshots.commit(spark, dir, df(1 to 5).coalesce(1), append = false)
+    val claim = new org.apache.hadoop.fs.Path(dir, "v2.claim")
+    val fs = claim.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(claim, false).close() // a writer that will abort
+    val done = new java.util.concurrent.atomic.AtomicInteger(-1)
+    val th = new Thread(() => done.set(Snapshots.commit(spark, dir,
+      df(6 to 8).coalesce(1), append = true)))
+    th.start()
+    Thread.sleep(1500) // follower is now parked behind v2's claim
+    fs.delete(claim, false) // the claimant aborts without publishing
+    th.join(120000)
+    assert(done.get() == 2,
+      s"follower must re-hunt the freed slot and publish v2, got ${done.get()}")
+    assert(idsOf(dir, 2) == (1L to 8L))
+  }
+
   test("a stale claim times out with an actionable error") {
     val dir = tmpDir("snapstale")
     import spark.implicits._
