@@ -33,6 +33,10 @@ object Snapshots {
 
   private val ManifestName = """^v(\d+)\.json$""".r
 
+  /** Spec observability only: the last [[purge]]'s candidate-detection
+    * (filesScannedAfterStatsPrune, filesTotal). */
+  @volatile private[sources] var lastPurgePruneCounts: (Int, Int) = (0, 0)
+
   def latestVersion(s: SparkSession, dir: String): Int = {
     val f = fs(s, dir)
     val root = new Path(dir)
@@ -91,9 +95,9 @@ object Snapshots {
       statsCols: Seq[String] = Seq.empty): Int = {
     val f = fs(s, dir)
     f.mkdirs(new Path(dir))
-    val v = claimVersion(f, dir)
-    try commitClaimed(s, f, dir, df, append, renames, statsCols, v)
-    finally { f.delete(new Path(dir, s"v$v.claim"), false); () }
+    val c = claimVersion(f, dir)
+    try commitClaimed(s, f, dir, df, append, renames, statsCols, c.v)
+    finally c.release()
   }
 
   /** [[commit]] with a custom claim timeout (spec support for the
@@ -102,25 +106,72 @@ object Snapshots {
       df: DataFrame, append: Boolean, timeoutMs: Long): Int = {
     val f = fs(s, dir)
     f.mkdirs(new Path(dir))
-    val v = claimVersion(f, dir, timeoutMs)
-    try commitClaimed(s, f, dir, df, append, Map.empty, Seq.empty, v)
-    finally { f.delete(new Path(dir, s"v$v.claim"), false); () }
+    val c = claimVersion(f, dir, timeoutMs)
+    try commitClaimed(s, f, dir, df, append, Map.empty, Seq.empty, c.v)
+    finally c.release()
   }
 
   private val ClaimName = """^v(\d+)\.claim$""".r
 
+  /** A held claim on version `v`. A daemon thread HEARTBEATS the claim
+    * file (touches its mtime) every `heartbeatMs` for as long as the
+    * claim is held, so followers can distinguish a live slow commit
+    * (fresh heartbeat — keep waiting, however long the write takes)
+    * from a dead claimant (stale mtime — fail with an actionable
+    * error). Staleness is therefore a property of the CLAIM's age, not
+    * of how long a follower happens to have waited — a fixed follower-
+    * side timeout would let an operator "unwedge" a table by deleting a
+    * live writer's claim, and the ensuing double-publish silently loses
+    * one of the two commits. */
+  private[sources] final class Claim(f: FileSystem, dir: String, val v: Int,
+      heartbeatMs: Long) {
+    private val path = new Path(dir, s"v$v.claim")
+    @volatile private var live = true
+    private val beat = new Thread(() => {
+      while (live) {
+        try Thread.sleep(heartbeatMs)
+        catch { case _: InterruptedException => }
+        if (live) {
+          try f.setTimes(path, System.currentTimeMillis(), -1)
+          catch { case _: Exception => }
+        }
+      }
+    }, s"snapshot-claim-heartbeat-v$v")
+    beat.setDaemon(true)
+    beat.start()
+    def release(): Unit = {
+      live = false
+      beat.interrupt()
+      try { f.delete(path, false); () } catch { case _: Exception => }
+    }
+  }
+
   /** Atomically claim the next version number; on return, version v-1's
     * manifest exists (so an append can carry its file set) and `vN.claim`
-    * marks this writer's ownership of N. */
+    * marks this writer's ownership of N, heartbeated until release.
+    * `timeoutMs` bounds how stale a PREDECESSOR's claim may be (age since
+    * its last heartbeat) before the wait fails — a live writer heartbeats
+    * and is waited on indefinitely. */
   private def claimVersion(f: FileSystem, dir: String,
-      timeoutMs: Long = 120000L): Int = {
-    val start = System.currentTimeMillis()
+      timeoutMs: Long = 120000L): Claim = {
+    var start = System.currentTimeMillis()
+    val heartbeatMs = math.max(500L, math.min(timeoutMs / 3, 10000L))
+    // the race timeout counts time WITHOUT observable progress, not total
+    // elapsed time: advancing manifests/claims, or a predecessor abort we
+    // re-hunt past, each reset the clock — a writer legitimately parked
+    // behind a live (heartbeating) slow commit must not give up just
+    // because the wait was long
+    var seen = (-1, -1)
     while (true) {
       val names = f.listStatus(new Path(dir)).map(_.getPath.getName)
       val latest = names.collect { case ManifestName(n) => n.toInt }
         .maxOption.getOrElse(0)
       val claimed = names.collect { case ClaimName(n) => n.toInt }
         .maxOption.getOrElse(0)
+      if ((latest, claimed) != seen) {
+        seen = (latest, claimed)
+        start = System.currentTimeMillis()
+      }
       val v = math.max(latest, claimed) + 1
       val claim = new Path(dir, s"v$v.claim")
       // HDFS create(overwrite=false) is a server-side atomic claim; the
@@ -137,33 +188,55 @@ object Snapshots {
           catch { case _: java.io.IOException => false }
       }
       if (won) {
+        // our claim heartbeats from here on (it may wait a long time
+        // behind a slow predecessor without being mistaken for dead)
+        val held = new Claim(f, dir, v, heartbeatMs)
         // wait for the predecessor's manifest before staging anything.
         // If the predecessor's claim disappears WITHOUT a manifest, that
         // writer aborted (failed commit, or a maintenance op releasing
         // its write lock) — release this claim and re-hunt, so an abort
         // never strands followers behind a version that will never
-        // publish.
+        // publish. If the claim exists but has not heartbeated within
+        // timeoutMs, the claimant is presumed dead and the wait fails.
         var aborted = false
         while (!aborted && v > 1 && !f.exists(manifest(dir, v - 1))) {
-          if (!f.exists(new Path(dir, s"v${v - 1}.claim"))) {
-            f.delete(claim, false)
-            aborted = true
-          } else if (System.currentTimeMillis() - start > timeoutMs) {
-            f.delete(claim, false)
-            throw new java.io.IOException(
-              s"commit timed out waiting for v${v - 1}'s manifest — a " +
-                s"writer holding v${v - 1}.claim likely died; remove the " +
-                "stale claim to unwedge the table")
-          } else Thread.sleep(50)
+          val predClaim = new Path(dir, s"v${v - 1}.claim")
+          val age: Option[Long] =
+            try Some(System.currentTimeMillis() -
+              f.getFileStatus(predClaim).getModificationTime)
+            catch { case _: java.io.FileNotFoundException => None }
+          age match {
+            case None =>
+              // claim gone: re-check the manifest once more (the
+              // predecessor may have published between the two looks),
+              // then re-hunt
+              if (!f.exists(manifest(dir, v - 1))) {
+                held.release()
+                aborted = true
+              }
+            case Some(a) if a > timeoutMs =>
+              held.release()
+              throw new java.io.IOException(
+                s"commit timed out waiting for v${v - 1}'s manifest: " +
+                  s"v${v - 1}.claim has not heartbeated for ${a} ms " +
+                  s"(threshold $timeoutMs ms), so its writer is presumed " +
+                  "dead. Remove the stale claim to unwedge the table — " +
+                  "but ONLY after confirming that writer is actually " +
+                  "dead: deleting a live writer's claim lets a second " +
+                  "writer publish the same version and silently lose " +
+                  "one of the two commits")
+            case _ => Thread.sleep(50)
+          }
         }
-        if (!aborted) return v
+        if (!aborted) return held
+        start = System.currentTimeMillis() // a re-hunt past an abort is progress
       }
       if (System.currentTimeMillis() - start > timeoutMs)
         throw new java.io.IOException(
           s"commit timed out racing for a version claim at $dir")
       Thread.sleep(20)
     }
-    -1 // unreachable
+    null // unreachable
   }
 
   /** Stage `df` as parquet, move the part files into data/ under
@@ -221,9 +294,12 @@ object Snapshots {
               s"$dataDir/$name returned false")
         moved += s"data/$name"
         stagedStats.get(st.getPath.getName).foreach(_.foreach {
-          // an all-null column gets NO stats line: absent = unknown =
-          // never pruned, the conservative direction
-          case (c, tn, mn, mx) if mn != null && mx != null =>
+          // an all-null column gets NO stats line, and neither does a
+          // bound whose stringified value contains the line/field
+          // separators (statSafe): absent = unknown = never pruned,
+          // the conservative direction
+          case (c, tn, mn, mx) if mn != null && mx != null &&
+              statSafe(mn) && statSafe(mx) =>
             statLines += Seq(s"data/$name", c, tn, mn, mx)
               .mkString("\u0001")
           case _ =>
@@ -239,6 +315,15 @@ object Snapshots {
     (moved.toSeq, statLines.toSeq)
   }
 
+  /** Stat bounds are stored one line per (file, column) with `\u0001`
+    * separators; a stringified min/max that itself contains the separator
+    * or a line break would corrupt the side-file and take down every
+    * pruned read of the table. Such values are simply NOT recorded —
+    * absent stats mean "unknown", which every consumer treats as
+    * never-pruned, the conservative direction. */
+  private def statSafe(v: String): Boolean =
+    !v.exists(ch => ch == '\u0001' || ch == '\n' || ch == '\r')
+
   private def writeStatLines(f: FileSystem, dir: String, v: Int,
       statLines: Seq[String]): Unit =
     if (statLines.nonEmpty) {
@@ -249,11 +334,12 @@ object Snapshots {
 
   private def commitClaimed(s: SparkSession, f: FileSystem, dir: String,
       df: DataFrame, append: Boolean, renames: Map[String, String],
-      statsCols: Seq[String], v: Int): Int = {
-    val prev = v - 1
+      statsCols: Seq[String], v: Int, baseVersion: Int = -1): Int = {
+    val prev = if (baseVersion >= 0) baseVersion else v - 1
     val (moved, statLines) = stageAndMove(s, f, dir, df, statsCols, v)
     val carried = if (append && prev > 0) files(s, dir, prev) else Seq.empty
     writeManifest(f, dir, v, carried ++ moved)
+    writeCommitMeta(f, dir, v)
     if (renames.nonEmpty) {
       val body = renames.toSeq.sorted
         .map { case (o, n) => o + "\u0001" + n }.mkString("\n")
@@ -262,6 +348,32 @@ object Snapshots {
     }
     writeStatLines(f, dir, v, statLines)
     v
+  }
+
+  /** Persist version `v`'s COMMIT INSTANT in a `vN.meta` side-file. The
+    * manifest's mtime is NOT a durable commit timestamp: [[purge]]
+    * republishes every live manifest (compliance rewrites history in
+    * place), which would collapse all mtimes to purge time and silently
+    * re-point every pre-purge `TIMESTAMP AS OF` at version 0. The meta
+    * side-file is written once at commit time and never touched by
+    * purge, so [[versionAsOf]] stays correct across compliance runs. */
+  private def writeCommitMeta(f: FileSystem, dir: String, v: Int): Unit = {
+    val o = f.create(new Path(dir, s"v$v.meta"), true)
+    try o.write(System.currentTimeMillis().toString.getBytes("UTF-8"))
+    finally o.close()
+  }
+
+  /** The instant version `v` was committed: the `vN.meta` side-file if
+    * present, else the manifest's mtime (tables written before the meta
+    * file existed — correct as long as they were never purged). */
+  private def commitInstant(f: FileSystem, dir: String, v: Int): Long = {
+    val p = new Path(dir, s"v$v.meta")
+    if (f.exists(p)) {
+      val in = f.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      txt.trim.toLong
+    } else f.getFileStatus(manifest(dir, v)).getModificationTime
   }
 
   /** Per-file (col, typeName, min, max) stats recorded by commits 1..v,
@@ -287,9 +399,27 @@ object Snapshots {
       .groupBy(_._1).map { case (pth, xs) => pth -> xs.map(_._2) }
   }
 
+  /** Epoch millis of a date/timestamp rendered by EITHER side of a stats
+    * comparison — Spark's cast-to-string ("2020-01-01 09:00:00", no
+    * trailing ".0"), java.sql.Timestamp.toString ("… 09:00:00.0"),
+    * java.sql.Date.toString ("2020-01-01"), or ISO-8601 with a 'T'.
+    * Comparing the RAW strings lexicographically is wrong at boundary
+    * equality (".0" sorts above ""), which can prune a file that contains
+    * matching rows — silent row loss. None = unparseable (conservative). */
+  private def temporalMillis(x: String): Option[Long] = {
+    val s = x.trim.replace('T', ' ')
+    (try Some(java.sql.Timestamp.valueOf(s).getTime)
+     catch { case _: Exception => None }).orElse(
+      try Some(java.sql.Date.valueOf(s).getTime)
+      catch { case _: Exception => None })
+  }
+
   /** True iff [lo, hi] intersects the stringified [mn, mx] bounds of a
     * column of `typeName` — the per-type comparison behind file-level
-    * stats pruning. Unknown types compare conservatively (always true). */
+    * stats pruning. Date/timestamp values are normalized to epoch millis
+    * before comparing (the two sides may render subseconds differently);
+    * unknown types and unparseable values compare conservatively
+    * (always true). */
   private def inBounds(typeName: String, mn: String, mx: String,
       lo: String, hi: String): Boolean = typeName match {
     case "byte" | "short" | "integer" | "long" =>
@@ -298,7 +428,13 @@ object Snapshots {
     case "float" | "double" =>
       try { hi.toDouble >= mn.toDouble && lo.toDouble <= mx.toDouble }
       catch { case _: NumberFormatException => true }
-    case "string" | "date" | "timestamp" => hi >= mn && lo <= mx
+    case "date" | "timestamp" | "timestamp_ntz" =>
+      (temporalMillis(mn), temporalMillis(mx),
+        temporalMillis(lo), temporalMillis(hi)) match {
+        case (Some(a), Some(b), Some(l), Some(h)) => h >= a && l <= b
+        case _ => true // any side unparseable: never prune
+      }
+    case "string" => hi >= mn && lo <= mx
     case _ => true
   }
 
@@ -483,7 +619,8 @@ object Snapshots {
     // claim FIRST, then compute against v-1: computing positions against
     // a pre-claim latest would silently drop a commit that interleaved
     // between the read and the claim (the lost-update window)
-    val v = claimVersion(f, dir)
+    val c = claimVersion(f, dir)
+    val v = c.v
     try {
       val latest = v - 1
       val fset = files(s, dir, latest)
@@ -500,8 +637,9 @@ object Snapshots {
       val n = s.read.parquet(dvDir(dir, v).toString).count() -
         prev.map(_.count()).getOrElse(0L)
       writeManifest(f, dir, v, fset)
+      writeCommitMeta(f, dir, v)
       (v, n)
-    } finally { f.delete(new Path(dir, s"v$v.claim"), false); () }
+    } finally c.release()
   }
 
   /** MERGE INTO (upsert) in ONE published version: rows of `src` whose
@@ -528,7 +666,8 @@ object Snapshots {
     // claim FIRST, then match against v-1 (same lost-update reasoning as
     // deleteWhere: a commit interleaving between a pre-claim read and the
     // claim would vanish from the published file set)
-    val v = claimVersion(f, dir)
+    val c = claimVersion(f, dir)
+    val v = c.v
     try {
       val latest = v - 1
       val fset = files(s, dir, latest)
@@ -548,24 +687,28 @@ object Snapshots {
         prev.map(_.count()).getOrElse(0L)
       val (moved, statLines) = stageAndMove(s, f, dir, src, statsCols, v)
       writeManifest(f, dir, v, fset ++ moved)
+      writeCommitMeta(f, dir, v)
       writeStatLines(f, dir, v, statLines)
       (v, nReplaced)
-    } finally { f.delete(new Path(dir, s"v$v.claim"), false); () }
+    } finally c.release()
   }
 
-  /** `TIMESTAMP AS OF`: the largest version whose manifest was published
-    * at or before `tsMillis` (manifest modification time — the manifest
-    * rename IS the commit instant). Metadata-only: one directory
-    * listing, no data touched. Returns 0 if nothing was committed yet at
-    * that time (or the versions before it were vacuumed). */
+  /** `TIMESTAMP AS OF`: the largest version committed at or before
+    * `tsMillis`, by the commit instant persisted in each version's
+    * `vN.meta` side-file at commit time (manifest mtime is only the
+    * fallback for pre-meta tables: purge republishes manifests, so
+    * mtimes do not survive compliance runs). Metadata-only: one
+    * directory listing plus one tiny read per manifest, no data touched.
+    * Returns 0 if nothing was committed yet at that time (or the
+    * versions before it were vacuumed). */
   def versionAsOf(s: SparkSession, dir: String, tsMillis: Long): Int = {
     val f = fs(s, dir)
     val root = new Path(dir)
     if (!f.exists(root)) 0
     else f.listStatus(root).toSeq
       .flatMap(st => st.getPath.getName match {
-        case ManifestName(n) if st.getModificationTime <= tsMillis =>
-          Some(n.toInt)
+        case ManifestName(n)
+          if commitInstant(f, dir, n.toInt) <= tsMillis => Some(n.toInt)
         case _ => None
       }).maxOption.getOrElse(0)
   }
@@ -607,7 +750,10 @@ object Snapshots {
     dead.foreach(p => f.delete(new Path(dir, p), false))
     oldVs.foreach { v =>
       f.delete(manifest(dir, v), false)
+      f.delete(new Path(dir, s"v$v.meta"), false) // its commit instant
       f.delete(dvDir(dir, v), true) // a dropped version's deletion vector
+      // vN.renames and vN.stats stay: carried-forward files in retained
+      // versions still need the rename chain and their recorded bounds
     }
     (dead.size, oldVs.size)
   }
@@ -657,11 +803,11 @@ object Snapshots {
     // a write lock for the duration so no commit interleaves with the
     // republish. The claim is released without publishing — followers
     // detect the abandoned slot (see claimVersion) and re-hunt.
-    val lockV = claimVersion(f, dir)
+    val lock = claimVersion(f, dir)
     try {
     // re-derive latest UNDER the lock: a commit could have landed between
     // the pre-lock read and the claim, and its version must be purged too
-    val latest = lockV - 1
+    val latest = lock.v - 1
     val liveVs = (1 to latest).filter(v => f.exists(manifest(dir, v)))
     // a rewritten file's row indexes would invalidate deletion-vector
     // positions and RESURRECT logically-deleted rows — materialize DVs
@@ -716,28 +862,43 @@ object Snapshots {
         if (n == cur) cur = o
       cur
     }
+    // A file may contain a tombstone only if SOME tombstone row lies
+    // inside the file's recorded bounds on EVERY key column that has
+    // stats — the per-column conjunction generalizes the single-key
+    // bound to composite keys, so a (source, doc_id) purge still opens
+    // only stats-intersecting files. Columns without stats constrain
+    // nothing; a file with no stats at all is always scanned.
     def statsMayContain(rel: String, c: Int): Boolean =
-      keyCols.size != 1 ||
-        (fileStats.get(rel)
-          .flatMap(_.find(_._1 == localKeyName(c, keyCols.head))) match {
-          case Some((_, tn, mn, mx)) => tombRows.exists { r =>
-            val v = r.get(0).toString; inBounds(tn, mn, mx, v, v) }
-          case None => true
-        })
+      fileStats.get(rel) match {
+        case None => true
+        case Some(cols) =>
+          val bounds = keyCols.zipWithIndex.flatMap { case (k, i) =>
+            cols.find(_._1 == localKeyName(c, k)).map(st => (i, st)) }
+          bounds.isEmpty || tombRows.exists { r =>
+            bounds.forall { case (i, (_, tn, mn, mx)) =>
+              val v = r.get(i)
+              v != null && inBounds(tn, mn, mx, v.toString, v.toString) } }
+      }
     // 1. candidate detection: key columns only + file-stats pruning
+    var statsScanned = 0
     val affected: Seq[String] = allFiles.groupBy(commitOf).toSeq
       .flatMap { case (c, rels0) =>
         val rels = rels0.filter(statsMayContain(_, c))
+        statsScanned += rels.size
         if (rels.isEmpty) Seq.empty[String]
         else {
         val paths = rels.map(p => new Path(dir, p).toString)
         val (named, _) = applyChain(s.read.parquet(paths: _*), c)
         if (!keyCols.forall(named.columns.contains)) Seq.empty
         else {
-          val pruned = if (keyCols.size == 1)
-            named.filter(col(keyCols.head)
-              .isin(tombRows.map(_.get(0)).toSeq: _*))
-          else named
+          // per-column isin prefilter (a safe superset of the key join)
+          // pushes into the parquet scan so row-group stats prune before
+          // any row decodes — for composite keys it is the AND of each
+          // column's distinct tombstone values
+          val pruned = keyCols.zipWithIndex.foldLeft(named) {
+            case (df, (k, i)) =>
+              df.filter(col(k).isin(
+                tombRows.map(_.get(i)).distinct.toSeq: _*)) }
           val hits = pruned
             .select(keyCols.map(col) :+ input_file_name().as("_f"): _*)
             .join(broadcast(tombDf), keyCols)
@@ -748,6 +909,8 @@ object Snapshots {
         }
         }
       }.distinct
+    // spec observability: (files the stats let through, files total)
+    lastPurgePruneCounts = (statsScanned, allFiles.size)
     // 2. rewrite each affected file once. 2b: a replacement file
     // re-records the stats its original carried (recomputed over the
     // kept rows — bounds can only tighten), appended to the table-level
@@ -790,7 +953,7 @@ object Snapshots {
               .agg(aggs.head, aggs.tail: _*).head()
             statCols.zipWithIndex.foreach { case ((c, tn, _, _), i) =>
               val mn = r.getString(2 * i); val mx = r.getString(2 * i + 1)
-              if (mn != null && mx != null)
+              if (mn != null && mx != null && statSafe(mn) && statSafe(mx))
                 newStatLines += Seq(s"data/$name", c, tn, mn, mx)
                   .mkString("\u0001")
             }
@@ -799,7 +962,13 @@ object Snapshots {
         rel -> Some(s"data/$name")
       }
     }.toMap
-    // 3. republish every live manifest with affected paths remapped
+    // 3. republish every live manifest with affected paths remapped.
+    // The swap is an OVERWRITE-capable atomic rename (FileContext with
+    // Options.Rename.OVERWRITE) — a delete-then-recreate would open a
+    // crash window with no manifest at all, and if the vanished manifest
+    // was the latest, the next commit would reclaim its version number
+    // and publish DIFFERENT content under it (history divergence, not
+    // the documented re-run-the-purge repair).
     val liveAfter = scala.collection.mutable.Set.empty[String]
     liveVs.foreach { v =>
       val mapped = perVersion(v).flatMap(p =>
@@ -808,8 +977,7 @@ object Snapshots {
           case Some(opt) => opt       // rewritten (Some) or emptied (None)
         })
       liveAfter ++= mapped
-      f.delete(manifest(dir, v), false)
-      writeManifest(f, dir, v, mapped)
+      swapManifest(s, f, dir, v, mapped)
     }
     // 3b. merge replacement stats into purged.stats, dropping lines for
     // paths no live manifest references anymore (bounds the file)
@@ -830,8 +998,32 @@ object Snapshots {
     // 4. drop originals last
     affected.foreach(p => f.delete(new Path(dir, p), false))
     f.delete(stage, true)
+    // 5. orphan sweep: a data file no live manifest references is debris
+    // from a crashed earlier purge (originals that survived a step-3/4
+    // crash) — safe to reclaim here because the claim lock guarantees no
+    // commit is mid-move into data/ while purge runs
+    val dataDir = new Path(dir, "data")
+    if (f.exists(dataDir)) f.listStatus(dataDir).foreach { st =>
+      if (st.isFile && !liveAfter.contains(s"data/${st.getPath.getName}"))
+        f.delete(st.getPath, false)
+    }
     (affected.size, liveVs.size, rowsDeleted)
-    } finally { f.delete(new Path(dir, s"v$lockV.claim"), false); () }
+    } finally lock.release()
+  }
+
+  /** Atomically REPLACE manifest vN (overwrite-capable rename; see the
+    * purge republish step for why delete-then-recreate is not safe). */
+  private def swapManifest(s: SparkSession, f: FileSystem, dir: String,
+      v: Int, fileSet: Seq[String]): Unit = {
+    val body = fileSet
+      .map(p => "  \"" + p + "\"").mkString("[\n", ",\n", "\n]")
+    val tmp = f.makeQualified(new Path(dir, s"_v$v.json.tmp"))
+    val o = f.create(tmp, true)
+    try o.write(body.getBytes("UTF-8")) finally o.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      f.getUri, s.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, f.makeQualified(manifest(dir, v)),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** `OPTIMIZE ZORDER BY (cols...)` as a snapshot REWRITE commit — the
@@ -856,7 +1048,8 @@ object Snapshots {
     require(latestVersion(s, dir) >= 1, s"optimize: no versions at $dir")
     // claim FIRST and rewrite exactly v-1: rewriting a pre-claim latest
     // would silently drop a commit that interleaved before the claim
-    val v = claimVersion(f, dir)
+    val c = claimVersion(f, dir)
+    val v = c.v
     try {
       val df = readEvolved(s, dir, v - 1)
       val mx = df.agg(
@@ -872,7 +1065,7 @@ object Snapshots {
         .drop("_z")
       commitClaimed(s, f, dir, clustered, append = false,
         renames = Map.empty, statsCols = zorderCols, v = v)
-    } finally { f.delete(new Path(dir, s"v$v.claim"), false); () }
+    } finally c.release()
   }
 
   /** Row-level CDC between two versions as a MULTISET difference:

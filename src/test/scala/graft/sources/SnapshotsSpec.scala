@@ -502,6 +502,156 @@ class SnapshotsSpec extends SparkSpec {
       "a shrinking rewrite diffs as deletes")
   }
 
+  test("separator-hostile string bounds are skipped, never corrupt stats") {
+    val dir = tmpDir("snapstatsafe")
+    import spark.implicits._
+    // one value embeds the stats side-file's field separator, another a
+    // newline — recording either as a min/max bound would corrupt every
+    // later statsUpTo parse (MatchError), taking down readPruned AND purge
+    val hostile = Seq(
+      (1L, "acorrupt"), (2L, "b\nnewline"), (3L, "clean"))
+      .toDF("id", "payload")
+    Snapshots.commit(spark, dir, hostile.coalesce(1), append = false,
+      statsCols = Seq("id", "payload"))
+    Snapshots.commit(spark, dir,
+      Seq((10L, "zz")).toDF("id", "payload").coalesce(1), append = true,
+      statsCols = Seq("id", "payload"))
+    // the numeric column's stats survive and still prune; the hostile
+    // string column simply has no recorded bounds (conservative)
+    val (pr, (read, total)) =
+      Snapshots.readPruned(spark, dir, 2, "id", 10L, 10L)
+    assert(total == 2 && read == 1, s"id stats must still prune: $read/$total")
+    assert(pr.count() == 1)
+    val (_, (rs, ts)) =
+      Snapshots.readPruned(spark, dir, 2, "payload", "zz", "zz")
+    assert(rs == ts - 1 || rs == ts,
+      "hostile file must stay unpruned (absent stats = always read)")
+    // purge parses the stats file without error and removes the key
+    val (_, _, nd) = Snapshots.purge(spark, dir, Seq(2L).toDF("id"),
+      Seq("id"))
+    assert(nd == 1)
+    assert(idsOf(dir, 2) == Seq(1L, 3L, 10L))
+  }
+
+  test("purge preserves timestamp time travel (commit instants in vN.meta)") {
+    val dir = tmpDir("snapmeta")
+    import spark.implicits._
+    Snapshots.commit(spark, dir, df(1 to 5).coalesce(1), append = false)
+    val afterV1 = System.currentTimeMillis()
+    Thread.sleep(1100)
+    Snapshots.commit(spark, dir, df(6 to 9).coalesce(1), append = true)
+    val afterV2 = System.currentTimeMillis()
+    Thread.sleep(1100)
+    // purge republishes every live manifest — if commit instants lived in
+    // manifest mtimes, every pre-purge instant would now resolve to v0
+    val (_, _, nd) = Snapshots.purge(spark, dir, Seq(2L).toDF("id"),
+      Seq("id"))
+    assert(nd == 1)
+    assert(Snapshots.versionAsOf(spark, dir, afterV1) == 1,
+      "pre-purge instants must still resolve to the version live then")
+    assert(Snapshots.versionAsOf(spark, dir, afterV2) == 2)
+    assert(Snapshots.readAsOf(spark, dir, afterV1).count() == 4)
+  }
+
+  test("a live slow writer is waited on past the staleness timeout") {
+    val dir = tmpDir("snapbeat")
+    import spark.implicits._
+    Snapshots.commit(spark, dir, df(1 to 5).coalesce(1), append = false)
+    val p = new org.apache.hadoop.fs.Path(dir, "v2.claim")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(p, false).close()
+    // a slow-but-alive writer: heartbeats v2.claim every 300 ms
+    val slow = new Snapshots.Claim(fs, dir, 2, heartbeatMs = 300L)
+    val done = new java.util.concurrent.atomic.AtomicInteger(-1)
+    val failed = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val t0 = System.currentTimeMillis()
+    val th = new Thread(() => {
+      try done.set(Snapshots.commitWithTimeout(spark, dir,
+        df(6 to 8).coalesce(1), append = true, timeoutMs = 2000L))
+      catch { case t: Throwable => failed.set(t) }
+    })
+    th.start()
+    // hold the claim ALIVE well past the follower's 2 s staleness bound —
+    // a wall-clock follower timeout would have thrown by now
+    Thread.sleep(5000)
+    slow.release() // aborts without publishing; follower re-hunts v2
+    th.join(120000)
+    assert(failed.get() == null,
+      s"heartbeating claim treated as stale: ${failed.get()}")
+    assert(done.get() == 2 && System.currentTimeMillis() - t0 >= 5000,
+      "follower must outwait a live claim, then take the freed slot")
+    assert(idsOf(dir, 2) == (1L to 8L))
+  }
+
+  test("composite-key purge opens only stats-intersecting files") {
+    val dir = tmpDir("snapck")
+    import spark.implicits._
+    def batch(src: String, ids: Range) =
+      ids.map(i => (src, i.toLong, s"row$i")).toDF("source", "doc_id", "pl")
+    // three single-file commits, each a distinct (source, doc_id) region
+    Snapshots.commit(spark, dir, batch("a", 1 to 10).coalesce(1),
+      append = false, statsCols = Seq("source", "doc_id"))
+    Snapshots.commit(spark, dir, batch("b", 1 to 10).coalesce(1),
+      append = true, statsCols = Seq("source", "doc_id"))
+    Snapshots.commit(spark, dir, batch("a", 11 to 20).coalesce(1),
+      append = true, statsCols = Seq("source", "doc_id"))
+    // ("a", 3) lies outside file 2's source bounds AND file 3's doc_id
+    // bounds — the per-column conjunction must scan ONLY file 1. A
+    // single-key bound (or keyCols.size != 1 bailout) would scan all 3.
+    val tomb = Seq(("a", 3L)).toDF("source", "doc_id")
+    val (nf, _, nd) = Snapshots.purge(spark, dir, tomb,
+      Seq("source", "doc_id"))
+    assert(nf == 1 && nd == 1)
+    val (scanned, total) = Snapshots.lastPurgePruneCounts
+    assert(total == 3 && scanned == 1,
+      s"2-col stats must confine the scan to 1 of 3 files, got $scanned/$total")
+    // every version reads correctly after the composite-key purge
+    assert(Snapshots.read(spark, dir, 3).count() == 29)
+    assert(Snapshots.read(spark, dir, 1).count() == 9)
+  }
+
+  test("timestamp stats: boundary equality never prunes a matching file") {
+    val dir = tmpDir("snaptsb")
+    import spark.implicits._
+    // stats store Spark's cast-to-string ("… 09:00:00"); the probe bound
+    // arrives as java.sql.Timestamp whose toString renders "… 09:00:00.0".
+    // Raw lexicographic comparison makes lo > mx at boundary equality and
+    // prunes the file that contains the matching row — silent row loss.
+    val ts = java.sql.Timestamp.valueOf("2020-01-01 09:00:00")
+    val rows = Seq((1L, java.sql.Timestamp.valueOf("2020-01-01 08:00:00")),
+      (2L, ts)).toDF("id", "ev_ts")
+    Snapshots.commit(spark, dir, rows.coalesce(1), append = false,
+      statsCols = Seq("ev_ts"))
+    val (pr, (read, total)) =
+      Snapshots.readPruned(spark, dir, 1, "ev_ts", ts, ts)
+    assert(read == 1 && total == 1,
+      s"boundary-equality probe pruned the matching file: $read/$total")
+    assert(pr.count() == 1, "the row AT the file's max must be returned")
+    // and a probe truly outside the bounds still prunes
+    val far = java.sql.Timestamp.valueOf("2030-01-01 00:00:00")
+    val (_, (r2, _)) = Snapshots.readPruned(spark, dir, 1, "ev_ts", far, far)
+    assert(r2 == 0, "normalization must not break real pruning")
+  }
+
+  test("purge sweeps orphaned data files from a crashed prior run") {
+    val dir = tmpDir("snaporph")
+    import spark.implicits._
+    Snapshots.commit(spark, dir, df(1 to 10).coalesce(1), append = false)
+    Snapshots.commit(spark, dir, df(11 to 20).coalesce(1), append = true)
+    val dataDir = new org.apache.hadoop.fs.Path(dir, "data")
+    val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // debris a step-3/4 crash leaves: an original no manifest references
+    val orphan = new org.apache.hadoop.fs.Path(dataDir, "v1-9-orphan.parquet")
+    fs.create(orphan, true).close()
+    val (_, _, nd) = Snapshots.purge(spark, dir, Seq(15L).toDF("id"),
+      Seq("id"))
+    assert(nd == 1)
+    assert(!fs.exists(orphan), "purge must reclaim unreferenced data files")
+    // live files untouched: every version still reads
+    assert(idsOf(dir, 1) == (1L to 10L))
+    assert(idsOf(dir, 2) == (1L to 20L).filterNot(_ == 15L))
+  }
+
   test("vacuum deletes only files no retained version references") {
     val dir = tmpDir("snapvac")
     Snapshots.commit(spark, dir, df(1 to 10), append = false) // v1
