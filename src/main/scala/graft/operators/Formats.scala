@@ -613,6 +613,45 @@ object Formats extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // Registered table-format front door (f29): the same two-version
+    // snapshot table as f19, but read through the REGISTERED
+    // `graft-snapshots` source — `spark.read.format(...).option(
+    // "versionAsOf", 1)` for the pinned version and a `CREATE TEMPORARY
+    // VIEW … USING` view queried with plain spark.sql for the latest —
+    // the user-facing entry surface (the reference's connector IS its
+    // user-callable macro, ecl/HDFSConnector.ecl:54; a lakehouse layer
+    // only reachable from Scala internals is the capability without the
+    // front door). The format resolves the manifest into a
+    // HadoopFsRelation over Spark's own vectorized parquet scan (the
+    // Delta-style architecture), so the front door costs nothing at
+    // execution time; SnapshotSourceSpec pins stats pruning (numFiles),
+    // evolved schemas, and DV reads through the same path. Verdict:
+    // counts + content checksum oracle-recomputed from the source table,
+    // parity of both front-door reads pinned as booleans.
+    "f29_snapshot_sql" -> ((s, d) => {
+      val out = snapshotTable(s, d)
+      val docs = T.documents(s, d)
+      val hot = col("source").isin("src0", "src1", "src2")
+      val v1 = s.read.format("graft-snapshots")
+        .option("versionAsOf", "1").load(out)
+      s.sql("CREATE OR REPLACE TEMPORARY VIEW f29_snap " +
+        "USING `graft-snapshots` OPTIONS (path '" + out + "')")
+      val v2 = s.sql("SELECT * FROM f29_snap")
+      val s1 = docSums(v1).select(col("n").as("n1"), col("h").as("h1"))
+      val s2 = docSums(v2).select(col("n").as("n2"), col("h").as("h2"))
+      val e1 = docSums(docs.filter(hot))
+        .select(col("n").as("en1"), col("h").as("eh1"))
+      val e2 = docSums(docs)
+        .select(col("n").as("en2"), col("h").as("eh2"))
+      s1.crossJoin(s2).crossJoin(e1).crossJoin(e2)
+        .select(col("en1").as("n_v1"), col("en2").as("n_v2"),
+          col("eh2").as("content_sum"),
+          (col("n1") === col("en1") && col("h1") === col("eh1"))
+            .as("v1_via_format_ok"),
+          (col("n2") === col("en2") && col("h2") === col("eh2"))
+            .as("sql_view_ok"))
+    }),
+
     // MERGE INTO / upsert (f27): a change batch against the two-commit
     // documents snapshot table — every doc_id % 11 = 0 row updated
     // (n_chars + 1000) and every doc_id % 17 = 0 row cloned in under a
@@ -1087,6 +1126,20 @@ object Formats extends QueryPack {
              TRUE AS v1_ok,
              TRUE AS v2_ok,
              TRUE AS two_versions
+      FROM documents""",
+    // f29: same recomputation as f19 (the front door must read the same
+    // bytes); the parity booleans pinned TRUE
+    "f29_snapshot_sql" -> """
+      SELECT CAST(count(*) FILTER (WHERE source IN ('src0','src1','src2'))
+               AS BIGINT) AS n_v1,
+             CAST(count(*) AS BIGINT) AS n_v2,
+             CAST(sum(CAST(('0x' || substr(md5(
+               CAST(doc_id AS VARCHAR) || chr(1) || text || chr(1) ||
+               lang || chr(1) || source || chr(1) ||
+               CAST(n_chars AS VARCHAR)), 1, 8)) AS BIGINT)) AS BIGINT)
+               AS content_sum,
+             TRUE AS v1_via_format_ok,
+             TRUE AS sql_view_ok
       FROM documents""",
     // f28: the maintained view recomputed directly over the replayed
     // final table state

@@ -46,7 +46,7 @@ object Snapshots {
       .sorted.lastOption.getOrElse(0)
   }
 
-  private def files(s: SparkSession, dir: String, v: Int): Seq[String] = {
+  private[sources] def files(s: SparkSession, dir: String, v: Int): Seq[String] = {
     val in = fs(s, dir).open(manifest(dir, v))
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
@@ -379,7 +379,7 @@ object Snapshots {
   /** Per-file (col, typeName, min, max) stats recorded by commits 1..v,
     * keyed by manifest-relative path. Files without stats are simply
     * absent (conservative: never pruned). */
-  private def statsUpTo(s: SparkSession, dir: String, v: Int)
+  private[sources] def statsUpTo(s: SparkSession, dir: String, v: Int)
       : Map[String, Seq[(String, String, String, String)]] = {
     val f = fs(s, dir)
     def linesOf(p: Path): Seq[(String, (String, String, String, String))] =
@@ -406,7 +406,7 @@ object Snapshots {
     * Comparing the RAW strings lexicographically is wrong at boundary
     * equality (".0" sorts above ""), which can prune a file that contains
     * matching rows — silent row loss. None = unparseable (conservative). */
-  private def temporalMillis(x: String): Option[Long] = {
+  private[sources] def temporalMillis(x: String): Option[Long] = {
     val s = x.trim.replace('T', ' ')
     (try Some(java.sql.Timestamp.valueOf(s).getTime)
      catch { case _: Exception => None }).orElse(
@@ -420,7 +420,7 @@ object Snapshots {
     * before comparing (the two sides may render subseconds differently);
     * unknown types and unparseable values compare conservatively
     * (always true). */
-  private def inBounds(typeName: String, mn: String, mx: String,
+  private[sources] def inBounds(typeName: String, mn: String, mx: String,
       lo: String, hi: String): Boolean = typeName match {
     case "byte" | "short" | "integer" | "long" =>
       try { hi.toLong >= mn.toLong && lo.toLong <= mx.toLong }
@@ -467,7 +467,7 @@ object Snapshots {
   }
 
   /** Renames declared AT commit `v` (empty if none). */
-  private def renamesOf(s: SparkSession, dir: String, v: Int)
+  private[sources] def renamesOf(s: SparkSession, dir: String, v: Int)
       : Seq[(String, String)] = {
     val p = new Path(dir, s"v$v.renames")
     val f = fs(s, dir)
@@ -487,7 +487,7 @@ object Snapshots {
     * and float→double; any integral × fractional mix reads as double.
     * Anything else is a real schema CONFLICT and throws (silently
     * coercing string×int would corrupt data). */
-  private def widen(a: org.apache.spark.sql.types.DataType,
+  private[sources] def widen(a: org.apache.spark.sql.types.DataType,
       b: org.apache.spark.sql.types.DataType)
       : org.apache.spark.sql.types.DataType = {
     import org.apache.spark.sql.types._
@@ -508,7 +508,7 @@ object Snapshots {
     }
   }
 
-  private val FileCommit = """^(?:data/)?(?:purged-)*v(\d+)-.*$""".r
+  private[sources] val FileCommit = """^(?:data/)?(?:purged-)*v(\d+)-.*$""".r
 
   /** Read version `v` under the table's EVOLVED schema: files are grouped
     * by the commit that wrote them (recoverable from the `vC-i-…` name,
@@ -549,6 +549,49 @@ object Snapshots {
     if (dv) applyDv(s, dir, v, union) else union
   }
 
+  /** Metadata-only resolution of version `v`'s EVOLVED schema: per
+    * vintage, one parquet footer is read (a commit writes one DataFrame,
+    * so its files share a schema), the rename chain of every later
+    * commit ≤ v maps local names to canonical ones, and types widen
+    * across vintages ([[widen]]). Returns the evolved schema (column
+    * order matching [[readEvolved]]'s union: first vintage's columns,
+    * then later additions in vintage order) plus, per vintage, the
+    * INVERSE name map canonical → vintage-local (identity entries
+    * omitted) — what a scan needs to request columns from old files
+    * under their historical names. O(vintages) footer reads, no data. */
+  private[sources] def evolutionInfo(s: SparkSession, dir: String, v: Int)
+      : (org.apache.spark.sql.types.StructType, Map[Int, Map[String, String]]) = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val fset = files(s, dir, v)
+    val byCommit: Map[Int, Seq[String]] = fset.groupBy {
+      case FileCommit(c) => c.toInt
+      case other => throw new IllegalStateException(
+        s"evolutionInfo: cannot attribute $other to a commit")
+    }
+    val chain = (1 to v).map(c => c -> renamesOf(s, dir, c)).toMap
+    val vintages = byCommit.toSeq.sortBy(_._1).map { case (c, paths) =>
+      val sch = s.read.parquet(new Path(dir, paths.head).toString).schema
+      var fwd: Map[String, String] = sch.fieldNames.map(n => n -> n).toMap
+      for (later <- (c + 1) to v; (o, n) <- chain(later))
+        fwd = fwd.map { case (l, cur) => l -> (if (cur == o) n else cur) }
+      (c, sch, fwd)
+    }
+    val widened: Map[String, org.apache.spark.sql.types.DataType] =
+      vintages.flatMap { case (_, sch, fwd) =>
+        sch.fields.map(f => fwd(f.name) -> f.dataType) }
+        .groupBy(_._1).map { case (n, ts) =>
+          n -> ts.map(_._2).reduce(widen) }
+    val order = scala.collection.mutable.LinkedHashSet.empty[String]
+    vintages.foreach { case (_, sch, fwd) =>
+      sch.fieldNames.foreach(n => order += fwd(n)) }
+    val evolved = StructType(order.toSeq.map(n =>
+      StructField(n, widened(n), nullable = true)))
+    val inverse = vintages.map { case (c, _, fwd) =>
+      c -> fwd.collect { case (l, cn) if l != cn => cn -> l }
+    }.toMap
+    (evolved, inverse)
+  }
+
   /** Write manifest vN atomically (temp name + checked rename). */
   private def writeManifest(f: FileSystem, dir: String, v: Int,
       fileSet: Seq[String]): Unit = {
@@ -568,7 +611,7 @@ object Snapshots {
 
   /** The (file_path, row_index) positions deleted as of version `v`, or
     * None if the version carries no deletion vector. */
-  private def dvFrame(s: SparkSession, dir: String, v: Int)
+  private[sources] def dvFrame(s: SparkSession, dir: String, v: Int)
       : Option[DataFrame] = {
     val p = dvDir(dir, v)
     if (fs(s, dir).exists(p)) Some(s.read.parquet(p.toString)) else None

@@ -1,0 +1,173 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+/** Pins the `graft-snapshots` front door: the snapshot table format
+  * reachable from `spark.read.format(...)` and from SQL through a
+  * registered `USING` view, with version/timestamp pinning, evolved
+  * schemas, stats pruning (numFiles), deletion vectors, and writes.
+  */
+class SnapshotSourceSpec extends SparkSpec {
+
+  private def df(ids: Range) = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, s"row$i")).toDF("id", "payload")
+  }
+
+  private def readFmt(dir: String, opts: (String, String)*) = {
+    val r = spark.read.format("graft-snapshots")
+    opts.foldLeft(r)((acc, kv) => acc.option(kv._1, kv._2)).load(dir)
+  }
+
+  private def ids(frame: org.apache.spark.sql.DataFrame): Seq[Long] =
+    frame.select(col("id")).collect().map(_.getLong(0)).toSeq.sorted
+
+  test("format read pins versions; default is latest; timestampAsOf works") {
+    val dir = tmpDir("srcver")
+    Snapshots.commit(spark, dir, df(1 to 10).coalesce(1), append = false)
+    val afterV1 = System.currentTimeMillis()
+    Thread.sleep(1100)
+    Snapshots.commit(spark, dir, df(11 to 20).coalesce(1), append = true)
+
+    assert(ids(readFmt(dir)) == (1L to 20L), "default read = latest")
+    assert(ids(readFmt(dir, "versionAsOf" -> "1")) == (1L to 10L))
+    assert(ids(readFmt(dir, "timestampAsOf" -> afterV1.toString)) ==
+      (1L to 10L))
+    intercept[IllegalArgumentException] {
+      readFmt(dir, "versionAsOf" -> "3")
+    }
+    intercept[IllegalArgumentException] {
+      readFmt(dir, "versionAsOf" -> "1", "timestampAsOf" -> "0")
+    }
+  }
+
+  test("SQL front door: USING view with a pinned version") {
+    val dir = tmpDir("srcsql")
+    Snapshots.commit(spark, dir, df(1 to 10).coalesce(1), append = false)
+    Snapshots.commit(spark, dir, df(11 to 20).coalesce(1), append = true)
+    spark.sql(s"""
+      CREATE OR REPLACE TEMPORARY VIEW snap_v1
+      USING `graft-snapshots`
+      OPTIONS (path '$dir', versionAsOf '1')""")
+    spark.sql(s"""
+      CREATE OR REPLACE TEMPORARY VIEW snap_latest
+      USING `graft-snapshots`
+      OPTIONS (path '$dir')""")
+    val n1 = spark.sql("SELECT count(*) AS n FROM snap_v1").head().getLong(0)
+    val n2 = spark.sql("SELECT count(*) AS n FROM snap_latest")
+      .head().getLong(0)
+    assert(n1 == 10 && n2 == 20, s"SQL views must time-travel: $n1/$n2")
+    val top = spark.sql(
+      "SELECT id FROM snap_v1 WHERE id > 7 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(8L, 9L, 10L))
+  }
+
+  test("stats pruning engages through the format (numFiles pinned)") {
+    val dir = tmpDir("srcprune")
+    Snapshots.commit(spark, dir, df(1 to 10).coalesce(1),
+      append = false, statsCols = Seq("id"))
+    Snapshots.commit(spark, dir, df(11 to 20).coalesce(1),
+      append = true, statsCols = Seq("id"))
+    Snapshots.commit(spark, dir, df(21 to 30).coalesce(1),
+      append = true, statsCols = Seq("id"))
+
+    def scanFiles(frame: org.apache.spark.sql.DataFrame): Long = {
+      frame.collect()
+      val scan = frame.queryExecution.executedPlan.collectFirst {
+        case f: FileSourceScanExec => f
+      }.getOrElse(fail("no FileSourceScanExec in the plan"))
+      scan.metrics("numFiles").value
+    }
+
+    val probe = readFmt(dir).filter(col("id") >= 12 && col("id") <= 18)
+    assert(ids(probe) == (12L to 18L))
+    assert(scanFiles(probe) == 1,
+      "one of three files intersects [12,18] — pruning must engage")
+
+    val two = readFmt(dir).filter(col("id") >= 9 && col("id") <= 13)
+    assert(ids(two) == (9L to 13L) && scanFiles(two) == 2)
+
+    // an unfiltered read scans everything; a no-stats column prunes nothing
+    val all = readFmt(dir)
+    assert(ids(all) == (1L to 30L) && scanFiles(all) == 3)
+    val pl = readFmt(dir).filter(col("payload") === "row25")
+    assert(pl.count() == 1 && scanFiles(pl) == 3)
+  }
+
+  test("evolved schema through the format: rename + widening + backfill") {
+    val dir = tmpDir("srcevo")
+    import spark.implicits._
+    val v1 = Seq((1, "a"), (2, "b")).toDF("id", "val")
+      .select(col("id").cast("int").as("id"), col("val"))
+    Snapshots.commit(spark, dir, v1, append = false)
+    val v2 = Seq((3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("id", "value", "extra")
+    Snapshots.commit(spark, dir, v2, append = true,
+      renames = Map("val" -> "value"))
+
+    val ev = readFmt(dir)
+    assert(ev.schema("id").dataType ==
+      org.apache.spark.sql.types.LongType, "int must widen to long")
+    assert(ev.columns.toSet == Set("id", "value", "extra"))
+    val rows = ev.select("id", "value", "extra")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toSeq.sortBy(_._1)
+    assert(rows == Seq((1L, "a", None), (2L, "b", None),
+      (3L, "c", Some(30.0)), (4L, "d", Some(40.0))))
+    // a filter on the renamed column resolves against old files too
+    assert(ev.filter(col("value") === "a").count() == 1)
+    // pinned at v1 the legacy schema is what existed
+    val asOf1 = readFmt(dir, "versionAsOf" -> "1")
+    assert(asOf1.columns.toSet == Set("id", "val"))
+  }
+
+  test("deletion-vector versions read through the format") {
+    val dir = tmpDir("srcdv")
+    Snapshots.commit(spark, dir, df(1 to 20).repartition(2), append = false)
+    val (v2, n) = Snapshots.deleteWhere(spark, dir, col("id") % 5 === 0)
+    assert(v2 == 2 && n == 4)
+    assert(ids(readFmt(dir)) == (1L to 20L).filterNot(_ % 5 == 0))
+    // prior version still reads everything
+    assert(ids(readFmt(dir, "versionAsOf" -> "1")) == (1L to 20L))
+    // filters above the DV-aware scan still apply
+    assert(ids(readFmt(dir).filter(col("id") > 10)) ==
+      (11L to 20L).filterNot(_ % 5 == 0))
+    // the cap refuses with an actionable message
+    val e = intercept[IllegalArgumentException] {
+      readFmt(dir, "maxDvPositions" -> "2").collect()
+    }
+    assert(e.getMessage.contains("optimize"))
+  }
+
+  test("write side: SaveMode maps onto the commit protocol") {
+    val dir = tmpDir("srcwrite")
+    df(1 to 10).coalesce(1).write.format("graft-snapshots")
+      .mode("append").option("statsCols", "id").save(dir)
+    df(11 to 20).coalesce(1).write.format("graft-snapshots")
+      .mode("append").option("statsCols", "id").save(dir)
+    assert(Snapshots.latestVersion(spark, dir) == 2)
+    assert(ids(readFmt(dir)) == (1L to 20L))
+    // overwrite = rewrite commit; history stays readable
+    df(21 to 25).coalesce(1).write.format("graft-snapshots")
+      .mode("overwrite").save(dir)
+    assert(ids(readFmt(dir)) == (21L to 25L))
+    assert(ids(readFmt(dir, "versionAsOf" -> "2")) == (1L to 20L))
+    // errorifexists refuses on a non-empty table
+    intercept[IllegalStateException] {
+      df(1 to 2).write.format("graft-snapshots")
+        .mode("errorifexists").save(dir)
+    }
+    // write-side stats prune reads (round trip through both doors)
+    val probe = readFmt(dir, "versionAsOf" -> "2")
+      .filter(col("id") >= 2 && col("id") <= 3)
+    probe.collect()
+    val nf = probe.queryExecution.executedPlan.collectFirst {
+      case f: FileSourceScanExec => f.metrics("numFiles").value
+    }.get
+    assert(nf == 1, s"write-side statsCols must prune: $nf")
+  }
+}
