@@ -652,6 +652,60 @@ object Formats extends QueryPack {
             .as("sql_view_ok"))
     }),
 
+    // Min/max/avg incremental view with RETRACTION (f30): per-lang
+    // (count, sum, avg, min, max of n_chars) maintained through the
+    // snapshot CDC. Count/sum/avg are subtractable; min/max are not — a
+    // delete that removes a group's recorded extremum forces a recompute
+    // of exactly that group from the LATEST version (never history; a
+    // non-extremum delta recomputes zero groups — SnapshotsSpec pins
+    // both directions). The scenario: cold-build the view at v1 (all
+    // documents), then delete the max-n_chars row(s) of the
+    // lexicographically first lang (a deterministic, SQL-replayable
+    // retraction) and refresh. Verdict: the view itself plus the pinned
+    // proof that the refresh recomputed exactly ONE group.
+    "f30_view_minmax" -> ((s, d) => {
+      val out = ioDir(d, "f30")
+      val viewDir = ioDir(d, "f30_view")
+      val metaDir = ioDir(d, "f30_meta")
+      writeOnce(s, out, alsoRequire =
+          graft.sources.Snapshots.latestVersion(s, out) == 2) {
+        val fsys = new org.apache.hadoop.fs.Path(out)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fsys.delete(new org.apache.hadoop.fs.Path(out), true)
+        fsys.delete(new org.apache.hadoop.fs.Path(viewDir), true)
+        val docs = T.documents(s, d)
+        def refresh() = graft.sources.Snapshots.refreshView(s, out,
+          viewDir, groupCols = Seq("lang"), sumCols = Seq("n_chars"),
+          avgCols = Seq("n_chars"), minMaxCols = Seq("n_chars"))
+        graft.sources.Snapshots.commit(s, out, docs, append = false)
+        refresh()
+        // bounded metadata lookups (2 scalar aggregates), not row data
+        val lang0 = docs.agg(min(col("lang"))).head().getString(0)
+        val mx = docs.filter(col("lang") === lang0)
+          .agg(max(col("n_chars"))).head().getLong(0)
+        graft.sources.Snapshots.deleteWhere(s, out,
+          col("lang") === lang0 && col("n_chars") === mx)
+        refresh()
+        import s.implicits._
+        Seq(graft.sources.Snapshots.lastViewRecomputedGroups)
+          .toDF("recomputed")
+          .coalesce(1).write.mode("overwrite").parquet(metaDir)
+        ()
+      }
+      val meta = s.read.parquet(metaDir)
+      graft.sources.Snapshots.readView(s, viewDir)
+        .select(col("lang"), col("n_rows").as("n_docs"),
+          col("sum_n_chars").as("sum_chars"),
+          col("avg_n_chars").as("avg_chars"),
+          col("min_n_chars").as("min_chars"),
+          col("max_n_chars").as("max_chars"))
+        .crossJoin(meta)
+        .select(col("lang"), col("n_docs"), col("sum_chars"),
+          col("avg_chars"), col("min_chars"), col("max_chars"),
+          (col("recomputed") === 1L).as("retraction_bounded"))
+        .orderBy(col("lang"))
+    }),
+
     // MERGE INTO / upsert (f27): a change batch against the two-commit
     // documents snapshot table — every doc_id % 11 = 0 row updated
     // (n_chars + 1000) and every doc_id % 17 = 0 row cloned in under a
@@ -1141,6 +1195,23 @@ object Formats extends QueryPack {
              TRUE AS v1_via_format_ok,
              TRUE AS sql_view_ok
       FROM documents""",
+    // f30: the post-retraction view replayed directly — keep everything
+    // except the max-n_chars rows of the first lang, then aggregate;
+    // avg as sum/count division on both engines (identical IEEE)
+    "f30_view_minmax" -> """
+      WITH kept AS (
+        SELECT * FROM documents
+        WHERE NOT (lang = (SELECT min(lang) FROM documents)
+          AND n_chars = (SELECT max(n_chars) FROM documents
+                         WHERE lang = (SELECT min(lang) FROM documents))))
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             CAST(sum(n_chars) AS DOUBLE) / count(n_chars) AS avg_chars,
+             CAST(min(n_chars) AS BIGINT) AS min_chars,
+             CAST(max(n_chars) AS BIGINT) AS max_chars,
+             TRUE AS retraction_bounded
+      FROM kept GROUP BY lang ORDER BY lang""",
     // f28: the maintained view recomputed directly over the replayed
     // final table state
     "f28_incremental_view" -> """

@@ -1125,22 +1125,37 @@ object Snapshots {
     (b.exceptAll(a), a.exceptAll(b))
   }
 
+  /** Spec observability only: groups whose min/max the last [[refreshView]]
+    * re-read from the latest version (extremum retraction). */
+  @volatile private[graft] var lastViewRecomputedGroups: Long = 0L
+
   /** Incrementally-maintained materialized aggregate view over a snapshot
-    * table: `groupCols` → (n_rows, sum_<c> for each of `sumCols`). State
-    * is a parquet at `viewDir` plus a marker holding the last refreshed
-    * version; each refresh applies only the ROW-LEVEL DELTA between that
-    * version and the current latest — count and sum are subtractable, so
-    * inserts add and deletes subtract, and a group whose count reaches
-    * zero drops out. At 100 TB the refresh cost is the changed rows plus
-    * the view size, never a table rescan — the incremental-materialized-
-    * view contract a warehouse layer needs on top of the table format.
-    * Works through appends, merge-on-read deletes, upserts (delete +
-    * insert of the same key), and purges, because the delta is computed
-    * over [[read]] which applies them all.
+    * table: `groupCols` → (n_rows, sum_<c>, avg_<c>, min_<c>, max_<c>).
+    * State is a parquet at `viewDir` plus a marker holding the last
+    * refreshed version; each refresh applies only the ROW-LEVEL DELTA
+    * between that version and the current latest. Count, sum, and avg
+    * (kept as sum + non-null count, exposed as their quotient by
+    * [[readView]]) are SUBTRACTABLE — inserts add, deletes subtract, a
+    * group whose count reaches zero drops out. Min/max are NOT
+    * subtractable under deletes: an insert folds in with least/greatest,
+    * but a delete that removes a group's recorded extremum leaves the new
+    * extremum unknown. The refresh detects exactly those retractions per
+    * (group, column) — a deleted value tying the recorded bound, not
+    * masked by a new insert at or past it — and recomputes min/max for
+    * ONLY the affected groups from the LATEST version (one semi-joined
+    * scan of those groups' rows; never a history scan, and a delete that
+    * touches no extremum recomputes zero groups — spec-pinned via
+    * [[lastViewRecomputedGroups]]). At 100 TB the refresh cost is the
+    * changed rows + the view + the retracted groups, never a table
+    * rescan — the incremental-materialized-view contract of a warehouse
+    * layer. Works through appends, merge-on-read deletes, upserts, and
+    * purges, because the delta is computed over [[read]].
     *
     * @return (version refreshed to, rowsApplied) */
   def refreshView(s: SparkSession, dir: String, viewDir: String,
-      groupCols: Seq[String], sumCols: Seq[String]): (Int, Long) = {
+      groupCols: Seq[String], sumCols: Seq[String],
+      avgCols: Seq[String] = Seq.empty,
+      minMaxCols: Seq[String] = Seq.empty): (Int, Long) = {
     import org.apache.spark.sql.functions._
     val f = fs(s, dir)
     val cur = latestVersion(s, dir)
@@ -1151,13 +1166,30 @@ object Snapshots {
     // (which would double-apply the delta on a crashed refresh's re-run)
     val statePath = new Path(viewDir, "state")
     val marker = new Path(statePath, "_LAST_VERSION")
-    def aggOf(df: DataFrame, sign: Int): DataFrame =
-      df.groupBy(groupCols.map(col): _*)
-        .agg(count(lit(1)).as("n_rows"),
-          sumCols.map(c => sum(col(c)).as(s"sum_$c")): _*)
-        .select((groupCols.map(col) :+
-          (col("n_rows") * sign).as("n_rows")) ++
-          sumCols.map(c => (col(s"sum_$c") * sign).as(s"sum_$c")): _*)
+    val gCols = groupCols.map(col)
+    // additive slice: n_rows + sums + avg numerators/denominators
+    def addOf(df: DataFrame, sign: Int): DataFrame = {
+      val aggs = (count(lit(1)).as("n_rows") +:
+        sumCols.map(c => sum(col(c)).as(s"sum_$c"))) ++
+        avgCols.flatMap(c => Seq(sum(col(c)).as(s"asum_$c"),
+          count(col(c)).as(s"acnt_$c")))
+      val signed = ((col("n_rows") * sign).as("n_rows") +:
+        sumCols.map(c => (col(s"sum_$c") * sign).as(s"sum_$c"))) ++
+        avgCols.flatMap(c => Seq(
+          (col(s"asum_$c") * sign).as(s"asum_$c"),
+          (col(s"acnt_$c") * sign).as(s"acnt_$c")))
+      df.groupBy(gCols: _*).agg(aggs.head, aggs.tail: _*)
+        .select(gCols ++ signed: _*)
+    }
+    def mmOf(df: DataFrame, prefix: String): DataFrame = {
+      val aggs = minMaxCols.flatMap(c => Seq(
+        min(col(c)).as(s"${prefix}min_$c"),
+        max(col(c)).as(s"${prefix}max_$c")))
+      df.groupBy(gCols: _*).agg(aggs.head, aggs.tail: _*)
+    }
+    val addNames = ("n_rows" +: sumCols.map(c => s"sum_$c")) ++
+      avgCols.flatMap(c => Seq(s"asum_$c", s"acnt_$c"))
+    val mmNames = minMaxCols.flatMap(c => Seq(s"min_$c", s"max_$c"))
     val last: Option[Int] =
       if (!f.exists(marker)) None
       else {
@@ -1166,19 +1198,88 @@ object Snapshots {
           finally in.close()
         Some(txt.trim.toInt)
       }
+    // the hazard frame is read twice (count + state write); cached for
+    // the duration of the refresh, dropped after the swap
+    var cached: Option[DataFrame] = None
     val (next, applied) = last match {
       case Some(v) if v == cur => return (cur, 0L) // already current
       case None =>
-        (aggOf(read(s, dir, cur), 1), read(s, dir, cur).count())
+        lastViewRecomputedGroups = 0L
+        val full = read(s, dir, cur)
+        val base = addOf(full, 1)
+        val cold = if (minMaxCols.isEmpty) base
+          else base.join(mmOf(full, ""), groupCols)
+        (cold, full.count())
       case Some(v) =>
-        val (ins, del) = diffRows(s, dir, v, cur)
-        val delta = aggOf(ins, 1).unionByName(aggOf(del, -1))
         val state = s.read.parquet(statePath.toString)
-        val merged = state.unionByName(delta)
-          .groupBy(groupCols.map(col): _*)
-          .agg(sum(col("n_rows")).as("n_rows"),
-            sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")): _*)
+        require(addNames.forall(state.columns.contains) &&
+          mmNames.forall(state.columns.contains),
+          s"refreshView: view definition changed (state at $viewDir lacks " +
+            "columns for the requested aggregates); delete the state dir " +
+            "to cold-rebuild")
+        val (ins, del) = diffRows(s, dir, v, cur)
+        val delta = addOf(ins, 1).unionByName(addOf(del, -1))
+        val counts = state.select(gCols ++ addNames.map(col): _*)
+          .unionByName(delta)
+          .groupBy(gCols: _*)
+          .agg(sum(col(addNames.head)).as(addNames.head),
+            addNames.tail.map(c => sum(col(c)).as(c)): _*)
           .filter(col("n_rows") > 0)
+        val merged = if (minMaxCols.isEmpty) {
+          lastViewRecomputedGroups = 0L
+          counts
+        } else {
+          val j = counts
+            .join(state.select(gCols ++ mmNames.map(col): _*),
+              groupCols, "left")
+            .join(mmOf(ins, "i"), groupCols, "left")
+            .join(mmOf(del, "d"), groupCols, "left")
+          // a (group, column) extremum is RETRACTED when a deleted value
+          // ties the recorded bound and no insert re-covers it (an insert
+          // at-or-past the bound makes the folded value exact regardless
+          // of what the delete removed)
+          val hazard = minMaxCols.map { c =>
+            (col(s"min_$c").isNotNull && col(s"dmin_$c").isNotNull &&
+              col(s"dmin_$c") <= col(s"min_$c") &&
+              (col(s"imin_$c").isNull ||
+                col(s"imin_$c") >= col(s"min_$c"))) ||
+            (col(s"max_$c").isNotNull && col(s"dmax_$c").isNotNull &&
+              col(s"dmax_$c") >= col(s"max_$c") &&
+              (col(s"imax_$c").isNull ||
+                col(s"imax_$c") <= col(s"max_$c")))
+          }.reduce(_ || _)
+          val flagged = j.withColumn("_haz", coalesce(hazard, lit(false)))
+            .persist()
+          cached = Some(flagged)
+          val hazardGroups = flagged.filter(col("_haz"))
+            .select(gCols: _*)
+          lastViewRecomputedGroups = hazardGroups.count()
+          val folded = minMaxCols.flatMap(c => Seq(
+            least(col(s"min_$c"), col(s"imin_$c")).as(s"fmin_$c"),
+            greatest(col(s"max_$c"), col(s"imax_$c")).as(s"fmax_$c")))
+          val withFold = flagged.select(
+            (gCols ++ addNames.map(col)) ++ folded :+ col("_haz"): _*)
+          val result =
+            if (lastViewRecomputedGroups == 0)
+              withFold.select((gCols ++ addNames.map(col)) ++
+                minMaxCols.flatMap(c => Seq(
+                  col(s"fmin_$c").as(s"min_$c"),
+                  col(s"fmax_$c").as(s"max_$c"))): _*)
+            else {
+              // recompute ONLY the retracted groups, from the latest
+              // version (semi-join confines the scan to their rows)
+              val re = mmOf(read(s, dir, cur).join(
+                  broadcast(hazardGroups), groupCols, "left_semi"), "r")
+              withFold.join(re, groupCols, "left")
+                .select((gCols ++ addNames.map(col)) ++
+                  minMaxCols.flatMap(c => Seq(
+                    coalesce(col(s"rmin_$c"), col(s"fmin_$c"))
+                      .as(s"min_$c"),
+                    coalesce(col(s"rmax_$c"), col(s"fmax_$c"))
+                      .as(s"max_$c"))): _*)
+            }
+          result
+        }
         (merged, ins.count() + del.count())
     }
     // swap: stage fresh state + its marker, then ONE rename. A crash
@@ -1188,7 +1289,8 @@ object Snapshots {
     // never double-applied)
     val tmp = new Path(viewDir, "_state_tmp")
     f.delete(tmp, true)
-    next.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    try next.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    finally cached.foreach { c => c.unpersist(); () }
     val o = f.create(new Path(tmp, "_LAST_VERSION"), true)
     try o.write(cur.toString.getBytes("UTF-8")) finally o.close()
     f.delete(statePath, true)
@@ -1198,9 +1300,21 @@ object Snapshots {
     (cur, applied)
   }
 
-  /** The materialized view's current contents. */
-  def readView(s: SparkSession, viewDir: String): DataFrame =
-    s.read.parquet(new Path(viewDir, "state").toString)
+  /** The materialized view's current contents. Avg aggregates are stored
+    * retractably as (sum, non-null count) and exposed here as their
+    * quotient `avg_<c>` (null for a group with no non-null values, the
+    * SQL convention); the internal numerator/denominator columns are
+    * dropped. */
+  def readView(s: SparkSession, viewDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val raw = s.read.parquet(new Path(viewDir, "state").toString)
+    val avgCols = raw.columns.filter(_.startsWith("asum_")).map(_.drop(5))
+    avgCols.foldLeft(raw) { (df, c) =>
+      df.withColumn(s"avg_$c",
+        col(s"asum_$c").cast("double") / col(s"acnt_$c"))
+        .drop(s"asum_$c", s"acnt_$c")
+    }
+  }
 
   /** Key-level change-data-capture between two versions: rows whose key
     * appears only in `to` are `insert`s, only in `from` are `delete`s.

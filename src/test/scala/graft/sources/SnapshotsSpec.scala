@@ -482,6 +482,75 @@ class SnapshotsSpec extends SparkSpec {
     assert(view() == Map("a" -> (9L, 520L)))
   }
 
+  test("view min/max/avg: retraction recomputes only the affected groups") {
+    val dir = tmpDir("snapmm")
+    val viewDir = tmpDir("snapmm-mv")
+    import spark.implicits._
+    def rows(xs: (Long, String, Long)*) =
+      xs.toSeq.toDF("id", "grp", "x")
+    def refresh(): (Int, Long) = Snapshots.refreshView(spark, dir, viewDir,
+      groupCols = Seq("grp"), sumCols = Seq("x"), avgCols = Seq("x"),
+      minMaxCols = Seq("x"))
+    def view(): Map[String, (Long, Long, Double, Long, Long)] =
+      Snapshots.readView(spark, viewDir).collect().map(r =>
+        r.getAs[String]("grp") -> ((r.getAs[Long]("n_rows"),
+          r.getAs[Long]("sum_x"), r.getAs[Double]("avg_x"),
+          r.getAs[Long]("min_x"), r.getAs[Long]("max_x")))).toMap
+
+    // a: {1,5,9}; b: {10,20,20} (duplicated max)
+    Snapshots.commit(spark, dir, rows((1L, "a", 1L), (2L, "a", 5L),
+      (3L, "a", 9L), (4L, "b", 10L), (5L, "b", 20L), (6L, "b", 20L)),
+      append = false)
+    refresh()
+    assert(view() == Map(
+      "a" -> ((3L, 15L, 5.0, 1L, 9L)),
+      "b" -> ((3L, 50L, 50.0 / 3.0, 10L, 20L))))
+
+    // append-only refresh: pure fold, zero recomputed groups
+    Snapshots.commit(spark, dir, rows((7L, "a", 12L)), append = true)
+    refresh()
+    assert(Snapshots.lastViewRecomputedGroups == 0L,
+      "an insert-only delta must never recompute")
+    assert(view()("a") == ((4L, 27L, 6.75, 1L, 12L)))
+
+    // NON-extremum delete (a's 5): zero groups recomputed
+    Snapshots.deleteWhere(spark, dir, col("id") === 2L)
+    refresh()
+    assert(Snapshots.lastViewRecomputedGroups == 0L,
+      "a non-extremum delete must touch zero groups")
+    assert(view()("a") == ((3L, 22L, 22.0 / 3.0, 1L, 12L)))
+
+    // extremum RETRACTION (a's max 12): exactly one group recomputed,
+    // b untouched
+    Snapshots.deleteWhere(spark, dir, col("id") === 7L)
+    refresh()
+    assert(Snapshots.lastViewRecomputedGroups == 1L,
+      "retracting one group's max must recompute exactly that group")
+    assert(view()("a") == ((2L, 10L, 5.0, 1L, 9L)))
+    assert(view()("b") == ((3L, 50L, 50.0 / 3.0, 10L, 20L)))
+
+    // deleting ONE copy of b's duplicated max: recompute fires (the
+    // bound was tied) and lands on the surviving copy
+    Snapshots.deleteWhere(spark, dir, col("id") === 5L)
+    refresh()
+    assert(Snapshots.lastViewRecomputedGroups == 1L)
+    assert(view()("b") == ((2L, 30L, 15.0, 10L, 20L)),
+      "a surviving duplicate must keep the max")
+
+    // retraction masked by a same-batch insert at the bound: upsert
+    // moves id=6 (b's max 20) to x=25 — the insert covers the max side,
+    // but the delete side of the upsert retracts nothing above the fold
+    val (_, _) = Snapshots.upsert(spark, dir,
+      rows((6L, "b", 25L)), Seq("id"))
+    refresh()
+    assert(view()("b") == ((2L, 35L, 17.5, 10L, 25L)))
+
+    // a group deleted whole drops out
+    Snapshots.deleteWhere(spark, dir, col("grp") === "a")
+    refresh()
+    assert(view().keySet == Set("b"))
+  }
+
   test("diff sees logical rows: appends as inserts, rewrites as empty") {
     val dir = tmpDir("snapdiff")
     Snapshots.commit(spark, dir, df(1 to 10), append = false)
