@@ -706,6 +706,54 @@ object Formats extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // Branch refs (f31): experiment lineage beside main — v1 = the hot
+    // documents, then a branch `exp` takes the REST as a branch commit
+    // while main takes only src3 as a plain commit. The two lines share
+    // the global version counter and v1's files but diverge logically:
+    // main = hot + src3, exp = all documents. Both heads are read through
+    // the registered format (default = main's ref, `branch` option =
+    // exp), the counts and the branch checksum are oracle-recomputed
+    // from the source table, and the divergence booleans pin that
+    // neither line sees the other's commit. Refs are metadata-only (one
+    // tiny pointer file per ref; at 100 TB a branch costs zero data).
+    "f31_snapshot_branch" -> ((s, d) => {
+      val out = ioDir(d, "f31")
+      writeOnce(s, out, alsoRequire =
+          graft.sources.Snapshots.latestVersion(s, out) == 3) {
+        val fsys = new org.apache.hadoop.fs.Path(out)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fsys.delete(new org.apache.hadoop.fs.Path(out), true)
+        val docs = T.documents(s, d)
+        val hot = col("source").isin("src0", "src1", "src2")
+        graft.sources.Snapshots.commit(s, out, docs.filter(hot),
+          append = false)
+        graft.sources.Snapshots.createRef(s, out, "exp")
+        graft.sources.Snapshots.commitOnBranch(s, out, "exp",
+          docs.filter(!hot), append = true)
+        graft.sources.Snapshots.commit(s, out,
+          docs.filter(col("source") === "src3"), append = true)
+        ()
+      }
+      val docs = T.documents(s, d)
+      val mainExpect = col("source").isin("src0", "src1", "src2", "src3")
+      val mainGot = docSums(s.read.format("graft-snapshots").load(out))
+        .select(col("n").as("mn"), col("h").as("mh"))
+      val expGot = docSums(s.read.format("graft-snapshots")
+          .option("branch", "exp").load(out))
+        .select(col("n").as("bn"), col("h").as("bh"))
+      val mainWant = docSums(docs.filter(mainExpect))
+        .select(col("n").as("emn"), col("h").as("emh"))
+      val expWant = docSums(docs)
+        .select(col("n").as("ebn"), col("h").as("ebh"))
+      mainGot.crossJoin(expGot).crossJoin(mainWant).crossJoin(expWant)
+        .select(col("emn").as("n_main"), col("ebn").as("n_branch"),
+          col("ebh").as("branch_sum"),
+          (col("mn") === col("emn") && col("mh") === col("emh"))
+            .as("main_ok"),
+          (col("bn") === col("ebn") && col("bh") === col("ebh"))
+            .as("branch_ok"))
+    }),
+
     // MERGE INTO / upsert (f27): a change batch against the two-commit
     // documents snapshot table — every doc_id % 11 = 0 row updated
     // (n_chars + 1000) and every doc_id % 17 = 0 row cloned in under a
@@ -1194,6 +1242,20 @@ object Formats extends QueryPack {
                AS content_sum,
              TRUE AS v1_via_format_ok,
              TRUE AS sql_view_ok
+      FROM documents""",
+    // f31: both line counts + the branch checksum recomputed from the
+    // source; divergence parity pinned TRUE
+    "f31_snapshot_branch" -> """
+      SELECT CAST(count(*) FILTER (WHERE source IN
+               ('src0','src1','src2','src3')) AS BIGINT) AS n_main,
+             CAST(count(*) AS BIGINT) AS n_branch,
+             CAST(sum(CAST(('0x' || substr(md5(
+               CAST(doc_id AS VARCHAR) || chr(1) || text || chr(1) ||
+               lang || chr(1) || source || chr(1) ||
+               CAST(n_chars AS VARCHAR)), 1, 8)) AS BIGINT)) AS BIGINT)
+               AS branch_sum,
+             TRUE AS main_ok,
+             TRUE AS branch_ok
       FROM documents""",
     // f30: the post-retraction view replayed directly — keep everything
     // except the max-n_chars rows of the first lang, then aggregate;

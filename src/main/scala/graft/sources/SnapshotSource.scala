@@ -76,23 +76,29 @@ class SnapshotSource extends RelationProvider
   }
 
   private def resolveVersion(spark: SparkSession, dir: String,
-      parameters: Map[String, String], latest: Int): Int =
-    (parameters.get("versionasof"), parameters.get("timestampasof")) match {
-      case (Some(_), Some(_)) => throw new IllegalArgumentException(
-        "graft-snapshots: versionAsOf and timestampAsOf are exclusive")
-      case (Some(vs), None) =>
+      parameters: Map[String, String], latest: Int): Int = {
+    val picked = Seq("versionasof", "timestampasof", "branch")
+      .flatMap(k => parameters.get(k).map(k -> _))
+    require(picked.size <= 1,
+      "graft-snapshots: versionAsOf, timestampAsOf, and branch are exclusive")
+    picked.headOption match {
+      case Some(("versionasof", vs)) =>
         val v = vs.toInt
         require(v >= 1 && v <= latest,
           s"graft-snapshots: version $v not in [1, $latest] at $dir")
         v
-      case (None, Some(ts)) =>
+      case Some(("timestampasof", ts)) =>
         val millis = SnapshotSource.parseInstant(ts)
         val v = Snapshots.versionAsOf(spark, dir, millis)
         require(v >= 1,
           s"graft-snapshots: no version existed at $ts (or it was vacuumed)")
         v
-      case (None, None) => latest
+      case Some(("branch", name)) => Snapshots.refVersion(spark, dir, name)
+      // default = MAIN's head (the linear latest unless the table is
+      // ref-tracked, where the global latest may be a branch head)
+      case _ => Snapshots.mainVersion(spark, dir)
     }
+  }
 
   override def createRelation(ctx: SQLContext, mode: SaveMode,
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
@@ -126,7 +132,8 @@ class SnapshotSource extends RelationProvider
           Snapshots.commit(spark, dir, data, append = false,
             renames = renames, statsCols = statsCols)
     }
-    createRelation(ctx, parameters - "versionasof" - "timestampasof")
+    createRelation(ctx, parameters - "versionasof" - "timestampasof" -
+      "branch")
   }
 }
 

@@ -96,8 +96,16 @@ object Snapshots {
     val f = fs(s, dir)
     f.mkdirs(new Path(dir))
     val c = claimVersion(f, dir)
-    try commitClaimed(s, f, dir, df, append, renames, statsCols, c.v)
-    finally c.release()
+    try {
+      // on a ref-tracked table, a plain commit is a commit on MAIN:
+      // base = the main ref's head (which may not be the global latest
+      // once branches exist), and the ref advances with the publish
+      val base = mainHead(f, dir, c.v - 1)
+      val v = commitClaimed(s, f, dir, df, append, renames, statsCols,
+        c.v, baseVersion = base)
+      advanceMain(s, f, dir, v)
+      v
+    } finally c.release()
   }
 
   /** [[commit]] with a custom claim timeout (spec support for the
@@ -338,8 +346,15 @@ object Snapshots {
     val prev = if (baseVersion >= 0) baseVersion else v - 1
     val (moved, statLines) = stageAndMove(s, f, dir, df, statsCols, v)
     val carried = if (append && prev > 0) files(s, dir, prev) else Seq.empty
+    // an append CARRIES the base's deletion vector too: the positions
+    // stay valid (every carried file is untouched), and without the
+    // carry a plain append after a merge-on-read delete would silently
+    // RESURRECT the deleted rows in the new version
+    if (append && prev > 0 && hasDv(s, dir, prev))
+      dvFrame(s, dir, prev).foreach(
+        _.write.mode("overwrite").parquet(dvDir(dir, v).toString))
     writeManifest(f, dir, v, carried ++ moved)
-    writeCommitMeta(f, dir, v)
+    writeCommitMeta(f, dir, v, if (prev > 0) prev else 0)
     if (renames.nonEmpty) {
       val body = renames.toSeq.sorted
         .map { case (o, n) => o + "\u0001" + n }.mkString("\n")
@@ -350,31 +365,49 @@ object Snapshots {
     v
   }
 
-  /** Persist version `v`'s COMMIT INSTANT in a `vN.meta` side-file. The
+  /** Persist version `v`'s COMMIT INSTANT and PARENT version in a
+    * `vN.meta` side-file (line 1 = epoch millis, line 2 = parent). The
     * manifest's mtime is NOT a durable commit timestamp: [[purge]]
     * republishes every live manifest (compliance rewrites history in
     * place), which would collapse all mtimes to purge time and silently
     * re-point every pre-purge `TIMESTAMP AS OF` at version 0. The meta
     * side-file is written once at commit time and never touched by
-    * purge, so [[versionAsOf]] stays correct across compliance runs. */
-  private def writeCommitMeta(f: FileSystem, dir: String, v: Int): Unit = {
+    * purge, so [[versionAsOf]] stays correct across compliance runs.
+    * The parent pointer makes the version sequence a COMMIT GRAPH —
+    * branch commits record the branch head they grew from, which is
+    * what [[fastForward]]'s ancestry check walks. */
+  private def writeCommitMeta(f: FileSystem, dir: String, v: Int,
+      parent: Int): Unit = {
     val o = f.create(new Path(dir, s"v$v.meta"), true)
-    try o.write(System.currentTimeMillis().toString.getBytes("UTF-8"))
+    try o.write(s"${System.currentTimeMillis()}\n$parent".getBytes("UTF-8"))
     finally o.close()
+  }
+
+  private def readMeta(f: FileSystem, dir: String, v: Int)
+      : Option[Seq[String]] = {
+    val p = new Path(dir, s"v$v.meta")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      Some(txt.split('\n').toSeq.map(_.trim))
+    }
   }
 
   /** The instant version `v` was committed: the `vN.meta` side-file if
     * present, else the manifest's mtime (tables written before the meta
     * file existed — correct as long as they were never purged). */
-  private def commitInstant(f: FileSystem, dir: String, v: Int): Long = {
-    val p = new Path(dir, s"v$v.meta")
-    if (f.exists(p)) {
-      val in = f.open(p)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      txt.trim.toLong
-    } else f.getFileStatus(manifest(dir, v)).getModificationTime
-  }
+  private def commitInstant(f: FileSystem, dir: String, v: Int): Long =
+    readMeta(f, dir, v).map(_.head.toLong)
+      .getOrElse(f.getFileStatus(manifest(dir, v)).getModificationTime)
+
+  /** Version `v`'s parent in the commit graph (0 = a root commit);
+    * the linear predecessor is assumed for pre-parent-pointer tables. */
+  private[sources] def commitParent(f: FileSystem, dir: String,
+      v: Int): Int =
+    readMeta(f, dir, v).filter(_.size >= 2).map(_(1).toInt)
+      .getOrElse(v - 1)
 
   /** Per-file (col, typeName, min, max) stats recorded by commits 1..v,
     * keyed by manifest-relative path. Files without stats are simply
@@ -665,7 +698,7 @@ object Snapshots {
     val c = claimVersion(f, dir)
     val v = c.v
     try {
-      val latest = v - 1
+      val latest = mainHead(f, dir, v - 1)
       val fset = files(s, dir, latest)
       val scan = withMeta(
         s.read.parquet(fset.map(p => new Path(dir, p).toString): _*))
@@ -680,7 +713,8 @@ object Snapshots {
       val n = s.read.parquet(dvDir(dir, v).toString).count() -
         prev.map(_.count()).getOrElse(0L)
       writeManifest(f, dir, v, fset)
-      writeCommitMeta(f, dir, v)
+      writeCommitMeta(f, dir, v, latest)
+      advanceMain(s, f, dir, v)
       (v, n)
     } finally c.release()
   }
@@ -712,7 +746,7 @@ object Snapshots {
     val c = claimVersion(f, dir)
     val v = c.v
     try {
-      val latest = v - 1
+      val latest = mainHead(f, dir, v - 1)
       val fset = files(s, dir, latest)
       val raw = withMeta(
         s.read.parquet(fset.map(p => new Path(dir, p).toString): _*))
@@ -730,8 +764,9 @@ object Snapshots {
         prev.map(_.count()).getOrElse(0L)
       val (moved, statLines) = stageAndMove(s, f, dir, src, statsCols, v)
       writeManifest(f, dir, v, fset ++ moved)
-      writeCommitMeta(f, dir, v)
+      writeCommitMeta(f, dir, v, latest)
       writeStatLines(f, dir, v, statLines)
+      advanceMain(s, f, dir, v)
       (v, nReplaced)
     } finally c.release()
   }
@@ -771,12 +806,174 @@ object Snapshots {
     if (hasDv(s, dir, v)) applyDv(s, dir, v, withMeta(base)) else base
   }
 
+  // ---- named refs: branches and tags ------------------------------------
+
+  private val RefFile = """^ref-([A-Za-z0-9._-]+)$""".r
+  private def refPath(dir: String, name: String) = new Path(dir, s"ref-$name")
+
+  private def refRead(f: FileSystem, dir: String, name: String)
+      : Option[(Int, Boolean)] = {
+    val p = refPath(dir, name)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val parts = txt.trim.split(' ')
+      Some((parts(0).toInt, parts.length > 1 && parts(1) == "tag"))
+    }
+  }
+
+  /** Atomic ref write/advance: temp file + overwrite-capable rename, so a
+    * reader never sees a half-written pointer and an advance never opens
+    * a no-ref window. */
+  private def writeRef(s: SparkSession, f: FileSystem, dir: String,
+      name: String, v: Int, tag: Boolean): Unit = {
+    val body = s"$v ${if (tag) "tag" else "branch"}"
+    val tmp = f.makeQualified(new Path(dir, s"_ref-$name.tmp"))
+    val o = f.create(tmp, true)
+    try o.write(body.getBytes("UTF-8")) finally o.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      f.getUri, s.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, f.makeQualified(refPath(dir, name)),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** The main branch's head when the table is ref-tracked, else
+    * `fallback` (the linear predecessor) — every write path that used to
+    * assume "base = latest" goes through this, because once branch
+    * commits interleave, the global latest version may be a BRANCH head. */
+  private def mainHead(f: FileSystem, dir: String, fallback: Int): Int =
+    refRead(f, dir, "main").map(_._1).getOrElse(fallback)
+
+  private def advanceMain(s: SparkSession, f: FileSystem, dir: String,
+      v: Int): Unit =
+    if (f.exists(refPath(dir, "main"))) writeRef(s, f, dir, "main", v,
+      tag = false)
+
+  /** All named refs: name → (version, isTag). */
+  def refs(s: SparkSession, dir: String): Map[String, (Int, Boolean)] = {
+    val f = fs(s, dir)
+    val root = new Path(dir)
+    if (!f.exists(root)) Map.empty
+    else f.listStatus(root).toSeq.flatMap(_.getPath.getName match {
+      case RefFile(n) => refRead(f, dir, n).map(n -> _)
+      case _ => None
+    }).toMap
+  }
+
+  /** The version ref `name` points at; throws if absent. */
+  def refVersion(s: SparkSession, dir: String, name: String): Int =
+    refRead(fs(s, dir), dir, name).map(_._1).getOrElse(
+      throw new IllegalArgumentException(s"no ref '$name' at $dir"))
+
+  /** Main's head: the `main` ref if the table is ref-tracked, else the
+    * linear latest version. */
+  def mainVersion(s: SparkSession, dir: String): Int =
+    mainHead(fs(s, dir), dir, latestVersion(s, dir))
+
+  /** [[read]] at ref `name`'s head. */
+  def readRef(s: SparkSession, dir: String, name: String): DataFrame =
+    read(s, dir, refVersion(s, dir, name))
+
+  /** Create branch or tag `name` at `version` (default: main's head) —
+    * the experiment-lineage primitive: a BRANCH accepts
+    * [[commitOnBranch]] writes that never disturb main, a TAG is an
+    * immutable named pin. Creating the FIRST ref materializes `main` as
+    * a real ref at the current latest, because from then on the global
+    * version counter is shared by every branch and "latest" stops
+    * meaning "main's head". Runs under the version-claim write lock so
+    * ref initialization cannot race a commit. Refs are metadata-only:
+    * one tiny file each, zero data copies. */
+  def createRef(s: SparkSession, dir: String, name: String,
+      version: Int = -1, tag: Boolean = false): Int = {
+    require(RefFile.matches(s"ref-$name"),
+      s"ref name '$name' must match [A-Za-z0-9._-]+")
+    val f = fs(s, dir)
+    require(latestVersion(s, dir) >= 1, s"createRef: no versions at $dir")
+    val lock = claimVersion(f, dir)
+    try {
+      require(refRead(f, dir, name).isEmpty,
+        s"ref '$name' already exists at $dir")
+      if (name != "main" && refRead(f, dir, "main").isEmpty)
+        writeRef(s, f, dir, "main", latestVersion(s, dir), tag = false)
+      val at = if (version >= 1) version else mainVersion(s, dir)
+      require(f.exists(manifest(dir, at)),
+        s"createRef: version $at does not exist at $dir")
+      writeRef(s, f, dir, name, at, tag)
+      at
+    } finally lock.release()
+  }
+
+  /** Delete ref `name` (not `main` — the default write target must stay
+    * resolvable once the table is ref-tracked). The pointed version
+    * itself stays until [[vacuum]] ages it out. */
+  def dropRef(s: SparkSession, dir: String, name: String): Unit = {
+    require(name != "main", "the main ref cannot be dropped")
+    val f = fs(s, dir)
+    require(refRead(f, dir, name).isDefined, s"no ref '$name' at $dir")
+    f.delete(refPath(dir, name), false)
+    ()
+  }
+
+  /** Commit `df` on branch `name`: the new version's base is the BRANCH
+    * head (append carries ITS file set and deletion vector, not main's),
+    * the global version counter is claimed as usual (branch and main
+    * commits serialize through the same protocol), and the branch ref
+    * advances with the publish — main and every other ref are untouched.
+    * @return the new version (the branch's new head) */
+  def commitOnBranch(s: SparkSession, dir: String, name: String,
+      df: DataFrame, append: Boolean,
+      renames: Map[String, String] = Map.empty,
+      statsCols: Seq[String] = Seq.empty): Int = {
+    val f = fs(s, dir)
+    val c = claimVersion(f, dir)
+    try {
+      val (base, isTag) = refRead(f, dir, name).getOrElse(
+        throw new IllegalArgumentException(s"no ref '$name' at $dir"))
+      require(!isTag, s"cannot commit on tag '$name' — tags are immutable")
+      val v = commitClaimed(s, f, dir, df, append, renames, statsCols,
+        c.v, baseVersion = base)
+      writeRef(s, f, dir, name, v, tag = false)
+      v
+    } finally c.release()
+  }
+
+  /** Fast-forward branch `name` to `toVersion`, requiring `toVersion` to
+    * be a DESCENDANT of the branch head in the commit graph (parent
+    * pointers in vN.meta) — the publish step of an experiment lineage:
+    * work on a branch, then fast-forward main onto it. A non-descendant
+    * target is refused (that would be a history rewrite, not a fast
+    * forward). Runs under the claim lock so it cannot race commits that
+    * advance either ref. */
+  def fastForward(s: SparkSession, dir: String, name: String,
+      toVersion: Int): Unit = {
+    val f = fs(s, dir)
+    val lock = claimVersion(f, dir)
+    try {
+      val (head, isTag) = refRead(f, dir, name).getOrElse(
+        throw new IllegalArgumentException(s"no ref '$name' at $dir"))
+      require(!isTag, s"cannot fast-forward tag '$name'")
+      require(f.exists(manifest(dir, toVersion)),
+        s"fastForward: version $toVersion does not exist at $dir")
+      var walk = toVersion
+      while (walk > head) walk = commitParent(f, dir, walk)
+      require(walk == head,
+        s"fastForward: v$toVersion does not descend from '$name' head " +
+          s"v$head — refusing a non-fast-forward ref move")
+      if (toVersion != head) writeRef(s, f, dir, name, toVersion,
+        tag = false)
+    } finally lock.release()
+  }
+
   /** Retention: delete data files referenced ONLY by versions older than
     * the newest `keep` versions, then drop those versions' manifests.
     * Reference-counted at the file level, so a file carried forward by an
     * append chain is never deleted while any retained version lists it —
     * the invariant that makes vacuum safe to run concurrently with
-    * readers of retained versions. Metadata-only scan (manifests), then
+    * readers of retained versions. Versions a named ref (branch or tag)
+    * points at are ALSO retained regardless of age — a ref must stay
+    * readable until it is dropped. Metadata-only scan (manifests), then
     * O(deleted) file removals; returns (filesDeleted, versionsDropped). */
   def vacuum(s: SparkSession, dir: String, keep: Int): (Int, Int) = {
     require(keep >= 1, "must keep at least the latest version")
@@ -784,10 +981,13 @@ object Snapshots {
     val latest = latestVersion(s, dir)
     val cutoff = math.max(1, latest - keep + 1)
     if (cutoff <= 1) return (0, 0)
+    val pinned = refs(s, dir).values.map(_._1).toSet
     // versions below the cutoff may already be vacuumed — only live
     // manifests participate
-    val oldVs = (1 until cutoff).filter(v => f.exists(manifest(dir, v)))
-    val retained = (cutoff to latest).flatMap(files(s, dir, _)).toSet
+    val oldVs = (1 until cutoff)
+      .filter(v => !pinned.contains(v) && f.exists(manifest(dir, v)))
+    val retained = ((cutoff to latest) ++ pinned.filter(_ < cutoff))
+      .flatMap(files(s, dir, _)).toSet
     val old = oldVs.flatMap(files(s, dir, _)).toSet
     val dead = (old -- retained).toSeq.sorted
     dead.foreach(p => f.delete(new Path(dir, p), false))
@@ -1094,7 +1294,8 @@ object Snapshots {
     val c = claimVersion(f, dir)
     val v = c.v
     try {
-      val df = readEvolved(s, dir, v - 1)
+      val base = mainHead(f, dir, v - 1)
+      val df = readEvolved(s, dir, base)
       val mx = df.agg(
         max(col(zorderCols.head)).as(s"mx_${zorderCols.head}"),
         zorderCols.tail.map(c => max(col(c)).as(s"mx_$c")): _*)
@@ -1107,7 +1308,10 @@ object Snapshots {
         .sortWithinPartitions(col("_z"))
         .drop("_z")
       commitClaimed(s, f, dir, clustered, append = false,
-        renames = Map.empty, statsCols = zorderCols, v = v)
+        renames = Map.empty, statsCols = zorderCols, v = v,
+        baseVersion = base)
+      advanceMain(s, f, dir, v)
+      v
     } finally c.release()
   }
 

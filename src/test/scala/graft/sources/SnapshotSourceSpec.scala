@@ -143,6 +143,24 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("optimize"))
   }
 
+  test("branch option reads a ref head; default follows main") {
+    val dir = tmpDir("srcbranch")
+    Snapshots.commit(spark, dir, df(1 to 10).coalesce(1), append = false)
+    Snapshots.createRef(spark, dir, "exp")
+    Snapshots.commitOnBranch(spark, dir, "exp", df(11 to 20).coalesce(1),
+      append = true)
+    // default read = main (v1), branch option = exp's head (v2) — even
+    // though the global latest version is the branch commit
+    assert(ids(readFmt(dir)) == (1L to 10L))
+    assert(ids(readFmt(dir, "branch" -> "exp")) == (1L to 20L))
+    intercept[IllegalArgumentException] {
+      readFmt(dir, "branch" -> "nope")
+    }
+    intercept[IllegalArgumentException] {
+      readFmt(dir, "branch" -> "exp", "versionAsOf" -> "1")
+    }
+  }
+
   test("write side: SaveMode maps onto the commit protocol") {
     val dir = tmpDir("srcwrite")
     df(1 to 10).coalesce(1).write.format("graft-snapshots")

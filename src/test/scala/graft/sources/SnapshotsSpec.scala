@@ -721,6 +721,97 @@ class SnapshotsSpec extends SparkSpec {
     assert(idsOf(dir, 2) == (1L to 20L).filterNot(_ == 15L))
   }
 
+  test("append after a merge-on-read delete carries the deletion vector") {
+    val dir = tmpDir("snapdvcarry")
+    Snapshots.commit(spark, dir, df(1 to 10).coalesce(1), append = false)
+    val (_, nd) = Snapshots.deleteWhere(spark, dir, col("id") % 2 === 0)
+    assert(nd == 5)
+    // the regression: a plain append used to publish v3 WITHOUT v2's
+    // vector, resurrecting the deleted rows
+    Snapshots.commit(spark, dir, df(11 to 15).coalesce(1), append = true)
+    assert(idsOf(dir, 3) ==
+      ((1L to 10L).filterNot(_ % 2 == 0) ++ (11L to 15L)).sorted,
+      "an append must not resurrect merge-on-read-deleted rows")
+    // and the carried vector keeps composing: delete again, append again
+    Snapshots.deleteWhere(spark, dir, col("id") === 11L)
+    Snapshots.commit(spark, dir, df(16 to 18).coalesce(1), append = true)
+    assert(idsOf(dir, 5) ==
+      ((1L to 10L).filterNot(_ % 2 == 0) ++ (12L to 18L)).sorted)
+  }
+
+  test("branch refs: divergence, tags, fast-forward, vacuum pinning") {
+    val dir = tmpDir("snapref")
+    Snapshots.commit(spark, dir, df(1 to 10).coalesce(1), append = false)
+    // first ref materializes main at the current latest
+    assert(Snapshots.createRef(spark, dir, "exp") == 1)
+    assert(Snapshots.refs(spark, dir) ==
+      Map("main" -> ((1, false)), "exp" -> ((1, false))))
+
+    // two branch commits; main does not move
+    assert(Snapshots.commitOnBranch(spark, dir, "exp",
+      df(11 to 20).coalesce(1), append = true) == 2)
+    assert(Snapshots.commitOnBranch(spark, dir, "exp",
+      df(21 to 25).coalesce(1), append = true) == 3)
+    assert(Snapshots.refVersion(spark, dir, "exp") == 3)
+    assert(Snapshots.mainVersion(spark, dir) == 1)
+    assert(Snapshots.readRef(spark, dir, "exp").count() == 25)
+
+    // fast-forward main onto the branch (3 descends from 1)
+    Snapshots.fastForward(spark, dir, "main", 3)
+    assert(Snapshots.mainVersion(spark, dir) == 3)
+    // a plain commit now bases on main's head and advances it
+    assert(Snapshots.commit(spark, dir, df(26 to 30).coalesce(1),
+      append = true) == 4)
+    assert(Snapshots.mainVersion(spark, dir) == 4)
+
+    // divergence: a branch commit bases on the BRANCH head, not main
+    assert(Snapshots.commitOnBranch(spark, dir, "exp",
+      df(31 to 35).coalesce(1), append = true) == 5)
+    assert(Snapshots.readRef(spark, dir, "exp").select("id").collect()
+      .map(_.getLong(0)).toSeq.sorted ==
+      ((1L to 25L) ++ (31L to 35L)).sorted,
+      "exp must not see main's 26..30")
+    assert(Snapshots.readRef(spark, dir, "main").select("id").collect()
+      .map(_.getLong(0)).toSeq.sorted == (1L to 30L),
+      "main must not see exp's 31..35")
+
+    // a non-descendant fast-forward is refused (4 is not on exp's line)
+    intercept[IllegalArgumentException] {
+      Snapshots.fastForward(spark, dir, "exp", 4)
+    }
+
+    // tags: immutable named pins
+    assert(Snapshots.createRef(spark, dir, "rel", version = 2,
+      tag = true) == 2)
+    assert(Snapshots.readRef(spark, dir, "rel").count() == 20)
+    intercept[IllegalArgumentException] {
+      Snapshots.commitOnBranch(spark, dir, "rel", df(1 to 2),
+        append = true)
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.fastForward(spark, dir, "rel", 3)
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.dropRef(spark, dir, "main")
+    }
+    Snapshots.dropRef(spark, dir, "rel")
+    assert(!Snapshots.refs(spark, dir).contains("rel"))
+
+    // vacuum retains ref-pinned versions regardless of age
+    val (_, dropped) = Snapshots.vacuum(spark, dir, keep = 1)
+    assert(dropped > 0)
+    assert(Snapshots.readRef(spark, dir, "exp").count() == 30)
+    assert(Snapshots.readRef(spark, dir, "main").count() == 30)
+
+    // duplicate ref creation refused; bad names refused
+    intercept[IllegalArgumentException] {
+      Snapshots.createRef(spark, dir, "exp")
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.createRef(spark, dir, "bad name")
+    }
+  }
+
   test("vacuum deletes only files no retained version references") {
     val dir = tmpDir("snapvac")
     Snapshots.commit(spark, dir, df(1 to 10), append = false) // v1
