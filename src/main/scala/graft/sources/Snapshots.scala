@@ -771,6 +771,107 @@ object Snapshots {
     } finally c.release()
   }
 
+  /** Apply one CDC batch as ONE published version: `upserts` rows
+    * replace-or-insert by key (exactly [[upsert]]'s mechanics) and
+    * `deleteKeys` rows leave via the deletion vector — the MERGE shape a
+    * change-data feed needs (update + insert + delete in one commit).
+    * Cost at 100 TB: a key-join scan of the live set, a positions write,
+    * and the size of the batch — never a rewrite.
+    * @return (newVersion, rowsApplied = replaced + deleted + inserted) */
+  def applyCdc(s: SparkSession, dir: String, upserts: DataFrame,
+      deleteKeys: DataFrame, keyCols: Seq[String]): (Int, Long) = {
+    import org.apache.spark.sql.functions.col
+    require(keyCols.nonEmpty, "applyCdc needs at least one key column")
+    val f = fs(s, dir)
+    require(latestVersion(s, dir) >= 1, s"applyCdc: no versions at $dir")
+    val srcKeys = upserts.select(keyCols.map(col): _*)
+    require(srcKeys.distinct().count() == upserts.count(),
+      "applyCdc upsert batch must have unique keys")
+    val c = claimVersion(f, dir)
+    val v = c.v
+    try {
+      val latest = mainHead(f, dir, v - 1)
+      val fset = files(s, dir, latest)
+      val raw = withMeta(
+        s.read.parquet(fset.map(p => new Path(dir, p).toString): _*))
+      val prev = dvFrame(s, dir, latest)
+      val live = prev.map(p => raw.join(
+          p.select(col("file_path").as("_fp"), col("row_index").as("_ri")),
+          Seq("_fp", "_ri"), "left_anti")).getOrElse(raw)
+      // replaced (upsert keys) and deleted (delete keys) positions join
+      // the vector together — one commit, one new vector
+      val gone = live.join(
+          srcKeys.distinct().unionByName(
+            deleteKeys.select(keyCols.map(col): _*).distinct()).distinct(),
+          keyCols, "left_semi")
+        .select(col("_fp").as("file_path"), col("_ri").as("row_index"))
+      val union = prev.map(_.unionByName(gone)).getOrElse(gone)
+      union.write.mode("overwrite").parquet(dvDir(dir, v).toString)
+      val nGone = s.read.parquet(dvDir(dir, v).toString).count() -
+        prev.map(_.count()).getOrElse(0L)
+      val (moved, statLines) = stageAndMove(s, f, dir, upserts,
+        Seq.empty, v)
+      writeManifest(f, dir, v, fset ++ moved)
+      writeCommitMeta(f, dir, v, latest)
+      writeStatLines(f, dir, v, statLines)
+      advanceMain(s, f, dir, v)
+      (v, nGone + upserts.count())
+    } finally c.release()
+  }
+
+  /** Catch a DOWNSTREAM snapshot table up to an upstream one — the
+    * consumer half of the change feed. The applied delta per step is the
+    * VALUE-level row diff ([[diffRows]]) between the last replicated
+    * upstream version (persisted in a `_REPLICATED_FROM` marker in the
+    * downstream dir) and the upstream latest: changed rows surface as
+    * old-out/new-in pairs, so updates replicate (a key-presence diff
+    * would miss them). New/changed rows upsert, vanished keys delete,
+    * all in one [[applyCdc]] commit; an identical-content REWRITE
+    * upstream diffs empty and publishes NOTHING downstream (the marker
+    * still advances). Crash-safe: the marker is written after the apply,
+    * and re-applying the same delta is convergent (same-value upserts
+    * and already-gone deletes are logical no-ops). Cost per step: the
+    * two upstream version scans of the diff + the delta size, never
+    * upstream history.
+    * @return (upstreamVersionReached, rowsApplied) */
+  def replicate(s: SparkSession, upDir: String, downDir: String,
+      keyCols: Seq[String]): (Int, Long) = {
+    import org.apache.spark.sql.functions.col
+    val cur = latestVersion(s, upDir)
+    require(cur >= 1, s"replicate: no versions at $upDir")
+    val f = fs(s, downDir)
+    f.mkdirs(new Path(downDir))
+    val marker = new Path(downDir, "_REPLICATED_FROM")
+    val last: Option[Int] =
+      if (!f.exists(marker)) None
+      else {
+        val in = f.open(marker)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        Some(txt.trim.toInt)
+      }
+    def advance(): Unit = {
+      val o = f.create(marker, true)
+      try o.write(cur.toString.getBytes("UTF-8")) finally o.close()
+    }
+    val applied = last match {
+      case Some(v) if v == cur => return (cur, 0L)
+      case None =>
+        val full = read(s, upDir, cur)
+        commit(s, downDir, full, append = false)
+        full.count()
+      case Some(v) =>
+        val (ins, del) = diffRows(s, upDir, v, cur)
+        val insKeys = ins.select(keyCols.map(col): _*).distinct()
+        val delKeys = del.select(keyCols.map(col): _*).distinct()
+          .join(insKeys, keyCols, "left_anti")
+        if (ins.isEmpty && delKeys.isEmpty) 0L
+        else applyCdc(s, downDir, ins, delKeys, keyCols)._2
+    }
+    advance()
+    (cur, applied)
+  }
+
   /** `TIMESTAMP AS OF`: the largest version committed at or before
     * `tsMillis`, by the commit instant persisted in each version's
     * `vN.meta` side-file at commit time (manifest mtime is only the

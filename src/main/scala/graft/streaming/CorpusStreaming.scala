@@ -85,4 +85,33 @@ object CorpusStreaming {
           }
       }
   }
+
+  /** Continuous TABLE-TO-TABLE replication over the snapshot change
+    * feed: a Structured Streaming query whose trigger cadence drives
+    * [[graft.sources.Snapshots.replicate]] — each firing catches the
+    * downstream table up to the upstream latest by applying the
+    * value-level row diff as one CDC commit (update + insert + delete;
+    * an identical-content rewrite upstream publishes nothing). The
+    * micro-batch machinery supplies scheduling and lifecycle; change
+    * DETECTION is metadata-only (one version-counter read per tick), so
+    * an idle tick costs one file listing — the posture a 100 TB
+    * replication loop needs. Restart-safe without checkpoint state: the
+    * replication cursor lives in the downstream table's
+    * `_REPLICATED_FROM` marker, written after each apply (re-applying a
+    * delta is convergent).
+    */
+  def snapshotChangeFeed(s: org.apache.spark.sql.SparkSession,
+      upDir: String, downDir: String, keyCols: Seq[String],
+      intervalMs: Long = 1000L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    s.readStream.format("rate").option("rowsPerSecond", "1").load()
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime(intervalMs))
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        if (graft.sources.Snapshots.latestVersion(s, upDir) >= 1)
+          graft.sources.Snapshots.replicate(s, upDir, downDir, keyCols)
+        ()
+      }
+      .start()
 }

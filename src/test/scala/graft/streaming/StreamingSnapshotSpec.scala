@@ -82,6 +82,83 @@ class StreamingSnapshotSpec extends SparkSpec {
       .get(3L).contains("u3a"))
   }
 
+  test("change feed: downstream converges through appends, upserts, deletes, rewrites") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val up = tmpDir("cf-up")
+    val down = tmpDir("cf-down")
+    def table(dir: String): Seq[(Long, String)] =
+      Snapshots.read(spark, dir, Snapshots.latestVersion(spark, dir))
+        .select("id", "payload").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+
+    // the stream: each tick is one replication step (the MemoryStream
+    // drive makes the cadence deterministic; snapshotChangeFeed wraps
+    // the same step on a rate trigger)
+    val ticks = MemoryStream[Int]
+    val q = ticks.toDF().writeStream.foreachBatch {
+      (_: org.apache.spark.sql.DataFrame, _: Long) =>
+        Snapshots.replicate(spark, up, down, Seq("id")); ()
+    }.start()
+    def tick(): Unit = { ticks.addData(1); q.processAllAvailable() }
+
+    try {
+      // v1: cold copy
+      Snapshots.commit(spark, up,
+        (1L to 10L).map(i => DocRow(i, s"base$i")).toDF("id", "payload"),
+        append = false)
+      tick()
+      assert(table(down) == table(up), "cold copy must converge")
+
+      // v2: append
+      Snapshots.commit(spark, up,
+        (11L to 15L).map(i => DocRow(i, s"base$i")).toDF("id", "payload"),
+        append = true)
+      tick()
+      assert(table(down) == table(up), "append must converge")
+
+      // v3: upsert — an UPDATE must replicate (key-presence CDC would
+      // miss it), plus an insert
+      Snapshots.upsert(spark, up,
+        Seq(DocRow(3, "updated3"), DocRow(16, "new16"))
+          .toDF("id", "payload"), Seq("id"))
+      tick()
+      assert(table(down) == table(up), "upsert must converge")
+      assert(table(down).toMap.get(3L).contains("updated3"))
+
+      // v4: merge-on-read delete
+      Snapshots.deleteWhere(spark, up, col("id") % 5 === 0)
+      tick()
+      assert(table(down) == table(up), "delete must converge")
+
+      // v5: identical-content rewrite — marker advances, downstream
+      // publishes NOTHING (a file-level feed would re-ship the table)
+      val before = Snapshots.latestVersion(spark, down)
+      Snapshots.commit(spark, up,
+        Snapshots.read(spark, up, 4).coalesce(1), append = false)
+      tick()
+      assert(Snapshots.latestVersion(spark, down) == before,
+        "a pure rewrite must not publish a downstream version")
+      assert(table(down) == table(up))
+
+      // an idle tick is a no-op
+      tick()
+      assert(Snapshots.latestVersion(spark, down) == before)
+    } finally q.stop()
+
+    // the production wrapper drives the same step on a rate trigger
+    Snapshots.commit(spark, up,
+      Seq(DocRow(99, "late")).toDF("id", "payload"), append = true)
+    val feed = graft.streaming.CorpusStreaming.snapshotChangeFeed(
+      spark, up, down, Seq("id"), intervalMs = 200L)
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (table(down) != table(up) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+      assert(table(down) == table(up), "rate-driven feed must converge")
+    } finally feed.stop()
+  }
+
   test("streaming commits with statsCols prune like batch commits") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
