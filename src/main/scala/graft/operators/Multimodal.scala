@@ -378,23 +378,164 @@ object Multimodal extends QueryPack {
   final case class VideoFeat(doc_id: Long, n_frames: Int, n_sampled: Int,
       scene_changes: Int, h_first: Long)
 
-  /** Trivial frame container: "GVID" + u8 frameCount, then each frame as
-    * le32 length + a complete BMP. The CONTAINER is the stubbed part (the
-    * JDK ships no video demuxer; an FFmpeg JNI demuxer plugs in here) —
-    * the FRAMES are real BMPs and frame decode is the real ImageIO parse,
-    * per the stub-the-codec / keep-the-plumbing-real rule.
-    */
-  def encodeVideo(frames: Seq[Array[Byte]]): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(
-      5 + frames.map(_.length + 4).sum)
-    out.write('G'); out.write('V'); out.write('I'); out.write('D')
-    out.write(frames.length)
-    frames.foreach { f =>
-      out.write(f.length & 0xff); out.write((f.length >> 8) & 0xff)
-      out.write((f.length >> 16) & 0xff); out.write((f.length >> 24) & 0xff)
-      out.write(f, 0, f.length)
+  /** REAL ISO-BMFF (MP4) container writer: `ftyp` + `mdat` (frame
+    * payloads) + `moov` with a full single-track sample table —
+    * `mvhd`/`trak`/`tkhd`/`mdia`/`mdhd`/`hdlr`(vide)/`minf`/`vmhd`/
+    * `dinf`/`stbl`(`stsd`/`stts`/`stsc`/`stsz`/`stco`), one chunk per
+    * sample, absolute chunk offsets (ISO/IEC 14496-12 box layout). The
+    * sample PAYLOAD codec is the part the JDK cannot decode for a real
+    * h264/av1 corpus (an FFmpeg JNI frame decoder plugs into the
+    * frame-decode stage); here each sample is a complete BMP so frame
+    * decode stays the real ImageIO parse — the demux itself is a genuine
+    * box walk, no longer a stub (see [[demuxMp4]]). */
+  def encodeMp4(frames: Seq[Array[Byte]]): Array[Byte] = {
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be16(v: Int): Array[Byte] =
+      Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def ascii(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def box(typ: String, parts: Array[Byte]*): Array[Byte] = {
+      val body = parts.flatten.toArray
+      be32(8L + body.length) ++ ascii(typ) ++ body
     }
-    out.toByteArray
+    val nf = frames.length
+    val ftyp = box("ftyp", ascii("isom"), be32(0x200), ascii("isom"),
+      ascii("iso2"))
+    val mdat = box("mdat", frames.flatten.toArray)
+    // frame i's absolute offset: after ftyp + mdat's 8-byte header
+    val offsets = frames.scanLeft(ftyp.length + 8L)(_ + _.length).init
+    val mvhd = box("mvhd", be32(0), be32(0), be32(0), be32(1000),
+      be32(nf.toLong), be32(0x10000), be16(0x100), be16(0),
+      Array.fill[Byte](8)(0),
+      // identity matrix
+      be32(0x10000), be32(0), be32(0), be32(0), be32(0x10000), be32(0),
+      be32(0), be32(0), be32(0x40000000L),
+      Array.fill[Byte](24)(0), be32(2))
+    val tkhd = box("tkhd", be32(7) /* v0, enabled|in-movie|in-preview */,
+      be32(0), be32(0), be32(1), be32(0), be32(nf.toLong),
+      Array.fill[Byte](8)(0), be16(0), be16(0), be16(0), be16(0),
+      be32(0x10000), be32(0), be32(0), be32(0), be32(0x10000), be32(0),
+      be32(0), be32(0), be32(0x40000000L),
+      be32(16L << 16), be32(8L << 16))
+    val mdhd = box("mdhd", be32(0), be32(0), be32(0), be32(1000),
+      be32(nf.toLong), be16(0x55c4) /* und */, be16(0))
+    val hdlr = box("hdlr", be32(0), be32(0), ascii("vide"),
+      Array.fill[Byte](12)(0), Array[Byte](0))
+    val vmhd = box("vmhd", be32(1), be16(0), be16(0), be16(0), be16(0))
+    val dinf = box("dinf", box("dref", be32(0), be32(1),
+      box("url ", be32(1) /* self-contained */)))
+    // minimal generic sample entry for the private 'gbmp' payload
+    val stsd = box("stsd", be32(0), be32(1),
+      box("gbmp", Array.fill[Byte](6)(0), be16(1)))
+    val stts = box("stts", be32(0), be32(1), be32(nf.toLong), be32(1))
+    val stsc = box("stsc", be32(0), be32(1), be32(1), be32(1), be32(1))
+    val stsz = box("stsz", be32(0), be32(0), be32(nf.toLong),
+      frames.flatMap(fr => be32(fr.length.toLong).toSeq).toArray)
+    val stco = box("stco", be32(0), be32(nf.toLong),
+      offsets.flatMap(o => be32(o).toSeq).toArray)
+    val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
+    val minf = box("minf", vmhd, dinf, stbl)
+    val mdia = box("mdia", mdhd, hdlr, minf)
+    val trak = box("trak", tkhd, mdia)
+    val moov = box("moov", mvhd, trak)
+    ftyp ++ mdat ++ moov
+  }
+
+  /** GENERAL ISO-BMFF demux: walk the box tree to the first video
+    * track's `stbl`, parse the sample table (`stsz` sizes incl. the
+    * uniform-size form, `stco`/`co64` chunk offsets, `stsc`
+    * sample-to-chunk runs), resolve every sample's absolute byte range
+    * (consecutive samples of a chunk are contiguous from its offset),
+    * and slice the payloads — the standard sample-resolution algorithm
+    * of ISO/IEC 14496-12 §8.5-8.7, not tied to [[encodeMp4]]'s layout
+    * (multi-sample chunks, `free` boxes, moov-before-mdat, and 64-bit
+    * offsets all parse; VideoSpec pins a hand-built file). Throws
+    * IllegalArgumentException on a malformed container — the lenient
+    * tier drops such rows, the strict tier surfaces them. */
+  def demuxMp4(b: Array[Byte]): Seq[Array[Byte]] = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"ISO-BMFF: $msg")
+    def u32(o: Int): Long =
+      if (o + 4 > b.length) fail(s"truncated u32 at $o")
+      else ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+    def typ(o: Int): String =
+      new String(b, o, 4, "US-ASCII")
+    // (type, bodyStart, bodyEnd) of each box in [start, end)
+    def boxes(start: Int, end: Int): Seq[(String, Int, Int)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+      var o = start
+      while (o < end) {
+        if (o + 8 > end) fail(s"truncated box header at $o")
+        val size = u32(o)
+        val t = typ(o + 4)
+        val (hdr, boxEnd) =
+          if (size == 1L) (16, o + u64(o + 8))
+          else if (size == 0L) (8, end.toLong)
+          else (8, o + size)
+        if (size == 1L && o + 16 > end) fail(s"truncated largesize at $o")
+        if (boxEnd > end || boxEnd < o + hdr) fail(s"bad size of '$t' at $o")
+        out += ((t, o + hdr, boxEnd.toInt))
+        o = boxEnd.toInt
+      }
+      out.toSeq
+    }
+    def child(bs: Seq[(String, Int, Int)], t: String): (Int, Int) =
+      bs.collectFirst { case (`t`, s, e) => (s, e) }
+        .getOrElse(fail(s"missing '$t' box"))
+    val top = boxes(0, b.length)
+    if (!top.exists(_._1 == "ftyp")) fail("missing 'ftyp' box")
+    val (moovS, moovE) = child(top, "moov")
+    val (trakS, trakE) = child(boxes(moovS, moovE), "trak")
+    val (mdiaS, mdiaE) = child(boxes(trakS, trakE), "mdia")
+    val (minfS, minfE) = child(boxes(mdiaS, mdiaE), "minf")
+    val (stblS, stblE) = child(boxes(minfS, minfE), "stbl")
+    val stbl = boxes(stblS, stblE)
+    // stsz: uniform size or per-sample table
+    val (szS, _) = child(stbl, "stsz")
+    val uniform = u32(szS + 4)
+    val nSamples = u32(szS + 8).toInt
+    val sizes: Int => Long =
+      if (uniform != 0) _ => uniform
+      else i => u32(szS + 12 + 4 * i)
+    // chunk offsets: stco (u32) or co64 (u64)
+    val chunkOffsets: Seq[Long] =
+      stbl.collectFirst { case ("stco", s, _) =>
+        (0 until u32(s + 4).toInt).map(i => u32(s + 8 + 4 * i))
+      }.orElse(stbl.collectFirst { case ("co64", s, _) =>
+        (0 until u32(s + 4).toInt).map(i => u64(s + 8 + 8 * i))
+      }).getOrElse(fail("missing 'stco'/'co64' box"))
+    // stsc runs: (firstChunk, samplesPerChunk), each run applies until
+    // the next run's first chunk
+    val (scS, _) = child(stbl, "stsc")
+    val scRuns = (0 until u32(scS + 4).toInt).map(i =>
+      (u32(scS + 8 + 12 * i).toInt, u32(scS + 12 + 12 * i).toInt))
+    if (scRuns.isEmpty) fail("empty 'stsc' box")
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var sample = 0
+    var run = 0
+    var chunk = 1
+    while (sample < nSamples && chunk <= chunkOffsets.length) {
+      while (run + 1 < scRuns.length && chunk >= scRuns(run + 1)._1)
+        run += 1
+      var off = chunkOffsets(chunk - 1)
+      var inChunk = 0
+      while (inChunk < scRuns(run)._2 && sample < nSamples) {
+        val len = sizes(sample)
+        if (off < 0 || off + len > b.length)
+          fail(s"sample $sample range [$off, ${off + len}) outside file")
+        out += java.util.Arrays.copyOfRange(b, off.toInt, (off + len).toInt)
+        off += len
+        inChunk += 1
+        sample += 1
+      }
+      chunk += 1
+    }
+    if (sample < nSamples)
+      fail(s"sample table resolves only $sample of $nSamples samples")
+    out.toSeq
   }
 
   /** Synthesis: document text bytes → a short clip. Frame dims follow
@@ -412,38 +553,38 @@ object Multimodal extends QueryPack {
       val frames = (0 until nf).map { f =>
         encodeBmp(w, h, Array.tabulate(w * h)(i => b((i + 7 * f) % b.length)))
       }
-      VideoRow(id, encodeVideo(frames))
+      VideoRow(id, encodeMp4(frames))
     }
 
-  /** Demux (stub container walk) → sample every 2nd frame → REAL ImageIO
-    * decode of each sampled frame → aHash per frame → scene-change count
-    * (consecutive sampled hashes that differ). One partition-local stage;
-    * frames never leave the executor, only the per-video summary shuffles.
-    */
+  /** Demux (real ISO-BMFF box walk, [[demuxMp4]]) → sample every 2nd
+    * frame → REAL ImageIO decode of each sampled frame → aHash per frame
+    * → scene-change count (consecutive sampled hashes that differ). One
+    * partition-local stage; frames never leave the executor, only the
+    * per-video summary shuffles. */
   def decodeVideo(rows: Iterator[VideoRow]): Iterator[VideoFeat] = {
     val reader = bmpReader()
     rows.map { r =>
-      val b = r.content
-      require(b.length >= 5 && b(0) == 'G' && b(1) == 'V' && b(2) == 'I' &&
-        b(3) == 'D', s"not a GVID container (doc ${r.doc_id})")
-      val nf = b(4) & 0xff
-      var off = 5
-      val frames = (0 until nf).map { _ =>
-        val len = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
-          ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
-        val fr = java.util.Arrays.copyOfRange(b, off + 4, off + 4 + len)
-        off += 4 + len
-        fr
-      }
+      val frames = demuxMp4(r.content)
       val sampled = frames.indices.by(2).map(frames)
       val hashes = sampled.map(fb => aHash(readBmp(reader, fb)))
       val changes = hashes.sliding(2).count {
         case Seq(a2, b2) => a2 != b2
         case _ => false
       }
-      VideoFeat(r.doc_id, nf, sampled.length, changes, hashes.head)
+      VideoFeat(r.doc_id, frames.length, sampled.length, changes,
+        hashes.head)
     }
   }
+
+  /** [[decodeVideo]] with m07's lenient contract: a container the box
+    * walk rejects (or a frame ImageIO rejects) drops the ROW, never the
+    * stage — the posture for a crawled corpus where some files are
+    * corrupt. */
+  def decodeVideoLenient(rows: Iterator[VideoRow]): Iterator[VideoFeat] =
+    rows.flatMap { r =>
+      try decodeVideo(Iterator(r)).toSeq.headOption
+      catch { case _: Exception => None }
+    }
 
   /** documents.text as the media seed: synthesize one BMP per document. */
   private def mediaBmp(s: SparkSession, d: String): DataFrame = {
@@ -539,11 +680,13 @@ object Multimodal extends QueryPack {
         .distinct()
         .orderBy(col("id_a"), col("id_b"))
     }),
-    // Video tier: demux the frame container (stub walk — the JDK has no
-    // video demuxer), sample every 2nd frame, REAL-ImageIO-decode each
-    // sampled frame, perceptual-hash it, and count scene changes
-    // (consecutive sampled hashes that differ). Frames never leave the
-    // executor — only the per-video summary row shuffles.
+    // Video tier: REAL ISO-BMFF demux (ftyp/moov/stbl box walk, sample
+    // table -> absolute frame ranges — no longer a stub), sample every
+    // 2nd frame, REAL-ImageIO-decode each sampled frame, perceptual-hash
+    // it, and count scene changes (consecutive sampled hashes that
+    // differ). Only the sample PAYLOAD codec is swappable (BMP here;
+    // FFmpeg JNI for h264 corpora). Frames never leave the executor —
+    // only the per-video summary row shuffles.
     "m08_video_scenes" -> ((s, d) => {
       import s.implicits._
       T.documents(s, d)

@@ -3,18 +3,72 @@ package graft.operators
 import graft.SparkSpec
 import Multimodal._
 
-/** Video tier: container round trip, frame sampling, scene-change
-  * semantics over real ImageIO-decoded frames.
+/** Video tier: ISO-BMFF container round trip, the general box-walk
+  * demuxer pinned against a HAND-BUILT file (multi-sample chunks, free
+  * boxes, moov-before-mdat, co64, uniform stsz), frame sampling, and
+  * scene-change semantics over real ImageIO-decoded frames.
   */
 class VideoSpec extends SparkSpec {
 
   private def gray(v: Int, w: Int, h: Int): Array[Byte] =
     Array.fill(w * h)(v.toByte)
 
+  test("mp4 round trip: encode → demux returns the exact frame bytes") {
+    val frames = Seq(10, 20, 30, 40, 50).map(v =>
+      encodeBmp(8, 4, gray(v, 8, 4)))
+    val got = demuxMp4(encodeMp4(frames))
+    assert(got.size == frames.size)
+    frames.zip(got).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b), "payload must round-trip") }
+    // the container leads with a real ftyp box
+    val mp4 = encodeMp4(frames)
+    assert(new String(mp4, 4, 4, "US-ASCII") == "ftyp")
+  }
+
+  test("box walk pins against a hand-built file (not our writer's layout)") {
+    // layout our writer never produces: moov BEFORE mdat, a free box,
+    // one stsc run covering TWO samples per chunk, uniform stsz, co64
+    def be32(v: Long): Array[Byte] = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be64(v: Long): Array[Byte] = be32(v >> 32) ++ be32(v & 0xffffffffL)
+    def box(t: String, parts: Array[Byte]*): Array[Byte] = {
+      val body = parts.flatten.toArray
+      be32(8L + body.length) ++ t.getBytes("US-ASCII") ++ body
+    }
+    val s0 = Array[Byte](1, 2, 3)
+    val s1 = Array[Byte](4, 5, 6)
+    val s2 = Array[Byte](7, 8, 9)
+    val s3 = Array[Byte](10, 11, 12)
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII"), be32(0))
+    val free = box("free", Array.fill[Byte](11)(0x5a))
+    // two chunks of two 3-byte samples each
+    val stsz = box("stsz", be32(0), be32(3) /* uniform size */, be32(4))
+    val stsc = box("stsc", be32(0), be32(1), be32(1), be32(2), be32(1))
+    val stts = box("stts", be32(0), be32(1), be32(4), be32(1))
+    val stsd = box("stsd", be32(0), be32(1),
+      box("gbmp", Array.fill[Byte](6)(0), be32(1).drop(2)))
+    // compute mdat payload offsets: ftyp + free + moov precede mdat
+    def moovOf(c0: Long, c1: Long): Array[Byte] = {
+      val co64 = box("co64", be32(0), be32(2), be64(c0), be64(c1))
+      box("moov",
+        box("trak", box("mdia", box("minf",
+          box("stbl", stsd, stts, stsc, stsz, co64)))))
+    }
+    val moovLen = moovOf(0, 0).length
+    val mdatBodyAt = ftyp.length + free.length + moovLen + 8L
+    val moov = moovOf(mdatBodyAt, mdatBodyAt + 6)
+    val mdat = box("mdat", s0, s1, s2, s3)
+    val file = ftyp ++ free ++ moov ++ mdat
+    val got = demuxMp4(file)
+    assert(got.map(_.toSeq) ==
+      Seq(s0.toSeq, s1.toSeq, s2.toSeq, s3.toSeq),
+      "hand-built sample table must resolve all four payloads")
+  }
+
   test("demux walks the container and samples every 2nd frame") {
     // 5 frames -> sampled f = 0,2,4
     val frames = Seq(10, 10, 200, 200, 10).map(v => encodeBmp(8, 4, gray(v, 8, 4)))
-    val feat = decodeVideo(Iterator(VideoRow(1L, encodeVideo(frames)))).toSeq.head
+    val feat = decodeVideo(Iterator(VideoRow(1L, encodeMp4(frames)))).toSeq.head
     assert(feat.n_frames == 5 && feat.n_sampled == 3)
     // sampled grays 10, 200, 10: flat frames hash to 0 bits -> equal
     // hashes -> 0 scene changes (aHash of a constant frame is 0)
@@ -27,17 +81,29 @@ class VideoSpec extends SparkSpec {
     val b = encodeBmp(8, 4, gray(0, 8, 4))
     // sampled: a (f0), a (f2), b (f4) -> one change
     val feat = decodeVideo(Iterator(
-      VideoRow(2L, encodeVideo(Seq(a, b, a, b, b))))).toSeq.head
+      VideoRow(2L, encodeMp4(Seq(a, b, a, b, b))))).toSeq.head
     assert(feat.n_sampled == 3 && feat.scene_changes == 1)
     assert(feat.h_first != 0L)
   }
 
-  test("synthVideo skips <3-byte payloads; decode rejects non-GVID bytes") {
+  test("synthVideo skips <3-byte payloads; malformed containers reject") {
     assert(synthVideo(Iterator((1L, "ab".getBytes))).isEmpty)
     val out = synthVideo(Iterator((2L, "abcdefgh".getBytes))).toSeq
     assert(out.size == 1)
+    // not a box structure at all
     assertThrows[IllegalArgumentException] {
       decodeVideo(Iterator(VideoRow(3L, Array[Byte](1, 2, 3, 4, 5, 6)))).toSeq
     }
+    // a sample range pointing outside the file must be rejected, not read
+    val frames = Seq(encodeBmp(8, 4, gray(1, 8, 4)))
+    val ok = encodeMp4(frames)
+    val truncated = java.util.Arrays.copyOfRange(ok, 0, 40)
+    assertThrows[IllegalArgumentException] {
+      decodeVideo(Iterator(VideoRow(4L, truncated))).toSeq
+    }
+    // the lenient tier drops the bad row and keeps the good one
+    val mixed = decodeVideoLenient(Iterator(
+      VideoRow(5L, truncated), VideoRow(6L, ok))).toSeq
+    assert(mixed.map(_.doc_id) == Seq(6L))
   }
 }
