@@ -29,8 +29,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * (getLastXPathElement, :159-170). Default rowTag `Row`
   * (hdfsconnector.hpp:224).
   *
-  * Non-nested row tags are assumed (as in the reference state machine, which
-  * tracks a single `withinRecord` flag, :318-321).
+  * Row tags that NEST themselves parse correctly: the element scanner
+  * tracks tag depth (the reference's single `withinRecord` flag cannot,
+  * :318-321 — documented divergence). Split realignment is only sound for
+  * flat documents, so nesting is opted into via `nestedRowTag=true`, which
+  * trades splits for whole-file ranges; the flat default keeps the
+  * even-range fast path.
   *
   * Write side: Spark's built-in `xml` sink — the reference never serializes
   * XML itself either (pipe-out passes the format through to Thor,
@@ -74,6 +78,11 @@ class XmlTable(userSchema: StructType, options: CaseInsensitiveStringMap)
   private val corruptCol: Option[String] =
     if (mode == "PERMISSIVE") Option(options.get("columnNameOfCorruptRecord"))
     else None
+  // nested row tags cannot be split-realigned (a range starting inside a
+  // row would mistake an inner opening tag for a row start), so opting in
+  // trades splittability for nesting: one partition per file
+  private val nested: Boolean =
+    options.getBoolean("nestedrowtag", false)
 
   override def name(): String = s"hpcc-xml:$path"
   override def schema(): StructType =
@@ -86,17 +95,18 @@ class XmlTable(userSchema: StructType, options: CaseInsensitiveStringMap)
       TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    new XmlScanBuilder(path, rowTag, schema(), mode, corruptCol)
+    new XmlScanBuilder(path, rowTag, schema(), mode, corruptCol, nested)
 }
 
 class XmlScanBuilder(path: String, rowTag: String, full: StructType,
-    mode: String = "FAILFAST", corruptCol: Option[String] = None)
+    mode: String = "FAILFAST", corruptCol: Option[String] = None,
+    nested: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = full
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan =
-    new XmlScan(path, rowTag, required, mode, corruptCol)
+    new XmlScan(path, rowTag, required, mode, corruptCol, nested)
 }
 
 case class XmlInputPartition(file: String, start: Long, end: Long,
@@ -105,7 +115,8 @@ case class XmlInputPartition(file: String, start: Long, end: Long,
 }
 
 class XmlScan(path: String, rowTag: String, required: StructType,
-    mode: String = "FAILFAST", corruptCol: Option[String] = None)
+    mode: String = "FAILFAST", corruptCol: Option[String] = None,
+    nested: Boolean = false)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -124,7 +135,11 @@ class XmlScan(path: String, rowTag: String, required: StructType,
           f.isFile && f.getLen > 0 && !n.startsWith(".") && !n.startsWith("_")
         }.sortBy(_.getPath.getName)
       else Seq(fs.getFileStatus(root))
-    val splitBytes = math.max(spark.sessionState.conf.filesMaxPartitionBytes, 1L)
+    // nested row tags forfeit splits (whole-file ranges); flat files
+    // keep the even-range realignment fast path
+    val splitBytes =
+      if (nested) Long.MaxValue
+      else math.max(spark.sessionState.conf.filesMaxPartitionBytes, 1L)
 
     files.flatMap { f =>
       val size = f.getLen
@@ -328,15 +343,20 @@ class XmlPartitionReader(part: XmlInputPartition, rowTag: String,
   }
 
   /** Consume through the matching `</rowTag>` (or self-closing `/>`),
-    * appending bytes to `bb` (UTF-8-decoded only once complete). Assumes
-    * non-nested row tags.
+    * appending bytes to `bb` (UTF-8-decoded only once complete). Tracks
+    * TAG DEPTH, so a rowTag that nests itself parses to the OUTER
+    * element's end — the reference's single `withinRecord` flag cannot
+    * (:318-321, documented divergence); flat documents never leave
+    * depth 1, so the flat path costs one integer compare per byte.
+    * (Correct SPLIT placement for nested documents needs the
+    * `nestedRowTag` option — see [[XmlScan.planInputPartitions]].)
     *
     * Hardened vs the reference state machine (:318-343):
-    *  - the start-tag scanner tracks QUOTE state, so a legal attribute
-    *    value containing '>' (or "/>") neither ends the tag early nor
-    *    fakes self-closing;
+    *  - every start-tag scan (root and nested) tracks QUOTE state, so a
+    *    legal attribute value containing '>' (or "/>") neither ends the
+    *    tag early nor fakes self-closing;
     *  - comments / CDATA inside the element body are consumed whole, so a
-    *    literal `</rowTag>` inside them cannot terminate the row.
+    *    literal `</rowTag>` (or `<rowTag>`) inside them affects nothing.
     */
   private def readElement(): Boolean = {
     // `bb` holds "<rowTag" + one delimiter byte already
@@ -345,35 +365,56 @@ class XmlPartitionReader(part: XmlInputPartition, rowTag: String,
       bb.write(b)
       return b == '>'
     }
-    var inStartTag = last(1) != '>'
+    var depth = 1
+    var inTag = last(1) != '>' // scanning a start tag (root or nested)
+    var tagIsNested = false
     var quote = 0 // active attribute-value quote char, 0 = none
-    var matched = 0 // closeTag progress
-    var bang = 0 // "<!" detector progress in body
+    var closeM = 0 // closeTag progress
+    var openM = 0 // nested "<rowTag" progress
+    var prevLt = false // last body byte was '<' (markup-decl detector)
     while (true) {
       val b = read1()
       if (b < 0) return false
       bb.write(b)
-      if (inStartTag) {
+      if (inTag) {
         if (quote != 0) {
           if (b == quote) quote = 0
         } else if (b == '"' || b == '\'') quote = b
         else if (b == '>') {
-          if (last(2) == '/') return true // self-closing "<rowTag .../>"
-          inStartTag = false
+          val selfClosing = last(2) == '/'
+          if (tagIsNested) { if (!selfClosing) depth += 1 }
+          else if (selfClosing) return true // root "<rowTag .../>"
+          inTag = false; tagIsNested = false
+          closeM = 0; openM = 0; prevLt = false
         }
+      } else if (prevLt && b == '!') {
+        // "<!" -> comment/CDATA/DOCTYPE; consume it whole (appending)
+        if (!skipMarkupDecl(append = true)) return false
+        closeM = 0; openM = 0; prevLt = false
       } else {
-        // detect "<!" -> comment/CDATA; consume it whole (appending)
-        if (bang == 0 && b == '<') bang = 1
-        else if (bang == 1 && b == '!') {
-          if (!skipMarkupDecl(append = true)) return false
-          bang = 0; matched = 0
-        } else bang = if (b == '<') 1 else 0
-        if (bang == 0) {
-          if (b == closeTag(matched)) {
-            matched += 1
-            if (matched == closeTag.length) return true
-          } else matched = if (b == '<') 1 else 0
-        } else matched = 1 // '<' is also closeTag(0)'s first byte... keep in sync
+        // nested-open matcher: openM == open.length means "<rowTag" just
+        // matched and b is the delimiter deciding whether it IS our tag
+        if (openM == open.length) {
+          if (b == '>') { depth += 1; openM = 0 }
+          else if (b == '/') openM = 0 // "<rowTag/>": no depth change
+          else if (b == ' ' || b == '\t' || b == '\n' || b == '\r') {
+            // nested start tag with attributes: scan it quote-aware
+            inTag = true; tagIsNested = true; quote = 0
+            closeM = 0; openM = 0; prevLt = false
+          } else openM = if (b == '<') 1 else 0 // e.g. "<RowX"
+        } else if (b == open(openM)) openM += 1
+        else openM = if (b == '<') 1 else 0
+        if (!inTag) {
+          if (b == closeTag(closeM)) {
+            closeM += 1
+            if (closeM == closeTag.length) {
+              depth -= 1
+              if (depth == 0) return true
+              closeM = 0
+            }
+          } else closeM = if (b == '<') 1 else 0
+          prevLt = b == '<'
+        }
       }
     }
     false

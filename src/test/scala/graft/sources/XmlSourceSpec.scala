@@ -87,6 +87,35 @@ class XmlSourceSpec extends SparkSpec {
     }
   }
 
+  test("nested row tags parse to the outer element (nestedRowTag=true)") {
+    val dir = tmpDir("xml-nested")
+    writeXml(dir, Seq(
+      // one nested child
+      "<Row><id>1</id><name>outer1</name><score>1.5</score>" +
+        "<Row><id>100</id><name>inner</name><score>9.9</score></Row></Row>",
+      // two levels deep, nested tag with a quoted '>' attribute
+      "<Row><id>2</id><name>outer2</name><score>2.5</score>" +
+        "<Row note=\"a>b\"><id>200</id>" +
+        "<Row><id>300</id></Row></Row></Row>",
+      // flat row unchanged
+      "<Row><id>3</id><name>outer3</name><score>3.5</score></Row>",
+      // self-closing nested tag must not change depth
+      "<Row><id>4</id><name>outer4</name><score>4.5</score><Row/></Row>"))
+    val df = spark.read.format("hpcc-xml").schema(schema)
+      .option("rowTag", "Row").option("nestedRowTag", "true").load(dir)
+    // nesting forfeits splits: whole-file partitions even at tiny limits
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "64")
+    try {
+      assert(df.rdd.getNumPartitions == 1,
+        "nestedRowTag must force whole-file ranges")
+      val got = df.orderBy("id").collect().toSeq
+        .map(r => (r.getInt(0), r.getString(1)))
+      assert(got == Seq((1, "outer1"), (2, "outer2"), (3, "outer3"),
+        (4, "outer4")),
+        s"only OUTER elements are rows, inner tags are content: $got")
+    } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+  }
+
   test("round trip against the built-in xml writer on multi-part output") {
     val dir = tmpDir("xml-bi")
     import spark.implicits._
