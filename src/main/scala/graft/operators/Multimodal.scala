@@ -389,20 +389,40 @@ object Multimodal extends QueryPack {
     * decode stays the real ImageIO parse — the demux itself is a genuine
     * box walk, no longer a stub (see [[demuxMp4]]). */
   def encodeMp4(frames: Seq[Array[Byte]]): Array[Byte] = {
+    // stream-based assembly: Seq[Byte] flattening would BOX every byte
+    // and nested boxes would re-copy bodies per level — at corpus scale
+    // that quadrupled the video tier's bench cost
     def be32(v: Long): Array[Byte] = Array(
       ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
       ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
     def be16(v: Int): Array[Byte] =
       Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
     def ascii(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def cat(parts: Seq[Array[Byte]]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(
+        parts.iterator.map(_.length).sum)
+      parts.foreach(p => out.write(p, 0, p.length))
+      out.toByteArray
+    }
     def box(typ: String, parts: Array[Byte]*): Array[Byte] = {
-      val body = parts.flatten.toArray
-      be32(8L + body.length) ++ ascii(typ) ++ body
+      val len = 8 + parts.iterator.map(_.length).sum
+      val out = new java.io.ByteArrayOutputStream(len)
+      out.write(be32(len.toLong), 0, 4)
+      out.write(ascii(typ), 0, 4)
+      parts.foreach(p => out.write(p, 0, p.length))
+      out.toByteArray
     }
     val nf = frames.length
     val ftyp = box("ftyp", ascii("isom"), be32(0x200), ascii("isom"),
       ascii("iso2"))
-    val mdat = box("mdat", frames.flatten.toArray)
+    val mdat = {
+      val len = 8 + frames.iterator.map(_.length).sum
+      val out = new java.io.ByteArrayOutputStream(len)
+      out.write(be32(len.toLong), 0, 4)
+      out.write(ascii("mdat"), 0, 4)
+      frames.foreach(fr => out.write(fr, 0, fr.length))
+      out.toByteArray
+    }
     // frame i's absolute offset: after ftyp + mdat's 8-byte header
     val offsets = frames.scanLeft(ftyp.length + 8L)(_ + _.length).init
     val mvhd = box("mvhd", be32(0), be32(0), be32(0), be32(1000),
@@ -431,9 +451,9 @@ object Multimodal extends QueryPack {
     val stts = box("stts", be32(0), be32(1), be32(nf.toLong), be32(1))
     val stsc = box("stsc", be32(0), be32(1), be32(1), be32(1), be32(1))
     val stsz = box("stsz", be32(0), be32(0), be32(nf.toLong),
-      frames.flatMap(fr => be32(fr.length.toLong).toSeq).toArray)
+      cat(frames.map(fr => be32(fr.length.toLong))))
     val stco = box("stco", be32(0), be32(nf.toLong),
-      offsets.flatMap(o => be32(o).toSeq).toArray)
+      cat(offsets.map(be32)))
     val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
     val minf = box("minf", vmhd, dinf, stbl)
     val mdia = box("mdia", mdhd, hdlr, minf)

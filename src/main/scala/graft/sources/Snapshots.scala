@@ -837,7 +837,10 @@ object Snapshots {
   def replicate(s: SparkSession, upDir: String, downDir: String,
       keyCols: Seq[String]): (Int, Long) = {
     import org.apache.spark.sql.functions.col
-    val cur = latestVersion(s, upDir)
+    // on a ref-tracked upstream, replication follows MAIN's line — a
+    // branch commit (which takes a global version number) must not leak
+    // into the replica
+    val cur = mainVersion(s, upDir)
     require(cur >= 1, s"replicate: no versions at $upDir")
     val f = fs(s, downDir)
     f.mkdirs(new Path(downDir))

@@ -157,6 +157,16 @@ class StreamingSnapshotSpec extends SparkSpec {
         System.currentTimeMillis() < deadline) Thread.sleep(200)
       assert(table(down) == table(up), "rate-driven feed must converge")
     } finally feed.stop()
+
+    // replication follows MAIN: a branch commit upstream (which takes a
+    // global version number) must not leak into the replica
+    val mainBefore = table(up)
+    Snapshots.createRef(spark, up, "exp")
+    Snapshots.commitOnBranch(spark, up, "exp",
+      Seq(DocRow(777, "branch-only")).toDF("id", "payload"), append = true)
+    Snapshots.replicate(spark, up, down, Seq("id"))
+    assert(table(down) == mainBefore,
+      "a branch commit must not replicate into the downstream table")
   }
 
   test("streaming commits with statsCols prune like batch commits") {
