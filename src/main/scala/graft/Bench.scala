@@ -260,7 +260,8 @@ object Bench {
     val peakAt = peak.map(t => short(telemetry.find(_._2 eq t).get._1))
       .getOrElse("")
     val nCacheUp = telemetry.values.count(_.cacheNonEmpty)
-    val quietFields = s""""quiet":$quiet,"passes":$nPasses,"quiet_norm":${cs(norm)}"""
+    val quietFields = s""""quiet":$quiet,"passes":$nPasses,"quiet_norm":${
+      if (norm == Double.MaxValue) "-1" else cs(norm)}"""
     // per-query stdout line (short keys, cs precision)
     println(s"""{"metric":"total","value":${cs(total)},"unit":"sec","sentinel_start":${cs(sentinelStart)},"sentinel_end":${cs(sentinelEnd)},$quietFields,"probes":$probes,"storage_peak_mb":$peakMb,"peak_at":"$peakAt","cache_up_after":$nCacheUp,"queries":$qs,"sf":"$sfDir"}""")
     // LAST stdout line: a SHORT self-contained summary. Tail-bounded
