@@ -59,9 +59,38 @@ import org.apache.spark.sql.types.{DataType, DateType, StructType, TimestampType
   * `renames` options riding onto [[Snapshots.commit]].
   */
 class SnapshotSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-snapshots"
+
+  /** Streaming sink: every micro-batch lands as ONE snapshot commit, so
+    * readers always resolve a consistent version and every mid-ingest
+    * state stays time-travelable. Exactly-once across restarts: the
+    * engine's batch id is stamped into the committed version's metadata
+    * (before the manifest, so `published => stamped` holds), and a
+    * replayed batch id is skipped instead of double-committed. Output
+    * modes: Append = append commits; Complete = rewrite commits (each
+    * batch replaces the table); Update = MERGE by the required `keyCols`
+    * option (comma-separated). `statsCols` rides onto each commit. */
+  override def createSink(ctx: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val dir = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-snapshots sink requires a path"))
+    val statsCols = parameters.get("statscols").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    val keyCols = parameters.get("keycols").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    import org.apache.spark.sql.streaming.OutputMode
+    if (outputMode == OutputMode.Update())
+      require(keyCols.nonEmpty,
+        "graft-snapshots sink in Update mode requires keyCols")
+    new SnapshotSink(dir, outputMode, keyCols, statsCols)
+  }
 
   override def createRelation(ctx: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
@@ -134,6 +163,47 @@ class SnapshotSource extends RelationProvider
     }
     createRelation(ctx, parameters - "versionasof" - "timestampasof" -
       "branch")
+  }
+}
+
+/** The `graft-snapshots` streaming sink (see
+  * [[SnapshotSource.createSink]]). One micro-batch = one snapshot
+  * commit; the batch id rides in the version's metadata for
+  * exactly-once replay detection. */
+private[graft] class SnapshotSink(dir: String,
+    outputMode: org.apache.spark.sql.streaming.OutputMode,
+    keyCols: Seq[String], statsCols: Seq[String])
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  import org.apache.spark.sql.streaming.OutputMode
+
+  override def toString: String = s"SnapshotSink[$dir]"
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val spark = data.sparkSession
+    // replay detection: a batch id at or below the last stamped one was
+    // already committed (engine restarts re-deliver the last batch)
+    if (Snapshots.lastStreamBatch(spark, dir).exists(_ >= batchId)) {
+      return
+    }
+    // the engine's frame carries streaming-flagged leaves; commit needs
+    // a batch view of the same physical rows
+    val batch = org.apache.spark.sql.GraftBatchView.asBatch(data)
+    val latest = Snapshots.latestVersion(spark, dir)
+    outputMode match {
+      case m if m == OutputMode.Complete() =>
+        Snapshots.commit(spark, dir, batch, append = false,
+          statsCols = statsCols, streamBatch = Some(batchId))
+        ()
+      case m if m == OutputMode.Update() && latest >= 1 =>
+        Snapshots.upsert(spark, dir, batch, keyCols,
+          statsCols = statsCols, streamBatch = Some(batchId))
+        ()
+      case _ => // Append, or the first batch of an Update stream
+        Snapshots.commit(spark, dir, batch, append = latest >= 1,
+          statsCols = statsCols, streamBatch = Some(batchId))
+        ()
+    }
   }
 }
 

@@ -92,7 +92,8 @@ object Snapshots {
     * operator can remove it. */
   def commit(s: SparkSession, dir: String, df: DataFrame,
       append: Boolean, renames: Map[String, String] = Map.empty,
-      statsCols: Seq[String] = Seq.empty): Int = {
+      statsCols: Seq[String] = Seq.empty,
+      streamBatch: Option[Long] = None): Int = {
     val f = fs(s, dir)
     f.mkdirs(new Path(dir))
     val c = claimVersion(f, dir)
@@ -102,7 +103,7 @@ object Snapshots {
       // once branches exist), and the ref advances with the publish
       val base = mainHead(f, dir, c.v - 1)
       val v = commitClaimed(s, f, dir, df, append, renames, statsCols,
-        c.v, baseVersion = base)
+        c.v, baseVersion = base, streamBatch = streamBatch)
       advanceMain(s, f, dir, v)
       v
     } finally c.release()
@@ -342,7 +343,8 @@ object Snapshots {
 
   private def commitClaimed(s: SparkSession, f: FileSystem, dir: String,
       df: DataFrame, append: Boolean, renames: Map[String, String],
-      statsCols: Seq[String], v: Int, baseVersion: Int = -1): Int = {
+      statsCols: Seq[String], v: Int, baseVersion: Int = -1,
+      streamBatch: Option[Long] = None): Int = {
     val prev = if (baseVersion >= 0) baseVersion else v - 1
     val (moved, statLines) = stageAndMove(s, f, dir, df, statsCols, v)
     val carried = if (append && prev > 0) files(s, dir, prev) else Seq.empty
@@ -353,8 +355,12 @@ object Snapshots {
     if (append && prev > 0 && hasDv(s, dir, prev))
       dvFrame(s, dir, prev).foreach(
         _.write.mode("overwrite").parquet(dvDir(dir, v).toString))
+    // meta precedes the manifest: a version without meta never becomes
+    // visible (versions resolve through manifests), so `manifest => meta`
+    // holds and a stream batch id stamped in meta is crash-consistent
+    // with the publish — the exactly-once anchor of the streaming sink
+    writeCommitMeta(f, dir, v, if (prev > 0) prev else 0, streamBatch)
     writeManifest(f, dir, v, carried ++ moved)
-    writeCommitMeta(f, dir, v, if (prev > 0) prev else 0)
     if (renames.nonEmpty) {
       val body = renames.toSeq.sorted
         .map { case (o, n) => o + "\u0001" + n }.mkString("\n")
@@ -377,9 +383,11 @@ object Snapshots {
     * branch commits record the branch head they grew from, which is
     * what [[fastForward]]'s ancestry check walks. */
   private def writeCommitMeta(f: FileSystem, dir: String, v: Int,
-      parent: Int): Unit = {
+      parent: Int, streamBatch: Option[Long] = None): Unit = {
     val o = f.create(new Path(dir, s"v$v.meta"), true)
-    try o.write(s"${System.currentTimeMillis()}\n$parent".getBytes("UTF-8"))
+    val body = s"${System.currentTimeMillis()}\n$parent" +
+      streamBatch.map(b => s"\n$b").getOrElse("")
+    try o.write(body.getBytes("UTF-8"))
     finally o.close()
   }
 
@@ -408,6 +416,24 @@ object Snapshots {
       v: Int): Int =
     readMeta(f, dir, v).filter(_.size >= 2).map(_(1).toInt)
       .getOrElse(v - 1)
+
+  /** The highest STREAMING SINK batch id any committed version carries
+    * (meta line 3) — the exactly-once cursor of the `graft-snapshots`
+    * streaming sink. Because meta is written BEFORE the manifest, every
+    * visible version's batch id is durable, so a replayed micro-batch
+    * (same id, after a crash or restart) is detected and skipped instead
+    * of double-committed. O(versions) metadata reads. */
+  def lastStreamBatch(s: SparkSession, dir: String): Option[Long] = {
+    val f = fs(s, dir)
+    val root = new Path(dir)
+    if (!f.exists(root)) None
+    else f.listStatus(root).toSeq.flatMap(_.getPath.getName match {
+      case ManifestName(n) =>
+        readMeta(f, dir, n.toInt).filter(_.size >= 3)
+          .flatMap(m => m(2).toLongOption)
+      case _ => None
+    }).maxOption
+  }
 
   /** Per-file (col, typeName, min, max) stats recorded by commits 1..v,
     * keyed by manifest-relative path. Files without stats are simply
@@ -712,8 +738,8 @@ object Snapshots {
       union.write.mode("overwrite").parquet(dvDir(dir, v).toString)
       val n = s.read.parquet(dvDir(dir, v).toString).count() -
         prev.map(_.count()).getOrElse(0L)
-      writeManifest(f, dir, v, fset)
       writeCommitMeta(f, dir, v, latest)
+      writeManifest(f, dir, v, fset)
       advanceMain(s, f, dir, v)
       (v, n)
     } finally c.release()
@@ -731,8 +757,8 @@ object Snapshots {
     *
     * @return (newVersion, rowsReplaced) */
   def upsert(s: SparkSession, dir: String, src: DataFrame,
-      keyCols: Seq[String], statsCols: Seq[String] = Seq.empty)
-      : (Int, Long) = {
+      keyCols: Seq[String], statsCols: Seq[String] = Seq.empty,
+      streamBatch: Option[Long] = None): (Int, Long) = {
     import org.apache.spark.sql.functions.col
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     val f = fs(s, dir)
@@ -763,8 +789,8 @@ object Snapshots {
       val nReplaced = s.read.parquet(dvDir(dir, v).toString).count() -
         prev.map(_.count()).getOrElse(0L)
       val (moved, statLines) = stageAndMove(s, f, dir, src, statsCols, v)
+      writeCommitMeta(f, dir, v, latest, streamBatch)
       writeManifest(f, dir, v, fset ++ moved)
-      writeCommitMeta(f, dir, v, latest)
       writeStatLines(f, dir, v, statLines)
       advanceMain(s, f, dir, v)
       (v, nReplaced)
@@ -811,8 +837,8 @@ object Snapshots {
         prev.map(_.count()).getOrElse(0L)
       val (moved, statLines) = stageAndMove(s, f, dir, upserts,
         Seq.empty, v)
-      writeManifest(f, dir, v, fset ++ moved)
       writeCommitMeta(f, dir, v, latest)
+      writeManifest(f, dir, v, fset ++ moved)
       writeStatLines(f, dir, v, statLines)
       advanceMain(s, f, dir, v)
       (v, nGone + upserts.count())

@@ -1,0 +1,17 @@
+package org.apache.spark.sql
+
+/** Interop shim (hence this package): re-expose the micro-batch frame a
+  * streaming Sink receives as a plain BATCH DataFrame. The engine hands
+  * `addBatch` a frame whose plan still carries streaming-flagged leaves,
+  * so `.write` refuses it ([CALL_ON_STREAMING_DATASET_UNSUPPORTED]);
+  * Spark's own ForeachBatchSink clears the flag exactly this way via the
+  * sql-private `internalCreateDataFrame`. Zero-copy: the already-planned
+  * physical rows are reused, no collect, no re-encoding.
+  */
+object GraftBatchView {
+  def asBatch(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
+}

@@ -169,6 +169,73 @@ class StreamingSnapshotSpec extends SparkSpec {
       "a branch commit must not replicate into the downstream table")
   }
 
+  test("writeStream sink: one commit per batch, exactly-once on replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("sink-snap")
+    val cp = tmpDir("sink-cp")
+    def ids(v: Int): Seq[Long] = Snapshots.read(spark, dir, v)
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted
+
+    val src = MemoryStream[DocRow]
+    val q = src.toDF().writeStream.format("graft-snapshots")
+      .option("path", dir).option("checkpointLocation", cp)
+      .option("statsCols", "id").start()
+    try {
+      src.addData((1L to 5L).map(i => DocRow(i, s"r$i")): _*)
+      q.processAllAvailable()
+      src.addData((6L to 9L).map(i => DocRow(i, s"r$i")): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(Snapshots.latestVersion(spark, dir) == 2)
+    assert(ids(1) == (1L to 5L) && ids(2) == (1L to 9L),
+      "each micro-batch must land as one append commit")
+
+    // restart against the SAME checkpoint: the stream continues, and
+    // nothing that already landed is re-committed
+    val q2 = src.toDF().writeStream.format("graft-snapshots")
+      .option("path", dir).option("checkpointLocation", cp)
+      .option("statsCols", "id").start()
+    try {
+      src.addData(DocRow(10L, "r10"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(Snapshots.latestVersion(spark, dir) == 3)
+    assert(ids(3) == (1L to 10L))
+
+    // direct replay pin: an already-stamped batch id is a NO-OP (the
+    // engine re-delivers the last batch after a crash)
+    val sink = new graft.sources.SnapshotSink(dir,
+      org.apache.spark.sql.streaming.OutputMode.Append(), Nil, Nil)
+    sink.addBatch(1L, (90L to 95L).map(i => DocRow(i, s"r$i")).toDF())
+    assert(Snapshots.latestVersion(spark, dir) == 3,
+      "a replayed batch id must not double-commit")
+    // stats recorded by the streamed commits prune like batch commits
+    val (_, (nRead, nTotal)) =
+      Snapshots.readPruned(spark, dir, 3, "id", 7L, 8L)
+    assert(nTotal == 3 && nRead == 1)
+
+    // Update mode: micro-batches MERGE by key
+    val dir2 = tmpDir("sink-upd")
+    val src2 = MemoryStream[DocRow]
+    val q3 = src2.toDF().writeStream.format("graft-snapshots")
+      .outputMode("update")
+      .option("path", dir2).option("keyCols", "id")
+      .option("checkpointLocation", tmpDir("sink-upd-cp")).start()
+    try {
+      src2.addData(DocRow(1, "a1"), DocRow(2, "b1"))
+      q3.processAllAvailable()
+      src2.addData(DocRow(2, "b2"), DocRow(3, "c1"))
+      q3.processAllAvailable()
+    } finally q3.stop()
+    val got = Snapshots.read(spark, dir2,
+        Snapshots.latestVersion(spark, dir2))
+      .select("id", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+    assert(got == Seq((1L, "a1"), (2L, "b2"), (3L, "c1")),
+      "update-mode batches must merge by key, last writer wins")
+  }
+
   test("streaming commits with statsCols prune like batch commits") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
