@@ -61,9 +61,47 @@ import org.apache.spark.sql.types.{DataType, DateType, StructType, TimestampType
 class SnapshotSource extends RelationProvider
     with CreatableRelationProvider
     with org.apache.spark.sql.sources.StreamSinkProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft-snapshots"
+
+  override def sourceSchema(ctx: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val dir = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-snapshots source requires a path"))
+    val latest = Snapshots.mainVersion(ctx.sparkSession, dir)
+    require(latest >= 1,
+      s"graft-snapshots source: no committed versions at $dir")
+    (shortName(),
+      Snapshots.evolutionInfo(ctx.sparkSession, dir, latest)._1)
+  }
+
+  /** Streaming SOURCE over a snapshot table: offsets are VERSIONS of the
+    * main line, each micro-batch is the rows of the files the offset
+    * range added — change detection is one version-counter listing, and
+    * the batch reads through Spark's native parquet scan (the
+    * [[org.apache.spark.sql.execution.streaming.Source]] contract lets
+    * getBatch return a plain DataFrame, the same shape FileStreamSource
+    * uses). APPEND-STREAM semantics, the lakehouse streaming default: a
+    * version that rewrites or deletes (file set not a superset, or a new
+    * deletion vector) fails the stream with an actionable error unless
+    * `ignoreChanges=true`, which emits just the file-diff rows (deletes
+    * don't retract; downstream compensation is the consumer's choice —
+    * exactly Delta's ignoreChanges contract). Composes with the sink for
+    * end-to-end table → stream → table pipelines. */
+  override def createSource(ctx: SQLContext,
+      metadataPath: String, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val dir = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-snapshots source requires a path"))
+    val ignoreChanges =
+      parameters.get("ignorechanges").exists(_.toBoolean)
+    new SnapshotStreamSource(ctx.sparkSession, dir,
+      sourceSchema(ctx, schema, providerName, parameters)._2, ignoreChanges)
+  }
 
   /** Streaming sink: every micro-batch lands as ONE snapshot commit, so
     * readers always resolve a consistent version and every mid-ingest
@@ -164,6 +202,73 @@ class SnapshotSource extends RelationProvider
     createRelation(ctx, parameters - "versionasof" - "timestampasof" -
       "branch")
   }
+}
+
+/** The `graft-snapshots` streaming source (see
+  * [[SnapshotSource.createSource]]): version-offset micro-batches over
+  * the main line of a snapshot table. */
+private[graft] class SnapshotStreamSource(spark: SparkSession,
+    dir: String, fixedSchema: StructType, ignoreChanges: Boolean)
+    extends org.apache.spark.sql.execution.streaming.Source {
+
+  import org.apache.spark.sql.execution.streaming.{Offset => SrcOffset}
+  import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+
+  override def schema: StructType = fixedSchema
+
+  override def getOffset: Option[SrcOffset] = {
+    val v = Snapshots.mainVersion(spark, dir)
+    if (v >= 1) Some(LongOffset(v.toLong)) else None
+  }
+
+  private def versionOf(o: SrcOffset): Int = o match {
+    case LongOffset(v) => v.toInt
+    case other => other.json.trim.toInt // SerializedOffset from the log
+  }
+
+  override def getBatch(start: Option[SrcOffset], end: SrcOffset)
+      : DataFrame = {
+    val v0 = start.map(versionOf).getOrElse(0)
+    val v1 = versionOf(end)
+    val base: Set[String] =
+      if (v0 >= 1) Snapshots.files(spark, dir, v0).toSet else Set.empty
+    val endFiles = Snapshots.files(spark, dir, v1)
+    if (!ignoreChanges) {
+      // append-only validation per version in the range: the file set
+      // must grow monotonically and no deletion vector may appear
+      var prev = base
+      ((v0 + 1) to v1).foreach { v =>
+        val cur = Snapshots.files(spark, dir, v).toSet
+        require(v0 < 1 || prev.subsetOf(cur),
+          s"graft-snapshots source: version $v of $dir rewrites files — " +
+            "an append stream cannot represent it; pass " +
+            "ignoreChanges=true to emit only added files' rows " +
+            "(deletes will not retract)")
+        require(!Snapshots.hasDv(spark, dir, v) ||
+          (v0 >= 1 && Snapshots.hasDv(spark, dir, v0) &&
+            Snapshots.dvFrame(spark, dir, v).get.count() ==
+              Snapshots.dvFrame(spark, dir, v0).get.count()),
+          s"graft-snapshots source: version $v of $dir deletes rows " +
+            "(deletion vector) — pass ignoreChanges=true to stream only " +
+            "appended rows")
+        prev = cur
+      }
+    }
+    val added = endFiles.filterNot(base.contains)
+    val batch =
+      if (added.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fixedSchema)
+      else
+        spark.read.schema(fixedSchema)
+          .parquet(added.map(p => new Path(dir, p).toString): _*)
+    // the engine asserts getBatch frames are streaming-flagged
+    org.apache.spark.sql.GraftBatchView.asStreaming(batch)
+  }
+
+  override def commit(end: SrcOffset): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String = s"SnapshotStreamSource[$dir]"
 }
 
 /** The `graft-snapshots` streaming sink (see

@@ -14,4 +14,20 @@ object GraftBatchView {
     spark.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = false)
   }
+
+  /** The inverse, for a streaming Source's `getBatch`: the engine asserts
+    * the returned frame has isStreaming=true (FileStreamSource marks its
+    * relation the same way). A relation-backed frame keeps its
+    * LogicalRelation (so downstream pruning/pushdown still work); other
+    * shapes wrap their planned rows. */
+  def asStreaming(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    df.queryExecution.analyzed match {
+      case lr: execution.datasources.LogicalRelation =>
+        classic.Dataset.ofRows(spark, lr.copy(isStreaming = true))
+      case _ =>
+        spark.internalCreateDataFrame(
+          df.queryExecution.toRdd, df.schema, isStreaming = true)
+    }
+  }
 }

@@ -236,6 +236,101 @@ class StreamingSnapshotSpec extends SparkSpec {
       "update-mode batches must merge by key, last writer wins")
   }
 
+  test("readStream source: version offsets, append semantics, restarts") {
+    import spark.implicits._
+    val dir = tmpDir("src-snap")
+    val down = tmpDir("src-down")
+    val cp = tmpDir("src-cp")
+    Snapshots.commit(spark, dir,
+      (1L to 5L).map(i => DocRow(i, s"r$i")).toDF("id", "payload"),
+      append = false)
+
+    // restartable leg runs through the snapshot SINK (the memory sink
+    // refuses checkpoint recovery)
+    def startQuery() = spark.readStream
+      .format("graft-snapshots").option("path", dir).load()
+      .writeStream.format("graft-snapshots").option("path", down)
+      .option("checkpointLocation", cp).start()
+    def downIds(): Seq[Long] = Snapshots.read(spark, down,
+        Snapshots.latestVersion(spark, down))
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted
+
+    val q = startQuery()
+    try {
+      q.processAllAvailable()
+      assert(downIds() == (1L to 5L), "v1 = the first batch")
+      Snapshots.commit(spark, dir,
+        (6L to 8L).map(i => DocRow(i, s"r$i")).toDF("id", "payload"),
+        append = true)
+      q.processAllAvailable()
+      assert(downIds() == (1L to 8L), "an append commit streams")
+    } finally q.stop()
+
+    // restart from the checkpoint: only NEW versions stream, no replay
+    Snapshots.commit(spark, dir,
+      Seq(DocRow(9L, "r9")).toDF("id", "payload"), append = true)
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      assert(downIds() == (1L to 9L))
+      assert(Snapshots.latestVersion(spark, down) == 3,
+        "a restarted stream must resume AFTER the checkpointed version")
+    } finally q2.stop()
+
+    // a rewrite breaks the append contract: the stream fails actionably
+    Snapshots.commit(spark, dir,
+      Snapshots.read(spark, dir, 3).coalesce(1), append = false)
+    val q3 = startQuery()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try { q3.processAllAvailable() } finally q3.stop()
+    }
+    assert(e.getCause.getMessage.contains("ignoreChanges"),
+      s"rewrite must fail with guidance, got: ${e.getCause.getMessage}")
+
+    // ignoreChanges=true streams the rewrite's files' rows (fresh
+    // checkpoint: from offset zero the first batch is v4's file set)
+    val q4 = spark.readStream.format("graft-snapshots")
+      .option("path", dir).option("ignoreChanges", "true").load()
+      .writeStream.format("memory").queryName("snapfeed4")
+      .option("checkpointLocation", tmpDir("src-cp4"))
+      .outputMode("append").start()
+    try {
+      q4.processAllAvailable()
+      val sunk = spark.table("snapfeed4").select("id").collect()
+        .map(_.getLong(0)).toSeq.sorted
+      assert(sunk == (1L to 9L),
+        "ignoreChanges emits the rewrite's (new) files' rows")
+    } finally q4.stop()
+  }
+
+  test("table -> stream -> table: source composes with the sink") {
+    import spark.implicits._
+    val up = tmpDir("pipe-up")
+    val down = tmpDir("pipe-down")
+    Snapshots.commit(spark, up,
+      (1L to 4L).map(i => DocRow(i, s"r$i")).toDF("id", "payload"),
+      append = false)
+    val q = spark.readStream.format("graft-snapshots")
+      .option("path", up).load()
+      .writeStream.format("graft-snapshots")
+      .option("path", down).option("statsCols", "id")
+      .option("checkpointLocation", tmpDir("pipe-cp")).start()
+    try {
+      q.processAllAvailable()
+      Snapshots.commit(spark, up,
+        (5L to 7L).map(i => DocRow(i, s"r$i")).toDF("id", "payload"),
+        append = true)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = Snapshots.read(spark, down,
+        Snapshots.latestVersion(spark, down))
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(got == (1L to 7L),
+      "every upstream append must land downstream, exactly once")
+    assert(Snapshots.latestVersion(spark, down) == 2,
+      "one downstream commit per upstream version")
+  }
+
   test("streaming commits with statsCols prune like batch commits") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
