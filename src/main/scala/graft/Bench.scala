@@ -18,8 +18,8 @@ import org.apache.spark.sql.SparkSession
   * rounds' artifacts by 25-40% and cost a judge round-trip each to
   * attribute. The bench now re-runs the whole board (up to
   * SPARK_GRAFT_QUIET_PASSES, default 3) until a pass is QUIET — its
-  * start/end sentinels within 1.1× and every in-run probe within 1.25× of
-  * the fastest sentinel sample seen across all passes — and emits that
+  * start/end sentinels within 1.1× and in-run probes within 1.4× (one
+  * outlier allowed) of the fastest median-of-3 sentinel seen — and emits that
   * pass as the artifact (`"quiet":true`). If no pass qualifies, the
   * lowest-total pass is emitted with `"quiet":false`, so a loaded-machine
   * artifact is SELF-LABELED instead of needing forensics.
@@ -215,12 +215,19 @@ object Bench {
       // SINGLE samples (JIT/GC jitter) so they get a wider bound (1.4×)
       // and one outlier is tolerated — a transient page-cache hiccup on
       // one probe must not burn a whole multi-minute pass
-      quiet =
-        if (p.sentinelStart <= 0 || p.sentinelEnd <= 0) true // sentinel broken: cannot assess
-        else p.sentinelStart <= 1.1 * norm && p.sentinelEnd <= 1.1 * norm &&
+      if (p.sentinelStart <= 0 || p.sentinelEnd <= 0) {
+        // sentinel broken or excluded from the subset: load CANNOT be
+        // assessed — label quiet=false (an unvetted number must not
+        // self-certify) and stop looping (re-running cannot help)
+        System.err.println("[bench] sentinel unavailable — load not " +
+          "assessable; emitting this pass with quiet=false")
+        nPasses = maxPasses
+      } else quiet =
+        p.sentinelStart <= 1.1 * norm && p.sentinelEnd <= 1.1 * norm &&
           p.telemetry.values.map(_.probe).filter(_ > 0)
             .count(_ > 1.4 * norm) <= 1
-      if (!quiet) System.err.println(
+      if (!quiet && p.sentinelStart > 0 && p.sentinelEnd > 0)
+        System.err.println(
         f"[bench] pass $nPasses NOT quiet (norm=$norm%.2f start=" +
           f"${p.sentinelStart}%.2f end=${p.sentinelEnd}%.2f)" +
           (if (nPasses < maxPasses) "; re-running"

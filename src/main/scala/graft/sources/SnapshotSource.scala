@@ -226,29 +226,56 @@ private[graft] class SnapshotStreamSource(spark: SparkSession,
     case other => other.json.trim.toInt // SerializedOffset from the log
   }
 
+  // incremental rename detection, memoized across batches (renames are
+  // append-only metadata): lets the common no-renames table skip the
+  // per-vintage grouping entirely
+  private var renamesCheckedTo = 0
+  private var anyRenames = false
+  private def hasRenamesUpTo(v: Int): Boolean = {
+    while (renamesCheckedTo < v) {
+      renamesCheckedTo += 1
+      if (Snapshots.renamesOf(spark, dir, renamesCheckedTo).nonEmpty)
+        anyRenames = true
+    }
+    anyRenames
+  }
+
   override def getBatch(start: Option[SrcOffset], end: SrcOffset)
       : DataFrame = {
+    val f = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
     val v0 = start.map(versionOf).getOrElse(0)
     val v1 = versionOf(end)
     val base: Set[String] =
       if (v0 >= 1) Snapshots.files(spark, dir, v0).toSet else Set.empty
     val endFiles = Snapshots.files(spark, dir, v1)
-    if (!ignoreChanges) {
-      // append-only validation per version in the range: the file set
-      // must grow monotonically and no deletion vector may appear
+    if (!ignoreChanges && v1 > v0) {
+      // walk MAIN's parent chain from v1 back to v0 — branch commits
+      // share the global version counter but are NOT on this line, so a
+      // pure-append main must not fail on an interleaved branch commit
+      val chain = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var v = v1
+      while (v > v0 && v >= 1) {
+        chain += v
+        val parent = Snapshots.commitParent(f, dir, v)
+        v = if (parent < v) parent else -1
+      }
+      lazy val dv0Count: Long =
+        if (v0 >= 1 && Snapshots.hasDv(spark, dir, v0))
+          Snapshots.dvFrame(spark, dir, v0).get.count()
+        else -1L
       var prev = base
-      ((v0 + 1) to v1).foreach { v =>
-        val cur = Snapshots.files(spark, dir, v).toSet
-        require(v0 < 1 || prev.subsetOf(cur),
-          s"graft-snapshots source: version $v of $dir rewrites files — " +
+      chain.reverseIterator.foreach { cv =>
+        val cur = Snapshots.files(spark, dir, cv).toSet
+        require(v0 < 1 || prev.isEmpty || prev.subsetOf(cur),
+          s"graft-snapshots source: version $cv of $dir rewrites files — " +
             "an append stream cannot represent it; pass " +
             "ignoreChanges=true to emit only added files' rows " +
             "(deletes will not retract)")
-        require(!Snapshots.hasDv(spark, dir, v) ||
-          (v0 >= 1 && Snapshots.hasDv(spark, dir, v0) &&
-            Snapshots.dvFrame(spark, dir, v).get.count() ==
-              Snapshots.dvFrame(spark, dir, v0).get.count()),
-          s"graft-snapshots source: version $v of $dir deletes rows " +
+        require(!Snapshots.hasDv(spark, dir, cv) ||
+          (dv0Count >= 0 &&
+            Snapshots.dvFrame(spark, dir, cv).get.count() == dv0Count),
+          s"graft-snapshots source: version $cv of $dir deletes rows " +
             "(deletion vector) — pass ignoreChanges=true to stream only " +
             "appended rows")
         prev = cur
@@ -259,9 +286,34 @@ private[graft] class SnapshotStreamSource(spark: SparkSession,
       if (added.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fixedSchema)
-      else
+      else if (!hasRenamesUpTo(v1))
         spark.read.schema(fixedSchema)
           .parquet(added.map(p => new Path(dir, p).toString): _*)
+      else {
+        // renamed vintages: request each vintage's files under their
+        // LOCAL column names (type widening rides the parquet reader's
+        // native promotion, missing columns backfill null), rename
+        // positionally to the stream's canonical names, union
+        val (canon, inverse) = Snapshots.evolutionInfo(spark, dir, v1)
+        require(fixedSchema.fieldNames.forall(canon.fieldNames.contains),
+          s"graft-snapshots source: the table's schema evolved away from " +
+            s"the stream's (${fixedSchema.fieldNames.mkString(",")} vs " +
+            s"${canon.fieldNames.mkString(",")}); restart the stream to " +
+            "pick up the evolved schema")
+        val byVintage = added.groupBy {
+          case Snapshots.FileCommit(c) => c.toInt
+          case other => throw new IllegalStateException(
+            s"graft-snapshots source: cannot attribute $other to a commit")
+        }
+        byVintage.toSeq.sortBy(_._1).map { case (c, paths) =>
+          val inv = inverse.getOrElse(c, Map.empty)
+          val local = StructType(fixedSchema.map(fld =>
+            fld.copy(name = inv.getOrElse(fld.name, fld.name))))
+          spark.read.schema(local)
+            .parquet(paths.map(p => new Path(dir, p).toString): _*)
+            .toDF(fixedSchema.fieldNames: _*)
+        }.reduce(_.unionByName(_))
+      }
     // the engine asserts getBatch frames are streaming-flagged
     org.apache.spark.sql.GraftBatchView.asStreaming(batch)
   }
@@ -353,13 +405,17 @@ object SnapshotSource {
       Snapshots.dvFrame(spark, dir, v) match {
         case None => Map.empty
         case Some(frame) =>
-          val n = frame.count()
-          require(n <= maxDvPositions,
-            s"graft-snapshots: version $v carries $n deletion-vector " +
-              s"positions (cap $maxDvPositions); run Snapshots.optimize " +
-              "to materialize the vector, or raise maxDvPositions")
-          frame.collect().map(r =>
-              (new Path(r.getString(0)).getName, r.getLong(1)))
+          // ONE job: cap-check on the collected size (collecting and
+          // counting separately would scan the vector twice)
+          val rows = frame.limit(
+            math.min(maxDvPositions + 1, Int.MaxValue.toLong).toInt)
+            .collect()
+          require(rows.length <= maxDvPositions,
+            s"graft-snapshots: version $v carries more than " +
+              s"$maxDvPositions deletion-vector positions; run " +
+              "Snapshots.optimize to materialize the vector, or raise " +
+              "maxDvPositions")
+          rows.map(r => (new Path(r.getString(0)).getName, r.getLong(1)))
             .groupBy(_._1).map { case (f, xs) =>
               f -> xs.map(_._2).sorted }
       }

@@ -116,8 +116,15 @@ object Snapshots {
     val f = fs(s, dir)
     f.mkdirs(new Path(dir))
     val c = claimVersion(f, dir, timeoutMs)
-    try commitClaimed(s, f, dir, df, append, Map.empty, Seq.empty, c.v)
-    finally c.release()
+    try {
+      // same main-ref protocol as commit(): base on main's head and
+      // advance it — a branch head as the global latest must not leak
+      val base = mainHead(f, dir, c.v - 1)
+      val v = commitClaimed(s, f, dir, df, append, Map.empty, Seq.empty,
+        c.v, baseVersion = base)
+      advanceMain(s, f, dir, v)
+      v
+    } finally c.release()
   }
 
   private val ClaimName = """^v(\d+)\.claim$""".r
@@ -425,14 +432,20 @@ object Snapshots {
     * of double-committed. O(versions) metadata reads. */
   def lastStreamBatch(s: SparkSession, dir: String): Option[Long] = {
     val f = fs(s, dir)
-    val root = new Path(dir)
-    if (!f.exists(root)) None
-    else f.listStatus(root).toSeq.flatMap(_.getPath.getName match {
-      case ManifestName(n) =>
-        readMeta(f, dir, n.toInt).filter(_.size >= 3)
-          .flatMap(m => m(2).toLongOption)
-      case _ => None
-    }).maxOption
+    // walk MAIN's parent chain from the head: the sink commits to main,
+    // so the newest stamped version is at or near the head — O(1) meta
+    // reads in steady state instead of O(versions) per micro-batch
+    // (interleaved non-sink commits just extend the walk)
+    var v = mainVersion(s, dir)
+    while (v >= 1) {
+      readMeta(f, dir, v) match {
+        case Some(m) if m.size >= 3 => return m(2).toLongOption
+        case _ =>
+      }
+      val parent = commitParent(f, dir, v)
+      v = if (parent < v) parent else -1 // defensive: never loop
+    }
+    None
   }
 
   /** Per-file (col, typeName, min, max) stats recorded by commits 1..v,
@@ -651,14 +664,33 @@ object Snapshots {
     (evolved, inverse)
   }
 
+  /** The manifest body: one relative path per line inside a JSON array
+    * of strings — ONE renderer shared by initial publish and purge's
+    * republish, so the two cannot drift. */
+  private def manifestBody(fileSet: Seq[String]): String =
+    fileSet.map(p => "  \"" + p + "\"").mkString("[\n", ",\n", "\n]")
+
+  /** Write `body` to `target` atomically via temp file + OVERWRITE-capable
+    * rename (FileContext) — shared by every small-pointer write that must
+    * never be observed half-written or leave a no-file window (manifest
+    * republish, refs, replication cursor). */
+  private[sources] def atomicOverwrite(s: SparkSession, f: FileSystem,
+      dir: String, target: Path, tmpName: String, body: String): Unit = {
+    val tmp = f.makeQualified(new Path(dir, tmpName))
+    val o = f.create(tmp, true)
+    try o.write(body.getBytes("UTF-8")) finally o.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      f.getUri, s.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, f.makeQualified(target),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
   /** Write manifest vN atomically (temp name + checked rename). */
   private def writeManifest(f: FileSystem, dir: String, v: Int,
       fileSet: Seq[String]): Unit = {
-    val body = fileSet
-      .map(p => "  \"" + p + "\"").mkString("[\n", ",\n", "\n]")
     val tmp = new Path(dir, s"_v$v.json.tmp")
     val o = f.create(tmp, true)
-    try o.write(body.getBytes("UTF-8")) finally o.close()
+    try o.write(manifestBody(fileSet).getBytes("UTF-8")) finally o.close()
     if (!f.rename(tmp, manifest(dir, v)))
       throw new java.io.IOException(
         s"snapshot commit aborted: manifest rename for v$v returned false")
@@ -879,10 +911,11 @@ object Snapshots {
           finally in.close()
         Some(txt.trim.toInt)
       }
-    def advance(): Unit = {
-      val o = f.create(marker, true)
-      try o.write(cur.toString.getBytes("UTF-8")) finally o.close()
-    }
+    def advance(): Unit =
+      // atomic overwrite: a plain create could be observed half-written
+      // after a crash, wedging every later tick on an unparseable cursor
+      atomicOverwrite(s, f, downDir, marker, "_REPLICATED_FROM.tmp",
+        cur.toString)
     val applied = last match {
       case Some(v) if v == cur => return (cur, 0L)
       case None =>
@@ -958,16 +991,9 @@ object Snapshots {
     * reader never sees a half-written pointer and an advance never opens
     * a no-ref window. */
   private def writeRef(s: SparkSession, f: FileSystem, dir: String,
-      name: String, v: Int, tag: Boolean): Unit = {
-    val body = s"$v ${if (tag) "tag" else "branch"}"
-    val tmp = f.makeQualified(new Path(dir, s"_ref-$name.tmp"))
-    val o = f.create(tmp, true)
-    try o.write(body.getBytes("UTF-8")) finally o.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      f.getUri, s.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, f.makeQualified(refPath(dir, name)),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
+      name: String, v: Int, tag: Boolean): Unit =
+    atomicOverwrite(s, f, dir, refPath(dir, name), s"_ref-$name.tmp",
+      s"$v ${if (tag) "tag" else "branch"}")
 
   /** The main branch's head when the table is ref-tracked, else
     * `fallback` (the linear predecessor) — every write path that used to
@@ -1387,17 +1413,9 @@ object Snapshots {
   /** Atomically REPLACE manifest vN (overwrite-capable rename; see the
     * purge republish step for why delete-then-recreate is not safe). */
   private def swapManifest(s: SparkSession, f: FileSystem, dir: String,
-      v: Int, fileSet: Seq[String]): Unit = {
-    val body = fileSet
-      .map(p => "  \"" + p + "\"").mkString("[\n", ",\n", "\n]")
-    val tmp = f.makeQualified(new Path(dir, s"_v$v.json.tmp"))
-    val o = f.create(tmp, true)
-    try o.write(body.getBytes("UTF-8")) finally o.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      f.getUri, s.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, f.makeQualified(manifest(dir, v)),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
+      v: Int, fileSet: Seq[String]): Unit =
+    atomicOverwrite(s, f, dir, manifest(dir, v), s"_v$v.json.tmp",
+      manifestBody(fileSet))
 
   /** `OPTIMIZE ZORDER BY (cols...)` as a snapshot REWRITE commit — the
     * composition that makes the table-format layer self-maintaining:

@@ -303,6 +303,57 @@ class StreamingSnapshotSpec extends SparkSpec {
     } finally q4.stop()
   }
 
+  test("source: branch commits interleave without breaking an append stream") {
+    import spark.implicits._
+    val dir = tmpDir("src-branch")
+    Snapshots.commit(spark, dir,
+      (1L to 3L).map(i => DocRow(i, s"r$i")).toDF("id", "payload"),
+      append = false)
+    val q = spark.readStream.format("graft-snapshots")
+      .option("path", dir).load()
+      .writeStream.format("memory").queryName("srcbr")
+      .option("checkpointLocation", tmpDir("src-branch-cp")).start()
+    try {
+      q.processAllAvailable()
+      // a branch takes the next GLOBAL version numbers; main then
+      // appends — the main line is pure-append and must keep streaming
+      Snapshots.createRef(spark, dir, "exp")
+      Snapshots.commitOnBranch(spark, dir, "exp",
+        Seq(DocRow(100L, "branch")).toDF("id", "payload"), append = true)
+      Snapshots.commit(spark, dir,
+        Seq(DocRow(4L, "r4")).toDF("id", "payload"), append = true)
+      q.processAllAvailable()
+      val sunk = spark.table("srcbr").select("id").collect()
+        .map(_.getLong(0)).toSeq.sorted
+      assert(sunk == (1L to 4L),
+        s"main's appends stream, the branch's rows do not: $sunk")
+    } finally q.stop()
+  }
+
+  test("source: renamed vintages stream under the canonical schema") {
+    import spark.implicits._
+    val dir = tmpDir("src-ren")
+    // v1 stores the column as "val"; v2 renames it to "value"
+    Snapshots.commit(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "val"), append = false)
+    Snapshots.commit(spark, dir,
+      Seq((3L, "c")).toDF("id", "value"), append = true,
+      renames = Map("val" -> "value"))
+    // fresh stream: the first batch spans BOTH vintages — v1's rows must
+    // surface under the canonical name, not as nulls
+    val q = spark.readStream.format("graft-snapshots")
+      .option("path", dir).load()
+      .writeStream.format("memory").queryName("srcren")
+      .option("checkpointLocation", tmpDir("src-ren-cp")).start()
+    try {
+      q.processAllAvailable()
+      val sunk = spark.table("srcren").select("id", "value").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+      assert(sunk == Seq((1L, "a"), (2L, "b"), (3L, "c")),
+        s"renamed-vintage rows must not null out: $sunk")
+    } finally q.stop()
+  }
+
   test("table -> stream -> table: source composes with the sink") {
     import spark.implicits._
     val up = tmpDir("pipe-up")
