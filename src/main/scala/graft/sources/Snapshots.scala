@@ -29,6 +29,24 @@ object Snapshots {
   private def fs(s: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
 
+  /** Read a small metadata file BYPASSING client-side checksum
+    * verification. Files replaced via [[atomicOverwrite]] (manifests on
+    * purge republish, refs on every advance, the replication cursor)
+    * have their data and `.crc` sidecar renamed in two steps on a
+    * checksummed local filesystem — a concurrent reader can catch new
+    * data beside a stale sidecar and fail with a spurious ChecksumError.
+    * These files' integrity comes from the ATOMIC RENAME, not the
+    * sidecar, so metadata reads go through the raw filesystem. */
+  private def readSmall(f: FileSystem, p: Path): String = {
+    val raw = f match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case other => other
+    }
+    val in = raw.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
   private def manifest(dir: String, v: Int) = new Path(dir, s"v$v.json")
 
   private val ManifestName = """^v(\d+)\.json$""".r
@@ -47,9 +65,7 @@ object Snapshots {
   }
 
   private[sources] def files(s: SparkSession, dir: String, v: Int): Seq[String] = {
-    val in = fs(s, dir).open(manifest(dir, v))
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
+    val txt = readSmall(fs(s, dir), manifest(dir, v))
     // manifest body: one relative path per line inside a JSON array of
     // strings (kept trivially parseable without a JSON library)
     txt.split('\n').map(_.trim).filter(_.nonEmpty)
@@ -402,12 +418,7 @@ object Snapshots {
       : Option[Seq[String]] = {
     val p = new Path(dir, s"v$v.meta")
     if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      Some(txt.split('\n').toSeq.map(_.trim))
-    }
+    else Some(readSmall(f, p).split('\n').toSeq.map(_.trim))
   }
 
   /** The instant version `v` was committed: the `vN.meta` side-file if
@@ -676,8 +687,14 @@ object Snapshots {
     * republish, refs, replication cursor). */
   private[sources] def atomicOverwrite(s: SparkSession, f: FileSystem,
       dir: String, target: Path, tmpName: String, body: String): Unit = {
+    val raw = f match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case other => other
+    }
     val tmp = f.makeQualified(new Path(dir, tmpName))
-    val o = f.create(tmp, true)
+    // raw create: no checksum sidecar, so the later two-step sidecar
+    // rename can never race a reader (see readSmall)
+    val o = raw.create(tmp, true)
     try o.write(body.getBytes("UTF-8")) finally o.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       f.getUri, s.sparkContext.hadoopConfiguration)
@@ -905,12 +922,7 @@ object Snapshots {
     val marker = new Path(downDir, "_REPLICATED_FROM")
     val last: Option[Int] =
       if (!f.exists(marker)) None
-      else {
-        val in = f.open(marker)
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        Some(txt.trim.toInt)
-      }
+      else Some(readSmall(f, marker).trim.toInt)
     def advance(): Unit =
       // atomic overwrite: a plain create could be observed half-written
       // after a crash, wedging every later tick on an unparseable cursor
@@ -979,10 +991,7 @@ object Snapshots {
     val p = refPath(dir, name)
     if (!f.exists(p)) None
     else {
-      val in = f.open(p)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      val parts = txt.trim.split(' ')
+      val parts = readSmall(f, p).trim.split(' ')
       Some((parts(0).toInt, parts.length > 1 && parts(1) == "tag"))
     }
   }
