@@ -754,6 +754,75 @@ object Formats extends QueryPack {
             .as("branch_ok"))
     }),
 
+    // Streaming SINK certification (f32): the same two-slice documents
+    // table as f19, but built by DRIVING writeStream.format(
+    // "graft-snapshots") — each micro-batch (hot sources, then the
+    // rest) lands as one snapshot commit with the engine's batch id
+    // stamped for exactly-once replay detection. The verdict certifies
+    // the stream-built table against the SAME source-recomputed counts
+    // and checksum as a batch-built one (the sink must be
+    // indistinguishable), plus the one-commit-per-batch pin. Streaming
+    // semantics (restart, replay, Update-merge) are spec-pinned in
+    // StreamingSnapshotSpec; this row makes the sink's OUTPUT
+    // hash-oracled like every batch operator.
+    "f32_stream_sink" -> ((s, d) => {
+      val out = ioDir(d, "f32")
+      writeOnce(s, out, alsoRequire =
+          graft.sources.Snapshots.latestVersion(s, out) == 2) {
+        val fsys = new org.apache.hadoop.fs.Path(out)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fsys.delete(new org.apache.hadoop.fs.Path(out), true)
+        fsys.delete(new org.apache.hadoop.fs.Path(out + "_cp"), true)
+        val docs = T.documents(s, d)
+        val hot = col("source").isin("src0", "src1", "src2")
+        implicit val enc = org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.scalaLong)
+        implicit val sqlCtx = s.sqlContext
+        val src = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String, String, String, Long)]
+        val q = src.toDS()
+          .toDF("doc_id", "text", "lang", "source", "n_chars")
+          .writeStream.format("graft-snapshots")
+          .option("path", out)
+          .option("checkpointLocation", out + "_cp")
+          .start()
+        try {
+          def rowsOf(df: org.apache.spark.sql.DataFrame) =
+            df.select("doc_id", "text", "lang", "source", "n_chars")
+              .collect().map(r => (r.getLong(0), r.getString(1),
+                r.getString(2), r.getString(3), r.getLong(4))).toSeq
+          src.addData(rowsOf(docs.filter(hot)): _*)
+          q.processAllAvailable()
+          src.addData(rowsOf(docs.filter(!hot)): _*)
+          q.processAllAvailable()
+        } finally q.stop()
+        ()
+      }
+      val docs = T.documents(s, d)
+      val hot = col("source").isin("src0", "src1", "src2")
+      val s1 = docSums(graft.sources.Snapshots.read(s, out, 1))
+        .select(col("n").as("n1"), col("h").as("h1"))
+      val s2 = docSums(graft.sources.Snapshots.read(s, out, 2))
+        .select(col("n").as("n2"), col("h").as("h2"))
+      val e1 = docSums(docs.filter(hot))
+        .select(col("n").as("en1"), col("h").as("eh1"))
+      val e2 = docSums(docs)
+        .select(col("n").as("en2"), col("h").as("eh2"))
+      s1.crossJoin(s2).crossJoin(e1).crossJoin(e2)
+        .select(col("en1").as("n_v1"), col("en2").as("n_v2"),
+          col("eh2").as("content_sum"),
+          (col("n1") === col("en1") && col("h1") === col("eh1"))
+            .as("batch1_ok"),
+          (col("n2") === col("en2") && col("h2") === col("eh2"))
+            .as("final_ok"),
+          lit(graft.sources.Snapshots.latestVersion(s, out) == 2)
+            .as("one_commit_per_batch"))
+    }),
+
     // MERGE INTO / upsert (f27): a change batch against the two-commit
     // documents snapshot table — every doc_id % 11 = 0 row updated
     // (n_chars + 1000) and every doc_id % 17 = 0 row cloned in under a
@@ -1242,6 +1311,21 @@ object Formats extends QueryPack {
                AS content_sum,
              TRUE AS v1_via_format_ok,
              TRUE AS sql_view_ok
+      FROM documents""",
+    // f32: the stream-built table must be indistinguishable from a
+    // batch-built one — same recomputation as f19
+    "f32_stream_sink" -> """
+      SELECT CAST(count(*) FILTER (WHERE source IN ('src0','src1','src2'))
+               AS BIGINT) AS n_v1,
+             CAST(count(*) AS BIGINT) AS n_v2,
+             CAST(sum(CAST(('0x' || substr(md5(
+               CAST(doc_id AS VARCHAR) || chr(1) || text || chr(1) ||
+               lang || chr(1) || source || chr(1) ||
+               CAST(n_chars AS VARCHAR)), 1, 8)) AS BIGINT)) AS BIGINT)
+               AS content_sum,
+             TRUE AS batch1_ok,
+             TRUE AS final_ok,
+             TRUE AS one_commit_per_batch
       FROM documents""",
     // f31: both line counts + the branch checksum recomputed from the
     // source; divergence parity pinned TRUE
