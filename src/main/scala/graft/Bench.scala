@@ -18,11 +18,13 @@ import org.apache.spark.sql.SparkSession
   * rounds' artifacts by 25-40% and cost a judge round-trip each to
   * attribute. The bench now re-runs the whole board (up to
   * SPARK_GRAFT_QUIET_PASSES, default 3) until a pass is QUIET — its
-  * start/end sentinels within 1.1× and in-run probes within 1.4× (one
-  * outlier allowed) of the fastest median-of-3 sentinel seen — and emits that
+  * start/end sentinels (medians of 3) within 1.1× of the fastest
+  * median-of-3 sentinel seen across passes — and emits that
   * pass as the artifact (`"quiet":true`). If no pass qualifies, the
   * lowest-total pass is emitted with `"quiet":false`, so a loaded-machine
-  * artifact is SELF-LABELED instead of needing forensics.
+  * artifact is SELF-LABELED instead of needing forensics. In-run probes
+  * (single samples, 20-30% noisier than the median sentinels) ride in
+  * the artifact for mid-run attribution but do not gate.
   *
   * The timed action materializes the query's ACTUAL output rows
   * (`queryExecution.toRdd.count()`), not `df.count()`: Catalyst rewrites a
@@ -223,9 +225,12 @@ object Bench {
           "assessable; emitting this pass with quiet=false")
         nPasses = maxPasses
       } else quiet =
-        p.sentinelStart <= 1.1 * norm && p.sentinelEnd <= 1.1 * norm &&
-          p.telemetry.values.map(_.probe).filter(_ > 0)
-            .count(_ > 1.4 * norm) <= 1
+        // the gate is the median-of-3 sentinels only: single-sample
+        // probes run 20-30% above a median norm even on a measurably
+        // quiet board (GC/JIT hiccups the median filters out), so they
+        // stay in the artifact for mid-run ATTRIBUTION, not as a gate —
+        // a whole pass must not burn on probe jitter
+        p.sentinelStart <= 1.1 * norm && p.sentinelEnd <= 1.1 * norm
       if (!quiet && p.sentinelStart > 0 && p.sentinelEnd > 0)
         System.err.println(
         f"[bench] pass $nPasses NOT quiet (norm=$norm%.2f start=" +
