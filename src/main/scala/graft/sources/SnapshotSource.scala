@@ -99,8 +99,16 @@ class SnapshotSource extends RelationProvider
       "graft-snapshots source requires a path"))
     val ignoreChanges =
       parameters.get("ignorechanges").exists(_.toBoolean)
+    // startingVersion=N: a fresh stream's first batch begins AT version N
+    // instead of replaying the whole table (checkpointed restarts ignore
+    // it — the recorded offset wins, the standard lakehouse contract)
+    val startingVersion = parameters.get("startingversion")
+      .map(_.toInt).getOrElse(1)
+    require(startingVersion >= 1,
+      "graft-snapshots source: startingVersion must be >= 1")
     new SnapshotStreamSource(ctx.sparkSession, dir,
-      sourceSchema(ctx, schema, providerName, parameters)._2, ignoreChanges)
+      sourceSchema(ctx, schema, providerName, parameters)._2, ignoreChanges,
+      startingVersion)
   }
 
   /** Streaming sink: every micro-batch lands as ONE snapshot commit, so
@@ -208,7 +216,8 @@ class SnapshotSource extends RelationProvider
   * [[SnapshotSource.createSource]]): version-offset micro-batches over
   * the main line of a snapshot table. */
 private[graft] class SnapshotStreamSource(spark: SparkSession,
-    dir: String, fixedSchema: StructType, ignoreChanges: Boolean)
+    dir: String, fixedSchema: StructType, ignoreChanges: Boolean,
+    startingVersion: Int = 1)
     extends org.apache.spark.sql.execution.streaming.Source {
 
   import org.apache.spark.sql.execution.streaming.{Offset => SrcOffset}
@@ -244,7 +253,10 @@ private[graft] class SnapshotStreamSource(spark: SparkSession,
       : DataFrame = {
     val f = new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    val v0 = start.map(versionOf).getOrElse(0)
+    // a fresh stream (no checkpointed offset) starts AT startingVersion:
+    // base = its predecessor, so version startingVersion's files are the
+    // first batch
+    val v0 = start.map(versionOf).getOrElse(startingVersion - 1)
     val v1 = versionOf(end)
     val base: Set[String] =
       if (v0 >= 1) Snapshots.files(spark, dir, v0).toSet else Set.empty

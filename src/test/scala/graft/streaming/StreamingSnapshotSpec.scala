@@ -303,6 +303,33 @@ class StreamingSnapshotSpec extends SparkSpec {
     } finally q4.stop()
   }
 
+  test("source: startingVersion begins a fresh stream mid-history") {
+    import spark.implicits._
+    val dir = tmpDir("src-startv")
+    Snapshots.commit(spark, dir,
+      (1L to 5L).map(i => DocRow(i, s"r$i")).toDF("id", "payload"),
+      append = false)
+    Snapshots.commit(spark, dir,
+      (6L to 8L).map(i => DocRow(i, s"r$i")).toDF("id", "payload"),
+      append = true)
+    val q = spark.readStream.format("graft-snapshots")
+      .option("path", dir).option("startingVersion", "2").load()
+      .writeStream.format("memory").queryName("srcsv")
+      .option("checkpointLocation", tmpDir("src-startv-cp")).start()
+    try {
+      q.processAllAvailable()
+      val sunk = spark.table("srcsv").select("id").collect()
+        .map(_.getLong(0)).toSeq.sorted
+      assert(sunk == (6L to 8L),
+        s"the first batch must begin AT startingVersion, got $sunk")
+      // later appends still stream
+      Snapshots.commit(spark, dir,
+        Seq(DocRow(9L, "r9")).toDF("id", "payload"), append = true)
+      q.processAllAvailable()
+      assert(spark.table("srcsv").count() == 4)
+    } finally q.stop()
+  }
+
   test("source: branch commits interleave without breaking an append stream") {
     import spark.implicits._
     val dir = tmpDir("src-branch")
