@@ -114,9 +114,13 @@ class SnapshotSource extends RelationProvider
   /** Streaming sink: every micro-batch lands as ONE snapshot commit, so
     * readers always resolve a consistent version and every mid-ingest
     * state stays time-travelable. Exactly-once across restarts: the
-    * engine's batch id is stamped into the committed version's metadata
-    * (before the manifest, so `published => stamped` holds), and a
-    * replayed batch id is skipped instead of double-committed. Output
+    * engine's (queryId, batchId) pair is stamped into the committed
+    * version's metadata (before the manifest, so `published => stamped`
+    * holds), and a replayed batch id is skipped instead of
+    * double-committed — scoped PER QUERY (Delta's SetTransaction shape),
+    * so a new query with a fresh checkpoint writing to an already
+    * stream-written table starts cleanly at batch 0 instead of being
+    * silently dropped; a same-query id REGRESSION fails loudly. Output
     * modes: Append = append commits; Complete = rewrite commits (each
     * batch replaces the table); Update = MERGE by the required `keyCols`
     * option (comma-separated). `statsCols` rides onto each commit. */
@@ -350,10 +354,27 @@ private[graft] class SnapshotSink(dir: String,
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val spark = data.sparkSession
-    // replay detection: a batch id at or below the last stamped one was
-    // already committed (engine restarts re-deliver the last batch)
-    if (Snapshots.lastStreamBatch(spark, dir).exists(_ >= batchId)) {
-      return
+    // the engine stamps the owning query's id as a local property on the
+    // micro-batch thread (StreamExecution.QUERY_ID_KEY) — stable across
+    // checkpointed restarts, distinct per fresh checkpoint, which is
+    // exactly the idempotence scope: batch ids restart at 0 for every
+    // new query, so cursors must not cross queries
+    val queryId = Option(spark.sparkContext
+      .getLocalProperty("sql.streaming.queryId")).getOrElse("")
+    // replay detection, scoped per query: the engine re-delivers exactly
+    // the LAST batch after a restart (same id) — skip it; an id BELOW
+    // the stamped cursor can only mean a rolled-back or hand-edited
+    // checkpoint, and silently skipping would lose data — fail loudly
+    Snapshots.lastStreamBatch(spark, dir, queryId) match {
+      case Some(last) if last == batchId => return
+      case Some(last) if last > batchId =>
+        throw new IllegalStateException(
+          s"graft-snapshots sink: query $queryId delivered batch " +
+            s"$batchId but the table at $dir already holds its batch " +
+            s"$last — the stream's checkpoint regressed; refusing to " +
+            "guess which commits to drop. Restore the checkpoint or " +
+            "start the query against a fresh table")
+      case _ =>
     }
     // the engine's frame carries streaming-flagged leaves; commit needs
     // a batch view of the same physical rows
@@ -362,15 +383,15 @@ private[graft] class SnapshotSink(dir: String,
     outputMode match {
       case m if m == OutputMode.Complete() =>
         Snapshots.commit(spark, dir, batch, append = false,
-          statsCols = statsCols, streamBatch = Some(batchId))
+          statsCols = statsCols, streamTxn = Some((queryId, batchId)))
         ()
       case m if m == OutputMode.Update() && latest >= 1 =>
         Snapshots.upsert(spark, dir, batch, keyCols,
-          statsCols = statsCols, streamBatch = Some(batchId))
+          statsCols = statsCols, streamTxn = Some((queryId, batchId)))
         ()
       case _ => // Append, or the first batch of an Update stream
         Snapshots.commit(spark, dir, batch, append = latest >= 1,
-          statsCols = statsCols, streamBatch = Some(batchId))
+          statsCols = statsCols, streamTxn = Some((queryId, batchId)))
         ()
     }
   }

@@ -109,7 +109,7 @@ object Snapshots {
   def commit(s: SparkSession, dir: String, df: DataFrame,
       append: Boolean, renames: Map[String, String] = Map.empty,
       statsCols: Seq[String] = Seq.empty,
-      streamBatch: Option[Long] = None): Int = {
+      streamTxn: Option[(String, Long)] = None): Int = {
     val f = fs(s, dir)
     f.mkdirs(new Path(dir))
     val c = claimVersion(f, dir)
@@ -119,7 +119,7 @@ object Snapshots {
       // once branches exist), and the ref advances with the publish
       val base = mainHead(f, dir, c.v - 1)
       val v = commitClaimed(s, f, dir, df, append, renames, statsCols,
-        c.v, baseVersion = base, streamBatch = streamBatch)
+        c.v, baseVersion = base, streamTxn = streamTxn)
       advanceMain(s, f, dir, v)
       v
     } finally c.release()
@@ -181,9 +181,12 @@ object Snapshots {
   /** Atomically claim the next version number; on return, version v-1's
     * manifest exists (so an append can carry its file set) and `vN.claim`
     * marks this writer's ownership of N, heartbeated until release.
-    * `timeoutMs` bounds how stale a PREDECESSOR's claim may be (age since
-    * its last heartbeat) before the wait fails — a live writer heartbeats
-    * and is waited on indefinitely. */
+    * A predecessor's claim is judged stale by the HOLDER's declared
+    * heartbeat interval (recorded in the claim body) × 3 + slack — never
+    * by this follower's own `timeoutMs`, which would let a small-timeout
+    * follower mis-declare a live slower-heartbeating writer dead;
+    * `timeoutMs` is the fallback threshold for bodyless (legacy or
+    * died-before-write) claims, and bounds the claim RACE itself. */
   private def claimVersion(f: FileSystem, dir: String,
       timeoutMs: Long = 120000L): Claim = {
     var start = System.currentTimeMillis()
@@ -220,6 +223,16 @@ object Snapshots {
           catch { case _: java.io.IOException => false }
       }
       if (won) {
+        // record OUR heartbeat interval in the claim body: followers
+        // judge staleness against the HOLDER's declared cadence (plus
+        // slack), not against their own timeout — a follower with a
+        // small timeout must not declare a live, slower-heartbeating
+        // writer dead (deleting its claim is the double-publish hazard)
+        try {
+          val o = f.create(claim, true)
+          try o.write(heartbeatMs.toString.getBytes("UTF-8"))
+          finally o.close()
+        } catch { case _: Exception => } // bodyless claim = follower falls back
         // our claim heartbeats from here on (it may wait a long time
         // behind a slow predecessor without being mistaken for dead)
         val held = new Claim(f, dir, v, heartbeatMs)
@@ -237,6 +250,16 @@ object Snapshots {
             try Some(System.currentTimeMillis() -
               f.getFileStatus(predClaim).getModificationTime)
             catch { case _: java.io.FileNotFoundException => None }
+          // staleness threshold: the PREDECESSOR's declared heartbeat
+          // interval (recorded in its claim body) × 3 + slack — a live
+          // writer is judged by its own cadence, so a follower whose
+          // timeoutMs is smaller than the holder's heartbeat interval
+          // cannot mis-declare it dead. A bodyless claim (legacy, or a
+          // claimant that died before writing) falls back to timeoutMs.
+          lazy val staleAfter: Long =
+            (try readSmall(f, predClaim).trim.toLongOption
+             catch { case _: Exception => None })
+              .map(hb => hb * 3 + 1000L).getOrElse(timeoutMs)
           age match {
             case None =>
               // claim gone: re-check the manifest once more (the
@@ -246,12 +269,12 @@ object Snapshots {
                 held.release()
                 aborted = true
               }
-            case Some(a) if a > timeoutMs =>
+            case Some(a) if a > staleAfter =>
               held.release()
               throw new java.io.IOException(
                 s"commit timed out waiting for v${v - 1}'s manifest: " +
                   s"v${v - 1}.claim has not heartbeated for ${a} ms " +
-                  s"(threshold $timeoutMs ms), so its writer is presumed " +
+                  s"(threshold $staleAfter ms), so its writer is presumed " +
                   "dead. Remove the stale claim to unwedge the table — " +
                   "but ONLY after confirming that writer is actually " +
                   "dead: deleting a live writer's claim lets a second " +
@@ -367,7 +390,7 @@ object Snapshots {
   private def commitClaimed(s: SparkSession, f: FileSystem, dir: String,
       df: DataFrame, append: Boolean, renames: Map[String, String],
       statsCols: Seq[String], v: Int, baseVersion: Int = -1,
-      streamBatch: Option[Long] = None): Int = {
+      streamTxn: Option[(String, Long)] = None): Int = {
     val prev = if (baseVersion >= 0) baseVersion else v - 1
     val (moved, statLines) = stageAndMove(s, f, dir, df, statsCols, v)
     val carried = if (append && prev > 0) files(s, dir, prev) else Seq.empty
@@ -382,7 +405,7 @@ object Snapshots {
     // visible (versions resolve through manifests), so `manifest => meta`
     // holds and a stream batch id stamped in meta is crash-consistent
     // with the publish — the exactly-once anchor of the streaming sink
-    writeCommitMeta(f, dir, v, if (prev > 0) prev else 0, streamBatch)
+    writeCommitMeta(f, dir, v, if (prev > 0) prev else 0, streamTxn)
     writeManifest(f, dir, v, carried ++ moved)
     if (renames.nonEmpty) {
       val body = renames.toSeq.sorted
@@ -406,10 +429,14 @@ object Snapshots {
     * branch commits record the branch head they grew from, which is
     * what [[fastForward]]'s ancestry check walks. */
   private def writeCommitMeta(f: FileSystem, dir: String, v: Int,
-      parent: Int, streamBatch: Option[Long] = None): Unit = {
+      parent: Int, streamTxn: Option[(String, Long)] = None): Unit = {
     val o = f.create(new Path(dir, s"v$v.meta"), true)
+    // line 3 (streaming-sink commits only): `queryId:batchId` — the
+    // idempotence cursor is scoped PER QUERY, because Structured
+    // Streaming batch ids restart at 0 with every fresh checkpoint; a
+    // bare table-wide id would silently drop a new query's early batches
     val body = s"${System.currentTimeMillis()}\n$parent" +
-      streamBatch.map(b => s"\n$b").getOrElse("")
+      streamTxn.map { case (q, b) => s"\n$q:$b" }.getOrElse("")
     try o.write(body.getBytes("UTF-8"))
     finally o.close()
   }
@@ -435,22 +462,32 @@ object Snapshots {
     readMeta(f, dir, v).filter(_.size >= 2).map(_(1).toInt)
       .getOrElse(v - 1)
 
-  /** The highest STREAMING SINK batch id any committed version carries
-    * (meta line 3) — the exactly-once cursor of the `graft-snapshots`
-    * streaming sink. Because meta is written BEFORE the manifest, every
-    * visible version's batch id is durable, so a replayed micro-batch
-    * (same id, after a crash or restart) is detected and skipped instead
-    * of double-committed. O(versions) metadata reads. */
-  def lastStreamBatch(s: SparkSession, dir: String): Option[Long] = {
+  /** The highest STREAMING SINK batch id that QUERY `queryId` has stamped
+    * into any committed version (meta line 3, `queryId:batchId`) — the
+    * exactly-once cursor of the `graft-snapshots` streaming sink, scoped
+    * per query (Delta's SetTransaction shape): batch ids restart at 0
+    * with every fresh checkpoint, so a table-wide cursor would silently
+    * drop a NEW query's early batches. Because meta is written BEFORE
+    * the manifest, every visible version's stamp is durable, so a
+    * replayed micro-batch (same id, after a crash or restart) is
+    * detected and skipped instead of double-committed. A legacy bare
+    * stamp (no queryId — tables written before per-query scoping)
+    * matches any query, preserving its original semantics. O(1) meta
+    * reads in steady state for a single writer (the newest stamp sits
+    * at or near main's head); other queries' stamps extend the walk. */
+  def lastStreamBatch(s: SparkSession, dir: String,
+      queryId: String): Option[Long] = {
     val f = fs(s, dir)
-    // walk MAIN's parent chain from the head: the sink commits to main,
-    // so the newest stamped version is at or near the head — O(1) meta
-    // reads in steady state instead of O(versions) per micro-batch
-    // (interleaved non-sink commits just extend the walk)
     var v = mainVersion(s, dir)
     while (v >= 1) {
       readMeta(f, dir, v) match {
-        case Some(m) if m.size >= 3 => return m(2).toLongOption
+        case Some(m) if m.size >= 3 =>
+          val stamp = m(2)
+          val sep = stamp.lastIndexOf(':')
+          if (sep < 0) return stamp.toLongOption // legacy bare batch id
+          if (stamp.substring(0, sep) == queryId)
+            return stamp.substring(sep + 1).toLongOption
+          // another query's stamp: keep walking for ours
         case _ =>
       }
       val parent = commitParent(f, dir, v)
@@ -807,7 +844,7 @@ object Snapshots {
     * @return (newVersion, rowsReplaced) */
   def upsert(s: SparkSession, dir: String, src: DataFrame,
       keyCols: Seq[String], statsCols: Seq[String] = Seq.empty,
-      streamBatch: Option[Long] = None): (Int, Long) = {
+      streamTxn: Option[(String, Long)] = None): (Int, Long) = {
     import org.apache.spark.sql.functions.col
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     val f = fs(s, dir)
@@ -838,7 +875,7 @@ object Snapshots {
       val nReplaced = s.read.parquet(dvDir(dir, v).toString).count() -
         prev.map(_.count()).getOrElse(0L)
       val (moved, statLines) = stageAndMove(s, f, dir, src, statsCols, v)
-      writeCommitMeta(f, dir, v, latest, streamBatch)
+      writeCommitMeta(f, dir, v, latest, streamTxn)
       writeManifest(f, dir, v, fset ++ moved)
       writeStatLines(f, dir, v, statLines)
       advanceMain(s, f, dir, v)
@@ -958,12 +995,39 @@ object Snapshots {
     val f = fs(s, dir)
     val root = new Path(dir)
     if (!f.exists(root)) 0
-    else f.listStatus(root).toSeq
-      .flatMap(st => st.getPath.getName match {
-        case ManifestName(n)
-          if commitInstant(f, dir, n.toInt) <= tsMillis => Some(n.toInt)
-        case _ => None
-      }).maxOption.getOrElse(0)
+    else {
+      val candidates = f.listStatus(root).toSeq
+        .flatMap(st => st.getPath.getName match {
+          case ManifestName(n)
+            if commitInstant(f, dir, n.toInt) <= tsMillis => Some(n.toInt)
+          case _ => None
+        })
+      // on a ref-tracked table, time travel follows MAIN's line: branch
+      // commits share the global version counter, so the raw max over
+      // all manifests could silently resolve a main-line TIMESTAMP AS OF
+      // to a BRANCH head and return branch data
+      val eligible = refRead(f, dir, "main") match {
+        case None => candidates
+        case Some((head, _)) =>
+          val anc = mainAncestry(f, dir, head)
+          candidates.filter(anc.contains)
+      }
+      eligible.maxOption.getOrElse(0)
+    }
+  }
+
+  /** The set of versions on main's line: the head plus every ancestor
+    * reachable through the vN.meta parent pointers (O(versions) tiny
+    * metadata reads, no data). */
+  private def mainAncestry(f: FileSystem, dir: String, head: Int)
+      : Set[Int] = {
+    val anc = scala.collection.mutable.Set.empty[Int]
+    var v = head
+    while (v >= 1 && !anc.contains(v)) {
+      anc += v
+      v = commitParent(f, dir, v)
+    }
+    anc.toSet
   }
 
   /** [[read]] at the version live at `tsMillis` (see [[versionAsOf]]). */
@@ -1519,7 +1583,11 @@ object Snapshots {
       minMaxCols: Seq[String] = Seq.empty): (Int, Long) = {
     import org.apache.spark.sql.functions._
     val f = fs(s, dir)
-    val cur = latestVersion(s, dir)
+    // the view follows MAIN's line, like replicate(): on a ref-tracked
+    // table the global latest may be a BRANCH head, and refreshing to it
+    // would fold branch rows into the main-line aggregates and then diff
+    // across divergent lines on the next tick — permanent corruption
+    val cur = mainVersion(s, dir)
     require(cur >= 1, s"refreshView: no versions at $dir")
     // the marker lives INSIDE the state dir (parquet ignores _-prefixed
     // files), so the single state-swap rename replaces data and marker
@@ -1628,16 +1696,22 @@ object Snapshots {
                   col(s"fmax_$c").as(s"max_$c"))): _*)
             else {
               // recompute ONLY the retracted groups, from the latest
-              // version (semi-join confines the scan to their rows)
+              // version (semi-join confines the scan to their rows).
+              // The `_re` indicator distinguishes "group not recomputed"
+              // (absent from the semi-join: keep the folded bound) from
+              // "recomputed to null" (every surviving value is null:
+              // the view must report null, not the stale pre-delete
+              // extremum a bare coalesce would resurrect)
               val re = mmOf(read(s, dir, cur).join(
                   broadcast(hazardGroups), groupCols, "left_semi"), "r")
+                .withColumn("_re", lit(true))
               withFold.join(re, groupCols, "left")
                 .select((gCols ++ addNames.map(col)) ++
                   minMaxCols.flatMap(c => Seq(
-                    coalesce(col(s"rmin_$c"), col(s"fmin_$c"))
-                      .as(s"min_$c"),
-                    coalesce(col(s"rmax_$c"), col(s"fmax_$c"))
-                      .as(s"max_$c"))): _*)
+                    when(col("_re"), col(s"rmin_$c"))
+                      .otherwise(col(s"fmin_$c")).as(s"min_$c"),
+                    when(col("_re"), col(s"rmax_$c"))
+                      .otherwise(col(s"fmax_$c")).as(s"max_$c"))): _*)
             }
           result
         }

@@ -832,4 +832,94 @@ class SnapshotsSpec extends SparkSpec {
     // idempotent
     assert(Snapshots.vacuum(spark, dir, keep = 2) == ((0, 0)))
   }
+
+  test("views and timestamp time travel follow main, never a branch head") {
+    val dir = tmpDir("snapmainline")
+    val viewDir = tmpDir("snapmainline-mv")
+    import spark.implicits._
+    def rows(ids: Range, g: String) =
+      ids.map(i => (i.toLong, g, i * 10L)).toDF("id", "grp", "x")
+    Snapshots.commit(spark, dir, rows(1 to 10, "a"), append = false) // v1
+    Snapshots.refreshView(spark, dir, viewDir, groupCols = Seq("grp"),
+      sumCols = Seq("x"))
+    // a branch commit becomes the GLOBAL latest (v2) while main stays v1
+    Snapshots.createRef(spark, dir, "exp")
+    Snapshots.commitOnBranch(spark, dir, "exp", rows(11 to 20, "b"),
+      append = true)
+    Thread.sleep(20)
+    val afterBranch = System.currentTimeMillis()
+    // the view refresh must anchor on MAIN (v1): branch rows leaking in
+    // would corrupt the aggregates permanently (the marker advances)
+    val (refreshedTo, applied) = Snapshots.refreshView(spark, dir, viewDir,
+      groupCols = Seq("grp"), sumCols = Seq("x"))
+    assert(refreshedTo == 1 && applied == 0L,
+      s"refresh must target main's head v1, got v$refreshedTo (+$applied)")
+    assert(Snapshots.readView(spark, viewDir).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toMap == Map("a" -> 550L),
+      "branch rows must not leak into the main-line view")
+    // timestamp time travel resolves along main's ancestry: the raw max
+    // over all manifests would return the BRANCH head v2 here
+    assert(Snapshots.versionAsOf(spark, dir, afterBranch) == 1,
+      "timestampAsOf must not resolve to a branch head")
+    // once main itself advances, time travel follows it
+    Snapshots.commit(spark, dir, rows(21 to 25, "c"), append = true) // v3
+    Thread.sleep(20)
+    assert(Snapshots.versionAsOf(spark, dir,
+      System.currentTimeMillis()) == 3)
+    // and the view folds exactly main's delta, never the branch's
+    val (v2, n2) = Snapshots.refreshView(spark, dir, viewDir,
+      groupCols = Seq("grp"), sumCols = Seq("x"))
+    assert(v2 == 3 && n2 == 5)
+    assert(Snapshots.readView(spark, viewDir).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toMap ==
+      Map("a" -> 550L, "c" -> 1150L))
+  }
+
+  test("view min/max: a group recomputed to all-null reports null, not the stale bound") {
+    val dir = tmpDir("snapmmnull")
+    val viewDir = tmpDir("snapmmnull-mv")
+    import spark.implicits._
+    // group g: one real value (the recorded extremum) + one null row
+    Snapshots.commit(spark, dir, Seq(
+      (1L, "g", Some(5L)), (2L, "g", None),
+      (3L, "h", Some(7L))).toDF("id", "grp", "x"), append = false)
+    def refresh() = Snapshots.refreshView(spark, dir, viewDir,
+      groupCols = Seq("grp"), sumCols = Seq.empty, minMaxCols = Seq("x"))
+    refresh()
+    // delete the extremum: the group survives (the null row remains) but
+    // its min/max no longer exist — the view must say null, not 5
+    Snapshots.deleteWhere(spark, dir, col("id") === 1L)
+    refresh()
+    assert(Snapshots.lastViewRecomputedGroups == 1L)
+    val g = Snapshots.readView(spark, viewDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(g("g").isNullAt(g("g").fieldIndex("min_x")) &&
+      g("g").isNullAt(g("g").fieldIndex("max_x")),
+      "an extremum that no longer exists must report null")
+    assert(g("g").getLong(g("g").fieldIndex("n_rows")) == 1L)
+    assert(g("h").getLong(g("h").fieldIndex("min_x")) == 7L)
+  }
+
+  test("claim staleness follows the holder's declared heartbeat, not the follower timeout") {
+    val dir = tmpDir("snaphb")
+    Snapshots.commit(spark, dir, df(1 to 5).coalesce(1), append = false)
+    val p = new org.apache.hadoop.fs.Path(dir, "v2.claim")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a dead claimant that DECLARED a 200 ms heartbeat cadence in its
+    // claim body: followers judge staleness by that cadence (×3 + slack
+    // ≈ 1.6 s), so even a follower configured with a huge timeout
+    // detects the death promptly instead of waiting out its own clock
+    val o = fs.create(p, false)
+    o.write("200".getBytes("UTF-8")); o.close()
+    val t0 = System.currentTimeMillis()
+    val e = intercept[java.io.IOException] {
+      Snapshots.commitWithTimeout(spark, dir, df(6 to 8).coalesce(1),
+        append = true, timeoutMs = 120000L)
+    }
+    val waited = System.currentTimeMillis() - t0
+    assert(e.getMessage.contains("v2.claim"), e.getMessage)
+    assert(waited < 30000,
+      s"staleness must follow the declared 200 ms cadence, waited $waited ms")
+    fs.delete(p, false)
+  }
 }

@@ -196,6 +196,7 @@ class StreamingSnapshotSpec extends SparkSpec {
     val q2 = src.toDF().writeStream.format("graft-snapshots")
       .option("path", dir).option("checkpointLocation", cp)
       .option("statsCols", "id").start()
+    val queryId = q2.id.toString // stable across checkpointed restarts
     try {
       src.addData(DocRow(10L, "r10"))
       q2.processAllAvailable()
@@ -203,13 +204,39 @@ class StreamingSnapshotSpec extends SparkSpec {
     assert(Snapshots.latestVersion(spark, dir) == 3)
     assert(ids(3) == (1L to 10L))
 
-    // direct replay pin: an already-stamped batch id is a NO-OP (the
-    // engine re-delivers the last batch after a crash)
+    // direct replay pin: an already-stamped (queryId, batchId) is a
+    // NO-OP (the engine re-delivers the last batch after a crash); the
+    // idempotence cursor is scoped per query, so the pin impersonates
+    // the real query via the engine's local property
     val sink = new graft.sources.SnapshotSink(dir,
       org.apache.spark.sql.streaming.OutputMode.Append(), Nil, Nil)
-    sink.addBatch(1L, (90L to 95L).map(i => DocRow(i, s"r$i")).toDF())
-    assert(Snapshots.latestVersion(spark, dir) == 3,
-      "a replayed batch id must not double-commit")
+    val qidKey = "sql.streaming.queryId"
+    spark.sparkContext.setLocalProperty(qidKey, queryId)
+    try {
+      sink.addBatch(2L, (90L to 95L).map(i => DocRow(i, s"r$i")).toDF())
+      assert(Snapshots.latestVersion(spark, dir) == 3,
+        "a replayed batch id must not double-commit")
+      // a REGRESSED id (below the stamped cursor) is a checkpoint
+      // rollback — silent skipping would lose data, so it fails loudly
+      val e = intercept[IllegalStateException] {
+        sink.addBatch(0L, Seq(DocRow(99L, "x")).toDF())
+      }
+      assert(e.getMessage.contains("regressed"), e.getMessage)
+    } finally spark.sparkContext.setLocalProperty(qidKey, null)
+    // a DIFFERENT query's batch 0 is NOT a replay: batch ids restart at
+    // 0 with every fresh checkpoint, and a table-wide cursor would have
+    // silently dropped this commit (the SetTransaction scoping contract)
+    val src3 = MemoryStream[DocRow]
+    val qNew = src3.toDF().writeStream.format("graft-snapshots")
+      .option("path", dir)
+      .option("checkpointLocation", tmpDir("sink-cp-fresh")).start()
+    try {
+      src3.addData(DocRow(11L, "r11"))
+      qNew.processAllAvailable()
+    } finally qNew.stop()
+    assert(Snapshots.latestVersion(spark, dir) == 4 &&
+      ids(4) == (1L to 11L),
+      "a new query's batch 0 must commit, not be dropped as a replay")
     // stats recorded by the streamed commits prune like batch commits
     val (_, (nRead, nTotal)) =
       Snapshots.readPruned(spark, dir, 3, "id", 7L, 8L)
