@@ -1,0 +1,308 @@
+package graft.sources
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The `graft` SQL CATALOG: snapshot tables as first-class SQL objects —
+  * `CREATE TABLE graft.db.t`, `INSERT INTO`, `SELECT … VERSION AS OF`,
+  * `MERGE INTO`, `UPDATE`, `DELETE FROM` all reach the [[Snapshots]]
+  * verbs from plain SQL. This completes the front door the registered
+  * `graft-snapshots` format (f29) opened for reads: the reference's
+  * entire identity is a USER-CALLABLE entry surface
+  * (ecl/HDFSConnector.ecl:54,175 — the connector is a macro any ECL
+  * query invokes), so the mutation half of the table format must be
+  * reachable the same way, not Scala-only.
+  *
+  * Register with
+  * {{{
+  *   spark.sql.catalog.graft = graft.sources.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse = /path/to/warehouse
+  * }}}
+  * (both settable at runtime — catalog plugins resolve lazily). Tables
+  * live at `<warehouse>/<namespace…>/<table>`, each directory a normal
+  * [[Snapshots]] table, interchangeable with the Scala API and the
+  * `graft-snapshots` reader: the catalog adds NAMING, not a new layout.
+  *
+  * ARCHITECTURE — DSv2 for resolution, V1 for execution: the catalog
+  * resolves identifiers (including `VERSION AS OF` / `TIMESTAMP AS OF`
+  * via the TableCatalog time-travel hooks) to [[SnapshotTableV2]]
+  * handles; scans are then rewritten by [[GraftSqlRules]] (injected via
+  * `spark.sql.extensions=graft.GraftExtensions`) onto the SAME
+  * [[org.apache.spark.sql.execution.datasources.HadoopFsRelation]] the
+  * f29 format produces — Spark's own vectorized parquet scan with
+  * stats pruning, evolution remaps, and deletion-vector reads (the
+  * Delta-style split: the table format owns METADATA, the engine owns
+  * every decoded byte). Writes ride the official [[V1Write]] fallback
+  * onto [[Snapshots.commit]]; row-level DML is intercepted by the same
+  * rule set and routed to [[Snapshots.upsert]] / [[Snapshots.deleteWhere]]
+  * / [[Snapshots.updateWhere]], so the SQL path and the Scala API
+  * produce byte-identical versions (GraftCatalogSpec pins it).
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog '$name' requires spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catName
+
+  private def spark = SparkSession.active
+  private def fs(p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def nsPath(ns: Seq[String]): Path =
+    ns.foldLeft(new Path(warehouse))((p, n) => new Path(p, n))
+
+  private[sources] def tableDir(ident: Identifier): String =
+    new Path(nsPath(ident.namespace.toSeq), ident.name).toString
+
+  /** A directory is a table iff it holds snapshot manifests or the
+    * pre-first-commit `_SCHEMA` marker [[SnapshotTableV2]] writes. */
+  private def isTable(p: Path): Boolean = {
+    val f = fs(p)
+    f.exists(new Path(p, "v1.json")) || f.exists(new Path(p, "_SCHEMA"))
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val p = nsPath(namespace.toSeq)
+    val f = fs(p)
+    if (!f.exists(p)) throw new NoSuchNamespaceException(
+      catName +: namespace.toSeq)
+    f.listStatus(p).filter(_.isDirectory)
+      .filter(st => isTable(st.getPath))
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTable(new Path(tableDir(ident)))
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new SnapshotTableV2(tableDir(ident), fullName(ident))
+  }
+
+  /** `SELECT … VERSION AS OF v`: the TableCatalog time-travel hook. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = tableDir(ident)
+    val v = try version.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft catalog: VERSION AS OF takes a snapshot version number, " +
+          s"got '$version'")
+    }
+    require(v >= 1 && Snapshots.latestVersion(spark, dir) >= v,
+      s"graft catalog: version $v does not exist at $dir")
+    new SnapshotTableV2(dir, fullName(ident), pinnedVersion = Some(v))
+  }
+
+  /** `SELECT … TIMESTAMP AS OF ts` (micros per the DSv2 contract),
+    * resolved along main's ancestry via [[Snapshots.versionAsOf]]. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = tableDir(ident)
+    val v = Snapshots.versionAsOf(spark, dir, timestampMicros / 1000L)
+    require(v >= 1,
+      s"graft catalog: no version of $dir existed at $timestampMicros us")
+    new SnapshotTableV2(dir, fullName(ident), pinnedVersion = Some(v))
+  }
+
+  private def fullName(ident: Identifier): String =
+    (catName +: ident.namespace.toSeq :+ ident.name).mkString(".")
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft catalog: partitioning transforms are not supported — the " +
+        "snapshot format clusters with OPTIMIZE ZORDER (Snapshots." +
+        "optimize) and prunes from per-file stats instead")
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val dir = new Path(tableDir(ident))
+    val f = fs(dir)
+    f.mkdirs(dir)
+    // the declared schema rides in a `_SCHEMA` side-file until the first
+    // commit exists (from then on the committed vintages are the truth,
+    // exactly like a Scala-API table)
+    if (schema.nonEmpty) {
+      val o = f.create(new Path(dir, "_SCHEMA"), true)
+      try o.write(schema.json.getBytes("UTF-8")) finally o.close()
+    }
+    new SnapshotTableV2(dir.toString, fullName(ident))
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog: ALTER TABLE is not supported; schema evolution " +
+        "rides on commits (renames/statsCols write options, widening on " +
+        "append) — see Snapshots.commit")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = new Path(tableDir(ident))
+    if (!isTable(p)) false else fs(p).delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    val from = new Path(tableDir(oldIdent))
+    val to = new Path(tableDir(newIdent))
+    val f = fs(from)
+    f.mkdirs(to.getParent)
+    if (!f.rename(from, to)) throw new java.io.IOException(
+      s"graft catalog: rename $from -> $to failed")
+  }
+
+  // ---- namespaces: plain warehouse subdirectories ------------------------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = new Path(warehouse)
+    val f = fs(root)
+    if (!f.exists(root)) Array.empty
+    else f.listStatus(root).filter(_.isDirectory)
+      .filter(st => !isTable(st.getPath))
+      .map(st => Array(st.getPath.getName))
+  }
+
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val p = nsPath(namespace.toSeq)
+    val f = fs(p)
+    if (!f.exists(p)) throw new NoSuchNamespaceException(
+      catName +: namespace.toSeq)
+    f.listStatus(p).filter(_.isDirectory)
+      .filter(st => !isTable(st.getPath))
+      .map(st => namespace :+ st.getPath.getName)
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val p = nsPath(namespace.toSeq)
+    fs(p).exists(p) && !isTable(p)
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(
+      catName +: namespace.toSeq)
+    Map(SupportsNamespaces.PROP_LOCATION ->
+      nsPath(namespace.toSeq).toString).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    fs(nsPath(namespace.toSeq)).mkdirs(nsPath(namespace.toSeq))
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog: ALTER NAMESPACE is not supported")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val p = nsPath(namespace.toSeq)
+    val f = fs(p)
+    if (!f.exists(p)) false
+    else {
+      require(cascade || f.listStatus(p).isEmpty,
+        s"graft catalog: namespace ${namespace.mkString(".")} is not " +
+          "empty; use CASCADE")
+      f.delete(p, true)
+    }
+  }
+}
+
+/** One snapshot table as a DSv2 [[Table]] handle. The handle is
+  * METADATA-ONLY: reads are rewritten by [[GraftSqlRules]] onto the f29
+  * HadoopFsRelation (schema here must therefore match what
+  * [[SnapshotSource.relationFor]] will produce — both come from
+  * [[Snapshots.evolutionInfo]]); INSERT INTO / INSERT OVERWRITE / CTAS
+  * ride the official V1 write fallback onto [[Snapshots.commit]]
+  * (append / rewrite commits respectively — history stays readable
+  * through an INSERT OVERWRITE, unlike a path overwrite). */
+private[graft] class SnapshotTableV2(val dir: String,
+    val fullName: String, val pinnedVersion: Option[Int] = None)
+    extends Table with SupportsRead with SupportsWrite {
+
+  private def spark = SparkSession.active
+
+  override def name(): String = fullName
+
+  /** The version a SCAN of this handle resolves to right now: the pin
+    * (VERSION/TIMESTAMP AS OF) or main's current head; 0 = an empty,
+    * freshly created table (reads as zero rows of the declared schema). */
+  private[graft] def resolveVersion(s: SparkSession): Int =
+    pinnedVersion.getOrElse(Snapshots.mainVersion(s, dir))
+
+  override def schema(): StructType = {
+    val v = resolveVersion(spark)
+    if (v >= 1) Snapshots.evolutionInfo(spark, dir, v)._1
+    else {
+      val p = new Path(dir, "_SCHEMA")
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(f.exists(p),
+        s"graft catalog: table at $dir has no commits and no declared " +
+          "schema")
+      val in = f.open(p)
+      val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      DataType.fromJson(json).asInstanceOf[StructType]
+    }
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  /** Never planned when `graft.GraftExtensions` is installed — the scan
+    * is rewritten onto the vectorized-parquet HadoopFsRelation before
+    * planning (see [[GraftSqlRules]]); this hook exists only to fail
+    * actionably on a session without the extensions. */
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    throw new UnsupportedOperationException(
+      s"graft catalog: reading $fullName requires the graft analyzer " +
+        "rules — build the session with spark.sql.extensions=" +
+        "graft.GraftExtensions")
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                ovr: Boolean): Unit = {
+              val s = data.sparkSession
+              val latest = Snapshots.latestVersion(s, dir)
+              Snapshots.commit(s, dir, data,
+                append = latest >= 1 && !(overwrite || ovr))
+              ()
+            }
+          }
+      }
+    }
+
+  override def toString: String = s"SnapshotTableV2($fullName)"
+}

@@ -1,0 +1,302 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, GraftBatchView, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{EliminateSubqueryAliases, UnresolvedAttribute}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.lit
+
+/** The analyzer rules behind the `graft` SQL catalog (injected by
+  * `graft.GraftExtensions` as a post-hoc resolution rule):
+  *
+  *  1. ROW-LEVEL DML routing — `DELETE FROM` / `UPDATE` / `MERGE INTO`
+  *     over a [[SnapshotTableV2]] lower onto the snapshot verbs
+  *     ([[Snapshots.deleteWhere]] / [[Snapshots.updateWhere]] /
+  *     [[Snapshots.upsert]]-shaped [[Snapshots.applyCdc]]), so SQL
+  *     mutations publish the SAME versions the Scala API would
+  *     (GraftCatalogSpec pins byte-identical manifests). Spark's own
+  *     row-level machinery only engages for SupportsRowLevelOperations
+  *     tables (RewriteUpdateTable et al. skip everything else), so these
+  *     nodes reach the post-hoc batch intact.
+  *  2. SCAN rewrite — a [[DataSourceV2Relation]] over a snapshot table
+  *     becomes the f29 [[org.apache.spark.sql.execution.datasources
+  *     .HadoopFsRelation]] (Spark's vectorized parquet + stats-pruning
+  *     FileIndex + DV/evolution reads), reusing the relation's own
+  *     output attributes so references above stay bound. The same
+  *     Delta-lake shape: DSv2 for naming, V1 file scan for execution.
+  *
+  * The rule transforms TOP-DOWN: a DML node is absorbed into its command
+  * (which captures the still-V2 target relation) before the scan case
+  * could rewrite the relation under it.
+  */
+case class GraftSqlRules(session: SparkSession) extends Rule[LogicalPlan] {
+
+  import GraftSql._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case d: DeleteFromTable if d.childrenResolved =>
+      snapTarget(d.table) match {
+        case Some((t, _)) =>
+          noSubquery(d.condition, "DELETE")
+          GraftDeleteCommand(t.dir, d.condition)
+        case None => d
+      }
+    case u: UpdateTable if u.childrenResolved =>
+      snapTarget(u.table) match {
+        case Some((t, _)) =>
+          u.condition.foreach(noSubquery(_, "UPDATE"))
+          u.assignments.foreach(a => noSubquery(a.value, "UPDATE"))
+          GraftUpdateCommand(t.dir, u.assignments, u.condition)
+        case None => u
+      }
+    case m: MergeIntoTable if m.resolved =>
+      snapTarget(m.targetTable) match {
+        case Some((t, rel)) =>
+          noSubquery(m.mergeCondition, "MERGE")
+          GraftMergeCommand(t.dir, rel, m.sourceTable, m.mergeCondition,
+            m.matchedActions, m.notMatchedActions,
+            m.notMatchedBySourceActions)
+        case None => m
+      }
+    case r: DataSourceV2Relation
+        if r.table.isInstanceOf[SnapshotTableV2] =>
+      v1Scan(session, r.table.asInstanceOf[SnapshotTableV2], r)
+  }
+}
+
+private[graft] object GraftSql {
+
+  /** Spec observability: rows affected by the last DML command. */
+  @volatile private[graft] var lastRowsAffected: Long = -1L
+
+  /** The snapshot table under a DML target (aliases stripped), plus the
+    * relation itself (whose output attributes the captured condition /
+    * assignment expressions are bound to). */
+  private[sources] def snapTarget(plan: LogicalPlan)
+      : Option[(SnapshotTableV2, DataSourceV2Relation)] =
+    EliminateSubqueryAliases(plan) match {
+      case r: DataSourceV2Relation =>
+        r.table match {
+          case t: SnapshotTableV2 => Some((t, r))
+          case _ => None
+        }
+      case _ => None
+    }
+
+  private[sources] def noSubquery(e: Expression, verb: String): Unit =
+    require(!e.exists(_.isInstanceOf[SubqueryExpression]),
+      s"graft catalog: $verb with a subquery in a condition or " +
+        "assignment is not supported; materialize the subquery first")
+
+  /** Version `v` of the table as the f29 V1 relation, bound to the V2
+    * relation's own output attributes. An empty (freshly created,
+    * never-committed) table reads as zero rows of its declared schema. */
+  private[sources] def v1Scan(session: SparkSession, t: SnapshotTableV2,
+      r: DataSourceV2Relation): LogicalPlan = {
+    val v = t.resolveVersion(session)
+    val output = r.output.map(_.asInstanceOf[AttributeReference])
+    if (v < 1) LocalRelation(output)
+    else {
+      val rel = SnapshotSource.relationFor(session, t.dir, v, 20000000L)
+      // the relation's schema must line up POSITIONALLY with the output
+      // attributes resolution produced (a commit racing between resolve
+      // and plan could evolve it) — misalignment would misread columns
+      require(rel.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        output.map(a => (a.name, a.dataType)),
+        s"graft catalog: schema of ${t.fullName} changed during " +
+          "analysis; re-run the query")
+      LogicalRelation(rel, output, None, false, None)
+    }
+  }
+
+  /** Expression → Column resolvable by NAME against a fresh scan of the
+    * same table (the single-table DML path: deleteWhere/updateWhere
+    * build their own scan, so attribute identities cannot carry over). */
+  private[sources] def byName(e: Expression): Column =
+    GraftBatchView.exprColumn(e.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    })
+
+  private[sources] def splitConjuncts(e: Expression): Seq[Expression] =
+    e match {
+      case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+      case other => Seq(other)
+    }
+}
+
+/** `DELETE FROM graft.db.t WHERE cond` → [[Snapshots.deleteWhere]]: a
+  * merge-on-read delete publishing one version (positions into the
+  * deletion vector, no file rewrites), identical to the Scala call. */
+private[graft] case class GraftDeleteCommand(dir: String,
+    condition: Expression) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (_, n) = Snapshots.deleteWhere(spark, dir,
+      GraftSql.byName(condition))
+    GraftSql.lastRowsAffected = n
+    Seq.empty
+  }
+}
+
+/** `UPDATE graft.db.t SET … WHERE …` → [[Snapshots.updateWhere]]: one
+  * version, matched positions into the deletion vector, updated rows as
+  * fresh appended files. */
+private[graft] case class GraftUpdateCommand(dir: String,
+    assignments: Seq[Assignment], condition: Option[Expression])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val sets = assignments.map { a =>
+      val name = a.key match {
+        case attr: AttributeReference => attr.name
+        case other => throw new UnsupportedOperationException(
+          s"graft catalog: UPDATE of a nested field ($other) is not " +
+            "supported")
+      }
+      name -> GraftSql.byName(a.value)
+    }
+    // identity assignments (alignment fills unset columns with the
+    // column itself) are dropped: they neither change rows nor need the
+    // cast-back projection
+    val effective = sets.filterNot { case (n, _) =>
+      assignments.exists(a => a.key match {
+        case k: AttributeReference => k.name == n && (a.value match {
+          case v: AttributeReference => v.name == n
+          case _ => false
+        })
+        case _ => false
+      })
+    }
+    val (_, n) = Snapshots.updateWhere(spark, dir,
+      condition.map(GraftSql.byName).getOrElse(lit(true)),
+      if (effective.nonEmpty) effective else sets)
+    GraftSql.lastRowsAffected = n
+    Seq.empty
+  }
+}
+
+/** `MERGE INTO graft.db.t USING src ON cond WHEN …` → one
+  * [[Snapshots.applyCdc]] commit (update + insert + delete in one
+  * published version — the same mechanics as [[Snapshots.upsert]]).
+  *
+  * Supported shape (refused otherwise, with guidance):
+  *   - ON: a conjunction of equalities, each between one target column
+  *     and a source-side expression (the target columns become the
+  *     merge KEYS);
+  *   - WHEN MATCHED: at most one unconditional action — `UPDATE SET …`
+  *     or `DELETE`;
+  *   - WHEN NOT MATCHED: at most one unconditional `INSERT …`;
+  *   - WHEN NOT MATCHED BY SOURCE: none.
+  * Assignment values may reference BOTH sides (the update projection is
+  * computed over the matched join before the commit). */
+private[graft] case class GraftMergeCommand(dir: String,
+    target: DataSourceV2Relation, source: LogicalPlan,
+    mergeCondition: Expression, matchedActions: Seq[MergeAction],
+    notMatchedActions: Seq[MergeAction],
+    notMatchedBySourceActions: Seq[MergeAction])
+    extends LeafRunnableCommand {
+
+  import GraftSql._
+
+  private def unsupported(what: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"graft catalog: MERGE INTO supports at most one unconditional " +
+        "WHEN MATCHED action (UPDATE SET or DELETE) and one " +
+        "unconditional WHEN NOT MATCHED INSERT, with an equality ON " +
+        s"condition; got: $what")
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = target.table.asInstanceOf[SnapshotTableV2]
+    require(notMatchedBySourceActions.isEmpty,
+      "graft catalog: MERGE WHEN NOT MATCHED BY SOURCE is not supported")
+    if (matchedActions.size > 1) unsupported(matchedActions.mkString(", "))
+    if (notMatchedActions.size > 1)
+      unsupported(notMatchedActions.mkString(", "))
+
+    val tgtAttrs = target.output.map(_.asInstanceOf[AttributeReference])
+    val tgtIds = tgtAttrs.map(_.exprId).toSet
+    // merge keys: every ON conjunct must equate one target column with a
+    // source-side expression
+    val keyCols: Seq[String] = splitConjuncts(mergeCondition).map {
+      case EqualTo(a: AttributeReference, other)
+          if tgtIds.contains(a.exprId) &&
+            !other.exists { case x: AttributeReference =>
+              tgtIds.contains(x.exprId); case _ => false } => a.name
+      case EqualTo(other, a: AttributeReference)
+          if tgtIds.contains(a.exprId) &&
+            !other.exists { case x: AttributeReference =>
+              tgtIds.contains(x.exprId); case _ => false } => a.name
+      case other => unsupported(s"non-equality ON conjunct $other")
+    }.distinct
+
+    // frames bound to the ORIGINAL attribute ids, so the captured
+    // condition/assignment expressions resolve as-is
+    val tgtDF = GraftBatchView.ofRows(spark, v1Scan(spark, t, target))
+    val srcDF = GraftBatchView.ofRows(spark,
+      GraftSqlRules(spark).apply(source))
+    val cond = GraftBatchView.exprColumn(mergeCondition)
+    val types = tgtAttrs.map(a => a.name -> a.dataType).toMap
+
+    def projected(df: DataFrame, assignments: Seq[Assignment],
+        fallbackToTarget: Boolean): DataFrame = {
+      val byKey: Map[String, Expression] = assignments.map { a =>
+        (a.key match {
+          case k: AttributeReference => k.name
+          case other => unsupported(s"nested assignment target $other")
+        }) -> a.value
+      }.toMap
+      df.select(tgtAttrs.map { a =>
+        byKey.get(a.name) match {
+          case Some(v) =>
+            GraftBatchView.exprColumn(v).cast(types(a.name)).as(a.name)
+          case None if fallbackToTarget =>
+            GraftBatchView.exprColumn(a).as(a.name)
+          case None =>
+            lit(null).cast(types(a.name)).as(a.name)
+        }
+      }: _*)
+    }
+
+    val updates: Option[DataFrame] = matchedActions.headOption.map {
+      case UpdateAction(None, assigns) =>
+        projected(tgtDF.join(srcDF, cond, "inner"), assigns,
+          fallbackToTarget = true)
+      case DeleteAction(None) => null // handled below
+      case other => unsupported(other.toString)
+    }.filter(_ != null)
+    val deletes: Option[DataFrame] = matchedActions.headOption.collect {
+      case DeleteAction(None) =>
+        tgtDF.join(srcDF, cond, "left_semi")
+          .select(keyCols.map(tgtDF(_)): _*)
+    }
+    val inserts: Option[DataFrame] = notMatchedActions.headOption.map {
+      case InsertAction(None, assigns) =>
+        projected(srcDF.join(tgtDF, cond, "left_anti"), assigns,
+          fallbackToTarget = false)
+      case other => unsupported(other.toString)
+    }
+
+    val upserts = (updates.toSeq ++ inserts.toSeq)
+      .reduceOption(_.unionByName(_))
+    val applied: Long =
+      if (Snapshots.mainVersion(spark, dir) < 1) {
+        // MERGE into a freshly created, never-committed table: nothing
+        // can match, the inserts are the first commit
+        val first = inserts.getOrElse(
+          return { GraftSql.lastRowsAffected = 0L; Seq.empty })
+        Snapshots.commit(spark, dir, first, append = false)
+        first.count()
+      } else (upserts, deletes) match {
+        case (None, None) => 0L
+        case (up, del) =>
+          val emptyKeys = tgtDF.select(keyCols.map(tgtDF(_)): _*).limit(0)
+          Snapshots.applyCdc(spark, dir,
+            up.getOrElse(tgtDF.limit(0)),
+            del.getOrElse(emptyKeys), keyCols)._2
+      }
+    GraftSql.lastRowsAffected = applied
+    Seq.empty
+  }
+}

@@ -831,6 +831,61 @@ object Snapshots {
     } finally c.release()
   }
 
+  /** UPDATE … SET … WHERE … in ONE published version: matched row
+    * positions join the deletion vector and the UPDATED rows land as
+    * fresh appended files — [[upsert]] mechanics keyed by POSITION
+    * instead of by key (so tables without a key column update fine), at
+    * the same 100 TB cost shape: one filtered scan, a positions write,
+    * and the matched rows, never a rewrite of matched files. `sets`
+    * maps column name → new-value Column (resolved against this table's
+    * scan; values are cast back to the column's current type, the SQL
+    * UPDATE coercion rule). The SQL front door routes `UPDATE` here
+    * (see [[GraftCatalog]]).
+    * @return (newVersion, rowsUpdated) */
+  def updateWhere(s: SparkSession, dir: String,
+      cond: org.apache.spark.sql.Column,
+      sets: Seq[(String, org.apache.spark.sql.Column)]): (Int, Long) = {
+    import org.apache.spark.sql.functions.col
+    require(sets.nonEmpty, "updateWhere needs at least one assignment")
+    val f = fs(s, dir)
+    require(latestVersion(s, dir) >= 1, s"updateWhere: no versions at $dir")
+    // claim FIRST, then match against the claimed predecessor (the same
+    // lost-update reasoning as deleteWhere/upsert)
+    val c = claimVersion(f, dir)
+    val v = c.v
+    try {
+      val latest = mainHead(f, dir, v - 1)
+      val fset = files(s, dir, latest)
+      val raw = withMeta(
+        s.read.parquet(fset.map(p => new Path(dir, p).toString): _*))
+      val prev = dvFrame(s, dir, latest)
+      val live = prev.map(p => raw.join(
+          p.select(col("file_path").as("_fp"), col("row_index").as("_ri")),
+          Seq("_fp", "_ri"), "left_anti")).getOrElse(raw)
+      val matched = live.filter(cond)
+      val gone = matched
+        .select(col("_fp").as("file_path"), col("_ri").as("row_index"))
+      val union = prev.map(_.unionByName(gone)).getOrElse(gone)
+      union.write.mode("overwrite").parquet(dvDir(dir, v).toString)
+      val nUpd = s.read.parquet(dvDir(dir, v).toString).count() -
+        prev.map(_.count()).getOrElse(0L)
+      val types = raw.schema.fields.map(fd => fd.name -> fd.dataType).toMap
+      val setMap = sets.toMap
+      require(setMap.keys.forall(types.contains),
+        s"updateWhere: unknown column(s) ${setMap.keys.filterNot(types
+          .contains).mkString(", ")}")
+      val dataCols = raw.columns.filterNot(Set("_fp", "_ri"))
+      val updated = matched.select(dataCols.toSeq.map { cn =>
+        setMap.get(cn).map(_.cast(types(cn)).as(cn)).getOrElse(col(cn))
+      }: _*)
+      val (moved, _) = stageAndMove(s, f, dir, updated, Seq.empty, v)
+      writeCommitMeta(f, dir, v, latest)
+      writeManifest(f, dir, v, fset ++ moved)
+      advanceMain(s, f, dir, v)
+      (v, nUpd)
+    } finally c.release()
+  }
+
   /** MERGE INTO (upsert) in ONE published version: rows of `src` whose
     * key matches a live row REPLACE it (the old position joins the
     * deletion vector), and every `src` row lands in fresh files appended

@@ -15,6 +15,21 @@ object GraftBatchView {
       df.queryExecution.toRdd, df.schema, isStreaming = false)
   }
 
+  /** A DataFrame over an already-built logical plan — the SQL-DML
+    * commands hand analyzer-captured plans (exprIds intact, so merge
+    * conditions and assignments resolve against them) back to the
+    * DataFrame API through this. Same sql-private surface class
+    * (`classic.Dataset.ofRows`) as the streaming shims above. */
+  def ofRows(spark: SparkSession,
+      plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** A Column wrapping a resolved Catalyst expression (Spark 4 moved
+    * Column onto ColumnNode; this is the sanctioned classic-session
+    * bridge). */
+  def exprColumn(e: catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
   /** The inverse, for a streaming Source's `getBatch`: the engine asserts
     * the returned frame has isStreaming=true (FileStreamSource marks its
     * relation the same way). A relation-backed frame keeps its
