@@ -62,6 +62,7 @@ object Bench {
       // (Formats.writeOnce; Verify never sets this, so the correctness
       // gate always exercises the full write→read path)
       .config("graft.io.reuse", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.queries.filter { case (name, _) =>

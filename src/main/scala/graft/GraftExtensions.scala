@@ -4,13 +4,20 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{BloomAnyContain, DotInt8, DotProduct, GraftNfc, MinHashAgg, PackInt8, SimHashAgg}
+import graft.sources.GraftSqlRules
 
 /** SparkSessionExtensions entry point: wires the engine's native functions
-  * into any session built with
+  * AND the `graft` SQL-catalog analyzer rules into any session built with
   * `spark.sql.extensions=graft.GraftExtensions` — the injection-based
   * alternative to the runtime `GraftFunctions.register(spark)` call (both
   * register the same expressions; the operator packs call the latter so
   * they work on unconfigured sessions too).
+  *
+  * The [[GraftSqlRules]] injection is what makes `graft.db.t` tables
+  * readable and mutable from SQL: scans over [[graft.sources
+  * .SnapshotTableV2]] are rewritten onto the f29 vectorized-parquet
+  * relation, and DELETE/UPDATE/MERGE route to the snapshot verbs. It is
+  * a post-hoc resolution rule so DML nodes arrive fully resolved.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -21,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "", "", "", "", "", "", "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPostHocResolutionRule(GraftSqlRules.apply)
     ext.injectFunction((FunctionIdentifier("graft_dot"),
       info("graft_dot", "graft_dot(a, b) - codegen'd dot product over two array<double>"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))

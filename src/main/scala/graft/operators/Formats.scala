@@ -823,6 +823,69 @@ object Formats extends QueryPack {
             .as("one_commit_per_batch"))
     }),
 
+    // SQL catalog front door (f33): the ENTIRE table lifecycle as pure
+    // SQL through the registered `graft` catalog — CREATE TABLE,
+    // INSERT INTO, MERGE INTO (update + insert in one published
+    // version), and VERSION AS OF time travel, zero Scala verbs. The
+    // catalog resolves names, [[graft.GraftExtensions]]' injected
+    // GraftSqlRules rewrites scans onto the f29 vectorized-parquet
+    // relation and routes the MERGE onto Snapshots.applyCdc — so this
+    // row certifies the rule INJECTION path end-to-end (the round-14
+    // gap: a registered catalog whose rules were never installed).
+    // Lifecycle: v1 = hot-source documents inserted; one MERGE
+    // upper-cases every lang (matched rows) and inserts the rest — so
+    // head = all documents with upper(lang), v1 = hot originals, both
+    // replayable by the DuckDB oracle. Verdict: head count + checksum
+    // as columns, v1-via-time-travel parity and one-version-per-
+    // mutation as pinned booleans.
+    "f33_sql_catalog" -> ((s, d) => {
+      val wh = ioDir(d, "f33_wh")
+      // catalog plugin instances are CACHED per session after first use,
+      // so the name is keyed on the data dir — a second scale factor in
+      // the same session gets a fresh catalog, not a stale warehouse
+      val cat = "graft_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val tdir = s"$wh/db/docs"
+      val docs = T.documents(s, d)
+      val hot = col("source").isin("src0", "src1", "src2")
+      writeOnce(s, tdir, alsoRequire =
+          graft.sources.Snapshots.latestVersion(s, tdir) == 2) {
+        val root = new org.apache.hadoop.fs.Path(tdir)
+        val fsys = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fsys.delete(root, true)
+        s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, text STRING, " +
+          "lang STRING, source STRING, n_chars BIGINT)")
+        docs.filter(hot).createOrReplaceTempView("f33_base")
+        s.sql(s"INSERT INTO $cat.db.docs SELECT * FROM f33_base")
+        docs.withColumn("lang", upper(col("lang")))
+          .createOrReplaceTempView("f33_changes")
+        s.sql(s"MERGE INTO $cat.db.docs t USING f33_changes s " +
+          "ON t.doc_id = s.doc_id " +
+          "WHEN MATCHED THEN UPDATE SET lang = s.lang " +
+          "WHEN NOT MATCHED THEN INSERT *")
+        ()
+      }
+      val head = docSums(s.sql(s"SELECT * FROM $cat.db.docs"))
+        .select(col("n").as("hn"), col("h").as("hh"))
+      val v1 = docSums(s.sql(
+          s"SELECT * FROM $cat.db.docs VERSION AS OF 1"))
+        .select(col("n").as("v1n"), col("h").as("v1h"))
+      val eHead = docSums(docs.withColumn("lang", upper(col("lang"))))
+        .select(col("n").as("ehn"), col("h").as("ehh"))
+      val eV1 = docSums(docs.filter(hot))
+        .select(col("n").as("ev1n"), col("h").as("ev1h"))
+      head.crossJoin(v1).crossJoin(eHead).crossJoin(eV1)
+        .select(col("ev1n").as("n_v1"), col("ehn").as("n_head"),
+          col("ehh").as("content_sum"),
+          (col("v1n") === col("ev1n") && col("v1h") === col("ev1h"))
+            .as("time_travel_ok"),
+          (col("hn") === col("ehn") && col("hh") === col("ehh"))
+            .as("merge_ok"),
+          lit(graft.sources.Snapshots.latestVersion(s, tdir) == 2)
+            .as("one_version_per_mutation"))
+    }),
+
     // MERGE INTO / upsert (f27): a change batch against the two-commit
     // documents snapshot table — every doc_id % 11 = 0 row updated
     // (n_chars + 1000) and every doc_id % 17 = 0 row cloned in under a
@@ -1311,6 +1374,22 @@ object Formats extends QueryPack {
                AS content_sum,
              TRUE AS v1_via_format_ok,
              TRUE AS sql_view_ok
+      FROM documents""",
+    // f33: replay the SQL-catalog lifecycle relationally — head = every
+    // document with upper(lang) (the MERGE's update+insert), v1 = the
+    // hot sources; the time-travel/merge parity booleans pinned TRUE
+    "f33_sql_catalog" -> """
+      SELECT CAST(count(*) FILTER (WHERE source IN ('src0','src1','src2'))
+               AS BIGINT) AS n_v1,
+             CAST(count(*) AS BIGINT) AS n_head,
+             CAST(sum(CAST(('0x' || substr(md5(
+               CAST(doc_id AS VARCHAR) || chr(1) || text || chr(1) ||
+               upper(lang) || chr(1) || source || chr(1) ||
+               CAST(n_chars AS VARCHAR)), 1, 8)) AS BIGINT)) AS BIGINT)
+               AS content_sum,
+             TRUE AS time_travel_ok,
+             TRUE AS merge_ok,
+             TRUE AS one_version_per_mutation
       FROM documents""",
     // f32: the stream-built table must be indistinguishable from a
     // batch-built one — same recomputation as f19

@@ -294,10 +294,11 @@ private[graft] class SnapshotTableV2(val dir: String,
           new InsertableRelation {
             override def insert(data: org.apache.spark.sql.DataFrame,
                 ovr: Boolean): Unit = {
-              val s = data.sparkSession
-              val latest = Snapshots.latestVersion(s, dir)
-              Snapshots.commit(s, dir, data,
-                append = latest >= 1 && !(overwrite || ovr))
+              // append-vs-first is decided inside the claimed section
+              // (commitAuto) — a pre-claim latestVersion read would let
+              // two racing first INSERTs both rewrite, losing rows
+              Snapshots.commitAuto(data.sparkSession, dir,
+                data, overwrite = overwrite || ovr)
               ()
             }
           }

@@ -259,8 +259,36 @@ private[graft] case class GraftMergeCommand(dir: String,
       }: _*)
     }
 
+    // expressions the ON condition equates with each target key column:
+    // the key attribute itself and its source-side counterpart — an
+    // UPDATE assigning one of these back is a value-identity (the
+    // `UPDATE SET *` expansion), anything else CHANGES the key
+    val keyIdentities: Map[String, Seq[Expression]] =
+      splitConjuncts(mergeCondition).collect {
+        case EqualTo(a: AttributeReference, other)
+            if tgtIds.contains(a.exprId) => a.name -> Seq(a, other)
+        case EqualTo(other, a: AttributeReference)
+            if tgtIds.contains(a.exprId) => a.name -> Seq(a, other)
+      }.groupBy(_._1).map { case (n, xs) => n -> xs.flatMap(_._2) }
+
     val updates: Option[DataFrame] = matchedActions.headOption.map {
-      case UpdateAction(None, assigns) =>
+      case UpdateAction(None, assigns, _) =>
+        // a key-CHANGING update would make applyCdc delete live rows by
+        // the NEW key (semi-join on the projected keys) while the
+        // matched old-key rows survive — refuse rather than corrupt.
+        // Value-identity assignments (SET id = s.id under ON t.id = s.id,
+        // the `UPDATE SET *` expansion) are harmless and allowed.
+        assigns.foreach { a =>
+          a.key match {
+            case k: AttributeReference if keyCols.contains(k.name) &&
+                !keyIdentities.getOrElse(k.name, Nil)
+                  .exists(_.semanticEquals(a.value)) =>
+              unsupported(s"UPDATE SET of merge-key column ${k.name} " +
+                "(ON-condition keys are immutable under MERGE; " +
+                "DELETE + INSERT the row instead)")
+            case _ =>
+          }
+        }
         projected(tgtDF.join(srcDF, cond, "inner"), assigns,
           fallbackToTarget = true)
       case DeleteAction(None) => null // handled below

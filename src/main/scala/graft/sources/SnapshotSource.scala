@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{And => CatAnd, Attribute, EqualTo => CatEqualTo, Expression, GreaterThan => CatGT, GreaterThanOrEqual => CatGTE, In => CatIn, LessThan => CatLT, LessThanOrEqual => CatLTE, Literal}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter, RelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider}
 import org.apache.spark.sql.types.{DataType, DateType, StructType, TimestampType}
 
 /** `graft-snapshots`: the USER-FACING front door of the snapshot table
@@ -24,9 +24,12 @@ import org.apache.spark.sql.types.{DataType, DateType, StructType, TimestampType
   *  - `timestampAsOf`: pin to the version live at an instant — epoch
   *    millis or a `yyyy-MM-dd[ HH:mm:ss]` literal ([[Snapshots.versionAsOf]],
   *    durable across compliance purges via the vN.meta commit instants)
-  *  - `maxDvPositions`: cap on deletion-vector positions loaded for a
-  *    merge-on-read version (default 20M; beyond it the read refuses and
-  *    points at OPTIMIZE, which materializes the vector)
+  *  - `maxDvPositions`: cap on deletion-vector positions loaded onto the
+  *    driver for a merge-on-read version (default 20M; beyond it the
+  *    read falls back to a DISTRIBUTED anti-join on
+  *    `(_metadata.file_path, row_index)` — see [[DvJoinRelation]] — so
+  *    any DV size stays readable; OPTIMIZE materializes the vector and
+  *    restores the map path)
   *
   * ARCHITECTURE — resolve metadata, delegate execution: the provider
   * resolves the manifest to a concrete file set and hands Spark a
@@ -364,10 +367,13 @@ private[graft] class SnapshotSink(dir: String,
     // replay detection, scoped per query: the engine re-delivers exactly
     // the LAST batch after a restart (same id) — skip it; an id BELOW
     // the stamped cursor can only mean a rolled-back or hand-edited
-    // checkpoint, and silently skipping would lose data — fail loudly
-    Snapshots.lastStreamBatch(spark, dir, queryId) match {
-      case Some(last) if last == batchId => return
-      case Some(last) if last > batchId =>
+    // checkpoint, and silently skipping would lose data — fail loudly.
+    // A LEGACY bare stamp (pre-per-query tables) cannot be attributed
+    // to any query: treat equal ids as replays, but let LOWER ids from
+    // a fresh query proceed (its batch ids legitimately restart at 0)
+    Snapshots.lastStreamBatchStamp(spark, dir, queryId) match {
+      case Some((last, _)) if last == batchId => return
+      case Some((last, legacy)) if last > batchId && !legacy =>
         throw new IllegalStateException(
           s"graft-snapshots sink: query $queryId delivered batch " +
             s"$batchId but the table at $dir already holds its batch " +
@@ -434,27 +440,114 @@ object SnapshotSource {
     val relOfName: Map[String, String] =
       rels.map(rel => new Path(rel).getName -> rel).toMap
     val index = new SnapshotFileIndex(root, statuses, stats, relOfName)
-    val dv: Map[String, Array[Long]] =
+    // Right(map) = the driver-held position map (the common, broadcast-
+    // cheap case); Left = over the cap, read via the distributed
+    // anti-join fallback (DvJoinRelation) instead of refusing
+    val dv: Either[Unit, Map[String, Array[Long]]] =
       Snapshots.dvFrame(spark, dir, v) match {
-        case None => Map.empty
+        case None => Right(Map.empty)
         case Some(frame) =>
           // ONE job: cap-check on the collected size (collecting and
           // counting separately would scan the vector twice)
           val rows = frame.limit(
             math.min(maxDvPositions + 1, Int.MaxValue.toLong).toInt)
             .collect()
-          require(rows.length <= maxDvPositions,
-            s"graft-snapshots: version $v carries more than " +
-              s"$maxDvPositions deletion-vector positions; run " +
-              "Snapshots.optimize to materialize the vector, or raise " +
-              "maxDvPositions")
-          rows.map(r => (new Path(r.getString(0)).getName, r.getLong(1)))
+          if (rows.length > maxDvPositions) Left(())
+          else Right(rows
+            .map(r => (new Path(r.getString(0)).getName, r.getLong(1)))
             .groupBy(_._1).map { case (f, xs) =>
-              f -> xs.map(_._2).sorted }
+              f -> xs.map(_._2).sorted })
       }
-    val format = new SnapshotParquetFormat(inverse, dv)
-    HadoopFsRelation(index, StructType(Nil), schema, None, format,
-      Map.empty)(spark)
+    dv match {
+      case Right(positions) =>
+        val format = new SnapshotParquetFormat(inverse, positions)
+        HadoopFsRelation(index, StructType(Nil), schema, None, format,
+          Map.empty)(spark)
+      case Left(()) =>
+        // over-cap fallback: same vectorized scan (no DV), live rows
+        // resolved by a DISTRIBUTED anti-join on (file_path, row_index)
+        // instead of a driver-held position map — a version carrying
+        // billions of pending deletes stays readable at the cost of the
+        // join, and OPTIMIZE restores the map path
+        val base = HadoopFsRelation(index, StructType(Nil), schema, None,
+          new SnapshotParquetFormat(inverse, Map.empty), Map.empty)(spark)
+        new DvJoinRelation(spark, dir, v, schema, base)
+    }
+  }
+}
+
+/** The over-`maxDvPositions` read path: a merge-on-read version whose
+  * deletion vector is too large to hold on the driver reads as the
+  * UN-DV'd vectorized scan anti-joined with the DV frame on
+  * `(_metadata.file_path, _metadata.row_index)` — fully distributed
+  * (AQE picks the join strategy; at this size it is a shuffle join by
+  * construction). Declared via `PrunedFilteredScan` so column pruning
+  * still reaches the parquet scan; every filter is reported unhandled
+  * (the engine re-applies them above), but translatable ones are ALSO
+  * applied inside so pushdown + stats pruning reach the inner scan.
+  * `needConversion=false`: the built scan hands back the join's
+  * already-internal rows, no Row re-encoding. */
+private[sources] class DvJoinRelation(spark: SparkSession,
+    dir: String, v: Int, override val schema: StructType,
+    base: HadoopFsRelation)
+    extends BaseRelation with PrunedFilteredScan {
+
+  override def sqlContext: SQLContext = spark.sqlContext
+  override def needConversion: Boolean = false
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
+    filters
+
+  /** The live-row plan the scan executes — exposed so the spec can pin
+    * the anti-join shape. */
+  private[sources] def livePlan(requiredColumns: Array[String],
+      filters: Array[Filter]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val df0 = org.apache.spark.sql.GraftBatchView.ofRows(spark,
+      org.apache.spark.sql.execution.datasources.LogicalRelation(
+        base, false))
+    val pushed = filters.flatMap(DvJoinRelation.toColumn)
+      .reduceOption(_ && _)
+    val df = pushed.map(df0.filter).getOrElse(df0)
+    val withPos = df.select(col("*"),
+      col("_metadata.file_path").as("_fp"),
+      col("_metadata.row_index").as("_ri"))
+    val dvf = Snapshots.dvFrame(spark, dir, v).getOrElse(
+      throw new IllegalStateException(
+        s"graft-snapshots: version $v of $dir lost its deletion vector"))
+    withPos.join(dvf.select(col("file_path").as("_fp"),
+        col("row_index").as("_ri")), Seq("_fp", "_ri"), "left_anti")
+      .select(requiredColumns.map(col).toSeq: _*)
+  }
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): org.apache.spark.rdd.RDD[
+      org.apache.spark.sql.Row] =
+    livePlan(requiredColumns, filters).queryExecution.toRdd
+      .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+}
+
+private[sources] object DvJoinRelation {
+  import org.apache.spark.sql.{functions => F, Column}
+  import org.apache.spark.sql.sources._
+
+  /** Best-effort source-Filter → Column (for inner pushdown only; the
+    * engine re-applies every filter above, so a None is never wrong). */
+  private[sources] def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(F.col(a) === F.lit(v))
+    case GreaterThan(a, v) => Some(F.col(a) > F.lit(v))
+    case GreaterThanOrEqual(a, v) => Some(F.col(a) >= F.lit(v))
+    case LessThan(a, v) => Some(F.col(a) < F.lit(v))
+    case LessThanOrEqual(a, v) => Some(F.col(a) <= F.lit(v))
+    case In(a, vs) => Some(F.col(a).isin(vs.toSeq.map(F.lit(_)): _*))
+    case IsNull(a) => Some(F.col(a).isNull)
+    case IsNotNull(a) => Some(F.col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(F.col(a).startsWith(v))
+    case And(l, r) => for (lc <- toColumn(l); rc <- toColumn(r))
+      yield lc && rc
+    case Or(l, r) => for (lc <- toColumn(l); rc <- toColumn(r))
+      yield lc || rc
+    case Not(c) => toColumn(c).map(!_)
+    case _ => None
   }
 }
 

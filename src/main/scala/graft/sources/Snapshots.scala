@@ -125,6 +125,27 @@ object Snapshots {
     } finally c.release()
   }
 
+  /** INSERT INTO semantics: append when any main version already exists,
+    * first-commit (rewrite) otherwise — with the decision taken INSIDE
+    * the claimed section, off the just-serialized main head. A pre-claim
+    * read would let two racing first INSERTs both observe latest=0 and
+    * both rewrite, the second silently discarding the first's rows even
+    * though the claim protocol serialized the commits themselves. */
+  def commitAuto(s: SparkSession, dir: String, df: DataFrame,
+      overwrite: Boolean): Int = {
+    val f = fs(s, dir)
+    f.mkdirs(new Path(dir))
+    val c = claimVersion(f, dir)
+    try {
+      val base = mainHead(f, dir, c.v - 1)
+      val v = commitClaimed(s, f, dir, df,
+        append = base >= 1 && !overwrite, Map.empty, Seq.empty,
+        c.v, baseVersion = base)
+      advanceMain(s, f, dir, v)
+      v
+    } finally c.release()
+  }
+
   /** [[commit]] with a custom claim timeout (spec support for the
     * stale-claim path; production uses the default). */
   private[sources] def commitWithTimeout(s: SparkSession, dir: String,
@@ -141,6 +162,16 @@ object Snapshots {
       advanceMain(s, f, dir, v)
       v
     } finally c.release()
+  }
+
+  /** Row count of one parquet file from its FOOTER — a driver metadata
+    * read, zero Spark jobs (purge uses it so each rewritten file costs
+    * exactly its rewrite job, no recount scans). */
+  private def parquetRowCount(p: Path, s: SparkSession): Long = {
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        p, s.sparkContext.hadoopConfiguration))
+    try rd.getRecordCount finally rd.close()
   }
 
   private val ClaimName = """^v(\d+)\.claim$""".r
@@ -476,7 +507,17 @@ object Snapshots {
     * reads in steady state for a single writer (the newest stamp sits
     * at or near main's head); other queries' stamps extend the walk. */
   def lastStreamBatch(s: SparkSession, dir: String,
-      queryId: String): Option[Long] = {
+      queryId: String): Option[Long] =
+    lastStreamBatchStamp(s, dir, queryId).map(_._1)
+
+  /** [[lastStreamBatch]] plus whether the stamp found was a LEGACY bare
+    * batch id (pre-per-query tables): a legacy stamp cannot be attributed
+    * to a query, so the sink treats it as replay-detection-only (equal id
+    * = skip) rather than a monotone cursor — a fresh query restarting at
+    * batch 0 against such a table must proceed, not fail as a regressed
+    * checkpoint. */
+  private[sources] def lastStreamBatchStamp(s: SparkSession, dir: String,
+      queryId: String): Option[(Long, Boolean)] = {
     val f = fs(s, dir)
     var v = mainVersion(s, dir)
     while (v >= 1) {
@@ -484,9 +525,10 @@ object Snapshots {
         case Some(m) if m.size >= 3 =>
           val stamp = m(2)
           val sep = stamp.lastIndexOf(':')
-          if (sep < 0) return stamp.toLongOption // legacy bare batch id
+          if (sep < 0) // legacy bare batch id
+            return stamp.toLongOption.map((_, true))
           if (stamp.substring(0, sep) == queryId)
-            return stamp.substring(sep + 1).toLongOption
+            return stamp.substring(sep + 1).toLongOption.map((_, false))
           // another query's stamp: keep walking for ours
         case _ =>
       }
@@ -820,14 +862,21 @@ object Snapshots {
       val prev = dvFrame(s, dir, latest)
       val hits = prev.map(p => hits0.join(p, Seq("file_path", "row_index"),
         "left_anti")).getOrElse(hits0)
-      val union = prev.map(_.unionByName(hits)).getOrElse(hits)
-      union.write.mode("overwrite").parquet(dvDir(dir, v).toString)
-      val n = s.read.parquet(dvDir(dir, v).toString).count() -
-        prev.map(_.count()).getOrElse(0L)
-      writeCommitMeta(f, dir, v, latest)
-      writeManifest(f, dir, v, fset)
-      advanceMain(s, f, dir, v)
-      (v, n)
+      // the new positions are counted from CACHE, not by re-scanning the
+      // table or re-reading the vector just written: the DV write
+      // materializes `hits` (its plan fragment is persisted), so the
+      // whole delete costs exactly one data scan (positions are new by
+      // construction — the anti-join above excludes prior deletes)
+      hits.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val union = prev.map(_.unionByName(hits)).getOrElse(hits)
+        union.write.mode("overwrite").parquet(dvDir(dir, v).toString)
+        val n = hits.count()
+        writeCommitMeta(f, dir, v, latest)
+        writeManifest(f, dir, v, fset)
+        advanceMain(s, f, dir, v)
+        (v, n)
+      } finally { hits.unpersist(); () }
     } finally c.release()
   }
 
@@ -862,27 +911,38 @@ object Snapshots {
       val live = prev.map(p => raw.join(
           p.select(col("file_path").as("_fp"), col("row_index").as("_ri")),
           Seq("_fp", "_ri"), "left_anti")).getOrElse(raw)
+      // `matched` feeds THREE consumers — the DV positions, the updated
+      // rows staged as fresh files, and the metrics count — so it is
+      // persisted once: the whole update costs ONE scan of the table
+      // (the DV write materializes the cache; staging and the count read
+      // it back), instead of re-scanning per consumer or re-reading the
+      // just-written vector. Positions are new by construction (`live`
+      // excludes prior deletes), so count(matched) IS rowsUpdated.
       val matched = live.filter(cond)
-      val gone = matched
-        .select(col("_fp").as("file_path"), col("_ri").as("row_index"))
-      val union = prev.map(_.unionByName(gone)).getOrElse(gone)
-      union.write.mode("overwrite").parquet(dvDir(dir, v).toString)
-      val nUpd = s.read.parquet(dvDir(dir, v).toString).count() -
-        prev.map(_.count()).getOrElse(0L)
-      val types = raw.schema.fields.map(fd => fd.name -> fd.dataType).toMap
-      val setMap = sets.toMap
-      require(setMap.keys.forall(types.contains),
-        s"updateWhere: unknown column(s) ${setMap.keys.filterNot(types
-          .contains).mkString(", ")}")
-      val dataCols = raw.columns.filterNot(Set("_fp", "_ri"))
-      val updated = matched.select(dataCols.toSeq.map { cn =>
-        setMap.get(cn).map(_.cast(types(cn)).as(cn)).getOrElse(col(cn))
-      }: _*)
-      val (moved, _) = stageAndMove(s, f, dir, updated, Seq.empty, v)
-      writeCommitMeta(f, dir, v, latest)
-      writeManifest(f, dir, v, fset ++ moved)
-      advanceMain(s, f, dir, v)
-      (v, nUpd)
+      matched.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val gone = matched
+          .select(col("_fp").as("file_path"), col("_ri").as("row_index"))
+        val union = prev.map(_.unionByName(gone)).getOrElse(gone)
+        union.write.mode("overwrite").parquet(dvDir(dir, v).toString)
+        val nUpd = matched.count()
+        val types = raw.schema.fields.map(fd => fd.name -> fd.dataType)
+          .toMap
+        val setMap = sets.toMap
+        require(setMap.keys.forall(types.contains),
+          s"updateWhere: unknown column(s) ${setMap.keys.filterNot(types
+            .contains).mkString(", ")}")
+        val dataCols = raw.columns.filterNot(Set("_fp", "_ri"))
+        val updated = matched.select(dataCols.toSeq.map { cn =>
+          setMap.get(cn).map(_.cast(types(cn)).as(cn)).getOrElse(col(cn))
+        }: _*)
+        val (moved, _) = stageAndMove(s, f, dir, updated, Seq.empty, v)
+        writeCommitMeta(f, dir, v, latest)
+        writeManifest(f, dir, v, fset ++ moved)
+        advanceMain(s, f, dir, v)
+        (v, nUpd)
+      } finally { matched.unpersist(); () }
     } finally c.release()
   }
 
@@ -1459,8 +1519,11 @@ object Snapshots {
       kept.coalesce(1).write.mode("overwrite").parquet(fileStage.toString)
       val part = f.listStatus(fileStage).toSeq.find(st =>
         st.isFile && st.getPath.getName.startsWith("part-"))
-      val keptRows = s.read.parquet(fileStage.toString).count()
-      rowsDeleted += s.read.parquet(src).count() - keptRows
+      // row counts from the parquet FOOTERS (driver metadata reads, zero
+      // jobs) — the rewrite itself is the only job this file costs
+      val keptRows = part.map(st =>
+        parquetRowCount(st.getPath, s)).getOrElse(0L)
+      rowsDeleted += parquetRowCount(new Path(dir, rel), s) - keptRows
       if (keptRows == 0L) rel -> None
       else {
         val name = s"purged-${new Path(rel).getName}"

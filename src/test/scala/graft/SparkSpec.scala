@@ -22,6 +22,10 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the production injection path (functions + GraftSqlRules): the
+      // whole suite runs WITH the extensions installed, so a rule that
+      // breaks unrelated plans fails loudly here, not at a user's site
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     // register up front so suites that use graft_* SQL functions don't
     // depend on an operator entry point having run first (test-order

@@ -1,0 +1,301 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** End-to-end SQL through the `graft` catalog — the front door promised
+  * by [[GraftCatalog]]'s scaladoc: CREATE/INSERT/SELECT, VERSION AS OF /
+  * TIMESTAMP AS OF time travel, DELETE/UPDATE/MERGE routed onto the
+  * snapshot verbs, the refusal paths, and SQL-path ≡ Scala-path
+  * equivalence (same version chain, same manifests modulo
+  * nondeterministic part-file names, same bytes read back at every
+  * version). Runs on the shared suite session, which installs
+  * `spark.sql.extensions=graft.GraftExtensions` — i.e. the PRODUCTION
+  * injection path, so a missing rule registration fails here.
+  */
+class GraftCatalogSpec extends SparkSpec {
+
+  private lazy val warehouse: String = {
+    val w = tmpDir("graft-warehouse")
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", w)
+    w
+  }
+
+  private def sql(q: String) = spark.sql(q)
+
+  private def rows(q: String): Seq[(Long, String)] =
+    sql(q).select(col("id"), col("payload")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+
+  private def dirOf(ns: String, t: String): String =
+    new Path(new Path(warehouse, ns), t).toString
+
+  test("CREATE TABLE + INSERT INTO + SELECT round trip, appends append") {
+    warehouse
+    sql("CREATE TABLE graft.db.t1 (id BIGINT, payload STRING)")
+    // a created-but-never-committed table reads as zero rows of the
+    // declared schema
+    val empty = sql("SELECT * FROM graft.db.t1")
+    assert(empty.count() == 0)
+    assert(empty.schema.fieldNames.toSeq == Seq("id", "payload"))
+
+    sql("INSERT INTO graft.db.t1 VALUES (1, 'a'), (2, 'b')")
+    assert(rows("SELECT * FROM graft.db.t1") == Seq((1L, "a"), (2L, "b")))
+
+    // second INSERT appends (does not rewrite)
+    sql("INSERT INTO graft.db.t1 VALUES (3, 'c')")
+    assert(rows("SELECT * FROM graft.db.t1") ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(Snapshots.latestVersion(spark, dirOf("db", "t1")) == 2)
+
+    // INSERT OVERWRITE rewrites, but history stays readable
+    sql("INSERT OVERWRITE graft.db.t1 VALUES (9, 'z')")
+    assert(rows("SELECT * FROM graft.db.t1") == Seq((9L, "z")))
+    assert(rows("SELECT * FROM graft.db.t1 VERSION AS OF 2") ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(rows("SELECT * FROM graft.db.t1 VERSION AS OF 1") ==
+      Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("TIMESTAMP AS OF resolves along main's ancestry") {
+    warehouse
+    sql("CREATE TABLE graft.db.tt (id BIGINT, payload STRING)")
+    sql("INSERT INTO graft.db.tt VALUES (1, 'a')")
+    // any instant at-or-after the last commit resolves to the head
+    assert(rows("SELECT * FROM graft.db.tt TIMESTAMP AS OF '2100-01-01'")
+      == Seq((1L, "a")))
+    // an instant before the first commit has no version
+    val e = intercept[Exception] {
+      sql("SELECT * FROM graft.db.tt TIMESTAMP AS OF '1999-01-01'")
+        .collect()
+    }
+    assert(e.getMessage.contains("no version"))
+  }
+
+  test("DELETE FROM routes to deleteWhere: DV only, no file rewrite") {
+    warehouse
+    sql("CREATE TABLE graft.db.td (id BIGINT, payload STRING)")
+    sql("INSERT INTO graft.db.td VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val dir = dirOf("db", "td")
+    val filesBefore = Snapshots.files(spark, dir, 1)
+
+    sql("DELETE FROM graft.db.td WHERE id >= 2")
+    assert(GraftSql.lastRowsAffected == 2L)
+    assert(rows("SELECT * FROM graft.db.td") == Seq((1L, "a")))
+    // merge-on-read: v2 carries v1's file set unchanged, the rows left
+    // via the deletion vector
+    assert(Snapshots.files(spark, dir, 2) == filesBefore)
+    assert(rows("SELECT * FROM graft.db.td VERSION AS OF 1") ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("UPDATE SET routes to updateWhere; WHERE optional") {
+    warehouse
+    sql("CREATE TABLE graft.db.tu (id BIGINT, payload STRING)")
+    sql("INSERT INTO graft.db.tu VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    sql("UPDATE graft.db.tu SET payload = concat(payload, '!') " +
+      "WHERE id <> 2")
+    assert(GraftSql.lastRowsAffected == 2L)
+    assert(rows("SELECT * FROM graft.db.tu") ==
+      Seq((1L, "a!"), (2L, "b"), (3L, "c!")))
+    // no WHERE = all rows; value expressions may reference columns
+    sql("UPDATE graft.db.tu SET id = id + 10")
+    assert(rows("SELECT * FROM graft.db.tu").map(_._1) ==
+      Seq(11L, 12L, 13L))
+    // history readable across both updates
+    assert(rows("SELECT * FROM graft.db.tu VERSION AS OF 1") ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("MERGE INTO: update + insert in one published version") {
+    warehouse
+    sql("CREATE TABLE graft.db.tm (id BIGINT, payload STRING)")
+    sql("INSERT INTO graft.db.tm VALUES (1, 'a'), (2, 'b')")
+    sql("CREATE OR REPLACE TEMPORARY VIEW tm_src AS " +
+      "SELECT * FROM VALUES (2, 'B'), (3, 'C') AS s(id, payload)")
+    sql("MERGE INTO graft.db.tm t USING tm_src s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET payload = s.payload " +
+      "WHEN NOT MATCHED THEN INSERT (id, payload) VALUES (s.id, s.payload)")
+    assert(rows("SELECT * FROM graft.db.tm") ==
+      Seq((1L, "a"), (2L, "B"), (3L, "C")))
+    // exactly ONE version was published for the whole merge
+    assert(Snapshots.latestVersion(spark, dirOf("db", "tm")) == 2)
+    assert(rows("SELECT * FROM graft.db.tm VERSION AS OF 1") ==
+      Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("MERGE INTO: WHEN MATCHED DELETE; UPDATE SET *; INSERT *") {
+    warehouse
+    sql("CREATE TABLE graft.db.tm2 (id BIGINT, payload STRING)")
+    sql("INSERT INTO graft.db.tm2 VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    sql("CREATE OR REPLACE TEMPORARY VIEW tm2_src AS " +
+      "SELECT * FROM VALUES (CAST(2 AS BIGINT), 'x') AS s(id, payload)")
+    sql("MERGE INTO graft.db.tm2 t USING tm2_src s ON t.id = s.id " +
+      "WHEN MATCHED THEN DELETE")
+    assert(GraftSql.lastRowsAffected == 1L)
+    assert(rows("SELECT * FROM graft.db.tm2") ==
+      Seq((1L, "a"), (3L, "c")))
+
+    // star forms expand to full-row assignments
+    sql("CREATE OR REPLACE TEMPORARY VIEW tm2_src2 AS " +
+      "SELECT * FROM VALUES (CAST(3 AS BIGINT), 'C'), " +
+      "(CAST(4 AS BIGINT), 'D') AS s(id, payload)")
+    sql("MERGE INTO graft.db.tm2 t USING tm2_src2 s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    assert(rows("SELECT * FROM graft.db.tm2") ==
+      Seq((1L, "a"), (3L, "C"), (4L, "D")))
+  }
+
+  test("MERGE INTO a freshly created table: inserts become commit 1") {
+    warehouse
+    sql("CREATE TABLE graft.db.tm3 (id BIGINT, payload STRING)")
+    sql("CREATE OR REPLACE TEMPORARY VIEW tm3_src AS " +
+      "SELECT * FROM VALUES (CAST(1 AS BIGINT), 'a') AS s(id, payload)")
+    sql("MERGE INTO graft.db.tm3 t USING tm3_src s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET payload = s.payload " +
+      "WHEN NOT MATCHED THEN INSERT (id, payload) VALUES (s.id, s.payload)")
+    assert(rows("SELECT * FROM graft.db.tm3") == Seq((1L, "a")))
+    assert(Snapshots.latestVersion(spark, dirOf("db", "tm3")) == 1)
+  }
+
+  test("refusals: subqueries, conditional actions, key updates, " +
+      "NOT MATCHED BY SOURCE") {
+    warehouse
+    sql("CREATE TABLE graft.db.tr (id BIGINT, payload STRING)")
+    sql("INSERT INTO graft.db.tr VALUES (1, 'a')")
+    sql("CREATE OR REPLACE TEMPORARY VIEW tr_src AS " +
+      "SELECT * FROM VALUES (CAST(1 AS BIGINT), 'x') AS s(id, payload)")
+
+    val sub = intercept[Exception] {
+      sql("DELETE FROM graft.db.tr WHERE id IN " +
+        "(SELECT id FROM tr_src)")
+    }
+    assert(sub.getMessage.contains("subquery"))
+
+    val condAct = intercept[Exception] {
+      sql("MERGE INTO graft.db.tr t USING tr_src s ON t.id = s.id " +
+        "WHEN MATCHED AND s.payload = 'x' THEN DELETE")
+    }
+    assert(condAct.getMessage.contains("unconditional"))
+
+    val keyUpd = intercept[Exception] {
+      sql("MERGE INTO graft.db.tr t USING tr_src s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET id = s.id + 100")
+    }
+    assert(keyUpd.getMessage.contains("merge-key"))
+
+    val bySource = intercept[Exception] {
+      sql("MERGE INTO graft.db.tr t USING tr_src s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET payload = s.payload " +
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+    }
+    assert(bySource.getMessage.contains("NOT MATCHED BY SOURCE"))
+
+    val nonEq = intercept[Exception] {
+      sql("MERGE INTO graft.db.tr t USING tr_src s ON t.id < s.id " +
+        "WHEN MATCHED THEN DELETE")
+    }
+    assert(nonEq.getMessage.contains("ON"))
+
+    // nothing above published a version
+    assert(Snapshots.latestVersion(spark, dirOf("db", "tr")) == 1)
+  }
+
+  test("SQL path and Scala path publish equivalent version chains") {
+    warehouse
+    // SQL-built table
+    sql("CREATE TABLE graft.db.eq_sql (id BIGINT, payload STRING)")
+    sql("INSERT INTO graft.db.eq_sql SELECT id, payload FROM VALUES " +
+      "(CAST(1 AS BIGINT),'a'),(CAST(2 AS BIGINT),'b')," +
+      "(CAST(3 AS BIGINT),'c') AS v(id, payload)")
+    sql("UPDATE graft.db.eq_sql SET payload = upper(payload) WHERE id = 1")
+    sql("DELETE FROM graft.db.eq_sql WHERE id = 3")
+    sql("CREATE OR REPLACE TEMPORARY VIEW eq_src AS SELECT * FROM VALUES " +
+      "(CAST(2 AS BIGINT),'BB'),(CAST(4 AS BIGINT),'DD') AS s(id, payload)")
+    sql("MERGE INTO graft.db.eq_sql t USING eq_src s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET payload = s.payload " +
+      "WHEN NOT MATCHED THEN INSERT (id, payload) VALUES (s.id, s.payload)")
+
+    // the same history through the Scala verbs
+    import spark.implicits._
+    val scalaDir = tmpDir("eq-scala")
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "payload")
+    Snapshots.commit(spark, scalaDir, base, append = false)
+    Snapshots.updateWhere(spark, scalaDir, col("id") === 1,
+      Seq("payload" -> upper(col("payload"))))
+    Snapshots.deleteWhere(spark, scalaDir, col("id") === 3)
+    val cdc = Seq((2L, "BB"), (4L, "DD")).toDF("id", "payload")
+    Snapshots.applyCdc(spark, scalaDir, cdc,
+      cdc.select("id").limit(0), Seq("id"))
+
+    val sqlDir = dirOf("db", "eq_sql")
+    val vMax = Snapshots.latestVersion(spark, sqlDir)
+    assert(vMax == 4 && Snapshots.latestVersion(spark, scalaDir) == 4)
+
+    // identical content at EVERY version…
+    (1 to vMax).foreach { v =>
+      val a = Snapshots.read(spark, sqlDir, v).collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      val b = Snapshots.read(spark, scalaDir, v).collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(a == b, s"version $v diverged: SQL=$a Scala=$b")
+    }
+    // …and identical manifest PROVENANCE: which commits' files each
+    // version still carries (part names and counts are nondeterministic
+    // — task uuids and the mutation frame's partitioning — but the
+    // carry-forward structure of the chain must match exactly)
+    def origins(dir: String, v: Int): Seq[String] =
+      Snapshots.files(spark, dir, v)
+        .map(_.replaceAll("""(v\d+)-.*$""", "$1")).distinct.sorted
+    (1 to vMax).foreach { v =>
+      assert(origins(sqlDir, v) == origins(scalaDir, v),
+        s"manifest $v diverged")
+    }
+  }
+
+  test("catalog surface: list/exists/drop/rename + namespaces") {
+    warehouse
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.meta")
+    sql("CREATE TABLE graft.meta.a (id BIGINT, payload STRING)")
+    sql("INSERT INTO graft.meta.a VALUES (1, 'a')")
+    val listed = sql("SHOW TABLES IN graft.meta").collect()
+      .map(_.getString(1)).toSeq
+    assert(listed.contains("a"))
+
+    sql("ALTER TABLE graft.meta.a RENAME TO meta.b")
+    assert(rows("SELECT * FROM graft.meta.b") == Seq((1L, "a")))
+    sql("DROP TABLE graft.meta.b")
+    assert(sql("SHOW TABLES IN graft.meta").collect().isEmpty)
+  }
+
+  test("CTAS publishes version 1 with the query's rows") {
+    warehouse
+    sql("CREATE TABLE graft.db.ctas AS SELECT id, payload FROM VALUES " +
+      "(CAST(7 AS BIGINT), 'x') AS v(id, payload)")
+    assert(rows("SELECT * FROM graft.db.ctas") == Seq((7L, "x")))
+    assert(Snapshots.latestVersion(spark, dirOf("db", "ctas")) == 1)
+  }
+
+  test("racing first INSERTs both land (append decided in-claim)") {
+    warehouse
+    import spark.implicits._
+    val dir = tmpDir("race")
+    val dfs = Seq(
+      Seq((1L, "a")).toDF("id", "payload"),
+      Seq((2L, "b")).toDF("id", "payload"))
+    // commitAuto through real thread contention: both see an empty
+    // table, the claim serializes them, the loser must APPEND
+    val threads = dfs.map { d =>
+      new Thread(() => { Snapshots.commitAuto(spark, dir, d,
+        overwrite = false); () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(Snapshots.latestVersion(spark, dir) == 2)
+    val all = Snapshots.read(spark, dir, 2).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(all == Seq(1L, 2L), s"a first-insert race lost rows: $all")
+  }
+}

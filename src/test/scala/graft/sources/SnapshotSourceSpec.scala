@@ -136,11 +136,42 @@ class SnapshotSourceSpec extends SparkSpec {
     // filters above the DV-aware scan still apply
     assert(ids(readFmt(dir).filter(col("id") > 10)) ==
       (11L to 20L).filterNot(_ % 5 == 0))
-    // the cap refuses with an actionable message
-    val e = intercept[IllegalArgumentException] {
-      readFmt(dir, "maxDvPositions" -> "2").collect()
+  }
+
+  test("over-cap DV reads fall back to the distributed anti-join") {
+    val dir = tmpDir("srcdvcap")
+    Snapshots.commit(spark, dir, df(1 to 20).repartition(2), append = false)
+    Snapshots.deleteWhere(spark, dir, col("id") % 5 === 0)
+
+    // cap lowered below the 4 recorded positions: the read must NOT
+    // refuse — it plans the DvJoinRelation fallback…
+    val fb = readFmt(dir, "maxDvPositions" -> "2")
+    val rel = fb.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if l.relation.isInstanceOf[DvJoinRelation] =>
+        l.relation.asInstanceOf[DvJoinRelation]
     }
-    assert(e.getMessage.contains("optimize"))
+    assert(rel.nonEmpty, "over-cap read must plan the join fallback:\n" +
+      fb.queryExecution.analyzed)
+    // …whose internal plan is an anti-join on the metadata position
+    // columns (the distributed path — no driver-held position map)
+    val inner = rel.get.livePlan(Array("id", "payload"), Array.empty)
+      .queryExecution.optimizedPlan
+    val joins = inner.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType.sql.contains("ANTI") => j
+    }
+    assert(joins.nonEmpty, s"expected an anti-join in:\n$inner")
+
+    // identical results to the in-cap map path, filters included
+    assert(ids(fb) == (1L to 20L).filterNot(_ % 5 == 0))
+    assert(ids(fb.filter(col("id") > 10)) ==
+      (11L to 20L).filterNot(_ % 5 == 0))
+    assert(fb.filter(col("payload") === "row7").count() == 1)
+    assert(fb.count() == 16)
+    // a pinned pre-DV version through the same lowered cap is untouched
+    assert(ids(readFmt(dir, "maxDvPositions" -> "2",
+      "versionAsOf" -> "1")) == (1L to 20L))
   }
 
   test("branch option reads a ref head; default follows main") {

@@ -922,4 +922,76 @@ class SnapshotsSpec extends SparkSpec {
       s"staleness must follow the declared 200 ms cadence, waited $waited ms")
     fs.delete(p, false)
   }
+
+  /** Jobs submitted while `op` runs, isolated via a job group (the ops
+    * are synchronous, so every job is registered before `op` returns). */
+  private def jobsDuring(tag: String)(op: => Unit): Int = {
+    spark.sparkContext.setJobGroup(tag, tag, false)
+    try op finally spark.sparkContext.clearJobGroup()
+    spark.sparkContext.statusTracker.getJobIdsForGroup(tag).length
+  }
+
+  test("deleteWhere/updateWhere metrics come from cache, not recounts") {
+    val d1 = tmpDir("jobsdel")
+    Snapshots.commit(spark, d1, df(1 to 20).repartition(2), append = false)
+    val delJobs = jobsDuring("pin-del") {
+      val (_, n) = Snapshots.deleteWhere(spark, d1, col("id") <= 5)
+      assert(n == 5)
+    }
+    val d2 = tmpDir("jobsupd")
+    Snapshots.commit(spark, d2, df(1 to 20).repartition(2), append = false)
+    val updJobs = jobsDuring("pin-upd") {
+      val (_, n) = Snapshots.updateWhere(spark, d2, col("id") <= 5,
+        Seq("payload" -> upper(col("payload"))))
+      assert(n == 5)
+    }
+    // pinned composition — delete: parquet schema inference, the DV
+    // write (the ONE data scan), and the cached-positions count (2 jobs
+    // under AQE's staged aggregate); update adds only the staging write
+    // of the matched rows (also served from the cache). A regression
+    // that recounts by re-scanning the table or re-reading the
+    // just-written vector shows up as extra jobs here.
+    assert(delJobs == 4, s"deleteWhere ran $delJobs jobs, pinned 4")
+    assert(updJobs == 5, s"updateWhere ran $updJobs jobs, pinned 5")
+    // and the published tables are correct
+    assert(idsOf(d1, 2) == (6L to 20L))
+    assert(Snapshots.read(spark, d2, 2)
+      .filter(col("payload") === "ROW3").count() == 1)
+  }
+
+  test("purge: each extra affected file costs exactly its rewrite job") {
+    import spark.implicits._
+    def build(): String = {
+      val dir = tmpDir("jobspurge")
+      // two files with disjoint id ranges, no statsCols (no stats jobs)
+      val a = (1 to 10).map(i => (i.toLong, s"row$i")).toDF("id", "payload")
+        .coalesce(1)
+      val b = (11 to 20).map(i => (i.toLong, s"row$i"))
+        .toDF("id", "payload").coalesce(1)
+      Snapshots.commit(spark, dir, a, append = false)
+      Snapshots.commit(spark, dir, b, append = true)
+      dir
+    }
+    val one = build(); val two = build()
+    val jobsOne = jobsDuring("pin-purge1") {
+      val (nDel, _, _) = Snapshots.purge(spark, one,
+        Seq(3L).toDF("id"), Seq("id"))
+      assert(nDel >= 0)
+    }
+    val jobsTwo = jobsDuring("pin-purge2") {
+      Snapshots.purge(spark, two,
+        Seq(3L, 15L).toDF("id"), Seq("id"))
+      ()
+    }
+    // the second purge touches one MORE file (ids 3 and 15 live in
+    // different files): the extra work is that file's rewrite chain
+    // (schema inference + anti-join write under AQE) — row counts come
+    // from parquet FOOTERS, so no recount jobs are in the delta (they
+    // were +2 per file before the footer change)
+    assert(jobsTwo - jobsOne == 6,
+      s"extra affected file cost ${jobsTwo - jobsOne} jobs, pinned 6 " +
+        s"(one=$jobsOne two=$jobsTwo)")
+    assert(idsOf(one, 2) == ((1L to 20L).toSet - 3L).toSeq.sorted)
+    assert(idsOf(two, 2) == ((1L to 20L).toSet - 3L - 15L).toSeq.sorted)
+  }
 }

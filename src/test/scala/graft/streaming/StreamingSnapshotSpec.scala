@@ -463,4 +463,40 @@ class StreamingSnapshotSpec extends SparkSpec {
     assert(probe.select("id").collect().map(_.getLong(0)).toSeq.sorted ==
       (150L to 160L))
   }
+
+  test("a legacy bare batch stamp never blocks a new streaming query") {
+    import spark.implicits._
+    // a table whose head carries the PRE-per-query stamp shape: meta
+    // line 3 is a bare batch id with no queryId prefix (written by the
+    // sink before scoping landed)
+    val dir = tmpDir("sink-legacy")
+    Snapshots.commit(spark, dir, Seq(DocRow(1L, "a")).toDF(),
+      append = false)
+    val p = new org.apache.hadoop.fs.Path(dir, "v1.meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val o = fs.create(p, true)
+    o.write(s"${System.currentTimeMillis()}\n0\n5".getBytes("UTF-8"))
+    o.close()
+
+    val sink = new graft.sources.SnapshotSink(dir,
+      org.apache.spark.sql.streaming.OutputMode.Append(), Nil, Nil)
+    val qidKey = "sql.streaming.queryId"
+    spark.sparkContext.setLocalProperty(qidKey, "fresh-query-uuid")
+    try {
+      // an id EQUAL to the legacy stamp is still treated as the replay
+      // it would have been under the old scheme — skipped, not doubled
+      sink.addBatch(5L, Seq(DocRow(9L, "x")).toDF())
+      assert(Snapshots.latestVersion(spark, dir) == 1,
+        "a batch id equal to the legacy stamp is a replay, skip it")
+      // the legacy stamp (5) cannot be attributed to any query: a fresh
+      // query's batch 0 must COMMIT (its ids legitimately start at 0) —
+      // before the fix this threw 'checkpoint regressed' forever
+      sink.addBatch(0L, Seq(DocRow(2L, "b")).toDF())
+      assert(Snapshots.latestVersion(spark, dir) == 2,
+        "batch 0 of a new query must commit past a legacy stamp")
+    } finally spark.sparkContext.setLocalProperty(qidKey, null)
+    val got = Snapshots.read(spark, dir, 2).select("id").collect()
+      .map(_.getLong(0)).toSeq.sorted
+    assert(got == Seq(1L, 2L))
+  }
 }
