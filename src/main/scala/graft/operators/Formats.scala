@@ -886,6 +886,63 @@ object Formats extends QueryPack {
             .as("one_version_per_mutation"))
     }),
 
+    // Change-feed-maintained view (f34): a snapshot table mutated
+    // through append → merge-on-read delete → rewrite (compaction
+    // shape), with a downstream per-lang view maintained PURELY from
+    // `readChangeFeed=true` — inserts add, deletes retract
+    // (SnapshotChangeFeedSource emits delete rows where ignoreChanges
+    // would silently drop them, and compensating delete-all/insert-all
+    // through the rewrite). The maintained view must equal the head
+    // recomputed relationally — the DuckDB oracle replays the delete
+    // predicate over `documents`. Streaming semantics (per-version
+    // deltas, upserts, exclusivity with ignoreChanges) are spec-pinned
+    // in StreamingSnapshotSpec; this row hash-certifies the OUTPUT.
+    "f34_change_feed_view" -> ((s, d) => {
+      val out = ioDir(d, "f34")
+      writeOnce(s, out, alsoRequire =
+          graft.sources.Snapshots.latestVersion(s, out) == 4) {
+        val root = new org.apache.hadoop.fs.Path(out)
+        val fsys = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fsys.delete(root, true)
+        val docs = T.documents(s, d)
+        val hot = col("source").isin("src0", "src1", "src2")
+        graft.sources.Snapshots.commit(s, out, docs.filter(hot),
+          append = false)
+        graft.sources.Snapshots.commit(s, out, docs.filter(!hot),
+          append = true)
+        graft.sources.Snapshots.deleteWhere(s, out,
+          pmod(col("doc_id"), lit(7)) === 0)
+        graft.sources.Snapshots.commit(s, out,
+          graft.sources.Snapshots.read(s, out, 3).coalesce(2),
+          append = false)
+        ()
+      }
+      // the view, driven only by the feed (fresh checkpoint per run —
+      // the replay itself is the operator under test)
+      val cp = java.nio.file.Files.createTempDirectory("f34cp").toString
+      val feed = s.readStream.format("graft-snapshots")
+        .option("path", out).option("readChangeFeed", "true").load()
+      val sgn = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+      val q = feed.groupBy(col("lang"))
+        .agg(sum(sgn).as("n_docs"), sum(sgn * col("n_chars"))
+          .as("sum_chars"))
+        .writeStream.format("memory").queryName("f34_view")
+        .outputMode("complete")
+        .option("checkpointLocation", cp).start()
+      try q.processAllAvailable() finally q.stop()
+      val view = s.table("f34_view")
+        .select(col("lang"), col("n_docs"), col("sum_chars"))
+      val head = graft.sources.Snapshots
+        .read(s, out, graft.sources.Snapshots.latestVersion(s, out))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("hn"), sum(col("n_chars")).as("hc"))
+      view.join(head, Seq("lang"), "full_outer")
+        .select(col("lang"), col("n_docs"), col("sum_chars"),
+          (col("n_docs") === col("hn") && col("sum_chars") === col("hc"))
+            .as("view_matches_head"))
+        .orderBy(col("lang"))
+    }),
+
     // MERGE INTO / upsert (f27): a change batch against the two-commit
     // documents snapshot table — every doc_id % 11 = 0 row updated
     // (n_chars + 1000) and every doc_id % 17 = 0 row cloned in under a
@@ -1391,6 +1448,18 @@ object Formats extends QueryPack {
              TRUE AS merge_ok,
              TRUE AS one_version_per_mutation
       FROM documents""",
+    // f34: replay the table's lifecycle relationally — the maintained
+    // view must equal the head (all documents minus the doc_id%7
+    // deletions, grouped per lang); the parity boolean pinned TRUE
+    "f34_change_feed_view" -> """
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             TRUE AS view_matches_head
+      FROM documents
+      WHERE doc_id % 7 <> 0
+      GROUP BY lang
+      ORDER BY lang""",
     // f32: the stream-built table must be indistinguishable from a
     // batch-built one — same recomputation as f19
     "f32_stream_sink" -> """

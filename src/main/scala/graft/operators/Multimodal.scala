@@ -508,8 +508,22 @@ object Multimodal extends QueryPack {
     val top = boxes(0, b.length)
     if (!top.exists(_._1 == "ftyp")) fail("missing 'ftyp' box")
     val (moovS, moovE) = child(top, "moov")
-    val (trakS, trakE) = child(boxes(moovS, moovE), "trak")
-    val (mdiaS, mdiaE) = child(boxes(trakS, trakE), "mdia")
+    // the FIRST trak whose mdia/hdlr declares the 'vide' handler — a
+    // real container often leads with an audio (soun) or hint track,
+    // and demuxing that one would hand audio packets to the frame
+    // decoder (hdlr body: version/flags, pre_defined, handler_type).
+    // A file with no declared video handler (technically malformed, but
+    // seen in minimal writers) falls back to its first trak.
+    val mdias = boxes(moovS, moovE).iterator
+      .collect { case ("trak", ts, te) =>
+        boxes(ts, te).collectFirst { case ("mdia", ms, me) => (ms, me) }
+      }.flatten.toSeq
+    val (mdiaS, mdiaE) = mdias.find { case (ms, me) =>
+      boxes(ms, me).exists {
+        case ("hdlr", hs, _) => typ(hs + 8) == "vide"
+        case _ => false
+      }
+    }.orElse(mdias.headOption).getOrElse(fail("missing 'trak' box"))
     val (minfS, minfE) = child(boxes(mdiaS, mdiaE), "minf")
     val (stblS, stblE) = child(boxes(minfS, minfE), "stbl")
     val stbl = boxes(stblS, stblE)

@@ -77,8 +77,11 @@ class SnapshotSource extends RelationProvider
     val latest = Snapshots.mainVersion(ctx.sparkSession, dir)
     require(latest >= 1,
       s"graft-snapshots source: no committed versions at $dir")
+    val table = Snapshots.evolutionInfo(ctx.sparkSession, dir, latest)._1
     (shortName(),
-      Snapshots.evolutionInfo(ctx.sparkSession, dir, latest)._1)
+      if (parameters.get("readchangefeed").exists(_.toBoolean))
+        SnapshotSource.cdfSchema(table)
+      else table)
   }
 
   /** Streaming SOURCE over a snapshot table: offsets are VERSIONS of the
@@ -109,9 +112,18 @@ class SnapshotSource extends RelationProvider
       .map(_.toInt).getOrElse(1)
     require(startingVersion >= 1,
       "graft-snapshots source: startingVersion must be >= 1")
-    new SnapshotStreamSource(ctx.sparkSession, dir,
-      sourceSchema(ctx, schema, providerName, parameters)._2, ignoreChanges,
-      startingVersion)
+    if (parameters.get("readchangefeed").exists(_.toBoolean)) {
+      require(!ignoreChanges, "graft-snapshots source: readChangeFeed " +
+        "and ignoreChanges are exclusive (the change feed REPRESENTS " +
+        "deletes and rewrites instead of dropping or refusing them)")
+      val latest = Snapshots.mainVersion(ctx.sparkSession, dir)
+      new SnapshotChangeFeedSource(ctx.sparkSession, dir,
+        Snapshots.evolutionInfo(ctx.sparkSession, dir, latest)._1,
+        startingVersion)
+    } else
+      new SnapshotStreamSource(ctx.sparkSession, dir,
+        sourceSchema(ctx, schema, providerName, parameters)._2,
+        ignoreChanges, startingVersion)
   }
 
   /** Streaming sink: every micro-batch lands as ONE snapshot commit, so
@@ -342,6 +354,125 @@ private[graft] class SnapshotStreamSource(spark: SparkSession,
   override def toString: String = s"SnapshotStreamSource[$dir]"
 }
 
+/** CHANGE-FEED streaming source (`readChangeFeed=true`): every version
+  * on main's parent chain emits its row-level delta with a
+  * `_change_type` (`insert` / `delete`) and `_commit_version` column —
+  * the CDC view of the table, subsuming `ignoreChanges` (which emits
+  * added rows and silently DROPS deletes). Per version, against its
+  * parent:
+  *  - files added → their rows as `insert`s;
+  *  - new deletion-vector positions → the deleted rows' CONTENT (read
+  *    from the parent's files, where they still physically live) as
+  *    `delete`s;
+  *  - a REWRITE (file set not a superset — compaction, INSERT OVERWRITE)
+  *    → the parent's live rows all `delete`, the version's live rows all
+  *    `insert`: noisy but exactly-compensating, so any downstream
+  *    signed aggregate stays correct through it.
+  * A downstream view maintained as `sum(±x)` over the feed therefore
+  * converges to the table's head under appends, upserts, deletes, and
+  * rewrites alike (StreamingSnapshotSpec pins it; f34 hash-certifies a
+  * CDF-maintained view against the oracle). Scale shape: each batch
+  * reads only the delta's files plus, for DV deltas, the parent file
+  * set it position-joins — never table history. */
+private[graft] class SnapshotChangeFeedSource(spark: SparkSession,
+    dir: String, tableSchema: StructType, startingVersion: Int = 1)
+    extends org.apache.spark.sql.execution.streaming.Source {
+
+  import org.apache.spark.sql.execution.streaming.{Offset => SrcOffset}
+  import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+  import org.apache.spark.sql.functions.{col, lit}
+
+  override val schema: StructType = SnapshotSource.cdfSchema(tableSchema)
+
+  override def getOffset: Option[SrcOffset] = {
+    val v = Snapshots.mainVersion(spark, dir)
+    if (v >= 1) Some(LongOffset(v.toLong)) else None
+  }
+
+  private def versionOf(o: SrcOffset): Int = o match {
+    case LongOffset(v) => v.toInt
+    case other => other.json.trim.toInt
+  }
+
+  /** (file_path, row_index) positions of `v`'s DV not in `parent`'s. */
+  private def dvDelta(v: Int, parent: Int): Option[DataFrame] =
+    Snapshots.dvFrame(spark, dir, v).map { cur =>
+      (if (parent >= 1) Snapshots.dvFrame(spark, dir, parent) else None)
+        .map(p => cur.join(p, Seq("file_path", "row_index"), "left_anti"))
+        .getOrElse(cur)
+    }
+
+  /** Live rows of version `v` under the canonical schema (file set
+    * anti-joined with `v`'s own DV). */
+  private def liveRows(v: Int): DataFrame = {
+    val withPos = SnapshotSource.readCanonical(spark, dir,
+      Snapshots.files(spark, dir, v), v, tableSchema, withPos = true)
+    Snapshots.dvFrame(spark, dir, v)
+      .map(dv => withPos.join(dv.select(col("file_path").as("_fp"),
+        col("row_index").as("_ri")), Seq("_fp", "_ri"), "left_anti"))
+      .getOrElse(withPos)
+      .drop("_fp", "_ri")
+  }
+
+  private def stamped(df: DataFrame, change: String, v: Int): DataFrame =
+    df.withColumn("_change_type", lit(change))
+      .withColumn("_commit_version", lit(v.toLong))
+
+  override def getBatch(start: Option[SrcOffset], end: SrcOffset)
+      : DataFrame = {
+    val f = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val v0 = start.map(versionOf).getOrElse(startingVersion - 1)
+    val v1 = versionOf(end)
+    // main's parent chain (ascending) over (v0, v1] — branch commits
+    // share the version counter but are not on this line
+    val chain = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var v = v1
+    while (v > v0 && v >= 1) {
+      chain += v
+      val parent = Snapshots.commitParent(f, dir, v)
+      v = if (parent < v) parent else -1
+    }
+    val frames = chain.reverseIterator.flatMap { cv =>
+      val parent = Snapshots.commitParent(f, dir, cv)
+      val parentFiles: Seq[String] =
+        if (parent >= 1) Snapshots.files(spark, dir, parent) else Seq.empty
+      val curFiles = Snapshots.files(spark, dir, cv)
+      if (parentFiles.forall(curFiles.toSet.contains)) {
+        // append-shaped commit: added files insert, DV delta deletes
+        val added = curFiles.filterNot(parentFiles.toSet)
+        val inserts =
+          if (added.isEmpty) None
+          else Some(stamped(SnapshotSource.readCanonical(spark, dir,
+            added, cv, tableSchema, withPos = false), "insert", cv))
+        val deletes = dvDelta(cv, parent).map { delta =>
+          val parentRows = SnapshotSource.readCanonical(spark, dir,
+            parentFiles, cv, tableSchema, withPos = true)
+          stamped(parentRows.join(delta.select(
+              col("file_path").as("_fp"), col("row_index").as("_ri")),
+              Seq("_fp", "_ri"), "left_semi")
+            .drop("_fp", "_ri"), "delete", cv)
+        }
+        inserts.toSeq ++ deletes.toSeq
+      } else {
+        // rewrite: retract the parent's live rows, insert the new ones
+        val dels =
+          if (parent >= 1) Seq(stamped(liveRows(parent), "delete", cv))
+          else Seq.empty
+        dels :+ stamped(liveRows(cv), "insert", cv)
+      }
+    }.toSeq
+    val batch = frames.reduceOption(_.unionByName(_)).getOrElse(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    org.apache.spark.sql.GraftBatchView.asStreaming(batch)
+  }
+
+  override def commit(end: SrcOffset): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String = s"SnapshotChangeFeedSource[$dir]"
+}
+
 /** The `graft-snapshots` streaming sink (see
   * [[SnapshotSource.createSink]]). One micro-batch = one snapshot
   * commit; the batch id rides in the version's metadata for
@@ -414,6 +545,53 @@ object SnapshotSource {
       .getOrElse(throw new IllegalArgumentException(
         s"graft-snapshots: cannot parse timestampAsOf value '$ts' " +
           "(epoch millis or yyyy-MM-dd[ HH:mm:ss] expected)"))
+  }
+
+  /** The change-feed schema: the table's columns plus the change
+    * metadata pair (the Delta CDF column shape). */
+  private[sources] def cdfSchema(table: StructType): StructType = table
+    .add("_change_type", org.apache.spark.sql.types.StringType,
+      nullable = false)
+    .add("_commit_version", org.apache.spark.sql.types.LongType,
+      nullable = false)
+
+  /** Manifest-relative `paths` read under the CANONICAL column names of
+    * version `atVersion` — per-vintage schema remap (renamed columns are
+    * requested under their local names, widening rides the parquet
+    * reader's promotion, missing columns backfill null), shared by the
+    * streaming sources. `withPos=true` appends `_fp`/`_ri` metadata
+    * position columns (for deletion-vector joins). */
+  private[sources] def readCanonical(spark: SparkSession, dir: String,
+      paths: Seq[String], atVersion: Int, canon: StructType,
+      withPos: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val posCols =
+      if (withPos) Seq(col("_metadata.file_path").as("_fp"),
+        col("_metadata.row_index").as("_ri"))
+      else Seq.empty
+    if (paths.isEmpty) {
+      val s = if (withPos) canon
+        .add("_fp", org.apache.spark.sql.types.StringType)
+        .add("_ri", org.apache.spark.sql.types.LongType) else canon
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+    }
+    val (_, inverse) = Snapshots.evolutionInfo(spark, dir, atVersion)
+    val byVintage = paths.groupBy {
+      case Snapshots.FileCommit(c) => c.toInt
+      case other => throw new IllegalStateException(
+        s"graft-snapshots: cannot attribute $other to a commit")
+    }
+    byVintage.toSeq.sortBy(_._1).map { case (c, ps) =>
+      val inv = inverse.getOrElse(c, Map.empty[String, String])
+      val local = StructType(canon.map(fld =>
+        fld.copy(name = inv.getOrElse(fld.name, fld.name))))
+      spark.read.schema(local)
+        .parquet(ps.map(p => new Path(dir, p).toString): _*)
+        .select(local.fieldNames.zip(canon.fieldNames).map {
+          case (l, cn) => col(s"`$l`").as(cn)
+        }.toSeq ++ posCols: _*)
+    }.reduce(_.unionByName(_))
   }
 
   /** The HadoopFsRelation for version `v` of the table at `dir`. */

@@ -65,6 +65,52 @@ class VideoSpec extends SparkSpec {
       "hand-built sample table must resolve all four payloads")
   }
 
+  test("multi-track file: demux picks the vide-handler trak, not the first") {
+    // real containers often lead with an audio track; a demux that takes
+    // the FIRST trak would hand audio packets to the frame decoder. The
+    // audio trak here is a byte-copy of the video one with its handler
+    // re-typed 'soun' and its chunk offsets shifted one byte — picking
+    // it yields shifted payloads, so the frame-equality pin catches it.
+    val frames = Seq(10, 20, 30).map(v => encodeBmp(8, 4, gray(v, 8, 4)))
+    val mp4 = encodeMp4(frames)
+    def be32At(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+        ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    def find(b: Array[Byte], t: String, from: Int): Int = {
+      val pat = t.getBytes("US-ASCII")
+      (from until b.length - 4).find(i => pat.indices.forall(j =>
+        b(i + j) == pat(j))).getOrElse(fail(s"'$t' not found"))
+    }
+    // slice the whole boxes out of the writer's layout
+    def boxAt(b: Array[Byte], typeIdx: Int): Array[Byte] =
+      java.util.Arrays.copyOfRange(b, typeIdx - 4,
+        typeIdx - 4 + be32At(b, typeIdx - 4))
+    val ftypEnd = be32At(mp4, 0)
+    val mdat = boxAt(mp4, find(mp4, "mdat", 0) )
+    val moovIdx = find(mp4, "moov", 0)
+    val mvhd = boxAt(mp4, find(mp4, "mvhd", moovIdx))
+    val vtrak = boxAt(mp4, find(mp4, "trak", moovIdx))
+    val atrak = vtrak.clone()
+    val hdlrIdx = find(atrak, "vide", 0)
+    "soun".getBytes("US-ASCII").zipWithIndex.foreach { case (c, i) =>
+      atrak(hdlrIdx + i) = c }
+    val stcoIdx = find(atrak, "stco", 0)
+    atrak(stcoIdx + 15) = (atrak(stcoIdx + 15) + 1).toByte // shift c0
+    def box(t: String, body: Array[Byte]): Array[Byte] = {
+      val len = 8 + body.length
+      Array(((len >> 24) & 0xff).toByte, ((len >> 16) & 0xff).toByte,
+        ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++
+        t.getBytes("US-ASCII") ++ body
+    }
+    val ftyp = java.util.Arrays.copyOfRange(mp4, 0, ftypEnd)
+    val multi = ftyp ++ mdat ++ box("moov", mvhd ++ atrak ++ vtrak)
+    val got = demuxMp4(multi)
+    assert(got.size == frames.size)
+    frames.zip(got).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b),
+        "demux must resolve the vide trak's samples") }
+  }
+
   test("demux walks the container and samples every 2nd frame") {
     // 5 frames -> sampled f = 0,2,4
     val frames = Seq(10, 10, 200, 200, 10).map(v => encodeBmp(8, 4, gray(v, 8, 4)))

@@ -464,6 +464,76 @@ class StreamingSnapshotSpec extends SparkSpec {
       (150L to 160L))
   }
 
+  test("readChangeFeed: a signed aggregate converges through delete + rewrite") {
+    import spark.implicits._
+    val dir = tmpDir("cdf")
+    def table(): Seq[(Long, String)] =
+      Snapshots.read(spark, dir, Snapshots.latestVersion(spark, dir))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+
+    Snapshots.commit(spark, dir,
+      (1L to 6L).map(i => (i, s"p$i")).toDF("id", "payload").coalesce(1),
+      append = false)
+
+    // the downstream view: count + a signed id-sum per payload prefix,
+    // maintained PURELY from the feed (inserts +, deletes −)
+    val feed = spark.readStream.format("graft-snapshots")
+      .option("path", dir).option("readChangeFeed", "true").load()
+    assert(feed.schema.fieldNames.takeRight(2).toSeq ==
+      Seq("_change_type", "_commit_version"))
+    val signed = feed.withColumn("sgn",
+      when(col("_change_type") === "insert", 1L).otherwise(-1L))
+    val q = signed.groupBy(lit(1).as("g"))
+      .agg(sum(col("sgn")).as("n"), sum(col("sgn") * col("id")).as("idsum"))
+      .writeStream.format("memory").queryName("cdf_view")
+      .outputMode("complete")
+      .option("checkpointLocation", tmpDir("cdf-cp")).start()
+    def view(): (Long, Long) = {
+      q.processAllAvailable()
+      val r = spark.table("cdf_view").collect().head
+      (r.getLong(1), r.getLong(2))
+    }
+    def expected(): (Long, Long) = {
+      val t = table(); (t.size.toLong, t.map(_._1).sum)
+    }
+    try {
+      assert(view() == expected(), "after the seed commit")
+
+      // append
+      Snapshots.commit(spark, dir,
+        (7L to 9L).map(i => (i, s"p$i")).toDF("id", "payload").coalesce(1),
+        append = true)
+      assert(view() == expected(), "after an append")
+
+      // merge-on-read DELETE: the feed must emit retractions, where the
+      // plain append source refuses and ignoreChanges silently drops
+      Snapshots.deleteWhere(spark, dir, col("id") % 3 === 0)
+      assert(view() == expected(), "after deleteWhere")
+
+      // upsert: replaced rows retract, replacements + new rows insert
+      Snapshots.upsert(spark, dir,
+        Seq((1L, "P1"), (10L, "p10")).toDF("id", "payload"), Seq("id"))
+      assert(view() == expected(), "after an upsert")
+
+      // REWRITE (compaction shape): delete-all + insert-all compensate
+      Snapshots.commit(spark, dir,
+        Snapshots.read(spark, dir, Snapshots.latestVersion(spark, dir))
+          .coalesce(1), append = false)
+      assert(view() == expected(), "after a rewrite")
+    } finally q.stop()
+
+    // exclusivity: the feed REPRESENTS changes, ignoreChanges drops them
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-snapshots")
+        .option("path", dir).option("readChangeFeed", "true")
+        .option("ignoreChanges", "true").load()
+        .writeStream.format("memory").queryName("cdf_bad")
+        .option("checkpointLocation", tmpDir("cdf-bad-cp")).start()
+        .processAllAvailable()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("a legacy bare batch stamp never blocks a new streaming query") {
     import spark.implicits._
     // a table whose head carries the PRE-per-query stamp shape: meta
