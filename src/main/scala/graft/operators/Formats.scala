@@ -754,6 +754,54 @@ object Formats extends QueryPack {
             .as("branch_ok"))
     }),
 
+    // Three-way branch merge (f35): main and a branch DIVERGE from a
+    // shared base (v1 = hot documents) — the branch ingests the non-hot
+    // documents, main appends clone rows (doc_id offset into a
+    // collision-free id space) — then Snapshots.mergeBranch publishes
+    // ONE commit whose manifest unions both sides' additions (pure
+    // metadata, zero data copies) with BOTH parents in vN.meta and
+    // key-level conflict detection on doc_id. Conflict refusal,
+    // fast-forward, and DV-divergence refusal are spec-pinned in
+    // SnapshotsSpec; this row hash-certifies the merged CONTENT and the
+    // two-parent graph shape. Verdict: merged count + checksum
+    // oracle-recomputed by replaying both sides' appends relationally.
+    "f35_branch_merge" -> ((s, d) => {
+      val out = ioDir(d, "f35")
+      val docs = T.documents(s, d)
+      val hot = col("source").isin("src0", "src1", "src2")
+      val clones = docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+        .withColumn("doc_id", col("doc_id") + lit(2000000000000L))
+        .withColumn("source", lit("clone"))
+      writeOnce(s, out, alsoRequire =
+          graft.sources.Snapshots.latestVersion(s, out) == 4) {
+        val fsys = new org.apache.hadoop.fs.Path(out)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fsys.delete(new org.apache.hadoop.fs.Path(out), true)
+        graft.sources.Snapshots.commit(s, out, docs.filter(hot),
+          append = false)
+        graft.sources.Snapshots.createRef(s, out, "ingest")
+        graft.sources.Snapshots.commitOnBranch(s, out, "ingest",
+          docs.filter(!hot), append = true)
+        graft.sources.Snapshots.commit(s, out, clones, append = true)
+        val merged = graft.sources.Snapshots.mergeBranch(s, out,
+          "ingest", keyCols = Seq("doc_id"))
+        require(merged == 4, s"expected merge commit v4, got $merged")
+        ()
+      }
+      val parents = graft.sources.Snapshots.parentsOf(s, out, 4)
+      val got = docSums(s.read.format("graft-snapshots").load(out))
+        .select(col("n").as("gn"), col("h").as("gh"))
+      val want = docSums(docs.unionByName(clones))
+        .select(col("n").as("en"), col("h").as("eh"))
+      got.crossJoin(want)
+        .select(col("en").as("n_merged"), col("eh").as("content_sum"),
+          (col("gn") === col("en") && col("gh") === col("eh"))
+            .as("merged_ok"),
+          lit(parents == Seq(3, 2)).as("two_parents_ok"),
+          lit(graft.sources.Snapshots.mainVersion(s, out) == 4)
+            .as("main_at_merge"))
+    }),
+
     // Streaming SINK certification (f32): the same two-slice documents
     // table as f19, but built by DRIVING writeStream.format(
     // "graft-snapshots") — each micro-batch (hot sources, then the
@@ -1460,6 +1508,25 @@ object Formats extends QueryPack {
       WHERE doc_id % 7 <> 0
       GROUP BY lang
       ORDER BY lang""",
+    // f35: replay both sides' appends relationally (all documents plus
+    // the clone rows main added) and recompute the merged checksum; the
+    // graph-shape booleans pinned TRUE
+    "f35_branch_merge" -> """
+      SELECT CAST(count(*) AS BIGINT) AS n_merged,
+             CAST(sum(CAST(('0x' || substr(md5(
+               CAST(doc_id AS VARCHAR) || chr(1) || text || chr(1) ||
+               lang || chr(1) || source || chr(1) ||
+               CAST(n_chars AS VARCHAR)), 1, 8)) AS BIGINT)) AS BIGINT)
+               AS content_sum,
+             TRUE AS merged_ok,
+             TRUE AS two_parents_ok,
+             TRUE AS main_at_merge
+      FROM (
+        SELECT doc_id, text, lang, source, n_chars FROM documents
+        UNION ALL
+        SELECT doc_id + 2000000000000, text, lang, 'clone', n_chars
+        FROM documents WHERE doc_id % 13 = 0
+      )""",
     // f32: the stream-built table must be indistinguishable from a
     // batch-built one — same recomputation as f19
     "f32_stream_sink" -> """

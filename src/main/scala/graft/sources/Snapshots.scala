@@ -460,13 +460,18 @@ object Snapshots {
     * branch commits record the branch head they grew from, which is
     * what [[fastForward]]'s ancestry check walks. */
   private def writeCommitMeta(f: FileSystem, dir: String, v: Int,
-      parent: Int, streamTxn: Option[(String, Long)] = None): Unit = {
+      parent: Int, streamTxn: Option[(String, Long)] = None,
+      parent2: Option[Int] = None): Unit = {
     val o = f.create(new Path(dir, s"v$v.meta"), true)
     // line 3 (streaming-sink commits only): `queryId:batchId` — the
     // idempotence cursor is scoped PER QUERY, because Structured
     // Streaming batch ids restart at 0 with every fresh checkpoint; a
-    // bare table-wide id would silently drop a new query's early batches
-    val body = s"${System.currentTimeMillis()}\n$parent" +
+    // bare table-wide id would silently drop a new query's early batches.
+    // A merge commit appends its second (branch-side) parent after a
+    // space — commitParent takes the first token, so main's line stays
+    // linear for every ancestry walk.
+    val parents = (parent +: parent2.toSeq).mkString(" ")
+    val body = s"${System.currentTimeMillis()}\n$parents" +
       streamTxn.map { case (q, b) => s"\n$q:$b" }.getOrElse("")
     try o.write(body.getBytes("UTF-8"))
     finally o.close()
@@ -486,12 +491,30 @@ object Snapshots {
     readMeta(f, dir, v).map(_.head.toLong)
       .getOrElse(f.getFileStatus(manifest(dir, v)).getModificationTime)
 
-  /** Version `v`'s parent in the commit graph (0 = a root commit);
-    * the linear predecessor is assumed for pre-parent-pointer tables. */
+  /** Version `v`'s FIRST parent in the commit graph (0 = a root commit);
+    * the linear predecessor is assumed for pre-parent-pointer tables. A
+    * merge commit records two space-separated parents on the meta's
+    * parent line — the first is the MAIN-side parent, so every existing
+    * ancestry walk (time travel, fast-forward, the streaming source's
+    * chain) stays on main's line through a merge. */
   private[sources] def commitParent(f: FileSystem, dir: String,
       v: Int): Int =
-    readMeta(f, dir, v).filter(_.size >= 2).map(_(1).toInt)
+    readMeta(f, dir, v).filter(_.size >= 2)
+      .map(_(1).trim.split(' ').head.toInt)
       .getOrElse(v - 1)
+
+  /** ALL parents of version `v` (two for a merge commit). */
+  private[sources] def commitParents(f: FileSystem, dir: String,
+      v: Int): Seq[Int] =
+    readMeta(f, dir, v).filter(_.size >= 2)
+      .map(_(1).trim.split(' ').toSeq.map(_.toInt))
+      .getOrElse(Seq(v - 1))
+
+  /** Public lineage accessor: version `v`'s parents in the commit graph
+    * — one for a linear commit, two (main-side first) for a
+    * [[mergeBranch]] commit, empty for a root. */
+  def parentsOf(s: SparkSession, dir: String, v: Int): Seq[Int] =
+    commitParents(fs(s, dir), dir, v).filter(_ >= 1)
 
   /** The highest STREAMING SINK batch id that QUERY `queryId` has stamped
     * into any committed version (meta line 3, `queryId:batchId`) — the
@@ -1307,6 +1330,106 @@ object Snapshots {
           s"v$head — refusing a non-fast-forward ref move")
       if (toVersion != head) writeRef(s, f, dir, name, toVersion,
         tag = false)
+    } finally lock.release()
+  }
+
+  /** THREE-WAY MERGE of branch `name` into MAIN: one published commit
+    * whose manifest is the union of both sides' additions since the
+    * merge base (the lowest common ancestor on the parent graph) and
+    * whose `vN.meta` records BOTH parents — main's head first, so every
+    * existing ancestry walk stays on main's line through the merge.
+    *
+    * Supported shape (the lakehouse experiment-lineage case):
+    *  - both sides APPEND-ONLY since the base (each head's file set a
+    *    superset of the base's, no new deletion-vector positions, no
+    *    schema renames on either side's new commits) — the merged
+    *    manifest is pure metadata, ZERO data reads or copies;
+    *  - with `keyCols`, KEY-LEVEL CONFLICT DETECTION: rows appended on
+    *    main and on the branch sharing a key are a conflict — refused
+    *    with a sample, never silently last-writer-wins (resolve by
+    *    upserting one side's rows after the merge instead).
+    * A branch already contained in main returns main's head unchanged;
+    * main un-diverged since the base fast-forwards onto the branch head
+    * (no merge commit — the git semantics). Rewrites or merge-on-read
+    * deletes since the base are refused: reconciling divergent DELETIONS
+    * needs application policy, not a manifest union.
+    *
+    * Scale shape at 100 TB: the fast path touches only manifests and
+    * refs; conflict detection reads ONLY the files each side ADDED
+    * (key columns only, one distinct-join), never the base.
+    * @return the merged version (main's new head) */
+  def mergeBranch(s: SparkSession, dir: String, name: String,
+      keyCols: Seq[String] = Seq.empty): Int = {
+    import org.apache.spark.sql.functions.col
+    val f = fs(s, dir)
+    val lock = claimVersion(f, dir)
+    try {
+      val v = lock.v
+      val (bHead, isTag) = refRead(f, dir, name).getOrElse(
+        throw new IllegalArgumentException(s"no ref '$name' at $dir"))
+      require(!isTag, s"cannot merge tag '$name' — tags are immutable")
+      val mHead = mainHead(f, dir, v - 1)
+      require(mHead >= 1, s"mergeBranch: main has no commits at $dir")
+      def ancestors(x0: Int): List[Int] = {
+        var x = x0; val buf = List.newBuilder[Int]
+        while (x >= 1) {
+          buf += x
+          val p = commitParent(f, dir, x); x = if (p < x) p else 0
+        }
+        buf.result()
+      }
+      val mSet = ancestors(mHead).toSet
+      val base = ancestors(bHead).find(mSet.contains).getOrElse(0)
+      if (bHead == base) return mHead // branch already contained in main
+      if (mHead == base) { // main un-diverged: fast-forward, no commit
+        writeRef(s, f, dir, "main", bHead, tag = false)
+        return bHead
+      }
+      // diverged — validate the append-only shape on both sides
+      def dvCount(x: Int): Long =
+        if (x >= 1 && hasDv(s, dir, x)) dvFrame(s, dir, x).get.count()
+        else 0L
+      val baseDv = dvCount(base)
+      require(dvCount(mHead) == baseDv && dvCount(bHead) == baseDv,
+        s"mergeBranch: merge-on-read deletes since the base v$base — " +
+          "reconciling divergent deletions needs application policy; " +
+          "materialize (optimize) or replay the deletes after the merge")
+      val baseFiles =
+        if (base >= 1) files(s, dir, base) else Seq.empty[String]
+      val mFiles = files(s, dir, mHead)
+      val bFiles = files(s, dir, bHead)
+      def added(head: Seq[String], side: String): Seq[String] = {
+        require(baseFiles.forall(head.toSet.contains),
+          s"mergeBranch: $side rewrote files since the base v$base — " +
+            "only append-only sides merge; rebase the branch instead")
+        head.filterNot(baseFiles.toSet)
+      }
+      val mAdded = added(mFiles, "main")
+      val bAdded = added(bFiles, s"branch '$name'")
+      val newVs = (mAdded ++ bAdded).collect {
+        case FileCommit(c) => c.toInt }.distinct
+      require(newVs.forall(renamesOf(s, dir, _).isEmpty),
+        s"mergeBranch: schema renames on a diverged side — merge " +
+          "before renaming, or rebase")
+      if (keyCols.nonEmpty && mAdded.nonEmpty && bAdded.nonEmpty) {
+        def keysOf(paths: Seq[String]) =
+          s.read.parquet(paths.map(p => new Path(dir, p).toString): _*)
+            .select(keyCols.map(col): _*).distinct()
+        val conflicts = keysOf(mAdded).join(keysOf(bAdded), keyCols)
+        val sample = conflicts.limit(3).collect()
+        require(sample.isEmpty,
+          s"mergeBranch: both sides appended rows for key(s) " +
+            s"${sample.mkString(", ")} … — resolve by rebasing or " +
+            "upserting one side after a merge of the rest")
+      }
+      // publish: union manifest, both parents, base's DV carried
+      if (baseDv > 0)
+        dvFrame(s, dir, mHead).foreach(
+          _.write.mode("overwrite").parquet(dvDir(dir, v).toString))
+      writeCommitMeta(f, dir, v, mHead, parent2 = Some(bHead))
+      writeManifest(f, dir, v, baseFiles ++ mAdded ++ bAdded)
+      writeRef(s, f, dir, "main", v, tag = false)
+      v
     } finally lock.release()
   }
 

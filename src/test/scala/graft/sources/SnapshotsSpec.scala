@@ -923,6 +923,68 @@ class SnapshotsSpec extends SparkSpec {
     fs.delete(p, false)
   }
 
+  test("mergeBranch: disjoint auto-merge, conflicts refused, both parents") {
+    import spark.implicits._
+    val dir = tmpDir("merge")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Snapshots.commit(spark, dir, df(1 to 10).coalesce(1), append = false)
+    Snapshots.createRef(spark, dir, "exp")
+
+    // CONTAINED branch (no commits): merging is a no-op at main's head
+    assert(Snapshots.mergeBranch(spark, dir, "exp") == 1)
+
+    // FAST-FORWARD: branch ahead, main un-diverged — main moves to the
+    // branch head without a merge commit
+    Snapshots.commitOnBranch(spark, dir, "exp", df(11 to 15).coalesce(1),
+      append = true)
+    assert(Snapshots.mergeBranch(spark, dir, "exp") == 2)
+    assert(Snapshots.mainVersion(spark, dir) == 2)
+    assert(idsOf(dir, 2) == (1L to 15L))
+
+    // DIVERGED, disjoint keys: one merge commit unions both sides'
+    // additions — metadata only, and the meta records BOTH parents
+    Snapshots.commit(spark, dir, df(16 to 20).coalesce(1), append = true)
+    Snapshots.commitOnBranch(spark, dir, "exp", df(21 to 25).coalesce(1),
+      append = true)
+    val merged = Snapshots.mergeBranch(spark, dir, "exp", Seq("id"))
+    assert(merged == 5 && Snapshots.mainVersion(spark, dir) == 5)
+    assert(idsOf(dir, merged) == (1L to 25L))
+    assert(Snapshots.commitParents(fs, dir, merged) == Seq(3, 4),
+      "merge meta must record main's head first, then the branch head")
+    // ancestry walks stay on main's line through the merge
+    assert(Snapshots.commitParent(fs, dir, merged) == 3)
+    // both parents' content is still addressable
+    assert(idsOf(dir, 3) == (1L to 20L))
+    assert(idsOf(dir, 4) == ((1L to 15L) ++ (21L to 25L)))
+
+    // KEY CONFLICT: both sides append id=100 → refused with a sample
+    Snapshots.commit(spark, dir, df(100 to 101).coalesce(1), append = true)
+    Snapshots.commitOnBranch(spark, dir, "exp",
+      df(100 to 100).coalesce(1), append = true)
+    val conflict = intercept[IllegalArgumentException] {
+      Snapshots.mergeBranch(spark, dir, "exp", Seq("id"))
+    }
+    assert(conflict.getMessage.contains("both sides appended"),
+      conflict.getMessage)
+    // …but WITHOUT key checking the same merge goes through (documented:
+    // caller's policy), so the guard is what the keyCols arg buys
+    assert(Snapshots.mainVersion(spark, dir) == 6)
+
+    // DV divergence: a delete on main since the base refuses the merge
+    val dir2 = tmpDir("mergedv")
+    Snapshots.commit(spark, dir2, df(1 to 10).coalesce(1), append = false)
+    Snapshots.createRef(spark, dir2, "b")
+    Snapshots.commitOnBranch(spark, dir2, "b", df(11 to 12).coalesce(1),
+      append = true)
+    Snapshots.commit(spark, dir2, df(13 to 14).coalesce(1), append = true)
+    Snapshots.deleteWhere(spark, dir2, col("id") === 1)
+    val dv = intercept[IllegalArgumentException] {
+      Snapshots.mergeBranch(spark, dir2, "b")
+    }
+    assert(dv.getMessage.contains("merge-on-read deletes"), dv.getMessage)
+  }
+
   /** Jobs submitted while `op` runs, isolated via a job group (the ops
     * are synchronous, so every job is registered before `op` returns). */
   private def jobsDuring(tag: String)(op: => Unit): Int = {
