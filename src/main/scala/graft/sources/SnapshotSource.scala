@@ -164,6 +164,19 @@ class SnapshotSource extends RelationProvider
       "graft-snapshots requires a path (load(dir) or option(\"path\", …))"))
     val latest = Snapshots.latestVersion(spark, dir)
     require(latest >= 1, s"graft-snapshots: no committed versions at $dir")
+    if (parameters.get("readchangefeed").exists(_.toBoolean)) {
+      // batch CDF: the change rows of [startingVersion, endingVersion]
+      val head = Snapshots.mainVersion(spark, dir)
+      val from = parameters.get("startingversion").map(_.toInt)
+        .getOrElse(1)
+      val to = parameters.get("endingversion").map(_.toInt)
+        .getOrElse(head)
+      require(from >= 1 && to >= from && to <= head,
+        s"graft-snapshots: readChangeFeed range [$from, $to] not " +
+          s"within [1, $head] at $dir")
+      return new ChangeFeedBatchRelation(spark, dir, from - 1, to,
+        Snapshots.evolutionInfo(spark, dir, head)._1)
+    }
     val v = resolveVersion(spark, dir, parameters, latest)
     SnapshotSource.relationFor(spark, dir, v,
       parameters.get("maxdvpositions").map(_.toLong).getOrElse(20000000L))
@@ -380,7 +393,6 @@ private[graft] class SnapshotChangeFeedSource(spark: SparkSession,
 
   import org.apache.spark.sql.execution.streaming.{Offset => SrcOffset}
   import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-  import org.apache.spark.sql.functions.{col, lit}
 
   override val schema: StructType = SnapshotSource.cdfSchema(tableSchema)
 
@@ -394,83 +406,45 @@ private[graft] class SnapshotChangeFeedSource(spark: SparkSession,
     case other => other.json.trim.toInt
   }
 
-  /** (file_path, row_index) positions of `v`'s DV not in `parent`'s. */
-  private def dvDelta(v: Int, parent: Int): Option[DataFrame] =
-    Snapshots.dvFrame(spark, dir, v).map { cur =>
-      (if (parent >= 1) Snapshots.dvFrame(spark, dir, parent) else None)
-        .map(p => cur.join(p, Seq("file_path", "row_index"), "left_anti"))
-        .getOrElse(cur)
-    }
-
-  /** Live rows of version `v` under the canonical schema (file set
-    * anti-joined with `v`'s own DV). */
-  private def liveRows(v: Int): DataFrame = {
-    val withPos = SnapshotSource.readCanonical(spark, dir,
-      Snapshots.files(spark, dir, v), v, tableSchema, withPos = true)
-    Snapshots.dvFrame(spark, dir, v)
-      .map(dv => withPos.join(dv.select(col("file_path").as("_fp"),
-        col("row_index").as("_ri")), Seq("_fp", "_ri"), "left_anti"))
-      .getOrElse(withPos)
-      .drop("_fp", "_ri")
-  }
-
-  private def stamped(df: DataFrame, change: String, v: Int): DataFrame =
-    df.withColumn("_change_type", lit(change))
-      .withColumn("_commit_version", lit(v.toLong))
-
   override def getBatch(start: Option[SrcOffset], end: SrcOffset)
-      : DataFrame = {
-    val f = new Path(dir).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val v0 = start.map(versionOf).getOrElse(startingVersion - 1)
-    val v1 = versionOf(end)
-    // main's parent chain (ascending) over (v0, v1] — branch commits
-    // share the version counter but are not on this line
-    val chain = scala.collection.mutable.ArrayBuffer.empty[Int]
-    var v = v1
-    while (v > v0 && v >= 1) {
-      chain += v
-      val parent = Snapshots.commitParent(f, dir, v)
-      v = if (parent < v) parent else -1
-    }
-    val frames = chain.reverseIterator.flatMap { cv =>
-      val parent = Snapshots.commitParent(f, dir, cv)
-      val parentFiles: Seq[String] =
-        if (parent >= 1) Snapshots.files(spark, dir, parent) else Seq.empty
-      val curFiles = Snapshots.files(spark, dir, cv)
-      if (parentFiles.forall(curFiles.toSet.contains)) {
-        // append-shaped commit: added files insert, DV delta deletes
-        val added = curFiles.filterNot(parentFiles.toSet)
-        val inserts =
-          if (added.isEmpty) None
-          else Some(stamped(SnapshotSource.readCanonical(spark, dir,
-            added, cv, tableSchema, withPos = false), "insert", cv))
-        val deletes = dvDelta(cv, parent).map { delta =>
-          val parentRows = SnapshotSource.readCanonical(spark, dir,
-            parentFiles, cv, tableSchema, withPos = true)
-          stamped(parentRows.join(delta.select(
-              col("file_path").as("_fp"), col("row_index").as("_ri")),
-              Seq("_fp", "_ri"), "left_semi")
-            .drop("_fp", "_ri"), "delete", cv)
-        }
-        inserts.toSeq ++ deletes.toSeq
-      } else {
-        // rewrite: retract the parent's live rows, insert the new ones
-        val dels =
-          if (parent >= 1) Seq(stamped(liveRows(parent), "delete", cv))
-          else Seq.empty
-        dels :+ stamped(liveRows(cv), "insert", cv)
-      }
-    }.toSeq
-    val batch = frames.reduceOption(_.unionByName(_)).getOrElse(
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
-    org.apache.spark.sql.GraftBatchView.asStreaming(batch)
-  }
+      : DataFrame =
+    org.apache.spark.sql.GraftBatchView.asStreaming(
+      SnapshotSource.changesBetween(spark, dir,
+        start.map(versionOf).getOrElse(startingVersion - 1),
+        versionOf(end), tableSchema))
 
   override def commit(end: SrcOffset): Unit = ()
   override def stop(): Unit = ()
   override def toString: String = s"SnapshotChangeFeedSource[$dir]"
+}
+
+/** BATCH change-feed read (`spark.read.format("graft-snapshots")
+  * .option("readChangeFeed", "true")`): the change rows of versions
+  * `[startingVersion, endingVersion]` (defaults: 1 and main's head) in
+  * one DataFrame — the audit/backfill complement of the streaming feed,
+  * same columns, same per-version delta semantics
+  * ([[SnapshotSource.changesBetween]]). */
+private[sources] class ChangeFeedBatchRelation(spark: SparkSession,
+    dir: String, fromExclusive: Int, to: Int,
+    tableSchema: StructType)
+    extends BaseRelation with PrunedFilteredScan {
+
+  override val schema: StructType = SnapshotSource.cdfSchema(tableSchema)
+  override def sqlContext: SQLContext = spark.sqlContext
+  override def needConversion: Boolean = false
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
+    filters
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): org.apache.spark.rdd.RDD[
+      org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.functions.col
+    SnapshotSource.changesBetween(spark, dir, fromExclusive, to,
+        tableSchema)
+      .select(requiredColumns.map(col).toSeq: _*)
+      .queryExecution.toRdd
+      .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+  }
 }
 
 /** The `graft-snapshots` streaming sink (see
@@ -548,12 +522,96 @@ object SnapshotSource {
   }
 
   /** The change-feed schema: the table's columns plus the change
-    * metadata pair (the Delta CDF column shape). */
+    * metadata triple (the Delta CDF column shape). */
   private[sources] def cdfSchema(table: StructType): StructType = table
     .add("_change_type", org.apache.spark.sql.types.StringType,
       nullable = false)
     .add("_commit_version", org.apache.spark.sql.types.LongType,
       nullable = false)
+    .add("_commit_timestamp", org.apache.spark.sql.types.TimestampType,
+      nullable = false)
+
+  /** The row-level changes of main-line versions in `(v0, v1]` — the
+    * shared assembly behind the streaming change feed and the batch
+    * `readChangeFeed` relation. Per version, against its parent: added
+    * files' rows as `insert`s; new deletion-vector positions as
+    * `delete` rows (content read from the parent's files, where they
+    * still physically live); a REWRITE as compensating delete-all of
+    * the parent's live rows + insert-all of the version's. Each row is
+    * stamped `_change_type` / `_commit_version` / `_commit_timestamp`
+    * (the vN.meta instant, purge-durable). Scale shape: reads only the
+    * delta's files, plus the parent file set a DV delta position-joins
+    * — never table history. */
+  private[sources] def changesBetween(spark: SparkSession, dir: String,
+      v0: Int, v1: Int, tableSchema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, timestamp_millis}
+    val f = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def stamped(df: DataFrame, change: String, v: Int): DataFrame =
+      df.withColumn("_change_type", lit(change))
+        .withColumn("_commit_version", lit(v.toLong))
+        .withColumn("_commit_timestamp",
+          timestamp_millis(lit(Snapshots.commitInstant(f, dir, v))))
+    def dvDelta(v: Int, parent: Int): Option[DataFrame] =
+      Snapshots.dvFrame(spark, dir, v).map { cur =>
+        (if (parent >= 1) Snapshots.dvFrame(spark, dir, parent) else None)
+          .map(p => cur.join(p, Seq("file_path", "row_index"),
+            "left_anti"))
+          .getOrElse(cur)
+      }
+    def liveRows(v: Int): DataFrame = {
+      val withPos = readCanonical(spark, dir,
+        Snapshots.files(spark, dir, v), v, tableSchema, withPos = true)
+      Snapshots.dvFrame(spark, dir, v)
+        .map(dv => withPos.join(dv.select(col("file_path").as("_fp"),
+          col("row_index").as("_ri")), Seq("_fp", "_ri"), "left_anti"))
+        .getOrElse(withPos)
+        .drop("_fp", "_ri")
+    }
+    // main's parent chain (ascending) over (v0, v1] — branch commits
+    // share the version counter but are not on this line
+    val chain = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var v = v1
+    while (v > v0 && v >= 1) {
+      chain += v
+      val parent = Snapshots.commitParent(f, dir, v)
+      v = if (parent < v) parent else -1
+    }
+    val frames = chain.reverseIterator.flatMap { cv =>
+      val parent = Snapshots.commitParent(f, dir, cv)
+      val parentFiles: Seq[String] =
+        if (parent >= 1) Snapshots.files(spark, dir, parent)
+        else Seq.empty
+      val curFiles = Snapshots.files(spark, dir, cv)
+      if (parentFiles.forall(curFiles.toSet.contains)) {
+        // append-shaped commit: added files insert, DV delta deletes
+        val added = curFiles.filterNot(parentFiles.toSet)
+        val inserts =
+          if (added.isEmpty) None
+          else Some(stamped(readCanonical(spark, dir,
+            added, cv, tableSchema, withPos = false), "insert", cv))
+        val deletes = dvDelta(cv, parent).map { delta =>
+          val parentRows = readCanonical(spark, dir,
+            parentFiles, cv, tableSchema, withPos = true)
+          stamped(parentRows.join(delta.select(
+              col("file_path").as("_fp"), col("row_index").as("_ri")),
+              Seq("_fp", "_ri"), "left_semi")
+            .drop("_fp", "_ri"), "delete", cv)
+        }
+        inserts.toSeq ++ deletes.toSeq
+      } else {
+        // rewrite: retract the parent's live rows, insert the new ones
+        val dels =
+          if (parent >= 1) Seq(stamped(liveRows(parent), "delete", cv))
+          else Seq.empty
+        dels :+ stamped(liveRows(cv), "insert", cv)
+      }
+    }.toSeq
+    frames.reduceOption(_.unionByName(_)).getOrElse(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        cdfSchema(tableSchema)))
+  }
 
   /** Manifest-relative `paths` read under the CANONICAL column names of
     * version `atVersion` — per-vintage schema remap (renamed columns are

@@ -487,7 +487,8 @@ object Snapshots {
   /** The instant version `v` was committed: the `vN.meta` side-file if
     * present, else the manifest's mtime (tables written before the meta
     * file existed — correct as long as they were never purged). */
-  private def commitInstant(f: FileSystem, dir: String, v: Int): Long =
+  private[sources] def commitInstant(f: FileSystem, dir: String,
+      v: Int): Long =
     readMeta(f, dir, v).map(_.head.toLong)
       .getOrElse(f.getFileStatus(manifest(dir, v)).getModificationTime)
 

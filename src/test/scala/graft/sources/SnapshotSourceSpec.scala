@@ -174,6 +174,48 @@ class SnapshotSourceSpec extends SparkSpec {
       "versionAsOf" -> "1")) == (1L to 20L))
   }
 
+  test("batch readChangeFeed: ranged change rows with stamps") {
+    val dir = tmpDir("srccdf")
+    Snapshots.commit(spark, dir, df(1 to 5).coalesce(1), append = false)
+    Snapshots.commit(spark, dir, df(6 to 8).coalesce(1), append = true)
+    Snapshots.deleteWhere(spark, dir, col("id") === 2)
+    import spark.implicits._
+    Snapshots.upsert(spark, dir,
+      Seq((3L, "B3"), (9L, "row9")).toDF("id", "payload"), Seq("id"))
+
+    val all = readFmt(dir, "readChangeFeed" -> "true")
+    assert(all.schema.fieldNames.takeRight(3).toSeq ==
+      Seq("_change_type", "_commit_version", "_commit_timestamp"))
+    def byType(frame: org.apache.spark.sql.DataFrame) =
+      frame.groupBy(col("_change_type")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // v1: 5 ins; v2: 3 ins; v3: 1 del; v4: 2 ins (upsert batch) + 1 del
+    assert(byType(all) == Map("insert" -> 10L, "delete" -> 2L))
+    // the feed REPLAYS to the head: signed fold == current live set
+    val replayed = all.groupBy(col("id"))
+      .agg(sum(when(col("_change_type") === "insert", 1)
+        .otherwise(-1)).as("s"))
+      .filter(col("s") > 0).select(col("id"))
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(replayed == ids(readFmt(dir)))
+    // ranged read isolates versions; timestamps are the commit instants
+    val v3 = readFmt(dir, "readChangeFeed" -> "true",
+      "startingVersion" -> "3", "endingVersion" -> "3")
+    assert(byType(v3) == Map("delete" -> 1L))
+    assert(v3.select(col("_commit_version")).collect()
+      .map(_.getLong(0)).toSeq == Seq(3L))
+    assert(v3.select(col("_commit_timestamp")).collect()
+      .head.getTimestamp(0).getTime > 0L)
+    // column pruning + filters compose
+    assert(readFmt(dir, "readChangeFeed" -> "true")
+      .filter(col("_change_type") === "delete")
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted ==
+      Seq(2L, 3L))
+    intercept[IllegalArgumentException] {
+      readFmt(dir, "readChangeFeed" -> "true", "endingVersion" -> "9")
+    }
+  }
+
   test("branch option reads a ref head; default follows main") {
     val dir = tmpDir("srcbranch")
     Snapshots.commit(spark, dir, df(1 to 10).coalesce(1), append = false)

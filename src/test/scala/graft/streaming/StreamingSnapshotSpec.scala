@@ -479,8 +479,8 @@ class StreamingSnapshotSpec extends SparkSpec {
     // maintained PURELY from the feed (inserts +, deletes −)
     val feed = spark.readStream.format("graft-snapshots")
       .option("path", dir).option("readChangeFeed", "true").load()
-    assert(feed.schema.fieldNames.takeRight(2).toSeq ==
-      Seq("_change_type", "_commit_version"))
+    assert(feed.schema.fieldNames.takeRight(3).toSeq ==
+      Seq("_change_type", "_commit_version", "_commit_timestamp"))
     val signed = feed.withColumn("sgn",
       when(col("_change_type") === "insert", 1L).otherwise(-1L))
     val q = signed.groupBy(lit(1).as("g"))
