@@ -48,7 +48,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * / [[Snapshots.updateWhere]], so the SQL path and the Scala API
   * produce byte-identical versions (GraftCatalogSpec pins it).
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catName: String = _
   private var warehouse: String = _
@@ -170,6 +171,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!f.rename(from, to)) throw new java.io.IOException(
       s"graft catalog: rename $from -> $to failed")
   }
+
+  // ---- SQL-callable maintenance: CALL graft.system.<proc>(...) ----------
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(this, ident)
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] = GraftProcedures.list(this, namespace)
 
   // ---- namespaces: plain warehouse subdirectories ------------------------
 

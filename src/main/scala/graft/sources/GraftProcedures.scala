@@ -1,0 +1,138 @@
+package graft.sources
+
+import java.util.Collections
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The `graft` catalog's SQL-callable MAINTENANCE surface — Spark 4.1
+  * DSv2 stored procedures (`CALL graft.system.optimize(...)`), the same
+  * completion move as the DML rules: every table-format verb a user
+  * needs operationally (clustering, retention, lineage) is reachable
+  * from plain SQL, not Scala-only. Procedure results come back as rows
+  * (a [[LocalScan]]), so `CALL` composes with the session like any
+  * query.
+  *
+  * | procedure | maps to | returns |
+  * |---|---|---|
+  * | `system.optimize(table, zorder_cols, bits, num_files)` | [[Snapshots.optimize]] | `version` |
+  * | `system.vacuum(table, keep)` | [[Snapshots.vacuum]] | `files_deleted, versions_dropped` |
+  * | `system.create_ref(table, name, version, tag)` | [[Snapshots.createRef]] | `version` |
+  * | `system.drop_ref(table, name)` | [[Snapshots.dropRef]] | `name` |
+  * | `system.fast_forward(table, name, to_version)` | [[Snapshots.fastForward]] | `version` |
+  * | `system.merge_branch(table, name, key_cols)` | [[Snapshots.mergeBranch]] | `version` |
+  *
+  * `table` is the catalog-relative identifier (`db.t`); list-valued
+  * parameters are comma-separated strings (SQL arrays don't bind to
+  * procedure params portably).
+  */
+private[sources] object GraftProcedures {
+
+  private def spark = SparkSession.active
+
+  private def param(name: String, dt: DataType) =
+    ProcedureParameter.in(name, dt).build()
+  private def paramD(name: String, dt: DataType, default: String) =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+
+  private def str(r: InternalRow, i: Int): String =
+    r.getUTF8String(i).toString
+  private def csv(r: InternalRow, i: Int): Seq[String] =
+    str(r, i).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+
+  private def rowsOf(schema: StructType, values: Seq[Any]): Scan = {
+    val converted = values.map {
+      case s: String => UTF8String.fromString(s)
+      case other => other
+    }
+    new LocalScan {
+      override def rows(): Array[InternalRow] =
+        Array(InternalRow.fromSeq(converted))
+      override def readSchema(): StructType = schema
+    }
+  }
+
+  private val versionOut = new StructType().add("version", IntegerType)
+
+  /** One procedure: fixed parameter list, a body from (dir, args) to
+    * (result schema, result row). */
+  private final class Proc(val name: String,
+      params: Seq[ProcedureParameter],
+      body: (String, InternalRow) => (StructType, Seq[Any]))
+      extends UnboundProcedure with BoundProcedure {
+    override def description(): String = s"graft $name"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params.toArray
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val (schema, values) = body(str(input, 0), input)
+      Collections.singletonList(rowsOf(schema, values)).iterator()
+    }
+  }
+
+  private def procs(catalog: GraftCatalog): Map[String, Proc] = {
+    def dirOf(table: String): String = {
+      val parts = table.split('.')
+      catalog.tableDir(Identifier.of(parts.init, parts.last))
+    }
+    def make(name: String, ps: Seq[ProcedureParameter])(
+        body: (String, InternalRow) => (StructType, Seq[Any])) =
+      name -> new Proc(name, param("table", StringType) +: ps,
+        (table, in) => body(dirOf(table), in))
+    Map(
+      make("optimize", Seq(param("zorder_cols", StringType),
+          paramD("bits", IntegerType, "8"),
+          paramD("num_files", IntegerType, "8"))) { (dir, in) =>
+        (versionOut, Seq(Snapshots.optimize(spark, dir, csv(in, 1),
+          bits = in.getInt(2), numFiles = in.getInt(3))))
+      },
+      make("vacuum", Seq(param("keep", IntegerType))) { (dir, in) =>
+        val (files, versions) = Snapshots.vacuum(spark, dir, in.getInt(1))
+        (new StructType().add("files_deleted", IntegerType)
+          .add("versions_dropped", IntegerType), Seq(files, versions))
+      },
+      make("create_ref", Seq(param("name", StringType),
+          paramD("version", IntegerType, "-1"),
+          paramD("tag", BooleanType, "false"))) { (dir, in) =>
+        (versionOut, Seq(Snapshots.createRef(spark, dir, str(in, 1),
+          version = in.getInt(2), tag = in.getBoolean(3))))
+      },
+      make("drop_ref", Seq(param("name", StringType))) { (dir, in) =>
+        Snapshots.dropRef(spark, dir, str(in, 1))
+        (new StructType().add("name", StringType), Seq(str(in, 1)))
+      },
+      make("fast_forward", Seq(param("name", StringType),
+          param("to_version", IntegerType))) { (dir, in) =>
+        Snapshots.fastForward(spark, dir, str(in, 1), in.getInt(2))
+        (versionOut, Seq(in.getInt(2)))
+      },
+      make("merge_branch", Seq(param("name", StringType),
+          paramD("key_cols", StringType, "''"))) { (dir, in) =>
+        (versionOut, Seq(Snapshots.mergeBranch(spark, dir, str(in, 1),
+          keyCols = csv(in, 2))))
+      }
+    )
+  }
+
+  def load(catalog: GraftCatalog, ident: Identifier): UnboundProcedure = {
+    require(ident.namespace.toSeq == Seq("system"),
+      s"graft catalog: procedures live in the 'system' namespace " +
+        s"(CALL ${catalog.name()}.system.<proc>), got $ident")
+    procs(catalog).getOrElse(ident.name,
+      throw new RuntimeException(
+        s"graft catalog: no procedure '${ident.name}' — available: " +
+          procs(catalog).keys.toSeq.sorted.mkString(", ")))
+  }
+
+  def list(catalog: GraftCatalog,
+      namespace: Array[String]): Array[Identifier] =
+    if (namespace.toSeq == Seq("system") || namespace.isEmpty)
+      procs(catalog).keys.toSeq.sorted
+        .map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
+}

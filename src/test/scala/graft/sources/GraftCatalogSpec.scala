@@ -279,6 +279,51 @@ class GraftCatalogSpec extends SparkSpec {
     assert(Snapshots.latestVersion(spark, dirOf("db", "ctas")) == 1)
   }
 
+  test("CALL graft.system.*: maintenance procedures from SQL") {
+    warehouse
+    sql("CREATE TABLE graft.db.proc (id BIGINT, payload STRING)")
+    sql("INSERT INTO graft.db.proc VALUES (3, 'c'), (1, 'a')")
+    sql("INSERT INTO graft.db.proc VALUES (2, 'b'), (4, 'd')")
+    val dir = dirOf("db", "proc")
+
+    // optimize: z-order rewrite publishes a new version with stats
+    val opt = sql("CALL graft.system.optimize(table => 'db.proc', " +
+      "zorder_cols => 'id')").collect()
+    assert(opt.map(_.getInt(0)).toSeq == Seq(3))
+    assert(rows("SELECT * FROM graft.db.proc") ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+
+    // branch lifecycle end-to-end through CALL
+    sql("CALL graft.system.create_ref(table => 'db.proc', name => 'exp')")
+    Snapshots.commitOnBranch(spark, dir, "exp",
+      { import spark.implicits._
+        Seq((10L, "x")).toDF("id", "payload") }, append = true)
+    sql("INSERT INTO graft.db.proc VALUES (20, 'y')")
+    val merged = sql("CALL graft.system.merge_branch(" +
+      "table => 'db.proc', name => 'exp', key_cols => 'id')").collect()
+    assert(merged.head.getInt(0) == 6)
+    assert(rows("SELECT * FROM graft.db.proc").map(_._1) ==
+      Seq(1L, 2L, 3L, 4L, 10L, 20L))
+    sql("CALL graft.system.drop_ref(table => 'db.proc', name => 'exp')")
+    assert(!Snapshots.refs(spark, dir).contains("exp"))
+
+    // vacuum: retention by count, reported as rows
+    val vac = sql("CALL graft.system.vacuum(table => 'db.proc', " +
+      "keep => 1)").collect()
+    assert(vac.head.getInt(1) >= 1, "versions_dropped must be reported")
+    assert(rows("SELECT * FROM graft.db.proc").map(_._1) ==
+      Seq(1L, 2L, 3L, 4L, 10L, 20L))
+
+    // unknown procedure fails loudly (Spark wraps the catalog's error,
+    // which carries the available-procedure list, as the cause)
+    val e = intercept[Exception] {
+      sql("CALL graft.system.nope(table => 'db.proc')")
+    }
+    assert(e.getMessage.contains("FAILED_TO_LOAD_ROUTINE"), e.getMessage)
+    assert(Option(e.getCause).exists(_.getMessage.contains("optimize")),
+      s"cause should list available procedures: ${e.getCause}")
+  }
+
   test("racing first INSERTs both land (append decided in-claim)") {
     warehouse
     import spark.implicits._
