@@ -26,6 +26,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * | `system.drop_ref(table, name)` | [[Snapshots.dropRef]] | `name` |
   * | `system.fast_forward(table, name, to_version)` | [[Snapshots.fastForward]] | `version` |
   * | `system.merge_branch(table, name, key_cols)` | [[Snapshots.mergeBranch]] | `version` |
+  * | `system.change_view(table, view_name, starting_version, ending_version)` | temp view over [[ChangeFeedBatchRelation]] | `view_name, from_version, to_version` |
   *
   * `table` is the catalog-relative identifier (`db.t`); list-valued
   * parameters are comma-separated strings (SQL arrays don't bind to
@@ -115,6 +116,30 @@ private[sources] object GraftProcedures {
           paramD("key_cols", StringType, "''"))) { (dir, in) =>
         (versionOut, Seq(Snapshots.mergeBranch(spark, dir, str(in, 1),
           keyCols = csv(in, 2))))
+      },
+      // the catalog user's road to the CHANGE FEED without knowing the
+      // table's directory: registers a temp view over the distributed
+      // batch-CDF relation (the view SCANS lazily — only the
+      // registration runs at CALL time)
+      make("change_view", Seq(param("view_name", StringType),
+          paramD("starting_version", IntegerType, "1"),
+          paramD("ending_version", IntegerType, "-1"))) { (dir, in) =>
+        val head = Snapshots.mainVersion(spark, dir)
+        val from = in.getInt(2)
+        val to = if (in.getInt(3) >= 1) in.getInt(3) else head
+        require(from >= 1 && to >= from && to <= head,
+          s"change_view: version range [$from, $to] not within " +
+            s"[1, $head]")
+        val rel = new ChangeFeedBatchRelation(spark, dir, from - 1, to,
+          Snapshots.evolutionInfo(spark, dir, head)._1)
+        org.apache.spark.sql.GraftBatchView.ofRows(spark,
+          org.apache.spark.sql.execution.datasources.LogicalRelation(
+            rel, false))
+          .createOrReplaceTempView(str(in, 1))
+        (new StructType().add("view_name", StringType)
+          .add("from_version", IntegerType)
+          .add("to_version", IntegerType),
+          Seq(str(in, 1), from, to))
       }
     )
   }

@@ -314,6 +314,20 @@ class GraftCatalogSpec extends SparkSpec {
     assert(rows("SELECT * FROM graft.db.proc").map(_._1) ==
       Seq(1L, 2L, 3L, 4L, 10L, 20L))
 
+    // change_view: the feed reachable from SQL without knowing the dir
+    sql("CREATE TABLE graft.db.cv (id BIGINT, payload STRING)")
+    sql("INSERT INTO graft.db.cv VALUES (1, 'a'), (2, 'b')")
+    sql("DELETE FROM graft.db.cv WHERE id = 2")
+    sql("CALL graft.system.change_view(table => 'db.cv', " +
+      "view_name => 'cv_changes')")
+    val changes = sql("SELECT _change_type, count(*) AS n FROM " +
+      "cv_changes GROUP BY 1 ORDER BY 1").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(changes == Map("insert" -> 2L, "delete" -> 1L), s"$changes")
+    // the delete row's content is visible in the feed
+    assert(sql("SELECT id FROM cv_changes WHERE _change_type = " +
+      "'delete'").collect().map(_.getLong(0)).toSeq == Seq(2L))
+
     // unknown procedure fails loudly (Spark wraps the catalog's error,
     // which carries the available-procedure list, as the cause)
     val e = intercept[Exception] {
