@@ -117,6 +117,13 @@ private[sources] object GraftProcedures {
         (versionOut, Seq(Snapshots.mergeBranch(spark, dir, str(in, 1),
           keyCols = csv(in, 2))))
       },
+      // the table's storage directory — what readStream/format-level
+      // access needs (the streaming change feed has no catalog-name
+      // entry point; `spark.readStream.format("graft-snapshots")
+      // .option("path", dir)` does)
+      make("table_dir", Seq.empty) { (dir, _) =>
+        (new StructType().add("dir", StringType), Seq(dir))
+      },
       // the catalog user's road to the CHANGE FEED without knowing the
       // table's directory: registers a temp view over the distributed
       // batch-CDF relation (the view SCANS lazily — only the

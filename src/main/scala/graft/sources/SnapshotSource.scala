@@ -591,8 +591,16 @@ object SnapshotSource {
           else Some(stamped(readCanonical(spark, dir,
             added, cv, tableSchema, withPos = false), "insert", cv))
         val deletes = dvDelta(cv, parent).map { delta =>
+          // only the files the delta's positions actually reference are
+          // opened (file list = a bounded metadata collect), not the
+          // whole parent set — at 100 TB a small delete's change batch
+          // reads a handful of files, never the table
+          val touched = delta.select(col("file_path")).distinct()
+            .collect().map(r => new Path(r.getString(0)).getName).toSet
+          val needed = parentFiles.filter(p =>
+            touched.contains(new Path(p).getName))
           val parentRows = readCanonical(spark, dir,
-            parentFiles, cv, tableSchema, withPos = true)
+            needed, cv, tableSchema, withPos = true)
           stamped(parentRows.join(delta.select(
               col("file_path").as("_fp"), col("row_index").as("_ri")),
               Seq("_fp", "_ri"), "left_semi")

@@ -328,6 +328,13 @@ class GraftCatalogSpec extends SparkSpec {
     assert(sql("SELECT id FROM cv_changes WHERE _change_type = " +
       "'delete'").collect().map(_.getLong(0)).toSeq == Seq(2L))
 
+    // table_dir hands format-level entry points the storage path
+    val tdir = sql("CALL graft.system.table_dir(table => 'db.cv')")
+      .collect().head.getString(0)
+    assert(tdir == dirOf("db", "cv"))
+    assert(spark.read.format("graft-snapshots").load(tdir)
+      .count() == 1)
+
     // unknown procedure fails loudly (Spark wraps the catalog's error,
     // which carries the available-procedure list, as the cause)
     val e = intercept[Exception] {
