@@ -110,17 +110,60 @@ object Similarity extends QueryPack {
       SparkSession.active.sparkContext.broadcast(cents), nprobe,
       U.expression(v)))
 
+  /** Upper bound on partial-sum rows per (cell, pos) key that reach the
+    * driver: per-partition partials are reduced to ≤ this many contiguous
+    * pid-blocks first ([[blockPartials]]), so driver state per Lloyd
+    * iteration is O(k·d·COMBINE_BLOCKS) regardless of input partition
+    * count — at 100 TB (~10⁵–10⁶ partitions) the old O(k·d·P) collect
+    * would be GBs of driver heap; this keeps it a few MB.
+    */
+  private[operators] val COMBINE_BLOCKS = 64
+
+  /** Deterministically reduce per-(keys, pid) partial FP sums to
+    * per-(keys, block) partials, blocks = ≤ [[COMBINE_BLOCKS]] CONTIGUOUS
+    * pid ranges. In-block combination folds in ascending-pid order
+    * (`sort_array` fixes `collect_list`'s arrival order; `aggregate` folds
+    * sequentially from 0.0), and the driver then combines blocks in
+    * ascending order — a FIXED fold tree, so the result is deterministic
+    * run to run (the property the at-rest IVF layout s07 relies on;
+    * KMeansSpec pins the fold order against a driver-side reference),
+    * while the driver collect shrinks from O(keys·P) rows to
+    * O(keys·COMBINE_BLOCKS). The block grouping rounds differently from a
+    * FLAT sorted-pid fold — FP addition is non-associative — but every
+    * grouping is an equally valid sum; what matters is that THIS one is
+    * reproducible. Counts (`c`) use a plain `sum` — integer addition is
+    * associative, order is irrelevant.
+    *
+    * Input must have columns `keys… , pid, s, c`; output is
+    * `keys… , blk, s, c` (same positional shape, `blk` where `pid` was).
+    */
+  private[operators] def blockPartials(perPid: DataFrame,
+      keys: Seq[String], numParts: Int): DataFrame = {
+    val blockSize =
+      math.max(1L, math.ceil(numParts.toDouble / COMBINE_BLOCKS).toLong)
+    perPid
+      .withColumn("blk", (col("pid") / blockSize).cast("int"))
+      .groupBy(keys.map(col) :+ col("blk"): _*)
+      .agg(
+        aggregate(
+          sort_array(collect_list(struct(col("pid"), col("s")))),
+          lit(0.0d), (acc, x) => acc + x.getField("s")).as("s"),
+        sum(col("c")).as("c"))
+  }
+
   /** One Lloyd mean-update over `vCol` grouped by `cellCol`: `posexplode` →
     * `groupBy(cell, pos, partition)` partial sums — a two-phase (map-side
-    * combined) aggregation whose OUTPUT is k·d·P rows; only those
-    * per-partition sums ever reach the driver (the Spark MLlib pattern:
-    * per-iteration driver state is O(k·d·P), never O(n)). Keying the sums
-    * by `spark_partition_id` makes the update BIT-DETERMINISTIC: each
+    * combined) aggregation reduced again to ≤ [[COMBINE_BLOCKS]] pid-block
+    * partials per (cell, pos) ([[blockPartials]]); only those block sums
+    * ever reach the driver, so per-iteration driver state is
+    * O(k·d·COMBINE_BLOCKS), never O(n) and never O(partitions). Keying the
+    * sums by `spark_partition_id` makes the update BIT-DETERMINISTIC: each
     * input partition owns its (cell, pos, pid) group outright, so no
     * double addition ever happens in shuffle-arrival order (a plain `avg`
     * merges partials in whatever order they land — non-associative FP
-    * addition can then differ run to run); the driver combines the
-    * partials in sorted pid order. Determinism matters beyond the spec:
+    * addition can then differ run to run); blocks fold ascending-pid and
+    * the driver combines blocks in ascending order — a fixed fold tree,
+    * same value every run. Determinism matters beyond the spec:
     * the at-rest IVF layout (s07) reuses cells across bench executions, so
     * the same session must always train the same centroids.
     *
@@ -128,19 +171,22 @@ object Similarity extends QueryPack {
     */
   private def lloydMeans(base: DataFrame, cellCol: Column, vCol: Column,
       k: Int, dim: Int): Array[Option[Array[Double]]] = {
-    val partials = base
+    val perPid = base
       .withColumn("cell", cellCol)
       .withColumn("pid", spark_partition_id())
       .select(col("cell"), col("pid"), posexplode(vCol).as(Seq("pos", "x")))
       .groupBy(col("cell"), col("pos"), col("pid"))
       .agg(sum(col("x")).as("s"), count(lit(1)).as("c"))
-      .collect()
+    val partials =
+      blockPartials(perPid, Seq("cell", "pos"), base.rdd.getNumPartitions)
+        .collect()
     val byCell = partials.groupBy(_.getInt(0))
     Array.tabulate(k) { c =>
       byCell.get(c).map { rows =>
         val m = new Array[Double](dim)
         val n = new Array[Long](dim)
-        // combine per-partition sums in sorted pid order: stable
+        // combine block sums in ascending-block order — the fixed upper
+        // level of the blockPartials fold tree
         rows.sortBy(r => (r.getInt(1), r.getInt(2))).foreach { r =>
           m(r.getInt(1)) += r.getDouble(3)
           n(r.getInt(1)) += r.getLong(4)
@@ -284,7 +330,7 @@ object Similarity extends QueryPack {
     for (_ <- 1 to KM_ITERS) {
       val cellCols = (0 until PQ_M).map(m =>
         pqCodeExpr(books(m), slice(col("vn"), m * sub + 1, sub)))
-      val partials = nb
+      val perPid = nb
         .withColumn("cells", array(cellCols: _*))
         .withColumn("pid", spark_partition_id())
         .select(col("cells"), col("pid"),
@@ -294,7 +340,9 @@ object Similarity extends QueryPack {
         .withColumn("p", pmod(col("pos"), lit(sub)))
         .groupBy(col("m"), col("cell"), col("p"), col("pid"))
         .agg(sum(col("x")).as("s"), count(lit(1)).as("c"))
-        .collect()
+      val partials =
+        blockPartials(perPid, Seq("m", "cell", "p"), nb.rdd.getNumPartitions)
+          .collect()
       val byKey = partials.groupBy(r => (r.getInt(0), r.getInt(1)))
       books = Array.tabulate(PQ_M) { m =>
         books(m).zipWithIndex.map { case (old, c) =>
@@ -302,7 +350,8 @@ object Similarity extends QueryPack {
             case Some(rows) =>
               val mean = new Array[Double](sub)
               val cnt = new Array[Long](sub)
-              // combine per-partition sums in sorted pid order: stable
+              // ascending-block fold — the fixed upper level of the
+              // blockPartials fold tree
               rows.sortBy(r => (r.getInt(2), r.getInt(3))).foreach { r =>
                 mean(r.getInt(2)) += r.getDouble(4)
                 cnt(r.getInt(2)) += r.getLong(5)

@@ -43,6 +43,46 @@ class KMeansSpec extends SparkSpec {
       "two trainings on the same data diverged")
   }
 
+  test("blockPartials: fixed two-level fold tree, bit-reproducible, " +
+      "driver rows bounded by COMBINE_BLOCKS") {
+    import spark.implicits._
+    // magnitudes spanning 18 orders make FP addition order-SENSITIVE:
+    // any deviation from the pinned fold order (ascending pid inside
+    // contiguous blocks, each block from 0.0) would (with overwhelming
+    // probability) differ in the low bits, so == below is a real pin
+    val rnd = new scala.util.Random(7)
+    val rows = for { key <- 0 until 3; pid <- 0 until 1000 } yield
+      (key, pid, rnd.nextDouble() * (if (pid % 3 == 0) 1e9 else 1e-9), 1L)
+    val perPid = rows.toDF("k", "pid", "s", "c")
+    val out = Similarity.blockPartials(perPid, Seq("k"), 1000).collect()
+    // 1000 per-pid partials per key reach the driver as ≤ 64 block rows
+    val blockSize = math.ceil(1000.0 / Similarity.COMBINE_BLOCKS).toInt
+    assert(out.groupBy(_.getInt(0)).values
+        .forall(_.length <= Similarity.COMBINE_BLOCKS),
+      "driver rows not bounded by COMBINE_BLOCKS")
+    for (key <- 0 until 3) {
+      val mine = rows.filter(_._1 == key)
+      // driver-side reference of the SAME fold tree: ascending-pid fold
+      // from 0.0 inside each contiguous block of ⌈P/COMBINE_BLOCKS⌉ pids
+      val expect = mine.sortBy(_._2).grouped(blockSize).toSeq
+        .map(_.map(_._3).foldLeft(0.0)(_ + _))
+      val blocks = out.filter(_.getInt(0) == key).sortBy(_.getInt(1))
+      assert(blocks.map(_.getInt(1)).toSeq == (0 until blocks.length),
+        "blocks are not the contiguous 0..n-1 range")
+      blocks.map(_.getDouble(2)).zip(expect).zipWithIndex.foreach {
+        case ((got, exp), b) =>
+          assert(got == exp, // bit-exact, not approx
+            s"key $key block $b: engine fold $got != reference fold $exp")
+      }
+      assert(blocks.map(_.getLong(3)).sum == mine.map(_._4).sum)
+    }
+    // and the whole reduction is reproducible run to run, bit for bit
+    val again = Similarity.blockPartials(perPid, Seq("k"), 1000).collect()
+    val k1 = out.map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).sorted
+    val k2 = again.map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).sorted
+    assert(k1.sameElements(k2), "block reduction diverged across runs")
+  }
+
   test("iterations improve the spherical k-means objective over the seeds") {
     val base = normedFixture.cache()
     def objective(cents: Array[Array[Double]]): Double = {
