@@ -934,6 +934,64 @@ object Formats extends QueryPack {
             .as("one_version_per_mutation"))
     }),
 
+    // SQL schema evolution (f36): DDL through the catalog — the table
+    // starts with 3 columns, gains two via ALTER TABLE ADD COLUMNS,
+    // renames one via RENAME COLUMN, then keeps ingesting — all as
+    // metadata-sized commits (an empty vintage declaring the evolved
+    // schema + the renames side-file; NO data file rewritten at any
+    // table size — the lakehouse evolution posture). Old vintages
+    // backfill the added columns as null and remap the renamed column
+    // at read time (Snapshots.readEvolved); VERSION AS OF 1 still shows
+    // the original 3-column schema. The DuckDB oracle replays the
+    // per-language aggregate relationally: backfilled = hot rows
+    // (inserted before the DDL, so their source/n_chars are null).
+    "f36_schema_evolution" -> ((s, d) => {
+      val wh = ioDir(d, "f36_wh")
+      val cat = "graft36_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val tdir = s"$wh/db/docs"
+      val docs = T.documents(s, d)
+      val hot = col("source").isin("src0", "src1", "src2")
+      writeOnce(s, tdir, alsoRequire =
+          graft.sources.Snapshots.latestVersion(s, tdir) == 4) {
+        val root = new org.apache.hadoop.fs.Path(tdir)
+        val fsys = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fsys.delete(root, true)
+        s.sql(s"CREATE TABLE $cat.db.docs " +
+          "(doc_id BIGINT, text STRING, lang STRING)")
+        docs.filter(hot).select("doc_id", "text", "lang")
+          .createOrReplaceTempView("f36_base")
+        s.sql(s"INSERT INTO $cat.db.docs SELECT * FROM f36_base") // v1
+        s.sql(s"ALTER TABLE $cat.db.docs ADD COLUMNS " +
+          "(source STRING, n_chars BIGINT)")                      // v2
+        s.sql(s"ALTER TABLE $cat.db.docs RENAME COLUMN lang TO language") // v3
+        docs.filter(!hot).select(col("doc_id"), col("text"),
+            col("lang").as("language"), col("source"), col("n_chars"))
+          .createOrReplaceTempView("f36_rest")
+        s.sql(s"INSERT INTO $cat.db.docs SELECT * FROM f36_rest") // v4
+        ()
+      }
+      val head = s.sql(s"SELECT * FROM $cat.db.docs")
+      val headSchemaOk = head.schema.fieldNames.toSeq ==
+        Seq("doc_id", "text", "language", "source", "n_chars")
+      val v1SchemaOk =
+        s.sql(s"SELECT * FROM $cat.db.docs VERSION AS OF 1")
+          .schema.fieldNames.toSeq == Seq("doc_id", "text", "lang")
+      head.groupBy(col("language")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("source").isNull, 1L).otherwise(0L))
+            .as("n_backfilled"),
+          coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"))
+        .select(col("language"), col("n_docs"), col("n_backfilled"),
+          col("sum_chars"),
+          lit(headSchemaOk).as("head_schema_ok"),
+          lit(v1SchemaOk).as("v1_schema_ok"),
+          lit(graft.sources.Snapshots.latestVersion(s, tdir) == 4)
+            .as("ddl_versions_ok"))
+        .orderBy(col("language"))
+    }),
+
     // Change-feed-maintained view (f34): a snapshot table mutated
     // through append → merge-on-read delete → rewrite (compaction
     // shape), with a downstream per-lang view maintained PURELY from
@@ -1496,6 +1554,23 @@ object Formats extends QueryPack {
              TRUE AS merge_ok,
              TRUE AS one_version_per_mutation
       FROM documents""",
+    // f36: replay the evolved table relationally — per language, the
+    // hot rows (inserted before the DDL) read back with null
+    // source/n_chars (backfill), the rest carry their values; the
+    // schema/version booleans pinned TRUE
+    "f36_schema_evolution" -> """
+      SELECT lang AS language,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(*) FILTER (WHERE source IN
+               ('src0','src1','src2')) AS BIGINT) AS n_backfilled,
+             CAST(coalesce(sum(n_chars) FILTER (WHERE source NOT IN
+               ('src0','src1','src2')), 0) AS BIGINT) AS sum_chars,
+             TRUE AS head_schema_ok,
+             TRUE AS v1_schema_ok,
+             TRUE AS ddl_versions_ok
+      FROM documents
+      GROUP BY lang
+      ORDER BY language""",
     // f34: replay the table's lifecycle relationally — the maintained
     // view must equal the head (all documents minus the doc_id%7
     // deletions, grouped per lang); the parity boolean pinned TRUE

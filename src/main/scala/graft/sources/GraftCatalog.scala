@@ -148,12 +148,96 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new SnapshotTableV2(dir.toString, fullName(ident))
   }
 
+  /** SQL DDL onto the snapshot format's read-side evolution: ADD
+    * COLUMNS / RENAME COLUMN / ALTER COLUMN TYPE (widening only) publish
+    * ONE metadata-sized commit — an empty single-part vintage whose
+    * parquet footer declares the evolved schema, plus the usual
+    * `vN.renames` side-file. No data file is rewritten at ANY table
+    * size: [[Snapshots.evolutionInfo]] picks added columns and widened
+    * types from the new vintage's footer exactly as it would from a
+    * data-bearing append, [[Snapshots.readEvolved]] backfills old
+    * vintages with nulls / remaps renamed columns at read time, and
+    * VERSION AS OF still shows each version under its own schema. On a
+    * table with no commits yet the `_SCHEMA` side-file is simply
+    * rewritten (nothing to evolve). DROP COLUMN is refused — history is
+    * immutable here and a drop would make old vintages unreadable under
+    * the head schema; NOT NULL adds are refused because existing rows
+    * backfill null.
+    */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: ALTER TABLE is not supported; schema evolution " +
-        "rides on commits (renames/statsCols write options, widening on " +
-        "append) — see Snapshots.commit")
+      changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = tableDir(ident)
+    val handle = new SnapshotTableV2(dir, fullName(ident))
+    def unsupported(what: String): Nothing =
+      throw new UnsupportedOperationException(
+        s"graft catalog: ALTER TABLE $what")
+    var fields = handle.schema().fields.toVector
+    var renames = Map.empty[String, String]
+    def indexOf(names: Array[String], op: String): Int = {
+      if (names.length != 1)
+        unsupported(s"$op on nested field ${names.mkString(".")} is not " +
+          "supported — snapshot columns are top-level")
+      val i = fields.indexWhere(_.name == names.head)
+      require(i >= 0, s"graft catalog: ALTER TABLE $op: no column " +
+        s"'${names.head}' in ${fullName(ident)} " +
+        s"(columns: ${fields.map(_.name).mkString(", ")})")
+      i
+    }
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        if (a.fieldNames.length != 1)
+          unsupported("ADD COLUMNS of nested fields is not supported")
+        val n = a.fieldNames.head
+        require(!fields.exists(_.name == n),
+          s"graft catalog: ALTER TABLE ADD COLUMNS: '$n' already exists")
+        if (!a.isNullable)
+          unsupported("ADD COLUMNS ... NOT NULL is not supported — " +
+            "existing rows backfill null")
+        if (a.position != null)
+          unsupported("ADD COLUMNS with FIRST/AFTER is not supported — " +
+            "column order follows vintage order")
+        fields :+= org.apache.spark.sql.types.StructField(
+          n, a.dataType, nullable = true)
+      case r: TableChange.RenameColumn =>
+        val i = indexOf(r.fieldNames, "RENAME COLUMN")
+        require(!fields.exists(_.name == r.newName),
+          s"graft catalog: ALTER TABLE RENAME COLUMN: '${r.newName}' " +
+            "already exists")
+        renames += (fields(i).name -> r.newName)
+        fields = fields.updated(i, fields(i).copy(name = r.newName))
+      case u: TableChange.UpdateColumnType =>
+        val i = indexOf(u.fieldNames, "ALTER COLUMN")
+        val cur = fields(i).dataType
+        // widen() throws on incompatible pairs (string×int …); equality
+        // below refuses NARROWING (long→int) with the precise direction
+        require(Snapshots.widen(cur, u.newDataType) == u.newDataType,
+          s"graft catalog: ALTER COLUMN ${fields(i).name} TYPE: " +
+            s"${u.newDataType.simpleString} does not widen " +
+            s"${cur.simpleString} — only lossless widening is supported")
+        fields = fields.updated(i, fields(i).copy(dataType = u.newDataType))
+      case d: TableChange.DeleteColumn =>
+        unsupported(s"DROP COLUMN ${d.fieldNames.mkString(".")} is not " +
+          "supported — vintages are immutable; hide the column with a " +
+          "view, or rewrite via CREATE TABLE ... AS SELECT")
+      case other =>
+        unsupported(s"change ${other.getClass.getSimpleName} is not " +
+          "supported")
+    }
+    val evolved = StructType(fields)
+    if (Snapshots.latestVersion(spark, dir) == 0) {
+      // no commits yet: the declared-schema side-file is the only truth
+      val f = fs(new Path(dir))
+      val o = f.create(new Path(dir, "_SCHEMA"), true)
+      try o.write(evolved.json.getBytes("UTF-8")) finally o.close()
+    } else {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          Seq.empty[org.apache.spark.sql.Row], 1), evolved)
+      Snapshots.commit(spark, dir, empty, append = true, renames = renames)
+    }
+    new SnapshotTableV2(dir, fullName(ident))
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = new Path(tableDir(ident))

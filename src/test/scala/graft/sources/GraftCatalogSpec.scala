@@ -345,6 +345,98 @@ class GraftCatalogSpec extends SparkSpec {
       s"cause should list available procedures: ${e.getCause}")
   }
 
+  test("ALTER TABLE ADD COLUMNS: metadata-sized commit, null backfill, " +
+      "old versions keep their schema") {
+    warehouse
+    sql("CREATE TABLE graft.db.ae (id BIGINT, payload STRING)")
+    sql("INSERT INTO graft.db.ae VALUES (1, 'a'), (2, 'b')")
+    sql("ALTER TABLE graft.db.ae ADD COLUMNS (score DOUBLE)")
+    // the DDL is one published version; no data file was rewritten
+    val dir = dirOf("db", "ae")
+    assert(Snapshots.latestVersion(spark, dir) == 2)
+    // head: old rows backfill null under the evolved schema
+    val head = sql("SELECT id, payload, score FROM graft.db.ae")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).sortBy(_._1)
+    assert(head.toSeq ==
+      Seq((1L, "a", None), (2L, "b", None)))
+    // the next INSERT carries the new column
+    sql("INSERT INTO graft.db.ae VALUES (3, 'c', 0.5)")
+    val withC = sql("SELECT id, score FROM graft.db.ae WHERE id = 3")
+      .collect().head
+    assert(withC.getDouble(1) == 0.5)
+    // time travel: version 1 predates the DDL and keeps its own schema
+    assert(!sql("SELECT * FROM graft.db.ae VERSION AS OF 1")
+      .schema.fieldNames.contains("score"))
+    assert(sql("SELECT * FROM graft.db.ae").schema
+      .fieldNames.toSeq == Seq("id", "payload", "score"))
+  }
+
+  test("ALTER TABLE RENAME COLUMN remaps every vintage at read time") {
+    warehouse
+    sql("CREATE TABLE graft.db.ar (id BIGINT, payload STRING)")
+    sql("INSERT INTO graft.db.ar VALUES (1, 'a')")
+    sql("ALTER TABLE graft.db.ar RENAME COLUMN payload TO body")
+    sql("INSERT INTO graft.db.ar VALUES (2, 'b')")
+    val got = sql("SELECT id, body FROM graft.db.ar").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a"), (2L, "b")),
+      "pre-rename vintage did not remap to the new name")
+    assert(sql("SELECT * FROM graft.db.ar").schema
+      .fieldNames.toSeq == Seq("id", "body"))
+    // the pre-DDL version still reads under its historical name
+    assert(sql("SELECT * FROM graft.db.ar VERSION AS OF 1").schema
+      .fieldNames.toSeq == Seq("id", "payload"))
+  }
+
+  test("ALTER COLUMN TYPE widens; narrowing and drops are refused") {
+    warehouse
+    sql("CREATE TABLE graft.db.aw (id INT, payload STRING)")
+    sql("INSERT INTO graft.db.aw VALUES (7, 'a')")
+    sql("ALTER TABLE graft.db.aw ALTER COLUMN id TYPE BIGINT")
+    val f = sql("SELECT * FROM graft.db.aw").schema.fields.head
+    assert(f.dataType.simpleString == "bigint")
+    assert(sql("SELECT id FROM graft.db.aw").collect()
+      .map(_.getLong(0)).toSeq == Seq(7L))
+    // and the widened table accepts BIGINT-ranged inserts
+    sql("INSERT INTO graft.db.aw VALUES (5000000000, 'b')")
+    assert(sql("SELECT count(*) FROM graft.db.aw").collect()
+      .head.getLong(0) == 2)
+    // narrowing is refused — by Spark's own analyzer (upcast check)
+    // before the catalog's widen() guard even runs; the guard still
+    // protects direct TableCatalog.alterTable callers
+    val narrow = intercept[Exception] {
+      sql("ALTER TABLE graft.db.aw ALTER COLUMN id TYPE INT") }
+    assert(narrow.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN") ||
+      narrow.getMessage.contains("widen"))
+    val narrowDirect = intercept[Exception] {
+      spark.sessionState.catalogManager.catalog("graft")
+        .asInstanceOf[GraftCatalog].alterTable(
+          org.apache.spark.sql.connector.catalog.Identifier.of(
+            Array("db"), "aw"),
+          org.apache.spark.sql.connector.catalog.TableChange
+            .updateColumnType(Array("id"),
+              org.apache.spark.sql.types.IntegerType)) }
+    assert(narrowDirect.getMessage.contains("widen"))
+    val drop = intercept[Exception] {
+      sql("ALTER TABLE graft.db.aw DROP COLUMN payload") }
+    assert(drop.getMessage.contains("DROP COLUMN"))
+  }
+
+  test("ALTER TABLE on a table with no commits rewrites the declared " +
+      "schema in place") {
+    warehouse
+    sql("CREATE TABLE graft.db.a0 (id BIGINT)")
+    sql("ALTER TABLE graft.db.a0 ADD COLUMNS (tag STRING)")
+    // still version 0 — no commit was published for the side-file edit
+    assert(Snapshots.latestVersion(spark, dirOf("db", "a0")) == 0)
+    assert(sql("SELECT * FROM graft.db.a0").schema
+      .fieldNames.toSeq == Seq("id", "tag"))
+    sql("INSERT INTO graft.db.a0 VALUES (1, 'x')")
+    assert(sql("SELECT tag FROM graft.db.a0").collect()
+      .head.getString(0) == "x")
+  }
+
   test("racing first INSERTs both land (append decided in-claim)") {
     warehouse
     import spark.implicits._
