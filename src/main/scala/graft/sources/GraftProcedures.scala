@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, StringType, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, StringType, StructType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** The `graft` catalog's SQL-callable MAINTENANCE surface — Spark 4.1
@@ -27,6 +27,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * | `system.fast_forward(table, name, to_version)` | [[Snapshots.fastForward]] | `version` |
   * | `system.merge_branch(table, name, key_cols)` | [[Snapshots.mergeBranch]] | `version` |
   * | `system.change_view(table, view_name, starting_version, ending_version)` | temp view over [[ChangeFeedBatchRelation]] | `view_name, from_version, to_version` |
+  * | `system.history(table)` | commit-graph walk (meta/manifest side-files) | one row per version: `version, committed_at, parents, n_files, has_dv, on_main` |
+  * | `system.refs(table)` | [[Snapshots.refs]] | one row per ref: `name, version, is_tag` |
   *
   * `table` is the catalog-relative identifier (`db.t`); list-valued
   * parameters are comma-separated strings (SQL arrays don't bind to
@@ -46,14 +48,14 @@ private[sources] object GraftProcedures {
   private def csv(r: InternalRow, i: Int): Seq[String] =
     str(r, i).split(',').map(_.trim).filter(_.nonEmpty).toSeq
 
-  private def rowsOf(schema: StructType, values: Seq[Any]): Scan = {
-    val converted = values.map {
+  private def rowsOf(schema: StructType, rows: Seq[Seq[Any]]): Scan = {
+    val converted = rows.map(_.map {
       case s: String => UTF8String.fromString(s)
       case other => other
-    }
+    })
     new LocalScan {
       override def rows(): Array[InternalRow] =
-        Array(InternalRow.fromSeq(converted))
+        converted.map(InternalRow.fromSeq).toArray
       override def readSchema(): StructType = schema
     }
   }
@@ -64,7 +66,7 @@ private[sources] object GraftProcedures {
     * (result schema, result row). */
   private final class Proc(val name: String,
       params: Seq[ProcedureParameter],
-      body: (String, InternalRow) => (StructType, Seq[Any]))
+      body: (String, InternalRow) => (StructType, Seq[Seq[Any]]))
       extends UnboundProcedure with BoundProcedure {
     override def description(): String = s"graft $name"
     override def bind(inputType: StructType): BoundProcedure = this
@@ -83,6 +85,11 @@ private[sources] object GraftProcedures {
     }
     def make(name: String, ps: Seq[ProcedureParameter])(
         body: (String, InternalRow) => (StructType, Seq[Any])) =
+      name -> new Proc(name, param("table", StringType) +: ps,
+        (table, in) => { val (sch, row) = body(dirOf(table), in)
+          (sch, Seq(row)) })
+    def makeMulti(name: String, ps: Seq[ProcedureParameter])(
+        body: (String, InternalRow) => (StructType, Seq[Seq[Any]])) =
       name -> new Proc(name, param("table", StringType) +: ps,
         (table, in) => body(dirOf(table), in))
     Map(
@@ -123,6 +130,48 @@ private[sources] object GraftProcedures {
       // .option("path", dir)` does)
       make("table_dir", Seq.empty) { (dir, _) =>
         (new StructType().add("dir", StringType), Seq(dir))
+      },
+      // the commit graph as rows — DESCRIBE HISTORY for snapshot
+      // tables: one row per (surviving) version, newest first, with
+      // commit instant, parent(s) (two for a branch merge), file count,
+      // merge-on-read state, and whether the version is on main's
+      // ancestry (branch commits show on_main = false). Metadata-only:
+      // O(versions) side-file reads, no data touched at any table size.
+      makeMulti("history", Seq.empty) { (dir, _) =>
+        val f = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val head = Snapshots.latestVersion(spark, dir)
+        require(head >= 1, s"history: no versions at $dir")
+        val onMain = {
+          val b = scala.collection.mutable.Set.empty[Int]
+          var v = Snapshots.mainVersion(spark, dir)
+          while (v >= 1 && !b.contains(v)) {
+            b += v; v = Snapshots.commitParent(f, dir, v)
+          }
+          b.toSet
+        }
+        val schema = new StructType()
+          .add("version", IntegerType).add("committed_at", TimestampType)
+          .add("parents", StringType).add("n_files", IntegerType)
+          .add("has_dv", BooleanType).add("on_main", BooleanType)
+        (schema, (head to 1 by -1).flatMap { v =>
+          // vacuumed versions have no manifest anymore — skip them
+          scala.util.Try(Snapshots.files(spark, dir, v)).toOption.map {
+            fls =>
+              Seq[Any](v, Snapshots.commitInstant(f, dir, v) * 1000L,
+                Snapshots.parentsOf(spark, dir, v).mkString(" "),
+                fls.size, Snapshots.hasDv(spark, dir, v),
+                onMain.contains(v))
+          }
+        })
+      },
+      // every branch/tag with its pinned version — metadata-only
+      makeMulti("refs", Seq.empty) { (dir, _) =>
+        val schema = new StructType().add("name", StringType)
+          .add("version", IntegerType).add("is_tag", BooleanType)
+        (schema, Snapshots.refs(spark, dir).toSeq.sortBy(_._1).map {
+          case (n, (v, tag)) => Seq[Any](n, v, tag)
+        })
       },
       // the catalog user's road to the CHANGE FEED without knowing the
       // table's directory: registers a temp view over the distributed

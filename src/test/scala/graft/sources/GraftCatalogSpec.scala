@@ -335,6 +335,31 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.read.format("graft-snapshots").load(tdir)
       .count() == 1)
 
+    // history: the commit graph as rows, newest first — the DV delete
+    // flagged, parents recorded, commit instants real timestamps
+    val hist = sql("CALL graft.system.history(table => 'db.cv')")
+      .collect()
+    assert(hist.map(_.getInt(0)).toSeq == Seq(2, 1))
+    assert(hist.head.getString(2) == "1" && hist.head.getBoolean(4) &&
+      hist.head.getBoolean(5), s"v2 row: ${hist.head}")
+    assert(hist.last.getString(2) == "" && !hist.last.getBoolean(4) &&
+      hist.last.getBoolean(5), s"v1 row: ${hist.last}")
+    assert(hist.forall(r =>
+      r.getTimestamp(1).toInstant.toString.startsWith("20")))
+    // vacuumed versions are absent; the branch merge shows two parents
+    val histP = sql("CALL graft.system.history(table => 'db.proc')")
+      .collect()
+    assert(histP.map(_.getInt(0)).toSeq == Seq(6),
+      s"only the surviving head should remain: ${histP.toSeq}")
+    assert(histP.head.getString(2).split(" ").length == 2,
+      s"merge commit must record both parents: ${histP.head}")
+
+    // refs: main was materialized by the branch lifecycle
+    val refRows = sql("CALL graft.system.refs(table => 'db.proc')")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getBoolean(2)))
+    assert(refRows.exists { case (n, v, t) => n == "main" && v == 6 && !t },
+      s"refs: ${refRows.toSeq}")
+
     // unknown procedure fails loudly (Spark wraps the catalog's error,
     // which carries the available-procedure list, as the cause)
     val e = intercept[Exception] {
