@@ -141,6 +141,12 @@ object Similarity extends QueryPack {
       keys: Seq[String], numParts: Int): DataFrame = {
     val blockSize =
       math.max(1L, math.ceil(numParts.toDouble / COMBINE_BLOCKS).toLong)
+    // few partitions (every local/test scale): each block is one pid —
+    // the reduction would be an extra shuffle that renames a column.
+    // Skip it; the plan (and the fold tree: singleton blocks) is then
+    // EXACTLY the pre-block one-level plan. The two-level path engages
+    // only when P > COMBINE_BLOCKS (the 100 TB case it exists for).
+    if (blockSize == 1L) return perPid.withColumnRenamed("pid", "blk")
     perPid
       .withColumn("blk", (col("pid") / blockSize).cast("int"))
       .groupBy(keys.map(col) :+ col("blk"): _*)

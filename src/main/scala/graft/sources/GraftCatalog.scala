@@ -64,6 +64,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catName
 
+  /** Advertises CHECK-constraint support so Spark routes
+    * `ALTER TABLE … ADD/DROP CONSTRAINT` here as [[TableChange]]s. */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   private def spark = SparkSession.active
   private def fs(p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -148,6 +153,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new SnapshotTableV2(dir.toString, fullName(ident))
   }
 
+  /** `CREATE TABLE … (…, CONSTRAINT c CHECK (…))`: the TableInfo
+    * overload carries inline constraints — persist the CHECKs alongside
+    * the created table (the default implementation would silently drop
+    * them). */
+  override def createTable(ident: Identifier,
+      info: TableInfo): Table = {
+    val t = createTable(ident, info.schema, info.partitions,
+      info.properties)
+    val checks = info.constraints.toSeq.map {
+      case c: org.apache.spark.sql.connector.catalog.constraints.Check => c
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: CREATE TABLE with ${other.name()}: only CHECK " +
+          "constraints are supported")
+    }
+    if (checks.nonEmpty)
+      GraftConstraints.write(spark, tableDir(ident), checks)
+    t
+  }
+
   /** SQL DDL onto the snapshot format's read-side evolution: ADD
     * COLUMNS / RENAME COLUMN / ALTER COLUMN TYPE (widening only) publish
     * ONE metadata-sized commit — an empty single-part vintage whose
@@ -174,6 +198,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"graft catalog: ALTER TABLE $what")
     var fields = handle.schema().fields.toVector
     var renames = Map.empty[String, String]
+    var schemaChanged = false
     def indexOf(names: Array[String], op: String): Int = {
       if (names.length != 1)
         unsupported(s"$op on nested field ${names.mkString(".")} is not " +
@@ -199,13 +224,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "column order follows vintage order")
         fields :+= org.apache.spark.sql.types.StructField(
           n, a.dataType, nullable = true)
+        schemaChanged = true
       case r: TableChange.RenameColumn =>
         val i = indexOf(r.fieldNames, "RENAME COLUMN")
         require(!fields.exists(_.name == r.newName),
           s"graft catalog: ALTER TABLE RENAME COLUMN: '${r.newName}' " +
             "already exists")
+        // a CHECK predicate referencing the old name would silently go
+        // stale (predicates persist as SQL text) — refuse instead
+        GraftConstraints.read(spark, dir).foreach { c =>
+          val refs = spark.sessionState.sqlParser
+            .parseExpression(c.predicateSql).collect {
+              case ua: org.apache.spark.sql.catalyst.analysis
+                  .UnresolvedAttribute => ua.nameParts.head
+            }
+          require(!refs.contains(fields(i).name),
+            s"graft catalog: RENAME COLUMN ${fields(i).name}: " +
+              s"referenced by CHECK constraint ${c.name} " +
+              s"(${c.predicateSql}) — drop the constraint first")
+        }
         renames += (fields(i).name -> r.newName)
         fields = fields.updated(i, fields(i).copy(name = r.newName))
+        schemaChanged = true
       case u: TableChange.UpdateColumnType =>
         val i = indexOf(u.fieldNames, "ALTER COLUMN")
         val cur = fields(i).dataType
@@ -216,6 +256,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"${u.newDataType.simpleString} does not widen " +
             s"${cur.simpleString} — only lossless widening is supported")
         fields = fields.updated(i, fields(i).copy(dataType = u.newDataType))
+        schemaChanged = true
+      case ac: TableChange.AddConstraint =>
+        ac.constraint() match {
+          case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            val cur = GraftConstraints.read(spark, dir)
+            require(!cur.exists(_.name == c.name),
+              s"graft catalog: constraint '${c.name}' already exists " +
+                s"on ${fullName(ident)}")
+            GraftConstraints.write(spark, dir, cur :+ c)
+          case other =>
+            unsupported(s"ADD CONSTRAINT ${other.name()}: only CHECK " +
+              "constraints are supported (PRIMARY KEY/UNIQUE/FOREIGN " +
+              "KEY are not enforceable here)")
+        }
+      case dc: TableChange.DropConstraint =>
+        val cur = GraftConstraints.read(spark, dir)
+        if (cur.exists(_.name == dc.name))
+          GraftConstraints.write(spark, dir,
+            cur.filterNot(_.name == dc.name))
+        else require(dc.ifExists,
+          s"graft catalog: no constraint '${dc.name}' on " +
+            s"${fullName(ident)}")
       case d: TableChange.DeleteColumn =>
         unsupported(s"DROP COLUMN ${d.fieldNames.mkString(".")} is not " +
           "supported — vintages are immutable; hide the column with a " +
@@ -224,17 +286,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         unsupported(s"change ${other.getClass.getSimpleName} is not " +
           "supported")
     }
-    val evolved = StructType(fields)
-    if (Snapshots.latestVersion(spark, dir) == 0) {
-      // no commits yet: the declared-schema side-file is the only truth
-      val f = fs(new Path(dir))
-      val o = f.create(new Path(dir, "_SCHEMA"), true)
-      try o.write(evolved.json.getBytes("UTF-8")) finally o.close()
-    } else {
-      val empty = spark.createDataFrame(
-        spark.sparkContext.parallelize(
-          Seq.empty[org.apache.spark.sql.Row], 1), evolved)
-      Snapshots.commit(spark, dir, empty, append = true, renames = renames)
+    if (schemaChanged) {
+      val evolved = StructType(fields)
+      if (Snapshots.latestVersion(spark, dir) == 0) {
+        // no commits yet: the declared-schema side-file is the only truth
+        val f = fs(new Path(dir))
+        val o = f.create(new Path(dir, "_SCHEMA"), true)
+        try o.write(evolved.json.getBytes("UTF-8")) finally o.close()
+      } else {
+        val empty = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            Seq.empty[org.apache.spark.sql.Row], 1), evolved)
+        Snapshots.commit(spark, dir, empty, append = true,
+          renames = renames)
+      }
     }
     new SnapshotTableV2(dir, fullName(ident))
   }
@@ -367,6 +432,14 @@ private[graft] class SnapshotTableV2(val dir: String,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  /** The table's CHECK constraints — Spark's `ResolveTableConstraints`
+    * reads these and injects `CheckInvariant` validation into every
+    * INSERT/OVERWRITE plan against this table (the custom DML routing
+    * enforces them itself; see [[GraftConstraints.enforce]]). */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    GraftConstraints.read(spark, dir).toArray
 
   /** Never planned when `graft.GraftExtensions` is installed — the scan
     * is rewritten onto the vectorized-parquet HadoopFsRelation before

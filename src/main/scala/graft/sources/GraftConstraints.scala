@@ -1,0 +1,101 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.connector.catalog.constraints.{Check, Constraint}
+import org.apache.spark.sql.functions.{expr, lit}
+
+/** CHECK constraints for snapshot tables — the Spark 4.1 DSv2
+  * constraints framework wired onto the table format: the SQL surface
+  * is native (`ALTER TABLE … ADD CONSTRAINT c CHECK (expr)` /
+  * `DROP CONSTRAINT`, accepted by [[GraftCatalog.alterTable]]), the
+  * definition persists in a `_CONSTRAINTS` side-file next to the
+  * manifests (one U+0001-separated line per constraint: name,
+  * predicate SQL, enforced, validation status, rely — the same tiny-
+  * pointer discipline as refs and `_SCHEMA`), and ENFORCEMENT splits by
+  * write path:
+  *
+  *  - INSERT / INSERT OVERWRITE / CTAS-into-existing: Spark itself —
+  *    [[SnapshotTableV2.constraints]] exposes the Checks and the
+  *    analyzer's `ResolveTableConstraints` injects a `CheckInvariant`
+  *    over the incoming plan (fails the write before any file is
+  *    staged; zero extra jobs — the check rides the write scan);
+  *  - UPDATE / MERGE (the custom [[GraftSqlRules]] routing, which
+  *    bypasses Spark's V2 write analysis): [[enforce]] — ONE extra
+  *    job over only the would-be-written rows (never the table), all
+  *    constraints validated in a single pass.
+  *
+  * CHECK semantics are SQL-standard: a row violates only when the
+  * predicate evaluates to FALSE — NULL passes (`enforce` compares with
+  * `<=> false`). Scale posture: the side-file is O(constraints) driver
+  * metadata; enforcement cost is one predicate per written row inside
+  * an existing scan (native path) or one extra scan of the DML batch
+  * (DML path) — a 100 TB table with constraints pays per-batch, never
+  * per-table.
+  */
+private[sources] object GraftConstraints {
+
+  private def file(dir: String) = new Path(dir, "_CONSTRAINTS")
+  private def fsOf(s: SparkSession, dir: String) =
+    file(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  def read(s: SparkSession, dir: String): Seq[Check] = {
+    val f = fsOf(s, dir)
+    val p = file(dir)
+    if (!f.exists(p)) Seq.empty
+    else {
+      val in = f.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      txt.split('\n').filter(_.contains('\u0001')).toSeq.map { l =>
+        val Array(n, sql, enf, vs, rely) = l.split('\u0001')
+        Constraint.check(n).predicateSql(sql)
+          .enforced(enf.toBoolean)
+          .validationStatus(Constraint.ValidationStatus.valueOf(vs))
+          .rely(rely.toBoolean)
+          .build()
+      }
+    }
+  }
+
+  def write(s: SparkSession, dir: String, cs: Seq[Check]): Unit = {
+    val f = fsOf(s, dir)
+    if (cs.isEmpty) { f.delete(file(dir), false); return }
+    val body = cs.map { c =>
+      require(!c.name.contains('\u0001') && !c.name.contains('\n') &&
+          !c.predicateSql.contains('\u0001') &&
+          !c.predicateSql.contains('\n'),
+        s"constraint ${c.name}: name/predicate may not contain the " +
+          "side-file separators")
+      Seq(c.name, c.predicateSql, c.enforced.toString,
+        c.validationStatus.name, c.rely.toString).mkString("\u0001")
+    }.mkString("\n")
+    Snapshots.atomicOverwrite(s, f, dir, file(dir), "_CONSTRAINTS.tmp",
+      body)
+  }
+
+  /** Validate `df` (the rows a DML is about to write) against every
+    * enforced CHECK in one pass; throws naming the violated
+    * constraint(s) if any row fails. */
+  def enforce(s: SparkSession, dir: String, df: DataFrame,
+      verb: String): Unit = {
+    val checks = read(s, dir).filter(_.enforced)
+    if (checks.isEmpty) return
+    val flags = checks.zipWithIndex.map { case (c, i) =>
+      (expr(c.predicateSql) <=> lit(false)).as(s"_graft_viol_$i") }
+    val base = df.columns.length
+    val flagged = df.select((df.columns.map(df(_)) ++ flags).toSeq: _*)
+    val anyViol = (base until base + checks.size)
+      .map(i => org.apache.spark.sql.functions.col(flagged.columns(i)))
+      .reduce(_ || _)
+    val offender = flagged.filter(anyViol).limit(1).collect().headOption
+    offender.foreach { r =>
+      val names = checks.zipWithIndex.collect {
+        case (c, i) if r.getBoolean(base + i) => s"${c.name} CHECK (${c.predicateSql})"
+      }
+      throw new IllegalArgumentException(
+        s"graft catalog: $verb violates ${names.mkString("; ")} — " +
+          s"example row: ${r.toSeq.take(base).mkString("[", ", ", "]")}")
+    }
+  }
+}

@@ -53,6 +53,30 @@ case class GraftSqlRules(session: SparkSession) extends Rule[LogicalPlan] {
           GraftUpdateCommand(t.dir, u.assignments, u.condition)
         case None => u
       }
+    case acc: AddCheckConstraint if acc.childrenResolved &&
+        acc.child.exists {
+          case r: DataSourceV2Relation =>
+            r.table.isInstanceOf[SnapshotTableV2]
+          case _ => false
+        } =>
+      // Spark's own AddCheckConstraintExec strategy requires the
+      // validation child to still be a DSv2 scan — which this rule set
+      // deliberately rewrites to the V1 relation. Absorb the node into
+      // a command that validates the EXISTING rows itself (same
+      // semantics: any row violating the new predicate fails the DDL)
+      // and then hands the TableChange to the catalog.
+      val (cat, ident) = acc.child.collectFirst {
+        case r: DataSourceV2Relation
+            if r.table.isInstanceOf[SnapshotTableV2] =>
+          (r.catalog, r.identifier)
+      }.get
+      GraftAddCheckConstraintCommand(
+        cat.getOrElse(throw new IllegalStateException(
+            "ADD CONSTRAINT: relation has no catalog"))
+          .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog],
+        ident.getOrElse(throw new IllegalStateException(
+          "ADD CONSTRAINT: relation has no identifier")),
+        acc.child, acc.checkConstraint)
     case m: MergeIntoTable if m.resolved =>
       snapTarget(m.targetTable) match {
         case Some((t, rel)) =>
@@ -141,6 +165,36 @@ private[graft] case class GraftDeleteCommand(dir: String,
   }
 }
 
+/** `ALTER TABLE … ADD CONSTRAINT name CHECK (expr)` over a snapshot
+  * table: validates every EXISTING row against the predicate (one scan
+  * through the same V1 relation a SELECT plans — stats pruning and DV
+  * reads included), then persists the constraint through the catalog.
+  * Replaces Spark's `AddCheckConstraintExec`, whose strategy requires a
+  * DSv2 scan child that [[GraftSqlRules]] has already rewritten away. */
+private[graft] case class GraftAddCheckConstraintCommand(
+    catalog: org.apache.spark.sql.connector.catalog.TableCatalog,
+    ident: org.apache.spark.sql.connector.catalog.Identifier,
+    validation: LogicalPlan,
+    check: org.apache.spark.sql.catalyst.expressions.CheckConstraint)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v2c = check.toV2Constraint
+    val df = GraftBatchView.ofRows(spark,
+      GraftSqlRules(spark).apply(validation))
+    val bad = df
+      .filter(GraftBatchView.exprColumn(check.child) <=> lit(false))
+      .limit(1).collect()
+    if (bad.nonEmpty) throw new IllegalArgumentException(
+      s"graft catalog: cannot ADD CONSTRAINT ${v2c.name}: existing " +
+        s"rows violate CHECK (${check.condition}) — example: " +
+        bad.head.toString)
+    catalog.alterTable(ident,
+      org.apache.spark.sql.connector.catalog.TableChange.addConstraint(
+        v2c, null))
+    Seq.empty
+  }
+}
+
 /** `UPDATE graft.db.t SET … WHERE …` → [[Snapshots.updateWhere]]: one
   * version, matched positions into the deletion vector, updated rows as
   * fresh appended files. */
@@ -169,9 +223,21 @@ private[graft] case class GraftUpdateCommand(dir: String,
         case _ => false
       })
     }
+    val applied = if (effective.nonEmpty) effective else sets
+    // CHECK constraints: the custom routing bypasses Spark's V2 write
+    // analysis, so validate the would-be-updated rows here — one extra
+    // job over only the matched rows, and only when constraints exist
+    if (GraftConstraints.read(spark, dir).exists(_.enforced)) {
+      val head = Snapshots.mainVersion(spark, dir)
+      if (head >= 1) {
+        var upd = Snapshots.read(spark, dir, head)
+          .filter(condition.map(GraftSql.byName).getOrElse(lit(true)))
+        applied.foreach { case (n, c) => upd = upd.withColumn(n, c) }
+        GraftConstraints.enforce(spark, dir, upd, "UPDATE")
+      }
+    }
     val (_, n) = Snapshots.updateWhere(spark, dir,
-      condition.map(GraftSql.byName).getOrElse(lit(true)),
-      if (effective.nonEmpty) effective else sets)
+      condition.map(GraftSql.byName).getOrElse(lit(true)), applied)
     GraftSql.lastRowsAffected = n
     Seq.empty
   }
@@ -308,6 +374,9 @@ private[graft] case class GraftMergeCommand(dir: String,
 
     val upserts = (updates.toSeq ++ inserts.toSeq)
       .reduceOption(_.unionByName(_))
+    // CHECK constraints over every row the MERGE would write (updates
+    // AND inserts — neither passes through Spark's V2 write analysis)
+    upserts.foreach(GraftConstraints.enforce(spark, dir, _, "MERGE"))
     val applied: Long =
       if (Snapshots.mainVersion(spark, dir) < 1) {
         // MERGE into a freshly created, never-committed table: nothing

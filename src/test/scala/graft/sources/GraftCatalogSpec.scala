@@ -462,6 +462,60 @@ class GraftCatalogSpec extends SparkSpec {
       .head.getString(0) == "x")
   }
 
+  test("CHECK constraints: enforced on INSERT, UPDATE and MERGE; " +
+      "NULL passes; DROP lifts") {
+    warehouse
+    sql("CREATE TABLE graft.db.ck (id BIGINT, score DOUBLE)")
+    sql("INSERT INTO graft.db.ck VALUES (1, 0.5)")
+    sql("ALTER TABLE graft.db.ck ADD CONSTRAINT pos CHECK (score >= 0)")
+
+    // INSERT: Spark's own CheckInvariant (injected from
+    // SnapshotTableV2.constraints) fails the write before any commit
+    val ei = intercept[Exception] {
+      sql("INSERT INTO graft.db.ck VALUES (2, -1.0)") }
+    assert(ei.getMessage.contains("pos"), ei.getMessage)
+    assert(sql("SELECT count(*) FROM graft.db.ck").collect()
+      .head.getLong(0) == 1, "refused INSERT must not commit")
+    // SQL CHECK semantics: NULL passes
+    sql("INSERT INTO graft.db.ck VALUES (3, CAST(NULL AS DOUBLE))")
+
+    // UPDATE: the custom DML routing validates the would-be rows
+    val eu = intercept[Exception] {
+      sql("UPDATE graft.db.ck SET score = -2.0 WHERE id = 1") }
+    assert(eu.getMessage.contains("pos"), eu.getMessage)
+    assert(sql("SELECT score FROM graft.db.ck WHERE id = 1").collect()
+      .head.getDouble(0) == 0.5, "refused UPDATE must not commit")
+
+    // MERGE: both the update and insert halves are validated
+    sql("SELECT 1 AS id, -3.0 AS score").createOrReplaceTempView("ck_src")
+    val em = intercept[Exception] {
+      sql("MERGE INTO graft.db.ck t USING ck_src s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET score = s.score " +
+        "WHEN NOT MATCHED THEN INSERT *") }
+    assert(em.getMessage.contains("pos"), em.getMessage)
+
+    // renaming a constrained column would orphan the predicate — refused
+    val er = intercept[Exception] {
+      sql("ALTER TABLE graft.db.ck RENAME COLUMN score TO s") }
+    assert(er.getMessage.contains("pos"), er.getMessage)
+
+    // DROP CONSTRAINT lifts enforcement
+    sql("ALTER TABLE graft.db.ck DROP CONSTRAINT pos")
+    sql("UPDATE graft.db.ck SET score = -2.0 WHERE id = 1")
+    assert(sql("SELECT score FROM graft.db.ck WHERE id = 1").collect()
+      .head.getDouble(0) == -2.0)
+
+    // inline constraints at CREATE TABLE persist and enforce
+    sql("CREATE TABLE graft.db.ck2 (id BIGINT, score DOUBLE, " +
+      "CONSTRAINT pos2 CHECK (score >= 0))")
+    val ec = intercept[Exception] {
+      sql("INSERT INTO graft.db.ck2 VALUES (1, -1.0)") }
+    assert(ec.getMessage.contains("pos2"), ec.getMessage)
+    sql("INSERT INTO graft.db.ck2 VALUES (1, 1.0)")
+    assert(sql("SELECT count(*) FROM graft.db.ck2").collect()
+      .head.getLong(0) == 1)
+  }
+
   test("racing first INSERTs both land (append decided in-claim)") {
     warehouse
     import spark.implicits._
