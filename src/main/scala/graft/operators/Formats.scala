@@ -992,6 +992,64 @@ object Formats extends QueryPack {
         .orderBy(col("language"))
     }),
 
+    // History-preserving REPLACE (f37): `CREATE OR REPLACE TABLE … AS
+    // SELECT` through the staging catalog — the replace publishes ONE
+    // overwrite commit under a brand-new (narrower) schema instead of
+    // drop-and-recreate, so VERSION AS OF 1 still reads the original
+    // five-column rows while the head shows the replacement's three
+    // columns. This is the lakehouse REPLACE contract (atomic staged
+    // write, time travel across the redefinition); atomicity and
+    // constraint handling are spec-pinned in GraftCatalogSpec — this
+    // row hash-certifies both table states end-to-end from SQL.
+    "f37_replace_table" -> ((s, d) => {
+      val wh = ioDir(d, "f37_wh")
+      val cat = "graft37_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val tdir = s"$wh/db/docs"
+      val docs = T.documents(s, d)
+      val hot = col("source").isin("src0", "src1", "src2")
+      writeOnce(s, tdir, alsoRequire =
+          graft.sources.Snapshots.latestVersion(s, tdir) == 2) {
+        val root = new org.apache.hadoop.fs.Path(tdir)
+        val fsys = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fsys.delete(root, true)
+        s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, text STRING, " +
+          "lang STRING, source STRING, n_chars BIGINT)")
+        docs.filter(hot).createOrReplaceTempView("f37_base")
+        s.sql(s"INSERT INTO $cat.db.docs SELECT * FROM f37_base") // v1
+        docs.createOrReplaceTempView("f37_all")
+        s.sql(s"CREATE OR REPLACE TABLE $cat.db.docs AS " +        // v2
+          "SELECT doc_id, upper(lang) AS lang, n_chars FROM f37_all " +
+          "WHERE n_chars % 3 = 0")
+        ()
+      }
+      val head = s.sql(s"SELECT * FROM $cat.db.docs")
+      val headSchemaOk =
+        head.schema.fieldNames.toSeq == Seq("doc_id", "lang", "n_chars")
+      val hSums = head.select(
+          conv(substring(md5(concat(
+            col("doc_id").cast("string"), lit("\u0001"), col("lang"),
+            lit("\u0001"), col("n_chars").cast("string"))), 1, 8), 16, 10)
+            .cast("long").as("rh"))
+        .agg(count(lit(1)).as("hn"), sum(col("rh")).as("hh"))
+      val v1df = s.sql(s"SELECT * FROM $cat.db.docs VERSION AS OF 1")
+      val v1SchemaOk = v1df.schema.fieldNames.toSeq ==
+        Seq("doc_id", "text", "lang", "source", "n_chars")
+      val v1 = docSums(v1df)
+        .select(col("n").as("v1n"), col("h").as("v1h"))
+      val eV1 = docSums(docs.filter(hot))
+        .select(col("n").as("ev1n"), col("h").as("ev1h"))
+      hSums.crossJoin(v1).crossJoin(eV1)
+        .select(col("hn").as("n_head"), col("hh").as("head_sum"),
+          col("ev1n").as("n_v1"),
+          (col("v1n") === col("ev1n") && col("v1h") === col("ev1h"))
+            .as("time_travel_ok"),
+          lit(headSchemaOk && v1SchemaOk).as("schemas_ok"),
+          lit(graft.sources.Snapshots.latestVersion(s, tdir) == 2)
+            .as("one_version_per_replace"))
+    }),
+
     // Change-feed-maintained view (f34): a snapshot table mutated
     // through append → merge-on-read delete → rewrite (compaction
     // shape), with a downstream per-lang view maintained PURELY from
@@ -1571,6 +1629,23 @@ object Formats extends QueryPack {
       FROM documents
       GROUP BY lang
       ORDER BY language""",
+    // f37: replay both table states relationally — head = the
+    // replacement query over all documents (3-col shape, upper(lang),
+    // n_chars divisible by 3), v1 = the hot originals; the time-travel
+    // and graph booleans pinned TRUE
+    "f37_replace_table" -> """
+      SELECT CAST(count(*) FILTER (WHERE n_chars % 3 = 0) AS BIGINT)
+               AS n_head,
+             CAST(sum(CAST(('0x' || substr(md5(
+               CAST(doc_id AS VARCHAR) || chr(1) || upper(lang) ||
+               chr(1) || CAST(n_chars AS VARCHAR)), 1, 8)) AS BIGINT))
+               FILTER (WHERE n_chars % 3 = 0) AS BIGINT) AS head_sum,
+             CAST(count(*) FILTER (WHERE source IN
+               ('src0','src1','src2')) AS BIGINT) AS n_v1,
+             TRUE AS time_travel_ok,
+             TRUE AS schemas_ok,
+             TRUE AS one_version_per_replace
+      FROM documents""",
     // f34: replay the table's lifecycle relationally — the maintained
     // view must equal the head (all documents minus the doc_id%7
     // deletions, grouped per lang); the parity boolean pinned TRUE

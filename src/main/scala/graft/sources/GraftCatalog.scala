@@ -49,7 +49,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * produce byte-identical versions (GraftCatalogSpec pins it).
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with StagingTableCatalog {
 
   private var catName: String = _
   private var warehouse: String = _
@@ -171,6 +171,53 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       GraftConstraints.write(spark, tableDir(ident), checks)
     t
   }
+
+  // ---- staged DDL: CTAS / CREATE OR REPLACE / REPLACE ... AS SELECT ----
+
+  /** The CHECK constraints in `info`, refusing anything unenforceable. */
+  private[sources] def onlyChecks(
+      info: TableInfo, verb: String)
+      : Seq[org.apache.spark.sql.connector.catalog.constraints.Check] =
+    info.constraints.toSeq.map {
+      case c: org.apache.spark.sql.connector.catalog.constraints.Check => c
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: $verb with ${other.name()}: only CHECK " +
+          "constraints are supported")
+    }
+
+  private def staged(ident: Identifier, info: TableInfo,
+      mode: GraftStagedTable.Mode): StagedTable = {
+    require(info.partitions.isEmpty,
+      "graft catalog: partitioning transforms are not supported — the " +
+        "snapshot format clusters with OPTIMIZE ZORDER and prunes from " +
+        "per-file stats instead")
+    new GraftStagedTable(this, ident, info.schema,
+      onlyChecks(info, mode.verb), mode)
+  }
+
+  /** `CREATE TABLE … AS SELECT`: nothing touches the warehouse until
+    * [[GraftStagedTable.commitStagedChanges]] — a CTAS whose query fails
+    * mid-write leaves NO table behind (the non-staging exec would leave
+    * an empty husk). */
+  override def stageCreate(ident: Identifier, info: TableInfo)
+      : StagedTable = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    staged(ident, info, GraftStagedTable.Create)
+  }
+
+  /** `REPLACE TABLE [… AS SELECT]`: history-preserving — the replace
+    * publishes ONE overwrite commit (old versions stay time-travelable),
+    * never drop-and-recreate. */
+  override def stageReplace(ident: Identifier, info: TableInfo)
+      : StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    staged(ident, info, GraftStagedTable.Replace)
+  }
+
+  /** `CREATE OR REPLACE TABLE [… AS SELECT]`. */
+  override def stageCreateOrReplace(ident: Identifier, info: TableInfo)
+      : StagedTable =
+    staged(ident, info, GraftStagedTable.CreateOrReplace)
 
   /** SQL DDL onto the snapshot format's read-side evolution: ADD
     * COLUMNS / RENAME COLUMN / ALTER COLUMN TYPE (widening only) publish
@@ -473,4 +520,123 @@ private[graft] class SnapshotTableV2(val dir: String,
     }
 
   override def toString: String = s"SnapshotTableV2($fullName)"
+}
+
+private[graft] object GraftStagedTable {
+  sealed abstract class Mode(val verb: String)
+  case object Create extends Mode("CREATE TABLE ... AS SELECT")
+  case object Replace extends Mode("REPLACE TABLE")
+  case object CreateOrReplace extends Mode("CREATE OR REPLACE TABLE")
+}
+
+/** The staged side of [[GraftCatalog]]'s `StagingTableCatalog`: Spark's
+  * atomic CTAS / RTAS execs write the query through this handle (the
+  * same [[V1Write]] fallback the live table uses — the analyzer injects
+  * `CheckInvariant`s from [[constraints]] over the incoming plan, so
+  * inline CHECKs are enforced on the CTAS/RTAS rows themselves) and then
+  * call [[commitStagedChanges]]. Nothing touches the warehouse before
+  * that point: the "write" only captures the analyzed plan, and the
+  * publish is one [[Snapshots.commit]] — whose temp-stage + atomic-
+  * rename + version-claim protocol is the durability story. A failing
+  * query therefore aborts with the table unchanged (REPLACE) or absent
+  * (CREATE), and REPLACE keeps every prior version readable via
+  * `VERSION AS OF` — the lakehouse replace (one rewrite commit), not a
+  * drop-and-recreate.
+  */
+private[graft] class GraftStagedTable(catalog: GraftCatalog,
+    ident: Identifier, declaredSchema: StructType,
+    checks: Seq[org.apache.spark.sql.connector.catalog.constraints.Check],
+    mode: GraftStagedTable.Mode)
+    extends Table with SupportsWrite with StagedTable {
+
+  import GraftStagedTable._
+
+  @volatile private var stagedPlan
+      : Option[org.apache.spark.sql.DataFrame] = None
+
+  private def spark = SparkSession.active
+
+  override def name(): String =
+    (catalog.name +: ident.namespace.toSeq :+ ident.name).mkString(".")
+
+  override def schema(): StructType = declaredSchema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    checks.toArray
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      // RTAS plans OverwriteByExpression(true) over the staged handle;
+      // the distinction is moot here — the staged rows ARE the table
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                ovr: Boolean): Unit = {
+              // capture only — the job runs inside commitStagedChanges,
+              // so a failure there leaves the table untouched
+              stagedPlan = Some(data)
+            }
+          }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    val dir = catalog.tableDir(ident)
+    val exists = catalog.tableExists(ident)
+    mode match {
+      case Create if exists =>
+        throw new TableAlreadyExistsException(ident)
+      case Replace if !exists =>
+        throw new NoSuchTableException(ident)
+      case _ =>
+    }
+    if (!exists) {
+      stagedPlan match {
+        case Some(df) =>
+          // data FIRST: until the commit publishes v1 there is no
+          // table-marking file at all, so a failing CTAS query leaves
+          // nothing behind (the non-staging exec's empty-husk bug)
+          Snapshots.commit(spark, dir, df, append = false)
+        case None =>
+          // data-less staged create (CREATE OR REPLACE without AS):
+          // the same side-file layout CREATE TABLE writes
+          catalog.createTable(ident, declaredSchema,
+            Array.empty[Transform], new util.HashMap[String, String])
+      }
+      if (checks.nonEmpty) GraftConstraints.write(spark, dir, checks)
+    } else {
+      // REPLACE: one overwrite commit under the NEW schema — prior
+      // versions keep their own schema and stay readable (evolution
+      // metadata is per-manifest, so the schemas need not be related);
+      // a data-less REPLACE TABLE publishes an empty vintage
+      val df = stagedPlan.getOrElse(spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          Seq.empty[org.apache.spark.sql.Row], 1), declaredSchema))
+      Snapshots.commit(spark, dir, df, append = false)
+      // the new definition replaces the old one's constraints wholesale
+      GraftConstraints.write(spark, dir, checks)
+    }
+  }
+
+  override def abortStagedChanges(): Unit = {
+    stagedPlan = None
+    // a failed staged CREATE may leave commit scratch (a claim file,
+    // staged parts) in a directory that never became a table — remove
+    // it so the failed DDL is traceless; an EXISTING table (the
+    // replace paths) is never touched
+    if (mode != Replace && !catalog.tableExists(ident)) {
+      val p = new Path(catalog.tableDir(ident))
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+    }
+  }
+
+  override def toString: String = s"GraftStagedTable(${name()}, $mode)"
 }

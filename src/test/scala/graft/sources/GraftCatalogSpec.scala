@@ -516,6 +516,86 @@ class GraftCatalogSpec extends SparkSpec {
       .head.getLong(0) == 1)
   }
 
+  test("CREATE OR REPLACE / REPLACE TABLE AS SELECT: one overwrite " +
+      "commit, history preserved, schema may change") {
+    warehouse
+    sql("CREATE TABLE graft.db.rp (id BIGINT, payload STRING)")
+    sql("INSERT INTO graft.db.rp VALUES (1, 'a'), (2, 'b')")
+    val dir = dirOf("db", "rp")
+    assert(Snapshots.latestVersion(spark, dir) == 1)
+
+    // RTAS: head = the query's rows; ONE new version; v1 still readable
+    sql("CREATE OR REPLACE TABLE graft.db.rp AS " +
+      "SELECT CAST(9 AS BIGINT) AS id, 'z' AS payload")
+    assert(rows("SELECT * FROM graft.db.rp") == Seq((9L, "z")))
+    assert(rows("SELECT * FROM graft.db.rp VERSION AS OF 1") ==
+      Seq((1L, "a"), (2L, "b")))
+    assert(Snapshots.latestVersion(spark, dir) == 2)
+
+    // REPLACE may change the schema entirely; old versions keep theirs
+    sql("REPLACE TABLE graft.db.rp AS " +
+      "SELECT 'x' AS tag, CAST(1.5 AS DOUBLE) AS score")
+    val head = sql("SELECT * FROM graft.db.rp")
+    assert(head.schema.fieldNames.toSeq == Seq("tag", "score"))
+    assert(head.collect().map(r => (r.getString(0), r.getDouble(1)))
+      .toSeq == Seq(("x", 1.5)))
+    assert(sql("SELECT * FROM graft.db.rp VERSION AS OF 1")
+      .schema.fieldNames.toSeq == Seq("id", "payload"))
+
+    // data-less CREATE OR REPLACE: an empty vintage under the new schema
+    sql("CREATE OR REPLACE TABLE graft.db.rp (k INT, v STRING)")
+    val fresh = sql("SELECT * FROM graft.db.rp")
+    assert(fresh.count() == 0 &&
+      fresh.schema.fieldNames.toSeq == Seq("k", "v"))
+    assert(rows("SELECT * FROM graft.db.rp VERSION AS OF 1") ==
+      Seq((1L, "a"), (2L, "b")), "history survives every replace")
+
+    // REPLACE of a nonexistent table refuses; OR REPLACE creates
+    val e = intercept[Exception] {
+      sql("REPLACE TABLE graft.db.rp_missing AS SELECT 1 AS x") }
+    assert(e.getMessage.toLowerCase.contains("table"), e.getMessage)
+    sql("CREATE OR REPLACE TABLE graft.db.rp_new AS SELECT 1 AS x")
+    assert(sql("SELECT * FROM graft.db.rp_new").collect()
+      .map(_.getInt(0)).toSeq == Seq(1))
+  }
+
+  test("staged CTAS/RTAS is atomic: a failing query leaves no table / " +
+      "an unchanged table; inline CHECKs are enforced on the rows") {
+    warehouse
+    // CTAS whose query throws mid-write: no husk left behind
+    val ec = intercept[Exception] {
+      sql("CREATE TABLE graft.db.ctas_bad AS " +
+        "SELECT raise_error('boom') AS x") }
+    assert(!sql("SHOW TABLES IN graft.db").collect()
+      .map(_.getString(1)).contains("ctas_bad"),
+      "failed CTAS must not leave a table")
+
+    // RTAS whose query throws: the table is untouched at its old version
+    sql("CREATE TABLE graft.db.rtas_t AS SELECT CAST(7 AS BIGINT) AS id, " +
+      "'keep' AS payload")
+    val dir = dirOf("db", "rtas_t")
+    val before = Snapshots.latestVersion(spark, dir)
+    intercept[Exception] {
+      sql("CREATE OR REPLACE TABLE graft.db.rtas_t AS " +
+        "SELECT raise_error('boom') AS x") }
+    assert(Snapshots.latestVersion(spark, dir) == before)
+    assert(rows("SELECT * FROM graft.db.rtas_t") == Seq((7L, "keep")))
+
+    // inline CHECK through the replace DDL (the parser forbids
+    // constraints in an RTAS statement, so the data-less form carries
+    // them); the new definition's constraint binds later writes
+    sql("CREATE OR REPLACE TABLE graft.db.rtas_t (id BIGINT, " +
+      "payload STRING, CONSTRAINT pos CHECK (id > 0))")
+    val ei = intercept[Exception] {
+      sql("INSERT INTO graft.db.rtas_t VALUES (-5, 'nope')") }
+    assert(ei.getMessage.contains("pos"), ei.getMessage)
+    sql("INSERT INTO graft.db.rtas_t VALUES (5, 'yes')")
+    // and REPLACE without constraints lifts them wholesale
+    sql("CREATE OR REPLACE TABLE graft.db.rtas_t AS " +
+      "SELECT CAST(-1 AS BIGINT) AS id, 'fine-now' AS payload")
+    assert(rows("SELECT * FROM graft.db.rtas_t") == Seq((-1L, "fine-now")))
+  }
+
   test("racing first INSERTs both land (append decided in-claim)") {
     warehouse
     import spark.implicits._
