@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{BloomAnyContain, DotInt8, DotProduct, GraftNfc, MinHashAgg, PackInt8, SimHashAgg}
-import graft.sources.GraftSqlRules
+import graft.sources.{GraftSqlRules, GraftStreamingRules}
 
 /** SparkSessionExtensions entry point: wires the engine's native functions
   * AND the `graft` SQL-catalog analyzer rules into any session built with
@@ -29,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPostHocResolutionRule(GraftSqlRules.apply)
+    // main-batch rule: readStream.table("graft.db.t") must re-resolve
+    // downstream attributes when readChangeFeed widens the schema
+    ext.injectResolutionRule(GraftStreamingRules.apply)
     ext.injectFunction((FunctionIdentifier("graft_dot"),
       info("graft_dot", "graft_dot(a, b) - codegen'd dot product over two array<double>"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))

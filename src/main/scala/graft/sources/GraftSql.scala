@@ -33,6 +33,48 @@ import org.apache.spark.sql.functions.lit
   * (which captures the still-V2 target relation) before the scan case
   * could rewrite the relation under it.
   */
+/** Streaming resolution for catalog-named snapshot tables:
+  * `spark.readStream.table("graft.db.t")` (and `STREAM graft.db.t` in
+  * SQL) resolves to a [[org.apache.spark.sql.catalyst.streaming
+  * .StreamingRelationV2]] over a [[SnapshotTableV2]], which carries no
+  * V2 MicroBatchStream — this rule lowers it onto the SAME V1 streaming
+  * source `readStream.format("graft-snapshots")` uses
+  * ([[SnapshotStreamSource]] / [[SnapshotChangeFeedSource]]), reader
+  * options (`startingVersion`, `readChangeFeed`, `ignoreChanges`,
+  * `maxVersionsPerTrigger`, …) passing through. The Delta architecture
+  * again: the catalog resolves the NAME, the format's source streams.
+  *
+  * Injected into the MAIN resolution batch (not post-hoc) because
+  * `readChangeFeed=true` widens the schema (`_change_type`,
+  * `_commit_version`, `_commit_timestamp`): downstream attribute
+  * resolution must see the V1 node's output, and post-hoc runs only
+  * after resolution reaches its fixed point. The plain-read case pins
+  * the V2 relation's attribute identities so already-bound references
+  * survive either way.
+  */
+case class GraftStreamingRules(session: SparkSession)
+    extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case s: org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
+        if s.table.isInstanceOf[SnapshotTableV2] =>
+      val t = s.table.asInstanceOf[SnapshotTableV2]
+      require(t.pinnedVersion.isEmpty,
+        "graft catalog: streaming reads take a startingVersion option, " +
+          "not VERSION/TIMESTAMP AS OF")
+      import scala.jdk.CollectionConverters._
+      val opts = s.extraOptions.asCaseSensitiveMap.asScala.toMap +
+        ("path" -> t.dir)
+      val cdf = opts.exists { case (k, v) =>
+        k.equalsIgnoreCase("readChangeFeed") && v.toBoolean }
+      GraftBatchView.v1StreamingRelation(session, "graft-snapshots", opts,
+        // CDF widens the schema — fresh output; plain reads keep the
+        // resolved identities
+        if (cdf) Nil
+        else s.output.map(_.asInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.AttributeReference]))
+  }
+}
+
 case class GraftSqlRules(session: SparkSession) extends Rule[LogicalPlan] {
 
   import GraftSql._

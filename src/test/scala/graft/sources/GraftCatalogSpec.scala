@@ -596,6 +596,47 @@ class GraftCatalogSpec extends SparkSpec {
     assert(rows("SELECT * FROM graft.db.rtas_t") == Seq((-1L, "fine-now")))
   }
 
+  test("readStream.table: catalog-named streaming reads, plain and " +
+      "change feed") {
+    warehouse
+    sql("CREATE TABLE graft.db.st (id BIGINT, payload STRING)")
+    sql("INSERT INTO graft.db.st VALUES (1, 'a'), (2, 'b')")
+
+    // plain streaming read by NAME: versions become micro-batches
+    val q = spark.readStream.table("graft.db.st")
+      .writeStream.format("memory").queryName("st_plain")
+      .option("checkpointLocation", tmpDir("st-cp")).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("st_plain").count() == 2)
+      sql("INSERT INTO graft.db.st VALUES (3, 'c')")
+      q.processAllAvailable()
+      assert(spark.table("st_plain").collect().map(_.getLong(0)).sorted
+        .toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+
+    // change feed by NAME: the widened CDF schema resolves downstream
+    // (_change_type must be visible through the table identifier)
+    val feed = spark.readStream.option("readChangeFeed", "true")
+      .table("graft.db.st")
+    assert(feed.schema.fieldNames.takeRight(3).toSeq ==
+      Seq("_change_type", "_commit_version", "_commit_timestamp"))
+    val q2 = feed.groupBy(lit(1).as("g"))
+      .agg(sum(when(col("_change_type") === "insert", 1L)
+        .otherwise(-1L)).as("n"))
+      .writeStream.format("memory").queryName("st_cdf")
+      .outputMode("complete")
+      .option("checkpointLocation", tmpDir("st-cdf-cp")).start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("st_cdf").collect().head.getLong(1) == 3L)
+      sql("DELETE FROM graft.db.st WHERE id = 2")
+      q2.processAllAvailable()
+      assert(spark.table("st_cdf").collect().head.getLong(1) == 2L,
+        "the delete must retract through the named feed")
+    } finally q2.stop()
+  }
+
   test("racing first INSERTs both land (append decided in-claim)") {
     warehouse
     import spark.implicits._
