@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, GraftBatchView, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{EliminateSubqueryAliases, UnresolvedAttribute}
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, Expression, NamedExpression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -128,6 +128,27 @@ case class GraftSqlRules(session: SparkSession) extends Rule[LogicalPlan] {
             m.notMatchedBySourceActions)
         case None => m
       }
+    // metadata-only COUNT: a bare `SELECT count(*) [AS …] FROM t` folds
+    // to the manifest's parquet-footer row counts minus the deletion
+    // vector's (Snapshots.metadataRowCount) — zero Spark jobs, zero
+    // bytes of data read, at ANY table size. Only row-count-preserving
+    // shapes qualify: no grouping, no filter (neither WHERE nor a
+    // FILTER clause), no DISTINCT, every aggregate a count of a
+    // non-null constant.
+    case agg @ Aggregate(Nil, exprs, child, _) if agg.resolved &&
+        exprs.nonEmpty && exprs.forall(GraftSql.isCountStar) =>
+      GraftSql.countTarget(child) match {
+        case Some(t) =>
+          val v = t.resolveVersion(session)
+          val cnt =
+            if (v < 1) 0L
+            else Snapshots.metadataRowCount(session, t.dir, v)
+          LocalRelation(
+            agg.output.map(_.asInstanceOf[AttributeReference]),
+            Seq(org.apache.spark.sql.catalyst.InternalRow(
+              exprs.map(_ => cnt): _*)))
+        case None => agg
+      }
     case r: DataSourceV2Relation
         if r.table.isInstanceOf[SnapshotTableV2] =>
       v1Scan(session, r.table.asInstanceOf[SnapshotTableV2], r)
@@ -192,6 +213,33 @@ private[graft] object GraftSql {
       case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
       case other => Seq(other)
     }
+
+  /** `count(*)` / `count(<non-null constant>)` without DISTINCT or a
+    * FILTER clause — the only aggregate the metadata count may answer. */
+  private[sources] def isCountStar(ne: NamedExpression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
+    def check(e: Expression): Boolean = e match {
+      case Alias(c, _) => check(c)
+      case AggregateExpression(Count(children), _, false, None, _) =>
+        children.forall(c => c.foldable && c.eval() != null)
+      case _ => false
+    }
+    check(ne)
+  }
+
+  /** The snapshot table under a row-count-preserving operator chain
+    * (aliases and projections never change the row count; anything
+    * else — a Filter, a Join, a Generate — disqualifies). */
+  private[sources] def countTarget(plan: LogicalPlan)
+      : Option[SnapshotTableV2] = plan match {
+    case r: DataSourceV2Relation => r.table match {
+      case t: SnapshotTableV2 => Some(t)
+      case _ => None
+    }
+    case p: Project => countTarget(p.child)
+    case a: SubqueryAlias => countTarget(a.child)
+    case _ => None
+  }
 }
 
 /** `DELETE FROM graft.db.t WHERE cond` → [[Snapshots.deleteWhere]]: a

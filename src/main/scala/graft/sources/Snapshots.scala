@@ -174,6 +174,29 @@ object Snapshots {
     try rd.getRecordCount finally rd.close()
   }
 
+  /** COUNT(*) of version `v` from METADATA alone: the parquet footers
+    * of the manifest's files minus the deletion vector's positions
+    * (each DV row is ONE deleted position in a live file — every DV
+    * writer anti-joins new hits against the prior vector and appends
+    * carry vectors forward untouched, so positions are unique and all
+    * reference manifest files). Zero Spark jobs, O(files + dv files)
+    * driver footer reads — the lakehouse metadata-count at any table
+    * size; [[GraftSqlRules]] folds bare `SELECT count(*)` over a
+    * catalog table onto this. */
+  private[sources] def metadataRowCount(s: SparkSession, dir: String,
+      v: Int): Long = {
+    val total = files(s, dir, v)
+      .map(p => parquetRowCount(new Path(dir, p), s)).sum
+    val f = fs(s, dir)
+    val dv = dvDir(dir, v)
+    val deleted =
+      if (!f.exists(dv)) 0L
+      else f.listStatus(dv).map(_.getPath)
+        .filter(p => p.getName.endsWith(".parquet"))
+        .map(p => parquetRowCount(p, s)).sum
+    total - deleted
+  }
+
   private val ClaimName = """^v(\d+)\.claim$""".r
 
   /** A held claim on version `v`. A daemon thread HEARTBEATS the claim

@@ -596,6 +596,44 @@ class GraftCatalogSpec extends SparkSpec {
     assert(rows("SELECT * FROM graft.db.rtas_t") == Seq((-1L, "fine-now")))
   }
 
+  test("SELECT count(*) folds to metadata: zero scan, DV-aware, " +
+      "time-travel-aware; filtered/column counts still scan") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    def scanFree(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectLeaves()
+        .forall(_.isInstanceOf[LocalRelation])
+    warehouse
+    sql("CREATE TABLE graft.db.mc (id BIGINT, payload STRING)")
+    assert(sql("SELECT count(*) FROM graft.db.mc").collect()
+      .head.getLong(0) == 0, "a created-but-empty table counts 0")
+    sql("INSERT INTO graft.db.mc VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    sql("INSERT INTO graft.db.mc VALUES (4, 'd')")
+
+    val df = sql("SELECT count(*) AS n FROM graft.db.mc")
+    assert(scanFree(df), "bare count must fold to metadata:\n" +
+      df.queryExecution.optimizedPlan)
+    assert(df.collect().head.getLong(0) == 4)
+
+    // merge-on-read deletes subtract from the count without a scan
+    sql("DELETE FROM graft.db.mc WHERE id IN (2, 3)")
+    val df2 = sql("SELECT count(*) FROM graft.db.mc")
+    assert(scanFree(df2) && df2.collect().head.getLong(0) == 2)
+
+    // the pinned version counts ITS files (and its absent vector)
+    val tt = sql("SELECT count(*) FROM graft.db.mc VERSION AS OF 1")
+    assert(scanFree(tt) && tt.collect().head.getLong(0) == 3)
+
+    // non-row-count-preserving shapes keep the scan and stay correct
+    val filtered = sql("SELECT count(*) FROM graft.db.mc WHERE id = 1")
+    assert(!scanFree(filtered) && filtered.collect().head.getLong(0) == 1)
+    sql("INSERT INTO graft.db.mc VALUES (9, CAST(NULL AS STRING))")
+    val colCount = sql("SELECT count(payload) FROM graft.db.mc")
+    assert(!scanFree(colCount) && colCount.collect().head.getLong(0) == 2,
+      "count(column) skips nulls — must not fold to the row count")
+    assert(sql("SELECT count(*) FROM graft.db.mc").collect()
+      .head.getLong(0) == 3)
+  }
+
   test("readStream.table: catalog-named streaming reads, plain and " +
       "change feed") {
     warehouse
