@@ -478,7 +478,8 @@ private[graft] class SnapshotTableV2(val dir: String,
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   /** The table's CHECK constraints — Spark's `ResolveTableConstraints`
     * reads these and injects `CheckInvariant` validation into every
@@ -516,6 +517,18 @@ private[graft] class SnapshotTableV2(val dir: String,
               ()
             }
           }
+        /** `writeStream.toTable("graft.db.t")`: executors write each
+          * micro-batch partition straight to staged parquet, the epoch
+          * commit publishes ONE version with the V1 sink's per-query
+          * exactly-once stamp (see [[SnapshotStreamingWrite]]). */
+        override def toStreaming: org.apache.spark.sql.connector.write
+            .streaming.StreamingWrite =
+          new SnapshotStreamingWrite(dir, info.schema(), info.queryId(),
+            truncate = overwrite,
+            new GraftSerConf(
+              org.apache.spark.sql.execution.datasources.parquet
+                .GraftParquetIO.pinWriteConf(
+                  spark.sessionState.newHadoopConf())))
       }
     }
 

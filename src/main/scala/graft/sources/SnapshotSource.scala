@@ -508,6 +508,135 @@ private[graft] class SnapshotSink(dir: String,
   }
 }
 
+/** Serializable Hadoop Configuration (Configuration is Writable, not
+  * Serializable) — ships the driver's pinned parquet-write settings to
+  * the streaming writers. */
+private[graft] class GraftSerConf(
+    @transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(true)
+    value.readFields(in)
+  }
+}
+
+private[graft] case class GraftStreamCommitMessage(path: String,
+    rows: Long)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+/** The V2 STREAMING write behind `writeStream.toTable("graft.db.t")` —
+  * the naming twin of the V1 `graft-snapshots` sink, with a better
+  * 100 TB shape: each micro-batch partition writes its rows STRAIGHT to
+  * a staged parquet part on the executor ([[org.apache.spark.sql
+  * .execution.datasources.parquet.GraftParquetIO]] — Spark's own
+  * Catalyst-to-parquet converter), and the epoch commit is the driver
+  * publishing those files as one version ([[Snapshots
+  * .commitStagedFiles]]: claim, carried file set + deletion vector,
+  * manifest) — one pass over the data, no second `addBatch` job.
+  * Exactly-once via the same per-query `vN.meta` stamp as the V1 sink:
+  * a replayed epoch is skipped, a regressed checkpoint refuses loudly.
+  * Append mode appends (first commit decided in-claim); Complete mode
+  * (`truncate`) publishes each epoch as a rewrite. Task retries are
+  * safe: writers name files by (epoch, partition, task) and only files
+  * named in COMMIT MESSAGES publish — an orphaned attempt dies with the
+  * epoch's staging dir. */
+private[graft] class SnapshotStreamingWrite(dir: String,
+    schema: StructType, queryId: String, truncate: Boolean,
+    conf: GraftSerConf)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  private def spark = SparkSession.active
+  private val stageRoot = new Path(dir,
+    "_stream_stage/" + (if (queryId.isEmpty) "q" else
+      queryId.replaceAll("[^A-Za-z0-9_-]", "_")))
+
+  override def createStreamingWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming
+        .StreamingDataWriterFactory =
+    new SnapshotStreamWriterFactory(stageRoot.toString, schema, conf)
+
+  override def commit(epochId: Long,
+      messages: Array[org.apache.spark.sql.connector.write
+        .WriterCommitMessage]): Unit = {
+    val f = stageRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val epochDir = new Path(stageRoot, s"epoch-$epochId")
+    def cleanup(): Unit = { f.delete(epochDir, true); () }
+    Snapshots.lastStreamBatchStamp(spark, dir, queryId) match {
+      case Some((last, _)) if last == epochId =>
+        // engine re-delivery of the stamped epoch after a restart
+        cleanup(); return
+      case Some((last, legacy)) if last > epochId && !legacy =>
+        cleanup()
+        throw new IllegalStateException(
+          s"graft-snapshots streaming write: query $queryId delivered " +
+            s"epoch $epochId but the table at $dir already holds its " +
+            s"epoch $last — the stream's checkpoint regressed; refusing " +
+            "to guess which commits to drop")
+      case _ =>
+    }
+    val staged = messages.collect {
+      case m: GraftStreamCommitMessage if m.rows > 0 => new Path(m.path)
+    }.toSeq
+    // an all-empty epoch publishes nothing (there is nothing to replay
+    // either — idempotence needs no stamp for zero rows)
+    if (staged.nonEmpty)
+      Snapshots.commitStagedFiles(spark, dir, staged,
+        append = !truncate, streamTxn = Some((queryId, epochId)))
+    cleanup()
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[org.apache.spark.sql.connector.write
+        .WriterCommitMessage]): Unit = {
+    val f = stageRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new Path(stageRoot, s"epoch-$epochId"), true)
+    ()
+  }
+
+  override def toString: String = s"SnapshotStreamingWrite[$dir]"
+}
+
+private[graft] class SnapshotStreamWriterFactory(stageRoot: String,
+    schema: StructType, conf: GraftSerConf)
+    extends org.apache.spark.sql.connector.write.streaming
+      .StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] = {
+    val p = new Path(stageRoot,
+      s"epoch-$epochId/part-$epochId-$partitionId-$taskId.parquet")
+    new SnapshotStreamDataWriter(p, schema, conf.value)
+  }
+}
+
+private[graft] class SnapshotStreamDataWriter(path: Path,
+    schema: StructType, conf: org.apache.hadoop.conf.Configuration)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  private val writer = org.apache.spark.sql.execution.datasources.parquet
+    .GraftParquetIO.openWriter(path, schema, conf)
+  private var rows = 0L
+  override def write(r: InternalRow): Unit = { writer.write(r); rows += 1 }
+  override def commit(): org.apache.spark.sql.connector.write
+      .WriterCommitMessage = {
+    writer.close()
+    // empty partitions leave no file: the manifest should not accrete
+    // zero-row parts at one per idle partition per epoch
+    if (rows == 0L) path.getFileSystem(conf).delete(path, false)
+    GraftStreamCommitMessage(path.toString, rows)
+  }
+  override def abort(): Unit = {
+    try writer.close() catch { case _: Throwable => }
+    path.getFileSystem(conf).delete(path, false)
+    ()
+  }
+  override def close(): Unit = ()
+}
+
 object SnapshotSource {
 
   /** Epoch millis of a `timestampAsOf` option value: a raw epoch-millis

@@ -174,6 +174,53 @@ object Snapshots {
     try rd.getRecordCount finally rd.close()
   }
 
+  /** Publish ALREADY-WRITTEN parquet part files as the next version —
+    * the driver half of the V2 STREAMING sink ([[SnapshotSource]]'s
+    * `SnapshotStreamingWrite`), whose executors wrote each micro-batch
+    * partition straight to a staging file. Same protocol as
+    * [[commit]] minus the DataFrame write: version claim, base = main's
+    * head, checked renames into `data/vN-i-` names (partial moves
+    * cleaned up on failure), append carries the base's file set AND its
+    * deletion vector, the streaming txn stamps `vN.meta`, manifest
+    * publishes, main advances. Returns the new version. */
+  private[sources] def commitStagedFiles(s: SparkSession, dir: String,
+      staged: Seq[Path], append: Boolean,
+      streamTxn: Option[(String, Long)]): Int = {
+    val f = fs(s, dir)
+    f.mkdirs(new Path(dir))
+    val c = claimVersion(f, dir)
+    try {
+      val v = c.v
+      val base = mainHead(f, dir, v - 1)
+      val app = append && base >= 1
+      val dataDir = new Path(dir, "data")
+      f.mkdirs(dataDir)
+      val moved = scala.collection.mutable.ArrayBuffer.empty[String]
+      try {
+        staged.zipWithIndex.foreach { case (p, i) =>
+          val name = s"v$v-$i-${p.getName}"
+          if (!f.rename(p, new Path(dataDir, name)))
+            throw new java.io.IOException(
+              s"streaming commit aborted: rename $p -> $dataDir/$name " +
+                "returned false")
+          moved += s"data/$name"
+        }
+      } catch {
+        case e: Throwable =>
+          moved.foreach(p => f.delete(new Path(dir, p), false))
+          throw e
+      }
+      val carried = if (app) files(s, dir, base) else Seq.empty
+      if (app && hasDv(s, dir, base))
+        dvFrame(s, dir, base).foreach(
+          _.write.mode("overwrite").parquet(dvDir(dir, v).toString))
+      writeCommitMeta(f, dir, v, if (base > 0) base else 0, streamTxn)
+      writeManifest(f, dir, v, carried ++ moved)
+      advanceMain(s, f, dir, v)
+      v
+    } finally c.release()
+  }
+
   /** COUNT(*) of version `v` from METADATA alone: the parquet footers
     * of the manifest's files minus the deletion vector's positions
     * (each DV row is ONE deleted position in a live file — every DV

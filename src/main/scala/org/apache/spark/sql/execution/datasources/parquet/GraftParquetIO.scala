@@ -1,0 +1,76 @@
+package org.apache.spark.sql.execution.datasources.parquet
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetWriter
+import org.apache.parquet.hadoop.api.WriteSupport
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.StructType
+
+/** Interop shim (hence this package): an executor-side
+  * `InternalRow → parquet file` writer built on Spark's own
+  * [[ParquetWriteSupport]] — the exact Catalyst-to-parquet converter the
+  * batch parquet sink uses (same logical types, same rebase handling) —
+  * through parquet's public `ParquetWriter.Builder`. The snapshot
+  * format's V2 STREAMING write uses it to write each micro-batch
+  * partition straight to a staged part file on the executor, so a
+  * streaming epoch costs exactly one pass over its rows (no second
+  * driver-orchestrated job like a V1 `Sink.addBatch` re-plan).
+  */
+object GraftParquetIO {
+
+  /** The SQL-conf keys [[ParquetWriteSupport.init]] consults; the DRIVER
+    * pins them into the shipped Configuration from its session so
+    * executors cannot fall back to diverging defaults. */
+  def pinWriteConf(conf: Configuration): Configuration = {
+    val sql = SQLConf.get
+    conf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key,
+      sql.writeLegacyParquetFormat.toString)
+    conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
+      sql.parquetOutputTimestampType.toString)
+    conf.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key,
+      sql.getConf(SQLConf.PARQUET_REBASE_MODE_IN_WRITE).toString)
+    conf.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key,
+      sql.getConf(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE).toString)
+    conf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, sql.sessionLocalTimeZone)
+    conf.set("spark.sql.parquet.compression.codec",
+      sql.parquetCompressionCodec)
+    // the schema converter reads these unconditionally (the batch
+    // writer's ParquetUtils.prepareWrite pins the same set)
+    conf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key,
+      sql.getConf(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED).toString)
+    conf.set(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key,
+      sql.getConf(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG).toString)
+    conf.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
+      sql.getConf(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE).toString)
+    conf.set(SQLConf.VARIANT_WRITE_SHREDDING_ENABLED.key,
+      sql.getConf(SQLConf.VARIANT_WRITE_SHREDDING_ENABLED).toString)
+    conf
+  }
+
+  private class Builder(path: Path)
+      extends ParquetWriter.Builder[InternalRow, Builder](path) {
+    override def self(): Builder = this
+    override def getWriteSupport(conf: Configuration)
+        : WriteSupport[InternalRow] = new ParquetWriteSupport
+  }
+
+  /** Open a parquet writer for rows of `schema` at `path`. The caller
+    * owns close(). */
+  def openWriter(path: Path, schema: StructType, conf: Configuration)
+      : ParquetWriter[InternalRow] = {
+    val c = new Configuration(conf)
+    ParquetWriteSupport.setSchema(schema, c)
+    val codec = c.get("spark.sql.parquet.compression.codec", "snappy")
+      .toUpperCase match {
+      case "NONE" | "UNCOMPRESSED" => CompressionCodecName.UNCOMPRESSED
+      case "GZIP" => CompressionCodecName.GZIP
+      case "ZSTD" => CompressionCodecName.ZSTD
+      case "LZ4" => CompressionCodecName.LZ4
+      case _ => CompressionCodecName.SNAPPY
+    }
+    new Builder(path).withConf(c).withCompressionCodec(codec).build()
+  }
+}

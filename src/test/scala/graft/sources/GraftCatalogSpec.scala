@@ -675,6 +675,76 @@ class GraftCatalogSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("writeStream.toTable: executor-written epochs publish one " +
+      "version each, exactly-once across restart; complete truncates") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    warehouse
+    sql("CREATE TABLE graft.db.ws (id BIGINT, payload STRING)")
+    val dir = dirOf("db", "ws")
+    val cp = tmpDir("ws-cp")
+
+    val src = MemoryStream[(Long, String)]
+    def start() = src.toDF().toDF("id", "payload")
+      .writeStream.option("checkpointLocation", cp)
+      .toTable("graft.db.ws")
+
+    val q = start()
+    try {
+      src.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      assert(rows("SELECT * FROM graft.db.ws") ==
+        Seq((1L, "a"), (2L, "b")))
+      src.addData((3L, "c"))
+      q.processAllAvailable()
+      assert(rows("SELECT * FROM graft.db.ws") ==
+        Seq((1L, "a"), (2L, "b"), (3L, "c")))
+      assert(Snapshots.latestVersion(spark, dir) == 2,
+        "one published version per non-empty epoch")
+    } finally q.stop()
+
+    // restart from the same checkpoint: the engine re-delivers the last
+    // epoch — the stamp must skip it, not double-commit
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      src.addData((4L, "d"))
+      q2.processAllAvailable()
+      assert(rows("SELECT * FROM graft.db.ws") ==
+        Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    } finally q2.stop()
+    // no staging residue outside the table's data
+    val f = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!f.exists(new Path(dir, "_stream_stage")) ||
+      f.listStatus(new Path(dir, "_stream_stage"))
+        .forall(st => f.listStatus(st.getPath).isEmpty),
+      "staged epochs must be cleaned after commit")
+
+    // complete mode: each epoch is a rewrite (truncate), history kept
+    sql("CREATE TABLE graft.db.wc (payload STRING, n BIGINT)")
+    val src2 = MemoryStream[(Long, String)]
+    val qc = src2.toDF().toDF("id", "payload")
+      .groupBy($"payload").agg(count(lit(1)).as("n"))
+      .select($"payload", $"n")
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", tmpDir("wc-cp"))
+      .toTable("graft.db.wc")
+    try {
+      src2.addData((1L, "x"), (2L, "x"))
+      qc.processAllAvailable()
+      assert(sql("SELECT n FROM graft.db.wc WHERE payload = 'x'")
+        .collect().head.getLong(0) == 2)
+      src2.addData((3L, "x"))
+      qc.processAllAvailable()
+      assert(sql("SELECT n FROM graft.db.wc WHERE payload = 'x'")
+        .collect().head.getLong(0) == 3)
+      assert(sql("SELECT count(*) FROM graft.db.wc").collect()
+        .head.getLong(0) == 1, "complete mode replaces, never appends")
+    } finally qc.stop()
+  }
+
   test("racing first INSERTs both land (append decided in-claim)") {
     warehouse
     import spark.implicits._
