@@ -1050,6 +1050,85 @@ object Formats extends QueryPack {
             .as("one_version_per_replace"))
     }),
 
+    // Named streaming lifecycle (f38): the V2 catalog's streaming
+    // surfaces end-to-end — `writeStream.toTable("graft.db.t")` builds
+    // the table (executor-written parquet parts, one published version
+    // per epoch, the per-query exactly-once stamp) and
+    // `readStream.option("readChangeFeed").table(...)` maintains a
+    // per-lang view from the named change feed. Both halves are the
+    // NAMING twins of f32 (format sink) and f34 (path CDF source): same
+    // protocol, zero paths in user code. The DuckDB oracle replays the
+    // final per-lang aggregate over `documents`.
+    "f38_named_streaming" -> ((s, d) => {
+      val wh = ioDir(d, "f38_wh")
+      val cat = "graft38_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val tdir = s"$wh/db/sdocs"
+      val docs = T.documents(s, d)
+      val hot = col("source").isin("src0", "src1", "src2")
+      writeOnce(s, tdir, alsoRequire =
+          graft.sources.Snapshots.latestVersion(s, tdir) == 2) {
+        val fsys = new org.apache.hadoop.fs.Path(tdir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fsys.delete(new org.apache.hadoop.fs.Path(tdir), true)
+        fsys.delete(new org.apache.hadoop.fs.Path(s"$wh/f38_cp"), true)
+        s.sql(s"CREATE TABLE $cat.db.sdocs (doc_id BIGINT, text STRING, " +
+          "lang STRING, source STRING, n_chars BIGINT)")
+        implicit val enc = org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.scalaLong)
+        implicit val sqlCtx = s.sqlContext
+        val src = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String, String, String, Long)]
+        val q = src.toDS()
+          .toDF("doc_id", "text", "lang", "source", "n_chars")
+          .writeStream
+          .option("checkpointLocation", s"$wh/f38_cp")
+          .toTable(s"$cat.db.sdocs")
+        try {
+          def rowsOf(df: org.apache.spark.sql.DataFrame) =
+            df.select("doc_id", "text", "lang", "source", "n_chars")
+              .collect().map(r => (r.getLong(0), r.getString(1),
+                r.getString(2), r.getString(3), r.getLong(4))).toSeq
+          src.addData(rowsOf(docs.filter(hot)): _*)
+          q.processAllAvailable()
+          src.addData(rowsOf(docs.filter(!hot)): _*)
+          q.processAllAvailable()
+        } finally q.stop()
+        ()
+      }
+      // the view, driven purely from the NAMED change feed (fresh
+      // checkpoint per run — the replay is the operator under test)
+      val cp = java.nio.file.Files.createTempDirectory("f38cp").toString
+      val feed = s.readStream.option("readChangeFeed", "true")
+        .table(s"$cat.db.sdocs")
+      val sgn = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+      val view = s"f38_view_${math.abs(d.hashCode)}"
+      val q = feed.groupBy(col("lang"))
+        .agg(sum(sgn).as("n_docs"),
+          sum(sgn * col("n_chars")).as("sum_chars"))
+        .writeStream.format("memory").queryName(view)
+        .outputMode("complete")
+        .option("checkpointLocation", cp).start()
+      try q.processAllAvailable() finally q.stop()
+      val fed = s.table(view)
+        .select(col("lang"), col("n_docs"), col("sum_chars"))
+      val head = s.sql(s"SELECT * FROM $cat.db.sdocs")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("hn"), sum(col("n_chars")).as("hc"))
+      fed.join(head, Seq("lang"), "full_outer")
+        .select(col("lang"), col("n_docs"), col("sum_chars"),
+          (col("n_docs") === col("hn") && col("sum_chars") === col("hc"))
+            .as("view_matches_head"),
+          lit(graft.sources.Snapshots.latestVersion(s, tdir) == 2)
+            .as("one_version_per_epoch"))
+        .orderBy(col("lang"))
+    }),
+
     // Change-feed-maintained view (f34): a snapshot table mutated
     // through append → merge-on-read delete → rewrite (compaction
     // shape), with a downstream per-lang view maintained PURELY from
@@ -1646,6 +1725,18 @@ object Formats extends QueryPack {
              TRUE AS schemas_ok,
              TRUE AS one_version_per_replace
       FROM documents""",
+    // f38: replay the named-streaming lifecycle relationally — the
+    // feed-maintained view must equal the head (all documents, per
+    // lang); the parity booleans pinned TRUE
+    "f38_named_streaming" -> """
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             TRUE AS view_matches_head,
+             TRUE AS one_version_per_epoch
+      FROM documents
+      GROUP BY lang
+      ORDER BY lang""",
     // f34: replay the table's lifecycle relationally — the maintained
     // view must equal the head (all documents minus the doc_id%7
     // deletions, grouped per lang); the parity boolean pinned TRUE
