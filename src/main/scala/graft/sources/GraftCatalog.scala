@@ -79,11 +79,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private[sources] def tableDir(ident: Identifier): String =
     new Path(nsPath(ident.namespace.toSeq), ident.name).toString
 
-  /** A directory is a table iff it holds snapshot manifests or the
-    * pre-first-commit `_SCHEMA` marker [[SnapshotTableV2]] writes. */
+  /** A directory is a table iff it holds ANY snapshot manifest or the
+    * pre-first-commit `_SCHEMA` marker [[SnapshotTableV2]] writes.
+    * Checking only v1.json would make a table VANISH from the catalog
+    * once `vacuum` reclaims its first version (CTAS tables, or any
+    * Scala-made table, carry no `_SCHEMA`). */
   private def isTable(p: Path): Boolean = {
     val f = fs(p)
-    f.exists(new Path(p, "v1.json")) || f.exists(new Path(p, "_SCHEMA"))
+    f.exists(new Path(p, "_SCHEMA")) ||
+      (f.exists(p) && Snapshots.latestVersion(spark, p.toString) >= 1)
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
@@ -159,14 +163,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * them). */
   override def createTable(ident: Identifier,
       info: TableInfo): Table = {
+    // refuse unenforceable constraints BEFORE creating anything — a
+    // rejected CREATE must not leave a table behind
+    val checks = onlyChecks(info, "CREATE TABLE")
     val t = createTable(ident, info.schema, info.partitions,
       info.properties)
-    val checks = info.constraints.toSeq.map {
-      case c: org.apache.spark.sql.connector.catalog.constraints.Check => c
-      case other => throw new UnsupportedOperationException(
-        s"graft catalog: CREATE TABLE with ${other.name()}: only CHECK " +
-          "constraints are supported")
-    }
     if (checks.nonEmpty)
       GraftConstraints.write(spark, tableDir(ident), checks)
     t
@@ -615,8 +616,16 @@ private[graft] class GraftStagedTable(catalog: GraftCatalog,
         case Some(df) =>
           // data FIRST: until the commit publishes v1 there is no
           // table-marking file at all, so a failing CTAS query leaves
-          // nothing behind (the non-staging exec's empty-husk bug)
+          // nothing behind (the non-staging exec's empty-husk bug).
+          // The _SCHEMA marker lands AFTER the publish: it keeps the
+          // table catalog-visible even if vacuum later reclaims v1's
+          // manifest (isTable also accepts any manifest, so this is
+          // redundancy, not a dependency)
           Snapshots.commit(spark, dir, df, append = false)
+          val f = new Path(dir).getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          val o = f.create(new Path(dir, "_SCHEMA"), true)
+          try o.write(df.schema.json.getBytes("UTF-8")) finally o.close()
         case None =>
           // data-less staged create (CREATE OR REPLACE without AS):
           // the same side-file layout CREATE TABLE writes

@@ -315,19 +315,16 @@ private[graft] case class GraftUpdateCommand(dir: String,
     }
     val applied = if (effective.nonEmpty) effective else sets
     // CHECK constraints: the custom routing bypasses Spark's V2 write
-    // analysis, so validate the would-be-updated rows here — one extra
-    // job over only the matched rows, and only when constraints exist
-    if (GraftConstraints.read(spark, dir).exists(_.enforced)) {
-      val head = Snapshots.mainVersion(spark, dir)
-      if (head >= 1) {
-        var upd = Snapshots.read(spark, dir, head)
-          .filter(condition.map(GraftSql.byName).getOrElse(lit(true)))
-        applied.foreach { case (n, c) => upd = upd.withColumn(n, c) }
-        GraftConstraints.enforce(spark, dir, upd, "UPDATE")
-      }
-    }
+    // analysis, so updateWhere validates the would-be-written rows via
+    // this hook — INSIDE its version claim, on the exact cast-back
+    // projection it stages (a pre-claim check could pass values whose
+    // cast violates, or miss rows a concurrent commit adds)
+    val hook: Option[org.apache.spark.sql.DataFrame => Unit] =
+      if (GraftConstraints.read(spark, dir).exists(_.enforced))
+        Some(df => GraftConstraints.enforce(spark, dir, df, "UPDATE"))
+      else None
     val (_, n) = Snapshots.updateWhere(spark, dir,
-      condition.map(GraftSql.byName).getOrElse(lit(true)), applied)
+      condition.map(GraftSql.byName).getOrElse(lit(true)), applied, hook)
     GraftSql.lastRowsAffected = n
     Seq.empty
   }

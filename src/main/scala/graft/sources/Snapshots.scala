@@ -214,6 +214,10 @@ object Snapshots {
       if (app && hasDv(s, dir, base))
         dvFrame(s, dir, base).foreach(
           _.write.mode("overwrite").parquet(dvDir(dir, v).toString))
+      else {
+        // same orphan-vector guard as commitClaimed
+        f.delete(dvDir(dir, v), true); ()
+      }
       writeCommitMeta(f, dir, v, if (base > 0) base else 0, streamTxn)
       writeManifest(f, dir, v, carried ++ moved)
       advanceMain(s, f, dir, v)
@@ -502,6 +506,13 @@ object Snapshots {
     if (append && prev > 0 && hasDv(s, dir, prev))
       dvFrame(s, dir, prev).foreach(
         _.write.mode("overwrite").parquet(dvDir(dir, v).toString))
+    else {
+      // an ABORTED mutation (deleteWhere/updateWhere/upsert that failed
+      // between its vector write and its manifest) can orphan dv/vN for
+      // a version number this commit now claims — inheriting it would
+      // silently delete this version's rows
+      f.delete(dvDir(dir, v), true); ()
+    }
     // meta precedes the manifest: a version without meta never becomes
     // visible (versions resolve through manifests), so `manifest => meta`
     // holds and a stream batch id stamped in meta is crash-consistent
@@ -987,7 +998,8 @@ object Snapshots {
     * @return (newVersion, rowsUpdated) */
   def updateWhere(s: SparkSession, dir: String,
       cond: org.apache.spark.sql.Column,
-      sets: Seq[(String, org.apache.spark.sql.Column)]): (Int, Long) = {
+      sets: Seq[(String, org.apache.spark.sql.Column)],
+      validate: Option[DataFrame => Unit] = None): (Int, Long) = {
     import org.apache.spark.sql.functions.col
     require(sets.nonEmpty, "updateWhere needs at least one assignment")
     val f = fs(s, dir)
@@ -1008,19 +1020,14 @@ object Snapshots {
       // `matched` feeds THREE consumers — the DV positions, the updated
       // rows staged as fresh files, and the metrics count — so it is
       // persisted once: the whole update costs ONE scan of the table
-      // (the DV write materializes the cache; staging and the count read
-      // it back), instead of re-scanning per consumer or re-reading the
+      // (the first consumer materializes the cache; the others read it
+      // back), instead of re-scanning per consumer or re-reading the
       // just-written vector. Positions are new by construction (`live`
       // excludes prior deletes), so count(matched) IS rowsUpdated.
       val matched = live.filter(cond)
       matched.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val gone = matched
-          .select(col("_fp").as("file_path"), col("_ri").as("row_index"))
-        val union = prev.map(_.unionByName(gone)).getOrElse(gone)
-        union.write.mode("overwrite").parquet(dvDir(dir, v).toString)
-        val nUpd = matched.count()
         val types = raw.schema.fields.map(fd => fd.name -> fd.dataType)
           .toMap
         val setMap = sets.toMap
@@ -1031,6 +1038,17 @@ object Snapshots {
         val updated = matched.select(dataCols.toSeq.map { cn =>
           setMap.get(cn).map(_.cast(types(cn)).as(cn)).getOrElse(col(cn))
         }: _*)
+        // validation runs INSIDE the claim on the EXACT projection this
+        // update stages (casts included), against the claimed head —
+        // never on a pre-claim snapshot a concurrent commit could
+        // invalidate. It runs BEFORE the vector write so a refusal
+        // leaves no DV behind.
+        validate.foreach(_(updated))
+        val gone = matched
+          .select(col("_fp").as("file_path"), col("_ri").as("row_index"))
+        val union = prev.map(_.unionByName(gone)).getOrElse(gone)
+        union.write.mode("overwrite").parquet(dvDir(dir, v).toString)
+        val nUpd = matched.count()
         val (moved, _) = stageAndMove(s, f, dir, updated, Seq.empty, v)
         writeCommitMeta(f, dir, v, latest)
         writeManifest(f, dir, v, fset ++ moved)
@@ -1516,6 +1534,23 @@ object Snapshots {
   def vacuum(s: SparkSession, dir: String, keep: Int): (Int, Int) = {
     require(keep >= 1, "must keep at least the latest version")
     val f = fs(s, dir)
+    // streaming scratch first (independent of version retention): an
+    // epoch staged by a writer that died before its commit is invisible
+    // to every reader but holds disk. A live query's epoch dir keeps a
+    // fresh mtime while tasks create part files inside it, so a dir
+    // UNTOUCHED for a full day is an orphan — the horizon is
+    // deliberately generous (a micro-batch whose writes take >24h is
+    // not a live stream by any reasonable trigger) because sweeping a
+    // live epoch would fail its commit's renames.
+    val stage = new Path(dir, "_stream_stage")
+    if (f.exists(stage)) {
+      val horizon = System.currentTimeMillis() - 24L * 3600 * 1000
+      f.listStatus(stage).filter(_.isDirectory).foreach { q =>
+        f.listStatus(q.getPath).foreach { e =>
+          if (e.getModificationTime < horizon) { f.delete(e.getPath, true); () }
+        }
+      }
+    }
     val latest = latestVersion(s, dir)
     val cutoff = math.max(1, latest - keep + 1)
     if (cutoff <= 1) return (0, 0)

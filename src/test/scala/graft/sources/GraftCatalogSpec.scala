@@ -499,6 +499,23 @@ class GraftCatalogSpec extends SparkSpec {
       sql("ALTER TABLE graft.db.ck RENAME COLUMN score TO s") }
     assert(er.getMessage.contains("pos"), er.getMessage)
 
+    // the check validates the CAST-BACK value the update actually
+    // writes, not the raw assignment: n is BIGINT, so SET n = 9.6
+    // writes 9 — CHECK (n > 9.5) must refuse it even though the
+    // uncast 9.6 would pass
+    sql("CREATE TABLE graft.db.ckc (n BIGINT)")
+    sql("INSERT INTO graft.db.ckc VALUES (100)")
+    sql("ALTER TABLE graft.db.ckc ADD CONSTRAINT big CHECK (n > 9.5)")
+    val ecast = intercept[Exception] {
+      sql("UPDATE graft.db.ckc SET n = 9.6") }
+    assert(ecast.getMessage.contains("big"), ecast.getMessage)
+    assert(sql("SELECT n FROM graft.db.ckc").collect()
+      .head.getLong(0) == 100, "refused cast-violating UPDATE must " +
+        "not commit")
+    sql("UPDATE graft.db.ckc SET n = 10.6") // casts to 10: passes
+    assert(sql("SELECT n FROM graft.db.ckc").collect()
+      .head.getLong(0) == 10)
+
     // DROP CONSTRAINT lifts enforcement
     sql("ALTER TABLE graft.db.ck DROP CONSTRAINT pos")
     sql("UPDATE graft.db.ck SET score = -2.0 WHERE id = 1")

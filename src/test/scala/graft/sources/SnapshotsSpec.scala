@@ -831,6 +831,39 @@ class SnapshotsSpec extends SparkSpec {
     intercept[Exception] { Snapshots.read(spark, dir, 1).collect() }
     // idempotent
     assert(Snapshots.vacuum(spark, dir, keep = 2) == ((0, 0)))
+
+    // streaming scratch: an epoch staged by a dead writer (old mtime)
+    // is swept; a fresh epoch (a live query between tasks and commit)
+    // survives
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dead = new org.apache.hadoop.fs.Path(dir,
+      "_stream_stage/q1/epoch-7")
+    val live = new org.apache.hadoop.fs.Path(dir,
+      "_stream_stage/q1/epoch-8")
+    f.mkdirs(dead); f.mkdirs(live)
+    f.setTimes(dead, System.currentTimeMillis() - 25 * 3600L * 1000, -1)
+    Snapshots.vacuum(spark, dir, keep = 2)
+    assert(!f.exists(dead), "orphaned staged epoch must be swept")
+    assert(f.exists(live), "a fresh staged epoch must survive")
+  }
+
+  test("an aborted mutation's orphan deletion vector cannot poison the " +
+      "version that reuses its number") {
+    import spark.implicits._
+    val dir = tmpDir("snaporphandv")
+    Snapshots.commit(spark, dir, df(1 to 10), append = false) // v1
+    // simulate a deleteWhere/updateWhere that died between its vector
+    // write and its manifest: dv/v2 exists, v2 was never published
+    val v1File = Snapshots.files(spark, dir, 1).head
+    Seq((v1File, 0L), (v1File, 1L)).toDF("file_path", "row_index")
+      .write.parquet(s"$dir/dv/v2")
+    // the next commit claims v2 (no manifest ever published for it);
+    // a plain append with no prior vector must DROP the orphan, not
+    // inherit it
+    Snapshots.commit(spark, dir, df(11 to 12), append = true) // v2
+    assert(idsOf(dir, 2) == (1L to 12L),
+      "rows deleted by an orphan vector = silent data loss")
   }
 
   test("views and timestamp time travel follow main, never a branch head") {
