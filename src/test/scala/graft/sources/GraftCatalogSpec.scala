@@ -762,6 +762,20 @@ class GraftCatalogSpec extends SparkSpec {
     } finally qc.stop()
   }
 
+  test("DESCRIBE TABLE and SHOW CREATE TABLE work through the catalog") {
+    warehouse
+    sql("CREATE TABLE graft.db.dsc (id BIGINT, payload STRING)")
+    sql("INSERT INTO graft.db.dsc VALUES (1, 'a')")
+    val desc = sql("DESCRIBE TABLE graft.db.dsc").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(desc.get("id").contains("bigint") &&
+      desc.get("payload").contains("string"), desc.toString)
+    val ddl = sql("SHOW CREATE TABLE graft.db.dsc").collect()
+      .head.getString(0)
+    assert(ddl.contains("CREATE TABLE") && ddl.contains("id BIGINT"),
+      ddl)
+  }
+
   test("racing first INSERTs both land (append decided in-claim)") {
     warehouse
     import spark.implicits._
