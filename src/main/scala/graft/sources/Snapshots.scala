@@ -234,7 +234,7 @@ object Snapshots {
     * driver footer reads — the lakehouse metadata-count at any table
     * size; [[GraftSqlRules]] folds bare `SELECT count(*)` over a
     * catalog table onto this. */
-  private[sources] def metadataRowCount(s: SparkSession, dir: String,
+  def metadataRowCount(s: SparkSession, dir: String,
       v: Int): Long = {
     val total = files(s, dir, v)
       .map(p => parquetRowCount(new Path(dir, p), s)).sum

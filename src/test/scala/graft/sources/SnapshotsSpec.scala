@@ -864,6 +864,9 @@ class SnapshotsSpec extends SparkSpec {
     Snapshots.commit(spark, dir, df(11 to 12), append = true) // v2
     assert(idsOf(dir, 2) == (1L to 12L),
       "rows deleted by an orphan vector = silent data loss")
+    // the public metadata count agrees with the scan at both versions
+    assert(Snapshots.metadataRowCount(spark, dir, 1) == 10L)
+    assert(Snapshots.metadataRowCount(spark, dir, 2) == 12L)
   }
 
   test("views and timestamp time travel follow main, never a branch head") {
