@@ -501,8 +501,12 @@ private[graft] class SnapshotTableV2(val dir: String,
         "rules — build the session with spark.sql.extensions=" +
         "graft.GraftExtensions")
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate {
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // `keyCols` (same option as the V1 sink): streaming epochs MERGE by
+    // key instead of appending — the Update-output-mode shape
+    val keyCols = Option(info.options.get("keycols")).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    class Builder extends WriteBuilder with SupportsTruncate {
       private var overwrite = false
       override def truncate(): WriteBuilder = { overwrite = true; this }
       override def build(): Write = new V1Write {
@@ -525,13 +529,21 @@ private[graft] class SnapshotTableV2(val dir: String,
         override def toStreaming: org.apache.spark.sql.connector.write
             .streaming.StreamingWrite =
           new SnapshotStreamingWrite(dir, info.schema(), info.queryId(),
-            truncate = overwrite,
+            truncate = overwrite, keyCols = keyCols,
             new GraftSerConf(
               org.apache.spark.sql.execution.datasources.parquet
                 .GraftParquetIO.pinWriteConf(
                   spark.sessionState.newHadoopConf())))
       }
     }
+    // Update output mode is only accepted when the writer declared its
+    // merge keys — advertising update-as-append unconditionally would
+    // let Spark silently APPEND update rows (stale rows accumulating)
+    if (keyCols.nonEmpty)
+      new Builder with org.apache.spark.sql.internal.connector
+        .SupportsStreamingUpdateAsAppend
+    else new Builder
+  }
 
   override def toString: String = s"SnapshotTableV2($fullName)"
 }

@@ -547,7 +547,7 @@ private[graft] case class GraftStreamCommitMessage(path: String,
   * epoch's staging dir. */
 private[graft] class SnapshotStreamingWrite(dir: String,
     schema: StructType, queryId: String, truncate: Boolean,
-    conf: GraftSerConf)
+    keyCols: Seq[String], conf: GraftSerConf)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   private def spark = SparkSession.active
@@ -585,9 +585,23 @@ private[graft] class SnapshotStreamingWrite(dir: String,
     }.toSeq
     // an all-empty epoch publishes nothing (there is nothing to replay
     // either — idempotence needs no stamp for zero rows)
-    if (staged.nonEmpty)
-      Snapshots.commitStagedFiles(spark, dir, staged,
-        append = !truncate, streamTxn = Some((queryId, epochId)))
+    if (staged.nonEmpty) {
+      val txn = Some((queryId, epochId))
+      if (keyCols.nonEmpty && !truncate) {
+        // `keyCols` epochs MERGE: the staged rows replace-or-insert by
+        // key (the Update-output-mode contract, same as the V1 sink) —
+        // one extra read of the epoch's own staged files, never of the
+        // table. The first epoch of a fresh table is the first commit.
+        val df = spark.read.parquet(staged.map(_.toString): _*)
+        if (Snapshots.mainVersion(spark, dir) >= 1)
+          Snapshots.upsert(spark, dir, df, keyCols, streamTxn = txn)
+        else Snapshots.commit(spark, dir, df, append = false,
+          streamTxn = txn)
+        ()
+      } else
+        Snapshots.commitStagedFiles(spark, dir, staged,
+          append = !truncate, streamTxn = txn)
+    }
     cleanup()
   }
 

@@ -762,6 +762,55 @@ class GraftCatalogSpec extends SparkSpec {
     } finally qc.stop()
   }
 
+  test("toTable Update mode: keyCols epochs merge by key; without " +
+      "keyCols Update is refused") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    warehouse
+    sql("CREATE TABLE graft.db.wu (payload STRING, n BIGINT)")
+
+    val src = MemoryStream[(Long, String)]
+    val q = src.toDF().toDF("id", "payload")
+      .groupBy($"payload").agg(count(lit(1)).as("n"))
+      .select($"payload", $"n")
+      .writeStream.outputMode("update")
+      .option("keyCols", "payload")
+      .option("checkpointLocation", tmpDir("wu-cp"))
+      .toTable("graft.db.wu")
+    try {
+      src.addData((1L, "x"), (2L, "x"), (3L, "y"))
+      q.processAllAvailable()
+      src.addData((4L, "x"))
+      q.processAllAvailable()
+      val state = sql("SELECT payload, n FROM graft.db.wu").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(state == Map("x" -> 3L, "y" -> 1L),
+        s"update epochs must MERGE by key, got $state")
+    } finally q.stop()
+
+    // Update mode without declared keys must refuse (at the first
+    // micro-batch, where Spark checks the builder capability), not
+    // silently append stale rows
+    sql("CREATE TABLE graft.db.wu2 (payload STRING, n BIGINT)")
+    val src2 = MemoryStream[(Long, String)]
+    val q2 = src2.toDF().toDF("id", "payload")
+      .groupBy($"payload").agg(count(lit(1)).as("n"))
+      .select($"payload", $"n")
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", tmpDir("wu2-cp"))
+      .toTable("graft.db.wu2")
+    try {
+      val e = intercept[Exception] {
+        src2.addData((1L, "x"))
+        q2.processAllAvailable()
+      }
+      assert(e.getMessage.toLowerCase.contains("update"), e.getMessage)
+      assert(sql("SELECT count(*) FROM graft.db.wu2").collect()
+        .head.getLong(0) == 0, "a refused update stream must not commit")
+    } finally q2.stop()
+  }
+
   test("DESCRIBE TABLE and SHOW CREATE TABLE work through the catalog") {
     warehouse
     sql("CREATE TABLE graft.db.dsc (id BIGINT, payload STRING)")
