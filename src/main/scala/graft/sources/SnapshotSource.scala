@@ -75,9 +75,23 @@ class SnapshotSource extends RelationProvider
     val dir = parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-snapshots source requires a path"))
     val latest = Snapshots.mainVersion(ctx.sparkSession, dir)
-    require(latest >= 1,
+    // a created-but-never-committed catalog table still streams: its
+    // declared `_SCHEMA` side-file is the schema until the first commit
+    // publishes (the source just emits no batches before then)
+    val declared = new Path(dir, "_SCHEMA")
+    val f = declared.getFileSystem(
+      ctx.sparkSession.sparkContext.hadoopConfiguration)
+    require(latest >= 1 || f.exists(declared),
       s"graft-snapshots source: no committed versions at $dir")
-    val table = Snapshots.evolutionInfo(ctx.sparkSession, dir, latest)._1
+    val table =
+      if (latest >= 1)
+        Snapshots.evolutionInfo(ctx.sparkSession, dir, latest)._1
+      else {
+        val in = f.open(declared)
+        val json = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString finally in.close()
+        DataType.fromJson(json).asInstanceOf[StructType]
+      }
     (shortName(),
       if (parameters.get("readchangefeed").exists(_.toBoolean))
         SnapshotSource.cdfSchema(table)

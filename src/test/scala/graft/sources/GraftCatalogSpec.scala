@@ -670,6 +670,33 @@ class GraftCatalogSpec extends SparkSpec {
         .toSeq == Seq(1L, 2L, 3L))
     } finally q.stop()
 
+    // reader options pass through the name: startingVersion skips
+    // the table's history before it
+    val qs = spark.readStream.option("startingVersion", "2")
+      .table("graft.db.st")
+      .writeStream.format("memory").queryName("st_sv")
+      .option("checkpointLocation", tmpDir("st-sv-cp")).start()
+    try {
+      qs.processAllAvailable()
+      assert(spark.table("st_sv").collect().map(_.getLong(0)).sorted
+        .toSeq == Seq(3L), "startingVersion=2 must emit only v2's rows")
+    } finally qs.stop()
+
+    // a created-but-never-committed table streams from its declared
+    // schema: rows appear once the first INSERT publishes
+    sql("CREATE TABLE graft.db.st0 (id BIGINT, payload STRING)")
+    val q0 = spark.readStream.table("graft.db.st0")
+      .writeStream.format("memory").queryName("st_zero")
+      .option("checkpointLocation", tmpDir("st0-cp")).start()
+    try {
+      q0.processAllAvailable()
+      assert(spark.table("st_zero").count() == 0)
+      sql("INSERT INTO graft.db.st0 VALUES (7, 'z')")
+      q0.processAllAvailable()
+      assert(spark.table("st_zero").collect().map(_.getLong(0)).toSeq ==
+        Seq(7L))
+    } finally q0.stop()
+
     // change feed by NAME: the widened CDF schema resolves downstream
     // (_change_type must be visible through the table identifier)
     val feed = spark.readStream.option("readChangeFeed", "true")
