@@ -99,8 +99,14 @@ private[sources] object GraftProcedures {
         (versionOut, Seq(Snapshots.optimize(spark, dir, csv(in, 1),
           bits = in.getInt(2), numFiles = in.getInt(3))))
       },
-      make("vacuum", Seq(param("keep", IntegerType))) { (dir, in) =>
-        val (files, versions) = Snapshots.vacuum(spark, dir, in.getInt(1))
+      // stage_orphan_hours: how old a _stream_stage epoch dir must be
+      // before it is swept as an orphan (see Snapshots.vacuum's
+      // stageOrphanMs doc) — raise it when paused streaming queries may
+      // resume later than the default 24h
+      make("vacuum", Seq(param("keep", IntegerType),
+          paramD("stage_orphan_hours", IntegerType, "24"))) { (dir, in) =>
+        val (files, versions) = Snapshots.vacuum(spark, dir, in.getInt(1),
+          stageOrphanMs = in.getInt(2).toLong * 3600L * 1000L)
         (new StructType().add("files_deleted", IntegerType)
           .add("versions_dropped", IntegerType), Seq(files, versions))
       },
@@ -187,7 +193,7 @@ private[sources] object GraftProcedures {
           s"change_view: version range [$from, $to] not within " +
             s"[1, $head]")
         val rel = new ChangeFeedBatchRelation(spark, dir, from - 1, to,
-          Snapshots.evolutionInfo(spark, dir, head)._1)
+          Snapshots.evolutionInfo(spark, dir, head)._1, head)
         org.apache.spark.sql.GraftBatchView.ofRows(spark,
           org.apache.spark.sql.execution.datasources.LogicalRelation(
             rel, false))

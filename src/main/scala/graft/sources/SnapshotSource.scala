@@ -69,29 +69,35 @@ class SnapshotSource extends RelationProvider
 
   override def shortName(): String = "graft-snapshots"
 
+  /** The table's schema for a stream starting NOW, plus the version it
+    * was resolved at: main's head schema when any version exists, else
+    * the declared `_SCHEMA` side-file (a created-but-never-committed
+    * catalog table still streams — it just emits no batches until the
+    * first commit publishes; the resolved version is then 0). */
+  private def tableSchemaNow(ctx: SQLContext, dir: String)
+      : (StructType, Int) = {
+    val latest = Snapshots.mainVersion(ctx.sparkSession, dir)
+    if (latest >= 1)
+      (Snapshots.evolutionInfo(ctx.sparkSession, dir, latest)._1, latest)
+    else {
+      val declared = new Path(dir, "_SCHEMA")
+      val f = declared.getFileSystem(
+        ctx.sparkSession.sparkContext.hadoopConfiguration)
+      require(f.exists(declared),
+        s"graft-snapshots source: no committed versions at $dir")
+      val in = f.open(declared)
+      val json = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString finally in.close()
+      (DataType.fromJson(json).asInstanceOf[StructType], 0)
+    }
+  }
+
   override def sourceSchema(ctx: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     val dir = parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-snapshots source requires a path"))
-    val latest = Snapshots.mainVersion(ctx.sparkSession, dir)
-    // a created-but-never-committed catalog table still streams: its
-    // declared `_SCHEMA` side-file is the schema until the first commit
-    // publishes (the source just emits no batches before then)
-    val declared = new Path(dir, "_SCHEMA")
-    val f = declared.getFileSystem(
-      ctx.sparkSession.sparkContext.hadoopConfiguration)
-    require(latest >= 1 || f.exists(declared),
-      s"graft-snapshots source: no committed versions at $dir")
-    val table =
-      if (latest >= 1)
-        Snapshots.evolutionInfo(ctx.sparkSession, dir, latest)._1
-      else {
-        val in = f.open(declared)
-        val json = try scala.io.Source.fromInputStream(in, "UTF-8")
-          .mkString finally in.close()
-        DataType.fromJson(json).asInstanceOf[StructType]
-      }
+    val (table, _) = tableSchemaNow(ctx, dir)
     (shortName(),
       if (parameters.get("readchangefeed").exists(_.toBoolean))
         SnapshotSource.cdfSchema(table)
@@ -130,10 +136,13 @@ class SnapshotSource extends RelationProvider
       require(!ignoreChanges, "graft-snapshots source: readChangeFeed " +
         "and ignoreChanges are exclusive (the change feed REPRESENTS " +
         "deletes and rewrites instead of dropping or refusing them)")
-      val latest = Snapshots.mainVersion(ctx.sparkSession, dir)
-      new SnapshotChangeFeedSource(ctx.sparkSession, dir,
-        Snapshots.evolutionInfo(ctx.sparkSession, dir, latest)._1,
-        startingVersion)
+      // tableSchemaNow handles the created-but-never-committed table
+      // (declared `_SCHEMA`, schemaVersion 0 — the source idles via
+      // getOffset=None until v1 commits), where an unconditional
+      // evolutionInfo(latest=0) would read a nonexistent manifest
+      val (tschema, atV) = tableSchemaNow(ctx, dir)
+      new SnapshotChangeFeedSource(ctx.sparkSession, dir, tschema,
+        startingVersion, schemaVersion = atV)
     } else
       new SnapshotStreamSource(ctx.sparkSession, dir,
         sourceSchema(ctx, schema, providerName, parameters)._2,
@@ -189,7 +198,7 @@ class SnapshotSource extends RelationProvider
         s"graft-snapshots: readChangeFeed range [$from, $to] not " +
           s"within [1, $head] at $dir")
       return new ChangeFeedBatchRelation(spark, dir, from - 1, to,
-        Snapshots.evolutionInfo(spark, dir, head)._1)
+        Snapshots.evolutionInfo(spark, dir, head)._1, head)
     }
     val v = resolveVersion(spark, dir, parameters, latest)
     SnapshotSource.relationFor(spark, dir, v,
@@ -402,8 +411,17 @@ private[graft] class SnapshotStreamSource(spark: SparkSession,
   * reads only the delta's files plus, for DV deltas, the parent file
   * set it position-joins — never table history. */
 private[graft] class SnapshotChangeFeedSource(spark: SparkSession,
-    dir: String, tableSchema: StructType, startingVersion: Int = 1)
+    dir: String, tableSchema: StructType, startingVersion: Int = 1,
+    schemaVersion: Int = -1)
     extends org.apache.spark.sql.execution.streaming.Source {
+
+  // the version whose canonical schema IS tableSchema — rename maps in
+  // the per-vintage reads are anchored here, NOT at each delta's version
+  // (whose canonical names may predate a later RENAME COLUMN and would
+  // silently null-backfill the renamed column for pre-rename vintages)
+  private val canonVersion: Int =
+    if (schemaVersion >= 0) schemaVersion
+    else Snapshots.mainVersion(spark, dir)
 
   import org.apache.spark.sql.execution.streaming.{Offset => SrcOffset}
   import org.apache.spark.sql.execution.streaming.runtime.LongOffset
@@ -425,7 +443,7 @@ private[graft] class SnapshotChangeFeedSource(spark: SparkSession,
     org.apache.spark.sql.GraftBatchView.asStreaming(
       SnapshotSource.changesBetween(spark, dir,
         start.map(versionOf).getOrElse(startingVersion - 1),
-        versionOf(end), tableSchema))
+        versionOf(end), tableSchema, canonVersion))
 
   override def commit(end: SrcOffset): Unit = ()
   override def stop(): Unit = ()
@@ -440,7 +458,7 @@ private[graft] class SnapshotChangeFeedSource(spark: SparkSession,
   * ([[SnapshotSource.changesBetween]]). */
 private[sources] class ChangeFeedBatchRelation(spark: SparkSession,
     dir: String, fromExclusive: Int, to: Int,
-    tableSchema: StructType)
+    tableSchema: StructType, schemaVersion: Int)
     extends BaseRelation with PrunedFilteredScan {
 
   override val schema: StructType = SnapshotSource.cdfSchema(tableSchema)
@@ -454,7 +472,7 @@ private[sources] class ChangeFeedBatchRelation(spark: SparkSession,
       org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.functions.col
     SnapshotSource.changesBetween(spark, dir, fromExclusive, to,
-        tableSchema)
+        tableSchema, schemaVersion)
       .select(requiredColumns.map(col).toSeq: _*)
       .queryExecution.toRdd
       .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
@@ -597,9 +615,19 @@ private[graft] class SnapshotStreamingWrite(dir: String,
     val staged = messages.collect {
       case m: GraftStreamCommitMessage if m.rows > 0 => new Path(m.path)
     }.toSeq
-    // an all-empty epoch publishes nothing (there is nothing to replay
-    // either — idempotence needs no stamp for zero rows)
-    if (staged.nonEmpty) {
+    // an all-empty APPEND epoch publishes nothing (appending zero rows
+    // is a no-op, and idempotence needs no stamp for one) — but an
+    // all-empty COMPLETE epoch means "the result set is now empty" and
+    // must publish an empty rewrite (with the exactly-once stamp), or
+    // the table would silently keep the previous epoch's rows
+    if (staged.isEmpty && truncate) {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          Seq.empty[org.apache.spark.sql.Row], 1), schema)
+      Snapshots.commit(spark, dir, empty, append = false,
+        streamTxn = Some((queryId, epochId)))
+      ()
+    } else if (staged.nonEmpty) {
       val txn = Some((queryId, epochId))
       if (keyCols.nonEmpty && !truncate) {
         // `keyCols` epochs MERGE: the staged rows replace-or-insert by
@@ -700,7 +728,8 @@ object SnapshotSource {
     * delta's files, plus the parent file set a DV delta position-joins
     * — never table history. */
   private[sources] def changesBetween(spark: SparkSession, dir: String,
-      v0: Int, v1: Int, tableSchema: StructType): DataFrame = {
+      v0: Int, v1: Int, tableSchema: StructType,
+      canonVersion: Int): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, timestamp_millis}
     val f = new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
@@ -718,7 +747,8 @@ object SnapshotSource {
       }
     def liveRows(v: Int): DataFrame = {
       val withPos = readCanonical(spark, dir,
-        Snapshots.files(spark, dir, v), v, tableSchema, withPos = true)
+        Snapshots.files(spark, dir, v), canonVersion, tableSchema,
+        withPos = true)
       Snapshots.dvFrame(spark, dir, v)
         .map(dv => withPos.join(dv.select(col("file_path").as("_fp"),
           col("row_index").as("_ri")), Seq("_fp", "_ri"), "left_anti"))
@@ -746,7 +776,8 @@ object SnapshotSource {
         val inserts =
           if (added.isEmpty) None
           else Some(stamped(readCanonical(spark, dir,
-            added, cv, tableSchema, withPos = false), "insert", cv))
+            added, canonVersion, tableSchema, withPos = false),
+            "insert", cv))
         val deletes = dvDelta(cv, parent).map { delta =>
           // only the files the delta's positions actually reference are
           // opened (file list = a bounded metadata collect), not the
@@ -757,7 +788,7 @@ object SnapshotSource {
           val needed = parentFiles.filter(p =>
             touched.contains(new Path(p).getName))
           val parentRows = readCanonical(spark, dir,
-            needed, cv, tableSchema, withPos = true)
+            needed, canonVersion, tableSchema, withPos = true)
           stamped(parentRows.join(delta.select(
               col("file_path").as("_fp"), col("row_index").as("_ri")),
               Seq("_fp", "_ri"), "left_semi")
@@ -779,13 +810,19 @@ object SnapshotSource {
   }
 
   /** Manifest-relative `paths` read under the CANONICAL column names of
-    * version `atVersion` — per-vintage schema remap (renamed columns are
-    * requested under their local names, widening rides the parquet
-    * reader's promotion, missing columns backfill null), shared by the
-    * streaming sources. `withPos=true` appends `_fp`/`_ri` metadata
+    * version `canonVersion` — the version whose schema `canon` IS (the
+    * change-feed consumer's fixed schema). Per-vintage schema remap:
+    * each file's columns are requested under the names its writing
+    * commit used, resolved by walking the rename chain from
+    * `canonVersion` BACK to the vintage (or forward, for vintages
+    * committed after the schema was captured) — anchoring at the
+    * DELTA's version instead would key the map on that era's canonical
+    * names and silently null-backfill any column renamed later.
+    * Widening rides the parquet reader's promotion, missing columns
+    * backfill null. `withPos=true` appends `_fp`/`_ri` metadata
     * position columns (for deletion-vector joins). */
   private[sources] def readCanonical(spark: SparkSession, dir: String,
-      paths: Seq[String], atVersion: Int, canon: StructType,
+      paths: Seq[String], canonVersion: Int, canon: StructType,
       withPos: Boolean): DataFrame = {
     import org.apache.spark.sql.functions.col
     val posCols =
@@ -799,16 +836,36 @@ object SnapshotSource {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
     }
-    val (_, inverse) = Snapshots.evolutionInfo(spark, dir, atVersion)
     val byVintage = paths.groupBy {
       case Snapshots.FileCommit(c) => c.toInt
       case other => throw new IllegalStateException(
         s"graft-snapshots: cannot attribute $other to a commit")
     }
+    // rename declarations of every version the walk can touch — O(max
+    // version) tiny side-file reads, no data
+    val maxV = math.max(canonVersion, byVintage.keys.max)
+    val chain: Map[Int, Seq[(String, String)]] =
+      (1 to maxV).map(c => c -> Snapshots.renamesOf(spark, dir, c)).toMap
+    // the name vintage `c` stores a canonVersion-canonical column under:
+    // back through renames (canonVersion, c] for old vintages, forward
+    // through (canonVersion, c] for vintages committed after capture
+    def localName(c: Int, canonical: String): String = {
+      var cur = canonical
+      if (c <= canonVersion)
+        // inverse application: reverse version order AND reverse entry
+        // order within a version, so a chained same-version rename
+        // (a→b, b→c) inverts exactly as evolutionInfo applies it forward
+        for (later <- canonVersion until c by -1;
+            (o, n) <- chain(later).reverse)
+          { if (n == cur) cur = o }
+      else
+        for (later <- (canonVersion + 1) to c; (o, n) <- chain(later))
+          { if (o == cur) cur = n }
+      cur
+    }
     byVintage.toSeq.sortBy(_._1).map { case (c, ps) =>
-      val inv = inverse.getOrElse(c, Map.empty[String, String])
       val local = StructType(canon.map(fld =>
-        fld.copy(name = inv.getOrElse(fld.name, fld.name))))
+        fld.copy(name = localName(c, fld.name))))
       spark.read.schema(local)
         .parquet(ps.map(p => new Path(dir, p).toString): _*)
         .select(local.fieldNames.zip(canon.fieldNames).map {

@@ -1530,21 +1530,33 @@ object Snapshots {
     * readers of retained versions. Versions a named ref (branch or tag)
     * points at are ALSO retained regardless of age — a ref must stay
     * readable until it is dropped. Metadata-only scan (manifests), then
-    * O(deleted) file removals; returns (filesDeleted, versionsDropped). */
-  def vacuum(s: SparkSession, dir: String, keep: Int): (Int, Int) = {
+    * O(deleted) file removals; returns (filesDeleted, versionsDropped).
+    *
+    * `stageOrphanMs` is the age past which a `_stream_stage` epoch
+    * directory (the V2 streaming write's executor-staged parts) counts
+    * as an orphan and is swept. The default (24h) is a heuristic, NOT a
+    * liveness proof: a streaming query stopped mid-epoch and resumed
+    * days later would find its staged parts gone and fail that epoch's
+    * commit renames — the query then reprocesses the epoch from its
+    * checkpoint (exactly-once holds; the cost is a re-run, not data
+    * loss). Operators running long-pause streams should raise it (or
+    * pass Long.MaxValue to skip stage sweeping entirely) rather than
+    * vacuum under a paused query. */
+  def vacuum(s: SparkSession, dir: String, keep: Int,
+      stageOrphanMs: Long = 24L * 3600 * 1000): (Int, Int) = {
     require(keep >= 1, "must keep at least the latest version")
+    require(stageOrphanMs > 0, "stageOrphanMs must be positive")
     val f = fs(s, dir)
     // streaming scratch first (independent of version retention): an
     // epoch staged by a writer that died before its commit is invisible
     // to every reader but holds disk. A live query's epoch dir keeps a
     // fresh mtime while tasks create part files inside it, so a dir
-    // UNTOUCHED for a full day is an orphan — the horizon is
-    // deliberately generous (a micro-batch whose writes take >24h is
-    // not a live stream by any reasonable trigger) because sweeping a
-    // live epoch would fail its commit's renames.
+    // untouched past the horizon is presumed orphaned — generous by
+    // default because sweeping a live epoch would fail its commit's
+    // renames (see stageOrphanMs above).
     val stage = new Path(dir, "_stream_stage")
-    if (f.exists(stage)) {
-      val horizon = System.currentTimeMillis() - 24L * 3600 * 1000
+    if (f.exists(stage) && stageOrphanMs != Long.MaxValue) {
+      val horizon = System.currentTimeMillis() - stageOrphanMs
       f.listStatus(stage).filter(_.isDirectory).foreach { q =>
         f.listStatus(q.getPath).foreach { e =>
           if (e.getModificationTime < horizon) { f.delete(e.getPath, true); () }

@@ -261,4 +261,100 @@ class SnapshotSourceSpec extends SparkSpec {
     }.get
     assert(nf == 1, s"write-side statsCols must prune: $nf")
   }
+
+  test("change feed across RENAME COLUMN reads pre-rename vintages") {
+    val dir = tmpDir("cdfren")
+    import spark.implicits._
+    // v1 stores the column as `lang`; v2 renames it to `language` while
+    // appending; v3 deletes a PRE-rename row (its content must read from
+    // v1's files under the head name)
+    Snapshots.commit(spark, dir,
+      Seq((1L, "en"), (2L, "de")).toDF("id", "lang").coalesce(1),
+      append = false)
+    Snapshots.commit(spark, dir,
+      Seq((3L, "fr")).toDF("id", "language").coalesce(1),
+      append = true, renames = Map("lang" -> "language"))
+    Snapshots.deleteWhere(spark, dir, col("id") === 1)
+
+    val feed = readFmt(dir, "readChangeFeed" -> "true")
+    assert(feed.schema.fieldNames.contains("language"))
+    // the regression: anchoring the rename map at each DELTA's version
+    // keyed it on pre-rename canonical names, so `language` silently
+    // null-backfilled for every v1 row — no change row may be null here
+    assert(feed.filter(col("language").isNull).count() == 0,
+      "pre-rename vintages must carry their values under the head name")
+    val got = feed
+      .select("id", "language", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq.sorted
+    assert(got == Seq((1L, "en", "delete", 3L), (1L, "en", "insert", 1L),
+      (2L, "de", "insert", 1L), (3L, "fr", "insert", 2L)), s"got: $got")
+
+    // the STREAMING feed (same assembly, schema captured at the head)
+    val cp = java.nio.file.Files.createTempDirectory("cdfren-cp").toString
+    val q = spark.readStream.format("graft-snapshots")
+      .option("path", dir).option("readChangeFeed", "true").load()
+      .writeStream.format("memory").queryName("cdfren_view")
+      .option("checkpointLocation", cp).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("cdfren_view")
+      .filter(col("language").isNull).count() == 0)
+    assert(spark.table("cdfren_view").count() == 4)
+  }
+
+  test("readChangeFeed streams from a created-but-never-committed table") {
+    val dir = tmpDir("cdffresh")
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(root)
+    // the catalog's pre-first-commit layout: a declared-schema side-file
+    // and no manifest (CREATE TABLE without INSERT)
+    val o = f.create(new org.apache.hadoop.fs.Path(dir, "_SCHEMA"), true)
+    try o.write(df(1 to 1).schema.json.getBytes("UTF-8"))
+    finally o.close()
+
+    val cp = java.nio.file.Files.createTempDirectory("cdffresh-cp").toString
+    // source CONSTRUCTION must not throw (the regression read v0's
+    // nonexistent manifest); the source idles until the first commit
+    val q = spark.readStream.format("graft-snapshots")
+      .option("path", dir).option("readChangeFeed", "true").load()
+      .writeStream.format("memory").queryName("cdffresh_view")
+      .option("checkpointLocation", cp).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cdffresh_view").count() == 0)
+      Snapshots.commit(spark, dir, df(1 to 3).coalesce(1), append = false)
+      q.processAllAvailable()
+      val got = spark.table("cdffresh_view")
+        .select("id", "_change_type").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+      assert(got == Seq((1L, "insert"), (2L, "insert"), (3L, "insert")))
+    } finally q.stop()
+  }
+
+  test("V2 streaming write: an empty Complete epoch publishes an empty " +
+      "rewrite (stamped); an empty Append epoch publishes nothing") {
+    val dir = tmpDir("emptyepoch")
+    Snapshots.commit(spark, dir, df(1 to 5).coalesce(1), append = false)
+    val conf = new GraftSerConf(spark.sessionState.newHadoopConf())
+    val w = new SnapshotStreamingWrite(dir, df(1 to 1).schema,
+      "q-empty", truncate = true, keyCols = Nil, conf)
+    // Complete-mode epoch whose result set is empty: the table must
+    // become empty (an epoch skip would silently keep v1's rows) and
+    // the exactly-once stamp must be recorded for the epoch
+    w.commit(0L, Array.empty)
+    assert(Snapshots.latestVersion(spark, dir) == 2)
+    assert(Snapshots.read(spark, dir, 2).count() == 0)
+    assert(Snapshots.read(spark, dir, 2).schema.fieldNames.toSeq ==
+      Seq("id", "payload"), "the empty rewrite must keep the schema")
+    assert(Snapshots.lastStreamBatch(spark, dir, "q-empty").contains(0L))
+    // an engine re-delivery of the stamped epoch is skipped
+    w.commit(0L, Array.empty)
+    assert(Snapshots.latestVersion(spark, dir) == 2)
+    // an all-empty APPEND epoch is a no-op (appending zero rows)
+    val wa = new SnapshotStreamingWrite(dir, df(1 to 1).schema,
+      "q-empty-app", truncate = false, keyCols = Nil, conf)
+    wa.commit(0L, Array.empty)
+    assert(Snapshots.latestVersion(spark, dir) == 2)
+  }
 }

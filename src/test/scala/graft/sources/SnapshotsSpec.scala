@@ -846,6 +846,28 @@ class SnapshotsSpec extends SparkSpec {
     Snapshots.vacuum(spark, dir, keep = 2)
     assert(!f.exists(dead), "orphaned staged epoch must be swept")
     assert(f.exists(live), "a fresh staged epoch must survive")
+
+    // the orphan horizon is CONFIGURABLE (a paused stream resuming past
+    // 24h should vacuum with a raised horizon): a huge horizon spares an
+    // old epoch; Long.MaxValue skips stage sweeping entirely; a tiny
+    // horizon sweeps anything settled
+    val old2 = new org.apache.hadoop.fs.Path(dir,
+      "_stream_stage/q1/epoch-9")
+    f.mkdirs(old2)
+    f.setTimes(old2, System.currentTimeMillis() - 25 * 3600L * 1000, -1)
+    Snapshots.vacuum(spark, dir, keep = 2,
+      stageOrphanMs = 72L * 3600 * 1000)
+    assert(f.exists(old2), "a raised horizon must spare the epoch")
+    Snapshots.vacuum(spark, dir, keep = 2, stageOrphanMs = Long.MaxValue)
+    assert(f.exists(old2) && f.exists(live),
+      "Long.MaxValue must skip stage sweeping")
+    Thread.sleep(10)
+    Snapshots.vacuum(spark, dir, keep = 2, stageOrphanMs = 1L)
+    assert(!f.exists(old2) && !f.exists(live),
+      "a tiny horizon sweeps settled epochs")
+    intercept[IllegalArgumentException] {
+      Snapshots.vacuum(spark, dir, keep = 2, stageOrphanMs = 0L)
+    }
   }
 
   test("an aborted mutation's orphan deletion vector cannot poison the " +
