@@ -1129,6 +1129,91 @@ object Formats extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // Conditional multi-clause MERGE (f39): the CDC-apply shape through
+    // the SQL front door — ONE MERGE with an ordered WHEN MATCHED chain
+    // (a delete flag picks DELETE, the rest UPDATE), a conditional
+    // NOT MATCHED INSERT (delete flags for absent keys drop), and a
+    // WHEN NOT MATCHED BY SOURCE UPDATE sweeping unreferenced rows —
+    // all routed onto one Snapshots.applyCdc commit (clause selection
+    // is a single first-match-wins projection per joined frame, so the
+    // scan cost matches a single-clause MERGE at any table size).
+    // Clause ordering and refusal edges are spec-pinned in
+    // GraftCatalogSpec; this row hash-certifies the OUTPUT against the
+    // DuckDB-replayed batch.
+    "f39_conditional_merge" -> ((s, d) => {
+      val wh = ioDir(d, "f39_wh")
+      val cat = "graft39_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val tdir = s"$wh/db/cdocs"
+      val docs = T.documents(s, d)
+      writeOnce(s, tdir, alsoRequire =
+          graft.sources.Snapshots.latestVersion(s, tdir) == 2) {
+        val root = new org.apache.hadoop.fs.Path(tdir)
+        val fsys = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fsys.delete(root, true)
+        s.sql(s"CREATE TABLE $cat.db.cdocs (doc_id BIGINT, " +
+          "text STRING, lang STRING, source STRING, n_chars BIGINT)")
+        docs.createOrReplaceTempView("f39_base")
+        s.sql(s"INSERT INTO $cat.db.cdocs SELECT * FROM f39_base") // v1
+        // the CDC batch: deletes (%7), updates (%5 not %7, +1000 chars),
+        // inserts (clones of %13 under a collision-free id space), and
+        // delete flags for ABSENT keys (must drop, not insert)
+        val dels = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .withColumn("op", lit("D"))
+        val upds = docs.filter(pmod(col("doc_id"), lit(5)) === 0 &&
+            pmod(col("doc_id"), lit(7)) =!= 0)
+          .withColumn("n_chars", col("n_chars") + lit(1000L))
+          .withColumn("op", lit("U"))
+        val ins = docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+          .withColumn("doc_id", col("doc_id") + lit(3000000000000L))
+          .withColumn("source", lit("cmerge"))
+          .withColumn("op", lit("U"))
+        val ghosts = docs.filter(pmod(col("doc_id"), lit(17)) === 0)
+          .withColumn("doc_id", col("doc_id") + lit(4000000000000L))
+          .withColumn("op", lit("D"))
+        dels.unionByName(upds).unionByName(ins).unionByName(ghosts)
+          .createOrReplaceTempView("f39_changes")
+        s.sql(s"MERGE INTO $cat.db.cdocs t USING f39_changes s " +
+          "ON t.doc_id = s.doc_id " +
+          "WHEN MATCHED AND s.op = 'D' THEN DELETE " +
+          "WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars " +
+          "WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT " +
+          "(doc_id, text, lang, source, n_chars) " +
+          "VALUES (s.doc_id, s.text, s.lang, s.source, s.n_chars) " +
+          "WHEN NOT MATCHED BY SOURCE AND t.doc_id % 11 = 0 THEN " +
+          "UPDATE SET n_chars = t.n_chars + 7")                    // v2
+        ()
+      }
+      val head = docSums(s.sql(s"SELECT * FROM $cat.db.cdocs"))
+        .select(col("n").as("hn"), col("h").as("hh"))
+      // the expected head, recomputed relationally (matched-update wins
+      // over the by-source sweep — clause routing partitions the rows)
+      val expected = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        .withColumn("n_chars",
+          when(pmod(col("doc_id"), lit(5)) === 0, col("n_chars") + 1000L)
+            .when(pmod(col("doc_id"), lit(11)) === 0, col("n_chars") + 7L)
+            .otherwise(col("n_chars")))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+          .withColumn("doc_id", col("doc_id") + lit(3000000000000L))
+          .withColumn("source", lit("cmerge")))
+      val eHead = docSums(expected)
+        .select(col("n").as("ehn"), col("h").as("ehh"))
+      val v1 = docSums(s.sql(
+          s"SELECT * FROM $cat.db.cdocs VERSION AS OF 1"))
+        .select(col("n").as("v1n"), col("h").as("v1h"))
+      val eV1 = docSums(docs)
+        .select(col("n").as("ev1n"), col("h").as("ev1h"))
+      head.crossJoin(eHead).crossJoin(v1).crossJoin(eV1)
+        .select(col("ehn").as("n_head"), col("ehh").as("content_sum"),
+          (col("hn") === col("ehn") && col("hh") === col("ehh"))
+            .as("merge_ok"),
+          (col("v1n") === col("ev1n") && col("v1h") === col("ev1h"))
+            .as("time_travel_ok"),
+          lit(graft.sources.Snapshots.latestVersion(s, tdir) == 2)
+            .as("one_version_per_merge"))
+    }),
+
     // Change-feed-maintained view (f34): a snapshot table mutated
     // through append → merge-on-read delete → rewrite (compaction
     // shape), with a downstream per-lang view maintained PURELY from
@@ -1737,6 +1822,31 @@ object Formats extends QueryPack {
       FROM documents
       GROUP BY lang
       ORDER BY lang""",
+    // f39: replay the conditional-MERGE CDC batch relationally — head =
+    // documents minus the %7 deletes, with %5 updated (+1000), the
+    // remaining %11 swept by the by-source clause (+7; a row both %5
+    // and %11 is MATCHED, so the update wins), plus the %13 clones; the
+    // parity booleans pinned TRUE
+    "f39_conditional_merge" -> """
+      SELECT CAST(count(*) AS BIGINT) AS n_head,
+             CAST(sum(CAST(('0x' || substr(md5(
+               CAST(doc_id AS VARCHAR) || chr(1) || text || chr(1) ||
+               lang || chr(1) || source || chr(1) ||
+               CAST(n_chars AS VARCHAR)), 1, 8)) AS BIGINT)) AS BIGINT)
+               AS content_sum,
+             TRUE AS merge_ok,
+             TRUE AS time_travel_ok,
+             TRUE AS one_version_per_merge
+      FROM (
+        SELECT doc_id, text, lang, source,
+               CASE WHEN doc_id % 5 = 0 THEN n_chars + 1000
+                    WHEN doc_id % 11 = 0 THEN n_chars + 7
+                    ELSE n_chars END AS n_chars
+        FROM documents WHERE doc_id % 7 <> 0
+        UNION ALL
+        SELECT doc_id + 3000000000000, text, lang, 'cmerge', n_chars
+        FROM documents WHERE doc_id % 13 = 0
+      )""",
     // f34: replay the table's lifecycle relationally — the maintained
     // view must equal the head (all documents minus the doc_id%7
     // deletions, grouped per lang); the parity boolean pinned TRUE

@@ -338,12 +338,24 @@ private[graft] case class GraftUpdateCommand(dir: String,
   *   - ON: a conjunction of equalities, each between one target column
   *     and a source-side expression (the target columns become the
   *     merge KEYS);
-  *   - WHEN MATCHED: at most one unconditional action — `UPDATE SET …`
-  *     or `DELETE`;
-  *   - WHEN NOT MATCHED: at most one unconditional `INSERT …`;
-  *   - WHEN NOT MATCHED BY SOURCE: none.
-  * Assignment values may reference BOTH sides (the update projection is
-  * computed over the matched join before the commit). */
+  *   - WHEN MATCHED [AND cond]: any number of `UPDATE SET …` / `DELETE`
+  *     clauses, evaluated IN ORDER per matched row — the first clause
+  *     whose condition holds applies (SQL MERGE semantics); a row no
+  *     clause accepts is untouched;
+  *   - WHEN NOT MATCHED [AND cond]: any number of `INSERT …` clauses,
+  *     first match wins;
+  *   - WHEN NOT MATCHED BY SOURCE [AND cond]: `UPDATE SET …` / `DELETE`
+  *     clauses over target rows no source row matched, first match wins.
+  * Assignment and condition expressions may reference BOTH sides for
+  * matched clauses (computed over the matched join before the commit).
+  *
+  * Clause routing is ONE projection per joined frame: a `_graft_clause`
+  * column picks the first applicable clause index (a when/otherwise
+  * chain), and each clause filters on its index — so the matched join,
+  * the not-matched anti-join, and the by-source anti-join are each
+  * computed once (persisted when multiple clauses consume them), never
+  * once per clause. Cost at 100 TB: the same key-join scans as a
+  * single-clause MERGE plus the size of the change set. */
 private[graft] case class GraftMergeCommand(dir: String,
     target: DataSourceV2Relation, source: LogicalPlan,
     mergeCondition: Expression, matchedActions: Seq[MergeAction],
@@ -355,18 +367,18 @@ private[graft] case class GraftMergeCommand(dir: String,
 
   private def unsupported(what: String): Nothing =
     throw new UnsupportedOperationException(
-      s"graft catalog: MERGE INTO supports at most one unconditional " +
-        "WHEN MATCHED action (UPDATE SET or DELETE) and one " +
-        "unconditional WHEN NOT MATCHED INSERT, with an equality ON " +
-        s"condition; got: $what")
+      s"graft catalog: MERGE INTO supports [conditional] WHEN MATCHED " +
+        "UPDATE SET/DELETE clauses, WHEN NOT MATCHED INSERT clauses, " +
+        "and WHEN NOT MATCHED BY SOURCE UPDATE SET/DELETE clauses, " +
+        s"with an equality ON condition; got: $what")
+
+  /** Name of the clause-routing column — prefixed to stay clear of any
+    * user column in the joined frames. */
+  private val ClauseCol = "_graft_merge_clause"
 
   override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, when}
     val t = target.table.asInstanceOf[SnapshotTableV2]
-    require(notMatchedBySourceActions.isEmpty,
-      "graft catalog: MERGE WHEN NOT MATCHED BY SOURCE is not supported")
-    if (matchedActions.size > 1) unsupported(matchedActions.mkString(", "))
-    if (notMatchedActions.size > 1)
-      unsupported(notMatchedActions.mkString(", "))
 
     val tgtAttrs = target.output.map(_.asInstanceOf[AttributeReference])
     val tgtIds = tgtAttrs.map(_.exprId).toSet
@@ -391,6 +403,13 @@ private[graft] case class GraftMergeCommand(dir: String,
       GraftSqlRules(spark).apply(source))
     val cond = GraftBatchView.exprColumn(mergeCondition)
     val types = tgtAttrs.map(a => a.name -> a.dataType).toMap
+    val tgtAttrByName = tgtAttrs.map(a => a.name -> a).toMap
+    // target-side key columns, resolvable by EXPRESSION ID inside any
+    // frame derived from tgtDF (a by-name col() would be ambiguous once
+    // the source carries same-named columns)
+    def tgtKeys(df: DataFrame): DataFrame =
+      df.select(keyCols.map(k =>
+        GraftBatchView.exprColumn(tgtAttrByName(k)).as(k)): _*)
 
     def projected(df: DataFrame, assignments: Seq[Assignment],
         fallbackToTarget: Boolean): DataFrame = {
@@ -424,63 +443,129 @@ private[graft] case class GraftMergeCommand(dir: String,
             if tgtIds.contains(a.exprId) => a.name -> Seq(a, other)
       }.groupBy(_._1).map { case (n, xs) => n -> xs.flatMap(_._2) }
 
-    val updates: Option[DataFrame] = matchedActions.headOption.map {
-      case UpdateAction(None, assigns, _) =>
-        // a key-CHANGING update would make applyCdc delete live rows by
-        // the NEW key (semi-join on the projected keys) while the
-        // matched old-key rows survive — refuse rather than corrupt.
-        // Value-identity assignments (SET id = s.id under ON t.id = s.id,
-        // the `UPDATE SET *` expansion) are harmless and allowed.
-        assigns.foreach { a =>
-          a.key match {
-            case k: AttributeReference if keyCols.contains(k.name) &&
-                !keyIdentities.getOrElse(k.name, Nil)
-                  .exists(_.semanticEquals(a.value)) =>
-              unsupported(s"UPDATE SET of merge-key column ${k.name} " +
-                "(ON-condition keys are immutable under MERGE; " +
-                "DELETE + INSERT the row instead)")
-            case _ =>
-          }
+    // a key-CHANGING update would make applyCdc delete live rows by the
+    // NEW key (semi-join on the projected keys) while the matched
+    // old-key rows survive — refuse rather than corrupt. Value-identity
+    // assignments (SET id = s.id under ON t.id = s.id, the `UPDATE SET
+    // *` expansion) are harmless and allowed.
+    def checkKeysImmutable(assigns: Seq[Assignment]): Unit =
+      assigns.foreach { a =>
+        a.key match {
+          case k: AttributeReference if keyCols.contains(k.name) &&
+              !keyIdentities.getOrElse(k.name, Nil)
+                .exists(_.semanticEquals(a.value)) =>
+            unsupported(s"UPDATE SET of merge-key column ${k.name} " +
+              "(ON-condition keys are immutable under MERGE; " +
+              "DELETE + INSERT the row instead)")
+          case _ =>
         }
-        projected(tgtDF.join(srcDF, cond, "inner"), assigns,
-          fallbackToTarget = true)
-      case DeleteAction(None) => null // handled below
-      case other => unsupported(other.toString)
-    }.filter(_ != null)
-    val deletes: Option[DataFrame] = matchedActions.headOption.collect {
-      case DeleteAction(None) =>
-        tgtDF.join(srcDF, cond, "left_semi")
-          .select(keyCols.map(tgtDF(_)): _*)
-    }
-    val inserts: Option[DataFrame] = notMatchedActions.headOption.map {
-      case InsertAction(None, assigns) =>
-        projected(srcDF.join(tgtDF, cond, "left_anti"), assigns,
-          fallbackToTarget = false)
+      }
+
+    def condOf(a: MergeAction): Option[Expression] = a match {
+      case UpdateAction(c, _, _) => c
+      case DeleteAction(c) => c
+      case InsertAction(c, _) => c
       case other => unsupported(other.toString)
     }
 
-    val upserts = (updates.toSeq ++ inserts.toSeq)
-      .reduceOption(_.unionByName(_))
-    // CHECK constraints over every row the MERGE would write (updates
-    // AND inserts — neither passes through Spark's V2 write analysis)
-    upserts.foreach(GraftConstraints.enforce(spark, dir, _, "MERGE"))
-    val applied: Long =
-      if (Snapshots.mainVersion(spark, dir) < 1) {
-        // MERGE into a freshly created, never-committed table: nothing
-        // can match, the inserts are the first commit
-        val first = inserts.getOrElse(
-          return { GraftSql.lastRowsAffected = 0L; Seq.empty })
-        Snapshots.commit(spark, dir, first, append = false)
-        first.count()
-      } else (upserts, deletes) match {
-        case (None, None) => 0L
-        case (up, del) =>
-          val emptyKeys = tgtDF.select(keyCols.map(tgtDF(_)): _*).limit(0)
-          Snapshots.applyCdc(spark, dir,
-            up.getOrElse(tgtDF.limit(0)),
-            del.getOrElse(emptyKeys), keyCols)._2
+    // first-match-wins clause routing: the index of the first clause
+    // whose condition holds (NULL conditions fall through, the SQL
+    // three-valued rule), -1 = no clause applies, row untouched
+    def withClause(df: DataFrame, actions: Seq[MergeAction]): DataFrame =
+      df.withColumn(ClauseCol,
+        actions.zipWithIndex.foldRight(lit(-1)) { case ((a, i), rest) =>
+          condOf(a).map(e =>
+            when(GraftBatchView.exprColumn(e), lit(i)).otherwise(rest))
+            .getOrElse(lit(i))
+        })
+
+    // apply UPDATE/DELETE clause lists to a routed frame → (updated-row
+    // frames, delete-key frames)
+    def applyRowClauses(routed: DataFrame, actions: Seq[MergeAction])
+        : (Seq[DataFrame], Seq[DataFrame]) = {
+      val upd = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      val del = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      actions.zipWithIndex.foreach {
+        case (UpdateAction(_, assigns, _), i) =>
+          checkKeysImmutable(assigns)
+          upd += projected(routed.filter(col(ClauseCol) === i), assigns,
+            fallbackToTarget = true)
+        case (DeleteAction(_), i) =>
+          del += tgtKeys(routed.filter(col(ClauseCol) === i))
+        case (other, _) => unsupported(other.toString)
       }
-    GraftSql.lastRowsAffected = applied
-    Seq.empty
+      (upd.toSeq, del.toSeq)
+    }
+
+    // the three joined frames, each computed ONCE; persisted when more
+    // than one clause filters it (each clause is a filter-consumer, and
+    // without the cache every clause would re-run the join's table scan)
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def routedFrame(df: => DataFrame, actions: Seq[MergeAction])
+        : Option[DataFrame] =
+      if (actions.isEmpty) None
+      else {
+        val routed = withClause(df, actions)
+        if (actions.size > 1) {
+          routed.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          cached += routed
+        }
+        Some(routed)
+      }
+
+    try {
+      val matched = routedFrame(
+        tgtDF.join(srcDF, cond, "inner"), matchedActions)
+      val bySource = routedFrame(
+        tgtDF.join(srcDF, cond, "left_anti"), notMatchedBySourceActions)
+      val notMatched = routedFrame(
+        srcDF.join(tgtDF, cond, "left_anti"), notMatchedActions)
+
+      val (mUpd, mDel) = matched.map(applyRowClauses(_, matchedActions))
+        .getOrElse((Seq.empty, Seq.empty))
+      val (sUpd, sDel) = bySource
+        .map(applyRowClauses(_, notMatchedBySourceActions))
+        .getOrElse((Seq.empty, Seq.empty))
+      val inserts: Seq[DataFrame] = notMatched.toSeq.flatMap { routed =>
+        notMatchedActions.zipWithIndex.map {
+          case (InsertAction(_, assigns), i) =>
+            projected(routed.filter(col(ClauseCol) === i), assigns,
+              fallbackToTarget = false)
+          case (other, _) => unsupported(other.toString)
+        }
+      }
+
+      val upserts = (mUpd ++ sUpd ++ inserts)
+        .reduceOption(_.unionByName(_))
+      val deletes = (mDel ++ sDel).reduceOption(_.unionByName(_))
+      // CHECK constraints over every row the MERGE would write (updates
+      // AND inserts — neither passes through Spark's V2 write analysis)
+      upserts.foreach(GraftConstraints.enforce(spark, dir, _, "MERGE"))
+      val applied: Long =
+        if (Snapshots.mainVersion(spark, dir) < 1) {
+          // MERGE into a freshly created, never-committed table: nothing
+          // can match, the accepted inserts are the first commit.
+          // Persisted so the commit's write materializes the plan and
+          // the metric count reads it back — ONE job over the source,
+          // not a second anti-join scan (updateWhere's pattern).
+          val first = inserts.reduceOption(_.unionByName(_)).getOrElse(
+            return { GraftSql.lastRowsAffected = 0L; Seq.empty })
+          first.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          cached += first
+          Snapshots.commit(spark, dir, first, append = false)
+          first.count()
+        } else (upserts, deletes) match {
+          case (None, None) => 0L
+          case (up, del) =>
+            val emptyKeys = tgtKeys(tgtDF).limit(0)
+            Snapshots.applyCdc(spark, dir,
+              up.getOrElse(tgtDF.limit(0)),
+              del.getOrElse(emptyKeys), keyCols)._2
+        }
+      GraftSql.lastRowsAffected = applied
+      Seq.empty
+    } finally cached.foreach { df => df.unpersist(); () }
   }
 }

@@ -161,25 +161,74 @@ class GraftCatalogSpec extends SparkSpec {
     assert(Snapshots.latestVersion(spark, dirOf("db", "tm3")) == 1)
   }
 
-  test("refusals: subqueries, conditional actions, key updates, " +
-      "NOT MATCHED BY SOURCE") {
+  test("MERGE INTO: conditional clauses route a CDC batch in one commit") {
+    warehouse
+    sql("CREATE TABLE graft.db.tmc (id BIGINT, payload STRING)")
+    sql("INSERT INTO graft.db.tmc VALUES (1, 'a'), (2, 'b'), (3, 'c'), " +
+      "(4, 'd')")
+    // the canonical CDC-apply shape: a delete flag picks DELETE for
+    // matched rows, UPDATE otherwise; deletes of absent keys drop, the
+    // rest insert — one MERGE, one published version
+    sql("CREATE OR REPLACE TEMPORARY VIEW tmc_src AS SELECT * FROM " +
+      "VALUES (CAST(1 AS BIGINT), 'A', 'U'), " +
+      "(CAST(2 AS BIGINT), 'x', 'D'), (CAST(5 AS BIGINT), 'E', 'U'), " +
+      "(CAST(6 AS BIGINT), 'y', 'D') AS s(id, payload, op)")
+    sql("MERGE INTO graft.db.tmc t USING tmc_src s ON t.id = s.id " +
+      "WHEN MATCHED AND s.op = 'D' THEN DELETE " +
+      "WHEN MATCHED THEN UPDATE SET payload = s.payload " +
+      "WHEN NOT MATCHED AND s.op <> 'D' THEN " +
+      "INSERT (id, payload) VALUES (s.id, s.payload)")
+    assert(rows("SELECT * FROM graft.db.tmc") ==
+      Seq((1L, "A"), (3L, "c"), (4L, "d"), (5L, "E")))
+    assert(Snapshots.latestVersion(spark, dirOf("db", "tmc")) == 2,
+      "the whole conditional MERGE must publish exactly one version")
+    assert(rows("SELECT * FROM graft.db.tmc VERSION AS OF 1") ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+
+    // clause ORDER: first match wins — a catch-all first clause makes
+    // later clauses unreachable for rows it accepts
+    sql("CREATE OR REPLACE TEMPORARY VIEW tmc_src2 AS SELECT * FROM " +
+      "VALUES (CAST(1 AS BIGINT), 'AA'), (CAST(3 AS BIGINT), 'CC') " +
+      "AS s(id, payload)")
+    sql("MERGE INTO graft.db.tmc t USING tmc_src2 s ON t.id = s.id " +
+      "WHEN MATCHED AND t.id < 10 THEN UPDATE SET payload = s.payload " +
+      "WHEN MATCHED THEN DELETE")
+    assert(rows("SELECT * FROM graft.db.tmc") ==
+      Seq((1L, "AA"), (3L, "CC"), (4L, "d"), (5L, "E")),
+      "the first matching clause must win; nothing may reach the DELETE")
+  }
+
+  test("MERGE INTO: WHEN NOT MATCHED BY SOURCE updates and deletes " +
+      "unreferenced target rows") {
+    warehouse
+    sql("CREATE TABLE graft.db.tms (id BIGINT, payload STRING)")
+    sql("INSERT INTO graft.db.tms VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    sql("CREATE OR REPLACE TEMPORARY VIEW tms_src AS " +
+      "SELECT * FROM VALUES (CAST(1 AS BIGINT), 'A') AS s(id, payload)")
+    sql("MERGE INTO graft.db.tms t USING tms_src s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET payload = s.payload " +
+      "WHEN NOT MATCHED BY SOURCE AND t.id = 2 THEN DELETE " +
+      "WHEN NOT MATCHED BY SOURCE THEN " +
+      "UPDATE SET payload = concat(t.payload, '?')")
+    assert(rows("SELECT * FROM graft.db.tms") ==
+      Seq((1L, "A"), (3L, "c?")))
+    assert(Snapshots.latestVersion(spark, dirOf("db", "tms")) == 2,
+      "matched + by-source actions must land in ONE version")
+    // a source-less full sweep: every row is NOT MATCHED BY SOURCE
+    sql("CREATE OR REPLACE TEMPORARY VIEW tms_none AS " +
+      "SELECT * FROM VALUES (CAST(99 AS BIGINT), 'zz') AS s(id, payload) " +
+      "WHERE 1 = 0")
+    sql("MERGE INTO graft.db.tms t USING tms_none s ON t.id = s.id " +
+      "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+    assert(rows("SELECT * FROM graft.db.tms").isEmpty)
+  }
+
+  test("refusals: subqueries in MERGE ON, key updates, non-equality ON") {
     warehouse
     sql("CREATE TABLE graft.db.tr (id BIGINT, payload STRING)")
     sql("INSERT INTO graft.db.tr VALUES (1, 'a')")
     sql("CREATE OR REPLACE TEMPORARY VIEW tr_src AS " +
       "SELECT * FROM VALUES (CAST(1 AS BIGINT), 'x') AS s(id, payload)")
-
-    val sub = intercept[Exception] {
-      sql("DELETE FROM graft.db.tr WHERE id IN " +
-        "(SELECT id FROM tr_src)")
-    }
-    assert(sub.getMessage.contains("subquery"))
-
-    val condAct = intercept[Exception] {
-      sql("MERGE INTO graft.db.tr t USING tr_src s ON t.id = s.id " +
-        "WHEN MATCHED AND s.payload = 'x' THEN DELETE")
-    }
-    assert(condAct.getMessage.contains("unconditional"))
 
     val keyUpd = intercept[Exception] {
       sql("MERGE INTO graft.db.tr t USING tr_src s ON t.id = s.id " +
@@ -187,12 +236,13 @@ class GraftCatalogSpec extends SparkSpec {
     }
     assert(keyUpd.getMessage.contains("merge-key"))
 
-    val bySource = intercept[Exception] {
+    // the key-immutability refusal applies inside CONDITIONAL clauses too
+    val keyUpd2 = intercept[Exception] {
       sql("MERGE INTO graft.db.tr t USING tr_src s ON t.id = s.id " +
-        "WHEN MATCHED THEN UPDATE SET payload = s.payload " +
-        "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+        "WHEN MATCHED AND s.payload = 'x' THEN UPDATE SET id = 100 " +
+        "WHEN MATCHED THEN UPDATE SET payload = s.payload")
     }
-    assert(bySource.getMessage.contains("NOT MATCHED BY SOURCE"))
+    assert(keyUpd2.getMessage.contains("merge-key"))
 
     val nonEq = intercept[Exception] {
       sql("MERGE INTO graft.db.tr t USING tr_src s ON t.id < s.id " +
