@@ -1106,7 +1106,10 @@ object Formats extends QueryPack {
       val cp = java.nio.file.Files.createTempDirectory("f38cp").toString
       val feed = s.readStream.option("readChangeFeed", "true")
         .table(s"$cat.db.sdocs")
-      val sgn = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+      // rows in (inserts + update postimages) add, rows out (deletes +
+      // update preimages) retract — the four-type signed-fold contract
+      val sgn = when(col("_change_type").isin("insert",
+        "update_postimage"), 1L).otherwise(-1L)
       val view = s"f38_view_${math.abs(d.hashCode)}"
       val q = feed.groupBy(col("lang"))
         .agg(sum(sgn).as("n_docs"),
@@ -1250,7 +1253,10 @@ object Formats extends QueryPack {
       val cp = java.nio.file.Files.createTempDirectory("f34cp").toString
       val feed = s.readStream.format("graft-snapshots")
         .option("path", out).option("readChangeFeed", "true").load()
-      val sgn = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+      // rows in (inserts + update postimages) add, rows out (deletes +
+      // update preimages) retract — the four-type signed-fold contract
+      val sgn = when(col("_change_type").isin("insert",
+        "update_postimage"), 1L).otherwise(-1L)
       val q = feed.groupBy(col("lang"))
         .agg(sum(sgn).as("n_docs"), sum(sgn * col("n_chars"))
           .as("sum_chars"))

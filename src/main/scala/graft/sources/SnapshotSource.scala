@@ -392,14 +392,20 @@ private[graft] class SnapshotStreamSource(spark: SparkSession,
 
 /** CHANGE-FEED streaming source (`readChangeFeed=true`): every version
   * on main's parent chain emits its row-level delta with a
-  * `_change_type` (`insert` / `delete`) and `_commit_version` column —
-  * the CDC view of the table, subsuming `ignoreChanges` (which emits
-  * added rows and silently DROPS deletes). Per version, against its
-  * parent:
+  * `_change_type` (`insert` / `delete` / `update_preimage` /
+  * `update_postimage`) and `_commit_version` column — the CDC view of
+  * the table, subsuming `ignoreChanges` (which emits added rows and
+  * silently DROPS deletes). Per version, against its parent:
   *  - files added → their rows as `insert`s;
   *  - new deletion-vector positions → the deleted rows' CONTENT (read
   *    from the parent's files, where they still physically live) as
   *    `delete`s;
+  *  - a version recorded as an UPDATE/UPSERT (`vN.op`) types its delta
+  *    as `update_preimage` (the replaced row's old content) and
+  *    `update_postimage` (its replacement) instead — so a consumer can
+  *    distinguish a row update from a delete-then-unrelated-insert; an
+  *    applyCdc commit splits by key (re-appearing keys pair as
+  *    updates, the rest stay genuine `delete`s/`insert`s);
   *  - a REWRITE (file set not a superset — compaction, INSERT OVERWRITE)
   *    → the parent's live rows all `delete`, the version's live rows all
   *    `insert`: noisy but exactly-compensating, so any downstream
@@ -721,12 +727,15 @@ object SnapshotSource {
     * `readChangeFeed` relation. Per version, against its parent: added
     * files' rows as `insert`s; new deletion-vector positions as
     * `delete` rows (content read from the parent's files, where they
-    * still physically live); a REWRITE as compensating delete-all of
-    * the parent's live rows + insert-all of the version's. Each row is
-    * stamped `_change_type` / `_commit_version` / `_commit_timestamp`
-    * (the vN.meta instant, purge-durable). Scale shape: reads only the
-    * delta's files, plus the parent file set a DV delta position-joins
-    * — never table history. */
+    * still physically live); versions recorded as updates/upserts
+    * (`vN.op`) pair their delta as `update_preimage`/`update_postimage`
+    * instead (key-split for applyCdc batches); a REWRITE as
+    * compensating delete-all of the parent's live rows + insert-all of
+    * the version's. Each row is stamped `_change_type` /
+    * `_commit_version` / `_commit_timestamp` (the vN.meta instant,
+    * purge-durable). Scale shape: reads only the delta's files, plus
+    * the parent file set a DV delta position-joins — never table
+    * history. */
   private[sources] def changesBetween(spark: SparkSession, dir: String,
       v0: Int, v1: Int, tableSchema: StructType,
       canonVersion: Int): DataFrame = {
@@ -771,30 +780,75 @@ object SnapshotSource {
         else Seq.empty
       val curFiles = Snapshots.files(spark, dir, cv)
       if (parentFiles.forall(curFiles.toSet.contains)) {
-        // append-shaped commit: added files insert, DV delta deletes
+        // append-shaped commit: added files' rows go in, DV-delta rows
+        // go out — TYPED by the recorded operation (vN.op): an
+        // updateWhere version pairs them as update_preimage/postimage
+        // outright; an upsert/applyCdc version splits by key (a delta
+        // row whose key re-appears in the added rows was updated, the
+        // rest were genuine deletes — and symmetrically for inserts).
+        // No op file (plain appends/deletes, pre-op-file tables) keeps
+        // the generic insert/delete typing.
         val added = curFiles.filterNot(parentFiles.toSet)
-        val inserts =
+        val addedRows: Option[DataFrame] =
           if (added.isEmpty) None
-          else Some(stamped(readCanonical(spark, dir,
-            added, canonVersion, tableSchema, withPos = false),
-            "insert", cv))
-        val deletes = dvDelta(cv, parent).map { delta =>
-          // only the files the delta's positions actually reference are
-          // opened (file list = a bounded metadata collect), not the
-          // whole parent set — at 100 TB a small delete's change batch
-          // reads a handful of files, never the table
-          val touched = delta.select(col("file_path")).distinct()
-            .collect().map(r => new Path(r.getString(0)).getName).toSet
-          val needed = parentFiles.filter(p =>
-            touched.contains(new Path(p).getName))
-          val parentRows = readCanonical(spark, dir,
-            needed, canonVersion, tableSchema, withPos = true)
-          stamped(parentRows.join(delta.select(
-              col("file_path").as("_fp"), col("row_index").as("_ri")),
-              Seq("_fp", "_ri"), "left_semi")
-            .drop("_fp", "_ri"), "delete", cv)
+          else Some(readCanonical(spark, dir,
+            added, canonVersion, tableSchema, withPos = false))
+        val deltaRows: Option[DataFrame] = dvDelta(cv, parent).map {
+          delta =>
+            // only the files the delta's positions actually reference
+            // are opened (file list = a bounded metadata collect), not
+            // the whole parent set — at 100 TB a small delete's change
+            // batch reads a handful of files, never the table
+            val touched = delta.select(col("file_path")).distinct()
+              .collect().map(r => new Path(r.getString(0)).getName).toSet
+            val needed = parentFiles.filter(p =>
+              touched.contains(new Path(p).getName))
+            readCanonical(spark, dir,
+              needed, canonVersion, tableSchema, withPos = true)
+              .join(delta.select(
+                col("file_path").as("_fp"), col("row_index").as("_ri")),
+                Seq("_fp", "_ri"), "left_semi")
+              .drop("_fp", "_ri")
         }
-        inserts.toSeq ++ deletes.toSeq
+        (Snapshots.commitOp(spark, dir, cv), addedRows, deltaRows) match {
+          case (Some(("update", _)), post, pre) =>
+            // positional update: every delta row has its replacement in
+            // the staged files — pair wholesale, no key needed
+            pre.map(stamped(_, "update_preimage", cv)).toSeq ++
+              post.map(stamped(_, "update_postimage", cv)).toSeq
+          case (Some((op, keys)), post, pre)
+              // keys must still exist under the consumer's schema (a
+              // later RENAME of a key column falls back to the generic
+              // typing rather than failing the read)
+              if (op == "upsert" || op == "cdc") && keys.nonEmpty &&
+                keys.forall(tableSchema.fieldNames.contains) =>
+            val keyDf = (df: DataFrame) => df.select(
+              keys.map(k => col(s"`$k`")): _*)
+            val preSplit = pre.map { p =>
+              post match {
+                case None => Seq(stamped(p, "delete", cv))
+                case Some(q) => Seq(
+                  stamped(p.join(keyDf(q), keys, "left_semi"),
+                    "update_preimage", cv),
+                  stamped(p.join(keyDf(q), keys, "left_anti"),
+                    "delete", cv))
+              }
+            }.getOrElse(Seq.empty)
+            val postSplit = post.map { q =>
+              pre match {
+                case None => Seq(stamped(q, "insert", cv))
+                case Some(p) => Seq(
+                  stamped(q.join(keyDf(p), keys, "left_semi"),
+                    "update_postimage", cv),
+                  stamped(q.join(keyDf(p), keys, "left_anti"),
+                    "insert", cv))
+              }
+            }.getOrElse(Seq.empty)
+            preSplit ++ postSplit
+          case (_, post, pre) =>
+            post.map(stamped(_, "insert", cv)).toSeq ++
+              pre.map(stamped(_, "delete", cv)).toSeq
+        }
       } else {
         // rewrite: retract the parent's live rows, insert the new ones
         val dels =

@@ -565,6 +565,37 @@ object Snapshots {
     else Some(readSmall(f, p).split('\n').toSeq.map(_.trim))
   }
 
+  /** Persist the OPERATION that produced version `v` in a `vN.op`
+    * side-file (line 1 = verb, line 2 = comma-separated key columns if
+    * the verb is keyed) — what lets the change feed type an upsert's
+    * delta as `update_preimage`/`update_postimage` instead of
+    * delete+insert. Written BEFORE the manifest (same crash-consistency
+    * direction as vN.meta: a published version either has its op file
+    * or the commit died pre-publish); a missing op file degrades to the
+    * generic delete+insert typing, never to wrong data. */
+  private def writeCommitOp(f: FileSystem, dir: String, v: Int,
+      op: String, keys: Seq[String]): Unit = {
+    val o = f.create(new Path(dir, s"v$v.op"), true)
+    val body = op + (if (keys.nonEmpty) "\n" + keys.mkString(",") else "")
+    try o.write(body.getBytes("UTF-8")) finally o.close()
+  }
+
+  /** The recorded operation of version `v`: (verb, keyColumns) —
+    * `("upsert", keys)` / `("cdc", keys)` / `("update", Nil)` — or None
+    * for plain commits and pre-op-file tables. */
+  private[sources] def commitOp(s: SparkSession, dir: String, v: Int)
+      : Option[(String, Seq[String])] = {
+    val f = fs(s, dir)
+    val p = new Path(dir, s"v$v.op")
+    if (!f.exists(p)) None
+    else {
+      val lines = readSmall(f, p).split('\n').toSeq.map(_.trim)
+      Some((lines.head, if (lines.size > 1)
+        lines(1).split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+      else Seq.empty))
+    }
+  }
+
   /** The instant version `v` was committed: the `vN.meta` side-file if
     * present, else the manifest's mtime (tables written before the meta
     * file existed — correct as long as they were never purged). */
@@ -1051,6 +1082,9 @@ object Snapshots {
         val nUpd = matched.count()
         val (moved, _) = stageAndMove(s, f, dir, updated, Seq.empty, v)
         writeCommitMeta(f, dir, v, latest)
+        // change-feed typing: every delta position is a row this commit
+        // UPDATED (its replacement is in the staged files)
+        writeCommitOp(f, dir, v, "update", Seq.empty)
         writeManifest(f, dir, v, fset ++ moved)
         advanceMain(s, f, dir, v)
         (v, nUpd)
@@ -1103,6 +1137,9 @@ object Snapshots {
         prev.map(_.count()).getOrElse(0L)
       val (moved, statLines) = stageAndMove(s, f, dir, src, statsCols, v)
       writeCommitMeta(f, dir, v, latest, streamTxn)
+      // change-feed typing: delta positions are REPLACED rows (their
+      // postimages are the staged rows sharing the key)
+      writeCommitOp(f, dir, v, "upsert", keyCols)
       writeManifest(f, dir, v, fset ++ moved)
       writeStatLines(f, dir, v, statLines)
       advanceMain(s, f, dir, v)
@@ -1151,6 +1188,9 @@ object Snapshots {
       val (moved, statLines) = stageAndMove(s, f, dir, upserts,
         Seq.empty, v)
       writeCommitMeta(f, dir, v, latest)
+      // change-feed typing: a delta position whose key re-appears in the
+      // staged rows was UPDATED, the rest were genuine deletes
+      writeCommitOp(f, dir, v, "cdc", keyCols)
       writeManifest(f, dir, v, fset ++ moved)
       writeStatLines(f, dir, v, statLines)
       advanceMain(s, f, dir, v)
@@ -1579,6 +1619,7 @@ object Snapshots {
     oldVs.foreach { v =>
       f.delete(manifest(dir, v), false)
       f.delete(new Path(dir, s"v$v.meta"), false) // its commit instant
+      f.delete(new Path(dir, s"v$v.op"), false) // its change-feed typing
       f.delete(dvDir(dir, v), true) // a dropped version's deletion vector
       // vN.renames and vN.stats stay: carried-forward files in retained
       // versions still need the rename chain and their recorded bounds

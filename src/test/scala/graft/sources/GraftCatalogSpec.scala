@@ -223,6 +223,33 @@ class GraftCatalogSpec extends SparkSpec {
     assert(rows("SELECT * FROM graft.db.tms").isEmpty)
   }
 
+  test("fresh-table MERGE publishes and counts in one pass over the " +
+      "source (job pin)") {
+    warehouse
+    sql("CREATE TABLE graft.db.tmj (id BIGINT, payload STRING)")
+    sql("CREATE OR REPLACE TEMPORARY VIEW tmj_src AS SELECT * FROM " +
+      "VALUES (CAST(1 AS BIGINT), 'a'), (CAST(2 AS BIGINT), 'b') " +
+      "AS s(id, payload)")
+    spark.sparkContext.setJobGroup("pin-merge-fresh", "pin-merge-fresh",
+      false)
+    try sql("MERGE INTO graft.db.tmj t USING tmj_src s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET payload = s.payload " +
+      "WHEN NOT MATCHED THEN INSERT (id, payload) VALUES " +
+      "(s.id, s.payload)")
+    finally spark.sparkContext.clearJobGroup()
+    val jobs = spark.sparkContext.statusTracker
+      .getJobIdsForGroup("pin-merge-fresh").length
+    // pinned composition: AQE's broadcast-stage materialization for the
+    // anti-join, the staging write (the ONE pass over the source, which
+    // also materializes the persisted plan), and the metric count served
+    // from that cache — a regression that recomputes the anti-join for
+    // the count shows up as extra jobs here
+    assert(jobs == 3, s"fresh-table MERGE ran $jobs jobs, pinned 3")
+    assert(GraftSql.lastRowsAffected == 2L)
+    assert(rows("SELECT * FROM graft.db.tmj") == Seq((1L, "a"), (2L, "b")))
+    assert(Snapshots.latestVersion(spark, dirOf("db", "tmj")) == 1)
+  }
+
   test("refusals: subqueries in MERGE ON, key updates, non-equality ON") {
     warehouse
     sql("CREATE TABLE graft.db.tr (id BIGINT, payload STRING)")

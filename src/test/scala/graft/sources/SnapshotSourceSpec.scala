@@ -189,15 +189,25 @@ class SnapshotSourceSpec extends SparkSpec {
     def byType(frame: org.apache.spark.sql.DataFrame) =
       frame.groupBy(col("_change_type")).count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
-    // v1: 5 ins; v2: 3 ins; v3: 1 del; v4: 2 ins (upsert batch) + 1 del
-    assert(byType(all) == Map("insert" -> 10L, "delete" -> 2L))
-    // the feed REPLAYS to the head: signed fold == current live set
+    // v1: 5 ins; v2: 3 ins; v3: 1 del; v4 (upsert): id 3's replacement
+    // pairs as update_preimage/postimage, the new id 9 stays an insert
+    assert(byType(all) == Map("insert" -> 9L, "delete" -> 1L,
+      "update_preimage" -> 1L, "update_postimage" -> 1L))
+    // a consumer keyed ONLY on _change_type reconstructs the table: rows
+    // in (+) = inserts + postimages, rows out (−) = deletes + preimages
     val replayed = all.groupBy(col("id"))
-      .agg(sum(when(col("_change_type") === "insert", 1)
-        .otherwise(-1)).as("s"))
+      .agg(sum(when(col("_change_type").isin("insert", "update_postimage"),
+        1).otherwise(-1)).as("s"))
       .filter(col("s") > 0).select(col("id"))
       .collect().map(_.getLong(0)).toSeq.sorted
     assert(replayed == ids(readFmt(dir)))
+    // the preimage carries the OLD content, the postimage the new
+    val images = all.filter(col("_change_type").startsWith("update"))
+      .select("_change_type", "id", "payload").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+      .sorted
+    assert(images == Seq(("update_postimage", 3L, "B3"),
+      ("update_preimage", 3L, "row3")), s"images: $images")
     // ranged read isolates versions; timestamps are the commit instants
     val v3 = readFmt(dir, "readChangeFeed" -> "true",
       "startingVersion" -> "3", "endingVersion" -> "3")
@@ -206,14 +216,64 @@ class SnapshotSourceSpec extends SparkSpec {
       .map(_.getLong(0)).toSeq == Seq(3L))
     assert(v3.select(col("_commit_timestamp")).collect()
       .head.getTimestamp(0).getTime > 0L)
-    // column pruning + filters compose
+    // column pruning + filters compose; a plain delete stays a delete
     assert(readFmt(dir, "readChangeFeed" -> "true")
       .filter(col("_change_type") === "delete")
       .select("id").collect().map(_.getLong(0)).toSeq.sorted ==
-      Seq(2L, 3L))
+      Seq(2L))
     intercept[IllegalArgumentException] {
       readFmt(dir, "readChangeFeed" -> "true", "endingVersion" -> "9")
     }
+  }
+
+  test("change feed types updateWhere and applyCdc deltas as " +
+      "update_preimage/update_postimage") {
+    val dir = tmpDir("cdfupd")
+    import spark.implicits._
+    Snapshots.commit(spark, dir, df(1 to 6).coalesce(1), append = false)
+    // v2: positional UPDATE — every delta row pairs wholesale
+    Snapshots.updateWhere(spark, dir, col("id") <= 2,
+      Seq("payload" -> upper(col("payload"))))
+    // v3: CDC batch — id 4 updated, id 5 deleted, id 7 inserted
+    Snapshots.applyCdc(spark, dir,
+      Seq((4L, "B4"), (7L, "row7n")).toDF("id", "payload"),
+      Seq(5L).toDF("id"), Seq("id"))
+
+    def byType(v: Int) = readFmt(dir, "readChangeFeed" -> "true",
+        "startingVersion" -> v.toString, "endingVersion" -> v.toString)
+      .groupBy(col("_change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType(2) == Map("update_preimage" -> 2L,
+      "update_postimage" -> 2L), s"updateWhere delta: ${byType(2)}")
+    assert(byType(3) == Map("update_preimage" -> 1L,
+      "update_postimage" -> 1L, "delete" -> 1L, "insert" -> 1L),
+      s"applyCdc delta: ${byType(3)}")
+
+    // preimages carry old content, postimages new, pairable by key
+    val v2 = readFmt(dir, "readChangeFeed" -> "true",
+      "startingVersion" -> "2", "endingVersion" -> "2")
+      .select("_change_type", "id", "payload").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+      .sorted
+    assert(v2 == Seq(("update_postimage", 1L, "ROW1"),
+      ("update_postimage", 2L, "ROW2"), ("update_preimage", 1L, "row1"),
+      ("update_preimage", 2L, "row2")), s"v2 delta: $v2")
+
+    // signed fold across all four types still reconstructs the head
+    val replayed = readFmt(dir, "readChangeFeed" -> "true")
+      .groupBy(col("id"))
+      .agg(sum(when(col("_change_type").isin("insert", "update_postimage"),
+        1).otherwise(-1)).as("s"))
+      .filter(col("s") > 0).select(col("id"))
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(replayed == ids(readFmt(dir)))
+
+    // a REWRITE keeps the compensating delete+insert typing (no pairing
+    // exists — the file set was replaced wholesale)
+    Snapshots.commit(spark, dir,
+      Snapshots.read(spark, dir, 3).coalesce(1), append = false)
+    assert(byType(4).keySet == Set("delete", "insert"),
+      s"rewrite delta: ${byType(4)}")
   }
 
   test("branch option reads a ref head; default follows main") {

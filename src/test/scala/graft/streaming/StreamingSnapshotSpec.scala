@@ -481,8 +481,12 @@ class StreamingSnapshotSpec extends SparkSpec {
       .option("path", dir).option("readChangeFeed", "true").load()
     assert(feed.schema.fieldNames.takeRight(3).toSeq ==
       Seq("_change_type", "_commit_version", "_commit_timestamp"))
+    // rows in (inserts AND update postimages) count +, rows out
+    // (deletes AND update preimages) count − — the signed-fold contract
+    // across all four change types
     val signed = feed.withColumn("sgn",
-      when(col("_change_type") === "insert", 1L).otherwise(-1L))
+      when(col("_change_type").isin("insert", "update_postimage"), 1L)
+        .otherwise(-1L))
     val q = signed.groupBy(lit(1).as("g"))
       .agg(sum(col("sgn")).as("n"), sum(col("sgn") * col("id")).as("idsum"))
       .writeStream.format("memory").queryName("cdf_view")
@@ -510,7 +514,9 @@ class StreamingSnapshotSpec extends SparkSpec {
       Snapshots.deleteWhere(spark, dir, col("id") % 3 === 0)
       assert(view() == expected(), "after deleteWhere")
 
-      // upsert: replaced rows retract, replacements + new rows insert
+      // upsert: the replaced row pairs as update_preimage/postimage
+      // (id 1 existed), the new key (10) stays a plain insert — a
+      // consumer keyed only on _change_type reconstructs the table
       Snapshots.upsert(spark, dir,
         Seq((1L, "P1"), (10L, "p10")).toDF("id", "payload"), Seq("id"))
       assert(view() == expected(), "after an upsert")
