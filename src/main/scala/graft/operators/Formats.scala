@@ -773,32 +773,44 @@ object Formats extends QueryPack {
         .withColumn("doc_id", col("doc_id") + lit(2000000000000L))
         .withColumn("source", lit("clone"))
       writeOnce(s, out, alsoRequire =
-          graft.sources.Snapshots.latestVersion(s, out) == 4) {
+          graft.sources.Snapshots.latestVersion(s, out) == 6) {
         val fsys = new org.apache.hadoop.fs.Path(out)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         fsys.delete(new org.apache.hadoop.fs.Path(out), true)
         graft.sources.Snapshots.commit(s, out, docs.filter(hot),
-          append = false)
+          append = false)                                           // v1
         graft.sources.Snapshots.createRef(s, out, "ingest")
         graft.sources.Snapshots.commitOnBranch(s, out, "ingest",
-          docs.filter(!hot), append = true)
-        graft.sources.Snapshots.commit(s, out, clones, append = true)
+          docs.filter(!hot), append = true)                         // v2
+        graft.sources.Snapshots.commit(s, out, clones, append = true) // v3
+        // DIVERGENT DELETIONS, disjoint by construction: main deletes
+        // %101 of its visible rows (hot + clones), the branch deletes
+        // %103 of its OWN additions — the merge position-unions both
+        graft.sources.Snapshots.deleteWhere(s, out,
+          pmod(col("doc_id"), lit(101)) === 0)                      // v4
+        graft.sources.Snapshots.deleteWhere(s, out,
+          pmod(col("doc_id"), lit(103)) === 0 && !hot,
+          branch = Some("ingest"))                                  // v5
         val merged = graft.sources.Snapshots.mergeBranch(s, out,
           "ingest", keyCols = Seq("doc_id"))
-        require(merged == 4, s"expected merge commit v4, got $merged")
+        require(merged == 6, s"expected merge commit v6, got $merged")
         ()
       }
-      val parents = graft.sources.Snapshots.parentsOf(s, out, 4)
+      val parents = graft.sources.Snapshots.parentsOf(s, out, 6)
       val got = docSums(s.read.format("graft-snapshots").load(out))
         .select(col("n").as("gn"), col("h").as("gh"))
-      val want = docSums(docs.unionByName(clones))
+      val want = docSums(
+        docs.filter(hot).unionByName(clones)
+          .filter(pmod(col("doc_id"), lit(101)) =!= 0)
+          .unionByName(docs.filter(!hot)
+            .filter(pmod(col("doc_id"), lit(103)) =!= 0)))
         .select(col("n").as("en"), col("h").as("eh"))
       got.crossJoin(want)
         .select(col("en").as("n_merged"), col("eh").as("content_sum"),
           (col("gn") === col("en") && col("gh") === col("eh"))
             .as("merged_ok"),
-          lit(parents == Seq(3, 2)).as("two_parents_ok"),
-          lit(graft.sources.Snapshots.mainVersion(s, out) == 4)
+          lit(parents == Seq(4, 5)).as("two_parents_ok"),
+          lit(graft.sources.Snapshots.mainVersion(s, out) == 6)
             .as("main_at_merge"))
     }),
 
@@ -1865,9 +1877,10 @@ object Formats extends QueryPack {
       WHERE doc_id % 7 <> 0
       GROUP BY lang
       ORDER BY lang""",
-    // f35: replay both sides' appends relationally (all documents plus
-    // the clone rows main added) and recompute the merged checksum; the
-    // graph-shape booleans pinned TRUE
+    // f35: replay both sides relationally — main's line (hot + clones)
+    // minus its %101 deletes, union the branch's additions minus its
+    // %103 deletes (divergent deletions position-unioned by the merge);
+    // the graph-shape booleans pinned TRUE
     "f35_branch_merge" -> """
       SELECT CAST(count(*) AS BIGINT) AS n_merged,
              CAST(sum(CAST(('0x' || substr(md5(
@@ -1879,10 +1892,17 @@ object Formats extends QueryPack {
              TRUE AS two_parents_ok,
              TRUE AS main_at_merge
       FROM (
-        SELECT doc_id, text, lang, source, n_chars FROM documents
+        SELECT * FROM (
+          SELECT doc_id, text, lang, source, n_chars FROM documents
+          WHERE source IN ('src0','src1','src2')
+          UNION ALL
+          SELECT doc_id + 2000000000000, text, lang, 'clone', n_chars
+          FROM documents WHERE doc_id % 13 = 0
+        ) WHERE doc_id % 101 <> 0
         UNION ALL
-        SELECT doc_id + 2000000000000, text, lang, 'clone', n_chars
-        FROM documents WHERE doc_id % 13 = 0
+        SELECT doc_id, text, lang, source, n_chars FROM documents
+        WHERE source NOT IN ('src0','src1','src2')
+          AND doc_id % 103 <> 0
       )""",
     // f32: the stream-built table must be indistinguishable from a
     // batch-built one — same recomputation as f19

@@ -976,9 +976,15 @@ object Snapshots {
     * DV-free live set (materialize first), because a rewritten file's row
     * indexes would invalidate vector positions and resurrect rows.
     *
+    * `branch`: delete on a NAMED BRANCH instead of main — the base is
+    * the branch ref's head, and the branch ref (not main) advances with
+    * the publish, so branch-side deletions accumulate without touching
+    * main and later reconcile through [[mergeBranch]]'s position-union.
+    *
     * @return (newVersion, rowsDeleted) */
   def deleteWhere(s: SparkSession, dir: String,
-      cond: org.apache.spark.sql.Column): (Int, Long) = {
+      cond: org.apache.spark.sql.Column,
+      branch: Option[String] = None): (Int, Long) = {
     import org.apache.spark.sql.functions.col
     val f = fs(s, dir)
     require(latestVersion(s, dir) >= 1, s"deleteWhere: no versions at $dir")
@@ -988,7 +994,14 @@ object Snapshots {
     val c = claimVersion(f, dir)
     val v = c.v
     try {
-      val latest = mainHead(f, dir, v - 1)
+      val latest = branch match {
+        case Some(n) =>
+          val (h, isTag) = refRead(f, dir, n).getOrElse(
+            throw new IllegalArgumentException(s"no ref '$n' at $dir"))
+          require(!isTag, s"cannot delete on tag '$n' — tags are immutable")
+          h
+        case None => mainHead(f, dir, v - 1)
+      }
       val fset = files(s, dir, latest)
       val scan = withMeta(
         s.read.parquet(fset.map(p => new Path(dir, p).toString): _*))
@@ -1010,7 +1023,10 @@ object Snapshots {
         val n = hits.count()
         writeCommitMeta(f, dir, v, latest)
         writeManifest(f, dir, v, fset)
-        advanceMain(s, f, dir, v)
+        branch match {
+          case Some(nm) => writeRef(s, f, dir, nm, v, tag = false)
+          case None => advanceMain(s, f, dir, v)
+        }
         (v, n)
       } finally { hits.unpersist(); () }
     } finally c.release()
@@ -1469,23 +1485,31 @@ object Snapshots {
     * existing ancestry walk stays on main's line through the merge.
     *
     * Supported shape (the lakehouse experiment-lineage case):
-    *  - both sides APPEND-ONLY since the base (each head's file set a
-    *    superset of the base's, no new deletion-vector positions, no
-    *    schema renames on either side's new commits) — the merged
-    *    manifest is pure metadata, ZERO data reads or copies;
+    *  - both sides are FILE-SET-MONOTONE since the base (each head's
+    *    file set a superset of the base's — appends, merge-on-read
+    *    deletes and updates qualify; rewrites/compactions do not), with
+    *    no schema renames on either side's new commits;
+    *  - divergent DELETIONS reconcile by POSITION UNION: each side's
+    *    deletion-vector delta since the base is computed (an anti-join
+    *    of position sets), and as long as the two deltas touch DISJOINT
+    *    positions the merged version carries base ∪ both deltas — a
+    *    GDPR-delete branch or a deleting main reunites cleanly. Both
+    *    sides touching the SAME base position is refused (one side may
+    *    have UPDATED the row the other deleted — silently unioning
+    *    would drop the delete), with a position sample;
     *  - with `keyCols`, KEY-LEVEL CONFLICT DETECTION: rows appended on
     *    main and on the branch sharing a key are a conflict — refused
     *    with a sample, never silently last-writer-wins (resolve by
     *    upserting one side's rows after the merge instead).
     * A branch already contained in main returns main's head unchanged;
     * main un-diverged since the base fast-forwards onto the branch head
-    * (no merge commit — the git semantics). Rewrites or merge-on-read
-    * deletes since the base are refused: reconciling divergent DELETIONS
-    * needs application policy, not a manifest union.
+    * (no merge commit — the git semantics). Rewrites since the base are
+    * refused: a replaced file's positions cannot be reconciled.
     *
     * Scale shape at 100 TB: the fast path touches only manifests and
     * refs; conflict detection reads ONLY the files each side ADDED
-    * (key columns only, one distinct-join), never the base.
+    * (key columns only, one distinct-join) plus the position deltas
+    * (DV-sized parquet, never row data), never the base.
     * @return the merged version (main's new head) */
   def mergeBranch(s: SparkSession, dir: String, name: String,
       keyCols: Seq[String] = Seq.empty): Int = {
@@ -1514,15 +1538,27 @@ object Snapshots {
         writeRef(s, f, dir, "main", bHead, tag = false)
         return bHead
       }
-      // diverged — validate the append-only shape on both sides
-      def dvCount(x: Int): Long =
-        if (x >= 1 && hasDv(s, dir, x)) dvFrame(s, dir, x).get.count()
-        else 0L
-      val baseDv = dvCount(base)
-      require(dvCount(mHead) == baseDv && dvCount(bHead) == baseDv,
-        s"mergeBranch: merge-on-read deletes since the base v$base — " +
-          "reconciling divergent deletions needs application policy; " +
-          "materialize (optimize) or replay the deletes after the merge")
+      // diverged — validate the file-set-monotone shape on both sides
+      // and reconcile deletion-vector DELTAS by position union
+      val baseDvF: Option[DataFrame] =
+        if (base >= 1) dvFrame(s, dir, base) else None
+      def dvDeltaOf(head: Int): Option[DataFrame] =
+        dvFrame(s, dir, head).map { cur =>
+          baseDvF.map(b => cur.join(b, Seq("file_path", "row_index"),
+            "left_anti")).getOrElse(cur)
+        }
+      val mDelta = dvDeltaOf(mHead)
+      val bDelta = dvDeltaOf(bHead)
+      for (a <- mDelta; b <- bDelta) {
+        val clash = a.join(b, Seq("file_path", "row_index"))
+          .limit(3).collect()
+        require(clash.isEmpty,
+          s"mergeBranch: both sides deleted the same base row " +
+            s"position(s) since v$base — ${clash.mkString(", ")} … — " +
+            "ambiguous (one side may have UPDATED the row the other " +
+            "deleted); rebase, or replay one side's deletes after " +
+            "merging the rest")
+      }
       val baseFiles =
         if (base >= 1) files(s, dir, base) else Seq.empty[String]
       val mFiles = files(s, dir, mHead)
@@ -1551,10 +1587,19 @@ object Snapshots {
             s"${sample.mkString(", ")} … — resolve by rebasing or " +
             "upserting one side after a merge of the rest")
       }
-      // publish: union manifest, both parents, base's DV carried
-      if (baseDv > 0)
-        dvFrame(s, dir, mHead).foreach(
-          _.write.mode("overwrite").parquet(dvDir(dir, v).toString))
+      // publish: union manifest, both parents, and the UNION deletion
+      // vector (base positions + both sides' disjoint deltas)
+      val mergedDv = (baseDvF.toSeq ++ mDelta.toSeq ++ bDelta.toSeq)
+        .reduceOption(_.unionByName(_))
+      mergedDv match {
+        case Some(dv) =>
+          dv.distinct().write.mode("overwrite")
+            .parquet(dvDir(dir, v).toString)
+        case None =>
+          // an aborted mutation's orphan dv/vN for this version number
+          // must not poison the merge (same guard as commitClaimed)
+          f.delete(dvDir(dir, v), true); ()
+      }
       writeCommitMeta(f, dir, v, mHead, parent2 = Some(bHead))
       writeManifest(f, dir, v, baseFiles ++ mAdded ++ bAdded)
       writeRef(s, f, dir, "main", v, tag = false)

@@ -1029,7 +1029,9 @@ class SnapshotsSpec extends SparkSpec {
     // caller's policy), so the guard is what the keyCols arg buys
     assert(Snapshots.mainVersion(spark, dir) == 6)
 
-    // DV divergence: a delete on main since the base refuses the merge
+    // DV divergence, disjoint positions: a delete on main since the
+    // base MERGES (position union) — the deleted row stays dead in the
+    // merged version, the branch's rows arrive
     val dir2 = tmpDir("mergedv")
     Snapshots.commit(spark, dir2, df(1 to 10).coalesce(1), append = false)
     Snapshots.createRef(spark, dir2, "b")
@@ -1037,10 +1039,70 @@ class SnapshotsSpec extends SparkSpec {
       append = true)
     Snapshots.commit(spark, dir2, df(13 to 14).coalesce(1), append = true)
     Snapshots.deleteWhere(spark, dir2, col("id") === 1)
-    val dv = intercept[IllegalArgumentException] {
+    val mergedDv = Snapshots.mergeBranch(spark, dir2, "b")
+    assert(idsOf(dir2, mergedDv) == (2L to 14L),
+      "main's delete must survive the merge; branch rows must arrive")
+  }
+
+  test("mergeBranch reconciles disjoint divergent deletions by " +
+      "position union; same-position deltas refuse") {
+    import spark.implicits._
+    val dir = tmpDir("mergedel")
+    Snapshots.commit(spark, dir, df(1 to 10).coalesce(1), append = false) // v1
+    Snapshots.createRef(spark, dir, "gdpr")
+    Snapshots.commitOnBranch(spark, dir, "gdpr",
+      df(11 to 14).coalesce(1), append = true)                            // v2
+    Snapshots.commit(spark, dir, df(15 to 18).coalesce(1), append = true) // v3
+    // main deletes base rows 1,2; the BRANCH deletes base row 9 and its
+    // own row 11 (deleteWhere on a named branch bases on and advances
+    // the branch ref, never main)
+    Snapshots.deleteWhere(spark, dir, col("id") <= 2)                     // v4
+    val (bv, bn) = Snapshots.deleteWhere(spark, dir,
+      col("id") === 9 || col("id") === 11, branch = Some("gdpr"))         // v5
+    assert(bv == 5 && bn == 2)
+    assert(Snapshots.refVersion(spark, dir, "gdpr") == 5)
+    assert(Snapshots.mainVersion(spark, dir) == 4,
+      "a branch-side delete must not advance main")
+    assert(idsOf(dir, 4) == ((3L to 10L) ++ (15L to 18L)),
+      "main must not see the branch's delete")
+
+    val merged = Snapshots.mergeBranch(spark, dir, "gdpr", Seq("id"))
+    assert(merged == 6 && Snapshots.mainVersion(spark, dir) == 6)
+    // both sides' deletions survive; both sides' additions arrive
+    assert(idsOf(dir, merged) ==
+      ((3L to 8L) ++ Seq(10L) ++ (12L to 14L) ++ (15L to 18L)),
+      s"got ${idsOf(dir, merged)}")
+    assert(Snapshots.parentsOf(spark, dir, merged) == Seq(4, 5))
+    // pre-merge versions still read exactly
+    assert(idsOf(dir, 1) == (1L to 10L))
+    assert(idsOf(dir, 5) == ((1L to 8L) ++ Seq(10L) ++ (12L to 14L)))
+
+    // SAME base position deleted on both sides: ambiguous (one side may
+    // have updated the row) — refused with a position sample
+    val dir2 = tmpDir("mergeclash")
+    Snapshots.commit(spark, dir2, df(1 to 10).coalesce(1), append = false)
+    Snapshots.createRef(spark, dir2, "b")
+    Snapshots.deleteWhere(spark, dir2, col("id") === 5)
+    Snapshots.deleteWhere(spark, dir2, col("id") === 5,
+      branch = Some("b"))
+    val clash = intercept[IllegalArgumentException] {
       Snapshots.mergeBranch(spark, dir2, "b")
     }
-    assert(dv.getMessage.contains("merge-on-read deletes"), dv.getMessage)
+    assert(clash.getMessage.contains("same base row"), clash.getMessage)
+
+    // UPDATE-vs-DELETE on the same row is exactly that overlap: main
+    // updates id 7 (DV position + replacement row), branch deletes it
+    val dir3 = tmpDir("mergeupddel")
+    Snapshots.commit(spark, dir3, df(1 to 10).coalesce(1), append = false)
+    Snapshots.createRef(spark, dir3, "b")
+    Snapshots.updateWhere(spark, dir3, col("id") === 7,
+      Seq("payload" -> upper(col("payload"))))
+    Snapshots.deleteWhere(spark, dir3, col("id") === 7,
+      branch = Some("b"))
+    val updDel = intercept[IllegalArgumentException] {
+      Snapshots.mergeBranch(spark, dir3, "b")
+    }
+    assert(updDel.getMessage.contains("same base row"), updDel.getMessage)
   }
 
   /** Jobs submitted while `op` runs, isolated via a job group (the ops
