@@ -80,19 +80,20 @@ case class GraftSqlRules(session: SparkSession) extends Rule[LogicalPlan] {
   import GraftSql._
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-    case d: DeleteFromTable if d.childrenResolved =>
+    case d: DeleteFromTable if d.resolved =>
       snapTarget(d.table) match {
         case Some((t, _)) =>
-          noSubquery(d.condition, "DELETE")
-          GraftDeleteCommand(t.dir, d.condition)
+          noCorrelatedSubquery(d.condition, "DELETE")
+          GraftDeleteCommand(t.dir, new GraftSql.Captured(d.condition))
         case None => d
       }
-    case u: UpdateTable if u.childrenResolved =>
+    case u: UpdateTable if u.resolved =>
       snapTarget(u.table) match {
         case Some((t, _)) =>
-          u.condition.foreach(noSubquery(_, "UPDATE"))
+          u.condition.foreach(noCorrelatedSubquery(_, "UPDATE"))
           u.assignments.foreach(a => noSubquery(a.value, "UPDATE"))
-          GraftUpdateCommand(t.dir, u.assignments, u.condition)
+          GraftUpdateCommand(t.dir, u.assignments,
+            u.condition.map(new GraftSql.Captured(_)))
         case None => u
       }
     case acc: AddCheckConstraint if acc.childrenResolved &&
@@ -179,6 +180,28 @@ private[graft] object GraftSql {
       s"graft catalog: $verb with a subquery in a condition or " +
         "assignment is not supported; materialize the subquery first")
 
+  /** Opaque expression holder: keeps a captured DML condition out of
+    * the command node's `expressions`, so CheckAnalysis does not reject
+    * IN/EXISTS subqueries hosted by a custom command (they are only
+    * allowed inside Spark's own DML nodes). Visibility buys nothing
+    * here — the condition re-binds by NAME inside run(). */
+  private[graft] final class Captured(val e: Expression)
+      extends Serializable
+
+  /** NON-correlated subqueries in a DML condition are supported (they
+    * run as part of the command's own scan — the optimizer rewrites
+    * IN/EXISTS into semi/anti-joins); correlated ones are refused: the
+    * command re-binds the condition by NAME against a fresh scan, and
+    * an outer reference could not survive that re-binding. */
+  private[sources] def noCorrelatedSubquery(e: Expression,
+      verb: String): Unit =
+    e.foreach {
+      case s: SubqueryExpression => require(!s.isCorrelated,
+        s"graft catalog: $verb with a CORRELATED subquery is not " +
+          "supported; materialize the subquery first")
+      case _ =>
+    }
+
   /** Version `v` of the table as the f29 V1 relation, bound to the V2
     * relation's own output attributes. An empty (freshly created,
     * never-committed) table reads as zero rows of its declared schema. */
@@ -202,10 +225,18 @@ private[graft] object GraftSql {
 
   /** Expression → Column resolvable by NAME against a fresh scan of the
     * same table (the single-table DML path: deleteWhere/updateWhere
-    * build their own scan, so attribute identities cannot carry over). */
-  private[sources] def byName(e: Expression): Column =
+    * build their own scan, so attribute identities cannot carry over).
+    * With `session`, subquery PLANS inside the expression are lowered
+    * through [[GraftSqlRules]] first, so a snapshot table referenced in
+    * an `IN (SELECT …)` reads through the same V1 relation a SELECT
+    * plans (the expression transform does not descend into subquery
+    * plans, so inner attribute bindings are untouched). */
+  private[sources] def byName(e: Expression,
+      session: Option[SparkSession] = None): Column =
     GraftBatchView.exprColumn(e.transform {
       case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+      case s: SubqueryExpression if session.isDefined =>
+        s.withNewPlan(GraftSqlRules(session.get).apply(s.plan))
     })
 
   private[sources] def splitConjuncts(e: Expression): Seq[Expression] =
@@ -246,10 +277,10 @@ private[graft] object GraftSql {
   * merge-on-read delete publishing one version (positions into the
   * deletion vector, no file rewrites), identical to the Scala call. */
 private[graft] case class GraftDeleteCommand(dir: String,
-    condition: Expression) extends LeafRunnableCommand {
+    condition: GraftSql.Captured) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val (_, n) = Snapshots.deleteWhere(spark, dir,
-      GraftSql.byName(condition))
+      GraftSql.byName(condition.e, Some(spark)))
     GraftSql.lastRowsAffected = n
     Seq.empty
   }
@@ -289,7 +320,7 @@ private[graft] case class GraftAddCheckConstraintCommand(
   * version, matched positions into the deletion vector, updated rows as
   * fresh appended files. */
 private[graft] case class GraftUpdateCommand(dir: String,
-    assignments: Seq[Assignment], condition: Option[Expression])
+    assignments: Seq[Assignment], condition: Option[GraftSql.Captured])
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val sets = assignments.map { a =>
@@ -324,7 +355,8 @@ private[graft] case class GraftUpdateCommand(dir: String,
         Some(df => GraftConstraints.enforce(spark, dir, df, "UPDATE"))
       else None
     val (_, n) = Snapshots.updateWhere(spark, dir,
-      condition.map(GraftSql.byName).getOrElse(lit(true)), applied, hook)
+      condition.map(c => GraftSql.byName(c.e, Some(spark)))
+        .getOrElse(lit(true)), applied, hook)
     GraftSql.lastRowsAffected = n
     Seq.empty
   }

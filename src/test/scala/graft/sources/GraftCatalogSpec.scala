@@ -250,6 +250,55 @@ class GraftCatalogSpec extends SparkSpec {
     assert(Snapshots.latestVersion(spark, dirOf("db", "tmj")) == 1)
   }
 
+  test("DML subquery conditions: DELETE/UPDATE WHERE ... IN (SELECT ...)") {
+    warehouse
+    sql("CREATE TABLE graft.db.tsq (id BIGINT, payload STRING)")
+    sql("INSERT INTO graft.db.tsq VALUES (1, 'a'), (2, 'b'), (3, 'c'), " +
+      "(4, 'd'), (5, 'e'), (6, 'f')")
+    // the subquery source is ITSELF a snapshot table — its scan inside
+    // the condition must lower through the same rule set
+    sql("CREATE TABLE graft.db.tsq_keys (id BIGINT)")
+    sql("INSERT INTO graft.db.tsq_keys VALUES (2), (3), (99)")
+
+    sql("DELETE FROM graft.db.tsq WHERE id IN " +
+      "(SELECT id FROM graft.db.tsq_keys)")
+    assert(GraftSql.lastRowsAffected == 2L)
+    assert(rows("SELECT * FROM graft.db.tsq") ==
+      Seq((1L, "a"), (4L, "d"), (5L, "e"), (6L, "f")))
+    assert(Snapshots.latestVersion(spark, dirOf("db", "tsq")) == 2,
+      "the subquery DELETE must publish exactly one version")
+
+    // UPDATE with an IN-subquery over a temp view, and a scalar compare
+    sql("CREATE OR REPLACE TEMPORARY VIEW tsq_pick AS " +
+      "SELECT * FROM VALUES (CAST(4 AS BIGINT)), (CAST(5 AS BIGINT)) " +
+      "AS v(id)")
+    sql("UPDATE graft.db.tsq SET payload = upper(payload) " +
+      "WHERE id IN (SELECT id FROM tsq_pick)")
+    assert(GraftSql.lastRowsAffected == 2L)
+    assert(rows("SELECT * FROM graft.db.tsq") ==
+      Seq((1L, "a"), (4L, "D"), (5L, "E"), (6L, "f")))
+
+    // NOT IN and a scalar subquery compose the same way
+    sql("DELETE FROM graft.db.tsq WHERE id NOT IN " +
+      "(SELECT id FROM tsq_pick) " +
+      "AND id > (SELECT min(id) FROM graft.db.tsq_keys)")
+    assert(GraftSql.lastRowsAffected == 1L) // id 6 (1 < min=2 stays)
+    assert(rows("SELECT * FROM graft.db.tsq") ==
+      Seq((1L, "a"), (4L, "D"), (5L, "E")))
+
+    // history stayed exact through all three subquery mutations
+    assert(rows("SELECT * FROM graft.db.tsq VERSION AS OF 1").map(_._1) ==
+      (1L to 6L))
+
+    // CORRELATED subqueries are refused (outer references cannot
+    // re-bind to the command's fresh scan)
+    val corr = intercept[Exception] {
+      sql("DELETE FROM graft.db.tsq t WHERE EXISTS " +
+        "(SELECT 1 FROM graft.db.tsq_keys k WHERE k.id = t.id)")
+    }
+    assert(corr.getMessage.contains("CORRELATED"), corr.getMessage)
+  }
+
   test("refusals: subqueries in MERGE ON, key updates, non-equality ON") {
     warehouse
     sql("CREATE TABLE graft.db.tr (id BIGINT, payload STRING)")
