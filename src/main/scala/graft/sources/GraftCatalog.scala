@@ -90,14 +90,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       (f.exists(p) && Snapshots.latestVersion(spark, p.toString) >= 1)
   }
 
+  private val ManifestGlob = """^v\d+\.json$""".r
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val p = nsPath(namespace.toSeq)
     val f = fs(p)
     if (!f.exists(p)) throw new NoSuchNamespaceException(
       catName +: namespace.toSeq)
-    f.listStatus(p).filter(_.isDirectory)
-      .filter(st => isTable(st.getPath))
-      .map(st => Identifier.of(namespace, st.getPath.getName))
+    // TWO parent-level globs resolve every child's table-ness (any
+    // snapshot manifest, or the pre-first-commit `_SCHEMA` marker) —
+    // a per-child latestVersion listing would cost one RPC per
+    // directory, which at warehouse scale turns SHOW TABLES into a
+    // namenode storm. globStatus may return null for no matches.
+    def glob(pattern: String): Seq[org.apache.hadoop.fs.FileStatus] =
+      Option(f.globStatus(new Path(p, pattern))).map(_.toSeq)
+        .getOrElse(Seq.empty)
+    GraftCatalog.lastListTablesRpcs = 2
+    val withManifest = glob("*/v*.json")
+      .filter(st => ManifestGlob.matches(st.getPath.getName))
+      .map(_.getPath.getParent.getName)
+    val withSchema = glob("*/_SCHEMA").map(_.getPath.getParent.getName)
+    (withManifest ++ withSchema).distinct.sorted
+      .map(Identifier.of(namespace, _)).toArray
   }
 
   override def tableExists(ident: Identifier): Boolean =
@@ -437,6 +451,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       f.delete(p, true)
     }
   }
+}
+
+private[graft] object GraftCatalog {
+  /** Spec observability: filesystem LISTING calls the last
+    * [[GraftCatalog.listTables]] made — pins that table resolution is
+    * batched (two globs over the parent), not one listing per child. */
+  @volatile private[sources] var lastListTablesRpcs: Int = -1
 }
 
 /** One snapshot table as a DSv2 [[Table]] handle. The handle is

@@ -478,7 +478,7 @@ private[sources] class ChangeFeedBatchRelation(spark: SparkSession,
       org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.functions.col
     SnapshotSource.changesBetween(spark, dir, fromExclusive, to,
-        tableSchema, schemaVersion)
+        tableSchema, schemaVersion, pushed = filters.toSeq)
       .select(requiredColumns.map(col).toSeq: _*)
       .queryExecution.toRdd
       .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
@@ -736,12 +736,56 @@ object SnapshotSource {
     * purge-durable). Scale shape: reads only the delta's files, plus
     * the parent file set a DV delta position-joins — never table
     * history. */
+  /** Spec observability: (filesRead, filesCandidate) of the last
+    * changesBetween assembly — pins that pushed filters prune change-
+    * feed scans at the FILE level from commit-time stats. */
+  @volatile private[sources] var lastCdfPrune: (Int, Int) = (0, 0)
+
   private[sources] def changesBetween(spark: SparkSession, dir: String,
       v0: Int, v1: Int, tableSchema: StructType,
-      canonVersion: Int): DataFrame = {
+      canonVersion: Int,
+      pushed: Seq[Filter] = Seq.empty): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, timestamp_millis}
     val f = new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
+    // pushed DATA filters (references within the table's own columns —
+    // change-metadata predicates are the engine's to apply) serve two
+    // pushdowns, both pure optimization (every filter is re-applied
+    // above the scan — unhandledFilters reports all):
+    //  - file-level pruning from commit-time stats: a change row's
+    //    content must satisfy the filter to survive, so a file whose
+    //    recorded bounds exclude the predicate cannot contribute rows;
+    //  - a residual Column applied inside each per-vintage read, so
+    //    parquet row-group stats skip within surviving files.
+    val dataFields = tableSchema.fieldNames.toSet
+    val usable = pushed.filter(_.references.forall(dataFields.contains))
+    val pushedCol = usable.flatMap(DvJoinRelation.toColumn)
+      .reduceOption(_ && _)
+    val bounds = usable.flatMap(SnapshotSource.filterBounds)
+    lazy val stats = Snapshots.statsUpTo(spark, dir, v1)
+    val pruneCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    val totalCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    def pruneFiles(paths: Seq[String]): Seq[String] = {
+      totalCount.addAndGet(paths.size)
+      val kept =
+        if (bounds.isEmpty) paths
+        else paths.filter { rel =>
+          stats.get(rel) match {
+            case None => true
+            case Some(cols) => bounds.forall { case (n, op, vals) =>
+              cols.find(_._1 == n) match {
+                case None => true
+                case Some((_, tn, mn, mx)) => vals.exists(v =>
+                  SnapshotFileIndex.admits(tn, mn, mx, op, v))
+              }
+            }
+          }
+        }
+      pruneCount.addAndGet(kept.size)
+      kept
+    }
+    def filtered(df: DataFrame): DataFrame =
+      pushedCol.map(df.filter).getOrElse(df)
     def stamped(df: DataFrame, change: String, v: Int): DataFrame =
       df.withColumn("_change_type", lit(change))
         .withColumn("_commit_version", lit(v.toLong))
@@ -754,16 +798,6 @@ object SnapshotSource {
             "left_anti"))
           .getOrElse(cur)
       }
-    def liveRows(v: Int): DataFrame = {
-      val withPos = readCanonical(spark, dir,
-        Snapshots.files(spark, dir, v), canonVersion, tableSchema,
-        withPos = true)
-      Snapshots.dvFrame(spark, dir, v)
-        .map(dv => withPos.join(dv.select(col("file_path").as("_fp"),
-          col("row_index").as("_ri")), Seq("_fp", "_ri"), "left_anti"))
-        .getOrElse(withPos)
-        .drop("_fp", "_ri")
-    }
     // main's parent chain (ascending) over (v0, v1] — branch commits
     // share the version counter but are not on this line
     val chain = scala.collection.mutable.ArrayBuffer.empty[Int]
@@ -788,12 +822,33 @@ object SnapshotSource {
         // rest were genuine deletes — and symmetrically for inserts).
         // No op file (plain appends/deletes, pre-op-file tables) keeps
         // the generic insert/delete typing.
+        val opInfo = Snapshots.commitOp(spark, dir, cv)
+        // key-split typing joins pre against post: pruning or filtering
+        // EITHER input before the split would misclassify change types
+        // (a preimage whose postimage the filter drops would read as a
+        // genuine delete) — so split-typed versions skip file pruning
+        // and apply the residual filter AFTER the split (the optimizer
+        // still pushes it through the semi/anti joins into the scans);
+        // fixed-type frames prune and filter at the source
+        val splitTyped = opInfo.exists { case (op, keys) =>
+          (op == "upsert" || op == "cdc") && keys.nonEmpty &&
+            keys.forall(tableSchema.fieldNames.contains) }
+        def sourcePrune(paths: Seq[String]): Seq[String] =
+          if (splitTyped) { // read in full; counted as unpruned
+            totalCount.addAndGet(paths.size)
+            pruneCount.addAndGet(paths.size)
+            paths
+          } else pruneFiles(paths)
+        def sourceFilter(df: DataFrame): DataFrame =
+          if (splitTyped) df else filtered(df)
         val added = curFiles.filterNot(parentFiles.toSet)
-        val addedRows: Option[DataFrame] =
-          if (added.isEmpty) None
-          else Some(readCanonical(spark, dir,
-            added, canonVersion, tableSchema, withPos = false))
-        val deltaRows: Option[DataFrame] = dvDelta(cv, parent).map {
+        val addedRows: Option[DataFrame] = {
+          val kept = sourcePrune(added)
+          if (kept.isEmpty) None
+          else Some(sourceFilter(readCanonical(spark, dir,
+            kept, canonVersion, tableSchema, withPos = false)))
+        }
+        val deltaRows: Option[DataFrame] = dvDelta(cv, parent).flatMap {
           delta =>
             // only the files the delta's positions actually reference
             // are opened (file list = a bounded metadata collect), not
@@ -801,46 +856,45 @@ object SnapshotSource {
             // batch reads a handful of files, never the table
             val touched = delta.select(col("file_path")).distinct()
               .collect().map(r => new Path(r.getString(0)).getName).toSet
-            val needed = parentFiles.filter(p =>
-              touched.contains(new Path(p).getName))
-            readCanonical(spark, dir,
-              needed, canonVersion, tableSchema, withPos = true)
+            val needed = sourcePrune(parentFiles.filter(p =>
+              touched.contains(new Path(p).getName)))
+            if (needed.isEmpty) None
+            else Some(sourceFilter(readCanonical(spark, dir,
+                needed, canonVersion, tableSchema, withPos = true)
               .join(delta.select(
                 col("file_path").as("_fp"), col("row_index").as("_ri")),
                 Seq("_fp", "_ri"), "left_semi")
-              .drop("_fp", "_ri")
+              .drop("_fp", "_ri")))
         }
-        (Snapshots.commitOp(spark, dir, cv), addedRows, deltaRows) match {
+        (opInfo, addedRows, deltaRows) match {
           case (Some(("update", _)), post, pre) =>
             // positional update: every delta row has its replacement in
             // the staged files — pair wholesale, no key needed
             pre.map(stamped(_, "update_preimage", cv)).toSeq ++
               post.map(stamped(_, "update_postimage", cv)).toSeq
-          case (Some((op, keys)), post, pre)
-              // keys must still exist under the consumer's schema (a
-              // later RENAME of a key column falls back to the generic
-              // typing rather than failing the read)
-              if (op == "upsert" || op == "cdc") && keys.nonEmpty &&
-                keys.forall(tableSchema.fieldNames.contains) =>
+          case (_, post, pre) if splitTyped =>
+            // keys exist under the consumer's schema (a later RENAME of
+            // a key column falls back to the generic typing instead)
+            val keys = opInfo.get._2
             val keyDf = (df: DataFrame) => df.select(
               keys.map(k => col(s"`$k`")): _*)
             val preSplit = pre.map { p =>
               post match {
-                case None => Seq(stamped(p, "delete", cv))
+                case None => Seq(stamped(filtered(p), "delete", cv))
                 case Some(q) => Seq(
-                  stamped(p.join(keyDf(q), keys, "left_semi"),
+                  stamped(filtered(p.join(keyDf(q), keys, "left_semi")),
                     "update_preimage", cv),
-                  stamped(p.join(keyDf(q), keys, "left_anti"),
+                  stamped(filtered(p.join(keyDf(q), keys, "left_anti")),
                     "delete", cv))
               }
             }.getOrElse(Seq.empty)
             val postSplit = post.map { q =>
               pre match {
-                case None => Seq(stamped(q, "insert", cv))
+                case None => Seq(stamped(filtered(q), "insert", cv))
                 case Some(p) => Seq(
-                  stamped(q.join(keyDf(p), keys, "left_semi"),
+                  stamped(filtered(q.join(keyDf(p), keys, "left_semi")),
                     "update_postimage", cv),
-                  stamped(q.join(keyDf(p), keys, "left_anti"),
+                  stamped(filtered(q.join(keyDf(p), keys, "left_anti")),
                     "insert", cv))
               }
             }.getOrElse(Seq.empty)
@@ -851,16 +905,68 @@ object SnapshotSource {
         }
       } else {
         // rewrite: retract the parent's live rows, insert the new ones
+        // (fixed-type frames — prune + filter at the source)
+        def live(v: Int): DataFrame = {
+          val kept = pruneFiles(Snapshots.files(spark, dir, v))
+          val withPos = readCanonical(spark, dir, kept, canonVersion,
+            tableSchema, withPos = true)
+          filtered(Snapshots.dvFrame(spark, dir, v)
+            .map(dv => withPos.join(dv.select(
+              col("file_path").as("_fp"), col("row_index").as("_ri")),
+              Seq("_fp", "_ri"), "left_anti"))
+            .getOrElse(withPos)
+            .drop("_fp", "_ri"))
+        }
         val dels =
-          if (parent >= 1) Seq(stamped(liveRows(parent), "delete", cv))
+          if (parent >= 1) Seq(stamped(live(parent), "delete", cv))
           else Seq.empty
-        dels :+ stamped(liveRows(cv), "insert", cv)
+        dels :+ stamped(live(cv), "insert", cv)
       }
     }.toSeq
+    lastCdfPrune = (pruneCount.get(), totalCount.get())
     frames.reduceOption(_.unionByName(_)).getOrElse(
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         cdfSchema(tableSchema)))
+  }
+
+  /** Atomic (column, op, candidateValues) stat-bound conjuncts a pushed
+    * SOURCE filter implies — the source-Filter twin of
+    * [[SnapshotFileIndex.extractBounds]], feeding the same
+    * [[SnapshotFileIndex.admits]] comparison. Only shapes whose absence
+    * of a stats match PROVES no row qualifies; everything else
+    * contributes nothing (never mis-prunes). */
+  private[sources] def filterBounds(f: Filter)
+      : Seq[(String, String, Seq[String])] = {
+    import org.apache.spark.sql.{sources => sf}
+    def render(v: Any): Option[String] = v match {
+      case null => None
+      case s: String => Some(s)
+      case n @ (_: Byte | _: Short | _: Int | _: Long | _: Float |
+          _: Double) => Some(n.toString)
+      case d: java.math.BigDecimal => Some(d.toString)
+      case t: java.sql.Timestamp => Some(t.toString)
+      case d: java.sql.Date => Some(d.toString)
+      case d: java.time.LocalDate => Some(d.toString)
+      case _ => None // Instant et al: unparsed = never pruned
+    }
+    f match {
+      case sf.And(l, r) => filterBounds(l) ++ filterBounds(r)
+      case sf.EqualTo(a, v) => render(v).map(x => (a, "=", Seq(x))).toSeq
+      case sf.GreaterThan(a, v) =>
+        render(v).map(x => (a, ">=", Seq(x))).toSeq
+      case sf.GreaterThanOrEqual(a, v) =>
+        render(v).map(x => (a, ">=", Seq(x))).toSeq
+      case sf.LessThan(a, v) => render(v).map(x => (a, "<=", Seq(x))).toSeq
+      case sf.LessThanOrEqual(a, v) =>
+        render(v).map(x => (a, "<=", Seq(x))).toSeq
+      case sf.In(a, vs) =>
+        val rendered = vs.toSeq.map(render)
+        if (rendered.nonEmpty && rendered.forall(_.isDefined))
+          Seq((a, "=", rendered.map(_.get)))
+        else Seq.empty
+      case _ => Seq.empty
+    }
   }
 
   /** Manifest-relative `paths` read under the CANONICAL column names of

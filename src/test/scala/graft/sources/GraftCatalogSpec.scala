@@ -397,6 +397,31 @@ class GraftCatalogSpec extends SparkSpec {
     assert(sql("SHOW TABLES IN graft.meta").collect().isEmpty)
   }
 
+  test("listTables batches table resolution into two parent globs") {
+    warehouse
+    import spark.implicits._
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.lt")
+    // a committed table, a created-but-never-committed one (_SCHEMA
+    // only), and a Scala-made table (manifests, no _SCHEMA)
+    sql("CREATE TABLE graft.lt.committed (id BIGINT, payload STRING)")
+    sql("INSERT INTO graft.lt.committed VALUES (1, 'a')")
+    sql("CREATE TABLE graft.lt.declared_only (id BIGINT)")
+    Snapshots.commit(spark, dirOf("lt", "scala_made"),
+      Seq((1L, "x")).toDF("id", "payload"), append = false)
+    // a sub-namespace directory must NOT list as a table
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.lt.subns")
+
+    GraftCatalog.lastListTablesRpcs = -1
+    val listed = sql("SHOW TABLES IN graft.lt").collect()
+      .map(_.getString(1)).toSeq.sorted
+    assert(listed == Seq("committed", "declared_only", "scala_made"),
+      s"listed: $listed")
+    // the resolution cost is TWO parent-level globs, independent of how
+    // many children the namespace holds — never a listing per child
+    assert(GraftCatalog.lastListTablesRpcs == 2,
+      s"rpcs: ${GraftCatalog.lastListTablesRpcs}")
+  }
+
   test("CTAS publishes version 1 with the query's rows") {
     warehouse
     sql("CREATE TABLE graft.db.ctas AS SELECT id, payload FROM VALUES " +

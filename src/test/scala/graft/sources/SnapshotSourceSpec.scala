@@ -322,6 +322,44 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(nf == 1, s"write-side statsCols must prune: $nf")
   }
 
+  test("batch readChangeFeed pushes data filters into the scans " +
+      "(file pruning from commit-time stats)") {
+    val dir = tmpDir("cdfpush")
+    // three append vintages with disjoint id ranges + stats, and a
+    // delete touching only the middle range
+    Snapshots.commit(spark, dir, df(1 to 10).coalesce(1),
+      append = false, statsCols = Seq("id"))
+    Snapshots.commit(spark, dir, df(11 to 20).coalesce(1),
+      append = true, statsCols = Seq("id"))
+    Snapshots.commit(spark, dir, df(21 to 30).coalesce(1),
+      append = true, statsCols = Seq("id"))
+    Snapshots.deleteWhere(spark, dir, col("id") === 15)
+
+    // a predicate only the middle vintage can satisfy: of the 4
+    // candidate file reads (3 insert vintages + the delete's parent
+    // file), only v2's file admits the range — 2 reads survive (the
+    // insert side and the delete-content side both read v2's file)
+    val hits = readFmt(dir, "readChangeFeed" -> "true")
+      .filter(col("id") >= 12 && col("id") <= 18)
+      .select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(hits == ((12L to 18L).map((_, "insert")) :+ (15L, "delete"))
+      .sorted, s"got $hits")
+    val (kept, total) = SnapshotSource.lastCdfPrune
+    assert(total == 4, s"expected 4 candidate file reads, saw $total")
+    assert(kept == 2, s"stats must prune the out-of-range vintages: " +
+      s"kept $kept of $total")
+
+    // no filter = no pruning, same totals
+    assert(readFmt(dir, "readChangeFeed" -> "true").count() == 31)
+    assert(SnapshotSource.lastCdfPrune == ((4, 4)))
+
+    // a filter on CHANGE METADATA is the engine's to apply — correct
+    // results, no file pruning from it
+    assert(readFmt(dir, "readChangeFeed" -> "true")
+      .filter(col("_change_type") === "delete").count() == 1)
+  }
+
   test("change feed across RENAME COLUMN reads pre-rename vintages") {
     val dir = tmpDir("cdfren")
     import spark.implicits._
