@@ -115,7 +115,10 @@ class SnapshotSource extends RelationProvider
     * deletion vector) fails the stream with an actionable error unless
     * `ignoreChanges=true`, which emits just the file-diff rows (deletes
     * don't retract; downstream compensation is the consumer's choice —
-    * exactly Delta's ignoreChanges contract). Composes with the sink for
+    * exactly Delta's ignoreChanges contract). `maxVersionsPerTrigger=N`
+    * bounds each micro-batch to N versions ([[VersionOfferCursor]]) so
+    * a stream starting on a long-history table catches up in bounded
+    * batches instead of one giant replay. Composes with the sink for
     * end-to-end table → stream → table pipelines. */
   override def createSource(ctx: SQLContext,
       metadataPath: String, schema: Option[StructType],
@@ -125,13 +128,33 @@ class SnapshotSource extends RelationProvider
       "graft-snapshots source requires a path"))
     val ignoreChanges =
       parameters.get("ignorechanges").exists(_.toBoolean)
-    // startingVersion=N: a fresh stream's first batch begins AT version N
-    // instead of replaying the whole table (checkpointed restarts ignore
-    // it — the recorded offset wins, the standard lakehouse contract)
-    val startingVersion = parameters.get("startingversion")
-      .map(_.toInt).getOrElse(1)
-    require(startingVersion >= 1,
-      "graft-snapshots source: startingVersion must be >= 1")
+    // startingVersion=N / startingTimestamp=ts: a fresh stream's first
+    // batch begins AT version N (or the first version committed at or
+    // after ts) instead of replaying the whole table — checkpointed
+    // restarts ignore both (the recorded offset wins, the standard
+    // lakehouse contract)
+    require(!(parameters.contains("startingversion") &&
+        parameters.contains("startingtimestamp")),
+      "graft-snapshots source: startingVersion and startingTimestamp " +
+        "are exclusive")
+    val startingVersion = parameters.get("startingtimestamp") match {
+      case Some(ts) => Snapshots.versionSince(ctx.sparkSession, dir,
+        SnapshotSource.parseInstant(ts))
+      case None =>
+        val sv = parameters.get("startingversion").map(_.toInt)
+          .getOrElse(1)
+        require(sv >= 1,
+          "graft-snapshots source: startingVersion must be >= 1")
+        sv
+    }
+    // maxVersionsPerTrigger=N: admission control — each micro-batch
+    // covers at most N versions, so a stream starting on a long-history
+    // table catches up in bounded batches instead of replaying the
+    // whole history as one giant batch
+    val maxVersionsPerTrigger = parameters.get("maxversionspertrigger")
+      .map(_.toInt)
+    maxVersionsPerTrigger.foreach(m => require(m >= 1,
+      "graft-snapshots source: maxVersionsPerTrigger must be >= 1"))
     if (parameters.get("readchangefeed").exists(_.toBoolean)) {
       require(!ignoreChanges, "graft-snapshots source: readChangeFeed " +
         "and ignoreChanges are exclusive (the change feed REPRESENTS " +
@@ -142,11 +165,14 @@ class SnapshotSource extends RelationProvider
       // evolutionInfo(latest=0) would read a nonexistent manifest
       val (tschema, atV) = tableSchemaNow(ctx, dir)
       new SnapshotChangeFeedSource(ctx.sparkSession, dir, tschema,
-        startingVersion, schemaVersion = atV)
+        startingVersion, schemaVersion = atV,
+        maxVersionsPerTrigger = maxVersionsPerTrigger,
+        metadataPath = metadataPath)
     } else
       new SnapshotStreamSource(ctx.sparkSession, dir,
         sourceSchema(ctx, schema, providerName, parameters)._2,
-        ignoreChanges, startingVersion)
+        ignoreChanges, startingVersion, maxVersionsPerTrigger,
+        metadataPath)
   }
 
   /** Streaming sink: every micro-batch lands as ONE snapshot commit, so
@@ -188,11 +214,25 @@ class SnapshotSource extends RelationProvider
     val latest = Snapshots.latestVersion(spark, dir)
     require(latest >= 1, s"graft-snapshots: no committed versions at $dir")
     if (parameters.get("readchangefeed").exists(_.toBoolean)) {
-      // batch CDF: the change rows of [startingVersion, endingVersion]
+      // batch CDF: the change rows of [startingVersion, endingVersion],
+      // with timestamp twins (startingTimestamp = first version at or
+      // after the instant; endingTimestamp = last version at or before)
       val head = Snapshots.mainVersion(spark, dir)
-      val from = parameters.get("startingversion").map(_.toInt)
+      require(!(parameters.contains("startingversion") &&
+          parameters.contains("startingtimestamp")) &&
+        !(parameters.contains("endingversion") &&
+          parameters.contains("endingtimestamp")),
+        "graft-snapshots: version and timestamp range bounds are " +
+          "exclusive per side")
+      val from = parameters.get("startingtimestamp")
+        .map(ts => Snapshots.versionSince(spark, dir,
+          SnapshotSource.parseInstant(ts)))
+        .orElse(parameters.get("startingversion").map(_.toInt))
         .getOrElse(1)
-      val to = parameters.get("endingversion").map(_.toInt)
+      val to = parameters.get("endingtimestamp")
+        .map(ts => Snapshots.versionAsOf(spark, dir,
+          SnapshotSource.parseInstant(ts)))
+        .orElse(parameters.get("endingversion").map(_.toInt))
         .getOrElse(head)
       require(from >= 1 && to >= from && to <= head,
         s"graft-snapshots: readChangeFeed range [$from, $to] not " +
@@ -270,9 +310,69 @@ class SnapshotSource extends RelationProvider
 /** The `graft-snapshots` streaming source (see
   * [[SnapshotSource.createSource]]): version-offset micro-batches over
   * the main line of a snapshot table. */
+/** Per-trigger VERSION admission control shared by the snapshot
+  * streaming sources (`maxVersionsPerTrigger`): tracks the highest
+  * version already offered to the engine and caps each new offer at
+  * `offered + max`. The cursor is PERSISTED in the source's own
+  * checkpoint directory (`metadataPath`, the V1-source state home), so
+  * a restarted query resumes its cap from at least the recorded
+  * offset — offering below the committed offset would make the engine
+  * re-run old versions as duplicates. The write happens on every raise
+  * DURING getBatch (i.e. before the engine could ever commit that
+  * offset), and only when a cap is configured (uncapped offers are
+  * always the head, which can never regress). */
+private[sources] final class VersionOfferCursor(spark: SparkSession,
+    metadataPath: String, startingVersion: Int, cap: Option[Int]) {
+
+  private val path = new Path(metadataPath, "graft-max-offered")
+
+  @volatile private var offered: Int = {
+    val persisted =
+      try {
+        val f = path.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        if (f.exists(path)) {
+          val in = f.open(path)
+          (try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+           finally in.close()).trim.toInt
+        } else -1
+      } catch { case _: Exception => -1 }
+    math.max(persisted, startingVersion - 1)
+  }
+
+  /** Raise the cursor to `v` (idempotent; persists when capped). */
+  def note(v: Int): Unit = synchronized {
+    if (v > offered) {
+      offered = v
+      if (cap.isDefined) {
+        try {
+          val f = path.getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          Snapshots.atomicOverwrite(spark, f, metadataPath, path,
+            "_graft-max-offered.tmp", v.toString)
+        } catch { case _: Exception => } // worst case: re-read from log
+      }
+    }
+  }
+
+  /** The offset to offer given the table head (≥1), capped and
+    * monotone; None while nothing at-or-past startingVersion exists. */
+  def offer(head: Int): Option[Int] = synchronized {
+    val capped = cap match {
+      case Some(m) => math.min(head, offered + m)
+      case None => head
+    }
+    val off = math.max(capped, offered)
+    if (off < 1) None
+    else { note(off); Some(off) }
+  }
+}
+
 private[graft] class SnapshotStreamSource(spark: SparkSession,
     dir: String, fixedSchema: StructType, ignoreChanges: Boolean,
-    startingVersion: Int = 1)
+    startingVersion: Int = 1,
+    maxVersionsPerTrigger: Option[Int] = None,
+    metadataPath: String = "")
     extends org.apache.spark.sql.execution.streaming.Source {
 
   import org.apache.spark.sql.execution.streaming.{Offset => SrcOffset}
@@ -280,15 +380,25 @@ private[graft] class SnapshotStreamSource(spark: SparkSession,
 
   override def schema: StructType = fixedSchema
 
+  private val cursor = new VersionOfferCursor(spark,
+    if (metadataPath.isEmpty) // direct (spec) construction only — the
+      // engine always provides the checkpoint-scoped metadataPath
+      java.nio.file.Files.createTempDirectory("graft-src-meta").toString
+    else metadataPath,
+    startingVersion, maxVersionsPerTrigger)
+
   override def getOffset: Option[SrcOffset] = {
-    val v = Snapshots.mainVersion(spark, dir)
-    if (v >= 1) Some(LongOffset(v.toLong)) else None
+    val head = Snapshots.mainVersion(spark, dir)
+    if (head < 1) None
+    else cursor.offer(head).map(v => LongOffset(v.toLong))
   }
 
   private def versionOf(o: SrcOffset): Int = o match {
     case LongOffset(v) => v.toInt
     case other => other.json.trim.toInt // SerializedOffset from the log
   }
+
+  override def commit(end: SrcOffset): Unit = cursor.note(versionOf(end))
 
   // incremental rename detection, memoized across batches (renames are
   // append-only metadata): lets the common no-renames table skip the
@@ -313,6 +423,9 @@ private[graft] class SnapshotStreamSource(spark: SparkSession,
     // first batch
     val v0 = start.map(versionOf).getOrElse(startingVersion - 1)
     val v1 = versionOf(end)
+    // a restart replays the recovered range through here before the
+    // next getOffset — resume the admission cursor from it
+    cursor.note(v1)
     val base: Set[String] =
       if (v0 >= 1) Snapshots.files(spark, dir, v0).toSet else Set.empty
     val endFiles = Snapshots.files(spark, dir, v1)
@@ -385,7 +498,6 @@ private[graft] class SnapshotStreamSource(spark: SparkSession,
     org.apache.spark.sql.GraftBatchView.asStreaming(batch)
   }
 
-  override def commit(end: SrcOffset): Unit = ()
   override def stop(): Unit = ()
   override def toString: String = s"SnapshotStreamSource[$dir]"
 }
@@ -418,7 +530,9 @@ private[graft] class SnapshotStreamSource(spark: SparkSession,
   * set it position-joins — never table history. */
 private[graft] class SnapshotChangeFeedSource(spark: SparkSession,
     dir: String, tableSchema: StructType, startingVersion: Int = 1,
-    schemaVersion: Int = -1)
+    schemaVersion: Int = -1,
+    maxVersionsPerTrigger: Option[Int] = None,
+    metadataPath: String = "")
     extends org.apache.spark.sql.execution.streaming.Source {
 
   // the version whose canonical schema IS tableSchema — rename maps in
@@ -434,9 +548,17 @@ private[graft] class SnapshotChangeFeedSource(spark: SparkSession,
 
   override val schema: StructType = SnapshotSource.cdfSchema(tableSchema)
 
+  private val cursor = new VersionOfferCursor(spark,
+    if (metadataPath.isEmpty) // direct (spec) construction only — the
+      // engine always provides the checkpoint-scoped metadataPath
+      java.nio.file.Files.createTempDirectory("graft-src-meta").toString
+    else metadataPath,
+    startingVersion, maxVersionsPerTrigger)
+
   override def getOffset: Option[SrcOffset] = {
-    val v = Snapshots.mainVersion(spark, dir)
-    if (v >= 1) Some(LongOffset(v.toLong)) else None
+    val head = Snapshots.mainVersion(spark, dir)
+    if (head < 1) None
+    else cursor.offer(head).map(v => LongOffset(v.toLong))
   }
 
   private def versionOf(o: SrcOffset): Int = o match {
@@ -445,13 +567,15 @@ private[graft] class SnapshotChangeFeedSource(spark: SparkSession,
   }
 
   override def getBatch(start: Option[SrcOffset], end: SrcOffset)
-      : DataFrame =
+      : DataFrame = {
+    cursor.note(versionOf(end))
     org.apache.spark.sql.GraftBatchView.asStreaming(
       SnapshotSource.changesBetween(spark, dir,
         start.map(versionOf).getOrElse(startingVersion - 1),
         versionOf(end), tableSchema, canonVersion))
+  }
 
-  override def commit(end: SrcOffset): Unit = ()
+  override def commit(end: SrcOffset): Unit = cursor.note(versionOf(end))
   override def stop(): Unit = ()
   override def toString: String = s"SnapshotChangeFeedSource[$dir]"
 }

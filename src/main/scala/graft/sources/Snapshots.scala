@@ -1299,6 +1299,23 @@ object Snapshots {
     }
   }
 
+  /** The smallest main-line version committed AT or AFTER `tsMillis` —
+    * `startingTimestamp` resolution for streams and ranged change-feed
+    * reads (a commit exactly at the instant is included). Returns
+    * head+1 when every existing commit predates the instant: the
+    * stream starts with only future commits. Vacuumed versions (no
+    * manifest left) are skipped. Metadata-only. */
+  def versionSince(s: SparkSession, dir: String, tsMillis: Long): Int = {
+    val f = fs(s, dir)
+    val head = mainVersion(s, dir)
+    if (head < 1) return 1
+    mainAncestry(f, dir, head).toSeq.sorted
+      .find(v => f.exists(manifest(dir, v)) &&
+        (try commitInstant(f, dir, v) >= tsMillis
+         catch { case _: Exception => false }))
+      .getOrElse(head + 1)
+  }
+
   /** The set of versions on main's line: the head plus every ancestor
     * reachable through the vN.meta parent pointers (O(versions) tiny
     * metadata reads, no data). */

@@ -360,6 +360,52 @@ class SnapshotSourceSpec extends SparkSpec {
       .filter(col("_change_type") === "delete").count() == 1)
   }
 
+  test("startingTimestamp/endingTimestamp resolve change-feed ranges " +
+      "and stream starts") {
+    val dir = tmpDir("cdftime")
+    Snapshots.commit(spark, dir, df(1 to 3).coalesce(1), append = false)
+    Thread.sleep(1100)
+    val betweenV1V2 = System.currentTimeMillis()
+    Thread.sleep(1100)
+    Snapshots.commit(spark, dir, df(4 to 6).coalesce(1), append = true)
+    Snapshots.commit(spark, dir, df(7 to 9).coalesce(1), append = true)
+
+    // batch CDF: startingTimestamp = first version AT or AFTER the
+    // instant (v2 here); endingTimestamp = last version at or before
+    val late = readFmt(dir, "readChangeFeed" -> "true",
+      "startingTimestamp" -> betweenV1V2.toString)
+    assert(late.select("id").collect().map(_.getLong(0)).toSeq.sorted ==
+      (4L to 9L))
+    val early = readFmt(dir, "readChangeFeed" -> "true",
+      "endingTimestamp" -> betweenV1V2.toString)
+    assert(early.select("id").collect().map(_.getLong(0)).toSeq.sorted ==
+      (1L to 3L))
+    intercept[IllegalArgumentException] {
+      readFmt(dir, "readChangeFeed" -> "true",
+        "startingVersion" -> "1",
+        "startingTimestamp" -> betweenV1V2.toString)
+    }
+
+    // streaming: a fresh stream with startingTimestamp skips history
+    // before the instant
+    val cp = java.nio.file.Files.createTempDirectory("cdftime-cp")
+      .toString
+    val q = spark.readStream.format("graft-snapshots")
+      .option("path", dir)
+      .option("startingTimestamp", betweenV1V2.toString).load()
+      .writeStream.format("memory").queryName("cdftime_view")
+      .option("checkpointLocation", cp).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cdftime_view").select("id").collect()
+        .map(_.getLong(0)).toSeq.sorted == (4L to 9L))
+    } finally q.stop()
+
+    // a FUTURE instant: the stream idles until the next commit
+    assert(Snapshots.versionSince(spark, dir,
+      System.currentTimeMillis() + 3600000L) == 4)
+  }
+
   test("change feed across RENAME COLUMN reads pre-rename vintages") {
     val dir = tmpDir("cdfren")
     import spark.implicits._

@@ -540,6 +540,70 @@ class StreamingSnapshotSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("maxVersionsPerTrigger bounds catch-up batches; a restart " +
+      "resumes the cap past the checkpoint") {
+    import spark.implicits._
+    val dir = tmpDir("mvpt")
+    def commitN(i: Int): Unit = {
+      Snapshots.commit(spark, dir,
+        ((i * 10 + 1) to (i * 10 + 5)).map(k => DocRow(k.toLong, s"p$k"))
+          .toDF("id", "payload").coalesce(1), append = i > 1)
+      ()
+    }
+    (1 to 5).foreach(commitN)
+    val cp = tmpDir("mvpt-cp")
+    // foreachBatch (checkpoint-recoverable, unlike the memory sink)
+    // accumulating (batchRows, ids) so batch SIZES are pinned too
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]()
+    def sink(b: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      val ids = b.select("id").collect().map(_.getLong(0)).toSeq
+      if (ids.nonEmpty) { seen.add(ids); () }
+    }
+    def start() = spark.readStream.format("graft-snapshots")
+      .option("path", dir).option("maxVersionsPerTrigger", "2").load()
+      .writeStream.foreachBatch(sink _)
+      .option("checkpointLocation", cp).start()
+
+    val q = start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    // everything arrives, but never more than 2 versions (10 rows) per
+    // micro-batch: 5 versions at cap 2 = batches of 10, 10, 5 rows
+    assert(seen.asScala.flatten.toSeq.sorted ==
+      (11L to 55L).filter(k => k % 10 >= 1 && k % 10 <= 5))
+    assert(seen.asScala.map(_.size).toSeq == Seq(10, 10, 5),
+      s"batches: ${seen.asScala.map(_.size)}")
+
+    // three more versions land while the query is down; the restarted
+    // query resumes from the CHECKPOINT (no duplicates) with the cap
+    // still applying to the catch-up
+    seen.clear()
+    (6 to 8).foreach(commitN)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(seen.asScala.flatten.toSeq.sorted ==
+      (61L to 85L).filter(k => k % 10 >= 1 && k % 10 <= 5),
+      s"restart must emit exactly v6-v8's rows once, got " +
+        s"${seen.asScala.flatten.toSeq.sorted}")
+    assert(seen.asScala.map(_.size).toSeq == Seq(10, 5),
+      s"restart batches: ${seen.asScala.map(_.size)}")
+
+    // the CHANGE FEED source honors the same cap
+    val cdfCp = tmpDir("mvpt-cdf-cp")
+    val q3 = spark.readStream.format("graft-snapshots")
+      .option("path", dir).option("readChangeFeed", "true")
+      .option("maxVersionsPerTrigger", "3").load()
+      .writeStream.format("memory").queryName("mvpt_cdf")
+      .option("checkpointLocation", cdfCp).start()
+    try {
+      q3.processAllAvailable()
+      assert(spark.table("mvpt_cdf").count() == 40) // 8 versions x 5 ins
+      val batches = q3.recentProgress.filter(_.numInputRows > 0)
+        .map(_.numInputRows).toSeq
+      assert(batches == Seq(15L, 15L, 10L), s"cdf batches: $batches")
+    } finally q3.stop()
+  }
+
   test("a legacy bare batch stamp never blocks a new streaming query") {
     import spark.implicits._
     // a table whose head carries the PRE-per-query stamp shape: meta
