@@ -1289,6 +1289,64 @@ object Formats extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // Capped catch-up (f40): a change-feed stream with
+    // maxVersionsPerTrigger=1 replays a three-version history (append,
+    // append, merge-on-read delete) ONE VERSION PER MICRO-BATCH — the
+    // admission-control shape a stream starting on a long-history
+    // 100 TB table needs (bounded batches instead of one giant replay)
+    // — and the feed-maintained per-lang view still converges exactly
+    // to the head. The batch-count pin rides as a verdict column; the
+    // DuckDB oracle replays the final aggregate. Cap mechanics
+    // (restart resumption, cursor persistence, both sources) are
+    // spec-pinned in StreamingSnapshotSpec.
+    "f40_capped_catchup" -> ((s, d) => {
+      val out = ioDir(d, "f40")
+      writeOnce(s, out, alsoRequire =
+          graft.sources.Snapshots.latestVersion(s, out) == 3) {
+        val root = new org.apache.hadoop.fs.Path(out)
+        val fsys = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fsys.delete(root, true)
+        val docs = T.documents(s, d)
+        val hot = col("source").isin("src0", "src1", "src2")
+        graft.sources.Snapshots.commit(s, out, docs.filter(hot),
+          append = false)
+        graft.sources.Snapshots.commit(s, out, docs.filter(!hot),
+          append = true)
+        graft.sources.Snapshots.deleteWhere(s, out,
+          pmod(col("doc_id"), lit(7)) === 0)
+        ()
+      }
+      val cp = java.nio.file.Files.createTempDirectory("f40cp").toString
+      val feed = s.readStream.format("graft-snapshots")
+        .option("path", out).option("readChangeFeed", "true")
+        .option("maxVersionsPerTrigger", "1").load()
+      val sgn = when(col("_change_type").isin("insert",
+        "update_postimage"), 1L).otherwise(-1L)
+      val view = s"f40_view_${math.abs(d.hashCode)}"
+      val q = feed.groupBy(col("lang"))
+        .agg(sum(sgn).as("n_docs"),
+          sum(sgn * col("n_chars")).as("sum_chars"))
+        .writeStream.format("memory").queryName(view)
+        .outputMode("complete")
+        .option("checkpointLocation", cp).start()
+      val batches =
+        try { q.processAllAvailable()
+          q.recentProgress.count(_.numInputRows > 0) }
+        finally q.stop()
+      val fed = s.table(view)
+        .select(col("lang"), col("n_docs"), col("sum_chars"))
+      val head = graft.sources.Snapshots
+        .read(s, out, graft.sources.Snapshots.latestVersion(s, out))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("hn"), sum(col("n_chars")).as("hc"))
+      fed.join(head, Seq("lang"), "full_outer")
+        .select(col("lang"), col("n_docs"), col("sum_chars"),
+          (col("n_docs") === col("hn") && col("sum_chars") === col("hc"))
+            .as("view_matches_head"),
+          lit(batches == 3).as("one_version_per_batch"))
+        .orderBy(col("lang"))
+    }),
+
     // MERGE INTO / upsert (f27): a change batch against the two-commit
     // documents snapshot table — every doc_id % 11 = 0 row updated
     // (n_chars + 1000) and every doc_id % 17 = 0 row cloned in under a
@@ -1873,6 +1931,20 @@ object Formats extends QueryPack {
              CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              TRUE AS view_matches_head
+      FROM documents
+      WHERE doc_id % 7 <> 0
+      GROUP BY lang
+      ORDER BY lang""",
+    // f40: replay the capped catch-up's final state relationally — all
+    // documents minus the doc_id%7 deletions, per lang (the cap changes
+    // BATCHING, never content); the convergence + batch-count booleans
+    // pinned TRUE
+    "f40_capped_catchup" -> """
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             TRUE AS view_matches_head,
+             TRUE AS one_version_per_batch
       FROM documents
       WHERE doc_id % 7 <> 0
       GROUP BY lang

@@ -21,7 +21,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * | procedure | maps to | returns |
   * |---|---|---|
   * | `system.optimize(table, zorder_cols, bits, num_files)` | [[Snapshots.optimize]] | `version` |
-  * | `system.vacuum(table, keep)` | [[Snapshots.vacuum]] | `files_deleted, versions_dropped` |
+  * | `system.vacuum(table, keep, stage_orphan_hours)` | [[Snapshots.vacuum]] | `files_deleted, versions_dropped` |
+  * | `system.purge(table, key_cols, tombstones_view, max_tombstones)` | [[Snapshots.purge]] | `files_rewritten, versions_republished, rows_deleted` |
   * | `system.create_ref(table, name, version, tag)` | [[Snapshots.createRef]] | `version` |
   * | `system.drop_ref(table, name)` | [[Snapshots.dropRef]] | `name` |
   * | `system.fast_forward(table, name, to_version)` | [[Snapshots.fastForward]] | `version` |
@@ -109,6 +110,27 @@ private[sources] object GraftProcedures {
           stageOrphanMs = in.getInt(2).toLong * 3600L * 1000L)
         (new StructType().add("files_deleted", IntegerType)
           .add("versions_dropped", IntegerType), Seq(files, versions))
+      },
+      // compliance deletion (right-to-be-forgotten) from SQL: the
+      // tombstone keys come from a registered view/table NAME (CALL
+      // parameters cannot bind a relation), e.g.
+      //   CREATE TEMP VIEW gone AS SELECT id FROM requests;
+      //   CALL graft.system.purge(table => 'db.t', key_cols => 'id',
+      //                           tombstones_view => 'gone')
+      make("purge", Seq(param("key_cols", StringType),
+          param("tombstones_view", StringType),
+          paramD("max_tombstones", IntegerType, "100000"))) { (dir, in) =>
+        val (files, versions, rows) = Snapshots.purge(spark, dir,
+          spark.table(str(in, 2)), csv(in, 1),
+          maxTombstones = in.getInt(3))
+        (new StructType().add("files_rewritten", IntegerType)
+          .add("versions_republished", IntegerType)
+          .add("rows_deleted", org.apache.spark.sql.types.LongType),
+          // Seq[Any], NOT Seq(...): a mixed Int/Long literal Seq infers
+          // Seq[Long] and silently WIDENS the Ints — the declared
+          // IntegerType columns would then hold Longs and fail the
+          // result projection
+          Seq[Any](files, versions, rows))
       },
       make("create_ref", Seq(param("name", StringType),
           paramD("version", IntegerType, "-1"),

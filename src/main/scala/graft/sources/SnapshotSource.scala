@@ -70,13 +70,16 @@ class SnapshotSource extends RelationProvider
   override def shortName(): String = "graft-snapshots"
 
   /** The table's schema for a stream starting NOW, plus the version it
-    * was resolved at: main's head schema when any version exists, else
-    * the declared `_SCHEMA` side-file (a created-but-never-committed
-    * catalog table still streams — it just emits no batches until the
-    * first commit publishes; the resolved version is then 0). */
-  private def tableSchemaNow(ctx: SQLContext, dir: String)
-      : (StructType, Int) = {
-    val latest = Snapshots.mainVersion(ctx.sparkSession, dir)
+    * was resolved at: the stream line's head schema (main, or a named
+    * branch) when any version exists, else the declared `_SCHEMA`
+    * side-file (a created-but-never-committed catalog table still
+    * streams — it just emits no batches until the first commit
+    * publishes; the resolved version is then 0). */
+  private def tableSchemaNow(ctx: SQLContext, dir: String,
+      branch: Option[String] = None): (StructType, Int) = {
+    val latest = branch
+      .map(Snapshots.refVersion(ctx.sparkSession, dir, _))
+      .getOrElse(Snapshots.mainVersion(ctx.sparkSession, dir))
     if (latest >= 1)
       (Snapshots.evolutionInfo(ctx.sparkSession, dir, latest)._1, latest)
     else {
@@ -97,7 +100,7 @@ class SnapshotSource extends RelationProvider
       parameters: Map[String, String]): (String, StructType) = {
     val dir = parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-snapshots source requires a path"))
-    val (table, _) = tableSchemaNow(ctx, dir)
+    val (table, _) = tableSchemaNow(ctx, dir, parameters.get("branch"))
     (shortName(),
       if (parameters.get("readchangefeed").exists(_.toBoolean))
         SnapshotSource.cdfSchema(table)
@@ -128,6 +131,17 @@ class SnapshotSource extends RelationProvider
       "graft-snapshots source requires a path"))
     val ignoreChanges =
       parameters.get("ignorechanges").exists(_.toBoolean)
+    // branch=name: the stream follows the NAMED branch's line instead
+    // of main — offsets are the branch ref's head, the per-batch chain
+    // walk rides the same parent pointers (an experiment branch feeds
+    // its own downstream without waiting for the merge)
+    val branch = parameters.get("branch")
+    branch.foreach { n =>
+      val refs = Snapshots.refs(ctx.sparkSession, dir)
+      require(refs.get(n).exists(!_._2),
+        s"graft-snapshots source: no branch '$n' at $dir (tags cannot " +
+          "stream — they never advance)")
+    }
     // startingVersion=N / startingTimestamp=ts: a fresh stream's first
     // batch begins AT version N (or the first version committed at or
     // after ts) instead of replaying the whole table — checkpointed
@@ -163,16 +177,16 @@ class SnapshotSource extends RelationProvider
       // (declared `_SCHEMA`, schemaVersion 0 — the source idles via
       // getOffset=None until v1 commits), where an unconditional
       // evolutionInfo(latest=0) would read a nonexistent manifest
-      val (tschema, atV) = tableSchemaNow(ctx, dir)
+      val (tschema, atV) = tableSchemaNow(ctx, dir, branch)
       new SnapshotChangeFeedSource(ctx.sparkSession, dir, tschema,
         startingVersion, schemaVersion = atV,
         maxVersionsPerTrigger = maxVersionsPerTrigger,
-        metadataPath = metadataPath)
+        metadataPath = metadataPath, branch = branch)
     } else
       new SnapshotStreamSource(ctx.sparkSession, dir,
         sourceSchema(ctx, schema, providerName, parameters)._2,
         ignoreChanges, startingVersion, maxVersionsPerTrigger,
-        metadataPath)
+        metadataPath, branch = branch)
   }
 
   /** Streaming sink: every micro-batch lands as ONE snapshot commit, so
@@ -216,8 +230,11 @@ class SnapshotSource extends RelationProvider
     if (parameters.get("readchangefeed").exists(_.toBoolean)) {
       // batch CDF: the change rows of [startingVersion, endingVersion],
       // with timestamp twins (startingTimestamp = first version at or
-      // after the instant; endingTimestamp = last version at or before)
-      val head = Snapshots.mainVersion(spark, dir)
+      // after the instant; endingTimestamp = last version at or before);
+      // `branch` follows a named branch's line instead of main
+      val head = parameters.get("branch")
+        .map(Snapshots.refVersion(spark, dir, _))
+        .getOrElse(Snapshots.mainVersion(spark, dir))
       require(!(parameters.contains("startingversion") &&
           parameters.contains("startingtimestamp")) &&
         !(parameters.contains("endingversion") &&
@@ -372,13 +389,18 @@ private[graft] class SnapshotStreamSource(spark: SparkSession,
     dir: String, fixedSchema: StructType, ignoreChanges: Boolean,
     startingVersion: Int = 1,
     maxVersionsPerTrigger: Option[Int] = None,
-    metadataPath: String = "")
+    metadataPath: String = "",
+    branch: Option[String] = None)
     extends org.apache.spark.sql.execution.streaming.Source {
 
   import org.apache.spark.sql.execution.streaming.{Offset => SrcOffset}
   import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 
   override def schema: StructType = fixedSchema
+
+  private def lineHead: Int = branch
+    .map(Snapshots.refVersion(spark, dir, _))
+    .getOrElse(Snapshots.mainVersion(spark, dir))
 
   private val cursor = new VersionOfferCursor(spark,
     if (metadataPath.isEmpty) // direct (spec) construction only — the
@@ -388,7 +410,7 @@ private[graft] class SnapshotStreamSource(spark: SparkSession,
     startingVersion, maxVersionsPerTrigger)
 
   override def getOffset: Option[SrcOffset] = {
-    val head = Snapshots.mainVersion(spark, dir)
+    val head = lineHead
     if (head < 1) None
     else cursor.offer(head).map(v => LongOffset(v.toLong))
   }
@@ -532,16 +554,20 @@ private[graft] class SnapshotChangeFeedSource(spark: SparkSession,
     dir: String, tableSchema: StructType, startingVersion: Int = 1,
     schemaVersion: Int = -1,
     maxVersionsPerTrigger: Option[Int] = None,
-    metadataPath: String = "")
+    metadataPath: String = "",
+    branch: Option[String] = None)
     extends org.apache.spark.sql.execution.streaming.Source {
 
   // the version whose canonical schema IS tableSchema — rename maps in
   // the per-vintage reads are anchored here, NOT at each delta's version
   // (whose canonical names may predate a later RENAME COLUMN and would
   // silently null-backfill the renamed column for pre-rename vintages)
+  private def lineHead: Int = branch
+    .map(Snapshots.refVersion(spark, dir, _))
+    .getOrElse(Snapshots.mainVersion(spark, dir))
+
   private val canonVersion: Int =
-    if (schemaVersion >= 0) schemaVersion
-    else Snapshots.mainVersion(spark, dir)
+    if (schemaVersion >= 0) schemaVersion else lineHead
 
   import org.apache.spark.sql.execution.streaming.{Offset => SrcOffset}
   import org.apache.spark.sql.execution.streaming.runtime.LongOffset
@@ -556,7 +582,7 @@ private[graft] class SnapshotChangeFeedSource(spark: SparkSession,
     startingVersion, maxVersionsPerTrigger)
 
   override def getOffset: Option[SrcOffset] = {
-    val head = Snapshots.mainVersion(spark, dir)
+    val head = lineHead
     if (head < 1) None
     else cursor.offer(head).map(v => LongOffset(v.toLong))
   }

@@ -897,9 +897,13 @@ object Snapshots {
     fileSet.map(p => "  \"" + p + "\"").mkString("[\n", ",\n", "\n]")
 
   /** Write `body` to `target` atomically via temp file + OVERWRITE-capable
-    * rename (FileContext) — shared by every small-pointer write that must
-    * never be observed half-written or leave a no-file window (manifest
-    * republish, refs, replication cursor). */
+    * rename — shared by every small-pointer write that must never be
+    * observed half-written or leave a no-file window (manifest republish,
+    * refs, replication cursor). On HDFS the FileContext OVERWRITE rename
+    * is server-side atomic; on the LOCAL filesystem it is delete-then-
+    * rename (a no-file window a polling reader — e.g. a branch stream's
+    * per-trigger refVersion — can hit), so local paths go through NIO's
+    * ATOMIC_MOVE, which is a POSIX rename(2): atomic replace, no window. */
   private[sources] def atomicOverwrite(s: SparkSession, f: FileSystem,
       dir: String, target: Path, tmpName: String, body: String): Unit = {
     val raw = f match {
@@ -911,10 +915,21 @@ object Snapshots {
     // rename can never race a reader (see readSmall)
     val o = raw.create(tmp, true)
     try o.write(body.getBytes("UTF-8")) finally o.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      f.getUri, s.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, f.makeQualified(target),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    raw match {
+      case _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(tmp.toUri.getPath),
+          java.nio.file.Paths.get(
+            f.makeQualified(target).toUri.getPath),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+      case _ =>
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          f.getUri, s.sparkContext.hadoopConfiguration)
+        fc.rename(tmp, f.makeQualified(target),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
   }
 
   /** Write manifest vN atomically (temp name + checked rename). */

@@ -479,6 +479,21 @@ class GraftCatalogSpec extends SparkSpec {
     assert(sql("SELECT id FROM cv_changes WHERE _change_type = " +
       "'delete'").collect().map(_.getLong(0)).toSeq == Seq(2L))
 
+    // purge: compliance deletion from SQL — tombstone keys read from a
+    // registered view; the purged key vanishes from EVERY version
+    sql("CREATE TABLE graft.db.pg (id BIGINT, payload STRING)")
+    sql("INSERT INTO graft.db.pg VALUES (1, 'a'), (2, 'b')")
+    sql("INSERT INTO graft.db.pg VALUES (3, 'c')")
+    sql("CREATE OR REPLACE TEMPORARY VIEW pg_gone AS " +
+      "SELECT CAST(2 AS BIGINT) AS id")
+    val pg = sql("CALL graft.system.purge(table => 'db.pg', " +
+      "key_cols => 'id', tombstones_view => 'pg_gone')").collect().head
+    assert(pg.getInt(0) == 1 && pg.getInt(1) == 2 && pg.getLong(2) == 1L,
+      s"purge row: $pg")
+    assert(rows("SELECT * FROM graft.db.pg").map(_._1) == Seq(1L, 3L))
+    assert(rows("SELECT * FROM graft.db.pg VERSION AS OF 1").map(_._1) ==
+      Seq(1L), "purge must rewrite HISTORY, not just the head")
+
     // table_dir hands format-level entry points the storage path
     val tdir = sql("CALL graft.system.table_dir(table => 'db.cv')")
       .collect().head.getString(0)

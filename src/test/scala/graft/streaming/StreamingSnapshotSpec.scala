@@ -604,6 +604,62 @@ class StreamingSnapshotSpec extends SparkSpec {
     } finally q3.stop()
   }
 
+  test("branch option streams a named branch's line, not main") {
+    import spark.implicits._
+    val dir = tmpDir("branchstream")
+    Snapshots.commit(spark, dir,
+      (1L to 5L).map(i => DocRow(i, s"p$i")).toDF("id", "payload")
+        .coalesce(1), append = false)                              // v1
+    Snapshots.createRef(spark, dir, "exp")
+    Snapshots.commitOnBranch(spark, dir, "exp",
+      (11L to 13L).map(i => DocRow(i, s"b$i")).toDF("id", "payload")
+        .coalesce(1), append = true)                               // v2
+    Snapshots.commit(spark, dir,
+      (21L to 23L).map(i => DocRow(i, s"m$i")).toDF("id", "payload")
+        .coalesce(1), append = true)                               // v3
+
+    val cp = tmpDir("branchstream-cp")
+    val q = spark.readStream.format("graft-snapshots")
+      .option("path", dir).option("branch", "exp").load()
+      .writeStream.format("memory").queryName("bs_view")
+      .option("checkpointLocation", cp).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("bs_view").select("id").collect()
+        .map(_.getLong(0)).toSeq.sorted
+      assert(got == ((1L to 5L) ++ (11L to 13L)),
+        s"the branch stream must see v1+v2, never main's v3: $got")
+      // a further branch commit arrives; a further main commit does not
+      Snapshots.commitOnBranch(spark, dir, "exp",
+        Seq(DocRow(14L, "b14")).toDF("id", "payload"), append = true)
+      Snapshots.commit(spark, dir,
+        Seq(DocRow(24L, "m24")).toDF("id", "payload"), append = true)
+      q.processAllAvailable()
+      val got2 = spark.table("bs_view").select("id").collect()
+        .map(_.getLong(0)).toSeq.sorted
+      assert(got2 == ((1L to 5L) ++ (11L to 14L)), s"got: $got2")
+    } finally q.stop()
+
+    // the CHANGE FEED follows the branch too (batch form)
+    val cdf = spark.read.format("graft-snapshots")
+      .option("readChangeFeed", "true").option("branch", "exp")
+      .load(dir)
+    assert(cdf.select("id").collect().map(_.getLong(0)).toSeq.sorted ==
+      ((1L to 5L) ++ (11L to 14L)))
+    // a tag cannot stream (the source refuses at query start — load()
+    // only resolves the schema)
+    Snapshots.createRef(spark, dir, "pin", tag = true)
+    val e = intercept[Exception] {
+      val qq = spark.readStream.format("graft-snapshots")
+        .option("path", dir).option("branch", "pin").load()
+        .writeStream.format("memory").queryName("bs_tag")
+        .option("checkpointLocation", tmpDir("bs-tag-cp")).start()
+      try qq.processAllAvailable() finally qq.stop()
+    }
+    assert(e.getMessage.contains("tags cannot stream") ||
+      e.getMessage.contains("no branch"), e.getMessage)
+  }
+
   test("a legacy bare batch stamp never blocks a new streaming query") {
     import spark.implicits._
     // a table whose head carries the PRE-per-query stamp shape: meta
