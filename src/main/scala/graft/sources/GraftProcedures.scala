@@ -182,6 +182,7 @@ private[sources] object GraftProcedures {
           .add("version", IntegerType).add("committed_at", TimestampType)
           .add("parents", StringType).add("n_files", IntegerType)
           .add("has_dv", BooleanType).add("on_main", BooleanType)
+          .add("operation", StringType)
         (schema, (head to 1 by -1).flatMap { v =>
           // vacuumed versions have no manifest anymore — skip them
           scala.util.Try(Snapshots.files(spark, dir, v)).toOption.map {
@@ -189,7 +190,11 @@ private[sources] object GraftProcedures {
               Seq[Any](v, Snapshots.commitInstant(f, dir, v) * 1000L,
                 Snapshots.parentsOf(spark, dir, v).mkString(" "),
                 fls.size, Snapshots.hasDv(spark, dir, v),
-                onMain.contains(v))
+                onMain.contains(v),
+                // the recorded mutation verb (vN.op — upsert/cdc/
+                // update); plain commits and pre-op tables show "write"
+                Snapshots.commitOp(spark, dir, v).map(_._1)
+                  .getOrElse("write"))
           }
         })
       },

@@ -512,6 +512,18 @@ class GraftCatalogSpec extends SparkSpec {
       hist.last.getBoolean(5), s"v1 row: ${hist.last}")
     assert(hist.forall(r =>
       r.getTimestamp(1).toInstant.toString.startsWith("20")))
+    // the recorded operation verb: v2 was a DELETE's DV commit — but
+    // deleteWhere records no op file (pure deletes type generically),
+    // so both rows show "write"; an upsert table shows "upsert"
+    assert(hist.map(_.getString(6)).toSeq == Seq("write", "write"))
+    sql("CREATE OR REPLACE TEMPORARY VIEW cv_up AS " +
+      "SELECT CAST(1 AS BIGINT) AS id, 'A' AS payload")
+    sql("MERGE INTO graft.db.cv t USING cv_up s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET payload = s.payload")
+    val hist2 = sql("CALL graft.system.history(table => 'db.cv')")
+      .collect()
+    assert(hist2.head.getString(6) == "cdc",
+      s"MERGE commit must record its verb: ${hist2.head}")
     // vacuumed versions are absent; the branch merge shows two parents
     val histP = sql("CALL graft.system.history(table => 'db.proc')")
       .collect()
