@@ -169,10 +169,22 @@ class SnapshotSource extends RelationProvider
       .map(_.toInt)
     maxVersionsPerTrigger.foreach(m => require(m >= 1,
       "graft-snapshots source: maxVersionsPerTrigger must be >= 1"))
+    // maxFilesPerTrigger=N: finer admission control — micro-batches can
+    // stop MID-version (GraftFileOffset), so one giant backfill version
+    // no longer floods a single batch. Plain stream only: the change
+    // feed's per-version semantics (DV deltas, pre/post-image pairing,
+    // rewrite compensation) do not split below a version.
+    val maxFilesPerTrigger = parameters.get("maxfilespertrigger")
+      .map(_.toInt)
+    maxFilesPerTrigger.foreach(m => require(m >= 1,
+      "graft-snapshots source: maxFilesPerTrigger must be >= 1"))
     if (parameters.get("readchangefeed").exists(_.toBoolean)) {
       require(!ignoreChanges, "graft-snapshots source: readChangeFeed " +
         "and ignoreChanges are exclusive (the change feed REPRESENTS " +
         "deletes and rewrites instead of dropping or refusing them)")
+      require(maxFilesPerTrigger.isEmpty, "graft-snapshots source: " +
+        "maxFilesPerTrigger does not apply to the change feed (its " +
+        "deltas are per-version); use maxVersionsPerTrigger")
       // tableSchemaNow handles the created-but-never-committed table
       // (declared `_SCHEMA`, schemaVersion 0 — the source idles via
       // getOffset=None until v1 commits), where an unconditional
@@ -186,7 +198,8 @@ class SnapshotSource extends RelationProvider
       new SnapshotStreamSource(ctx.sparkSession, dir,
         sourceSchema(ctx, schema, providerName, parameters)._2,
         ignoreChanges, startingVersion, maxVersionsPerTrigger,
-        metadataPath, branch = branch)
+        metadataPath, branch = branch,
+        maxFilesPerTrigger = maxFilesPerTrigger)
   }
 
   /** Streaming sink: every micro-batch lands as ONE snapshot commit, so
@@ -327,62 +340,98 @@ class SnapshotSource extends RelationProvider
 /** The `graft-snapshots` streaming source (see
   * [[SnapshotSource.createSource]]): version-offset micro-batches over
   * the main line of a snapshot table. */
-/** Per-trigger VERSION admission control shared by the snapshot
-  * streaming sources (`maxVersionsPerTrigger`): tracks the highest
-  * version already offered to the engine and caps each new offer at
-  * `offered + max`. The cursor is PERSISTED in the source's own
-  * checkpoint directory (`metadataPath`, the V1-source state home), so
-  * a restarted query resumes its cap from at least the recorded
-  * offset — offering below the committed offset would make the engine
-  * re-run old versions as duplicates. The write happens on every raise
-  * DURING getBatch (i.e. before the engine could ever commit that
-  * offset), and only when a cap is configured (uncapped offers are
-  * always the head, which can never regress). */
+/** A position in a snapshot table's stream line: version `v`, with `i`
+  * of its ADDED files already consumed (`i = -1` = the whole version).
+  * The unit of admission control: version-capped offers move whole
+  * versions, file-capped offers can stop MID-version. */
+private[sources] case class FilePos(v: Int, i: Int) {
+  private def iNorm: Long = if (i < 0) Long.MaxValue else i.toLong
+  def <=(o: FilePos): Boolean = v < o.v || (v == o.v && iNorm <= o.iNorm)
+  def <(o: FilePos): Boolean = v < o.v || (v == o.v && iNorm < o.iNorm)
+}
+
+/** The mid-version streaming offset (`maxFilesPerTrigger`): version `v`
+  * with its first `i` added files consumed. Version-capped and uncapped
+  * streams keep plain LongOffsets (whole versions, back-compatible). */
+private[sources] case class GraftFileOffset(v: Int, i: Int)
+    extends org.apache.spark.sql.execution.streaming.Offset {
+  override def json: String = s"""{"v":$v,"i":$i}"""
+}
+
+private[sources] object GraftFileOffset {
+  private val Pattern = """\{"v":(\d+),"i":(-?\d+)\}""".r
+  /** Parse any offset rendering into a position: a plain long (the
+    * version-offset form) = that version fully consumed. */
+  def posOf(json: String): FilePos = json.trim match {
+    case Pattern(v, i) => FilePos(v.toInt, i.toInt)
+    case n => FilePos(n.toInt, -1)
+  }
+}
+
+/** Per-trigger admission control shared by the snapshot streaming
+  * sources: tracks the furthest POSITION already offered to the engine
+  * ([[FilePos]] — whole versions for `maxVersionsPerTrigger`, possibly
+  * mid-version for `maxFilesPerTrigger`). The cursor is PERSISTED in
+  * the source's own checkpoint directory (`metadataPath`, the
+  * V1-source state home), so a restarted query resumes its cap from at
+  * least the recorded offset — offering below the committed offset
+  * would make the engine re-run old data as duplicates. The write
+  * happens on every raise DURING getBatch (i.e. before the engine
+  * could ever commit that offset), and only when a cap is configured
+  * (uncapped offers are always the head, which can never regress). */
 private[sources] final class VersionOfferCursor(spark: SparkSession,
-    metadataPath: String, startingVersion: Int, cap: Option[Int]) {
+    metadataPath: String, startingVersion: Int, capped: Boolean) {
 
   private val path = new Path(metadataPath, "graft-max-offered")
 
-  @volatile private var offered: Int = {
-    val persisted =
+  @volatile private var offered: FilePos = {
+    val persisted: Option[FilePos] =
       try {
         val f = path.getFileSystem(
           spark.sparkContext.hadoopConfiguration)
         if (f.exists(path)) {
           val in = f.open(path)
-          (try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-           finally in.close()).trim.toInt
-        } else -1
-      } catch { case _: Exception => -1 }
-    math.max(persisted, startingVersion - 1)
+          val txt = (try scala.io.Source.fromInputStream(in, "UTF-8")
+            .mkString finally in.close()).trim
+          val parts = txt.split(':')
+          Some(FilePos(parts(0).toInt,
+            if (parts.length > 1) parts(1).toInt else -1))
+        } else None
+      } catch { case _: Exception => None }
+    val floor = FilePos(startingVersion - 1, -1)
+    persisted.filter(floor < _).getOrElse(floor)
   }
 
-  /** Raise the cursor to `v` (idempotent; persists when capped). */
-  def note(v: Int): Unit = synchronized {
-    if (v > offered) {
-      offered = v
-      if (cap.isDefined) {
+  def current: FilePos = offered
+
+  /** Raise the cursor to `p` (idempotent; persists when capped). */
+  def note(p: FilePos): Unit = synchronized {
+    if (offered < p) {
+      offered = p
+      if (capped) {
         try {
           val f = path.getFileSystem(
             spark.sparkContext.hadoopConfiguration)
           Snapshots.atomicOverwrite(spark, f, metadataPath, path,
-            "_graft-max-offered.tmp", v.toString)
+            "_graft-max-offered.tmp", s"${p.v}:${p.i}")
         } catch { case _: Exception => } // worst case: re-read from log
       }
     }
   }
 
-  /** The offset to offer given the table head (≥1), capped and
-    * monotone; None while nothing at-or-past startingVersion exists. */
-  def offer(head: Int): Option[Int] = synchronized {
-    val capped = cap match {
-      case Some(m) => math.min(head, offered + m)
-      case None => head
+  /** Whole-version offer (the `maxVersionsPerTrigger` shape): the
+    * version to offer given the line head (≥1), capped and monotone;
+    * None while nothing at-or-past startingVersion exists. */
+  def offerVersion(head: Int, cap: Option[Int]): Option[Int] =
+    synchronized {
+      val cappedV = cap match {
+        case Some(m) => math.min(head, offered.v + m)
+        case None => head
+      }
+      val off = math.max(cappedV, offered.v)
+      if (off < 1) None
+      else { note(FilePos(off, -1)); Some(off) }
     }
-    val off = math.max(capped, offered)
-    if (off < 1) None
-    else { note(off); Some(off) }
-  }
 }
 
 private[graft] class SnapshotStreamSource(spark: SparkSession,
@@ -390,7 +439,8 @@ private[graft] class SnapshotStreamSource(spark: SparkSession,
     startingVersion: Int = 1,
     maxVersionsPerTrigger: Option[Int] = None,
     metadataPath: String = "",
-    branch: Option[String] = None)
+    branch: Option[String] = None,
+    maxFilesPerTrigger: Option[Int] = None)
     extends org.apache.spark.sql.execution.streaming.Source {
 
   import org.apache.spark.sql.execution.streaming.{Offset => SrcOffset}
@@ -407,20 +457,77 @@ private[graft] class SnapshotStreamSource(spark: SparkSession,
       // engine always provides the checkpoint-scoped metadataPath
       java.nio.file.Files.createTempDirectory("graft-src-meta").toString
     else metadataPath,
-    startingVersion, maxVersionsPerTrigger)
+    startingVersion,
+    capped = maxVersionsPerTrigger.isDefined ||
+      maxFilesPerTrigger.isDefined)
+
+  // the files version `cv` ADDED over its parent, in manifest order
+  // (stable — what mid-version offsets index into). Memoized: manifests
+  // are immutable while a stream runs (purge requires quiescence).
+  private val addedCache =
+    scala.collection.mutable.Map.empty[Int, Seq[String]]
+  private def addedOf(f: org.apache.hadoop.fs.FileSystem,
+      cv: Int): Seq[String] =
+    addedCache.getOrElseUpdate(cv, {
+      val parent = Snapshots.commitParent(f, dir, cv)
+      val parentSet =
+        if (parent >= 1) Snapshots.files(spark, dir, parent).toSet
+        else Set.empty[String]
+      Snapshots.files(spark, dir, cv).filterNot(parentSet)
+    })
+
+  /** The furthest position a single trigger may reach from `from`:
+    * first the remainder of the partially-consumed version, then whole
+    * (or partial) following versions, bounded by BOTH caps. Returns a
+    * version-normalized position (i == that version's added count when
+    * fully consumed) so a caught-up source re-offers an EQUAL offset. */
+  private def advancePos(f: org.apache.hadoop.fs.FileSystem,
+      from: FilePos, head: Int): FilePos = {
+    val maxF = maxFilesPerTrigger.getOrElse(Int.MaxValue)
+    val maxV = maxVersionsPerTrigger.getOrElse(Int.MaxValue)
+    def count(x: Int) = if (x < 1) 0 else addedOf(f, x).size
+    var v = math.max(from.v, startingVersion - 1)
+    var i = math.min(if (from.i < 0) Int.MaxValue else from.i, count(v))
+    var files = 0
+    var versions = 0
+    if (v >= 1 && i < count(v)) { // finish the current version first
+      val take = math.min(count(v) - i, maxF - files)
+      i += take; files += take; versions += 1
+    }
+    while (files < maxF && versions < maxV && v < head) {
+      v += 1
+      versions += 1
+      val c = count(v)
+      val take = math.min(c, maxF - files)
+      i = take; files += take
+      if (take < c) return FilePos(v, i) // stopped mid-version
+    }
+    FilePos(v, i)
+  }
 
   override def getOffset: Option[SrcOffset] = {
     val head = lineHead
-    if (head < 1) None
-    else cursor.offer(head).map(v => LongOffset(v.toLong))
+    if (head < 1) return None
+    if (maxFilesPerTrigger.isEmpty)
+      // whole-version offsets (plain longs — back-compatible)
+      cursor.offerVersion(head, maxVersionsPerTrigger)
+        .map(v => LongOffset(v.toLong))
+    else {
+      val f = new Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val pos = advancePos(f, cursor.current, head)
+      if (pos.v < 1) None
+      else { cursor.note(pos); Some(GraftFileOffset(pos.v, pos.i)) }
+    }
   }
 
-  private def versionOf(o: SrcOffset): Int = o match {
-    case LongOffset(v) => v.toInt
-    case other => other.json.trim.toInt // SerializedOffset from the log
+  private def posOf(o: SrcOffset): FilePos = o match {
+    case LongOffset(v) => FilePos(v.toInt, -1)
+    case GraftFileOffset(v, i) => FilePos(v, i)
+    case other => GraftFileOffset.posOf(other.json) // from the log
   }
 
-  override def commit(end: SrcOffset): Unit = cursor.note(versionOf(end))
+  override def commit(end: SrcOffset): Unit = cursor.note(posOf(end))
 
   // incremental rename detection, memoized across batches (renames are
   // append-only metadata): lets the common no-renames table skip the
@@ -443,18 +550,19 @@ private[graft] class SnapshotStreamSource(spark: SparkSession,
     // a fresh stream (no checkpointed offset) starts AT startingVersion:
     // base = its predecessor, so version startingVersion's files are the
     // first batch
-    val v0 = start.map(versionOf).getOrElse(startingVersion - 1)
-    val v1 = versionOf(end)
+    val p0 = start.map(posOf).getOrElse(FilePos(startingVersion - 1, -1))
+    val p1 = posOf(end)
     // a restart replays the recovered range through here before the
     // next getOffset — resume the admission cursor from it
-    cursor.note(v1)
+    cursor.note(p1)
+    val v0 = p0.v
+    val v1 = p1.v
     val base: Set[String] =
       if (v0 >= 1) Snapshots.files(spark, dir, v0).toSet else Set.empty
-    val endFiles = Snapshots.files(spark, dir, v1)
     if (!ignoreChanges && v1 > v0) {
-      // walk MAIN's parent chain from v1 back to v0 — branch commits
+      // walk the LINE's parent chain from v1 back to v0 — branch commits
       // share the global version counter but are NOT on this line, so a
-      // pure-append main must not fail on an interleaved branch commit
+      // pure-append line must not fail on an interleaved other-line commit
       val chain = scala.collection.mutable.ArrayBuffer.empty[Int]
       var v = v1
       while (v > v0 && v >= 1) {
@@ -483,7 +591,37 @@ private[graft] class SnapshotStreamSource(spark: SparkSession,
         prev = cur
       }
     }
-    val added = endFiles.filterNot(base.contains)
+    val added: Seq[String] =
+      if (p0.i < 0 && p1.i < 0)
+        // whole-version offsets: the historical file-set diff (on an
+        // append chain identical to summing per-version additions;
+        // under ignoreChanges it skips files a later rewrite replaced)
+        Snapshots.files(spark, dir, v1).filterNot(base.contains)
+      else {
+        // mid-version offsets (maxFilesPerTrigger): per-version ADDED
+        // slices — the remainder of the partially-consumed start
+        // version, whole intermediates, a prefix of the end version
+        def resolve(p: FilePos): Int =
+          if (p.i < 0) addedOf(f, p.v).size else p.i
+        val vs = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var v = v1
+        while (v > v0 && v >= 1) {
+          vs += v
+          val parent = Snapshots.commitParent(f, dir, v)
+          v = if (parent < v) parent else -1
+        }
+        val tail = vs.reverseIterator.flatMap { cv =>
+          val all = addedOf(f, cv)
+          if (cv == v1) all.take(resolve(p1)) else all
+        }.toSeq
+        val head =
+          if (v0 >= 1 && resolve(p0) < addedOf(f, v0).size) {
+            val h = addedOf(f, v0).drop(resolve(p0))
+            if (v0 == v1) addedOf(f, v0).slice(resolve(p0), resolve(p1))
+            else h
+          } else Seq.empty
+        if (v0 == v1) head else head ++ tail
+      }
     val batch =
       if (added.isEmpty)
         spark.createDataFrame(
@@ -579,12 +717,13 @@ private[graft] class SnapshotChangeFeedSource(spark: SparkSession,
       // engine always provides the checkpoint-scoped metadataPath
       java.nio.file.Files.createTempDirectory("graft-src-meta").toString
     else metadataPath,
-    startingVersion, maxVersionsPerTrigger)
+    startingVersion, capped = maxVersionsPerTrigger.isDefined)
 
   override def getOffset: Option[SrcOffset] = {
     val head = lineHead
     if (head < 1) None
-    else cursor.offer(head).map(v => LongOffset(v.toLong))
+    else cursor.offerVersion(head, maxVersionsPerTrigger)
+      .map(v => LongOffset(v.toLong))
   }
 
   private def versionOf(o: SrcOffset): Int = o match {
@@ -594,14 +733,15 @@ private[graft] class SnapshotChangeFeedSource(spark: SparkSession,
 
   override def getBatch(start: Option[SrcOffset], end: SrcOffset)
       : DataFrame = {
-    cursor.note(versionOf(end))
+    cursor.note(FilePos(versionOf(end), -1))
     org.apache.spark.sql.GraftBatchView.asStreaming(
       SnapshotSource.changesBetween(spark, dir,
         start.map(versionOf).getOrElse(startingVersion - 1),
         versionOf(end), tableSchema, canonVersion))
   }
 
-  override def commit(end: SrcOffset): Unit = cursor.note(versionOf(end))
+  override def commit(end: SrcOffset): Unit =
+    cursor.note(FilePos(versionOf(end), -1))
   override def stop(): Unit = ()
   override def toString: String = s"SnapshotChangeFeedSource[$dir]"
 }

@@ -604,6 +604,70 @@ class StreamingSnapshotSpec extends SparkSpec {
     } finally q3.stop()
   }
 
+  test("maxFilesPerTrigger splits catch-up batches mid-version") {
+    import spark.implicits._
+    val dir = tmpDir("mfpt")
+    def commitRange(r: Range, parts: Int, append: Boolean): Unit = {
+      Snapshots.commit(spark, dir,
+        r.map(k => DocRow(k.toLong, s"p$k")).toDF("id", "payload")
+          .repartition(parts), append = append)
+      ()
+    }
+    commitRange(1 to 40, 4, append = false)  // v1: ~4 files
+    commitRange(41 to 70, 3, append = true)  // v2: ~3 files
+    commitRange(71 to 90, 2, append = true)  // v3: ~2 files
+    val totalFiles = Snapshots.read(spark, dir, 3).inputFiles.length
+    assert(totalFiles >= 6, s"fixture needs several files: $totalFiles")
+    val v1Files = Snapshots.read(spark, dir, 1).inputFiles.length
+
+    val cp = tmpDir("mfpt-cp")
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]()
+    def sink(b: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      val ids = b.select("id").collect().map(_.getLong(0)).toSeq
+      if (ids.nonEmpty) { seen.add(ids); () }
+    }
+    def start() = spark.readStream.format("graft-snapshots")
+      .option("path", dir).option("maxFilesPerTrigger", "3").load()
+      .writeStream.foreachBatch(sink _)
+      .option("checkpointLocation", cp).start()
+
+    val q = start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    // everything arrives exactly once…
+    assert(seen.asScala.flatten.toSeq.sorted == (1L to 90L))
+    // …in ceil(totalFiles/3) batches (the greedy walk fills each batch
+    // to exactly 3 files, crossing version boundaries)
+    val expected = (totalFiles + 2) / 3
+    assert(seen.asScala.size == expected,
+      s"batches: ${seen.asScala.map(_.size)} (files: $totalFiles)")
+    // and the FIRST batch stopped MID-version (v1 alone spans >3 files)
+    if (v1Files > 3) {
+      val first = seen.asScala.head
+      assert(first.forall(_ <= 40L) && first.size < 40,
+        s"first batch must be a strict slice of v1: ${first.size} rows")
+    }
+
+    // restart: one more version lands; exactly its rows arrive, once
+    seen.clear()
+    commitRange(91 to 100, 2, append = true) // v4
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(seen.asScala.flatten.toSeq.sorted == (91L to 100L),
+      s"restart must emit exactly v4's rows once: ${seen.asScala}")
+
+    // the change feed refuses the knob (its deltas are per-version)
+    val e = intercept[Exception] {
+      val qq = spark.readStream.format("graft-snapshots")
+        .option("path", dir).option("readChangeFeed", "true")
+        .option("maxFilesPerTrigger", "3").load()
+        .writeStream.format("memory").queryName("mfpt_cdf_bad")
+        .option("checkpointLocation", tmpDir("mfpt-cdf-bad-cp")).start()
+      try qq.processAllAvailable() finally qq.stop()
+    }
+    assert(e.getMessage.contains("maxFilesPerTrigger"), e.getMessage)
+  }
+
   test("branch option streams a named branch's line, not main") {
     import spark.implicits._
     val dir = tmpDir("branchstream")
