@@ -152,7 +152,8 @@ case class GraftSqlRules(session: SparkSession) extends Rule[LogicalPlan] {
       }
     case r: DataSourceV2Relation
         if r.table.isInstanceOf[SnapshotTableV2] =>
-      v1Scan(session, r.table.asInstanceOf[SnapshotTableV2], r)
+      v1Scan(session, GraftSql.withReaderOptions(session,
+        r.table.asInstanceOf[SnapshotTableV2], r.options), r)
   }
 }
 
@@ -202,6 +203,37 @@ private[graft] object GraftSql {
       case _ =>
     }
 
+  /** Honor `spark.read.option(...).table("graft.db.t")` reader options
+    * on a catalog scan. Spark resolves `versionAsOf`/`timestampAsOf`
+    * NATIVELY through the TableCatalog time-travel hooks (the handle
+    * arrives here already pinned), so those pass through; `branch` is
+    * not a Spark concept and would be SILENTLY dropped by the scan
+    * rewrite (reading main's head instead of the branch) — it pins the
+    * handle to the ref here. `readChangeFeed` is refused with the
+    * working entry points. */
+  private[sources] def withReaderOptions(session: SparkSession,
+      t: SnapshotTableV2,
+      opts: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : SnapshotTableV2 = {
+    if (opts.isEmpty) return t
+    require(!opts.containsKey("readchangefeed") ||
+        !opts.get("readchangefeed").toBoolean,
+      "graft catalog: readChangeFeed is not a batch .table() option — " +
+        "use CALL graft.system.change_view, " +
+        "spark.readStream.option(\"readChangeFeed\", true).table(...), " +
+        "or the graft-snapshots format reader on the table directory")
+    Option(opts.get("branch")) match {
+      case None => t
+      case Some(name) =>
+        require(!opts.containsKey("versionasof") &&
+            !opts.containsKey("timestampasof") && t.pinnedVersion.isEmpty,
+          "graft catalog: the branch reader option and VERSION/" +
+            "TIMESTAMP AS OF pins are exclusive")
+        new SnapshotTableV2(t.dir, t.fullName,
+          pinnedVersion = Some(Snapshots.refVersion(session, t.dir, name)))
+    }
+  }
+
   /** Version `v` of the table as the f29 V1 relation, bound to the V2
     * relation's own output attributes. An empty (freshly created,
     * never-committed) table reads as zero rows of its declared schema. */
@@ -217,8 +249,11 @@ private[graft] object GraftSql {
       // and plan could evolve it) — misalignment would misread columns
       require(rel.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
         output.map(a => (a.name, a.dataType)),
-        s"graft catalog: schema of ${t.fullName} changed during " +
-          "analysis; re-run the query")
+        s"graft catalog: the resolved schema of ${t.fullName} does not " +
+          "match the scanned version's (a commit racing analysis, or a " +
+          "reader-option pin onto a version with a different schema — " +
+          "SQL VERSION AS OF resolves the pinned schema); re-run the " +
+          "query or use the SQL time-travel syntax")
       LogicalRelation(rel, output, None, false, None)
     }
   }

@@ -397,6 +397,53 @@ class GraftCatalogSpec extends SparkSpec {
     assert(sql("SHOW TABLES IN graft.meta").collect().isEmpty)
   }
 
+  test("reader options on .table(): versionAsOf/timestampAsOf/branch " +
+      "pin the scan; readChangeFeed refused") {
+    warehouse
+    sql("CREATE TABLE graft.db.ro (id BIGINT, payload STRING)")
+    sql("INSERT INTO graft.db.ro VALUES (1, 'a'), (2, 'b')")
+    Thread.sleep(1100)
+    val afterV1 = System.currentTimeMillis()
+    Thread.sleep(1100)
+    sql("INSERT INTO graft.db.ro VALUES (3, 'c')")
+    val dir = dirOf("db", "ro")
+    Snapshots.createRef(spark, dir, "exp")
+    Snapshots.commitOnBranch(spark, dir, "exp",
+      { import spark.implicits._; Seq((9L, "x")).toDF("id", "payload") },
+      append = true)
+
+    def idsOf(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("id").collect().map(_.getLong(0)).toSeq.sorted
+    // versionAsOf/timestampAsOf resolve through Spark's native
+    // time-travel option handling (the catalog's loadTable overloads)
+    assert(idsOf(spark.read.option("versionAsOf", "1")
+      .table("graft.db.ro")) == Seq(1L, 2L))
+    // Spark's timestampAsOf option takes a timestamp literal
+    val tsLit = new java.sql.Timestamp(afterV1).toString
+    assert(idsOf(spark.read.option("timestampAsOf", tsLit)
+      .table("graft.db.ro")) == Seq(1L, 2L))
+    // the regression shape: `branch` (not a Spark concept) was silently
+    // DROPPED by the scan rewrite, reading main's head instead
+    assert(idsOf(spark.read.option("branch", "exp")
+      .table("graft.db.ro")) == Seq(1L, 2L, 3L, 9L))
+    assert(idsOf(spark.read.table("graft.db.ro")) == Seq(1L, 2L, 3L),
+      "the default read follows main, never the branch")
+
+    intercept[Exception] {
+      spark.read.option("versionAsOf", "1").option("branch", "exp")
+        .table("graft.db.ro").collect()
+    }
+    intercept[Exception] {
+      spark.read.option("versionAsOf", "9").table("graft.db.ro")
+        .collect()
+    }
+    val cdf = intercept[Exception] {
+      spark.read.option("readChangeFeed", "true").table("graft.db.ro")
+        .collect()
+    }
+    assert(cdf.getMessage.contains("change_view"), cdf.getMessage)
+  }
+
   test("listTables batches table resolution into two parent globs") {
     warehouse
     import spark.implicits._
