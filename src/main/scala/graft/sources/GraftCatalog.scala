@@ -470,11 +470,24 @@ private[graft] object GraftCatalog {
   * through an INSERT OVERWRITE, unlike a path overwrite). */
 private[graft] class SnapshotTableV2(val dir: String,
     val fullName: String, val pinnedVersion: Option[Int] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with TruncatableTable {
 
   private def spark = SparkSession.active
 
   override def name(): String = fullName
+
+  /** `TRUNCATE TABLE graft.db.t`: one empty-rewrite commit (no data
+    * read or written, no deletion vector, prior versions stay
+    * time-travelable) — the same route `DELETE FROM t` without WHERE
+    * takes, because a merge-on-read delete of EVERY row would write a
+    * table-sized deletion vector. */
+  override def truncateTable(): Boolean = {
+    require(pinnedVersion.isEmpty,
+      "graft catalog: cannot TRUNCATE a time-travel-pinned read")
+    GraftSql.truncateTable(spark, dir)
+    true
+  }
 
   /** The version a SCAN of this handle resolves to right now: the pin
     * (VERSION/TIMESTAMP AS OF) or main's current head; 0 = an empty,

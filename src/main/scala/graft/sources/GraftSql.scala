@@ -293,6 +293,24 @@ private[graft] object GraftSql {
     check(ne)
   }
 
+  /** Empty-rewrite the table (TRUNCATE / DELETE-all): ONE metadata-
+    * sized commit under the current evolved schema — no data read, no
+    * deletion vector, prior versions stay time-travelable. Returns the
+    * replaced version's row count (from parquet footers, counted AFTER
+    * the publish so a racing commit cannot skew it). */
+  private[sources] def truncateTable(spark: SparkSession,
+      dir: String): Long = {
+    val head = Snapshots.mainVersion(spark, dir)
+    if (head < 1) return 0L
+    val schema = Snapshots.evolutionInfo(spark, dir, head)._1
+    val empty = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq.empty[org.apache.spark.sql.Row], 1), schema)
+    val v = Snapshots.commit(spark, dir, empty, append = false)
+    val replaced = Snapshots.parentsOf(spark, dir, v).headOption
+    replaced.map(Snapshots.metadataRowCount(spark, dir, _)).getOrElse(0L)
+  }
+
   /** The snapshot table under a row-count-preserving operator chain
     * (aliases and projections never change the row count; anything
     * else — a Filter, a Join, a Generate — disqualifies). */
@@ -314,8 +332,19 @@ private[graft] object GraftSql {
 private[graft] case class GraftDeleteCommand(dir: String,
     condition: GraftSql.Captured) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    val (_, n) = Snapshots.deleteWhere(spark, dir,
-      GraftSql.byName(condition.e, Some(spark)))
+    val cond = condition.e
+    // DELETE without WHERE (or with a constant-true predicate): a
+    // merge-on-read delete would write a deletion-vector POSITION FOR
+    // EVERY ROW — at 100 TB, a full-table scan plus a table-sized
+    // vector. Publish one EMPTY REWRITE commit instead: zero data
+    // reads, zero data writes, history stays time-travelable, and the
+    // metric comes from the replaced version's parquet footers.
+    val truncates = cond.foldable &&
+      Option(cond.eval()).contains(true)
+    val n: Long =
+      if (truncates) GraftSql.truncateTable(spark, dir)
+      else Snapshots.deleteWhere(spark, dir,
+        GraftSql.byName(cond, Some(spark)))._2
     GraftSql.lastRowsAffected = n
     Seq.empty
   }

@@ -91,6 +91,42 @@ class GraftCatalogSpec extends SparkSpec {
       Seq((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("DELETE without WHERE and TRUNCATE publish one empty rewrite, " +
+      "never a table-sized deletion vector") {
+    warehouse
+    sql("CREATE TABLE graft.db.tw (id BIGINT, payload STRING)")
+    sql("INSERT INTO graft.db.tw VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val dir = dirOf("db", "tw")
+
+    sql("DELETE FROM graft.db.tw")
+    assert(GraftSql.lastRowsAffected == 3L)
+    assert(sql("SELECT * FROM graft.db.tw").count() == 0)
+    assert(sql("SELECT * FROM graft.db.tw").schema.fieldNames.toSeq ==
+      Seq("id", "payload"), "the empty rewrite must keep the schema")
+    // ONE version, NO deletion vector (the scale guard: a DV would
+    // carry a position per row), history intact
+    assert(Snapshots.latestVersion(spark, dir) == 2)
+    val dv = new Path(dir, "dv/v2")
+    val f = dv.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!f.exists(dv), "DELETE-all must not write a deletion vector")
+    assert(rows("SELECT * FROM graft.db.tw VERSION AS OF 1") ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+
+    // TRUNCATE TABLE takes the same route
+    sql("INSERT INTO graft.db.tw VALUES (9, 'z')")
+    sql("TRUNCATE TABLE graft.db.tw")
+    assert(sql("SELECT * FROM graft.db.tw").count() == 0)
+    assert(Snapshots.latestVersion(spark, dir) == 4)
+    assert(rows("SELECT * FROM graft.db.tw VERSION AS OF 3") ==
+      Seq((9L, "z")))
+    // a constant-true predicate folds to the same path
+    sql("INSERT INTO graft.db.tw VALUES (7, 'q')")
+    sql("DELETE FROM graft.db.tw WHERE 1 = 1")
+    assert(GraftSql.lastRowsAffected == 1L)
+    assert(sql("SELECT * FROM graft.db.tw").count() == 0)
+    assert(!f.exists(new Path(dir, "dv/v6")))
+  }
+
   test("UPDATE SET routes to updateWhere; WHERE optional") {
     warehouse
     sql("CREATE TABLE graft.db.tu (id BIGINT, payload STRING)")
