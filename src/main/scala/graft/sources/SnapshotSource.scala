@@ -464,11 +464,14 @@ private[graft] class SnapshotStreamSource(spark: SparkSession,
   // the files version `cv` ADDED over its parent, in manifest order
   // (stable — what mid-version offsets index into). Memoized: manifests
   // are immutable while a stream runs (purge requires quiescence).
+  // Bounded: a stream alive across a million versions must not hold a
+  // million file lists — old entries are recomputable on demand.
   private val addedCache =
     scala.collection.mutable.Map.empty[Int, Seq[String]]
   private def addedOf(f: org.apache.hadoop.fs.FileSystem,
       cv: Int): Seq[String] =
     addedCache.getOrElseUpdate(cv, {
+      if (addedCache.size > 1024) addedCache.clear()
       val parent = Snapshots.commitParent(f, dir, cv)
       val parentSet =
         if (parent >= 1) Snapshots.files(spark, dir, parent).toSet
