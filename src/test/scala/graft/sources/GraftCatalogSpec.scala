@@ -50,6 +50,15 @@ class GraftCatalogSpec extends SparkSpec {
       Seq((1L, "a"), (2L, "b"), (3L, "c")))
     assert(Snapshots.latestVersion(spark, dirOf("db", "t1")) == 2)
 
+    // column-list INSERTs null-fill and reorder (Spark's by-name
+    // resolution feeding the V1 write fallback)
+    sql("INSERT INTO graft.db.t1 (id) VALUES (4)")
+    sql("INSERT INTO graft.db.t1 (payload, id) VALUES ('e', 5)")
+    val byList = sql("SELECT * FROM graft.db.t1 WHERE id >= 4")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1))).toSeq.sortBy(_._1)
+    assert(byList == Seq((4L, null), (5L, "e")), s"got $byList")
+
     // INSERT OVERWRITE rewrites, but history stays readable
     sql("INSERT OVERWRITE graft.db.t1 VALUES (9, 'z')")
     assert(rows("SELECT * FROM graft.db.t1") == Seq((9L, "z")))
