@@ -152,8 +152,10 @@ class SnapshotSource extends RelationProvider
       "graft-snapshots source: startingVersion and startingTimestamp " +
         "are exclusive")
     val startingVersion = parameters.get("startingtimestamp") match {
+      // resolve against the FOLLOWED line's ancestry: a branch stream's
+      // timestamp must land on a branch ancestor, not a main version
       case Some(ts) => Snapshots.versionSince(ctx.sparkSession, dir,
-        SnapshotSource.parseInstant(ts))
+        SnapshotSource.parseInstant(ts), branch)
       case None =>
         val sv = parameters.get("startingversion").map(_.toInt)
           .getOrElse(1)
@@ -254,14 +256,19 @@ class SnapshotSource extends RelationProvider
           parameters.contains("endingtimestamp")),
         "graft-snapshots: version and timestamp range bounds are " +
           "exclusive per side")
+      // timestamp bounds resolve against the FOLLOWED line's ancestry
+      // (main, or the named branch) — a main-line version number is not
+      // a branch ancestor, and a range anchored there would diff
+      // against the wrong base file set
+      val cdfBranch = parameters.get("branch")
       val from = parameters.get("startingtimestamp")
         .map(ts => Snapshots.versionSince(spark, dir,
-          SnapshotSource.parseInstant(ts)))
+          SnapshotSource.parseInstant(ts), cdfBranch))
         .orElse(parameters.get("startingversion").map(_.toInt))
         .getOrElse(1)
       val to = parameters.get("endingtimestamp")
         .map(ts => Snapshots.versionAsOf(spark, dir,
-          SnapshotSource.parseInstant(ts)))
+          SnapshotSource.parseInstant(ts), cdfBranch))
         .orElse(parameters.get("endingversion").map(_.toInt))
         .getOrElse(head)
       require(from >= 1 && to >= from && to <= head,
@@ -434,6 +441,49 @@ private[sources] final class VersionOfferCursor(spark: SparkSession,
     }
 }
 
+/** Memoized ancestry of a stream's followed LINE (main or a named
+  * branch): the ascending set of versions reachable from the line head
+  * through the `vN.meta` parent pointers. Capped admission control must
+  * advance along THIS set, never raw version numbers — branch commits
+  * share the global version counter, so a `cursor + cap` arithmetic
+  * offer can land on an interleaved OTHER-line version, whose parent
+  * chain would then leak that line's rows into this stream (and they
+  * are never retracted). The walk is incremental: a ref only advances
+  * along its own line, so each new head's parent walk stops at an
+  * already-known ancestor — O(new commits) tiny meta reads per trigger,
+  * not O(history). */
+private[sources] final class LineAncestry(spark: SparkSession,
+    dir: String) {
+  private val onLine = scala.collection.mutable.TreeSet.empty[Int]
+  private var walkedHead = 0
+
+  /** The on-line versions up to `head`, ascending. */
+  def upTo(f: org.apache.hadoop.fs.FileSystem, head: Int)
+      : scala.collection.SortedSet[Int] = synchronized {
+    if (head > walkedHead) {
+      var v = head
+      while (v >= 1 && !onLine.contains(v)) {
+        onLine += v
+        val p = Snapshots.commitParent(f, dir, v)
+        v = if (p < v) p else -1
+      }
+      walkedHead = head
+    }
+    onLine
+  }
+
+  /** The `cap`-th ON-LINE version past `from` (bounded by `head`);
+    * `from` itself when the line has nothing past it. */
+  def advance(f: org.apache.hadoop.fs.FileSystem, head: Int, from: Int,
+      cap: Int): Int = {
+    val it = upTo(f, head).iteratorFrom(from + 1).takeWhile(_ <= head)
+    var last = from
+    var n = 0
+    while (n < cap && it.hasNext) { last = it.next(); n += 1 }
+    last
+  }
+}
+
 private[graft] class SnapshotStreamSource(spark: SparkSession,
     dir: String, fixedSchema: StructType, ignoreChanges: Boolean,
     startingVersion: Int = 1,
@@ -461,6 +511,11 @@ private[graft] class SnapshotStreamSource(spark: SparkSession,
     capped = maxVersionsPerTrigger.isDefined ||
       maxFilesPerTrigger.isDefined)
 
+  // capped offers advance along the followed line's ancestry, never raw
+  // version numbers (interleaved branch commits would put the offset on
+  // the other line and its rows into this stream)
+  private val line = new LineAncestry(spark, dir)
+
   // the files version `cv` ADDED over its parent, in manifest order
   // (stable — what mid-version offsets index into). Memoized: manifests
   // are immutable while a stream runs (purge requires quiescence).
@@ -469,15 +524,20 @@ private[graft] class SnapshotStreamSource(spark: SparkSession,
   private val addedCache =
     scala.collection.mutable.Map.empty[Int, Seq[String]]
   private def addedOf(f: org.apache.hadoop.fs.FileSystem,
-      cv: Int): Seq[String] =
+      cv: Int): Seq[String] = {
+    // evict BEFORE the lookup: clearing inside getOrElseUpdate's default
+    // would mutate the map mid-update (works on current 2.13 only by
+    // implementation accident) and wipe hot entries mid-catch-up
+    if (!addedCache.contains(cv) && addedCache.size > 1024)
+      addedCache.clear()
     addedCache.getOrElseUpdate(cv, {
-      if (addedCache.size > 1024) addedCache.clear()
       val parent = Snapshots.commitParent(f, dir, cv)
       val parentSet =
         if (parent >= 1) Snapshots.files(spark, dir, parent).toSet
         else Set.empty[String]
       Snapshots.files(spark, dir, cv).filterNot(parentSet)
     })
+  }
 
   /** The furthest position a single trigger may reach from `from`:
     * first the remainder of the partially-consumed version, then whole
@@ -497,8 +557,12 @@ private[graft] class SnapshotStreamSource(spark: SparkSession,
       val take = math.min(count(v) - i, maxF - files)
       i += take; files += take; versions += 1
     }
-    while (files < maxF && versions < maxV && v < head) {
-      v += 1
+    // walk the LINE's versions, not raw numbers: an interleaved
+    // other-line commit consumed here would emit its rows into this
+    // stream (and count its files against this trigger's cap)
+    val next = line.upTo(f, head).iteratorFrom(v + 1).takeWhile(_ <= head)
+    while (files < maxF && versions < maxV && next.hasNext) {
+      v = next.next()
       versions += 1
       val c = count(v)
       val take = math.min(c, maxF - files)
@@ -511,11 +575,20 @@ private[graft] class SnapshotStreamSource(spark: SparkSession,
   override def getOffset: Option[SrcOffset] = {
     val head = lineHead
     if (head < 1) return None
-    if (maxFilesPerTrigger.isEmpty)
-      // whole-version offsets (plain longs — back-compatible)
-      cursor.offerVersion(head, maxVersionsPerTrigger)
-        .map(v => LongOffset(v.toLong))
-    else {
+    if (maxFilesPerTrigger.isEmpty) {
+      // whole-version offsets (plain longs — back-compatible); a capped
+      // offer picks the cap-th ON-LINE version past the cursor, not
+      // cursor + cap (which can land on an interleaved branch commit)
+      val target = maxVersionsPerTrigger match {
+        case Some(m) =>
+          val f = new Path(dir).getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          line.advance(f, head,
+            math.max(cursor.current.v, startingVersion - 1), m)
+        case None => head
+      }
+      cursor.offerVersion(target, None).map(v => LongOffset(v.toLong))
+    } else {
       val f = new Path(dir).getFileSystem(
         spark.sparkContext.hadoopConfiguration)
       val pos = advancePos(f, cursor.current, head)
@@ -546,14 +619,33 @@ private[graft] class SnapshotStreamSource(spark: SparkSession,
     anyRenames
   }
 
+  // the fresh-stream diff base: the followed LINE's last version
+  // strictly below startingVersion (on a linear table = startingVersion
+  // - 1). The raw predecessor NUMBER can be an interleaved other-line
+  // commit (branch + startingTimestamp/startingVersion), whose file set
+  // would be a wrong diff base — tripping the append-superset check or
+  // mis-diffing the first batch. Lazy: versions below startingVersion
+  // are immutable, so one walk serves the stream's lifetime.
+  private lazy val startBase: Int =
+    if (startingVersion <= 1) 0
+    else {
+      val head = lineHead
+      if (head < 1) startingVersion - 1
+      else {
+        val f = new Path(dir).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        line.upTo(f, head).maxBefore(startingVersion).getOrElse(0)
+      }
+    }
+
   override def getBatch(start: Option[SrcOffset], end: SrcOffset)
       : DataFrame = {
     val f = new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     // a fresh stream (no checkpointed offset) starts AT startingVersion:
-    // base = its predecessor, so version startingVersion's files are the
-    // first batch
-    val p0 = start.map(posOf).getOrElse(FilePos(startingVersion - 1, -1))
+    // base = its LINE predecessor, so the line's versions from
+    // startingVersion on are the first batch
+    val p0 = start.map(posOf).getOrElse(FilePos(startBase, -1))
     val p1 = posOf(end)
     // a restart replays the recovered range through here before the
     // next getOffset — resume the admission cursor from it
@@ -722,11 +814,25 @@ private[graft] class SnapshotChangeFeedSource(spark: SparkSession,
     else metadataPath,
     startingVersion, capped = maxVersionsPerTrigger.isDefined)
 
+  private val line = new LineAncestry(spark, dir)
+
   override def getOffset: Option[SrcOffset] = {
     val head = lineHead
     if (head < 1) None
-    else cursor.offerVersion(head, maxVersionsPerTrigger)
-      .map(v => LongOffset(v.toLong))
+    else {
+      // a capped offer advances along the LINE's ancestry (see
+      // [[LineAncestry]]) — raw cursor + cap can land on an interleaved
+      // other-line version and feed its deltas into this change stream
+      val target = maxVersionsPerTrigger match {
+        case Some(m) =>
+          val f = new Path(dir).getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          line.advance(f, head,
+            math.max(cursor.current.v, startingVersion - 1), m)
+        case None => head
+      }
+      cursor.offerVersion(target, None).map(v => LongOffset(v.toLong))
+    }
   }
 
   private def versionOf(o: SrcOffset): Int = o match {

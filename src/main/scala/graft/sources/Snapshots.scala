@@ -1289,7 +1289,8 @@ object Snapshots {
     * directory listing plus one tiny read per manifest, no data touched.
     * Returns 0 if nothing was committed yet at that time (or the
     * versions before it were vacuumed). */
-  def versionAsOf(s: SparkSession, dir: String, tsMillis: Long): Int = {
+  def versionAsOf(s: SparkSession, dir: String, tsMillis: Long,
+      ref: Option[String] = None): Int = {
     val f = fs(s, dir)
     val root = new Path(dir)
     if (!f.exists(root)) 0
@@ -1300,29 +1301,43 @@ object Snapshots {
             if commitInstant(f, dir, n.toInt) <= tsMillis => Some(n.toInt)
           case _ => None
         })
-      // on a ref-tracked table, time travel follows MAIN's line: branch
-      // commits share the global version counter, so the raw max over
-      // all manifests could silently resolve a main-line TIMESTAMP AS OF
-      // to a BRANCH head and return branch data
-      val eligible = refRead(f, dir, "main") match {
-        case None => candidates
-        case Some((head, _)) =>
-          val anc = mainAncestry(f, dir, head)
+      // on a ref-tracked table, time travel follows the requested LINE
+      // (main by default, a named ref when given): branch commits share
+      // the global version counter, so the raw max over all manifests
+      // could silently resolve a main-line TIMESTAMP AS OF to a BRANCH
+      // head and return branch data — and a branch-scoped resolution
+      // anchored at main could return a version that is not a branch
+      // ancestor at all
+      val eligible = ref match {
+        case Some(name) =>
+          val anc = mainAncestry(f, dir, refVersion(s, dir, name))
           candidates.filter(anc.contains)
+        case None => refRead(f, dir, "main") match {
+          case None => candidates
+          case Some((head, _)) =>
+            val anc = mainAncestry(f, dir, head)
+            candidates.filter(anc.contains)
+        }
       }
       eligible.maxOption.getOrElse(0)
     }
   }
 
-  /** The smallest main-line version committed AT or AFTER `tsMillis` —
-    * `startingTimestamp` resolution for streams and ranged change-feed
-    * reads (a commit exactly at the instant is included). Returns
-    * head+1 when every existing commit predates the instant: the
-    * stream starts with only future commits. Vacuumed versions (no
-    * manifest left) are skipped. Metadata-only. */
-  def versionSince(s: SparkSession, dir: String, tsMillis: Long): Int = {
+  /** The smallest version ON THE REQUESTED LINE (main by default, a
+    * named ref's ancestry when `ref` is given) committed AT or AFTER
+    * `tsMillis` — `startingTimestamp` resolution for streams and ranged
+    * change-feed reads (a commit exactly at the instant is included).
+    * A branch stream's timestamp MUST resolve against the branch's own
+    * ancestry: a main-line version number is not a branch ancestor, and
+    * diffing the first batch against its file set would duplicate or
+    * drop rows. Returns head+1 when every existing commit predates the
+    * instant: the stream starts with only future commits. Vacuumed
+    * versions (no manifest left) are skipped. Metadata-only. */
+  def versionSince(s: SparkSession, dir: String, tsMillis: Long,
+      ref: Option[String] = None): Int = {
     val f = fs(s, dir)
-    val head = mainVersion(s, dir)
+    val head = ref.map(refVersion(s, dir, _))
+      .getOrElse(mainVersion(s, dir))
     if (head < 1) return 1
     mainAncestry(f, dir, head).toSeq.sorted
       .find(v => f.exists(manifest(dir, v)) &&
@@ -1331,7 +1346,7 @@ object Snapshots {
       .getOrElse(head + 1)
   }
 
-  /** The set of versions on main's line: the head plus every ancestor
+  /** The set of versions on a line: `head` plus every ancestor
     * reachable through the vN.meta parent pointers (O(versions) tiny
     * metadata reads, no data). */
   private def mainAncestry(f: FileSystem, dir: String, head: Int)

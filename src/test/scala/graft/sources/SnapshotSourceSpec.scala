@@ -406,6 +406,55 @@ class SnapshotSourceSpec extends SparkSpec {
       System.currentTimeMillis() + 3600000L) == 4)
   }
 
+  test("branch + timestamp bounds resolve against the branch's own " +
+      "ancestry, never main's") {
+    val dir = tmpDir("brtime")
+    Snapshots.commit(spark, dir, df(1 to 3).coalesce(1), append = false) // v1
+    Snapshots.createRef(spark, dir, "exp")
+    Thread.sleep(1100)
+    val beforeMainV2 = System.currentTimeMillis()
+    Thread.sleep(1100)
+    Snapshots.commit(spark, dir, df(4 to 6).coalesce(1), append = true)  // v2 main
+    Thread.sleep(1100)
+    Snapshots.commitOnBranch(spark, dir, "exp", df(11 to 13).coalesce(1),
+      append = true)                                                     // v3 branch
+
+    // versionSince on the branch line skips main's v2 (not an ancestor)
+    assert(Snapshots.versionSince(spark, dir, beforeMainV2) == 2)
+    assert(Snapshots.versionSince(spark, dir, beforeMainV2,
+      Some("exp")) == 3)
+    // versionAsOf likewise: "now" on the branch is v3, on main v2
+    val now = System.currentTimeMillis()
+    assert(Snapshots.versionAsOf(spark, dir, now) == 2)
+    assert(Snapshots.versionAsOf(spark, dir, now, Some("exp")) == 3)
+
+    // batch CDF with branch + startingTimestamp: only the branch delta,
+    // never main's v2 rows (a main-line version number is not a branch
+    // ancestor, and a range anchored there diffs the wrong base)
+    val late = readFmt(dir, "readChangeFeed" -> "true", "branch" -> "exp",
+      "startingTimestamp" -> beforeMainV2.toString)
+    assert(ids(late) == (11L to 13L), s"got ${ids(late)}")
+    val upToNow = readFmt(dir, "readChangeFeed" -> "true",
+      "branch" -> "exp", "endingTimestamp" -> now.toString)
+    assert(ids(upToNow) == ((1L to 3L) ++ (11L to 13L)))
+
+    // streaming: branch + startingTimestamp starts at the branch
+    // version, with the first batch diffed against the LINE's base
+    // (raw predecessor v2 belongs to main and would trip the
+    // append-superset check)
+    val cp = java.nio.file.Files.createTempDirectory("brtime-cp").toString
+    val q = spark.readStream.format("graft-snapshots")
+      .option("path", dir).option("branch", "exp")
+      .option("startingTimestamp", beforeMainV2.toString).load()
+      .writeStream.format("memory").queryName("brtime_view")
+      .option("checkpointLocation", cp).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("brtime_view").select("id").collect()
+        .map(_.getLong(0)).toSeq.sorted == (11L to 13L))
+    } finally q.stop()
+  }
+
   test("change feed across RENAME COLUMN reads pre-rename vintages") {
     val dir = tmpDir("cdfren")
     import spark.implicits._

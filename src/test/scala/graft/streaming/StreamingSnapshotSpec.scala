@@ -724,6 +724,76 @@ class StreamingSnapshotSpec extends SparkSpec {
       e.getMessage.contains("no branch"), e.getMessage)
   }
 
+  test("capped admission advances along the followed line, skipping " +
+      "interleaved other-line commits") {
+    import spark.implicits._
+    val dir = tmpDir("capline")
+    def mrows(r: Range) = r.map(i => DocRow(i.toLong, s"m$i"))
+      .toDF("id", "payload").coalesce(1)
+    def brow(id: Long) = Seq(DocRow(id, "b")).toDF("id", "payload")
+      .coalesce(1)
+    Snapshots.commit(spark, dir, mrows(1 to 3), append = false)     // v1 m
+    Snapshots.createRef(spark, dir, "exp")
+    // interleave branch and main commits on the shared version counter
+    Snapshots.commitOnBranch(spark, dir, "exp", brow(101L),
+      append = true)                                                // v2 b
+    Snapshots.commit(spark, dir, mrows(4 to 6), append = true)      // v3 m
+    Snapshots.commitOnBranch(spark, dir, "exp", brow(102L),
+      append = true)                                                // v4 b
+    Snapshots.commit(spark, dir, mrows(7 to 9), append = true)      // v5 m
+    Snapshots.commitOnBranch(spark, dir, "exp", brow(103L),
+      append = true)                                                // v6 b
+
+    import scala.jdk.CollectionConverters._
+    def drain(opts: (String, String)*): Seq[Seq[Long]] = {
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]()
+      val r = spark.readStream.format("graft-snapshots").option("path", dir)
+      val q = opts.foldLeft(r)((a, kv) => a.option(kv._1, kv._2)).load()
+        .writeStream.foreachBatch {
+          (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            val got = b.select("id").collect().map(_.getLong(0)).toSeq.sorted
+            if (got.nonEmpty) { seen.add(got); () }
+        }.option("checkpointLocation", tmpDir("capline-cp")).start()
+      try q.processAllAvailable() finally q.stop()
+      seen.asScala.toSeq
+    }
+
+    // a MAIN stream capped to one version per trigger: a raw
+    // version+cap cursor would offer v2/v4/v6 (branch commits) and leak
+    // their rows; line-aware admission batches exactly v1, v3, v5
+    val main = drain("maxVersionsPerTrigger" -> "1")
+    assert(main == Seq(1L to 3L, 4L to 6L, 7L to 9L),
+      s"main stream must batch exactly v1/v3/v5: $main")
+
+    // the BRANCH stream with the same cap sees only its own line
+    val br = drain("branch" -> "exp", "maxVersionsPerTrigger" -> "1")
+    assert(br == Seq(1L to 3L, Seq(101L), Seq(102L), Seq(103L)),
+      s"branch stream must batch exactly v1/v2/v4/v6: $br")
+
+    // file-capped advancement skips off-line versions too (each main
+    // version is one file, so cap 1 = one main version per batch)
+    val byFile = drain("maxFilesPerTrigger" -> "1")
+    assert(byFile == Seq(1L to 3L, 4L to 6L, 7L to 9L),
+      s"file-capped main stream leaked another line: $byFile")
+
+    // the capped CHANGE FEED follows the line as well
+    val cdfCp = tmpDir("capline-cdf-cp")
+    val q = spark.readStream.format("graft-snapshots")
+      .option("path", dir).option("readChangeFeed", "true")
+      .option("maxVersionsPerTrigger", "1").load()
+      .writeStream.format("memory").queryName("capline_cdf")
+      .option("checkpointLocation", cdfCp).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("capline_cdf")
+        .select("id", "_commit_version").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows.map(_._2).toSet == Set(1L, 3L, 5L),
+        s"capped CDF crossed lines: ${rows.sorted}")
+      assert(rows.map(_._1).sorted == (1L to 9L), s"got ${rows.sorted}")
+    } finally q.stop()
+  }
+
   test("a legacy bare batch stamp never blocks a new streaming query") {
     import spark.implicits._
     // a table whose head carries the PRE-per-query stamp shape: meta
