@@ -54,6 +54,10 @@ object Snapshots {
   /** Spec observability only: the last [[purge]]'s candidate-detection
     * (filesScannedAfterStatsPrune, filesTotal). */
   @volatile private[sources] var lastPurgePruneCounts: (Int, Int) = (0, 0)
+  // (files scanned for matched positions, files in the live set) of the
+  // last upsert/applyCdc — pins that a selective MERGE opens only
+  // stat-overlapping files, not the whole table
+  @volatile private[sources] var lastMergePruneCounts: (Int, Int) = (0, 0)
 
   def latestVersion(s: SparkSession, dir: String): Int = {
     val f = fs(s, dir)
@@ -1123,27 +1127,129 @@ object Snapshots {
     } finally c.release()
   }
 
+  /** Exact-key pruning kicks in at or below this many distinct source
+    * keys (a broadcast-sized driver list, the same envelope purge uses
+    * for its tombstone set); above it, per-key [min,max] range overlap
+    * still prunes. */
+  private val mergeMaxExactKeys = 1024
+
+  /** KEY-STAT FILE PRUNING for the MERGE family's matched-position
+    * scan: the subset of `fset` whose recorded per-file key stats admit
+    * at least one source key — a selective MERGE against a 100 TB table
+    * opens O(stat-overlapping) files to locate replaced positions, not
+    * the whole live set (f24 proves the same stat lines prune reads;
+    * purge's tombstone detection uses the same conjunction). One small
+    * aggregation job over the batch-sized `keys` frame computes the
+    * per-key [min,max] bounds, the distinct key count, and any
+    * caller-supplied `extraAggs` (so upsert's uniqueness check folds
+    * into this job instead of costing two more); when the distinct
+    * count is at most [[mergeMaxExactKeys]], a second bounded collect
+    * refines the test to exact values AND hands back a local key frame
+    * the caller can broadcast into its semi-join (sparing a
+    * recomputation of the source plan). Stats live under the writing
+    * vintage's local column names, so canonical keys map back through
+    * the rename chain; files without stats always survive
+    * (conservative — absent stats must never lose a match).
+    *
+    * @return (prunedFiles, broadcastable exact-key frame when small
+    *         enough, the aggregation row: nkAll, per-key mn/mx pairs,
+    *         then `extraAggs` in order) */
+  private def matchableFiles(s: SparkSession, dir: String, latest: Int,
+      fset: Seq[String], keyCols: Seq[String], keys: DataFrame,
+      extraAggs: Seq[org.apache.spark.sql.Column] = Seq.empty)
+      : (Seq[String], Option[DataFrame], org.apache.spark.sql.Row) = {
+    import org.apache.spark.sql.functions.{col, count_distinct, max, min,
+      struct}
+    val aggCols =
+      count_distinct(struct(keyCols.map(col): _*)).as("_nk_all") +:
+      (keyCols.flatMap(k => Seq(min(col(k)).cast("string"),
+        max(col(k)).cast("string"))) ++ extraAggs)
+    val row = keys.agg(aggCols.head, aggCols.tail: _*).head()
+    val nkAll = row.getLong(0)
+    val lo = keyCols.indices.map(i => Option(row.getString(1 + 2 * i)))
+    val hi = keyCols.indices.map(i => Option(row.getString(2 + 2 * i)))
+    if (nkAll == 0L) return (Seq.empty, None, row) // no keys match nothing
+    val keyProj = keys.select(keyCols.map(col): _*)
+    val exactRows: Option[Seq[org.apache.spark.sql.Row]] =
+      if (nkAll <= mergeMaxExactKeys)
+        Some(keyProj.distinct().collect().toSeq)
+      else None
+    val stats = statsUpTo(s, dir, latest)
+    val chain = (1 to latest).map(c => c -> renamesOf(s, dir, c)).toMap
+    def localName(c: Int, canonical: String): String = {
+      var cur = canonical
+      for (later <- latest until c by -1; (o, n) <- chain(later))
+        if (n == cur) cur = o
+      cur
+    }
+    val kept = fset.filter { rel =>
+      stats.get(rel) match {
+        case None => true
+        case Some(cols) =>
+          val c = rel match {
+            case FileCommit(n) => n.toInt
+            case _ => latest
+          }
+          val b = keyCols.zipWithIndex.flatMap { case (k, i) =>
+            cols.find(_._1 == localName(c, k)).map(st => (i, st)) }
+          if (b.isEmpty) true
+          else exactRows match {
+            // a file may hold a match only if SOME key lies inside its
+            // bounds on EVERY stat-recorded key column
+            case Some(rows) => rows.exists(kr =>
+              b.forall { case (i, (_, tn, mn, mx)) =>
+                val v = kr.get(i)
+                v != null && inBounds(tn, mn, mx, v.toString, v.toString)
+              })
+            case None =>
+              b.forall { case (i, (_, tn, mn, mx)) =>
+                (lo(i), hi(i)) match {
+                  case (Some(l), Some(h)) => inBounds(tn, mn, mx, l, h)
+                  case _ => true // all-null key column constrains nothing
+                }
+              }
+          }
+      }
+    }
+    lastMergePruneCounts = (kept.size, fset.size)
+    val exactFrame = exactRows.map(rows =>
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        keyProj.schema))
+    (kept, exactFrame, row)
+  }
+
+  /** An empty (file_path, row_index) positions frame — the matched set
+    * when key-stat pruning proves no live file can hold a source key. */
+  private def emptyPositions(s: SparkSession): DataFrame =
+    s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("file_path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("row_index",
+          org.apache.spark.sql.types.LongType))))
+
   /** MERGE INTO (upsert) in ONE published version: rows of `src` whose
     * key matches a live row REPLACE it (the old position joins the
     * deletion vector), and every `src` row lands in fresh files appended
     * to the carried file set — so an upsert over a 100 TB table costs a
-    * key-join scan, a positions write, and the size of `src`, never a
-    * rewrite of matched files. `src` must have the table's schema and
-    * unique keys (the standard MERGE source constraint — duplicate
-    * source keys would make the result order-dependent).
-    * [[optimize]] later materializes the vector as usual.
+    * key-join scan OVER THE STAT-OVERLAPPING FILES ONLY
+    * ([[matchableFiles]]), a positions write, and the size of `src`,
+    * never a rewrite of matched files or a full-table scan. `src` must
+    * have the table's schema and unique keys (the standard MERGE source
+    * constraint — duplicate source keys would make the result
+    * order-dependent). [[optimize]] later materializes the vector as
+    * usual.
     *
     * @return (newVersion, rowsReplaced) */
   def upsert(s: SparkSession, dir: String, src: DataFrame,
       keyCols: Seq[String], statsCols: Seq[String] = Seq.empty,
       streamTxn: Option[(String, Long)] = None): (Int, Long) = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit}
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     val f = fs(s, dir)
     require(latestVersion(s, dir) >= 1, s"upsert: no versions at $dir")
     val srcKeys = src.select(keyCols.map(col): _*)
-    require(srcKeys.distinct().count() == src.count(),
-      "upsert source must have unique keys")
     // claim FIRST, then match against v-1 (same lost-update reasoning as
     // deleteWhere: a commit interleaving between a pre-claim read and the
     // claim would vanish from the published file set)
@@ -1152,16 +1258,34 @@ object Snapshots {
     try {
       val latest = mainHead(f, dir, v - 1)
       val fset = files(s, dir, latest)
-      val raw = withMeta(
-        s.read.parquet(fset.map(p => new Path(dir, p).toString): _*))
+      // one job over the batch-sized source: key bounds for file
+      // pruning, the distinct-key count, AND the row count — the
+      // uniqueness check rides along instead of costing two more jobs
+      val (matchFiles, exactKeys, aggRow) = matchableFiles(s, dir,
+        latest, fset, keyCols, srcKeys,
+        extraAggs = Seq(count(lit(1)).as("_n")))
+      require(aggRow.getLong(0) ==
+          aggRow.getLong(1 + 2 * keyCols.size),
+        "upsert source must have unique keys")
       val prev = dvFrame(s, dir, latest)
-      // only LIVE rows can match — an already-deleted position must not
-      // re-enter the vector (it would distort the replaced count)
-      val live = prev.map(p => raw.join(
-          p.select(col("file_path").as("_fp"), col("row_index").as("_ri")),
-          Seq("_fp", "_ri"), "left_anti")).getOrElse(raw)
-      val matched = live.join(srcKeys.distinct(), keyCols, "left_semi")
-        .select(col("_fp").as("file_path"), col("_ri").as("row_index"))
+      val matched: DataFrame =
+        if (matchFiles.isEmpty) emptyPositions(s)
+        else {
+          val raw = withMeta(s.read.parquet(
+            matchFiles.map(p => new Path(dir, p).toString): _*))
+          // only LIVE rows can match — an already-deleted position must
+          // not re-enter the vector (it would distort the replaced count)
+          val live = prev.map(p => raw.join(
+              p.select(col("file_path").as("_fp"),
+                col("row_index").as("_ri")),
+              Seq("_fp", "_ri"), "left_anti")).getOrElse(raw)
+          // a collected exact-key set re-enters as a broadcast local
+          // relation: no source recomputation, no shuffle on the scan
+          val keyFrame = exactKeys.map(broadcast)
+            .getOrElse(srcKeys.distinct())
+          live.join(keyFrame, keyCols, "left_semi")
+            .select(col("_fp").as("file_path"), col("_ri").as("row_index"))
+        }
       val union = prev.map(_.unionByName(matched)).getOrElse(matched)
       union.write.mode("overwrite").parquet(dvDir(dir, v).toString)
       val nReplaced = s.read.parquet(dvDir(dir, v).toString).count() -
@@ -1187,31 +1311,48 @@ object Snapshots {
     * @return (newVersion, rowsApplied = replaced + deleted + inserted) */
   def applyCdc(s: SparkSession, dir: String, upserts: DataFrame,
       deleteKeys: DataFrame, keyCols: Seq[String]): (Int, Long) = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{broadcast, col, count,
+      count_distinct, lit, struct, when}
     require(keyCols.nonEmpty, "applyCdc needs at least one key column")
     val f = fs(s, dir)
     require(latestVersion(s, dir) >= 1, s"applyCdc: no versions at $dir")
     val srcKeys = upserts.select(keyCols.map(col): _*)
-    require(srcKeys.distinct().count() == upserts.count(),
-      "applyCdc upsert batch must have unique keys")
     val c = claimVersion(f, dir)
     val v = c.v
     try {
       val latest = mainHead(f, dir, v - 1)
       val fset = files(s, dir, latest)
-      val raw = withMeta(
-        s.read.parquet(fset.map(p => new Path(dir, p).toString): _*))
+      // both key families prune the scan; a marker column lets the ONE
+      // aggregation job also count the upsert side for the uniqueness
+      // check (previously two extra jobs)
+      val allKeys = srcKeys.withColumn("_d", lit(0)).unionByName(
+        deleteKeys.select(keyCols.map(col): _*).withColumn("_d", lit(1)))
+      val upsCount = count(when(col("_d") === 0, 1)).as("_n_ups")
+      val upsDistinct = count_distinct(when(col("_d") === 0,
+        struct(keyCols.map(col): _*))).as("_nk_ups")
+      val (matchFiles, exactKeys, aggRow) = matchableFiles(s, dir,
+        latest, fset, keyCols, allKeys,
+        extraAggs = Seq(upsCount, upsDistinct))
+      require(aggRow.getLong(1 + 2 * keyCols.size) ==
+          aggRow.getLong(2 + 2 * keyCols.size),
+        "applyCdc upsert batch must have unique keys")
       val prev = dvFrame(s, dir, latest)
-      val live = prev.map(p => raw.join(
-          p.select(col("file_path").as("_fp"), col("row_index").as("_ri")),
-          Seq("_fp", "_ri"), "left_anti")).getOrElse(raw)
       // replaced (upsert keys) and deleted (delete keys) positions join
       // the vector together — one commit, one new vector
-      val gone = live.join(
-          srcKeys.distinct().unionByName(
-            deleteKeys.select(keyCols.map(col): _*).distinct()).distinct(),
-          keyCols, "left_semi")
-        .select(col("_fp").as("file_path"), col("_ri").as("row_index"))
+      val gone: DataFrame =
+        if (matchFiles.isEmpty) emptyPositions(s)
+        else {
+          val raw = withMeta(s.read.parquet(
+            matchFiles.map(p => new Path(dir, p).toString): _*))
+          val live = prev.map(p => raw.join(
+              p.select(col("file_path").as("_fp"),
+                col("row_index").as("_ri")),
+              Seq("_fp", "_ri"), "left_anti")).getOrElse(raw)
+          val keyFrame = exactKeys.map(broadcast).getOrElse(
+            allKeys.select(keyCols.map(col): _*).distinct())
+          live.join(keyFrame, keyCols, "left_semi")
+            .select(col("_fp").as("file_path"), col("_ri").as("row_index"))
+        }
       val union = prev.map(_.unionByName(gone)).getOrElse(gone)
       union.write.mode("overwrite").parquet(dvDir(dir, v).toString)
       val nGone = s.read.parquet(dvDir(dir, v).toString).count() -
@@ -1225,7 +1366,7 @@ object Snapshots {
       writeManifest(f, dir, v, fset ++ moved)
       writeStatLines(f, dir, v, statLines)
       advanceMain(s, f, dir, v)
-      (v, nGone + upserts.count())
+      (v, nGone + aggRow.getLong(1 + 2 * keyCols.size))
     } finally c.release()
   }
 

@@ -392,6 +392,82 @@ class SnapshotsSpec extends SparkSpec {
     assert(rows(v4) == rows(3))
   }
 
+  test("upsert/applyCdc locate matched positions in stat-overlapping " +
+      "files only (key-stat pruning)") {
+    val dir = tmpDir("mergeprune")
+    import spark.implicits._
+    // three single-file vintages with disjoint id ranges + key stats
+    Snapshots.commit(spark, dir, df(1 to 100).coalesce(1),
+      append = false, statsCols = Seq("id"))
+    Snapshots.commit(spark, dir, df(101 to 200).coalesce(1),
+      append = true, statsCols = Seq("id"))
+    Snapshots.commit(spark, dir, df(201 to 300).coalesce(1),
+      append = true, statsCols = Seq("id"))
+
+    // selective MERGE: both keys live in the middle vintage — only its
+    // file is opened to locate replaced positions
+    val (v4, replaced) = Snapshots.upsert(spark, dir,
+      Seq((150L, "X150"), (160L, "X160")).toDF("id", "payload")
+        .coalesce(1),
+      Seq("id"), statsCols = Seq("id"))
+    assert(replaced == 2)
+    assert(Snapshots.lastMergePruneCounts == ((1, 3)),
+      s"selective upsert must open 1 of 3 files: " +
+        s"${Snapshots.lastMergePruneCounts}")
+    val got = Snapshots.read(spark, dir, v4).select("id", "payload")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got.size == 300 && got(150L) == "X150" && got(160L) == "X160"
+      && got(149L) == "row149")
+
+    // keys NO live file can hold: zero files opened, pure insert
+    val (v5, r5) = Snapshots.upsert(spark, dir,
+      Seq((999L, "row999")).toDF("id", "payload"), Seq("id"),
+      statsCols = Seq("id"))
+    assert(r5 == 0)
+    assert(Snapshots.lastMergePruneCounts == ((0, 4)),
+      s"unmatched upsert must open 0 files: " +
+        s"${Snapshots.lastMergePruneCounts}")
+    assert(Snapshots.read(spark, dir, v5).count() == 301)
+    assert(Snapshots.read(spark, dir, v5).filter(col("id") === 999L)
+      .count() == 1)
+
+    // above the exact-key cap, [min,max] range overlap still prunes
+    val dir2 = tmpDir("mergeprune-bounds")
+    Snapshots.commit(spark, dir2, df(1 to 1000).coalesce(1),
+      append = false, statsCols = Seq("id"))
+    Snapshots.commit(spark, dir2, df(2001 to 3000).coalesce(1),
+      append = true, statsCols = Seq("id"))
+    val wide = (2001 to 3500).map(i => (i.toLong, s"w$i"))
+      .toDF("id", "payload")
+    val (_, rWide) = Snapshots.upsert(spark, dir2, wide, Seq("id"))
+    assert(rWide == 1000, s"replaced $rWide")
+    assert(Snapshots.lastMergePruneCounts == ((1, 2)),
+      s"bounds tier must prune the disjoint vintage: " +
+        s"${Snapshots.lastMergePruneCounts}")
+
+    // applyCdc prunes with BOTH key families: the upsert key hits the
+    // high vintage, the delete key the low one, the middle stays closed
+    val dir3 = tmpDir("mergeprune-cdc")
+    Snapshots.commit(spark, dir3, df(1 to 100).coalesce(1),
+      append = false, statsCols = Seq("id"))
+    Snapshots.commit(spark, dir3, df(101 to 200).coalesce(1),
+      append = true, statsCols = Seq("id"))
+    Snapshots.commit(spark, dir3, df(201 to 300).coalesce(1),
+      append = true, statsCols = Seq("id"))
+    val (vc, applied) = Snapshots.applyCdc(spark, dir3,
+      Seq((250L, "X250")).toDF("id", "payload"),
+      Seq(50L).toDF("id"), Seq("id"))
+    assert(applied == 3, s"applied $applied") // 1 replaced + 1 deleted + 1 upserted
+    assert(Snapshots.lastMergePruneCounts == ((2, 3)),
+      s"cdc must open the two hit vintages only: " +
+        s"${Snapshots.lastMergePruneCounts}")
+    val after = Snapshots.read(spark, dir3, vc)
+      .select("id", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(after.size == 299 && !after.contains(50L)
+      && after(250L) == "X250")
+  }
+
   test("timestamp time travel resolves the version live at that instant") {
     val dir = tmpDir("snapts")
     Snapshots.commit(spark, dir, df(1 to 5).coalesce(1), append = false)
