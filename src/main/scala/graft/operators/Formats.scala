@@ -1347,6 +1347,51 @@ object Formats extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // Correlated-subquery DML (f41): DELETE … WHERE EXISTS and
+    // UPDATE … WHERE NOT EXISTS through the SQL front door — the outer
+    // reference re-binds onto the claim-time scan's RESOLVED attributes
+    // (GraftSql.rebind) and Spark's optimizer decorrelates it into the
+    // usual semi/anti-join; each mutation publishes ONE version. The
+    // inner column deliberately SHADOWS the target's name (k.doc_id vs
+    // t.doc_id): a name-based re-binding would collapse the predicate
+    // into a tautology and delete everything. The DuckDB oracle replays
+    // both correlated mutations relationally.
+    "f41_correlated_dml" -> ((s, d) => {
+      val wh = ioDir(d, "f41_wh")
+      val cat = "graft41_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val tdir = s"$wh/db/docs41"
+      writeOnce(s, tdir, alsoRequire =
+          graft.sources.Snapshots.latestVersion(s, tdir) == 3) {
+        val root = new org.apache.hadoop.fs.Path(wh)
+        val fsys = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fsys.delete(root, true)
+        T.documents(s, d).createOrReplaceTempView("f41_docs")
+        s.sql(s"CREATE TABLE $cat.db.docs41 (doc_id BIGINT, " +
+          "lang STRING, source STRING, n_chars BIGINT)")
+        s.sql(s"INSERT INTO $cat.db.docs41 SELECT doc_id, lang, " +
+          "source, n_chars FROM f41_docs")                        // v1
+        s.sql(s"CREATE TABLE $cat.db.hot41 (doc_id BIGINT)")
+        s.sql(s"INSERT INTO $cat.db.hot41 SELECT doc_id FROM " +
+          "f41_docs WHERE source IN ('src0','src1')")
+        s.sql(s"DELETE FROM $cat.db.docs41 t WHERE EXISTS " +      // v2
+          s"(SELECT 1 FROM $cat.db.hot41 k WHERE k.doc_id = t.doc_id)")
+        s.sql(s"CREATE TABLE $cat.db.langs41 (lang STRING)")
+        s.sql(s"INSERT INTO $cat.db.langs41 SELECT DISTINCT lang " +
+          "FROM f41_docs WHERE source = 'src2'")
+        s.sql(s"UPDATE $cat.db.docs41 t SET n_chars = -1 " +       // v3
+          "WHERE NOT EXISTS " +
+          s"(SELECT 1 FROM $cat.db.langs41 l WHERE l.lang = t.lang)")
+        ()
+      }
+      s.sql(s"SELECT lang, count(*) AS n_docs, " +
+          s"sum(n_chars) AS sum_chars FROM $cat.db.docs41 GROUP BY lang")
+        .withColumn("one_version_per_mutation",
+          lit(graft.sources.Snapshots.latestVersion(s, tdir) == 3))
+        .orderBy(col("lang"))
+    }),
+
     // MERGE INTO / upsert (f27): a change batch against the two-commit
     // documents snapshot table — every doc_id % 11 = 0 row updated
     // (n_chars + 1000) and every doc_id % 17 = 0 row cloned in under a
@@ -1947,6 +1992,28 @@ object Formats extends QueryPack {
              TRUE AS one_version_per_batch
       FROM documents
       WHERE doc_id % 7 <> 0
+      GROUP BY lang
+      ORDER BY lang""",
+    // f41: replay the correlated DELETE (drop rows whose doc_id appears
+    // under a hot source) and the correlated NOT EXISTS UPDATE (mark
+    // langs src2 never produced) relationally; the one-version boolean
+    // pinned TRUE
+    "f41_correlated_dml" -> """
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             TRUE AS one_version_per_mutation
+      FROM (
+        SELECT doc_id, lang,
+               CASE WHEN NOT EXISTS (SELECT 1 FROM documents s2
+                 WHERE s2.source = 'src2' AND s2.lang = surv.lang)
+               THEN -1 ELSE n_chars END AS n_chars
+        FROM (
+          SELECT doc_id, lang, n_chars FROM documents t
+          WHERE NOT EXISTS (SELECT 1 FROM documents k
+            WHERE k.source IN ('src0','src1') AND k.doc_id = t.doc_id)
+        ) surv
+      )
       GROUP BY lang
       ORDER BY lang""",
     // f35: replay both sides relationally — main's line (hot + clones)

@@ -83,14 +83,12 @@ case class GraftSqlRules(session: SparkSession) extends Rule[LogicalPlan] {
     case d: DeleteFromTable if d.resolved =>
       snapTarget(d.table) match {
         case Some((t, _)) =>
-          noCorrelatedSubquery(d.condition, "DELETE")
           GraftDeleteCommand(t.dir, new GraftSql.Captured(d.condition))
         case None => d
       }
     case u: UpdateTable if u.resolved =>
       snapTarget(u.table) match {
         case Some((t, _)) =>
-          u.condition.foreach(noCorrelatedSubquery(_, "UPDATE"))
           u.assignments.foreach(a => noSubquery(a.value, "UPDATE"))
           GraftUpdateCommand(t.dir, u.assignments,
             u.condition.map(new GraftSql.Captured(_)))
@@ -189,19 +187,38 @@ private[graft] object GraftSql {
   private[graft] final class Captured(val e: Expression)
       extends Serializable
 
-  /** NON-correlated subqueries in a DML condition are supported (they
-    * run as part of the command's own scan — the optimizer rewrites
-    * IN/EXISTS into semi/anti-joins); correlated ones are refused: the
-    * command re-binds the condition by NAME against a fresh scan, and
-    * an outer reference could not survive that re-binding. */
-  private[sources] def noCorrelatedSubquery(e: Expression,
-      verb: String): Unit =
-    e.foreach {
-      case s: SubqueryExpression => require(!s.isCorrelated,
-        s"graft catalog: $verb with a CORRELATED subquery is not " +
-          "supported; materialize the subquery first")
-      case _ =>
-    }
+  /** Re-bind a captured DML condition against the CLAIM-TIME scan's
+    * own resolved attributes — the correlated-subquery-capable twin of
+    * [[byName]]. Outer attribute references (in the condition itself
+    * AND as a subquery's outer-attribute children) map by name onto
+    * `df`'s output; each subquery PLAN is lowered through
+    * [[GraftSqlRules]] (so an inner snapshot table reads through the
+    * same V1 relation a SELECT plans) with its [[OuterReference]]
+    * targets remapped the same way. Everything stays RESOLVED, so an
+    * `EXISTS (… WHERE s.id = t.id)` cannot mis-bind `t.id` to a
+    * same-named inner column the way a name-based re-binding would —
+    * the analyzer accepts the filter as-is and the optimizer
+    * decorrelates it into the usual semi/anti-join. */
+  private[sources] def rebind(spark: SparkSession, e: Expression,
+      df: DataFrame): Column = {
+    import org.apache.spark.sql.catalyst.expressions.OuterReference
+    val fresh = df.queryExecution.analyzed.output
+      .map(a => a.name -> a).toMap
+    def freshFor(a: AttributeReference)
+        : org.apache.spark.sql.catalyst.expressions.Attribute =
+      fresh.getOrElse(a.name, throw new IllegalStateException(
+        s"graft catalog: DML condition references column ${a.name}, " +
+          "absent from the target scan"))
+    GraftBatchView.exprColumn(e.transform {
+      case s: SubqueryExpression =>
+        val lowered = GraftSqlRules(spark).apply(s.plan)
+        s.withNewPlan(lowered.transformAllExpressions {
+          case OuterReference(a: AttributeReference)
+              if fresh.contains(a.name) => OuterReference(freshFor(a))
+        })
+      case a: AttributeReference if fresh.contains(a.name) => freshFor(a)
+    })
+  }
 
   /** Honor `spark.read.option(...).table("graft.db.t")` reader options
     * on a catalog scan. Spark resolves `versionAsOf`/`timestampAsOf`
@@ -343,8 +360,8 @@ private[graft] case class GraftDeleteCommand(dir: String,
       Option(cond.eval()).contains(true)
     val n: Long =
       if (truncates) GraftSql.truncateTable(spark, dir)
-      else Snapshots.deleteWhere(spark, dir,
-        GraftSql.byName(cond, Some(spark)))._2
+      else Snapshots.deleteWhereBound(spark, dir,
+        df => GraftSql.rebind(spark, cond, df))._2
     GraftSql.lastRowsAffected = n
     Seq.empty
   }
@@ -418,8 +435,8 @@ private[graft] case class GraftUpdateCommand(dir: String,
       if (GraftConstraints.read(spark, dir).exists(_.enforced))
         Some(df => GraftConstraints.enforce(spark, dir, df, "UPDATE"))
       else None
-    val (_, n) = Snapshots.updateWhere(spark, dir,
-      condition.map(c => GraftSql.byName(c.e, Some(spark)))
+    val (_, n) = Snapshots.updateWhereBound(spark, dir,
+      df => condition.map(c => GraftSql.rebind(spark, c.e, df))
         .getOrElse(lit(true)), applied, hook)
     GraftSql.lastRowsAffected = n
     Seq.empty
@@ -656,12 +673,62 @@ private[graft] case class GraftMergeCommand(dir: String,
           case (None, None) => 0L
           case (up, del) =>
             val emptyKeys = tgtKeys(tgtDF).limit(0)
-            Snapshots.applyCdc(spark, dir,
+            try Snapshots.applyCdc(spark, dir,
               up.getOrElse(tgtDF.limit(0)),
               del.getOrElse(emptyKeys), keyCols)._2
+            catch {
+              // surface the cardinality violation in MERGE terms with
+              // the offending keys, not applyCdc's internal invariant.
+              // Diagnosis runs ONLY on the error path, so the happy
+              // path pays no extra jobs for the check.
+              case e: IllegalArgumentException
+                  if e.getMessage != null &&
+                    e.getMessage.contains("unique keys") =>
+                throw cardinalityError(matched, up, tgtKeys, keyCols, e)
+            }
         }
       GraftSql.lastRowsAffected = applied
       Seq.empty
     } finally cached.foreach { df => df.unpersist(); () }
+  }
+
+  /** The MERGE-level cardinality diagnostic: when the staged change set
+    * carries duplicate keys, name the offending keys in MERGE terms —
+    * "N source rows matched the same target row" when the matched join
+    * holds a key more than once (the ANSI cardinality violation), else
+    * duplicate keys across the staged updates/inserts (duplicate source
+    * keys feeding INSERT clauses). Runs only after applyCdc refused, so
+    * correctness-path MERGEs never pay for it. */
+  private def cardinalityError(matched: Option[DataFrame],
+      upserts: Option[DataFrame], tgtKeys: DataFrame => DataFrame,
+      keyCols: Seq[String], cause: Exception): Exception = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    def dups(keys: DataFrame): Seq[Row] =
+      keys.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("_n"))
+        .filter(col("_n") > 1).limit(3).collect().toSeq
+    def render(r: Row): String = keyCols.zipWithIndex
+      .map { case (k, i) => s"$k=${r.get(i)}" }.mkString("(", ", ", ")")
+    val multiMatch = matched.map(m => dups(tgtKeys(m))).getOrElse(Seq.empty)
+    if (multiMatch.nonEmpty) {
+      val worst = multiMatch.head
+      new IllegalStateException(
+        s"MERGE: ${worst.getLong(keyCols.size)} source rows matched " +
+          s"the target row with key ${render(worst)}" +
+          (if (multiMatch.size > 1)
+            s" (and ${multiMatch.tail.map(render).mkString(", ")})"
+           else "") +
+          " — each target row may be matched by at most one source " +
+          "row; deduplicate the source on the ON keys first", cause)
+    } else {
+      val dupStaged = upserts.map(dups).getOrElse(Seq.empty)
+      new IllegalStateException(
+        "MERGE: the staged change set carries duplicate keys" +
+          (if (dupStaged.nonEmpty)
+            s" — e.g. ${dupStaged.map(render).mkString(", ")}"
+           else "") +
+          " (duplicate source keys reaching INSERT clauses, or a " +
+          "target holding duplicate ON keys); deduplicate the source " +
+          "on the ON keys first", cause)
+    }
   }
 }

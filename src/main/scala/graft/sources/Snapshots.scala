@@ -1003,6 +1003,18 @@ object Snapshots {
     * @return (newVersion, rowsDeleted) */
   def deleteWhere(s: SparkSession, dir: String,
       cond: org.apache.spark.sql.Column,
+      branch: Option[String] = None): (Int, Long) =
+    deleteWhereBound(s, dir, _ => cond, branch)
+
+  /** [[deleteWhere]] with the condition built AGAINST THE CLAIM-TIME
+    * SCAN (`condOf` receives the live frame and returns the predicate
+    * Column): the SQL front door routes correlated-subquery conditions
+    * here — an EXISTS's outer references must bind to the scan's own
+    * resolved attributes (a by-name re-binding would mis-resolve a
+    * same-named inner column), and that scan only exists inside the
+    * version claim. */
+  private[sources] def deleteWhereBound(s: SparkSession, dir: String,
+      condOf: DataFrame => org.apache.spark.sql.Column,
       branch: Option[String] = None): (Int, Long) = {
     import org.apache.spark.sql.functions.col
     val f = fs(s, dir)
@@ -1024,7 +1036,7 @@ object Snapshots {
       val fset = files(s, dir, latest)
       val scan = withMeta(
         s.read.parquet(fset.map(p => new Path(dir, p).toString): _*))
-      val hits0 = scan.filter(cond)
+      val hits0 = scan.filter(condOf(scan))
         .select(col("_fp").as("file_path"), col("_ri").as("row_index"))
       // already-deleted rows must not re-count
       val prev = dvFrame(s, dir, latest)
@@ -1065,6 +1077,15 @@ object Snapshots {
   def updateWhere(s: SparkSession, dir: String,
       cond: org.apache.spark.sql.Column,
       sets: Seq[(String, org.apache.spark.sql.Column)],
+      validate: Option[DataFrame => Unit] = None): (Int, Long) =
+    updateWhereBound(s, dir, _ => cond, sets, validate)
+
+  /** [[updateWhere]] with the condition built against the claim-time
+    * scan — see [[deleteWhereBound]] (the correlated-subquery DML
+    * path). */
+  private[sources] def updateWhereBound(s: SparkSession, dir: String,
+      condOf: DataFrame => org.apache.spark.sql.Column,
+      sets: Seq[(String, org.apache.spark.sql.Column)],
       validate: Option[DataFrame => Unit] = None): (Int, Long) = {
     import org.apache.spark.sql.functions.col
     require(sets.nonEmpty, "updateWhere needs at least one assignment")
@@ -1090,7 +1111,7 @@ object Snapshots {
       // back), instead of re-scanning per consumer or re-reading the
       // just-written vector. Positions are new by construction (`live`
       // excludes prior deletes), so count(matched) IS rowsUpdated.
-      val matched = live.filter(cond)
+      val matched = live.filter(condOf(live))
       matched.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {

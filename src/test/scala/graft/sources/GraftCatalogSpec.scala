@@ -243,6 +243,51 @@ class GraftCatalogSpec extends SparkSpec {
       "the first matching clause must win; nothing may reach the DELETE")
   }
 
+  test("MERGE cardinality: multiple source matches fail with the " +
+      "offending key; a clean MERGE stays in its job budget") {
+    warehouse
+    sql("CREATE TABLE graft.db.tmx (id BIGINT, payload STRING)")
+    sql("INSERT INTO graft.db.tmx VALUES (1, 'a'), (2, 'b')")
+    sql("CREATE OR REPLACE TEMPORARY VIEW tmx_dup AS SELECT * FROM " +
+      "VALUES (CAST(2 AS BIGINT), 'X'), (CAST(2 AS BIGINT), 'Y') " +
+      "AS s(id, payload)")
+    val e = intercept[Exception] {
+      sql("MERGE INTO graft.db.tmx t USING tmx_dup s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET payload = s.payload")
+    }
+    assert(e.getMessage.contains("MERGE") &&
+      e.getMessage.contains("matched") && e.getMessage.contains("id=2"),
+      s"expected a MERGE-level cardinality error naming the key, got: " +
+        s"${e.getMessage}")
+    assert(!e.getMessage.contains("applyCdc"),
+      "the applyCdc invariant must not leak as the user-facing message")
+    // the failed MERGE published nothing
+    assert(rows("SELECT * FROM graft.db.tmx") == Seq((1L, "a"), (2L, "b")))
+
+    // job budget: the uniqueness pre-checks fold into the key-bounds
+    // aggregation, keeping a single-clause MERGE at a handful of jobs
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    sql("CREATE OR REPLACE TEMPORARY VIEW tmx_src AS SELECT * FROM " +
+      "VALUES (CAST(2 AS BIGINT), 'B') AS s(id, payload)")
+    spark.sparkContext.addSparkListener(l)
+    try {
+      sql("MERGE INTO graft.db.tmx t USING tmx_src s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET payload = s.payload")
+      Thread.sleep(400) // let the listener bus drain
+    } finally spark.sparkContext.removeSparkListener(l)
+    assert(rows("SELECT * FROM graft.db.tmx") == Seq((1L, "a"), (2L, "B")))
+    // measured 17 with the folded checks (AQE stage materialization
+    // spawns several jobs per action); the unfolded pre-checks cost two
+    // more ACTIONS (~5 more jobs), so 20 catches a regression
+    assert(jobs.get() <= 20, s"single-clause MERGE ran ${jobs.get()} jobs")
+  }
+
   test("MERGE INTO: WHEN NOT MATCHED BY SOURCE updates and deletes " +
       "unreferenced target rows") {
     warehouse
@@ -335,13 +380,35 @@ class GraftCatalogSpec extends SparkSpec {
     assert(rows("SELECT * FROM graft.db.tsq VERSION AS OF 1").map(_._1) ==
       (1L to 6L))
 
-    // CORRELATED subqueries are refused (outer references cannot
-    // re-bind to the command's fresh scan)
-    val corr = intercept[Exception] {
-      sql("DELETE FROM graft.db.tsq t WHERE EXISTS " +
-        "(SELECT 1 FROM graft.db.tsq_keys k WHERE k.id = t.id)")
-    }
-    assert(corr.getMessage.contains("CORRELATED"), corr.getMessage)
+    // CORRELATED subqueries decorrelate against the claim-time scan —
+    // the CDC-cleanup shape. The inner column shares the target's NAME
+    // (k.id vs t.id): a by-name re-binding would collapse the predicate
+    // into the tautology k.id = k.id and delete everything; the
+    // resolved rebind keeps t.id on the target
+    sql("INSERT INTO graft.db.tsq_keys VALUES (4)")
+    sql("DELETE FROM graft.db.tsq t WHERE EXISTS " +
+      "(SELECT 1 FROM graft.db.tsq_keys k WHERE k.id = t.id)")
+    assert(GraftSql.lastRowsAffected == 1L) // only id 4 is a key
+    assert(rows("SELECT * FROM graft.db.tsq") ==
+      Seq((1L, "a"), (5L, "E")))
+    assert(Snapshots.latestVersion(spark, dirOf("db", "tsq")) == 5,
+      "the correlated DELETE must publish exactly one version")
+
+    // correlated NOT EXISTS on UPDATE
+    sql("UPDATE graft.db.tsq t SET payload = concat(payload, '?') " +
+      "WHERE NOT EXISTS " +
+      "(SELECT 1 FROM graft.db.tsq_keys k WHERE k.id = t.id)")
+    assert(GraftSql.lastRowsAffected == 2L)
+    assert(rows("SELECT * FROM graft.db.tsq") ==
+      Seq((1L, "a?"), (5L, "E?")))
+
+    // correlation through a non-key inner column
+    sql("CREATE TABLE graft.db.tsq_refs (id BIGINT, ref BIGINT)")
+    sql("INSERT INTO graft.db.tsq_refs VALUES (100, 5)")
+    sql("DELETE FROM graft.db.tsq t WHERE EXISTS " +
+      "(SELECT 1 FROM graft.db.tsq_refs r WHERE r.ref = t.id)")
+    assert(GraftSql.lastRowsAffected == 1L)
+    assert(rows("SELECT * FROM graft.db.tsq") == Seq((1L, "a?")))
   }
 
   test("refusals: subqueries in MERGE ON, key updates, non-equality ON") {
