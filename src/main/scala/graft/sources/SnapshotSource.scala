@@ -180,13 +180,22 @@ class SnapshotSource extends RelationProvider
       .map(_.toInt)
     maxFilesPerTrigger.foreach(m => require(m >= 1,
       "graft-snapshots source: maxFilesPerTrigger must be >= 1"))
+    // maxBytesPerTrigger=N: byte-based admission — a version of few
+    // GIANT files no longer floods a micro-batch the file cap would
+    // admit. Soft max (at least one file per batch), mid-version
+    // offsets, composes with both other caps.
+    val maxBytesPerTrigger = parameters.get("maxbytespertrigger")
+      .map(_.toLong)
+    maxBytesPerTrigger.foreach(m => require(m >= 1,
+      "graft-snapshots source: maxBytesPerTrigger must be >= 1"))
     if (parameters.get("readchangefeed").exists(_.toBoolean)) {
       require(!ignoreChanges, "graft-snapshots source: readChangeFeed " +
         "and ignoreChanges are exclusive (the change feed REPRESENTS " +
         "deletes and rewrites instead of dropping or refusing them)")
-      require(maxFilesPerTrigger.isEmpty, "graft-snapshots source: " +
-        "maxFilesPerTrigger does not apply to the change feed (its " +
-        "deltas are per-version); use maxVersionsPerTrigger")
+      require(maxFilesPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty,
+        "graft-snapshots source: maxFilesPerTrigger/maxBytesPerTrigger " +
+        "do not apply to the change feed (its deltas are per-version); " +
+        "use maxVersionsPerTrigger")
       // tableSchemaNow handles the created-but-never-committed table
       // (declared `_SCHEMA`, schemaVersion 0 — the source idles via
       // getOffset=None until v1 commits), where an unconditional
@@ -201,7 +210,8 @@ class SnapshotSource extends RelationProvider
         sourceSchema(ctx, schema, providerName, parameters)._2,
         ignoreChanges, startingVersion, maxVersionsPerTrigger,
         metadataPath, branch = branch,
-        maxFilesPerTrigger = maxFilesPerTrigger)
+        maxFilesPerTrigger = maxFilesPerTrigger,
+        maxBytesPerTrigger = maxBytesPerTrigger)
   }
 
   /** Streaming sink: every micro-batch lands as ONE snapshot commit, so
@@ -490,7 +500,8 @@ private[graft] class SnapshotStreamSource(spark: SparkSession,
     maxVersionsPerTrigger: Option[Int] = None,
     metadataPath: String = "",
     branch: Option[String] = None,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends org.apache.spark.sql.execution.streaming.Source {
 
   import org.apache.spark.sql.execution.streaming.{Offset => SrcOffset}
@@ -509,22 +520,28 @@ private[graft] class SnapshotStreamSource(spark: SparkSession,
     else metadataPath,
     startingVersion,
     capped = maxVersionsPerTrigger.isDefined ||
-      maxFilesPerTrigger.isDefined)
+      maxFilesPerTrigger.isDefined || maxBytesPerTrigger.isDefined)
 
   // capped offers advance along the followed line's ancestry, never raw
   // version numbers (interleaved branch commits would put the offset on
   // the other line and its rows into this stream)
   private val line = new LineAncestry(spark, dir)
 
+  // file- and byte-capped admission can stop MID-version
+  private val midVersion =
+    maxFilesPerTrigger.isDefined || maxBytesPerTrigger.isDefined
+
   // the files version `cv` ADDED over its parent, in manifest order
-  // (stable — what mid-version offsets index into). Memoized: manifests
-  // are immutable while a stream runs (purge requires quiescence).
-  // Bounded: a stream alive across a million versions must not hold a
-  // million file lists — old entries are recomputable on demand.
+  // (stable — what mid-version offsets index into), with their sizes
+  // when byte-capped admission needs them (one driver metadata call per
+  // file, once). Memoized: manifests are immutable while a stream runs
+  // (purge requires quiescence). Bounded: a stream alive across a
+  // million versions must not hold a million file lists — old entries
+  // are recomputable on demand.
   private val addedCache =
-    scala.collection.mutable.Map.empty[Int, Seq[String]]
+    scala.collection.mutable.Map.empty[Int, Seq[(String, Long)]]
   private def addedOf(f: org.apache.hadoop.fs.FileSystem,
-      cv: Int): Seq[String] = {
+      cv: Int): Seq[(String, Long)] = {
     // evict BEFORE the lookup: clearing inside getOrElseUpdate's default
     // would mutate the map mid-update (works on current 2.13 only by
     // implementation accident) and wipe hot entries mid-catch-up
@@ -535,39 +552,53 @@ private[graft] class SnapshotStreamSource(spark: SparkSession,
       val parentSet =
         if (parent >= 1) Snapshots.files(spark, dir, parent).toSet
         else Set.empty[String]
-      Snapshots.files(spark, dir, cv).filterNot(parentSet)
+      val adds = Snapshots.files(spark, dir, cv).filterNot(parentSet)
+      if (maxBytesPerTrigger.isEmpty) adds.map((_, 0L))
+      else adds.map(p =>
+        (p, f.getFileStatus(new Path(dir, p)).getLen))
     })
   }
 
   /** The furthest position a single trigger may reach from `from`:
     * first the remainder of the partially-consumed version, then whole
-    * (or partial) following versions, bounded by BOTH caps. Returns a
+    * (or partial) following versions, bounded by ALL configured caps
+    * (versions, files, bytes). The byte cap is a soft max: a batch
+    * always admits at least one file (else a file above the budget
+    * would wedge the stream) and may overshoot by the file that crosses
+    * the budget — Delta's maxBytesPerTrigger contract. Returns a
     * version-normalized position (i == that version's added count when
     * fully consumed) so a caught-up source re-offers an EQUAL offset. */
   private def advancePos(f: org.apache.hadoop.fs.FileSystem,
       from: FilePos, head: Int): FilePos = {
     val maxF = maxFilesPerTrigger.getOrElse(Int.MaxValue)
     val maxV = maxVersionsPerTrigger.getOrElse(Int.MaxValue)
+    val maxB = maxBytesPerTrigger.getOrElse(Long.MaxValue)
     def count(x: Int) = if (x < 1) 0 else addedOf(f, x).size
     var v = math.max(from.v, startingVersion - 1)
     var i = math.min(if (from.i < 0) Int.MaxValue else from.i, count(v))
     var files = 0
+    var bytes = 0L
     var versions = 0
+    def take(fs: Seq[(String, Long)]): Unit =
+      while (i < fs.size && files < maxF && bytes < maxB) {
+        bytes += fs(i)._2; i += 1; files += 1
+      }
     if (v >= 1 && i < count(v)) { // finish the current version first
-      val take = math.min(count(v) - i, maxF - files)
-      i += take; files += take; versions += 1
+      versions += 1
+      take(addedOf(f, v))
     }
     // walk the LINE's versions, not raw numbers: an interleaved
     // other-line commit consumed here would emit its rows into this
     // stream (and count its files against this trigger's cap)
     val next = line.upTo(f, head).iteratorFrom(v + 1).takeWhile(_ <= head)
-    while (files < maxF && versions < maxV && next.hasNext) {
+    while (files < maxF && bytes < maxB && versions < maxV &&
+        next.hasNext) {
       v = next.next()
       versions += 1
-      val c = count(v)
-      val take = math.min(c, maxF - files)
-      i = take; files += take
-      if (take < c) return FilePos(v, i) // stopped mid-version
+      i = 0
+      val fs = addedOf(f, v)
+      take(fs)
+      if (i < fs.size) return FilePos(v, i) // stopped mid-version
     }
     FilePos(v, i)
   }
@@ -575,7 +606,7 @@ private[graft] class SnapshotStreamSource(spark: SparkSession,
   override def getOffset: Option[SrcOffset] = {
     val head = lineHead
     if (head < 1) return None
-    if (maxFilesPerTrigger.isEmpty) {
+    if (!midVersion) {
       // whole-version offsets (plain longs — back-compatible); a capped
       // offer picks the cap-th ON-LINE version past the cursor, not
       // cursor + cap (which can land on an interleaved branch commit)
@@ -693,11 +724,13 @@ private[graft] class SnapshotStreamSource(spark: SparkSession,
         // under ignoreChanges it skips files a later rewrite replaced)
         Snapshots.files(spark, dir, v1).filterNot(base.contains)
       else {
-        // mid-version offsets (maxFilesPerTrigger): per-version ADDED
-        // slices — the remainder of the partially-consumed start
-        // version, whole intermediates, a prefix of the end version
+        // mid-version offsets (maxFilesPerTrigger/maxBytesPerTrigger):
+        // per-version ADDED slices — the remainder of the partially-
+        // consumed start version, whole intermediates, a prefix of the
+        // end version
+        def paths(cv: Int): Seq[String] = addedOf(f, cv).map(_._1)
         def resolve(p: FilePos): Int =
-          if (p.i < 0) addedOf(f, p.v).size else p.i
+          if (p.i < 0) paths(p.v).size else p.i
         val vs = scala.collection.mutable.ArrayBuffer.empty[Int]
         var v = v1
         while (v > v0 && v >= 1) {
@@ -706,13 +739,13 @@ private[graft] class SnapshotStreamSource(spark: SparkSession,
           v = if (parent < v) parent else -1
         }
         val tail = vs.reverseIterator.flatMap { cv =>
-          val all = addedOf(f, cv)
+          val all = paths(cv)
           if (cv == v1) all.take(resolve(p1)) else all
         }.toSeq
         val head =
-          if (v0 >= 1 && resolve(p0) < addedOf(f, v0).size) {
-            val h = addedOf(f, v0).drop(resolve(p0))
-            if (v0 == v1) addedOf(f, v0).slice(resolve(p0), resolve(p1))
+          if (v0 >= 1 && resolve(p0) < paths(v0).size) {
+            val h = paths(v0).drop(resolve(p0))
+            if (v0 == v1) paths(v0).slice(resolve(p0), resolve(p1))
             else h
           } else Seq.empty
         if (v0 == v1) head else head ++ tail

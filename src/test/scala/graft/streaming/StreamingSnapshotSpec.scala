@@ -668,6 +668,61 @@ class StreamingSnapshotSpec extends SparkSpec {
     assert(e.getMessage.contains("maxFilesPerTrigger"), e.getMessage)
   }
 
+  test("maxBytesPerTrigger splits a fat version into byte-bounded " +
+      "batches (soft max: at least one file per batch)") {
+    import spark.implicits._
+    val dir = tmpDir("mbpt")
+    // one FAT version (several files) + a small follow-up
+    Snapshots.commit(spark, dir,
+      (1 to 40).map(k => DocRow(k.toLong, "x" * 50)).toDF("id", "payload")
+        .repartition(4), append = false)
+    Snapshots.commit(spark, dir,
+      (41 to 50).map(k => DocRow(k.toLong, "y" * 50)).toDF("id", "payload")
+        .coalesce(1), append = true)
+    val v1Files = Snapshots.read(spark, dir, 1).inputFiles.length
+    assert(v1Files >= 3, s"fixture needs a multi-file version: $v1Files")
+
+    import scala.jdk.CollectionConverters._
+    def drain(budget: String): Seq[Seq[Long]] = {
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]()
+      val q = spark.readStream.format("graft-snapshots")
+        .option("path", dir).option("maxBytesPerTrigger", budget).load()
+        .writeStream.foreachBatch {
+          (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            val got = b.select("id").collect().map(_.getLong(0)).toSeq
+            if (got.nonEmpty) { seen.add(got); () }
+        }.option("checkpointLocation", tmpDir("mbpt-cp")).start()
+      try q.processAllAvailable() finally q.stop()
+      seen.asScala.toSeq
+    }
+
+    // a 1-byte budget: every batch admits exactly ONE file (the soft
+    // max never wedges on a file above the budget), so the fat version
+    // splits across as many batches as it has files
+    val tiny = drain("1")
+    assert(tiny.flatten.sorted == (1L to 50L),
+      s"everything must arrive exactly once: ${tiny.flatten.sorted}")
+    assert(tiny.size == v1Files + 1,
+      s"expected one file per batch (${v1Files + 1}), got ${tiny.size}: " +
+        tiny.map(_.size))
+
+    // a budget above the whole history: one catch-up batch
+    val one = drain((10L << 30).toString)
+    assert(one.size == 1 && one.head.sorted == (1L to 50L),
+      s"a huge budget must admit everything at once: ${one.map(_.size)}")
+
+    // the change feed refuses the knob (per-version deltas)
+    val e = intercept[Exception] {
+      val qq = spark.readStream.format("graft-snapshots")
+        .option("path", dir).option("readChangeFeed", "true")
+        .option("maxBytesPerTrigger", "1").load()
+        .writeStream.format("memory").queryName("mbpt_cdf_bad")
+        .option("checkpointLocation", tmpDir("mbpt-cdf-bad-cp")).start()
+      try qq.processAllAvailable() finally qq.stop()
+    }
+    assert(e.getMessage.contains("maxBytesPerTrigger"), e.getMessage)
+  }
+
   test("branch option streams a named branch's line, not main") {
     import spark.implicits._
     val dir = tmpDir("branchstream")
