@@ -517,6 +517,10 @@ object Snapshots {
       // silently delete this version's rows
       f.delete(dvDir(dir, v), true); ()
     }
+    // same reasoning for an orphaned vN.op: an aborted upsert's stale
+    // "upsert" verb on a reused version number would make the change
+    // feed mis-type this plain commit's delta
+    f.delete(new Path(dir, s"v$v.op"), false)
     // meta precedes the manifest: a version without meta never becomes
     // visible (versions resolve through manifests), so `manifest => meta`
     // holds and a stream batch id stamped in meta is crash-consistent
@@ -1712,8 +1716,17 @@ object Snapshots {
     *    upserting one side's rows after the merge instead).
     * A branch already contained in main returns main's head unchanged;
     * main un-diverged since the base fast-forwards onto the branch head
-    * (no merge commit — the git semantics). Rewrites since the base are
-    * refused: a replaced file's positions cannot be reconciled.
+    * (no merge commit — the git semantics). BRANCH-side rewrites since
+    * the base are refused (a replaced file's positions cannot be
+    * reconciled — rebase); MAIN-side rewrites merge when every rewrite
+    * is a RECORDED content-preserving [[optimize]] (`vN.op`): the
+    * merged manifest is main's head files plus the branch's additions,
+    * and branch deletions whose files the rewrite dropped re-locate BY
+    * KEY against main's live head (requires `keyCols`; a deleted key
+    * matching zero or several live head rows refuses — main deleted,
+    * updated, or duplicated it). A routinely-compacted main therefore
+    * absorbs a long-lived branch without a rebase. Arbitrary rewrites
+    * (INSERT OVERWRITE) stay refused.
     *
     * Scale shape at 100 TB: the fast path touches only manifests and
     * refs; conflict detection reads ONLY the files each side ADDED
@@ -1772,34 +1785,160 @@ object Snapshots {
         if (base >= 1) files(s, dir, base) else Seq.empty[String]
       val mFiles = files(s, dir, mHead)
       val bFiles = files(s, dir, bHead)
-      def added(head: Seq[String], side: String): Seq[String] = {
-        require(baseFiles.forall(head.toSet.contains),
-          s"mergeBranch: $side rewrote files since the base v$base — " +
-            "only append-only sides merge; rebase the branch instead")
-        head.filterNot(baseFiles.toSet)
-      }
-      val mAdded = added(mFiles, "main")
-      val bAdded = added(bFiles, s"branch '$name'")
+      val baseSet = baseFiles.toSet
+      // the BRANCH must stay file-set-monotone (rebase otherwise); MAIN
+      // may have rewritten, IF every rewrite is a recorded
+      // content-preserving optimize (handled below)
+      require(baseFiles.forall(bFiles.toSet.contains),
+        s"mergeBranch: branch '$name' rewrote files since the base " +
+          s"v$base — only an append-only branch merges; rebase instead")
+      val bAdded = bFiles.filterNot(baseSet)
+      val mAdded = mFiles.filterNot(baseSet)
+      val mRewrote = !baseFiles.forall(mFiles.toSet.contains)
       val newVs = (mAdded ++ bAdded).collect {
         case FileCommit(c) => c.toInt }.distinct
       require(newVs.forall(renamesOf(s, dir, _).isEmpty),
         s"mergeBranch: schema renames on a diverged side — merge " +
           "before renaming, or rebase")
-      if (keyCols.nonEmpty && mAdded.nonEmpty && bAdded.nonEmpty) {
-        def keysOf(paths: Seq[String]) =
-          s.read.parquet(paths.map(p => new Path(dir, p).toString): _*)
-            .select(keyCols.map(col): _*).distinct()
-        val conflicts = keysOf(mAdded).join(keysOf(bAdded), keyCols)
-        val sample = conflicts.limit(3).collect()
-        require(sample.isEmpty,
-          s"mergeBranch: both sides appended rows for key(s) " +
-            s"${sample.mkString(", ")} … — resolve by rebasing or " +
-            "upserting one side after a merge of the rest")
+      def absPaths(rels: Seq[String]): Seq[String] =
+        rels.map(p => new Path(dir, p).toString)
+      def liveOf(fls: Seq[String], dv: Option[DataFrame]): DataFrame = {
+        val raw = withMeta(s.read.parquet(absPaths(fls): _*))
+        dv.map(p => raw.join(p.select(col("file_path").as("_fp"),
+            col("row_index").as("_ri")), Seq("_fp", "_ri"), "left_anti"))
+          .getOrElse(raw)
       }
-      // publish: union manifest, both parents, and the UNION deletion
-      // vector (base positions + both sides' disjoint deltas)
-      val mergedDv = (baseDvF.toSeq ++ mDelta.toSeq ++ bDelta.toSeq)
-        .reduceOption(_.unionByName(_))
+      val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      try {
+      val (mergedManifest, mergedDv) =
+        if (!mRewrote) {
+          if (keyCols.nonEmpty && mAdded.nonEmpty && bAdded.nonEmpty) {
+            def keysOf(paths: Seq[String]) =
+              s.read.parquet(absPaths(paths): _*)
+                .select(keyCols.map(col): _*).distinct()
+            val conflicts = keysOf(mAdded).join(keysOf(bAdded), keyCols)
+            val sample = conflicts.limit(3).collect()
+            require(sample.isEmpty,
+              s"mergeBranch: both sides appended rows for key(s) " +
+                s"${sample.mkString(", ")} … — resolve by rebasing or " +
+                "upserting one side after a merge of the rest")
+          }
+          // union manifest and the UNION deletion vector (base
+          // positions + both sides' disjoint deltas)
+          (baseFiles ++ mAdded ++ bAdded,
+            (baseDvF.toSeq ++ mDelta.toSeq ++ bDelta.toSeq)
+              .reduceOption(_.unionByName(_)))
+        } else {
+          // MAIN REWROTE since the base. A recorded optimize preserves
+          // row content (it only materializes the base vector and
+          // re-clusters), so the branch still reconciles: the merged
+          // manifest is main's head files + the branch's additions, and
+          // the branch's deletion delta re-locates — positions into
+          // files the merge still carries stay positions, positions
+          // into rewritten-away files re-locate BY KEY against main's
+          // live head (refused without keyCols, and on any ambiguity:
+          // a deleted key missing from the live head, or matching more
+          // than one live row). Arbitrary rewrites (INSERT OVERWRITE —
+          // no recorded optimize op) stay refused: their content
+          // relationship to the base is unknown. Cost: the re-location
+          // reads the dropped files' deleted rows (DV-delta-sized) and
+          // key-joins main's live head once; the key-conflict check
+          // reads base + head key columns (content-level — the
+          // compacted files carry base rows, so file-level "added"
+          // keys would false-positive).
+          var x = mHead
+          while (x > 0 && x != base) {
+            val p = commitParent(f, dir, x)
+            val pf =
+              if (p >= 1) files(s, dir, p).toSet else Set.empty[String]
+            if (!pf.subsetOf(files(s, dir, x).toSet))
+              require(commitOp(s, dir, x).exists(_._1 == "optimize"),
+                s"mergeBranch: main rewrote files at v$x since the " +
+                  s"base v$base and the rewrite is not a recorded " +
+                  "content-preserving optimize — the branch's " +
+                  "deletions cannot be re-located; rebase instead")
+            x = if (p < x) p else 0
+          }
+          val mHeadDv = dvFrame(s, dir, mHead)
+          lazy val headLive = liveOf(mFiles, mHeadDv)
+          val dropped = baseFiles.filterNot(mFiles.toSet)
+          val (keptDelta, relocated) = bDelta match {
+            case None => (None, None)
+            case Some(bd0) =>
+              import org.apache.spark.sql.functions.{broadcast,
+                element_at, split}
+              val dnDf = s.createDataFrame(
+                s.sparkContext.parallelize(
+                  dropped.map(p =>
+                    org.apache.spark.sql.Row(new Path(p).getName)), 1),
+                org.apache.spark.sql.types.StructType(Seq(
+                  org.apache.spark.sql.types.StructField("_fname",
+                    org.apache.spark.sql.types.StringType))))
+              val bd = bd0.withColumn("_fname",
+                element_at(split(col("file_path"), "/"), -1))
+              val kept = bd.join(broadcast(dnDf), Seq("_fname"),
+                "left_anti").drop("_fname")
+              val moved = bd.join(broadcast(dnDf), Seq("_fname"),
+                  "left_semi")
+                .select(col("file_path").as("_fp"),
+                  col("row_index").as("_ri"))
+              if (moved.isEmpty) (Some(kept), None)
+              else {
+                require(keyCols.nonEmpty,
+                  s"mergeBranch: branch '$name' deleted rows in files " +
+                    "a main-side optimize rewrote — pass keyCols so " +
+                    "the deletions can be re-located by key")
+                val delKeys = liveOf(dropped, None)
+                  .join(moved, Seq("_fp", "_ri"), "left_semi")
+                  .select(keyCols.map(col): _*).distinct()
+                val matched = headLive.join(delKeys, keyCols, "inner")
+                  .select(keyCols.map(col) :+ col("_fp") :+
+                    col("_ri"): _*)
+                matched.persist(
+                  org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                cached += matched
+                import org.apache.spark.sql.functions.{count, lit}
+                val dup = matched.groupBy(keyCols.map(col): _*)
+                  .agg(count(lit(1)).as("_n")).filter(col("_n") > 1)
+                  .limit(3).collect()
+                require(dup.isEmpty,
+                  s"mergeBranch: re-locating branch '$name' deletions " +
+                    s"found multiple live main rows for key(s) " +
+                    s"${dup.mkString(", ")} … — ambiguous; rebase")
+                val missing = delKeys.join(matched, keyCols, "left_anti")
+                  .limit(3).collect()
+                require(missing.isEmpty,
+                  s"mergeBranch: branch '$name' deleted key(s) " +
+                    s"${missing.mkString(", ")} … with no live row at " +
+                    "main's head (main deleted or updated them since " +
+                    "the base) — ambiguous; rebase, or replay the " +
+                    "deletes after merging the rest")
+                (Some(kept),
+                  Some(matched.select(col("_fp").as("file_path"),
+                    col("_ri").as("row_index"))))
+              }
+          }
+          if (keyCols.nonEmpty && bAdded.nonEmpty) {
+            val headKeys = headLive.select(keyCols.map(col): _*)
+              .distinct()
+            val mNewKeys =
+              if (base >= 1)
+                headKeys.join(liveOf(baseFiles, baseDvF)
+                  .select(keyCols.map(col): _*).distinct(),
+                  keyCols, "left_anti")
+              else headKeys
+            val bKeys = s.read.parquet(absPaths(bAdded): _*)
+              .select(keyCols.map(col): _*).distinct()
+            val sample = mNewKeys.join(bKeys, keyCols).limit(3).collect()
+            require(sample.isEmpty,
+              s"mergeBranch: both sides appended rows for key(s) " +
+                s"${sample.mkString(", ")} … — resolve by rebasing or " +
+                "upserting one side after a merge of the rest")
+          }
+          (mFiles ++ bAdded,
+            (mHeadDv.toSeq ++ keptDelta.toSeq ++ relocated.toSeq)
+              .reduceOption(_.unionByName(_)))
+        }
       mergedDv match {
         case Some(dv) =>
           dv.distinct().write.mode("overwrite")
@@ -1810,9 +1949,10 @@ object Snapshots {
           f.delete(dvDir(dir, v), true); ()
       }
       writeCommitMeta(f, dir, v, mHead, parent2 = Some(bHead))
-      writeManifest(f, dir, v, baseFiles ++ mAdded ++ bAdded)
+      writeManifest(f, dir, v, mergedManifest)
       writeRef(s, f, dir, "main", v, tag = false)
       v
+      } finally cached.foreach { df => df.unpersist(); () }
     } finally lock.release()
   }
 
@@ -2185,6 +2325,13 @@ object Snapshots {
       commitClaimed(s, f, dir, clustered, append = false,
         renames = Map.empty, statsCols = zorderCols, v = v,
         baseVersion = base)
+      // record the rewrite as CONTENT-PRESERVING: [[mergeBranch]] may
+      // reconcile a branch across it by re-locating deletions by key,
+      // where an arbitrary rewrite (INSERT OVERWRITE) stays refused.
+      // Written after the publish — a crash in between leaves a
+      // published version without the op, which only DEGRADES (the
+      // merge refuses, the change feed types generically), never lies.
+      writeCommitOp(f, dir, v, "optimize", Seq.empty)
       advanceMain(s, f, dir, v)
       v
     } finally c.release()

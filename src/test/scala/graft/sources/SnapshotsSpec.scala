@@ -1189,6 +1189,77 @@ class SnapshotsSpec extends SparkSpec {
     spark.sparkContext.statusTracker.getJobIdsForGroup(tag).length
   }
 
+  test("mergeBranch reconciles across a main-side optimize: deletions " +
+      "re-locate by key; arbitrary rewrites still refuse") {
+    val dir = tmpDir("mergecompact")
+    Snapshots.commit(spark, dir, df(1 to 10).coalesce(1),
+      append = false)                                              // v1
+    Snapshots.createRef(spark, dir, "exp")
+    // branch: append rows and delete base rows 3 and 4 (positions into
+    // v1's file — which main's optimize is about to rewrite away)
+    Snapshots.commitOnBranch(spark, dir, "exp", df(21 to 23).coalesce(1),
+      append = true)                                               // v2
+    Snapshots.deleteWhere(spark, dir, col("id").isin(3L, 4L),
+      branch = Some("exp"))                                        // v3
+    // main: append, then compact (drops v1's file, folds v4's rows in)
+    Snapshots.commit(spark, dir, df(11 to 13).coalesce(1),
+      append = true)                                               // v4
+    Snapshots.optimize(spark, dir, Seq("id"), numFiles = 2)        // v5
+    val merged = Snapshots.mergeBranch(spark, dir, "exp",
+      keyCols = Seq("id"))
+    assert(idsOf(dir, merged) ==
+      ((1L to 13L).filterNot(Set(3L, 4L)) ++ (21L to 23L)),
+      s"merged content: ${idsOf(dir, merged)}")
+    assert(Snapshots.parentsOf(spark, dir, merged).size == 2)
+    // row content survives the re-located deletion vector
+    val pay = Snapshots.read(spark, dir, merged)
+      .select("id", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(pay(21L) == "row21" && pay(5L) == "row5")
+
+    // without keyCols, a dropped-position delta refuses with guidance
+    val dir2 = tmpDir("mergecompact-nokeys")
+    Snapshots.commit(spark, dir2, df(1 to 5).coalesce(1), append = false)
+    Snapshots.createRef(spark, dir2, "exp")
+    Snapshots.deleteWhere(spark, dir2, col("id") === 1L,
+      branch = Some("exp"))
+    Snapshots.optimize(spark, dir2, Seq("id"), numFiles = 1)
+    val e2 = intercept[IllegalArgumentException] {
+      Snapshots.mergeBranch(spark, dir2, "exp")
+    }
+    assert(e2.getMessage.contains("keyCols"), e2.getMessage)
+    // with keyCols the same merge lands
+    val m2 = Snapshots.mergeBranch(spark, dir2, "exp", Seq("id"))
+    assert(idsOf(dir2, m2) == (2L to 5L))
+
+    // an arbitrary rewrite (INSERT OVERWRITE — no recorded optimize op)
+    // still refuses
+    val dir3 = tmpDir("mergecompact-ovr")
+    Snapshots.commit(spark, dir3, df(1 to 5).coalesce(1), append = false)
+    Snapshots.createRef(spark, dir3, "exp")
+    Snapshots.commitOnBranch(spark, dir3, "exp", df(21 to 22).coalesce(1),
+      append = true)
+    Snapshots.commit(spark, dir3, df(1 to 6).coalesce(1), append = false)
+    val e3 = intercept[IllegalArgumentException] {
+      Snapshots.mergeBranch(spark, dir3, "exp", Seq("id"))
+    }
+    assert(e3.getMessage.contains("optimize"), e3.getMessage)
+
+    // a branch-deleted key with no live row at main's head refuses
+    // (main deleted it too after compacting — ambiguous)
+    val dir4 = tmpDir("mergecompact-gone")
+    Snapshots.commit(spark, dir4, df(1 to 5).coalesce(1), append = false)
+    Snapshots.createRef(spark, dir4, "exp")
+    Snapshots.deleteWhere(spark, dir4, col("id") === 2L,
+      branch = Some("exp"))
+    Snapshots.optimize(spark, dir4, Seq("id"), numFiles = 1)
+    Snapshots.deleteWhere(spark, dir4, col("id") === 2L)
+    val e4 = intercept[IllegalArgumentException] {
+      Snapshots.mergeBranch(spark, dir4, "exp", Seq("id"))
+    }
+    assert(e4.getMessage.contains("no live row"), e4.getMessage)
+  }
+
   test("deleteWhere/updateWhere metrics come from cache, not recounts") {
     val d1 = tmpDir("jobsdel")
     Snapshots.commit(spark, d1, df(1 to 20).repartition(2), append = false)
