@@ -1025,15 +1025,34 @@ private[graft] class SnapshotStreamingWrite(dir: String,
     "_stream_stage/" + (if (queryId.isEmpty) "q" else
       queryId.replaceAll("[^A-Za-z0-9_-]", "_")))
 
+  /** LIVENESS HEARTBEAT: touch `<stageRoot>/_live` so [[Snapshots
+    * .vacuum]] can tell a RUNNING query's staging area from an orphaned
+    * one — a query dir whose heartbeat is fresher than the sweep
+    * horizon is skipped wholesale, which makes SHORT `stageOrphanMs`
+    * horizons safe for live queries (only genuinely dead or long-paused
+    * queries' epochs sweep). Touched at every epoch start and commit;
+    * failures are ignored (the heartbeat only ever widens safety — its
+    * absence degrades to the age heuristic). */
+  private def touchLive(): Unit =
+    try {
+      val f = stageRoot.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val o = f.create(new Path(stageRoot, "_live"), true)
+      try o.write('1'.toByte) finally o.close()
+    } catch { case _: Exception => }
+
   override def createStreamingWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming
-        .StreamingDataWriterFactory =
+        .StreamingDataWriterFactory = {
+    touchLive()
     new SnapshotStreamWriterFactory(stageRoot.toString, schema, conf)
+  }
 
   override def commit(epochId: Long,
       messages: Array[org.apache.spark.sql.connector.write
         .WriterCommitMessage]): Unit = {
+    touchLive()
     val f = stageRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val epochDir = new Path(stageRoot, s"epoch-$epochId")
     def cleanup(): Unit = { f.delete(epochDir, true); () }

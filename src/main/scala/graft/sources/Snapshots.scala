@@ -1968,14 +1968,18 @@ object Snapshots {
     *
     * `stageOrphanMs` is the age past which a `_stream_stage` epoch
     * directory (the V2 streaming write's executor-staged parts) counts
-    * as an orphan and is swept. The default (24h) is a heuristic, NOT a
-    * liveness proof: a streaming query stopped mid-epoch and resumed
-    * days later would find its staged parts gone and fail that epoch's
-    * commit renames — the query then reprocesses the epoch from its
-    * checkpoint (exactly-once holds; the cost is a re-run, not data
-    * loss). Operators running long-pause streams should raise it (or
-    * pass Long.MaxValue to skip stage sweeping entirely) rather than
-    * vacuum under a paused query. */
+    * as an orphan and is swept — EXCEPT under a LIVE query: the V2
+    * write heartbeats a `_live` marker in its query dir at every epoch
+    * start and commit, and a query dir whose heartbeat is fresher than
+    * the horizon is skipped wholesale, so a short horizon is safe
+    * against running queries. The heuristic only decides for queries
+    * with a stale or missing heartbeat (pre-heartbeat tables, or
+    * stopped/paused queries): sweeping such a query's parts is
+    * recoverable — on resume the epoch's commit renames fail and the
+    * query reprocesses it from its checkpoint (exactly-once holds; the
+    * cost is a re-run, not data loss) — but operators running
+    * long-PAUSE streams should still raise the default 24h (or pass
+    * Long.MaxValue to skip stage sweeping) rather than pay re-runs. */
   def vacuum(s: SparkSession, dir: String, keep: Int,
       stageOrphanMs: Long = 24L * 3600 * 1000): (Int, Int) = {
     require(keep >= 1, "must keep at least the latest version")
@@ -1992,9 +1996,18 @@ object Snapshots {
     if (f.exists(stage) && stageOrphanMs != Long.MaxValue) {
       val horizon = System.currentTimeMillis() - stageOrphanMs
       f.listStatus(stage).filter(_.isDirectory).foreach { q =>
-        f.listStatus(q.getPath).foreach { e =>
-          if (e.getModificationTime < horizon) { f.delete(e.getPath, true); () }
-        }
+        // a fresh `_live` heartbeat marks a RUNNING query — skip its
+        // whole staging area regardless of per-epoch ages (the V2 write
+        // touches it at every epoch start/commit)
+        val live = new Path(q.getPath, "_live")
+        val alive = f.exists(live) &&
+          f.getFileStatus(live).getModificationTime >= horizon
+        if (!alive)
+          f.listStatus(q.getPath).foreach { e =>
+            if (e.getModificationTime < horizon) {
+              f.delete(e.getPath, true); ()
+            }
+          }
       }
     }
     val latest = latestVersion(s, dir)

@@ -1056,6 +1056,53 @@ class GraftCatalogSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("vacuum's stage sweep honors the V2 write's liveness heartbeat: " +
+      "a short horizon never sweeps a live query's epochs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    warehouse
+    sql("CREATE TABLE graft.db.hb (id BIGINT, payload STRING)")
+    val dir = dirOf("db", "hb")
+    val cp = tmpDir("hb-cp")
+    val src = MemoryStream[(Long, String)]
+    val q = src.toDF().toDF("id", "payload")
+      .writeStream.option("checkpointLocation", cp)
+      .toTable("graft.db.hb")
+    val f = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    try {
+      src.addData((1L, "a"))
+      q.processAllAvailable() // epoch committed; heartbeat touched
+      val qDir = f.listStatus(new Path(dir, "_stream_stage"))
+        .filter(_.isDirectory).head.getPath
+      // simulate a mid-epoch staged part that LOOKS old (long epoch)
+      val stale = new Path(qDir, "epoch-999/part-999-0-0.parquet")
+      val o = f.create(stale, true); o.write(1); o.close()
+      val old = System.currentTimeMillis() - 3600_000L
+      f.setTimes(stale.getParent, old, -1)
+      f.setTimes(stale, old, -1)
+      // a SHORT horizon (60s) would sweep it by age — the fresh _live
+      // heartbeat marks the query as running, so the whole dir survives
+      Snapshots.vacuum(spark, dir, keep = 10, stageOrphanMs = 60_000L)
+      assert(f.exists(stale),
+        "a live query's staged epoch must survive a short horizon")
+      // age the heartbeat too (query presumed dead) — now it sweeps
+      f.setTimes(new Path(qDir, "_live"), old, -1)
+      Snapshots.vacuum(spark, dir, keep = 10, stageOrphanMs = 60_000L)
+      assert(!f.exists(stale),
+        "a stale-heartbeat query's old epochs must sweep")
+      // the query is in fact still alive: the next epoch re-heartbeats
+      // and commits normally
+      src.addData((2L, "b"))
+      q.processAllAvailable()
+      assert(rows("SELECT * FROM graft.db.hb") ==
+        Seq((1L, "a"), (2L, "b")))
+      assert(f.getFileStatus(new Path(qDir, "_live"))
+        .getModificationTime > old, "the heartbeat must refresh")
+    } finally q.stop()
+  }
+
   test("writeStream.toTable: executor-written epochs publish one " +
       "version each, exactly-once across restart; complete truncates") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
