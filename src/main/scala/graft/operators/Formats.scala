@@ -1517,8 +1517,12 @@ object Formats extends QueryPack {
         ()
       }
       val v3 = graft.sources.Snapshots.read(s, out, 3)
+      // a NARROW box ([40,60] — ~13% of the custkey domain at every
+      // SF): z-order must prune it even at sf0.001, where the old
+      // [40,120] box covered most of the tiny domain and intersected
+      // every clustered file
       val (probe, (nRead, nTotal)) = graft.sources.Snapshots.readPruned(
-        s, out, 3, "o_custkey", 40L, 120L)
+        s, out, 3, "o_custkey", 40L, 60L)
       val latestAgg = v3.agg(count(lit(1)).as("n_rows"),
         sum(col("o_orderkey")).as("sum_key"),
         sum(when(pmod(col("o_orderkey"), lit(2)) === 0, 1L).otherwise(0L))
@@ -2149,9 +2153,9 @@ object Formats extends QueryPack {
       SELECT CAST(count(*) AS BIGINT) AS n_rows,
              CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
              CAST((SELECT count(*) FROM orders
-               WHERE o_custkey BETWEEN 40 AND 120) AS BIGINT) AS n_probe,
+               WHERE o_custkey BETWEEN 40 AND 60) AS BIGINT) AS n_probe,
              CAST((SELECT sum(o_custkey) FROM orders
-               WHERE o_custkey BETWEEN 40 AND 120) AS BIGINT)
+               WHERE o_custkey BETWEEN 40 AND 60) AS BIGINT)
                AS sum_cust_probe,
              TRUE AS files_pruned,
              TRUE AS history_ok
