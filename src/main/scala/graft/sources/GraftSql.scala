@@ -704,8 +704,9 @@ private[graft] case class GraftMergeCommand(dir: String,
       keyCols: Seq[String], cause: Exception): Exception = {
     import org.apache.spark.sql.functions.{col, count, lit}
     def dups(keys: DataFrame): Seq[Row] =
-      keys.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("_n"))
-        .filter(col("_n") > 1).limit(3).collect().toSeq
+      keys.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("_graft_n"))
+        .filter(col("_graft_n") > 1).limit(3).collect().toSeq
     def render(r: Row): String = keyCols.zipWithIndex
       .map { case (k, i) => s"$k=${r.get(i)}" }.mkString("(", ", ", ")")
     val multiMatch = matched.map(m => dups(tgtKeys(m))).getOrElse(Seq.empty)

@@ -1038,8 +1038,18 @@ object Snapshots {
         case None => mainHead(f, dir, v - 1)
       }
       val fset = files(s, dir, latest)
-      val scan = withMeta(
-        s.read.parquet(fset.map(p => new Path(dir, p).toString): _*))
+      def scanOf(fls: Seq[String]) = withMeta(
+        s.read.parquet(fls.map(p => new Path(dir, p).toString): _*))
+      // condition-bound stat pruning: a selective DELETE opens only
+      // stat-overlapping files to locate positions (driver metadata
+      // only — the probe plan below is analyzed, never run)
+      val full = scanOf(fset)
+      val kept = condMatchableFiles(s, dir, latest, fset,
+        filterExprOf(full.filter(condOf(full))))
+      val scan =
+        if (kept.isEmpty) full.limit(0)
+        else if (kept.size == fset.size) full
+        else scanOf(kept)
       val hits0 = scan.filter(condOf(scan))
         .select(col("_fp").as("file_path"), col("_ri").as("row_index"))
       // already-deleted rows must not re-count
@@ -1102,8 +1112,17 @@ object Snapshots {
     try {
       val latest = mainHead(f, dir, v - 1)
       val fset = files(s, dir, latest)
-      val raw = withMeta(
-        s.read.parquet(fset.map(p => new Path(dir, p).toString): _*))
+      def scanOf(fls: Seq[String]) = withMeta(
+        s.read.parquet(fls.map(p => new Path(dir, p).toString): _*))
+      // condition-bound stat pruning, as in deleteWhere: only files
+      // whose stats admit the condition can hold matched positions
+      val full = scanOf(fset)
+      val kept = condMatchableFiles(s, dir, latest, fset,
+        filterExprOf(full.filter(condOf(full))))
+      val raw =
+        if (kept.isEmpty) full.limit(0)
+        else if (kept.size == fset.size) full
+        else scanOf(kept)
       val prev = dvFrame(s, dir, latest)
       val live = prev.map(p => raw.join(
           p.select(col("file_path").as("_fp"), col("row_index").as("_ri")),
@@ -1201,12 +1220,7 @@ object Snapshots {
       else None
     val stats = statsUpTo(s, dir, latest)
     val chain = (1 to latest).map(c => c -> renamesOf(s, dir, c)).toMap
-    def localName(c: Int, canonical: String): String = {
-      var cur = canonical
-      for (later <- latest until c by -1; (o, n) <- chain(later))
-        if (n == cur) cur = o
-      cur
-    }
+    val localName = localStatName(chain, latest) _
     val kept = fset.filter { rel =>
       stats.get(rel) match {
         case None => true
@@ -1242,6 +1256,121 @@ object Snapshots {
         keyProj.schema))
     (kept, exactFrame, row)
   }
+
+  /** The name canonical column `canonical` had at commit `c` (walking
+    * the rename chain backwards from `latest`) — per-file stats are
+    * recorded under the WRITING vintage's own column names. */
+  private def localStatName(chain: Map[Int, Seq[(String, String)]],
+      latest: Int)(c: Int, canonical: String): String = {
+    var cur = canonical
+    for (later <- latest until c by -1; (o, n) <- chain(later))
+      if (n == cur) cur = o
+    cur
+  }
+
+  /** (files kept, files total) of the last positional DML scan
+    * (deleteWhere/updateWhere) — pins condition-bound stat pruning. */
+  @volatile private[sources] var lastDmlPruneCounts: (Int, Int) = (0, 0)
+
+  /** File-level stat pruning for the POSITIONAL DML scans: extract
+    * simple per-column constraints from the condition's top-level
+    * conjuncts (`col op literal` / `col IN (literals)` over the
+    * numeric/string types [[inBounds]] compares) and keep only files
+    * whose recorded stats admit every constraint — a selective
+    * DELETE/UPDATE against a 100 TB table opens O(stat-overlapping)
+    * files to locate positions, like the MERGE scan. Strictly
+    * conservative: unparseable conjuncts (ORs, casts, subqueries,
+    * temporal literals, expressions) constrain nothing, files without
+    * stats always survive, and an IN-list prunes by its bounding range
+    * (a superset of the set). */
+  private def condMatchableFiles(s: SparkSession, dir: String,
+      latest: Int, fset: Seq[String],
+      cond: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{NumericType, StringType}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def litStr(l: Literal): Option[String] = l.dataType match {
+      case _: NumericType | StringType => Option(l.value).map(_.toString)
+      case _ => None
+    }
+    val constraints: Seq[(String, Option[String], Option[String])] =
+      conjuncts(cond).flatMap {
+        case EqualTo(a: AttributeReference, l: Literal) =>
+          litStr(l).map(v => (a.name, Some(v), Some(v)))
+        case EqualTo(l: Literal, a: AttributeReference) =>
+          litStr(l).map(v => (a.name, Some(v), Some(v)))
+        case GreaterThan(a: AttributeReference, l: Literal) =>
+          litStr(l).map(v => (a.name, Some(v), None))
+        case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+          litStr(l).map(v => (a.name, Some(v), None))
+        case LessThan(a: AttributeReference, l: Literal) =>
+          litStr(l).map(v => (a.name, None, Some(v)))
+        case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+          litStr(l).map(v => (a.name, None, Some(v)))
+        case GreaterThan(l: Literal, a: AttributeReference) =>
+          litStr(l).map(v => (a.name, None, Some(v)))
+        case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+          litStr(l).map(v => (a.name, None, Some(v)))
+        case LessThan(l: Literal, a: AttributeReference) =>
+          litStr(l).map(v => (a.name, Some(v), None))
+        case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+          litStr(l).map(v => (a.name, Some(v), None))
+        case In(a: AttributeReference, vs) if vs.nonEmpty &&
+            vs.forall(_.isInstanceOf[Literal]) =>
+          val lits = vs.map(v => litStr(v.asInstanceOf[Literal]))
+          if (lits.exists(_.isEmpty)) None
+          else {
+            val rendered = lits.flatten
+            val (lo, hi) = vs.head.asInstanceOf[Literal].dataType match {
+              case StringType => (rendered.min, rendered.max)
+              case _ => // typed ordering — "100" sorts below "40" as text
+                val bd = rendered.map(BigDecimal(_))
+                (bd.min.toString, bd.max.toString)
+            }
+            Some((a.name, Some(lo), Some(hi)))
+          }
+        case _ => None
+      }
+    if (constraints.isEmpty) {
+      lastDmlPruneCounts = (fset.size, fset.size)
+      return fset
+    }
+    val stats = statsUpTo(s, dir, latest)
+    val chain = (1 to latest).map(c => c -> renamesOf(s, dir, c)).toMap
+    val local = localStatName(chain, latest) _
+    val kept = fset.filter { rel =>
+      stats.get(rel) match {
+        case None => true
+        case Some(cols) =>
+          val c = rel match {
+            case FileCommit(n) => n.toInt
+            case _ => latest
+          }
+          constraints.forall { case (name, lo, hi) =>
+            cols.find(_._1 == local(c, name)) match {
+              case None => true
+              case Some((_, tn, mn, mx)) =>
+                inBounds(tn, mn, mx, lo.getOrElse(mn), hi.getOrElse(mx))
+            }
+          }
+      }
+    }
+    lastDmlPruneCounts = (kept.size, fset.size)
+    kept
+  }
+
+  /** The condition a just-built `df.filter(...)` carries, for the
+    * driver-side bound extraction above (analysis only — no job). */
+  private def filterExprOf(df: DataFrame)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    df.queryExecution.analyzed match {
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(c, _) => c
+      case _ => org.apache.spark.sql.catalyst.expressions.Literal(true)
+    }
 
   /** An empty (file_path, row_index) positions frame — the matched set
     * when key-stat pruning proves no live file can hold a source key. */
@@ -1347,13 +1476,15 @@ object Snapshots {
     try {
       val latest = mainHead(f, dir, v - 1)
       val fset = files(s, dir, latest)
-      // both key families prune the scan; a marker column lets the ONE
-      // aggregation job also count the upsert side for the uniqueness
-      // check (previously two extra jobs)
-      val allKeys = srcKeys.withColumn("_d", lit(0)).unionByName(
-        deleteKeys.select(keyCols.map(col): _*).withColumn("_d", lit(1)))
-      val upsCount = count(when(col("_d") === 0, 1)).as("_n_ups")
-      val upsDistinct = count_distinct(when(col("_d") === 0,
+      // both key families prune the scan; a marker column (prefixed to
+      // stay clear of any user key column) lets the ONE aggregation job
+      // also count the upsert side for the uniqueness check (previously
+      // two extra jobs)
+      val mk = "_graft_cdc_side"
+      val allKeys = srcKeys.withColumn(mk, lit(0)).unionByName(
+        deleteKeys.select(keyCols.map(col): _*).withColumn(mk, lit(1)))
+      val upsCount = count(when(col(mk) === 0, 1)).as("_n_ups")
+      val upsDistinct = count_distinct(when(col(mk) === 0,
         struct(keyCols.map(col): _*))).as("_nk_ups")
       val (matchFiles, exactKeys, aggRow) = matchableFiles(s, dir,
         latest, fset, keyCols, allKeys,
@@ -1899,7 +2030,8 @@ object Snapshots {
                 cached += matched
                 import org.apache.spark.sql.functions.{count, lit}
                 val dup = matched.groupBy(keyCols.map(col): _*)
-                  .agg(count(lit(1)).as("_n")).filter(col("_n") > 1)
+                  .agg(count(lit(1)).as("_graft_n"))
+                  .filter(col("_graft_n") > 1)
                   .limit(3).collect()
                 require(dup.isEmpty,
                   s"mergeBranch: re-locating branch '$name' deletions " +

@@ -1147,7 +1147,9 @@ class GraftCatalogSpec extends SparkSpec {
       spark.sparkContext.hadoopConfiguration)
     assert(!f.exists(new Path(dir, "_stream_stage")) ||
       f.listStatus(new Path(dir, "_stream_stage"))
-        .forall(st => f.listStatus(st.getPath).isEmpty),
+        .forall(st => f.listStatus(st.getPath)
+          // the _live liveness heartbeat is not a staged epoch
+          .forall(_.getPath.getName == "_live")),
       "staged epochs must be cleaned after commit")
 
     // complete mode: each epoch is a rewrite (truncate), history kept

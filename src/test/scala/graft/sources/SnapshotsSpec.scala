@@ -1260,6 +1260,53 @@ class SnapshotsSpec extends SparkSpec {
     assert(e4.getMessage.contains("no live row"), e4.getMessage)
   }
 
+  test("deleteWhere/updateWhere open only stat-overlapping files " +
+      "(condition-bound pruning)") {
+    val dir = tmpDir("dmlprune")
+    Snapshots.commit(spark, dir, df(1 to 100).coalesce(1),
+      append = false, statsCols = Seq("id"))
+    Snapshots.commit(spark, dir, df(101 to 200).coalesce(1),
+      append = true, statsCols = Seq("id"))
+    Snapshots.commit(spark, dir, df(201 to 300).coalesce(1),
+      append = true, statsCols = Seq("id"))
+
+    // equality admits the middle vintage only
+    val (v4, n4) = Snapshots.deleteWhere(spark, dir, col("id") === 150L)
+    assert(n4 == 1 && Snapshots.lastDmlPruneCounts == ((1, 3)),
+      s"n=$n4 counts=${Snapshots.lastDmlPruneCounts}")
+    assert(idsOf(dir, v4) == (1L to 300L).filterNot(_ == 150L))
+
+    // an IN list prunes by its bounding range; the unparseable payload
+    // conjunct constrains nothing
+    val (_, n5) = Snapshots.updateWhere(spark, dir,
+      col("id").isin(250L, 260L) && col("payload") =!= "nope",
+      Seq("payload" -> lit("upd")))
+    assert(n5 == 2 && Snapshots.lastDmlPruneCounts == ((1, 3)),
+      s"n=$n5 counts=${Snapshots.lastDmlPruneCounts}")
+
+    // an unparseable condition keeps every file (conservative); the
+    // update's staged file joined the set
+    val (_, n6) = Snapshots.deleteWhere(spark, dir,
+      pmod(col("id"), lit(97L)) === 0L)
+    assert(n6 == 3 && Snapshots.lastDmlPruneCounts == ((4, 4)),
+      s"n=$n6 counts=${Snapshots.lastDmlPruneCounts}")
+
+    // out-of-range: only the stats-free staged file survives pruning
+    val (_, n7) = Snapshots.deleteWhere(spark, dir, col("id") === 9999L)
+    assert(n7 == 0 && Snapshots.lastDmlPruneCounts == ((1, 4)),
+      s"n=$n7 counts=${Snapshots.lastDmlPruneCounts}")
+
+    // all files carry stats: nothing admissible = ZERO files opened
+    val dir2 = tmpDir("dmlprune-zero")
+    Snapshots.commit(spark, dir2, df(1 to 50).coalesce(1),
+      append = false, statsCols = Seq("id"))
+    val (_, z) = Snapshots.deleteWhere(spark, dir2, col("id") === 999L)
+    assert(z == 0 && Snapshots.lastDmlPruneCounts == ((0, 1)),
+      s"n=$z counts=${Snapshots.lastDmlPruneCounts}")
+    assert(idsOf(dir2, Snapshots.latestVersion(spark, dir2)) ==
+      (1L to 50L))
+  }
+
   test("deleteWhere/updateWhere metrics come from cache, not recounts") {
     val d1 = tmpDir("jobsdel")
     Snapshots.commit(spark, d1, df(1 to 20).repartition(2), append = false)
