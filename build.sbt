@@ -1,7 +1,11 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
 name := "h2hspark"
-// Spark jars ship with the image at /opt/spark/jars (zero-egress):
+// Spark jars ship with the image at /opt/spark/jars (zero-egress).
+// PINNED to Spark 4.1.2: the interop shims under
+// src/main/scala/org/apache/spark/sql (GraftBatchView, GraftParquetIO,
+// graftshim/) reach private[sql] API and can break SILENTLY on a Spark
+// upgrade — re-run the full spec suite after bumping the jars.
 unmanagedBase := file("/opt/spark/jars")
 // Test-only deps resolve from the pre-warmed coursier cache; anything
 // else is intentionally not resolvable (COURSIER_MODE=offline).

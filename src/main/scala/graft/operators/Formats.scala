@@ -1392,6 +1392,70 @@ object Formats extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // RESTORE (f42): the lakehouse rollback verb — after an insert,
+    // an append, and a DELETE, `CALL graft.system.restore(version =>
+    // 2)` publishes ONE metadata-sized commit whose manifest re-lists
+    // v2's file set: zero data files read or written at any table
+    // size, the deleted state stays time-travelable (history is never
+    // rewritten), and the recorded `restore` verb shows in CALL
+    // history and blocks mergeBranch across it. Verdict: head
+    // count + content hash (== all documents, the pre-delete state),
+    // the deleted state's row count via VERSION AS OF, and pinned
+    // booleans for head-equals-v2 parity, the history verb, and the
+    // no-files-moved invariant.
+    "f42_restore" -> ((s, d) => {
+      val wh = ioDir(d, "f42_wh")
+      val cat = "graft42_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val tdir = s"$wh/db/docs42"
+      val docs = T.documents(s, d)
+      val hot = col("source").isin("src0", "src1", "src2")
+      writeOnce(s, tdir, alsoRequire =
+          graft.sources.Snapshots.latestVersion(s, tdir) == 4) {
+        val root = new org.apache.hadoop.fs.Path(wh)
+        val fsys = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fsys.delete(root, true)
+        s.sql(s"CREATE TABLE $cat.db.docs42 (doc_id BIGINT, " +
+          "text STRING, lang STRING, source STRING, n_chars BIGINT)")
+        docs.filter(hot).createOrReplaceTempView("f42_hot")
+        docs.filter(!hot).createOrReplaceTempView("f42_rest")
+        s.sql(s"INSERT INTO $cat.db.docs42 SELECT * FROM f42_hot")  // v1
+        s.sql(s"INSERT INTO $cat.db.docs42 SELECT * FROM f42_rest") // v2
+        s.sql(s"DELETE FROM $cat.db.docs42 WHERE n_chars % 7 = 0")  // v3
+        val dataFiles = {
+          val p = new org.apache.hadoop.fs.Path(tdir, "data")
+          fsys.listStatus(p).map(_.getPath.getName).toSet
+        }
+        s.sql(s"CALL $cat.system.restore(table => 'db.docs42', " +
+          "version => 2)")                                          // v4
+        require({
+          val p = new org.apache.hadoop.fs.Path(tdir, "data")
+          fsys.listStatus(p).map(_.getPath.getName).toSet == dataFiles
+        }, "restore moved data files")
+        ()
+      }
+      val head = docSums(s.sql(s"SELECT * FROM $cat.db.docs42"))
+        .select(col("n").as("hn"), col("h").as("hh"))
+      val v2 = docSums(s.sql(
+          s"SELECT * FROM $cat.db.docs42 VERSION AS OF 2"))
+        .select(col("n").as("v2n"), col("h").as("v2h"))
+      val nV3 = s.sql(
+          s"SELECT count(*) AS c FROM $cat.db.docs42 VERSION AS OF 3")
+        .select(col("c").as("v3n"))
+      val historyOk =
+        graft.sources.Snapshots.latestVersion(s, tdir) == 4 &&
+          s.sql(s"CALL $cat.system.history(table => 'db.docs42')")
+            .filter(col("version") === 4).select(col("operation"))
+            .collect().headOption.exists(_.getString(0) == "restore")
+      head.crossJoin(v2).crossJoin(nV3)
+        .select(col("hn").as("n_head"), col("hh").as("content_sum"),
+          col("v3n").as("n_deleted_state"),
+          (col("hn") === col("v2n") && col("hh") === col("v2h"))
+            .as("head_equals_v2"),
+          lit(historyOk).as("history_ok"))
+    }),
+
     // MERGE INTO / upsert (f27): a change batch against the two-commit
     // documents snapshot table — every doc_id % 11 = 0 row updated
     // (n_chars + 1000) and every doc_id % 17 = 0 row cloned in under a
@@ -2020,6 +2084,21 @@ object Formats extends QueryPack {
       )
       GROUP BY lang
       ORDER BY lang""",
+    // f42: after the restore the head IS the full documents table (the
+    // pre-delete v2 state); the deleted state the rollback skipped over
+    // is the %7 survivor count; the parity/history booleans pinned TRUE
+    "f42_restore" -> """
+      SELECT CAST(count(*) AS BIGINT) AS n_head,
+             CAST(sum(CAST(('0x' || substr(md5(
+               CAST(doc_id AS VARCHAR) || chr(1) || text || chr(1) ||
+               lang || chr(1) || source || chr(1) ||
+               CAST(n_chars AS VARCHAR)), 1, 8)) AS BIGINT)) AS BIGINT)
+               AS content_sum,
+             CAST(count(*) FILTER (WHERE n_chars % 7 <> 0) AS BIGINT)
+               AS n_deleted_state,
+             TRUE AS head_equals_v2,
+             TRUE AS history_ok
+      FROM documents""",
     // f35: replay both sides relationally — main's line (hot + clones)
     // minus its %101 deletes, union the branch's additions minus its
     // %103 deletes (divergent deletions position-unioned by the merge);

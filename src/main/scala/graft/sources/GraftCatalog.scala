@@ -552,7 +552,8 @@ private[graft] class SnapshotTableV2(val dir: String,
               // (commitAuto) — a pre-claim latestVersion read would let
               // two racing first INSERTs both rewrite, losing rows
               Snapshots.commitAuto(data.sparkSession, dir,
-                data, overwrite = overwrite || ovr)
+                data, overwrite = overwrite || ovr,
+                statsCols = Snapshots.defaultStatsCols(data.schema))
               ()
             }
           }
@@ -667,7 +668,8 @@ private[graft] class GraftStagedTable(catalog: GraftCatalog,
           // table catalog-visible even if vacuum later reclaims v1's
           // manifest (isTable also accepts any manifest, so this is
           // redundancy, not a dependency)
-          Snapshots.commit(spark, dir, df, append = false)
+          Snapshots.commit(spark, dir, df, append = false,
+            statsCols = Snapshots.defaultStatsCols(df.schema))
           val f = new Path(dir).getFileSystem(
             spark.sparkContext.hadoopConfiguration)
           val o = f.create(new Path(dir, "_SCHEMA"), true)
@@ -687,7 +689,8 @@ private[graft] class GraftStagedTable(catalog: GraftCatalog,
       val df = stagedPlan.getOrElse(spark.createDataFrame(
         spark.sparkContext.parallelize(
           Seq.empty[org.apache.spark.sql.Row], 1), declaredSchema))
-      Snapshots.commit(spark, dir, df, append = false)
+      Snapshots.commit(spark, dir, df, append = false,
+        statsCols = Snapshots.defaultStatsCols(df.schema))
       // the new definition replaces the old one's constraints wholesale
       GraftConstraints.write(spark, dir, checks)
     }

@@ -132,6 +132,28 @@ private[sources] object GraftProcedures {
           // result projection
           Seq[Any](files, versions, rows))
       },
+      // rollback-as-a-new-commit: CALL graft.system.restore(
+      //   table => 'db.t', version => 3) — or timestamp => an epoch-
+      // millis long / 'yyyy-MM-dd[ HH:mm:ss]' literal, resolved along
+      // main's ancestry exactly like TIMESTAMP AS OF. One metadata
+      // commit, no data moved; history stays time-travelable.
+      make("restore", Seq(paramD("version", IntegerType, "-1"),
+          paramD("timestamp", StringType, "''"))) { (dir, in) =>
+        val byVersion = in.getInt(1)
+        val ts = str(in, 2)
+        require((byVersion >= 1) ^ ts.nonEmpty,
+          "restore: give exactly one of version or timestamp")
+        val target =
+          if (byVersion >= 1) byVersion
+          else {
+            val v = Snapshots.versionAsOf(spark, dir,
+              SnapshotSource.parseInstant(ts))
+            require(v >= 1,
+              s"restore: no version existed at '$ts' (or it was vacuumed)")
+            v
+          }
+        (versionOut, Seq(Snapshots.restore(spark, dir, target)))
+      },
       make("create_ref", Seq(param("name", StringType),
           paramD("version", IntegerType, "-1"),
           paramD("tag", BooleanType, "false"))) { (dir, in) =>
@@ -196,6 +218,23 @@ private[sources] object GraftProcedures {
                 Snapshots.commitOp(spark, dir, v).map(_._1)
                   .getOrElse("write"))
           }
+        })
+      },
+      // the live file inventory at main's head — path, writing commit,
+      // bytes, footer row count, and the recorded per-column stat
+      // bounds ("col:[mn,mx]"). O(files) driver metadata (footers +
+      // side-files); what an operator reads before sizing an optimize
+      // or diagnosing why a filter did not prune.
+      makeMulti("files", Seq.empty) { (dir, _) =>
+        val head = Snapshots.mainVersion(spark, dir)
+        require(head >= 1, s"files: no versions at $dir")
+        val schema = new StructType().add("path", StringType)
+          .add("vintage", IntegerType)
+          .add("size_bytes", org.apache.spark.sql.types.LongType)
+          .add("row_count", org.apache.spark.sql.types.LongType)
+          .add("stats", StringType)
+        (schema, Snapshots.fileInventory(spark, dir, head).map {
+          case (p, c, sz, rc, st) => Seq[Any](p, c, sz, rc, st)
         })
       },
       // every branch/tag with its pinned version — metadata-only

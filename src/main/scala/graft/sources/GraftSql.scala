@@ -437,7 +437,8 @@ private[graft] case class GraftUpdateCommand(dir: String,
       else None
     val (_, n) = Snapshots.updateWhereBound(spark, dir,
       df => condition.map(c => GraftSql.rebind(spark, c.e, df))
-        .getOrElse(lit(true)), applied, hook)
+        .getOrElse(lit(true)), applied, hook,
+      statsColsOf = Snapshots.defaultStatsCols)
     GraftSql.lastRowsAffected = n
     Seq.empty
   }
@@ -667,7 +668,8 @@ private[graft] case class GraftMergeCommand(dir: String,
           first.persist(
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           cached += first
-          Snapshots.commit(spark, dir, first, append = false)
+          Snapshots.commit(spark, dir, first, append = false,
+            statsCols = Snapshots.defaultStatsCols(first.schema))
           first.count()
         } else (upserts, deletes) match {
           case (None, None) => 0L
@@ -675,7 +677,8 @@ private[graft] case class GraftMergeCommand(dir: String,
             val emptyKeys = tgtKeys(tgtDF).limit(0)
             try Snapshots.applyCdc(spark, dir,
               up.getOrElse(tgtDF.limit(0)),
-              del.getOrElse(emptyKeys), keyCols)._2
+              del.getOrElse(emptyKeys), keyCols,
+              statsCols = Snapshots.defaultStatsCols(tgtDF.schema))._2
             catch {
               // surface the cardinality violation in MERGE terms with
               // the offending keys, not applyCdc's internal invariant.

@@ -110,6 +110,33 @@ object Snapshots {
     * snapshot taken before the race). A claimant that dies leaves a stale
     * `vN.claim`; followers time out with an error naming it so an
     * operator can remove it. */
+  /** Default stat columns for MANAGED-table (catalog/SQL) writes: the
+    * first 32 top-level fixed-width orderable primitives — exactly the
+    * types whose [min,max] the staged files' parquet FOOTERS already
+    * hold exactly (integral, float/double, date), so recording them
+    * costs ZERO extra jobs (see [[footerStats]]). Strings are
+    * deliberately excluded: a free-text column's min/max would embed
+    * document-sized values in the `vN.stats` side-file, and footer
+    * binary stats are truncation-unsafe (name bounded string columns
+    * explicitly via `statsCols` — they take the aggregate path).
+    * Timestamps are excluded from the DEFAULT because their footer
+    * encoding is configuration-dependent (INT96 carries no usable
+    * stats) and their rendering is timezone-coupled; explicit
+    * `statsCols` handles them through Spark's own cast-to-string.
+    * The 32-column cap mirrors the data-skipping default of the
+    * mainstream lakehouse formats. Direct Snapshots API callers keep
+    * explicit control — the default is applied by the catalog/SQL
+    * front door, never here. */
+  private[sources] def defaultStatsCols(
+      schema: org.apache.spark.sql.types.StructType): Seq[String] = {
+    import org.apache.spark.sql.types._
+    schema.fields.iterator.filter(_.dataType match {
+      case ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | DateType => true
+      case _ => false
+    }).take(32).map(_.name).toSeq
+  }
+
   def commit(s: SparkSession, dir: String, df: DataFrame,
       append: Boolean, renames: Map[String, String] = Map.empty,
       statsCols: Seq[String] = Seq.empty,
@@ -136,14 +163,15 @@ object Snapshots {
     * both rewrite, the second silently discarding the first's rows even
     * though the claim protocol serialized the commits themselves. */
   def commitAuto(s: SparkSession, dir: String, df: DataFrame,
-      overwrite: Boolean): Int = {
+      overwrite: Boolean,
+      statsCols: Seq[String] = Seq.empty): Int = {
     val f = fs(s, dir)
     f.mkdirs(new Path(dir))
     val c = claimVersion(f, dir)
     try {
       val base = mainHead(f, dir, c.v - 1)
       val v = commitClaimed(s, f, dir, df,
-        append = base >= 1 && !overwrite, Map.empty, Seq.empty,
+        append = base >= 1 && !overwrite, Map.empty, statsCols,
         c.v, baseVersion = base)
       advanceMain(s, f, dir, v)
       v
@@ -176,6 +204,84 @@ object Snapshots {
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         p, s.sparkContext.hadoopConfiguration))
     try rd.getRecordCount finally rd.close()
+  }
+
+  /** Per-file [min,max] for `cols` read from the parquet FOOTER — the
+    * zero-job half of commit-time stats (same driver-metadata envelope
+    * as [[parquetRowCount]]). Only fixed-width primitives whose footer
+    * statistics are exact and whose rendering provably matches Spark's
+    * cast-to-string reach here (integral, float/double, date — see
+    * [[defaultStatsCols]]); floats render through Float.toString, NOT
+    * a double widening (0.1f widened prints 0.10000000149…, which
+    * would prune a file containing the query's own literal). A column
+    * with missing or unknown statistics in ANY row group yields no
+    * line — absent = never pruned, the conservative direction; a row
+    * group that is provably all-null for the column simply does not
+    * constrain its bounds. */
+  private def footerStats(p: Path, s: SparkSession,
+      cols: Seq[(String, org.apache.spark.sql.types.DataType)])
+      : Seq[(String, String, String, String)] = {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    if (cols.isEmpty) return Seq.empty
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        p, s.sparkContext.hadoopConfiguration))
+    try {
+      val blocks = rd.getFooter.getBlocks.asScala.toSeq
+      cols.flatMap { case (name, dt) =>
+        var loL = Long.MaxValue; var hiL = Long.MinValue
+        var loF = Float.PositiveInfinity; var hiF = Float.NegativeInfinity
+        var loD = Double.PositiveInfinity; var hiD = Double.NegativeInfinity
+        var seen = false; var ok = true
+        blocks.foreach { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == name) match {
+            case Some(c) =>
+              val st = c.getStatistics
+              if (st == null) ok = false
+              else if (st.hasNonNullValue) {
+                seen = true
+                dt match {
+                  case ByteType | ShortType | IntegerType | LongType |
+                       DateType =>
+                    loL = math.min(loL,
+                      st.genericGetMin.asInstanceOf[Number].longValue)
+                    hiL = math.max(hiL,
+                      st.genericGetMax.asInstanceOf[Number].longValue)
+                  case FloatType =>
+                    loF = math.min(loF,
+                      st.genericGetMin.asInstanceOf[java.lang.Float]
+                        .floatValue)
+                    hiF = math.max(hiF,
+                      st.genericGetMax.asInstanceOf[java.lang.Float]
+                        .floatValue)
+                  case DoubleType =>
+                    loD = math.min(loD,
+                      st.genericGetMin.asInstanceOf[java.lang.Double]
+                        .doubleValue)
+                    hiD = math.max(hiD,
+                      st.genericGetMax.asInstanceOf[java.lang.Double]
+                        .doubleValue)
+                  case _ => ok = false
+                }
+              } else if (!(st.isNumNullsSet &&
+                  st.getNumNulls == b.getRowCount))
+                ok = false // stats unknown, not provably all-null
+            case None => ok = false
+          }
+        }
+        def render(lo: Boolean): String = dt match {
+          case DateType => java.time.LocalDate
+            .ofEpochDay(if (lo) loL else hiL).toString
+          case FloatType => (if (lo) loF else hiF).toString
+          case DoubleType => (if (lo) loD else hiD).toString
+          case _ => (if (lo) loL else hiL).toString
+        }
+        if (!ok || !seen) None
+        else Some((name, dt.typeName, render(lo = true),
+          render(lo = false)))
+      }
+    } finally rd.close()
   }
 
   /** Publish ALREADY-WRITTEN parquet part files as the next version —
@@ -422,18 +528,31 @@ object Snapshots {
     // and the partially-moved files are cleaned back out of data/.
     val staged = f.listStatus(stage).toSeq
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-    // per-staged-file min/max BEFORE the moves (one metadata-size
-    // aggregate job; the group key is the file name, the shuffle carries
-    // |files| × |statsCols| rows)
-    val stagedStats: Map[String, Seq[(String, String, String, String)]] =
-      if (statsCols.isEmpty) Map.empty
+    // per-staged-file min/max BEFORE the moves. Fixed-width primitives
+    // read their bounds from the FOOTERS the staged files already carry
+    // (zero extra jobs, driver-side — footerStats); every other
+    // requested column (strings, timestamps, decimals) takes one
+    // metadata-size aggregate job with Spark's own cast-to-string
+    // rendering (the group key is the file name, the shuffle carries
+    // |files| × |aggCols| rows)
+    val sparkTypes = df.schema.fields.map(fd => fd.name -> fd.dataType)
+      .toMap
+    val (footCols, aggCols) = statsCols.filter(sparkTypes.contains)
+      .partition { c =>
+        import org.apache.spark.sql.types._
+        sparkTypes(c) match {
+          case ByteType | ShortType | IntegerType | LongType |
+               FloatType | DoubleType | DateType => true
+          case _ => false
+        }
+      }
+    val aggStats: Map[String, Seq[(String, String, String, String)]] =
+      if (aggCols.isEmpty) Map.empty
       else {
         import org.apache.spark.sql.functions.{col, min, max, input_file_name}
-        val aggs = statsCols.flatMap(c => Seq(
+        val aggs = aggCols.flatMap(c => Seq(
           min(col(c)).cast("string").as(s"mn_$c"),
           max(col(c)).cast("string").as(s"mx_$c")))
-        val types = df.schema.fields.map(fd => fd.name -> fd.dataType
-          .typeName).toMap
         // explicit FILE paths: the stage dir's own name starts with "_",
         // which the DataSource hidden-path filter warns about when the
         // directory itself is the input
@@ -442,11 +561,21 @@ object Snapshots {
           .agg(aggs.head, aggs.tail: _*)
           .collect().map { r =>
             val fname = new Path(r.getString(0)).getName
-            fname -> statsCols.zipWithIndex.map { case (c, i) =>
-              (c, types(c), r.getString(1 + 2 * i), r.getString(2 + 2 * i))
+            fname -> aggCols.zipWithIndex.map { case (c, i) =>
+              (c, sparkTypes(c).typeName,
+                r.getString(1 + 2 * i), r.getString(2 + 2 * i))
             }
           }.toMap
       }
+    val footStats: Map[String, Seq[(String, String, String, String)]] =
+      if (footCols.isEmpty) Map.empty
+      else staged.map(st => st.getPath.getName ->
+        footerStats(st.getPath, s, footCols.map(c => c -> sparkTypes(c))))
+        .toMap
+    val stagedStats: Map[String, Seq[(String, String, String, String)]] =
+      (aggStats.keySet ++ footStats.keySet).iterator.map(k =>
+        k -> (aggStats.getOrElse(k, Seq.empty) ++
+          footStats.getOrElse(k, Seq.empty))).toMap
     val statLines = scala.collection.mutable.ArrayBuffer.empty[String]
     val moved = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
@@ -703,6 +832,28 @@ object Snapshots {
       // purge-maintained stats for replacement files (see purge step 2b)
       linesOf(new Path(dir, "purged.stats")))
       .groupBy(_._1).map { case (pth, xs) => pth -> xs.map(_._2) }
+  }
+
+  /** Live-file inventory of version `v`: (manifest path, vintage
+    * commit, bytes, footer row count, recorded stat bounds rendered
+    * `col:[mn,mx]` space-joined). O(files) driver metadata — parquet
+    * footers and side-files, no data read at any table size. Backs
+    * `CALL <cat>.system.files`. */
+  private[sources] def fileInventory(s: SparkSession, dir: String, v: Int)
+      : Seq[(String, Int, Long, Long, String)] = {
+    val f = fs(s, dir)
+    val stats = statsUpTo(s, dir, v)
+    files(s, dir, v).map { p =>
+      val full = new Path(dir, p)
+      val vintage = p match {
+        case FileCommit(c) => c.toInt
+        case _ => -1
+      }
+      val st = stats.getOrElse(p, Seq.empty)
+        .map { case (c, _, mn, mx) => s"$c:[$mn,$mx]" }.mkString(" ")
+      (p, vintage, f.getFileStatus(full).getLen,
+        parquetRowCount(full, s), st)
+    }
   }
 
   /** Epoch millis of a date/timestamp rendered by EITHER side of a stats
@@ -1100,7 +1251,9 @@ object Snapshots {
   private[sources] def updateWhereBound(s: SparkSession, dir: String,
       condOf: DataFrame => org.apache.spark.sql.Column,
       sets: Seq[(String, org.apache.spark.sql.Column)],
-      validate: Option[DataFrame => Unit] = None): (Int, Long) = {
+      validate: Option[DataFrame => Unit] = None,
+      statsColsOf: org.apache.spark.sql.types.StructType => Seq[String]
+        = _ => Seq.empty): (Int, Long) = {
     import org.apache.spark.sql.functions.col
     require(sets.nonEmpty, "updateWhere needs at least one assignment")
     val f = fs(s, dir)
@@ -1159,12 +1312,14 @@ object Snapshots {
         val union = prev.map(_.unionByName(gone)).getOrElse(gone)
         union.write.mode("overwrite").parquet(dvDir(dir, v).toString)
         val nUpd = matched.count()
-        val (moved, _) = stageAndMove(s, f, dir, updated, Seq.empty, v)
+        val (moved, statLines) = stageAndMove(s, f, dir, updated,
+          statsColsOf(updated.schema), v)
         writeCommitMeta(f, dir, v, latest)
         // change-feed typing: every delta position is a row this commit
         // UPDATED (its replacement is in the staged files)
         writeCommitOp(f, dir, v, "update", Seq.empty)
         writeManifest(f, dir, v, fset ++ moved)
+        writeStatLines(f, dir, v, statLines)
         advanceMain(s, f, dir, v)
         (v, nUpd)
       } finally { matched.unpersist(); () }
@@ -1293,12 +1448,21 @@ object Snapshots {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
     }
+    // the ANALYZED (not optimized) condition reaches here, so a SQL
+    // literal still wears its type-promotion cast (`id = 150` analyzes
+    // to `id = CAST(150 AS BIGINT)`) — fold every foldable subtree to
+    // its literal or the extractor below would see no bounds at all
+    def fold(e: Expression): Expression = e.transformUp {
+      case x if x.foldable && !x.isInstanceOf[Literal] =>
+        try Literal.create(x.eval(), x.dataType)
+        catch { case _: Exception => x }
+    }
     def litStr(l: Literal): Option[String] = l.dataType match {
       case _: NumericType | StringType => Option(l.value).map(_.toString)
       case _ => None
     }
     val constraints: Seq[(String, Option[String], Option[String])] =
-      conjuncts(cond).flatMap {
+      conjuncts(cond).map(fold).flatMap {
         case EqualTo(a: AttributeReference, l: Literal) =>
           litStr(l).map(v => (a.name, Some(v), Some(v)))
         case EqualTo(l: Literal, a: AttributeReference) =>
@@ -1464,7 +1628,8 @@ object Snapshots {
     * and the size of the batch — never a rewrite.
     * @return (newVersion, rowsApplied = replaced + deleted + inserted) */
   def applyCdc(s: SparkSession, dir: String, upserts: DataFrame,
-      deleteKeys: DataFrame, keyCols: Seq[String]): (Int, Long) = {
+      deleteKeys: DataFrame, keyCols: Seq[String],
+      statsCols: Seq[String] = Seq.empty): (Int, Long) = {
     import org.apache.spark.sql.functions.{broadcast, col, count,
       count_distinct, lit, struct, when}
     require(keyCols.nonEmpty, "applyCdc needs at least one key column")
@@ -1514,7 +1679,7 @@ object Snapshots {
       val nGone = s.read.parquet(dvDir(dir, v).toString).count() -
         prev.map(_.count()).getOrElse(0L)
       val (moved, statLines) = stageAndMove(s, f, dir, upserts,
-        Seq.empty, v)
+        statsCols, v)
       writeCommitMeta(f, dir, v, latest)
       // change-feed typing: a delta position whose key re-appears in the
       // staged rows was UPDATED, the rest were genuine deletes
@@ -2477,6 +2642,72 @@ object Snapshots {
       // published version without the op, which only DEGRADES (the
       // merge refuses, the change feed types generically), never lies.
       writeCommitOp(f, dir, v, "optimize", Seq.empty)
+      advanceMain(s, f, dir, v)
+      v
+    } finally c.release()
+  }
+
+  /** RESTORE main's CONTENT to what version `toVersion` held, as ONE
+    * new metadata-sized commit — the lakehouse rollback verb. The new
+    * head's manifest re-lists `toVersion`'s file set and its deletion
+    * vector is copied forward, so time travel, the change feed, and
+    * every consumer's `startingVersion` stay intact: history is never
+    * rewritten (that is [[purge]]'s deliberate job). Zero data files
+    * are read or written at any table size — the cost is one manifest
+    * plus an O(DV-files) copy. The target's files are guaranteed live:
+    * [[vacuum]] deletes a version's manifest together with its
+    * then-unreferenced files, so a resolvable manifest implies its
+    * file set, and the restore commit re-references it (protecting it
+    * from future vacuums) before the claim releases.
+    *
+    * Semantics at the edges:
+    *  - Column RENAMES are not undone — names resolve through the
+    *    rename chain up to the read version, so restored data keeps
+    *    the CURRENT names (rename back explicitly to undo one).
+    *  - A later `ALTER COLUMN TYPE` widening vintage drops out with
+    *    the file set, narrowing the schema back: schema follows
+    *    content.
+    *  - The commit is NOT content-preserving, so [[mergeBranch]]
+    *    across it refuses (branch deletions cannot be re-located
+    *    against arbitrarily reverted content), and the change feed
+    *    types its delta generically (deletes + inserts by file diff).
+    *  - `toVersion` must be on main's ancestry: restoring main to a
+    *    branch-only commit would silently teleport branch content
+    *    onto main — that is [[fastForward]]/[[mergeBranch]] territory.
+    */
+  def restore(s: SparkSession, dir: String, toVersion: Int): Int = {
+    val f = fs(s, dir)
+    require(toVersion >= 1,
+      s"restore: version must be >= 1, got $toVersion")
+    require(f.exists(manifest(dir, toVersion)),
+      s"restore: version $toVersion does not exist at $dir " +
+        "(or was vacuumed)")
+    val c = claimVersion(f, dir)
+    try {
+      val v = c.v
+      val head = mainHead(f, dir, v - 1)
+      require(head >= 1, s"restore: no versions at $dir")
+      if (head == toVersion) return head // already there — no-op
+      require(mainAncestry(f, dir, head).contains(toVersion),
+        s"restore: version $toVersion is not on main's ancestry " +
+          "(branch content reaches main via fast_forward/merge_branch)")
+      val fset = files(s, dir, toVersion)
+      if (hasDv(s, dir, toVersion))
+        dvFrame(s, dir, toVersion).foreach(
+          _.write.mode("overwrite").parquet(dvDir(dir, v).toString))
+      else {
+        // orphan-vector guard, as commitClaimed: an aborted mutation
+        // may have left dv/vN for this reclaimed version number
+        f.delete(dvDir(dir, v), true); ()
+      }
+      f.delete(new Path(dir, s"v$v.op"), false) // stale-op guard, ditto
+      // meta precedes the manifest (crash-consistency direction shared
+      // with every commit path: no manifest, never visible)
+      writeCommitMeta(f, dir, v, head)
+      writeManifest(f, dir, v, fset)
+      // recorded AFTER publish like optimize's op — a crash in between
+      // leaves a version that types generically, never one that lies
+      writeCommitOp(f, dir, v, "restore", Seq(toVersion.toString))
       advanceMain(s, f, dir, v)
       v
     } finally c.release()

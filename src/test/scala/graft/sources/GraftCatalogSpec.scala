@@ -333,7 +333,9 @@ class GraftCatalogSpec extends SparkSpec {
     // anti-join, the staging write (the ONE pass over the source, which
     // also materializes the persisted plan), and the metric count served
     // from that cache — a regression that recomputes the anti-join for
-    // the count shows up as extra jobs here
+    // the count shows up as extra jobs here. The default stats catalog
+    // writes record since round 17 are footer-read on the driver, so
+    // they must NOT move this pin.
     assert(jobs == 3, s"fresh-table MERGE ran $jobs jobs, pinned 3")
     assert(GraftSql.lastRowsAffected == 2L)
     assert(rows("SELECT * FROM graft.db.tmj") == Seq((1L, "a"), (2L, "b")))
@@ -986,6 +988,82 @@ class GraftCatalogSpec extends SparkSpec {
       "count(column) skips nulls — must not fold to the row count")
     assert(sql("SELECT count(*) FROM graft.db.mc").collect()
       .head.getLong(0) == 3)
+  }
+
+  test("CALL graft.system.restore: rollback by version and timestamp") {
+    warehouse
+    sql("CREATE TABLE graft.db.rst (id BIGINT, payload STRING)")
+    sql("INSERT INTO graft.db.rst VALUES (1, 'a'), (2, 'b')")
+    val tsAfterV1 = System.currentTimeMillis()
+    Thread.sleep(15) // separate the commit instants
+    sql("INSERT INTO graft.db.rst VALUES (3, 'c')")
+    sql("DELETE FROM graft.db.rst WHERE id = 1")
+    assert(rows("SELECT * FROM graft.db.rst").map(_._1) == Seq(2L, 3L))
+
+    // restore by version: back to the two-row v1
+    val r = sql("CALL graft.system.restore(table => 'db.rst', " +
+      "version => 1)").collect()
+    assert(r.head.getInt(0) == 4)
+    assert(rows("SELECT * FROM graft.db.rst").map(_._1) == Seq(1L, 2L))
+    // the undone states stay time-travelable
+    assert(rows("SELECT * FROM graft.db.rst VERSION AS OF 3")
+      .map(_._1) == Seq(2L, 3L))
+
+    // restore by timestamp: the version live at the instant (v1 again,
+    // resolved along main — the restore commit itself is later)
+    sql("INSERT INTO graft.db.rst VALUES (9, 'z')")
+    val r2 = sql("CALL graft.system.restore(table => 'db.rst', " +
+      s"timestamp => '$tsAfterV1')").collect()
+    assert(r2.head.getInt(0) == 6)
+    assert(rows("SELECT * FROM graft.db.rst").map(_._1) == Seq(1L, 2L))
+
+    // history shows the verb
+    val ops = sql("CALL graft.system.history(table => 'db.rst')")
+      .select("version", "operation").collect()
+      .map(x => x.getInt(0) -> x.getString(1)).toMap
+    assert(ops(4) == "restore" && ops(6) == "restore")
+
+    // exactly one of version/timestamp
+    val e = intercept[Exception] {
+      sql("CALL graft.system.restore(table => 'db.rst', version => 1, " +
+        "timestamp => '2026-01-01')").collect()
+    }
+    assert(e.getMessage.contains("exactly one"))
+  }
+
+  test("catalog writes record default stats; SQL DELETE prunes files") {
+    warehouse
+    sql("CREATE TABLE graft.db.dst (id BIGINT, payload STRING)")
+    // two INSERTs with disjoint id ranges = two stat-bounded vintages
+    sql("INSERT INTO graft.db.dst SELECT id, 'x' FROM range(1, 101, 1, 1)")
+    sql("INSERT INTO graft.db.dst SELECT id, 'x' FROM range(101, 201, 1, 1)")
+    // a selective DELETE opens only the vintage whose id bounds admit
+    // the predicate — proof the catalog-born table carries prunable
+    // stats without any explicit statsCols (strings excluded by the
+    // default, so only id is recorded)
+    sql("DELETE FROM graft.db.dst WHERE id = 150")
+    val (read, total) = Snapshots.lastDmlPruneCounts
+    assert(total >= 2 && read < total,
+      s"catalog DELETE did not prune: read $read of $total")
+    val surv = sql("SELECT count(*) AS n FROM graft.db.dst " +
+      "WHERE id <> 150").collect().head.getLong(0)
+    assert(surv == 199L)
+  }
+
+  test("CALL graft.system.files: live inventory with sizes and stats") {
+    warehouse
+    sql("CREATE TABLE graft.db.fls (id BIGINT, payload STRING)")
+    sql("INSERT INTO graft.db.fls VALUES (1, 'a'), (2, 'b')")
+    sql("INSERT INTO graft.db.fls VALUES (30, 'c')")
+    val inv = sql("CALL graft.system.files(table => 'db.fls')").collect()
+    assert(inv.nonEmpty)
+    assert(inv.map(_.getLong(3)).sum == 3L, "footer row counts must sum")
+    assert(inv.forall(_.getLong(2) > 0L), "sizes must be real")
+    val vintages = inv.map(_.getInt(1)).toSet
+    assert(vintages == Set(1, 2), s"vintages: $vintages")
+    // catalog INSERTs record id stats — the bounds render in the rows
+    assert(inv.exists(_.getString(4).contains("id:[")),
+      s"stats column empty: ${inv.map(_.getString(4)).toSeq}")
   }
 
   test("readStream.table: catalog-named streaming reads, plain and " +

@@ -1370,4 +1370,72 @@ class SnapshotsSpec extends SparkSpec {
     assert(idsOf(one, 2) == ((1L to 20L).toSet - 3L).toSeq.sorted)
     assert(idsOf(two, 2) == ((1L to 20L).toSet - 3L - 15L).toSeq.sorted)
   }
+
+  test("restore: one metadata commit reverts content; history intact") {
+    val dir = tmpDir("snaprestore")
+    Snapshots.commit(spark, dir, df(1 to 10).repartition(2),
+      append = false)
+    Snapshots.commit(spark, dir, df(11 to 15), append = true)
+    val (v3, _) = Snapshots.deleteWhere(spark, dir, col("id") <= 3)
+    assert(v3 == 3)
+    def dataFiles(): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(dir, "data")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listStatus(p).map(_.getPath.getName).toSet
+    }
+    val before = dataFiles()
+
+    // restore past the delete: content == v2, nothing moved on disk
+    val v4 = Snapshots.restore(spark, dir, 2)
+    assert(v4 == 4 && Snapshots.mainVersion(spark, dir) == 4)
+    assert(idsOf(dir, 4) == (1L to 15L))
+    assert(dataFiles() == before, "restore must move no data files")
+    // the rolled-back version is still time-travelable (history kept)
+    assert(idsOf(dir, 3) == (4L to 15L))
+    // the op is recorded for history/merge refusal
+    assert(Snapshots.commitOp(spark, dir, 4).map(_._1).contains("restore"))
+
+    // restore TO a DV-carrying version copies the vector forward
+    val v5 = Snapshots.restore(spark, dir, 3)
+    assert(v5 == 5 && idsOf(dir, 5) == (4L to 15L))
+    assert(Snapshots.hasDv(spark, dir, 5))
+
+    // no-op restore publishes nothing
+    assert(Snapshots.restore(spark, dir, 5) == 5)
+    assert(Snapshots.mainVersion(spark, dir) == 5)
+
+    // refusals: unknown version; off-main branch commit
+    val e1 = intercept[IllegalArgumentException] {
+      Snapshots.restore(spark, dir, 99)
+    }
+    assert(e1.getMessage.contains("does not exist"))
+    Snapshots.createRef(spark, dir, "exp")
+    val vb = Snapshots.commitOnBranch(spark, dir, "exp",
+      df(90 to 92), append = true)
+    val e2 = intercept[IllegalArgumentException] {
+      Snapshots.restore(spark, dir, vb)
+    }
+    assert(e2.getMessage.contains("not on main's ancestry"))
+    // main still restorable while branched; lands after the branch commit
+    val v7 = Snapshots.restore(spark, dir, 2)
+    assert(idsOf(dir, v7) == (1L to 15L))
+    assert(Snapshots.mainVersion(spark, dir) == v7)
+  }
+
+  test("restore: the change feed types the revert as file-diff rows") {
+    val dir = tmpDir("snaprestorecdf")
+    Snapshots.commit(spark, dir, df(1 to 6).coalesce(1), append = false)
+    Snapshots.commit(spark, dir, df(7 to 9).coalesce(1), append = true)
+    val v3 = Snapshots.restore(spark, dir, 1)
+    assert(v3 == 3)
+    // spanning diff: v2 added 7-9, v3 (restore) removed them — the net
+    // multiset change from v1 to v3 is empty
+    val (ins, del) = Snapshots.diffRows(spark, dir, 1, 3)
+    assert(ins.count() == 0 && del.count() == 0)
+    // the restore step alone reads as three deletes
+    val (i2, d2) = Snapshots.diffRows(spark, dir, 2, 3)
+    assert(i2.count() == 0)
+    assert(d2.select(col("id")).collect().map(_.getLong(0)).sorted
+      .sameElements(Array(7L, 8L, 9L)))
+  }
 }
