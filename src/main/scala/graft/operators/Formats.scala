@@ -1456,6 +1456,61 @@ object Formats extends QueryPack {
           lit(historyOk).as("history_ok"))
     }),
 
+    // Incremental compaction (f43): a snapshot table accreted as four
+    // small commits plus a MoR delete, then `CALL system.compact` —
+    // ONE content-preserving commit bin-packs the small files while
+    // the deletion stays materialized-or-carried; the lakehouse
+    // maintenance verb for streaming-fed tables. Verdict: head count +
+    // content hash (== documents minus the %11 deletes), packed file
+    // count strictly below the pre-compact count, history verb, and
+    // time-travel parity of the pre-compact state — all replayable
+    // relationally by the DuckDB oracle.
+    "f43_compact" -> ((s, d) => {
+      val wh = ioDir(d, "f43_wh")
+      val cat = "graft43_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val tdir = s"$wh/db/docs43"
+      val docs = T.documents(s, d)
+      writeOnce(s, tdir, alsoRequire =
+          graft.sources.Snapshots.latestVersion(s, tdir) == 6) {
+        val root = new org.apache.hadoop.fs.Path(wh)
+        val fsys = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fsys.delete(root, true)
+        s.sql(s"CREATE TABLE $cat.db.docs43 (doc_id BIGINT, " +
+          "text STRING, lang STRING, source STRING, n_chars BIGINT)")
+        (0 until 4).foreach { i =>                       // v1..v4
+          docs.filter(pmod(col("doc_id"), lit(4)) === i)
+            .createOrReplaceTempView(s"f43_part$i")
+          s.sql(s"INSERT INTO $cat.db.docs43 SELECT * FROM f43_part$i")
+        }
+        s.sql(s"DELETE FROM $cat.db.docs43 WHERE doc_id % 11 = 0") // v5
+        val nBefore = s.sql(
+          s"CALL $cat.system.files(table => 'db.docs43')").count()
+        s.sql(s"CALL $cat.system.compact(table => 'db.docs43', " +
+          "small_mb => 1024, target_mb => 2048)")                  // v6
+        require(s.sql(s"CALL $cat.system.files(table => 'db.docs43')")
+            .count() < nBefore,
+          "compact did not reduce the file count")
+        ()
+      }
+      val head = docSums(s.sql(s"SELECT * FROM $cat.db.docs43"))
+        .select(col("n").as("hn"), col("h").as("hh"))
+      val pre = docSums(s.sql(
+          s"SELECT * FROM $cat.db.docs43 VERSION AS OF 5"))
+        .select(col("n").as("pn"), col("h").as("ph"))
+      val historyOk =
+        graft.sources.Snapshots.latestVersion(s, tdir) == 6 &&
+          s.sql(s"CALL $cat.system.history(table => 'db.docs43')")
+            .filter(col("version") === 6).select(col("operation"))
+            .collect().headOption.exists(_.getString(0) == "compact")
+      head.crossJoin(pre)
+        .select(col("hn").as("n_head"), col("hh").as("content_sum"),
+          (col("hn") === col("pn") && col("hh") === col("ph"))
+            .as("content_preserved"),
+          lit(historyOk).as("history_ok"))
+    }),
+
     // MERGE INTO / upsert (f27): a change batch against the two-commit
     // documents snapshot table — every doc_id % 11 = 0 row updated
     // (n_chars + 1000) and every doc_id % 17 = 0 row cloned in under a
@@ -2099,6 +2154,19 @@ object Formats extends QueryPack {
              TRUE AS head_equals_v2,
              TRUE AS history_ok
       FROM documents""",
+    // f43: the compacted head IS documents minus the %11 deletes; the
+    // file-count/verb/parity checks pinned TRUE
+    "f43_compact" -> """
+      SELECT CAST(count(*) AS BIGINT) AS n_head,
+             CAST(sum(CAST(('0x' || substr(md5(
+               CAST(doc_id AS VARCHAR) || chr(1) || text || chr(1) ||
+               lang || chr(1) || source || chr(1) ||
+               CAST(n_chars AS VARCHAR)), 1, 8)) AS BIGINT)) AS BIGINT)
+               AS content_sum,
+             TRUE AS content_preserved,
+             TRUE AS history_ok
+      FROM documents
+      WHERE doc_id % 11 <> 0""",
     // f35: replay both sides relationally — main's line (hot + clones)
     // minus its %101 deletes, union the branch's additions minus its
     // %103 deletes (divergent deletions position-unioned by the merge);

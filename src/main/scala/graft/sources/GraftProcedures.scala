@@ -100,6 +100,18 @@ private[sources] object GraftProcedures {
         (versionOut, Seq(Snapshots.optimize(spark, dir, csv(in, 1),
           bits = in.getInt(2), numFiles = in.getInt(3))))
       },
+      // incremental small-file compaction: files under small_mb are
+      // bin-packed into ~target_mb outputs as ONE content-preserving
+      // commit — healthy files are never read or moved, kept files'
+      // DV entries carry forward, rewritten files' deletions
+      // materialize. The nightly maintenance verb for streaming-fed
+      // tables; no-ops (returns the head) when <2 files qualify.
+      make("compact", Seq(paramD("small_mb", IntegerType, "32"),
+          paramD("target_mb", IntegerType, "128"))) { (dir, in) =>
+        (versionOut, Seq(Snapshots.compact(spark, dir,
+          smallBytes = in.getInt(1).toLong << 20,
+          targetBytes = in.getInt(2).toLong << 20)))
+      },
       // stage_orphan_hours: how old a _stream_stage epoch dir must be
       // before it is swept as an orphan (see Snapshots.vacuum's
       // stageOrphanMs doc) — raise it when paused streaming queries may

@@ -2148,10 +2148,11 @@ object Snapshots {
             val pf =
               if (p >= 1) files(s, dir, p).toSet else Set.empty[String]
             if (!pf.subsetOf(files(s, dir, x).toSet))
-              require(commitOp(s, dir, x).exists(_._1 == "optimize"),
+              require(commitOp(s, dir, x).exists(op =>
+                  op._1 == "optimize" || op._1 == "compact"),
                 s"mergeBranch: main rewrote files at v$x since the " +
                   s"base v$base and the rewrite is not a recorded " +
-                  "content-preserving optimize — the branch's " +
+                  "content-preserving optimize/compact — the branch's " +
                   "deletions cannot be re-located; rebase instead")
             x = if (p < x) p else 0
           }
@@ -2642,6 +2643,122 @@ object Snapshots {
       // published version without the op, which only DEGRADES (the
       // merge refuses, the change feed types generically), never lies.
       writeCommitOp(f, dir, v, "optimize", Seq.empty)
+      advanceMain(s, f, dir, v)
+      v
+    } finally c.release()
+  }
+
+  /** A SUBSET of version `v`'s files read through the evolution
+    * machinery and aligned onto the version's FULL evolved schema
+    * (missing columns null-backfilled, types widened, renames mapped
+    * to canonical names) with `v`'s deletion vector applied — what
+    * [[compact]] stages, so one packed vintage carries exactly one
+    * schema no matter how many vintages its inputs spanned. */
+  private def readEvolvedSubset(s: SparkSession, dir: String, v: Int,
+      paths: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (evolved, _) = evolutionInfo(s, dir, v)
+    val dv = hasDv(s, dir, v)
+    val byCommit: Map[Int, Seq[String]] = paths.groupBy {
+      case FileCommit(c) => c.toInt
+      case other => throw new IllegalStateException(
+        s"readEvolvedSubset: cannot attribute $other to a commit")
+    }
+    val chain = (1 to v).map(c => c -> renamesOf(s, dir, c)).toMap
+    val frames = byCommit.toSeq.sortBy(_._1).map { case (c, ps) =>
+      val base = s.read.parquet(ps.map(p => new Path(dir, p).toString): _*)
+      var df = if (dv) withMeta(base) else base
+      for (later <- (c + 1) to v; (o, n) <- chain(later))
+        if (df.columns.contains(o)) df = df.withColumnRenamed(o, n)
+      // align to the evolved target BEFORE the union — vintages may
+      // disagree on a column's width (int vs long), which unionByName
+      // alone would refuse
+      df.select(evolved.fields.toSeq.map(fd =>
+        (if (df.columns.contains(fd.name)) col(fd.name)
+         else lit(null)).cast(fd.dataType).as(fd.name)) ++
+        (if (dv) Seq(col("_fp"), col("_ri")) else Nil): _*)
+    }
+    val union = frames.reduce(_.unionByName(_))
+    if (dv) applyDv(s, dir, v, union) else union
+  }
+
+  /** Incremental small-file COMPACTION of a snapshot table — the
+    * maintenance verb a long-lived streaming-fed table needs: files
+    * below `smallBytes` are bin-packed into ~`targetBytes` outputs and
+    * published as ONE content-preserving rewrite commit whose manifest
+    * is (untouched files ++ packed replacements). Scale posture:
+    *   - O(small files): healthy files are never read, never moved —
+    *     their manifest entries, stat lines, and deletion-vector
+    *     positions carry forward untouched. A nightly run against a
+    *     100 TB table costs the day's small-file accretion, not the
+    *     table.
+    *   - Deletions MATERIALIZE for the rewritten files only (the pack
+    *     reads through the vector), so their DV entries drop while
+    *     kept files' entries survive — merge-on-read debt shrinks
+    *     incrementally without optimize's full rewrite.
+    *   - The packed vintage carries the version's full EVOLVED schema
+    *     ([[readEvolvedSubset]]): inputs may span schema vintages, the
+    *     output is one schema, and reads of the new version see
+    *     exactly what they saw before.
+    *   - coalesce, not repartition: packing must not shuffle — output
+    *     sizes approximate the target by input grouping, which is the
+    *     right trade at any scale.
+    *   - Recorded as content-preserving (`vN.op` = "compact"), so
+    *     [[mergeBranch]] reconciles a branch across it exactly as it
+    *     does across an optimize.
+    * No-ops (returns the current head) when fewer than `minFiles`
+    * files qualify. */
+  def compact(s: SparkSession, dir: String,
+      smallBytes: Long = 32L << 20, targetBytes: Long = 128L << 20,
+      minFiles: Int = 2): Int = {
+    import org.apache.spark.sql.functions.{broadcast, col, element_at,
+      split}
+    require(smallBytes > 0 && targetBytes > 0 && minFiles >= 2,
+      "compact: thresholds must be positive (minFiles >= 2)")
+    val f = fs(s, dir)
+    require(latestVersion(s, dir) >= 1, s"compact: no versions at $dir")
+    val c = claimVersion(f, dir)
+    try {
+      val v = c.v
+      val base = mainHead(f, dir, v - 1)
+      val sized = files(s, dir, base).map(p =>
+        p -> f.getFileStatus(new Path(dir, p)).getLen)
+      val small = sized.filter(_._2 < smallBytes).map(_._1)
+      if (small.size < minFiles) return base
+      val smallSet = small.toSet
+      val keep = sized.map(_._1).filterNot(smallSet)
+      val nOut = math.max(1, math.ceil(sized.filter(x =>
+        smallSet(x._1)).map(_._2).sum.toDouble / targetBytes).toInt)
+      val packed = readEvolvedSubset(s, dir, base, small).coalesce(nOut)
+      val (moved, statLines) = stageAndMove(s, f, dir, packed,
+        defaultStatsCols(packed.schema), v)
+      // new DV = the base's entries for KEPT files only — the packed
+      // read materialized the rewritten files' deletions. File names
+      // are unique per table (vN-i- prefixes), so the last path
+      // segment keys the anti-join.
+      val keptDv = dvFrame(s, dir, base).map { dv0 =>
+        import s.implicits._
+        val gone = small.map(p => new Path(p).getName).toDF("_gone")
+        dv0.join(broadcast(gone),
+          element_at(split(col("file_path"), "/"), -1) === col("_gone"),
+          "left_anti")
+      }
+      keptDv match {
+        case Some(kd) if !kd.isEmpty =>
+          kd.write.mode("overwrite").parquet(dvDir(dir, v).toString)
+        case _ =>
+          // none left (or none existed): same orphan-vector guard as
+          // every other commit path
+          f.delete(dvDir(dir, v), true); ()
+      }
+      f.delete(new Path(dir, s"v$v.op"), false)
+      writeCommitMeta(f, dir, v, base)
+      writeManifest(f, dir, v, keep ++ moved)
+      writeStatLines(f, dir, v, statLines)
+      // after the publish, like optimize: a crash in between leaves a
+      // version that merges refuse and the change feed types
+      // generically — degraded, never wrong
+      writeCommitOp(f, dir, v, "compact", Seq.empty)
       advanceMain(s, f, dir, v)
       v
     } finally c.release()

@@ -1371,6 +1371,68 @@ class SnapshotsSpec extends SparkSpec {
     assert(idsOf(two, 2) == ((1L to 20L).toSet - 3L - 15L).toSeq.sorted)
   }
 
+  test("compact: bin-packs only small files, materializes their " +
+      "deletions, carries kept DV entries, spans schema vintages") {
+    val dir = tmpDir("snapcompact")
+    import spark.implicits._
+    // v1/v2: two small single-file vintages; v2 widens the schema
+    Snapshots.commit(spark, dir, df(1 to 10).coalesce(1), append = false)
+    val wide = (11 to 20).map(i => (i.toLong, s"row$i", i * 2))
+      .toDF("id", "payload", "extra").coalesce(1)
+    Snapshots.commit(spark, dir, wide, append = true)
+    // v3: a BIG file that must survive untouched — unique hex payloads
+    // so parquet cannot dictionary/RLE it under the small threshold
+    val big = (21 to 2000).map(i => (i.toLong,
+        (1 to 20).map(j => (i * 2654435761L + j * 40503L).toHexString)
+          .mkString("-")))
+      .toDF("id", "payload").coalesce(1)
+    Snapshots.commit(spark, dir, big, append = true)
+    // v4: MoR deletes touching a small file (id=5) and the big one
+    val (v4, nDel) = Snapshots.deleteWhere(spark, dir,
+      col("id") === 5L || col("id") === 100L)
+    assert(v4 == 4 && nDel == 2)
+    val before = Snapshots.readEvolved(spark, dir, 4)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val bigFile = Snapshots.files(spark, dir, 3)
+      .filterNot(Snapshots.files(spark, dir, 2).toSet).head
+
+    // small = the two tiny vintage files; the big one stays put
+    val v5 = Snapshots.compact(spark, dir, smallBytes = 64L << 10)
+    assert(v5 == 5)
+    val after = Snapshots.files(spark, dir, 5)
+    assert(after.contains(bigFile), "big file must be untouched")
+    assert(after.size == 2, s"expected big + one packed file: $after")
+    // content identical through the evolved read (id=5 stays deleted —
+    // its deletion MATERIALIZED; id=100 stays deleted via the carried
+    // DV entry for the kept big file)
+    val got = Snapshots.readEvolved(spark, dir, 5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == before)
+    assert(Snapshots.hasDv(spark, dir, 5), "kept-file DV entry carries")
+    // the packed vintage carries the evolved schema (extra present,
+    // null-backfilled for v1 rows)
+    val packedPath = after.filterNot(_ == bigFile).head
+    val packedSchema = spark.read.parquet(
+      new org.apache.hadoop.fs.Path(dir, packedPath).toString).schema
+    assert(packedSchema.fieldNames.toSeq == Seq("id", "payload", "extra"))
+    // recorded verb + prior versions intact
+    assert(Snapshots.commitOp(spark, dir, 5).map(_._1).contains("compact"))
+    assert(idsOf(dir, 1) == (1L to 10L))
+    // idempotent: nothing small enough remains (one packed + one big)
+    assert(Snapshots.compact(spark, dir, smallBytes = 64L << 10) == 5)
+    // a branch merges across the compact (content-preserving)
+    Snapshots.createRef(spark, dir, "cexp")
+    Snapshots.commitOnBranch(spark, dir, "cexp",
+      Seq((9001L, "b", 1)).toDF("id", "payload", "extra"), append = true)
+    val v6 = Snapshots.compact(spark, dir, smallBytes = 1L << 30,
+      targetBytes = 1L << 30)
+    assert(v6 > 5, "everything qualifies under a 1 GiB threshold")
+    val merged = Snapshots.mergeBranch(spark, dir, "cexp",
+      keyCols = Seq("id"))
+    assert(Snapshots.read(spark, dir, merged).filter(col("id") === 9001L)
+      .count() == 1L)
+  }
+
   test("restore: one metadata commit reverts content; history intact") {
     val dir = tmpDir("snaprestore")
     Snapshots.commit(spark, dir, df(1 to 10).repartition(2),
