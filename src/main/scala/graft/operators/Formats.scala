@@ -835,31 +835,26 @@ object Formats extends QueryPack {
         fsys.delete(new org.apache.hadoop.fs.Path(out + "_cp"), true)
         val docs = T.documents(s, d)
         val hot = col("source").isin("src0", "src1", "src2")
-        implicit val enc = org.apache.spark.sql.Encoders.tuple(
-          org.apache.spark.sql.Encoders.scalaLong,
-          org.apache.spark.sql.Encoders.STRING,
-          org.apache.spark.sql.Encoders.STRING,
-          org.apache.spark.sql.Encoders.STRING,
-          org.apache.spark.sql.Encoders.scalaLong)
-        implicit val sqlCtx = s.sqlContext
-        val src = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(Long, String, String, String, Long)]
-        val q = src.toDS()
-          .toDF("doc_id", "text", "lang", "source", "n_chars")
+        // a REAL distributed source: a two-version snapshot table the
+        // stream tails one version per trigger — no driver-side
+        // collect, no in-memory fixture; executor rows flow source →
+        // sink end to end (the r16 note on harness-shaped streaming
+        // certification)
+        val srcDir = out + "_src"
+        fsys.delete(new org.apache.hadoop.fs.Path(srcDir), true)
+        graft.sources.Snapshots.commit(s, srcDir, docs.filter(hot),
+          append = false)
+        graft.sources.Snapshots.commit(s, srcDir, docs.filter(!hot),
+          append = true)
+        val q = s.readStream.format("graft-snapshots")
+          .option("path", srcDir)
+          .option("maxVersionsPerTrigger", "1")
+          .load()
           .writeStream.format("graft-snapshots")
           .option("path", out)
           .option("checkpointLocation", out + "_cp")
           .start()
-        try {
-          def rowsOf(df: org.apache.spark.sql.DataFrame) =
-            df.select("doc_id", "text", "lang", "source", "n_chars")
-              .collect().map(r => (r.getLong(0), r.getString(1),
-                r.getString(2), r.getString(3), r.getLong(4))).toSeq
-          src.addData(rowsOf(docs.filter(hot)): _*)
-          q.processAllAvailable()
-          src.addData(rowsOf(docs.filter(!hot)): _*)
-          q.processAllAvailable()
-        } finally q.stop()
+        try q.processAllAvailable() finally q.stop()
         ()
       }
       val docs = T.documents(s, d)
@@ -1087,30 +1082,26 @@ object Formats extends QueryPack {
         fsys.delete(new org.apache.hadoop.fs.Path(s"$wh/f38_cp"), true)
         s.sql(s"CREATE TABLE $cat.db.sdocs (doc_id BIGINT, text STRING, " +
           "lang STRING, source STRING, n_chars BIGINT)")
-        implicit val enc = org.apache.spark.sql.Encoders.tuple(
-          org.apache.spark.sql.Encoders.scalaLong,
-          org.apache.spark.sql.Encoders.STRING,
-          org.apache.spark.sql.Encoders.STRING,
-          org.apache.spark.sql.Encoders.STRING,
-          org.apache.spark.sql.Encoders.scalaLong)
-        implicit val sqlCtx = s.sqlContext
-        val src = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(Long, String, String, String, Long)]
-        val q = src.toDS()
-          .toDF("doc_id", "text", "lang", "source", "n_chars")
+        // REAL distributed ingest: tail a two-version snapshot table
+        // one version per trigger into the NAMED V2 streaming write —
+        // executor rows flow source → epoch parts → commit, no
+        // driver-side collect or in-memory fixture
+        val srcDir = s"$wh/f38_src"
+        fsys.delete(new org.apache.hadoop.fs.Path(srcDir), true)
+        graft.sources.Snapshots.commit(s, srcDir, docs.filter(hot)
+          .select("doc_id", "text", "lang", "source", "n_chars"),
+          append = false)
+        graft.sources.Snapshots.commit(s, srcDir, docs.filter(!hot)
+          .select("doc_id", "text", "lang", "source", "n_chars"),
+          append = true)
+        val q = s.readStream.format("graft-snapshots")
+          .option("path", srcDir)
+          .option("maxVersionsPerTrigger", "1")
+          .load()
           .writeStream
           .option("checkpointLocation", s"$wh/f38_cp")
           .toTable(s"$cat.db.sdocs")
-        try {
-          def rowsOf(df: org.apache.spark.sql.DataFrame) =
-            df.select("doc_id", "text", "lang", "source", "n_chars")
-              .collect().map(r => (r.getLong(0), r.getString(1),
-                r.getString(2), r.getString(3), r.getLong(4))).toSeq
-          src.addData(rowsOf(docs.filter(hot)): _*)
-          q.processAllAvailable()
-          src.addData(rowsOf(docs.filter(!hot)): _*)
-          q.processAllAvailable()
-        } finally q.stop()
+        try q.processAllAvailable() finally q.stop()
         ()
       }
       // the view, driven purely from the NAMED change feed (fresh
