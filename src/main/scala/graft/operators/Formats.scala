@@ -1502,6 +1502,46 @@ object Formats extends QueryPack {
           lit(historyOk).as("history_ok"))
     }),
 
+    // Partitioned table (f44): `PARTITIONED BY (lang)` as clustered
+    // writes + stat pruning — each INSERT range-repartitions on the
+    // partition column and records its per-file bounds, so a
+    // partition-selective DELETE opens only admitting files (the
+    // pruning counter is pinned in GraftCatalogSpec; this row
+    // hash-certifies the partitioned lifecycle's CONTENT end to end).
+    // Verdict: per-lang aggregate after inserting documents in two
+    // batches and deleting one language.
+    "f44_partitioned_table" -> ((s, d) => {
+      val wh = ioDir(d, "f44_wh")
+      val cat = "graft44_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val tdir = s"$wh/db/docs44"
+      val docs = T.documents(s, d)
+      val hot = col("source").isin("src0", "src1", "src2")
+      val deadLang = "de"
+      writeOnce(s, tdir, alsoRequire =
+          graft.sources.Snapshots.latestVersion(s, tdir) == 3) {
+        val root = new org.apache.hadoop.fs.Path(wh)
+        val fsys = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fsys.delete(root, true)
+        s.sql(s"CREATE TABLE $cat.db.docs44 (doc_id BIGINT, " +
+          "text STRING, lang STRING, source STRING, n_chars BIGINT) " +
+          "PARTITIONED BY (lang)")
+        docs.filter(hot).createOrReplaceTempView("f44_hot")
+        docs.filter(!hot).createOrReplaceTempView("f44_rest")
+        s.sql(s"INSERT INTO $cat.db.docs44 SELECT * FROM f44_hot")  // v1
+        s.sql(s"INSERT INTO $cat.db.docs44 SELECT * FROM f44_rest") // v2
+        s.sql(s"DELETE FROM $cat.db.docs44 WHERE lang = '$deadLang'") // v3
+        ()
+      }
+      s.sql(s"SELECT lang, count(*) AS n_docs, " +
+          s"sum(n_chars) AS sum_chars FROM $cat.db.docs44 GROUP BY lang")
+        .withColumn("partitioned_ok", lit(
+          s.sql(s"DESCRIBE TABLE $cat.db.docs44").collect()
+            .exists(_.getString(0) == "# Partition Information")))
+        .orderBy(col("lang"))
+    }),
+
     // MERGE INTO / upsert (f27): a change batch against the two-commit
     // documents snapshot table — every doc_id % 11 = 0 row updated
     // (n_chars + 1000) and every doc_id % 17 = 0 row cloned in under a
@@ -2158,6 +2198,16 @@ object Formats extends QueryPack {
              TRUE AS history_ok
       FROM documents
       WHERE doc_id % 11 <> 0""",
+    // f44: the partitioned table's head = documents minus one language
+    "f44_partitioned_table" -> """
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             TRUE AS partitioned_ok
+      FROM documents
+      WHERE lang <> 'de'
+      GROUP BY lang
+      ORDER BY lang""",
     // f35: replay both sides relationally — main's line (hot + clones)
     // minus its %101 deletes, union the branch's additions minus its
     // %103 deletes (divergent deletions position-unioned by the merge);

@@ -153,10 +153,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft catalog: partitioning transforms are not supported — the " +
-        "snapshot format clusters with OPTIMIZE ZORDER (Snapshots." +
-        "optimize) and prunes from per-file stats instead")
+    val cluster = GraftCatalog.identityCols(partitions, schema)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val dir = new Path(tableDir(ident))
     val f = fs(dir)
@@ -168,6 +165,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val o = f.create(new Path(dir, "_SCHEMA"), true)
       try o.write(schema.json.getBytes("UTF-8")) finally o.close()
     }
+    GraftCatalog.writeClusterCols(spark, dir.toString, cluster)
     new SnapshotTableV2(dir.toString, fullName(ident))
   }
 
@@ -202,12 +200,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def staged(ident: Identifier, info: TableInfo,
       mode: GraftStagedTable.Mode): StagedTable = {
-    require(info.partitions.isEmpty,
-      "graft catalog: partitioning transforms are not supported — the " +
-        "snapshot format clusters with OPTIMIZE ZORDER and prunes from " +
-        "per-file stats instead")
     new GraftStagedTable(this, ident, info.schema,
-      onlyChecks(info, mode.verb), mode)
+      onlyChecks(info, mode.verb), mode,
+      GraftCatalog.identityCols(info.partitions, info.schema))
   }
 
   /** `CREATE TABLE … AS SELECT`: nothing touches the warehouse until
@@ -458,6 +453,74 @@ private[graft] object GraftCatalog {
     * [[GraftCatalog.listTables]] made — pins that table resolution is
     * batched (two globs over the parent), not one listing per child. */
   @volatile private[sources] var lastListTablesRpcs: Int = -1
+
+  /** `PARTITIONED BY` support: only IDENTITY transforms, implemented
+    * as WRITE CLUSTERING — each catalog write range-repartitions on the
+    * declared columns and records their per-file [min,max], so scans
+    * and DML prune files by stats exactly as a directory layout would
+    * eliminate partitions, without hive-style paths (which the
+    * manifest/vintage format deliberately avoids: file names carry
+    * their commit, stats carry their bounds). Bucket/days/etc.
+    * transforms stay refused — z-order (`optimize`) is the
+    * multi-dimensional answer. */
+  private[sources] def identityCols(partitions: Array[Transform],
+      schema: StructType): Seq[String] = partitions.toSeq.map {
+    case id if id.name == "identity" && id.references.length == 1 =>
+      val n = id.references.head.fieldNames.mkString(".")
+      require(schema.fieldNames.contains(n),
+        s"graft catalog: PARTITIONED BY column $n is not in the schema")
+      n
+    case other => throw new UnsupportedOperationException(
+      s"graft catalog: PARTITIONED BY ${other.describe} is not " +
+        "supported — only identity columns (implemented as clustered " +
+        "writes + stat pruning); use OPTIMIZE ZORDER for " +
+        "multi-dimensional clustering")
+  }
+
+  /** Persist / read the clustering columns (`_CLUSTER` side-file, one
+    * csv line). Absent or empty = unclustered. */
+  private[sources] def writeClusterCols(s: SparkSession, dir: String,
+      cols: Seq[String]): Unit = {
+    val p = new Path(dir, "_CLUSTER")
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (cols.isEmpty) { f.delete(p, false); () }
+    else {
+      val o = f.create(p, true)
+      try o.write(cols.mkString(",").getBytes("UTF-8")) finally o.close()
+    }
+  }
+
+  private[sources] def clusterCols(s: SparkSession, dir: String)
+      : Seq[String] = {
+    val p = new Path(dir, "_CLUSTER")
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) Seq.empty
+    else {
+      val in = f.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      txt.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    }
+  }
+
+  /** The write-side half of PARTITIONED BY: range-repartition `data`
+    * on the table's clustering columns (files become value-aligned —
+    * the shuffle is the price every engine's partitioned write pays)
+    * and extend the recorded stats with those columns, strings
+    * included (partition keys are bounded values, unlike free text —
+    * the reason strings are excluded from [[Snapshots
+    * .defaultStatsCols]] does not apply). Unclustered tables pass
+    * through untouched. */
+  private[sources] def clusterFor(data: org.apache.spark.sql.DataFrame,
+      dir: String): (org.apache.spark.sql.DataFrame, Seq[String]) = {
+    import org.apache.spark.sql.functions.col
+    val cols = clusterCols(data.sparkSession, dir)
+      .filter(data.columns.contains)
+    val defaults = Snapshots.defaultStatsCols(data.schema)
+    if (cols.isEmpty) (data, defaults)
+    else (data.repartitionByRange(cols.map(col): _*),
+      (defaults ++ cols).distinct)
+  }
 }
 
 /** One snapshot table as a DSv2 [[Table]] handle. The handle is
@@ -516,6 +579,15 @@ private[graft] class SnapshotTableV2(val dir: String,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE)
 
+  /** The declared clustering columns as identity transforms (DESCRIBE
+    * shows them under Partitioning) — write clustering, not hive dirs:
+    * see [[GraftCatalog.identityCols]]. */
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] =
+    GraftCatalog.clusterCols(spark, dir).map(
+      org.apache.spark.sql.connector.expressions.Expressions.identity)
+      .toArray
+
   /** The table's CHECK constraints — Spark's `ResolveTableConstraints`
     * reads these and injects `CheckInvariant` validation into every
     * INSERT/OVERWRITE plan against this table (the custom DML routing
@@ -550,10 +622,16 @@ private[graft] class SnapshotTableV2(val dir: String,
                 ovr: Boolean): Unit = {
               // append-vs-first is decided inside the claimed section
               // (commitAuto) — a pre-claim latestVersion read would let
-              // two racing first INSERTs both rewrite, losing rows
+              // two racing first INSERTs both rewrite, losing rows.
+              // A PARTITIONED BY table range-clusters each write on
+              // its declared columns and records their bounds, so the
+              // files are value-aligned and stat pruning eliminates
+              // them like a directory layout would.
+              val (clustered, stats) =
+                GraftCatalog.clusterFor(data, dir)
               Snapshots.commitAuto(data.sparkSession, dir,
-                data, overwrite = overwrite || ovr,
-                statsCols = Snapshots.defaultStatsCols(data.schema))
+                clustered, overwrite = overwrite || ovr,
+                statsCols = stats)
               ()
             }
           }
@@ -607,7 +685,8 @@ private[graft] object GraftStagedTable {
 private[graft] class GraftStagedTable(catalog: GraftCatalog,
     ident: Identifier, declaredSchema: StructType,
     checks: Seq[org.apache.spark.sql.connector.catalog.constraints.Check],
-    mode: GraftStagedTable.Mode)
+    mode: GraftStagedTable.Mode,
+    clusterCols: Seq[String] = Seq.empty)
     extends Table with SupportsWrite with StagedTable {
 
   import GraftStagedTable._
@@ -658,9 +737,18 @@ private[graft] class GraftStagedTable(catalog: GraftCatalog,
         throw new NoSuchTableException(ident)
       case _ =>
     }
+    def clustered(df: org.apache.spark.sql.DataFrame)
+        : (org.apache.spark.sql.DataFrame, Seq[String]) = {
+      import org.apache.spark.sql.functions.col
+      val cs = clusterCols.filter(df.columns.contains)
+      val defaults = Snapshots.defaultStatsCols(df.schema)
+      if (cs.isEmpty) (df, defaults)
+      else (df.repartitionByRange(cs.map(col): _*),
+        (defaults ++ cs).distinct)
+    }
     if (!exists) {
       stagedPlan match {
-        case Some(df) =>
+        case Some(df0) =>
           // data FIRST: until the commit publishes v1 there is no
           // table-marking file at all, so a failing CTAS query leaves
           // nothing behind (the non-staging exec's empty-husk bug).
@@ -668,17 +756,20 @@ private[graft] class GraftStagedTable(catalog: GraftCatalog,
           // table catalog-visible even if vacuum later reclaims v1's
           // manifest (isTable also accepts any manifest, so this is
           // redundancy, not a dependency)
+          val (df, stats) = clustered(df0)
           Snapshots.commit(spark, dir, df, append = false,
-            statsCols = Snapshots.defaultStatsCols(df.schema))
+            statsCols = stats)
           val f = new Path(dir).getFileSystem(
             spark.sparkContext.hadoopConfiguration)
           val o = f.create(new Path(dir, "_SCHEMA"), true)
           try o.write(df.schema.json.getBytes("UTF-8")) finally o.close()
+          GraftCatalog.writeClusterCols(spark, dir, clusterCols)
         case None =>
           // data-less staged create (CREATE OR REPLACE without AS):
           // the same side-file layout CREATE TABLE writes
           catalog.createTable(ident, declaredSchema,
             Array.empty[Transform], new util.HashMap[String, String])
+          GraftCatalog.writeClusterCols(spark, dir, clusterCols)
       }
       if (checks.nonEmpty) GraftConstraints.write(spark, dir, checks)
     } else {
@@ -686,11 +777,14 @@ private[graft] class GraftStagedTable(catalog: GraftCatalog,
       // versions keep their own schema and stay readable (evolution
       // metadata is per-manifest, so the schemas need not be related);
       // a data-less REPLACE TABLE publishes an empty vintage
-      val df = stagedPlan.getOrElse(spark.createDataFrame(
+      val df0 = stagedPlan.getOrElse(spark.createDataFrame(
         spark.sparkContext.parallelize(
           Seq.empty[org.apache.spark.sql.Row], 1), declaredSchema))
+      val (df, stats) = clustered(df0)
       Snapshots.commit(spark, dir, df, append = false,
-        statsCols = Snapshots.defaultStatsCols(df.schema))
+        statsCols = stats)
+      // the REPLACE's declaration supersedes the old clustering too
+      GraftCatalog.writeClusterCols(spark, dir, clusterCols)
       // the new definition replaces the old one's constraints wholesale
       GraftConstraints.write(spark, dir, checks)
     }

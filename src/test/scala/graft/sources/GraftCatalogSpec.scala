@@ -1050,6 +1050,60 @@ class GraftCatalogSpec extends SparkSpec {
     assert(surv == 199L)
   }
 
+  test("PARTITIONED BY (identity): clustered writes + stat pruning " +
+      "stand in for directory partitions") {
+    warehouse
+    sql("CREATE TABLE graft.db.ptab (id BIGINT, lang STRING, " +
+      "n BIGINT) PARTITIONED BY (lang)")
+    // one INSERT spanning three 'partitions' — the write range-clusters
+    // on lang (AQE rightly coalesces this tiny shuffle to one file; at
+    // real volume the range layout is many value-aligned files) and
+    // records lang's bounds even though strings are excluded from the
+    // numeric default stats — then two more single-lang batches, the
+    // accretion shape a partitioned table sees in production
+    sql("INSERT INTO graft.db.ptab SELECT id, " +
+      "CASE WHEN id < 40 THEN 'de' WHEN id < 80 THEN 'en' ELSE 'fr' " +
+      "END, id * 2 FROM range(1, 120, 1, 6)")
+    sql("INSERT INTO graft.db.ptab SELECT id, 'en', id * 2 " +
+      "FROM range(200, 240, 1, 2)")
+    sql("INSERT INTO graft.db.ptab SELECT id, 'fr', id * 2 " +
+      "FROM range(300, 340, 1, 2)")
+    // DESCRIBE surfaces the clustering as identity partitioning
+    val desc = sql("DESCRIBE TABLE graft.db.ptab").collect()
+      .map(_.getString(0)).toSeq
+    val partAt = desc.indexOf("# Partition Information")
+    assert(partAt >= 0 && desc.drop(partAt).contains("lang"),
+      s"desc: $desc")
+    // per-file lang bounds are visible in the inventory…
+    val inv = sql("CALL graft.system.files(table => 'db.ptab')")
+      .collect()
+    assert(inv.forall(_.getString(4).contains("lang:[")),
+      s"stats: ${inv.map(_.getString(4)).toSeq}")
+    // …and a partition-selective DELETE opens only admitting files:
+    // 'de' lives only in the first batch, so the en/fr batches prune
+    sql("DELETE FROM graft.db.ptab WHERE lang = 'de'")
+    val (read, total) = Snapshots.lastDmlPruneCounts
+    assert(total >= 3 && read < total,
+      s"partition delete did not prune: read $read of $total")
+    val left = sql("SELECT lang, count(*) AS n FROM graft.db.ptab " +
+      "GROUP BY lang ORDER BY lang").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(left == Seq("en" -> 80L, "fr" -> 80L))
+    // non-identity transforms stay refused, actionably
+    val e = intercept[Exception] {
+      sql("CREATE TABLE graft.db.ptab2 (id BIGINT, ts TIMESTAMP) " +
+        "PARTITIONED BY (days(ts))")
+    }
+    assert(e.getMessage.contains("identity"))
+    // CTAS carries the clustering declaration too
+    sql("CREATE TABLE graft.db.ptab3 PARTITIONED BY (lang) AS " +
+      "SELECT * FROM graft.db.ptab")
+    val inv3 = sql("CALL graft.system.files(table => 'db.ptab3')")
+      .collect()
+    assert(inv3.forall(_.getString(4).contains("lang:[")),
+      s"ctas stats: ${inv3.map(_.getString(4)).toSeq}")
+  }
+
   test("CALL graft.system.files: live inventory with sizes and stats") {
     warehouse
     sql("CREATE TABLE graft.db.fls (id BIGINT, payload STRING)")
