@@ -512,10 +512,10 @@ private[graft] object GraftCatalog {
     * .defaultStatsCols]] does not apply). Unclustered tables pass
     * through untouched. */
   private[sources] def clusterFor(data: org.apache.spark.sql.DataFrame,
-      dir: String): (org.apache.spark.sql.DataFrame, Seq[String]) = {
+      declared: Seq[String])
+      : (org.apache.spark.sql.DataFrame, Seq[String]) = {
     import org.apache.spark.sql.functions.col
-    val cols = clusterCols(data.sparkSession, dir)
-      .filter(data.columns.contains)
+    val cols = declared.filter(data.columns.contains)
     val defaults = Snapshots.defaultStatsCols(data.schema)
     if (cols.isEmpty) (data, defaults)
     else (data.repartitionByRange(cols.map(col): _*),
@@ -627,8 +627,8 @@ private[graft] class SnapshotTableV2(val dir: String,
               // its declared columns and records their bounds, so the
               // files are value-aligned and stat pruning eliminates
               // them like a directory layout would.
-              val (clustered, stats) =
-                GraftCatalog.clusterFor(data, dir)
+              val (clustered, stats) = GraftCatalog.clusterFor(data,
+                GraftCatalog.clusterCols(data.sparkSession, dir))
               Snapshots.commitAuto(data.sparkSession, dir,
                 clustered, overwrite = overwrite || ovr,
                 statsCols = stats)
@@ -738,14 +738,8 @@ private[graft] class GraftStagedTable(catalog: GraftCatalog,
       case _ =>
     }
     def clustered(df: org.apache.spark.sql.DataFrame)
-        : (org.apache.spark.sql.DataFrame, Seq[String]) = {
-      import org.apache.spark.sql.functions.col
-      val cs = clusterCols.filter(df.columns.contains)
-      val defaults = Snapshots.defaultStatsCols(df.schema)
-      if (cs.isEmpty) (df, defaults)
-      else (df.repartitionByRange(cs.map(col): _*),
-        (defaults ++ cs).distinct)
-    }
+        : (org.apache.spark.sql.DataFrame, Seq[String]) =
+      GraftCatalog.clusterFor(df, clusterCols)
     if (!exists) {
       stagedPlan match {
         case Some(df0) =>

@@ -2729,9 +2729,19 @@ object Snapshots {
       val keep = sized.map(_._1).filterNot(smallSet)
       val nOut = math.max(1, math.ceil(sized.filter(x =>
         smallSet(x._1)).map(_._2).sum.toDouble / targetBytes).toInt)
-      val packed = readEvolvedSubset(s, dir, base, small).coalesce(nOut)
+      val subset = readEvolvedSubset(s, dir, base, small)
+      // a PARTITIONED BY table's maintenance must not destroy its
+      // value-aligned layout: repack along the declared clustering
+      // columns (and re-record their bounds) instead of arbitrary
+      // grouping — partition pruning stays effective after compaction
+      val cluster = GraftCatalog.clusterCols(s, dir)
+        .filter(subset.columns.contains)
+      val packed =
+        if (cluster.nonEmpty)
+          subset.repartitionByRange(nOut, cluster.map(col): _*)
+        else subset.coalesce(nOut)
       val (moved, statLines) = stageAndMove(s, f, dir, packed,
-        defaultStatsCols(packed.schema), v)
+        (defaultStatsCols(packed.schema) ++ cluster).distinct, v)
       // new DV = the base's entries for KEPT files only — the packed
       // read materialized the rewritten files' deletions. File names
       // are unique per table (vN-i- prefixes), so the last path

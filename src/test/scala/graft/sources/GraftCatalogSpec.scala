@@ -1102,6 +1102,18 @@ class GraftCatalogSpec extends SparkSpec {
       .collect()
     assert(inv3.forall(_.getString(4).contains("lang:[")),
       s"ctas stats: ${inv3.map(_.getString(4)).toSeq}")
+    // maintenance keeps the layout: compact repacks ALONG the declared
+    // clustering and re-records its bounds
+    sql("CALL graft.system.compact(table => 'db.ptab', " +
+      "small_mb => 1024, target_mb => 2048)")
+    val inv4 = sql("CALL graft.system.files(table => 'db.ptab')")
+      .collect()
+    assert(inv4.forall(_.getString(4).contains("lang:[")),
+      s"post-compact stats: ${inv4.map(_.getString(4)).toSeq}")
+    val left2 = sql("SELECT lang, count(*) AS n FROM graft.db.ptab " +
+      "GROUP BY lang ORDER BY lang").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(left2 == Seq("en" -> 80L, "fr" -> 80L))
   }
 
   test("CALL graft.system.files: live inventory with sizes and stats") {
