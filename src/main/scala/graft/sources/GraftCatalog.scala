@@ -301,6 +301,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               s"(${c.predicateSql}) — drop the constraint first")
         }
         renames += (fields(i).name -> r.newName)
+        // the clustering declaration follows the rename — a stale
+        // `_CLUSTER` name would silently stop clustering future writes
+        val cluster = GraftCatalog.clusterCols(spark, dir)
+        if (cluster.contains(fields(i).name))
+          GraftCatalog.writeClusterCols(spark, dir, cluster.map(c =>
+            if (c == fields(i).name) r.newName else c))
         fields = fields.updated(i, fields(i).copy(name = r.newName))
         schemaChanged = true
       case u: TableChange.UpdateColumnType =>

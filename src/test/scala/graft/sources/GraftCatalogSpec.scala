@@ -1114,6 +1114,15 @@ class GraftCatalogSpec extends SparkSpec {
       "GROUP BY lang ORDER BY lang").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toSeq
     assert(left2 == Seq("en" -> 80L, "fr" -> 80L))
+    // the clustering declaration follows a column rename: the next
+    // write still records the (renamed) partition column's bounds
+    sql("ALTER TABLE graft.db.ptab RENAME COLUMN lang TO language")
+    sql("INSERT INTO graft.db.ptab SELECT id, 'zh', id * 2 " +
+      "FROM range(400, 410, 1, 1)")
+    val inv5 = sql("CALL graft.system.files(table => 'db.ptab')")
+      .collect()
+    assert(inv5.exists(_.getString(4).contains("language:[")),
+      s"post-rename stats: ${inv5.map(_.getString(4)).toSeq}")
   }
 
   test("CALL graft.system.files: live inventory with sizes and stats") {
