@@ -932,6 +932,11 @@ private[graft] class SnapshotSink(dir: String,
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val spark = data.sparkSession
+    // statscols absent: record the free footer-read defaults — a
+    // streaming-fed table should stat-prune out of the box
+    val effStats =
+      if (statsCols.nonEmpty) statsCols
+      else Snapshots.defaultStatsCols(data.schema)
     // the engine stamps the owning query's id as a local property on the
     // micro-batch thread (StreamExecution.QUERY_ID_KEY) — stable across
     // checkpointed restarts, distinct per fresh checkpoint, which is
@@ -964,15 +969,15 @@ private[graft] class SnapshotSink(dir: String,
     outputMode match {
       case m if m == OutputMode.Complete() =>
         Snapshots.commit(spark, dir, batch, append = false,
-          statsCols = statsCols, streamTxn = Some((queryId, batchId)))
+          statsCols = effStats, streamTxn = Some((queryId, batchId)))
         ()
       case m if m == OutputMode.Update() && latest >= 1 =>
         Snapshots.upsert(spark, dir, batch, keyCols,
-          statsCols = statsCols, streamTxn = Some((queryId, batchId)))
+          statsCols = effStats, streamTxn = Some((queryId, batchId)))
         ()
       case _ => // Append, or the first batch of an Update stream
         Snapshots.commit(spark, dir, batch, append = latest >= 1,
-          statsCols = statsCols, streamTxn = Some((queryId, batchId)))
+          statsCols = effStats, streamTxn = Some((queryId, batchId)))
         ()
     }
   }
@@ -1092,14 +1097,17 @@ private[graft] class SnapshotStreamingWrite(dir: String,
         // one extra read of the epoch's own staged files, never of the
         // table. The first epoch of a fresh table is the first commit.
         val df = spark.read.parquet(staged.map(_.toString): _*)
+        val stats = Snapshots.defaultStatsCols(df.schema)
         if (Snapshots.mainVersion(spark, dir) >= 1)
-          Snapshots.upsert(spark, dir, df, keyCols, streamTxn = txn)
+          Snapshots.upsert(spark, dir, df, keyCols,
+            statsCols = stats, streamTxn = txn)
         else Snapshots.commit(spark, dir, df, append = false,
-          streamTxn = txn)
+          statsCols = stats, streamTxn = txn)
         ()
       } else
         Snapshots.commitStagedFiles(spark, dir, staged,
-          append = !truncate, streamTxn = txn)
+          append = !truncate, streamTxn = txn,
+          schema = Some(schema))
     }
     cleanup()
   }

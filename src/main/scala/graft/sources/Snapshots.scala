@@ -295,7 +295,9 @@ object Snapshots {
     * publishes, main advances. Returns the new version. */
   private[sources] def commitStagedFiles(s: SparkSession, dir: String,
       staged: Seq[Path], append: Boolean,
-      streamTxn: Option[(String, Long)]): Int = {
+      streamTxn: Option[(String, Long)],
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Int = {
     val f = fs(s, dir)
     f.mkdirs(new Path(dir))
     val c = claimVersion(f, dir)
@@ -320,6 +322,17 @@ object Snapshots {
           moved.foreach(p => f.delete(new Path(dir, p), false))
           throw e
       }
+      // default footer stats for the executor-written epoch files —
+      // zero jobs, and a streaming-fed table (the prime compact/prune
+      // customer) is stat-prunable out of the box
+      val statLines = schema.toSeq.flatMap { sch =>
+        val cols = defaultStatsCols(sch).map(c => c -> sch(c).dataType)
+        moved.flatMap(rel =>
+          footerStats(new Path(dir, rel), s, cols).collect {
+            case (c, tn, mn, mx) if statSafe(mn) && statSafe(mx) =>
+              Seq(rel, c, tn, mn, mx).mkString("\u0001")
+          })
+      }
       val carried = if (app) files(s, dir, base) else Seq.empty
       if (app && hasDv(s, dir, base))
         dvFrame(s, dir, base).foreach(
@@ -330,6 +343,7 @@ object Snapshots {
       }
       writeCommitMeta(f, dir, v, if (base > 0) base else 0, streamTxn)
       writeManifest(f, dir, v, carried ++ moved)
+      writeStatLines(f, dir, v, statLines)
       advanceMain(s, f, dir, v)
       v
     } finally c.release()
