@@ -329,7 +329,7 @@ object Snapshots {
         val cols = defaultStatsCols(sch).map(c => c -> sch(c).dataType)
         moved.flatMap(rel =>
           footerStats(new Path(dir, rel), s, cols).collect {
-            case (c, tn, mn, mx) if statSafe(mn) && statSafe(mx) =>
+            case (c, tn, mn, mx) if statRecordable(tn, mn, mx) =>
               Seq(rel, c, tn, mn, mx).mkString("\u0001")
           })
       }
@@ -606,7 +606,7 @@ object Snapshots {
           // separators (statSafe): absent = unknown = never pruned,
           // the conservative direction
           case (c, tn, mn, mx) if mn != null && mx != null &&
-              statSafe(mn) && statSafe(mx) =>
+              statRecordable(tn, mn, mx) =>
             statLines += Seq(s"data/$name", c, tn, mn, mx)
               .mkString("\u0001")
           case _ =>
@@ -630,6 +630,21 @@ object Snapshots {
     * never-pruned, the conservative direction. */
   private def statSafe(v: String): Boolean =
     !v.exists(ch => ch == '\u0001' || ch == '\n' || ch == '\r')
+
+  /** A (type, min, max) triple safe to RECORD as a stats line. Beyond
+    * the separator check ([[statSafe]]), a float/double bound that is
+    * NaN is never recorded: parquet footers (Float.compare total order)
+    * and Spark's min/max both report max=NaN for a file containing any
+    * NaN, and a NaN bound makes every interval test false -- the file
+    * would be pruned for EVERY predicate, silently skipping its non-NaN
+    * rows in DELETE/UPDATE/MERGE/purge. Absent = never pruned. */
+  private def statRecordable(tn: String, mn: String, mx: String): Boolean =
+    statSafe(mn) && statSafe(mx) && (tn match {
+      case "float" | "double" =>
+        try !(mn.toDouble.isNaN || mx.toDouble.isNaN)
+        catch { case _: NumberFormatException => true }
+      case _ => true
+    })
 
   private def writeStatLines(f: FileSystem, dir: String, v: Int,
       statLines: Seq[String]): Unit =
@@ -897,7 +912,16 @@ object Snapshots {
       try { hi.toLong >= mn.toLong && lo.toLong <= mx.toLong }
       catch { case _: NumberFormatException => true }
     case "float" | "double" =>
-      try { hi.toDouble >= mn.toDouble && lo.toDouble <= mx.toDouble }
+      // NaN in ANY operand makes the intersection test meaningless
+      // (parquet footer stats use Float.compare total order, so a file
+      // containing NaN records max=NaN; `x <= NaN` is false and the
+      // file would be pruned for EVERY predicate — silent row loss).
+      // Delta/Iceberg likewise treat NaN bounds as prune-unsafe.
+      try {
+        val (a, b, l, h) = (mn.toDouble, mx.toDouble, lo.toDouble, hi.toDouble)
+        if (a.isNaN || b.isNaN || l.isNaN || h.isNaN) true
+        else h >= a && l <= b
+      }
       catch { case _: NumberFormatException => true }
     case "date" | "timestamp" | "timestamp_ntz" =>
       (temporalMillis(mn), temporalMillis(mx),
@@ -1503,13 +1527,18 @@ object Snapshots {
           if (lits.exists(_.isEmpty)) None
           else {
             val rendered = lits.flatten
-            val (lo, hi) = vs.head.asInstanceOf[Literal].dataType match {
-              case StringType => (rendered.min, rendered.max)
-              case _ => // typed ordering — "100" sorts below "40" as text
-                val bd = rendered.map(BigDecimal(_))
-                (bd.min.toString, bd.max.toString)
+            vs.head.asInstanceOf[Literal].dataType match {
+              case StringType =>
+                Some((a.name, Some(rendered.min), Some(rendered.max)))
+              case _ => // typed ordering — "100" sorts below "40" as text.
+                // A non-finite float/double literal ("NaN", "Infinity")
+                // has no BigDecimal; emit no constraint for the conjunct
+                // (conservative) instead of failing the whole DML
+                try {
+                  val bd = rendered.map(BigDecimal(_))
+                  Some((a.name, Some(bd.min.toString), Some(bd.max.toString)))
+                } catch { case _: NumberFormatException => None }
             }
-            Some((a.name, Some(lo), Some(hi)))
           }
         case _ => None
       }
@@ -2199,8 +2228,9 @@ object Snapshots {
                   s"mergeBranch: branch '$name' deleted rows in files " +
                     "a main-side optimize rewrote — pass keyCols so " +
                     "the deletions can be re-located by key")
-                val delKeys = liveOf(dropped, None)
+                val delBaseRows = liveOf(dropped, None)
                   .join(moved, Seq("_fp", "_ri"), "left_semi")
+                val delKeys = delBaseRows
                   .select(keyCols.map(col): _*).distinct()
                 val matched = headLive.join(delKeys, keyCols, "inner")
                   .select(keyCols.map(col) :+ col("_fp") :+
@@ -2225,6 +2255,33 @@ object Snapshots {
                     "main's head (main deleted or updated them since " +
                     "the base) — ambiguous; rebase, or replay the " +
                     "deletes after merging the rest")
+                // CONTENT check: the relocation is only sound when
+                // main's live head row for the key still carries the
+                // BASE row's content. If main UPDATED the row since the
+                // base (merge-on-read update = DV + same-key append)
+                // and then compacted, the key-changing-update refusal
+                // above cannot see it — DV'ing the replacement would
+                // let the branch's delete of the OLD content silently
+                // destroy main's update. Null-safe full-row compare of
+                // the deleted base rows against the matched head rows
+                // (DV-delta-sized on both sides, never the whole head).
+                val dataCols = delBaseRows.columns
+                  .filterNot(c => c == "_fp" || c == "_ri").toSeq
+                val hb = headLive.join(delKeys, keyCols, "left_semi")
+                  .select(dataCols.map(col): _*).alias("_h")
+                val bb = delBaseRows
+                  .select(dataCols.map(col): _*).alias("_b")
+                val sameRow = dataCols.map(c =>
+                  col(s"_h.$c") <=> col(s"_b.$c")).reduce(_ && _)
+                val updated = hb.join(bb, sameRow, "left_anti")
+                  .select(keyCols.map(c => col(s"_h.$c")): _*)
+                  .limit(3).collect()
+                require(updated.isEmpty,
+                  s"mergeBranch: main updated row content for key(s) " +
+                    s"${updated.mkString(", ")} … since the base — " +
+                    s"re-locating branch '$name' deletions would " +
+                    "silently destroy main's updates; rebase, or " +
+                    "replay the deletes after merging the rest")
                 (Some(kept),
                   Some(matched.select(col("_fp").as("file_path"),
                     col("_ri").as("row_index"))))
@@ -2544,7 +2601,7 @@ object Snapshots {
               .agg(aggs.head, aggs.tail: _*).head()
             statCols.zipWithIndex.foreach { case ((c, tn, _, _), i) =>
               val mn = r.getString(2 * i); val mx = r.getString(2 * i + 1)
-              if (mn != null && mx != null && statSafe(mn) && statSafe(mx))
+              if (mn != null && mx != null && statRecordable(tn, mn, mx))
                 newStatLines += Seq(s"data/$name", c, tn, mn, mx)
                   .mkString("\u0001")
             }

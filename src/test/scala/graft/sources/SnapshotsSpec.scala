@@ -1500,4 +1500,102 @@ class SnapshotsSpec extends SparkSpec {
     assert(d2.select(col("id")).collect().map(_.getLong(0)).sorted
       .sameElements(Array(7L, 8L, 9L)))
   }
+
+  test("NaN double bounds are never recorded and never prune " +
+      "(DML still finds the file's non-NaN rows)") {
+    import spark.implicits._
+    // one file whose double column CONTAINS a NaN: parquet footer /
+    // Spark min-max total order reports max=NaN, which (pre-fix) made
+    // every interval test false and pruned the file for every predicate
+    val dir = tmpDir("nanstats")
+    val rows = Seq((1L, 5.0), (2L, Double.NaN), (3L, 7.0))
+      .toDF("id", "d").coalesce(1)
+    Snapshots.commit(spark, dir, rows, append = false,
+      statsCols = Seq("id", "d"))
+    // the NaN-poisoned bound is simply absent from the side-file;
+    // the clean id column still records
+    val f = new org.apache.hadoop.fs.Path(dir, "v1.stats")
+    val hfs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val txt = {
+      val in = hfs.open(f)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    assert(!txt.contains("NaN"), s"NaN bound recorded: $txt")
+    assert(txt.contains("id"), s"clean column stats missing: $txt")
+    // a selective DELETE on the double column matches the non-NaN row
+    // (the file must NOT be stat-pruned)
+    val (_, n) = Snapshots.deleteWhere(spark, dir, col("d") === 7.0)
+    assert(n == 1L, s"deleted $n rows, expected 1")
+    assert(idsOf(dir, Snapshots.latestVersion(spark, dir)) ==
+      Seq(1L, 2L))
+    // belt and braces: a historic NaN bound read back from a stats
+    // line compares as never-prunable
+    assert(Snapshots.inBounds("double", "1.0", "NaN", "7.0", "7.0"))
+    assert(Snapshots.inBounds("double", "NaN", "NaN", "7.0", "7.0"))
+    assert(!Snapshots.inBounds("double", "1.0", "2.0", "7.0", "8.0"))
+  }
+
+  test("IN-list with a non-finite literal constrains nothing instead " +
+      "of failing the DML") {
+    import spark.implicits._
+    val dir = tmpDir("naninlist")
+    val rows = Seq((1L, 1.0), (2L, 3.0)).toDF("id", "d").coalesce(1)
+    Snapshots.commit(spark, dir, rows, append = false,
+      statsCols = Seq("id", "d"))
+    // pre-fix: BigDecimal("NaN") threw NumberFormatException out of the
+    // stat-pruning extractor and failed the whole DELETE
+    val (_, n) = Snapshots.deleteWhere(spark, dir,
+      col("d").isin(Double.NaN, 1.0))
+    assert(n == 1L, s"deleted $n rows, expected 1")
+    assert(idsOf(dir, Snapshots.latestVersion(spark, dir)) == Seq(2L))
+  }
+
+  test("mergeBranch refuses to re-locate a branch delete onto a row " +
+      "main UPDATED then compacted away") {
+    val dir = tmpDir("mergeupdcompact")
+    Snapshots.commit(spark, dir, df(1 to 5).coalesce(1),
+      append = false)                                              // v1
+    Snapshots.createRef(spark, dir, "exp")
+    // branch deletes base row 2 (a position into v1's file)
+    Snapshots.deleteWhere(spark, dir, col("id") === 2L,
+      branch = Some("exp"))                                        // v2
+    // main UPDATES the same row's content (merge-on-read: DV + append)
+    Snapshots.updateWhere(spark, dir, col("id") === 2L,
+      Seq("payload" -> org.apache.spark.sql.functions
+        .lit("updated-on-main")))                                  // v3
+    // ... then compacts, dropping v1's file and materializing the DV —
+    // the position-clash check can no longer see the conflict
+    Snapshots.optimize(spark, dir, Seq("id"), numFiles = 1)        // v4
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.mergeBranch(spark, dir, "exp", keyCols = Seq("id"))
+    }
+    assert(e.getMessage.contains("updated row content"), e.getMessage)
+    // main's update is still intact after the refusal
+    val pay = Snapshots.read(spark, dir,
+        Snapshots.mainVersion(spark, dir))
+      .select("id", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(pay(2L) == "updated-on-main")
+
+    // control: an update to a DIFFERENT row does not block re-locating
+    // the branch's delete of an untouched row
+    val dir2 = tmpDir("mergeupdother")
+    Snapshots.commit(spark, dir2, df(1 to 5).coalesce(1),
+      append = false)                                              // v1
+    Snapshots.createRef(spark, dir2, "exp")
+    Snapshots.deleteWhere(spark, dir2, col("id") === 2L,
+      branch = Some("exp"))                                        // v2
+    Snapshots.updateWhere(spark, dir2, col("id") === 5L,
+      Seq("payload" -> org.apache.spark.sql.functions
+        .lit("updated-5")))                                        // v3
+    Snapshots.optimize(spark, dir2, Seq("id"), numFiles = 1)       // v4
+    val merged = Snapshots.mergeBranch(spark, dir2, "exp",
+      keyCols = Seq("id"))
+    assert(idsOf(dir2, merged) == Seq(1L, 3L, 4L, 5L))
+    val pay2 = Snapshots.read(spark, dir2, merged)
+      .select("id", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(pay2(5L) == "updated-5")
+  }
 }
