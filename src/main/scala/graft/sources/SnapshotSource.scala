@@ -1464,7 +1464,7 @@ object SnapshotSource {
     // version) tiny side-file reads, no data
     val maxV = math.max(canonVersion, byVintage.keys.max)
     val chain: Map[Int, Seq[(String, String)]] =
-      (1 to maxV).map(c => c -> Snapshots.renamesOf(spark, dir, c)).toMap
+      Snapshots.renameChain(spark, dir, maxV)
     // the name vintage `c` stores a canonVersion-canonical column under:
     // back through renames (canonVersion, c] for old vintages, forward
     // through (canonVersion, c] for vintages committed after capture

@@ -38,6 +38,7 @@ object Snapshots {
     * These files' integrity comes from the ATOMIC RENAME, not the
     * sidecar, so metadata reads go through the raw filesystem. */
   private def readSmall(f: FileSystem, p: Path): String = {
+    sideFileOpens.incrementAndGet()
     val raw = f match {
       case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
       case other => other
@@ -342,8 +343,9 @@ object Snapshots {
         f.delete(dvDir(dir, v), true); ()
       }
       writeCommitMeta(f, dir, v, if (base > 0) base else 0, streamTxn)
-      writeManifest(f, dir, v, carried ++ moved)
       writeStatLines(f, dir, v, statLines)
+      writeManifest(f, dir, v, carried ++ moved)
+      maybeCheckpoint(f, dir, v)
       advanceMain(s, f, dir, v)
       v
     } finally c.release()
@@ -512,7 +514,12 @@ object Snapshots {
             case _ => Thread.sleep(50)
           }
         }
-        if (!aborted) return held
+        if (!aborted) {
+          // the version number is exclusively ours and unpublished:
+          // clear side-file orphans of a claimant that died mid-publish
+          clearStaleSideFiles(f, dir, v)
+          return held
+        }
         start = System.currentTimeMillis() // a re-hunt past an abort is progress
       }
       if (System.currentTimeMillis() - start > timeoutMs)
@@ -684,14 +691,15 @@ object Snapshots {
     // holds and a stream batch id stamped in meta is crash-consistent
     // with the publish — the exactly-once anchor of the streaming sink
     writeCommitMeta(f, dir, v, if (prev > 0) prev else 0, streamTxn)
-    writeManifest(f, dir, v, carried ++ moved)
     if (renames.nonEmpty) {
       val body = renames.toSeq.sorted
-        .map { case (o, n) => o + "\u0001" + n }.mkString("\n")
+        .map { case (o, n) => o + SepCh + n }.mkString("\n")
       val o = f.create(new Path(dir, s"v$v.renames"), true)
       try o.write(body.getBytes("UTF-8")) finally o.close()
     }
     writeStatLines(f, dir, v, statLines)
+    writeManifest(f, dir, v, carried ++ moved)
+    maybeCheckpoint(f, dir, v)
     v
   }
 
@@ -840,26 +848,269 @@ object Snapshots {
     None
   }
 
+  // ---- metadata checkpointing (Delta-checkpoint shape) ---------------------
+  //
+  // Every CheckpointEvery-th published version additionally writes a
+  // `vN.ckpt` side-file folding the CUMULATIVE metadata of commits 1..N
+  // that readers otherwise reassemble with an O(history) side-file walk:
+  // the per-file stat lines (S records) and the per-commit rename
+  // declarations (R records). Readers resolve "all metadata up to v" as
+  // the newest checkpoint <= v plus a suffix walk over at most
+  // CheckpointEvery files, with an additive session memo on top - so a
+  // pruned read, DML matched-scan, MERGE, CDF read or purge of a deep
+  // table (a streaming-fed table at 10 s triggers accumulates ~260k
+  // versions in a month) costs O(CheckpointEvery) metadata opens, not
+  // O(history) driver RPCs. A checkpoint is REDUNDANT state: absent
+  // (old tables, a crashed write), readers fall back to the longer
+  // walk; a failed checkpoint write never fails its commit. Memo
+  // entries are validated by the table EPOCH (v1's commit instant): a
+  // table dropped and recreated at the same path restarts version
+  // numbering, so version-keyed session state must not survive
+  // recreation - the Delta _last_checkpoint + driver-side snapshot
+  // cache shape.
+
+  private val SepCh = 1.toChar // the side-file field separator
+
+  private[sources] val CheckpointEvery = 20
+
+  /** Spec observability: every metadata side-file OPEN (manifests,
+    * meta, stats, renames, checkpoints - everything through
+    * [[readSmall]]). Pins that deep-history reads stay
+    * O(CheckpointEvery). */
+  private[sources] val sideFileOpens =
+    new java.util.concurrent.atomic.AtomicLong
+
+  private def ckptPath(dir: String, v: Int) = new Path(dir, s"v$v.ckpt")
+
+  /** Parsed cumulative metadata of commits 1..v. */
+  private[sources] case class Ckpt(v: Int,
+      stats: Vector[(String, (String, String, String, String))],
+      renames: Map[Int, Seq[(String, String)]])
+
+  private val ckptMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), (Long, Ckpt)]
+  private val coverMemo =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Ckpt)]
+  private val cumStatsMemo = scala.collection.concurrent.TrieMap.empty[
+    String, (Long, Int, Vector[(String, (String, String, String, String))])]
+  private val cumRenMemo = scala.collection.concurrent.TrieMap
+    .empty[String, (Long, Int, Map[Int, Seq[(String, String)]])]
+
+  /** The table's identity fingerprint: v1's commit instant (0 when that
+    * meta is absent - legacy or vacuumed roots). */
+  private def tableEpoch(f: FileSystem, dir: String): Long =
+    try readMeta(f, dir, 1).flatMap(_.head.toLongOption).getOrElse(0L)
+    catch { case scala.util.control.NonFatal(_) => 0L }
+
+  private def parseStatLines(txt: String)
+      : Vector[(String, (String, String, String, String))] =
+    txt.split('\n').toVector.filter(_.contains(SepCh)).map { l =>
+      val a = l.split(SepCh)
+      (a(0), (a(1), a(2), a(3), a(4)))
+    }
+
+  private def statLinesOf(f: FileSystem, dir: String, c: Int)
+      : Vector[(String, (String, String, String, String))] = {
+    val p = new Path(dir, s"v$c.stats")
+    if (!f.exists(p)) Vector.empty else parseStatLines(readSmall(f, p))
+  }
+
+  private def renderCkpt(ck: Ckpt): String = {
+    val sep = SepCh.toString
+    val b = new StringBuilder
+    b.append(Seq("C", "1", ck.v.toString).mkString(sep)).append('\n')
+    ck.stats.foreach { case (p, (c, tn, mn, mx)) =>
+      b.append(Seq("S", p, c, tn, mn, mx).mkString(sep)).append('\n') }
+    ck.renames.toSeq.sortBy(_._1).foreach { case (c, rs) =>
+      rs.foreach { case (o, n) =>
+        b.append(Seq("R", c.toString, o, n).mkString(sep)).append('\n') }
+    }
+    b.result()
+  }
+
+  private def parseCkpt(v: Int, txt: String): Ckpt = {
+    val stats =
+      Vector.newBuilder[(String, (String, String, String, String))]
+    val ren =
+      scala.collection.mutable.Map.empty[Int, List[(String, String)]]
+    txt.split('\n').iterator.filter(_.nonEmpty).foreach { l =>
+      val a = l.split(SepCh)
+      a(0) match {
+        case "S" => stats += ((a(1), (a(2), a(3), a(4), a(5))))
+        case "R" =>
+          val c = a(1).toInt
+          ren(c) = ren.getOrElse(c, Nil) :+ ((a(2), a(3)))
+        case _ => // C marker / future record types: ignore
+      }
+    }
+    Ckpt(v, stats.result(),
+      ren.iterator.map { case (k, vs) => k -> (vs: Seq[(String, String)]) }
+        .toMap)
+  }
+
+  private def loadCkpt(f: FileSystem, dir: String, cv: Int, epoch: Long)
+      : Option[Ckpt] =
+    ckptMemo.get((dir, cv)) match {
+      case Some((e, ck)) if e == epoch => Some(ck)
+      case _ =>
+        val p = ckptPath(dir, cv)
+        if (!f.exists(p)) None
+        else {
+          val ck =
+            try Some(parseCkpt(cv, readSmall(f, p)))
+            catch { case scala.util.control.NonFatal(_) => None }
+          ck.foreach(c => ckptMemo.put((dir, cv), (epoch, c)))
+          ck
+        }
+    }
+
+  /** Newest checkpoint at or below `v` - exists-probes multiples of
+    * [[CheckpointEvery]] downward (cheap RPCs, memoized; checkpoint-less
+    * old tables pay v/CheckpointEvery probes once per session). */
+  private def newestCkptAt(f: FileSystem, dir: String, v: Int,
+      epoch: Long): Option[Ckpt] = {
+    val top = (v / CheckpointEvery) * CheckpointEvery
+    coverMemo.get(dir) match {
+      case Some((e, ck)) if e == epoch && ck.v == top => return Some(ck)
+      case _ =>
+    }
+    var c = top
+    while (c >= CheckpointEvery) {
+      loadCkpt(f, dir, c, epoch) match {
+        case Some(ck) =>
+          coverMemo.get(dir) match {
+            case Some((e, old)) if e == epoch && old.v >= ck.v =>
+            case _ => coverMemo.put(dir, (epoch, ck))
+          }
+          return Some(ck)
+        case None => c -= CheckpointEvery
+      }
+    }
+    None
+  }
+
+  /** All stat lines recorded by commits 1..v: additive session memo,
+    * else newest checkpoint + suffix walk, else (checkpoint-less old
+    * tables) the full walk. Stat side-files are IMMUTABLE once their
+    * version is resolvable (side-files precede the manifest; a claimant
+    * reusing an aborted version number clears orphans first), which is
+    * what makes the memo sound. */
+  private def statLinesUpTo(f: FileSystem, dir: String, v: Int)
+      : Vector[(String, (String, String, String, String))] = {
+    val epoch = tableEpoch(f, dir)
+    cumStatsMemo.get(dir) match {
+      case Some((e, cv, lines)) if e == epoch && cv == v => lines
+      case Some((e, cv, lines)) if e == epoch && cv < v =>
+        val ext = lines ++ (cv + 1 to v).flatMap(statLinesOf(f, dir, _))
+        cumStatsMemo.put(dir, (epoch, v, ext))
+        ext
+      case prior =>
+        val ck = newestCkptAt(f, dir, v, epoch)
+        val from = ck.map(_.v).getOrElse(0)
+        val all = ck.map(_.stats).getOrElse(Vector.empty) ++
+          (from + 1 to v).flatMap(statLinesOf(f, dir, _))
+        // a time-travel read below the memo's version must not shrink it
+        val shrink = prior.exists(t => t._1 == epoch && t._2 > v)
+        if (!shrink) cumStatsMemo.put(dir, (epoch, v, all))
+        all
+    }
+  }
+
+  /** The rename chain of commits 1..v as a TOTAL map (commits without
+    * renames resolve to empty): checkpoint + suffix + memo, the
+    * schema-evolution twin of [[statLinesUpTo]]. Replaces the former
+    * per-caller `(1 to v).map(renamesOf)` walks. */
+  private[sources] def renameChain(s: SparkSession, dir: String, v: Int)
+      : Map[Int, Seq[(String, String)]] = {
+    val f = fs(s, dir)
+    val epoch = tableEpoch(f, dir)
+    val m: Map[Int, Seq[(String, String)]] = cumRenMemo.get(dir) match {
+      case Some((e, cv, ch)) if e == epoch && cv == v => ch
+      case Some((e, cv, ch)) if e == epoch && cv > v =>
+        ch.filter(_._1 <= v) // rename entries are version-keyed
+      case Some((e, cv, ch)) if e == epoch && cv < v =>
+        val ext = ch ++ (cv + 1 to v)
+          .map(c => c -> renamesOfF(f, dir, c)).filter(_._2.nonEmpty)
+        cumRenMemo.put(dir, (epoch, v, ext))
+        ext
+      case _ =>
+        val ck = newestCkptAt(f, dir, v, epoch)
+        val from = ck.map(_.v).getOrElse(0)
+        val all = ck.map(_.renames).getOrElse(Map.empty) ++
+          (from + 1 to v).map(c => c -> renamesOfF(f, dir, c))
+            .filter(_._2.nonEmpty)
+        cumRenMemo.put(dir, (epoch, v, all))
+        all
+    }
+    m.withDefaultValue(Seq.empty)
+  }
+
+  /** Write `v`'s checkpoint when `v` is a [[CheckpointEvery]] multiple.
+    * Called AFTER the manifest publish by every commit path;
+    * best-effort (redundant state - a failure degrades reads to the
+    * longer suffix walk, never to wrong data). Atomic tmp+rename so a
+    * reader never sees a torn checkpoint. */
+  private def maybeCheckpoint(f: FileSystem, dir: String, v: Int): Unit =
+    if (v > 0 && v % CheckpointEvery == 0) {
+      try {
+        val epoch = tableEpoch(f, dir)
+        val base = newestCkptAt(f, dir, v - 1, epoch)
+        val from = base.map(_.v).getOrElse(0)
+        val ck = Ckpt(v,
+          base.map(_.stats).getOrElse(Vector.empty) ++
+            (from + 1 to v).flatMap(statLinesOf(f, dir, _)),
+          base.map(_.renames).getOrElse(Map.empty) ++
+            (from + 1 to v).map(c => c -> renamesOfF(f, dir, c))
+              .filter(_._2.nonEmpty))
+        val tmp = new Path(dir, s"_v$v.ckpt.tmp")
+        val o = f.create(tmp, true)
+        try o.write(renderCkpt(ck).getBytes("UTF-8")) finally o.close()
+        if (f.rename(tmp, ckptPath(dir, v))) {
+          ckptMemo.put((dir, v), (epoch, ck))
+          coverMemo.put(dir, (epoch, ck))
+        }
+        ()
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+
+  /** Spec support: forget this session's memoized metadata for `dir` —
+    * simulates a fresh driver reading an existing table, so specs can
+    * pin the COLD read cost of the checkpoint path itself. */
+  private[sources] def forgetMemos(dir: String): Unit = {
+    cumStatsMemo.remove(dir)
+    cumRenMemo.remove(dir)
+    coverMemo.remove(dir)
+    ckptMemo.keys.filter(_._1 == dir).foreach(ckptMemo.remove)
+    ()
+  }
+
+  /** A freshly CLAIMED version number may carry side-file orphans from
+    * a claimant that died mid-publish (side-files are written BEFORE
+    * the manifest - the crash-consistency direction that makes a
+    * RESOLVABLE version's metadata complete and therefore memoizable).
+    * Cleared centrally when a claim is won. */
+  private def clearStaleSideFiles(f: FileSystem, dir: String, v: Int)
+      : Unit = {
+    f.delete(new Path(dir, s"v$v.op"), false)
+    f.delete(new Path(dir, s"v$v.renames"), false)
+    f.delete(new Path(dir, s"v$v.stats"), false)
+    f.delete(ckptPath(dir, v), false)
+    ()
+  }
+
   /** Per-file (col, typeName, min, max) stats recorded by commits 1..v,
     * keyed by manifest-relative path. Files without stats are simply
-    * absent (conservative: never pruned). */
+    * absent (conservative: never pruned). Checkpoint + memo backed (see
+    * the checkpointing section above) - O(CheckpointEvery) side-file
+    * opens instead of O(v); the purge-maintained `purged.stats` overlay
+    * (see purge step 2b) is MUTABLE and therefore read fresh each call. */
   private[sources] def statsUpTo(s: SparkSession, dir: String, v: Int)
       : Map[String, Seq[(String, String, String, String)]] = {
     val f = fs(s, dir)
-    def linesOf(p: Path): Seq[(String, (String, String, String, String))] =
-      if (!f.exists(p)) Seq.empty
-      else {
-        val in = f.open(p)
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        txt.split('\n').toSeq.filter(_.contains('\u0001')).map { l =>
-          val Array(path, cName, tn, mn, mx) = l.split('\u0001')
-          (path, (cName, tn, mn, mx))
-        }
-      }
-    ((1 to v).flatMap(c => linesOf(new Path(dir, s"v$c.stats"))) ++
-      // purge-maintained stats for replacement files (see purge step 2b)
-      linesOf(new Path(dir, "purged.stats")))
+    val pp = new Path(dir, "purged.stats")
+    val purged =
+      if (!f.exists(pp)) Vector.empty else parseStatLines(readSmall(f, pp))
+    (statLinesUpTo(f, dir, v) ++ purged)
       .groupBy(_._1).map { case (pth, xs) => pth -> xs.map(_._2) }
   }
 
@@ -963,18 +1214,14 @@ object Snapshots {
 
   /** Renames declared AT commit `v` (empty if none). */
   private[sources] def renamesOf(s: SparkSession, dir: String, v: Int)
+      : Seq[(String, String)] = renamesOfF(fs(s, dir), dir, v)
+
+  private def renamesOfF(f: FileSystem, dir: String, v: Int)
       : Seq[(String, String)] = {
     val p = new Path(dir, s"v$v.renames")
-    val f = fs(s, dir)
     if (!f.exists(p)) Seq.empty
-    else {
-      val in = f.open(p)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      txt.split('\n').filter(_.contains('\u0001')).toSeq.map { l =>
-        val Array(o, n) = l.split('\u0001'); (o, n)
-      }
-    }
+    else readSmall(f, p).split('\n').filter(_.contains(SepCh)).toSeq
+      .map { l => val a = l.split(SepCh); (a(0), a(1)) }
   }
 
   /** Widest common type across vintages — the write-side evolution rules
@@ -1025,7 +1272,7 @@ object Snapshots {
       case other => throw new IllegalStateException(
         s"readEvolved: cannot attribute $other to a commit")
     }
-    val chain = (1 to v).map(c => c -> renamesOf(s, dir, c)).toMap
+    val chain = renameChain(s, dir, v)
     val frames = byCommit.toSeq.sortBy(_._1).map { case (c, paths) =>
       val base = s.read.parquet(paths.map(p => new Path(dir, p).toString): _*)
       // position metadata rides each vintage scan so a deletion vector
@@ -1063,7 +1310,7 @@ object Snapshots {
       case other => throw new IllegalStateException(
         s"evolutionInfo: cannot attribute $other to a commit")
     }
-    val chain = (1 to v).map(c => c -> renamesOf(s, dir, c)).toMap
+    val chain = renameChain(s, dir, v)
     val vintages = byCommit.toSeq.sortBy(_._1).map { case (c, paths) =>
       val sch = s.read.parquet(new Path(dir, paths.head).toString).schema
       var fwd: Map[String, String] = sch.fieldNames.map(n => n -> n).toMap
@@ -1257,6 +1504,7 @@ object Snapshots {
         val n = hits.count()
         writeCommitMeta(f, dir, v, latest)
         writeManifest(f, dir, v, fset)
+        maybeCheckpoint(f, dir, v)
         branch match {
           case Some(nm) => writeRef(s, f, dir, nm, v, tag = false)
           case None => advanceMain(s, f, dir, v)
@@ -1356,8 +1604,9 @@ object Snapshots {
         // change-feed typing: every delta position is a row this commit
         // UPDATED (its replacement is in the staged files)
         writeCommitOp(f, dir, v, "update", Seq.empty)
-        writeManifest(f, dir, v, fset ++ moved)
         writeStatLines(f, dir, v, statLines)
+        writeManifest(f, dir, v, fset ++ moved)
+        maybeCheckpoint(f, dir, v)
         advanceMain(s, f, dir, v)
         (v, nUpd)
       } finally { matched.unpersist(); () }
@@ -1412,7 +1661,7 @@ object Snapshots {
         Some(keyProj.distinct().collect().toSeq)
       else None
     val stats = statsUpTo(s, dir, latest)
-    val chain = (1 to latest).map(c => c -> renamesOf(s, dir, c)).toMap
+    val chain = renameChain(s, dir, latest)
     val localName = localStatName(chain, latest) _
     val kept = fset.filter { rel =>
       stats.get(rel) match {
@@ -1547,7 +1796,7 @@ object Snapshots {
       return fset
     }
     val stats = statsUpTo(s, dir, latest)
-    val chain = (1 to latest).map(c => c -> renamesOf(s, dir, c)).toMap
+    val chain = renameChain(s, dir, latest)
     val local = localStatName(chain, latest) _
     val kept = fset.filter { rel =>
       stats.get(rel) match {
@@ -1656,8 +1905,9 @@ object Snapshots {
       // change-feed typing: delta positions are REPLACED rows (their
       // postimages are the staged rows sharing the key)
       writeCommitOp(f, dir, v, "upsert", keyCols)
-      writeManifest(f, dir, v, fset ++ moved)
       writeStatLines(f, dir, v, statLines)
+      writeManifest(f, dir, v, fset ++ moved)
+      maybeCheckpoint(f, dir, v)
       advanceMain(s, f, dir, v)
       (v, nReplaced)
     } finally c.release()
@@ -1727,8 +1977,9 @@ object Snapshots {
       // change-feed typing: a delta position whose key re-appears in the
       // staged rows was UPDATED, the rest were genuine deletes
       writeCommitOp(f, dir, v, "cdc", keyCols)
-      writeManifest(f, dir, v, fset ++ moved)
       writeStatLines(f, dir, v, statLines)
+      writeManifest(f, dir, v, fset ++ moved)
+      maybeCheckpoint(f, dir, v)
       advanceMain(s, f, dir, v)
       (v, nGone + aggRow.getLong(1 + 2 * keyCols.size))
     } finally c.release()
@@ -2319,6 +2570,7 @@ object Snapshots {
       }
       writeCommitMeta(f, dir, v, mHead, parent2 = Some(bHead))
       writeManifest(f, dir, v, mergedManifest)
+      maybeCheckpoint(f, dir, v)
       writeRef(s, f, dir, "main", v, tag = false)
       v
       } finally cached.foreach { df => df.unpersist(); () }
@@ -2478,7 +2730,7 @@ object Snapshots {
     // and rewrite both run per WRITING-COMMIT group, with the rename
     // chain applied before the key join — a single mergeSchema scan would
     // fail outright on an int×long widening and miss a renamed key.
-    val chain = (1 to latest).map(c => c -> renamesOf(s, dir, c)).toMap
+    val chain = renameChain(s, dir, latest)
     def commitOf(rel: String): Int = rel match {
       case FileCommit(c) => c.toInt
       case other => throw new IllegalStateException(
@@ -2735,7 +2987,7 @@ object Snapshots {
       case other => throw new IllegalStateException(
         s"readEvolvedSubset: cannot attribute $other to a commit")
     }
-    val chain = (1 to v).map(c => c -> renamesOf(s, dir, c)).toMap
+    val chain = renameChain(s, dir, v)
     val frames = byCommit.toSeq.sortBy(_._1).map { case (c, ps) =>
       val base = s.read.parquet(ps.map(p => new Path(dir, p).toString): _*)
       var df = if (dv) withMeta(base) else base
@@ -2834,12 +3086,13 @@ object Snapshots {
       }
       f.delete(new Path(dir, s"v$v.op"), false)
       writeCommitMeta(f, dir, v, base)
-      writeManifest(f, dir, v, keep ++ moved)
       writeStatLines(f, dir, v, statLines)
+      writeManifest(f, dir, v, keep ++ moved)
       // after the publish, like optimize: a crash in between leaves a
       // version that merges refuse and the change feed types
       // generically — degraded, never wrong
       writeCommitOp(f, dir, v, "compact", Seq.empty)
+      maybeCheckpoint(f, dir, v)
       advanceMain(s, f, dir, v)
       v
     } finally c.release()
@@ -2906,6 +3159,7 @@ object Snapshots {
       // recorded AFTER publish like optimize's op — a crash in between
       // leaves a version that types generically, never one that lies
       writeCommitOp(f, dir, v, "restore", Seq(toVersion.toString))
+      maybeCheckpoint(f, dir, v)
       advanceMain(s, f, dir, v)
       v
     } finally c.release()

@@ -1598,4 +1598,73 @@ class SnapshotsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toMap
     assert(pay2(5L) == "updated-5")
   }
+
+  test("metadata checkpointing: a 200-version table's pruned read " +
+      "opens O(CheckpointEvery) side-files, not O(history)") {
+    import spark.implicits._
+    val dir = tmpDir("ckpt200")
+    (1 to 200).foreach { i =>
+      val renames =
+        if (i == 100) Map("payload" -> "note") else Map.empty[String, String]
+      // from the renaming commit on, writers use the NEW canonical name
+      val colName = if (i >= 100) "note" else "payload"
+      Snapshots.commit(spark, dir,
+        Seq((i.toLong, s"row$i")).toDF("id", colName).coalesce(1),
+        append = true, renames = renames, statsCols = Seq("id"))
+    }
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def P(n: String) = new org.apache.hadoop.fs.Path(dir, n)
+    // checkpoints landed at every CheckpointEvery-th version
+    val k = Snapshots.CheckpointEvery
+    assert(f.exists(P(s"v$k.ckpt")) && f.exists(P("v200.ckpt")))
+    // checkpoint-resolved stats match the brute-force side-file union:
+    // every one of the 200 files carries exactly its id bounds
+    val viaCkpt = Snapshots.statsUpTo(spark, dir, 200)
+    assert(viaCkpt.size == 200, s"stats entries: ${viaCkpt.size}")
+    assert(viaCkpt.values.forall(cols =>
+      cols.exists { case (c, tn, mn, mx) =>
+        c == "id" && tn == "long" && mn == mx }))
+    // COLD read cost (fresh-driver simulation): a pruned point read
+    // resolves 200 versions of metadata in a bounded number of opens —
+    // epoch probe + checkpoint + manifest + a short suffix, NOT 200
+    // per-version side-files
+    Snapshots.forgetMemos(dir)
+    val before = Snapshots.sideFileOpens.get()
+    val (df, (kept, total)) =
+      Snapshots.readPruned(spark, dir, 200, "id", 5L, 5L)
+    assert(df.select("id").collect().map(_.getLong(0)).toSeq == Seq(5L))
+    val opens = Snapshots.sideFileOpens.get() - before
+    assert(kept == 1 && total == 200, s"pruned $kept/$total")
+    assert(opens <= k.toLong,
+      s"cold pruned read opened $opens side-files (budget $k)")
+    // WARM read: the additive memo serves history; only per-read
+    // metadata (epoch + manifest + purged-overlay probe) is opened
+    val before2 = Snapshots.sideFileOpens.get()
+    val (_, (kept2, _)) = Snapshots.readPruned(spark, dir, 200, "id", 7L, 7L)
+    assert(kept2 == 1)
+    assert(Snapshots.sideFileOpens.get() - before2 <= 5L)
+    // the rename declared at v100 resolves through the checkpoint after
+    // a memo wipe: the evolved read exposes `note`, not `payload`
+    Snapshots.forgetMemos(dir)
+    val evolved = Snapshots.readEvolved(spark, dir, 200)
+    assert(evolved.columns.contains("note") &&
+      !evolved.columns.contains("payload"))
+    assert(evolved.filter(col("id") === 42L).select("note")
+      .head().getString(0) == "row42")
+    // time travel BELOW the newest checkpoint stays correct
+    Snapshots.forgetMemos(dir)
+    val (df50, (kept50, total50)) =
+      Snapshots.readPruned(spark, dir, 50, "id", 5L, 5L)
+    assert(kept50 == 1 && total50 == 50)
+    assert(df50.select("id").collect().map(_.getLong(0)).toSeq == Seq(5L))
+    // a selective DELETE on the deep table stays metadata-bounded too
+    Snapshots.forgetMemos(dir)
+    val b3 = Snapshots.sideFileOpens.get()
+    val (_, n) = Snapshots.deleteWhere(spark, dir, col("id") === 3L)
+    assert(n == 1L)
+    val dmlOpens = Snapshots.sideFileOpens.get() - b3
+    assert(dmlOpens <= 3L * k,
+      s"deep-table DELETE opened $dmlOpens side-files (budget ${3 * k})")
+  }
 }
