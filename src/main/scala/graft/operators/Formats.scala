@@ -1542,6 +1542,70 @@ object Formats extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // Logical DROP COLUMN (f45): ALTER TABLE DROP COLUMN records the
+    // drop in the rename chain — ONE metadata-sized commit, no data
+    // file rewritten at any table size. Time travel below the drop
+    // still reads the column; a later ADD COLUMNS re-uses the name as
+    // a FRESH column and every pre-drop vintage backfills null — the
+    // dropped column's old values never leak into the new one.
+    // Verdict: per-lang head aggregate (n_src counts only the re-added
+    // column's rows; n_leaked pins zero leakage) + schema/history
+    // booleans.
+    "f45_drop_column" -> ((s, d) => {
+      val wh = ioDir(d, "f45_wh")
+      val cat = "graft45_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val tdir = s"$wh/db/docs45"
+      val docs = T.documents(s, d)
+      val hot = col("source").isin("src0", "src1", "src2")
+      writeOnce(s, tdir, alsoRequire =
+          graft.sources.Snapshots.latestVersion(s, tdir) == 5) {
+        val root = new org.apache.hadoop.fs.Path(wh)
+        val fsys = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fsys.delete(root, true)
+        s.sql(s"CREATE TABLE $cat.db.docs45 (doc_id BIGINT, " +
+          "text STRING, lang STRING, source STRING)")
+        docs.filter(hot).select("doc_id", "text", "lang", "source")
+          .createOrReplaceTempView("f45_hot")
+        s.sql(s"INSERT INTO $cat.db.docs45 SELECT * FROM f45_hot")  // v1
+        s.sql(s"ALTER TABLE $cat.db.docs45 DROP COLUMN source")     // v2
+        docs.filter(!hot).select("doc_id", "text", "lang")
+          .createOrReplaceTempView("f45_rest")
+        s.sql(s"INSERT INTO $cat.db.docs45 SELECT * FROM f45_rest") // v3
+        s.sql(s"ALTER TABLE $cat.db.docs45 " +
+          "ADD COLUMNS (source STRING)")                            // v4
+        docs.filter(hot).select(
+            (col("doc_id") + lit(10000000L)).as("doc_id"),
+            col("text"), col("lang"), lit("reborn").as("source"))
+          .createOrReplaceTempView("f45_reborn")
+        s.sql(s"INSERT INTO $cat.db.docs45 SELECT * FROM f45_reborn") // v5
+        ()
+      }
+      val head = s.sql(s"SELECT * FROM $cat.db.docs45")
+      val headSchemaOk = head.schema.fieldNames.toSeq ==
+        Seq("doc_id", "text", "lang", "source")
+      val postDropSchemaOk =
+        s.sql(s"SELECT * FROM $cat.db.docs45 VERSION AS OF 2")
+          .schema.fieldNames.toSeq == Seq("doc_id", "text", "lang")
+      // the pre-drop vintage still reads its source values
+      val v1SourceOk =
+        s.sql(s"SELECT count(*) AS n FROM $cat.db.docs45 " +
+          "VERSION AS OF 1 WHERE source IS NULL").head().getLong(0) == 0L
+      head.groupBy(col("lang")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("source").isNotNull, 1L).otherwise(0L))
+            .as("n_src"),
+          sum(when(col("source").isin("src0", "src1", "src2"), 1L)
+            .otherwise(0L)).as("n_leaked"))
+        .select(col("lang"), col("n_docs"), col("n_src"),
+          col("n_leaked"),
+          lit(headSchemaOk).as("head_schema_ok"),
+          lit(postDropSchemaOk).as("post_drop_schema_ok"),
+          lit(v1SourceOk).as("v1_source_ok"))
+        .orderBy(col("lang"))
+    }),
+
     // MERGE INTO / upsert (f27): a change batch against the two-commit
     // documents snapshot table — every doc_id % 11 = 0 row updated
     // (n_chars + 1000) and every doc_id % 17 = 0 row cloned in under a
@@ -2206,6 +2270,25 @@ object Formats extends QueryPack {
              TRUE AS partitioned_ok
       FROM documents
       WHERE lang <> 'de'
+      GROUP BY lang
+      ORDER BY lang""",
+    // f45: head = all documents with null source (the drop severed the
+    // old values) plus the reborn copies carrying the re-added column
+    "f45_drop_column" -> """
+      WITH head AS (
+        SELECT doc_id, lang, NULL AS src FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000, lang, 'reborn' AS src FROM documents
+        WHERE source IN ('src0','src1','src2')
+      )
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(src) AS BIGINT) AS n_src,
+             CAST(0 AS BIGINT) AS n_leaked,
+             TRUE AS head_schema_ok,
+             TRUE AS post_drop_schema_ok,
+             TRUE AS v1_source_ok
+      FROM head
       GROUP BY lang
       ORDER BY lang""",
     // f35: replay both sides relationally — main's line (hot + clones)

@@ -240,10 +240,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * vintages with nulls / remaps renamed columns at read time, and
     * VERSION AS OF still shows each version under its own schema. On a
     * table with no commits yet the `_SCHEMA` side-file is simply
-    * rewritten (nothing to evolve). DROP COLUMN is refused — history is
-    * immutable here and a drop would make old vintages unreadable under
-    * the head schema; NOT NULL adds are refused because existing rows
-    * backfill null.
+    * rewritten (nothing to evolve). DROP COLUMN is the same shape: a
+    * LOGICAL drop recorded in the rename chain
+    * ([[Snapshots.DropMarker]]) — no data file is touched, the column
+    * vanishes from the head schema while VERSION AS OF below the drop
+    * still reads it, and a later ADD COLUMNS may re-use the name as a
+    * fresh column (old vintages backfill null). NOT NULL adds are
+    * refused because existing rows backfill null.
     */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
@@ -342,9 +345,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"graft catalog: no constraint '${dc.name}' on " +
             s"${fullName(ident)}")
       case d: TableChange.DeleteColumn =>
-        unsupported(s"DROP COLUMN ${d.fieldNames.mkString(".")} is not " +
-          "supported — vintages are immutable; hide the column with a " +
-          "view, or rewrite via CREATE TABLE ... AS SELECT")
+        val i = indexOf(d.fieldNames, "DROP COLUMN")
+        require(fields.size > 1,
+          s"graft catalog: DROP COLUMN ${fields(i).name}: cannot drop " +
+            "a table's only column")
+        // a CHECK predicate referencing the column would silently go
+        // stale — same refusal as RENAME COLUMN
+        GraftConstraints.read(spark, dir).foreach { c =>
+          val refs = spark.sessionState.sqlParser
+            .parseExpression(c.predicateSql).collect {
+              case ua: org.apache.spark.sql.catalyst.analysis
+                  .UnresolvedAttribute => ua.nameParts.head
+            }
+          require(!refs.contains(fields(i).name),
+            s"graft catalog: DROP COLUMN ${fields(i).name}: " +
+              s"referenced by CHECK constraint ${c.name} " +
+              s"(${c.predicateSql}) — drop the constraint first")
+        }
+        // clustered writes and stat pruning key off the declaration —
+        // dropping underneath it would silently stop both
+        require(!GraftCatalog.clusterCols(spark, dir)
+            .contains(fields(i).name),
+          s"graft catalog: DROP COLUMN ${fields(i).name}: part of the " +
+            "table's clustering declaration — ALTER the clustering " +
+            "first (CALL system.optimize with new columns)")
+        renames += (fields(i).name -> Snapshots.DropMarker)
+        fields = fields.patch(i, Nil, 1)
+        schemaChanged = true
       case other =>
         unsupported(s"change ${other.getClass.getSimpleName} is not " +
           "supported")

@@ -1470,16 +1470,29 @@ object SnapshotSource {
     // through (canonVersion, c] for vintages committed after capture
     def localName(c: Int, canonical: String): String = {
       var cur = canonical
-      if (c <= canonVersion)
+      if (c <= canonVersion) {
         // inverse application: reverse version order AND reverse entry
         // order within a version, so a chained same-version rename
         // (a→b, b→c) inverts exactly as evolutionInfo applies it forward
         for (later <- canonVersion until c by -1;
             (o, n) <- chain(later).reverse)
           { if (n == cur) cur = o }
-      else
+        // round-trip guard (see Snapshots.localStatName): a dropped or
+        // re-used name must not alias an unrelated old column — request
+        // a name no file can contain instead, which reads as null
+        var fwd = cur
+        for (later <- (c + 1) to canonVersion; (o, n) <- chain(later))
+          { if (o == fwd) fwd = n }
+        if (fwd != canonical) cur = Snapshots.DropMarker + canonical
+      } else {
         for (later <- (canonVersion + 1) to c; (o, n) <- chain(later))
           { if (o == cur) cur = n }
+        // the canonical column was dropped before this vintage: its
+        // replacement (if any) is unrelated — read as null, uniquified
+        // so two dropped columns cannot collide in the schema
+        if (cur == Snapshots.DropMarker)
+          cur = Snapshots.DropMarker + canonical
+      }
       cur
     }
     byVintage.toSeq.sortBy(_._1).map { case (c, ps) =>

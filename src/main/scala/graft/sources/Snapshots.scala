@@ -871,6 +871,16 @@ object Snapshots {
 
   private val SepCh = 1.toChar // the side-file field separator
 
+  /** Reserved rename TARGET that records a logical DROP COLUMN in the
+    * rename-chain machinery: a `vN.renames` entry `(col -> DropMarker)`
+    * means the column ceases to exist from version N on. History stays
+    * readable — time travel below N shows the column; [[readEvolved]] /
+    * [[evolutionInfo]] exclude it at N and beyond; a LATER commit may
+    * re-add a fresh column under the same name (old vintages backfill
+    * null for it, exactly like any added column). A NUL char can never
+    * collide with a real column name. */
+  private[sources] val DropMarker: String = 0.toChar.toString
+
   private[sources] val CheckpointEvery = 20
 
   /** Spec observability: every metadata side-file OPEN (manifests,
@@ -1279,7 +1289,9 @@ object Snapshots {
       // can be applied after the union (renames never touch _fp/_ri)
       var df = if (dv) withMeta(base) else base
       for (later <- (c + 1) to v; (o, n) <- chain(later))
-        if (df.columns.contains(o)) df = df.withColumnRenamed(o, n)
+        if (df.columns.contains(o))
+          df = if (n == DropMarker) df.drop(o)
+          else df.withColumnRenamed(o, n)
       df
     }
     val target = frames.flatMap(_.schema.fields)
@@ -1321,15 +1333,32 @@ object Snapshots {
     val widened: Map[String, org.apache.spark.sql.types.DataType] =
       vintages.flatMap { case (_, sch, fwd) =>
         sch.fields.map(f => fwd(f.name) -> f.dataType) }
+        .filter(_._1 != DropMarker) // logically dropped at <= v
         .groupBy(_._1).map { case (n, ts) =>
           n -> ts.map(_._2).reduce(widen) }
     val order = scala.collection.mutable.LinkedHashSet.empty[String]
     vintages.foreach { case (_, sch, fwd) =>
-      sch.fieldNames.foreach(n => order += fwd(n)) }
+      sch.fieldNames.foreach { n =>
+        if (fwd(n) != DropMarker) { order += fwd(n); () } } }
     val evolved = StructType(order.toSeq.map(n =>
       StructField(n, widened(n), nullable = true)))
     val inverse = vintages.map { case (c, _, fwd) =>
-      c -> fwd.collect { case (l, cn) if l != cn => cn -> l }
+      val byCanonical: Map[String, String] =
+        fwd.collect { case (l, cn) if cn != DropMarker => cn -> l }
+      c -> order.iterator.flatMap { cn =>
+        byCanonical.get(cn) match {
+          case Some(l) if l != cn => Some(cn -> l)
+          case Some(_) => None // identity entry omitted
+          case None if fwd.contains(cn) =>
+            // the vintage HAS a physical column named `cn`, but it maps
+            // elsewhere (renamed away or dropped) — MASK it with a name
+            // no file can contain (reads as null), or a canonical name
+            // RE-USED after a rename/drop would silently leak the
+            // unrelated old column's values
+            Some(cn -> (DropMarker + cn))
+          case None => None // genuinely absent: backfills null
+        }
+      }.toMap
     }.toMap
     (evolved, inverse)
   }
@@ -1707,7 +1736,15 @@ object Snapshots {
     var cur = canonical
     for (later <- latest until c by -1; (o, n) <- chain(later))
       if (n == cur) cur = o
-    cur
+    // round-trip guard: if the inverse result does not map FORWARD back
+    // to the same canonical name, the vintage has no such column — a
+    // later commit dropped it or re-used the name after a rename/drop.
+    // Returning the never-recordable DropMarker makes every stats lookup
+    // miss (conservative: the file is scanned, never wrongly pruned).
+    var fwd = cur
+    for (later <- (c + 1) to latest; (o, n) <- chain(later))
+      if (o == fwd) fwd = n
+    if (fwd == canonical) cur else DropMarker
   }
 
   /** (files kept, files total) of the last positional DML scan
@@ -2739,8 +2776,11 @@ object Snapshots {
     def applyChain(df0: DataFrame, c: Int): (DataFrame, Seq[(String, String)]) = {
       var df = df0
       val applied = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      // a logical DROP is skipped: the rewritten file must keep its
+      // vintage's own schema (time travel below the drop still reads
+      // the column), and a dropped column can never be a purge key
       for (later <- (c + 1) to latest; (o, n) <- chain(later))
-        if (df.columns.contains(o)) {
+        if (n != DropMarker && df.columns.contains(o)) {
           df = df.withColumnRenamed(o, n); applied += ((o, n))
         }
       (df, applied.toSeq)
@@ -2757,7 +2797,12 @@ object Snapshots {
       var cur = canonical
       for (later <- latest until c by -1; (o, n) <- chain(later))
         if (n == cur) cur = o
-      cur
+      // same round-trip guard as localStatName: a name re-used after a
+      // rename or drop must not alias an unrelated old column's stats
+      var fwd = cur
+      for (later <- (c + 1) to latest; (o, n) <- chain(later))
+        if (o == fwd) fwd = n
+      if (fwd == canonical) cur else DropMarker
     }
     // A file may contain a tombstone only if SOME tombstone row lies
     // inside the file's recorded bounds on EVERY key column that has
@@ -2992,7 +3037,9 @@ object Snapshots {
       val base = s.read.parquet(ps.map(p => new Path(dir, p).toString): _*)
       var df = if (dv) withMeta(base) else base
       for (later <- (c + 1) to v; (o, n) <- chain(later))
-        if (df.columns.contains(o)) df = df.withColumnRenamed(o, n)
+        if (df.columns.contains(o))
+          df = if (n == DropMarker) df.drop(o)
+          else df.withColumnRenamed(o, n)
       // align to the evolved target BEFORE the union — vintages may
       // disagree on a column's width (int vs long), which unionByName
       // alone would refuse

@@ -753,7 +753,23 @@ class GraftCatalogSpec extends SparkSpec {
       .fieldNames.toSeq == Seq("id", "payload"))
   }
 
-  test("ALTER COLUMN TYPE widens; narrowing and drops are refused") {
+  test("a canonical name re-used after RENAME COLUMN reads null " +
+      "from pre-rename vintages, not the old column's values") {
+    warehouse
+    sql("CREATE TABLE graft.db.ar2 (id BIGINT, payload STRING)")
+    sql("INSERT INTO graft.db.ar2 VALUES (1, 'old')")
+    sql("ALTER TABLE graft.db.ar2 RENAME COLUMN payload TO body")
+    sql("ALTER TABLE graft.db.ar2 ADD COLUMNS (payload STRING)")
+    sql("INSERT INTO graft.db.ar2 VALUES (2, 'b2', 'new')")
+    val got = sql("SELECT id, body, payload FROM graft.db.ar2")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1L, "old", null), (2L, "b2", "new")),
+      s"re-used name aliased the renamed-away column: $got")
+  }
+
+  test("ALTER COLUMN TYPE widens; narrowing is refused") {
     warehouse
     sql("CREATE TABLE graft.db.aw (id INT, payload STRING)")
     sql("INSERT INTO graft.db.aw VALUES (7, 'a')")
@@ -782,9 +798,50 @@ class GraftCatalogSpec extends SparkSpec {
             .updateColumnType(Array("id"),
               org.apache.spark.sql.types.IntegerType)) }
     assert(narrowDirect.getMessage.contains("widen"))
-    val drop = intercept[Exception] {
-      sql("ALTER TABLE graft.db.aw DROP COLUMN payload") }
-    assert(drop.getMessage.contains("DROP COLUMN"))
+  }
+
+  test("ALTER TABLE DROP COLUMN: logical drop — history readable, " +
+      "name re-usable, no data rewritten") {
+    warehouse
+    sql("CREATE TABLE graft.db.ad (id BIGINT, payload STRING, " +
+      "score DOUBLE)")
+    sql("INSERT INTO graft.db.ad VALUES (1, 'a', 0.5), (2, 'b', 0.7)")
+    sql("ALTER TABLE graft.db.ad DROP COLUMN payload")
+    assert(sql("SELECT * FROM graft.db.ad").schema.fieldNames.toSeq ==
+      Seq("id", "score"))
+    val got = sql("SELECT id, score FROM graft.db.ad").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, 0.5), (2L, 0.7)))
+    // time travel BELOW the drop still reads the column (vintages are
+    // untouched — the drop is one metadata-sized commit)
+    assert(sql("SELECT * FROM graft.db.ad VERSION AS OF 1").schema
+      .fieldNames.toSeq == Seq("id", "payload", "score"))
+    assert(sql("SELECT payload FROM graft.db.ad VERSION AS OF 1")
+      .collect().map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
+    // writes after the drop carry the head schema
+    sql("INSERT INTO graft.db.ad VALUES (3, 0.9)")
+    assert(sql("SELECT count(*) FROM graft.db.ad").collect()
+      .head.getLong(0) == 3)
+    // the name is re-usable as a FRESH column: every older vintage
+    // backfills null — the dropped column's old values never leak in
+    sql("ALTER TABLE graft.db.ad ADD COLUMNS (payload STRING)")
+    sql("INSERT INTO graft.db.ad VALUES (4, 1.1, 'new')")
+    val re = sql("SELECT id, payload FROM graft.db.ad").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1)))
+      .sortBy(_._1).toSeq
+    assert(re == Seq((1L, null), (2L, null), (3L, null), (4L, "new")),
+      s"re-added column leaked old values: $re")
+    // refusals: the only column; a CHECK-referenced column
+    sql("CREATE TABLE graft.db.ad1 (x INT)")
+    val only = intercept[Exception] {
+      sql("ALTER TABLE graft.db.ad1 DROP COLUMN x") }
+    assert(only.getMessage.contains("only column"), only.getMessage)
+    sql("CREATE TABLE graft.db.ad2 (x INT, y INT)")
+    sql("ALTER TABLE graft.db.ad2 ADD CONSTRAINT ypos CHECK (y > 0)")
+    val chk = intercept[Exception] {
+      sql("ALTER TABLE graft.db.ad2 DROP COLUMN y") }
+    assert(chk.getMessage.contains("CHECK"), chk.getMessage)
   }
 
   test("ALTER TABLE on a table with no commits rewrites the declared " +
