@@ -1542,6 +1542,59 @@ object Formats extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // Partition transforms (f46): `PARTITIONED BY (days(ts),
+    // bucket(16, user_id))` as clustered writes — each INSERT
+    // range-repartitions on the transform VALUES (day, murmur3-bucket)
+    // and records raw-ts bounds + virtual bucket-id bounds per file, so
+    // a day-selective DELETE and a user-equality DELETE open only
+    // admitting files (prune counters pinned in GraftCatalogSpec; this
+    // row hash-certifies the transformed lifecycle's CONTENT end to
+    // end). Verdict: per-type aggregate after two inserts, a one-day
+    // delete and a one-user delete.
+    "f46_partition_transforms" -> ((s, d) => {
+      val wh = ioDir(d, "f46_wh")
+      val cat = "graft46_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val tdir = s"$wh/db/events46"
+      val ev = T.events(s, d)
+      writeOnce(s, tdir, alsoRequire =
+          graft.sources.Snapshots.latestVersion(s, tdir) == 4) {
+        val root = new org.apache.hadoop.fs.Path(wh)
+        val fsys = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fsys.delete(root, true)
+        s.sql(s"CREATE TABLE $cat.db.events46 (event_id BIGINT, " +
+          "ts TIMESTAMP, user_id BIGINT, event_type STRING, " +
+          "value DOUBLE, props STRING) " +
+          "PARTITIONED BY (days(ts), bucket(16, user_id))")
+        ev.createOrReplaceTempView("f46_src")
+        s.sql(s"INSERT INTO $cat.db.events46 SELECT * FROM f46_src " +
+          "WHERE pmod(event_id, 2) = 0")                            // v1
+        s.sql(s"INSERT INTO $cat.db.events46 SELECT * FROM f46_src " +
+          "WHERE pmod(event_id, 2) = 1")                            // v2
+        s.sql(s"DELETE FROM $cat.db.events46 WHERE " +
+          "ts >= TIMESTAMP'2024-01-15 00:00:00' AND " +
+          "ts < TIMESTAMP'2024-01-16 00:00:00'")                    // v3
+        s.sql(s"DELETE FROM $cat.db.events46 WHERE user_id = 42")   // v4
+        ()
+      }
+      val transformsOk = {
+        val cm = s.sessionState.catalogManager.catalog(cat)
+          .asInstanceOf[graft.sources.GraftCatalog]
+        cm.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+            .of(Array("db"), "events46"))
+          .partitioning().map(_.describe()).toSeq ==
+          Seq("days(ts)", "bucket(16, user_id)")
+      }
+      s.sql(s"SELECT * FROM $cat.db.events46")
+        .groupBy(col("event_type")).agg(
+          count(lit(1)).as("n_events"),
+          sum(floor(col("value") * 100).cast("long")).as("sum_cents"))
+        .select(col("event_type"), col("n_events"), col("sum_cents"),
+          lit(transformsOk).as("transforms_ok"))
+        .orderBy(col("event_type"))
+    }),
+
     // Logical DROP COLUMN (f45): ALTER TABLE DROP COLUMN records the
     // drop in the rename chain — ONE metadata-sized commit, no data
     // file rewritten at any table size. Time travel below the drop
@@ -2272,6 +2325,19 @@ object Formats extends QueryPack {
       WHERE lang <> 'de'
       GROUP BY lang
       ORDER BY lang""",
+    // f46: head = events minus the deleted day minus the deleted user
+    "f46_partition_transforms" -> """
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+             TRUE AS transforms_ok
+      FROM events
+      WHERE NOT (ts >= TIMESTAMP '2024-01-15 00:00:00'
+                 AND ts < TIMESTAMP '2024-01-16 00:00:00')
+        AND user_id <> 42
+      GROUP BY event_type
+      ORDER BY event_type""",
     // f45: head = all documents with null source (the drop severed the
     // old values) plus the reborn copies carrying the re-added column
     "f45_drop_column" -> """

@@ -153,7 +153,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val cluster = GraftCatalog.identityCols(partitions, schema)
+    val cluster = GraftCatalog.clusterSpecs(partitions, schema)
+      .map(_.render)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val dir = new Path(tableDir(ident))
     val f = fs(dir)
@@ -202,7 +203,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       mode: GraftStagedTable.Mode): StagedTable = {
     new GraftStagedTable(this, ident, info.schema,
       onlyChecks(info, mode.verb), mode,
-      GraftCatalog.identityCols(info.partitions, info.schema))
+      GraftCatalog.clusterSpecs(info.partitions, info.schema)
+        .map(_.render))
   }
 
   /** `CREATE TABLE … AS SELECT`: nothing touches the warehouse until
@@ -306,10 +308,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         renames += (fields(i).name -> r.newName)
         // the clustering declaration follows the rename — a stale
         // `_CLUSTER` name would silently stop clustering future writes
-        val cluster = GraftCatalog.clusterCols(spark, dir)
-        if (cluster.contains(fields(i).name))
-          GraftCatalog.writeClusterCols(spark, dir, cluster.map(c =>
-            if (c == fields(i).name) r.newName else c))
+        val specs = GraftCatalog.parseClusterSpecs(
+          GraftCatalog.clusterCols(spark, dir))
+        if (specs.exists(_.col == fields(i).name))
+          GraftCatalog.writeClusterCols(spark, dir, specs.map {
+            case GraftCatalog.IdentityCluster(c) if c == fields(i).name =>
+              GraftCatalog.IdentityCluster(r.newName).render
+            case GraftCatalog.TruncCluster(u, c) if c == fields(i).name =>
+              GraftCatalog.TruncCluster(u, r.newName).render
+            case GraftCatalog.BucketCluster(n, c) if c == fields(i).name =>
+              GraftCatalog.BucketCluster(n, r.newName).render
+            case other => other.render
+          })
         fields = fields.updated(i, fields(i).copy(name = r.newName))
         schemaChanged = true
       case u: TableChange.UpdateColumnType =>
@@ -364,8 +374,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         }
         // clustered writes and stat pruning key off the declaration —
         // dropping underneath it would silently stop both
-        require(!GraftCatalog.clusterCols(spark, dir)
-            .contains(fields(i).name),
+        require(!GraftCatalog.parseClusterSpecs(
+            GraftCatalog.clusterCols(spark, dir))
+            .exists(_.col == fields(i).name),
           s"graft catalog: DROP COLUMN ${fields(i).name}: part of the " +
             "table's clustering declaration — ALTER the clustering " +
             "first (CALL system.optimize with new columns)")
@@ -487,27 +498,106 @@ private[graft] object GraftCatalog {
     * batched (two globs over the parent), not one listing per child. */
   @volatile private[sources] var lastListTablesRpcs: Int = -1
 
-  /** `PARTITIONED BY` support: only IDENTITY transforms, implemented
-    * as WRITE CLUSTERING — each catalog write range-repartitions on the
-    * declared columns and records their per-file [min,max], so scans
-    * and DML prune files by stats exactly as a directory layout would
-    * eliminate partitions, without hive-style paths (which the
-    * manifest/vintage format deliberately avoids: file names carry
-    * their commit, stats carry their bounds). Bucket/days/etc.
-    * transforms stay refused — z-order (`optimize`) is the
-    * multi-dimensional answer. */
-  private[sources] def identityCols(partitions: Array[Transform],
-      schema: StructType): Seq[String] = partitions.toSeq.map {
+  /** `PARTITIONED BY` support: IDENTITY, temporal (`days(ts)` /
+    * `months` / `years` / `hours`) and `bucket(n, col)` transforms,
+    * all implemented as WRITE CLUSTERING — each catalog write
+    * range-repartitions on the transform VALUES and records per-file
+    * bounds, so scans and DML prune files by stats exactly as a
+    * directory layout would eliminate partitions, without hive-style
+    * paths (which the manifest/vintage format deliberately avoids:
+    * file names carry their commit, stats carry their bounds).
+    * Identity and temporal clustering prune through the UNDERLYING
+    * column's recorded [min,max] (day-aligned files bound their raw
+    * timestamps tightly); bucket clustering records the derived BUCKET
+    * ID under a virtual stats name, and equality predicates prune by
+    * hashing the literal ([[Snapshots.condMatchableFiles]]). Other
+    * transforms (truncate, sorted buckets) stay refused — z-order
+    * (`optimize`) is the multi-dimensional answer. */
+  private[sources] sealed trait ClusterSpec {
+    def col: String
+    /** side-file rendering (one `_CLUSTER` csv entry) */
+    def render: String
+    /** the value files are range-aligned on at write time */
+    def clusterExpr: org.apache.spark.sql.Column
+  }
+  private[sources] final case class IdentityCluster(col: String)
+      extends ClusterSpec {
+    def render: String = col
+    def clusterExpr: org.apache.spark.sql.Column =
+      org.apache.spark.sql.functions.col(col)
+  }
+  private[sources] final case class TruncCluster(unit: String,
+      col: String) extends ClusterSpec {
+    def render: String = s"$unit:$col"
+    def clusterExpr: org.apache.spark.sql.Column =
+      org.apache.spark.sql.functions.date_trunc(unit,
+        org.apache.spark.sql.functions.col(col))
+  }
+  private[sources] final case class BucketCluster(n: Int, col: String)
+      extends ClusterSpec {
+    def render: String = s"bucket:$n:$col"
+    /** matches functions.hash = Murmur3 seed 42; pmod keeps ids in
+      * [0, n) — the same number [[Snapshots.bucketIdOf]] computes for
+      * a predicate literal at prune time */
+    def clusterExpr: org.apache.spark.sql.Column =
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(
+          org.apache.spark.sql.functions.col(col)),
+        org.apache.spark.sql.functions.lit(n))
+  }
+
+  private val TruncUnits = Map("days" -> "day", "months" -> "month",
+    "years" -> "year", "hours" -> "hour")
+
+  private[sources] def clusterSpecs(partitions: Array[Transform],
+      schema: StructType): Seq[ClusterSpec] = partitions.toSeq.map {
     case id if id.name == "identity" && id.references.length == 1 =>
       val n = id.references.head.fieldNames.mkString(".")
       require(schema.fieldNames.contains(n),
         s"graft catalog: PARTITIONED BY column $n is not in the schema")
-      n
+      IdentityCluster(n)
+    case t if TruncUnits.contains(t.name) && t.references.length == 1 =>
+      val n = t.references.head.fieldNames.mkString(".")
+      val fld = schema.fields.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft catalog: PARTITIONED BY column $n is not in the schema"))
+      require(fld.dataType.isInstanceOf[
+            org.apache.spark.sql.types.TimestampType] ||
+          fld.dataType.isInstanceOf[org.apache.spark.sql.types.DateType] ||
+          fld.dataType == org.apache.spark.sql.types.TimestampNTZType,
+        s"graft catalog: PARTITIONED BY ${t.name}($n): $n is " +
+          s"${fld.dataType.simpleString}, not a date/timestamp")
+      TruncCluster(TruncUnits(t.name), n)
+    case b if b.name == "bucket" && b.references.length == 1 =>
+      val n = b.references.head.fieldNames.mkString(".")
+      require(schema.fieldNames.contains(n),
+        s"graft catalog: PARTITIONED BY column $n is not in the schema")
+      val buckets = b.arguments.collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          l.value.toString.toInt
+      }.getOrElse(throw new IllegalArgumentException(
+        s"graft catalog: PARTITIONED BY bucket: missing bucket count"))
+      require(buckets > 0, "graft catalog: bucket count must be positive")
+      BucketCluster(buckets, n)
     case other => throw new UnsupportedOperationException(
       s"graft catalog: PARTITIONED BY ${other.describe} is not " +
-        "supported — only identity columns (implemented as clustered " +
-        "writes + stat pruning); use OPTIMIZE ZORDER for " +
-        "multi-dimensional clustering")
+        "supported — identity, days/months/years/hours and " +
+        "bucket(n, col) implement as clustered writes + stat pruning; " +
+        "use OPTIMIZE ZORDER for multi-dimensional clustering")
+  }
+
+  /** Parse `_CLUSTER` entries back to specs (legacy plain names =
+    * identity). Unparseable entries degrade to identity on the raw
+    * string — conservative for old tables. */
+  private[sources] def parseClusterSpecs(entries: Seq[String])
+      : Seq[ClusterSpec] = entries.map { e =>
+    e.split(':') match {
+      case Array(u, c) if TruncUnits.valuesIterator.contains(u) =>
+        TruncCluster(u, c)
+      case Array("bucket", n, c) if n.forall(_.isDigit) && n.nonEmpty =>
+        BucketCluster(n.toInt, c)
+      case _ => IdentityCluster(e)
+    }
   }
 
   /** Persist / read the clustering columns (`_CLUSTER` side-file, one
@@ -537,22 +627,35 @@ private[graft] object GraftCatalog {
   }
 
   /** The write-side half of PARTITIONED BY: range-repartition `data`
-    * on the table's clustering columns (files become value-aligned —
+    * on the declared transform VALUES (files become value-aligned —
     * the shuffle is the price every engine's partitioned write pays)
-    * and extend the recorded stats with those columns, strings
-    * included (partition keys are bounded values, unlike free text —
-    * the reason strings are excluded from [[Snapshots
-    * .defaultStatsCols]] does not apply). Unclustered tables pass
-    * through untouched. */
+    * and extend the recorded stats. Identity and temporal specs record
+    * the UNDERLYING column, strings included (partition keys are
+    * bounded values, unlike free text — the reason strings are
+    * excluded from [[Snapshots.defaultStatsCols]] does not apply);
+    * day-aligned files bound their raw timestamps tightly, so a
+    * day-selective predicate prunes through the plain temporal stats.
+    * Bucket specs record the derived BUCKET ID under the spec's
+    * virtual stats name (third return — (name, exprSql, typeName)),
+    * which equality predicates prune by hashing the literal. */
   private[sources] def clusterFor(data: org.apache.spark.sql.DataFrame,
       declared: Seq[String])
-      : (org.apache.spark.sql.DataFrame, Seq[String]) = {
-    import org.apache.spark.sql.functions.col
-    val cols = declared.filter(data.columns.contains)
+      : (org.apache.spark.sql.DataFrame, Seq[String],
+         Seq[(String, String, String)]) = {
+    val specs = parseClusterSpecs(declared)
+      .filter(sp => data.columns.contains(sp.col))
     val defaults = Snapshots.defaultStatsCols(data.schema)
-    if (cols.isEmpty) (data, defaults)
-    else (data.repartitionByRange(cols.map(col): _*),
-      (defaults ++ cols).distinct)
+    if (specs.isEmpty) (data, defaults, Seq.empty)
+    else {
+      val statCols = (defaults ++ specs.collect {
+        case IdentityCluster(c) => c
+        case TruncCluster(_, c) => c
+      }).distinct
+      val virt = specs.collect { case b @ BucketCluster(n, c) =>
+        (b.render, s"pmod(hash(`$c`), $n)", "integer") }
+      (data.repartitionByRange(specs.map(_.clusterExpr): _*),
+        statCols, virt)
+    }
   }
 }
 
@@ -616,10 +719,18 @@ private[graft] class SnapshotTableV2(val dir: String,
     * shows them under Partitioning) — write clustering, not hive dirs:
     * see [[GraftCatalog.identityCols]]. */
   override def partitioning()
-      : Array[org.apache.spark.sql.connector.expressions.Transform] =
-    GraftCatalog.clusterCols(spark, dir).map(
-      org.apache.spark.sql.connector.expressions.Expressions.identity)
-      .toArray
+      : Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    GraftCatalog.parseClusterSpecs(GraftCatalog.clusterCols(spark, dir))
+      .map {
+        case GraftCatalog.IdentityCluster(c) => Expressions.identity(c)
+        case GraftCatalog.TruncCluster("day", c) => Expressions.days(c)
+        case GraftCatalog.TruncCluster("month", c) => Expressions.months(c)
+        case GraftCatalog.TruncCluster("year", c) => Expressions.years(c)
+        case GraftCatalog.TruncCluster(_, c) => Expressions.hours(c)
+        case GraftCatalog.BucketCluster(n, c) => Expressions.bucket(n, c)
+      }.toArray
+  }
 
   /** The table's CHECK constraints — Spark's `ResolveTableConstraints`
     * reads these and injects `CheckInvariant` validation into every
@@ -660,11 +771,11 @@ private[graft] class SnapshotTableV2(val dir: String,
               // its declared columns and records their bounds, so the
               // files are value-aligned and stat pruning eliminates
               // them like a directory layout would.
-              val (clustered, stats) = GraftCatalog.clusterFor(data,
-                GraftCatalog.clusterCols(data.sparkSession, dir))
+              val (clustered, stats, virt) = GraftCatalog.clusterFor(
+                data, GraftCatalog.clusterCols(data.sparkSession, dir))
               Snapshots.commitAuto(data.sparkSession, dir,
                 clustered, overwrite = overwrite || ovr,
-                statsCols = stats)
+                statsCols = stats, statsExprs = virt)
               ()
             }
           }
@@ -771,7 +882,8 @@ private[graft] class GraftStagedTable(catalog: GraftCatalog,
       case _ =>
     }
     def clustered(df: org.apache.spark.sql.DataFrame)
-        : (org.apache.spark.sql.DataFrame, Seq[String]) =
+        : (org.apache.spark.sql.DataFrame, Seq[String],
+           Seq[(String, String, String)]) =
       GraftCatalog.clusterFor(df, clusterCols)
     if (!exists) {
       stagedPlan match {
@@ -783,9 +895,9 @@ private[graft] class GraftStagedTable(catalog: GraftCatalog,
           // table catalog-visible even if vacuum later reclaims v1's
           // manifest (isTable also accepts any manifest, so this is
           // redundancy, not a dependency)
-          val (df, stats) = clustered(df0)
+          val (df, stats, virt) = clustered(df0)
           Snapshots.commit(spark, dir, df, append = false,
-            statsCols = stats)
+            statsCols = stats, statsExprs = virt)
           val f = new Path(dir).getFileSystem(
             spark.sparkContext.hadoopConfiguration)
           val o = f.create(new Path(dir, "_SCHEMA"), true)
@@ -807,9 +919,9 @@ private[graft] class GraftStagedTable(catalog: GraftCatalog,
       val df0 = stagedPlan.getOrElse(spark.createDataFrame(
         spark.sparkContext.parallelize(
           Seq.empty[org.apache.spark.sql.Row], 1), declaredSchema))
-      val (df, stats) = clustered(df0)
+      val (df, stats, virt) = clustered(df0)
       Snapshots.commit(spark, dir, df, append = false,
-        statsCols = stats)
+        statsCols = stats, statsExprs = virt)
       // the REPLACE's declaration supersedes the old clustering too
       GraftCatalog.writeClusterCols(spark, dir, clusterCols)
       // the new definition replaces the old one's constraints wholesale

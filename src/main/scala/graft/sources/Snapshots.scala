@@ -141,7 +141,8 @@ object Snapshots {
   def commit(s: SparkSession, dir: String, df: DataFrame,
       append: Boolean, renames: Map[String, String] = Map.empty,
       statsCols: Seq[String] = Seq.empty,
-      streamTxn: Option[(String, Long)] = None): Int = {
+      streamTxn: Option[(String, Long)] = None,
+      statsExprs: Seq[(String, String, String)] = Seq.empty): Int = {
     val f = fs(s, dir)
     f.mkdirs(new Path(dir))
     val c = claimVersion(f, dir)
@@ -151,7 +152,8 @@ object Snapshots {
       // once branches exist), and the ref advances with the publish
       val base = mainHead(f, dir, c.v - 1)
       val v = commitClaimed(s, f, dir, df, append, renames, statsCols,
-        c.v, baseVersion = base, streamTxn = streamTxn)
+        c.v, baseVersion = base, streamTxn = streamTxn,
+        statsExprs = statsExprs)
       advanceMain(s, f, dir, v)
       v
     } finally c.release()
@@ -165,7 +167,8 @@ object Snapshots {
     * though the claim protocol serialized the commits themselves. */
   def commitAuto(s: SparkSession, dir: String, df: DataFrame,
       overwrite: Boolean,
-      statsCols: Seq[String] = Seq.empty): Int = {
+      statsCols: Seq[String] = Seq.empty,
+      statsExprs: Seq[(String, String, String)] = Seq.empty): Int = {
     val f = fs(s, dir)
     f.mkdirs(new Path(dir))
     val c = claimVersion(f, dir)
@@ -173,7 +176,7 @@ object Snapshots {
       val base = mainHead(f, dir, c.v - 1)
       val v = commitClaimed(s, f, dir, df,
         append = base >= 1 && !overwrite, Map.empty, statsCols,
-        c.v, baseVersion = base)
+        c.v, baseVersion = base, statsExprs = statsExprs)
       advanceMain(s, f, dir, v)
       v
     } finally c.release()
@@ -535,7 +538,8 @@ object Snapshots {
     * failure), and compute per-file stats lines for `statsCols`.
     * Shared by [[commit]] and [[upsert]]. Returns (movedPaths, statLines). */
   private def stageAndMove(s: SparkSession, f: FileSystem, dir: String,
-      df: DataFrame, statsCols: Seq[String], v: Int)
+      df: DataFrame, statsCols: Seq[String], v: Int,
+      statsExprs: Seq[(String, String, String)] = Seq.empty)
       : (Seq[String], Seq[String]) = {
     val stage = new Path(dir, s"_stage_v$v")
     f.delete(stage, true)
@@ -567,13 +571,22 @@ object Snapshots {
           case _ => false
         }
       }
+    // aggregate items: real columns under their own names + VIRTUAL
+    // expression stats (a bucket-transform's derived id) under their
+    // declared names — both ride the same one metadata-size job
+    val aggItems: Seq[(String, org.apache.spark.sql.Column, String)] = {
+      import org.apache.spark.sql.functions.{col, expr}
+      aggCols.map(c => (c, col(c), sparkTypes(c).typeName)) ++
+        statsExprs.map { case (n, e, tn) => (n, expr(e), tn) }
+    }
     val aggStats: Map[String, Seq[(String, String, String, String)]] =
-      if (aggCols.isEmpty) Map.empty
+      if (aggItems.isEmpty) Map.empty
       else {
-        import org.apache.spark.sql.functions.{col, min, max, input_file_name}
-        val aggs = aggCols.flatMap(c => Seq(
-          min(col(c)).cast("string").as(s"mn_$c"),
-          max(col(c)).cast("string").as(s"mx_$c")))
+        import org.apache.spark.sql.functions.{min, max, input_file_name}
+        // index-based aliases: virtual names may carry separators
+        val aggs = aggItems.zipWithIndex.flatMap { case ((_, c, _), i) =>
+          Seq(min(c).cast("string").as(s"mn_$i"),
+            max(c).cast("string").as(s"mx_$i")) }
         // explicit FILE paths: the stage dir's own name starts with "_",
         // which the DataSource hidden-path filter warns about when the
         // directory itself is the input
@@ -582,9 +595,8 @@ object Snapshots {
           .agg(aggs.head, aggs.tail: _*)
           .collect().map { r =>
             val fname = new Path(r.getString(0)).getName
-            fname -> aggCols.zipWithIndex.map { case (c, i) =>
-              (c, sparkTypes(c).typeName,
-                r.getString(1 + 2 * i), r.getString(2 + 2 * i))
+            fname -> aggItems.zipWithIndex.map { case ((n, _, tn), i) =>
+              (n, tn, r.getString(1 + 2 * i), r.getString(2 + 2 * i))
             }
           }.toMap
       }
@@ -664,9 +676,11 @@ object Snapshots {
   private def commitClaimed(s: SparkSession, f: FileSystem, dir: String,
       df: DataFrame, append: Boolean, renames: Map[String, String],
       statsCols: Seq[String], v: Int, baseVersion: Int = -1,
-      streamTxn: Option[(String, Long)] = None): Int = {
+      streamTxn: Option[(String, Long)] = None,
+      statsExprs: Seq[(String, String, String)] = Seq.empty): Int = {
     val prev = if (baseVersion >= 0) baseVersion else v - 1
-    val (moved, statLines) = stageAndMove(s, f, dir, df, statsCols, v)
+    val (moved, statLines) = stageAndMove(s, f, dir, df, statsCols, v,
+      statsExprs)
     val carried = if (append && prev > 0) files(s, dir, prev) else Seq.empty
     // an append CARRIES the base's deletion vector too: the positions
     // stay valid (every carried file is untouched), and without the
@@ -1747,6 +1761,18 @@ object Snapshots {
     if (fwd == canonical) cur else DropMarker
   }
 
+  /** The bucket id a `bucket(n, col)`-clustered write assigns `value`:
+    * Murmur3 seed 42 (exactly `functions.hash`) pmod n — evaluating the
+    * SAME Catalyst expression the write side ran, so a predicate
+    * literal's bucket provably matches its rows' recorded bucket ids. */
+  private[sources] def bucketIdOf(value: Any, dt: org.apache.spark.sql
+      .types.DataType, n: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
+    val h = Murmur3Hash(Seq(Literal.create(value, dt)), 42)
+      .eval(null).asInstanceOf[Int]
+    ((h % n) + n) % n
+  }
+
   /** (files kept, files total) of the last positional DML scan
     * (deleteWhere/updateWhere) — pins condition-bound stat pruning. */
   @volatile private[sources] var lastDmlPruneCounts: (Int, Int) = (0, 0)
@@ -1759,7 +1785,7 @@ object Snapshots {
     * DELETE/UPDATE against a 100 TB table opens O(stat-overlapping)
     * files to locate positions, like the MERGE scan. Strictly
     * conservative: unparseable conjuncts (ORs, casts, subqueries,
-    * temporal literals, expressions) constrain nothing, files without
+    * expressions) constrain nothing, files without
     * stats always survive, and an IN-list prunes by its bounding range
     * (a superset of the set). */
   private def condMatchableFiles(s: SparkSession, dir: String,
@@ -1783,10 +1809,23 @@ object Snapshots {
     }
     def litStr(l: Literal): Option[String] = l.dataType match {
       case _: NumericType | StringType => Option(l.value).map(_.toString)
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType |
+           org.apache.spark.sql.types.DateType =>
+        // render EXACTLY as the stats side did (Spark's own cast-to-
+        // string under the session timezone) — inBounds normalizes both
+        // sides through temporalMillis, so a day-selective DELETE on a
+        // days()-clustered table prunes through the plain ts stats
+        try Option(org.apache.spark.sql.catalyst.expressions.Cast(
+            l, StringType,
+            Some(s.sessionState.conf.sessionLocalTimeZone)).eval(null))
+          .map(_.toString)
+        catch { case scala.util.control.NonFatal(_) => None }
       case _ => None
     }
-    val constraints: Seq[(String, Option[String], Option[String])] =
-      conjuncts(cond).map(fold).flatMap {
+    val folded = conjuncts(cond).map(fold)
+    val constraints0: Seq[(String, Option[String], Option[String])] =
+      folded.flatMap {
         case EqualTo(a: AttributeReference, l: Literal) =>
           litStr(l).map(v => (a.name, Some(v), Some(v)))
         case EqualTo(l: Literal, a: AttributeReference) =>
@@ -1828,6 +1867,40 @@ object Snapshots {
           }
         case _ => None
       }
+    // bucket-clustered columns additionally prune EQUALITY/IN conjuncts
+    // through the derived bucket id recorded under the spec's VIRTUAL
+    // stats name: hash the literal with the same Murmur3 the write ran
+    // and bound the admitted bucket-id range (IN-lists by [min,max] of
+    // their ids — a conservative superset, like the value-range tier)
+    val bucketOf: Map[String, GraftCatalog.BucketCluster] =
+      GraftCatalog.parseClusterSpecs(GraftCatalog.clusterCols(s, dir))
+        .collect { case b: GraftCatalog.BucketCluster => b.col -> b }
+        .toMap
+    def bucketBound(a: AttributeReference, lits: Seq[Literal])
+        : Option[(String, Option[String], Option[String])] =
+      bucketOf.get(a.name).flatMap { b =>
+        if (lits.isEmpty || lits.exists(_.value == null)) None
+        else try {
+          val ids = lits.map(l => bucketIdOf(l.value, l.dataType, b.n))
+          Some((b.render,
+            Some(ids.min.toString), Some(ids.max.toString)))
+        } catch {
+          case scala.util.control.NonFatal(_) => None // never prune
+        }
+      }
+    val bucketConstraints =
+      if (bucketOf.isEmpty) Seq.empty
+      else folded.flatMap {
+        case EqualTo(a: AttributeReference, l: Literal) =>
+          bucketBound(a, Seq(l))
+        case EqualTo(l: Literal, a: AttributeReference) =>
+          bucketBound(a, Seq(l))
+        case In(a: AttributeReference, vs) if vs.nonEmpty &&
+            vs.forall(_.isInstanceOf[Literal]) =>
+          bucketBound(a, vs.map(_.asInstanceOf[Literal]))
+        case _ => None
+      }
+    val constraints = constraints0 ++ bucketConstraints
     if (constraints.isEmpty) {
       lastDmlPruneCounts = (fset.size, fset.size)
       return fset
@@ -3104,14 +3177,21 @@ object Snapshots {
       // value-aligned layout: repack along the declared clustering
       // columns (and re-record their bounds) instead of arbitrary
       // grouping — partition pruning stays effective after compaction
-      val cluster = GraftCatalog.clusterCols(s, dir)
-        .filter(subset.columns.contains)
+      val specs = GraftCatalog.parseClusterSpecs(
+          GraftCatalog.clusterCols(s, dir))
+        .filter(sp => subset.columns.contains(sp.col))
       val packed =
-        if (cluster.nonEmpty)
-          subset.repartitionByRange(nOut, cluster.map(col): _*)
+        if (specs.nonEmpty)
+          subset.repartitionByRange(nOut, specs.map(_.clusterExpr): _*)
         else subset.coalesce(nOut)
+      val statCols = (defaultStatsCols(packed.schema) ++ specs.collect {
+        case GraftCatalog.IdentityCluster(c) => c
+        case GraftCatalog.TruncCluster(_, c) => c
+      }).distinct
+      val virt = specs.collect { case b: GraftCatalog.BucketCluster =>
+        (b.render, s"pmod(hash(`${b.col}`), ${b.n})", "integer") }
       val (moved, statLines) = stageAndMove(s, f, dir, packed,
-        (defaultStatsCols(packed.schema) ++ cluster).distinct, v)
+        statCols, v, virt)
       // new DV = the base's entries for KEPT files only — the packed
       // read materialized the rewritten files' deletions. File names
       // are unique per table (vN-i- prefixes), so the last path

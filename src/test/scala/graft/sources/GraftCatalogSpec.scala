@@ -769,6 +769,75 @@ class GraftCatalogSpec extends SparkSpec {
       s"re-used name aliased the renamed-away column: $got")
   }
 
+  test("PARTITIONED BY days(ts) / bucket(n, col): clustered writes, " +
+      "day-selective and key-equality DML prune files") {
+    warehouse
+    sql("CREATE TABLE graft.db.ev (event_id BIGINT, ts TIMESTAMP, " +
+      "user_id BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (days(ts), bucket(8, user_id))")
+    // the declaration reports back as transforms
+    val parts = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog].loadTable(
+        org.apache.spark.sql.connector.catalog.Identifier.of(
+          Array("db"), "ev")).partitioning().map(_.describe()).toSeq
+    assert(parts == Seq("days(ts)", "bucket(8, user_id)"), parts)
+    import spark.implicits._
+    val rows = for { d <- 1 to 3; u <- 1L to 40L } yield
+      (d * 100L + u,
+        java.sql.Timestamp.valueOf(f"2024-01-0$d ${(u % 9) + 1}%02d:00:00"),
+        u, u * 0.5)
+    rows.toDF("event_id", "ts", "user_id", "v")
+      .createOrReplaceTempView("ev_src")
+    // one insert per day — files are day-pure (at scale the days()
+    // range clustering splits a bulk insert the same way; tiny test
+    // inserts coalesce to one file under AQE)
+    (1 to 3).foreach { d =>
+      sql("INSERT INTO graft.db.ev SELECT * FROM ev_src " +
+        s"WHERE CAST(ts AS DATE) = DATE'2024-01-0$d'")
+    }
+    assert(sql("SELECT count(*) FROM graft.db.ev").head().getLong(0)
+      == 120)
+    // day-selective DELETE: the days() clustering value-aligns files,
+    // so the raw ts bounds admit only the middle day's file(s)
+    sql("DELETE FROM graft.db.ev WHERE " +
+      "ts >= TIMESTAMP'2024-01-02 00:00:00' AND " +
+      "ts < TIMESTAMP'2024-01-03 00:00:00'")
+    val (dayKept, dayTotal) = Snapshots.lastDmlPruneCounts
+    assert(dayKept < dayTotal,
+      s"day-selective DELETE scanned every file ($dayKept/$dayTotal)")
+    assert(sql("SELECT count(*) FROM graft.db.ev").head().getLong(0)
+      == 80)
+    val days = sql("SELECT DISTINCT CAST(ts AS DATE) FROM graft.db.ev " +
+      "ORDER BY 1").collect().map(_.getDate(0).toString).toSeq
+    assert(days == Seq("2024-01-01", "2024-01-03"))
+
+    // bucket pruning on its own table: two bucket-range-pure inserts,
+    // then an equality DELETE whose literal hashes into one of them
+    sql("CREATE TABLE graft.db.evb (event_id BIGINT, user_id BIGINT, " +
+      "v DOUBLE) PARTITIONED BY (bucket(8, user_id))")
+    val rows2 = (1L to 200L).map(u => (u, u % 50L, u * 0.25))
+    rows2.toDF("event_id", "user_id", "v")
+      .createOrReplaceTempView("evb_src")
+    sql("INSERT INTO graft.db.evb SELECT * FROM evb_src " +
+      "WHERE pmod(hash(user_id), 8) < 4")
+    sql("INSERT INTO graft.db.evb SELECT * FROM evb_src " +
+      "WHERE pmod(hash(user_id), 8) >= 4")
+    assert(sql("SELECT count(*) FROM graft.db.evb").head().getLong(0)
+      == 200)
+    val before = sql("SELECT count(*) FROM graft.db.evb " +
+      "WHERE user_id = 7").head().getLong(0)
+    sql("DELETE FROM graft.db.evb WHERE user_id = 7")
+    val (bKept, bTotal) = Snapshots.lastDmlPruneCounts
+    assert(bKept < bTotal,
+      s"bucket-equality DELETE scanned every file ($bKept/$bTotal)")
+    assert(sql("SELECT count(*) FROM graft.db.evb").head().getLong(0)
+      == 200 - before)
+    // no file was WRONGLY pruned: the surviving keys are exact
+    val left = sql("SELECT DISTINCT user_id FROM graft.db.evb " +
+      "ORDER BY user_id").collect().map(_.getLong(0)).toSeq
+    assert(left == (0L to 49L).filterNot(_ == 7L))
+  }
+
   test("ALTER COLUMN TYPE widens; narrowing is refused") {
     warehouse
     sql("CREATE TABLE graft.db.aw (id INT, payload STRING)")
@@ -1146,12 +1215,19 @@ class GraftCatalogSpec extends SparkSpec {
       "GROUP BY lang ORDER BY lang").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toSeq
     assert(left == Seq("en" -> 80L, "fr" -> 80L))
-    // non-identity transforms stay refused, actionably
+    // unsupported transforms stay refused, actionably (days/bucket are
+    // supported — see the days/bucket spec; truncate is not)
     val e = intercept[Exception] {
-      sql("CREATE TABLE graft.db.ptab2 (id BIGINT, ts TIMESTAMP) " +
-        "PARTITIONED BY (days(ts))")
+      sql("CREATE TABLE graft.db.ptab2 (id BIGINT, s STRING) " +
+        "PARTITIONED BY (truncate(4, s))")
     }
-    assert(e.getMessage.contains("identity"))
+    assert(e.getMessage.contains("not"), e.getMessage)
+    // a temporal transform on a non-temporal column is refused too
+    val e2 = intercept[Exception] {
+      sql("CREATE TABLE graft.db.ptab2 (id BIGINT, s STRING) " +
+        "PARTITIONED BY (days(s))")
+    }
+    assert(e2.getMessage.contains("not a date/timestamp"), e2.getMessage)
     // CTAS carries the clustering declaration too
     sql("CREATE TABLE graft.db.ptab3 PARTITIONED BY (lang) AS " +
       "SELECT * FROM graft.db.ptab")
