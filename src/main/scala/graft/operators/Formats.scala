@@ -1389,7 +1389,9 @@ object Formats extends QueryPack {
     // v2's file set: zero data files read or written at any table
     // size, the deleted state stays time-travelable (history is never
     // rewritten), and the recorded `restore` verb shows in CALL
-    // history and blocks mergeBranch across it. Verdict: head
+    // history and lets mergeBranch reconcile across it (the same
+    // key-relocation path a recorded optimize/compact takes). Verdict:
+    // head
     // count + content hash (== all documents, the pre-delete state),
     // the deleted state's row count via VERSION AS OF, and pinned
     // booleans for head-equals-v2 parity, the history verb, and the
@@ -1593,6 +1595,102 @@ object Formats extends QueryPack {
         .select(col("event_type"), col("n_events"), col("sum_cents"),
           lit(transformsOk).as("transforms_ok"))
         .orderBy(col("event_type"))
+    }),
+
+    // Subqueries in UPDATE SET assignments (f47): the assigned VALUE
+    // may be a scalar subquery — uncorrelated (v2: a global floor) or
+    // CORRELATED per row (v3: a per-lang cap looked up by t.lang) —
+    // re-bound onto the claim-time scan's resolved attributes exactly
+    // like f41's conditions, then decorrelated by the optimizer into
+    // the usual joins over the matched rows only. Each mutation is ONE
+    // published version. The DuckDB oracle replays both updates
+    // relationally.
+    "f47_update_subquery" -> ((s, d) => {
+      val wh = ioDir(d, "f47_wh")
+      val cat = "graft47_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val tdir = s"$wh/db/docs47"
+      writeOnce(s, tdir, alsoRequire =
+          graft.sources.Snapshots.latestVersion(s, tdir) == 3) {
+        val root = new org.apache.hadoop.fs.Path(wh)
+        val fsys = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fsys.delete(root, true)
+        T.documents(s, d).createOrReplaceTempView("f47_docs")
+        s.sql(s"CREATE TABLE $cat.db.docs47 (doc_id BIGINT, " +
+          "lang STRING, source STRING, n_chars BIGINT)")
+        s.sql(s"INSERT INTO $cat.db.docs47 SELECT doc_id, lang, " +
+          "source, n_chars FROM f47_docs")                          // v1
+        s.sql(s"CREATE TABLE $cat.db.caps47 (lang STRING, cap BIGINT)")
+        s.sql(s"INSERT INTO $cat.db.caps47 SELECT lang, " +
+          "max(n_chars) FROM f47_docs GROUP BY lang")
+        // uncorrelated scalar value: one global floor
+        s.sql(s"UPDATE $cat.db.docs47 SET n_chars = " +             // v2
+          s"(SELECT min(cap) FROM $cat.db.caps47) WHERE source = 'src0'")
+        // correlated value AND correlated condition: cap each doc at
+        // half its language's max (the inner alias c.lang vs t.lang —
+        // a by-name re-binding would collapse the correlation)
+        s.sql(s"UPDATE $cat.db.docs47 t SET n_chars = " +           // v3
+          s"(SELECT c.cap FROM $cat.db.caps47 c WHERE c.lang = t.lang) " +
+          "WHERE t.n_chars * 2 > " +
+          s"(SELECT c2.cap FROM $cat.db.caps47 c2 WHERE c2.lang = t.lang)")
+        ()
+      }
+      s.sql(s"SELECT lang, count(*) AS n_docs, " +
+          s"sum(n_chars) AS sum_chars FROM $cat.db.docs47 GROUP BY lang")
+        .withColumn("one_version_per_mutation",
+          lit(graft.sources.Snapshots.latestVersion(s, tdir) == 3))
+        .orderBy(col("lang"))
+    }),
+
+    // Residual ON conjuncts in MERGE (f48): `ON t.doc_id = s.doc_id
+    // AND s.n_chars > t.n_chars` — the equality is the merge KEY, the
+    // inequality a RESIDUAL the joins evaluate as part of the full ON
+    // (only-if-newer upsert, the CDC freshness gate). A matched-but-
+    // residual-failed pair is NOT MATCHED; the conditional INSERT
+    // clause keeps those source rows out so the removal audit proves
+    // the by-key commit touches exactly the routed rows. One published
+    // version. The DuckDB oracle replays the clamp + inserts
+    // relationally.
+    "f48_merge_residual" -> ((s, d) => {
+      val wh = ioDir(d, "f48_wh")
+      val cat = "graft48_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val tdir = s"$wh/db/docs48"
+      writeOnce(s, tdir, alsoRequire =
+          graft.sources.Snapshots.latestVersion(s, tdir) == 2) {
+        val root = new org.apache.hadoop.fs.Path(wh)
+        val fsys = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fsys.delete(root, true)
+        T.documents(s, d).createOrReplaceTempView("f48_docs")
+        s.sql(s"CREATE TABLE $cat.db.docs48 (doc_id BIGINT, " +
+          "lang STRING, n_chars BIGINT)")
+        s.sql(s"INSERT INTO $cat.db.docs48 SELECT doc_id, lang, " +
+          "n_chars FROM f48_docs")                                  // v1
+        // every third doc arrives "fresher" only when even (+7); odd
+        // ones arrive stale (-7) and must fall through the residual;
+        // every 17th doc arrives under a brand-new key
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW f48_src AS " +
+          "SELECT doc_id, lang, CASE WHEN doc_id % 2 = 0 " +
+          "THEN n_chars + 7 ELSE n_chars - 7 END AS n_chars " +
+          "FROM f48_docs WHERE doc_id % 3 = 0 " +
+          "UNION ALL SELECT doc_id + 20000000 AS doc_id, lang, " +
+          "CAST(1234 AS BIGINT) AS n_chars FROM f48_docs " +
+          "WHERE doc_id % 17 = 0")
+        s.sql(s"MERGE INTO $cat.db.docs48 t USING f48_src s " +     // v2
+          "ON t.doc_id = s.doc_id AND s.n_chars > t.n_chars " +
+          "WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars " +
+          "WHEN NOT MATCHED AND s.doc_id >= 20000000 THEN " +
+          "INSERT (doc_id, lang, n_chars) VALUES " +
+          "(s.doc_id, s.lang, s.n_chars)")
+        ()
+      }
+      s.sql(s"SELECT lang, count(*) AS n_docs, " +
+          s"sum(n_chars) AS sum_chars FROM $cat.db.docs48 GROUP BY lang")
+        .withColumn("one_version",
+          lit(graft.sources.Snapshots.latestVersion(s, tdir) == 2))
+        .orderBy(col("lang"))
     }),
 
     // Logical DROP COLUMN (f45): ALTER TABLE DROP COLUMN records the
@@ -2338,6 +2436,53 @@ object Formats extends QueryPack {
         AND user_id <> 42
       GROUP BY event_type
       ORDER BY event_type""",
+    // f47: replay the uncorrelated floor (src0 rows take the global
+    // min per-lang cap) then the correlated cap (rows above half their
+    // language's max clamp to it) relationally
+    "f47_update_subquery" -> """
+      WITH caps AS (
+        SELECT lang, max(n_chars) AS cap FROM documents GROUP BY lang
+      ),
+      v2 AS (
+        SELECT doc_id, d.lang, source,
+               CASE WHEN source = 'src0'
+                 THEN (SELECT min(cap) FROM caps)
+                 ELSE n_chars END AS n_chars
+        FROM documents d
+      ),
+      v3 AS (
+        SELECT doc_id, v2.lang, source,
+               CASE WHEN v2.n_chars * 2 > c.cap
+                 THEN c.cap ELSE v2.n_chars END AS n_chars
+        FROM v2 JOIN caps c ON c.lang = v2.lang
+      )
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             TRUE AS one_version_per_mutation
+      FROM v3
+      GROUP BY lang
+      ORDER BY lang""",
+    // f48: replay the only-if-newer MERGE — %3 docs update only when
+    // the arriving value is larger (doc_id %6 == 0, the +7 branch);
+    // %17 docs add fresh 1234-char rows under shifted keys
+    "f48_merge_residual" -> """
+      WITH head AS (
+        SELECT doc_id, lang,
+               CASE WHEN doc_id % 6 = 0 THEN n_chars + 7
+                    ELSE n_chars END AS n_chars
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 20000000 AS doc_id, lang, 1234 AS n_chars
+        FROM documents WHERE doc_id % 17 = 0
+      )
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             TRUE AS one_version
+      FROM head
+      GROUP BY lang
+      ORDER BY lang""",
     // f45: head = all documents with null source (the drop severed the
     // old values) plus the reborn copies carrying the re-added column
     "f45_drop_column" -> """

@@ -89,8 +89,30 @@ case class GraftSqlRules(session: SparkSession) extends Rule[LogicalPlan] {
     case u: UpdateTable if u.resolved =>
       snapTarget(u.table) match {
         case Some((t, _)) =>
-          u.assignments.foreach(a => noSubquery(a.value, "UPDATE"))
-          GraftUpdateCommand(t.dir, u.assignments,
+          // names + identity filtering are pure expression analysis, so
+          // they run here; the VALUES are wrapped opaque (Captured) —
+          // like conditions, they may carry correlated subqueries that
+          // CheckAnalysis only tolerates inside Spark's own DML nodes,
+          // and they re-bind against the claim-time scan inside run()
+          val sets = u.assignments.map { a =>
+            (a.key match {
+              case attr: AttributeReference => attr.name
+              case other => throw new UnsupportedOperationException(
+                s"graft catalog: UPDATE of a nested field ($other) is " +
+                  "not supported")
+            }) -> a.value
+          }
+          // identity assignments (alignment fills unset columns with the
+          // column itself) are dropped: they neither change rows nor
+          // need the cast-back projection
+          val effective = sets.filterNot {
+            case (n, v: AttributeReference) => v.name == n
+            case _ => false
+          }
+          GraftUpdateCommand(t.dir,
+            (if (effective.nonEmpty) effective else sets).map {
+              case (n, e) => n -> new GraftSql.Captured(e)
+            },
             u.condition.map(new GraftSql.Captured(_)))
         case None => u
       }
@@ -399,33 +421,15 @@ private[graft] case class GraftAddCheckConstraintCommand(
 
 /** `UPDATE graft.db.t SET … WHERE …` → [[Snapshots.updateWhere]]: one
   * version, matched positions into the deletion vector, updated rows as
-  * fresh appended files. */
+  * fresh appended files. Assignment values and the condition both
+  * re-bind against the claim-time scan ([[GraftSql.rebind]]), so either
+  * may carry correlated `(SELECT …)` subqueries — the optimizer
+  * decorrelates them into the usual joins over the matched rows. */
 private[graft] case class GraftUpdateCommand(dir: String,
-    assignments: Seq[Assignment], condition: Option[GraftSql.Captured])
+    sets: Seq[(String, GraftSql.Captured)],
+    condition: Option[GraftSql.Captured])
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    val sets = assignments.map { a =>
-      val name = a.key match {
-        case attr: AttributeReference => attr.name
-        case other => throw new UnsupportedOperationException(
-          s"graft catalog: UPDATE of a nested field ($other) is not " +
-            "supported")
-      }
-      name -> GraftSql.byName(a.value)
-    }
-    // identity assignments (alignment fills unset columns with the
-    // column itself) are dropped: they neither change rows nor need the
-    // cast-back projection
-    val effective = sets.filterNot { case (n, _) =>
-      assignments.exists(a => a.key match {
-        case k: AttributeReference => k.name == n && (a.value match {
-          case v: AttributeReference => v.name == n
-          case _ => false
-        })
-        case _ => false
-      })
-    }
-    val applied = if (effective.nonEmpty) effective else sets
     // CHECK constraints: the custom routing bypasses Spark's V2 write
     // analysis, so updateWhere validates the would-be-written rows via
     // this hook — INSIDE its version claim, on the exact cast-back
@@ -437,8 +441,10 @@ private[graft] case class GraftUpdateCommand(dir: String,
       else None
     val (_, n) = Snapshots.updateWhereBound(spark, dir,
       df => condition.map(c => GraftSql.rebind(spark, c.e, df))
-        .getOrElse(lit(true)), applied, hook,
-      statsColsOf = Snapshots.defaultStatsCols)
+        .getOrElse(lit(true)),
+      df => sets.map { case (nm, c) =>
+        nm -> GraftSql.rebind(spark, c.e, df) },
+      hook, statsColsOf = Snapshots.defaultStatsCols)
     GraftSql.lastRowsAffected = n
     Seq.empty
   }
@@ -449,9 +455,14 @@ private[graft] case class GraftUpdateCommand(dir: String,
   * published version — the same mechanics as [[Snapshots.upsert]]).
   *
   * Supported shape (refused otherwise, with guidance):
-  *   - ON: a conjunction of equalities, each between one target column
-  *     and a source-side expression (the target columns become the
-  *     merge KEYS);
+  *   - ON: a conjunction with AT LEAST ONE equality between a target
+  *     column and a source-side expression (those target columns become
+  *     the merge KEYS); any other conjunct (`s.ts > t.ts`, BETWEEN, …)
+  *     is a RESIDUAL predicate the joins evaluate as part of the full
+  *     ON condition — a matched-but-residual-failed pair is NOT MATCHED,
+  *     the SQL semantics. Residual shapes run under the removal AUDIT
+  *     (below): a MERGE whose by-key commit would touch live rows no
+  *     clause accepted refuses instead of silently removing them;
   *   - WHEN MATCHED [AND cond]: any number of `UPDATE SET …` / `DELETE`
   *     clauses, evaluated IN ORDER per matched row — the first clause
   *     whose condition holds applies (SQL MERGE semantics); a row no
@@ -496,19 +507,31 @@ private[graft] case class GraftMergeCommand(dir: String,
 
     val tgtAttrs = target.output.map(_.asInstanceOf[AttributeReference])
     val tgtIds = tgtAttrs.map(_.exprId).toSet
-    // merge keys: every ON conjunct must equate one target column with a
-    // source-side expression
-    val keyCols: Seq[String] = splitConjuncts(mergeCondition).map {
+    // merge keys: ON conjuncts equating one target column with a
+    // source-side expression. Conjuncts of any OTHER shape (inequalities,
+    // BETWEEN, arbitrary predicates) are RESIDUALS: the three joins below
+    // evaluate the FULL ON condition, so matching semantics stay exact —
+    // but the by-key commit needs at least one equi key to locate
+    // replaced positions, and residuals force the removal AUDIT (a
+    // residual-failed row shares its key with a routed row, so the
+    // by-key delete could otherwise overreach silently).
+    val conjuncts = splitConjuncts(mergeCondition)
+    def keyOf(c: Expression): Option[String] = c match {
       case EqualTo(a: AttributeReference, other)
           if tgtIds.contains(a.exprId) &&
             !other.exists { case x: AttributeReference =>
-              tgtIds.contains(x.exprId); case _ => false } => a.name
+              tgtIds.contains(x.exprId); case _ => false } => Some(a.name)
       case EqualTo(other, a: AttributeReference)
           if tgtIds.contains(a.exprId) &&
             !other.exists { case x: AttributeReference =>
-              tgtIds.contains(x.exprId); case _ => false } => a.name
-      case other => unsupported(s"non-equality ON conjunct $other")
-    }.distinct
+              tgtIds.contains(x.exprId); case _ => false } => Some(a.name)
+      case _ => None
+    }
+    val keyCols: Seq[String] = conjuncts.flatMap(keyOf(_)).distinct
+    val residual: Seq[Expression] = conjuncts.filter(keyOf(_).isEmpty)
+    if (keyCols.isEmpty)
+      unsupported("an ON condition with no equality conjunct between a " +
+        s"target column and a source expression ($mergeCondition)")
 
     // frames bound to the ORIGINAL attribute ids, so the captured
     // condition/assignment expressions resolve as-is
@@ -611,16 +634,34 @@ private[graft] case class GraftMergeCommand(dir: String,
       (upd.toSeq, del.toSeq)
     }
 
+    // REMOVAL AUDIT: applyCdc removes every live target row whose key
+    // appears in the staged change set — exactly the routed rows when
+    // the equi keys are row-identifying over the touched keys, but an
+    // overreach when a residual-failed or clause-skipped row SHARES a
+    // key with a staged one (the by-key delete would silently destroy
+    // it), or a NOT MATCHED insert's key already lives in the target
+    // (residual-failed match: the "insert" would silently replace).
+    // Counting the routed rows and requiring the commit's removed-live
+    // count to equal it turns every such overreach into a refusal. Only
+    // shapes that can overreach pay for it: a residual in ON, or a
+    // conditional MATCHED / BY SOURCE clause (which can skip one of two
+    // same-key target rows); the plain equi-key unconditional MERGE is
+    // audited for free by the existing staged-key uniqueness check.
+    val needAudit = residual.nonEmpty ||
+      matchedActions.exists(condOf(_).isDefined) ||
+      notMatchedBySourceActions.exists(condOf(_).isDefined)
+
     // the three joined frames, each computed ONCE; persisted when more
     // than one clause filters it (each clause is a filter-consumer, and
     // without the cache every clause would re-run the join's table scan)
+    // or when the audit adds its count as an extra consumer
     val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def routedFrame(df: => DataFrame, actions: Seq[MergeAction])
         : Option[DataFrame] =
       if (actions.isEmpty) None
       else {
         val routed = withClause(df, actions)
-        if (actions.size > 1) {
+        if (actions.size > 1 || needAudit) {
           routed.persist(
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           cached += routed
@@ -675,10 +716,20 @@ private[graft] case class GraftMergeCommand(dir: String,
           case (None, None) => 0L
           case (up, del) =>
             val emptyKeys = tgtKeys(tgtDF).limit(0)
+            // audit expectation: every row a MATCHED / BY SOURCE clause
+            // routed is one live row the commit removes (its replacement
+            // or deletion), and nothing else may be removed (counted
+            // from the persisted routed frames — the staging below then
+            // reads the same cache, so the audit costs its counts only)
+            val nRouted: Option[Long] =
+              if (!needAudit) None
+              else Some((matched.toSeq ++ bySource.toSeq)
+                .map(_.filter(col(ClauseCol) >= 0).count()).sum)
             try Snapshots.applyCdc(spark, dir,
               up.getOrElse(tgtDF.limit(0)),
               del.getOrElse(emptyKeys), keyCols,
-              statsCols = Snapshots.defaultStatsCols(tgtDF.schema))._2
+              statsCols = Snapshots.defaultStatsCols(tgtDF.schema),
+              expectedRemoved = nRouted)._2
             catch {
               // surface the cardinality violation in MERGE terms with
               // the offending keys, not applyCdc's internal invariant.
@@ -688,6 +739,20 @@ private[graft] case class GraftMergeCommand(dir: String,
                   if e.getMessage != null &&
                     e.getMessage.contains("unique keys") =>
                 throw cardinalityError(matched, up, tgtKeys, keyCols, e)
+              case e: IllegalArgumentException
+                  if e.getMessage != null &&
+                    e.getMessage.contains("removal audit") =>
+                throw new IllegalStateException(
+                  "MERGE: the staged changes touch live target rows the " +
+                    "clauses never accepted — the ON keys are not " +
+                    "row-identifying over the touched keys (several live " +
+                    "rows share a staged key and a residual ON conjunct " +
+                    "or a clause condition skipped some, or a NOT " +
+                    "MATCHED insert's key already exists in the target). " +
+                    "The by-key commit would silently remove those rows; " +
+                    "deduplicate the target on the ON keys, widen the " +
+                    "clause conditions to cover every matched row, or " +
+                    "route the conflicting source rows separately", e)
             }
         }
       GraftSql.lastRowsAffected = applied

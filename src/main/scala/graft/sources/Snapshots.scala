@@ -1138,25 +1138,56 @@ object Snapshots {
       .groupBy(_._1).map { case (pth, xs) => pth -> xs.map(_._2) }
   }
 
+  /** Above this many live files, [[fileInventory]] reads lengths and
+    * footer row counts in ONE Spark job over the file list instead of a
+    * sequential driver loop — an 800k-file table inventories in one
+    * cluster-parallel metadata sweep, while the diagnostic small-table
+    * path stays job-free. */
+  private[sources] val inventoryDistributeThreshold = 64
+
   /** Live-file inventory of version `v`: (manifest path, vintage
     * commit, bytes, footer row count, recorded stat bounds rendered
-    * `col:[mn,mx]` space-joined). O(files) driver metadata — parquet
-    * footers and side-files, no data read at any table size. Backs
-    * `CALL <cat>.system.files`. */
+    * `col:[mn,mx]` space-joined). O(files) metadata — parquet footers
+    * and side-files, no data read at any table size; above
+    * [[inventoryDistributeThreshold]] files the per-file status +
+    * footer reads run as one distributed job (the driver loop would
+    * pay O(files) sequential RPCs). Backs `CALL <cat>.system.files`. */
   private[sources] def fileInventory(s: SparkSession, dir: String, v: Int)
       : Seq[(String, Int, Long, Long, String)] = {
     val f = fs(s, dir)
     val stats = statsUpTo(s, dir, v)
-    files(s, dir, v).map { p =>
-      val full = new Path(dir, p)
+    val fset = files(s, dir, v)
+    val meta: Map[String, (Long, Long)] =
+      if (fset.size <= inventoryDistributeThreshold)
+        fset.map { p =>
+          val full = new Path(dir, p)
+          p -> ((f.getFileStatus(full).getLen, parquetRowCount(full, s)))
+        }.toMap
+      else {
+        val conf =
+          new SerializableHadoopConf(s.sparkContext.hadoopConfiguration)
+        val tableDir = dir
+        val slices = math.min(fset.size,
+          math.max(1, s.sparkContext.defaultParallelism))
+        s.sparkContext.parallelize(fset, slices).map { rel =>
+          val p = new Path(tableDir, rel)
+          val len = p.getFileSystem(conf.value).getFileStatus(p).getLen
+          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              p, conf.value))
+          val n = try rd.getRecordCount finally rd.close()
+          rel -> ((len, n))
+        }.collect().toMap
+      }
+    fset.map { p =>
       val vintage = p match {
         case FileCommit(c) => c.toInt
         case _ => -1
       }
       val st = stats.getOrElse(p, Seq.empty)
         .map { case (c, _, mn, mx) => s"$c:[$mn,$mx]" }.mkString(" ")
-      (p, vintage, f.getFileStatus(full).getLen,
-        parquetRowCount(full, s), st)
+      val (len, n) = meta(p)
+      (p, vintage, len, n, st)
     }
   }
 
@@ -1571,20 +1602,22 @@ object Snapshots {
   def updateWhere(s: SparkSession, dir: String,
       cond: org.apache.spark.sql.Column,
       sets: Seq[(String, org.apache.spark.sql.Column)],
-      validate: Option[DataFrame => Unit] = None): (Int, Long) =
-    updateWhereBound(s, dir, _ => cond, sets, validate)
+      validate: Option[DataFrame => Unit] = None): (Int, Long) = {
+    require(sets.nonEmpty, "updateWhere needs at least one assignment")
+    updateWhereBound(s, dir, _ => cond, _ => sets, validate)
+  }
 
-  /** [[updateWhere]] with the condition built against the claim-time
-    * scan — see [[deleteWhereBound]] (the correlated-subquery DML
-    * path). */
+  /** [[updateWhere]] with the condition AND the assignment values built
+    * against the claim-time scan — see [[deleteWhereBound]] (the
+    * correlated-subquery DML path; `SET x = (SELECT …)` needs the same
+    * resolved-attribute rebind a correlated WHERE does). */
   private[sources] def updateWhereBound(s: SparkSession, dir: String,
       condOf: DataFrame => org.apache.spark.sql.Column,
-      sets: Seq[(String, org.apache.spark.sql.Column)],
+      setsOf: DataFrame => Seq[(String, org.apache.spark.sql.Column)],
       validate: Option[DataFrame => Unit] = None,
       statsColsOf: org.apache.spark.sql.types.StructType => Seq[String]
         = _ => Seq.empty): (Int, Long) = {
     import org.apache.spark.sql.functions.col
-    require(sets.nonEmpty, "updateWhere needs at least one assignment")
     val f = fs(s, dir)
     require(latestVersion(s, dir) >= 1, s"updateWhere: no versions at $dir")
     // claim FIRST, then match against the claimed predecessor (the same
@@ -1622,6 +1655,8 @@ object Snapshots {
       try {
         val types = raw.schema.fields.map(fd => fd.name -> fd.dataType)
           .toMap
+        val sets = setsOf(raw)
+        require(sets.nonEmpty, "updateWhere needs at least one assignment")
         val setMap = sets.toMap
         require(setMap.keys.forall(types.contains),
           s"updateWhere: unknown column(s) ${setMap.keys.filterNot(types
@@ -2029,10 +2064,20 @@ object Snapshots {
     * change-data feed needs (update + insert + delete in one commit).
     * Cost at 100 TB: a key-join scan of the live set, a positions write,
     * and the size of the batch — never a rewrite.
+    *
+    * `expectedRemoved`, when given, is the caller's REMOVAL AUDIT: the
+    * number of live rows it intends this commit to remove. The by-key
+    * mechanics remove EVERY live row sharing a staged key — if that
+    * count differs from the expectation (extra same-key rows the caller
+    * never meant to touch, an "insert" key that already lives, or a
+    * null-keyed delete the equi-join cannot reach), the commit refuses
+    * BEFORE any data file is staged and nothing publishes (the claim
+    * aborts; its orphan vector is tolerated like any aborted mutation's).
     * @return (newVersion, rowsApplied = replaced + deleted + inserted) */
   def applyCdc(s: SparkSession, dir: String, upserts: DataFrame,
       deleteKeys: DataFrame, keyCols: Seq[String],
-      statsCols: Seq[String] = Seq.empty): (Int, Long) = {
+      statsCols: Seq[String] = Seq.empty,
+      expectedRemoved: Option[Long] = None): (Int, Long) = {
     import org.apache.spark.sql.functions.{broadcast, col, count,
       count_distinct, lit, struct, when}
     require(keyCols.nonEmpty, "applyCdc needs at least one key column")
@@ -2081,6 +2126,9 @@ object Snapshots {
       union.write.mode("overwrite").parquet(dvDir(dir, v).toString)
       val nGone = s.read.parquet(dvDir(dir, v).toString).count() -
         prev.map(_.count()).getOrElse(0L)
+      expectedRemoved.foreach(e => require(nGone == e,
+        s"applyCdc removal audit: the staged keys matched $nGone live " +
+          s"rows but the caller intended to remove $e"))
       val (moved, statLines) = stageAndMove(s, f, dir, upserts,
         statsCols, v)
       writeCommitMeta(f, dir, v, latest)
@@ -2419,13 +2467,16 @@ object Snapshots {
     * (no merge commit — the git semantics). BRANCH-side rewrites since
     * the base are refused (a replaced file's positions cannot be
     * reconciled — rebase); MAIN-side rewrites merge when every rewrite
-    * is a RECORDED content-preserving [[optimize]] (`vN.op`): the
+    * is a RECORDED [[optimize]]/[[compact]]/[[restore]] (`vN.op`): the
     * merged manifest is main's head files plus the branch's additions,
     * and branch deletions whose files the rewrite dropped re-locate BY
     * KEY against main's live head (requires `keyCols`; a deleted key
     * matching zero or several live head rows refuses — main deleted,
-    * updated, or duplicated it). A routinely-compacted main therefore
-    * absorbs a long-lived branch without a rebase. Arbitrary rewrites
+    * updated, reverted, or duplicated it — as does a key whose live
+    * head row no longer carries the base row's content). A
+    * routinely-compacted main therefore absorbs a long-lived branch
+    * without a rebase, and a branch survives a main-side rollback when
+    * the rows it touched came through unchanged. Arbitrary rewrites
     * (INSERT OVERWRITE) stay refused.
     *
     * Scale shape at 100 TB: the fast path touches only manifests and
@@ -2538,9 +2589,14 @@ object Snapshots {
           // into rewritten-away files re-locate BY KEY against main's
           // live head (refused without keyCols, and on any ambiguity:
           // a deleted key missing from the live head, or matching more
-          // than one live row). Arbitrary rewrites (INSERT OVERWRITE —
-          // no recorded optimize op) stay refused: their content
-          // relationship to the base is unknown. Cost: the re-location
+          // than one live row). A recorded RESTORE also qualifies: it
+          // reverts content rather than preserving it, but the same
+          // per-key checks carry the proof obligation — a branch-deleted
+          // key relocates only when main's live head row still equals
+          // the base row byte-for-byte (the content check below), and a
+          // key the restore reverted away refuses as missing. Arbitrary
+          // rewrites (INSERT OVERWRITE — no recorded op) stay refused:
+          // their content relationship to the base is unknown. Cost: the re-location
           // reads the dropped files' deleted rows (DV-delta-sized) and
           // key-joins main's live head once; the key-conflict check
           // reads base + head key columns (content-level — the
@@ -2553,11 +2609,12 @@ object Snapshots {
               if (p >= 1) files(s, dir, p).toSet else Set.empty[String]
             if (!pf.subsetOf(files(s, dir, x).toSet))
               require(commitOp(s, dir, x).exists(op =>
-                  op._1 == "optimize" || op._1 == "compact"),
+                  op._1 == "optimize" || op._1 == "compact" ||
+                  op._1 == "restore"),
                 s"mergeBranch: main rewrote files at v$x since the " +
                   s"base v$base and the rewrite is not a recorded " +
-                  "content-preserving optimize/compact — the branch's " +
-                  "deletions cannot be re-located; rebase instead")
+                  "optimize/compact/restore — the branch's deletions " +
+                  "cannot be re-located; rebase instead")
             x = if (p < x) p else 0
           }
           val mHeadDv = dvFrame(s, dir, mHead)
@@ -3245,10 +3302,14 @@ object Snapshots {
     *  - A later `ALTER COLUMN TYPE` widening vintage drops out with
     *    the file set, narrowing the schema back: schema follows
     *    content.
-    *  - The commit is NOT content-preserving, so [[mergeBranch]]
-    *    across it refuses (branch deletions cannot be re-located
-    *    against arbitrarily reverted content), and the change feed
-    *    types its delta generically (deletes + inserts by file diff).
+    *  - The commit is NOT content-preserving, but [[mergeBranch]]
+    *    still reconciles across it: branch deletions into files the
+    *    restore dropped re-locate BY KEY against the restored head,
+    *    and the per-key content check refuses any key whose live head
+    *    row no longer equals the base row the branch deleted (so a
+    *    restore that reverted the row wins by refusal, never
+    *    silently). The change feed types its delta generically
+    *    (deletes + inserts by file diff).
     *  - `toVersion` must be on main's ancestry: restoring main to a
     *    branch-only commit would silently teleport branch content
     *    onto main — that is [[fastForward]]/[[mergeBranch]] territory.

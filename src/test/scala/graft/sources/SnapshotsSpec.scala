@@ -1260,6 +1260,84 @@ class SnapshotsSpec extends SparkSpec {
     assert(e4.getMessage.contains("no live row"), e4.getMessage)
   }
 
+  test("fileInventory: many-file tables read footers in ONE distributed " +
+      "job; small tables stay job-free") {
+    val dir = tmpDir("inventorybig")
+    val n = Snapshots.inventoryDistributeThreshold + 16
+    Snapshots.commit(spark, dir, df(1 to 400).repartition(n),
+      append = false)
+    val jobs = jobsDuring("inv-big") {
+      val inv = Snapshots.fileInventory(spark, dir, 1)
+      assert(inv.size > Snapshots.inventoryDistributeThreshold,
+        s"fixture must exceed the threshold, got ${inv.size} files")
+      assert(inv.map(_._4).sum == 400L, "footer row counts must sum")
+      assert(inv.forall(_._3 > 0L), "sizes must be real")
+    }
+    assert(jobs == 1, s"distributed inventory ran $jobs jobs (want 1)")
+
+    val dir2 = tmpDir("inventorysmall")
+    Snapshots.commit(spark, dir2, df(1 to 10).coalesce(1), append = false)
+    val jobs2 = jobsDuring("inv-small") {
+      assert(Snapshots.fileInventory(spark, dir2, 1).map(_._4).sum == 10L)
+    }
+    assert(jobs2 == 0, s"small-table inventory ran $jobs2 jobs (want 0)")
+  }
+
+  test("mergeBranch reconciles across a main-side restore: kept-file " +
+      "deletions carry, reverted rows refuse, relocation still lands") {
+    // branch deletes a row in a file the restore KEEPS: the position
+    // carries directly; the restore's non-monotone commit (drops v2's
+    // file) is admitted as a recorded op
+    val dir = tmpDir("mergerestore")
+    Snapshots.commit(spark, dir, df(1 to 10).coalesce(1),
+      append = false)                                              // v1
+    Snapshots.commit(spark, dir, df(11 to 13).coalesce(1),
+      append = true)                                               // v2
+    Snapshots.createRef(spark, dir, "exp")
+    Snapshots.deleteWhere(spark, dir, col("id") === 3L,
+      branch = Some("exp"))                                        // v3
+    Snapshots.restore(spark, dir, 1)                               // v4
+    val merged = Snapshots.mergeBranch(spark, dir, "exp",
+      keyCols = Seq("id"))
+    assert(idsOf(dir, merged) == (1L to 10L).filterNot(_ == 3L),
+      s"merged content: ${idsOf(dir, merged)}")
+
+    // branch deleted a row the restore REVERTED away (its file dropped,
+    // its key absent from the restored head) — ambiguous, refused
+    val dir2 = tmpDir("mergerestore-gone")
+    Snapshots.commit(spark, dir2, df(1 to 10).coalesce(1),
+      append = false)                                              // v1
+    Snapshots.commit(spark, dir2, df(11 to 13).coalesce(1),
+      append = true)                                               // v2
+    Snapshots.createRef(spark, dir2, "exp")
+    Snapshots.deleteWhere(spark, dir2, col("id") === 12L,
+      branch = Some("exp"))                                        // v3
+    Snapshots.restore(spark, dir2, 1)                              // v4
+    val e5 = intercept[IllegalArgumentException] {
+      Snapshots.mergeBranch(spark, dir2, "exp", Seq("id"))
+    }
+    assert(e5.getMessage.contains("no live row"), e5.getMessage)
+
+    // optimize + append + restore mixed on main: the branch's deletion
+    // into an optimized-away file re-locates by key against the
+    // RESTORED head (whose rows still carry the base content)
+    val dir3 = tmpDir("mergerestore-reloc")
+    Snapshots.commit(spark, dir3, df(1 to 10).coalesce(1),
+      append = false)                                              // v1
+    Snapshots.commit(spark, dir3, df(11 to 13).coalesce(1),
+      append = true)                                               // v2
+    Snapshots.createRef(spark, dir3, "exp")
+    Snapshots.deleteWhere(spark, dir3, col("id") === 5L,
+      branch = Some("exp"))                                        // v3
+    Snapshots.optimize(spark, dir3, Seq("id"), numFiles = 2)       // v4
+    Snapshots.commit(spark, dir3, df(14 to 15).coalesce(1),
+      append = true)                                               // v5
+    Snapshots.restore(spark, dir3, 4)                              // v6
+    val m3 = Snapshots.mergeBranch(spark, dir3, "exp", Seq("id"))
+    assert(idsOf(dir3, m3) == (1L to 13L).filterNot(_ == 5L),
+      s"merged content: ${idsOf(dir3, m3)}")
+  }
+
   test("deleteWhere/updateWhere open only stat-overlapping files " +
       "(condition-bound pruning)") {
     val dir = tmpDir("dmlprune")
