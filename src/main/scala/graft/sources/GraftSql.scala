@@ -143,10 +143,10 @@ case class GraftSqlRules(session: SparkSession) extends Rule[LogicalPlan] {
     case m: MergeIntoTable if m.resolved =>
       snapTarget(m.targetTable) match {
         case Some((t, rel)) =>
-          noSubquery(m.mergeCondition, "MERGE")
+          noSubquery(m.mergeCondition, "MERGE ON")
           GraftMergeCommand(t.dir, rel, m.sourceTable, m.mergeCondition,
-            m.matchedActions, m.notMatchedActions,
-            m.notMatchedBySourceActions)
+            new GraftSql.CapturedClauses(m.matchedActions,
+              m.notMatchedActions, m.notMatchedBySourceActions))
         case None => m
       }
     // metadata-only COUNT: a bare `SELECT count(*) [AS …] FROM t` folds
@@ -208,6 +208,18 @@ private[graft] object GraftSql {
     * here — the condition re-binds by NAME inside run(). */
   private[graft] final class Captured(val e: Expression)
       extends Serializable
+
+  /** The three MERGE clause lists, opaque for the same reason as
+    * [[Captured]]: MergeAction extends Expression, so clause conditions
+    * or assignment values carrying subqueries would otherwise surface in
+    * the command's `expressions` and fail CheckAnalysis's
+    * subquery-placement check. The expressions stay RESOLVED against the
+    * captured target/source attributes, which the run()-built frames
+    * reuse — only the subquery PLANS need lowering at run time. */
+  private[graft] final class CapturedClauses(
+      val matched: Seq[MergeAction],
+      val notMatched: Seq[MergeAction],
+      val bySource: Seq[MergeAction]) extends Serializable
 
   /** Re-bind a captured DML condition against the CLAIM-TIME scan's
     * own resolved attributes — the correlated-subquery-capable twin of
@@ -472,7 +484,10 @@ private[graft] case class GraftUpdateCommand(dir: String,
   *   - WHEN NOT MATCHED BY SOURCE [AND cond]: `UPDATE SET …` / `DELETE`
   *     clauses over target rows no source row matched, first match wins.
   * Assignment and condition expressions may reference BOTH sides for
-  * matched clauses (computed over the matched join before the commit).
+  * matched clauses (computed over the matched join before the commit)
+  * and may carry scalar/IN/EXISTS subqueries — including correlated
+  * per-row lookups — lowered and decorrelated like f41/f47's; only the
+  * ON condition itself stays subquery-free (it is a join condition).
   *
   * Clause routing is ONE projection per joined frame: a `_graft_clause`
   * column picks the first applicable clause index (a when/otherwise
@@ -483,9 +498,7 @@ private[graft] case class GraftUpdateCommand(dir: String,
   * single-clause MERGE plus the size of the change set. */
 private[graft] case class GraftMergeCommand(dir: String,
     target: DataSourceV2Relation, source: LogicalPlan,
-    mergeCondition: Expression, matchedActions: Seq[MergeAction],
-    notMatchedActions: Seq[MergeAction],
-    notMatchedBySourceActions: Seq[MergeAction])
+    mergeCondition: Expression, clauses: GraftSql.CapturedClauses)
     extends LeafRunnableCommand {
 
   import GraftSql._
@@ -504,6 +517,34 @@ private[graft] case class GraftMergeCommand(dir: String,
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.{col, when}
     val t = target.table.asInstanceOf[SnapshotTableV2]
+
+    // clause conditions and assignment values may carry subqueries
+    // (opaque to CheckAnalysis via CapturedClauses); their PLANS lower
+    // through the rule set here, so an inner snapshot table reads
+    // through the same V1 relation a SELECT plans. The expressions
+    // themselves stay bound to the captured target/source attributes,
+    // which every frame below reuses — no re-binding needed, and the
+    // optimizer decorrelates per-row lookups into the usual joins.
+    def lowerSubq(e: Expression): Expression = e.transform {
+      case sq: SubqueryExpression =>
+        sq.withNewPlan(GraftSqlRules(spark).apply(sq.plan))
+    }
+    def lowerAction(a: MergeAction): MergeAction = a match {
+      case u @ UpdateAction(c, assigns, _) =>
+        u.copy(condition = c.map(lowerSubq),
+          assignments = assigns.map(x =>
+            x.copy(value = lowerSubq(x.value))))
+      case del @ DeleteAction(c) =>
+        del.copy(condition = c.map(lowerSubq))
+      case i @ InsertAction(c, assigns) =>
+        i.copy(condition = c.map(lowerSubq),
+          assignments = assigns.map(x =>
+            x.copy(value = lowerSubq(x.value))))
+      case other => other
+    }
+    val matchedActions = clauses.matched.map(lowerAction)
+    val notMatchedActions = clauses.notMatched.map(lowerAction)
+    val notMatchedBySourceActions = clauses.bySource.map(lowerAction)
 
     val tgtAttrs = target.output.map(_.asInstanceOf[AttributeReference])
     val tgtIds = tgtAttrs.map(_.exprId).toSet

@@ -530,6 +530,28 @@ class GraftCatalogSpec extends SparkSpec {
       "both matched rows routed to DELETE must go")
   }
 
+  test("MERGE INTO: scalar subqueries in clause conditions and " +
+      "assignments") {
+    warehouse
+    sql("CREATE TABLE graft.db.tms2 (id BIGINT, payload STRING)")
+    sql("INSERT INTO graft.db.tms2 VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    sql("CREATE TABLE graft.db.tms2_map (id BIGINT, name STRING)")
+    sql("INSERT INTO graft.db.tms2_map VALUES (1, 'one'), (2, 'two')")
+    sql("CREATE OR REPLACE TEMPORARY VIEW tms2_src AS SELECT * FROM " +
+      "VALUES (CAST(1 AS BIGINT), 'A'), (CAST(2 AS BIGINT), 'B'), " +
+      "(CAST(3 AS BIGINT), 'C') AS s(id, payload)")
+    // a subquery in a MATCHED clause condition routes rows; a subquery
+    // in the assignment computes the new value per matched row
+    sql("MERGE INTO graft.db.tms2 t USING tms2_src s ON t.id = s.id " +
+      "WHEN MATCHED AND t.id IN (SELECT id FROM graft.db.tms2_map) " +
+      "THEN UPDATE SET payload = " +
+      "(SELECT m.name FROM graft.db.tms2_map m WHERE m.id = t.id) " +
+      "WHEN MATCHED THEN UPDATE SET payload = s.payload")
+    assert(rows("SELECT * FROM graft.db.tms2") ==
+      Seq((1L, "one"), (2L, "two"), (3L, "C")))
+    assert(Snapshots.latestVersion(spark, dirOf("db", "tms2")) == 2)
+  }
+
   test("refusals: subqueries in MERGE ON, key updates, non-equality ON") {
     warehouse
     sql("CREATE TABLE graft.db.tr (id BIGINT, payload STRING)")
