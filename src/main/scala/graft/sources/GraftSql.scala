@@ -289,12 +289,23 @@ private[graft] object GraftSql {
     * relation's own output attributes. An empty (freshly created,
     * never-committed) table reads as zero rows of its declared schema. */
   private[sources] def v1Scan(session: SparkSession, t: SnapshotTableV2,
-      r: DataSourceV2Relation): LogicalPlan = {
-    val v = t.resolveVersion(session)
+      r: DataSourceV2Relation): LogicalPlan =
+    v1ScanAt(session, t, r, t.resolveVersion(session))
+
+  /** [[v1Scan]] at an explicit resolved version, optionally restricted
+    * to a manifest-path subset (the MERGE join scans prune by key
+    * stats; both scans of one MERGE must read the SAME version, so the
+    * caller resolves once). The subset scan binds the same output
+    * attributes — expressions resolved against the full scan stay
+    * valid against it. */
+  private[sources] def v1ScanAt(session: SparkSession, t: SnapshotTableV2,
+      r: DataSourceV2Relation, v: Int,
+      fileSubset: Option[Set[String]] = None): LogicalPlan = {
     val output = r.output.map(_.asInstanceOf[AttributeReference])
     if (v < 1) LocalRelation(output)
     else {
-      val rel = SnapshotSource.relationFor(session, t.dir, v, 20000000L)
+      val rel = SnapshotSource.relationFor(session, t.dir, v, 20000000L,
+        fileSubset)
       // the relation's schema must line up POSITIONALLY with the output
       // attributes resolution produced (a commit racing between resolve
       // and plan could evolve it) — misalignment would misread columns
@@ -494,8 +505,11 @@ private[graft] case class GraftUpdateCommand(dir: String,
   * chain), and each clause filters on its index — so the matched join,
   * the not-matched anti-join, and the by-source anti-join are each
   * computed once (persisted when multiple clauses consume them), never
-  * once per clause. Cost at 100 TB: the same key-join scans as a
-  * single-clause MERGE plus the size of the change set. */
+  * once per clause. Cost at 100 TB: the matched and not-matched joins
+  * scan only the KEY-STAT-OVERLAPPING target files (join-scan pruning,
+  * one aggregation job over the source keys), the by-source sweep — when
+  * declared — scans the live set it must, plus the size of the change
+  * set. */
 private[graft] case class GraftMergeCommand(dir: String,
     target: DataSourceV2Relation, source: LogicalPlan,
     mergeCondition: Expression, clauses: GraftSql.CapturedClauses)
@@ -573,10 +587,23 @@ private[graft] case class GraftMergeCommand(dir: String,
     if (keyCols.isEmpty)
       unsupported("an ON condition with no equality conjunct between a " +
         s"target column and a source expression ($mergeCondition)")
+    // the SOURCE-side expression each key column equates with — the
+    // key frame the join-scan pruning aggregates (one per key; a key
+    // equated twice uses the first conjunct's expression)
+    val srcKeyExpr: Map[String, Expression] =
+      conjuncts.flatMap(c => keyOf(c).map(_ -> c)).collect {
+        case (k, EqualTo(a: AttributeReference, other))
+            if tgtIds.contains(a.exprId) => k -> other
+        case (k, EqualTo(other, a: AttributeReference))
+            if tgtIds.contains(a.exprId) => k -> other
+      }.groupBy(_._1).map { case (k, xs) => k -> xs.head._2 }
 
     // frames bound to the ORIGINAL attribute ids, so the captured
-    // condition/assignment expressions resolve as-is
-    val tgtDF = GraftBatchView.ofRows(spark, v1Scan(spark, t, target))
+    // condition/assignment expressions resolve as-is; the version is
+    // resolved ONCE so the full and the pruned scan read the same head
+    val headV = t.resolveVersion(spark)
+    val tgtDF = GraftBatchView.ofRows(spark,
+      v1ScanAt(spark, t, target, headV))
     val srcDF = GraftBatchView.ofRows(spark,
       GraftSqlRules(spark).apply(source))
     val cond = GraftBatchView.exprColumn(mergeCondition)
@@ -710,13 +737,38 @@ private[graft] case class GraftMergeCommand(dir: String,
         Some(routed)
       }
 
+    // KEY-STAT JOIN PRUNING: the matched inner join and the
+    // not-matched anti-join only care about target rows whose key a
+    // source row equates with, so above a file-count floor the target
+    // side scans ONLY the stat-overlapping files (one aggregation job
+    // over the batch-sized source keys buys dropping the rest of a
+    // 100 TB live set). The BY SOURCE anti-join keeps the FULL scan —
+    // its result is exactly the rows without a source match. A dropped
+    // file provably holds no equi-key match, so both pruned joins are
+    // unchanged; the subset scan binds the same attributes.
+    val joinTgtDF: DataFrame =
+      if (headV < 1 ||
+          (matchedActions.isEmpty && notMatchedActions.isEmpty) ||
+          Snapshots.files(spark, t.dir, headV).size <
+            Snapshots.mergeJoinPruneMinFiles) tgtDF
+      else {
+        val srcKeys = srcDF.select(keyCols.map(k =>
+          GraftBatchView.exprColumn(srcKeyExpr(k)).cast(types(k)).as(k))
+          : _*)
+        val (kept, total) = Snapshots.mergeJoinPrunedFiles(spark, t.dir,
+          headV, keyCols, srcKeys)
+        if (kept.size == total) tgtDF
+        else GraftBatchView.ofRows(spark,
+          v1ScanAt(spark, t, target, headV, Some(kept.toSet)))
+      }
+
     try {
       val matched = routedFrame(
-        tgtDF.join(srcDF, cond, "inner"), matchedActions)
+        joinTgtDF.join(srcDF, cond, "inner"), matchedActions)
       val bySource = routedFrame(
         tgtDF.join(srcDF, cond, "left_anti"), notMatchedBySourceActions)
       val notMatched = routedFrame(
-        srcDF.join(tgtDF, cond, "left_anti"), notMatchedActions)
+        srcDF.join(joinTgtDF, cond, "left_anti"), notMatchedActions)
 
       val (mUpd, mDel) = matched.map(applyRowClauses(_, matchedActions))
         .getOrElse((Seq.empty, Seq.empty))

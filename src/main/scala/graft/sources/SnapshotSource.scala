@@ -1506,11 +1506,19 @@ object SnapshotSource {
     }.reduce(_.unionByName(_))
   }
 
-  /** The HadoopFsRelation for version `v` of the table at `dir`. */
+  /** The HadoopFsRelation for version `v` of the table at `dir`.
+    * `fileSubset`, when given, restricts the scan to those manifest
+    * paths — the caller asserts the dropped files cannot contribute
+    * (key-stat pruning for the MERGE join scans); schema, deletion
+    * vector handling, and evolution are identical to the full scan. */
   private[sources] def relationFor(spark: SparkSession, dir: String,
-      v: Int, maxDvPositions: Long): BaseRelation = {
+      v: Int, maxDvPositions: Long,
+      fileSubset: Option[Set[String]] = None): BaseRelation = {
     val (schema, inverse) = Snapshots.evolutionInfo(spark, dir, v)
-    val rels = Snapshots.files(spark, dir, v)
+    val rels = fileSubset match {
+      case None => Snapshots.files(spark, dir, v)
+      case Some(keep) => Snapshots.files(spark, dir, v).filter(keep)
+    }
     val root = new Path(dir)
     val fsys = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // one listing of data/ resolves every manifest path's FileStatus

@@ -1777,6 +1777,36 @@ object Snapshots {
     (kept, exactFrame, row)
   }
 
+  /** (files kept, files total) of the last MERGE JOIN scan prune —
+    * pins that a selective MERGE's matched/not-matched joins open only
+    * stat-overlapping target files. */
+  @volatile private[sources] var lastMergeJoinPruneCounts: (Int, Int) =
+    (0, 0)
+
+  /** Below this many live files the MERGE join scans skip key-stat
+    * pruning: the one aggregation job over the source keys cannot pay
+    * for itself when there are only a handful of files to drop. */
+  private[sources] val mergeJoinPruneMinFiles = 8
+
+  /** KEY-STAT FILE PRUNING for the MERGE family's JOIN scans: the
+    * subset of version `v`'s files whose recorded key stats admit at
+    * least one source key ([[matchableFiles]] — exact tier ≤1024 keys,
+    * [min,max] range tier above). Dropped files provably hold no row
+    * equating with any source key, so the matched inner join and the
+    * not-matched anti-join are unchanged when the target scan reads
+    * only the kept files — a selective MERGE against a 100 TB table
+    * joins O(stat-overlapping) files, not the live set. (The BY SOURCE
+    * anti-join must keep the FULL scan: its result is the target rows
+    * WITHOUT a source match.) Cost: one aggregation job over the
+    * batch-sized `keys` frame plus the driver-side stat walk. */
+  private[sources] def mergeJoinPrunedFiles(s: SparkSession, dir: String,
+      v: Int, keyCols: Seq[String], keys: DataFrame): (Seq[String], Int) = {
+    val fset = files(s, dir, v)
+    val (kept, _, _) = matchableFiles(s, dir, v, fset, keyCols, keys)
+    lastMergeJoinPruneCounts = (kept.size, fset.size)
+    (kept, fset.size)
+  }
+
   /** The name canonical column `canonical` had at commit `c` (walking
     * the rename chain backwards from `latest`) — per-file stats are
     * recorded under the WRITING vintage's own column names. */

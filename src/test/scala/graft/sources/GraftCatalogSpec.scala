@@ -530,6 +530,32 @@ class GraftCatalogSpec extends SparkSpec {
       "both matched rows routed to DELETE must go")
   }
 
+  test("MERGE join scans open only stat-overlapping target files") {
+    warehouse
+    sql("CREATE TABLE graft.db.tjp (id BIGINT, payload STRING)")
+    // 12 range-clustered files whose id stats the INSERT records from
+    // the parquet footers
+    sql("INSERT INTO graft.db.tjp SELECT " +
+      "/*+ REPARTITION_BY_RANGE(12, id) */ id, " +
+      "concat('p', id) AS payload FROM range(0, 1200)")
+    sql("CREATE OR REPLACE TEMPORARY VIEW tjp_src AS SELECT * FROM " +
+      "VALUES (CAST(7 AS BIGINT), 'X'), (CAST(11 AS BIGINT), 'Y') " +
+      "AS s(id, payload)")
+    sql("MERGE INTO graft.db.tjp t USING tjp_src s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET payload = s.payload " +
+      "WHEN NOT MATCHED THEN INSERT (id, payload) VALUES " +
+      "(s.id, s.payload)")
+    val (kept, total) = Snapshots.lastMergeJoinPruneCounts
+    assert(total >= Snapshots.mergeJoinPruneMinFiles,
+      s"fixture too small to engage pruning: $total files")
+    assert(kept <= 2, s"join scan opened $kept of $total files")
+    assert(rows("SELECT * FROM graft.db.tjp WHERE id IN (7, 11)") ==
+      Seq((7L, "X"), (11L, "Y")))
+    assert(sql("SELECT count(*) FROM graft.db.tjp")
+      .collect().head.getLong(0) == 1200L,
+      "the pruned joins must not lose or duplicate rows")
+  }
+
   test("MERGE INTO: scalar subqueries in clause conditions and " +
       "assignments") {
     warehouse
