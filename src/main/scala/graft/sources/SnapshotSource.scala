@@ -332,22 +332,29 @@ class SnapshotSource extends RelationProvider
         require(i > 0, s"graft-snapshots: renames entries are old:new, got $kv")
         kv.substring(0, i) -> kv.substring(i + 1)
       }.toMap
+    // branch=name targets the NAMED branch: the commit bases on the
+    // branch head and advances only its ref (previously the option was
+    // silently dropped here and the write landed on main — a silent
+    // wrong-target hazard; the read side honored it all along)
+    val branch = parameters.get("branch")
+    def commitTo(append: Boolean): Unit = {
+      branch match {
+        case Some(n) => Snapshots.commitOnBranch(spark, dir, n, data,
+          append, renames = renames, statsCols = statsCols)
+        case None => Snapshots.commit(spark, dir, data, append,
+          renames = renames, statsCols = statsCols)
+      }
+      ()
+    }
     mode match {
-      case SaveMode.Append =>
-        Snapshots.commit(spark, dir, data, append = latest >= 1,
-          renames = renames, statsCols = statsCols)
-      case SaveMode.Overwrite =>
-        Snapshots.commit(spark, dir, data, append = false,
-          renames = renames, statsCols = statsCols)
+      case SaveMode.Append => commitTo(append = latest >= 1)
+      case SaveMode.Overwrite => commitTo(append = false)
       case SaveMode.ErrorIfExists =>
         if (latest >= 1) throw new IllegalStateException(
           s"graft-snapshots: table at $dir already has $latest version(s)")
-        Snapshots.commit(spark, dir, data, append = false,
-          renames = renames, statsCols = statsCols)
+        commitTo(append = false)
       case SaveMode.Ignore =>
-        if (latest == 0)
-          Snapshots.commit(spark, dir, data, append = false,
-            renames = renames, statsCols = statsCols)
+        if (latest == 0) commitTo(append = false)
     }
     createRelation(ctx, parameters - "versionasof" - "timestampasof" -
       "branch")

@@ -322,6 +322,36 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(nf == 1, s"write-side statsCols must prune: $nf")
   }
 
+  test("write side: option(branch) commits on the named branch, " +
+      "main untouched") {
+    val dir = tmpDir("srcwritebranch")
+    df(1 to 10).coalesce(1).write.format("graft-snapshots")
+      .mode("append").save(dir)                                    // v1
+    Snapshots.createRef(spark, dir, "exp")
+    df(21 to 22).coalesce(1).write.format("graft-snapshots")
+      .mode("append").option("branch", "exp").save(dir)            // v2
+    assert(ids(readFmt(dir)) == (1L to 10L),
+      "the branch write must not land on main")
+    assert(ids(readFmt(dir, "branch" -> "exp")) ==
+      ((1L to 10L) ++ (21L to 22L)))
+    // overwrite on the branch rewrites the BRANCH line only
+    df(31 to 33).coalesce(1).write.format("graft-snapshots")
+      .mode("overwrite").option("branch", "exp").save(dir)         // v3
+    assert(ids(readFmt(dir, "branch" -> "exp")) == (31L to 33L))
+    assert(ids(readFmt(dir)) == (1L to 10L))
+    // a missing ref refuses
+    intercept[IllegalArgumentException] {
+      df(1 to 2).write.format("graft-snapshots")
+        .mode("append").option("branch", "nope").save(dir)
+    }
+    // main never diverged from the base, so the merge FAST-FORWARDS
+    // main onto the branch head, adopting its rewrite (git semantics —
+    // the rewrote-refusal only guards genuinely diverged sides)
+    Snapshots.mergeBranch(spark, dir, "exp", Seq("id"))
+    assert(ids(readFmt(dir)) == (31L to 33L),
+      "main must fast-forward onto the branch head")
+  }
+
   test("batch readChangeFeed pushes data filters into the scans " +
       "(file pruning from commit-time stats)") {
     val dir = tmpDir("cdfpush")
