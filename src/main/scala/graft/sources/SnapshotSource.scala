@@ -242,7 +242,24 @@ class SnapshotSource extends RelationProvider
     if (outputMode == OutputMode.Update())
       require(keyCols.nonEmpty,
         "graft-snapshots sink in Update mode requires keyCols")
-    new SnapshotSink(dir, outputMode, keyCols, statsCols)
+    // branch=name: each epoch commits on the NAMED branch (the
+    // write-audit-publish pipeline — stream into a branch, validate,
+    // fast_forward main). The ref must exist before the query starts;
+    // Update mode stays main-anchored (upsert bases on main's head) and
+    // refuses the option rather than silently retargeting.
+    val branch = parameters.get("branch")
+    branch.foreach { n =>
+      require(outputMode != OutputMode.Update(),
+        "graft-snapshots sink: Update mode cannot target a branch — " +
+          "use Append/Complete, or upsert on main")
+      val spark = ctx.sparkSession
+      val (_, isTag) = Snapshots.refs(spark, dir).getOrElse(n,
+        throw new IllegalArgumentException(
+          s"graft-snapshots sink: no branch '$n' at $dir (create it " +
+            "with createRef / CALL system.create_ref before streaming)"))
+      require(!isTag, s"cannot stream onto tag '$n' — tags are immutable")
+    }
+    new SnapshotSink(dir, outputMode, keyCols, statsCols, branch)
   }
 
   override def createRelation(ctx: SQLContext,
@@ -930,12 +947,14 @@ private[sources] class ChangeFeedBatchRelation(spark: SparkSession,
   * exactly-once replay detection. */
 private[graft] class SnapshotSink(dir: String,
     outputMode: org.apache.spark.sql.streaming.OutputMode,
-    keyCols: Seq[String], statsCols: Seq[String])
+    keyCols: Seq[String], statsCols: Seq[String],
+    branch: Option[String] = None)
     extends org.apache.spark.sql.execution.streaming.Sink {
 
   import org.apache.spark.sql.streaming.OutputMode
 
-  override def toString: String = s"SnapshotSink[$dir]"
+  override def toString: String =
+    s"SnapshotSink[$dir${branch.map("@" + _).getOrElse("")}]"
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val spark = data.sparkSession
@@ -958,7 +977,8 @@ private[graft] class SnapshotSink(dir: String,
     // A LEGACY bare stamp (pre-per-query tables) cannot be attributed
     // to any query: treat equal ids as replays, but let LOWER ids from
     // a fresh query proceed (its batch ids legitimately restart at 0)
-    Snapshots.lastStreamBatchStamp(spark, dir, queryId) match {
+    // a branch-targeted stream's cursor walks the BRANCH's ancestry
+    Snapshots.lastStreamBatchStamp(spark, dir, queryId, branch) match {
       case Some((last, _)) if last == batchId => return
       case Some((last, legacy)) if last > batchId && !legacy =>
         throw new IllegalStateException(
@@ -973,18 +993,27 @@ private[graft] class SnapshotSink(dir: String,
     // a batch view of the same physical rows
     val batch = org.apache.spark.sql.GraftBatchView.asBatch(data)
     val latest = Snapshots.latestVersion(spark, dir)
-    outputMode match {
-      case m if m == OutputMode.Complete() =>
-        Snapshots.commit(spark, dir, batch, append = false,
-          statsCols = effStats, streamTxn = Some((queryId, batchId)))
+    val txn = Some((queryId, batchId))
+    (outputMode, branch) match {
+      case (m, Some(n)) if m == OutputMode.Complete() =>
+        Snapshots.commitOnBranch(spark, dir, n, batch, append = false,
+          statsCols = effStats, streamTxn = txn)
         ()
-      case m if m == OutputMode.Update() && latest >= 1 =>
+      case (_, Some(n)) => // Append on the branch (its ref exists => base)
+        Snapshots.commitOnBranch(spark, dir, n, batch, append = true,
+          statsCols = effStats, streamTxn = txn)
+        ()
+      case (m, None) if m == OutputMode.Complete() =>
+        Snapshots.commit(spark, dir, batch, append = false,
+          statsCols = effStats, streamTxn = txn)
+        ()
+      case (m, None) if m == OutputMode.Update() && latest >= 1 =>
         Snapshots.upsert(spark, dir, batch, keyCols,
-          statsCols = effStats, streamTxn = Some((queryId, batchId)))
+          statsCols = effStats, streamTxn = txn)
         ()
       case _ => // Append, or the first batch of an Update stream
         Snapshots.commit(spark, dir, batch, append = latest >= 1,
-          statsCols = effStats, streamTxn = Some((queryId, batchId)))
+          statsCols = effStats, streamTxn = txn)
         ()
     }
   }

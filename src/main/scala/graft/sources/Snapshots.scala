@@ -841,9 +841,12 @@ object Snapshots {
     * batch 0 against such a table must proceed, not fail as a regressed
     * checkpoint. */
   private[sources] def lastStreamBatchStamp(s: SparkSession, dir: String,
-      queryId: String): Option[(Long, Boolean)] = {
+      queryId: String, ref: Option[String] = None)
+      : Option[(Long, Boolean)] = {
     val f = fs(s, dir)
-    var v = mainVersion(s, dir)
+    // a branch-targeted stream's replay cursor lives on the BRANCH's
+    // ancestry — main's stamps are another line's history
+    var v = ref.map(refVersion(s, dir, _)).getOrElse(mainVersion(s, dir))
     while (v >= 1) {
       readMeta(f, dir, v) match {
         case Some(m) if m.size >= 3 =>
@@ -2428,7 +2431,8 @@ object Snapshots {
   def commitOnBranch(s: SparkSession, dir: String, name: String,
       df: DataFrame, append: Boolean,
       renames: Map[String, String] = Map.empty,
-      statsCols: Seq[String] = Seq.empty): Int = {
+      statsCols: Seq[String] = Seq.empty,
+      streamTxn: Option[(String, Long)] = None): Int = {
     val f = fs(s, dir)
     val c = claimVersion(f, dir)
     try {
@@ -2436,7 +2440,7 @@ object Snapshots {
         throw new IllegalArgumentException(s"no ref '$name' at $dir"))
       require(!isTag, s"cannot commit on tag '$name' — tags are immutable")
       val v = commitClaimed(s, f, dir, df, append, renames, statsCols,
-        c.v, baseVersion = base)
+        c.v, baseVersion = base, streamTxn = streamTxn)
       writeRef(s, f, dir, name, v, tag = false)
       v
     } finally c.release()

@@ -263,6 +263,67 @@ class StreamingSnapshotSpec extends SparkSpec {
       "update-mode batches must merge by key, last writer wins")
   }
 
+  test("writeStream sink: option(branch) commits each batch on the " +
+      "branch; main untouched; the replay cursor walks the branch line") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("sink-branch")
+    Snapshots.commit(spark, dir,
+      Seq(DocRow(1, "base")).toDF("id", "payload"), append = false) // v1
+    Snapshots.createRef(spark, dir, "stage")
+    def idsAt(ref: String): Seq[Long] =
+      Snapshots.read(spark, dir, Snapshots.refVersion(spark, dir, ref))
+        .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    val cp = tmpDir("sink-branch-cp")
+    val src = MemoryStream[DocRow]
+    val q = src.toDF().writeStream.format("graft-snapshots")
+      .option("path", dir).option("branch", "stage")
+      .option("checkpointLocation", cp).start()
+    try {
+      src.addData(DocRow(2, "s2"))
+      q.processAllAvailable()
+      // a MAIN commit interleaves: the branch cursor must not see it
+      Snapshots.commit(spark, dir,
+        Seq(DocRow(77, "main-only")).toDF("id", "payload"), append = true)
+      src.addData(DocRow(3, "s3"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(idsAt("main") == Seq(1L, 77L),
+      s"branch batches must not land on main: ${idsAt("main")}")
+    assert(idsAt("stage") == Seq(1L, 2L, 3L),
+      s"the branch must carry base + streamed rows: ${idsAt("stage")}")
+
+    // restart on the SAME checkpoint: continues exactly-once on the
+    // branch (the cursor is read off the branch's ancestry, so main's
+    // interleaved stamp-less commit cannot confuse it)
+    val before = Snapshots.latestVersion(spark, dir)
+    val q2 = src.toDF().writeStream.format("graft-snapshots")
+      .option("path", dir).option("branch", "stage")
+      .option("checkpointLocation", cp).start()
+    try {
+      src.addData(DocRow(4, "s4"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(idsAt("stage") == Seq(1L, 2L, 3L, 4L),
+      s"restart must append exactly once: ${idsAt("stage")}")
+    assert(Snapshots.latestVersion(spark, dir) == before + 1,
+      "the restart must publish exactly one new version")
+
+    // a missing ref / Update mode refuse at start
+    intercept[IllegalArgumentException] {
+      src.toDF().writeStream.format("graft-snapshots")
+        .option("path", dir).option("branch", "nope")
+        .option("checkpointLocation", tmpDir("sink-branch-cp2")).start()
+    }
+    intercept[IllegalArgumentException] {
+      src.toDF().writeStream.format("graft-snapshots")
+        .outputMode("update")
+        .option("path", dir).option("branch", "stage")
+        .option("keyCols", "id")
+        .option("checkpointLocation", tmpDir("sink-branch-cp3")).start()
+    }
+  }
+
   test("readStream source: version offsets, append semantics, restarts") {
     import spark.implicits._
     val dir = tmpDir("src-snap")
