@@ -1605,21 +1605,26 @@ object Snapshots {
   def updateWhere(s: SparkSession, dir: String,
       cond: org.apache.spark.sql.Column,
       sets: Seq[(String, org.apache.spark.sql.Column)],
-      validate: Option[DataFrame => Unit] = None): (Int, Long) = {
+      validate: Option[DataFrame => Unit] = None,
+      branch: Option[String] = None): (Int, Long) = {
     require(sets.nonEmpty, "updateWhere needs at least one assignment")
-    updateWhereBound(s, dir, _ => cond, _ => sets, validate)
+    updateWhereBound(s, dir, _ => cond, _ => sets, validate,
+      branch = branch)
   }
 
   /** [[updateWhere]] with the condition AND the assignment values built
     * against the claim-time scan — see [[deleteWhereBound]] (the
     * correlated-subquery DML path; `SET x = (SELECT …)` needs the same
-    * resolved-attribute rebind a correlated WHERE does). */
+    * resolved-attribute rebind a correlated WHERE does). With `branch`,
+    * the update bases on and advances the NAMED branch's head — main
+    * and every other ref untouched, [[deleteWhereBound]]'s twin. */
   private[sources] def updateWhereBound(s: SparkSession, dir: String,
       condOf: DataFrame => org.apache.spark.sql.Column,
       setsOf: DataFrame => Seq[(String, org.apache.spark.sql.Column)],
       validate: Option[DataFrame => Unit] = None,
       statsColsOf: org.apache.spark.sql.types.StructType => Seq[String]
-        = _ => Seq.empty): (Int, Long) = {
+        = _ => Seq.empty,
+      branch: Option[String] = None): (Int, Long) = {
     import org.apache.spark.sql.functions.col
     val f = fs(s, dir)
     require(latestVersion(s, dir) >= 1, s"updateWhere: no versions at $dir")
@@ -1628,7 +1633,15 @@ object Snapshots {
     val c = claimVersion(f, dir)
     val v = c.v
     try {
-      val latest = mainHead(f, dir, v - 1)
+      val latest = branch match {
+        case Some(n) =>
+          val (h, isTag) = refRead(f, dir, n).getOrElse(
+            throw new IllegalArgumentException(s"no ref '$n' at $dir"))
+          require(!isTag,
+            s"cannot update on tag '$n' — tags are immutable")
+          h
+        case None => mainHead(f, dir, v - 1)
+      }
       val fset = files(s, dir, latest)
       def scanOf(fls: Seq[String]) = withMeta(
         s.read.parquet(fls.map(p => new Path(dir, p).toString): _*))
@@ -1688,7 +1701,10 @@ object Snapshots {
         writeStatLines(f, dir, v, statLines)
         writeManifest(f, dir, v, fset ++ moved)
         maybeCheckpoint(f, dir, v)
-        advanceMain(s, f, dir, v)
+        branch match {
+          case Some(nm) => writeRef(s, f, dir, nm, v, tag = false)
+          case None => advanceMain(s, f, dir, v)
+        }
         (v, nUpd)
       } finally { matched.unpersist(); () }
     } finally c.release()

@@ -1283,6 +1283,40 @@ class SnapshotsSpec extends SparkSpec {
     assert(jobs2 == 0, s"small-table inventory ran $jobs2 jobs (want 0)")
   }
 
+  test("updateWhere on a branch: main untouched; the diverged merge " +
+      "carries the update") {
+    val dir = tmpDir("updbranch")
+    Snapshots.commit(spark, dir, df(1 to 5).coalesce(1),
+      append = false)                                              // v1
+    Snapshots.createRef(spark, dir, "exp")
+    val (vb, n) = Snapshots.updateWhere(spark, dir, col("id") === 2L,
+      Seq("payload" -> lit("upd")), branch = Some("exp"))          // v2
+    assert(n == 1)
+    def payloadOf(v: Int, id: Long): String =
+      Snapshots.read(spark, dir, v).filter(col("id") === id)
+        .select("payload").head().getString(0)
+    assert(payloadOf(Snapshots.refVersion(spark, dir, "main"), 2L) ==
+      "row2", "the branch update must not touch main")
+    assert(payloadOf(vb, 2L) == "upd")
+
+    // a tag refuses
+    Snapshots.createRef(spark, dir, "pin", tag = true)
+    intercept[IllegalArgumentException] {
+      Snapshots.updateWhere(spark, dir, col("id") === 1L,
+        Seq("payload" -> lit("x")), branch = Some("pin"))
+    }
+
+    // main diverges (append), then the merge position-unions the
+    // branch's update DV and carries its replacement file
+    Snapshots.commit(spark, dir, df(11 to 12).coalesce(1),
+      append = true)                                               // v4
+    val merged = Snapshots.mergeBranch(spark, dir, "exp", Seq("id"))
+    assert(idsOf(dir, merged) == (1L to 5L) ++ (11L to 12L),
+      s"merged: ${idsOf(dir, merged)}")
+    assert(payloadOf(merged, 2L) == "upd",
+      "the branch's update must survive the merge")
+  }
+
   test("mergeBranch reconciles across a main-side restore: kept-file " +
       "deletions carry, reverted rows refuse, relocation still lands") {
     // branch deletes a row in a file the restore KEEPS: the position
