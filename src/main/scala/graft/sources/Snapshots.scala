@@ -2043,12 +2043,15 @@ object Snapshots {
     * have the table's schema and unique keys (the standard MERGE source
     * constraint — duplicate source keys would make the result
     * order-dependent). [[optimize]] later materializes the vector as
-    * usual.
+    * usual. With `branch`, the upsert bases on and advances the NAMED
+    * branch's head (main untouched) — [[deleteWhereBound]]'s pattern,
+    * completing the branch DML verbs.
     *
     * @return (newVersion, rowsReplaced) */
   def upsert(s: SparkSession, dir: String, src: DataFrame,
       keyCols: Seq[String], statsCols: Seq[String] = Seq.empty,
-      streamTxn: Option[(String, Long)] = None): (Int, Long) = {
+      streamTxn: Option[(String, Long)] = None,
+      branch: Option[String] = None): (Int, Long) = {
     import org.apache.spark.sql.functions.{broadcast, col, count, lit}
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     val f = fs(s, dir)
@@ -2060,7 +2063,15 @@ object Snapshots {
     val c = claimVersion(f, dir)
     val v = c.v
     try {
-      val latest = mainHead(f, dir, v - 1)
+      val latest = branch match {
+        case Some(n) =>
+          val (h, isTag) = refRead(f, dir, n).getOrElse(
+            throw new IllegalArgumentException(s"no ref '$n' at $dir"))
+          require(!isTag,
+            s"cannot upsert on tag '$n' — tags are immutable")
+          h
+        case None => mainHead(f, dir, v - 1)
+      }
       val fset = files(s, dir, latest)
       // one job over the batch-sized source: key bounds for file
       // pruning, the distinct-key count, AND the row count — the
@@ -2102,7 +2113,10 @@ object Snapshots {
       writeStatLines(f, dir, v, statLines)
       writeManifest(f, dir, v, fset ++ moved)
       maybeCheckpoint(f, dir, v)
-      advanceMain(s, f, dir, v)
+      branch match {
+        case Some(nm) => writeRef(s, f, dir, nm, v, tag = false)
+        case None => advanceMain(s, f, dir, v)
+      }
       (v, nReplaced)
     } finally c.release()
   }
@@ -2122,11 +2136,13 @@ object Snapshots {
     * null-keyed delete the equi-join cannot reach), the commit refuses
     * BEFORE any data file is staged and nothing publishes (the claim
     * aborts; its orphan vector is tolerated like any aborted mutation's).
+    * With `branch`, the batch applies on the NAMED branch's head.
     * @return (newVersion, rowsApplied = replaced + deleted + inserted) */
   def applyCdc(s: SparkSession, dir: String, upserts: DataFrame,
       deleteKeys: DataFrame, keyCols: Seq[String],
       statsCols: Seq[String] = Seq.empty,
-      expectedRemoved: Option[Long] = None): (Int, Long) = {
+      expectedRemoved: Option[Long] = None,
+      branch: Option[String] = None): (Int, Long) = {
     import org.apache.spark.sql.functions.{broadcast, col, count,
       count_distinct, lit, struct, when}
     require(keyCols.nonEmpty, "applyCdc needs at least one key column")
@@ -2136,7 +2152,15 @@ object Snapshots {
     val c = claimVersion(f, dir)
     val v = c.v
     try {
-      val latest = mainHead(f, dir, v - 1)
+      val latest = branch match {
+        case Some(n) =>
+          val (h, isTag) = refRead(f, dir, n).getOrElse(
+            throw new IllegalArgumentException(s"no ref '$n' at $dir"))
+          require(!isTag,
+            s"cannot apply CDC on tag '$n' — tags are immutable")
+          h
+        case None => mainHead(f, dir, v - 1)
+      }
       val fset = files(s, dir, latest)
       // both key families prune the scan; a marker column (prefixed to
       // stay clear of any user key column) lets the ONE aggregation job
@@ -2187,7 +2211,10 @@ object Snapshots {
       writeStatLines(f, dir, v, statLines)
       writeManifest(f, dir, v, fset ++ moved)
       maybeCheckpoint(f, dir, v)
-      advanceMain(s, f, dir, v)
+      branch match {
+        case Some(nm) => writeRef(s, f, dir, nm, v, tag = false)
+        case None => advanceMain(s, f, dir, v)
+      }
       (v, nGone + aggRow.getLong(1 + 2 * keyCols.size))
     } finally c.release()
   }

@@ -1317,6 +1317,58 @@ class SnapshotsSpec extends SparkSpec {
       "the branch's update must survive the merge")
   }
 
+  test("upsert and applyCdc on a branch: the CDC-into-a-branch " +
+      "pipeline, main untouched until fast-forward") {
+    val dir = tmpDir("cdcbranch")
+    Snapshots.commit(spark, dir, df(1 to 5).coalesce(1),
+      append = false)                                              // v1
+    Snapshots.createRef(spark, dir, "stage")
+    def payloadAt(ref: String, id: Long): String =
+      Snapshots.read(spark, dir, Snapshots.refVersion(spark, dir, ref))
+        .filter(col("id") === id).select("payload").head().getString(0)
+
+    // upsert replaces key 3 on the branch
+    import spark.implicits._
+    val batch1 = Seq((3L, "v2-of-3"), (6L, "new-6"))
+      .toDF("id", "payload")
+    val (_, nRep) = Snapshots.upsert(spark, dir, batch1, Seq("id"),
+      branch = Some("stage"))
+    assert(nRep == 1)
+    assert(payloadAt("stage", 3L) == "v2-of-3" &&
+      payloadAt("main", 3L) == "row3")
+
+    // a CDC batch on the branch: update 1, delete 6, insert 7
+    val ups = Seq((1L, "one!"), (7L, "seven")).toDF("id", "payload")
+    val dels = Seq(Tuple1(6L)).toDF("id")
+    val (_, nApplied) = Snapshots.applyCdc(spark, dir, ups, dels,
+      Seq("id"), branch = Some("stage"))
+    assert(nApplied == 4, s"applied=$nApplied") // 1 upd + 1 del + 2 staged
+    val stageIds = Snapshots
+      .read(spark, dir, Snapshots.refVersion(spark, dir, "stage"))
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(stageIds == Seq(1L, 2L, 3L, 4L, 5L, 7L), s"stage: $stageIds")
+    assert(payloadAt("stage", 1L) == "one!")
+    assert(idsOf(dir, Snapshots.refVersion(spark, dir, "main")) ==
+      (1L to 5L), "main must stay at v1's content")
+
+    // validated: publish by fast-forwarding main onto the branch
+    Snapshots.fastForward(spark, dir, "main",
+      Snapshots.refVersion(spark, dir, "stage"))
+    assert(payloadAt("main", 3L) == "v2-of-3" &&
+      payloadAt("main", 1L) == "one!")
+
+    // tags refuse both verbs
+    Snapshots.createRef(spark, dir, "pin", tag = true)
+    intercept[IllegalArgumentException] {
+      Snapshots.upsert(spark, dir, batch1, Seq("id"),
+        branch = Some("pin"))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.applyCdc(spark, dir, ups, dels, Seq("id"),
+        branch = Some("pin"))
+    }
+  }
+
   test("mergeBranch reconciles across a main-side restore: kept-file " +
       "deletions carry, reverted rows refuse, relocation still lands") {
     // branch deletes a row in a file the restore KEEPS: the position
