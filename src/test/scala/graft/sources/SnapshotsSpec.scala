@@ -1317,6 +1317,64 @@ class SnapshotsSpec extends SparkSpec {
       "the branch's update must survive the merge")
   }
 
+  test("concurrent mixed writers serialize through the claim protocol: " +
+      "linear history, no lost updates") {
+    val dir = tmpDir("race-mixed")
+    Snapshots.commit(spark, dir, df(1 to 300).coalesce(3),
+      append = false)                                              // v1
+    import spark.implicits._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    // three writers with DISJOINT effects, racing on one table: each
+    // verb claims, computes against the claimed predecessor, publishes
+    // — so no interleaving may lose any of the 15 mutations
+    val appender = Future {
+      (1 to 5).foreach { k =>
+        Snapshots.commit(spark, dir,
+          df((1000 + 10 * k) to (1009 + 10 * k)).coalesce(1),
+          append = true)
+      }
+    }
+    val deleter = Future {
+      (1 to 5).foreach { k =>
+        Snapshots.deleteWhere(spark, dir, col("id") === k.toLong)
+      }
+    }
+    val upserter = Future {
+      (1 to 5).foreach { k =>
+        Snapshots.upsert(spark, dir,
+          Seq((100L + k, s"upd$k")).toDF("id", "payload"), Seq("id"))
+      }
+    }
+    try
+      Await.result(
+        Future.sequence(Seq(appender, deleter, upserter)),
+        scala.concurrent.duration.Duration(300, "s"))
+    finally pool.shutdown()
+
+    val head = Snapshots.latestVersion(spark, dir)
+    assert(head == 16, s"15 racing mutations must claim 15 versions: $head")
+    // linear history: every version's parent is its predecessor
+    (2 to head).foreach { v =>
+      assert(Snapshots.parentsOf(spark, dir, v) == Seq(v - 1),
+        s"v$v parents: ${Snapshots.parentsOf(spark, dir, v)}")
+    }
+    // no mutation lost: deletes gone, upserts applied, appends present
+    val rows = Snapshots.read(spark, dir, head)
+      .select("id", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert((1L to 5L).forall(!rows.contains(_)), "deletes lost")
+    (1 to 5).foreach(k => assert(rows(100L + k) == s"upd$k",
+      s"upsert $k lost: ${rows.get(100L + k)}"))
+    (1 to 5).foreach(k => assert(rows.contains(1000L + 10 * k),
+      s"append $k lost"))
+    assert(rows.size == 300 - 5 + 50, s"row count: ${rows.size}")
+    // the metadata count agrees with the data
+    assert(Snapshots.metadataRowCount(spark, dir, head) == rows.size.toLong)
+  }
+
   test("upsert and applyCdc on a branch: the CDC-into-a-branch " +
       "pipeline, main untouched until fast-forward") {
     val dir = tmpDir("cdcbranch")
