@@ -114,16 +114,52 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .map(Identifier.of(namespace, _)).toArray
   }
 
-  override def tableExists(ident: Identifier): Boolean =
-    isTable(new Path(tableDir(ident)))
-
-  override def loadTable(ident: Identifier): Table = {
-    if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    new SnapshotTableV2(tableDir(ident), fullName(ident))
+  /** `t@branch` addressing: an identifier whose NAME carries an `@`
+    * splits into (base table, ref name) — the SQL door onto branches
+    * (`SELECT … FROM graft.db.\`t@exp\``, `INSERT INTO`, DELETE/UPDATE/
+    * MERGE all base on and advance the named branch). Returns None for
+    * a plain name. */
+  private def splitBranch(ident: Identifier)
+      : Option[(Identifier, String)] = {
+    val i = ident.name.indexOf('@')
+    if (i < 0) None
+    else {
+      require(i > 0 && i < ident.name.length - 1,
+        s"graft catalog: malformed branch address '${ident.name}' — " +
+          "expected table@branch")
+      Some((Identifier.of(ident.namespace, ident.name.substring(0, i)),
+        ident.name.substring(i + 1)))
+    }
   }
+
+  override def tableExists(ident: Identifier): Boolean =
+    splitBranch(ident) match {
+      case Some((base, _)) => isTable(new Path(tableDir(base)))
+      case None => isTable(new Path(tableDir(ident)))
+    }
+
+  override def loadTable(ident: Identifier): Table =
+    splitBranch(ident) match {
+      case Some((base, ref)) =>
+        if (!tableExists(base)) throw new NoSuchTableException(base)
+        val dir = tableDir(base)
+        // fail at ANALYSIS with the real story, not at first scan/write
+        val (_, isTag) = Snapshots.refs(spark, dir).getOrElse(ref,
+          throw new IllegalArgumentException(
+            s"graft catalog: no branch '$ref' on ${fullName(base)} — " +
+              "create it with CALL system.create_ref first"))
+        require(!isTag, s"graft catalog: '$ref' is a tag — tags are " +
+          "immutable; address a branch")
+        new SnapshotTableV2(dir, fullName(ident), branchRef = Some(ref))
+      case None =>
+        if (!tableExists(ident)) throw new NoSuchTableException(ident)
+        new SnapshotTableV2(tableDir(ident), fullName(ident))
+    }
 
   /** `SELECT … VERSION AS OF v`: the TableCatalog time-travel hook. */
   override def loadTable(ident: Identifier, version: String): Table = {
+    require(splitBranch(ident).isEmpty,
+      "graft catalog: branch addressing and VERSION AS OF are exclusive")
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = tableDir(ident)
     val v = try version.toInt catch {
@@ -139,6 +175,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   /** `SELECT … TIMESTAMP AS OF ts` (micros per the DSv2 contract),
     * resolved along main's ancestry via [[Snapshots.versionAsOf]]. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    require(splitBranch(ident).isEmpty,
+      "graft catalog: branch addressing and TIMESTAMP AS OF are exclusive")
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = tableDir(ident)
     val v = Snapshots.versionAsOf(spark, dir, timestampMicros / 1000L)
@@ -153,6 +191,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
+    require(splitBranch(ident).isEmpty,
+      s"graft catalog: '@' in table name '${ident.name}' is reserved " +
+        "for branch addressing (table@branch)")
     val cluster = GraftCatalog.clusterSpecs(partitions, schema)
       .map(_.render)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
@@ -201,6 +242,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def staged(ident: Identifier, info: TableInfo,
       mode: GraftStagedTable.Mode): StagedTable = {
+    require(splitBranch(ident).isEmpty,
+      s"graft catalog: ${mode.verb} cannot target a branch address " +
+        s"('${ident.name}') — create on the table, then branch")
     new GraftStagedTable(this, ident, info.schema,
       onlyChecks(info, mode.verb), mode,
       GraftCatalog.clusterSpecs(info.partitions, info.schema)
@@ -252,6 +296,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
+    require(splitBranch(ident).isEmpty,
+      "graft catalog: ALTER TABLE addresses the table, not a branch — " +
+        "schema changes publish on main")
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = tableDir(ident)
     val handle = new SnapshotTableV2(dir, fullName(ident))
@@ -406,12 +453,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def dropTable(ident: Identifier): Boolean = {
+    require(splitBranch(ident).isEmpty,
+      "graft catalog: DROP TABLE addresses the table — drop a branch " +
+        "with CALL system.drop_ref")
     val p = new Path(tableDir(ident))
     if (!isTable(p)) false else fs(p).delete(p, true)
   }
 
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit = {
+    require(splitBranch(oldIdent).isEmpty && splitBranch(newIdent).isEmpty,
+      "graft catalog: RENAME addresses tables, not branches")
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
     val from = new Path(tableDir(oldIdent))
@@ -666,11 +718,22 @@ private[graft] object GraftCatalog {
   * [[Snapshots.evolutionInfo]]); INSERT INTO / INSERT OVERWRITE / CTAS
   * ride the official V1 write fallback onto [[Snapshots.commit]]
   * (append / rewrite commits respectively — history stays readable
-  * through an INSERT OVERWRITE, unlike a path overwrite). */
+  * through an INSERT OVERWRITE, unlike a path overwrite).
+  *
+  * `branchRef` = the `t@branch` SQL addressing: the handle reads the
+  * NAMED branch's head, and INSERT / INSERT OVERWRITE / TRUNCATE / DML
+  * routed through [[GraftSqlRules]] base on and advance that branch —
+  * main and every other ref untouched (the whole SQL-only
+  * write-audit-publish pipeline). Exclusive with `pinnedVersion`. */
 private[graft] class SnapshotTableV2(val dir: String,
-    val fullName: String, val pinnedVersion: Option[Int] = None)
+    val fullName: String, val pinnedVersion: Option[Int] = None,
+    val branchRef: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite
     with TruncatableTable {
+
+  require(pinnedVersion.isEmpty || branchRef.isEmpty,
+    "graft catalog: branch addressing and VERSION/TIMESTAMP AS OF pins " +
+      "are exclusive")
 
   private def spark = SparkSession.active
 
@@ -680,19 +743,23 @@ private[graft] class SnapshotTableV2(val dir: String,
     * read or written, no deletion vector, prior versions stay
     * time-travelable) — the same route `DELETE FROM t` without WHERE
     * takes, because a merge-on-read delete of EVERY row would write a
-    * table-sized deletion vector. */
+    * table-sized deletion vector. On a `t@branch` handle the rewrite
+    * lands on the branch. */
   override def truncateTable(): Boolean = {
     require(pinnedVersion.isEmpty,
       "graft catalog: cannot TRUNCATE a time-travel-pinned read")
-    GraftSql.truncateTable(spark, dir)
+    GraftSql.truncateTable(spark, dir, branchRef)
     true
   }
 
   /** The version a SCAN of this handle resolves to right now: the pin
-    * (VERSION/TIMESTAMP AS OF) or main's current head; 0 = an empty,
-    * freshly created table (reads as zero rows of the declared schema). */
+    * (VERSION/TIMESTAMP AS OF), the addressed branch's head, or main's
+    * current head; 0 = an empty, freshly created table (reads as zero
+    * rows of the declared schema). */
   private[graft] def resolveVersion(s: SparkSession): Int =
-    pinnedVersion.getOrElse(Snapshots.mainVersion(s, dir))
+    pinnedVersion.orElse(
+      branchRef.map(Snapshots.refVersion(s, dir, _)))
+      .getOrElse(Snapshots.mainVersion(s, dir))
 
   override def schema(): StructType = {
     val v = resolveVersion(spark)
@@ -773,9 +840,18 @@ private[graft] class SnapshotTableV2(val dir: String,
               // them like a directory layout would.
               val (clustered, stats, virt) = GraftCatalog.clusterFor(
                 data, GraftCatalog.clusterCols(data.sparkSession, dir))
-              Snapshots.commitAuto(data.sparkSession, dir,
-                clustered, overwrite = overwrite || ovr,
-                statsCols = stats, statsExprs = virt)
+              branchRef match {
+                case Some(n) =>
+                  // a branch handle always has a base (its ref exists),
+                  // so append-vs-rewrite is just the overwrite flag
+                  Snapshots.commitOnBranch(data.sparkSession, dir, n,
+                    clustered, append = !(overwrite || ovr),
+                    statsCols = stats, statsExprs = virt)
+                case None =>
+                  Snapshots.commitAuto(data.sparkSession, dir,
+                    clustered, overwrite = overwrite || ovr,
+                    statsCols = stats, statsExprs = virt)
+              }
               ()
             }
           }
@@ -784,13 +860,18 @@ private[graft] class SnapshotTableV2(val dir: String,
           * commit publishes ONE version with the V1 sink's per-query
           * exactly-once stamp (see [[SnapshotStreamingWrite]]). */
         override def toStreaming: org.apache.spark.sql.connector.write
-            .streaming.StreamingWrite =
+            .streaming.StreamingWrite = {
+          require(branchRef.isEmpty,
+            "graft catalog: writeStream.toTable on a t@branch handle " +
+              "is not supported — use writeStream.format(\"graft-" +
+              "snapshots\").option(\"branch\", …) on the table path")
           new SnapshotStreamingWrite(dir, info.schema(), info.queryId(),
             truncate = overwrite, keyCols = keyCols,
             new GraftSerConf(
               org.apache.spark.sql.execution.datasources.parquet
                 .GraftParquetIO.pinWriteConf(
                   spark.sessionState.newHadoopConf())))
+        }
       }
     }
     // Update output mode is only accepted when the writer declared its

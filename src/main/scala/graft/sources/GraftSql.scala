@@ -62,8 +62,17 @@ case class GraftStreamingRules(session: SparkSession)
         "graft catalog: streaming reads take a startingVersion option, " +
           "not VERSION/TIMESTAMP AS OF")
       import scala.jdk.CollectionConverters._
-      val opts = s.extraOptions.asCaseSensitiveMap.asScala.toMap +
-        ("path" -> t.dir)
+      // a t@branch handle streams the branch's line via the source's
+      // own branch option; combining it with an explicit option("branch")
+      // would make one silently win — refuse instead
+      val opts0 = s.extraOptions.asCaseSensitiveMap.asScala.toMap
+      t.branchRef.foreach { _ =>
+        require(!opts0.keys.exists(_.equalsIgnoreCase("branch")),
+          "graft catalog: t@branch addressing and the branch reader " +
+            "option are exclusive")
+      }
+      val opts = opts0 + ("path" -> t.dir) ++
+        t.branchRef.map("branch" -> _)
       val cdf = opts.exists { case (k, v) =>
         k.equalsIgnoreCase("readChangeFeed") && v.toBoolean }
       GraftBatchView.v1StreamingRelation(session, "graft-snapshots", opts,
@@ -83,7 +92,8 @@ case class GraftSqlRules(session: SparkSession) extends Rule[LogicalPlan] {
     case d: DeleteFromTable if d.resolved =>
       snapTarget(d.table) match {
         case Some((t, _)) =>
-          GraftDeleteCommand(t.dir, new GraftSql.Captured(d.condition))
+          GraftDeleteCommand(t.dir, new GraftSql.Captured(d.condition),
+            t.branchRef)
         case None => d
       }
     case u: UpdateTable if u.resolved =>
@@ -113,7 +123,7 @@ case class GraftSqlRules(session: SparkSession) extends Rule[LogicalPlan] {
             (if (effective.nonEmpty) effective else sets).map {
               case (n, e) => n -> new GraftSql.Captured(e)
             },
-            u.condition.map(new GraftSql.Captured(_)))
+            u.condition.map(new GraftSql.Captured(_)), t.branchRef)
         case None => u
       }
     case acc: AddCheckConstraint if acc.childrenResolved &&
@@ -277,9 +287,10 @@ private[graft] object GraftSql {
       case None => t
       case Some(name) =>
         require(!opts.containsKey("versionasof") &&
-            !opts.containsKey("timestampasof") && t.pinnedVersion.isEmpty,
+            !opts.containsKey("timestampasof") &&
+            t.pinnedVersion.isEmpty && t.branchRef.isEmpty,
           "graft catalog: the branch reader option and VERSION/" +
-            "TIMESTAMP AS OF pins are exclusive")
+            "TIMESTAMP AS OF pins / t@branch addressing are exclusive")
         new SnapshotTableV2(t.dir, t.fullName,
           pinnedVersion = Some(Snapshots.refVersion(session, t.dir, name)))
     }
@@ -357,18 +368,26 @@ private[graft] object GraftSql {
 
   /** Empty-rewrite the table (TRUNCATE / DELETE-all): ONE metadata-
     * sized commit under the current evolved schema — no data read, no
-    * deletion vector, prior versions stay time-travelable. Returns the
-    * replaced version's row count (from parquet footers, counted AFTER
-    * the publish so a racing commit cannot skew it). */
+    * deletion vector, prior versions stay time-travelable. With
+    * `branch`, the rewrite lands on the named branch (its head supplies
+    * the schema). Returns the replaced version's row count (from
+    * parquet footers, counted AFTER the publish so a racing commit
+    * cannot skew it). */
   private[sources] def truncateTable(spark: SparkSession,
-      dir: String): Long = {
-    val head = Snapshots.mainVersion(spark, dir)
+      dir: String, branch: Option[String] = None): Long = {
+    val head = branch
+      .map(n => Snapshots.refVersion(spark, dir, n))
+      .getOrElse(Snapshots.mainVersion(spark, dir))
     if (head < 1) return 0L
     val schema = Snapshots.evolutionInfo(spark, dir, head)._1
     val empty = spark.createDataFrame(
       spark.sparkContext.parallelize(
         Seq.empty[org.apache.spark.sql.Row], 1), schema)
-    val v = Snapshots.commit(spark, dir, empty, append = false)
+    val v = branch match {
+      case Some(n) =>
+        Snapshots.commitOnBranch(spark, dir, n, empty, append = false)
+      case None => Snapshots.commit(spark, dir, empty, append = false)
+    }
     val replaced = Snapshots.parentsOf(spark, dir, v).headOption
     replaced.map(Snapshots.metadataRowCount(spark, dir, _)).getOrElse(0L)
   }
@@ -390,9 +409,11 @@ private[graft] object GraftSql {
 
 /** `DELETE FROM graft.db.t WHERE cond` → [[Snapshots.deleteWhere]]: a
   * merge-on-read delete publishing one version (positions into the
-  * deletion vector, no file rewrites), identical to the Scala call. */
+  * deletion vector, no file rewrites), identical to the Scala call. On
+  * a `t@branch` target the delete bases on and advances the branch. */
 private[graft] case class GraftDeleteCommand(dir: String,
-    condition: GraftSql.Captured) extends LeafRunnableCommand {
+    condition: GraftSql.Captured, branch: Option[String] = None)
+    extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val cond = condition.e
     // DELETE without WHERE (or with a constant-true predicate): a
@@ -404,9 +425,9 @@ private[graft] case class GraftDeleteCommand(dir: String,
     val truncates = cond.foldable &&
       Option(cond.eval()).contains(true)
     val n: Long =
-      if (truncates) GraftSql.truncateTable(spark, dir)
+      if (truncates) GraftSql.truncateTable(spark, dir, branch)
       else Snapshots.deleteWhereBound(spark, dir,
-        df => GraftSql.rebind(spark, cond, df))._2
+        df => GraftSql.rebind(spark, cond, df), branch)._2
     GraftSql.lastRowsAffected = n
     Seq.empty
   }
@@ -450,7 +471,8 @@ private[graft] case class GraftAddCheckConstraintCommand(
   * decorrelates them into the usual joins over the matched rows. */
 private[graft] case class GraftUpdateCommand(dir: String,
     sets: Seq[(String, GraftSql.Captured)],
-    condition: Option[GraftSql.Captured])
+    condition: Option[GraftSql.Captured],
+    branch: Option[String] = None)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     // CHECK constraints: the custom routing bypasses Spark's V2 write
@@ -467,7 +489,7 @@ private[graft] case class GraftUpdateCommand(dir: String,
         .getOrElse(lit(true)),
       df => sets.map { case (nm, c) =>
         nm -> GraftSql.rebind(spark, c.e, df) },
-      hook, statsColsOf = Snapshots.defaultStatsCols)
+      hook, statsColsOf = Snapshots.defaultStatsCols, branch = branch)
     GraftSql.lastRowsAffected = n
     Seq.empty
   }
@@ -791,7 +813,7 @@ private[graft] case class GraftMergeCommand(dir: String,
       // AND inserts — neither passes through Spark's V2 write analysis)
       upserts.foreach(GraftConstraints.enforce(spark, dir, _, "MERGE"))
       val applied: Long =
-        if (Snapshots.mainVersion(spark, dir) < 1) {
+        if (headV < 1) {
           // MERGE into a freshly created, never-committed table: nothing
           // can match, the accepted inserts are the first commit.
           // Persisted so the commit's write materializes the plan and
@@ -822,7 +844,7 @@ private[graft] case class GraftMergeCommand(dir: String,
               up.getOrElse(tgtDF.limit(0)),
               del.getOrElse(emptyKeys), keyCols,
               statsCols = Snapshots.defaultStatsCols(tgtDF.schema),
-              expectedRemoved = nRouted)._2
+              expectedRemoved = nRouted, branch = t.branchRef)._2
             catch {
               // surface the cardinality violation in MERGE terms with
               // the offending keys, not applyCdc's internal invariant.

@@ -2475,7 +2475,8 @@ object Snapshots {
       df: DataFrame, append: Boolean,
       renames: Map[String, String] = Map.empty,
       statsCols: Seq[String] = Seq.empty,
-      streamTxn: Option[(String, Long)] = None): Int = {
+      streamTxn: Option[(String, Long)] = None,
+      statsExprs: Seq[(String, String, String)] = Seq.empty): Int = {
     val f = fs(s, dir)
     val c = claimVersion(f, dir)
     try {
@@ -2483,7 +2484,8 @@ object Snapshots {
         throw new IllegalArgumentException(s"no ref '$name' at $dir"))
       require(!isTag, s"cannot commit on tag '$name' — tags are immutable")
       val v = commitClaimed(s, f, dir, df, append, renames, statsCols,
-        c.v, baseVersion = base, streamTxn = streamTxn)
+        c.v, baseVersion = base, streamTxn = streamTxn,
+        statsExprs = statsExprs)
       writeRef(s, f, dir, name, v, tag = false)
       v
     } finally c.release()

@@ -530,6 +530,86 @@ class GraftCatalogSpec extends SparkSpec {
       "both matched rows routed to DELETE must go")
   }
 
+  test("t@branch addressing: SQL reads, INSERT, DELETE/UPDATE/MERGE, " +
+      "TRUNCATE and streaming reads all target the named branch") {
+    warehouse
+    sql("CREATE TABLE graft.db.tba (id BIGINT, payload STRING)")
+    sql("INSERT INTO graft.db.tba VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    sql("CALL graft.system.create_ref(table => 'db.tba', " +
+      "name => 'stage')")
+
+    sql("INSERT INTO graft.db.`tba@stage` VALUES (4, 'd')")
+    assert(rows("SELECT * FROM graft.db.tba") ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      "the branch INSERT must not land on main")
+    assert(rows("SELECT * FROM graft.db.`tba@stage`") ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+
+    sql("UPDATE graft.db.`tba@stage` SET payload = 'B' WHERE id = 2")
+    sql("DELETE FROM graft.db.`tba@stage` WHERE id = 3")
+    sql("CREATE OR REPLACE TEMPORARY VIEW tba_src AS SELECT * FROM " +
+      "VALUES (CAST(1 AS BIGINT), 'A1'), (CAST(5 AS BIGINT), 'e') " +
+      "AS s(id, payload)")
+    sql("MERGE INTO graft.db.`tba@stage` t USING tba_src s " +
+      "ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET payload = s.payload " +
+      "WHEN NOT MATCHED THEN INSERT (id, payload) VALUES " +
+      "(s.id, s.payload)")
+    assert(rows("SELECT * FROM graft.db.`tba@stage`") ==
+      Seq((1L, "A1"), (2L, "B"), (4L, "d"), (5L, "e")))
+    assert(rows("SELECT * FROM graft.db.tba") ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      "four branch mutations must leave main untouched")
+    // the metadata COUNT fold resolves the branch head
+    assert(sql("SELECT count(*) FROM graft.db.`tba@stage`")
+      .collect().head.getLong(0) == 4L)
+    assert(sql("SELECT count(*) FROM graft.db.tba")
+      .collect().head.getLong(0) == 3L)
+
+    // streaming read by branch handle follows the branch's line (it
+    // carries UPDATE/DELETE commits, so the append stream opts into
+    // ignoreChanges like any mutated table)
+    val q = spark.readStream.option("ignoreChanges", "true")
+      .table("graft.db.`tba@stage`")
+      .writeStream.format("memory").queryName("tba_stream")
+      .option("checkpointLocation", tmpDir("tba-cp")).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tba_stream").count() >= 4)
+    } finally q.stop()
+
+    // publish: fast-forward main onto the validated branch
+    Snapshots.fastForward(spark, dirOf("db", "tba"), "main",
+      Snapshots.refVersion(spark, dirOf("db", "tba"), "stage"))
+    assert(rows("SELECT * FROM graft.db.tba") ==
+      Seq((1L, "A1"), (2L, "B"), (4L, "d"), (5L, "e")))
+
+    // TRUNCATE on a separate branch wipes only that branch
+    sql("CALL graft.system.create_ref(table => 'db.tba', " +
+      "name => 'wipe')")
+    sql("TRUNCATE TABLE graft.db.`tba@wipe`")
+    assert(rows("SELECT * FROM graft.db.`tba@wipe`") == Seq.empty)
+    assert(rows("SELECT * FROM graft.db.tba").nonEmpty)
+
+    // refusals: unknown branch, pin + branch, DDL on a branch address
+    val none = intercept[Exception] {
+      sql("SELECT * FROM graft.db.`tba@nope`")
+    }
+    assert(none.getMessage.contains("no branch"), none.getMessage)
+    val pin = intercept[Exception] {
+      sql("SELECT * FROM graft.db.`tba@stage` VERSION AS OF 1")
+    }
+    assert(pin.getMessage.contains("exclusive"), pin.getMessage)
+    val ddl = intercept[Exception] {
+      sql("ALTER TABLE graft.db.`tba@stage` ADD COLUMNS (x BIGINT)")
+    }
+    assert(ddl.getMessage.contains("branch"), ddl.getMessage)
+    val create = intercept[Exception] {
+      sql("CREATE TABLE graft.db.`nope@x` (id BIGINT)")
+    }
+    assert(create.getMessage.contains("reserved"), create.getMessage)
+  }
+
   test("MERGE join scans open only stat-overlapping target files") {
     warehouse
     sql("CREATE TABLE graft.db.tjp (id BIGINT, payload STRING)")
