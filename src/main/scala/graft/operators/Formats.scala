@@ -1693,6 +1693,62 @@ object Formats extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // SQL branch pipeline (f49): the write-audit-publish workflow in
+    // SQL alone via `t@branch` addressing — create a staging branch
+    // (CALL system.create_ref), run INSERT + UPDATE + DELETE + MERGE
+    // against `docs49@stage` (each basing on and advancing ONLY the
+    // branch; the builder pins main's head count untouched mid-flight),
+    // then publish by fast-forwarding main onto the validated branch.
+    // The DuckDB oracle replays the four branch mutations relationally
+    // against the final (published) state.
+    "f49_branch_pipeline" -> ((s, d) => {
+      val wh = ioDir(d, "f49_wh")
+      val cat = "graft49_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val tdir = s"$wh/db/docs49"
+      writeOnce(s, tdir, alsoRequire =
+          graft.sources.Snapshots.latestVersion(s, tdir) == 5) {
+        val root = new org.apache.hadoop.fs.Path(wh)
+        val fsys = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fsys.delete(root, true)
+        T.documents(s, d).createOrReplaceTempView("f49_docs")
+        s.sql(s"CREATE TABLE $cat.db.docs49 (doc_id BIGINT, " +
+          "lang STRING, source STRING, n_chars BIGINT)")
+        s.sql(s"INSERT INTO $cat.db.docs49 SELECT doc_id, lang, " +
+          "source, n_chars FROM f49_docs")                          // v1
+        s.sql(s"CALL $cat.system.create_ref(table => 'db.docs49', " +
+          "name => 'stage')")
+        val mainN = s.sql(s"SELECT count(*) FROM $cat.db.docs49")
+          .collect().head.getLong(0)
+        s.sql(s"INSERT INTO $cat.db.`docs49@stage` " +              // v2
+          "SELECT doc_id + 30000000, lang, 'staged', " +
+          "CAST(555 AS BIGINT) FROM f49_docs WHERE doc_id % 13 = 0")
+        s.sql(s"UPDATE $cat.db.`docs49@stage` SET n_chars = 0 " +   // v3
+          "WHERE source = 'src1'")
+        s.sql(s"DELETE FROM $cat.db.`docs49@stage` " +              // v4
+          "WHERE doc_id % 19 = 0 AND doc_id < 30000000")
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW f49_src AS " +
+          "SELECT doc_id, lang, source, n_chars + 1000 AS n_chars " +
+          "FROM f49_docs WHERE doc_id % 23 = 0 AND doc_id % 19 <> 0")
+        s.sql(s"MERGE INTO $cat.db.`docs49@stage` t " +             // v5
+          "USING f49_src s ON t.doc_id = s.doc_id " +
+          "WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars")
+        // every branch mutation left main at the v1 head
+        require(s.sql(s"SELECT count(*) FROM $cat.db.docs49")
+          .collect().head.getLong(0) == mainN,
+          "a branch mutation leaked onto main")
+        graft.sources.Snapshots.fastForward(s, tdir, "main",
+          graft.sources.Snapshots.refVersion(s, tdir, "stage"))
+        ()
+      }
+      s.sql(s"SELECT lang, count(*) AS n_docs, " +
+          s"sum(n_chars) AS sum_chars FROM $cat.db.docs49 GROUP BY lang")
+        .withColumn("published_ok",
+          lit(graft.sources.Snapshots.latestVersion(s, tdir) == 5))
+        .orderBy(col("lang"))
+    }),
+
     // Logical DROP COLUMN (f45): ALTER TABLE DROP COLUMN records the
     // drop in the rename chain — ONE metadata-sized commit, no data
     // file rewritten at any table size. Time travel below the drop
@@ -2481,6 +2537,31 @@ object Formats extends QueryPack {
              CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              TRUE AS one_version
       FROM head
+      GROUP BY lang
+      ORDER BY lang""",
+    // f49: replay the branch pipeline against the published head —
+    // %19 originals deleted, %23 survivors merged to n_chars+1000
+    // (overriding the earlier src1 zeroing), remaining src1 rows
+    // zeroed, %13 staged copies appended at 555 chars
+    "f49_branch_pipeline" -> """
+      WITH upd AS (
+        SELECT doc_id, lang,
+               CASE WHEN doc_id % 23 = 0 AND doc_id % 19 <> 0
+                      THEN n_chars + 1000
+                    WHEN source = 'src1' THEN 0
+                    ELSE n_chars END AS n_chars
+        FROM documents
+        WHERE doc_id % 19 <> 0
+      ),
+      ins AS (
+        SELECT doc_id + 30000000 AS doc_id, lang, 555 AS n_chars
+        FROM documents WHERE doc_id % 13 = 0
+      )
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             TRUE AS published_ok
+      FROM (SELECT * FROM upd UNION ALL SELECT * FROM ins)
       GROUP BY lang
       ORDER BY lang""",
     // f45: head = all documents with null source (the drop severed the
