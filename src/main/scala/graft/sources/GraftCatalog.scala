@@ -133,7 +133,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    splitBranch(ident) match {
+    // a malformed '@' address ('t@', '@t') is simply NOT a table:
+    // existence probes (DROP TABLE IF EXISTS, resolution fallbacks)
+    // must answer false, not crash — the actionable malformed-address
+    // error stays on loadTable/write paths, where the user named the
+    // table on purpose
+    if (ident.name.startsWith("@") || ident.name.endsWith("@")) false
+    else splitBranch(ident) match {
       case Some((base, _)) => isTable(new Path(tableDir(base)))
       case None => isTable(new Path(tableDir(ident)))
     }

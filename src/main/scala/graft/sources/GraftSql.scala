@@ -737,9 +737,38 @@ private[graft] case class GraftMergeCommand(dir: String,
     // conditional MATCHED / BY SOURCE clause (which can skip one of two
     // same-key target rows); the plain equi-key unconditional MERGE is
     // audited for free by the existing staged-key uniqueness check.
+    // a NOT MATCHED INSERT whose VALUES remap a merge-key column
+    // (INSERT (id,…) VALUES (s.id + 1, …)) can stage a key that collides
+    // with a LIVE target row the join never matched — applyCdc would
+    // silently replace it where SQL semantics add a second row. Detect
+    // the remap exactly as checkKeysImmutable does: an assignment to a
+    // key column whose value is not semantically the ON condition's key
+    // expression. (An insert that OMITS the key stages NULL, which the
+    // equi-join can never collide with.)
+    def insertRemapsKey(assigns: Seq[Assignment]): Boolean =
+      assigns.exists { a =>
+        a.key match {
+          case k: AttributeReference if keyCols.contains(k.name) =>
+            !keyIdentities.getOrElse(k.name, Nil)
+              .exists(_.semanticEquals(a.value))
+          case _ => false
+        }
+      }
     val needAudit = residual.nonEmpty ||
       matchedActions.exists(condOf(_).isDefined) ||
-      notMatchedBySourceActions.exists(condOf(_).isDefined)
+      notMatchedBySourceActions.exists(condOf(_).isDefined) ||
+      // key-remapping inserts can silently REPLACE live rows (above)
+      notMatchedActions.exists {
+        case InsertAction(_, assigns) => insertRemapsKey(assigns)
+        case _ => false
+      } ||
+      // BY SOURCE clauses route null-keyed target rows that the by-key
+      // equi-join can never remove or replace — an unconditional
+      // BY SOURCE DELETE would silently leave them alive where SQL
+      // deletes them. When the merge keys are nullable, audit the
+      // routing so the under-delete refuses instead of diverging.
+      (notMatchedBySourceActions.nonEmpty &&
+        tgtAttrs.exists(a => keyCols.contains(a.name) && a.nullable))
 
     // the three joined frames, each computed ONCE; persisted when more
     // than one clause filters it (each clause is a filter-consumer, and

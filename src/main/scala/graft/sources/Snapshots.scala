@@ -478,7 +478,18 @@ object Snapshots {
         // publish. If the claim exists but has not heartbeated within
         // timeoutMs, the claimant is presumed dead and the wait fails.
         var aborted = false
-        while (!aborted && v > 1 && !f.exists(manifest(dir, v - 1))) {
+        // wait until the predecessor has BOTH published its manifest and
+        // RELEASED its claim. Every publisher advances its ref (main or a
+        // branch head) between the manifest write and the release, so a
+        // follower that proceeded on manifest-exists alone could read the
+        // ref BEFORE the predecessor advanced it, base on the stale head,
+        // and silently drop the predecessor's commit from the line. The
+        // claim heartbeats through the window, so the staleness check
+        // below still unsticks a genuinely dead claimant.
+        def predPending(): Boolean =
+          !f.exists(manifest(dir, v - 1)) ||
+            f.exists(new Path(dir, s"v${v - 1}.claim"))
+        while (!aborted && v > 1 && predPending()) {
           val predClaim = new Path(dir, s"v${v - 1}.claim")
           val age: Option[Long] =
             try Some(System.currentTimeMillis() -
@@ -506,7 +517,8 @@ object Snapshots {
             case Some(a) if a > staleAfter =>
               held.release()
               throw new java.io.IOException(
-                s"commit timed out waiting for v${v - 1}'s manifest: " +
+                s"commit timed out waiting for v${v - 1} to publish " +
+                  s"(manifest + ref advance + claim release): " +
                   s"v${v - 1}.claim has not heartbeated for ${a} ms " +
                   s"(threshold $staleAfter ms), so its writer is presumed " +
                   "dead. Remove the stale claim to unwedge the table — " +
@@ -1470,6 +1482,19 @@ object Snapshots {
 
   /** The (file_path, row_index) positions deleted as of version `v`, or
     * None if the version carries no deletion vector. */
+  /** Row count of version `v`'s deletion-vector directory, summed from
+    * its parquet footers — driver metadata reads, zero Spark jobs (the
+    * applyCdc removal audit uses it so auditing costs no cluster work). */
+  private def dvRowCountFromFooters(s: SparkSession, dir: String,
+      v: Int): Long = {
+    val d = dvDir(dir, v)
+    val f = fs(s, dir)
+    if (!f.exists(d)) 0L
+    else f.listStatus(d).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .map(st => parquetRowCount(st.getPath, s)).sum
+  }
+
   private[sources] def dvFrame(s: SparkSession, dir: String, v: Int)
       : Option[DataFrame] = {
     val p = dvDir(dir, v)
@@ -2197,8 +2222,13 @@ object Snapshots {
         }
       val union = prev.map(_.unionByName(gone)).getOrElse(gone)
       union.write.mode("overwrite").parquet(dvDir(dir, v).toString)
-      val nGone = s.read.parquet(dvDir(dir, v).toString).count() -
-        prev.map(_.count()).getOrElse(0L)
+      // removal-audit count from parquet FOOTERS of the just-written and
+      // previous vectors — driver metadata reads, ZERO extra jobs (was:
+      // two count() jobs re-reading both vectors per CDC commit). gone is
+      // disjoint from prev by construction (live = raw anti-join prev),
+      // so new − prev is exactly the rows this commit removed.
+      val nGone = dvRowCountFromFooters(s, dir, v) -
+        (if (prev.isDefined) dvRowCountFromFooters(s, dir, latest) else 0L)
       expectedRemoved.foreach(e => require(nGone == e,
         s"applyCdc removal audit: the staged keys matched $nGone live " +
           s"rows but the caller intended to remove $e"))

@@ -530,6 +530,74 @@ class GraftCatalogSpec extends SparkSpec {
       "both matched rows routed to DELETE must go")
   }
 
+  test("MERGE removal audit: a key-REMAPPING insert that collides with " +
+      "a live row refuses; a non-colliding remap and null-keyed " +
+      "by-source under-deletes are likewise guarded") {
+    warehouse
+    sql("CREATE TABLE graft.db.trm (id BIGINT, payload STRING)")
+    sql("INSERT INTO graft.db.trm VALUES (1, 'a'), (2, 'b')")
+    // source key 1 is NOT matched only after remapping… no: key 3 is
+    // unmatched; INSERT VALUES (s.id - 1, …) stages key 2, which
+    // COLLIDES with the live row 2 — SQL semantics would add a row,
+    // the by-key commit would silently replace: audit refusal
+    sql("CREATE OR REPLACE TEMPORARY VIEW trm_src AS SELECT * FROM " +
+      "VALUES (CAST(3 AS BIGINT), 'c') AS s(id, payload)")
+    val clash = intercept[Exception] {
+      sql("MERGE INTO graft.db.trm t USING trm_src s ON t.id = s.id " +
+        "WHEN NOT MATCHED THEN INSERT (id, payload) " +
+        "VALUES (s.id - 1, s.payload)")
+    }
+    assert(clash.getMessage.contains("never accepted"), clash.getMessage)
+    assert(rows("SELECT * FROM graft.db.trm") ==
+      Seq((1L, "a"), (2L, "b")), "refused MERGE must change nothing")
+    // a remap whose staged key does NOT collide passes the audit
+    sql("MERGE INTO graft.db.trm t USING trm_src s ON t.id = s.id " +
+      "WHEN NOT MATCHED THEN INSERT (id, payload) " +
+      "VALUES (s.id + 100, s.payload)")
+    assert(rows("SELECT * FROM graft.db.trm") ==
+      Seq((1L, "a"), (2L, "b"), (103L, "c")))
+    // the identity insert (VALUES (s.id, …)) stays un-audited and works
+    sql("CREATE OR REPLACE TEMPORARY VIEW trm_src2 AS SELECT * FROM " +
+      "VALUES (CAST(4 AS BIGINT), 'd') AS s(id, payload)")
+    sql("MERGE INTO graft.db.trm t USING trm_src2 s ON t.id = s.id " +
+      "WHEN NOT MATCHED THEN INSERT (id, payload) " +
+      "VALUES (s.id, s.payload)")
+    assert(rows("SELECT * FROM graft.db.trm").map(_._1) ==
+      Seq(1L, 2L, 4L, 103L))
+
+    // an unconditional BY SOURCE DELETE routes the NULL-keyed target
+    // row, which the by-key equi-join can never remove — it would
+    // silently survive where SQL deletes it: audit refusal
+    sql("CREATE TABLE graft.db.tnk (id BIGINT, payload STRING)")
+    sql("INSERT INTO graft.db.tnk VALUES (1, 'a'), (NULL, 'ghost')")
+    val nullDel = intercept[Exception] {
+      sql("MERGE INTO graft.db.tnk t USING trm_src2 s ON t.id = s.id " +
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+    }
+    assert(nullDel.getMessage.contains("never accepted"),
+      nullDel.getMessage)
+    // with no null-keyed rows routed, the audited by-source DELETE works
+    sql("DELETE FROM graft.db.tnk WHERE id IS NULL")
+    sql("MERGE INTO graft.db.tnk t USING trm_src2 s ON t.id = s.id " +
+      "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+    assert(rows("SELECT * FROM graft.db.tnk") == Seq.empty,
+      "row 1 has no source match and must delete")
+  }
+
+  test("malformed '@' table names: existence probes answer false " +
+      "instead of crashing; loadTable keeps the actionable error") {
+    warehouse
+    // DROP TABLE IF EXISTS resolves via tableExists — must be a no-op
+    sql("DROP TABLE IF EXISTS graft.db.`t@`")
+    sql("DROP TABLE IF EXISTS graft.db.`@t`")
+    // a read of the malformed name still fails with a real story
+    val e = intercept[Exception] {
+      sql("SELECT * FROM graft.db.`t@`").collect()
+    }
+    assert(e.getMessage.contains("malformed branch address") ||
+      e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"), e.getMessage)
+  }
+
   test("t@branch addressing: SQL reads, INSERT, DELETE/UPDATE/MERGE, " +
       "TRUNCATE and streaming reads all target the named branch") {
     warehouse

@@ -1375,6 +1375,52 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.metadataRowCount(spark, dir, head) == rows.size.toLong)
   }
 
+  test("concurrent branch-targeted upserts: the follower waits for the " +
+      "predecessor's claim RELEASE (which happens after its ref " +
+      "advance), so no commit is ever dropped from the branch line") {
+    val dir = tmpDir("race-branch")
+    Snapshots.commit(spark, dir, df(1 to 50).coalesce(1),
+      append = false)                                              // v1
+    Snapshots.createRef(spark, dir, "exp")
+    import spark.implicits._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    // three writers, disjoint keys, all publishing to the SAME branch:
+    // each publishes manifest → ref advance → claim release. A follower
+    // that proceeded on manifest-exists alone could read the branch ref
+    // before the predecessor advanced it and base on the stale head —
+    // dropping the predecessor's upsert from the branch line.
+    val writers = (0 until 3).map { w =>
+      Future {
+        (1 to 4).foreach { k =>
+          Snapshots.upsert(spark, dir,
+            Seq((1000L + 100 * w + k, s"w$w-$k")).toDF("id", "payload"),
+            Seq("id"), branch = Some("exp"))
+        }
+      }
+    }
+    try Await.result(Future.sequence(writers),
+      scala.concurrent.duration.Duration(300, "s"))
+    finally pool.shutdown()
+    val head = Snapshots.refVersion(spark, dir, "exp")
+    // every one of the 12 racing upserts must survive on the branch
+    val ids = Snapshots.read(spark, dir, head)
+      .filter(col("id") >= 1000L).select("id").collect()
+      .map(_.getLong(0)).toSet
+    val expected = (for (w <- 0 until 3; k <- 1 to 4)
+      yield 1000L + 100 * w + k).toSet
+    assert(ids == expected,
+      s"lost branch commits: missing ${expected -- ids}")
+    // and the branch line is linear: 12 commits, each parenting the prior
+    var x = head; var n = 0
+    while (x > 1) { n += 1; x = Snapshots.parentsOf(spark, dir, x).head }
+    assert(n == 12, s"branch ancestry depth: $n")
+    assert(idsOf(dir, Snapshots.refVersion(spark, dir, "main")) ==
+      (1L to 50L), "main must be untouched")
+  }
+
   test("upsert and applyCdc on a branch: the CDC-into-a-branch " +
       "pipeline, main untouched until fast-forward") {
     val dir = tmpDir("cdcbranch")
