@@ -204,14 +204,11 @@ private[sources] object GraftProcedures {
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val head = Snapshots.latestVersion(spark, dir)
         require(head >= 1, s"history: no versions at $dir")
-        val onMain = {
-          val b = scala.collection.mutable.Set.empty[Int]
-          var v = Snapshots.mainVersion(spark, dir)
-          while (v >= 1 && !b.contains(v)) {
-            b += v; v = Snapshots.commitParent(f, dir, v)
-          }
-          b.toSet
-        }
+        // one commit-graph fetch serves the line walk, every instant,
+        // parent list and op verb below — O(CheckpointEvery) metadata
+        // opens for a deep table, not three side-files per version
+        val graph = Snapshots.commitGraph(f, dir, head)
+        val onMain = graph.ancestrySet(Snapshots.mainVersion(spark, dir))
         val schema = new StructType()
           .add("version", IntegerType).add("committed_at", TimestampType)
           .add("parents", StringType).add("n_files", IntegerType)
@@ -221,13 +218,13 @@ private[sources] object GraftProcedures {
           // vacuumed versions have no manifest anymore — skip them
           scala.util.Try(Snapshots.files(spark, dir, v)).toOption.map {
             fls =>
-              Seq[Any](v, Snapshots.commitInstant(f, dir, v) * 1000L,
-                Snapshots.parentsOf(spark, dir, v).mkString(" "),
+              Seq[Any](v, graph.instant(v) * 1000L,
+                graph.parents(v).filter(_ >= 1).mkString(" "),
                 fls.size, Snapshots.hasDv(spark, dir, v),
                 onMain.contains(v),
                 // the recorded mutation verb (vN.op — upsert/cdc/
                 // update); plain commits and pre-op tables show "write"
-                Snapshots.commitOp(spark, dir, v).map(_._1)
+                graph.op(v).map(_._1)
                   .getOrElse("write"))
           }
         })

@@ -495,10 +495,14 @@ private[sources] final class LineAncestry(spark: SparkSession,
   def upTo(f: org.apache.hadoop.fs.FileSystem, head: Int)
       : scala.collection.SortedSet[Int] = synchronized {
     if (head > walkedHead) {
+      // one commit-graph fetch (checkpoint + suffix), then in-memory:
+      // a stream RESTART against a year-deep table pays
+      // O(CheckpointEvery) metadata opens, not O(versions)
+      val g = Snapshots.commitGraph(f, dir, head)
       var v = head
       while (v >= 1 && !onLine.contains(v)) {
         onLine += v
-        val p = Snapshots.commitParent(f, dir, v)
+        val p = g.parent(v)
         v = if (p < v) p else -1
       }
       walkedHead = head
@@ -572,7 +576,7 @@ private[graft] class SnapshotStreamSource(spark: SparkSession,
     if (!addedCache.contains(cv) && addedCache.size > 1024)
       addedCache.clear()
     addedCache.getOrElseUpdate(cv, {
-      val parent = Snapshots.commitParent(f, dir, cv)
+      val parent = Snapshots.commitGraph(f, dir, cv).parent(cv)
       val parentSet =
         if (parent >= 1) Snapshots.files(spark, dir, parent).toSet
         else Set.empty[String]
@@ -714,10 +718,11 @@ private[graft] class SnapshotStreamSource(spark: SparkSession,
       // share the global version counter but are NOT on this line, so a
       // pure-append line must not fail on an interleaved other-line commit
       val chain = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val g = Snapshots.commitGraph(f, dir, v1)
       var v = v1
       while (v > v0 && v >= 1) {
         chain += v
-        val parent = Snapshots.commitParent(f, dir, v)
+        val parent = g.parent(v)
         v = if (parent < v) parent else -1
       }
       lazy val dv0Count: Long =
@@ -756,10 +761,11 @@ private[graft] class SnapshotStreamSource(spark: SparkSession,
         def resolve(p: FilePos): Int =
           if (p.i < 0) paths(p.v).size else p.i
         val vs = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val g = Snapshots.commitGraph(f, dir, v1)
         var v = v1
         while (v > v0 && v >= 1) {
           vs += v
-          val parent = Snapshots.commitParent(f, dir, v)
+          val parent = g.parent(v)
           v = if (parent < v) parent else -1
         }
         val tail = vs.reverseIterator.flatMap { cv =>
@@ -1281,11 +1287,12 @@ object SnapshotSource {
     }
     def filtered(df: DataFrame): DataFrame =
       pushedCol.map(df.filter).getOrElse(df)
+    val graph = Snapshots.commitGraph(f, dir, v1)
     def stamped(df: DataFrame, change: String, v: Int): DataFrame =
       df.withColumn("_change_type", lit(change))
         .withColumn("_commit_version", lit(v.toLong))
         .withColumn("_commit_timestamp",
-          timestamp_millis(lit(Snapshots.commitInstant(f, dir, v))))
+          timestamp_millis(lit(graph.instant(v))))
     def dvDelta(v: Int, parent: Int): Option[DataFrame] =
       Snapshots.dvFrame(spark, dir, v).map { cur =>
         (if (parent >= 1) Snapshots.dvFrame(spark, dir, parent) else None)
@@ -1299,11 +1306,11 @@ object SnapshotSource {
     var v = v1
     while (v > v0 && v >= 1) {
       chain += v
-      val parent = Snapshots.commitParent(f, dir, v)
+      val parent = graph.parent(v)
       v = if (parent < v) parent else -1
     }
     val frames = chain.reverseIterator.flatMap { cv =>
-      val parent = Snapshots.commitParent(f, dir, cv)
+      val parent = graph.parent(cv)
       val parentFiles: Seq[String] =
         if (parent >= 1) Snapshots.files(spark, dir, parent)
         else Seq.empty
@@ -1317,7 +1324,7 @@ object SnapshotSource {
         // rest were genuine deletes — and symmetrically for inserts).
         // No op file (plain appends/deletes, pre-op-file tables) keeps
         // the generic insert/delete typing.
-        val opInfo = Snapshots.commitOp(spark, dir, cv)
+        val opInfo = graph.op(cv)
         // key-split typing joins pre against post: pruning or filtering
         // EITHER input before the split would misclassify change types
         // (a preimage whose postimage the filter drops would read as a

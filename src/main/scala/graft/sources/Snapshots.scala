@@ -784,8 +784,10 @@ object Snapshots {
     * `("upsert", keys)` / `("cdc", keys)` / `("update", Nil)` — or None
     * for plain commits and pre-op-file tables. */
   private[sources] def commitOp(s: SparkSession, dir: String, v: Int)
+      : Option[(String, Seq[String])] = commitOpF(fs(s, dir), dir, v)
+
+  private def commitOpF(f: FileSystem, dir: String, v: Int)
       : Option[(String, Seq[String])] = {
-    val f = fs(s, dir)
     val p = new Path(dir, s"v$v.op")
     if (!f.exists(p)) None
     else {
@@ -857,12 +859,14 @@ object Snapshots {
       : Option[(Long, Boolean)] = {
     val f = fs(s, dir)
     // a branch-targeted stream's replay cursor lives on the BRANCH's
-    // ancestry — main's stamps are another line's history
+    // ancestry — main's stamps are another line's history. One graph
+    // fetch, then an in-memory walk: a stream restarting against a
+    // year-deep table costs O(CheckpointEvery) opens, not O(versions).
     var v = ref.map(refVersion(s, dir, _)).getOrElse(mainVersion(s, dir))
+    val g = commitGraph(f, dir, v)
     while (v >= 1) {
-      readMeta(f, dir, v) match {
-        case Some(m) if m.size >= 3 =>
-          val stamp = m(2)
+      g.txn(v) match {
+        case Some(stamp) =>
           val sep = stamp.lastIndexOf(':')
           if (sep < 0) // legacy bare batch id
             return stamp.toLongOption.map((_, true))
@@ -871,7 +875,7 @@ object Snapshots {
           // another query's stamp: keep walking for ours
         case _ =>
       }
-      val parent = commitParent(f, dir, v)
+      val parent = g.parent(v)
       v = if (parent < v) parent else -1 // defensive: never loop
     }
     None
@@ -921,10 +925,20 @@ object Snapshots {
 
   private def ckptPath(dir: String, v: Int) = new Path(dir, s"v$v.ckpt")
 
-  /** Parsed cumulative metadata of commits 1..v. */
+  /** One commit's graph record: (instant millis — 0 = unknown, parent
+    * versions main-side first, streaming-sink txn stamp `queryId:batch`). */
+  private[sources] type MetaRec = (Long, Seq[Int], Option[String])
+
+  /** Parsed cumulative metadata of commits 1..v. `metas`/`ops` (the
+    * COMMIT GRAPH: parent pointers, commit instants, stream-txn stamps,
+    * operation verbs) cover every commit 1..v when present — older
+    * checkpoints lack them and readers fall back to per-version
+    * side-file reads until the next checkpoint upgrades. */
   private[sources] case class Ckpt(v: Int,
       stats: Vector[(String, (String, String, String, String))],
-      renames: Map[Int, Seq[(String, String)]])
+      renames: Map[Int, Seq[(String, String)]],
+      metas: Map[Int, MetaRec] = Map.empty,
+      ops: Map[Int, (String, Seq[String])] = Map.empty)
 
   private val ckptMemo =
     scala.collection.concurrent.TrieMap.empty[(String, Int), (Long, Ckpt)]
@@ -964,6 +978,15 @@ object Snapshots {
       rs.foreach { case (o, n) =>
         b.append(Seq("R", c.toString, o, n).mkString(sep)).append('\n') }
     }
+    // commit-graph records: M = meta (instant, space-separated parents,
+    // optional stream-txn stamp), O = operation verb + key columns. The
+    // parser ignores unknown tags, so pre-graph readers skip these.
+    ck.metas.toSeq.sortBy(_._1).foreach { case (c, (ts, ps, txn)) =>
+      b.append(Seq("M", c.toString, ts.toString, ps.mkString(" "),
+        txn.getOrElse("")).mkString(sep)).append('\n') }
+    ck.ops.toSeq.sortBy(_._1).foreach { case (c, (verb, keys)) =>
+      b.append(Seq("O", c.toString, verb, keys.mkString(","))
+        .mkString(sep)).append('\n') }
     b.result()
   }
 
@@ -972,6 +995,8 @@ object Snapshots {
       Vector.newBuilder[(String, (String, String, String, String))]
     val ren =
       scala.collection.mutable.Map.empty[Int, List[(String, String)]]
+    val metas = Map.newBuilder[Int, MetaRec]
+    val ops = Map.newBuilder[Int, (String, Seq[String])]
     txt.split('\n').iterator.filter(_.nonEmpty).foreach { l =>
       val a = l.split(SepCh)
       a(0) match {
@@ -979,12 +1004,24 @@ object Snapshots {
         case "R" =>
           val c = a(1).toInt
           ren(c) = ren.getOrElse(c, Nil) :+ ((a(2), a(3)))
+        case "M" =>
+          // trailing empty fields are dropped by split — lift them back
+          val ps = if (a.length > 3) a(3).split(' ').toSeq
+            .flatMap(_.toIntOption) else Seq.empty
+          val txn = if (a.length > 4 && a(4).nonEmpty) Some(a(4)) else None
+          metas += ((a(1).toInt, (a(2).toLong,
+            if (ps.nonEmpty) ps else Seq(a(1).toInt - 1), txn)))
+        case "O" =>
+          val keys = if (a.length > 3) a(3).split(',').toSeq
+            .map(_.trim).filter(_.nonEmpty) else Seq.empty
+          ops += ((a(1).toInt, (a(2), keys)))
         case _ => // C marker / future record types: ignore
       }
     }
     Ckpt(v, stats.result(),
       ren.iterator.map { case (k, vs) => k -> (vs: Seq[(String, String)]) }
-        .toMap)
+        .toMap,
+      metas.result(), ops.result())
   }
 
   private def loadCkpt(f: FileSystem, dir: String, cv: Int, epoch: Long)
@@ -1084,6 +1121,96 @@ object Snapshots {
     m.withDefaultValue(Seq.empty)
   }
 
+  /** One commit's [[MetaRec]] from its `vN.meta` side-file; the linear
+    * default `(0, Seq(c-1), None)` for absent metas (legacy or vacuumed
+    * versions) — the same fallbacks [[commitParent]]/[[commitInstant]]
+    * apply per call, baked into the fold so covered commits never
+    * re-probe the filesystem. */
+  private def metaRecOf(f: FileSystem, dir: String, c: Int): MetaRec =
+    readMeta(f, dir, c) match {
+      case Some(m) =>
+        val inst = m.head.toLongOption.getOrElse(0L)
+        val ps = if (m.size >= 2)
+          m(1).split(' ').toSeq.flatMap(_.toIntOption) else Seq.empty
+        val txn = if (m.size >= 3 && m(2).nonEmpty) Some(m(2)) else None
+        (inst, if (ps.nonEmpty) ps else Seq(c - 1), txn)
+      case None => (0L, Seq(c - 1), None)
+    }
+
+  /** The COMMIT GRAPH of versions 1..v, resolved as checkpoint + suffix
+    * walk + additive session memo — the ancestry twin of
+    * [[statLinesUpTo]]. Every deep-history walk (branch merge, time
+    * travel, `system.history`, the streaming source's line ancestry,
+    * the sink's replay cursor) fetches this ONCE at its head and then
+    * walks in memory, so a 260k-version streaming table costs
+    * O(CheckpointEvery) metadata opens per walk, not O(versions).
+    * Commits the fold covered answer from the maps; commits outside
+    * (a pre-graph table whose checkpoint predates M/O records) fall
+    * back to per-version side-file reads — never wrong, only slower
+    * until the next checkpoint upgrades. */
+  private[sources] final class CommitGraph(f: FileSystem, dir: String,
+      metas: Map[Int, MetaRec], ops: Map[Int, (String, Seq[String])]) {
+    private def covered(c: Int): Boolean = metas.contains(c)
+    def parents(c: Int): Seq[Int] =
+      metas.get(c).map(_._2).getOrElse(commitParents(f, dir, c))
+    def parent(c: Int): Int = parents(c).headOption.getOrElse(c - 1)
+    def instant(c: Int): Long = metas.get(c).map(_._1).filter(_ != 0L)
+      .getOrElse(commitInstant(f, dir, c))
+    def txn(c: Int): Option[String] =
+      if (covered(c)) metas(c)._3
+      else readMeta(f, dir, c).filter(_.size >= 3).map(_(2))
+        .filter(_.nonEmpty)
+    def op(c: Int): Option[(String, Seq[String])] =
+      // the fold records an entry for EVERY covered commit's meta, so a
+      // covered commit absent from `ops` genuinely has no op file
+      if (covered(c)) ops.get(c) else commitOpF(f, dir, c)
+    /** `head` plus every ancestor through FIRST-parent pointers — the
+      * line-membership set ([[mainAncestry]]'s walk, in memory). */
+    def ancestrySet(head: Int): Set[Int] = {
+      val anc = scala.collection.mutable.Set.empty[Int]
+      var v = head
+      while (v >= 1 && !anc.contains(v)) {
+        anc += v
+        val p = parent(v)
+        v = if (p < v) p else 0 // defensive: never loop
+      }
+      anc.toSet
+    }
+  }
+
+  private val cumGraphMemo = scala.collection.concurrent.TrieMap.empty[
+    String, (Long, Int, Map[Int, MetaRec], Map[Int, (String, Seq[String])])]
+
+  /** The commit graph covering versions 1..v (see [[CommitGraph]]). */
+  private[sources] def commitGraph(f: FileSystem, dir: String, v: Int)
+      : CommitGraph = {
+    val epoch = tableEpoch(f, dir)
+    def fold(m0: Map[Int, MetaRec],
+        o0: Map[Int, (String, Seq[String])], from: Int)
+        : (Map[Int, MetaRec], Map[Int, (String, Seq[String])]) = {
+      val m = m0 ++ (from + 1 to v).map(c => c -> metaRecOf(f, dir, c))
+      val o = o0 ++
+        (from + 1 to v).flatMap(c => commitOpF(f, dir, c).map(c -> _))
+      cumGraphMemo.put(dir, (epoch, v, m, o))
+      (m, o)
+    }
+    val (ms, os) = cumGraphMemo.get(dir) match {
+      case Some((e, cv, m, o)) if e == epoch && cv >= v => (m, o)
+      case Some((e, cv, m, o)) if e == epoch => fold(m, o, cv)
+      case _ =>
+        val ck = newestCkptAt(f, dir, v, epoch)
+        // a pre-graph checkpoint (no M records) folds from scratch ONCE
+        // per session; the next checkpoint write upgrades it durably
+        val from = ck.filter(_.metas.nonEmpty).map(_.v).getOrElse(0)
+        fold(ck.map(_.metas).getOrElse(Map.empty),
+          ck.map(_.ops).getOrElse(Map.empty), from)
+    }
+    new CommitGraph(f, dir, ms, os)
+  }
+
+  private[sources] def commitGraph(s: SparkSession, dir: String, v: Int)
+      : CommitGraph = commitGraph(fs(s, dir), dir, v)
+
   /** Write `v`'s checkpoint when `v` is a [[CheckpointEvery]] multiple.
     * Called AFTER the manifest publish by every commit path;
     * best-effort (redundant state - a failure degrades reads to the
@@ -1095,12 +1222,20 @@ object Snapshots {
         val epoch = tableEpoch(f, dir)
         val base = newestCkptAt(f, dir, v - 1, epoch)
         val from = base.map(_.v).getOrElse(0)
+        // graph records fold from the base when it carries them; a
+        // pre-graph base checkpoint upgrades by folding 1..v once
+        val gFrom = base.filter(_.metas.nonEmpty).map(_.v).getOrElse(0)
         val ck = Ckpt(v,
           base.map(_.stats).getOrElse(Vector.empty) ++
             (from + 1 to v).flatMap(statLinesOf(f, dir, _)),
           base.map(_.renames).getOrElse(Map.empty) ++
             (from + 1 to v).map(c => c -> renamesOfF(f, dir, c))
-              .filter(_._2.nonEmpty))
+              .filter(_._2.nonEmpty),
+          base.map(_.metas).getOrElse(Map.empty) ++
+            (gFrom + 1 to v).map(c => c -> metaRecOf(f, dir, c)),
+          base.map(_.ops).getOrElse(Map.empty) ++
+            (gFrom + 1 to v).flatMap(c =>
+              commitOpF(f, dir, c).map(c -> _)))
         val tmp = new Path(dir, s"_v$v.ckpt.tmp")
         val o = f.create(tmp, true)
         try o.write(renderCkpt(ck).getBytes("UTF-8")) finally o.close()
@@ -1118,6 +1253,7 @@ object Snapshots {
   private[sources] def forgetMemos(dir: String): Unit = {
     cumStatsMemo.remove(dir)
     cumRenMemo.remove(dir)
+    cumGraphMemo.remove(dir)
     coverMemo.remove(dir)
     ckptMemo.keys.filter(_._1 == dir).foreach(ckptMemo.remove)
     ()
@@ -2315,12 +2451,15 @@ object Snapshots {
     val root = new Path(dir)
     if (!f.exists(root)) 0
     else {
-      val candidates = f.listStatus(root).toSeq
+      val published = f.listStatus(root).toSeq
         .flatMap(st => st.getPath.getName match {
-          case ManifestName(n)
-            if commitInstant(f, dir, n.toInt) <= tsMillis => Some(n.toInt)
+          case ManifestName(n) => Some(n.toInt)
           case _ => None
         })
+      // commit instants through the graph: one checkpoint + suffix read
+      // instead of one vN.meta open per live manifest
+      val g = commitGraph(f, dir, published.maxOption.getOrElse(0))
+      val candidates = published.filter(g.instant(_) <= tsMillis)
       // on a ref-tracked table, time travel follows the requested LINE
       // (main by default, a named ref when given): branch commits share
       // the global version counter, so the raw max over all manifests
@@ -2359,26 +2498,28 @@ object Snapshots {
     val head = ref.map(refVersion(s, dir, _))
       .getOrElse(mainVersion(s, dir))
     if (head < 1) return 1
-    mainAncestry(f, dir, head).toSeq.sorted
-      .find(v => f.exists(manifest(dir, v)) &&
-        (try commitInstant(f, dir, v) >= tsMillis
+    // one directory listing bounds the vacuum check; instants and the
+    // line walk come off one commit-graph fetch — no per-version RPCs
+    val live = f.listStatus(new Path(dir)).toSeq
+      .flatMap(_.getPath.getName match {
+        case ManifestName(n) => Some(n.toInt)
+        case _ => None
+      }).toSet
+    val g = commitGraph(f, dir, head)
+    g.ancestrySet(head).toSeq.sorted
+      .find(v => live.contains(v) &&
+        (try g.instant(v) >= tsMillis
          catch { case _: Exception => false }))
       .getOrElse(head + 1)
   }
 
   /** The set of versions on a line: `head` plus every ancestor
-    * reachable through the vN.meta parent pointers (O(versions) tiny
-    * metadata reads, no data). */
+    * reachable through the vN.meta parent pointers — one
+    * [[commitGraph]] fetch (checkpoint + ≤CheckpointEvery side-files),
+    * then an in-memory walk. */
   private def mainAncestry(f: FileSystem, dir: String, head: Int)
-      : Set[Int] = {
-    val anc = scala.collection.mutable.Set.empty[Int]
-    var v = head
-    while (v >= 1 && !anc.contains(v)) {
-      anc += v
-      v = commitParent(f, dir, v)
-    }
-    anc.toSet
-  }
+      : Set[Int] =
+    commitGraph(f, dir, head).ancestrySet(head)
 
   /** [[read]] at the version live at `tsMillis` (see [[versionAsOf]]). */
   def readAsOf(s: SparkSession, dir: String, tsMillis: Long): DataFrame = {
@@ -2538,8 +2679,9 @@ object Snapshots {
       require(!isTag, s"cannot fast-forward tag '$name'")
       require(f.exists(manifest(dir, toVersion)),
         s"fastForward: version $toVersion does not exist at $dir")
+      val g = commitGraph(f, dir, toVersion)
       var walk = toVersion
-      while (walk > head) walk = commitParent(f, dir, walk)
+      while (walk > head) walk = g.parent(walk)
       require(walk == head,
         s"fastForward: v$toVersion does not descend from '$name' head " +
           s"v$head — refusing a non-fast-forward ref move")
@@ -2605,11 +2747,15 @@ object Snapshots {
       require(!isTag, s"cannot merge tag '$name' — tags are immutable")
       val mHead = mainHead(f, dir, v - 1)
       require(mHead >= 1, s"mergeBranch: main has no commits at $dir")
+      // one graph fetch serves both sides' ancestry walks, the rewrite
+      // validation below, and the op lookups — O(CheckpointEvery)
+      // metadata opens however deep the table's history is
+      val g = commitGraph(f, dir, math.max(mHead, bHead))
       def ancestors(x0: Int): List[Int] = {
         var x = x0; val buf = List.newBuilder[Int]
         while (x >= 1) {
           buf += x
-          val p = commitParent(f, dir, x); x = if (p < x) p else 0
+          val p = g.parent(x); x = if (p < x) p else 0
         }
         buf.result()
       }
@@ -2713,11 +2859,11 @@ object Snapshots {
           // keys would false-positive).
           var x = mHead
           while (x > 0 && x != base) {
-            val p = commitParent(f, dir, x)
+            val p = g.parent(x)
             val pf =
               if (p >= 1) files(s, dir, p).toSet else Set.empty[String]
             if (!pf.subsetOf(files(s, dir, x).toSet))
-              require(commitOp(s, dir, x).exists(op =>
+              require(g.op(x).exists(op =>
                   op._1 == "optimize" || op._1 == "compact" ||
                   op._1 == "restore"),
                 s"mergeBranch: main rewrote files at v$x since the " +

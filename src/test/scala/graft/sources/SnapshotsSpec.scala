@@ -1934,5 +1934,62 @@ class SnapshotsSpec extends SparkSpec {
     val dmlOpens = Snapshots.sideFileOpens.get() - b3
     assert(dmlOpens <= 3L * k,
       s"deep-table DELETE opened $dmlOpens side-files (budget ${3 * k})")
+
+    // COMMIT GRAPH through the checkpoint: ancestry-shaped reads on the
+    // deep table (time travel, stream restart) fold parents/instants
+    // from vN.ckpt M records + a short suffix — O(CheckpointEvery)
+    // opens, not one vN.meta per version
+    val head = Snapshots.latestVersion(spark, dir) // 201 after the DELETE
+    Snapshots.forgetMemos(dir)
+    val b4 = Snapshots.sideFileOpens.get()
+    val vAt = Snapshots.versionAsOf(spark, dir,
+      System.currentTimeMillis() + 60000L)
+    assert(vAt == head, s"versionAsOf resolved v$vAt")
+    val asOfOpens = Snapshots.sideFileOpens.get() - b4
+    assert(asOfOpens <= k.toLong + 5,
+      s"cold versionAsOf opened $asOfOpens side-files (budget ${k + 5})")
+    // stream RESTART: the line-ancestry walk a fresh source pays
+    Snapshots.forgetMemos(dir)
+    val b5 = Snapshots.sideFileOpens.get()
+    val anc = new LineAncestry(spark, dir).upTo(f, head)
+    assert(anc.size == head && anc.head == 1)
+    val lineOpens = Snapshots.sideFileOpens.get() - b5
+    assert(lineOpens <= k.toLong + 5,
+      s"cold stream-restart ancestry opened $lineOpens side-files " +
+        s"(budget ${k + 5})")
+  }
+
+  test("commit graph through the checkpoint: branch merge on a deep " +
+      "table costs O(CheckpointEvery) metadata opens, not O(versions)") {
+    import spark.implicits._
+    val dir = tmpDir("ckpt-graph-merge")
+    (1 to 105).foreach { i =>
+      Snapshots.commit(spark, dir,
+        Seq((i.toLong, s"row$i")).toDF("id", "payload").coalesce(1),
+        append = true, statsCols = Seq("id"))
+    }
+    Snapshots.createRef(spark, dir, "exp")                  // head v105
+    (1 to 3).foreach { j =>
+      Snapshots.upsert(spark, dir,
+        Seq((2000L + j, s"b$j")).toDF("id", "payload"), Seq("id"),
+        branch = Some("exp"))                               // v106-108
+    }
+    Snapshots.commit(spark, dir,
+      Seq((3000L, "m")).toDF("id", "payload").coalesce(1),
+      append = true)                                        // v109 (main)
+    val k = Snapshots.CheckpointEvery
+    Snapshots.forgetMemos(dir)
+    val before = Snapshots.sideFileOpens.get()
+    val merged = Snapshots.mergeBranch(spark, dir, "exp",
+      keyCols = Seq("id"))
+    val opens = Snapshots.sideFileOpens.get() - before
+    // both ancestry walks + rewrite validation ride ONE graph fetch
+    // (ckpt at v100 + ≤9 suffix metas); the remaining opens are the
+    // merge's own manifests/refs/stats — bounded, never O(105)
+    assert(opens <= 3L * k,
+      s"deep-table mergeBranch opened $opens side-files (budget ${3 * k})")
+    val ids = idsOf(dir, merged)
+    assert(ids.contains(3000L) && ids.contains(2001L) &&
+      ids.contains(105L), s"merge lost rows")
   }
 }
