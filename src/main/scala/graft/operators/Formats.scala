@@ -1749,6 +1749,111 @@ object Formats extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // Truncate partition transform (f50, f46's twin): `PARTITIONED BY
+    // (truncate(100, doc_id), truncate(4, source))` — strings cluster
+    // by their 4-char PREFIX, integrals by the 100-aligned floor, and
+    // each file records the derived value under a virtual stats name
+    // beside the raw bounds. A `LIKE 'src1%'` DELETE prunes by derived
+    // prefix-EQUALITY (the pattern's literal prefix covers the
+    // truncation width), a doc_id range DELETE by the floor's range
+    // (prune counters pinned in GraftCatalogSpec; this row
+    // hash-certifies the transformed lifecycle's CONTENT end to end).
+    "f50_truncate_transform" -> ((s, d) => {
+      val wh = ioDir(d, "f50_wh")
+      val cat = "graft50_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val tdir = s"$wh/db/docs50"
+      writeOnce(s, tdir, alsoRequire =
+          graft.sources.Snapshots.latestVersion(s, tdir) == 4) {
+        val root = new org.apache.hadoop.fs.Path(wh)
+        val fsys = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fsys.delete(root, true)
+        s.sql(s"CREATE TABLE $cat.db.docs50 (doc_id BIGINT, " +
+          "lang STRING, source STRING, n_chars BIGINT) " +
+          "PARTITIONED BY (truncate(100, doc_id), truncate(4, source))")
+        T.documents(s, d).createOrReplaceTempView("f50_docs")
+        s.sql(s"INSERT INTO $cat.db.docs50 SELECT doc_id, lang, " +
+          "source, n_chars FROM f50_docs WHERE pmod(doc_id, 2) = 0") // v1
+        s.sql(s"INSERT INTO $cat.db.docs50 SELECT doc_id, lang, " +
+          "source, n_chars FROM f50_docs WHERE pmod(doc_id, 2) = 1") // v2
+        s.sql(s"DELETE FROM $cat.db.docs50 " +
+          "WHERE source LIKE 'src1%'")                              // v3
+        s.sql(s"DELETE FROM $cat.db.docs50 " +
+          "WHERE doc_id >= 150 AND doc_id < 250")                   // v4
+        ()
+      }
+      val transformsOk = {
+        val cm = s.sessionState.catalogManager.catalog(cat)
+          .asInstanceOf[graft.sources.GraftCatalog]
+        cm.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+            .of(Array("db"), "docs50"))
+          .partitioning().map(_.describe()).toSeq ==
+          Seq("truncate(100, doc_id)", "truncate(4, source)")
+      }
+      s.sql(s"SELECT * FROM $cat.db.docs50")
+        .groupBy(col("lang")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .select(col("lang"), col("n_docs"), col("sum_chars"),
+          lit(transformsOk).as("transforms_ok"))
+        .orderBy(col("lang"))
+    }),
+
+    // MERGE schema evolution (f51): `MERGE WITH SCHEMA EVOLUTION` whose
+    // source carries a column the target lacks — the analyzer computes
+    // the missing-column TableChanges and the catalog publishes them as
+    // ONE logical ADD COLUMNS commit (metadata-sized, no data file
+    // rewritten), then the MERGE routes under the evolved schema:
+    // updated/inserted rows carry the new column, pre-evolution rows
+    // read null. Verdict: per-lang aggregate counting the evolved
+    // column's non-null rows. The DuckDB oracle replays the evolution
+    // as a NULL-extended union.
+    "f51_merge_schema_evolution" -> ((s, d) => {
+      val wh = ioDir(d, "f51_wh")
+      val cat = "graft51_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val tdir = s"$wh/db/docs51"
+      writeOnce(s, tdir, alsoRequire =
+          graft.sources.Snapshots.latestVersion(s, tdir) == 3) {
+        val root = new org.apache.hadoop.fs.Path(wh)
+        val fsys = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fsys.delete(root, true)
+        T.documents(s, d).createOrReplaceTempView("f51_docs")
+        s.sql(s"CREATE TABLE $cat.db.docs51 (doc_id BIGINT, " +
+          "lang STRING, n_chars BIGINT)")
+        s.sql(s"INSERT INTO $cat.db.docs51 SELECT doc_id, lang, " +
+          "n_chars FROM f51_docs")                                  // v1
+        // matched thirds arrive re-counted (+7) WITH a provenance
+        // column the target lacks; every 11th doc also arrives under a
+        // fresh key — one ADD COLUMNS commit (v2) + one MERGE (v3)
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW f51_src AS " +
+          "SELECT doc_id, lang, n_chars + 7 AS n_chars, source " +
+          "FROM f51_docs WHERE doc_id % 3 = 0 " +
+          "UNION ALL SELECT doc_id + 40000000 AS doc_id, lang, " +
+          "CAST(777 AS BIGINT) AS n_chars, source FROM f51_docs " +
+          "WHERE doc_id % 11 = 0")
+        s.sql(s"MERGE WITH SCHEMA EVOLUTION INTO $cat.db.docs51 t " +
+          "USING f51_src s ON t.doc_id = s.doc_id " +
+          "WHEN MATCHED THEN UPDATE SET * " +
+          "WHEN NOT MATCHED THEN INSERT *")
+        ()
+      }
+      val evolutionOk =
+        s.sql(s"SELECT * FROM $cat.db.docs51").columns.toSeq ==
+          Seq("doc_id", "lang", "n_chars", "source") &&
+        graft.sources.Snapshots.latestVersion(s, tdir) == 3
+      s.sql(s"SELECT * FROM $cat.db.docs51")
+        .groupBy(col("lang")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          count(col("source")).as("n_src"))
+        .select(col("lang"), col("n_docs"), col("sum_chars"),
+          col("n_src"), lit(evolutionOk).as("evolution_ok"))
+        .orderBy(col("lang"))
+    }),
+
     // Logical DROP COLUMN (f45): ALTER TABLE DROP COLUMN records the
     // drop in the rename chain — ONE metadata-sized commit, no data
     // file rewritten at any table size. Time travel below the drop
@@ -2562,6 +2667,46 @@ object Formats extends QueryPack {
              CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              TRUE AS published_ok
       FROM (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+      GROUP BY lang
+      ORDER BY lang""",
+    // f50: replay the truncate-clustered lifecycle — src1-prefixed
+    // sources deleted, then the doc_id 150..249 range
+    "f50_truncate_transform" -> """
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             TRUE AS transforms_ok
+      FROM documents
+      WHERE source NOT LIKE 'src1%'
+        AND NOT (doc_id >= 150 AND doc_id < 250)
+      GROUP BY lang
+      ORDER BY lang""",
+    // f51: replay the evolving MERGE — thirds updated (+7, provenance
+    // attached), 11ths inserted under shifted keys, everything else
+    // NULL-extended for the evolved column
+    "f51_merge_schema_evolution" -> """
+      WITH src AS (
+        SELECT doc_id, lang, n_chars + 7 AS n_chars, source
+        FROM documents WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id + 40000000 AS doc_id, lang, 777 AS n_chars, source
+        FROM documents WHERE doc_id % 11 = 0
+      ),
+      head AS (
+        SELECT d.doc_id, d.lang,
+               COALESCE(s.n_chars, d.n_chars) AS n_chars,
+               s.source AS source
+        FROM documents d LEFT JOIN src s ON s.doc_id = d.doc_id
+        UNION ALL
+        SELECT doc_id, lang, n_chars, source FROM src
+        WHERE doc_id >= 40000000
+      )
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             CAST(count(source) AS BIGINT) AS n_src,
+             TRUE AS evolution_ok
+      FROM head
       GROUP BY lang
       ORDER BY lang""",
     // f45: head = all documents with null source (the drop severed the

@@ -162,12 +162,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         new SnapshotTableV2(tableDir(ident), fullName(ident))
     }
 
-  /** `SELECT … VERSION AS OF v`: the TableCatalog time-travel hook. */
+  /** `SELECT … VERSION AS OF v`: the TableCatalog time-travel hook. On
+    * a `t@branch` handle the version must lie ON THE BRANCH'S ANCESTRY
+    * — versions share one global counter across lines, so accepting an
+    * off-line number would silently serve another line's data. */
   override def loadTable(ident: Identifier, version: String): Table = {
-    require(splitBranch(ident).isEmpty,
-      "graft catalog: branch addressing and VERSION AS OF are exclusive")
-    if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    val dir = tableDir(ident)
+    val (base, ref) = splitBranch(ident)
+      .getOrElse((ident, null: String))
+    if (!tableExists(base)) throw new NoSuchTableException(base)
+    val dir = tableDir(base)
     val v = try version.toInt catch {
       case _: NumberFormatException => throw new IllegalArgumentException(
         s"graft catalog: VERSION AS OF takes a snapshot version number, " +
@@ -175,17 +178,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     require(v >= 1 && Snapshots.latestVersion(spark, dir) >= v,
       s"graft catalog: version $v does not exist at $dir")
+    if (ref != null) {
+      val (head, isTag) = Snapshots.refs(spark, dir).getOrElse(ref,
+        throw new IllegalArgumentException(
+          s"graft catalog: no branch '$ref' on ${fullName(base)}"))
+      require(!isTag, s"graft catalog: '$ref' is a tag — tags are " +
+        "immutable; address a branch")
+      require(Snapshots.onLine(spark, dir, head, v),
+        s"graft catalog: version $v is not on branch '$ref''s line " +
+          s"(head v$head) — it belongs to another line's history")
+    }
     new SnapshotTableV2(dir, fullName(ident), pinnedVersion = Some(v))
   }
 
   /** `SELECT … TIMESTAMP AS OF ts` (micros per the DSv2 contract),
-    * resolved along main's ancestry via [[Snapshots.versionAsOf]]. */
+    * resolved along main's ancestry via [[Snapshots.versionAsOf]] — or
+    * along the NAMED BRANCH's ancestry on a `t@branch` handle. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
-    require(splitBranch(ident).isEmpty,
-      "graft catalog: branch addressing and TIMESTAMP AS OF are exclusive")
-    if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    val dir = tableDir(ident)
-    val v = Snapshots.versionAsOf(spark, dir, timestampMicros / 1000L)
+    val (base, ref) = splitBranch(ident)
+      .getOrElse((ident, null: String))
+    if (!tableExists(base)) throw new NoSuchTableException(base)
+    val dir = tableDir(base)
+    val v = Snapshots.versionAsOf(spark, dir, timestampMicros / 1000L,
+      ref = Option(ref))
     require(v >= 1,
       s"graft catalog: no version of $dir existed at $timestampMicros us")
     new SnapshotTableV2(dir, fullName(ident), pinnedVersion = Some(v))
@@ -591,6 +606,23 @@ private[graft] object GraftCatalog {
       org.apache.spark.sql.functions.date_trunc(unit,
         org.apache.spark.sql.functions.col(col))
   }
+  /** Iceberg's `truncate(n, col)`: strings cluster by their n-char
+    * PREFIX, integrals by the n-aligned floor `v - pmod(v, n)`. The
+    * derived value is additionally recorded under the spec's VIRTUAL
+    * stats name (like bucket ids), so equality/range and LIKE-prefix
+    * predicates prune through it ([[Snapshots.condMatchableFiles]]);
+    * the raw column's bounds are recorded too (like identity), so
+    * plain comparisons prune without the derivation. */
+  private[sources] final case class TruncateCluster(n: Int, col: String)
+      extends ClusterSpec {
+    def render: String = s"trunc:$n:$col"
+    /** the STRING shape; [[clusterFor]] substitutes the arithmetic
+      * floor for integral columns (schema in hand there) */
+    def clusterExpr: org.apache.spark.sql.Column =
+      org.apache.spark.sql.functions.substring(
+        org.apache.spark.sql.functions.col(col), 1, n)
+  }
+
   private[sources] final case class BucketCluster(n: Int, col: String)
       extends ClusterSpec {
     def render: String = s"bucket:$n:$col"
@@ -637,11 +669,30 @@ private[graft] object GraftCatalog {
         s"graft catalog: PARTITIONED BY bucket: missing bucket count"))
       require(buckets > 0, "graft catalog: bucket count must be positive")
       BucketCluster(buckets, n)
+    case t if t.name == "truncate" && t.references.length == 1 =>
+      val n = t.references.head.fieldNames.mkString(".")
+      val fld = schema.fields.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft catalog: PARTITIONED BY column $n is not in the schema"))
+      import org.apache.spark.sql.types._
+      require(fld.dataType == StringType ||
+          fld.dataType == ByteType || fld.dataType == ShortType ||
+          fld.dataType == IntegerType || fld.dataType == LongType,
+        s"graft catalog: PARTITIONED BY truncate($n): $n is " +
+          s"${fld.dataType.simpleString} — truncate clusters strings " +
+          "(prefix) and integrals (width-aligned floor)")
+      val width = t.arguments.collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          l.value.toString.toInt
+      }.getOrElse(throw new IllegalArgumentException(
+        s"graft catalog: PARTITIONED BY truncate: missing width"))
+      require(width > 0, "graft catalog: truncate width must be positive")
+      TruncateCluster(width, n)
     case other => throw new UnsupportedOperationException(
       s"graft catalog: PARTITIONED BY ${other.describe} is not " +
-        "supported — identity, days/months/years/hours and " +
-        "bucket(n, col) implement as clustered writes + stat pruning; " +
-        "use OPTIMIZE ZORDER for multi-dimensional clustering")
+        "supported — identity, days/months/years/hours, bucket(n, col) " +
+        "and truncate(n, col) implement as clustered writes + stat " +
+        "pruning; use OPTIMIZE ZORDER for multi-dimensional clustering")
   }
 
   /** Parse `_CLUSTER` entries back to specs (legacy plain names =
@@ -654,6 +705,8 @@ private[graft] object GraftCatalog {
         TruncCluster(u, c)
       case Array("bucket", n, c) if n.forall(_.isDigit) && n.nonEmpty =>
         BucketCluster(n.toInt, c)
+      case Array("trunc", n, c) if n.forall(_.isDigit) && n.nonEmpty =>
+        TruncateCluster(n.toInt, c)
       case _ => IdentityCluster(e)
     }
   }
@@ -705,14 +758,35 @@ private[graft] object GraftCatalog {
     val defaults = Snapshots.defaultStatsCols(data.schema)
     if (specs.isEmpty) (data, defaults, Seq.empty)
     else {
+      import org.apache.spark.sql.types._
+      def dtypeOf(c: String): Option[DataType] =
+        data.schema.fields.find(_.name == c).map(_.dataType)
       val statCols = (defaults ++ specs.collect {
         case IdentityCluster(c) => c
         case TruncCluster(_, c) => c
+        case TruncateCluster(_, c) => c
       }).distinct
-      val virt = specs.collect { case b @ BucketCluster(n, c) =>
-        (b.render, s"pmod(hash(`$c`), $n)", "integer") }
-      (data.repartitionByRange(specs.map(_.clusterExpr): _*),
-        statCols, virt)
+      val virt = specs.flatMap {
+        case b @ BucketCluster(n, c) =>
+          Some((b.render, s"pmod(hash(`$c`), $n)", "integer"))
+        case t @ TruncateCluster(n, c) => dtypeOf(c).map {
+          case StringType => (t.render, s"substring(`$c`, 1, $n)", "string")
+          case dt => (t.render, s"`$c` - pmod(`$c`, $n)", dt.typeName)
+        }
+        case _ => None
+      }
+      // truncate on an integral column clusters by the arithmetic
+      // floor, not the prefix string — dispatch on the observed type
+      val exprs = specs.map {
+        case t @ TruncateCluster(n, c)
+            if !dtypeOf(c).contains(StringType) =>
+          org.apache.spark.sql.functions.col(c) -
+            org.apache.spark.sql.functions.pmod(
+              org.apache.spark.sql.functions.col(c),
+              org.apache.spark.sql.functions.lit(n))
+        case sp => sp.clusterExpr
+      }
+      (data.repartitionByRange(exprs: _*), statCols, virt)
     }
   }
 }
@@ -784,9 +858,15 @@ private[graft] class SnapshotTableV2(val dir: String,
   }
 
   override def capabilities(): util.Set[TableCapability] =
+    // AUTOMATIC_SCHEMA_EVOLUTION opts into Spark's `MERGE WITH SCHEMA
+    // EVOLUTION`: the analyzer computes the missing-column TableChanges
+    // and routes them through alterTable — which publishes them as ONE
+    // logical ADD COLUMNS commit (no data rewritten; pre-evolution
+    // files read null for the new columns) before the MERGE routes
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   /** The declared clustering columns as identity transforms (DESCRIBE
     * shows them under Partitioning) — write clustering, not hive dirs:
@@ -802,6 +882,9 @@ private[graft] class SnapshotTableV2(val dir: String,
         case GraftCatalog.TruncCluster("year", c) => Expressions.years(c)
         case GraftCatalog.TruncCluster(_, c) => Expressions.hours(c)
         case GraftCatalog.BucketCluster(n, c) => Expressions.bucket(n, c)
+        case GraftCatalog.TruncateCluster(n, c) =>
+          Expressions.apply("truncate",
+            Expressions.literal(n), Expressions.column(c))
       }.toArray
   }
 

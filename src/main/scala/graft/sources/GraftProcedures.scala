@@ -123,6 +123,16 @@ private[sources] object GraftProcedures {
         (new StructType().add("files_deleted", IntegerType)
           .add("versions_dropped", IntegerType), Seq(files, versions))
       },
+      // force-fold the metadata checkpoint at the newest reachable
+      // CheckpointEvery multiple — the operational verb after a bulk
+      // history import, a vacuumed-away checkpoint, or failed
+      // best-effort writes; deep reads drop back to O(CheckpointEvery)
+      // side-file opens immediately instead of at the next commit
+      // multiple. Returns the checkpointed version (0 = table
+      // shallower than one checkpoint span, nothing to fold).
+      make("checkpoint", Seq.empty) { (dir, _) =>
+        (versionOut, Seq(Snapshots.checkpointNow(spark, dir)))
+      },
       // compliance deletion (right-to-be-forgotten) from SQL: the
       // tombstone keys come from a registered view/table NAME (CALL
       // parameters cannot bind a relation), e.g.

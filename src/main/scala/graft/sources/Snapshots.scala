@@ -1218,7 +1218,16 @@ object Snapshots {
     * reader never sees a torn checkpoint. */
   private def maybeCheckpoint(f: FileSystem, dir: String, v: Int): Unit =
     if (v > 0 && v % CheckpointEvery == 0) {
-      try {
+      try writeCheckpoint(f, dir, v)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+
+  /** Write version `v`'s checkpoint unconditionally (`v` must be a
+    * [[CheckpointEvery]] multiple whose side-files are resolvable).
+    * Throws on failure — [[maybeCheckpoint]] downgrades that to
+    * best-effort, [[checkpointNow]] surfaces it. */
+  private def writeCheckpoint(f: FileSystem, dir: String, v: Int)
+      : Unit = {
         val epoch = tableEpoch(f, dir)
         val base = newestCkptAt(f, dir, v - 1, epoch)
         val from = base.map(_.v).getOrElse(0)
@@ -1244,8 +1253,26 @@ object Snapshots {
           coverMemo.put(dir, (epoch, ck))
         }
         ()
-      } catch { case scala.util.control.NonFatal(_) => () }
-    }
+  }
+
+  /** Force-write the newest reachable checkpoint — the top
+    * [[CheckpointEvery]] multiple at or below the current head — the
+    * operational verb (`CALL system.checkpoint`) after a bulk history
+    * import, a vacuumed-away checkpoint, or failed best-effort writes.
+    * Idempotent; returns the checkpointed version, 0 when the table is
+    * shallower than one checkpoint span. Runs under the claim lock so
+    * it cannot race a vacuum's side-file deletes. */
+  def checkpointNow(s: SparkSession, dir: String): Int = {
+    val f = fs(s, dir)
+    val head = latestVersion(s, dir)
+    val top = (head / CheckpointEvery) * CheckpointEvery
+    if (top < CheckpointEvery) return 0
+    val lock = claimVersion(f, dir)
+    try {
+      writeCheckpoint(f, dir, top)
+      top
+    } finally lock.release()
+  }
 
   /** Spec support: forget this session's memoized metadata for `dir` —
     * simulates a fresh driver reading an existing table, so specs can
@@ -2018,6 +2045,27 @@ object Snapshots {
     ((h % n) + n) % n
   }
 
+  /** The truncate-transform value of a literal — the SAME derivation
+    * the clustered write ran (Catalyst Substring for strings, so
+    * codepoint semantics match; width-aligned floor for integrals), so
+    * prune-time comparisons against the recorded virtual stats are
+    * exact. None = underivable, never prune. */
+  private[sources] def truncValueOf(value: Any,
+      dt: org.apache.spark.sql.types.DataType, n: Int): Option[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Substring}
+    import org.apache.spark.sql.types._
+    if (value == null) return None
+    dt match {
+      case StringType =>
+        Option(Substring(Literal.create(value, dt), Literal(1),
+          Literal(n)).eval(null)).map(_.toString)
+      case ByteType | ShortType | IntegerType | LongType =>
+        val l = value.toString.toLong
+        Some((l - (((l % n) + n) % n)).toString)
+      case _ => None
+    }
+  }
+
   /** (files kept, files total) of the last positional DML scan
     * (deleteWhere/updateWhere) — pins condition-bound stat pruning. */
   @volatile private[sources] var lastDmlPruneCounts: (Int, Int) = (0, 0)
@@ -2117,10 +2165,14 @@ object Snapshots {
     // stats name: hash the literal with the same Murmur3 the write ran
     // and bound the admitted bucket-id range (IN-lists by [min,max] of
     // their ids — a conservative superset, like the value-range tier)
-    val bucketOf: Map[String, GraftCatalog.BucketCluster] =
+    val declaredSpecs =
       GraftCatalog.parseClusterSpecs(GraftCatalog.clusterCols(s, dir))
-        .collect { case b: GraftCatalog.BucketCluster => b.col -> b }
-        .toMap
+    val bucketOf: Map[String, GraftCatalog.BucketCluster] = declaredSpecs
+      .collect { case b: GraftCatalog.BucketCluster => b.col -> b }
+      .toMap
+    val truncOf: Map[String, GraftCatalog.TruncateCluster] = declaredSpecs
+      .collect { case t: GraftCatalog.TruncateCluster => t.col -> t }
+      .toMap
     def bucketBound(a: AttributeReference, lits: Seq[Literal])
         : Option[(String, Option[String], Option[String])] =
       bucketOf.get(a.name).flatMap { b =>
@@ -2145,7 +2197,115 @@ object Snapshots {
           bucketBound(a, vs.map(_.asInstanceOf[Literal]))
         case _ => None
       }
-    val constraints = constraints0 ++ bucketConstraints
+    // truncate-clustered columns prune through the derived value under
+    // the spec's virtual stats name. The transform is MONOTONE
+    // (non-decreasing), so every comparison maps through it — x > L
+    // implies trunc(x) >= trunc(L) — and a LIKE's literal prefix bounds
+    // the derived prefix exactly (equality once the prefix covers the
+    // truncation width).
+    def truncDerive(a: AttributeReference, l: Literal): Option[String] =
+      truncOf.get(a.name).flatMap(t =>
+        truncValueOf(l.value, l.dataType, t.n))
+    def truncLo(a: AttributeReference, l: Literal) =
+      truncDerive(a, l).map(v => (truncOf(a.name).render, Some(v), None))
+    def truncHi(a: AttributeReference, l: Literal) =
+      truncDerive(a, l).map(v => (truncOf(a.name).render, None, Some(v)))
+    // the smallest string no prefix-matching value can reach: bump the
+    // rightmost non-￿ char and drop the rest (None = unbounded)
+    def strSuccessor(p: String): Option[String] = {
+      var i = p.length - 1
+      while (i >= 0 && p.charAt(i) == Char.MaxValue) i -= 1
+      if (i < 0) None
+      else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
+    }
+    // the literal prefix a LIKE pattern requires (up to the first
+    // unescaped wildcard); None = no usable prefix, never prune
+    def likePrefix(pat: String, esc: Char): Option[String] = {
+      val b = new StringBuilder
+      var i = 0
+      while (i < pat.length) {
+        val c = pat.charAt(i)
+        if (c == esc) {
+          if (i + 1 >= pat.length) return None // malformed: bail
+          b.append(pat.charAt(i + 1)); i += 2
+        } else if (c == '%' || c == '_')
+          return Some(b.result()).filter(_.nonEmpty)
+        else { b.append(c); i += 1 }
+      }
+      Some(b.result()).filter(_.nonEmpty) // wildcard-free: exact value
+    }
+    def likeBounds(a: AttributeReference, pre: String)
+        : Seq[(String, Option[String], Option[String])] = {
+      // raw-column bounds: matches lie in [prefix, successor(prefix))
+      val raw = (a.name, Some(pre), strSuccessor(pre))
+      // derived bounds when the column is truncate-clustered: once the
+      // prefix covers the truncation width, the derived value of every
+      // match IS the width-truncated prefix — an equality prune
+      val derived = truncOf.get(a.name).flatMap { t =>
+        truncValueOf(org.apache.spark.unsafe.types.UTF8String
+            .fromString(pre), StringType, t.n).map { p0 =>
+          if (p0.length < pre.length) (t.render, Some(p0), Some(p0))
+          else (t.render, Some(pre), strSuccessor(pre))
+        }
+      }
+      Seq(raw) ++ derived.toSeq
+    }
+    val truncConstraints =
+      if (truncOf.isEmpty) Seq.empty
+      else folded.flatMap {
+        case EqualTo(a: AttributeReference, l: Literal) =>
+          truncDerive(a, l).map(v =>
+            (truncOf(a.name).render, Some(v), Some(v)))
+        case EqualTo(l: Literal, a: AttributeReference) =>
+          truncDerive(a, l).map(v =>
+            (truncOf(a.name).render, Some(v), Some(v)))
+        case GreaterThan(a: AttributeReference, l: Literal) => truncLo(a, l)
+        case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+          truncLo(a, l)
+        case LessThan(a: AttributeReference, l: Literal) => truncHi(a, l)
+        case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+          truncHi(a, l)
+        case GreaterThan(l: Literal, a: AttributeReference) => truncHi(a, l)
+        case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+          truncHi(a, l)
+        case LessThan(l: Literal, a: AttributeReference) => truncLo(a, l)
+        case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+          truncLo(a, l)
+        case In(a: AttributeReference, vs) if vs.nonEmpty &&
+            vs.forall(_.isInstanceOf[Literal]) =>
+          truncOf.get(a.name).flatMap { t =>
+            val lits = vs.map(_.asInstanceOf[Literal])
+            if (lits.exists(_.value == null)) None
+            else {
+              val ds = lits.flatMap(l =>
+                truncValueOf(l.value, l.dataType, t.n))
+              if (ds.size != lits.size) None
+              else lits.head.dataType match {
+                case StringType => Some((t.render, Some(ds.min), Some(ds.max)))
+                case _ =>
+                  try {
+                    val bd = ds.map(BigDecimal(_))
+                    Some((t.render,
+                      Some(bd.min.toString), Some(bd.max.toString)))
+                  } catch { case _: NumberFormatException => None }
+              }
+            }
+          }
+        case _ => None
+      }
+    // LIKE-prefix conjuncts prune BOTH tiers (raw bounds always; the
+    // derived tier when the column is truncate-clustered)
+    val likeConstraints = folded.flatMap {
+      case Like(a: AttributeReference, p: Literal, esc)
+          if p.dataType == StringType && p.value != null =>
+        likePrefix(p.value.toString, esc).toSeq.flatMap(likeBounds(a, _))
+      case StartsWith(a: AttributeReference, p: Literal)
+          if p.dataType == StringType && p.value != null =>
+        likeBounds(a, p.value.toString)
+      case _ => Seq.empty
+    }
+    val constraints = constraints0 ++ bucketConstraints ++
+      truncConstraints ++ likeConstraints
     if (constraints.isEmpty) {
       lastDmlPruneCounts = (fset.size, fset.size)
       return fset
@@ -2520,6 +2680,12 @@ object Snapshots {
   private def mainAncestry(f: FileSystem, dir: String, head: Int)
       : Set[Int] =
     commitGraph(f, dir, head).ancestrySet(head)
+
+  /** Whether version `v` lies on the line headed by `head` (is `head`
+    * or one of its first-parent ancestors) — branch time travel's
+    * membership check. One commit-graph fetch. */
+  def onLine(s: SparkSession, dir: String, head: Int, v: Int): Boolean =
+    v >= 1 && v <= head && mainAncestry(fs(s, dir), dir, head).contains(v)
 
   /** [[read]] at the version live at `tsMillis` (see [[versionAsOf]]). */
   def readAsOf(s: SparkSession, dir: String, tsMillis: Long): DataFrame = {
@@ -3074,6 +3240,18 @@ object Snapshots {
       // vN.renames and vN.stats stay: carried-forward files in retained
       // versions still need the rename chain and their recorded bounds
     }
+    // checkpoint GC: newestCkptAt reads top-down and stops at the FIRST
+    // hit, so among the dropped versions' checkpoints only the newest
+    // can still be read (as the base under live versions just above the
+    // cutoff) — the older ones are dead weight holding vacuumed
+    // history's folded metadata; drop them
+    oldVs.filter(v => v % CheckpointEvery == 0 &&
+        f.exists(ckptPath(dir, v)))
+      .sorted.dropRight(1)
+      .foreach { v =>
+        f.delete(ckptPath(dir, v), false)
+        ckptMemo.remove((dir, v))
+      }
     (dead.size, oldVs.size)
   }
 

@@ -664,10 +664,11 @@ class GraftCatalogSpec extends SparkSpec {
       sql("SELECT * FROM graft.db.`tba@nope`")
     }
     assert(none.getMessage.contains("no branch"), none.getMessage)
-    val pin = intercept[Exception] {
-      sql("SELECT * FROM graft.db.`tba@stage` VERSION AS OF 1")
-    }
-    assert(pin.getMessage.contains("exclusive"), pin.getMessage)
+    // VERSION AS OF on a branch handle resolves along the branch's
+    // ancestry (v1 predates the fork, so it is on stage's line) — see
+    // the dedicated branch-time-travel spec for the off-line refusal
+    assert(rows("SELECT * FROM graft.db.`tba@stage` VERSION AS OF 1")
+      .nonEmpty)
     val ddl = intercept[Exception] {
       sql("ALTER TABLE graft.db.`tba@stage` ADD COLUMNS (x BIGINT)")
     }
@@ -1151,6 +1152,155 @@ class GraftCatalogSpec extends SparkSpec {
     assert(left == (0L to 49L).filterNot(_ == 7L))
   }
 
+  test("CALL system.checkpoint force-folds the metadata checkpoint") {
+    warehouse
+    sql("CREATE TABLE graft.db.ckv (id BIGINT)")
+    (1 to 21).foreach(i => sql(s"INSERT INTO graft.db.ckv VALUES ($i)"))
+    val dir = dirOf("db", "ckv")
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ck = new org.apache.hadoop.fs.Path(dir,
+      s"v${Snapshots.CheckpointEvery}.ckpt")
+    f.delete(ck, false) // simulate loss
+    Snapshots.forgetMemos(dir)
+    val v = sql("CALL graft.system.checkpoint(table => 'db.ckv')")
+      .head().getInt(0)
+    assert(v == Snapshots.CheckpointEvery && f.exists(ck))
+    // shallow table: nothing to fold, version 0
+    sql("CREATE TABLE graft.db.ckv2 (id BIGINT)")
+    sql("INSERT INTO graft.db.ckv2 VALUES (1)")
+    assert(sql("CALL graft.system.checkpoint(table => 'db.ckv2')")
+      .head().getInt(0) == 0)
+  }
+
+  test("branch time travel: VERSION/TIMESTAMP AS OF on t@branch " +
+      "resolves along the branch's ancestry; off-line vintages refuse") {
+    warehouse
+    sql("CREATE TABLE graft.db.btt (id BIGINT, payload STRING)")
+    sql("INSERT INTO graft.db.btt VALUES (1, 'a')")                // v1
+    sql(s"CALL graft.system.create_ref(table => 'db.btt', " +
+      "name => 'exp')")
+    sql("INSERT INTO graft.db.`btt@exp` VALUES (2, 'branch')")     // v2
+    sql("INSERT INTO graft.db.btt VALUES (3, 'main')")             // v3
+    sql("INSERT INTO graft.db.`btt@exp` VALUES (4, 'branch2')")    // v4
+    // branch vintage: v2 is on exp's line
+    assert(sql("SELECT id FROM graft.db.`btt@exp` VERSION AS OF 2 " +
+      "ORDER BY id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // the branch head reads all branch commits, never main's v3
+    assert(sql("SELECT id FROM graft.db.`btt@exp` ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
+    // v3 is main's commit — NOT on exp's line: refuse, don't serve it
+    val off = intercept[Exception] {
+      sql("SELECT * FROM graft.db.`btt@exp` VERSION AS OF 3").collect()
+    }
+    assert(off.getMessage.contains("not on branch"), off.getMessage)
+    // TIMESTAMP AS OF on the branch resolves along exp's ancestry to
+    // its head (v4), never main's v3
+    val now = System.currentTimeMillis() + 60000L
+    assert(sql("SELECT id FROM graft.db.`btt@exp` TIMESTAMP AS OF " +
+      s"timestamp_millis(${now}) ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
+    // plain-table time travel is unchanged (main's line)
+    assert(sql("SELECT id FROM graft.db.btt VERSION AS OF 3 " +
+      "ORDER BY id").collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION: extra source columns evolve the " +
+      "target as one logical ADD COLUMNS commit; old rows read null") {
+    warehouse
+    sql("CREATE TABLE graft.db.mse (id BIGINT, payload STRING)")
+    sql("INSERT INTO graft.db.mse VALUES (1, 'a'), (2, 'b')")
+    sql("CREATE OR REPLACE TEMPORARY VIEW mse_src AS SELECT * FROM " +
+      "VALUES (CAST(2 AS BIGINT), 'B', 'fresh'), " +
+      "(CAST(3 AS BIGINT), 'c', 'new') AS s(id, payload, origin)")
+    val vBefore = Snapshots.latestVersion(spark, dirOf("db", "mse"))
+    sql("MERGE WITH SCHEMA EVOLUTION INTO graft.db.mse t " +
+      "USING mse_src s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    // exactly TWO commits: the logical ADD COLUMNS + the MERGE itself
+    assert(Snapshots.latestVersion(spark, dirOf("db", "mse")) ==
+      vBefore + 2)
+    val got = sql("SELECT id, payload, origin FROM graft.db.mse " +
+      "ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSeq
+    assert(got == Seq((1L, "a", null), (2L, "B", "fresh"),
+      (3L, "c", "new")), got.toString)
+    // without the SCHEMA EVOLUTION clause, Spark's own star expansion
+    // assigns TARGET columns only — extra source columns do not evolve
+    // the schema (engine semantics, pinned here so a behavior change
+    // in either layer surfaces)
+    sql("MERGE INTO graft.db.mse t USING " +
+      "(SELECT id + 10 AS id, payload, origin, 1 AS extra2 " +
+      "FROM mse_src) s " +
+      "ON t.id = s.id WHEN NOT MATCHED THEN INSERT *")
+    assert(sql("SELECT * FROM graft.db.mse").columns.toSeq ==
+      Seq("id", "payload", "origin"), "extra2 must not evolve the schema")
+    assert(sql("SELECT count(*) FROM graft.db.mse").head().getLong(0)
+      == 5L)
+  }
+
+  test("PARTITIONED BY truncate(n, col): prefix/width clustering; " +
+      "LIKE-prefix, equality and range DML prune files") {
+    warehouse
+    import spark.implicits._
+    // string truncate: 4-char prefixes — 'src1' covers src1,src10..src19
+    sql("CREATE TABLE graft.db.ttc (id BIGINT, source STRING, v DOUBLE) " +
+      "PARTITIONED BY (truncate(4, source))")
+    val parts = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog].loadTable(
+        org.apache.spark.sql.connector.catalog.Identifier.of(
+          Array("db"), "ttc")).partitioning().map(_.describe()).toSeq
+    assert(parts == Seq("truncate(4, source)"), parts)
+    val rows = (1L to 200L).map(i => (i, s"src${i % 20}", i * 0.5))
+    rows.toDF("id", "source", "v").createOrReplaceTempView("ttc_src")
+    // prefix-range-pure inserts (files cluster by the 4-char prefix)
+    sql("INSERT INTO graft.db.ttc SELECT * FROM ttc_src " +
+      "WHERE substring(source, 1, 4) < 'src4'")
+    sql("INSERT INTO graft.db.ttc SELECT * FROM ttc_src " +
+      "WHERE substring(source, 1, 4) >= 'src4'")
+    assert(sql("SELECT count(*) FROM graft.db.ttc").head().getLong(0)
+      == 200)
+    // LIKE-prefix DELETE: 'src1%' derives prefix-equality 'src1' on the
+    // virtual trunc stat — only the low-prefix file(s) admit
+    val doomed = sql("SELECT count(*) FROM graft.db.ttc " +
+      "WHERE source LIKE 'src1%'").head().getLong(0)
+    sql("DELETE FROM graft.db.ttc WHERE source LIKE 'src1%'")
+    val (pKept, pTotal) = Snapshots.lastDmlPruneCounts
+    assert(pKept < pTotal,
+      s"LIKE-prefix DELETE scanned every file ($pKept/$pTotal)")
+    assert(sql("SELECT count(*) FROM graft.db.ttc").head().getLong(0)
+      == 200 - doomed)
+    // nothing wrongly pruned: every src1* value is gone, the rest live
+    val srcs = sql("SELECT DISTINCT source FROM graft.db.ttc")
+      .collect().map(_.getString(0)).toSet
+    assert(!srcs.exists(_.startsWith("src1")) && srcs.contains("src9"),
+      srcs.toString)
+    // equality DELETE prunes through the derived prefix too
+    sql("DELETE FROM graft.db.ttc WHERE source = 'src7'")
+    val (eKept, eTotal) = Snapshots.lastDmlPruneCounts
+    assert(eKept < eTotal,
+      s"prefix-equality DELETE scanned every file ($eKept/$eTotal)")
+
+    // integral truncate: width-100 floors; a range DELETE admits only
+    // the overlapping floor group's file(s)
+    sql("CREATE TABLE graft.db.tti (id BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (truncate(100, id))")
+    (0L to 399L).map(i => (i, i * 0.25)).toDF("id", "v")
+      .createOrReplaceTempView("tti_src")
+    sql("INSERT INTO graft.db.tti SELECT * FROM tti_src WHERE id < 200")
+    sql("INSERT INTO graft.db.tti SELECT * FROM tti_src WHERE id >= 200")
+    sql("DELETE FROM graft.db.tti WHERE id >= 250 AND id < 260")
+    val (rKept, rTotal) = Snapshots.lastDmlPruneCounts
+    assert(rKept < rTotal,
+      s"range DELETE scanned every file ($rKept/$rTotal)")
+    assert(sql("SELECT count(*) FROM graft.db.tti").head().getLong(0)
+      == 390)
+    assert(sql("SELECT count(*) FROM graft.db.tti " +
+      "WHERE id >= 250 AND id < 260").head().getLong(0) == 0)
+  }
+
   test("ALTER COLUMN TYPE widens; narrowing is refused") {
     warehouse
     sql("CREATE TABLE graft.db.aw (id INT, payload STRING)")
@@ -1528,11 +1678,11 @@ class GraftCatalogSpec extends SparkSpec {
       "GROUP BY lang ORDER BY lang").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toSeq
     assert(left == Seq("en" -> 80L, "fr" -> 80L))
-    // unsupported transforms stay refused, actionably (days/bucket are
-    // supported — see the days/bucket spec; truncate is not)
+    // unsupported transforms stay refused, actionably (days/bucket/
+    // truncate are supported — see their specs; anything else is not)
     val e = intercept[Exception] {
       sql("CREATE TABLE graft.db.ptab2 (id BIGINT, s STRING) " +
-        "PARTITIONED BY (truncate(4, s))")
+        "PARTITIONED BY (zorder(s))")
     }
     assert(e.getMessage.contains("not"), e.getMessage)
     // a temporal transform on a non-temporal column is refused too

@@ -1959,6 +1959,49 @@ class SnapshotsSpec extends SparkSpec {
         s"(budget ${k + 5})")
   }
 
+  test("checkpointNow force-folds; vacuum GCs dropped-range " +
+      "checkpoints keeping the newest (the live suffix's base)") {
+    import spark.implicits._
+    val dir = tmpDir("ckpt-verb")
+    (1 to 45).foreach { i =>
+      Snapshots.commit(spark, dir,
+        Seq((i.toLong, s"row$i")).toDF("id", "payload").coalesce(1),
+        append = true, statsCols = Seq("id"))
+    }
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def P(n: String) = new org.apache.hadoop.fs.Path(dir, n)
+    val k = Snapshots.CheckpointEvery
+    assert(f.exists(P(s"v${2 * k}.ckpt")))
+    // simulate checkpoint loss (failed best-effort write / legacy
+    // import): the verb re-folds at the newest reachable multiple
+    f.delete(P(s"v${2 * k}.ckpt"), false)
+    Snapshots.forgetMemos(dir)
+    assert(Snapshots.checkpointNow(spark, dir) == 2 * k)
+    assert(f.exists(P(s"v${2 * k}.ckpt")), "checkpointNow must re-fold")
+    // …and it actually serves: cold pruned read stays bounded
+    Snapshots.forgetMemos(dir)
+    val before = Snapshots.sideFileOpens.get()
+    val (df, (kept, total)) =
+      Snapshots.readPruned(spark, dir, 45, "id", 7L, 7L)
+    assert(df.select("id").collect().map(_.getLong(0)).toSeq == Seq(7L))
+    assert(kept == 1 && total == 45)
+    assert(Snapshots.sideFileOpens.get() - before <= 2L * k)
+
+    // vacuum GC: cutoff 43 drops v1..42 — of the dropped checkpoints
+    // (v20, v40) only the NEWEST stays (reads at v43/44 base on it);
+    // the older is dead weight and goes
+    Snapshots.vacuum(spark, dir, keep = 3)
+    assert(!f.exists(P(s"v$k.ckpt")),
+      "vacuum must GC the older dropped-range checkpoint")
+    assert(f.exists(P(s"v${2 * k}.ckpt")),
+      "the newest dropped-range checkpoint is the live base — keep it")
+    Snapshots.forgetMemos(dir)
+    val head = Snapshots.latestVersion(spark, dir)
+    assert(Snapshots.read(spark, dir, head).count() == 45L,
+      "vacuum keeps the head's full content")
+  }
+
   test("commit graph through the checkpoint: branch merge on a deep " +
       "table costs O(CheckpointEvery) metadata opens, not O(versions)") {
     import spark.implicits._
