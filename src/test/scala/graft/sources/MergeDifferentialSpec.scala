@@ -15,8 +15,15 @@ import graft.SparkSpec
   *    both routed to a row-producing clause — the merge-on-read commit
   *    cannot address them separately), or
   *  - a removal-audit mismatch (a residual or conditional clause left
-  *    a live row un-routed while a same-key change was staged, or a
-  *    NOT MATCHED insert's key already lives).
+  *    a live row un-routed while a same-key change was staged, a
+  *    NOT MATCHED insert's key already lives — including via a
+  *    key-REMAPPING insert (`VALUES (s.id + 3, …)`) — or a NULL-keyed
+  *    target row was routed to a BY SOURCE clause the by-key commit
+  *    can never honor).
+  *
+  * Targets carry an occasional NULL-keyed row (rendered as the -1
+  * sentinel in the reference) and insert clauses occasionally remap
+  * the key — the two audit arms round 19 added.
   *
   * Soundness (every refusal is a real hazard and publishes NOTHING) and
   * completeness (every hazard-free scenario succeeds) are both asserted,
@@ -57,15 +64,27 @@ class MergeDifferentialSpec extends SparkSpec {
   private case class BUpd(cond: Cond) extends MClause
   private case class BDel(cond: Cond) extends MClause
   private case class Ins(cond: Cond) extends MClause
+  /** key-REMAPPING insert: `VALUES (s.id + 3, …)` — stages a key the
+    * join never matched, which may collide with a live row */
+  private case class InsRemap(cond: Cond) extends MClause
 
   private case class Scenario(seed: Int, tgt: Seq[R], src: Seq[R],
       residual: Boolean, matched: Seq[MClause], bySource: Seq[MClause],
       inserts: Seq[MClause])
 
+  /** Sentinel for a NULL target key: renders as NULL in SQL, never
+    * matches a source id, and can never be addressed by a by-key
+    * commit. Source ids are 0..8, remaps add +3 — no collision. */
+  private val NullId = -1L
+
   private def gen(seed: Int): Scenario = {
     val rnd = new scala.util.Random(seed)
-    val tgt = (0 until (3 + rnd.nextInt(5))).map(i =>
+    val tgt0 = (0 until (3 + rnd.nextInt(5))).map(i =>
       R(rnd.nextInt(6).toLong, rnd.nextInt(50).toLong, s"t$i"))
+    // ~30% of scenarios carry a NULL-keyed target row — the shape the
+    // nullable-key BY SOURCE audit exists for
+    val tgt = if (rnd.nextInt(10) < 3)
+      tgt0 :+ R(NullId, rnd.nextInt(50).toLong, "tn") else tgt0
     // unique source ids: the ANSI multi-source-per-target cardinality
     // error has its own dedicated spec; this one hunts routing hazards
     val srcIds = rnd.shuffle((0 to 8).toList).take(2 + rnd.nextInt(4))
@@ -84,8 +103,8 @@ class MergeDifferentialSpec extends SparkSpec {
       MDel(SrcTsHigh), MDel(Always), MUpd(SrcTsHigh)), rnd.nextInt(3)))
     val bySource = norm(pick(Seq[MClause](BDel(TgtTsHigh), BUpd(Always),
       BDel(Always), BUpd(TgtTsLow)), rnd.nextInt(2)))
-    val inserts = norm(pick(Seq[MClause](Ins(Always), Ins(SrcTsLow)),
-      rnd.nextInt(2)))
+    val inserts = norm(pick(Seq[MClause](Ins(Always), Ins(SrcTsLow),
+      InsRemap(Always), InsRemap(SrcTsLow)), rnd.nextInt(2)))
     val all =
       if (matched.isEmpty && bySource.isEmpty && inserts.isEmpty)
         Scenario(seed, tgt, src, residual, Seq(MUpd(Always)), Nil, Nil)
@@ -102,17 +121,20 @@ class MergeDifferentialSpec extends SparkSpec {
     case BDel(k) => s"WHEN NOT MATCHED BY SOURCE ${k.sqlFrag} THEN DELETE"
     case Ins(k) => s"WHEN NOT MATCHED ${k.sqlFrag} THEN " +
       "INSERT (id, ts, payload) VALUES (s.id, s.ts, s.payload)"
+    case InsRemap(k) => s"WHEN NOT MATCHED ${k.sqlFrag} THEN " +
+      "INSERT (id, ts, payload) VALUES (s.id + 3, s.ts, s.payload)"
   }
 
   /** The reference evaluation: (expected rows, expectRefusal). */
   private def reference(sc: Scenario): (Seq[R], Boolean) = {
     def onMatch(t: R, s: R): Boolean =
-      t.id == s.id && (!sc.residual || s.ts > t.ts)
+      t.id != NullId && t.id == s.id && (!sc.residual || s.ts > t.ts)
     // ≤1 source per target by unique source ids
     val matchOf: Map[R, Option[R]] =
       sc.tgt.map(t => t -> sc.src.find(onMatch(t, _))).toMap
 
     var routedRemoved = 0
+    var nullRouted = false // a routed NULL-keyed row: never honorable
     val stagedUps = Seq.newBuilder[R]
     val delKeys = Seq.newBuilder[Long]
     val result = Seq.newBuilder[R]
@@ -133,49 +155,68 @@ class MergeDifferentialSpec extends SparkSpec {
           sc.bySource.find(_.cond.eval(Some(t), None)) match {
             case Some(BUpd(_)) =>
               routedRemoved += 1
+              if (t.id == NullId) nullRouted = true
               val nr = R(t.id, t.ts, t.payload + "!")
               stagedUps += nr; result += nr
             case Some(BDel(_)) =>
-              routedRemoved += 1; delKeys += t.id
+              routedRemoved += 1
+              if (t.id == NullId) nullRouted = true
+              delKeys += t.id
             case _ => result += t
           }
       }
     }
     sc.src.foreach { s =>
       if (!sc.tgt.exists(onMatch(_, s)))
-        sc.inserts.find(_.cond.eval(None, Some(s))).foreach { _ =>
-          val nr = R(s.id, s.ts, s.payload)
+        sc.inserts.find(_.cond.eval(None, Some(s))).foreach { c =>
+          val nr = c match {
+            case InsRemap(_) => R(s.id + 3, s.ts, s.payload)
+            case _ => R(s.id, s.ts, s.payload)
+          }
           stagedUps += nr; result += nr
         }
     }
 
     val ups = stagedUps.result()
     val dupStaged = ups.groupBy(_.id).exists(_._2.sizeIs > 1)
-    val stagedKeys = (ups.map(_.id) ++ delKeys.result()).toSet
+    // NULL keys can never address a live row — excluded from the
+    // staged-key set, so a routed null row leaves liveHit short
+    val stagedKeys = (ups.map(_.id) ++ delKeys.result())
+      .filter(_ != NullId).toSet
     val liveHit = sc.tgt.count(t => stagedKeys.contains(t.id))
+    // the engine arms the audit for: residuals, conditional MATCHED /
+    // BY SOURCE clauses, key-remapping inserts, and ANY by-source
+    // clause on a nullable-key target (this table's id is nullable)
     val auditEngaged = sc.residual ||
       sc.matched.exists(_.cond.isConditional) ||
-      sc.bySource.exists(_.cond.isConditional)
+      sc.bySource.exists(_.cond.isConditional) ||
+      sc.bySource.nonEmpty ||
+      sc.inserts.exists(_.isInstanceOf[InsRemap])
     val auditHazard = auditEngaged && liveHit != routedRemoved
-    (result.result(), dupStaged || auditHazard)
+    (result.result(), dupStaged || auditHazard || nullRouted)
   }
 
   private def sortedRows(rs: Seq[R]): Seq[(Long, Long, String)] =
     rs.map(r => (r.id, r.ts, r.payload)).sortBy(x => (x._1, x._2, x._3))
 
-  test("40 randomized MERGE scenarios match the reference evaluator; " +
+  test("60 randomized MERGE scenarios match the reference evaluator; " +
       "refusals are exactly the by-key hazards and publish nothing") {
     warehouse
     var refused = 0
     var succeeded = 0
-    (1 to 40).foreach { seed =>
+    var nullScen = 0
+    var remapScen = 0
+    (1 to 60).foreach { seed =>
       val sc = gen(seed)
+      if (sc.tgt.exists(_.id == NullId)) nullScen += 1
+      if (sc.inserts.exists(_.isInstanceOf[InsRemap])) remapScen += 1
       val tbl = s"gmd.db.m$seed"
       spark.sql(s"CREATE TABLE $tbl (id BIGINT, ts BIGINT, " +
         "payload STRING)")
       def lit(r: R) =
-        s"(CAST(${r.id} AS BIGINT), CAST(${r.ts} AS BIGINT), " +
-          s"'${r.payload}')"
+        s"(${if (r.id == NullId) "CAST(NULL AS BIGINT)"
+          else s"CAST(${r.id} AS BIGINT)"}, " +
+          s"CAST(${r.ts} AS BIGINT), '${r.payload}')"
       spark.sql(s"INSERT INTO $tbl VALUES " +
         sc.tgt.map(lit).mkString(", "))
       spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW mdiff_src AS " +
@@ -188,14 +229,16 @@ class MergeDifferentialSpec extends SparkSpec {
           .map(clauseSql).mkString(" ")
 
       val (expected, expectRefusal) = reference(sc)
-      val before = spark.sql(s"SELECT id, ts, payload FROM $tbl")
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
-        .toSeq.sortBy(x => (x._1, x._2, x._3))
-
+      // NULL ids round-trip as the sentinel so both sides compare alike
+      def snap(): Seq[(Long, Long, String)] =
+        spark.sql(s"SELECT id, ts, payload FROM $tbl")
+          .collect().map(r => (
+            if (r.isNullAt(0)) NullId else r.getLong(0),
+            r.getLong(1), r.getString(2)))
+          .toSeq.sortBy(x => (x._1, x._2, x._3))
+      val before = snap()
       val outcome = scala.util.Try(spark.sql(merge))
-      val after = spark.sql(s"SELECT id, ts, payload FROM $tbl")
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
-        .toSeq.sortBy(x => (x._1, x._2, x._3))
+      val after = snap()
 
       outcome match {
         case scala.util.Success(_) =>
@@ -219,9 +262,11 @@ class MergeDifferentialSpec extends SparkSpec {
             s"seed $seed: a refused MERGE must publish nothing")
       }
     }
-    // the generator must exercise BOTH regimes, or the diff proves less
-    // than it claims
-    assert(refused >= 3 && succeeded >= 15,
+    // the generator must exercise BOTH regimes — and the round-19
+    // audit arms — or the diff proves less than it claims
+    assert(refused >= 5 && succeeded >= 20,
       s"generator coverage skewed: $succeeded ok / $refused refused")
+    assert(nullScen >= 3 && remapScen >= 3,
+      s"audit-arm coverage skewed: $nullScen null / $remapScen remap")
   }
 }
