@@ -408,7 +408,18 @@ object Snapshots {
     def release(): Unit = {
       live = false
       beat.interrupt()
-      try { f.delete(path, false); () } catch { case _: Exception => }
+      // followers wait for this deletion (the publish-complete signal,
+      // since the ref advance precedes it) — retry a transient failure
+      // rather than leaking a claim that would wedge them until the
+      // heartbeat-staleness error fires
+      var attempts = 0
+      var gone = false
+      while (!gone && attempts < 3) {
+        attempts += 1
+        gone = try { f.delete(path, false); !f.exists(path) }
+          catch { case _: Exception => false }
+        if (!gone && attempts < 3) Thread.sleep(100L * attempts)
+      }
     }
   }
 
