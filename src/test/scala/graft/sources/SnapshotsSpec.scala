@@ -1959,6 +1959,42 @@ class SnapshotsSpec extends SparkSpec {
         s"(budget ${k + 5})")
   }
 
+  test("commit graph vs vacuum: a cold session on a vacuumed table " +
+      "still resolves ancestry, instants and time travel") {
+    import spark.implicits._
+    val dir = tmpDir("graph-vacuum")
+    (1 to 30).foreach { i =>
+      Snapshots.commit(spark, dir,
+        Seq((i.toLong, s"row$i")).toDF("id", "payload").coalesce(1),
+        append = true, statsCols = Seq("id"))
+    }
+    Snapshots.vacuum(spark, dir, keep = 5) // drops v1..25's manifests+metas
+    Snapshots.forgetMemos(dir) // fresh-driver simulation
+    // the checkpoint (written at v20, pre-vacuum) plus the live suffix
+    // still serve the graph: parents walk, head time travel resolves
+    assert(Snapshots.parentsOf(spark, dir, 27) == Seq(26))
+    val now = System.currentTimeMillis() + 60000L
+    assert(Snapshots.versionAsOf(spark, dir, now) == 30)
+    assert(Snapshots.read(spark, dir, 30).count() == 30L,
+      "the head still reads every carried-forward row")
+    // a timestamp before the table existed resolves to nothing — the
+    // vacuumed early versions must not resurrect through the graph
+    assert(Snapshots.versionAsOf(spark, dir, 1000L) == 0)
+    // merge-commit parent recording survives the graph fold: both
+    // parents come back, main-side first
+    Snapshots.createRef(spark, dir, "gb")
+    Snapshots.upsert(spark, dir, Seq((500L, "b")).toDF("id", "payload"),
+      Seq("id"), branch = Some("gb"))                            // v31
+    Snapshots.commit(spark, dir,
+      Seq((600L, "m")).toDF("id", "payload").coalesce(1),
+      append = true)                                             // v32
+    val merged = Snapshots.mergeBranch(spark, dir, "gb",
+      keyCols = Seq("id"))                                       // v33
+    Snapshots.forgetMemos(dir)
+    assert(Snapshots.parentsOf(spark, dir, merged) == Seq(32, 31),
+      s"merge parents: ${Snapshots.parentsOf(spark, dir, merged)}")
+  }
+
   test("checkpointNow force-folds; vacuum GCs dropped-range " +
       "checkpoints keeping the newest (the live suffix's base)") {
     import spark.implicits._
