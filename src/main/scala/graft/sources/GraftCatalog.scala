@@ -199,6 +199,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .getOrElse((ident, null: String))
     if (!tableExists(base)) throw new NoSuchTableException(base)
     val dir = tableDir(base)
+    Option(ref).foreach { r =>
+      val (_, isTag) = Snapshots.refs(spark, dir).getOrElse(r,
+        throw new IllegalArgumentException(
+          s"graft catalog: no branch '$r' on ${fullName(base)}"))
+      require(!isTag, s"graft catalog: '$r' is a tag — tags are " +
+        "immutable; address a branch")
+    }
     val v = Snapshots.versionAsOf(spark, dir, timestampMicros / 1000L,
       ref = Option(ref))
     require(v >= 1,
