@@ -1854,6 +1854,48 @@ object Formats extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // NULL-aware DML pruning (f52): per-file null / non-null counts
+    // ride the parquet FOOTERS into the stats side-file as virtual
+    // `null:<col>` / `nnull:<col>` rows, so `WHERE col IS NULL` /
+    // `IS NOT NULL` DML opens only files that can hold a match — a
+    // no-null file is provably untouched by an IS NULL DELETE at any
+    // table size (prune counters pinned in SnapshotsSpec; this row
+    // hash-certifies the lifecycle's CONTENT). Every 7th doc ingests
+    // with a NULL source, gets deleted by IS NULL, then docs below a
+    // length floor WITH a source are deleted by IS NOT NULL + range.
+    "f52_null_dml" -> ((s, d) => {
+      val wh = ioDir(d, "f52_wh")
+      val cat = "graft52_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val tdir = s"$wh/db/docs52"
+      writeOnce(s, tdir, alsoRequire =
+          graft.sources.Snapshots.latestVersion(s, tdir) == 4) {
+        val root = new org.apache.hadoop.fs.Path(wh)
+        val fsys = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fsys.delete(root, true)
+        s.sql(s"CREATE TABLE $cat.db.docs52 (doc_id BIGINT, " +
+          "lang STRING, source STRING, n_chars BIGINT)")
+        T.documents(s, d).createOrReplaceTempView("f52_docs")
+        s.sql(s"INSERT INTO $cat.db.docs52 SELECT doc_id, lang, " +
+          "CASE WHEN doc_id % 7 = 0 THEN NULL ELSE source END, " +
+          "n_chars FROM f52_docs WHERE pmod(doc_id, 2) = 0")        // v1
+        s.sql(s"INSERT INTO $cat.db.docs52 SELECT doc_id, lang, " +
+          "CASE WHEN doc_id % 7 = 0 THEN NULL ELSE source END, " +
+          "n_chars FROM f52_docs WHERE pmod(doc_id, 2) = 1")        // v2
+        s.sql(s"DELETE FROM $cat.db.docs52 WHERE source IS NULL")   // v3
+        s.sql(s"DELETE FROM $cat.db.docs52 " +
+          "WHERE source IS NOT NULL AND n_chars < 120")             // v4
+        ()
+      }
+      s.sql(s"SELECT * FROM $cat.db.docs52")
+        .groupBy(col("lang")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .select(col("lang"), col("n_docs"), col("sum_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // Logical DROP COLUMN (f45): ALTER TABLE DROP COLUMN records the
     // drop in the rename chain — ONE metadata-sized commit, no data
     // file rewritten at any table size. Time travel below the drop
@@ -2707,6 +2749,16 @@ object Formats extends QueryPack {
              CAST(count(source) AS BIGINT) AS n_src,
              TRUE AS evolution_ok
       FROM head
+      GROUP BY lang
+      ORDER BY lang""",
+    // f52: replay the NULL-aware lifecycle — %7 docs (nulled source)
+    // deleted, then sourced docs under 120 chars deleted
+    "f52_null_dml" -> """
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM documents
+      WHERE doc_id % 7 <> 0 AND n_chars >= 120
       GROUP BY lang
       ORDER BY lang""",
     // f45: head = all documents with null source (the drop severed the

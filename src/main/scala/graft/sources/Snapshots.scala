@@ -210,6 +210,47 @@ object Snapshots {
     try rd.getRecordCount finally rd.close()
   }
 
+  /** Per-file NULL / NON-NULL counts for `cols` from the parquet FOOTER
+    * (num_nulls is recorded for every physical type, strings included —
+    * zero jobs). Emitted as `null:<c>` / `nnull:<c>` rows with
+    * min = max = the count, so IS NULL / IS NOT NULL conjuncts prune
+    * through the ordinary range machinery: a file with `null:<c>` = 0
+    * can hold no IS NULL match, one with `nnull:<c>` = 0 no IS NOT NULL
+    * match. A column whose num_nulls is unset in ANY row group yields
+    * no rows — absent = unknown = never pruned. */
+  private def footerNullCounts(p: Path, s: SparkSession,
+      cols: Seq[String]): Seq[(String, String, String, String)] = {
+    import scala.jdk.CollectionConverters._
+    if (cols.isEmpty) return Seq.empty
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        p, s.sparkContext.hadoopConfiguration))
+    try {
+      val blocks = rd.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      cols.flatMap { name =>
+        var nulls = 0L
+        var ok = true
+        blocks.foreach { b =>
+          b.getColumns.asScala
+            .find(_.getPath.toDotString == name) match {
+            case Some(cc) =>
+              val st = cc.getStatistics
+              if (st == null || !st.isNumNullsSet || st.getNumNulls < 0)
+                ok = false
+              else nulls += st.getNumNulls
+            case None => ok = false
+          }
+        }
+        if (!ok) Seq.empty
+        else Seq(
+          (s"null:$name", "long", nulls.toString, nulls.toString),
+          (s"nnull:$name", "long",
+            (rows - nulls).toString, (rows - nulls).toString))
+      }
+    } finally rd.close()
+  }
+
   /** Per-file [min,max] for `cols` read from the parquet FOOTER — the
     * zero-job half of commit-time stats (same driver-metadata envelope
     * as [[parquetRowCount]]). Only fixed-width primitives whose footer
@@ -628,10 +669,22 @@ object Snapshots {
       else staged.map(st => st.getPath.getName ->
         footerStats(st.getPath, s, footCols.map(c => c -> sparkTypes(c))))
         .toMap
+    // per-file NULL counts for every stats column, straight from the
+    // parquet footers (all physical types carry num_nulls — zero extra
+    // jobs): two virtual rows per (file, col) — `null:<c>` = null count,
+    // `nnull:<c>` = non-null count, each with min=max so the existing
+    // range machinery serves IS NULL / IS NOT NULL pruning untouched
+    val nullCols = statsCols.filter(sparkTypes.contains)
+    val nullStats: Map[String, Seq[(String, String, String, String)]] =
+      if (nullCols.isEmpty) Map.empty
+      else staged.map(st => st.getPath.getName ->
+        footerNullCounts(st.getPath, s, nullCols)).toMap
     val stagedStats: Map[String, Seq[(String, String, String, String)]] =
-      (aggStats.keySet ++ footStats.keySet).iterator.map(k =>
-        k -> (aggStats.getOrElse(k, Seq.empty) ++
-          footStats.getOrElse(k, Seq.empty))).toMap
+      (aggStats.keySet ++ footStats.keySet ++ nullStats.keySet)
+        .iterator.map(k =>
+          k -> (aggStats.getOrElse(k, Seq.empty) ++
+            footStats.getOrElse(k, Seq.empty) ++
+            nullStats.getOrElse(k, Seq.empty))).toMap
     val statLines = scala.collection.mutable.ArrayBuffer.empty[String]
     val moved = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
@@ -2150,6 +2203,13 @@ object Snapshots {
           litStr(l).map(v => (a.name, Some(v), None))
         case LessThanOrEqual(l: Literal, a: AttributeReference) =>
           litStr(l).map(v => (a.name, Some(v), None))
+        // IS NULL / IS NOT NULL prune through the footer-recorded
+        // null / non-null counts (virtual `null:`/`nnull:` rows with
+        // min = max = count): a match needs at least one such row
+        case IsNull(a: AttributeReference) =>
+          Some((s"null:${a.name}", Some("1"), None))
+        case IsNotNull(a: AttributeReference) =>
+          Some((s"nnull:${a.name}", Some("1"), None))
         case In(a: AttributeReference, vs) if vs.nonEmpty &&
             vs.forall(_.isInstanceOf[Literal]) =>
           val lits = vs.map(v => litStr(v.asInstanceOf[Literal]))
@@ -2332,8 +2392,16 @@ object Snapshots {
             case FileCommit(n) => n.toInt
             case _ => latest
           }
+          // virtual stat names carry a prefix over a real column name
+          // (`null:`/`nnull:`) — localize the COLUMN half through the
+          // rename chain so null-count pruning survives renames
+          def localized(name: String): String = name.split(":", 2) match {
+            case Array(p, col) if p == "null" || p == "nnull" =>
+              s"$p:${local(c, col)}"
+            case _ => local(c, name)
+          }
           constraints.forall { case (name, lo, hi) =>
-            cols.find(_._1 == local(c, name)) match {
+            cols.find(_._1 == localized(name)) match {
               case None => true
               case Some((_, tn, mn, mx)) =>
                 inBounds(tn, mn, mx, lo.getOrElse(mn), hi.getOrElse(mx))

@@ -1959,6 +1959,55 @@ class SnapshotsSpec extends SparkSpec {
         s"(budget ${k + 5})")
   }
 
+  test("IS NULL / IS NOT NULL DML prunes files through footer null " +
+      "counts; absent counts stay conservative") {
+    import spark.implicits._
+    val dir = tmpDir("nullprune")
+    // three single-file commits: no-null, mixed, all-null payloads
+    Snapshots.commit(spark, dir,
+      Seq((1L, Option("a")), (2L, Option("b"))).toDF("id", "payload")
+        .coalesce(1),
+      append = false, statsCols = Seq("id", "payload"))
+    Snapshots.commit(spark, dir,
+      Seq((3L, None: Option[String]), (4L, Option("d")))
+        .toDF("id", "payload").coalesce(1),
+      append = true, statsCols = Seq("id", "payload"))
+    Snapshots.commit(spark, dir,
+      Seq((5L, None: Option[String]), (6L, None: Option[String]))
+        .toDF("id", "payload").coalesce(1),
+      append = true, statsCols = Seq("id", "payload"))
+    // IS NULL: the no-null file provably holds no match — pruned
+    val (_, n) = Snapshots.deleteWhere(spark, dir,
+      col("payload").isNull)
+    assert(n == 3L, s"deleted $n")
+    val (kept, total) = Snapshots.lastDmlPruneCounts
+    assert(total == 3 && kept == 2,
+      s"IS NULL delete scanned $kept/$total (want 2/3)")
+    // IS NOT NULL: the all-null file is pruned
+    val (_, n2) = Snapshots.deleteWhere(spark, dir,
+      col("payload").isNotNull)
+    assert(n2 == 3L, s"deleted $n2")
+    val (kept2, total2) = Snapshots.lastDmlPruneCounts
+    assert(total2 == 3 && kept2 == 2,
+      s"IS NOT NULL delete scanned $kept2/$total2 (want 2/3)")
+    val head = Snapshots.latestVersion(spark, dir)
+    assert(Snapshots.read(spark, dir, head).count() == 0L)
+    // a column WITHOUT recorded stats never prunes (conservative):
+    // same shape, but stats only on id
+    val dir2 = tmpDir("nullprune2")
+    Snapshots.commit(spark, dir2,
+      Seq((1L, Option("a"))).toDF("id", "payload").coalesce(1),
+      append = false, statsCols = Seq("id"))
+    Snapshots.commit(spark, dir2,
+      Seq((2L, None: Option[String])).toDF("id", "payload").coalesce(1),
+      append = true, statsCols = Seq("id"))
+    val (_, n3) = Snapshots.deleteWhere(spark, dir2,
+      col("payload").isNull)
+    assert(n3 == 1L)
+    val (kept3, total3) = Snapshots.lastDmlPruneCounts
+    assert(kept3 == total3, "no stats must mean no pruning")
+  }
+
   test("commit graph vs vacuum: a cold session on a vacuumed table " +
       "still resolves ancestry, instants and time travel") {
     import spark.implicits._
