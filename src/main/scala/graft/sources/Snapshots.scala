@@ -2181,8 +2181,9 @@ object Snapshots {
       case _ => None
     }
     val folded = conjuncts(cond).map(fold)
-    val constraints0: Seq[(String, Option[String], Option[String])] =
-      folded.flatMap {
+    type Atom = (String, Option[String], Option[String])
+    def valueAtom(e: Expression): Option[Atom] =
+      e match {
         case EqualTo(a: AttributeReference, l: Literal) =>
           litStr(l).map(v => (a.name, Some(v), Some(v)))
         case EqualTo(l: Literal, a: AttributeReference) =>
@@ -2256,9 +2257,9 @@ object Snapshots {
           case scala.util.control.NonFatal(_) => None // never prune
         }
       }
-    val bucketConstraints =
-      if (bucketOf.isEmpty) Seq.empty
-      else folded.flatMap {
+    def bucketAtom(e: Expression): Option[Atom] =
+      if (bucketOf.isEmpty) None
+      else e match {
         case EqualTo(a: AttributeReference, l: Literal) =>
           bucketBound(a, Seq(l))
         case EqualTo(l: Literal, a: AttributeReference) =>
@@ -2321,9 +2322,9 @@ object Snapshots {
       }
       Seq(raw) ++ derived.toSeq
     }
-    val truncConstraints =
-      if (truncOf.isEmpty) Seq.empty
-      else folded.flatMap {
+    def truncAtom(e: Expression): Option[Atom] =
+      if (truncOf.isEmpty) None
+      else e match {
         case EqualTo(a: AttributeReference, l: Literal) =>
           truncDerive(a, l).map(v =>
             (truncOf(a.name).render, Some(v), Some(v)))
@@ -2366,7 +2367,7 @@ object Snapshots {
       }
     // LIKE-prefix conjuncts prune BOTH tiers (raw bounds always; the
     // derived tier when the column is truncate-clustered)
-    val likeConstraints = folded.flatMap {
+    def likeAtoms(e: Expression): Seq[Atom] = e match {
       case Like(a: AttributeReference, p: Literal, esc)
           if p.dataType == StringType && p.value != null =>
         likePrefix(p.value.toString, esc).toSeq.flatMap(likeBounds(a, _))
@@ -2375,9 +2376,29 @@ object Snapshots {
         likeBounds(a, p.value.toString)
       case _ => Seq.empty
     }
-    val constraints = constraints0 ++ bucketConstraints ++
-      truncConstraints ++ likeConstraints
-    if (constraints.isEmpty) {
+    def atomsForConjunct(e: Expression): Seq[Atom] =
+      valueAtom(e).toSeq ++ bucketAtom(e).toSeq ++
+        truncAtom(e).toSeq ++ likeAtoms(e)
+    val constraints = folded.flatMap(atomsForConjunct)
+    // OR conjuncts prune by the UNION of their disjuncts: a file
+    // survives the Or iff SOME disjunct's atoms admit it (each
+    // disjunct's own AND-ed sub-conjuncts must all admit). Only an Or
+    // whose EVERY disjunct extracts at least one atom constrains
+    // anything — an unextractable disjunct admits all rows, and with
+    // it the whole Or. Soundness: ignoring a disjunct's unextractable
+    // sub-conjunct only widens that disjunct, never prunes more.
+    def disjunctsOf(e: Expression): Seq[Expression] = e match {
+      case Or(l, r) => disjunctsOf(l) ++ disjunctsOf(r)
+      case other => Seq(other)
+    }
+    val orChecks: Seq[Seq[Seq[Atom]]] = folded.flatMap {
+      case o: Or =>
+        val groups = disjunctsOf(o)
+          .map(d => conjuncts(d).flatMap(atomsForConjunct))
+        if (groups.forall(_.nonEmpty)) Some(groups) else None
+      case _ => None
+    }
+    if (constraints.isEmpty && orChecks.isEmpty) {
       lastDmlPruneCounts = (fset.size, fset.size)
       return fset
     }
@@ -2400,13 +2421,16 @@ object Snapshots {
               s"$p:${local(c, col)}"
             case _ => local(c, name)
           }
-          constraints.forall { case (name, lo, hi) =>
+          def atomAdmits(atom: Atom): Boolean = {
+            val (name, lo, hi) = atom
             cols.find(_._1 == localized(name)) match {
               case None => true
               case Some((_, tn, mn, mx)) =>
                 inBounds(tn, mn, mx, lo.getOrElse(mn), hi.getOrElse(mx))
             }
           }
+          constraints.forall(atomAdmits) &&
+            orChecks.forall(_.exists(_.forall(atomAdmits)))
       }
     }
     lastDmlPruneCounts = (kept.size, fset.size)

@@ -1959,6 +1959,43 @@ class SnapshotsSpec extends SparkSpec {
         s"(budget ${k + 5})")
   }
 
+  test("OR predicates prune by the union of their disjuncts' bounds; " +
+      "an unextractable disjunct disarms the Or, never over-prunes") {
+    import spark.implicits._
+    val dir = tmpDir("orprune")
+    // three value-aligned files: ids 0-99, 100-199, 200-299
+    (0 until 3).foreach { b =>
+      Snapshots.commit(spark, dir,
+        (b * 100 until (b + 1) * 100).map(i => (i.toLong, s"r$i"))
+          .toDF("id", "payload").coalesce(1),
+        append = b > 0, statsCols = Seq("id"))
+    }
+    // both disjuncts extract: low OR high skips the middle file
+    val (_, n) = Snapshots.deleteWhere(spark, dir,
+      col("id") < 10L || col("id") >= 290L)
+    assert(n == 20L, s"deleted $n")
+    val (kept, total) = Snapshots.lastDmlPruneCounts
+    assert(total == 3 && kept == 2,
+      s"OR delete scanned $kept/$total (want 2/3)")
+    val head = Snapshots.latestVersion(spark, dir)
+    assert(Snapshots.read(spark, dir, head).count() == 280L)
+    // AND-ed sub-conjuncts inside a disjunct narrow it
+    val (_, n2) = Snapshots.deleteWhere(spark, dir,
+      (col("id") >= 110L && col("id") < 120L) || col("id") === 250L)
+    assert(n2 == 11L, s"deleted $n2")
+    val (kept2, total2) = Snapshots.lastDmlPruneCounts
+    assert(total2 == 3 && kept2 == 2,
+      s"mixed OR delete scanned $kept2/$total2 (want 2/3)")
+    // an unextractable disjunct (a function over an unstatted column)
+    // admits all rows — the Or must constrain NOTHING, never over-prune
+    val (_, n3) = Snapshots.deleteWhere(spark, dir,
+      col("id") === 15L || col("payload").contains("r205"))
+    assert(n3 == 2L, s"deleted $n3")
+    val (kept3, total3) = Snapshots.lastDmlPruneCounts
+    assert(kept3 == total3,
+      s"unextractable disjunct must disarm the Or ($kept3/$total3)")
+  }
+
   test("IS NULL / IS NOT NULL DML prunes files through footer null " +
       "counts; absent counts stay conservative") {
     import spark.implicits._
