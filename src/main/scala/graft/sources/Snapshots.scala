@@ -2211,6 +2211,39 @@ object Snapshots {
           Some((s"null:${a.name}", Some("1"), None))
         case IsNotNull(a: AttributeReference) =>
           Some((s"nnull:${a.name}", Some("1"), None))
+        // null-safe equality: `a <=> lit` is plain equality for a
+        // non-null literal (null <=> lit is false) and IS NULL for a
+        // null one
+        case EqualNullSafe(a: AttributeReference, l: Literal) =>
+          if (l.value == null) Some((s"null:${a.name}", Some("1"), None))
+          else litStr(l).map(v => (a.name, Some(v), Some(v)))
+        case EqualNullSafe(l: Literal, a: AttributeReference) =>
+          if (l.value == null) Some((s"null:${a.name}", Some("1"), None))
+          else litStr(l).map(v => (a.name, Some(v), Some(v)))
+        // NOT over a comparison is its complement interval; NOT over a
+        // null test flips it. Point exclusions (NOT =, NOT IN) bound
+        // nothing. SQL three-valued caveat: `NOT (a < l)` matches only
+        // non-null a with a >= l — a SUPERSET bound, still sound.
+        case Not(LessThan(a: AttributeReference, l: Literal)) =>
+          litStr(l).map(v => (a.name, Some(v), None))
+        case Not(LessThanOrEqual(a: AttributeReference, l: Literal)) =>
+          litStr(l).map(v => (a.name, Some(v), None))
+        case Not(GreaterThan(a: AttributeReference, l: Literal)) =>
+          litStr(l).map(v => (a.name, None, Some(v)))
+        case Not(GreaterThanOrEqual(a: AttributeReference, l: Literal)) =>
+          litStr(l).map(v => (a.name, None, Some(v)))
+        case Not(LessThan(l: Literal, a: AttributeReference)) =>
+          litStr(l).map(v => (a.name, None, Some(v)))
+        case Not(LessThanOrEqual(l: Literal, a: AttributeReference)) =>
+          litStr(l).map(v => (a.name, None, Some(v)))
+        case Not(GreaterThan(l: Literal, a: AttributeReference)) =>
+          litStr(l).map(v => (a.name, Some(v), None))
+        case Not(GreaterThanOrEqual(l: Literal, a: AttributeReference)) =>
+          litStr(l).map(v => (a.name, Some(v), None))
+        case Not(IsNull(a: AttributeReference)) =>
+          Some((s"nnull:${a.name}", Some("1"), None))
+        case Not(IsNotNull(a: AttributeReference)) =>
+          Some((s"null:${a.name}", Some("1"), None))
         case In(a: AttributeReference, vs) if vs.nonEmpty &&
             vs.forall(_.isInstanceOf[Literal]) =>
           val lits = vs.map(v => litStr(v.asInstanceOf[Literal]))

@@ -1959,6 +1959,29 @@ class SnapshotsSpec extends SparkSpec {
         s"(budget ${k + 5})")
   }
 
+  test("NOT-comparisons and null-safe equality extract prune bounds") {
+    import spark.implicits._
+    val dir = tmpDir("notprune")
+    (0 until 3).foreach { b =>
+      Snapshots.commit(spark, dir,
+        (b * 100 until (b + 1) * 100).map(i => (i.toLong, s"r$i"))
+          .toDF("id", "payload").coalesce(1),
+        append = b > 0, statsCols = Seq("id"))
+    }
+    // NOT (id < 290) == id >= 290: only the last file admits
+    val (_, n) = Snapshots.deleteWhere(spark, dir, !(col("id") < 290L))
+    assert(n == 10L, s"deleted $n")
+    val (kept, total) = Snapshots.lastDmlPruneCounts
+    assert(total == 3 && kept == 1,
+      s"NOT-comparison delete scanned $kept/$total (want 1/3)")
+    // null-safe equality prunes like plain equality
+    val (_, n2) = Snapshots.deleteWhere(spark, dir, col("id") <=> 150L)
+    assert(n2 == 1L)
+    val (kept2, total2) = Snapshots.lastDmlPruneCounts
+    assert(total2 == 3 && kept2 == 1,
+      s"null-safe equality scanned $kept2/$total2 (want 1/3)")
+  }
+
   test("OR predicates prune by the union of their disjuncts' bounds; " +
       "an unextractable disjunct disarms the Or, never over-prunes") {
     import spark.implicits._
