@@ -1896,6 +1896,46 @@ object Formats extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // Overwrite-by-filter (f53): `INSERT INTO … REPLACE WHERE lang =
+    // 'en' SELECT …` — the canonical backfill: one atomic commit whose
+    // deletion vector covers the matched rows (the position scan is
+    // condition-stat-pruned on the lang-clustered files) and whose
+    // manifest appends the corrected files; other languages are never
+    // read. Verdict: per-lang aggregate after replacing the 'en' slice
+    // with a reduced, re-counted correction set. The DuckDB oracle
+    // replays the replace relationally.
+    "f53_replace_where" -> ((s, d) => {
+      val wh = ioDir(d, "f53_wh")
+      val cat = "graft53_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val tdir = s"$wh/db/docs53"
+      writeOnce(s, tdir, alsoRequire =
+          graft.sources.Snapshots.latestVersion(s, tdir) == 3) {
+        val root = new org.apache.hadoop.fs.Path(wh)
+        val fsys = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fsys.delete(root, true)
+        s.sql(s"CREATE TABLE $cat.db.docs53 (doc_id BIGINT, " +
+          "lang STRING, source STRING, n_chars BIGINT) " +
+          "PARTITIONED BY (lang)")
+        T.documents(s, d).createOrReplaceTempView("f53_docs")
+        s.sql(s"INSERT INTO $cat.db.docs53 SELECT doc_id, lang, " +
+          "source, n_chars FROM f53_docs WHERE pmod(doc_id, 2) = 0") // v1
+        s.sql(s"INSERT INTO $cat.db.docs53 SELECT doc_id, lang, " +
+          "source, n_chars FROM f53_docs WHERE pmod(doc_id, 2) = 1") // v2
+        s.sql(s"INSERT INTO $cat.db.docs53 REPLACE WHERE lang = 'en' " +
+          "SELECT doc_id, lang, source, n_chars * 2 FROM f53_docs " +
+          "WHERE lang = 'en' AND doc_id % 2 = 0")                    // v3
+        ()
+      }
+      s.sql(s"SELECT * FROM $cat.db.docs53")
+        .groupBy(col("lang")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .select(col("lang"), col("n_docs"), col("sum_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // Logical DROP COLUMN (f45): ALTER TABLE DROP COLUMN records the
     // drop in the rename chain — ONE metadata-sized commit, no data
     // file rewritten at any table size. Time travel below the drop
@@ -2748,6 +2788,21 @@ object Formats extends QueryPack {
              CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              CAST(count(source) AS BIGINT) AS n_src,
              TRUE AS evolution_ok
+      FROM head
+      GROUP BY lang
+      ORDER BY lang""",
+    // f53: replay the backfill — the 'en' slice replaced by its even
+    // half at doubled counts, every other language untouched
+    "f53_replace_where" -> """
+      WITH head AS (
+        SELECT doc_id, lang, n_chars FROM documents WHERE lang <> 'en'
+        UNION ALL
+        SELECT doc_id, lang, n_chars * 2 AS n_chars FROM documents
+        WHERE lang = 'en' AND doc_id % 2 = 0
+      )
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars
       FROM head
       GROUP BY lang
       ORDER BY lang""",

@@ -702,6 +702,40 @@ private[graft] object GraftCatalog {
         "pruning; use OPTIMIZE ZORDER for multi-dimensional clustering")
   }
 
+  /** The `REPLACE WHERE` predicate as a Column: Spark hands the
+    * overwrite condition to a V1 write as `sources.Filter`s — translate
+    * the standard vocabulary, refuse the rest actionably (an
+    * untranslatable predicate never silently widens the replace). */
+  private[sources] def filterColumn(
+      f: org.apache.spark.sql.sources.Filter)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v) => col(a) === lit(v)
+      case EqualNullSafe(a, v) => col(a) <=> lit(v)
+      case GreaterThan(a, v) => col(a) > lit(v)
+      case GreaterThanOrEqual(a, v) => col(a) >= lit(v)
+      case LessThan(a, v) => col(a) < lit(v)
+      case LessThanOrEqual(a, v) => col(a) <= lit(v)
+      case In(a, vs) => col(a).isin(vs.toIndexedSeq: _*)
+      case IsNull(a) => col(a).isNull
+      case IsNotNull(a) => col(a).isNotNull
+      case And(l, r) => filterColumn(l) && filterColumn(r)
+      case Or(l, r) => filterColumn(l) || filterColumn(r)
+      case Not(c) => !filterColumn(c)
+      case StringStartsWith(a, v) => col(a).startsWith(v)
+      case StringEndsWith(a, v) => col(a).endsWith(v)
+      case StringContains(a, v) => col(a).contains(v)
+      case _: AlwaysTrue => lit(true)
+      case _: AlwaysFalse => lit(false)
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: REPLACE WHERE predicate $other is not " +
+          "translatable — rewrite it with comparisons/IN/LIKE-prefix " +
+          "over plain columns")
+    }
+  }
+
   /** Parse `_CLUSTER` entries back to specs (legacy plain names =
     * identity). Unparseable entries degrade to identity on the raw
     * string — conservative for old tables. */
@@ -872,6 +906,7 @@ private[graft] class SnapshotTableV2(val dir: String,
     // files read null for the new columns) before the MERGE routes
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.STREAMING_WRITE,
       TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
@@ -919,9 +954,26 @@ private[graft] class SnapshotTableV2(val dir: String,
     // key instead of appending — the Update-output-mode shape
     val keyCols = Option(info.options.get("keycols")).toSeq
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
-    class Builder extends WriteBuilder with SupportsTruncate {
+    class Builder extends WriteBuilder with SupportsTruncate
+        with org.apache.spark.sql.connector.write.SupportsOverwrite {
       private var overwrite = false
+      private var replaceCond
+          : Option[org.apache.spark.sql.sources.Filter] = None
       override def truncate(): WriteBuilder = { overwrite = true; this }
+      /** `INSERT INTO t REPLACE WHERE cond` / `writeTo(t).overwrite(c)`:
+        * a non-trivial filter routes to [[Snapshots.replaceWhere]] —
+        * one atomic commit whose DV covers the matched rows and whose
+        * manifest appends the new files; AlwaysTrue degenerates to the
+        * plain INSERT OVERWRITE rewrite. */
+      override def overwrite(filters: Array[
+          org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+        import org.apache.spark.sql.sources.AlwaysTrue
+        if (filters.isEmpty || filters.forall(_ == AlwaysTrue))
+          overwrite = true
+        else replaceCond = Some(filters.reduce(
+          org.apache.spark.sql.sources.And(_, _)))
+        this
+      }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
@@ -936,14 +988,18 @@ private[graft] class SnapshotTableV2(val dir: String,
               // them like a directory layout would.
               val (clustered, stats, virt) = GraftCatalog.clusterFor(
                 data, GraftCatalog.clusterCols(data.sparkSession, dir))
-              branchRef match {
-                case Some(n) =>
+              (replaceCond, branchRef) match {
+                case (Some(flt), br) =>
+                  Snapshots.replaceWhere(data.sparkSession, dir,
+                    clustered, GraftCatalog.filterColumn(flt),
+                    statsCols = stats, statsExprs = virt, branch = br)
+                case (None, Some(n)) =>
                   // a branch handle always has a base (its ref exists),
                   // so append-vs-rewrite is just the overwrite flag
                   Snapshots.commitOnBranch(data.sparkSession, dir, n,
                     clustered, append = !(overwrite || ovr),
                     statsCols = stats, statsExprs = virt)
-                case None =>
+                case (None, None) =>
                   Snapshots.commitAuto(data.sparkSession, dir,
                     clustered, overwrite = overwrite || ovr,
                     statsCols = stats, statsExprs = virt)

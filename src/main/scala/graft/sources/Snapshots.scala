@@ -1843,6 +1843,72 @@ object Snapshots {
     } finally c.release()
   }
 
+  /** `INSERT INTO t REPLACE WHERE cond SELECT …` (overwrite-by-filter):
+    * atomically replace the rows matching `cond` with `df` in ONE
+    * published version — the matched positions join the deletion
+    * vector, the new rows land as appended files, and nothing else is
+    * read or rewritten. The canonical backfill at 100 TB ("replace day
+    * X"): the position-finding scan is condition-stat-pruned exactly
+    * like [[deleteWhere]], so a day-selective replace on a clustered
+    * table opens only the day's files.
+    * @return (newVersion, rowsReplaced) */
+  def replaceWhere(s: SparkSession, dir: String, df: DataFrame,
+      cond: org.apache.spark.sql.Column,
+      statsCols: Seq[String] = Seq.empty,
+      statsExprs: Seq[(String, String, String)] = Seq.empty,
+      branch: Option[String] = None): (Int, Long) = {
+    import org.apache.spark.sql.functions.col
+    val f = fs(s, dir)
+    require(latestVersion(s, dir) >= 1,
+      s"replaceWhere: no versions at $dir")
+    // claim FIRST, then compute against v-1 (the deleteWhere rationale)
+    val c = claimVersion(f, dir)
+    val v = c.v
+    try {
+      val latest = branch match {
+        case Some(n) =>
+          val (h, isTag) = refRead(f, dir, n).getOrElse(
+            throw new IllegalArgumentException(s"no ref '$n' at $dir"))
+          require(!isTag,
+            s"cannot replace on tag '$n' — tags are immutable")
+          h
+        case None => mainHead(f, dir, v - 1)
+      }
+      val fset = files(s, dir, latest)
+      def scanOf(fls: Seq[String]) = withMeta(
+        s.read.parquet(fls.map(p => new Path(dir, p).toString): _*))
+      val full = scanOf(fset)
+      val kept = condMatchableFiles(s, dir, latest, fset,
+        filterExprOf(full.filter(cond)))
+      val scan =
+        if (kept.isEmpty) full.limit(0)
+        else if (kept.size == fset.size) full
+        else scanOf(kept)
+      val hits0 = scan.filter(cond)
+        .select(col("_fp").as("file_path"), col("_ri").as("row_index"))
+      val prev = dvFrame(s, dir, latest)
+      val hits = prev.map(p => hits0.join(p,
+        Seq("file_path", "row_index"), "left_anti")).getOrElse(hits0)
+      hits.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val union = prev.map(_.unionByName(hits)).getOrElse(hits)
+        union.write.mode("overwrite").parquet(dvDir(dir, v).toString)
+        val n = hits.count()
+        val (moved, statLines) = stageAndMove(s, f, dir, df, statsCols,
+          v, statsExprs)
+        writeCommitMeta(f, dir, v, latest)
+        writeStatLines(f, dir, v, statLines)
+        writeManifest(f, dir, v, fset ++ moved)
+        maybeCheckpoint(f, dir, v)
+        branch match {
+          case Some(nm) => writeRef(s, f, dir, nm, v, tag = false)
+          case None => advanceMain(s, f, dir, v)
+        }
+        (v, n)
+      } finally { hits.unpersist(); () }
+    } finally c.release()
+  }
+
   /** UPDATE … SET … WHERE … in ONE published version: matched row
     * positions join the deletion vector and the UPDATED rows land as
     * fresh appended files — [[upsert]] mechanics keyed by POSITION

@@ -1152,6 +1152,47 @@ class GraftCatalogSpec extends SparkSpec {
     assert(left == (0L to 49L).filterNot(_ == 7L))
   }
 
+  test("INSERT INTO … REPLACE WHERE: atomic overwrite-by-filter in one " +
+      "version; the position scan prunes; plain OVERWRITE unaffected") {
+    warehouse
+    import spark.implicits._
+    sql("CREATE TABLE graft.db.rw (day STRING, id BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (day)")
+    Seq(("d1", 1L, 0.1), ("d1", 2L, 0.2), ("d1", 3L, 0.3))
+      .toDF("day", "id", "v").createOrReplaceTempView("rw_d1")
+    Seq(("d2", 4L, 0.4), ("d2", 5L, 0.5))
+      .toDF("day", "id", "v").createOrReplaceTempView("rw_d2")
+    sql("INSERT INTO graft.db.rw SELECT * FROM rw_d1")             // v1
+    sql("INSERT INTO graft.db.rw SELECT * FROM rw_d2")             // v2
+    // backfill day d2: its rows replace atomically, d1 is never read
+    Seq(("d2", 6L, 9.9), ("d2", 7L, 9.9))
+      .toDF("day", "id", "v").createOrReplaceTempView("rw_fix")
+    sql("INSERT INTO graft.db.rw REPLACE WHERE day = 'd2' " +
+      "SELECT * FROM rw_fix")                                      // v3
+    val (kept, total) = Snapshots.lastDmlPruneCounts
+    assert(kept < total,
+      s"REPLACE WHERE scanned every file ($kept/$total)")
+    assert(Snapshots.latestVersion(spark, dirOf("db", "rw")) == 3,
+      "one published version per REPLACE WHERE")
+    val got = sql("SELECT day, id FROM graft.db.rw ORDER BY id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("d1", 1L), ("d1", 2L), ("d1", 3L),
+      ("d2", 6L), ("d2", 7L)), got.toString)
+    // a no-match filter appends without touching anything
+    sql("INSERT INTO graft.db.rw REPLACE WHERE day = 'd9' " +
+      "SELECT 'd9', CAST(8 AS BIGINT), 1.0")                       // v4
+    assert(sql("SELECT count(*) FROM graft.db.rw").head().getLong(0)
+      == 6L)
+    // time travel shows the pre-replace day
+    assert(sql("SELECT id FROM graft.db.rw VERSION AS OF 2 " +
+      "WHERE day = 'd2' ORDER BY id").collect().map(_.getLong(0)).toSeq
+      == Seq(4L, 5L))
+    // plain INSERT OVERWRITE still rewrites wholesale
+    sql("INSERT OVERWRITE graft.db.rw SELECT 'd0', CAST(0 AS BIGINT), 0.0")
+    assert(sql("SELECT count(*) FROM graft.db.rw").head().getLong(0)
+      == 1L)
+  }
+
   test("CALL system.checkpoint force-folds the metadata checkpoint") {
     warehouse
     sql("CREATE TABLE graft.db.ckv (id BIGINT)")
