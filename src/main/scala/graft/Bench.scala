@@ -26,6 +26,27 @@ import org.apache.spark.sql.SparkSession
   * (single samples, 20-30% noisier than the median sentinels) ride in
   * the artifact for mid-run attribution but do not gate.
   *
+  * TIMEOUT-PROOF ARTIFACT (round-19 verdict #1): round 19's driver run
+  * was killed (rc=124) during a retry pass and — because the artifact
+  * was written only after the loop — produced NO number at all. Two
+  * defenses now hold:
+  *   1. The best-so-far pass's FULL artifact (BENCH_TELEMETRY.json,
+  *      /tmp/graft_bench.json, and both stdout JSON lines) is emitted
+  *      after EVERY pass. A kill mid-pass-N leaves pass N-1's complete,
+  *      self-labeled artifact on disk and in the stdout tail (the
+  *      driver's tail parser takes the LAST JSON line, which is always
+  *      the newest best-so-far emission).
+  *   2. SPARK_GRAFT_TIME_BUDGET_S (default 1800 s of in-JVM wall time)
+  *      bounds the quiet-retry loop: another pass starts only if the
+  *      remaining budget exceeds the previous pass's duration — on a
+  *      hot box (passes ~3× longer) the loop self-truncates and exits
+  *      rc=0 with a quiet=false artifact instead of being killed.
+  *      Budget sizing: a quiet pass at sf0.1/32cpu is ~160 s plus
+  *      ~100 s warmup, so 1800 s fits 3 passes even at 3× contention;
+  *      the r18 full run (3 quiet-ish passes) completed in 57 min
+  *      INCLUDING sbt, so 30 min in-JVM keeps the end-to-end run well
+  *      inside a 60-min driver window.
+  *
   * The timed action materializes the query's ACTUAL output rows
   * (`queryExecution.toRdd.count()`), not `df.count()`: Catalyst rewrites a
   * count() into Aggregate(count(1)) and then legally prunes every unused
@@ -202,51 +223,6 @@ object Bench {
         sentinelStart, sentinelEnd)
     }
 
-    // quiet-pass loop: the quiet norm is the FASTEST sentinel sample seen
-    // across every pass so far — no machine-specific wall-clock constant
-    var passes = List.empty[Pass]
-    var quiet = false
-    var norm = Double.MaxValue
-    var nPasses = 0
-    while (nPasses < maxPasses && !quiet) {
-      val p = runPass()
-      nPasses += 1
-      passes ::= p
-      val samples = p.sentinelSamples
-      if (samples.nonEmpty) norm = math.min(norm, samples.min)
-      // sentinels are medians of 3 and compare tight (1.1×); probes are
-      // SINGLE samples (JIT/GC jitter) so they get a wider bound (1.4×)
-      // and one outlier is tolerated — a transient page-cache hiccup on
-      // one probe must not burn a whole multi-minute pass
-      if (p.sentinelStart <= 0 || p.sentinelEnd <= 0) {
-        // sentinel broken or excluded from the subset: load CANNOT be
-        // assessed — label quiet=false (an unvetted number must not
-        // self-certify) and stop looping (re-running cannot help)
-        System.err.println("[bench] sentinel unavailable — load not " +
-          "assessable; emitting this pass with quiet=false")
-        nPasses = maxPasses
-      } else quiet =
-        // the gate is the median-of-3 sentinels only: single-sample
-        // probes run 20-30% above a median norm even on a measurably
-        // quiet board (GC/JIT hiccups the median filters out), so they
-        // stay in the artifact for mid-run ATTRIBUTION, not as a gate —
-        // a whole pass must not burn on probe jitter
-        p.sentinelStart <= 1.1 * norm && p.sentinelEnd <= 1.1 * norm
-      if (!quiet && p.sentinelStart > 0 && p.sentinelEnd > 0)
-        System.err.println(
-        f"[bench] pass $nPasses NOT quiet (norm=$norm%.2f start=" +
-          f"${p.sentinelStart}%.2f end=${p.sentinelEnd}%.2f)" +
-          (if (nPasses < maxPasses) "; re-running"
-           else "; pass budget exhausted — emitting the fastest pass"))
-    }
-    val chosen = if (quiet) passes.head else passes.minBy(_.total)
-    val results = chosen.results
-    val telemetry = chosen.telemetry
-    val sentinelStart = chosen.sentinelStart
-    val sentinelEnd = chosen.sentinelEnd
-
-    results.filter(_._2._1 < 0).foreach { case (n, _) =>
-      System.err.println(s"[bench] WARNING: $n failed") }
     // ms-rounded full precision for the file artifact
     def ms(x: Double): String = if (x < 0) "-1" else f"$x%.3f"
     // centisecond precision for the per-query stdout line
@@ -254,36 +230,6 @@ object Bench {
     // stdout keys are the unambiguous letter+number prefixes ("q01",
     // "d03", …); full names stay in the file line below
     def short(k: String): String = k.takeWhile(_ != '_')
-    // (collision across short keys is rejected before the timed loop)
-    val qs = results.map { case (k, (med, _)) =>
-      s"\"" + short(k) + "\":" + cs(med) }.mkString("{", ",", "}")
-    val qsFull = results.map { case (k, (med, _)) =>
-      s"\"" + k + "\":" + ms(med) }.mkString("{", ",", "}")
-    val qmins = results.map { case (k, (_, mn)) => s"\"" + k + "\":" + ms(mn) }
-      .mkString("{", ",", "}")
-    val total = chosen.total
-    // compact anomaly signal: in-run probe curve, storage peak + where it
-    // happened, and how many queries finished with a non-empty shared
-    // CacheManager (must be 0 after the round-11 leak fixes)
-    val probes = telemetry.values.filter(_.probe >= 0)
-      .map(t => s"\"${t.pos}\":" + cs(t.probe)).mkString("{", ",", "}")
-    val peak = telemetry.values.filter(_.storageMb >= 0)
-      .maxByOption(_.storageMb)
-    val peakMb = peak.map(t => f"${t.storageMb}%.0f").getOrElse("-1")
-    val peakAt = peak.map(t => short(telemetry.find(_._2 eq t).get._1))
-      .getOrElse("")
-    val nCacheUp = telemetry.values.count(_.cacheNonEmpty)
-    val quietFields = s""""quiet":$quiet,"passes":$nPasses,"quiet_norm":${
-      if (norm == Double.MaxValue) "-1" else cs(norm)}"""
-    // per-query stdout line (short keys, cs precision)
-    println(s"""{"metric":"total","value":${cs(total)},"unit":"sec","sentinel_start":${cs(sentinelStart)},"sentinel_end":${cs(sentinelEnd)},$quietFields,"probes":$probes,"storage_peak_mb":$peakMb,"peak_at":"$peakAt","cache_up_after":$nCacheUp,"queries":$qs,"sf":"$sfDir"}""")
-    // LAST stdout line: a SHORT self-contained summary. Tail-bounded
-    // captures (the driver keeps ~2000 chars) truncate the HEAD of the
-    // per-query line once the query map outgrows the budget (round-12:
-    // "parsed": null) — the summary line always fits whole, so a
-    // tail-side parser that takes the last JSON line gets the total,
-    // sentinels, and the quiet verdict regardless of board size
-    println(s"""{"metric":"total","value":${cs(total)},"unit":"sec","n_queries":${results.size},"sentinel_start":${cs(sentinelStart)},"sentinel_end":${cs(sentinelEnd)},$quietFields,"cache_up_after":$nCacheUp,"sf":"$sfDir"}""")
     // run-identity stamp (round-10 verdict #8): artifacts must be
     // self-identifying — HEAD commit, wall-clock, query count
     val head = try {
@@ -295,21 +241,127 @@ object Bench {
         new String(java.nio.file.Files.readAllBytes(ref), "UTF-8").trim
       } else headTxt
     } catch { case _: Throwable => "unknown" }
-    val stamp = s""""head":"$head","wallclock_ms":${System.currentTimeMillis()},"n_queries":${results.size}"""
-    // file: full line incl. full names + minima + per-query telemetry
-    // series, for cross-round work and in-round anomaly attribution
-    val tele = telemetry.map { case (k, t) =>
-      val reps = t.reps.map(r =>
-        s"""{"sec":${ms(r.sec)},"jobs":${r.jobs},"stages":${r.stages},"tasks":${r.tasks}}""")
-        .mkString("[", ",", "]")
-      s""""$k":{"pos":${t.pos},"med":${ms(t.med)},"min":${ms(t.min)},"max":${ms(t.max)},"storage_mb":${f"${t.storageMb}%.1f"},"n_rdds":${t.nRdds},"cache_up":${t.cacheNonEmpty},"probe":${ms(t.probe)},"reps":$reps}"""
-    }.mkString("{", ",", "}")
-    val fileLine = s"""{"metric":"total","value":${ms(total)},"unit":"sec",$stamp,$quietFields,"iters":$iters,"sentinel":"$sentinelName","sentinel_start":${ms(sentinelStart)},"sentinel_end":${ms(sentinelEnd)},"probes":$probes,"storage_peak_mb":$peakMb,"peak_at":"$peakAt","cache_up_after":$nCacheUp,"queries":$qsFull,"queries_min":$qmins,"telemetry":$tele,"sf":"$sfDir"}\n"""
-    for (path <- Seq("/tmp/graft_bench.json", "BENCH_TELEMETRY.json")) {
-      try java.nio.file.Files.write(java.nio.file.Paths.get(path),
-        fileLine.getBytes("UTF-8"))
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $path write failed: ${e.getMessage}") }
+
+    // Emit the best-so-far pass as a COMPLETE artifact: both stdout JSON
+    // lines plus the full-precision file line. Called after EVERY pass
+    // (round-19 verdict #1) so a driver kill mid-pass still leaves the
+    // previous pass's artifact in place; the stdout tail parser takes the
+    // LAST JSON line, which is always the newest emission.
+    def emit(chosen: Pass, quiet: Boolean, nPasses: Int, norm: Double): Unit = {
+      val results = chosen.results
+      val telemetry = chosen.telemetry
+      val sentinelStart = chosen.sentinelStart
+      val sentinelEnd = chosen.sentinelEnd
+      results.filter(_._2._1 < 0).foreach { case (n, _) =>
+        System.err.println(s"[bench] WARNING: $n failed") }
+      // (collision across short keys is rejected before the timed loop)
+      val qs = results.map { case (k, (med, _)) =>
+        s"\"" + short(k) + "\":" + cs(med) }.mkString("{", ",", "}")
+      val qsFull = results.map { case (k, (med, _)) =>
+        s"\"" + k + "\":" + ms(med) }.mkString("{", ",", "}")
+      val qmins = results.map { case (k, (_, mn)) => s"\"" + k + "\":" + ms(mn) }
+        .mkString("{", ",", "}")
+      val total = chosen.total
+      // compact anomaly signal: in-run probe curve, storage peak + where it
+      // happened, and how many queries finished with a non-empty shared
+      // CacheManager (must be 0 after the round-11 leak fixes)
+      val probes = telemetry.values.filter(_.probe >= 0)
+        .map(t => s"\"${t.pos}\":" + cs(t.probe)).mkString("{", ",", "}")
+      val peak = telemetry.values.filter(_.storageMb >= 0)
+        .maxByOption(_.storageMb)
+      val peakMb = peak.map(t => f"${t.storageMb}%.0f").getOrElse("-1")
+      val peakAt = peak.map(t => short(telemetry.find(_._2 eq t).get._1))
+        .getOrElse("")
+      val nCacheUp = telemetry.values.count(_.cacheNonEmpty)
+      val quietFields = s""""quiet":$quiet,"passes":$nPasses,"quiet_norm":${
+        if (norm == Double.MaxValue) "-1" else cs(norm)}"""
+      // per-query stdout line (short keys, cs precision)
+      println(s"""{"metric":"total","value":${cs(total)},"unit":"sec","sentinel_start":${cs(sentinelStart)},"sentinel_end":${cs(sentinelEnd)},$quietFields,"probes":$probes,"storage_peak_mb":$peakMb,"peak_at":"$peakAt","cache_up_after":$nCacheUp,"queries":$qs,"sf":"$sfDir"}""")
+      // LAST stdout line per emission: a SHORT self-contained summary.
+      // Tail-bounded captures (the driver keeps ~2000 chars) truncate the
+      // HEAD of the per-query line once the query map outgrows the budget
+      // (round-12: "parsed": null) — the summary line always fits whole,
+      // so a tail-side parser that takes the last JSON line gets the
+      // total, sentinels, and the quiet verdict regardless of board size
+      println(s"""{"metric":"total","value":${cs(total)},"unit":"sec","n_queries":${results.size},"sentinel_start":${cs(sentinelStart)},"sentinel_end":${cs(sentinelEnd)},$quietFields,"cache_up_after":$nCacheUp,"sf":"$sfDir"}""")
+      Console.out.flush()
+      val stamp = s""""head":"$head","wallclock_ms":${System.currentTimeMillis()},"n_queries":${results.size}"""
+      // file: full line incl. full names + minima + per-query telemetry
+      // series, for cross-round work and in-round anomaly attribution
+      val tele = telemetry.map { case (k, t) =>
+        val reps = t.reps.map(r =>
+          s"""{"sec":${ms(r.sec)},"jobs":${r.jobs},"stages":${r.stages},"tasks":${r.tasks}}""")
+          .mkString("[", ",", "]")
+        s""""$k":{"pos":${t.pos},"med":${ms(t.med)},"min":${ms(t.min)},"max":${ms(t.max)},"storage_mb":${f"${t.storageMb}%.1f"},"n_rdds":${t.nRdds},"cache_up":${t.cacheNonEmpty},"probe":${ms(t.probe)},"reps":$reps}"""
+      }.mkString("{", ",", "}")
+      val fileLine = s"""{"metric":"total","value":${ms(total)},"unit":"sec",$stamp,$quietFields,"iters":$iters,"sentinel":"$sentinelName","sentinel_start":${ms(sentinelStart)},"sentinel_end":${ms(sentinelEnd)},"probes":$probes,"storage_peak_mb":$peakMb,"peak_at":"$peakAt","cache_up_after":$nCacheUp,"queries":$qsFull,"queries_min":$qmins,"telemetry":$tele,"sf":"$sfDir"}\n"""
+      for (path <- Seq("/tmp/graft_bench.json", "BENCH_TELEMETRY.json")) {
+        try java.nio.file.Files.write(java.nio.file.Paths.get(path),
+          fileLine.getBytes("UTF-8"))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $path write failed: ${e.getMessage}") }
+      }
+    }
+
+    // quiet-pass loop: the quiet norm is the FASTEST sentinel sample seen
+    // across every pass so far — no machine-specific wall-clock constant.
+    // Bounded by BOTH maxPasses and the wall-time budget: another pass
+    // starts only if the remaining budget exceeds the previous pass's
+    // duration (a hot box stretches passes ~3×, and round 19 showed a
+    // fixed pass count on a hot box overruns the driver window — better
+    // to exit rc=0 with a self-labeled quiet=false artifact).
+    val benchT0 = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - benchT0) / 1e9
+    val timeBudgetS =
+      sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET_S", "1800").toDouble
+    var passes = List.empty[Pass]
+    var quiet = false
+    var norm = Double.MaxValue
+    var nPasses = 0
+    var more = true
+    while (more) {
+      val passT0 = System.nanoTime()
+      val p = runPass()
+      val passDur = (System.nanoTime() - passT0) / 1e9
+      nPasses += 1
+      passes ::= p
+      val samples = p.sentinelSamples
+      if (samples.nonEmpty) norm = math.min(norm, samples.min)
+      var sentinelOk = true
+      if (p.sentinelStart <= 0 || p.sentinelEnd <= 0) {
+        // sentinel broken or excluded from the subset: load CANNOT be
+        // assessed — label quiet=false (an unvetted number must not
+        // self-certify) and stop looping (re-running cannot help)
+        System.err.println("[bench] sentinel unavailable — load not " +
+          "assessable; emitting this pass with quiet=false")
+        sentinelOk = false
+      } else quiet =
+        // the gate is the median-of-3 sentinels only: single-sample
+        // probes run 20-30% above a median norm even on a measurably
+        // quiet board (GC/JIT hiccups the median filters out), so they
+        // stay in the artifact for mid-run ATTRIBUTION, not as a gate —
+        // a whole pass must not burn on probe jitter
+        p.sentinelStart <= 1.1 * norm && p.sentinelEnd <= 1.1 * norm
+      // budget check BEFORE deciding to loop: is there room for another
+      // pass of the size we just measured?
+      val remaining = timeBudgetS - elapsedS
+      val budgetOk = remaining > passDur * 1.05
+      more = !quiet && sentinelOk && nPasses < maxPasses && budgetOk
+      if (!quiet && sentinelOk)
+        System.err.println(
+          f"[bench] pass $nPasses NOT quiet (norm=$norm%.2f start=" +
+            f"${p.sentinelStart}%.2f end=${p.sentinelEnd}%.2f)" +
+            (if (more) "; re-running"
+             else if (nPasses >= maxPasses)
+               "; pass budget exhausted — emitting the fastest pass"
+             else if (!budgetOk)
+               f"; time budget exhausted (${remaining}%.0f s left < " +
+                 f"${passDur}%.0f s pass) — emitting the fastest pass"
+             else ""))
+      // persist the best-so-far artifact after EVERY pass (quiet flag is
+      // final only on the last emission; intermediate emissions carry
+      // the honest current verdict, so a kill leaves a correct label)
+      emit(if (quiet) p else passes.minBy(_.total), quiet, nPasses, norm)
     }
     spark.stop()
   }
