@@ -1936,6 +1936,69 @@ object Formats extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // Nested-field schema evolution (f54): ADD / RENAME / DROP of a
+    // struct subfield are ONE metadata-sized commit each — the chain
+    // entry carries a dotted path ("meta.w" → "meta.width" or the drop
+    // marker), no data file is rewritten at any table size, and every
+    // pre-evolution vintage null-backfills / remaps at read time via
+    // parquet schema clipping under the per-vintage localized schema.
+    // This is the first schema change a multimodal-corpus user makes
+    // (the m01/m02 tables carry struct metadata columns). Verdict:
+    // per-lang aggregate over the evolved head (sum of the renamed
+    // subfield, count of the added one) + shape/time-travel booleans.
+    "f54_nested_evolution" -> ((s, d) => {
+      val wh = ioDir(d, "f54_wh")
+      val cat = "graft54_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val tdir = s"$wh/db/docs54"
+      writeOnce(s, tdir, alsoRequire =
+          graft.sources.Snapshots.latestVersion(s, tdir) == 5) {
+        val root = new org.apache.hadoop.fs.Path(wh)
+        val fsys = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fsys.delete(root, true)
+        s.sql(s"CREATE TABLE $cat.db.docs54 (doc_id BIGINT, " +
+          "lang STRING, meta STRUCT<w: INT, h: INT>)")
+        T.documents(s, d).createOrReplaceTempView("f54_docs")
+        s.sql(s"INSERT INTO $cat.db.docs54 SELECT doc_id, lang, " +
+          "named_struct('w', CAST(n_chars % 100 AS INT), " +
+          "'h', CAST(n_chars % 50 AS INT)) FROM f54_docs " +
+          "WHERE doc_id % 2 = 0")                                     // v1
+        s.sql(s"ALTER TABLE $cat.db.docs54 " +
+          "ADD COLUMNS (meta.channels INT)")                          // v2
+        s.sql(s"INSERT INTO $cat.db.docs54 SELECT doc_id, lang, " +
+          "named_struct('w', CAST(n_chars % 100 AS INT), " +
+          "'h', CAST(n_chars % 50 AS INT), " +
+          "'channels', CAST(n_chars % 3 AS INT)) FROM f54_docs " +
+          "WHERE doc_id % 2 = 1")                                     // v3
+        s.sql(s"ALTER TABLE $cat.db.docs54 " +
+          "RENAME COLUMN meta.w TO width")                            // v4
+        s.sql(s"ALTER TABLE $cat.db.docs54 DROP COLUMN meta.h")       // v5
+        ()
+      }
+      def metaFields(df: DataFrame): Seq[String] = df.schema("meta")
+        .dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fieldNames.toSeq
+      val head = s.sql(s"SELECT * FROM $cat.db.docs54")
+      val headShapeOk = metaFields(head) == Seq("width", "channels")
+      val v1ShapeOk = metaFields(
+        s.sql(s"SELECT * FROM $cat.db.docs54 VERSION AS OF 1")) ==
+        Seq("w", "h")
+      // the pre-drop vintage still reads the dropped subfield's values
+      val v1HOk = s.sql(s"SELECT count(*) AS n FROM $cat.db.docs54 " +
+        "VERSION AS OF 1 WHERE meta.h IS NULL").head().getLong(0) == 0L
+      head.groupBy(col("lang")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("meta.width")).as("sum_width"),
+          count(col("meta.channels")).as("n_channels"))
+        .select(col("lang"), col("n_docs"), col("sum_width"),
+          col("n_channels"),
+          lit(headShapeOk).as("head_shape_ok"),
+          lit(v1ShapeOk).as("v1_shape_ok"),
+          lit(v1HOk).as("v1_h_ok"))
+        .orderBy(col("lang"))
+    }),
+
     // Logical DROP COLUMN (f45): ALTER TABLE DROP COLUMN records the
     // drop in the rename chain — ONE metadata-sized commit, no data
     // file rewritten at any table size. Time travel below the drop
@@ -2814,6 +2877,22 @@ object Formats extends QueryPack {
              CAST(sum(n_chars) AS BIGINT) AS sum_chars
       FROM documents
       WHERE doc_id % 7 <> 0 AND n_chars >= 120
+      GROUP BY lang
+      ORDER BY lang""",
+    // f54: replay the nested evolution — every row keeps width
+    // (= n_chars % 100), only the post-ADD (odd doc_id) rows carry
+    // channels, the dropped h contributes nothing; shape booleans
+    // pinned TRUE
+    "f54_nested_evolution" -> """
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars % 100) AS BIGINT) AS sum_width,
+             CAST(count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT)
+               AS n_channels,
+             TRUE AS head_shape_ok,
+             TRUE AS v1_shape_ok,
+             TRUE AS v1_h_ok
+      FROM documents
       GROUP BY lang
       ORDER BY lang""",
     // f45: head = all documents with null source (the drop severed the

@@ -346,22 +346,105 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"(columns: ${fields.map(_.name).mkString(", ")})")
       i
     }
+    // Nested-field evolution: rebuild the PARENT struct of
+    // `names` (= top.…​.leaf) with `fn(parentStruct, leaf)` applied,
+    // navigating only through struct types — evolution inside an array
+    // or map element has no per-row identity to evolve and is refused.
+    def rebuildParent(names: Array[String], op: String)(
+        fn: (org.apache.spark.sql.types.StructType, String)
+          => org.apache.spark.sql.types.StructType): Unit = {
+      import org.apache.spark.sql.types.{DataType, StructType}
+      val topIdx = fields.indexWhere(_.name == names.head)
+      require(topIdx >= 0, s"graft catalog: ALTER TABLE $op: no column " +
+        s"'${names.head}' in ${fullName(ident)} " +
+        s"(columns: ${fields.map(_.name).mkString(", ")})")
+      def asStruct(dt: DataType, path: String): StructType = dt match {
+        case st: StructType => st
+        case other => unsupported(s"$op under '$path': " +
+          s"${other.simpleString} is not a struct — only struct " +
+          "subfields evolve (array/map elements are opaque)")
+      }
+      def rec(dt: DataType, segs: List[String], path: String): DataType = {
+        val st = asStruct(dt, path)
+        segs match {
+          case Nil => fn(st, names.last)
+          case h :: t =>
+            val i = st.fieldNames.indexOf(h)
+            require(i >= 0, s"graft catalog: ALTER TABLE $op: no field " +
+              s"'$h' in '$path' (fields: ${st.fieldNames.mkString(", ")})")
+            StructType(st.fields.updated(i, st.fields(i).copy(
+              dataType = rec(st.fields(i).dataType, t, path + "." + h))))
+        }
+      }
+      val nt = rec(fields(topIdx).dataType,
+        names.toList.drop(1).dropRight(1), names.head)
+      fields = fields.updated(topIdx, fields(topIdx).copy(dataType = nt))
+      schemaChanged = true
+    }
+    // a CHECK predicate referencing the path (or anything under it)
+    // would silently go stale — same refusal as the top-level forms
+    def refuseIfCheckReferences(pathStr: String, what: String): Unit =
+      GraftConstraints.read(spark, dir).foreach { c =>
+        val refs = spark.sessionState.sqlParser
+          .parseExpression(c.predicateSql).collect {
+            case ua: org.apache.spark.sql.catalyst.analysis
+                .UnresolvedAttribute => ua.nameParts.mkString(".")
+          }
+        require(!refs.exists(r =>
+            r == pathStr || r.startsWith(pathStr + ".")),
+          s"graft catalog: $what $pathStr: referenced by CHECK " +
+            s"constraint ${c.name} (${c.predicateSql}) — drop the " +
+            "constraint first")
+      }
     changes.foreach {
       case a: TableChange.AddColumn =>
-        if (a.fieldNames.length != 1)
-          unsupported("ADD COLUMNS of nested fields is not supported")
-        val n = a.fieldNames.head
-        require(!fields.exists(_.name == n),
-          s"graft catalog: ALTER TABLE ADD COLUMNS: '$n' already exists")
         if (!a.isNullable)
           unsupported("ADD COLUMNS ... NOT NULL is not supported — " +
             "existing rows backfill null")
         if (a.position != null)
           unsupported("ADD COLUMNS with FIRST/AFTER is not supported — " +
             "column order follows vintage order")
-        fields :+= org.apache.spark.sql.types.StructField(
-          n, a.dataType, nullable = true)
-        schemaChanged = true
+        if (a.fieldNames.length == 1) {
+          val n = a.fieldNames.head
+          require(!fields.exists(_.name == n),
+            s"graft catalog: ALTER TABLE ADD COLUMNS: '$n' already exists")
+          fields :+= org.apache.spark.sql.types.StructField(
+            n, a.dataType, nullable = true)
+          schemaChanged = true
+        } else {
+          // nested ADD: the evolving commit's footer declares the grown
+          // struct; no rename entry — widen() unions subfields by name
+          // and pre-evolution vintages null-backfill via parquet schema
+          // clipping (re-use after a nested DROP stays safe: the drop's
+          // chain entry masks the old physical subfield)
+          rebuildParent(a.fieldNames, "ADD COLUMNS") { (st, leaf) =>
+            require(!st.fieldNames.contains(leaf),
+              s"graft catalog: ALTER TABLE ADD COLUMNS: " +
+                s"'${a.fieldNames.mkString(".")}' already exists")
+            org.apache.spark.sql.types.StructType(st.fields :+
+              org.apache.spark.sql.types.StructField(leaf, a.dataType,
+                nullable = true))
+          }
+        }
+      case r: TableChange.RenameColumn if r.fieldNames.length > 1 =>
+        // nested RENAME: one chain entry old-dotted-path → new FULL
+        // dotted path (never a bare leaf, so equality-keyed top-level
+        // walks can't alias it); data files are never rewritten
+        val oldPath = r.fieldNames.mkString(".")
+        val parent = r.fieldNames.dropRight(1).mkString(".")
+        refuseIfCheckReferences(oldPath, "RENAME COLUMN")
+        rebuildParent(r.fieldNames, "RENAME COLUMN") { (st, leaf) =>
+          val i = st.fieldNames.indexOf(leaf)
+          require(i >= 0, s"graft catalog: ALTER TABLE RENAME COLUMN: " +
+            s"no field '$leaf' in '$parent' " +
+            s"(fields: ${st.fieldNames.mkString(", ")})")
+          require(!st.fieldNames.contains(r.newName),
+            s"graft catalog: ALTER TABLE RENAME COLUMN: " +
+              s"'$parent.${r.newName}' already exists")
+          org.apache.spark.sql.types.StructType(st.fields.updated(i,
+            st.fields(i).copy(name = r.newName)))
+        }
+        renames += (oldPath -> (parent + "." + r.newName))
       case r: TableChange.RenameColumn =>
         val i = indexOf(r.fieldNames, "RENAME COLUMN")
         require(!fields.exists(_.name == r.newName),
@@ -429,6 +512,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         else require(dc.ifExists,
           s"graft catalog: no constraint '${dc.name}' on " +
             s"${fullName(ident)}")
+      case d: TableChange.DeleteColumn if d.fieldNames.length > 1 =>
+        // nested DROP: logical, recorded as old-dotted-path → DropMarker;
+        // time travel below the drop still reads the subfield, a later
+        // nested ADD may re-use the leaf (pre-drop vintages read null)
+        val oldPath = d.fieldNames.mkString(".")
+        val parent = d.fieldNames.dropRight(1).mkString(".")
+        refuseIfCheckReferences(oldPath, "DROP COLUMN")
+        rebuildParent(d.fieldNames, "DROP COLUMN") { (st, leaf) =>
+          val i = st.fieldNames.indexOf(leaf)
+          require(i >= 0, s"graft catalog: ALTER TABLE DROP COLUMN: " +
+            s"no field '$leaf' in '$parent' " +
+            s"(fields: ${st.fieldNames.mkString(", ")})")
+          require(st.fields.length > 1,
+            s"graft catalog: DROP COLUMN $oldPath: cannot drop a " +
+              s"struct's only subfield — drop the column '$parent' " +
+              "itself instead")
+          org.apache.spark.sql.types.StructType(st.fields.patch(i, Nil, 1))
+        }
+        renames += (oldPath -> graft.sources.Snapshots.DropMarker)
       case d: TableChange.DeleteColumn =>
         val i = indexOf(d.fieldNames, "DROP COLUMN")
         require(fields.size > 1,

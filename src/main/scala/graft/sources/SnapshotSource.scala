@@ -1508,10 +1508,12 @@ object SnapshotSource {
     val maxV = math.max(canonVersion, byVintage.keys.max)
     val chain: Map[Int, Seq[(String, String)]] =
       Snapshots.renameChain(spark, dir, maxV)
-    // the name vintage `c` stores a canonVersion-canonical column under:
-    // back through renames (canonVersion, c] for old vintages, forward
-    // through (canonVersion, c] for vintages committed after capture
-    def localName(c: Int, canonical: String): String = {
+    // the dotted path vintage `c` stores a canonVersion-canonical
+    // (sub)column under: back through renames (canonVersion, c] for old
+    // vintages, forward through (canonVersion, c] for vintages committed
+    // after capture — generalized over nested struct-subfield entries
+    // (Snapshots.applyEntry/invertEntry carry subtree prefixes)
+    def localPath(c: Int, canonical: String): String = {
       var cur = canonical
       if (c <= canonVersion) {
         // inverse application: reverse version order AND reverse entry
@@ -1519,17 +1521,17 @@ object SnapshotSource {
         // (a→b, b→c) inverts exactly as evolutionInfo applies it forward
         for (later <- canonVersion until c by -1;
             (o, n) <- chain(later).reverse)
-          { if (n == cur) cur = o }
+          cur = Snapshots.invertEntry(cur, o, n)
         // round-trip guard (see Snapshots.localStatName): a dropped or
         // re-used name must not alias an unrelated old column — request
         // a name no file can contain instead, which reads as null
         var fwd = cur
         for (later <- (c + 1) to canonVersion; (o, n) <- chain(later))
-          { if (o == fwd) fwd = n }
+          fwd = Snapshots.applyEntry(fwd, o, n)
         if (fwd != canonical) cur = Snapshots.DropMarker + canonical
       } else {
         for (later <- (canonVersion + 1) to c; (o, n) <- chain(later))
-          { if (o == cur) cur = n }
+          cur = Snapshots.applyEntry(cur, o, n)
         // the canonical column was dropped before this vintage: its
         // replacement (if any) is unrelated — read as null, uniquified
         // so two dropped columns cannot collide in the schema
@@ -1538,13 +1540,33 @@ object SnapshotSource {
       }
       cur
     }
+    // localized REQUESTED schema, recursive over struct subfields: leaf
+    // names follow localPath, shape and (widened) types stay canonical,
+    // so parquet clipping null-backfills absent subfields and the rows
+    // come back positionally canonical
+    def localStruct(st: StructType, c: Int, prefix: String): StructType =
+      StructType(st.map { fld =>
+        val p = prefix + fld.name
+        val lp = localPath(c, p)
+        val leaf = if (lp.startsWith(Snapshots.DropMarker))
+          Snapshots.DropMarker + fld.name
+        else Snapshots.leafOf(lp)
+        fld.dataType match {
+          case s: StructType =>
+            fld.copy(name = leaf, dataType = localStruct(s, c, p + "."))
+          case _ => fld.copy(name = leaf)
+        }
+      })
     byVintage.toSeq.sortBy(_._1).map { case (c, ps) =>
-      val local = StructType(canon.map(fld =>
-        fld.copy(name = localName(c, fld.name))))
+      val local = localStruct(canon, c, "")
       spark.read.schema(local)
         .parquet(ps.map(p => new Path(dir, p).toString): _*)
-        .select(local.fieldNames.zip(canon.fieldNames).map {
-          case (l, cn) => col(s"`$l`").as(cn)
+        .select(local.fields.zip(canon.fields).map {
+          // the cast is a no-op for scalars (requested = canonical type)
+          // and a positional nested-name normalization for structs (same
+          // shape by construction, local subfield leaves → canonical)
+          case (lf, cf) =>
+            col(s"`${lf.name}`").cast(cf.dataType).as(cf.name)
         }.toSeq ++ posCols: _*)
     }.reduce(_.unionByName(_))
   }
@@ -1846,8 +1868,7 @@ private[sources] class SnapshotParquetFormat(
     val readers: Map[Map[String, String],
         PartitionedFile => Iterator[InternalRow]] =
       (inverse.values.toSet + Map.empty[String, String]).map { inv =>
-        def local(st: StructType) = StructType(st.map(f =>
-          f.copy(name = inv.getOrElse(f.name, f.name))))
+        def local(st: StructType) = Snapshots.localizeSchema(st, inv)
         val fl =
           if (hasDv) Seq.empty
           else filters.flatMap(SnapshotParquetFormat.remapFilter(_, inv))
@@ -1897,7 +1918,18 @@ private[sources] object SnapshotParquetFormat {
       inv: Map[String, String]): Option[Filter] = {
     if (inv.isEmpty) return Some(f)
     import org.apache.spark.sql.{sources => sf}
-    def n(a: String) = inv.getOrElse(a, a)
+    def n(a: String): String =
+      if (!a.contains('.')) inv.getOrElse(a, a)
+      else {
+        // nested attribute: localize segment-by-segment — the inverse
+        // map's keys are canonical dotted path prefixes, its values the
+        // vintage-local LEAF at that position
+        var prefix = ""
+        a.split('.').map { seg =>
+          prefix = if (prefix.isEmpty) seg else prefix + "." + seg
+          inv.getOrElse(prefix, seg)
+        }.mkString(".")
+      }
     f match {
       case sf.EqualTo(a, v) => Some(sf.EqualTo(n(a), v))
       case sf.EqualNullSafe(a, v) => Some(sf.EqualNullSafe(n(a), v))

@@ -978,6 +978,112 @@ object Snapshots {
     * collide with a real column name. */
   private[sources] val DropMarker: String = 0.toChar.toString
 
+  // ---- nested-field evolution (struct subfields) --------------------------
+  // A rename-chain entry whose OLD name contains '.' records a STRUCT
+  // SUBFIELD operation from ALTER TABLE on a nested field:
+  //   "meta.w" -> "meta.width"   rename within the parent struct (the new
+  //                              name is the FULL dotted path — never a
+  //                              bare leaf, so it can never alias a
+  //                              top-level column in an equality walk)
+  //   "meta.w" -> DropMarker     logical drop of the subfield
+  // Nested ADDs need no entry at all: the evolving commit's empty-vintage
+  // footer declares the grown struct, [[widen]] unions subfields by name,
+  // and parquet schema clipping backfills the missing subfield with null
+  // in every pre-evolution vintage. Top-level consumers (stat-name
+  // resolution, purge's rewrite chain, branch-merge guards) pass dotted
+  // entries through untouched BY CONSTRUCTION: a dotted old name never
+  // equals a top-level column name and a dotted new name never equals a
+  // top-level canonical name.
+
+  private[sources] def leafOf(p: String): String = {
+    val i = p.lastIndexOf('.'); if (i < 0) p else p.substring(i + 1)
+  }
+
+  /** Apply one rename-chain entry `(o -> n)` to a dotted canonical path
+    * `cur`, FORWARD in time: an exact match renames (or drops) the path
+    * itself, a prefix match carries the whole subtree under a renamed
+    * (or dropped) ancestor, anything else is untouched. Top-level
+    * entries on top-level paths reduce to the original equality walk. */
+  private[sources] def applyEntry(cur: String, o: String, n: String): String =
+    if (cur == o) n
+    else if (cur.startsWith(o + ".")) {
+      if (n == DropMarker) DropMarker else n + cur.substring(o.length)
+    } else cur
+
+  /** Invert one entry (the backward walk): where did canonical `cur`
+    * live BEFORE `(o -> n)` applied? Drops never invert (a DropMarker
+    * target is not a name). */
+  private[sources] def invertEntry(cur: String, o: String,
+      n: String): String =
+    if (n == DropMarker) cur
+    else if (cur == n) o
+    else if (cur.startsWith(n + ".")) o + cur.substring(n.length)
+    else cur
+
+  /** Every struct-subfield dotted path under `prefix`-named `dt`,
+    * depth-first. Arrays/maps are opaque: subfield evolution inside an
+    * array element is refused at the ALTER layer, so their innards never
+    * participate in path walks. */
+  private[sources] def subPaths(prefix: String,
+      dt: org.apache.spark.sql.types.DataType): Seq[String] = dt match {
+    case st: org.apache.spark.sql.types.StructType =>
+      st.fields.toSeq.flatMap(f =>
+        (prefix + "." + f.name) +: subPaths(prefix + "." + f.name,
+          f.dataType))
+    case _ => Seq.empty
+  }
+
+  /** The vintage-local REQUESTED schema for canonical schema `canon`
+    * under inverse map `inv` (canonical dotted path → vintage-local
+    * LEAF name): each field's leaf renames per `inv`, types stay
+    * canonical (widened) — exactly what a per-vintage parquet read
+    * requests so schema clipping backfills absent (sub)fields with null
+    * and the reader's type promotion decodes narrower physical types in
+    * place. A masked entry (DropMarker-prefixed leaf) requests a name no
+    * file can contain, reading as null — the re-used-name guard. */
+  private[sources] def localizeSchema(
+      canon: org.apache.spark.sql.types.StructType,
+      inv: Map[String, String], prefix: String = "")
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(canon.fields.map { f =>
+      val p = prefix + f.name
+      val nm = inv.getOrElse(p, f.name)
+      f.dataType match {
+        case st: org.apache.spark.sql.types.StructType =>
+          f.copy(name = nm, dataType = localizeSchema(st, inv, p + "."))
+        case _ => f.copy(name = nm)
+      }
+    })
+
+  /** Align column `c` (typed `from`) to type `to`: structs align BY
+    * NAME (missing subfields backfill null, shared ones recurse — a
+    * positional struct cast would refuse unioned field sets outright),
+    * arrays align element-wise, everything else is a plain cast. A null
+    * struct stays null rather than becoming a struct of nulls. */
+  private[sources] def alignTo(c: org.apache.spark.sql.Column,
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, struct, transform, when}
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    (from, to) match {
+      case (f, t) if f == t => c
+      case (f: StructType, t: StructType) =>
+        val kids = t.fields.toSeq.map { tf =>
+          f.fields.find(_.name == tf.name) match {
+            case Some(ff) =>
+              alignTo(c.getField(tf.name), ff.dataType, tf.dataType)
+                .as(tf.name)
+            case None => lit(null).cast(tf.dataType).as(tf.name)
+          }
+        }
+        when(c.isNull, lit(null).cast(t)).otherwise(struct(kids: _*))
+      case (f: ArrayType, t: ArrayType) =>
+        transform(c, x => alignTo(x, f.elementType, t.elementType))
+      case (_, t) => c.cast(t)
+    }
+  }
+
   private[sources] val CheckpointEvery = 20
 
   /** Spec observability: every metadata side-file OPEN (manifests,
@@ -1531,19 +1637,41 @@ object Snapshots {
       : org.apache.spark.sql.types.DataType = {
     import org.apache.spark.sql.types._
     if (a == b) a
-    else {
-      val rank: Map[DataType, Int] = Map(ByteType -> 1, ShortType -> 2,
-        IntegerType -> 3, LongType -> 4, FloatType -> 5, DoubleType -> 6)
-      (rank.get(a), rank.get(b)) match {
-        case (Some(x), Some(y)) =>
-          val m = math.max(x, y)
-          if (m <= 4 || (x >= 5 && y >= 5))
-            Seq(ByteType, ShortType, IntegerType, LongType, FloatType,
-              DoubleType)(m - 1)
-          else DoubleType // integral × fractional
-        case _ => throw new IllegalArgumentException(
-          s"schema conflict: cannot widen $a vs $b")
-      }
+    else (a, b) match {
+      // struct evolution: field union BY NAME — shared subfields widen
+      // recursively, a subfield one vintage lacks adopts the other's
+      // type (pre-evolution rows backfill null). Order: a's fields,
+      // then b's additions in b's order (vintage order, matching the
+      // top-level column convention).
+      case (sa: StructType, sb: StructType) =>
+        val bByName = sb.fields.map(f => f.name -> f).toMap
+        val merged = sa.fields.toSeq.map { fa =>
+          bByName.get(fa.name) match {
+            case Some(fb) => StructField(fa.name,
+              widen(fa.dataType, fb.dataType), nullable = true)
+            case None => fa.copy(nullable = true)
+          }
+        } ++ sb.fields.toSeq
+          .filterNot(f => sa.fieldNames.contains(f.name))
+          .map(_.copy(nullable = true))
+        StructType(merged)
+      case (ArrayType(ea, _), ArrayType(eb, _)) =>
+        ArrayType(widen(ea, eb), containsNull = true)
+      case (MapType(ka, va, _), MapType(kb, vb, _)) =>
+        MapType(widen(ka, kb), widen(va, vb), valueContainsNull = true)
+      case _ =>
+        val rank: Map[DataType, Int] = Map(ByteType -> 1, ShortType -> 2,
+          IntegerType -> 3, LongType -> 4, FloatType -> 5, DoubleType -> 6)
+        (rank.get(a), rank.get(b)) match {
+          case (Some(x), Some(y)) =>
+            val m = math.max(x, y)
+            if (m <= 4 || (x >= 5 && y >= 5))
+              Seq(ByteType, ShortType, IntegerType, LongType, FloatType,
+                DoubleType)(m - 1)
+            else DoubleType // integral × fractional
+          case _ => throw new IllegalArgumentException(
+            s"schema conflict: cannot widen $a vs $b")
+        }
     }
   }
 
@@ -1576,18 +1704,56 @@ object Snapshots {
       // can be applied after the union (renames never touch _fp/_ri)
       var df = if (dv) withMeta(base) else base
       for (later <- (c + 1) to v; (o, n) <- chain(later))
-        if (df.columns.contains(o))
-          df = if (n == DropMarker) df.drop(o)
-          else df.withColumnRenamed(o, n)
+        df = applyChainEntryDf(df, o, n)
       df
     }
     val target = frames.flatMap(_.schema.fields)
       .groupBy(_.name).map { case (n, fs) =>
         n -> fs.map(_.dataType).reduce(widen) }
     val casted = frames.map { f =>
-      f.select(f.columns.toSeq.map(c => col(c).cast(target(c)).as(c)): _*) }
+      f.select(f.columns.toSeq.map(c =>
+        alignTo(col(c), f.schema(c).dataType, target(c)).as(c)): _*) }
     val union = casted.reduce(_.unionByName(_, allowMissingColumns = true))
     if (dv) applyDv(s, dir, v, union) else union
+  }
+
+  /** Apply one rename-chain entry to a DataFrame at read time: a
+    * top-level entry renames/drops the column, a dotted entry rebuilds
+    * the parent struct in place (withField + dropFields — field order
+    * shifts are re-normalized by [[alignTo]] before any union). Entries
+    * whose path the frame lacks are no-ops: the vintage predates the
+    * field. */
+  private def applyChainEntryDf(df: DataFrame, o: String,
+      n: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{DataType, StructType}
+    if (!o.contains('.')) {
+      if (!df.columns.contains(o)) df
+      else if (n == DropMarker) df.drop(o)
+      else df.withColumnRenamed(o, n)
+    } else {
+      val top = o.takeWhile(_ != '.')
+      val rest = o.substring(top.length + 1)
+      def hasPath(dt: DataType, segs: List[String]): Boolean =
+        (dt, segs) match {
+          case (_, Nil) => true
+          case (st: StructType, h :: t) =>
+            st.fields.find(_.name == h).exists(f => hasPath(f.dataType, t))
+          case _ => false
+        }
+      val i = df.schema.fieldNames.indexOf(top)
+      if (i < 0 || !hasPath(df.schema.fields(i).dataType,
+          rest.split('.').toList)) df
+      else if (n == DropMarker)
+        df.withColumn(top, col(top).dropFields(rest))
+      else {
+        // a nested rename stays inside its parent struct, so the new
+        // full path shares the old top segment — strip it for withField
+        val newRest = n.substring(n.indexOf('.') + 1)
+        df.withColumn(top,
+          col(top).withField(newRest, col(o)).dropFields(rest))
+      }
+    }
   }
 
   /** Metadata-only resolution of version `v`'s EVOLVED schema: per
@@ -1612,14 +1778,39 @@ object Snapshots {
     val chain = renameChain(s, dir, v)
     val vintages = byCommit.toSeq.sortBy(_._1).map { case (c, paths) =>
       val sch = s.read.parquet(new Path(dir, paths.head).toString).schema
-      var fwd: Map[String, String] = sch.fieldNames.map(n => n -> n).toMap
+      // fwd maps every LOCAL dotted path — top-level names plus struct
+      // subfield paths — to its CURRENT canonical path (or DropMarker);
+      // a purely top-level history degenerates to the original
+      // name-to-name walk
+      var fwd: Map[String, String] =
+        sch.fields.toSeq.flatMap(f =>
+          f.name +: subPaths(f.name, f.dataType))
+          .map(n => n -> n).toMap
       for (later <- (c + 1) to v; (o, n) <- chain(later))
-        fwd = fwd.map { case (l, cur) => l -> (if (cur == o) n else cur) }
+        fwd = fwd.map { case (l, cur) => l -> applyEntry(cur, o, n) }
       (c, sch, fwd)
     }
+    // the CANONICALIZED type of a vintage-local field: struct subfields
+    // rename to their canonical leaves and logically-dropped ones vanish,
+    // so cross-vintage widening unions canonical names, never stale ones
+    def canonType(localPath: String,
+        dt: org.apache.spark.sql.types.DataType,
+        fwd: Map[String, String]): org.apache.spark.sql.types.DataType =
+      dt match {
+        case st: StructType => StructType(st.fields.toSeq.flatMap { f =>
+          val lp = localPath + "." + f.name
+          fwd.getOrElse(lp, lp) match {
+            case DropMarker => None
+            case cp => Some(StructField(leafOf(cp),
+              canonType(lp, f.dataType, fwd), nullable = true))
+          }
+        })
+        case other => other
+      }
     val widened: Map[String, org.apache.spark.sql.types.DataType] =
       vintages.flatMap { case (_, sch, fwd) =>
-        sch.fields.map(f => fwd(f.name) -> f.dataType) }
+        sch.fields.map(f =>
+          fwd(f.name) -> canonType(f.name, f.dataType, fwd)) }
         .filter(_._1 != DropMarker) // logically dropped at <= v
         .groupBy(_._1).map { case (n, ts) =>
           n -> ts.map(_._2).reduce(widen) }
@@ -1629,10 +1820,13 @@ object Snapshots {
         if (fwd(n) != DropMarker) { order += fwd(n); () } } }
     val evolved = StructType(order.toSeq.map(n =>
       StructField(n, widened(n), nullable = true)))
+    def parentOf(p: String): String = {
+      val i = p.lastIndexOf('.'); if (i < 0) "" else p.substring(0, i)
+    }
     val inverse = vintages.map { case (c, _, fwd) =>
       val byCanonical: Map[String, String] =
         fwd.collect { case (l, cn) if cn != DropMarker => cn -> l }
-      c -> order.iterator.flatMap { cn =>
+      val top = order.iterator.flatMap { cn =>
         byCanonical.get(cn) match {
           case Some(l) if l != cn => Some(cn -> l)
           case Some(_) => None // identity entry omitted
@@ -1646,6 +1840,25 @@ object Snapshots {
           case None => None // genuinely absent: backfills null
         }
       }.toMap
+      // nested entries: canonical subfield path → vintage-local LEAF
+      // name (the reader's recursive schema localization rebuilds full
+      // paths), with the same re-used-name masking — a subfield dropped
+      // then re-added must read null in pre-drop vintages, never the
+      // unrelated old values
+      val nested = evolved.fields.toSeq
+        .flatMap(f => subPaths(f.name, f.dataType))
+        .flatMap { cn =>
+          byCanonical.get(cn) match {
+            case Some(l) if leafOf(l) != leafOf(cn) => Some(cn -> leafOf(l))
+            case Some(_) => None
+            case None => byCanonical.get(parentOf(cn)) match {
+              case Some(pl) if fwd.contains(pl + "." + leafOf(cn)) =>
+                Some(cn -> (DropMarker + leafOf(cn)))
+              case _ => None // absent (or under an absent/masked parent)
+            }
+          }
+        }
+      c -> (top ++ nested)
     }.toMap
     (evolved, inverse)
   }
@@ -3802,15 +4015,14 @@ object Snapshots {
       val base = s.read.parquet(ps.map(p => new Path(dir, p).toString): _*)
       var df = if (dv) withMeta(base) else base
       for (later <- (c + 1) to v; (o, n) <- chain(later))
-        if (df.columns.contains(o))
-          df = if (n == DropMarker) df.drop(o)
-          else df.withColumnRenamed(o, n)
+        df = applyChainEntryDf(df, o, n)
       // align to the evolved target BEFORE the union — vintages may
-      // disagree on a column's width (int vs long), which unionByName
-      // alone would refuse
+      // disagree on a column's width (int vs long) or a struct's field
+      // set, which unionByName alone would refuse
       df.select(evolved.fields.toSeq.map(fd =>
-        (if (df.columns.contains(fd.name)) col(fd.name)
-         else lit(null)).cast(fd.dataType).as(fd.name)) ++
+        (if (df.columns.contains(fd.name))
+          alignTo(col(fd.name), df.schema(fd.name).dataType, fd.dataType)
+         else lit(null).cast(fd.dataType)).as(fd.name)) ++
         (if (dv) Seq(col("_fp"), col("_ri")) else Nil): _*)
     }
     val union = frames.reduce(_.unionByName(_))

@@ -2047,4 +2047,88 @@ class GraftCatalogSpec extends SparkSpec {
       .map(_.getLong(0)).sorted.toSeq
     assert(all == Seq(1L, 2L), s"a first-insert race lost rows: $all")
   }
+
+  // ---- nested-field (struct subfield) schema evolution -------------------
+
+  test("nested ADD/RENAME/DROP evolve a struct as metadata commits; " +
+      "pre-evolution vintages backfill null and time travel keeps " +
+      "each version's own struct shape") {
+    warehouse
+    sql("CREATE TABLE graft.db.nm (id BIGINT, " +
+      "meta STRUCT<w: INT, h: INT>)")
+    sql("INSERT INTO graft.db.nm VALUES " +
+      "(1, named_struct('w', 10, 'h', 20))")                          // v1
+    sql("ALTER TABLE graft.db.nm ADD COLUMNS (meta.channels INT)")    // v2
+    assert(sql("SELECT * FROM graft.db.nm").schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("w", "h", "channels"))
+    // the pre-evolution row reads null for the added subfield
+    val pre = sql("SELECT meta.channels FROM graft.db.nm WHERE id = 1")
+      .collect().head
+    assert(pre.isNullAt(0), "pre-evolution row must backfill null")
+    sql("INSERT INTO graft.db.nm VALUES " +
+      "(2, named_struct('w', 30, 'h', 40, 'channels', 3))")           // v3
+    // nested RENAME: one chain entry, both vintages remap at read time
+    sql("ALTER TABLE graft.db.nm RENAME COLUMN meta.w TO width")      // v4
+    val got = sql("SELECT id, meta.width, meta.channels " +
+      "FROM graft.db.nm ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2))).toSeq
+    assert(got == Seq((1L, 10, -1), (2L, 30, 3)), got)
+    // nested DROP: vanishes from the head, still travels below
+    sql("ALTER TABLE graft.db.nm DROP COLUMN meta.h")                 // v5
+    assert(sql("SELECT * FROM graft.db.nm").schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("width", "channels"))
+    assert(sql("SELECT meta.h FROM graft.db.nm VERSION AS OF 3 " +
+      "WHERE id = 2").collect().head.getInt(0) == 40)
+    assert(sql("SELECT meta.w FROM graft.db.nm VERSION AS OF 1")
+      .collect().head.getInt(0) == 10)
+    // post-drop inserts write the evolved shape; the union stays sound
+    sql("INSERT INTO graft.db.nm VALUES " +
+      "(3, named_struct('width', 50, 'channels', 4))")                // v6
+    assert(sql("SELECT sum(meta.width) AS s FROM graft.db.nm")
+      .collect().head.getLong(0) == 90L)
+  }
+
+  test("a nested leaf re-used after DROP COLUMN reads null from " +
+      "pre-drop vintages, not the old subfield's values") {
+    warehouse
+    sql("CREATE TABLE graft.db.nm2 (id BIGINT, " +
+      "meta STRUCT<w: INT, h: INT>)")
+    sql("INSERT INTO graft.db.nm2 VALUES " +
+      "(1, named_struct('w', 7, 'h', 8))")
+    sql("ALTER TABLE graft.db.nm2 DROP COLUMN meta.w")
+    sql("ALTER TABLE graft.db.nm2 ADD COLUMNS (meta.w INT)")
+    sql("INSERT INTO graft.db.nm2 VALUES " +
+      "(2, named_struct('h', 9, 'w', 11))")
+    val got = sql("SELECT id, meta.h, meta.w FROM graft.db.nm2 " +
+      "ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2))).toSeq
+    assert(got == Seq((1L, 8, -1), (2L, 9, 11)),
+      s"re-used nested leaf aliased the dropped subfield: $got")
+  }
+
+  test("nested RENAME/DROP refusals: CHECK-referenced subfield, a " +
+      "struct's only subfield, non-struct parents") {
+    warehouse
+    sql("CREATE TABLE graft.db.nm3 (id BIGINT, " +
+      "meta STRUCT<w: INT>, tags ARRAY<STRUCT<k: STRING>>)")
+    sql("ALTER TABLE graft.db.nm3 ADD CONSTRAINT wpos CHECK (meta.w > 0)")
+    val er = intercept[Exception] {
+      sql("ALTER TABLE graft.db.nm3 RENAME COLUMN meta.w TO width") }
+    assert(er.getMessage.contains("wpos"), er.getMessage)
+    val ed = intercept[Exception] {
+      sql("ALTER TABLE graft.db.nm3 DROP COLUMN meta.w") }
+    assert(ed.getMessage.contains("wpos"), ed.getMessage)
+    sql("ALTER TABLE graft.db.nm3 DROP CONSTRAINT wpos")
+    val eo = intercept[Exception] {
+      sql("ALTER TABLE graft.db.nm3 DROP COLUMN meta.w") }
+    assert(eo.getMessage.contains("only subfield"), eo.getMessage)
+    // array-element evolution is refused (no per-row identity)
+    val ea = intercept[Exception] {
+      sql("ALTER TABLE graft.db.nm3 ADD COLUMNS (tags.element.v INT)") }
+    assert(ea.getMessage != null)
+  }
 }
