@@ -1643,6 +1643,101 @@ object Formats extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // SQL-complete change feed (f56): f34's converging aggregate
+    // replayed PURELY through SQL statements — the table is built and
+    // mutated via catalog DML (INSERT / INSERT / merge-on-read DELETE),
+    // `CALL graft.system.change_view` registers the lazy distributed
+    // CDF view, and one SQL aggregate signed-folds the four change
+    // types back into the head state. `CALL graft.system.changes`
+    // (the result-set twin, driver-capped) is pinned against the view's
+    // row count as a verdict boolean. The DuckDB oracle replays the
+    // delete predicate over documents.
+    "f56_sql_change_feed" -> ((s, d) => {
+      val wh = ioDir(d, "f56_wh")
+      val cat = "graft56_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val tdir = s"$wh/db/docs56"
+      writeOnce(s, tdir, alsoRequire =
+          graft.sources.Snapshots.latestVersion(s, tdir) == 3) {
+        val root = new org.apache.hadoop.fs.Path(wh)
+        val fsys = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fsys.delete(root, true)
+        T.documents(s, d).createOrReplaceTempView("f56_docs")
+        s.sql(s"CREATE TABLE $cat.db.docs56 (doc_id BIGINT, " +
+          "lang STRING, source STRING, n_chars BIGINT)")
+        s.sql(s"INSERT INTO $cat.db.docs56 SELECT doc_id, lang, " +
+          "source, n_chars FROM f56_docs " +
+          "WHERE source IN ('src0','src1','src2')")                 // v1
+        s.sql(s"INSERT INTO $cat.db.docs56 SELECT doc_id, lang, " +
+          "source, n_chars FROM f56_docs " +
+          "WHERE source NOT IN ('src0','src1','src2')")             // v2
+        s.sql(s"DELETE FROM $cat.db.docs56 WHERE doc_id % 7 = 0")   // v3
+        ()
+      }
+      s.sql(s"CALL $cat.system.change_view('db.docs56', " +
+        "'f56_changes', 1, 3)")
+      // the result-set twin returns the same rows (driver-capped);
+      // count parity pins the two entry points to one frame
+      val nCall = s.sql(s"CALL $cat.system.changes('db.docs56', " +
+        "1, 3, 1000000)").count()
+      val nView = s.table("f56_changes").count()
+      s.sql("""
+        SELECT lang,
+               sum(CASE WHEN _change_type IN ('insert','update_postimage')
+                 THEN 1L ELSE -1L END) AS n_docs,
+               sum(CASE WHEN _change_type IN ('insert','update_postimage')
+                 THEN n_chars ELSE -n_chars END) AS sum_chars
+        FROM f56_changes GROUP BY lang""")
+        .withColumn("call_matches_view", lit(nCall == nView))
+        .orderBy(col("lang"))
+    }),
+
+    // Aggregate subqueries in UPDATE SET (f55): the standard
+    // "SET x = (SELECT avg(…) …)" idiom at both boundary shapes —
+    // v2 a CORRELATED aggregate over the TARGET TABLE ITSELF (each
+    // src1 doc floored to its language's mean, computed from the
+    // claim-time snapshot), v3 an uncorrelated self-aggregate over the
+    // v2 state (src0 docs raised to the table max). Self-referential
+    // aggregates must read the PRE-update snapshot — the SQL
+    // standard's evaluation order — which the claim-time scan gives
+    // for free. One published version per mutation. The DuckDB oracle
+    // replays both states relationally.
+    "f55_update_agg_subquery" -> ((s, d) => {
+      val wh = ioDir(d, "f55_wh")
+      val cat = "graft55_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val tdir = s"$wh/db/docs55"
+      writeOnce(s, tdir, alsoRequire =
+          graft.sources.Snapshots.latestVersion(s, tdir) == 3) {
+        val root = new org.apache.hadoop.fs.Path(wh)
+        val fsys = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fsys.delete(root, true)
+        T.documents(s, d).createOrReplaceTempView("f55_docs")
+        s.sql(s"CREATE TABLE $cat.db.docs55 (doc_id BIGINT, " +
+          "lang STRING, source STRING, n_chars BIGINT)")
+        s.sql(s"INSERT INTO $cat.db.docs55 SELECT doc_id, lang, " +
+          "source, n_chars FROM f55_docs")                          // v1
+        // correlated aggregate over the target itself (floor keeps the
+        // cast direction unambiguous across engines)
+        s.sql(s"UPDATE $cat.db.docs55 t SET n_chars = " +           // v2
+          s"(SELECT CAST(floor(avg(d.n_chars)) AS BIGINT) " +
+          s"FROM $cat.db.docs55 d WHERE d.lang = t.lang) " +
+          "WHERE t.source = 'src1'")
+        // uncorrelated self-aggregate over the post-v2 state
+        s.sql(s"UPDATE $cat.db.docs55 SET n_chars = " +             // v3
+          s"(SELECT max(n_chars) FROM $cat.db.docs55) " +
+          "WHERE source = 'src0'")
+        ()
+      }
+      s.sql(s"SELECT lang, count(*) AS n_docs, " +
+          s"sum(n_chars) AS sum_chars FROM $cat.db.docs55 GROUP BY lang")
+        .withColumn("one_version_per_mutation",
+          lit(graft.sources.Snapshots.latestVersion(s, tdir) == 3))
+        .orderBy(col("lang"))
+    }),
+
     // Residual ON conjuncts in MERGE (f48): `ON t.doc_id = s.doc_id
     // AND s.n_chars > t.n_chars` — the equality is the merge KEY, the
     // inequality a RESIDUAL the joins evaluate as part of the full ON
@@ -2761,6 +2856,45 @@ object Formats extends QueryPack {
                CASE WHEN v2.n_chars * 2 > c.cap
                  THEN c.cap ELSE v2.n_chars END AS n_chars
         FROM v2 JOIN caps c ON c.lang = v2.lang
+      )
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             TRUE AS one_version_per_mutation
+      FROM v3
+      GROUP BY lang
+      ORDER BY lang""",
+    // f56: the signed fold over the full change feed converges to the
+    // head = documents minus the %7 deletions, per lang
+    "f56_sql_change_feed" -> """
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             TRUE AS call_matches_view
+      FROM documents
+      WHERE doc_id % 7 <> 0
+      GROUP BY lang
+      ORDER BY lang""",
+    // f55: replay the aggregate-assignment lifecycle — src1 docs floor
+    // to their language's pre-update mean, then src0 docs raise to the
+    // post-v2 table max
+    "f55_update_agg_subquery" -> """
+      WITH la AS (
+        SELECT lang, CAST(floor(avg(n_chars)) AS BIGINT) AS a
+        FROM documents GROUP BY lang
+      ),
+      v2 AS (
+        SELECT doc_id, d.lang, source,
+               CASE WHEN source = 'src1' THEN la.a
+                 ELSE n_chars END AS n_chars
+        FROM documents d JOIN la ON la.lang = d.lang
+      ),
+      v3 AS (
+        SELECT doc_id, lang, source,
+               CASE WHEN source = 'src0'
+                 THEN (SELECT max(n_chars) FROM v2)
+                 ELSE n_chars END AS n_chars
+        FROM v2
       )
       SELECT lang,
              CAST(count(*) AS BIGINT) AS n_docs,

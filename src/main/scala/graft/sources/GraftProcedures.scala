@@ -28,6 +28,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * | `system.fast_forward(table, name, to_version)` | [[Snapshots.fastForward]] | `version` |
   * | `system.merge_branch(table, name, key_cols)` | [[Snapshots.mergeBranch]] | `version` |
   * | `system.change_view(table, view_name, starting_version, ending_version)` | temp view over [[ChangeFeedBatchRelation]] | `view_name, from_version, to_version` |
+  * | `system.changes(table, starting_version, ending_version, max_rows)` | the CDF frame itself, driver-capped | change rows: table columns + `_change_type, _commit_version` |
   * | `system.history(table)` | commit-graph walk (meta/manifest side-files) | one row per version: `version, committed_at, parents, n_files, has_dv, on_main` |
   * | `system.refs(table)` | [[Snapshots.refs]] | one row per ref: `name, version, is_tag` |
   *
@@ -268,6 +269,40 @@ private[sources] object GraftProcedures {
       // table's directory: registers a temp view over the distributed
       // batch-CDF relation (the view SCANS lazily — only the
       // registration runs at CALL time)
+      // the change feed as a RESULT SET — the audit-sized convenience
+      // twin of change_view: computes the SAME distributed batch-CDF
+      // frame, then returns up to max_rows to the driver (a CALL result
+      // is always driver rows — Spark's InvokeProcedures supports only
+      // LocalScan). Refused above the cap with guidance to change_view,
+      // whose registered view scans lazily at any size — so the
+      // interactive audit stays one statement and the 100 TB replay
+      // stays distributed.
+      makeMulti("changes", Seq(
+          paramD("starting_version", IntegerType, "1"),
+          paramD("ending_version", IntegerType, "-1"),
+          paramD("max_rows", IntegerType, "10000"))) { (dir, in) =>
+        val head = Snapshots.mainVersion(spark, dir)
+        val from = in.getInt(1)
+        val to = if (in.getInt(2) >= 1) in.getInt(2) else head
+        val cap = in.getInt(3)
+        require(from >= 1 && to >= from && to <= head,
+          s"changes: version range [$from, $to] not within [1, $head]")
+        require(cap >= 1, s"changes: max_rows must be positive, got $cap")
+        val rel = new ChangeFeedBatchRelation(spark, dir, from - 1, to,
+          Snapshots.evolutionInfo(spark, dir, head)._1, head)
+        val df = org.apache.spark.sql.GraftBatchView.ofRows(spark,
+          org.apache.spark.sql.execution.datasources.LogicalRelation(
+            rel, false))
+        // toRdd keeps values in catalyst form (UTF8String, micros) —
+        // exactly what the LocalScan's InternalRows must carry
+        val rows = df.limit(cap + 1).queryExecution.toRdd
+          .map(_.copy()).collect()
+        require(rows.length <= cap,
+          s"changes: result exceeds max_rows=$cap — raise it, or use " +
+            "CALL graft.system.change_view(...) and query the " +
+            "registered view (scans lazily at any size)")
+        (df.schema, rows.toSeq.map(_.toSeq(df.schema)))
+      },
       make("change_view", Seq(param("view_name", StringType),
           paramD("starting_version", IntegerType, "1"),
           paramD("ending_version", IntegerType, "-1"))) { (dir, in) =>

@@ -280,7 +280,8 @@ private[graft] object GraftSql {
     require(!opts.containsKey("readchangefeed") ||
         !opts.get("readchangefeed").toBoolean,
       "graft catalog: readChangeFeed is not a batch .table() option — " +
-        "use CALL graft.system.change_view, " +
+        "use CALL graft.system.changes(...) (rows, driver-capped), " +
+        "CALL graft.system.change_view(...) (lazy view at any size), " +
         "spark.readStream.option(\"readChangeFeed\", true).table(...), " +
         "or the graft-snapshots format reader on the table directory")
     Option(opts.get("branch")) match {

@@ -1,0 +1,68 @@
+package graft.sources
+
+import graft.SparkSpec
+
+/** UPDATE SET assignment subqueries at the aggregate boundary — the
+  * "SET x = (SELECT max(…) …)" idiom. [[GraftUpdateCommand]] re-binds
+  * captured assignment values against the claim-time scan
+  * ([[GraftSql.rebind]]), so a scalar AGGREGATE subquery — correlated
+  * per row or uncorrelated, even over the target table itself — lowers
+  * and decorrelates like any f41/f47 condition. These arms pin the
+  * boundary shapes the certification query (f55) composes:
+  * self-referential aggregates must read the PRE-update claim-time
+  * snapshot (the SQL standard's evaluation order), never their own
+  * in-flight writes. */
+class UpdateSubquerySpec extends SparkSpec {
+
+  private lazy val warehouse: String = {
+    val w = tmpDir("upd-subq-wh")
+    spark.conf.set("spark.sql.catalog.gus", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gus.warehouse", w)
+    w
+  }
+
+  test("SET x = (SELECT max(y) FROM other WHERE other.k = t.k): a " +
+      "correlated aggregate assignment decorrelates and applies per row") {
+    warehouse
+    spark.sql("CREATE TABLE gus.db.u1 (id BIGINT, k STRING, x BIGINT)")
+    spark.sql(
+      "INSERT INTO gus.db.u1 VALUES (1,'a',10),(2,'a',20),(3,'b',30)")
+    spark.sql("CREATE TABLE gus.db.u2 (k STRING, y BIGINT)")
+    spark.sql("INSERT INTO gus.db.u2 VALUES ('a',5),('a',7),('b',11)")
+    spark.sql("UPDATE gus.db.u1 t SET x = " +
+      "(SELECT max(y) FROM gus.db.u2 s WHERE s.k = t.k) WHERE id <= 2")
+    val got = spark.sql("SELECT id, x FROM gus.db.u1 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 7L), (2L, 7L), (3L, 30L)), got)
+    assert(Snapshots.latestVersion(spark,
+      warehouse + "/db/u1") == 2, "one published version per UPDATE")
+  }
+
+  test("SET x = (SELECT sum(x) FROM t) over the TARGET table itself " +
+      "reads the pre-update snapshot, not its own in-flight writes") {
+    warehouse
+    spark.sql("CREATE TABLE gus.db.u3 (id BIGINT, x BIGINT)")
+    spark.sql("INSERT INTO gus.db.u3 VALUES (1,10),(2,20),(3,30)")
+    // sum distinguishes pre from post state (max would not): every row
+    // must become 60, not a cascade of partial sums
+    spark.sql("UPDATE gus.db.u3 SET x = (SELECT sum(x) FROM gus.db.u3)")
+    val got = spark.sql("SELECT id, x FROM gus.db.u3 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 60L), (2L, 60L), (3L, 60L)), got)
+  }
+
+  test("a NULL-producing correlated aggregate assignment writes NULL " +
+      "for unmatched correlation keys") {
+    warehouse
+    spark.sql("CREATE TABLE gus.db.u4 (id BIGINT, k STRING, x BIGINT)")
+    spark.sql("INSERT INTO gus.db.u4 VALUES (1,'a',10),(2,'zz',20)")
+    spark.sql("CREATE TABLE gus.db.u5 (k STRING, y BIGINT)")
+    spark.sql("INSERT INTO gus.db.u5 VALUES ('a',5)")
+    spark.sql("UPDATE gus.db.u4 t SET x = " +
+      "(SELECT max(y) FROM gus.db.u5 s WHERE s.k = t.k)")
+    val got = spark.sql("SELECT id, x FROM gus.db.u4 ORDER BY id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+    assert(got == Seq((1L, 5L), (2L, -1L)), got)
+  }
+}
