@@ -607,9 +607,19 @@ private[graft] case class GraftMergeCommand(dir: String,
     }
     val keyCols: Seq[String] = conjuncts.flatMap(keyOf(_)).distinct
     val residual: Seq[Expression] = conjuncts.filter(keyOf(_).isEmpty)
-    if (keyCols.isEmpty)
-      unsupported("an ON condition with no equality conjunct between a " +
-        s"target column and a source expression ($mergeCondition)")
+    // THETA-ONLY MERGE: no equality conjunct means no key space can
+    // address the matched rows — they are addressed by POSITION instead
+    // (`_metadata` file/row, the deletion-vector coordinates), committed
+    // through Snapshots.applyPositional. The joins and first-match-wins
+    // clause routing below are IDENTICAL; only the delete frames carry
+    // positions instead of keys, updates contribute their own positions
+    // (no key re-appearance can pair them), and the removal audit is
+    // always armed (a duplicate-matched target row is SQL's
+    // non-deterministic MERGE — refused, nothing published). No key
+    // pruning exists without keys: the matched join costs whatever the
+    // theta condition costs — the nature of the operator, priced the
+    // same in Delta's full-join fallback.
+    val thetaOnly = keyCols.isEmpty
     // the SOURCE-side expression each key column equates with — the
     // key frame the join-scan pruning aggregates (one per key; a key
     // equated twice uses the first conjunct's expression)
@@ -625,8 +635,35 @@ private[graft] case class GraftMergeCommand(dir: String,
     // condition/assignment expressions resolve as-is; the version is
     // resolved ONCE so the full and the pruned scan read the same head
     val headV = t.resolveVersion(spark)
-    val tgtDF = GraftBatchView.ofRows(spark,
+    val tgtDF0 = GraftBatchView.ofRows(spark,
       v1ScanAt(spark, t, target, headV))
+    // positional addressing for the theta path: withColumn keeps the
+    // existing attributes' expr ids, so captured clause expressions
+    // still resolve; the reader's DV filter guarantees every surfaced
+    // position is LIVE. (A never-committed table has no file scan to
+    // draw metadata from — and no live rows to address.)
+    val PosFp = "_graft_pos_fp"
+    val PosRi = "_graft_pos_ri"
+    val tgtDF =
+      if (!thetaOnly || headV < 1) tgtDF0
+      else
+        try tgtDF0
+          .withColumn(PosFp, col("_metadata.file_path"))
+          .withColumn(PosRi, col("_metadata.row_index"))
+        catch {
+          // the over-cap deletion-vector fallback relation exposes no
+          // file metadata — no positions to address matched rows with
+          case e: org.apache.spark.sql.AnalysisException =>
+            throw new UnsupportedOperationException(
+              "graft catalog: theta-only MERGE addresses matched rows " +
+                "by position, which this table's oversized pending " +
+                "deletion vector hides — run CALL graft.system" +
+                ".optimize(...) or compact(...) first", e)
+        }
+    def positionsOf(df: DataFrame): DataFrame =
+      if (headV < 1) Snapshots.emptyPositions(spark)
+      else df.select(col(PosFp).as("file_path"),
+        col(PosRi).as("row_index"))
     val srcDF = GraftBatchView.ofRows(spark,
       GraftSqlRules(spark).apply(source))
     val cond = GraftBatchView.exprColumn(mergeCondition)
@@ -716,10 +753,14 @@ private[graft] case class GraftMergeCommand(dir: String,
       actions.zipWithIndex.foreach {
         case (UpdateAction(_, assigns, _), i) =>
           checkKeysImmutable(assigns)
-          upd += projected(routed.filter(col(ClauseCol) === i), assigns,
-            fallbackToTarget = true)
+          val rows = routed.filter(col(ClauseCol) === i)
+          upd += projected(rows, assigns, fallbackToTarget = true)
+          // positional commits can't pair an update's replacement by
+          // key re-appearance — the updated row's own position retires
+          if (thetaOnly) del += positionsOf(rows)
         case (DeleteAction(_), i) =>
-          del += tgtKeys(routed.filter(col(ClauseCol) === i))
+          val rows = routed.filter(col(ClauseCol) === i)
+          del += (if (thetaOnly) positionsOf(rows) else tgtKeys(rows))
         case (other, _) => unsupported(other.toString)
       }
       (upd.toSeq, del.toSeq)
@@ -755,7 +796,7 @@ private[graft] case class GraftMergeCommand(dir: String,
           case _ => false
         }
       }
-    val needAudit = residual.nonEmpty ||
+    val needAudit = thetaOnly || residual.nonEmpty ||
       matchedActions.exists(condOf(_).isDefined) ||
       notMatchedBySourceActions.exists(condOf(_).isDefined) ||
       // key-remapping inserts can silently REPLACE live rows (above)
@@ -799,7 +840,7 @@ private[graft] case class GraftMergeCommand(dir: String,
     // file provably holds no equi-key match, so both pruned joins are
     // unchanged; the subset scan binds the same attributes.
     val joinTgtDF: DataFrame =
-      if (headV < 1 ||
+      if (thetaOnly || headV < 1 ||
           (matchedActions.isEmpty && notMatchedActions.isEmpty) ||
           Snapshots.files(spark, t.dir, headV).size <
             Snapshots.mergeJoinPruneMinFiles) tgtDF
@@ -859,6 +900,21 @@ private[graft] case class GraftMergeCommand(dir: String,
           first.count()
         } else (upserts, deletes) match {
           case (None, None) => 0L
+          case (up, del) if thetaOnly =>
+            // positional commit: routed count == distinct removed
+            // positions or the MERGE refuses (duplicate theta matches)
+            val nRouted: Long = (matched.toSeq ++ bySource.toSeq)
+              .map(_.filter(col(ClauseCol) >= 0).count()).sum
+            val appends = up.getOrElse(tgtDF0.limit(0))
+            val (_, nGone) = Snapshots.applyPositional(spark, dir, headV,
+              del.getOrElse(Snapshots.emptyPositions(spark)), appends,
+              expectedRemoved = nRouted,
+              statsCols = Snapshots.defaultStatsCols(tgtDF0.schema),
+              branch = t.branchRef)
+            // affected = removed live rows + staged rows (the keyed
+            // path's applyCdc contract); the count reads the persisted
+            // routed caches
+            nGone + appends.count()
           case (up, del) =>
             val emptyKeys = tgtKeys(tgtDF).limit(0)
             // audit expectation: every row a MATCHED / BY SOURCE clause

@@ -2760,7 +2760,7 @@ object Snapshots {
 
   /** An empty (file_path, row_index) positions frame — the matched set
     * when key-stat pruning proves no live file can hold a source key. */
-  private def emptyPositions(s: SparkSession): DataFrame =
+  private[sources] def emptyPositions(s: SparkSession): DataFrame =
     s.createDataFrame(
       s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
@@ -2957,6 +2957,100 @@ object Snapshots {
         case None => advanceMain(s, f, dir, v)
       }
       (v, nGone + aggRow.getLong(1 + 2 * keyCols.size))
+    } finally c.release()
+  }
+
+  /** Publish ONE version that removes exact POSITIONS and appends rows —
+    * the commit primitive for DML whose matched set is addressed by
+    * `(file, row)` rather than by key: the THETA-ONLY MERGE (no equality
+    * conjunct in ON means no key space exists to address matched rows;
+    * Delta's fallback is a full-join rewrite — here the deletion-vector
+    * model [[updateWhereBound]] already uses does it without rewriting a
+    * file). `gone` must be `(file_path, row_index)` pairs of LIVE rows of
+    * version `baseVersion` (the reader's DV filter guarantees liveness
+    * when the caller scanned with `_metadata`); duplicates are dropped
+    * before the vector write, so `expectedRemoved` (the caller's routed
+    * row count) catches BOTH a duplicate-matched target row (two source
+    * rows hit one position — SQL's non-deterministic-update error) and a
+    * stale base. Because positions — unlike keys — cannot be re-resolved
+    * against a newer head, a concurrent commit REFUSES (optimistic
+    * conflict, retry the MERGE) instead of silently removing rows a
+    * racing writer replaced. Change-feed typing: op `cdc` with NO keys —
+    * the feed's generic typing (delta rows out, staged rows in) is
+    * exactly the theta MERGE's observable delta (updates surface as
+    * delete+insert; no key exists to pair them, by definition).
+    *
+    * @return (newVersion, rowsRemoved + rowsAppended is NOT returned —
+    *         the second element is rowsRemoved; the caller knows its
+    *         append size) */
+  private[sources] def applyPositional(s: SparkSession, dir: String,
+      baseVersion: Int, gone: DataFrame, appends: DataFrame,
+      expectedRemoved: Long, statsCols: Seq[String] = Seq.empty,
+      branch: Option[String] = None): (Int, Long) = {
+    import org.apache.spark.sql.functions.col
+    val f = fs(s, dir)
+    require(latestVersion(s, dir) >= 1,
+      s"applyPositional: no versions at $dir")
+    val c = claimVersion(f, dir)
+    val v = c.v
+    try {
+      val latest = branch match {
+        case Some(n) =>
+          val (h, isTag) = refRead(f, dir, n).getOrElse(
+            throw new IllegalArgumentException(s"no ref '$n' at $dir"))
+          require(!isTag,
+            s"cannot merge on tag '$n' — tags are immutable")
+          h
+        case None => mainHead(f, dir, v - 1)
+      }
+      require(latest == baseVersion,
+        s"applyPositional: concurrent commit — positions were matched " +
+          s"against version $baseVersion but the claimed head is " +
+          s"$latest; retry the MERGE")
+      val fset = files(s, dir, latest)
+      val prev = dvFrame(s, dir, latest)
+      val nGone: Long =
+        if (expectedRemoved == 0L) {
+          // insert-only: the base's vector still CARRIES (its positions
+          // stay valid on the untouched files — dropping it would
+          // resurrect previously deleted rows, commitClaimed's append
+          // rule); with no prior vector, an ORPHANED dv/vN from an
+          // aborted claimant must not be inherited
+          prev match {
+            case Some(p) => p.write.mode("overwrite")
+              .parquet(dvDir(dir, v).toString)
+            case None => f.delete(dvDir(dir, v), true); ()
+          }
+          0L
+        } else {
+          val distinctGone = gone
+            .select(col("file_path"), col("row_index")).distinct()
+          val union = prev.map(_.unionByName(distinctGone))
+            .getOrElse(distinctGone)
+          union.write.mode("overwrite").parquet(dvDir(dir, v).toString)
+          dvRowCountFromFooters(s, dir, v) -
+            (if (prev.isDefined) dvRowCountFromFooters(s, dir, latest)
+             else 0L)
+        }
+      require(nGone == expectedRemoved,
+        s"applyPositional: the routed clauses matched $expectedRemoved " +
+          s"target rows but only $nGone distinct live positions — " +
+          "several source rows matched the same target row under the " +
+          "theta ON condition (SQL's non-deterministic MERGE); make " +
+          "the ON condition row-identifying or pre-aggregate the source")
+      val (moved, statLines) = stageAndMove(s, f, dir, appends,
+        statsCols, v)
+      writeCommitMeta(f, dir, v, latest)
+      // no keys: the feed's generic typing (deletes out, inserts in)
+      writeCommitOp(f, dir, v, "cdc", Seq.empty)
+      writeStatLines(f, dir, v, statLines)
+      writeManifest(f, dir, v, fset ++ moved)
+      maybeCheckpoint(f, dir, v)
+      branch match {
+        case Some(nm) => writeRef(s, f, dir, nm, v, tag = false)
+        case None => advanceMain(s, f, dir, v)
+      }
+      (v, nGone)
     } finally c.release()
   }
 

@@ -1,0 +1,146 @@
+package graft.sources
+
+import graft.SparkSpec
+
+/** THETA-ONLY MERGE (no equality conjunct in ON) — the positional
+  * fallback: matched rows are addressed by `(file, row)` through
+  * [[Snapshots.applyPositional]] instead of a key space. Deterministic
+  * lifecycle arms plus a randomized differential loop against a naive
+  * reference evaluator (first-match-wins routing over the full theta
+  * condition), mirroring MergeDifferentialSpec's contract: exact result
+  * or clean refusal, and the refusal is exactly the duplicate-match
+  * (non-deterministic MERGE) hazard. */
+class ThetaMergeSpec extends SparkSpec {
+
+  private lazy val warehouse: String = {
+    val w = tmpDir("theta-merge-wh")
+    spark.conf.set("spark.sql.catalog.gtm", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gtm.warehouse", w)
+    w
+  }
+
+  private def rows(t: String): Seq[(Long, Long, String)] =
+    spark.sql(s"SELECT id, x, tag FROM $t ORDER BY id, x, tag")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSeq
+
+  test("range-condition MERGE: UPDATE + DELETE + INSERT in one version, " +
+      "no equality conjunct") {
+    warehouse
+    spark.sql("CREATE TABLE gtm.db.t1 (id BIGINT, x BIGINT, tag STRING)")
+    spark.sql("INSERT INTO gtm.db.t1 VALUES " +
+      "(1, 10, 'a'), (2, 25, 'b'), (3, 40, 'c'), (4, 90, 'd')")
+    spark.sql("CREATE TABLE gtm.db.s1 (lo BIGINT, hi BIGINT, v STRING)")
+    // disjoint ranges so each target row matches at most one source row
+    spark.sql("INSERT INTO gtm.db.s1 VALUES " +
+      "(0, 15, 'low'), (20, 30, 'mid'), (35, 50, 'high')")
+    spark.sql("""MERGE INTO gtm.db.t1 t USING gtm.db.s1 s
+      ON t.x >= s.lo AND t.x < s.hi
+      WHEN MATCHED AND s.v = 'mid' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET tag = s.v
+      WHEN NOT MATCHED THEN INSERT (id, x, tag) VALUES (-1, s.lo, s.v)""")
+    // t1: x=10 -> 'low'; x=25 deleted; x=40 -> 'high'; x=90 untouched;
+    // every source row matched something, so no inserts
+    assert(rows("gtm.db.t1") == Seq(
+      (1L, 10L, "low"), (3L, 40L, "high"), (4L, 90L, "d")))
+    assert(Snapshots.latestVersion(spark, warehouse + "/db/t1") == 2,
+      "theta MERGE must publish exactly one version")
+  }
+
+  test("NOT MATCHED and NOT MATCHED BY SOURCE route under a theta ON") {
+    warehouse
+    spark.sql("CREATE TABLE gtm.db.t2 (id BIGINT, x BIGINT, tag STRING)")
+    spark.sql("INSERT INTO gtm.db.t2 VALUES (1, 5, 'a'), (2, 100, 'b')")
+    spark.sql("CREATE TABLE gtm.db.s2 (lo BIGINT, hi BIGINT, v STRING)")
+    spark.sql("INSERT INTO gtm.db.s2 VALUES (0, 10, 'in'), (200, 300, 'out')")
+    spark.sql("""MERGE INTO gtm.db.t2 t USING gtm.db.s2 s
+      ON t.x >= s.lo AND t.x < s.hi
+      WHEN MATCHED THEN UPDATE SET tag = s.v
+      WHEN NOT MATCHED THEN INSERT (id, x, tag) VALUES (99, s.lo, s.v)
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    // x=5 matched (0,10) -> 'in'; x=100 matched nothing -> by-source
+    // DELETE; source (200,300) matched nothing -> insert (99, 200, 'out')
+    assert(rows("gtm.db.t2") == Seq((1L, 5L, "in"), (99L, 200L, "out")))
+  }
+
+  test("a target row matched by TWO theta source rows with a " +
+      "row-producing clause refuses (non-deterministic MERGE) and " +
+      "publishes nothing") {
+    warehouse
+    spark.sql("CREATE TABLE gtm.db.t3 (id BIGINT, x BIGINT, tag STRING)")
+    spark.sql("INSERT INTO gtm.db.t3 VALUES (1, 10, 'a')")
+    spark.sql("CREATE TABLE gtm.db.s3 (lo BIGINT, hi BIGINT, v STRING)")
+    // overlapping ranges: x=10 falls in both
+    spark.sql("INSERT INTO gtm.db.s3 VALUES (0, 20, 'p'), (5, 15, 'q')")
+    val before = Snapshots.latestVersion(spark, warehouse + "/db/t3")
+    val e = intercept[Exception] {
+      spark.sql("""MERGE INTO gtm.db.t3 t USING gtm.db.s3 s
+        ON t.x >= s.lo AND t.x < s.hi
+        WHEN MATCHED THEN UPDATE SET tag = s.v""")
+    }
+    assert(e.getMessage.contains("non-deterministic") ||
+      e.getMessage.contains("matched"), e.getMessage)
+    assert(Snapshots.latestVersion(spark, warehouse + "/db/t3") == before,
+      "a refused theta MERGE must publish nothing")
+    assert(rows("gtm.db.t3") == Seq((1L, 10L, "a")))
+  }
+
+  test("differential: randomized theta scenarios match a naive " +
+      "reference evaluator or refuse exactly on duplicate matches") {
+    warehouse
+    val rnd = new scala.util.Random(20260816L)
+    var ok = 0
+    var refused = 0
+    for (i <- 0 until 12) {
+      val t = s"gtm.db.dt$i"
+      val s = s"gtm.db.ds$i"
+      val tgt = (0 until 8).map(j =>
+        (j.toLong, rnd.nextInt(100).toLong, s"t$j"))
+      val src = (0 until 4).map { j =>
+        val lo = rnd.nextInt(90).toLong
+        (lo, lo + 1 + rnd.nextInt(25).toLong, s"s$j")
+      }
+      spark.sql(s"CREATE TABLE $t (id BIGINT, x BIGINT, tag STRING)")
+      spark.sql(s"INSERT INTO $t VALUES " +
+        tgt.map(r => s"(${r._1}, ${r._2}, '${r._3}')").mkString(", "))
+      spark.sql(s"CREATE TABLE $s (lo BIGINT, hi BIGINT, v STRING)")
+      spark.sql(s"INSERT INTO $s VALUES " +
+        src.map(r => s"(${r._1}, ${r._2}, '${r._3}')").mkString(", "))
+      // reference: first-match-wins over SOURCE ORDER is NOT defined by
+      // SQL — a single match per target row is required; count matches
+      val matchesOf = tgt.map(tr =>
+        tr -> src.filter(sr => tr._2 >= sr._1 && tr._2 < sr._2))
+      val dup = matchesOf.exists(_._2.size > 1)
+      val expected: Seq[(Long, Long, String)] =
+        (matchesOf.map {
+          case (tr, Seq()) => tr // by-source untouched (no clause)
+          case (tr, ms) => (tr._1, tr._2, ms.head._3) // update tag = v
+        } ++ src.filterNot(sr =>
+          tgt.exists(tr => tr._2 >= sr._1 && tr._2 < sr._2))
+          .map(sr => (900L + sr._1, sr._1, sr._3)))
+          .sortBy(r => (r._1, r._2, r._3))
+      val res = try {
+        spark.sql(s"""MERGE INTO $t t USING $s s
+          ON t.x >= s.lo AND t.x < s.hi
+          WHEN MATCHED THEN UPDATE SET tag = s.v
+          WHEN NOT MATCHED THEN INSERT (id, x, tag)
+            VALUES (900 + s.lo, s.lo, s.v)""")
+        Right(rows(t))
+      } catch { case e: Exception => Left(e) }
+      res match {
+        case Right(got) =>
+          assert(!dup, s"scenario $i: duplicate match should refuse")
+          assert(got == expected, s"scenario $i: $got != $expected")
+          ok += 1
+        case Left(e) =>
+          assert(dup, s"scenario $i refused without a duplicate " +
+            s"match: ${e.getMessage}")
+          assert(rows(t) == tgt.sortBy(r => (r._1, r._2, r._3)),
+            s"scenario $i: refusal must publish nothing")
+          refused += 1
+      }
+    }
+    assert(ok >= 3 && refused >= 3,
+      s"generator coverage skewed: $ok ok / $refused refused")
+  }
+}
