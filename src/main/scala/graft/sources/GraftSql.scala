@@ -902,19 +902,23 @@ private[graft] case class GraftMergeCommand(dir: String,
           case (None, None) => 0L
           case (up, del) if thetaOnly =>
             // positional commit: routed count == distinct removed
-            // positions or the MERGE refuses (duplicate theta matches)
+            // positions or the MERGE refuses (duplicate theta matches);
+            // both counts read the persisted routed caches
             val nRouted: Long = (matched.toSeq ++ bySource.toSeq)
               .map(_.filter(col(ClauseCol) >= 0).count()).sum
             val appends = up.getOrElse(tgtDF0.limit(0))
-            val (_, nGone) = Snapshots.applyPositional(spark, dir, headV,
-              del.getOrElse(Snapshots.emptyPositions(spark)), appends,
-              expectedRemoved = nRouted,
-              statsCols = Snapshots.defaultStatsCols(tgtDF0.schema),
-              branch = t.branchRef)
-            // affected = removed live rows + staged rows (the keyed
-            // path's applyCdc contract); the count reads the persisted
-            // routed caches
-            nGone + appends.count()
+            val nAppend = appends.count()
+            if (nRouted == 0 && nAppend == 0) 0L // no-op: publish nothing
+            else {
+              val (_, nGone) = Snapshots.applyPositional(spark, dir,
+                headV, del.getOrElse(Snapshots.emptyPositions(spark)),
+                appends, expectedRemoved = nRouted,
+                statsCols = Snapshots.defaultStatsCols(tgtDF0.schema),
+                branch = t.branchRef)
+              // affected = removed live rows + staged rows (the keyed
+              // path's applyCdc contract)
+              nGone + nAppend
+            }
           case (up, del) =>
             val emptyKeys = tgtKeys(tgtDF).limit(0)
             // audit expectation: every row a MATCHED / BY SOURCE clause

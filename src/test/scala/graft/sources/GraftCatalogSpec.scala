@@ -748,11 +748,12 @@ class GraftCatalogSpec extends SparkSpec {
     }
     assert(keyUpd2.getMessage.contains("merge-key"))
 
-    val nonEq = intercept[Exception] {
-      sql("MERGE INTO graft.db.tr t USING tr_src s ON t.id < s.id " +
-        "WHEN MATCHED THEN DELETE")
-    }
-    assert(nonEq.getMessage.contains("ON"))
+    // a non-equality-only ON is NOT a refusal since the positional
+    // fallback (ThetaMergeSpec): `t.id < s.id` matches nothing here
+    // (1 < 1 is false), so the theta MERGE publishes a no-op... which
+    // also publishes nothing (upserts and deletes both absent)
+    sql("MERGE INTO graft.db.tr t USING tr_src s ON t.id < s.id " +
+      "WHEN MATCHED THEN DELETE")
 
     // nothing above published a version
     assert(Snapshots.latestVersion(spark, dirOf("db", "tr")) == 1)
