@@ -36,16 +36,20 @@ import org.apache.spark.sql.SparkSession
   *      self-labeled artifact on disk and in the stdout tail (the
   *      driver's tail parser takes the LAST JSON line, which is always
   *      the newest best-so-far emission).
-  *   2. SPARK_GRAFT_TIME_BUDGET_S (default 1800 s of in-JVM wall time)
-  *      bounds the quiet-retry loop: another pass starts only if the
-  *      remaining budget exceeds the previous pass's duration — on a
-  *      hot box (passes ~3× longer) the loop self-truncates and exits
-  *      rc=0 with a quiet=false artifact instead of being killed.
-  *      Budget sizing: a quiet pass at sf0.1/32cpu is ~160 s plus
-  *      ~100 s warmup, so 1800 s fits 3 passes even at 3× contention;
-  *      the r18 full run (3 quiet-ish passes) completed in 57 min
-  *      INCLUDING sbt, so 30 min in-JVM keeps the end-to-end run well
-  *      inside a 60-min driver window.
+  *   2. SPARK_GRAFT_TIME_BUDGET_S (default 2400 s of in-JVM wall time,
+  *      WARMUP INCLUDED) bounds the quiet-retry loop: another pass
+  *      starts only if the remaining budget exceeds the previous
+  *      pass's duration — on a hot box (passes ~3× longer) the loop
+  *      self-truncates and exits rc=0 with a quiet=false artifact
+  *      instead of being killed. Budget sizing, measured round 20 on
+  *      the 175-query board at sf0.1/32cpu: warmup ≈ 9 min, one
+  *      iters=3 pass ≈ 9.5 min (timed section ≈ 150 s; the rest is
+  *      per-query session/IO fixed cost), full 3-pass run 38:44
+  *      through sbt with rc=0 — so 2400 s fits warmup + 3 passes on a
+  *      healthy box, degrades to warmup + 1-2 passes on a contended
+  *      one, and the end-to-end run stays well inside a 60-min driver
+  *      window (r18's 57-min run completed; r19's ~1.5 h retry
+  *      blow-up is what this bounds).
   *
   * The timed action materializes the query's ACTUAL output rows
   * (`queryExecution.toRdd.count()`), not `df.count()`: Catalyst rewrites a
@@ -63,6 +67,10 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // budget clock starts HERE — warmup counts (it is half the wall
+    // time of a healthy full run, and a kill during pass 2 wastes it
+    // just the same)
+    val benchT0 = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
@@ -310,10 +318,9 @@ object Bench {
     // duration (a hot box stretches passes ~3×, and round 19 showed a
     // fixed pass count on a hot box overruns the driver window — better
     // to exit rc=0 with a self-labeled quiet=false artifact).
-    val benchT0 = System.nanoTime()
     def elapsedS: Double = (System.nanoTime() - benchT0) / 1e9
     val timeBudgetS =
-      sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET_S", "1800").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET_S", "2400").toDouble
     var passes = List.empty[Pass]
     var quiet = false
     var norm = Double.MaxValue

@@ -2111,6 +2111,47 @@ class GraftCatalogSpec extends SparkSpec {
       s"re-used nested leaf aliased the dropped subfield: $got")
   }
 
+  test("compaction across nested-evolution vintages packs under the " +
+      "head's struct shape; the change feed replays through a nested " +
+      "rename") {
+    warehouse
+    sql("CREATE TABLE graft.db.nm4 (id BIGINT, " +
+      "meta STRUCT<w: INT, h: INT>)")
+    sql("INSERT INTO graft.db.nm4 VALUES " +
+      "(1, named_struct('w', 10, 'h', 20))")                          // v1
+    sql("ALTER TABLE graft.db.nm4 ADD COLUMNS (meta.channels INT)")   // v2
+    sql("INSERT INTO graft.db.nm4 VALUES " +
+      "(2, named_struct('w', 30, 'h', 40, 'channels', 3))")           // v3
+    sql("ALTER TABLE graft.db.nm4 RENAME COLUMN meta.w TO width")     // v4
+    // compact spans pre- and post-evolution vintages: the packed
+    // vintage must carry ONE schema — the head's evolved struct —
+    // and the content must be unchanged (readEvolvedSubset's nested
+    // alignment)
+    val packed = Snapshots.compact(spark, dirOf("db", "nm4"),
+      smallBytes = 1L << 30, targetBytes = 1L << 30, minFiles = 2)
+    assert(packed == 5, s"compact should publish v5, got $packed")
+    val got = sql("SELECT id, meta.width, meta.channels " +
+      "FROM graft.db.nm4 ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2))).toSeq
+    assert(got == Seq((1L, 10, -1), (2L, 30, 3)),
+      s"compacted content diverged: $got")
+    // the change feed replays the FULL history under the consumer's
+    // (head) schema: pre-rename vintages remap meta.w -> meta.width at
+    // read time (readCanonical's nested localization); the signed fold
+    // over inserts converges to the head
+    sql("CALL graft.system.change_view(table => 'db.nm4', " +
+      "view_name => 'nm4_changes', starting_version => 1)")
+    val fold = sql("""
+      SELECT sum(CASE WHEN _change_type IN ('insert','update_postimage')
+               THEN meta.width ELSE -meta.width END) AS w,
+             sum(CASE WHEN _change_type IN ('insert','update_postimage')
+               THEN 1 ELSE -1 END) AS n
+      FROM nm4_changes""").collect().head
+    assert(fold.getLong(0) == 40L && fold.getLong(1) == 2L,
+      s"change-feed fold diverged: $fold")
+  }
+
   test("nested RENAME/DROP refusals: CHECK-referenced subfield, a " +
       "struct's only subfield, non-struct parents") {
     warehouse
