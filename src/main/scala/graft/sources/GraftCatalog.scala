@@ -480,6 +480,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           })
         fields = fields.updated(i, fields(i).copy(name = r.newName))
         schemaChanged = true
+      case u: TableChange.UpdateColumnType if u.fieldNames.length > 1 =>
+        // nested widening: the evolving commit's footer declares the
+        // widened struct, widen() reconciles across vintages, and the
+        // scan's localized requested schema decodes the narrower
+        // physical type in place (parquet reader type promotion) — no
+        // chain entry, no data rewrite, same as the top-level form
+        val oldPath = u.fieldNames.mkString(".")
+        rebuildParent(u.fieldNames, "ALTER COLUMN") { (st, leaf) =>
+          val i = st.fieldNames.indexOf(leaf)
+          require(i >= 0, s"graft catalog: ALTER COLUMN: no field " +
+            s"'$leaf' in '${u.fieldNames.dropRight(1).mkString(".")}' " +
+            s"(fields: ${st.fieldNames.mkString(", ")})")
+          val cur = st.fields(i).dataType
+          require(Snapshots.widen(cur, u.newDataType) == u.newDataType,
+            s"graft catalog: ALTER COLUMN $oldPath TYPE: " +
+              s"${u.newDataType.simpleString} does not widen " +
+              s"${cur.simpleString} — only lossless widening is " +
+              "supported")
+          org.apache.spark.sql.types.StructType(st.fields.updated(i,
+            st.fields(i).copy(dataType = u.newDataType)))
+        }
       case u: TableChange.UpdateColumnType =>
         val i = indexOf(u.fieldNames, "ALTER COLUMN")
         val cur = fields(i).dataType

@@ -804,12 +804,19 @@ private[graft] class SnapshotStreamSource(spark: SparkSession,
             s"graft-snapshots source: cannot attribute $other to a commit")
         }
         byVintage.toSeq.sortBy(_._1).map { case (c, paths) =>
+          import org.apache.spark.sql.functions.col
           val inv = inverse.getOrElse(c, Map.empty)
-          val local = StructType(fixedSchema.map(fld =>
-            fld.copy(name = inv.getOrElse(fld.name, fld.name))))
+          // recursive localization: struct SUBFIELD renames remap too
+          // (a flat top-level rename would request the canonical leaf
+          // from pre-rename files and silently null it); the cast is a
+          // positional nested-name normalization, a no-op for scalars
+          val local = Snapshots.localizeSchema(fixedSchema, inv)
           spark.read.schema(local)
             .parquet(paths.map(p => new Path(dir, p).toString): _*)
-            .toDF(fixedSchema.fieldNames: _*)
+            .select(local.fields.zip(fixedSchema.fields).map {
+              case (lf, cf) =>
+                col(s"`${lf.name}`").cast(cf.dataType).as(cf.name)
+            }.toSeq: _*)
         }.reduce(_.unionByName(_))
       }
     // the engine asserts getBatch frames are streaming-flagged

@@ -2152,6 +2152,71 @@ class GraftCatalogSpec extends SparkSpec {
       s"change-feed fold diverged: $fold")
   }
 
+  test("purge rewrites and streaming reads work across a nested " +
+      "rename (vintage-local subfield names remap at read time)") {
+    warehouse
+    sql("CREATE TABLE graft.db.nm6 (doc_id BIGINT, " +
+      "meta STRUCT<w: INT, h: INT>)")
+    sql("INSERT INTO graft.db.nm6 VALUES " +
+      "(1, named_struct('w', 10, 'h', 1)), " +
+      "(2, named_struct('w', 20, 'h', 2)), " +
+      "(3, named_struct('w', 30, 'h', 3))")                           // v1
+    sql("ALTER TABLE graft.db.nm6 RENAME COLUMN meta.w TO width")     // v2
+    sql("INSERT INTO graft.db.nm6 VALUES " +
+      "(4, named_struct('width', 40, 'h', 4))")                       // v3
+    // compliance purge of doc_id=2 rewrites the PRE-RENAME v1 file:
+    // the rewritten file keeps its vintage's own subfield names, so
+    // the read-side chain still remaps them (purge skips dotted
+    // entries by design)
+    sql("CREATE OR REPLACE TEMPORARY VIEW nm6_gone AS " +
+      "SELECT CAST(2 AS BIGINT) AS doc_id")
+    sql("CALL graft.system.purge(table => 'db.nm6', " +
+      "key_cols => 'doc_id', tombstones_view => 'nm6_gone')")
+    val got = sql("SELECT doc_id, meta.width FROM graft.db.nm6 " +
+      "ORDER BY doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got == Seq((1L, 10), (3L, 30), (4L, 40)),
+      s"purged table lost the nested remap: $got")
+    // a streaming read resolves the same canonical schema and remaps
+    // every vintage (readCanonical's localized per-vintage request)
+    val cp = java.nio.file.Files.createTempDirectory("nm6cp").toString
+    val q = spark.readStream.table("graft.db.nm6")
+      .selectExpr("doc_id", "meta.width AS width")
+      .writeStream.format("memory").queryName("nm6_stream")
+      .option("checkpointLocation", cp).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("nm6_stream")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(streamed == Seq((1L, 10), (3L, 30), (4L, 40)),
+      s"streamed rows diverged: $streamed")
+  }
+
+  test("nested ALTER COLUMN TYPE widens a subfield in place; " +
+      "narrowing refuses") {
+    warehouse
+    sql("CREATE TABLE graft.db.nm5 (id BIGINT, " +
+      "meta STRUCT<w: INT, h: BIGINT>)")
+    sql("INSERT INTO graft.db.nm5 VALUES " +
+      "(1, named_struct('w', 7, 'h', CAST(8 AS BIGINT)))")
+    sql("ALTER TABLE graft.db.nm5 ALTER COLUMN meta.w TYPE BIGINT")
+    sql("INSERT INTO graft.db.nm5 VALUES " +
+      "(2, named_struct('w', CAST(3000000000 AS BIGINT), " +
+      "'h', CAST(9 AS BIGINT)))")
+    // the pre-widening vintage's int decodes in place as long
+    val got = sql("SELECT id, meta.w FROM graft.db.nm5 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 7L), (2L, 3000000000L)), got)
+    assert(sql("SELECT * FROM graft.db.nm5").schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("w")
+      .dataType == org.apache.spark.sql.types.LongType)
+    // Spark's analyzer refuses the narrowing before our catalog's own
+    // "does not widen" guard gets a look — either refusal is correct
+    val e = intercept[Exception] {
+      sql("ALTER TABLE graft.db.nm5 ALTER COLUMN meta.h TYPE INT") }
+    assert(e.getMessage.contains("does not widen") ||
+      e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"), e.getMessage)
+  }
+
   test("nested RENAME/DROP refusals: CHECK-referenced subfield, a " +
       "struct's only subfield, non-struct parents") {
     warehouse
