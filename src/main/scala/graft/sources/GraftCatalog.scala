@@ -662,24 +662,85 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     fs(p).exists(p) && !isTable(p)
   }
 
+  // namespace properties persist in a `_NS_PROPS` side-file under the
+  // namespace directory (key SEP value lines) — a FILE, so table
+  // detection (_SCHEMA / manifests) and directory listings never see it
+  // as a table or child namespace
+  private val NsSep = 1.toChar
+  private def nsPropsPath(ns: Seq[String]): Path =
+    new Path(nsPath(ns), "_NS_PROPS")
+  private def readNsProps(ns: Seq[String]): Map[String, String] = {
+    val p = nsPropsPath(ns)
+    val f = fs(p)
+    if (!f.exists(p)) Map.empty
+    else {
+      val in = f.open(p)
+      val txt = try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+        new String(out.toByteArray, "UTF-8")
+      } finally in.close()
+      txt.split('\n').filter(_.contains(NsSep)).map { l =>
+        val i = l.indexOf(NsSep)
+        l.substring(0, i) -> l.substring(i + 1)
+      }.toMap
+    }
+  }
+  private def writeNsProps(ns: Seq[String],
+      props: Map[String, String]): Unit = {
+    val p = nsPropsPath(ns)
+    val f = fs(p)
+    if (props.isEmpty) { f.delete(p, false); () }
+    else {
+      val o = f.create(p, true)
+      try o.write(props.toSeq.sorted
+        .map { case (k, v) => k + NsSep + v }.mkString("\n")
+        .getBytes("UTF-8")) finally o.close()
+    }
+  }
+
   override def loadNamespaceMetadata(namespace: Array[String])
       : util.Map[String, String] = {
     if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(
       catName +: namespace.toSeq)
-    Map(SupportsNamespaces.PROP_LOCATION ->
-      nsPath(namespace.toSeq).toString).asJava
+    (readNsProps(namespace.toSeq) +
+      (SupportsNamespaces.PROP_LOCATION ->
+        nsPath(namespace.toSeq).toString)).asJava
   }
 
   override def createNamespace(namespace: Array[String],
       metadata: util.Map[String, String]): Unit = {
     fs(nsPath(namespace.toSeq)).mkdirs(nsPath(namespace.toSeq))
-    ()
+    val props = metadata.asScala.toMap -
+      SupportsNamespaces.PROP_LOCATION - SupportsNamespaces.PROP_COMMENT ++
+      metadata.asScala.get(SupportsNamespaces.PROP_COMMENT)
+        .map(SupportsNamespaces.PROP_COMMENT -> _)
+    if (props.nonEmpty) writeNsProps(namespace.toSeq, props)
   }
 
+  /** `ALTER NAMESPACE … SET/UNSET PROPERTIES`: plain key-value metadata
+    * on the side-file. Changing the LOCATION is refused — namespaces ARE
+    * warehouse subdirectories here, so a divorced location would orphan
+    * every table path under the old one. */
   override def alterNamespace(namespace: Array[String],
-      changes: NamespaceChange*): Unit =
-    throw new UnsupportedOperationException(
-      "graft catalog: ALTER NAMESPACE is not supported")
+      changes: NamespaceChange*): Unit = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(
+      catName +: namespace.toSeq)
+    var props = readNsProps(namespace.toSeq)
+    changes.foreach {
+      case s: NamespaceChange.SetProperty =>
+        require(s.property != SupportsNamespaces.PROP_LOCATION,
+          "graft catalog: ALTER NAMESPACE ... SET LOCATION is not " +
+            "supported — namespaces are warehouse subdirectories")
+        props += (s.property -> s.value)
+      case r: NamespaceChange.RemoveProperty =>
+        props -= r.property
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: ALTER NAMESPACE change " +
+          s"${other.getClass.getSimpleName} is not supported")
+    }
+    writeNsProps(namespace.toSeq, props)
+  }
 
   override def dropNamespace(namespace: Array[String],
       cascade: Boolean): Boolean = {

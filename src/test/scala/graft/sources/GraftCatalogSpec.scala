@@ -2152,6 +2152,31 @@ class GraftCatalogSpec extends SparkSpec {
       s"change-feed fold diverged: $fold")
   }
 
+  test("ALTER NAMESPACE SET/UNSET PROPERTIES round-trips; SET LOCATION " +
+      "refuses; DESCRIBE NAMESPACE shows the comment") {
+    warehouse
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.nsp " +
+      "COMMENT 'curated corpora'")
+    // ('owner' is a Spark-reserved namespace property — use free keys)
+    sql("ALTER NAMESPACE graft.nsp SET PROPERTIES " +
+      "('team' = 'data-eng', 'tier' = 'gold')")
+    val meta = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+      .loadNamespaceMetadata(Array("nsp"))
+    assert(meta.get("team") == "data-eng" && meta.get("tier") == "gold"
+      && meta.get("comment") == "curated corpora", meta.toString)
+    sql("ALTER NAMESPACE graft.nsp UNSET PROPERTIES ('tier')")
+    assert(!spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog].loadNamespaceMetadata(Array("nsp"))
+      .containsKey("tier"))
+    val e = intercept[Exception] {
+      sql("ALTER NAMESPACE graft.nsp SET LOCATION '/elsewhere'") }
+    assert(e.getMessage.contains("LOCATION"), e.getMessage)
+    // the side-file must not read as a table or child namespace
+    assert(!sql("SHOW TABLES IN graft.nsp").collect()
+      .map(_.getString(1)).contains("_NS_PROPS"))
+  }
+
   test("purge rewrites and streaming reads work across a nested " +
       "rename (vintage-local subfield names remap at read time)") {
     warehouse
