@@ -2152,6 +2152,36 @@ class GraftCatalogSpec extends SparkSpec {
       s"change-feed fold diverged: $fold")
   }
 
+  test("merge-on-read deletes and nested evolution compose: the DV " +
+      "applies under the remapped subfield names, time travel keeps " +
+      "both the old shape and the old liveness") {
+    warehouse
+    sql("CREATE TABLE graft.db.nm7 (doc_id BIGINT, " +
+      "meta STRUCT<w: INT, h: INT>)")
+    sql("INSERT INTO graft.db.nm7 VALUES " +
+      "(1, named_struct('w', 10, 'h', 1)), " +
+      "(2, named_struct('w', 20, 'h', 2)), " +
+      "(3, named_struct('w', 30, 'h', 3))")                           // v1
+    sql("DELETE FROM graft.db.nm7 WHERE meta.w = 20")                 // v2
+    sql("ALTER TABLE graft.db.nm7 RENAME COLUMN meta.w TO width")     // v3
+    sql("ALTER TABLE graft.db.nm7 ADD COLUMNS (meta.c INT)")          // v4
+    sql("INSERT INTO graft.db.nm7 VALUES " +
+      "(4, named_struct('width', 40, 'h', 4, 'c', 7))")               // v5
+    val got = sql("SELECT doc_id, meta.width, meta.c FROM graft.db.nm7 " +
+      "ORDER BY doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2))).toSeq
+    assert(got == Seq((1L, 10, -1), (3L, 30, -1), (4L, 40, 7)), got)
+    // v1 predates both the delete and the evolution
+    val v1 = sql("SELECT doc_id, meta.w FROM graft.db.nm7 " +
+      "VERSION AS OF 1 ORDER BY doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(v1 == Seq((1L, 10), (2L, 20), (3L, 30)), v1)
+    // v2 keeps the delete but the pre-evolution shape
+    assert(sql("SELECT * FROM graft.db.nm7 VERSION AS OF 2")
+      .count() == 2L)
+  }
+
   test("ALTER NAMESPACE SET/UNSET PROPERTIES round-trips; SET LOCATION " +
       "refuses; DESCRIBE NAMESPACE shows the comment") {
     warehouse

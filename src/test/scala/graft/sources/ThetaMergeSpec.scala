@@ -85,6 +85,50 @@ class ThetaMergeSpec extends SparkSpec {
     assert(rows("gtm.db.t3") == Seq((1L, 10L, "a")))
   }
 
+  test("a theta MERGE against a merge-on-read delete retires only live " +
+      "positions (the DV'd rows never resurface or double-retire)") {
+    warehouse
+    spark.sql("CREATE TABLE gtm.db.t4 (id BIGINT, x BIGINT, tag STRING)")
+    spark.sql("INSERT INTO gtm.db.t4 VALUES " +
+      "(1, 10, 'a'), (2, 12, 'b'), (3, 40, 'c')")
+    // merge-on-read delete: id=2's position joins the deletion vector
+    spark.sql("DELETE FROM gtm.db.t4 WHERE id = 2")
+    spark.sql("CREATE TABLE gtm.db.s4 (lo BIGINT, hi BIGINT, v STRING)")
+    spark.sql("INSERT INTO gtm.db.s4 VALUES (0, 20, 'low')")
+    // x=10 and the DELETED x=12 both fall in [0,20): the theta match
+    // must see only the LIVE row (the reader's DV filter), so the
+    // audit expects exactly one routed position
+    spark.sql("""MERGE INTO gtm.db.t4 t USING gtm.db.s4 s
+      ON t.x >= s.lo AND t.x < s.hi
+      WHEN MATCHED THEN UPDATE SET tag = s.v""")
+    assert(rows("gtm.db.t4") == Seq((1L, 10L, "low"), (3L, 40L, "c")))
+  }
+
+  test("plan shape: a theta MERGE with a broadcast-sized source joins " +
+      "via BroadcastNestedLoopJoin, never CartesianProduct") {
+    warehouse
+    spark.sql("CREATE TABLE gtm.db.t5 (id BIGINT, x BIGINT, tag STRING)")
+    spark.sql("INSERT INTO gtm.db.t5 VALUES (1, 10, 'a'), (2, 25, 'b')")
+    spark.sql("CREATE TABLE gtm.db.s5 (lo BIGINT, hi BIGINT, v STRING)")
+    spark.sql("INSERT INTO gtm.db.s5 VALUES (0, 15, 'low')")
+    // the matched inner join's plan: target scan theta-joined with the
+    // small source — the optimizer must broadcast the source side (a
+    // CartesianProduct would re-pair every row at any scale; an NLJ
+    // over a broadcast source is the correct theta price)
+    val tgt = spark.table("gtm.db.t5")
+    val src = spark.table("gtm.db.s5")
+    val joined = tgt.join(src,
+      tgt("x") >= src("lo") && tgt("x") < src("hi"), "inner")
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // and the MERGE itself lands the routed update
+    spark.sql("""MERGE INTO gtm.db.t5 t USING gtm.db.s5 s
+      ON t.x >= s.lo AND t.x < s.hi
+      WHEN MATCHED THEN UPDATE SET tag = s.v""")
+    assert(rows("gtm.db.t5") == Seq((1L, 10L, "low"), (2L, 25L, "b")))
+  }
+
   test("differential: randomized theta scenarios match a naive " +
       "reference evaluator or refuse exactly on duplicate matches") {
     warehouse
