@@ -129,6 +129,41 @@ class ThetaMergeSpec extends SparkSpec {
     assert(rows("gtm.db.t5") == Seq((1L, 10L, "low"), (2L, 25L, "b")))
   }
 
+  test("theta MERGE into a freshly created table: accepted inserts " +
+      "become commit 1") {
+    warehouse
+    spark.sql("CREATE TABLE gtm.db.t6 (id BIGINT, x BIGINT, tag STRING)")
+    spark.sql("CREATE TABLE gtm.db.s6 (lo BIGINT, hi BIGINT, v STRING)")
+    spark.sql("INSERT INTO gtm.db.s6 VALUES (0, 10, 'a'), (10, 20, 'b')")
+    spark.sql("""MERGE INTO gtm.db.t6 t USING gtm.db.s6 s
+      ON t.x >= s.lo AND t.x < s.hi
+      WHEN MATCHED THEN UPDATE SET tag = s.v
+      WHEN NOT MATCHED THEN INSERT (id, x, tag) VALUES (s.lo, s.lo, s.v)""")
+    assert(rows("gtm.db.t6") == Seq((0L, 0L, "a"), (10L, 10L, "b")))
+    assert(Snapshots.latestVersion(spark, warehouse + "/db/t6") == 1)
+  }
+
+  test("theta MERGE on a branch handle advances the branch, main " +
+      "untouched") {
+    warehouse
+    spark.sql("CREATE TABLE gtm.db.t7 (id BIGINT, x BIGINT, tag STRING)")
+    spark.sql("INSERT INTO gtm.db.t7 VALUES (1, 5, 'a'), (2, 50, 'b')")
+    spark.sql("CALL gtm.system.create_ref(table => 'db.t7', " +
+      "name => 'exp', version => 1)")
+    spark.sql("CREATE TABLE gtm.db.s7 (lo BIGINT, hi BIGINT, v STRING)")
+    spark.sql("INSERT INTO gtm.db.s7 VALUES (0, 10, 'branched')")
+    spark.sql("""MERGE INTO gtm.db.`t7@exp` t USING gtm.db.s7 s
+      ON t.x >= s.lo AND t.x < s.hi
+      WHEN MATCHED THEN UPDATE SET tag = s.v""")
+    val branch = spark.sql(
+      "SELECT id, tag FROM gtm.db.`t7@exp` ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(branch == Seq((1L, "branched"), (2L, "b")), branch)
+    val main = spark.sql("SELECT id, tag FROM gtm.db.t7 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(main == Seq((1L, "a"), (2L, "b")), s"main moved: $main")
+  }
+
   test("differential: randomized theta scenarios match a naive " +
       "reference evaluator or refuse exactly on duplicate matches") {
     warehouse
