@@ -1,0 +1,77 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler._
+import scala.collection.mutable
+
+/** Per-job profiling harness (optimization rounds): runs the named queries
+  * once warm + once timed and prints every Spark job the timed rep ran —
+  * wall duration, stage/task counts, and the callsite — so driver-side
+  * fixed cost (many tiny jobs) is attributable line-by-line. Diagnostic
+  * only; not part of the driver contract.
+  *
+  * Usage: sbt "runMain graft.Prof q08_distinct_agg s10_ivfpq_topk"
+  * Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS as in Bench.
+  */
+object Prof {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("graft.io.reuse", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    case class J(id: Int, var t0: Long = 0L, var t1: Long = 0L,
+      var stages: Int = 0, var tasks: Int = 0, var site: String = "")
+    val jobs = mutable.LinkedHashMap[Int, J]()
+    var collecting = false
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(e: SparkListenerJobStart): Unit =
+        if (collecting) {
+          val j = J(e.jobId, t0 = e.time, stages = e.stageInfos.size)
+          j.site = Option(e.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("")
+          jobs.synchronized { jobs(e.jobId) = j }
+        }
+      override def onJobEnd(e: SparkListenerJobEnd): Unit =
+        jobs.synchronized { jobs.get(e.jobId).foreach(_.t1 = e.time) }
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+        jobs.synchronized {
+          jobs.values.lastOption.foreach(j => j.tasks += 1) }
+    })
+    val names = args.filter(SparkEntry.queries.contains).toSeq
+    def run(name: String): Unit = {
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
+    }
+    for (name <- names) {
+      try run(name) catch { case e: Throwable =>
+        println(s"$name warm FAILED: ${e.getMessage}") } // warm
+      jobs.synchronized { jobs.clear() }
+      collecting = true
+      val t0 = System.nanoTime()
+      try run(name) catch { case e: Throwable =>
+        println(s"$name FAILED: ${e.getMessage}") }
+      val wall = (System.nanoTime() - t0) / 1e9
+      collecting = false
+      Thread.sleep(300) // let the async listener bus drain
+      println(f"########## $name wall=$wall%.3f s jobs=${jobs.size}")
+      jobs.synchronized {
+        var gap0 = 0L
+        var prevEnd = 0L
+        jobs.values.foreach { j =>
+          val dur = (j.t1 - j.t0) / 1e3
+          val gap = if (prevEnd > 0) (j.t0 - prevEnd) / 1e3 else 0.0
+          prevEnd = j.t1
+          println(f"  job ${j.id}%4d ${dur}%8.3f s  gap=${gap}%7.3f s " +
+            f"stages=${j.stages}%3d tasks=${j.tasks}%5d  ${j.site}")
+        }
+        val busy = jobs.values.map(j => j.t1 - j.t0).sum / 1e3
+        println(f"  jobs-busy=$busy%.3f s  (wall - busy = driver/plan time)")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -40,6 +40,37 @@ object Similarity extends QueryPack {
   private val RRF_K0 = 60 // s16: RRF dampening constant (Cormack '09)
   private val FILTER_LABEL = 3 // s17: attribute predicate (43+ members at every sf)
 
+  /** Run independent driver-side build phases (trainings, counts,
+    * artifact loads) CONCURRENTLY — Spark's scheduler happily runs the
+    * phases' jobs side by side, and their Catalyst planning (the real
+    * fixed cost of these tiny-collect loops) overlaps too (optimization
+    * guide §2.6: overlap independent jobs so one phase's stragglers
+    * back-fill the other's idle capacity). Each phase is internally
+    * sequential, so results are bit-identical to the serial order.
+    * `SparkSession.active` is thread-local — re-pin it on the worker
+    * thread for the broadcast-building centroid expressions.
+    */
+  private def inParallel[A, B](s: SparkSession, fa: => A, fb: => B): (A, B) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val f1 = Future { SparkSession.setActiveSession(s); fa }
+    val f2 = Future { SparkSession.setActiveSession(s); fb }
+    (Await.result(f1, Duration.Inf), Await.result(f2, Duration.Inf))
+  }
+
+  private def inParallel3[A, B, C](s: SparkSession, fa: => A, fb: => B,
+      fc: => C): (A, B, C) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val f1 = Future { SparkSession.setActiveSession(s); fa }
+    val f2 = Future { SparkSession.setActiveSession(s); fb }
+    val f3 = Future { SparkSession.setActiveSession(s); fc }
+    (Await.result(f1, Duration.Inf), Await.result(f2, Duration.Inf),
+      Await.result(f3, Duration.Inf))
+  }
+
   /** (vec_id, v, nrm): unit work done once. */
   private def normed(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
@@ -176,7 +207,7 @@ object Similarity extends QueryPack {
     * Returns the per-cell mean, or None for cells that received no rows.
     */
   private def lloydMeans(base: DataFrame, cellCol: Column, vCol: Column,
-      k: Int, dim: Int): Array[Option[Array[Double]]] = {
+      k: Int, dim: Int, numParts: Int): Array[Option[Array[Double]]] = {
     val perPid = base
       .withColumn("cell", cellCol)
       .withColumn("pid", spark_partition_id())
@@ -184,7 +215,7 @@ object Similarity extends QueryPack {
       .groupBy(col("cell"), col("pos"), col("pid"))
       .agg(sum(col("x")).as("s"), count(lit(1)).as("c"))
     val partials =
-      blockPartials(perPid, Seq("cell", "pos"), base.rdd.getNumPartitions)
+      blockPartials(perPid, Seq("cell", "pos"), numParts)
         .collect()
     val byCell = partials.groupBy(_.getInt(0))
     Array.tabulate(k) { c =>
@@ -234,8 +265,14 @@ object Similarity extends QueryPack {
     var cents: Array[Array[Double]] =
       seedVectors(base, col("v"), k).map(l2normalize)
     val dim = cents.head.length
+    // partition count is iteration-invariant: resolve the scan ONCE
+    // instead of re-analyzing `base` to an RDD every Lloyd round (each
+    // .rdd conversion re-ran analysis+optimization of the whole lineage
+    // — pure driver fixed cost, measured ~50 ms/round at sf0.1)
+    val numParts = base.rdd.getNumPartitions
     for (_ <- 1 to iters) {
-      val means = lloydMeans(base, cellExpr(cents, col("v")), col("v"), k, dim)
+      val means = lloydMeans(base, cellExpr(cents, col("v")), col("v"), k,
+        dim, numParts)
       cents = cents.zipWithIndex.map { case (old, c) =>
         means(c) match {
           case Some(m) => if (m.forall(_ == 0.0)) old else l2normalize(m)
@@ -294,9 +331,10 @@ object Similarity extends QueryPack {
       iters: Int): Array[Array[Double]] = {
     var cents: Array[Array[Double]] = seedVectors(base, sub, ks)
     val dim = cents.head.length
+    val numParts = base.rdd.getNumPartitions // once, not per round
     for (_ <- 1 to iters) {
       val means = lloydMeans(base.withColumn("sv", sub), pqCodeExpr(cents,
-        col("sv")), col("sv"), ks, dim)
+        col("sv")), col("sv"), ks, dim, numParts)
       cents = cents.zipWithIndex.map { case (old, c) =>
         means(c).getOrElse(old)
       }
@@ -333,6 +371,7 @@ object Similarity extends QueryPack {
       s"PQ: corpus smaller than ks=$PQ_KS")
     var books: Array[Array[Array[Double]]] = Array.tabulate(PQ_M)(m =>
       seedRows.map(v => v.slice(m * sub, m * sub + sub)))
+    val numParts = nb.rdd.getNumPartitions // once, not per round
     for (_ <- 1 to KM_ITERS) {
       val cellCols = (0 until PQ_M).map(m =>
         pqCodeExpr(books(m), slice(col("vn"), m * sub + 1, sub)))
@@ -347,7 +386,7 @@ object Similarity extends QueryPack {
         .groupBy(col("m"), col("cell"), col("p"), col("pid"))
         .agg(sum(col("x")).as("s"), count(lit(1)).as("c"))
       val partials =
-        blockPartials(perPid, Seq("m", "cell", "p"), nb.rdd.getNumPartitions)
+        blockPartials(perPid, Seq("m", "cell", "p"), numParts)
           .collect()
       val byKey = partials.groupBy(r => (r.getInt(0), r.getInt(1)))
       books = Array.tabulate(PQ_M) { m =>
@@ -394,8 +433,9 @@ object Similarity extends QueryPack {
     */
   private[graft] def pqTopK(s: SparkSession, d: String): DataFrame = {
     val base = normed(s, d)
-    rerankTopK(s, d,
-      pqAdcCandidates(base, pqCodebooks(base), pqRerank(base.count())))
+    // codebook training and the corpus count are independent phases
+    val (books, n) = inParallel(s, pqCodebooks(base), base.count())
+    rerankTopK(s, d, pqAdcCandidates(base, books, pqRerank(n)))
   }
 
   /** ADC-scored top-`rerank` candidate ids per query (no full vectors in
@@ -570,9 +610,12 @@ object Similarity extends QueryPack {
     */
   private[graft] def ivfPqTopK(s: SparkSession, d: String): DataFrame = {
     val base = normed(s, d)
-    rerankTopK(s, d, ivfPqCandidates(base,
+    // the coarse quantizer, the PQ codebooks, and the corpus count are
+    // three independent build phases — overlap them (guide §2.6)
+    val (cents, books, n) = inParallel3(s,
       kmeansCentroids(base, CELLS, KM_ITERS), pqCodebooks(base),
-      pqRerank(base.count())))
+      base.count())
+    rerankTopK(s, d, ivfPqCandidates(base, cents, books, pqRerank(n)))
   }
 
   /** IVF candidate set for the NQ fixture queries against trained centroids:
@@ -895,8 +938,9 @@ object Similarity extends QueryPack {
     //    stage reading codes, not vectors).
     "s08_pq_adc_topk" -> ((s, d) => {
       val base = normed(s, d)
-      val books = pqCodebooks(base)
-      val rerank = pqRerank(base.count())
+      // training and the corpus count are independent phases (§2.6)
+      val (books, n) = inParallel(s, pqCodebooks(base), base.count())
+      val rerank = pqRerank(n)
       val sub = DIM / PQ_M
       val codeCols = (0 until PQ_M).map { m =>
         pqCodeExpr(books(m),
@@ -924,9 +968,11 @@ object Similarity extends QueryPack {
     // ADC quantization error inside the probed cells.
     "s10_ivfpq_topk" -> ((s, d) => {
       val base = normed(s, d)
-      val cents = kmeansCentroids(base, CELLS, KM_ITERS)
-      val books = pqCodebooks(base)
-      val rerank = pqRerank(base.count())
+      // coarse quantizer, PQ codebooks, corpus count: independent (§2.6)
+      val (cents, books, n) = inParallel3(s,
+        kmeansCentroids(base, CELLS, KM_ITERS), pqCodebooks(base),
+        base.count())
+      val rerank = pqRerank(n)
       val cands = ivfPqCandidates(base, cents, books, rerank)
       val rb = cands.agg((count(lit(1)) <= lit(NQ.toLong) * rerank)
         .as("rerank_bounded"))
@@ -968,9 +1014,14 @@ object Similarity extends QueryPack {
       }
       val books2: Array[Array[Array[Double]]] =
         Array.fill(PQ_M, PQ_KS)(new Array[Double](sub))
-      s.read.parquet(out + "/books").collect().foreach { r =>
-        books2(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3) }
-      val rerank = pqRerank(base.count())
+      // artifact load, corpus count, and the in-flight retrain (used by
+      // the equality arm below) are independent phases (§2.6)
+      val (_, n, inBooks) = inParallel3(s,
+        s.read.parquet(out + "/books").collect().foreach { r =>
+          books2(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3) },
+        base.count(),
+        pqCodebooks(base))
+      val rerank = pqRerank(n)
       val codes = s.read.parquet(out + "/codes")
       val q = base.filter(col("vec_id") < NQ)
         .select(col("vec_id").as("query_id"),
@@ -985,7 +1036,7 @@ object Similarity extends QueryPack {
         .withColumn("arank", row_number().over(w))
         .filter(col("arank") <= rerank)
         .select(col("query_id"), col("neighbor_id"))
-      val inFlight = pqAdcCandidates(base, pqCodebooks(base), rerank)
+      val inFlight = pqAdcCandidates(base, inBooks, rerank)
       val merged = atRest.withColumn("a", lit(1))
         .join(inFlight.withColumn("b", lit(1)),
           Seq("query_id", "neighbor_id"), "full_outer")
