@@ -81,7 +81,13 @@ object Bench {
     // O(n^2) baselines (s01/s03 brute force) are intentionally excluded
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).toSet)
-    val spark = SparkSession.builder()
+    // Scale-dependent session settings stay parameterised (optimization
+    // guide §9; production values documented in OPTIMIZATION_r21.md):
+    // SPARK_GRAFT_CONF="k=v;k=v" overrides/extends the local defaults.
+    val extraConf = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .map { kv => val i = kv.indexOf('='); (kv.take(i), kv.drop(i + 1)) }
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
@@ -92,7 +98,8 @@ object Bench {
       // gate always exercises the full write→read path)
       .config("graft.io.reuse", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      .getOrCreate()
+    val spark = extraConf.foldLeft(builder) { case (b, (k, v)) =>
+      b.config(k, v) }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.contains(name)) }

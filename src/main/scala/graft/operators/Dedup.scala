@@ -332,28 +332,35 @@ object Dedup extends QueryPack {
       .withColumn("comp", col("id")).persist()
     var converged = false
     var rounds = 0
+    var cached = labels // the persisted handle the projection below rides on
     while (!converged && rounds < 50) {
       val nbrMin = edges
         .join(labels.select(col("id").as("src"), col("comp").as("nc")),
           Seq("src"))
         .groupBy(col("dst")).agg(min(col("nc")).as("nbc"))
         .select(col("dst").as("id"), col("nbc"))
+      // carry the change flag IN the round's own frame: the former
+      // convergence check re-joined `next` against `labels` on id — a
+      // whole extra shuffle join per round whose only output was a
+      // count. `changed` ⇔ a strictly smaller neighbor label arrived,
+      // so the flag is a projection of the same join (guide §2.4:
+      // remove shuffles outright).
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("nbc"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("nbc"), col("comp"))).as("comp"),
+          coalesce(col("nbc") < col("comp"), lit(false)).as("changed"))
         .persist()
-      val changes = next
-        .join(labels.select(col("id"), col("comp").as("old")), Seq("id"))
-        .filter(col("comp") =!= col("old")).count()
-      labels.unpersist(blocking = true)
-      labels = next
+      val changes = next.filter(col("changed")).count()
+      cached.unpersist()
+      cached = next
+      labels = next.select(col("id"), col("comp"))
       converged = changes == 0
       rounds += 1
     }
-    edges.unpersist(blocking = true)
+    edges.unpersist()
     require(converged, s"dupClusters: no fixpoint after $rounds rounds")
     labels.write.mode("overwrite").parquet(out)
-    labels.unpersist(blocking = true)
+    cached.unpersist()
     s.read.parquet(out)
   }
 

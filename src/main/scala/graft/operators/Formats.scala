@@ -57,6 +57,29 @@ object Formats extends QueryPack {
     }
   }
 
+  /** Child session for a STATEFUL streaming view: the state-store
+    * partition count is pinned at first checkpoint from
+    * `spark.sql.shuffle.partitions` AT QUERY START, so it must be a
+    * deliberate choice, sized to the aggregate's key cardinality — not
+    * inherited from the batch shuffle default. The per-lang views here
+    * hold a handful of keys; at 32 state partitions every micro-batch
+    * paid ~27 EMPTY state-store instances' open/commit/maintenance file
+    * IO (measured: 1.3-2.3 s per batch at sf0.1, 32+ tasks, >80% of the
+    * streaming queries' cost). That waste is scale-independent: input
+    * parallelism is decided upstream of the stateful exchange, so state
+    * partitions should track keys × headroom at any corpus size.
+    * Parameterized: `graft.stream.statePartitions` (default 8).
+    * The child session inherits nothing set via s.conf at runtime, so
+    * callers re-pin any catalog they need on it.
+    */
+  private def streamSession(s: SparkSession): SparkSession = {
+    val parts = s.conf.getOption("graft.stream.statePartitions")
+      .getOrElse("8")
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", parts)
+    s2
+  }
+
   /** Order-independent (count, checksum) over the canonical document
     * fields — the f10 manifest canon, shared by f17/f19. concat (not
     * concat_ws): a NULL field nulls the row hash on BOTH engines (see
@@ -1105,9 +1128,14 @@ object Formats extends QueryPack {
         ()
       }
       // the view, driven purely from the NAMED change feed (fresh
-      // checkpoint per run — the replay is the operator under test)
+      // checkpoint per run — the replay is the operator under test);
+      // state partitions sized to the per-lang key count (streamSession
+      // scaladoc) — the child session needs the catalog re-pinned
+      val s2 = streamSession(s)
+      s2.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s2.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
       val cp = java.nio.file.Files.createTempDirectory("f38cp").toString
-      val feed = s.readStream.option("readChangeFeed", "true")
+      val feed = s2.readStream.option("readChangeFeed", "true")
         .table(s"$cat.db.sdocs")
       // rows in (inserts + update postimages) add, rows out (deletes +
       // update preimages) retract — the four-type signed-fold contract
@@ -1121,16 +1149,16 @@ object Formats extends QueryPack {
         .outputMode("complete")
         .option("checkpointLocation", cp).start()
       try q.processAllAvailable() finally q.stop()
-      val fed = s.table(view)
+      val fed = s2.table(view)
         .select(col("lang"), col("n_docs"), col("sum_chars"))
-      val head = s.sql(s"SELECT * FROM $cat.db.sdocs")
+      val head = s2.sql(s"SELECT * FROM $cat.db.sdocs")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("hn"), sum(col("n_chars")).as("hc"))
       fed.join(head, Seq("lang"), "full_outer")
         .select(col("lang"), col("n_docs"), col("sum_chars"),
           (col("n_docs") === col("hn") && col("sum_chars") === col("hc"))
             .as("view_matches_head"),
-          lit(graft.sources.Snapshots.latestVersion(s, tdir) == 2)
+          lit(graft.sources.Snapshots.latestVersion(s2, tdir) == 2)
             .as("one_version_per_epoch"))
         .orderBy(col("lang"))
     }),
@@ -1252,9 +1280,11 @@ object Formats extends QueryPack {
         ()
       }
       // the view, driven only by the feed (fresh checkpoint per run —
-      // the replay itself is the operator under test)
+      // the replay itself is the operator under test); state partitions
+      // sized to the per-lang key count, not the batch shuffle default
+      val s2 = streamSession(s)
       val cp = java.nio.file.Files.createTempDirectory("f34cp").toString
-      val feed = s.readStream.format("graft-snapshots")
+      val feed = s2.readStream.format("graft-snapshots")
         .option("path", out).option("readChangeFeed", "true").load()
       // rows in (inserts + update postimages) add, rows out (deletes +
       // update preimages) retract — the four-type signed-fold contract
@@ -1267,10 +1297,10 @@ object Formats extends QueryPack {
         .outputMode("complete")
         .option("checkpointLocation", cp).start()
       try q.processAllAvailable() finally q.stop()
-      val view = s.table("f34_view")
+      val view = s2.table("f34_view")
         .select(col("lang"), col("n_docs"), col("sum_chars"))
       val head = graft.sources.Snapshots
-        .read(s, out, graft.sources.Snapshots.latestVersion(s, out))
+        .read(s2, out, graft.sources.Snapshots.latestVersion(s2, out))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("hn"), sum(col("n_chars")).as("hc"))
       view.join(head, Seq("lang"), "full_outer")
@@ -1307,8 +1337,10 @@ object Formats extends QueryPack {
           pmod(col("doc_id"), lit(7)) === 0)
         ()
       }
+      // state partitions sized to the per-lang key count (streamSession)
+      val s2 = streamSession(s)
       val cp = java.nio.file.Files.createTempDirectory("f40cp").toString
-      val feed = s.readStream.format("graft-snapshots")
+      val feed = s2.readStream.format("graft-snapshots")
         .option("path", out).option("readChangeFeed", "true")
         .option("maxVersionsPerTrigger", "1").load()
       val sgn = when(col("_change_type").isin("insert",
@@ -1324,10 +1356,10 @@ object Formats extends QueryPack {
         try { q.processAllAvailable()
           q.recentProgress.count(_.numInputRows > 0) }
         finally q.stop()
-      val fed = s.table(view)
+      val fed = s2.table(view)
         .select(col("lang"), col("n_docs"), col("sum_chars"))
       val head = graft.sources.Snapshots
-        .read(s, out, graft.sources.Snapshots.latestVersion(s, out))
+        .read(s2, out, graft.sources.Snapshots.latestVersion(s2, out))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("hn"), sum(col("n_chars")).as("hc"))
       fed.join(head, Seq("lang"), "full_outer")

@@ -484,13 +484,17 @@ object Pipeline extends QueryPack {
         .select(col("doc_id"), col("lang"),
           explode(tokens(col("text"))).as("word"))
         .withColumn("b", pmod(h4("word"), lit(DsirB.toLong)))
-      val raw = occ.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-      val tgt = occ.filter(col("lang") === "en")
-        .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-      val tot = occ.agg(count(lit(1)).as("nr"),
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"))
-      val lr = raw.join(tgt, Seq("b"), "left")
-        .na.fill(0L, Seq("ct"))
+      // ONE bucket pass computes raw and target counts together (the
+      // target count is a conditional sum — identical to the former
+      // raw⟕target left join with ct=0 fill, since a bucket with no
+      // 'en' tokens sums to 0), and the totals reduce from the B-bounded
+      // bucket table instead of re-scanning the token stream: four
+      // corpus-wide subtrees become two (this pass + the per-doc weight
+      // join below) — guide §1.2, remove whole passes first.
+      val bstats = occ.groupBy(col("b")).agg(count(lit(1)).as("cr"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+      val tot = bstats.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+      val lr = bstats
         .crossJoin(broadcast(tot))
         .withColumn("lr_micro",
           floor(lit(1e6) * log(

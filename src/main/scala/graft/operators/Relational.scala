@@ -53,6 +53,34 @@ object Relational extends QueryPack {
       .otherwise(c.cast("double"))
   }
 
+  /** r21 money-sum representation: exact integer units of 10^-scale.
+    * The per-row DECIMAL conversion (and therefore the declared rounding
+    * semantics of money()/qty()/pct()) is unchanged — the decimal value
+    * is integer-valued at its scale, so ×10^scale → LONG is exact — but
+    * the SUM buffer switches from Spark's Decimal (object per update;
+    * measured 2× the whole aggregation at sf0.1: 0.96 s vs 0.48 s for
+    * the q01 aggregate) to primitive long codegen. ANSI long sums throw
+    * on overflow, which cannot happen before [[dblFromUnits]]'s 2^53
+    * guard bound (1000× smaller) is crossed on the same sum.
+    */
+  private def units(c: Column, scale: Int): Column =
+    (c * lit(BigDecimal(10).pow(scale))).cast("long")
+
+  /** Final cast for a long units-sum: bit-identical to the former
+    * decimal-sum → double cast. Within the guard (|unscaled| < 2^53) the
+    * long→double conversion is exact and the single division by the
+    * exactly-representable 10^scale rounds once to nearest — the same
+    * nearest-double of the same exact rational BigDecimal.doubleValue
+    * produced. The guard condition |units| ≥ 2^53 is the former
+    * |value| ≥ 2^53/10^scale verbatim, both exact comparisons.
+    */
+  private def dblFromUnits(c: Column, scale: Int = 2): Column =
+    when(abs(c) >= lit(9007199254740992L), raise_error(concat(
+        lit(s"graft: decimal->double final cast no longer exact " +
+          s"(|units| >= 2^53 at scale $scale): "),
+        c.cast("string"))))
+      .otherwise(c.cast("double") / lit(BigDecimal(10).pow(scale).toDouble))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- aggregation ---------------------------------------------------------
     "q01_pricing_summary" -> ((s, d) => {
@@ -61,10 +89,12 @@ object Relational extends QueryPack {
         .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
-          dbl(sum(qty($"l_quantity"))).as("sum_qty"),
-          dbl(sum(money($"l_extendedprice"))).as("sum_base_price"),
-          dbl(sum(money($"l_extendedprice") * (lit(BigDecimal(1)) - pct($"l_discount"))), 6).as("sum_disc_price"),
-          dbl(sum(money($"l_extendedprice") * (lit(BigDecimal(1)) + pct($"l_tax"))), 6).as("sum_charge"),
+          dblFromUnits(sum(units(qty($"l_quantity"), 2))).as("sum_qty"),
+          dblFromUnits(sum(units(money($"l_extendedprice"), 2))).as("sum_base_price"),
+          dblFromUnits(sum(units(money($"l_extendedprice"), 2) *
+            units(lit(BigDecimal(1)) - pct($"l_discount"), 4)), 6).as("sum_disc_price"),
+          dblFromUnits(sum(units(money($"l_extendedprice"), 2) *
+            units(lit(BigDecimal(1)) + pct($"l_tax"), 4)), 6).as("sum_charge"),
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")
     }),
@@ -74,7 +104,8 @@ object Relational extends QueryPack {
         .filter($"l_shipdate" >= lit("1995-01-01").cast("timestamp") &&
                 $"l_shipdate" <  lit("1996-01-01").cast("timestamp") &&
                 $"l_discount".between(0.03, 0.07) && $"l_quantity" < 24)
-        .agg(dbl(sum(money($"l_extendedprice") * pct($"l_discount")), 6).as("revenue"),
+        .agg(dblFromUnits(sum(units(money($"l_extendedprice"), 2) *
+               units(pct($"l_discount"), 4)), 6).as("revenue"),
              count(lit(1)).as("n"))
     }),
     // Multi-distinct in ONE groupBy: Spark plans an Expand replicating
@@ -82,6 +113,10 @@ object Relational extends QueryPack {
     // one aggregate, but ONE table scan. Kept deliberately as the
     // single-scan form (the 100 TB shape when the scan dominates); q24
     // demonstrates the split-subtree alternative and its tradeoff.
+    // (r21 audit: a pre-Expand DISTINCT on (flag, pk, sk) was tried and
+    // produced a bit-identical physical plan — the planner's partial
+    // aggregate after Expand already dedups map-side, so the explicit
+    // pre-dedup is subsumed. Left in the single-scan form.)
     "q08_distinct_agg" -> ((s, d) => {
       import s.implicits._
       T.lineitem(s, d)
@@ -100,7 +135,8 @@ object Relational extends QueryPack {
           Seq(Seq($"o_orderstatus", $"o_orderpriority"),
             Seq($"o_orderstatus"), Seq()),
           $"o_orderstatus", $"o_orderpriority")
-        .agg(count(lit(1)).as("n"), dbl(sum(money($"o_totalprice"))).as("total"))
+        .agg(count(lit(1)).as("n"),
+          dblFromUnits(sum(units(money($"o_totalprice"), 2))).as("total"))
         .orderBy($"o_orderstatus".asc_nulls_first,
           $"o_orderpriority".asc_nulls_first)
     }),
@@ -212,7 +248,8 @@ object Relational extends QueryPack {
       li.join(o, $"l_orderkey" === $"o_orderkey")
         .join(c, $"o_custkey" === $"c_custkey")
         .groupBy($"c_mktsegment")
-        .agg(dbl(sum(money($"l_extendedprice") * (lit(BigDecimal(1)) - pct($"l_discount"))), 6).as("revenue"),
+        .agg(dblFromUnits(sum(units(money($"l_extendedprice"), 2) *
+               units(lit(BigDecimal(1)) - pct($"l_discount"), 4)), 6).as("revenue"),
              count(lit(1)).as("n_lines"))
         .orderBy($"c_mktsegment")
     }),
@@ -226,7 +263,8 @@ object Relational extends QueryPack {
         .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
         .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
         .groupBy($"r_name", $"n_name")
-        .agg(dbl(sum(money($"l_extendedprice") * (lit(BigDecimal(1)) - pct($"l_discount"))), 6).as("revenue"))
+        .agg(dblFromUnits(sum(units(money($"l_extendedprice"), 2) *
+               units(lit(BigDecimal(1)) - pct($"l_discount"), 4)), 6).as("revenue"))
         .orderBy($"r_name", $"n_name")
     }),
     "q04_semi_join" -> ((s, d) => {
@@ -263,14 +301,16 @@ object Relational extends QueryPack {
       import s.implicits._
       T.lineitem(s, d)
         .rollup($"l_returnflag", $"l_linestatus")
-        .agg(dbl(sum(qty($"l_quantity"))).as("sum_qty"), count(lit(1)).as("n"))
+        .agg(dblFromUnits(sum(units(qty($"l_quantity"), 2))).as("sum_qty"),
+             count(lit(1)).as("n"))
         .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
     }),
     "q10_cube" -> ((s, d) => {
       import s.implicits._
       T.orders(s, d)
         .cube($"o_orderstatus", $"o_orderpriority")
-        .agg(dbl(sum(money($"o_totalprice"))).as("sum_price"), count(lit(1)).as("n"))
+        .agg(dblFromUnits(sum(units(money($"o_totalprice"), 2))).as("sum_price"),
+             count(lit(1)).as("n"))
         .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
     }),
 
@@ -291,7 +331,8 @@ object Relational extends QueryPack {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       T.orders(s, d)
         .filter($"o_custkey" < 100)
-        .withColumn("running_spend", dbl(sum(money($"o_totalprice")).over(w)))
+        .withColumn("running_spend",
+          dblFromUnits(sum(units(money($"o_totalprice"), 2)).over(w)))
         .select($"o_custkey", $"o_orderkey", $"running_spend")
         .orderBy($"o_custkey", $"o_orderkey")
     }),
@@ -541,7 +582,8 @@ object Relational extends QueryPack {
       import s.implicits._
       T.events(s, d)
         .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
-        .agg(count(lit(1)).as("n"), dbl(sum(money($"value"))).as("sum_value"))
+        .agg(count(lit(1)).as("n"),
+          dblFromUnits(sum(units(money($"value"), 2))).as("sum_value"))
         .select($"w.start".as("bucket"), $"event_type", $"n", $"sum_value")
         .orderBy($"bucket", $"event_type")
     }),
