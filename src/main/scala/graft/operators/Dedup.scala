@@ -191,8 +191,12 @@ object Dedup extends QueryPack {
 
   /** LSH candidate pairs: band the signature, bucket-join per band. */
   private def lshCandidates(sig: DataFrame,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val banded = capBuckets(bandRows(sig), Seq("band", "bh"), maxBucket)
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    lshCandidatesFrom(capBuckets(bandRows(sig), Seq("band", "bh"), maxBucket))
+
+  /** The bucket self-join over ALREADY-CAPPED banded rows — value-shared
+    * by callers that also probe the same banded rows elsewhere (d14). */
+  private def lshCandidatesFrom(banded: DataFrame): DataFrame = {
     val l = banded.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
     val rgt = banded.select(col("band"), col("bh"), col("doc_id").as("doc_b"))
     l.join(rgt, Seq("band", "bh"))
@@ -241,15 +245,26 @@ object Dedup extends QueryPack {
     * the same static index with exact batch semantics.
     */
   private[graft] def indexProbePairs(batch: DataFrame, hBands: DataFrame,
-      hSh: DataFrame): DataFrame = {
-    val bBands = capBuckets(bandRows(minhashSignatures(shingleIndex(batch))),
-      Seq("band", "bh"), DefaultMaxBucket)
+      hSh: DataFrame): DataFrame =
+    indexProbePairsFrom(
+      capBuckets(bandRows(minhashSignatures(shingleIndex(batch))),
+        Seq("band", "bh"), DefaultMaxBucket),
+      shinglesOf(batch), hBands, hSh)
+
+  /** [[indexProbePairs]] over PRE-BUILT batch-side banded rows + shingle
+    * sets, so a caller with several probe arms (d14: history probe AND
+    * batch self-join) can pass the same frames to each — identical
+    * subtrees with identical expression IDs let ReuseExchange evaluate
+    * the batch signature aggregate once instead of per arm.
+    */
+  private[graft] def indexProbePairsFrom(bBands: DataFrame, bSh: DataFrame,
+      hBands: DataFrame, hSh: DataFrame): DataFrame = {
     val cands = bBands
       .join(capBuckets(hBands, Seq("band", "bh"), DefaultMaxBucket)
         .select(col("band"), col("bh"), col("doc_id").as("doc_b")),
         Seq("band", "bh"))
       .select(col("doc_id").as("doc_a"), col("doc_b")).distinct()
-    exactVerify(cands, shinglesOf(batch), hSh)
+    exactVerify(cands, bSh, hSh)
   }
 
   /** MinHash-LSH near-dup pairs over an arbitrary documents frame —
@@ -639,11 +654,19 @@ object Dedup extends QueryPack {
           .write.mode("overwrite").parquet(shPath)
       }
       val batch = docs.filter(srcNum >= IncrSplit)
+      // ONE banded-signature frame and ONE shingle frame feed BOTH probe
+      // arms (history equi-join and batch self-join) — previously each
+      // arm rebuilt the batch signature aggregate and shingle sets from
+      // scratch (distinct expression IDs defeat subtree reuse); sharing
+      // the values lets ReuseExchange compute them once (r21, the d04
+      // "cands taken as a value" pattern).
       val bSig = minhashSignatures(shingleIndex(batch))
+      val bBands = capBuckets(bandRows(bSig), Seq("band", "bh"),
+        DefaultMaxBucket)
       val bSh = shinglesOf(batch)
-      val hist = indexProbePairs(batch,
+      val hist = indexProbePairsFrom(bBands, bSh,
         s.read.parquet(bandsPath), s.read.parquet(shPath))
-      val bb = exactVerify(lshCandidates(bSig), bSh, bSh)
+      val bb = exactVerify(lshCandidatesFrom(bBands), bSh, bSh)
       hist.withColumn("vs", lit("history"))
         .unionByName(bb.withColumn("vs", lit("batch")))
         .orderBy(col("doc_a"), col("doc_b"))
@@ -739,12 +762,18 @@ object Dedup extends QueryPack {
     // same plan.
     "d13_chunk_dedup_rewrite" -> ((s, d) => {
       val docs = T.documents(s, d)
+      // r21: ONE tokenize+chunk pass — the hash stream derives from the
+      // SAME exploded chunk texts (chunkHashes(i) == md5(chunkTexts(i))
+      // by construction, pinned in the chunkTexts scaladoc) instead of
+      // re-chunking the corpus a second time. The keeper window still
+      // sees only (doc_id, idx, h) — the 16-byte-hash shuffle posture is
+      // unchanged; the text rides only the (doc_id, idx) rejoin.
       val chunks = docs.select(col("doc_id"),
         posexplode(chunkTexts).as(Seq("idx", "ctext")))
       val byH = org.apache.spark.sql.expressions.Window
         .partitionBy(col("h")).orderBy(col("doc_id"), col("idx"))
-      val keep = docs.select(col("doc_id"),
-          posexplode(chunkHashes).as(Seq("idx", "h")))
+      val keep = chunks
+        .select(col("doc_id"), col("idx"), md5(col("ctext")).as("h"))
         .withColumn("rn", row_number().over(byH))
         .filter(col("rn") === 1).select(col("doc_id"), col("idx"))
       chunks.join(keep, Seq("doc_id", "idx"))

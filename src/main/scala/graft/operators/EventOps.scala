@@ -61,10 +61,13 @@ object EventOps extends QueryPack {
           col("value") >= col("lo") && col("value") < col("hi"))
         .groupBy(col("band"))
         .agg(count(lit(1)).as("n"),
-          // exact decimal sum, final DOUBLE cast for oracle-hash parity
-          // (see Relational scaladoc: driver stringifies oracle decimals
-          // through float64, so decimal outputs can't hash-match)
-          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+          // exact decimal conversion per row, summed as integer 1e-4
+          // units in a primitive long buffer (Relational.units — r21:
+          // same value bit-for-bit, ~2× cheaper than Decimal sums),
+          // final DOUBLE for oracle-hash parity (Relational scaladoc)
+          Relational.dblFromUnits(
+            sum(Relational.units(col("value").cast("decimal(18,4)"), 4)), 4)
+            .as("sum_value"))
         .orderBy(col("band"))
     }),
 

@@ -63,7 +63,7 @@ object Relational extends QueryPack {
     * on overflow, which cannot happen before [[dblFromUnits]]'s 2^53
     * guard bound (1000× smaller) is crossed on the same sum.
     */
-  private def units(c: Column, scale: Int): Column =
+  private[operators] def units(c: Column, scale: Int): Column =
     (c * lit(BigDecimal(10).pow(scale))).cast("long")
 
   /** Final cast for a long units-sum: bit-identical to the former
@@ -74,7 +74,7 @@ object Relational extends QueryPack {
     * produced. The guard condition |units| ≥ 2^53 is the former
     * |value| ≥ 2^53/10^scale verbatim, both exact comparisons.
     */
-  private def dblFromUnits(c: Column, scale: Int = 2): Column =
+  private[operators] def dblFromUnits(c: Column, scale: Int = 2): Column =
     when(abs(c) >= lit(9007199254740992L), raise_error(concat(
         lit(s"graft: decimal->double final cast no longer exact " +
           s"(|units| >= 2^53 at scale $scale): "),
@@ -664,7 +664,8 @@ object Relational extends QueryPack {
 
   private def chainWalkTail: String = s"""
       UNION ALL
-      SELECT r.o_custkey, r.rn, r.o_orderkey, w.cum_cents + r.cents
+      SELECT /*+ BROADCAST(w) */
+             r.o_custkey, r.rn, r.o_orderkey, w.cum_cents + r.cents
       FROM walk w JOIN g_ranked r
         ON r.o_custkey = w.o_custkey AND r.rn = w.rn + 1
       WHERE w.rn < 8)

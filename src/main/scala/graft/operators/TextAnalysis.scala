@@ -554,16 +554,23 @@ object TextAnalysis extends QueryPack {
   private[graft] def bpeLearn(s: SparkSession, d: String,
       rounds: Int = BpeLearnK): (Seq[(Int, String, String, Long)], DataFrame) = {
     val base = Formats.ioDir(d, "bpe_rounds")
+    // r21: the per-round segmented dictionary is a PERSIST chain instead
+    // of a parquet write+read per round — each round's re-segmentation
+    // builds on the previous round's CACHED frame (materialized by that
+    // round's own pair-count collect, so no extra jobs), and only the
+    // FINAL dictionary is written to a side-file, which both flattens
+    // lineage for the returned frame and empties the CacheManager before
+    // return (the round-9/10 leak posture). Same expressions, same fold,
+    // same greedy walk — K parquet round-trips become one.
     val dict = T.documents(s, d).filter(col("lang") === "en")
       .select(explode(tokens(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
     // initial symbols = single chars; substring(word, i, 1) has
     // code-point semantics in both engines
-    dict.withColumn("syms",
+    var seg = dict.withColumn("syms",
       expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
-      .write.mode("overwrite").parquet(s"$base/seg_a")
-    var cur = "a"
-    var seg = s.read.parquet(s"$base/seg_a")
+      .persist()
+    val cached = scala.collection.mutable.ArrayBuffer[DataFrame](seg)
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     for (k <- 1 to rounds) {
       val pairs = seg.select(col("cnt"),
@@ -576,18 +583,18 @@ object TextAnalysis extends QueryPack {
         .collect()(0)
       val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
       merges += ((k, l, r, c))
-      val nxt = if (cur == "a") "b" else "a"
-      seg.withColumn("syms",
+      seg = seg.withColumn("syms",
         aggregate(col("syms"), array().cast("array<string>"),
           (acc, x) => when(size(acc) > 0 &&
               element_at(acc, -1) === lit(l) && x === lit(r),
             concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
             .otherwise(concat(acc, array(x)))))
-        .write.mode("overwrite").parquet(s"$base/seg_$nxt")
-      cur = nxt
-      seg = s.read.parquet(s"$base/seg_$cur")
+        .persist()
+      cached += seg
     }
-    (merges.toSeq, seg)
+    seg.write.mode("overwrite").parquet(s"$base/seg_final")
+    cached.foreach(_.unpersist())
+    (merges.toSeq, s.read.parquet(s"$base/seg_final"))
   }
 
   /** The tokenizer-artifact lifecycle (round-10 verdict "missing #1" —

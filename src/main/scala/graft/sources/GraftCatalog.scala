@@ -688,6 +688,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
   private def writeNsProps(ns: Seq[String],
       props: Map[String, String]): Unit = {
+    // the props file is line-oriented (readNsProps splits on '\n'), so a
+    // key/value containing a newline would silently truncate on the next
+    // read — refuse loudly instead (r21, advisor finding)
+    props.foreach { case (k, v) =>
+      if (k.contains('\n') || v.contains('\n'))
+        throw new IllegalArgumentException(
+          s"graft: namespace property ${k.takeWhile(_ != '\n')} contains " +
+            "a newline, which the line-oriented _NS_PROPS format cannot " +
+            "round-trip; encode the value (e.g. replace newlines) first")
+    }
     val p = nsPropsPath(ns)
     val f = fs(p)
     if (props.isEmpty) { f.delete(p, false); () }

@@ -1065,7 +1065,7 @@ object Snapshots {
       to: org.apache.spark.sql.types.DataType)
       : org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{lit, struct, transform, when}
-    import org.apache.spark.sql.types.{ArrayType, StructType}
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
     (from, to) match {
       case (f, t) if f == t => c
       case (f: StructType, t: StructType) =>
@@ -1080,6 +1080,17 @@ object Snapshots {
         when(c.isNull, lit(null).cast(t)).otherwise(struct(kids: _*))
       case (f: ArrayType, t: ArrayType) =>
         transform(c, x => alignTo(x, f.elementType, t.elementType))
+      case (f: MapType, t: MapType) =>
+        // recurse into key/value types the way arrays recurse into
+        // elements — widen() unions struct field sets inside map values,
+        // so two vintages with diverging map-value structs must align by
+        // name here rather than hit a refusing plain cast (r21, advisor
+        // finding; reachable via direct snapshot-API writes)
+        org.apache.spark.sql.functions.map_from_arrays(
+          transform(org.apache.spark.sql.functions.map_keys(c),
+            k => alignTo(k, f.keyType, t.keyType)),
+          transform(org.apache.spark.sql.functions.map_values(c),
+            v => alignTo(v, f.valueType, t.valueType)))
       case (_, t) => c.cast(t)
     }
   }

@@ -2205,6 +2205,16 @@ class GraftCatalogSpec extends SparkSpec {
     // the side-file must not read as a table or child namespace
     assert(!sql("SHOW TABLES IN graft.nsp").collect()
       .map(_.getString(1)).contains("_NS_PROPS"))
+    // a newline-bearing value cannot round-trip the line-oriented props
+    // file — it must refuse loudly, not truncate on the next read (r21)
+    val nl = intercept[Exception] {
+      sql("ALTER NAMESPACE graft.nsp SET PROPERTIES " +
+        "('note' = 'line one\nline two')") }
+    assert(nl.getMessage.contains("newline"), nl.getMessage)
+    // and the refusal left the existing props intact
+    assert(spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog].loadNamespaceMetadata(Array("nsp"))
+      .get("team") == "data-eng")
   }
 
   test("purge rewrites and streaming reads work across a nested " +

@@ -161,6 +161,31 @@ class SnapshotsSpec extends SparkSpec {
     assert(after == Seq(1L, 3L, 4L))
   }
 
+  test("readEvolved aligns diverging map-value structs by name " +
+      "(the alignTo MapType case — r21 advisor finding)") {
+    val dir = tmpDir("snapmapevo")
+    import spark.implicits._
+    // v1: map<string, struct<a>>; v2: map<string, struct<a, b>> — widen()
+    // unions struct field sets inside map values, so the v1 vintage must
+    // ALIGN (backfill b = null) rather than hit a refusing plain cast
+    val v1 = Seq((1L, Map("k" -> 10))).toDF("id", "m")
+      .select(col("id"), transform_values(col("m"),
+        (_, v) => struct(v.as("a"))).as("m"))
+    Snapshots.commit(spark, dir, v1, append = false)
+    val v2 = Seq((2L, Map("k" -> (20, "x")))).toDF("id", "m")
+      .select(col("id"), transform_values(col("m"),
+        (_, v) => struct(v.getField("_1").as("a"),
+          v.getField("_2").as("b"))).as("m"))
+    Snapshots.commit(spark, dir, v2, append = true)
+    val ev = Snapshots.readEvolved(spark, dir, 2)
+    val rows = ev.select(col("id"),
+        element_at(col("m"), "k").getField("a").as("a"),
+        element_at(col("m"), "k").getField("b").as("b"))
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        Option(r.getString(2)))).toSeq.sortBy(_._1)
+    assert(rows == Seq((1L, 10, None), (2L, 20, Some("x"))), rows.toString)
+  }
+
   test("commit-time file stats prune whole files from reads") {
     val dir = tmpDir("snapstats")
     import spark.implicits._
