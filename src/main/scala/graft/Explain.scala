@@ -4,6 +4,10 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
+      // mirror the bench/verify session: the catalog + streaming
+      // resolution rules are injected via extensions, and queries that
+      // read their own named tables (f38) need them to even plan
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.01"
