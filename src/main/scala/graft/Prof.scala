@@ -21,12 +21,17 @@ object Prof {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("graft.io.reuse", "true")
+      .config("spark.sql.ansi.enabled", "true") // mirror the bench session
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     case class J(id: Int, var t0: Long = 0L, var t1: Long = 0L,
       var stages: Int = 0, var tasks: Int = 0, var site: String = "")
     val jobs = mutable.LinkedHashMap[Int, J]()
+    // stage → job map so tasks attribute correctly when jobs OVERLAP
+    // (the concurrent build phases are exactly what this tool profiles;
+    // attributing every task to the most recently started job misled)
+    val stageJob = mutable.HashMap[Int, Int]()
     var collecting = false
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit =
@@ -34,13 +39,17 @@ object Prof {
           val j = J(e.jobId, t0 = e.time, stages = e.stageInfos.size)
           j.site = Option(e.properties)
             .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("")
-          jobs.synchronized { jobs(e.jobId) = j }
+          jobs.synchronized {
+            jobs(e.jobId) = j
+            e.stageInfos.foreach(si => stageJob(si.stageId) = e.jobId)
+          }
         }
       override def onJobEnd(e: SparkListenerJobEnd): Unit =
         jobs.synchronized { jobs.get(e.jobId).foreach(_.t1 = e.time) }
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
         jobs.synchronized {
-          jobs.values.lastOption.foreach(j => j.tasks += 1) }
+          stageJob.get(e.stageId).flatMap(jobs.get)
+            .foreach(j => j.tasks += 1) }
     })
     val names = args.filter(SparkEntry.queries.contains).toSeq
     def run(name: String): Unit = {
@@ -49,7 +58,7 @@ object Prof {
     for (name <- names) {
       try run(name) catch { case e: Throwable =>
         println(s"$name warm FAILED: ${e.getMessage}") } // warm
-      jobs.synchronized { jobs.clear() }
+      jobs.synchronized { jobs.clear(); stageJob.clear() }
       collecting = true
       val t0 = System.nanoTime()
       try run(name) catch { case e: Throwable =>

@@ -50,23 +50,53 @@ object Similarity extends QueryPack {
     * `SparkSession.active` is thread-local — re-pin it on the worker
     * thread for the broadcast-building centroid expressions.
     */
+  /** Dedicated pool for the overlap phases. NOT the global ForkJoinPool:
+    * that pool is JVM-wide and bounded, so blocking build phases risk
+    * starving unrelated users (and in round 21 the session thread-locals
+    * leaked onto its shared threads poisoned other suites — the
+    * MergeDifferentialSpec NPE). Daemon threads; small and fixed — 2-3
+    * concurrent jobs is enough to back-fill a straggler tail (§2.6).
+    */
+  private lazy val buildPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(6,
+        new java.util.concurrent.ThreadFactory {
+          private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+          def newThread(r: Runnable): Thread = {
+            val t = new Thread(r, s"graft-build-${n.getAndIncrement()}")
+            t.setDaemon(true)
+            t
+          }
+        }))
+
+  /** Run one phase on [[buildPool]] with the caller's session pinned as
+    * the worker thread's active session for the duration, restoring the
+    * thread's prior state in a finally so nothing leaks across tasks. */
+  private def phase[A](s: SparkSession)(f: => A): scala.concurrent.Future[A] =
+    scala.concurrent.Future {
+      val prior = SparkSession.getActiveSession
+      SparkSession.setActiveSession(s)
+      try f finally prior match {
+        case Some(p) => SparkSession.setActiveSession(p)
+        case None => SparkSession.clearActiveSession()
+      }
+    }(buildPool)
+
   private def inParallel[A, B](s: SparkSession, fa: => A, fb: => B): (A, B) = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.Await
     import scala.concurrent.duration.Duration
-    val f1 = Future { SparkSession.setActiveSession(s); fa }
-    val f2 = Future { SparkSession.setActiveSession(s); fb }
+    val f1 = phase(s)(fa)
+    val f2 = phase(s)(fb)
     (Await.result(f1, Duration.Inf), Await.result(f2, Duration.Inf))
   }
 
   private def inParallel3[A, B, C](s: SparkSession, fa: => A, fb: => B,
       fc: => C): (A, B, C) = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.Await
     import scala.concurrent.duration.Duration
-    val f1 = Future { SparkSession.setActiveSession(s); fa }
-    val f2 = Future { SparkSession.setActiveSession(s); fb }
-    val f3 = Future { SparkSession.setActiveSession(s); fc }
+    val f1 = phase(s)(fa)
+    val f2 = phase(s)(fb)
+    val f3 = phase(s)(fc)
     (Await.result(f1, Duration.Inf), Await.result(f2, Duration.Inf),
       Await.result(f3, Duration.Inf))
   }

@@ -570,7 +570,11 @@ object TextAnalysis extends QueryPack {
     var seg = dict.withColumn("syms",
       expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
       .persist()
-    val cached = scala.collection.mutable.ArrayBuffer[DataFrame](seg)
+    // at most TWO frames stay cached: round k's collect materializes
+    // seg_{k-1}, after which seg_{k-2}'s cache is dead weight — drop it
+    // immediately instead of deferring every unpersist to the end (the
+    // footprint was growing linearly with rounds)
+    var prev: DataFrame = null
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     for (k <- 1 to rounds) {
       val pairs = seg.select(col("cnt"),
@@ -581,8 +585,10 @@ object TextAnalysis extends QueryPack {
         .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("c"))
       val best = pairs.orderBy(col("c").desc, col("l"), col("r")).limit(1)
         .collect()(0)
+      if (prev != null) prev.unpersist()
       val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
       merges += ((k, l, r, c))
+      prev = seg
       seg = seg.withColumn("syms",
         aggregate(col("syms"), array().cast("array<string>"),
           (acc, x) => when(size(acc) > 0 &&
@@ -590,10 +596,10 @@ object TextAnalysis extends QueryPack {
             concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
             .otherwise(concat(acc, array(x)))))
         .persist()
-      cached += seg
     }
     seg.write.mode("overwrite").parquet(s"$base/seg_final")
-    cached.foreach(_.unpersist())
+    if (prev != null) prev.unpersist()
+    seg.unpersist()
     (merges.toSeq, s.read.parquet(s"$base/seg_final"))
   }
 

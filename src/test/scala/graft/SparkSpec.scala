@@ -7,6 +7,21 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local SparkSession for specs. */
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
+
+  /** Pin the shared session as this suite thread's active (and the JVM
+    * default) session BEFORE any test runs. The active session is a
+    * thread-local; suites run on runner threads that never created the
+    * session, so code that resolves `SparkSession.active` at physical-plan
+    * construction (SparkPlan captures `getActiveSession.orNull`) can see
+    * null when nothing pinned it — the round-21 MergeDifferentialSpec NPE
+    * (null sparkSession in CreateViewCommand.run). Pinning here makes every
+    * suite thread self-sufficient regardless of which thread planned first.
+    */
+  override protected def beforeAll(): Unit = {
+    super.beforeAll()
+    SparkSession.setDefaultSession(spark)
+    SparkSession.setActiveSession(spark)
+  }
   def tmpDir(name: String): String = {
     val d = java.nio.file.Files.createTempDirectory(s"graft-$name").toFile
     d.deleteOnExit()
