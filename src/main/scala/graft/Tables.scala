@@ -42,6 +42,58 @@ object Tables {
     Tables.normalizeEventTs(t(spark, dir, "events"))
   }
 
+  /** Partition budget for a COMPUTE-DENSE stage derived from `df`: at
+    * least one slot per cluster core, more when the stage's input bytes
+    * warrant it (Catalyst's size estimate over a 64 MB target — the AQE
+    * advisory posture, optimization guide §2.2). Used to pin exchanges
+    * feeding expensive per-row work (tokenize / n-gram explode / bucket
+    * pair generation), where AQE's bytes-based coalescing otherwise
+    * shrinks the stage to 1-2 tasks: partial aggregation makes the
+    * shuffled BYTES small while the downstream COMPUTE stays heavy, a
+    * mismatch the byte heuristic cannot see.
+    */
+  /** Width actually used by [[spread]]/[[widthFor]]: per-task launch cost
+    * (closure ship + scheduling, ~10 ms on the local driver) means a
+    * sub-second stage amortizes poorly past a handful of tasks — measured
+    * at sf0.1, 32-task micro-stages cost ~0.35 s nearly independent of
+    * their work. A quarter of the cluster's parallelism keeps per-task
+    * work ≥ 4× the launch cost at any cluster size while still engaging
+    * real parallelism; `graft.spread.parts` overrides per session.
+    */
+  private def baseWidth(s: SparkSession): Int =
+    s.conf.getOption("graft.spread.parts").map(_.toInt).getOrElse(
+      math.max(1, s.sparkContext.defaultParallelism / 4))
+
+  def widthFor(df: DataFrame, expand: Double = 1.0): Int = {
+    val bytes =
+      try BigDecimal(df.queryExecution.optimizedPlan.stats.sizeInBytes)
+      catch { case _: Throwable => BigDecimal(0) }
+    val byBytes = (bytes * expand / (64L << 20)).toInt
+    math.max(baseWidth(df.sparkSession), math.min(byBytes, 1 << 15))
+  }
+
+  /** Guard against INPUT-SPLIT SHORTFALL ahead of expensive per-row work
+    * (optimization guide §2.5: "one huge unsplittable file … repartition
+    * immediately after the read"). The sf fixture tables are
+    * single-row-group parquet files, so every scan plans as ONE task and
+    * costly per-row projections downstream (tokenize, shingle explode,
+    * regex scoring) serialize on a single core while the rest of the
+    * cluster idles. When the scan yields fewer partitions than the
+    * cluster's parallelism, redistribute rows ONCE by a deterministic
+    * key hash — the exchange moves raw bytes cheaply and the expensive
+    * map work then runs wide. When the input already arrives in >= cores
+    * splits (any real corpus at the 100 TB design scale) this is a
+    * NO-OP: no exchange is added, so it cannot pessimize the scaled
+    * path. Only applied where results are provably placement-independent
+    * (commutative aggregates, per-key windows with total per-key
+    * orderings); never under `spark_partition_id`-keyed folds.
+    */
+  def spread(df: DataFrame, key: org.apache.spark.sql.Column*): DataFrame = {
+    val p = baseWidth(df.sparkSession)
+    if (df.rdd.getNumPartitions >= p) df
+    else df.repartition(p, key: _*)
+  }
+
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame  = t(s, d, "customer")

@@ -76,7 +76,9 @@ object Dedup extends QueryPack {
     */
   private def shingleIndex(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    docs.select(col("doc_id"),
+    // tokenize+shingle is the expensive per-row step — run it wide even
+    // when the scan arrives in one split (T.spread, guide §2.5)
+    T.spread(docs, col("doc_id")).select(col("doc_id"),
       explode(distinctShingleHashes(col("text"), NGRAM)).as("h"))
   }
 
@@ -127,10 +129,17 @@ object Dedup extends QueryPack {
     */
   private[graft] def coOccurrencePairs(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val arrs = docs.select(col("doc_id"),
+    // tokenize wide (T.spread, §2.5) …
+    val arrs = T.spread(docs, col("doc_id")).select(col("doc_id"),
       distinctShingleHashes(col("text"), NGRAM).as("sh"))
+    // … and pin the bucket exchange wide: the groupBy below reuses this
+    // clustering (no second exchange, guide §2.4) and the in-bucket pair
+    // Generate — the O(bucket²) compute-dense step — keeps the width
+    // AQE's bytes-based coalescing would otherwise take away (measured:
+    // d03's pair stage ran 1.73 s on 2 of 32 cores).
     val idx = arrs.select(col("doc_id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("h"))
+      .repartition(T.widthFor(docs, expand = 2.0), col("h"))
     val buckets = idx.groupBy(col("h"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh"))))
         .as("ms"))
@@ -168,11 +177,21 @@ object Dedup extends QueryPack {
 
   private[operators] def capBuckets(banded: DataFrame, keys: Seq[String],
       maxBucket: Int): DataFrame = {
-    val hot = banded.groupBy(keys.map(col): _*)
+    // Pin ONE wide bucket-key exchange that every consumer reuses: the
+    // hot-bucket aggregate below, and the candidate self-join / index
+    // probe joins downstream all require (keys)-clustering, so this
+    // explicit repartition replaces their separate exchanges (guide
+    // §2.4). Pinning the count matters: the banded stream's BYTES are
+    // small after partial aggregation while the in-bucket pair
+    // generation is the compute-dense step, so AQE's bytes-based
+    // coalescing otherwise shrinks it to 1-2 tasks (measured: d05's
+    // pair stage ran 1.04 s on 2 of 32 cores).
+    val spreadB = banded.repartition(T.widthFor(banded), keys.map(col): _*)
+    val hot = spreadB.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > maxBucket)
       .select(keys.map(col): _*)
-    banded.join(broadcast(hot), keys, "left_anti")
+    spreadB.join(broadcast(hot), keys, "left_anti")
   }
 
   /** Banded signature rows (doc_id, band, bh) — the LSH bucket keys.
@@ -215,7 +234,7 @@ object Dedup extends QueryPack {
     * verification side (8-byte hashes, never n-gram text).
     */
   private[graft] def shinglesOf(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    T.spread(docs, col("doc_id")).select(col("doc_id"),
       array_sort(distinctShingleHashes(col("text"), NGRAM)).as("sh"))
 
   /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
@@ -339,6 +358,39 @@ object Dedup extends QueryPack {
     * and the write is a narrow two-column dump.
     */
   private[graft] def dupClusters(s: SparkSession, pairs: DataFrame,
+      out: String): DataFrame = {
+    // Size the fixpoint's exchanges from the PAIR TABLE itself instead of
+    // the session shuffle default (guide §2: derive partitioning from
+    // input size, don't inherit a constant tuned for either local mode
+    // or the cluster). Every frame the loop shuffles — edges, labels,
+    // neighbor minima — stays within a small factor of the pair set, and
+    // because the loop's frames are persisted, their stages bypass AQE
+    // coalescing entirely (cached-plan output partitioning is frozen):
+    // at sf0.1 each of the ~20 fixpoint micro-stages ran 32 tasks over
+    // ~500 rows. Catalyst's size estimate over a 32 MB target, clamped
+    // to the session default as ceiling (junk estimates degrade to the
+    // old behavior, never past it); `graft.cluster.shufflePartitions`
+    // overrides for corpora whose label tables outgrow cores × 32 MB.
+    val nParts = s.conf.getOption("graft.cluster.shufflePartitions")
+      .map(_.toInt).getOrElse {
+        val bytes =
+          try BigDecimal(pairs.queryExecution.optimizedPlan.stats.sizeInBytes)
+          catch { case _: Throwable => BigDecimal(-1) }
+        val cap = s.conf.get("spark.sql.shuffle.partitions").toInt
+        if (bytes < 0) cap
+        else math.max(1, math.min((bytes / (32L << 20)).toInt + 1, cap))
+      }
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", nParts.toString)
+    try dupClustersAt(s, pairs, out)
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  /** [[dupClusters]] body; runs under the caller-pinned shuffle-partition
+    * count (every action below plans at call time, so the setting takes
+    * effect for exactly the fixpoint's own exchanges).
+    */
+  private def dupClustersAt(s: SparkSession, pairs: DataFrame,
       out: String): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -514,7 +566,9 @@ object Dedup extends QueryPack {
     // exhaustive pairing quadratic), THEN near-dup pairing among the
     // surviving keepers only.
     "d06_dedup_pipeline" -> ((s, d) => {
-      val docs = T.documents(s, d)
+      // spread before the fingerprint window: the md5-per-row projection
+      // otherwise runs inside the single-split scan stage (§2.5)
+      val docs = T.spread(T.documents(s, d), col("doc_id"))
       // keeper = min doc_id per fingerprint, selected with ONE shuffle of
       // the document rows (window on fp) — the groupBy-then-join
       // formulation moved every row twice (fp aggregation + doc_id join)
@@ -606,7 +660,7 @@ object Dedup extends QueryPack {
       val idx = s.read.parquet(idxPath).withColumn("in_idx", lit(1))
       val byH = org.apache.spark.sql.expressions.Window
         .partitionBy(col("h")).orderBy(col("doc_id"), col("idx"))
-      docs.filter(srcNum >= IncrSplit)
+      T.spread(docs.filter(srcNum >= IncrSplit), col("doc_id"))
         .select(col("doc_id"), posexplode(chunkHashes).as(Seq("idx", "h")))
         .withColumn("rn", row_number().over(byH))
         .join(idx, Seq("h"), "left")
@@ -693,7 +747,7 @@ object Dedup extends QueryPack {
     "d10_substr_coverage" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       val docs = T.documents(s, d)
-      val hs = docs.select(col("doc_id"),
+      val hs = T.spread(docs, col("doc_id")).select(col("doc_id"),
         posexplode(shingleHashes(col("text"), RunW)).as(Seq("pos", "h")))
       // hashes occurring ≥ 2 times corpus-wide: hash-partitioned count,
       // NOT a broadcast (at 100 TB the repeated-gram set is corpus-scale)
@@ -732,8 +786,8 @@ object Dedup extends QueryPack {
     // counts are the signal a pipeline consumes: duplicated boilerplate
     // chunks are dropped without discarding the whole document.
     "d09_chunk_dedup" -> ((s, d) => {
-      val chunks = T.documents(s, d).select(col("doc_id"),
-        posexplode(chunkHashes).as(Seq("idx", "h")))
+      val chunks = T.spread(T.documents(s, d), col("doc_id"))
+        .select(col("doc_id"), posexplode(chunkHashes).as(Seq("idx", "h")))
       val byH = org.apache.spark.sql.expressions.Window
         .partitionBy(col("h")).orderBy(col("doc_id"), col("idx"))
       chunks.withColumn("rn", row_number().over(byH))
@@ -768,7 +822,7 @@ object Dedup extends QueryPack {
       // re-chunking the corpus a second time. The keeper window still
       // sees only (doc_id, idx, h) — the 16-byte-hash shuffle posture is
       // unchanged; the text rides only the (doc_id, idx) rejoin.
-      val chunks = docs.select(col("doc_id"),
+      val chunks = T.spread(docs, col("doc_id")).select(col("doc_id"),
         posexplode(chunkTexts).as(Seq("idx", "ctext")))
       val byH = org.apache.spark.sql.expressions.Window
         .partitionBy(col("h")).orderBy(col("doc_id"), col("idx"))
@@ -841,7 +895,7 @@ object Dedup extends QueryPack {
     // state at all — the 100 TB version is the same plan.
     "d16_intradoc_dedup" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
-      val docs = T.documents(s, d)
+      val docs = T.spread(T.documents(s, d), col("doc_id"))
       val occ = docs.select(col("doc_id"),
         posexplode(shingleHashes(col("text"), RunW)).as(Seq("pos", "h")))
       val byDocH = org.apache.spark.sql.expressions.Window
