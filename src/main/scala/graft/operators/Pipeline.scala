@@ -85,14 +85,17 @@ object Pipeline extends QueryPack {
     // at 2^-64 collision odds, the d03 precedent). Callers that already
     // hold the distinct bench gram set (p13 builds it for the Bloom
     // filter) pass it in rather than paying the tokenize+distinct again.
-    val pg = probe.select(col("doc_id"),
+    // both probe arms below tokenize the corpus — run them wide even
+    // off a single-split scan (T.spread, guide §2.5)
+    val pw = T.spread(probe, col("doc_id"))
+    val pg = pw.select(col("doc_id"),
       explode(distinctShingleHashes(col("text"), n)).as("h"))
     val bg = benchGrams.getOrElse(
       bench.select(explode(distinctShingleHashes(col("text"), n)).as("h"))
         .distinct())
     val shared = pg.join(broadcast(bg), Seq("h"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
-    probe.select(col("doc_id"),
+    pw.select(col("doc_id"),
       size(distinctShingleHashes(col("text"), n)).as("n_grams"))
       .join(shared, Seq("doc_id"), "left")
       .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
@@ -188,7 +191,8 @@ object Pipeline extends QueryPack {
       extra: Seq[String]): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val ex = extra.map(col)
-    docs.select(Seq(col("doc_id"), col("text")) ++ ex ++ Seq(
+    T.spread(docs, col("doc_id"))
+      .select(Seq(col("doc_id"), col("text")) ++ ex ++ Seq(
       tokenCount(col("text")).cast("long").as("n_tokens"),
       length(regexp_replace(col("text"), WsRe, "")).cast("long")
         .as("n_word_chars"),
@@ -245,7 +249,7 @@ object Pipeline extends QueryPack {
     // top 2-gram > 20% of tokens") stays a downstream projection.
     "p02_repetition" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
-      val docs = T.documents(s, d)
+      val docs = T.spread(T.documents(s, d), col("doc_id"))
       val tokStats = docs
         .select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
         .groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("c"))
@@ -282,7 +286,7 @@ object Pipeline extends QueryPack {
         lit(" now"))
       val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
       val phoneRe = "555-01[0-9]{2}"
-      T.documents(s, d)
+      T.spread(T.documents(s, d), col("doc_id"))
         .withColumn("synth", synth)
         .select(col("doc_id"),
           size(regexp_extract_all(col("synth"), lit(emailRe), lit(0)))
@@ -576,7 +580,11 @@ object Pipeline extends QueryPack {
     "p13_bloom_decontam" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       val docs = T.documents(s, d)
-      val probe = docs.filter(col("source") =!= BENCH_SRC)
+      // spread ONCE here: the bloom-probe arm and decontaminate's two
+      // exact arms all tokenize this slice; sharing the widened frame
+      // lets them reuse one exchange instead of mixing wide and serial
+      val probe = T.spread(docs.filter(col("source") =!= BENCH_SRC),
+        col("doc_id"))
       val bench = docs.filter(col("source") === BENCH_SRC)
       // cache the distinct bench gram set: it feeds the sizing count, the
       // bloom sketch build, AND the exact certification subtree below —
@@ -662,7 +670,7 @@ object Pipeline extends QueryPack {
       val nW = when(n <= CHUNK_W_OVL, lit(1)).otherwise(
         floor((n - lit(CHUNK_W_OVL) + lit(CHUNK_S_OVL) - 1)
           / lit(CHUNK_S_OVL)).cast("int") + 1)
-      T.documents(s, d)
+      T.spread(T.documents(s, d), col("doc_id"))
         .select(col("doc_id"),
           posexplode(transform(sequence(lit(0), nW - 1), i => struct(
             size(slice(t, i * CHUNK_S_OVL + 1, lit(CHUNK_W_OVL)))

@@ -46,7 +46,7 @@ object TextAnalysis extends QueryPack {
   private[operators] def bm25Scores(s: SparkSession, d: String): DataFrame = {
     val q = s.createDataFrame(Bm25Queries).toDF("query_id", "term")
     val qterms = Bm25Queries.map(_._2).distinct
-    val toks = T.documents(s, d)
+    val toks = T.spread(T.documents(s, d), col("doc_id"))
       .select(col("doc_id"), tokens(col("text")).as("w"))
     val stats = toks.agg(count(lit(1)).as("n"),
       expr("(1000000 * sum(size(w))) div count(1)").as("avgdl_micro"))
@@ -73,7 +73,7 @@ object TextAnalysis extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> ((s, d) => {
-      T.documents(s, d)
+      T.spread(T.documents(s, d), col("doc_id"))
         .select(col("doc_id"),
           tokenCount(col("text")).as("n_tokens"),
           size(distinctTokens(col("text"))).as("n_distinct"),
@@ -82,7 +82,7 @@ object TextAnalysis extends QueryPack {
     }),
     "t02_quality_score" -> ((s, d) => {
       val stop = Seq("the", "a", "and", "of", "to", "in", "is", "it")
-      T.documents(s, d)
+      T.spread(T.documents(s, d), col("doc_id"))
         .select(col("doc_id"),
           length(col("text")).as("len_chars"),
           tokenCount(col("text")).as("n_tokens"),
@@ -96,7 +96,7 @@ object TextAnalysis extends QueryPack {
       val scores: Seq[(String, Column)] = markers.map { case (lang, ws) =>
         lang -> wordHits(col("text"), ws)
       }
-      val scored = T.documents(s, d).select(
+      val scored = T.spread(T.documents(s, d), col("doc_id")).select(
         col("doc_id") +: scores.map { case (l, c) => c.as(s"s_$l") }: _*)
       // argmax with fixed precedence order (en, de, fr, es, zh) on ties —
       // mirrored exactly in the oracle's CASE chain.
@@ -146,8 +146,9 @@ object TextAnalysis extends QueryPack {
     "t06_winnowing_fingerprints" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       val W = 4
-      val hs = T.documents(s, d).select(col("doc_id"),
-        posexplode(shingleHashes(col("text"), 3)).as(Seq("pos", "h")))
+      val hs = T.spread(T.documents(s, d), col("doc_id"))
+        .select(col("doc_id"),
+          posexplode(shingleHashes(col("text"), 3)).as(Seq("pos", "h")))
       val frame = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("pos"))
         .rowsBetween(0, W - 1)
@@ -236,7 +237,7 @@ object TextAnalysis extends QueryPack {
     // engines, while this lexicographic form is bit-reproducible and
     // agrees with tf-idf whenever tf dominates.
     "t08_tfidf" -> ((s, d) => {
-      val occ = T.documents(s, d)
+      val occ = T.spread(T.documents(s, d), col("doc_id"))
         .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
       val tf = occ.groupBy(col("doc_id"), col("word"))
         .agg(count(lit(1)).as("tf"))
@@ -333,7 +334,7 @@ object TextAnalysis extends QueryPack {
     // partition — the standard dictionary-build shape), never the corpus;
     // ranks broadcast back to the occurrence stream.
     "t09_zipf_quality" -> ((s, d) => {
-      val occ = T.documents(s, d)
+      val occ = T.spread(T.documents(s, d), col("doc_id"))
         .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
       val cnt = occ.groupBy(col("word")).agg(count(lit(1)).as("c"))
       val rk = cnt.withColumn("zrank",
@@ -363,7 +364,7 @@ object TextAnalysis extends QueryPack {
     // stream by that key, and the exchange is reused; only the context
     // totals (vocabulary-bounded) and the 1-row vocab size broadcast.
     "t10_bigram_cross_entropy" -> ((s, d) => {
-      val toks = T.documents(s, d)
+      val toks = T.spread(T.documents(s, d), col("doc_id"))
         .select(col("doc_id"), tokens(col("text")).as("w"))
       // size >= 2 guard: sequence(1, 0) would generate the DESCENDING
       // [1, 0] for a 1-token doc instead of no bigrams
@@ -404,7 +405,7 @@ object TextAnalysis extends QueryPack {
     // the oracle; the H-row result set is driver-safe by construction.
     "t11_heavy_hitters_cms" -> ((s, d) => {
       import s.implicits._
-      val occ = T.documents(s, d)
+      val occ = T.spread(T.documents(s, d), col("doc_id"))
         .select(explode(tokens(col("text"))).as("word"))
       val skBytes = occ
         .agg(count_min_sketch(col("word"), lit(0.01d), lit(0.99d),
