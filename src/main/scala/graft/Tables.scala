@@ -42,16 +42,6 @@ object Tables {
     Tables.normalizeEventTs(t(spark, dir, "events"))
   }
 
-  /** Partition budget for a COMPUTE-DENSE stage derived from `df`: at
-    * least one slot per cluster core, more when the stage's input bytes
-    * warrant it (Catalyst's size estimate over a 64 MB target — the AQE
-    * advisory posture, optimization guide §2.2). Used to pin exchanges
-    * feeding expensive per-row work (tokenize / n-gram explode / bucket
-    * pair generation), where AQE's bytes-based coalescing otherwise
-    * shrinks the stage to 1-2 tasks: partial aggregation makes the
-    * shuffled BYTES small while the downstream COMPUTE stays heavy, a
-    * mismatch the byte heuristic cannot see.
-    */
   /** Width actually used by [[spread]]/[[widthFor]]: per-task launch cost
     * (closure ship + scheduling, ~10 ms on the local driver) means a
     * sub-second stage amortizes poorly past a handful of tasks — measured
@@ -64,12 +54,32 @@ object Tables {
     s.conf.getOption("graft.spread.parts").map(_.toInt).getOrElse(
       math.max(1, s.sparkContext.defaultParallelism / 4))
 
+  /** Partition budget for a COMPUTE-DENSE stage derived from `df`: at
+    * least [[baseWidth]] slots, more when the stage's input bytes warrant
+    * it (Catalyst's size estimate over a 64 MB target — the AQE advisory
+    * posture, guide §2.2). Used to pin exchanges feeding expensive
+    * per-row work (tokenize / n-gram explode / bucket pair generation),
+    * where AQE's bytes-based coalescing otherwise shrinks the stage to
+    * 1-2 tasks: partial aggregation makes the shuffled BYTES small while
+    * the downstream COMPUTE stays heavy, a mismatch the byte heuristic
+    * cannot see.
+    */
   def widthFor(df: DataFrame, expand: Double = 1.0): Int = {
     val bytes =
       try BigDecimal(df.queryExecution.optimizedPlan.stats.sizeInBytes)
       catch { case _: Throwable => BigDecimal(0) }
+    // Cap the bytes-derived width at the cluster parallelism: Catalyst
+    // size estimates MULTIPLY through joins, so a join-derived frame can
+    // claim exabytes and would otherwise pin tens of thousands of
+    // partitions (measured: p17's component-local re-pair hit the old
+    // 2^15 cap and spent 18 s scheduling empty tasks; a 4x-cores cap
+    // still left it 0.5 s over baseline). Inputs whose compute stages
+    // genuinely need more than one task wave per core set
+    // graft.spread.parts for the session.
+    val p = baseWidth(df.sparkSession)
     val byBytes = (bytes * expand / (64L << 20)).toInt
-    math.max(baseWidth(df.sparkSession), math.min(byBytes, 1 << 15))
+    math.max(p, math.min(byBytes,
+      df.sparkSession.sparkContext.defaultParallelism))
   }
 
   /** Guard against INPUT-SPLIT SHORTFALL ahead of expensive per-row work
