@@ -26,14 +26,25 @@ object Explain {
       "f11_flat_count_pushdown", "q35_recursive_chain",
       "m04_decode_features", "m06_image_phash", "t15_bpe_apply")
     val named = args.filter(SparkEntry.queries.contains).toSeq
-    val unknown = args.filterNot(a => a == "--all" || SparkEntry.queries.contains(a))
+    val unknown = args.filterNot(a =>
+      a == "--all" || a == "--executed" || SparkEntry.queries.contains(a))
     if (unknown.nonEmpty)
       System.err.println(s"Unknown queries (ignored): ${unknown.mkString(", ")}")
+    // --executed: run the query, then print the FINAL adaptive plan —
+    // ReusedExchange / AQEShuffleRead nodes only exist after execution,
+    // so subtree-reuse claims can only be audited here, not in the
+    // pre-execution dump (round-21 verdict item 7).
+    val executed = args.contains("--executed")
     for (q <- if (all) SparkEntry.queries.keys.toSeq.sorted
               else if (named.nonEmpty) named else headline) {
       println(s"########## $q")
-      println(SparkEntry.queries(q)(spark, d).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
+      val qe = SparkEntry.queries(q)(spark, d).queryExecution
+      if (executed) {
+        qe.toRdd.count()
+        println(qe.executedPlan.toString)
+      } else
+        println(qe.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
     }
     spark.stop()
   }

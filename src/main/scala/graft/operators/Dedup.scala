@@ -176,7 +176,7 @@ object Dedup extends QueryPack {
   private[operators] val DefaultMaxBucket = 10000
 
   private[operators] def capBuckets(banded: DataFrame, keys: Seq[String],
-      maxBucket: Int): DataFrame = {
+      maxBucket: Int, pin: Boolean = true): DataFrame = {
     // Pin ONE wide bucket-key exchange that every consumer reuses: the
     // hot-bucket aggregate below, and the candidate self-join / index
     // probe joins downstream all require (keys)-clustering, so this
@@ -185,8 +185,13 @@ object Dedup extends QueryPack {
     // small after partial aggregation while the in-bucket pair
     // generation is the compute-dense step, so AQE's bytes-based
     // coalescing otherwise shrinks it to 1-2 tasks (measured: d05's
-    // pair stage ran 1.04 s on 2 of 32 cores).
-    val spreadB = banded.repartition(T.widthFor(banded), keys.map(col): _*)
+    // pair stage ran 1.04 s on 2 of 32 cores). `pin = false` opts a
+    // caller whose banded frame is bounded (d14's per-batch arms) back
+    // into AQE sizing — there the extra exchange cost more than the
+    // width bought (measured d14 1.0 -> 1.3 s).
+    val spreadB =
+      if (pin) banded.repartition(T.widthFor(banded), keys.map(col): _*)
+      else banded
     val hot = spreadB.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > maxBucket)
@@ -279,7 +284,11 @@ object Dedup extends QueryPack {
   private[graft] def indexProbePairsFrom(bBands: DataFrame, bSh: DataFrame,
       hBands: DataFrame, hSh: DataFrame): DataFrame = {
     val cands = bBands
-      .join(capBuckets(hBands, Seq("band", "bh"), DefaultMaxBucket)
+      // pin=false: at rest the history bands are bucketed by (band, bh)
+      // (f08 layout) — zero-exchange by design; a pinned repartition
+      // would reintroduce one per probe
+      .join(capBuckets(hBands, Seq("band", "bh"), DefaultMaxBucket,
+          pin = false)
         .select(col("band"), col("bh"), col("doc_id").as("doc_b")),
         Seq("band", "bh"))
       .select(col("doc_id").as("doc_a"), col("doc_b")).distinct()
@@ -716,7 +725,7 @@ object Dedup extends QueryPack {
       // "cands taken as a value" pattern).
       val bSig = minhashSignatures(shingleIndex(batch))
       val bBands = capBuckets(bandRows(bSig), Seq("band", "bh"),
-        DefaultMaxBucket)
+        DefaultMaxBucket, pin = false)
       val bSh = shinglesOf(batch)
       val hist = indexProbePairsFrom(bBands, bSh,
         s.read.parquet(bandsPath), s.read.parquet(shPath))
