@@ -99,6 +99,12 @@ object Tables {
     * orderings); never under `spark_partition_id`-keyed folds.
     */
   def spread(df: DataFrame, key: org.apache.spark.sql.Column*): DataFrame = {
+    // Streaming frames pass through untouched: the split-shortfall this
+    // guards against is a batch-scan artifact, micro-batch input sizing
+    // belongs to the stream planner, and the `.rdd` partition probe
+    // below is illegal on an unstarted stream (caught by the
+    // streaming-vs-batch parity specs when gopherSignals went wide).
+    if (df.isStreaming) return df
     val p = baseWidth(df.sparkSession)
     if (df.rdd.getNumPartitions >= p) df
     else df.repartition(p, key: _*)
